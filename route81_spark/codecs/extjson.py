@@ -1,0 +1,81 @@
+"""Canonical MongoDB Extended JSON encoding as Column expressions.
+
+The reference encodes every produced Kafka value with
+`bson.MarshalExtJSON(val, canonical=true, escapeHTML=true)`
+(/root/reference/encoding/encoding.go:30-38). Canonical ext-JSON tags
+every BSON type (`{"$numberInt": "1"}`, `{"$date": {"$numberLong":
+"…"}}`, README goldens at /root/reference/README.md:113-182).
+
+Spark-first design: because the harness path has a *declared* schema
+(SURVEY §1.1 option a), the tagging is a deterministic schema-driven
+struct rebuild — `int` column -> `struct<$numberInt: string>` — then a
+single `to_json`. No Python in the hot path; `to_json` drops null
+fields (spark.sql.jsonGenerator.ignoreNullFields default), which is
+what makes optional envelope keys (op/data/updates) drop out exactly
+like Go's `omitempty`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _tag(name: str, value: Column) -> Column:
+    return F.struct(value.alias(name))
+
+
+def ext_json_col(col: Column, dtype: T.DataType, oid: bool = False) -> Column:
+    """Rebuild `col` of type `dtype` as its canonical-ext-JSON-shaped
+    struct. `oid=True` marks a 24-hex string column as an ObjectId."""
+    if isinstance(dtype, T.StringType):
+        return _tag("$oid", col) if oid else col
+    if isinstance(dtype, (T.IntegerType, T.ShortType, T.ByteType)):
+        return _tag("$numberInt", col.cast("string"))
+    if isinstance(dtype, T.LongType):
+        return _tag("$numberLong", col.cast("string"))
+    if isinstance(dtype, (T.DoubleType, T.FloatType)):
+        # canonical doubles render as decimal strings; NaN/Inf use words
+        return _tag(
+            "$numberDouble",
+            F.when(F.isnan(col), F.lit("NaN"))
+            .when(col == F.lit(float("inf")), F.lit("Infinity"))
+            .when(col == F.lit(float("-inf")), F.lit("-Infinity"))
+            .otherwise(col.cast("string")),
+        )
+    if isinstance(dtype, T.DecimalType):
+        return _tag("$numberDecimal", col.cast("string"))
+    if isinstance(dtype, T.BooleanType):
+        return col
+    if isinstance(dtype, (T.TimestampType, T.DateType)):
+        ms = (F.unix_micros(col.cast("timestamp")) / 1000).cast("long").cast("string")
+        return _tag("$date", _tag("$numberLong", ms))
+    if isinstance(dtype, T.BinaryType):
+        return F.struct(
+            F.struct(
+                F.base64(col).alias("base64"),
+                F.lit("00").alias("subType"),
+            ).alias("$binary")
+        )
+    if isinstance(dtype, T.ArrayType):
+        return F.transform(col, lambda x: ext_json_col(x, dtype.elementType))
+    if isinstance(dtype, T.StructType):
+        return F.struct(
+            *[
+                ext_json_col(col.getField(f.name), f.dataType, oid=(f.name == "_id" and oid)).alias(f.name)
+                for f in dtype.fields
+            ]
+        )
+    if isinstance(dtype, T.MapType):
+        # keep string-keyed maps as-is when values are strings; else recurse values
+        return F.map_from_arrays(
+            F.map_keys(col),
+            F.transform(F.map_values(col), lambda v: ext_json_col(v, dtype.valueType)),
+        )
+    return col
+
+
+def ext_json_string(col: Column, dtype: T.DataType, oid: bool = False) -> Column:
+    """Canonical ext-JSON text of a column (to_json of the tagged rebuild)."""
+    return F.to_json(ext_json_col(col, dtype, oid=oid))

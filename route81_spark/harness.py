@@ -1,0 +1,981 @@
+"""Harness query registry: every SURVEY §2 operator exercised as a
+(spark query, DuckDB oracle SQL) pair over the testdata tables.
+
+Each Spark query routes through the *real* engine surfaces — the
+pipeline compiler (`apply_pipeline`), the envelope builder, the
+classifier/merge sink, the dedup/similarity/text ops — never ad-hoc
+DataFrame code, so a hash-match certifies the engine, not the fixture.
+
+Determinism rules (so value-hashes match the oracle bit-for-bit):
+  * double *aggregates* round to 4-6 dp (fp addition is not associative;
+    Spark's partial aggregation order differs from DuckDB's)
+  * per-row double arithmetic is left exact (same IEEE ops both sides)
+  * hash ops use md5-derived integers (= DuckDB's md5)
+  * every top-k has a total tie-break order
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from route81_spark.envelope import EnvelopeConfig, build_envelope, with_synthetic_id
+from route81_spark.io import load_table
+from route81_spark.ops import dedup as D
+from route81_spark.ops import similarity as S
+from route81_spark.ops import text as X
+from route81_spark.pipeline import apply_pipeline
+from route81_spark.sinks.merge import latest_per_key
+from route81_spark.sources.change_events import synthetic_change_events
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return load_table(spark, sf_dir, table)
+
+
+# =====================================================================
+# Pipeline compiler — Tier 1 stages ($match/$project/$addFields/$unset/
+# $limit/$count) and the $match query-operator dialect
+# =====================================================================
+
+@_q(
+    "match_project",
+    """
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS revenue
+    FROM lineitem WHERE l_returnflag = 'R' AND l_quantity > 30
+    """,
+)
+def match_project(spark, sf_dir):
+    return apply_pipeline(
+        _t(spark, sf_dir, "lineitem"),
+        [
+            {"$match": {"l_returnflag": "R", "l_quantity": {"$gt": 30}}},
+            {
+                "$project": {
+                    "l_orderkey": 1,
+                    "l_linenumber": 1,
+                    "revenue": {
+                        "$multiply": ["$l_extendedprice", {"$subtract": [1, "$l_discount"]}]
+                    },
+                }
+            },
+        ],
+    )
+
+
+@_q(
+    "match_in_nin",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem
+    WHERE l_linestatus IN ('O')
+      AND NOT COALESCE(l_returnflag IN ('A', 'N'), FALSE)
+      AND l_quantity >= 48
+    """,
+)
+def match_in_nin(spark, sf_dir):
+    return apply_pipeline(
+        _t(spark, sf_dir, "lineitem"),
+        [
+            {
+                "$match": {
+                    "l_linestatus": {"$in": ["O"]},
+                    "l_returnflag": {"$nin": ["A", "N"]},
+                    "l_quantity": {"$gte": 48},
+                }
+            },
+            {"$project": {"l_orderkey": 1, "l_linenumber": 1, "l_quantity": 1}},
+        ],
+    )
+
+
+@_q(
+    "match_or_regex",
+    """
+    SELECT p_partkey, p_type, p_size
+    FROM part
+    WHERE regexp_matches(p_type, 'PROMO') OR p_size >= 45
+    """,
+)
+def match_or_regex(spark, sf_dir):
+    return apply_pipeline(
+        _t(spark, sf_dir, "part"),
+        [
+            {"$match": {"$or": [{"p_type": {"$regex": "PROMO"}}, {"p_size": {"$gte": 45}}]}},
+            {"$project": {"p_partkey": 1, "p_type": 1, "p_size": 1}},
+        ],
+    )
+
+
+@_q(
+    "match_mod_expr",
+    """
+    SELECT l_orderkey, l_linenumber
+    FROM lineitem
+    WHERE l_orderkey % 7 = 3
+      AND COALESCE(l_discount > l_tax / 2, FALSE)
+    """,
+)
+def match_mod_expr(spark, sf_dir):
+    return apply_pipeline(
+        _t(spark, sf_dir, "lineitem"),
+        [
+            {
+                "$match": {
+                    "l_orderkey": {"$mod": [7, 3]},
+                    "$expr": {"$gt": ["$l_discount", {"$divide": ["$l_tax", 2]}]},
+                }
+            },
+            {"$project": {"l_orderkey": 1, "l_linenumber": 1}},
+        ],
+    )
+
+
+@_q(
+    "match_null_ne",
+    """
+    SELECT event_id,
+           CASE WHEN event_id % 3 = 0 THEN NULL ELSE event_type END AS maybe
+    FROM events
+    WHERE (CASE WHEN event_id % 3 = 0 THEN NULL ELSE event_type END)
+          IS DISTINCT FROM 'click'
+    """,
+)
+def match_null_ne(spark, sf_dir):
+    # pins Mongo null semantics: $ne matches rows where the field is null
+    return apply_pipeline(
+        _t(spark, sf_dir, "events"),
+        [
+            {
+                "$addFields": {
+                    "maybe": {
+                        "$cond": [
+                            {"$eq": [{"$mod": ["$event_id", 3]}, 0]},
+                            None,
+                            "$event_type",
+                        ]
+                    }
+                }
+            },
+            {"$match": {"maybe": {"$ne": "click"}}},
+            {"$project": {"event_id": 1, "maybe": 1}},
+        ],
+    )
+
+
+@_q(
+    "addfields_unset",
+    """
+    SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value,
+           value * 2 AS value_x2,
+           event_type || ':' || CAST(user_id AS VARCHAR) AS tag
+    FROM events
+    """,
+)
+def addfields_unset(spark, sf_dir):
+    return apply_pipeline(
+        _t(spark, sf_dir, "events"),
+        [
+            {
+                "$set": {
+                    "value_x2": {"$multiply": ["$value", 2]},
+                    "tag": {"$concat": ["$event_type", ":", {"$toString": "$user_id"}]},
+                }
+            },
+            {"$unset": "props"},
+        ],
+    )
+
+
+@_q(
+    "count_match",
+    "SELECT count(*) AS returned FROM lineitem WHERE l_returnflag = 'R'",
+)
+def count_match(spark, sf_dir):
+    return apply_pipeline(
+        _t(spark, sf_dir, "lineitem"),
+        [{"$match": {"l_returnflag": "R"}}, {"$count": "returned"}],
+    )
+
+
+@_q(
+    "sort_skip_limit",
+    """
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+    LIMIT 10 OFFSET 5
+    """,
+)
+def sort_skip_limit(spark, sf_dir):
+    return apply_pipeline(
+        _t(spark, sf_dir, "lineitem"),
+        [
+            {"$sort": {"l_extendedprice": -1, "l_orderkey": 1, "l_linenumber": 1}},
+            {"$skip": 5},
+            {"$limit": 10},
+            {"$project": {"l_orderkey": 1, "l_linenumber": 1, "l_extendedprice": 1}},
+        ],
+    )
+
+
+# =====================================================================
+# Pipeline compiler — Tier 2 ($group/$unwind/$replaceRoot/$sortByCount)
+# =====================================================================
+
+@_q(
+    "group_sum_avg",
+    """
+    SELECT l_returnflag AS rf, l_linestatus AS ls,
+           round(CAST(sum(l_quantity) AS DOUBLE), 4) AS sum_qty,
+           round(CAST(sum(l_extendedprice) AS DOUBLE), 4) AS sum_base,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_discount), 4) AS avg_disc,
+           count(*) AS n
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def group_sum_avg(spark, sf_dir):
+    return apply_pipeline(
+        _t(spark, sf_dir, "lineitem"),
+        [
+            {"$match": {"l_shipdate": {"$lte": "1998-09-02"}}},
+            {
+                "$group": {
+                    "_id": {"rf": "$l_returnflag", "ls": "$l_linestatus"},
+                    "sum_qty": {"$sum": "$l_quantity"},
+                    "sum_base": {"$sum": "$l_extendedprice"},
+                    "avg_qty": {"$avg": "$l_quantity"},
+                    "avg_disc": {"$avg": "$l_discount"},
+                    "n": {"$sum": 1},
+                }
+            },
+            {
+                "$project": {
+                    "_id": 0,
+                    "rf": "$_id.rf",
+                    "ls": "$_id.ls",
+                    "sum_qty": {"$round": ["$sum_qty", 4]},
+                    "sum_base": {"$round": ["$sum_base", 4]},
+                    "avg_qty": {"$round": ["$avg_qty", 4]},
+                    "avg_disc": {"$round": ["$avg_disc", 4]},
+                    "n": 1,
+                }
+            },
+        ],
+    )
+
+
+@_q(
+    "group_expr_key",
+    """
+    SELECT CAST(year(o_orderdate) AS INT) AS y, o_orderpriority AS pr,
+           round(CAST(sum(o_totalprice) AS DOUBLE), 4) AS total,
+           round(min(o_totalprice), 4) AS lo,
+           round(max(o_totalprice), 4) AS hi,
+           count(*) AS n
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def group_expr_key(spark, sf_dir):
+    return apply_pipeline(
+        _t(spark, sf_dir, "orders"),
+        [
+            {
+                "$group": {
+                    "_id": {"y": {"$year": "$o_orderdate"}, "pr": "$o_orderpriority"},
+                    "total": {"$sum": "$o_totalprice"},
+                    "lo": {"$min": "$o_totalprice"},
+                    "hi": {"$max": "$o_totalprice"},
+                    "n": {"$sum": 1},
+                }
+            },
+            {
+                "$project": {
+                    "_id": 0,
+                    "y": "$_id.y",
+                    "pr": "$_id.pr",
+                    "total": {"$round": ["$total", 4]},
+                    "lo": {"$round": ["$lo", 4]},
+                    "hi": {"$round": ["$hi", 4]},
+                    "n": 1,
+                }
+            },
+        ],
+    )
+
+
+@_q(
+    "group_addtoset",
+    """
+    SELECT o_orderpriority AS pr,
+           array_to_string(list_sort(list_distinct(list(o_orderstatus))), ',') AS statuses,
+           count(*) AS n
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def group_addtoset(spark, sf_dir):
+    df = apply_pipeline(
+        _t(spark, sf_dir, "orders"),
+        [
+            {
+                "$group": {
+                    "_id": "$o_orderpriority",
+                    "statuses": {"$addToSet": "$o_orderstatus"},
+                    "n": {"$sum": 1},
+                }
+            },
+        ],
+    )
+    return df.select(
+        F.col("_id").alias("pr"), F.concat_ws(",", "statuses").alias("statuses"), "n"
+    )
+
+
+@_q(
+    "unwind_group",
+    """
+    SELECT tok AS token, count(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+    GROUP BY tok ORDER BY n DESC, token ASC LIMIT 20
+    """,
+)
+def unwind_group(spark, sf_dir):
+    return apply_pipeline(
+        _t(spark, sf_dir, "documents"),
+        [
+            {"$addFields": {"tok": {"$split": ["$text", " "]}}},
+            {"$unwind": "$tok"},
+            {"$group": {"_id": "$tok", "n": {"$sum": 1}}},
+            {"$sort": {"n": -1, "_id": 1}},
+            {"$limit": 20},
+            {"$project": {"_id": 0, "token": "$_id", "n": 1}},
+        ],
+    )
+
+
+@_q(
+    "replace_root",
+    "SELECT l_orderkey AS a, l_quantity AS b FROM lineitem WHERE l_linenumber = 1",
+)
+def replace_root(spark, sf_dir):
+    return apply_pipeline(
+        _t(spark, sf_dir, "lineitem"),
+        [
+            {"$match": {"l_linenumber": 1}},
+            {"$project": {"nested": {"a": "$l_orderkey", "b": "$l_quantity"}}},
+            {"$replaceRoot": {"newRoot": "$nested"}},
+        ],
+    )
+
+
+@_q(
+    "sort_by_count",
+    """
+    SELECT event_type AS _id, count(*) AS count
+    FROM events GROUP BY event_type
+    ORDER BY count DESC, _id ASC
+    """,
+)
+def sort_by_count(spark, sf_dir):
+    return apply_pipeline(_t(spark, sf_dir, "events"), [{"$sortByCount": "$event_type"}])
+
+
+# =====================================================================
+# Expression dialect ($cond/$switch/strings/dates/higher-order)
+# =====================================================================
+
+@_q(
+    "expr_strings",
+    """
+    SELECT c_custkey,
+           upper(c_name) AS name_up,
+           substr(c_name, 1, 8) AS prefix,
+           CAST(len(string_split(c_name, '#')) AS INT) AS n_parts,
+           c_mktsegment || '/' || lower(c_name) AS tagged
+    FROM customer
+    """,
+)
+def expr_strings(spark, sf_dir):
+    return apply_pipeline(
+        _t(spark, sf_dir, "customer"),
+        [
+            {
+                "$project": {
+                    "c_custkey": 1,
+                    "name_up": {"$toUpper": "$c_name"},
+                    "prefix": {"$substrCP": ["$c_name", 0, 8]},
+                    "n_parts": {"$size": {"$split": ["$c_name", "#"]}},
+                    "tagged": {"$concat": ["$c_mktsegment", "/", {"$toLower": "$c_name"}]},
+                }
+            }
+        ],
+    )
+
+
+@_q(
+    "expr_dates",
+    """
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT) AS y,
+           CAST(month(o_orderdate) AS INT) AS m,
+           CAST(day(o_orderdate) AS INT) AS d,
+           strftime(o_orderdate, '%Y-%m-%d') AS ds
+    FROM orders
+    """,
+)
+def expr_dates(spark, sf_dir):
+    return apply_pipeline(
+        _t(spark, sf_dir, "orders"),
+        [
+            {
+                "$project": {
+                    "o_orderkey": 1,
+                    "y": {"$year": "$o_orderdate"},
+                    "m": {"$month": "$o_orderdate"},
+                    "d": {"$dayOfMonth": "$o_orderdate"},
+                    "ds": {"$dateToString": {"format": "%Y-%m-%d", "date": "$o_orderdate"}},
+                }
+            }
+        ],
+    )
+
+
+@_q(
+    "expr_cond_switch",
+    """
+    SELECT CASE
+             WHEN c_acctbal < 0 THEN 'debt'
+             WHEN c_acctbal < 5000 THEN 'mid'
+             ELSE 'high'
+           END AS seg,
+           count(*) AS n,
+           round(CAST(sum(c_acctbal) AS DOUBLE), 4) AS bal
+    FROM customer GROUP BY 1
+    """,
+)
+def expr_cond_switch(spark, sf_dir):
+    return apply_pipeline(
+        _t(spark, sf_dir, "customer"),
+        [
+            {
+                "$addFields": {
+                    "seg": {
+                        "$switch": {
+                            "branches": [
+                                {"case": {"$lt": ["$c_acctbal", 0]}, "then": "debt"},
+                                {"case": {"$lt": ["$c_acctbal", 5000]}, "then": "mid"},
+                            ],
+                            "default": "high",
+                        }
+                    }
+                }
+            },
+            {"$group": {"_id": "$seg", "n": {"$sum": 1}, "bal": {"$sum": "$c_acctbal"}}},
+            {
+                "$project": {
+                    "_id": 0,
+                    "seg": "$_id",
+                    "n": 1,
+                    "bal": {"$round": ["$bal", 4]},
+                }
+            },
+        ],
+    )
+
+
+@_q(
+    "expr_higher_order",
+    """
+    SELECT doc_id,
+           CAST(len(list_filter(string_split(text, ' '), t -> length(t) >= 6)) AS INT)
+             AS long_toks,
+           CAST(list_sum(list_transform(string_split(text, ' '), t -> length(t)))
+             AS BIGINT) AS total_len,
+           CAST(len(list_filter(list_transform(string_split(text, ' '),
+                t -> length(t)), x -> x >= 6)) AS INT) AS long_lens
+    FROM documents
+    """,
+)
+def expr_higher_order(spark, sf_dir):
+    return apply_pipeline(
+        _t(spark, sf_dir, "documents"),
+        [
+            {"$addFields": {"toks": {"$split": ["$text", " "]}}},
+            {
+                "$project": {
+                    "doc_id": 1,
+                    "long_toks": {
+                        "$size": {
+                            "$filter": {
+                                "input": "$toks",
+                                "as": "t",
+                                "cond": {"$gte": [{"$strLenCP": "$$t"}, 6]},
+                            }
+                        }
+                    },
+                    "total_len": {
+                        "$toLong": {
+                            "$reduce": {
+                                "input": {
+                                    "$map": {
+                                        "input": "$toks",
+                                        "as": "t",
+                                        "in": {"$strLenCP": "$$t"},
+                                    }
+                                },
+                                "initialValue": 0,
+                                "in": {"$add": ["$$value", "$$this"]},
+                            }
+                        }
+                    },
+                    "long_lens": {
+                        "$size": {
+                            "$filter": {
+                                "input": {
+                                    "$map": {
+                                        "input": "$toks",
+                                        "as": "t",
+                                        "in": {"$strLenCP": "$$t"},
+                                    }
+                                },
+                                "as": "x",
+                                "cond": {"$gte": ["$$x", 6]},
+                            }
+                        }
+                    },
+                }
+            },
+        ],
+    )
+
+
+@_q(
+    "elem_match_size",
+    """
+    SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_toks
+    FROM documents
+    WHERE len(list_filter(list_transform(string_split(text, ' '), t -> length(t)),
+              x -> x >= 8)) > 0
+    """,
+)
+def elem_match_size(spark, sf_dir):
+    return apply_pipeline(
+        _t(spark, sf_dir, "documents"),
+        [
+            {
+                "$addFields": {
+                    "lens": {
+                        "$map": {
+                            "input": {"$split": ["$text", " "]},
+                            "as": "t",
+                            "in": {"$strLenCP": "$$t"},
+                        }
+                    }
+                }
+            },
+            {"$match": {"lens": {"$elemMatch": {"$gte": 8}}}},
+            {"$project": {"doc_id": 1, "n_toks": {"$size": {"$split": ["$text", " "]}}}},
+        ],
+    )
+
+
+# =====================================================================
+# CDC: change-event dialect, envelope, classifier + keyed merge
+# =====================================================================
+
+@_q(
+    "cdc_counts",
+    """
+    SELECT op, n FROM (
+      SELECT 'insert' AS op, count(*) AS n FROM events
+      UNION ALL
+      SELECT 'update', count(*) FROM events WHERE event_id % 10 = 0
+      UNION ALL
+      SELECT 'delete', count(*) FROM events WHERE event_id % 25 = 0
+    )
+    """,
+)
+def cdc_counts(spark, sf_dir):
+    ev = synthetic_change_events(spark, sf_dir)
+    return apply_pipeline(
+        ev,
+        [
+            {"$group": {"_id": "$operationType", "n": {"$sum": 1}}},
+            {"$project": {"_id": 0, "op": "$_id", "n": 1}},
+        ],
+    )
+
+
+@_q(
+    "cdc_match_stream",
+    """
+    SELECT CAST(event_id AS VARCHAR) AS _id, 'test' AS db, 'events' AS coll,
+           event_type AS etype, value AS v
+    FROM events
+    """,
+)
+def cdc_match_stream(spark, sf_dir):
+    # the README's documented pipeline (README.md:281-287): $match on
+    # operationType over the change-event dialect
+    ev = synthetic_change_events(spark, sf_dir)
+    return apply_pipeline(
+        ev,
+        [
+            {"$match": {"operationType": "insert"}},
+            {
+                "$project": {
+                    "_id": "$documentKey._id",
+                    "db": "$ns.db",
+                    "coll": "$ns.coll",
+                    "etype": "$fullDocument.event_type",
+                    "v": "$fullDocument.value",
+                }
+            },
+        ],
+    )
+
+
+@_q(
+    "cdc_merge_state",
+    """
+    SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,
+           CASE WHEN event_id % 10 = 0 THEN value * 2 ELSE value END AS value,
+           CASE WHEN event_id % 10 = 0 THEN NULL ELSE props END AS props
+    FROM events WHERE event_id % 25 <> 0
+    """,
+)
+def cdc_merge_state(spark, sf_dir):
+    # consumer path end-to-end: change feed -> classify -> last-writer-wins
+    # keyed merge (P13-P15 semantics; replace, not patch)
+    ev = synthetic_change_events(spark, sf_dir)
+    changes = ev.select(
+        F.col("documentKey._id").alias("doc_id"),
+        (F.col("operationType") == "delete").alias("is_delete"),
+        F.col("fullDocument").alias("doc"),
+        (F.col("clusterTime.t") * F.lit(10_000_000_000) + F.col("clusterTime.i")).alias("seq"),
+    )
+    final = latest_per_key(changes).filter(~F.col("is_delete")).select("doc.*")
+    return final
+
+
+@_q(
+    "envelope_nation",
+    """
+    SELECT 'pfx.test.nation' AS topic,
+           '"' || CAST(n_nationkey AS VARCHAR) || '"' AS key,
+           '{"meta":{"_id":"' || CAST(n_nationkey AS VARCHAR)
+             || '","ts":{"$timestamp":{"t":0,"i":0}},"ns":"test.nation"},'
+             || '"data":{"n_nationkey":{"$numberInt":"' || CAST(n_nationkey AS VARCHAR)
+             || '"},"n_name":"' || n_name
+             || '","n_regionkey":{"$numberInt":"' || CAST(n_regionkey AS VARCHAR)
+             || '"},"_id":"' || CAST(n_nationkey AS VARCHAR) || '"}}' AS value
+    FROM nation
+    """,
+)
+def envelope_nation(spark, sf_dir):
+    # direct-read envelope golden path: op suppressed, canonical ext-JSON
+    # type tags, plain-JSON key (P5-P8)
+    df = with_synthetic_id(_t(spark, sf_dir, "nation"), "n_nationkey")
+    env = build_envelope(df, "test.nation", EnvelopeConfig(topic_name_prefix="pfx"))
+    return env.select(
+        "topic", F.col("key").cast("string").alias("key"), F.col("value").cast("string").alias("value")
+    )
+
+
+# =====================================================================
+# Dedup family
+# =====================================================================
+
+@_q(
+    "dedup_exact",
+    """
+    SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS chash,
+           min(doc_id) AS keep_id, count(*) AS n_docs
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    return D.exact_dedup_groups(_t(spark, sf_dir, "documents"))
+
+
+_SH_SQL = (
+    "list_distinct(list_transform(range(1, greatest(len(string_split_regex(trim(text),"
+    " '\\s+')) - 2, 1) + 1), i -> array_to_string("
+    "string_split_regex(trim(text), '\\s+')[i:i+2], ' ')))"
+)
+
+
+def _minhash_sql_expr(j: int) -> str:
+    return (
+        f"list_aggregate(list_transform(sh, s -> ('0x' || substr(md5('{j}|' || s), 1, 15))::BIGINT),"
+        " 'min')"
+    )
+
+
+@_q(
+    "dedup_minhash_sig",
+    f"""
+    WITH t AS (SELECT doc_id, {_SH_SQL} AS sh FROM documents)
+    SELECT doc_id,
+           {", ".join(f"{_minhash_sql_expr(j)} AS mh{j}" for j in range(8))}
+    FROM t
+    """,
+)
+def dedup_minhash_sig(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    sig = D.minhash_signature(F.col("text"), k=8)
+    return docs.select(
+        "doc_id", *[F.element_at(sig, j + 1).alias(f"mh{j}") for j in range(8)]
+    )
+
+
+@_q(
+    "dedup_lsh_jaccard",
+    f"""
+    WITH t AS (SELECT doc_id, {_SH_SQL} AS sh FROM documents),
+    sigs AS (
+      SELECT doc_id, sh,
+             [{", ".join(_minhash_sql_expr(j) for j in range(8))}] AS sig
+      FROM t
+    ),
+    bands AS (
+      SELECT doc_id, b,
+             md5(array_to_string(sig[b*4+1:b*4+4], ',')) AS bh
+      FROM sigs, (SELECT unnest(range(2)) AS b)
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id
+    )
+    SELECT p.id_a, p.id_b,
+           round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                 / len(list_distinct(list_concat(sa.sh, sb.sh))), 6) AS jaccard
+    FROM pairs p
+    JOIN sigs sa ON sa.doc_id = p.id_a
+    JOIN sigs sb ON sb.doc_id = p.id_b
+    """,
+)
+def dedup_lsh_jaccard(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.lsh_candidates(docs, k=8, bands=2)
+    return D.ngram_jaccard_pairs(docs, pairs)
+
+
+@_q(
+    "dedup_simhash",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             list_transform(string_split_regex(trim(text), '\\s+'),
+                            tk -> ('0x' || substr(md5('0|' || tk), 1, 15))::BIGINT) AS hl
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST({bits} AS BIGINT) AS sh
+    FROM t
+    """.format(
+        bits=" + ".join(
+            f"(CASE WHEN list_sum(list_transform(hl, h -> CASE WHEN (h >> {b}) & 1 = 1"
+            f" THEN 1 ELSE -1 END)) > 0 THEN {2**b} ELSE 0 END)"
+            for b in range(16)
+        )
+    ),
+)
+def dedup_simhash(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", D.simhash(F.col("text"), n_bits=16).alias("sh"))
+
+
+# =====================================================================
+# Similarity search
+# =====================================================================
+
+_DOT = (
+    "list_reduce(list_transform(range(1, 65),"
+    " i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)"
+)
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"{_DOT.format(a=a, b=b)} / "
+        f"(sqrt({_DOT.format(a=a, b=a)}) * sqrt({_DOT.format(a=b, b=b)}))"
+    )
+
+
+@_q(
+    "sim_topk",
+    f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+      WHERE vec_id % 100 = 0
+    ),
+    scored AS (
+      SELECT q.query_id, e.vec_id,
+             round({_cos_sql('e.embedding', 'q.qv')}, 6) AS score
+      FROM embeddings e CROSS JOIN q
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, score,
+             CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY score DESC, vec_id ASC) AS INT) AS rank
+      FROM scored
+    )
+    SELECT * FROM ranked WHERE rank <= 5
+    """,
+)
+def sim_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return S.brute_force_topk(emb, queries, k=5)
+
+
+@_q(
+    "sim_bucketed",
+    f"""
+    WITH e AS (
+      SELECT vec_id, embedding,
+             {" + ".join(f"(CASE WHEN embedding[{i + 1}] > 0 THEN {2**i} ELSE 0 END)" for i in range(8))}
+               AS bucket
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM e WHERE vec_id % 100 = 0),
+    scored AS (
+      SELECT q.query_id, e.vec_id,
+             round({_cos_sql('e.embedding', 'q.qv')}, 6) AS score
+      FROM e JOIN q USING (bucket)
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, score,
+             CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY score DESC, vec_id ASC) AS INT) AS rank
+      FROM scored
+    )
+    SELECT * FROM ranked WHERE rank <= 5
+    """,
+)
+def sim_bucketed(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return S.bucketed_topk(emb, queries, k=5)
+
+
+@_q(
+    "emb_near_dups",
+    f"""
+    WITH e AS (
+      SELECT vec_id, embedding,
+             {" + ".join(f"(CASE WHEN embedding[{i + 1}] > 0 THEN {2**i} ELSE 0 END)" for i in range(8))}
+               AS bucket
+      FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({_cos_sql('a.embedding', 'b.embedding')}, 6) AS cos
+    FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE round({_cos_sql('a.embedding', 'b.embedding')}, 6) >= 0.3
+    """,
+)
+def emb_near_dups(spark, sf_dir):
+    return S.embedding_near_dups(_t(spark, sf_dir, "embeddings"), threshold=0.3)
+
+
+# =====================================================================
+# Text analysis
+# =====================================================================
+
+_TOKS = "string_split_regex(trim(text), '\\s+')"
+
+
+@_q(
+    "text_stats",
+    f"""
+    SELECT doc_id,
+           CAST(len({_TOKS}) AS INT) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+'))
+                AS INT) AS n_bpe_tokens,
+           round(least(length(text) / 400.0, 1.0)
+                 * (CAST(len(list_distinct({_TOKS})) AS DOUBLE) / len({_TOKS}))
+                 * (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                    / length(text)), 6) AS quality,
+           md5(array_to_string(list_sort(list_distinct({_TOKS})), ' ')) AS fp
+    FROM documents
+    """,
+)
+def text_stats(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    c = F.col("text")
+    return docs.select(
+        "doc_id",
+        X.token_count(c).alias("n_tokens"),
+        F.size(X.bpe_ish_tokens(c)).alias("n_bpe_tokens"),
+        X.quality_score(c).alias("quality"),
+        X.fingerprint(c).alias("fp"),
+    )
+
+
+@_q(
+    "text_langid",
+    """
+    WITH s AS (
+      SELECT doc_id, lang,
+             CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                  t -> t IN ('der','die','und','das','ist'))) AS INT) AS s_de,
+             CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                  t -> t IN ('the','and','of','to','a'))) AS INT) AS s_en,
+             CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                  t -> t IN ('le','la','et','les','des'))) AS INT) AS s_fr
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN greatest(s_de, s_en, s_fr) > 0 THEN
+             CASE WHEN s_de = greatest(s_de, s_en, s_fr) THEN 'de'
+                  WHEN s_en = greatest(s_de, s_en, s_fr) THEN 'en'
+                  ELSE 'fr' END
+           ELSE 'und' END AS pred_lang
+    FROM s
+    """,
+)
+def text_langid(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", X.lang_id(F.col("text")).alias("pred_lang"))
+
+
+# =====================================================================
+# Registry accessors (consumed by __spark_entry__)
+# =====================================================================
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return dict(QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(ORACLES)
+
+
+def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
+    return group_sum_avg(spark, sf_dir)

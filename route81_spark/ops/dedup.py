@@ -1,0 +1,156 @@
+"""Deduplication operators over the `documents` table.
+
+Four families (BASELINE north-star; SURVEY §7 M5):
+  * exact          — hash-groupBy on a normalized content hash
+  * MinHash + LSH  — shingle -> k minhashes -> banded bucket-join
+  * SimHash        — bitwise-majority token-hash signature
+  * n-gram Jaccard — exact Jaccard verification on candidate pairs
+
+Scale design: every op is shuffle-minimal —
+  * exact dedup: one hash aggregation on the content hash (map-side
+    partial agg applies).
+  * MinHash sigs: pure per-row expressions, no shuffle at all.
+  * LSH candidates: explode to (band, band_hash) and self-join on the
+    band key — the join key is the bucket, so co-candidates co-locate in
+    one shuffle; no O(n^2) crossJoin ever materializes.
+  * Jaccard verify runs only on candidate pairs.
+Hashes are md5-derived 60-bit ints so DuckDB oracles match exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from route81_spark.ops.text import shingles, tokens
+
+
+def h64(col: Column, seed: int) -> Column:
+    """Deterministic 60-bit integer hash, oracle-reproducible:
+    conv(substr(md5(seed|x),1,15),16,10)."""
+    return F.conv(F.substring(F.md5(F.concat(F.lit(f"{seed}|"), col)), 1, 15), 16, 10).cast("long")
+
+
+def content_hash(text_col: Column) -> Column:
+    """Normalized exact-dup hash: lowercase, collapsed whitespace."""
+    return F.md5(F.regexp_replace(F.lower(F.trim(text_col)), r"\s+", " "))
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One row per distinct content: (content_hash, keep_id, n_dups)."""
+    return (
+        df.select(content_hash(F.col(text_col)).alias("chash"), F.col(id_col))
+        .groupBy("chash")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the min-id representative of each exact-duplicate group."""
+    keep = exact_dedup_groups(df, text_col, id_col).select(F.col("keep_id").alias(id_col))
+    return df.join(keep, id_col, "left_semi")
+
+
+def _seeded_hasher(j: int):
+    # NB: must be a 1-arg lambda — F.transform treats a 2-parameter
+    # callable as (element, index), so a `lambda s, j=j:` default-arg
+    # closure would silently receive the array index as the seed.
+    return lambda s: h64(s, j)
+
+
+def minhash_signature(text_col: Column, k: int = 16, shingle_n: int = 3) -> Column:
+    """k-minhash signature over word n-gram shingles — per-row only."""
+    sh = shingles(text_col, shingle_n)
+    mins = [F.array_min(F.transform(sh, _seeded_hasher(j))).alias(f"mh{j}") for j in range(k)]
+    return F.array(*mins)
+
+
+def minhash_bands(sig: Column, bands: int, rows: int) -> Column:
+    """Band hashes: md5 over each contiguous `rows`-slice of the signature."""
+    return F.array(
+        *[
+            F.md5(F.concat_ws(",", F.slice(sig, b * rows + 1, rows))).alias(f"band{b}")
+            for b in range(bands)
+        ]
+    )
+
+
+def lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) sharing >= 1 LSH band.
+    Plan shape: project -> posexplode -> shuffle on (band_idx, band_hash)
+    self-join -> distinct. No cartesian product."""
+    rows = k // bands
+    sigs = df.select(
+        F.col(id_col), minhash_bands(minhash_signature(F.col(text_col), k), bands, rows).alias("bh")
+    )
+    exploded = sigs.select(id_col, F.posexplode("bh").alias("band_idx", "band_hash"))
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard(a_tokens: Column, b_tokens: Column) -> Column:
+    """Exact Jaccard over distinct token/shingle sets."""
+    inter = F.size(F.array_intersect(a_tokens, b_tokens))
+    union = F.size(F.array_union(a_tokens, b_tokens))
+    return F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Score candidate pairs with exact shingle-set Jaccard. `pairs` has
+    (id_a, id_b); the doc table joins in twice (broadcast when small)."""
+    sh = df.select(F.col(id_col), F.array_sort(shingles(F.col(text_col), shingle_n)).alias("sh"))
+    out = (
+        pairs.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .select("id_a", "id_b", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"))
+    )
+    return out.filter(F.col("jaccard") >= threshold) if threshold > 0 else out
+
+
+def simhash(text_col: Column, n_bits: int = 16) -> Column:
+    """SimHash: for each bit, majority vote of token-hash bits (with
+    multiplicity); bit set iff sum(+1/-1) > 0. Pure per-row expressions."""
+    tk = tokens(text_col)
+    hashes = F.transform(tk, lambda t: h64(t, 0))
+
+    def bit_vote(b: int):
+        # 2-arg lambda exactly: a 3-parameter callable breaks F.aggregate
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+        ).otherwise(F.lit(-1))
+
+    bit_cols = []
+    for b in range(n_bits):
+        contrib = F.aggregate(hashes, F.lit(0).cast("long"), bit_vote(b))
+        bit_cols.append(F.when(contrib > 0, F.lit(2**b).cast("long")).otherwise(F.lit(0).cast("long")))
+    out = bit_cols[0]
+    for c in bit_cols[1:]:
+        out = out + c
+    return out
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))

@@ -1,0 +1,128 @@
+"""Similarity search over the `embeddings` table (array<float> column).
+
+Baseline: brute-force cosine top-k — broadcast the (small) query set,
+score every (query, vector) pair with JVM-side higher-order functions
+(zip_with + aggregate: sequential fold, so the DuckDB list_reduce oracle
+is bit-identical), rank per query.
+
+Scale path: bucketed search (sign-bit LSH over leading dimensions) so
+each query only scans its bucket — the bucket id is a pure per-row
+expression, candidate retrieval is a hash join on the bucket key.
+At 100 TB the brute-force scan shuffles nothing (scores computed
+map-side; only the per-query top-k heap shuffles k rows per partition
+via the window/orderBy on a tiny projected result).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product (matches DuckDB list_reduce order)."""
+    # cast each element to double BEFORE multiplying: float*float rounds
+    # differently than double*double, and the DuckDB oracle (and any
+    # production consumer) computes in double
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Top-k cosine neighbors per query. Broadcast the query side; score
+    map-side; rank with a per-query window (ties broken by id)."""
+    scored = emb.crossJoin(F.broadcast(queries)).select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), F.col(query_vec_col)), 6).alias("score"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "score", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def sign_bucket(vec: Column, n_dims: int = 8) -> Column:
+    """LSH bucket id from the sign bits of the leading `n_dims` dims —
+    a pure per-row expression (deterministic, oracle-reproducible)."""
+    out = F.lit(0).cast("long")
+    for i in range(n_dims):
+        out = out + F.when(F.element_at(vec, i + 1) > 0, F.lit(2**i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return out
+
+
+def bucketed_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_dims: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """ANN: score only vectors sharing the query's sign bucket — a hash
+    join on the bucket key instead of a full scan (recall < 1 by design)."""
+    e = emb.withColumn("bucket", sign_bucket(F.col(vec_col), n_dims))
+    q = queries.withColumn("bucket", sign_bucket(F.col(query_vec_col), n_dims))
+    scored = e.join(F.broadcast(q), "bucket").select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), F.col(query_vec_col)), 6).alias("score"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "score", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def embedding_near_dups(
+    emb: DataFrame,
+    threshold: float = 0.98,
+    n_dims: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate vector pairs via bucketed self-join + cosine
+    threshold (id_a < id_b)."""
+    e = emb.select(
+        F.col(id_col), F.col(vec_col), sign_bucket(F.col(vec_col), n_dims).alias("bucket")
+    )
+    a = e.alias("a")
+    b = e.alias("b")
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )

@@ -1,0 +1,176 @@
+"""Mongo *query-operator* dialect (the $match predicate language) -> Column.
+
+This is the dialect of the one pipeline stage route81's README documents
+(/root/reference/README.md:281-287, a $match on operationType); the
+compilation contract is SURVEY §2's operator map.
+
+Null/missing semantics (SURVEY §7 hard point 3): MongoDB equality on a
+missing field matches documents where the field is null or absent, and
+$ne / $nin / $not match documents where the field is missing. SQL
+three-valued logic drops NULL comparisons instead. We compile
+deliberately:
+
+  {f: v}, v non-null   -> col(f) == v              (null rows excluded — same in Mongo: null != v)
+  {f: null}            -> col(f).isNull()          (Mongo: matches null or missing)
+  $ne v                -> NOT (col(f) <=> v)       (null rows MATCH, as in Mongo)
+  $in [..null..]       -> isNull() | isin(rest)
+  $in [..no null..]    -> isin(vs)                 (null -> NULL -> excluded; matches Mongo)
+  $nin vs              -> NOT coalesce(isin, false) with the $in expansion
+  $not pred            -> NOT coalesce(pred, false)
+  $nor [p...]          -> NOT (coalesce(p1,false) | ...)
+  $exists true/false   -> isNotNull / isNull       (fixed schema: missing == null)
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from route81_spark.pipeline.exprs import PipelineCompileError, compile_expr
+
+
+def _in_clause(col: Column, values: list[Any]) -> Column:
+    non_null = [v for v in values if v is not None]
+    clause = col.isin(non_null) if non_null else F.lit(False)
+    if any(v is None for v in values):
+        clause = col.isNull() | clause
+    return clause
+
+
+def _field_pred(field: str, spec: Any, df: DataFrame | None) -> Column:
+    col = F.col(field)
+    if isinstance(spec, dict) and any(k.startswith("$") for k in spec):
+        preds: list[Column] = []
+        for op, val in spec.items():
+            if op == "$eq":
+                preds.append(col.isNull() if val is None else col == F.lit(val))
+            elif op == "$ne":
+                preds.append(~col.eqNullSafe(F.lit(val)))
+            elif op == "$gt":
+                preds.append(col > F.lit(val))
+            elif op == "$gte":
+                preds.append(col >= F.lit(val))
+            elif op == "$lt":
+                preds.append(col < F.lit(val))
+            elif op == "$lte":
+                preds.append(col <= F.lit(val))
+            elif op == "$in":
+                preds.append(_in_clause(col, val))
+            elif op == "$nin":
+                preds.append(~F.coalesce(_in_clause(col, val), F.lit(False)))
+            elif op == "$exists":
+                preds.append(col.isNotNull() if val else col.isNull())
+            elif op == "$regex":
+                pattern = val
+                opts = spec.get("$options", "")
+                if "i" in opts:
+                    pattern = f"(?i){pattern}"
+                preds.append(col.rlike(pattern))
+            elif op == "$options":
+                continue  # consumed by $regex
+            elif op == "$mod":
+                d, r = val
+                preds.append(col % F.lit(d) == F.lit(r))
+            elif op == "$size":
+                preds.append(F.size(col) == F.lit(val))
+            elif op == "$all":
+                sub = [F.array_contains(col, v) for v in val]
+                p = sub[0]
+                for s in sub[1:]:
+                    p = p & s
+                preds.append(p)
+            elif op == "$elemMatch":
+                preds.append(F.exists(col, lambda x: _elem_pred(x, val)))
+            elif op == "$not":
+                inner = _field_pred(field, val, df)
+                preds.append(~F.coalesce(inner, F.lit(False)))
+            else:
+                raise PipelineCompileError(f"unsupported query operator: {op}")
+        out = preds[0]
+        for p in preds[1:]:
+            out = out & p
+        return out
+    if isinstance(spec, re.Pattern):
+        return col.rlike(spec.pattern)
+    # bare equality
+    if spec is None:
+        return col.isNull()
+    if isinstance(spec, dict):
+        # equality against an embedded document -> struct literal compare
+        return col.eqNullSafe(compile_expr(spec, df))
+    return col == F.lit(spec)
+
+
+def _elem_pred(x: Column, spec: Any) -> Column:
+    """$elemMatch condition applied to an array element lambda variable."""
+    if isinstance(spec, dict) and any(k.startswith("$") for k in spec):
+        preds = []
+        for op, val in spec.items():
+            lit = F.lit(val)
+            if op == "$eq":
+                preds.append(x.eqNullSafe(lit))
+            elif op == "$ne":
+                preds.append(~x.eqNullSafe(lit))
+            elif op == "$gt":
+                preds.append(x > lit)
+            elif op == "$gte":
+                preds.append(x >= lit)
+            elif op == "$lt":
+                preds.append(x < lit)
+            elif op == "$lte":
+                preds.append(x <= lit)
+            elif op == "$in":
+                preds.append(_in_clause(x, val))
+            else:
+                raise PipelineCompileError(f"unsupported $elemMatch operator: {op}")
+        out = preds[0]
+        for p in preds[1:]:
+            out = out & p
+        return out
+    # equality on nested field specs: {field: value} against struct elements
+    if isinstance(spec, dict):
+        preds = [x.getField(k).eqNullSafe(F.lit(v)) for k, v in spec.items()]
+        out = preds[0]
+        for p in preds[1:]:
+            out = out & p
+        return out
+    return x.eqNullSafe(F.lit(spec))
+
+
+def compile_match(query: dict, df: DataFrame | None = None) -> Column:
+    """Compile a $match query document into one boolean Column."""
+    preds: list[Column] = []
+    for key, val in query.items():
+        if key == "$and":
+            sub = [compile_match(q, df) for q in val]
+            p = sub[0]
+            for s in sub[1:]:
+                p = p & s
+            preds.append(p)
+        elif key == "$or":
+            sub = [compile_match(q, df) for q in val]
+            p = sub[0]
+            for s in sub[1:]:
+                p = p | s
+            preds.append(p)
+        elif key == "$nor":
+            sub = [F.coalesce(compile_match(q, df), F.lit(False)) for q in val]
+            p = sub[0]
+            for s in sub[1:]:
+                p = p | s
+            preds.append(~p)
+        elif key == "$expr":
+            preds.append(F.coalesce(compile_expr(val, df).cast("boolean"), F.lit(False)))
+        elif key.startswith("$"):
+            raise PipelineCompileError(f"unsupported top-level query operator: {key}")
+        else:
+            preds.append(_field_pred(key, val, df))
+    if not preds:
+        return F.lit(True)
+    out = preds[0]
+    for p in preds[1:]:
+        out = out & p
+    return out

@@ -1,0 +1,84 @@
+"""Consumer-side root-path extraction + upsert/delete classifier
+(SURVEY §2 P13-P14).
+
+Reference semantics (/root/reference/route81.go:1019-1069,
+README.md:332-338), with `document-root-path` and `delete-id-path`
+compiled dotted-path expressions:
+
+  * root value = doc re-rooted at document-root-path (default: whole doc)
+  * a message is a DELETE iff the root value is missing/null, or is an
+    object whose only populated key is `_id`
+  * delete `_id` comes from delete-id-path, falling back to the root
+    value's own `_id` (route81.go:1044-1069)
+  * an upsert whose root has no extractable `_id` is an error counted
+    as failed, batch continues (route81.go:1100-1116)
+
+The reference evaluates gval path expressions per document; here both
+paths compile to nested-Column access so the classifier is a pure
+`when()` chain over a declared schema.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+@dataclass
+class ClassifierConfig:
+    document_root_path: str | None = None  # e.g. "data"
+    delete_id_path: str | None = None  # e.g. "meta._id"
+
+
+def _path_col(path: str) -> Column:
+    return F.col(path)
+
+
+def _root_type(schema: T.StructType, path: str | None) -> T.DataType:
+    if path is None:
+        return schema
+    dt: T.DataType = schema
+    for part in path.split("."):
+        if not isinstance(dt, T.StructType):
+            raise ValueError(f"path {path} does not resolve to a struct field")
+        dt = dt[part].dataType
+    return dt
+
+
+def classify(df: DataFrame, cfg: ClassifierConfig | None = None) -> DataFrame:
+    """Add `is_delete`, `doc_id`, and `doc` columns to a decoded-message
+    DataFrame. `doc` is the (re-rooted) replacement document struct."""
+    cfg = cfg or ClassifierConfig()
+    if cfg.document_root_path:
+        root = _path_col(cfg.document_root_path)
+        root_type = _root_type(df.schema, cfg.document_root_path)
+    else:
+        root = F.struct(*[F.col(c) for c in df.columns])
+        root_type = _root_type(df.schema, None)
+
+    if not isinstance(root_type, T.StructType):
+        raise ValueError("document root must be a struct")
+
+    non_id_fields = [f.name for f in root_type.fields if f.name != "_id"]
+    id_only = F.lit(True)
+    for f in non_id_fields:
+        id_only = id_only & root.getField(f).isNull()
+
+    is_delete = root.isNull() | id_only
+
+    delete_id = (
+        _path_col(cfg.delete_id_path)
+        if cfg.delete_id_path
+        else root.getField("_id") if "_id" in root_type.fieldNames() else F.lit(None)
+    )
+    upsert_id = root.getField("_id") if "_id" in root_type.fieldNames() else F.lit(None)
+
+    doc_id = F.when(is_delete, delete_id).otherwise(upsert_id)
+    return df.select(
+        is_delete.alias("is_delete"),
+        doc_id.cast("string").alias("doc_id"),
+        root.alias("doc"),
+    )
