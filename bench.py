@@ -1,0 +1,75 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line {"metric", "value", "unit", "queries", "sf"}.
+
+Query set spans the engine's hot paths: pipeline-compiled aggregation
+(q1-style), full producer envelope construction, CDC classify+merge,
+MinHash LSH dedup, brute-force + bucketed similarity, text analysis.
+Each query materializes via the noop sink (full execution, no driver
+collect).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from route81_spark import harness
+from route81_spark.session import get_spark
+
+BENCH_QUERIES = [
+    "group_sum_avg",      # pipeline-compiled Q1-style aggregation (lineitem)
+    "match_project",      # filter+project scan path, pushdown-sensitive
+    "envelope_nation",    # envelope wire-format construction
+    "cdc_merge_state",    # change feed -> classify -> keyed merge
+    "dedup_lsh_jaccard",  # MinHash LSH candidates + Jaccard verify
+    "dedup_exact",        # hash-agg dedup
+    "sim_topk",           # brute-force cosine top-k
+    "sim_bucketed",       # bucketed ANN
+    "text_stats",         # per-row text analysis expressions
+    "unwind_group",       # explode + aggregate
+]
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else 0.0
+    spark = get_spark("route81_spark_bench")
+
+    qs = harness.queries()
+    # warm the JVM + parquet footers with a cheap query so the first
+    # measured query doesn't pay session startup
+    materialize(qs["match_project"](spark, sf_dir).limit(1))
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        materialize(qs[name](spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

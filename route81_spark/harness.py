@@ -743,11 +743,7 @@ def _minhash_sql_expr(j: int) -> str:
     """,
 )
 def dedup_minhash_sig(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
-    sig = D.minhash_signature(F.col("text"), k=8)
-    return docs.select(
-        "doc_id", *[F.element_at(sig, j + 1).alias(f"mh{j}") for j in range(8)]
-    )
+    return D.minhash_signatures(_t(spark, sf_dir, "documents"), k=8)
 
 
 @_q(
@@ -803,7 +799,9 @@ def dedup_lsh_jaccard(spark, sf_dir):
     ),
 )
 def dedup_simhash(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    from route81_spark.io import ensure_parallelism
+
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
     return docs.select("doc_id", D.simhash(F.col("text"), n_bits=16).alias("sh"))
 
 

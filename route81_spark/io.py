@@ -17,6 +17,18 @@ from pyspark.sql import types as T
 NANO_TS_COLS = {"events": ["ts"]}
 
 
+def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition when the input has fewer partitions than
+    cores — the harness tables are single parquet files, which would
+    otherwise serialize every heavy per-row expression onto one task.
+    At cluster scale inputs arrive with many partitions and this is a
+    no-op (the condition, not the shuffle, is the point)."""
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name in NANO_TS_COLS:
         try:

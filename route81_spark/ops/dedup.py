@@ -59,10 +59,40 @@ def _seeded_hasher(j: int):
 
 
 def minhash_signature(text_col: Column, k: int = 16, shingle_n: int = 3) -> Column:
-    """k-minhash signature over word n-gram shingles — per-row only."""
+    """k-minhash signature as one array column. Convenient for ad-hoc
+    per-row use, but each consumer of the result re-inlines the whole
+    shingle pipeline (CollapseProject), so for fan-out consumers use
+    minhash_signatures() — the aggregation form — instead."""
     sh = shingles(text_col, shingle_n)
     mins = [F.array_min(F.transform(sh, _seeded_hasher(j))).alias(f"mh{j}") for j in range(k)]
     return F.array(*mins)
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, mh0..mh{k-1}) via the scalable formulation: explode shingles,
+    hash each shingle ONCE per seed, then groupBy(id).agg(min...).
+
+    Why this shape at 100 TB: each shingle row is hashed exactly once
+    (no expression duplication), the min-aggregation combines map-side
+    (whole-stage codegen'd partial agg), and the only shuffle carries k
+    longs per document — not the shingle sets."""
+    from route81_spark.io import ensure_parallelism
+
+    exploded = ensure_parallelism(df.select(id_col, text_col)).select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), shingle_n)).alias("__sh")
+    )
+    hashed = exploded.select(
+        id_col, *[h64(F.col("__sh"), j).alias(f"__h{j}") for j in range(k)]
+    )
+    return hashed.groupBy(id_col).agg(
+        *[F.min(f"__h{j}").alias(f"mh{j}") for j in range(k)]
+    )
 
 
 def minhash_bands(sig: Column, bands: int, rows: int) -> Column:
@@ -83,13 +113,18 @@ def lsh_candidates(
     bands: int = 4,
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) sharing >= 1 LSH band.
-    Plan shape: project -> posexplode -> shuffle on (band_idx, band_hash)
-    self-join -> distinct. No cartesian product."""
+    Plan shape: agg-form signatures -> band hashes over signature
+    *attributes* (computed once) -> posexplode -> equi-join on
+    (band_idx, band_hash) -> distinct. No cartesian product; the join
+    key is the bucket, so co-candidates co-locate in one shuffle."""
     rows = k // bands
-    sigs = df.select(
-        F.col(id_col), minhash_bands(minhash_signature(F.col(text_col), k), bands, rows).alias("bh")
-    )
-    exploded = sigs.select(id_col, F.posexplode("bh").alias("band_idx", "band_hash"))
+    sigs = minhash_signatures(df, text_col, id_col, k)
+    band_hashes = [
+        F.md5(F.concat_ws(",", *[F.col(f"mh{b * rows + r}") for r in range(rows)])).alias(f"b{b}")
+        for b in range(bands)
+    ]
+    banded = sigs.select(F.col(id_col), F.array(*band_hashes).alias("bh"))
+    exploded = banded.select(id_col, F.posexplode("bh").alias("band_idx", "band_hash"))
     a = exploded.alias("a")
     b = exploded.alias("b")
     return (
@@ -121,7 +156,18 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Score candidate pairs with exact shingle-set Jaccard. `pairs` has
     (id_a, id_b); the doc table joins in twice (broadcast when small)."""
-    sh = df.select(F.col(id_col), F.array_sort(shingles(F.col(text_col), shingle_n)).alias("sh"))
+    # compute shingles only for documents that appear in a candidate pair
+    # (left-semi prune): at 100 TB the candidate set is orders of
+    # magnitude smaller than the corpus
+    ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .unionByName(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    needed = df.join(F.broadcast(ids), id_col, "left_semi")
+    sh = needed.select(
+        F.col(id_col), F.array_sort(shingles(F.col(text_col), shingle_n)).alias("sh")
+    )
     out = (
         pairs.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
