@@ -40,11 +40,12 @@ def plain_json_col(col: Column, dtype: T.DataType) -> Column:
 
 def plain_json_string(col: Column, dtype: T.DataType) -> Column:
     js = F.to_json(plain_json_col(col, dtype))
-    # Jackson emits non-finite doubles as bare NaN / Infinity / -Infinity
-    # tokens; rewrite them to the reference's marker strings
-    # (encoding.go:83-94). Token boundaries (":", ",", "[", "]", "}")
-    # prevent touching string payloads.
-    js = F.regexp_replace(js, r'(?<=[:,\[])-Infinity(?=[,\]}]|$)', '"-inf"')
-    js = F.regexp_replace(js, r'(?<=[:,\[])Infinity(?=[,\]}]|$)', '"+inf"')
-    js = F.regexp_replace(js, r'(?<=[:,\[])NaN(?=[,\]}]|$)', '"nan"')
+    # Spark's to_json emits non-finite doubles as the quoted strings
+    # "NaN" / "Infinity" / "-Infinity"; rewrite them to the reference's
+    # marker strings (encoding.go:83-94). The leading [:,\[] boundary
+    # keeps user string payloads containing e.g. `"NaN"` untouched
+    # (those appear after a quote, not directly after : , or [).
+    js = F.regexp_replace(js, r'(?<=[:,\[])"-Infinity"', '"-inf"')
+    js = F.regexp_replace(js, r'(?<=[:,\[])"Infinity"', '"+inf"')
+    js = F.regexp_replace(js, r'(?<=[:,\[])"NaN"', '"nan"')
     return js

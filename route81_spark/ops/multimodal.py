@@ -95,7 +95,7 @@ def synthetic_media(spark, n: int = 64) -> DataFrame:
         .when(F.col("id") % 3 == 1, "audio")
         .otherwise("video")
         .alias("kind"),
-        F.sha2(F.col("id").cast("string"), 256).cast("binary").alias("payload"),
+        F.unhex(F.sha2(F.col("id").cast("string"), 256)).alias("payload"),
         F.struct(
             F.lit("application/octet-stream").alias("mime"),
             F.lit(64).alias("width"),

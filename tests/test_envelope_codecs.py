@@ -1,0 +1,169 @@
+"""Golden envelope + codec tests (SURVEY §5-1, §5-4; FIXTURES.md F3).
+
+The README publishes exact expected Kafka payloads
+(/root/reference/README.md:113-182); these tests assert the same
+structural contract: insert/update carry data, updates carry
+{removed, changed}, deletes carry no data key, direct reads carry no
+op, numeric types keep their ext-JSON width tags."""
+
+from __future__ import annotations
+
+import json
+import math
+
+from pyspark.sql import Row, functions as F
+
+from route81_spark.codecs.extjson import ext_json_string
+from route81_spark.codecs.plainjson import plain_json_string
+from route81_spark.envelope import (
+    EnvelopeConfig,
+    ProducerMap,
+    build_envelope,
+    route_topic,
+    with_synthetic_id,
+)
+
+
+def _ops(spark):
+    schema = (
+        "_id string, op string, ts struct<t:long,i:long>, "
+        "ud struct<updatedFields:map<string,string>,removedFields:array<string>>, "
+        "name string, qty int, big long, price double"
+    )
+    return spark.createDataFrame(
+        [
+            Row(_id="1", op="i", ts=Row(t=100, i=1), ud=None,
+                name="n1", qty=5, big=2**40, price=1.5),
+            Row(_id="2", op="u", ts=Row(t=100, i=2),
+                ud=Row(updatedFields={"qty": "6"}, removedFields=["name"]),
+                name="n2", qty=6, big=1, price=2.5),
+            Row(_id="3", op="d", ts=Row(t=100, i=3), ud=None,
+                name=None, qty=None, big=None, price=None),
+        ],
+        schema=schema,
+    )
+
+
+def _values(spark, **kw):
+    env = build_envelope(
+        _ops(spark), "db.c",
+        id_col="_id", op_col="op", ts_col="ts", updates_col="ud",
+        data_cols=["_id", "name", "qty", "big", "price"], **kw,
+    )
+    return {
+        json.loads(r["value"].decode())["meta"]["_id"]: (
+            json.loads(r["value"].decode()), r
+        )
+        for r in env.collect()
+    }
+
+
+def test_insert_envelope_golden_shape(spark):
+    v, raw = _values(spark)["1"]
+    assert v["meta"]["ns"] == "db.c" and v["meta"]["op"] == "i"
+    assert v["meta"]["ts"] == {"$timestamp": {"t": 100, "i": 1}}
+    assert "updates" not in v["meta"]
+    # ext-JSON width tags per README.md:125/172
+    assert v["data"]["qty"] == {"$numberInt": "5"}
+    assert v["data"]["big"] == {"$numberLong": str(2**40)}
+    assert v["data"]["price"] == {"$numberDouble": "1.5"}
+    assert v["data"]["name"] == "n1"
+    assert raw["key"] == b'"1"'
+    hdrs = {h["key"]: bytes(h["value"]) for h in raw["headers"]}
+    assert hdrs["ns"] == b"db.c" and hdrs["_id"] == b'"1"'
+    assert json.loads(hdrs["ts"]) == {"T": 100, "I": 1}
+
+
+def test_update_envelope_carries_updates(spark):
+    v, _ = _values(spark)["2"]
+    assert v["meta"]["op"] == "u"
+    assert v["meta"]["updates"] == {"removed": ["name"], "changed": {"qty": "6"}}
+
+
+def test_delete_envelope_has_no_data(spark):
+    v, _ = _values(spark)["3"]
+    assert v["meta"]["op"] == "d"
+    assert "data" not in v  # golden README.md:149-153
+    assert "updates" not in v["meta"]
+
+
+def test_direct_read_envelope_has_no_op(spark):
+    df = _ops(spark).filter("op = 'i'")
+    env = build_envelope(
+        df, "db.c", id_col="_id", data_cols=["_id", "name"],
+    )
+    v = json.loads(env.collect()[0]["value"].decode())
+    assert "op" not in v["meta"]  # route81.go:1376-1381
+    assert v["meta"]["ts"] == {"$timestamp": {"t": 0, "i": 0}}
+
+
+def test_producer_map_first_match_wins(spark):
+    cfg = EnvelopeConfig(
+        topic_name_prefix="pfx",
+        producer_maps=[
+            ProducerMap("db.c", "exact-topic"),
+            ProducerMap("db", "db-topic"),
+            ProducerMap("", "catch-all"),
+        ],
+    )
+    df = spark.createDataFrame(
+        [("db.c",), ("db.other",), ("x.y",)], "ns string"
+    ).select(route_topic(F.col("ns"), cfg).alias("topic"), "ns")
+    got = {r["ns"]: r["topic"] for r in df.collect()}
+    assert got == {"db.c": "exact-topic", "db.other": "db-topic", "x.y": "catch-all"}
+    # no maps: prefix + "." + ns (README.md:236-259)
+    df2 = spark.createDataFrame([("db.c",)], "ns string").select(
+        route_topic(F.col("ns"), EnvelopeConfig(topic_name_prefix="pfx")).alias("t")
+    )
+    assert df2.collect()[0]["t"] == "pfx.db.c"
+
+
+def test_plain_json_nonfinite_and_dates(spark):
+    df = spark.createDataFrame(
+        [
+            Row(f=float("nan"), g=float("inf"), h=float("-inf"), ok=1.25,
+                d="2019-06-17 02:27:50.080"),
+        ],
+        "f double, g double, h double, ok double, d string",
+    ).select(
+        F.struct("f", "g", "h", "ok", F.col("d").cast("timestamp").alias("d")).alias("v")
+    )
+    out = df.select(
+        plain_json_string(F.col("v"), df.schema["v"].dataType).alias("j")
+    ).collect()[0]["j"]
+    v = json.loads(out)
+    # encoding.go:83-94 markers; encoding.go:65-81 millisecond ISO format
+    assert v["f"] == "nan" and v["g"] == "+inf" and v["h"] == "-inf"
+    assert v["ok"] == 1.25
+    assert v["d"] == "2019-06-17T02:27:50.080Z"
+
+
+def test_plain_json_year_clamp(spark):
+    df = spark.createDataFrame([Row(d="99999-01-01 00:00:00")], "d string").select(
+        F.struct(F.col("d").cast("timestamp").alias("d")).alias("v")
+    )
+    out = df.select(
+        plain_json_string(F.col("v"), df.schema["v"].dataType).alias("j")
+    ).collect()[0]["j"]
+    assert json.loads(out) == {}  # null date dropped (Go marshals null)
+
+
+def test_ext_json_binary_and_timestamp(spark):
+    df = spark.createDataFrame(
+        [Row(b=b"\x01\x02", d="2019-06-17 02:27:50.08")],
+        "b binary, d string",
+    ).select(F.struct("b", F.col("d").cast("timestamp").alias("d")).alias("v"))
+    out = df.select(
+        ext_json_string(F.col("v"), df.schema["v"].dataType).alias("j")
+    ).collect()[0]["j"]
+    v = json.loads(out)
+    assert v["b"] == {"$binary": {"base64": "AQI=", "subType": "00"}}
+    assert v["d"] == {"$date": {"$numberLong": "1560738470080"}}
+
+
+def test_synthetic_id(spark, sf_dir):
+    df = with_synthetic_id(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"), "l_orderkey", "l_linenumber"
+    )
+    row = df.orderBy("l_orderkey", "l_linenumber").limit(1).collect()[0]
+    assert row["_id"] == f"{row['l_orderkey']}-{row['l_linenumber']}"

@@ -1,0 +1,128 @@
+"""Extension-op tests: dedup determinism, similarity ranking,
+text analysis, multimodal plumbing."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from route81_spark.ops import dedup as D
+from route81_spark.ops import similarity as S
+from route81_spark.ops import text as X
+from route81_spark.ops.multimodal import extract_features, fake_features, synthetic_media
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=3, text="Hello  world"),
+            Row(doc_id=1, text="hello world"),
+            Row(doc_id=2, text="different"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = sorted(r["doc_id"] for r in D.exact_dedup(df).collect())
+    assert kept == [1, 2]  # whitespace+case normalized dup collapses to min id
+
+
+def test_minhash_identical_docs_identical_sigs(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="a b c d e f g"), Row(doc_id=2, text="a b c d e f g"),
+         Row(doc_id=3, text="x y z w v u t")],
+        "doc_id long, text string",
+    )
+    sigs = {r["doc_id"]: [r[f"mh{j}"] for j in range(4)]
+            for r in D.minhash_signatures(df, k=4).collect()}
+    assert sigs[1] == sigs[2] != sigs[3]
+    pairs = D.lsh_candidates(df, k=4, bands=2).collect()
+    assert [(p["id_a"], p["id_b"]) for p in pairs] == [(1, 2)]
+    scored = D.ngram_jaccard_pairs(df, D.lsh_candidates(df, k=4, bands=2)).collect()
+    assert scored[0]["jaccard"] == 1.0
+
+
+def test_simhash_close_for_similar(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="the quick brown fox jumps over the lazy dog"),
+         Row(doc_id=2, text="the quick brown fox jumps over the lazy cat"),
+         Row(doc_id=3, text="completely unrelated words appear here instead now")],
+        "doc_id long, text string",
+    )
+    sh = {r["doc_id"]: r["s"] for r in
+          df.select("doc_id", D.simhash(F.col("text"), 16).alias("s")).collect()}
+    d12 = bin(sh[1] ^ sh[2]).count("1")
+    d13 = bin(sh[1] ^ sh[3]).count("1")
+    assert d12 < d13
+
+
+def test_cosine_topk_self_is_rank1(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter("vec_id = 0").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    top = S.brute_force_topk(emb, queries, k=3).orderBy("rank").collect()
+    assert top[0]["vec_id"] == 0 and top[0]["score"] == pytest.approx(1.0, abs=1e-6)
+    assert top[0]["rank"] == 1 and len(top) == 3
+    assert top[1]["score"] <= top[0]["score"]
+
+
+def test_bucketed_topk_subset_of_bucket(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter("vec_id = 0").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    top = S.bucketed_topk(emb, queries, k=3).collect()
+    assert len(top) >= 1  # self always shares its own bucket
+    assert any(r["vec_id"] == 0 for r in top)
+
+
+def test_text_analysis_basics(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="the cat and the dog of a to a"),
+         Row(doc_id=2, text="der hund und die katze ist das")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           df.select("doc_id", X.lang_id(F.col("text")).alias("lang"),
+                     X.token_count(F.col("text")).alias("n")).collect()}
+    assert out[1]["lang"] == "en" and out[2]["lang"] == "de"
+    assert out[1]["n"] == 9
+
+
+def test_fingerprint_order_insensitive(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="b a c"), Row(doc_id=2, text="c b a")],
+        "doc_id long, text string",
+    )
+    fps = [r["f"] for r in df.select(X.fingerprint(F.col("text")).alias("f")).collect()]
+    assert fps[0] == fps[1]
+
+
+def test_multimodal_feature_plumbing(spark):
+    media = synthetic_media(spark, n=16)
+    feats = extract_features(media).collect()
+    assert len(feats) == 16
+    r = next(x for x in feats if x["media_id"] == 3)
+    assert len(r["features"]) == 16
+    assert r["n_bytes"] == 32
+    # deterministic: same payload -> same features
+    payload = bytes.fromhex(r["sha"]) if False else None
+    assert all(0.0 <= f < 1.0 for f in r["features"])
+    import hashlib
+    expect = fake_features(hashlib.sha256(b"3").digest())
+    assert list(map(float, r["features"])) == pytest.approx(list(map(float, expect)))
+
+
+def test_embedding_near_dups_planted(spark):
+    # all-positive leading dims so base/near share a sign bucket
+    base = [1.0] + [0.01] * 7
+    near = [0.98] + [0.012] * 7
+    far = [0.01] * 7 + [1.0]
+    df = spark.createDataFrame(
+        [Row(vec_id=1, embedding=base), Row(vec_id=2, embedding=near),
+         Row(vec_id=3, embedding=far)],
+        "vec_id long, embedding array<float>",
+    )
+    pairs = S.embedding_near_dups(df, threshold=0.9, n_dims=4).collect()
+    assert [(p["id_a"], p["id_b"]) for p in pairs] == [(1, 2)]

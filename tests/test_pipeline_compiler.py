@@ -1,0 +1,169 @@
+"""Pipeline-compiler unit tests: stage semantics, Mongo null handling,
+error cases (SURVEY §5-3, FIXTURES.md F5)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from route81_spark.pipeline import apply_pipeline, compile_pipeline
+from route81_spark.pipeline.exprs import PipelineCompileError
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [
+            Row(_id="a", x=1, y=10.0, s="Hello", tags=["p", "q"], n=None),
+            Row(_id="b", x=2, y=20.0, s="World", tags=[], n=None),
+            Row(_id="c", x=3, y=None, s=None, tags=None, n=None),
+        ],
+        schema="_id string, x int, y double, s string, tags array<string>, n string",
+    )
+
+
+def test_match_eq_null_matches_null_rows(spark):
+    out = apply_pipeline(_docs(spark), [{"$match": {"y": None}}])
+    assert [r["_id"] for r in out.collect()] == ["c"]
+
+
+def test_match_ne_matches_nulls(spark):
+    # Mongo: {s: {$ne: "Hello"}} matches docs where s is missing/null
+    out = apply_pipeline(_docs(spark), [{"$match": {"s": {"$ne": "Hello"}}}])
+    assert sorted(r["_id"] for r in out.collect()) == ["b", "c"]
+
+
+def test_match_nin_includes_nulls(spark):
+    out = apply_pipeline(_docs(spark), [{"$match": {"s": {"$nin": ["Hello", "World"]}}}])
+    assert [r["_id"] for r in out.collect()] == ["c"]
+
+
+def test_match_in_with_null_matches_null(spark):
+    out = apply_pipeline(_docs(spark), [{"$match": {"s": {"$in": ["Hello", None]}}}])
+    assert sorted(r["_id"] for r in out.collect()) == ["a", "c"]
+
+
+def test_match_exists(spark):
+    out = apply_pipeline(_docs(spark), [{"$match": {"y": {"$exists": True}}}])
+    assert sorted(r["_id"] for r in out.collect()) == ["a", "b"]
+    out = apply_pipeline(_docs(spark), [{"$match": {"y": {"$exists": False}}}])
+    assert [r["_id"] for r in out.collect()] == ["c"]
+
+
+def test_match_not_matches_missing(spark):
+    # $not{$gt} matches null rows too (Mongo semantics)
+    out = apply_pipeline(_docs(spark), [{"$match": {"y": {"$not": {"$gt": 15.0}}}}])
+    assert sorted(r["_id"] for r in out.collect()) == ["a", "c"]
+
+
+def test_match_nor(spark):
+    out = apply_pipeline(
+        _docs(spark), [{"$match": {"$nor": [{"x": 1}, {"s": "World"}]}}]
+    )
+    assert [r["_id"] for r in out.collect()] == ["c"]
+
+
+def test_match_elem_and_size(spark):
+    out = apply_pipeline(_docs(spark), [{"$match": {"tags": {"$size": 2}}}])
+    assert [r["_id"] for r in out.collect()] == ["a"]
+    out = apply_pipeline(_docs(spark), [{"$match": {"tags": {"$elemMatch": {"$eq": "q"}}}}])
+    assert [r["_id"] for r in out.collect()] == ["a"]
+
+
+def test_project_exclusion_and_inclusion(spark):
+    d = _docs(spark)
+    excl = apply_pipeline(d, [{"$project": {"tags": 0, "n": 0}}])
+    assert excl.columns == ["_id", "x", "y", "s"]
+    incl = apply_pipeline(d, [{"$project": {"x": 1}}])
+    assert incl.columns == ["_id", "x"]  # _id implicitly included
+    no_id = apply_pipeline(d, [{"$project": {"_id": 0, "x": 1}}])
+    assert no_id.columns == ["x"]
+
+
+def test_project_mixed_raises(spark):
+    with pytest.raises(PipelineCompileError):
+        apply_pipeline(_docs(spark), [{"$project": {"x": 1, "y": 0}}])
+
+
+def test_unwind_variants(spark):
+    d = _docs(spark)
+    plain = apply_pipeline(d, [{"$unwind": "$tags"}])
+    assert sorted((r["_id"], r["tags"]) for r in plain.collect()) == [
+        ("a", "p"), ("a", "q"),
+    ]
+    keep = apply_pipeline(
+        d, [{"$unwind": {"path": "$tags", "preserveNullAndEmptyArrays": True}}]
+    )
+    assert sorted([(r["_id"], r["tags"]) for r in keep.collect()], key=str) == sorted(
+        [("a", "p"), ("a", "q"), ("b", None), ("c", None)], key=str
+    )
+    idx = apply_pipeline(
+        d, [{"$unwind": {"path": "$tags", "includeArrayIndex": "i"}}]
+    )
+    assert sorted((r["_id"], r["i"], r["tags"]) for r in idx.collect()) == [
+        ("a", 0, "p"), ("a", 1, "q"),
+    ]
+
+
+def test_group_global_id_null(spark):
+    out = apply_pipeline(
+        _docs(spark), [{"$group": {"_id": None, "n": {"$sum": 1}, "tot": {"$sum": "$x"}}}]
+    ).collect()
+    assert len(out) == 1 and out[0]["n"] == 3 and out[0]["tot"] == 6
+
+
+def test_group_sum_all_null_is_zero(spark):
+    # Mongo $sum over no numeric values yields 0, not null
+    out = apply_pipeline(
+        _docs(spark),
+        [{"$match": {"_id": "c"}}, {"$group": {"_id": None, "t": {"$sum": "$y"}}}],
+    ).collect()
+    assert out[0]["t"] == 0
+
+
+def test_unknown_stage_and_operator_raise(spark):
+    with pytest.raises(PipelineCompileError):
+        compile_pipeline([{"$lookup": {}}])
+    with pytest.raises(PipelineCompileError):
+        apply_pipeline(_docs(spark), [{"$project": {"z": {"$nope": 1}}}])
+
+
+def test_expr_operators(spark):
+    out = apply_pipeline(
+        _docs(spark),
+        [
+            {"$match": {"_id": "a"}},
+            {
+                "$project": {
+                    "_id": 0,
+                    "add": {"$add": ["$x", 1, 2]},
+                    "pow": {"$pow": ["$x", 3]},
+                    "up": {"$toUpper": "$s"},
+                    "ifn": {"$ifNull": ["$n", "dflt"]},
+                    "elem": {"$arrayElemAt": ["$tags", -1]},
+                    "oob": {"$arrayElemAt": ["$tags", 9]},
+                    "lit": {"$literal": "$x"},
+                    "sw": {
+                        "$switch": {
+                            "branches": [{"case": {"$gt": ["$x", 0]}, "then": "pos"}],
+                            "default": "neg",
+                        }
+                    },
+                }
+            },
+        ],
+    ).collect()[0]
+    assert out["add"] == 4 and out["pow"] == 1.0 and out["up"] == "HELLO"
+    assert out["ifn"] == "dflt" and out["elem"] == "q" and out["oob"] is None
+    assert out["lit"] == "$x" and out["sw"] == "pos"
+
+
+def test_replace_root_and_addfields_nested(spark):
+    out = apply_pipeline(
+        _docs(spark),
+        [
+            {"$match": {"_id": "a"}},
+            {"$project": {"_id": 0, "r": {"u": "$x", "v": {"$multiply": ["$y", 2]}}}},
+            {"$replaceRoot": {"newRoot": "$r"}},
+        ],
+    ).collect()[0]
+    assert out["u"] == 1 and out["v"] == 20.0

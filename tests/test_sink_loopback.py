@@ -1,0 +1,118 @@
+"""Classifier truth table (FIXTURES.md F4) + the README loopback
+scenario (F6): insert 100 -> update all -> delete all, target tracks
+source after each phase (/root/reference/README.md:89-100, 339-345)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from route81_spark.sinks.classify import ClassifierConfig, classify
+from route81_spark.sinks.merge import KeyedParquetTable, apply_changes
+
+
+def _msgs(spark):
+    # {meta:{_id}, data:{...}} consumer messages, document-root-path=data
+    schema = (
+        "meta struct<_id:string>, "
+        "data struct<_id:string, foo:int, bar:string>"
+    )
+    return spark.createDataFrame(
+        [
+            Row(meta=Row(_id="X"), data=Row(_id="X", foo=1, bar="b")),   # upsert
+            Row(meta=Row(_id="Y"), data=None),                            # delete (no root)
+            Row(meta=Row(_id="Z"), data=Row(_id="Z", foo=None, bar=None)),  # id-only root -> delete
+        ],
+        schema=schema,
+    )
+
+
+def test_classifier_truth_table(spark):
+    out = classify(
+        _msgs(spark),
+        ClassifierConfig(document_root_path="data", delete_id_path="meta._id"),
+    ).collect()
+    got = {r["doc_id"]: r["is_delete"] for r in out}
+    assert got == {"X": False, "Y": True, "Z": True}
+    doc = next(r["doc"] for r in out if r["doc_id"] == "X")
+    assert doc["foo"] == 1 and doc["bar"] == "b"
+
+
+def test_classifier_whole_message_root(spark):
+    df = spark.createDataFrame(
+        [Row(_id="A", foo=2)], "_id string, foo int"
+    )
+    out = classify(df).collect()[0]
+    assert out["doc_id"] == "A" and out["is_delete"] is False
+
+
+def test_apply_changes_replace_semantics(spark):
+    target = spark.createDataFrame(
+        [Row(_id="1", a=1, b="old"), Row(_id="2", a=2, b="keep")],
+        "_id string, a int, b string",
+    )
+    changes = spark.createDataFrame(
+        [
+            Row(doc_id="1", is_delete=False, doc=Row(_id="1", a=10, b=None), seq=1),
+            Row(doc_id="1", is_delete=False, doc=Row(_id="1", a=11, b="new"), seq=2),
+            Row(doc_id="3", is_delete=False, doc=Row(_id="3", a=3, b="ins"), seq=1),
+            Row(doc_id="3", is_delete=True, doc=None, seq=2),
+        ],
+        "doc_id string, is_delete boolean, doc struct<_id:string,a:int,b:string>, seq int",
+    )
+    out = {r["_id"]: r for r in apply_changes(target, changes).collect()}
+    # last writer wins per key; whole-doc replace; delete removes
+    assert set(out) == {"1", "2"}
+    assert out["1"]["a"] == 11 and out["1"]["b"] == "new"
+    assert out["2"]["b"] == "keep"
+
+
+def test_loopback_three_phases(spark, tmp_path):
+    """README's canonical demo: test.test -> topic -> test.test2."""
+    n = 100
+    src = spark.range(n).select(
+        F.col("id").cast("string").alias("_id"), F.col("id").cast("int").alias("i")
+    )
+    table = KeyedParquetTable(spark, str(tmp_path / "t2"))
+
+    # phase 1: insert all
+    inserts = src.select(
+        F.col("_id").alias("doc_id"), F.lit(False).alias("is_delete"),
+        F.struct("_id", "i").alias("doc"), F.lit(1).alias("seq"),
+    )
+    table.init(src.limit(0))
+    table.merge(inserts)
+    assert table.read().count() == n
+    assert table.read().join(src, ["_id", "i"]).count() == n
+
+    # phase 2: update all ($set j semantics modeled as whole-doc replace
+    # with i doubled — replace, not patch, is the P15 contract)
+    updates = src.select(
+        F.col("_id").alias("doc_id"), F.lit(False).alias("is_delete"),
+        F.struct("_id", (F.col("i") * 2).alias("i")).alias("doc"), F.lit(2).alias("seq"),
+    )
+    table.merge(updates)
+    got = {r["_id"]: r["i"] for r in table.read().collect()}
+    assert got["7"] == 14 and len(got) == n
+
+    # phase 3: delete all
+    deletes = src.select(
+        F.col("_id").alias("doc_id"), F.lit(True).alias("is_delete"),
+        F.lit(None).cast("struct<_id:string,i:int>").alias("doc"), F.lit(3).alias("seq"),
+    )
+    table.merge(deletes)
+    assert table.read().count() == 0
+
+
+def test_namespace_feedback_loop_filter(spark):
+    """Consumer target namespaces are excluded from production
+    (route81.go:163-179)."""
+    ops = spark.createDataFrame(
+        [("route81.resume",), ("test.test",), ("test.test2",)], "ns string"
+    )
+    metadata_db, consumer_targets = "route81", ["test.test2"]
+    out = ops.filter(
+        (F.split(F.col("ns"), r"\.")[0] != metadata_db)
+        & ~F.col("ns").isin(consumer_targets)
+    )
+    assert [r["ns"] for r in out.collect()] == ["test.test"]
