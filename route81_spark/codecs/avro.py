@@ -1,0 +1,228 @@
+"""Avro binary codec (SURVEY §2 P10/P11).
+
+The reference uses goavro with a per-consumer `avro-schema-spec`
+(/root/reference/encoding/encoding.go:40-63; README.md:349-368). This
+container has neither spark-avro nor fastavro, so this is a minimal,
+dependency-free implementation of the Avro binary spec for record
+schemas (null/boolean/int/long/float/double/bytes/string, nullable
+unions, arrays, maps, nested records) — enough for every shape the
+reference's docs demonstrate. In production, swap the pandas codec for
+`from_avro`/`to_avro` (spark-avro) — the DataFrame-level API here is
+already the right shape for that substitution.
+
+Spark integration is Arrow-batched (mapInPandas): bytes in, decoded
+columns out — the per-record Python cost is the same class of work
+goavro does per record in Go.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import struct
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+# --- binary primitives ---------------------------------------------------
+
+
+def _zigzag_encode(n: int) -> int:
+    return (n << 1) ^ (n >> 63)
+
+
+def _zigzag_decode(n: int) -> int:
+    return (n >> 1) ^ -(n & 1)
+
+
+def _write_long(out: io.BytesIO, n: int) -> None:
+    n = _zigzag_encode(n)
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.write(bytes([b | 0x80]))
+        else:
+            out.write(bytes([b]))
+            return
+
+
+def _read_long(buf: io.BytesIO) -> int:
+    shift = 0
+    acc = 0
+    while True:
+        (b,) = buf.read(1)
+        acc |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return _zigzag_decode(acc)
+        shift += 7
+
+
+# --- schema-driven encode/decode ----------------------------------------
+
+
+def _encode(out: io.BytesIO, schema: Any, value: Any) -> None:
+    if isinstance(schema, list):  # union
+        for idx, branch in enumerate(schema):
+            if _matches(branch, value):
+                _write_long(out, idx)
+                _encode(out, branch, value)
+                return
+        raise ValueError(f"value {value!r} matches no union branch {schema}")
+    t = schema["type"] if isinstance(schema, dict) else schema
+    if t == "null":
+        return
+    if t == "boolean":
+        out.write(b"\x01" if value else b"\x00")
+    elif t in ("int", "long"):
+        _write_long(out, int(value))
+    elif t == "float":
+        out.write(struct.pack("<f", float(value)))
+    elif t == "double":
+        out.write(struct.pack("<d", float(value)))
+    elif t == "bytes":
+        _write_long(out, len(value))
+        out.write(bytes(value))
+    elif t == "string":
+        raw = value.encode("utf-8")
+        _write_long(out, len(raw))
+        out.write(raw)
+    elif t == "record":
+        for f in schema["fields"]:
+            _encode(out, f["type"], value.get(f["name"]))
+    elif t == "array":
+        items = list(value)
+        if items:
+            _write_long(out, len(items))
+            for it in items:
+                _encode(out, schema["items"], it)
+        _write_long(out, 0)
+    elif t == "map":
+        entries = dict(value)
+        if entries:
+            _write_long(out, len(entries))
+            for k, v in entries.items():
+                _encode(out, "string", k)
+                _encode(out, schema["values"], v)
+        _write_long(out, 0)
+    else:
+        raise ValueError(f"unsupported avro type: {t}")
+
+
+def _matches(branch: Any, value: Any) -> bool:
+    t = branch["type"] if isinstance(branch, dict) else branch
+    if t == "null":
+        return value is None
+    return value is not None
+
+
+def _decode(buf: io.BytesIO, schema: Any) -> Any:
+    if isinstance(schema, list):
+        idx = _read_long(buf)
+        return _decode(buf, schema[idx])
+    t = schema["type"] if isinstance(schema, dict) else schema
+    if t == "null":
+        return None
+    if t == "boolean":
+        return buf.read(1) == b"\x01"
+    if t in ("int", "long"):
+        return _read_long(buf)
+    if t == "float":
+        return struct.unpack("<f", buf.read(4))[0]
+    if t == "double":
+        return struct.unpack("<d", buf.read(8))[0]
+    if t == "bytes":
+        return buf.read(_read_long(buf))
+    if t == "string":
+        return buf.read(_read_long(buf)).decode("utf-8")
+    if t == "record":
+        return {f["name"]: _decode(buf, f["type"]) for f in schema["fields"]}
+    if t == "array":
+        out = []
+        while True:
+            n = _read_long(buf)
+            if n == 0:
+                return out
+            if n < 0:  # block with byte size prefix
+                _read_long(buf)
+                n = -n
+            for _ in range(n):
+                out.append(_decode(buf, schema["items"]))
+    if t == "map":
+        out = {}
+        while True:
+            n = _read_long(buf)
+            if n == 0:
+                return out
+            if n < 0:
+                _read_long(buf)
+                n = -n
+            for _ in range(n):
+                k = _decode(buf, "string")
+                out[k] = _decode(buf, schema["values"])
+    raise ValueError(f"unsupported avro type: {t}")
+
+
+def avro_encode(schema: dict | str, value: dict) -> bytes:
+    if isinstance(schema, str):
+        schema = json.loads(schema)
+    out = io.BytesIO()
+    _encode(out, schema, value)
+    return out.getvalue()
+
+
+def avro_decode(schema: dict | str, payload: bytes) -> dict:
+    if isinstance(schema, str):
+        schema = json.loads(schema)
+    return _decode(io.BytesIO(payload), schema)
+
+
+# --- Spark integration ---------------------------------------------------
+
+
+def _avro_to_spark_type(schema: Any) -> T.DataType:
+    if isinstance(schema, list):
+        non_null = [b for b in schema if (b["type"] if isinstance(b, dict) else b) != "null"]
+        return _avro_to_spark_type(non_null[0])
+    t = schema["type"] if isinstance(schema, dict) else schema
+    mapping = {
+        "boolean": T.BooleanType(), "int": T.IntegerType(), "long": T.LongType(),
+        "float": T.FloatType(), "double": T.DoubleType(), "bytes": T.BinaryType(),
+        "string": T.StringType(),
+    }
+    if t in mapping:
+        return mapping[t]
+    if t == "record":
+        return T.StructType(
+            [T.StructField(f["name"], _avro_to_spark_type(f["type"])) for f in schema["fields"]]
+        )
+    if t == "array":
+        return T.ArrayType(_avro_to_spark_type(schema["items"]))
+    if t == "map":
+        return T.MapType(T.StringType(), _avro_to_spark_type(schema["values"]))
+    raise ValueError(f"unsupported avro type: {t}")
+
+
+def decode_avro_records(records: DataFrame, schema_spec: str) -> DataFrame:
+    """Kafka records with avro `value` bytes -> decoded document rows
+    (one column per top-level record field, plus passthrough `seq`)."""
+    schema = json.loads(schema_spec)
+    spark_type = _avro_to_spark_type(schema)
+    if not isinstance(spark_type, T.StructType):
+        raise ValueError("avro-schema-spec must be a record schema")
+    has_seq = "seq" in records.columns
+    fields = list(spark_type.fields)
+    out_schema = T.StructType(fields + ([T.StructField("seq", T.LongType())] if has_seq else []))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [avro_decode(schema, bytes(v)) for v in pdf["value"]]
+            frame = pd.DataFrame(rows, columns=[f.name for f in fields])
+            if has_seq:
+                frame["seq"] = pdf["seq"].values
+            yield frame
+
+    return records.mapInPandas(run, schema=out_schema)

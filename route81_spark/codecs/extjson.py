@@ -79,3 +79,101 @@ def ext_json_col(col: Column, dtype: T.DataType, oid: bool = False) -> Column:
 def ext_json_string(col: Column, dtype: T.DataType, oid: bool = False) -> Column:
     """Canonical ext-JSON text of a column (to_json of the tagged rebuild)."""
     return F.to_json(ext_json_col(col, dtype, oid=oid))
+
+
+# --- decode: tagged wire schema + tag stripping --------------------------
+
+def ext_json_tagged_schema(dtype: T.DataType, oid: bool = False) -> T.DataType:
+    """The wire-side (tagged) schema for a plain schema — the shape
+    from_json needs to parse canonical ext-JSON of `dtype`."""
+    if isinstance(dtype, T.StringType):
+        if oid:
+            return T.StructType([T.StructField("$oid", T.StringType())])
+        return dtype
+    if isinstance(dtype, (T.IntegerType, T.ShortType, T.ByteType)):
+        return T.StructType([T.StructField("$numberInt", T.StringType())])
+    if isinstance(dtype, T.LongType):
+        return T.StructType([T.StructField("$numberLong", T.StringType())])
+    if isinstance(dtype, (T.DoubleType, T.FloatType)):
+        return T.StructType([T.StructField("$numberDouble", T.StringType())])
+    if isinstance(dtype, T.BooleanType):
+        return dtype
+    if isinstance(dtype, (T.TimestampType, T.DateType)):
+        return T.StructType(
+            [
+                T.StructField(
+                    "$date",
+                    T.StructType([T.StructField("$numberLong", T.StringType())]),
+                )
+            ]
+        )
+    if isinstance(dtype, T.BinaryType):
+        return T.StructType(
+            [
+                T.StructField(
+                    "$binary",
+                    T.StructType(
+                        [
+                            T.StructField("base64", T.StringType()),
+                            T.StructField("subType", T.StringType()),
+                        ]
+                    ),
+                )
+            ]
+        )
+    if isinstance(dtype, T.ArrayType):
+        return T.ArrayType(ext_json_tagged_schema(dtype.elementType))
+    if isinstance(dtype, T.StructType):
+        return T.StructType(
+            [
+                T.StructField(
+                    f.name,
+                    ext_json_tagged_schema(f.dataType, oid=(f.name == "_id" and oid)),
+                )
+                for f in dtype.fields
+            ]
+        )
+    return dtype
+
+
+def strip_ext_json(col: Column, dtype: T.DataType, oid: bool = False) -> Column:
+    """Rebuild the plain typed value from a tagged (wire-schema) column."""
+    if isinstance(dtype, T.StringType):
+        return col.getField("$oid") if oid else col
+    if isinstance(dtype, (T.IntegerType, T.ShortType, T.ByteType)):
+        return col.getField("$numberInt").cast(dtype)
+    if isinstance(dtype, T.LongType):
+        return col.getField("$numberLong").cast("long")
+    if isinstance(dtype, (T.DoubleType, T.FloatType)):
+        return col.getField("$numberDouble").cast(dtype)
+    if isinstance(dtype, T.BooleanType):
+        return col
+    if isinstance(dtype, (T.TimestampType, T.DateType)):
+        ms = col.getField("$date").getField("$numberLong").cast("long")
+        ts = F.timestamp_micros(ms * 1000)
+        return ts.cast(dtype) if isinstance(dtype, T.DateType) else ts
+    if isinstance(dtype, T.BinaryType):
+        return F.unbase64(col.getField("$binary").getField("base64"))
+    if isinstance(dtype, T.ArrayType):
+        return F.transform(col, lambda x: strip_ext_json(x, dtype.elementType))
+    if isinstance(dtype, T.StructType):
+        return F.when(
+            col.isNotNull(),
+            F.struct(
+                *[
+                    strip_ext_json(
+                        col.getField(f.name), f.dataType, oid=(f.name == "_id" and oid)
+                    ).alias(f.name)
+                    for f in dtype.fields
+                ]
+            ),
+        )
+    return col
+
+
+def decode_ext_json(value_col: Column, dtype: T.DataType, oid: bool = False) -> Column:
+    """bytes/string of canonical ext-JSON -> typed struct column.
+    The inverse of ext_json_string for declared schemas (P11)."""
+    tagged = ext_json_tagged_schema(dtype, oid=oid)
+    parsed = F.from_json(value_col.cast("string"), tagged)
+    return strip_ext_json(parsed, dtype, oid=oid)

@@ -1,0 +1,169 @@
+"""TOML/flag configuration with route81's keys and validation rules
+(/root/reference/route81.go:120-147 struct, 342-404 merge, 252-340
+validation; README.md:185-368 for the documented key set).
+
+Same contract as the reference: unknown TOML keys are a hard error
+(route81.go:477-479); a producer-map must name a kafka-topic
+(route81.go:260-264); consumer namespaces must be `db.collection`
+(route81.go:318-322); pipelines parse at config time and a namespace
+may carry at most one direct and one stream pipeline (README.md:289-291).
+"""
+
+from __future__ import annotations
+
+import json
+import tomllib
+from dataclasses import dataclass, field
+
+MESSAGE_FORMATS = ("json", "json-ext", "avro")  # route81.go:39
+
+
+class ConfigError(ValueError):
+    pass
+
+
+@dataclass
+class PipelineSpec:
+    namespace: str  # "" applies to all (README.md:306-313)
+    direct: bool
+    stages: list[dict]
+
+
+@dataclass
+class ProducerMapSpec:
+    mongo_namespace: str
+    kafka_topic: str
+
+
+@dataclass
+class ConsumerSpec:
+    kafka_topics: list[str]
+    mongo_namespace: str  # db.collection
+    message_format: str = "json-ext"
+    document_root_path: str | None = None
+    delete_id_path: str | None = None
+    bulk_size: int = 100          # route81.go:309-311
+    bulk_flush_seconds: float = 5  # route81.go:312-314
+    workers: int = 4               # route81.go:315-317
+    avro_schema_spec: str | None = None
+    group_id: str = "route81"      # route81.go:288-290
+
+
+@dataclass
+class Config:
+    change_stream_namespaces: list[str] = field(default_factory=list)
+    direct_read_namespaces: list[str] = field(default_factory=list)
+    direct_read_split_max: int = 9   # route81.go:447-448
+    direct_read_concur: int = 4      # route81.go:449-450
+    exit_after_direct_reads: bool = False
+    topic_name_prefix: str = ""
+    metadata_db: str = "route81"     # route81.go:439-442
+    resume_name: str = "default"
+    stats_seconds: float = 10        # route81.go:443-444
+    fail_fast: bool = False
+    producer_maps: list[ProducerMapSpec] = field(default_factory=list)
+    pipelines: list[PipelineSpec] = field(default_factory=list)
+    consumers: list[ConsumerSpec] = field(default_factory=list)
+
+    def pipeline_for(self, namespace: str, stream: bool) -> list[dict] | None:
+        """Dispatch mirroring route81.go:185-196: direct=False applies to
+        the change stream, direct=True to direct reads; an entry with an
+        empty namespace applies to every namespace."""
+        for p in self.pipelines:
+            if p.direct != (not stream):
+                continue
+            if p.namespace == "" or p.namespace == namespace:
+                return p.stages
+        return None
+
+    def consumer_target_namespaces(self) -> list[str]:
+        return [c.mongo_namespace for c in self.consumers]
+
+
+_TOP_KEYS = {
+    "change-stream-namespaces", "direct-read-namespaces",
+    "direct-read-split-max", "direct-read-concur", "exit-after-direct-reads",
+    "topic-name-prefix", "metadata-db", "resume-name", "stats-duration",
+    "fail-fast", "producer-map", "pipeline", "consume",
+}
+
+
+def _duration_seconds(v) -> float:
+    if isinstance(v, (int, float)):
+        return float(v)
+    s = str(v)
+    if s.endswith("ms"):
+        return float(s[:-2]) / 1000
+    if s.endswith("s"):
+        return float(s[:-1])
+    if s.endswith("m"):
+        return float(s[:-1]) * 60
+    raise ConfigError(f"bad duration: {v}")
+
+
+def _validate_namespace(ns: str) -> str:
+    parts = ns.split(".")
+    if len(parts) != 2 or not parts[0] or not parts[1]:
+        # route81.go:318-322
+        raise ConfigError(f"namespace must be db.collection: {ns!r}")
+    return ns
+
+
+def load_config(text: str) -> Config:
+    data = tomllib.loads(text)
+    unknown = set(data) - _TOP_KEYS
+    if unknown:
+        raise ConfigError(f"unknown config keys: {sorted(unknown)}")  # route81.go:477-479
+    cfg = Config(
+        change_stream_namespaces=list(data.get("change-stream-namespaces", [])),
+        direct_read_namespaces=list(data.get("direct-read-namespaces", [])),
+        direct_read_split_max=int(data.get("direct-read-split-max", 9)),
+        direct_read_concur=int(data.get("direct-read-concur", 4)),
+        exit_after_direct_reads=bool(data.get("exit-after-direct-reads", False)),
+        topic_name_prefix=str(data.get("topic-name-prefix", "")),
+        metadata_db=str(data.get("metadata-db", "route81")),
+        resume_name=str(data.get("resume-name", "default")),
+        stats_seconds=_duration_seconds(data.get("stats-duration", 10)),
+        fail_fast=bool(data.get("fail-fast", False)),
+    )
+    for m in data.get("producer-map", []):
+        if "kafka-topic" not in m or not m["kafka-topic"]:
+            raise ConfigError("producer-map requires kafka-topic")  # route81.go:260-264
+        cfg.producer_maps.append(
+            ProducerMapSpec(m.get("mongo-namespace", ""), m["kafka-topic"])
+        )
+    seen: set[tuple[str, bool]] = set()
+    for p in data.get("pipeline", []):
+        stages_raw = p.get("stages", "[]")
+        try:
+            stages = json.loads(stages_raw) if isinstance(stages_raw, str) else stages_raw
+        except json.JSONDecodeError as e:
+            raise ConfigError(f"bad pipeline stages JSON: {e}") from e  # route81.go:273-277
+        if not isinstance(stages, list):
+            raise ConfigError("pipeline stages must be a JSON array")
+        key = (p.get("namespace", ""), bool(p.get("direct", False)))
+        if key in seen:
+            raise ConfigError(f"duplicate pipeline for {key}")  # README.md:289-291
+        seen.add(key)
+        cfg.pipelines.append(PipelineSpec(key[0], key[1], stages))
+    for c in data.get("consume", []):
+        fmt = c.get("message-format", "json-ext")
+        if fmt not in MESSAGE_FORMATS:
+            raise ConfigError(f"bad message-format: {fmt}")  # route81.go:291-292
+        if fmt == "avro" and not c.get("avro-schema-spec"):
+            raise ConfigError("avro requires avro-schema-spec")  # route81.go:306-308
+        cfg.consumers.append(
+            ConsumerSpec(
+                kafka_topics=list(c.get("kafka-topics", [])),
+                mongo_namespace=_validate_namespace(c["mongo-namespace"]),
+                message_format=fmt,
+                document_root_path=c.get("document-root-path"),
+                delete_id_path=c.get("delete-id-path"),
+                bulk_size=int(c.get("bulk-size", 100)),
+                bulk_flush_seconds=_duration_seconds(c.get("bulk-flush-duration", 5)),
+                workers=int(c.get("workers", 4)),
+                avro_schema_spec=c.get("avro-schema-spec"),
+                group_id=c.get("group-id", "route81"),
+            )
+        )
+    return cfg

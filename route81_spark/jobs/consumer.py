@@ -1,0 +1,87 @@
+"""Consumer job (SURVEY §3.3): kafka-shaped records -> decode ->
+classify upsert/delete -> keyed merge.
+
+Reference flow (route81.go:1146-1197 consume, 991-1017 queue, 1071-1131
+flush): N worker goroutines each buffering <= bulk-size docs, flushed
+every bulk-flush-duration as one unordered BulkWrite. Spark mapping:
+partitions replace workers, the micro-batch trigger replaces the flush
+timer, and foreachBatch applies the same replace/delete-by-_id merge.
+Per-key ordering comes from ranking by kafka offset (seq) within the
+batch — the reference gets this from per-partition consumption order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from route81_spark.config import ConsumerSpec
+from route81_spark.model.schemas import decode_envelope
+from route81_spark.sinks.classify import ClassifierConfig, classify
+from route81_spark.sinks.merge import KeyedParquetTable
+
+
+def decode_records(
+    records: DataFrame, spec: ConsumerSpec, doc_schema: T.StructType
+) -> DataFrame:
+    """Kafka records (key/value/...) -> decoded message rows. Selects the
+    decoder by message-format (route81.go:717-727)."""
+    if spec.message_format == "json-ext":
+        decoded = decode_envelope(F.col("value"), doc_schema)
+    elif spec.message_format == "json":
+        from route81_spark.model.schemas import envelope_schema
+
+        decoded = F.from_json(F.col("value").cast("string"), envelope_schema(doc_schema))
+    elif spec.message_format == "avro":
+        from route81_spark.codecs.avro import decode_avro_records
+
+        return decode_avro_records(records, spec.avro_schema_spec)
+    else:
+        raise ValueError(f"bad message-format: {spec.message_format}")
+    cols = [decoded.alias("msg")]
+    if "seq" in records.columns:
+        cols.append(F.col("seq"))
+    return records.select(*cols).select("msg.*", *(["seq"] if "seq" in records.columns else []))
+
+
+def apply_consumer_batch(
+    table: KeyedParquetTable,
+    batch: DataFrame,
+    spec: ConsumerSpec,
+    doc_schema: T.StructType,
+) -> None:
+    """One micro-batch: decode -> classify -> merge. The body of
+    foreachBatch; also usable directly for batch backfills."""
+    decoded = decode_records(batch, spec, doc_schema)
+    classified = classify(
+        decoded,
+        ClassifierConfig(
+            document_root_path=spec.document_root_path,
+            delete_id_path=spec.delete_id_path,
+        ),
+        keep=["seq"],
+    )
+    table.merge(classified, seq="seq" if "seq" in classified.columns else None)
+
+
+def consumer_job(
+    spark: SparkSession,
+    spec: ConsumerSpec,
+    record_stream: DataFrame,
+    table: KeyedParquetTable,
+    doc_schema: T.StructType,
+    checkpoint_dir: str,
+):
+    """Streaming consumer: foreachBatch keyed merge with the reference's
+    flush cadence as the trigger interval."""
+
+    def on_batch(batch: DataFrame, batch_id: int) -> None:
+        apply_consumer_batch(table, batch, spec, doc_schema)
+
+    return (
+        record_stream.writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime=f"{spec.bulk_flush_seconds} seconds")
+        .start()
+    )

@@ -1,0 +1,133 @@
+"""Producer jobs (SURVEY §3.1-3.2).
+
+The reference's event loop (route81.go:1207-1237) becomes two thin
+Spark jobs around the pure-Column core:
+
+  * direct_read_job — batch: read table -> (direct pipeline) -> envelope
+    with op suppressed -> kafka-shaped records (route81.go:1376-1381;
+    README.md:228-234). `exit-after-direct-reads` ≡ the batch job ends.
+  * streaming_producer_job — readStream of change events -> namespace
+    filter (feedback-loop prevention, route81.go:163-179) -> (stream
+    pipeline) -> envelope with op codes + updates -> writeStream with
+    checkpointLocation (≡ the resume timestamp, route81.go:833-875) and
+    observe() counters (≡ stats, route81.go:488-679).
+
+The Kafka sink is pluggable: format("kafka") when a broker exists, a
+parquet "topic directory" for the harness — the record schema
+(key/value/headers/topic) is identical either way.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from route81_spark.config import Config
+from route81_spark.envelope import EnvelopeConfig, ProducerMap, build_envelope
+from route81_spark.pipeline import apply_pipeline
+from route81_spark.sources.direct_read import direct_read
+
+
+def _envelope_cfg(cfg: Config) -> EnvelopeConfig:
+    return EnvelopeConfig(
+        topic_name_prefix=cfg.topic_name_prefix,
+        producer_maps=[ProducerMap(m.mongo_namespace, m.kafka_topic) for m in cfg.producer_maps],
+    )
+
+
+def namespace_filter(df: DataFrame, cfg: Config, ns_col: str = "ns_full") -> DataFrame:
+    """Drop ops from the metadata DB and from consumer target namespaces
+    (route81.go:163-179)."""
+    targets = cfg.consumer_target_namespaces()
+    keep = F.split(F.col(ns_col), r"\.")[0] != F.lit(cfg.metadata_db)
+    if targets:
+        keep = keep & ~F.col(ns_col).isin(targets)
+    return df.filter(keep)
+
+
+def direct_read_job(
+    spark: SparkSession,
+    cfg: Config,
+    table_paths: dict[str, str],
+    id_cols: dict[str, list[str]],
+) -> DataFrame:
+    """Batch direct-read producer: one kafka-record DataFrame unioned
+    over all direct-read namespaces. `table_paths` maps namespace ->
+    parquet path; `id_cols` maps namespace -> natural-key columns for
+    the synthetic _id (FIXTURES.md F2)."""
+    from route81_spark.envelope import with_synthetic_id
+
+    out: DataFrame | None = None
+    env_cfg = _envelope_cfg(cfg)
+    for ns in cfg.direct_read_namespaces:
+        df = direct_read(spark, table_paths[ns], min_partitions=cfg.direct_read_split_max)
+        stages = cfg.pipeline_for(ns, stream=False)
+        if stages:
+            df = apply_pipeline(df, stages)
+        df = with_synthetic_id(df, *id_cols[ns])
+        env = build_envelope(df, ns, env_cfg)  # op/ts suppressed: direct read
+        out = env if out is None else out.unionByName(env)
+    if out is None:
+        raise ValueError("no direct-read-namespaces configured")
+    return out
+
+
+def envelope_change_stream(events: DataFrame, namespace: str, cfg: Config) -> DataFrame:
+    """Change-event rows (F1 schema) -> kafka-record rows with op codes
+    i/u/d (README.md:125/139/153) and updates {removed, changed}."""
+    stages = cfg.pipeline_for(namespace, stream=True)
+    if stages:
+        events = apply_pipeline(events, stages)
+    # the key id gets a reserved name: fullDocument.* usually also
+    # carries `_id`, which must stay a data column
+    flat = events.select(
+        F.col("documentKey._id").alias("__r81_id"),
+        F.when(F.col("operationType") == "insert", "i")
+        .when(F.col("operationType") == "update", "u")
+        .when(F.col("operationType") == "delete", "d")
+        .otherwise("c")
+        .alias("__r81_op"),
+        F.col("clusterTime").alias("__r81_ts"),
+        F.col("updateDescription").alias("__r81_ud"),
+        F.col("fullDocument.*"),
+    )
+    doc_cols = [c for c in flat.columns if not c.startswith("__r81_")]
+    return build_envelope(
+        flat,
+        namespace,
+        _envelope_cfg(cfg),
+        id_col="__r81_id",
+        op_col="__r81_op",
+        ts_col="__r81_ts",
+        updates_col="__r81_ud",
+        data_cols=doc_cols,
+    )
+
+
+def streaming_producer_job(
+    spark: SparkSession,
+    cfg: Config,
+    event_stream: DataFrame,
+    namespace: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+    trigger_seconds: float = 1.0,
+):
+    """Wire a change-event stream through the producer path into a
+    parquet topic sink. Returns the StreamingQuery. The observe()
+    metrics mirror the reference's per-op counters (route81.go:621-679)."""
+    observed = event_stream.observe(
+        "producer_stats",
+        F.count(F.lit(1)).alias("queued"),
+        F.count(F.when(F.col("operationType") == "insert", 1)).alias("inserted"),
+        F.count(F.when(F.col("operationType") == "update", 1)).alias("updated"),
+        F.count(F.when(F.col("operationType") == "delete", 1)).alias("removed"),
+    )
+    records = envelope_change_stream(observed, namespace, cfg)
+    return (
+        records.writeStream.format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+        .start()
+    )

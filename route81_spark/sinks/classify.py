@@ -48,9 +48,12 @@ def _root_type(schema: T.StructType, path: str | None) -> T.DataType:
     return dt
 
 
-def classify(df: DataFrame, cfg: ClassifierConfig | None = None) -> DataFrame:
-    """Add `is_delete`, `doc_id`, and `doc` columns to a decoded-message
-    DataFrame. `doc` is the (re-rooted) replacement document struct."""
+def classify(
+    df: DataFrame, cfg: ClassifierConfig | None = None, keep: list[str] | None = None
+) -> DataFrame:
+    """Project a decoded-message DataFrame to `is_delete`, `doc_id`,
+    `doc` (the re-rooted replacement document struct), plus any `keep`
+    passthrough columns (e.g. a kafka offset for per-key ordering)."""
     cfg = cfg or ClassifierConfig()
     if cfg.document_root_path:
         root = _path_col(cfg.document_root_path)
@@ -81,4 +84,5 @@ def classify(df: DataFrame, cfg: ClassifierConfig | None = None) -> DataFrame:
         is_delete.alias("is_delete"),
         doc_id.cast("string").alias("doc_id"),
         root.alias("doc"),
+        *[F.col(c) for c in (keep or []) if c in df.columns],
     )

@@ -1,0 +1,131 @@
+"""Config validation tests (SURVEY §5-6) + avro codec round-trips
+(SURVEY §5-4)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from route81_spark.codecs.avro import avro_decode, avro_encode
+from route81_spark.config import ConfigError, load_config
+
+
+def test_config_defaults_and_parsing():
+    cfg = load_config(
+        """
+direct-read-namespaces = ["test.lineitem"]
+topic-name-prefix = "pfx"
+stats-duration = "10s"
+
+[[producer-map]]
+mongo-namespace = "test.lineitem"
+kafka-topic = "li"
+
+[[pipeline]]
+namespace = "test.lineitem"
+direct = true
+stages = '[{"$match": {"l_returnflag": "R"}}]'
+
+[[consume]]
+kafka-topics = ["li"]
+mongo-namespace = "test.copy"
+bulk-flush-duration = "500ms"
+"""
+    )
+    assert cfg.direct_read_split_max == 9 and cfg.direct_read_concur == 4
+    assert cfg.producer_maps[0].kafka_topic == "li"
+    assert cfg.pipeline_for("test.lineitem", stream=False) == [
+        {"$match": {"l_returnflag": "R"}}
+    ]
+    assert cfg.pipeline_for("test.lineitem", stream=True) is None
+    c = cfg.consumers[0]
+    assert c.bulk_size == 100 and c.bulk_flush_seconds == 0.5 and c.workers == 4
+    assert cfg.consumer_target_namespaces() == ["test.copy"]
+
+
+def test_config_rejections():
+    with pytest.raises(ConfigError, match="unknown config keys"):
+        load_config("no-such-key = 1")  # route81.go:477-479
+    with pytest.raises(ConfigError, match="kafka-topic"):
+        load_config('[[producer-map]]\nmongo-namespace = "a.b"')
+    with pytest.raises(ConfigError, match="db.collection"):
+        load_config('[[consume]]\nkafka-topics=["t"]\nmongo-namespace = "nodot"')
+    with pytest.raises(ConfigError, match="stages JSON"):
+        load_config("[[pipeline]]\nstages = 'not json'")
+    with pytest.raises(ConfigError, match="message-format"):
+        load_config('[[consume]]\nkafka-topics=["t"]\nmongo-namespace="a.b"\nmessage-format="xml"')
+    with pytest.raises(ConfigError, match="avro-schema-spec"):
+        load_config('[[consume]]\nkafka-topics=["t"]\nmongo-namespace="a.b"\nmessage-format="avro"')
+    with pytest.raises(ConfigError, match="duplicate pipeline"):
+        load_config("[[pipeline]]\nstages='[]'\n\n[[pipeline]]\nstages='[]'")
+
+
+AVRO_SCHEMA = {
+    "type": "record",
+    "name": "doc",
+    "fields": [
+        {"name": "_id", "type": "string"},
+        {"name": "n", "type": "long"},
+        {"name": "x", "type": "double"},
+        {"name": "flag", "type": "boolean"},
+        {"name": "maybe", "type": ["null", "string"]},
+        {"name": "tags", "type": {"type": "array", "items": "string"}},
+        {"name": "kv", "type": {"type": "map", "values": "long"}},
+        {
+            "name": "nested",
+            "type": {
+                "type": "record",
+                "name": "inner",
+                "fields": [{"name": "y", "type": "int"}],
+            },
+        },
+    ],
+}
+
+
+def test_avro_round_trip_golden():
+    doc = {
+        "_id": "abc", "n": -(2**40), "x": 1.5, "flag": True, "maybe": None,
+        "tags": ["a", "b"], "kv": {"k1": 1, "k2": -2}, "nested": {"y": 7},
+    }
+    assert avro_decode(AVRO_SCHEMA, avro_encode(AVRO_SCHEMA, doc)) == doc
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    n=st.integers(min_value=-(2**63), max_value=2**63 - 1),
+    x=st.floats(allow_nan=False),
+    s=st.text(max_size=40),
+    flag=st.booleans(),
+    maybe=st.none() | st.text(max_size=10),
+    tags=st.lists(st.text(max_size=8), max_size=6),
+)
+def test_avro_round_trip_property(n, x, s, flag, maybe, tags):
+    doc = {"_id": s, "n": n, "x": x, "flag": flag, "maybe": maybe,
+           "tags": tags, "kv": {}, "nested": {"y": 0}}
+    out = avro_decode(AVRO_SCHEMA, avro_encode(AVRO_SCHEMA, doc))
+    assert out == doc
+
+
+def test_avro_spark_decode(spark):
+    import json as _json
+
+    from pyspark.sql import Row
+
+    from route81_spark.codecs.avro import decode_avro_records
+
+    docs = [
+        {"_id": str(i), "n": i, "x": i / 2, "flag": i % 2 == 0, "maybe": None,
+         "tags": [f"t{i}"], "kv": {"a": i}, "nested": {"y": i}}
+        for i in range(10)
+    ]
+    records = spark.createDataFrame(
+        [Row(value=avro_encode(AVRO_SCHEMA, d), seq=i) for i, d in enumerate(docs)],
+        "value binary, seq long",
+    )
+    out = decode_avro_records(records, _json.dumps(AVRO_SCHEMA)).collect()
+    got = {r["_id"]: r for r in out}
+    assert len(got) == 10
+    assert got["3"]["n"] == 3 and got["3"]["nested"]["y"] == 3 and got["3"]["seq"] == 3

@@ -1,0 +1,201 @@
+"""End-to-end Structured Streaming loopback (SURVEY §5-2, M3+M4):
+change-event JSON file stream -> producer job (pipeline + envelope +
+kafka-shaped parquet sink + checkpoint + observe stats) -> consumer job
+(decode ext-JSON -> classify -> foreachBatch keyed merge) -> final
+table state matches the batch-derived expectation."""
+
+from __future__ import annotations
+
+import json
+import time
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from route81_spark.config import load_config
+from route81_spark.jobs.consumer import consumer_job
+from route81_spark.jobs.producer import namespace_filter, streaming_producer_job
+from route81_spark.model.schemas import change_event_schema
+from route81_spark.sinks.merge import KeyedParquetTable
+from route81_spark.stats import StatsListener, serve_stats
+
+DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("_id", T.StringType()),
+        T.StructField("i", T.IntegerType()),
+        T.StructField("tag", T.StringType()),
+    ]
+)
+
+TOML = """
+change-stream-namespaces = ["test.test"]
+topic-name-prefix = ""
+
+[[pipeline]]
+namespace = "test.test"
+stages = '[{"$match": {"operationType": {"$in": ["insert", "update", "delete"]}}}]'
+
+[[consume]]
+kafka-topics = ["test.test"]
+mongo-namespace = "test.test2"
+document-root-path = "data"
+delete-id-path = "meta._id"
+bulk-flush-duration = "1s"
+"""
+
+
+def _event(op, _id, i=None, t=0):
+    doc = {"_id": _id, "i": i, "tag": f"t{i}"} if i is not None else None
+    return {
+        "operationType": op,
+        "clusterTime": {"t": t, "i": int(_id)},
+        "ns": {"db": "test", "coll": "test"},
+        "documentKey": {"_id": _id},
+        "fullDocument": doc,
+        "updateDescription": None,
+    }
+
+
+def _await(predicate, timeout=60, every=0.5):
+    t0 = time.time()
+    while time.time() - t0 < timeout:
+        try:
+            if predicate():
+                return True
+        except Exception:
+            pass  # e.g. sink dir exists but holds no parquet yet
+        time.sleep(every)
+    return False
+
+
+def test_streaming_loopback(spark, tmp_path):
+    cfg = load_config(TOML)
+    events_dir = tmp_path / "events_in"
+    topic_dir = tmp_path / "topic"
+    events_dir.mkdir()
+
+    # phase files: 20 inserts, 10 updates, 5 deletes
+    with open(events_dir / "p1.json", "w") as f:
+        for i in range(20):
+            f.write(json.dumps(_event("insert", str(i), i, t=1)) + "\n")
+    with open(events_dir / "p2.json", "w") as f:
+        for i in range(0, 20, 2):
+            f.write(json.dumps(_event("update", str(i), i * 10, t=2)) + "\n")
+        for i in range(0, 20, 4):
+            f.write(json.dumps(_event("delete", str(i), None, t=3)) + "\n")
+
+    listener = StatsListener()
+    spark.streams.addListener(listener)
+    stream = (
+        spark.readStream.schema(change_event_schema(DOC_SCHEMA))
+        .json(str(events_dir))
+        .withColumn("ns_full", F.concat_ws(".", "ns.db", "ns.coll"))
+    )
+    stream = namespace_filter(stream, cfg).drop("ns_full")
+
+    pq = streaming_producer_job(
+        spark, cfg, stream, "test.test",
+        sink_dir=str(topic_dir), checkpoint_dir=str(tmp_path / "ckpt_p"),
+        trigger_seconds=0.5,
+    )
+    try:
+        assert _await(
+            lambda: topic_dir.exists()
+            and spark.read.parquet(str(topic_dir)).count() >= 35
+        ), "producer did not emit all records"
+    finally:
+        pq.stop()
+
+    records = spark.read.parquet(str(topic_dir))
+    assert set(records.columns) == {"key", "value", "headers", "topic"}
+    assert records.select("topic").distinct().collect()[0][0] == "test.test"
+    sample = json.loads(
+        records.filter(F.col("key").cast("string") == '"3"').collect()[0]["value"].decode()
+    )
+    assert sample["meta"]["op"] == "i" and sample["data"]["i"] == {"$numberInt": "3"}
+
+    # consumer: stream the topic dir into the keyed table, ordered by
+    # the envelope timestamp as seq
+    table = KeyedParquetTable(spark, str(tmp_path / "t2"))
+    table.init(spark.createDataFrame([], DOC_SCHEMA))
+    spec = cfg.consumers[0]
+
+    # seq from the envelope's oplog timestamp — on the wire ts is the
+    # tagged {"$timestamp":{t,i}} form
+    seq_schema = T.StructType(
+        [
+            T.StructField(
+                "meta",
+                T.StructType(
+                    [
+                        T.StructField(
+                            "ts",
+                            T.StructType(
+                                [
+                                    T.StructField(
+                                        "$timestamp",
+                                        T.StructType(
+                                            [
+                                                T.StructField("t", T.LongType()),
+                                                T.StructField("i", T.LongType()),
+                                            ]
+                                        ),
+                                    )
+                                ]
+                            ),
+                        )
+                    ]
+                ),
+            )
+        ]
+    )
+    ts = F.from_json(F.col("value").cast("string"), seq_schema)["meta"]["ts"]["$timestamp"]
+    rec_stream = (
+        spark.readStream.schema(records.schema).parquet(str(topic_dir))
+        .withColumn("seq", ts.getField("t") * F.lit(10_000_000_000) + ts.getField("i"))
+    )
+    cq = consumer_job(
+        spark, spec, rec_stream, table, DOC_SCHEMA, str(tmp_path / "ckpt_c")
+    )
+    try:
+        # expected: 20 inserts, evens updated to i*10, multiples of 4 deleted
+        assert _await(lambda: table.exists() and table.read().count() == 15), (
+            f"consumer state wrong: {table.read().count() if table.exists() else 'missing'}"
+        )
+    finally:
+        cq.stop()
+
+    got = {r["_id"]: r for r in table.read().collect()}
+    assert set(got) == {str(i) for i in range(20) if i % 4 != 0}
+    assert got["2"]["i"] == 20 and got["2"]["tag"] == "t20"   # updated (replace)
+    assert got["3"]["i"] == 3 and got["3"]["tag"] == "t3"     # untouched insert
+
+    # stats listener accumulated producer observe() metrics
+    snap = listener.snapshot()
+    assert snap["inserted"] == 20 and snap["updated"] == 10 and snap["removed"] == 5
+
+    # HTTP endpoints (route81.go:937-980)
+    import urllib.request
+
+    srv = serve_stats(listener)
+    try:
+        port = srv.server_port
+        ok = urllib.request.urlopen(f"http://127.0.0.1:{port}/healthz").read()
+        assert ok == b"ok"
+        stats = json.loads(
+            urllib.request.urlopen(f"http://127.0.0.1:{port}/stats").read()
+        )
+        assert stats["inserted"] == 20
+    finally:
+        srv.shutdown()
+    spark.streams.removeListener(listener)
+
+
+def test_namespace_filter_blocks_consumer_targets(spark):
+    cfg = load_config(TOML)
+    df = spark.createDataFrame(
+        [("test.test",), ("test.test2",), ("route81.resume",)], "ns_full string"
+    )
+    out = namespace_filter(df, cfg)
+    assert [r["ns_full"] for r in out.collect()] == ["test.test"]
