@@ -702,6 +702,210 @@ def envelope_nation(spark, sf_dir):
     )
 
 
+@_q(
+    "envelope_roundtrip",
+    "SELECT n_nationkey, n_name, n_regionkey, CAST(n_nationkey AS VARCHAR) AS _id FROM nation",
+)
+def envelope_roundtrip(spark, sf_dir):
+    # producer encode -> consumer decode must be the identity on the
+    # document (P8 encode ∘ P11 decode = id), proving both codecs at once
+    from route81_spark.model.schemas import decode_envelope
+
+    df = with_synthetic_id(_t(spark, sf_dir, "nation"), "n_nationkey")
+    env = build_envelope(df, "test.nation")
+    decoded = env.select(decode_envelope(F.col("value"), df.schema).alias("msg"))
+    return decoded.select("msg.data.*")
+
+
+@_q(
+    "cdc_envelope_ops",
+    """
+    SELECT '"' || CAST(event_id AS VARCHAR) || '"' AS key, op, has_data, n
+    FROM (
+      SELECT 'i' AS op, TRUE AS has_data, count(*) AS n FROM events
+      UNION ALL
+      SELECT 'u', TRUE, count(*) FROM events WHERE event_id % 10 = 0
+      UNION ALL
+      SELECT 'd', FALSE, count(*) FROM events WHERE event_id % 25 = 0
+    ) s, events e
+    WHERE (s.op = 'i')
+       OR (s.op = 'u' AND e.event_id % 10 = 0)
+       OR (s.op = 'd' AND e.event_id % 25 = 0)
+    """,
+)
+def cdc_envelope_ops(spark, sf_dir):
+    # producer path over the change stream: op codes i/u/d on the wire
+    # (README.md:125/139/153), deletes without data
+    from route81_spark.config import Config
+    from route81_spark.jobs.producer import envelope_change_stream
+
+    ev = synthetic_change_events(spark, sf_dir)
+    env = envelope_change_stream(ev, "test.events", Config())
+    val = F.col("value").cast("string")
+    per_op_n = env.select(
+        F.get_json_object(val, "$.meta.op").alias("op"),
+    ).groupBy("op").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        env.select(
+            F.col("key").cast("string").alias("key"),
+            F.get_json_object(val, "$.meta.op").alias("op"),
+            F.get_json_object(val, "$.data").isNotNull().alias("has_data"),
+        )
+        .join(per_op_n, "op")
+        .select("key", "op", "has_data", "n")
+    )
+
+
+@_q(
+    "group_push_sorted",
+    """
+    SELECT o_orderstatus AS st,
+           array_to_string(list_sort(list(o_orderpriority ORDER BY o_orderkey)), '|') AS prios,
+           count(*) AS n
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def group_push_sorted(spark, sf_dir):
+    df = apply_pipeline(
+        _t(spark, sf_dir, "orders"),
+        [
+            {"$group": {"_id": "$o_orderstatus", "prios": {"$push": "$o_orderpriority"}, "n": {"$sum": 1}}},
+        ],
+    )
+    # $push order is source order (unstable under parallelism) — sort for
+    # a deterministic comparison, as Mongo users must too
+    return df.select(
+        F.col("_id").alias("st"),
+        F.concat_ws("|", F.array_sort("prios")).alias("prios"),
+        "n",
+    )
+
+
+@_q(
+    "expr_array_ops",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    )
+    SELECT doc_id,
+           array_to_string(toks[1:3], ',') AS first3,
+           array_to_string(list_sort(list_distinct(toks[1:4] || toks[3:6])), ',') AS uni,
+           CAST(len(toks) AS INT) AS n,
+           array_to_string(list_reverse(toks[1:3]), ',') AS rev3,
+           CASE WHEN list_contains(toks, 'the') THEN 1 ELSE 0 END AS has_the
+    FROM t
+    """,
+)
+def expr_array_ops(spark, sf_dir):
+    df = apply_pipeline(
+        _t(spark, sf_dir, "documents"),
+        [
+            {"$addFields": {"toks": {"$split": ["$text", " "]}}},
+            {
+                "$project": {
+                    "doc_id": 1,
+                    "first3": {"$slice": ["$toks", 3]},
+                    "uni": {
+                        "$setUnion": [
+                            {"$slice": ["$toks", 4]},
+                            {"$slice": ["$toks", 2, 4]},
+                        ]
+                    },
+                    "n": {"$size": "$toks"},
+                    "rev3": {"$reverseArray": {"$slice": ["$toks", 3]}},
+                    "has_the": {"$cond": [{"$in": ["the", "$toks"]}, 1, 0]},
+                }
+            },
+        ],
+    )
+    return df.select(
+        "doc_id",
+        F.concat_ws(",", "first3").alias("first3"),
+        F.concat_ws(",", "uni").alias("uni"),
+        "n",
+        F.concat_ws(",", "rev3").alias("rev3"),
+        "has_the",
+    )
+
+
+@_q(
+    "unwind_preserve_empty",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> length(x) >= 9) AS longs
+      FROM documents
+    ),
+    u AS (SELECT doc_id, unnest(longs) AS tok FROM t)
+    SELECT t.doc_id, u.tok
+    FROM t LEFT JOIN u ON t.doc_id = u.doc_id
+    """,
+)
+def unwind_preserve_empty(spark, sf_dir):
+    return apply_pipeline(
+        _t(spark, sf_dir, "documents"),
+        [
+            {
+                "$addFields": {
+                    "longs": {
+                        "$filter": {
+                            "input": {"$split": ["$text", " "]},
+                            "as": "x",
+                            "cond": {"$gte": [{"$strLenCP": "$$x"}, 9]},
+                        }
+                    }
+                }
+            },
+            {"$unwind": {"path": "$longs", "preserveNullAndEmptyArrays": True}},
+            {"$project": {"doc_id": 1, "tok": "$longs"}},
+        ],
+    )
+
+
+@_q(
+    "group_stddev",
+    """
+    SELECT l_returnflag AS rf,
+           round(stddev_pop(l_quantity), 4) AS sd_pop,
+           round(stddev_samp(l_quantity), 4) AS sd_samp,
+           count(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def group_stddev(spark, sf_dir):
+    return apply_pipeline(
+        _t(spark, sf_dir, "lineitem"),
+        [
+            {
+                "$group": {
+                    "_id": "$l_returnflag",
+                    "sd_pop": {"$stdDevPop": "$l_quantity"},
+                    "sd_samp": {"$stdDevSamp": "$l_quantity"},
+                    "n": {"$sum": 1},
+                }
+            },
+            {
+                "$project": {
+                    "_id": 0,
+                    "rf": "$_id",
+                    "sd_pop": {"$round": ["$sd_pop", 4]},
+                    "sd_samp": {"$round": ["$sd_samp", 4]},
+                    "n": 1,
+                }
+            },
+        ],
+    )
+
+
+@_q("media_features")  # no SQL oracle: mapInPandas plumbing -> rows-only check
+def media_features(spark, sf_dir):
+    from route81_spark.ops.multimodal import extract_features, synthetic_media
+
+    return extract_features(synthetic_media(spark, n=128)).select(
+        "media_id", "kind", "n_bytes", "sha"
+    )
+
+
 # =====================================================================
 # Dedup family
 # =====================================================================
