@@ -25,7 +25,7 @@ from route81_spark.session import get_spark
 BENCH_QUERIES = [
     "group_sum_avg",      # pipeline-compiled Q1-style aggregation (lineitem)
     "match_project",      # filter+project scan path, pushdown-sensitive
-    "envelope_nation",    # envelope wire-format construction
+    "envelope_lineitem",  # full-envelope wire-format construction, widest table
     "cdc_merge_state",    # change feed -> classify -> keyed merge
     "dedup_lsh_jaccard",  # MinHash LSH candidates + Jaccard verify
     "dedup_exact",        # hash-agg dedup

@@ -897,6 +897,49 @@ def group_stddev(spark, sf_dir):
     )
 
 
+@_q(
+    "stage_dedup_then_analyze",
+    """
+    WITH kept AS (
+      SELECT d.* FROM documents d
+      JOIN (SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) h,
+                   min(doc_id) keep_id
+            FROM documents GROUP BY 1) k
+        ON d.doc_id = k.keep_id
+    )
+    SELECT doc_id,
+           CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) AS n_tokens,
+           lang
+    FROM kept
+    """,
+)
+def stage_dedup_then_analyze(spark, sf_dir):
+    # extension stages invoked through the pipeline-JSON surface itself
+    df = apply_pipeline(
+        _t(spark, sf_dir, "documents"),
+        [
+            {"$dedupExact": {"textField": "text", "idField": "doc_id"}},
+            {"$textAnalyze": {"textField": "text"}},
+            {"$project": {"doc_id": 1, "n_tokens": 1, "lang": 1}},
+        ],
+    )
+    return df
+
+
+@_q("envelope_lineitem")  # no SQL oracle (binary wire columns) -> rows-only;
+def envelope_lineitem(spark, sf_dir):
+    # the producer-path throughput workload for bench: full canonical
+    # ext-JSON envelope over the widest table
+    from route81_spark.io import ensure_parallelism
+
+    df = with_synthetic_id(
+        ensure_parallelism(_t(spark, sf_dir, "lineitem")), "l_orderkey", "l_linenumber"
+    )
+    return build_envelope(
+        df, "test.lineitem", EnvelopeConfig(topic_name_prefix="pfx")
+    )
+
+
 @_q("media_features")  # no SQL oracle: mapInPandas plumbing -> rows-only check
 def media_features(spark, sf_dir):
     from route81_spark.ops.multimodal import extract_features, synthetic_media

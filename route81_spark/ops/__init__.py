@@ -12,3 +12,4 @@ changes per-row CPU, not the shuffle structure.
 """
 
 from route81_spark.ops import dedup, similarity, text  # noqa: F401
+from route81_spark.ops import stages  # noqa: F401  (registers $dedupExact etc.)

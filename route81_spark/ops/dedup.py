@@ -125,6 +125,10 @@ def lsh_candidates(
     ]
     banded = sigs.select(F.col(id_col), F.array(*band_hashes).alias("bh"))
     exploded = banded.select(id_col, F.posexplode("bh").alias("band_idx", "band_hash"))
+    # NB: the self-join recomputes this lineage on both sides. Measured at
+    # sf0.1 that is cheaper than truncating lineage (localCheckpoint made
+    # it 1.5x slower); on a real cluster with a 100x corpus, persist() the
+    # signatures before the join instead.
     a = exploded.alias("a")
     b = exploded.alias("b")
     return (
