@@ -20,6 +20,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from route81_spark.envelope import EnvelopeConfig, build_envelope, with_synthetic_id
 from route81_spark.io import load_table
@@ -32,6 +33,20 @@ from route81_spark.sources.change_events import synthetic_change_events
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
+
+# DuckDB-side cosine: sequential fold identical to F.aggregate's order,
+# elements cast to double BEFORE multiplying (bit-exact vs Spark)
+_DOT = (
+    "list_reduce(list_transform(range(1, 65),"
+    " i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)"
+)
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"{_DOT.format(a=a, b=b)} / "
+        f"(sqrt({_DOT.format(a=a, b=a)}) * sqrt({_DOT.format(a=b, b=b)}))"
+    )
 
 
 def _q(name: str, oracle: str | None = None):
@@ -599,6 +614,122 @@ def elem_match_size(spark, sf_dir):
     )
 
 
+@_q(
+    "expr_date_arith",
+    """
+    SELECT o_orderkey,
+           CAST(week(o_orderdate) AS INT) AS wk,
+           o_orderdate + INTERVAL 30 DAY AS due,
+           date_diff('day', o_orderdate, TIMESTAMP '1998-12-31') AS days_left,
+           date_diff('month', o_orderdate, TIMESTAMP '1998-12-31') AS months_left
+    FROM orders
+    """,
+)
+def expr_date_arith(spark, sf_dir):
+    return apply_pipeline(
+        _t(spark, sf_dir, "orders"),
+        [
+            {
+                "$project": {
+                    "o_orderkey": 1,
+                    "wk": {"$week": "$o_orderdate"},
+                    "due": {
+                        "$dateAdd": {"startDate": "$o_orderdate", "unit": "day", "amount": 30}
+                    },
+                    "days_left": {
+                        "$dateDiff": {
+                            "startDate": "$o_orderdate",
+                            "endDate": {"$toDate": "1998-12-31"},
+                            "unit": "day",
+                        }
+                    },
+                    "months_left": {
+                        "$dateDiff": {
+                            "startDate": "$o_orderdate",
+                            "endDate": {"$toDate": "1998-12-31"},
+                            "unit": "month",
+                        }
+                    },
+                }
+            }
+        ],
+    )
+
+
+@_q(
+    "plainjson_roundtrip",
+    "SELECT r_regionkey, r_name, CAST(r_regionkey AS VARCHAR) AS _id FROM region",
+)
+def plainjson_roundtrip(spark, sf_dir):
+    # P9 plain-JSON encode -> P11 json-format decode = identity
+    from route81_spark.codecs.plainjson import plain_json_string
+    from route81_spark.model.schemas import envelope_schema
+
+    df = with_synthetic_id(_t(spark, sf_dir, "region"), "r_regionkey")
+    doc = F.struct(*[F.col(c) for c in df.columns])
+    env = df.select(
+        plain_json_string(
+            F.struct(
+                F.struct(F.col("_id").alias("_id")).alias("meta"), doc.alias("data")
+            ),
+            T.StructType(
+                [
+                    T.StructField("meta", T.StructType([T.StructField("_id", T.StringType())])),
+                    T.StructField("data", df.schema),
+                ]
+            ),
+        ).alias("value")
+    )
+    decoded = env.select(
+        F.from_json(F.col("value"), envelope_schema(df.schema)).alias("msg")
+    )
+    return decoded.select("msg.data.*")
+
+
+@_q(
+    "sim_ivf",
+    f"""
+    WITH c AS (
+      SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings WHERE vec_id < 16
+    ),
+    assign AS (
+      SELECT vec_id, embedding, centroid_id FROM (
+        SELECT e.vec_id, e.embedding, c.centroid_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY round({_cos_sql('e.embedding', 'c.cv')}, 6) DESC,
+                          c.centroid_id ASC) AS rn
+        FROM embeddings e CROSS JOIN c
+      ) WHERE rn = 1
+    ),
+    q AS (
+      SELECT vec_id AS query_id, embedding AS qv, centroid_id
+      FROM assign WHERE vec_id % 100 = 0
+    ),
+    scored AS (
+      SELECT q.query_id, a.vec_id,
+             round({_cos_sql('a.embedding', 'q.qv')}, 6) AS score
+      FROM assign a JOIN q USING (centroid_id)
+    )
+    SELECT query_id, vec_id, score, rank FROM (
+      SELECT query_id, vec_id, score,
+             CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY score DESC, vec_id ASC) AS INT) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def sim_ivf(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid_vec")
+    )
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return S.ivf_topk(emb, queries, centroids, k=5)
+
+
 # =====================================================================
 # CDC: change-event dialect, envelope, classifier + keyed merge
 # =====================================================================
@@ -1055,18 +1186,6 @@ def dedup_simhash(spark, sf_dir):
 # =====================================================================
 # Similarity search
 # =====================================================================
-
-_DOT = (
-    "list_reduce(list_transform(range(1, 65),"
-    " i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)"
-)
-
-
-def _cos_sql(a: str, b: str) -> str:
-    return (
-        f"{_DOT.format(a=a, b=b)} / "
-        f"(sqrt({_DOT.format(a=a, b=a)}) * sqrt({_DOT.format(a=b, b=b)}))"
-    )
 
 
 @_q(

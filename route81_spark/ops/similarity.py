@@ -103,6 +103,72 @@ def bucketed_topk(
     )
 
 
+def ivf_assign(
+    emb: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+    centroid_vec_col: str = "centroid_vec",
+) -> DataFrame:
+    """IVF coarse quantization: assign every vector to its
+    max-cosine centroid (ties -> lowest centroid id). The codebook is
+    broadcast; assignment is map-side + a per-vector top-1 window over
+    C rows — no full shuffle of the corpus."""
+    scored = emb.crossJoin(F.broadcast(centroids)).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col(centroid_id_col),
+        F.round(cosine(F.col(vec_col), F.col(centroid_vec_col)), 6).alias("__cscore"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("__cscore").desc(), F.col(centroid_id_col).asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, vec_col, centroid_id_col)
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """IVF ANN (nprobe=1): search only the query's own centroid cell.
+    At 100 TB this is the classic two-level scheme: the corpus is
+    partitioned once by centroid (hash shuffle on a small int), each
+    query probes one cell via an equi-join on the centroid id."""
+    assigned = ivf_assign(emb, centroids, id_col, vec_col)
+    q_assigned = ivf_assign(
+        queries.select(
+            F.col(query_id_col).alias("vec_id"), F.col(query_vec_col).alias("embedding")
+        ),
+        centroids,
+    ).select(
+        F.col("vec_id").alias(query_id_col),
+        F.col("embedding").alias(query_vec_col),
+        F.col("centroid_id"),
+    )
+    scored = assigned.join(F.broadcast(q_assigned), "centroid_id").select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), F.col(query_vec_col)), 6).alias("score"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "score", F.col("rank").cast("int").alias("rank"))
+    )
+
+
 def embedding_near_dups(
     emb: DataFrame,
     threshold: float = 0.98,

@@ -302,6 +302,10 @@ def _apply_simple(op: str, cols: list[Column], raw_arg: Any, df: DataFrame | Non
         return F.dayofweek(c[0])
     if op == "$dayOfYear":
         return F.dayofyear(c[0])
+    if op == "$week":
+        return F.weekofyear(c[0])
+    if op == "$millisecond":
+        return (F.unix_micros(c[0]) % 1_000_000 / 1000).cast("int")
     if op == "$eq":
         return c[0].eqNullSafe(c[1])
     if op == "$ne":
@@ -394,6 +398,34 @@ def _compile_op(op: str, arg: Any, df: DataFrame | None) -> Column:
     if op == "$dateToString":
         fmt = mongo_date_format(arg.get("format", "%Y-%m-%dT%H:%M:%S.%LZ"))
         return F.date_format(compile_expr(arg["date"], df), fmt)
+    if op == "$dateAdd":
+        start = compile_expr(arg["startDate"], df)
+        unit = arg["unit"]
+        if unit.lower() not in ("year", "quarter", "month", "week", "day", "hour", "minute", "second"):
+            raise PipelineCompileError(f"unsupported $dateAdd unit: {unit}")
+        amount = compile_expr(arg["amount"], df)
+        return F.timestamp_add(unit.upper(), amount, start)
+    if op == "$dateDiff":
+        # Mongo counts *boundary crossings* (like DuckDB date_diff), not
+        # elapsed full units (like Spark timestampdiff) — compile
+        # accordingly per unit
+        start = compile_expr(arg["startDate"], df)
+        end = compile_expr(arg["endDate"], df)
+        unit = arg["unit"]
+        if unit == "day":
+            return F.datediff(F.to_date(end), F.to_date(start)).cast("long")
+        if unit == "year":
+            return (F.year(end) - F.year(start)).cast("long")
+        if unit == "month":
+            return (
+                (F.year(end) * 12 + F.month(end)) - (F.year(start) * 12 + F.month(start))
+            ).cast("long")
+        if unit == "hour":
+            return (
+                (F.unix_seconds(F.date_trunc("hour", end))
+                 - F.unix_seconds(F.date_trunc("hour", start))) / 3600
+            ).cast("long")
+        raise PipelineCompileError(f"unsupported $dateDiff unit: {unit}")
     if op == "$filter":
         arr = compile_expr(arg["input"], df)
         var = arg.get("as", "this")
