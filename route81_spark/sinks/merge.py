@@ -58,12 +58,20 @@ def apply_changes(
 class KeyedParquetTable:
     """Mutable keyed table backed by a parquet directory with
     atomic-rename versioning — the harness stand-in for Delta MERGE /
-    MongoDB bulk writes. Used from foreachBatch."""
+    MongoDB bulk writes. Used from foreachBatch.
 
-    def __init__(self, spark: SparkSession, path: str, key: str = "_id"):
+    With `buckets=N` the table is hash-partitioned on the key
+    (`bucket=pmod(xxhash64(key), N)` directories) and a merge rewrites
+    ONLY the buckets that contain changed keys — the same file-pruning
+    property a Delta MERGE gets from data skipping. A CDC batch touching
+    0.1% of keys rewrites ~0.1% of buckets instead of the whole table,
+    which is what makes a keyed sink viable at 100 TB."""
+
+    def __init__(self, spark: SparkSession, path: str, key: str = "_id", buckets: int = 0):
         self.spark = spark
         self.path = path
         self.key = key
+        self.buckets = buckets
 
     @property
     def _current(self) -> str:
@@ -73,14 +81,29 @@ class KeyedParquetTable:
         return os.path.isdir(self._current)
 
     def read(self) -> DataFrame:
-        return self.spark.read.parquet(self._current)
+        df = self.spark.read.parquet(self._current)
+        return df.drop("bucket") if self.buckets else df
+
+    def _bucket_of(self, col) -> "F.Column":
+        return F.pmod(F.xxhash64(col.cast("string")), F.lit(self.buckets)).cast("int")
 
     def init(self, df: DataFrame) -> None:
         os.makedirs(self.path, exist_ok=True)
-        df.write.mode("overwrite").parquet(self._current)
+        if self.buckets:
+            (
+                df.withColumn("bucket", self._bucket_of(F.col(self.key)))
+                .write.mode("overwrite")
+                .partitionBy("bucket")
+                .parquet(self._current)
+            )
+        else:
+            df.write.mode("overwrite").parquet(self._current)
 
     def merge(self, changes: DataFrame, seq: str | None = "seq") -> None:
         """changes: doc_id, is_delete, doc struct (+ optional seq)."""
+        if self.buckets:
+            self._merge_bucketed(changes, seq)
+            return
         new_state = apply_changes(self.read(), changes, seq=seq)
         tmp = os.path.join(self.path, "next")
         new_state.write.mode("overwrite").parquet(tmp)
@@ -91,3 +114,34 @@ class KeyedParquetTable:
         os.rename(old, swap)
         os.rename(tmp, old)
         shutil.rmtree(swap)
+
+    def _merge_bucketed(self, changes: DataFrame, seq: str | None) -> None:
+        """Rewrite only the buckets containing changed keys, via dynamic
+        partition overwrite (non-touched bucket directories are left
+        untouched on disk)."""
+        changes = changes.withColumn("bucket", self._bucket_of(F.col("doc_id")))
+        touched = [r["bucket"] for r in changes.select("bucket").distinct().collect()]
+        if not touched:
+            return
+        current = self.spark.read.parquet(self._current).filter(
+            F.col("bucket").isin(touched)
+        )
+        new_state = apply_changes(current.drop("bucket"), changes.drop("bucket"), seq=seq)
+        out = new_state.withColumn("bucket", self._bucket_of(F.col(self.key)))
+        # write the new versions of the touched buckets to a scratch dir
+        # (cannot overwrite the path being read), then swap exactly those
+        # bucket directories; untouched buckets are never rewritten
+        tmp = os.path.join(self.path, "next")
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)
+        out.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+        for b in touched:
+            cur_b = os.path.join(self._current, f"bucket={b}")
+            new_b = os.path.join(tmp, f"bucket={b}")
+            if os.path.isdir(cur_b):
+                shutil.rmtree(cur_b)
+            if os.path.isdir(new_b):
+                # bucket still has rows; an all-deleted bucket simply
+                # stays removed so deletes are not resurrected
+                os.rename(new_b, cur_b)
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -104,6 +104,42 @@ def test_loopback_three_phases(spark, tmp_path):
     assert table.read().count() == 0
 
 
+def test_bucketed_merge_rewrites_only_touched_buckets(spark, tmp_path):
+    import os
+
+    n, buckets = 200, 16
+    src = spark.range(n).select(
+        F.col("id").cast("string").alias("_id"), F.col("id").cast("int").alias("i")
+    )
+    table = KeyedParquetTable(spark, str(tmp_path / "bt"), buckets=buckets)
+    table.init(src)
+    assert table.read().count() == n
+
+    # record file mtimes per bucket dir before the merge
+    cur = str(tmp_path / "bt" / "current")
+    before = {d: os.path.getmtime(os.path.join(cur, d)) for d in os.listdir(cur) if d.startswith("bucket=")}
+
+    # change 3 keys: update "7", delete "8", insert "999"
+    changes = spark.createDataFrame(
+        [
+            ("7", False, ("7", 700), 1),
+            ("8", True, None, 1),
+            ("999", False, ("999", 999), 1),
+        ],
+        "doc_id string, is_delete boolean, doc struct<_id:string,i:int>, seq int",
+    )
+    table.merge(changes)
+
+    got = {r["_id"]: r["i"] for r in table.read().collect()}
+    assert len(got) == n  # -1 delete +1 insert
+    assert got["7"] == 700 and "8" not in got and got["999"] == 999
+
+    after = {d: os.path.getmtime(os.path.join(cur, d)) for d in os.listdir(cur) if d.startswith("bucket=")}
+    untouched = [d for d in before if before[d] == after.get(d)]
+    # at most 3 buckets were rewritten; the rest must be byte-identical dirs
+    assert len(untouched) >= buckets - 3
+
+
 def test_namespace_feedback_loop_filter(spark):
     """Consumer target namespaces are excluded from production
     (route81.go:163-179)."""

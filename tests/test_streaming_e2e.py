@@ -192,6 +192,34 @@ def test_streaming_loopback(spark, tmp_path):
     spark.streams.removeListener(listener)
 
 
+def test_command_envelope_contract(spark):
+    """Commands: key = namespace (db for dropDatabase), op='c', no data,
+    no _id header; dropDatabase routes by db name (route81.go:1330-1398)."""
+    from route81_spark.config import Config
+    from route81_spark.jobs.producer import envelope_change_stream
+
+    cfg = Config()  # no pipeline: a $match on operationType would
+    # (faithfully) filter commands before the envelope, like the server
+    evs = spark.createDataFrame(
+        [
+            json.dumps(_event("insert", "1", 1, t=1)),
+            json.dumps({**_event("drop", "0", None, t=2), "fullDocument": None}),
+            json.dumps({**_event("dropDatabase", "0", None, t=3), "fullDocument": None}),
+        ],
+        "string",
+    ).select(F.from_json("value", change_event_schema(DOC_SCHEMA)).alias("e")).select("e.*")
+    recs = envelope_change_stream(evs, "test.test", cfg).collect()
+    by_key = {bytes(r["key"]).decode(): r for r in recs}
+    assert set(by_key) == {'"1"', "test.test", "test"}
+    cmd = by_key["test.test"]
+    v = json.loads(bytes(cmd["value"]).decode())
+    assert v["meta"]["op"] == "c" and "data" not in v and "_id" not in v["meta"]
+    hdr_keys = [h["key"] for h in cmd["headers"]]
+    assert "_id" not in hdr_keys and "ns" in hdr_keys
+    dropdb = by_key["test"]
+    assert dropdb["topic"] == "test"  # routed by db name
+
+
 def test_namespace_filter_blocks_consumer_targets(spark):
     cfg = load_config(TOML)
     df = spark.createDataFrame(
