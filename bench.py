@@ -29,8 +29,10 @@ BENCH_QUERIES = [
     "cdc_merge_state",    # change feed -> classify -> keyed merge
     "dedup_lsh_jaccard",  # MinHash LSH candidates + Jaccard verify
     "dedup_exact",        # hash-agg dedup
-    "sim_topk",           # brute-force cosine top-k
-    "sim_bucketed",       # bucketed ANN
+    "sim_topk",           # brute-force cosine top-k (bit-exact fold path)
+    "sim_topk_blas",      # brute-force via Arrow+BLAS matmul (scale path)
+    "sim_bucketed",       # sign-bucket LSH ANN
+    "sim_ivf",            # IVF coarse-quantization ANN
     "text_stats",         # per-row text analysis expressions
     "unwind_group",       # explode + aggregate
 ]

@@ -375,8 +375,10 @@ def group_addtoset(spark, sf_dir):
     """,
 )
 def unwind_group(spark, sf_dir):
+    from route81_spark.io import ensure_parallelism
+
     return apply_pipeline(
-        _t(spark, sf_dir, "documents"),
+        ensure_parallelism(_t(spark, sf_dir, "documents")),
         [
             {"$addFields": {"tok": {"$split": ["$text", " "]}}},
             {"$unwind": "$tok"},
@@ -1222,6 +1224,17 @@ def sim_topk(spark, sf_dir):
     return S.brute_force_topk(emb, queries, k=5)
 
 
+@_q("sim_topk_blas")  # rows-only: BLAS ulps may shift 1e-6-rounded ties
+def sim_topk_blas(spark, sf_dir):
+    from route81_spark.io import ensure_parallelism
+
+    emb = ensure_parallelism(_t(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return S.brute_force_topk_np(emb, queries, k=5)
+
+
 @_q(
     "sim_bucketed",
     f"""
@@ -1296,7 +1309,9 @@ _TOKS = "string_split_regex(trim(text), '\\s+')"
     """,
 )
 def text_stats(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    from route81_spark.io import ensure_parallelism
+
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
     c = F.col("text")
     return docs.select(
         "doc_id",

@@ -65,6 +65,68 @@ def brute_force_topk(
     )
 
 
+def brute_force_topk_np(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """BLAS-backed brute-force top-k: the throughput path for dense
+    scoring. The query matrix ships to every task (collected once —
+    it is the broadcast side by construction); each Arrow batch scores
+    E @ Q^T in one matmul and keeps only the partition-local top-k per
+    query, so the shuffle carries k rows per (query, partition) and the
+    final window ranks a tiny set. Same contract as brute_force_topk;
+    scores may differ in the last float ulps (BLAS summation order), so
+    this is the bench/scale variant while the fold version carries the
+    bit-exact oracle."""
+    import numpy as np
+    import pandas as pd
+
+    q_rows = queries.select(query_id_col, query_vec_col).collect()
+    q_ids = np.array([r[query_id_col] for r in q_rows])
+    Q = np.array([r[query_vec_col] for r in q_rows], dtype=np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            E = np.array(list(pdf[vec_col]), dtype=np.float64)
+            En = E / np.linalg.norm(E, axis=1, keepdims=True)
+            S = En @ Qn.T  # (n, q)
+            n = len(pdf)
+            kk = min(k, n)
+            idx = np.argpartition(-S, kk - 1, axis=0)[:kk]  # (kk, q)
+            out_rows = []
+            ids = pdf[id_col].to_numpy()
+            for qi in range(len(q_ids)):
+                sel = idx[:, qi]
+                out_rows.append(
+                    pd.DataFrame(
+                        {
+                            query_id_col: q_ids[qi],
+                            id_col: ids[sel],
+                            "score": np.round(S[sel, qi], 6),
+                        }
+                    )
+                )
+            yield pd.concat(out_rows, ignore_index=True)
+
+    partial = emb.select(id_col, vec_col).mapInPandas(
+        score, schema=f"{query_id_col} long, {id_col} long, score double"
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "score", F.col("rank").cast("int").alias("rank"))
+    )
+
+
 def sign_bucket(vec: Column, n_dims: int = 8) -> Column:
     """LSH bucket id from the sign bits of the leading `n_dims` dims —
     a pure per-row expression (deterministic, oracle-reproducible)."""
