@@ -617,6 +617,88 @@ def elem_match_size(spark, sf_dir):
 
 
 @_q(
+    "group_first_last_sorted",
+    """
+    SELECT user_id,
+           arg_max(event_type, event_id) AS latest_type,
+           arg_max(value, event_id) AS latest_value,
+           arg_min(event_type, event_id) AS first_type,
+           count(*) AS n
+    FROM events GROUP BY user_id
+    """,
+)
+def group_first_last_sorted(spark, sf_dir):
+    # the CDC latest-per-key pattern: $sort desc + $group $first compiles
+    # to max_by/min_by (deterministic under parallelism)
+    return apply_pipeline(
+        _t(spark, sf_dir, "events"),
+        [
+            {"$sort": {"event_id": -1}},
+            {
+                "$group": {
+                    "_id": "$user_id",
+                    "latest_type": {"$first": "$event_type"},
+                    "latest_value": {"$first": "$value"},
+                    "first_type": {"$last": "$event_type"},
+                    "n": {"$sum": 1},
+                }
+            },
+            {
+                "$project": {
+                    "_id": 0,
+                    "user_id": "$_id",
+                    "latest_type": 1,
+                    "latest_value": 1,
+                    "first_type": 1,
+                    "n": 1,
+                }
+            },
+        ],
+    )
+
+
+@_q(
+    "expr_convert",
+    """
+    SELECT event_id,
+           CAST(trunc(value) AS BIGINT) AS v_long,
+           CAST(event_id AS VARCHAR) AS id_str,
+           COALESCE(CAST(trunc(CASE WHEN event_id % 3 = 0 THEN NULL
+                                    ELSE value END) AS INT), -1) AS v_or_default
+    FROM events
+    """,
+    # NB: DuckDB CAST(double AS BIGINT) rounds; Mongo $convert (and
+    # Spark cast) truncate toward zero — the oracle must trunc() first
+)
+def expr_convert(spark, sf_dir):
+    return apply_pipeline(
+        _t(spark, sf_dir, "events"),
+        [
+            {
+                "$project": {
+                    "event_id": 1,
+                    "v_long": {"$convert": {"input": "$value", "to": "long"}},
+                    "id_str": {"$convert": {"input": "$event_id", "to": "string"}},
+                    "v_or_default": {
+                        "$convert": {
+                            "input": {
+                                "$cond": [
+                                    {"$eq": [{"$mod": ["$event_id", 3]}, 0]},
+                                    None,
+                                    "$value",
+                                ]
+                            },
+                            "to": "int",
+                            "onNull": -1,
+                        }
+                    },
+                }
+            }
+        ],
+    )
+
+
+@_q(
     "expr_date_arith",
     """
     SELECT o_orderkey,

@@ -32,10 +32,36 @@ def register_stage(name: str, fn: Callable[[DataFrame, Any], DataFrame]) -> None
 
 # --- $group accumulators -------------------------------------------------
 
-def _accumulator(spec: dict, df: DataFrame) -> Column:
+def _sort_key_col(sort_spec: dict | None, reverse: bool) -> Column | None:
+    """Build the ordering column for sort-aware $first/$last. Supports a
+    single sort key, or multiple keys sharing one direction (struct
+    ordering is lexicographic)."""
+    if not sort_spec:
+        return None
+    directions = set(sort_spec.values())
+    if len(directions) != 1:
+        return None  # mixed asc/desc not expressible via min_by/max_by
+    cols = [F.col(k) for k in sort_spec]
+    key = cols[0] if len(cols) == 1 else F.struct(*cols)
+    return key
+
+
+def _accumulator(spec: dict, df: DataFrame, sort_spec: dict | None = None) -> Column:
     if not (isinstance(spec, dict) and len(spec) == 1):
         raise PipelineCompileError(f"bad accumulator: {spec}")
     op, arg = next(iter(spec.items()))
+    if op in ("$first", "$last") and sort_spec:
+        # Mongo defines $first/$last by the pipeline's current document
+        # order — after a $sort, that is min/max over the sort key.
+        # Compile to min_by/max_by: deterministic under parallelism,
+        # unlike Spark's order-dependent first()/last().
+        key = _sort_key_col(sort_spec, reverse=False)
+        if key is not None:
+            direction = next(iter(sort_spec.values()))
+            ascending = direction >= 0
+            want_min = (op == "$first") == ascending
+            fn = F.min_by if want_min else F.max_by
+            return fn(compile_expr(arg, df), key)
     if op == "$sum":
         if isinstance(arg, (int, float)) and not isinstance(arg, bool):
             return F.count(F.lit(1)) * F.lit(arg) if arg != 1 else F.count(F.lit(1))
@@ -65,12 +91,14 @@ def _accumulator(spec: dict, df: DataFrame) -> Column:
     raise PipelineCompileError(f"unsupported $group accumulator: {op}")
 
 
-def _stage_group(df: DataFrame, arg: dict) -> DataFrame:
+def _stage_group(df: DataFrame, arg: dict, sort_spec: dict | None = None) -> DataFrame:
     if "_id" not in arg:
         raise PipelineCompileError("$group requires _id")
     gid = arg["_id"]
     accs = [
-        _accumulator(spec, df).alias(name) for name, spec in arg.items() if name != "_id"
+        _accumulator(spec, df, sort_spec).alias(name)
+        for name, spec in arg.items()
+        if name != "_id"
     ]
     if gid is None:
         out = df.agg(*accs) if accs else df.agg(F.count(F.lit(1)).alias("__n")).drop("__n")
@@ -182,7 +210,7 @@ _KNOWN_STAGES = {
 }
 
 
-def compile_stage(stage: dict) -> Callable[[DataFrame], DataFrame]:
+def compile_stage(stage: dict, sort_spec: dict | None = None) -> Callable[[DataFrame], DataFrame]:
     if not (isinstance(stage, dict) and len(stage) == 1):
         raise PipelineCompileError(f"each pipeline stage must be a single-key document: {stage}")
     name, arg = next(iter(stage.items()))
@@ -211,7 +239,7 @@ def compile_stage(stage: dict) -> Callable[[DataFrame], DataFrame]:
         if name == "$sort":
             return _stage_sort(df, arg)
         if name == "$group":
-            return _stage_group(df, arg)
+            return _stage_group(df, arg, sort_spec)
         if name == "$unwind":
             return _stage_unwind(df, arg)
         if name in ("$replaceRoot", "$replaceWith"):
@@ -227,8 +255,18 @@ def compile_stage(stage: dict) -> Callable[[DataFrame], DataFrame]:
 
 
 def compile_pipeline(stages: list[dict]) -> Callable[[DataFrame], DataFrame]:
-    """Compile a stage list into one DataFrame -> DataFrame transform."""
-    fns = [compile_stage(s) for s in stages]
+    """Compile a stage list into one DataFrame -> DataFrame transform.
+    Tracks the most recent $sort so $first/$last accumulators in a later
+    $group compile to deterministic min_by/max_by over the sort key."""
+    fns = []
+    sort_spec: dict | None = None
+    for s in stages:
+        fns.append(compile_stage(s, sort_spec))
+        key = next(iter(s))
+        if key == "$sort":
+            sort_spec = s["$sort"]
+        elif key == "$group":
+            sort_spec = None  # grouping discards document order
 
     def run(df: DataFrame) -> DataFrame:
         for f in fns:

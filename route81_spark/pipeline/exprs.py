@@ -398,6 +398,19 @@ def _compile_op(op: str, arg: Any, df: DataFrame | None) -> Column:
     if op == "$dateToString":
         fmt = mongo_date_format(arg.get("format", "%Y-%m-%dT%H:%M:%S.%LZ"))
         return F.date_format(compile_expr(arg["date"], df), fmt)
+    if op == "$convert":
+        inp = compile_expr(arg["input"], df)
+        to = arg["to"]
+        mapping = {
+            "int": "int", "long": "long", "double": "double", "bool": "boolean",
+            "string": "string", "date": "timestamp", "decimal": "decimal(38,10)",
+        }
+        if to not in mapping:
+            raise PipelineCompileError(f"unsupported $convert target: {to}")
+        out = inp.cast(mapping[to])
+        if "onNull" in arg:
+            out = F.coalesce(out, compile_expr(arg["onNull"], df))
+        return out
     if op == "$dateAdd":
         start = compile_expr(arg["startDate"], df)
         unit = arg["unit"]
