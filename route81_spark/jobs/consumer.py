@@ -50,9 +50,14 @@ def apply_consumer_batch(
     batch: DataFrame,
     spec: ConsumerSpec,
     doc_schema: T.StructType,
-) -> None:
+) -> dict:
     """One micro-batch: decode -> classify -> merge. The body of
-    foreachBatch; also usable directly for batch backfills."""
+    foreachBatch; also usable directly for batch backfills.
+
+    Partial-failure contract (route81.go:1100-1116): a message whose
+    document id cannot be extracted is counted as failed and skipped;
+    the rest of the batch still applies. Returns {'success': n,
+    'failed': n} for stats accounting."""
     decoded = decode_records(batch, spec, doc_schema)
     classified = classify(
         decoded,
@@ -62,7 +67,13 @@ def apply_consumer_batch(
         ),
         keep=["seq"],
     )
-    table.merge(classified, seq="seq" if "seq" in classified.columns else None)
+    counts = classified.select(
+        F.count(F.lit(1)).alias("total"),
+        F.count(F.when(F.col("doc_id").isNull(), 1)).alias("failed"),
+    ).collect()[0]
+    good = classified.filter(F.col("doc_id").isNotNull())
+    table.merge(good, seq="seq" if "seq" in classified.columns else None)
+    return {"success": int(counts["total"] - counts["failed"]), "failed": int(counts["failed"])}
 
 
 def consumer_job(

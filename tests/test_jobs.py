@@ -1,0 +1,88 @@
+"""Batch job tests: direct_read_job wiring (P2 + P4 + P5 + P7) and
+consumer partial-failure accounting (P15)."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import Row, functions as F
+
+from route81_spark.config import load_config
+from route81_spark.jobs.consumer import apply_consumer_batch
+from route81_spark.jobs.producer import direct_read_job
+from route81_spark.sinks.merge import KeyedParquetTable
+
+
+def test_direct_read_job_end_to_end(spark, sf_dir):
+    cfg = load_config(
+        """
+direct-read-namespaces = ["test.nation", "test.region"]
+topic-name-prefix = "pfx"
+
+[[producer-map]]
+mongo-namespace = "test.region"
+kafka-topic = "regions"
+
+[[pipeline]]
+namespace = "test.nation"
+direct = true
+stages = '[{"$match": {"n_regionkey": {"$lte": 2}}}]'
+"""
+    )
+    records = direct_read_job(
+        spark,
+        cfg,
+        table_paths={
+            "test.nation": f"{sf_dir}/nation.parquet",
+            "test.region": f"{sf_dir}/region.parquet",
+        },
+        id_cols={"test.nation": ["n_nationkey"], "test.region": ["r_regionkey"]},
+    )
+    rows = records.collect()
+    topics = {r["topic"] for r in rows}
+    # producer-map rewrites region; nation takes prefix+ns (README.md:236-259)
+    assert topics == {"pfx.test.nation", "regions"}
+    nation_rows = [r for r in rows if r["topic"] == "pfx.test.nation"]
+    assert all(
+        json.loads(bytes(r["value"]).decode())["data"]["n_regionkey"]["$numberInt"] in "012"
+        for r in nation_rows
+    )
+    # direct reads: no op in meta (route81.go:1376-1381)
+    v = json.loads(bytes(nation_rows[0]["value"]).decode())
+    assert "op" not in v["meta"]
+
+
+def test_consumer_batch_partial_failure(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from route81_spark.config import ConsumerSpec
+    from route81_spark.codecs.extjson import ext_json_string
+    from route81_spark.envelope import build_envelope, with_synthetic_id
+
+    doc_schema = T.StructType(
+        [
+            T.StructField("_id", T.StringType()),
+            T.StructField("x", T.IntegerType()),
+        ]
+    )
+    table = KeyedParquetTable(spark, str(tmp_path / "t"))
+    table.init(spark.createDataFrame([], doc_schema))
+
+    # two good upserts + one message whose root has no extractable _id
+    good = spark.createDataFrame(
+        [Row(_id="a", x=1), Row(_id="b", x=2)], doc_schema
+    )
+    env = build_envelope(good, "db.c", id_col="_id", data_cols=["_id", "x"])
+    bad = spark.createDataFrame(
+        [Row(value=b'{"meta":{"ts":{"$timestamp":{"t":0,"i":0}},"ns":"db.c"},"data":{"x":{"$numberInt":"9"}}}')],
+        "value binary",
+    )
+    batch = env.select("value").unionByName(bad)
+
+    spec = ConsumerSpec(
+        kafka_topics=["t"], mongo_namespace="db.c", document_root_path="data"
+    )
+    stats = apply_consumer_batch(table, batch, spec, doc_schema)
+    assert stats == {"success": 2, "failed": 1}  # route81.go:1100-1116
+    got = sorted(r["_id"] for r in table.read().collect())
+    assert got == ["a", "b"]
