@@ -1,0 +1,126 @@
+"""Daemon-style entry point: run route81-shaped TOML configs on Spark.
+
+Mirrors the reference's single-binary UX (/root/reference/route81.go:
+1599-1617 main -> mustConfig -> start reads -> event loop):
+
+    python -m route81_spark.main --config cfg.toml \
+        --tables test.lineitem=/data/lineitem.parquet \
+        --ids test.lineitem=l_orderkey,l_linenumber \
+        --sink-dir /out/topics [--events-dir /in/events] \
+        [--kafka-bootstrap host:9092]
+
+* direct-read namespaces run as one batch job (exit-after-direct-reads
+  ≡ process exit when the batch completes, route81.go:805-816)
+* change-stream namespaces run as a streaming job over a change-event
+  JSON directory (the harness CDC source; swap for the Mongo connector
+  in production) until interrupted
+* records go to parquet topic dirs, or straight to Kafka when
+  --kafka-bootstrap is given (same record schema either way)
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+from route81_spark.config import Config, load_config
+from route81_spark.session import get_spark
+
+
+def _parse_kv(pairs: list[str]) -> dict[str, str]:
+    out = {}
+    for p in pairs or []:
+        k, v = p.split("=", 1)
+        out[k] = v
+    return out
+
+
+def write_records(records, sink_dir: str | None, kafka_bootstrap: str | None) -> None:
+    if kafka_bootstrap:
+        (
+            records.write.format("kafka")
+            .option("kafka.bootstrap.servers", kafka_bootstrap)
+            .save()
+        )
+    else:
+        records.write.mode("append").partitionBy("topic").parquet(sink_dir)
+
+
+def run_direct_reads(spark, cfg: Config, tables: dict, ids: dict, args) -> None:
+    from route81_spark.jobs.producer import direct_read_job
+
+    records = direct_read_job(
+        spark, cfg, tables, {ns: v.split(",") for ns, v in ids.items()}
+    )
+    write_records(records, args.sink_dir, args.kafka_bootstrap)
+
+
+def run_change_streams(spark, cfg: Config, doc_schemas: dict, args):
+    from pyspark.sql import functions as F
+
+    from route81_spark.jobs.producer import namespace_filter, streaming_producer_job
+    from route81_spark.model.schemas import change_event_schema
+
+    queries = []
+    for ns in cfg.change_stream_namespaces:
+        stream = (
+            spark.readStream.schema(change_event_schema(doc_schemas[ns]))
+            .json(os.path.join(args.events_dir, ns))
+            .withColumn("ns_full", F.concat_ws(".", "ns.db", "ns.coll"))
+        )
+        stream = namespace_filter(stream, cfg).drop("ns_full")
+        q = streaming_producer_job(
+            spark, cfg, stream, ns,
+            sink_dir=os.path.join(args.sink_dir, ns),
+            checkpoint_dir=os.path.join(args.checkpoint_dir or args.sink_dir, f"_ckpt_{ns}"),
+        )
+        queries.append(q)
+    return queries
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="route81_spark")
+    ap.add_argument("--config", required=True)
+    ap.add_argument("--tables", nargs="*", help="ns=parquet_path for direct reads")
+    ap.add_argument("--ids", nargs="*", help="ns=col1,col2 natural-key columns")
+    ap.add_argument("--events-dir", help="change-event JSON dir (per-ns subdirs)")
+    ap.add_argument("--sink-dir", help="parquet topic sink root")
+    ap.add_argument("--checkpoint-dir")
+    ap.add_argument("--kafka-bootstrap", help="produce to Kafka instead of parquet")
+    args = ap.parse_args(argv)
+
+    with open(args.config) as f:
+        cfg = load_config(f.read())
+    spark = get_spark("route81_spark_main")
+
+    try:
+        if cfg.direct_read_namespaces:
+            run_direct_reads(spark, cfg, _parse_kv(args.tables), _parse_kv(args.ids), args)
+            if cfg.exit_after_direct_reads:
+                return 0
+        if cfg.change_stream_namespaces and args.events_dir:
+            from pyspark.sql import types as T
+
+            schemas = {}
+            for ns in cfg.change_stream_namespaces:
+                sample = spark.read.json(os.path.join(args.events_dir, ns))
+                fd = sample.schema["fullDocument"].dataType if "fullDocument" in sample.columns else T.StructType([])
+                schemas[ns] = fd
+            queries = run_change_streams(spark, cfg, schemas, args)
+            for q in queries:
+                q.awaitTermination()
+        return 0
+    except KeyboardInterrupt:
+        # SIGINT drain ≡ route81.go:759-773
+        for q in spark.streams.active:
+            q.stop()
+        return 0
+    except Exception:
+        if cfg.fail_fast:
+            raise
+        raise
+
+
+if __name__ == "__main__":
+    sys.exit(main())
