@@ -83,12 +83,18 @@ def consumer_job(
     table: KeyedParquetTable,
     doc_schema: T.StructType,
     checkpoint_dir: str,
+    stats: dict | None = None,
 ):
     """Streaming consumer: foreachBatch keyed merge with the reference's
-    flush cadence as the trigger interval."""
+    flush cadence as the trigger interval. Pass a dict as `stats` to
+    accumulate the consumer success/failed counters
+    (route81.go:497-505)."""
 
     def on_batch(batch: DataFrame, batch_id: int) -> None:
-        apply_consumer_batch(table, batch, spec, doc_schema)
+        result = apply_consumer_batch(table, batch, spec, doc_schema)
+        if stats is not None:
+            stats["success"] = stats.get("success", 0) + result["success"]
+            stats["failed"] = stats.get("failed", 0) + result["failed"]
 
     return (
         record_stream.writeStream.foreachBatch(on_batch)
