@@ -171,6 +171,68 @@ def build_envelope(
     )
 
 
+def build_envelope_passthrough(
+    df: DataFrame,
+    namespace: str,
+    cfg: EnvelopeConfig | None = None,
+    id_col: str = "_id",
+    json_col: str = "doc_json",
+    op_col: str | None = None,
+    ts_col: str | None = None,
+) -> DataFrame:
+    """Schemaless envelope path (SURVEY §1.1 option b): the document is
+    an opaque ext-JSON *string* column — arbitrary/unknown documents ride
+    through without a declared schema, exactly like the reference's
+    map[string]interface{} handling (route81.go:66). The envelope text is
+    assembled by string concatenation (meta is schema-known; data is the
+    raw payload), so this path never parses the document."""
+    cfg = cfg or EnvelopeConfig()
+    if ts_col:
+        ts_json = F.concat(
+            F.lit('{"$timestamp":{"t":'),
+            F.col(f"{ts_col}.t").cast("string"),
+            F.lit(',"i":'),
+            F.col(f"{ts_col}.i").cast("string"),
+            F.lit("}}"),
+        )
+        ts_plain = F.to_json(
+            F.struct(F.col(f"{ts_col}.t").alias("T"), F.col(f"{ts_col}.i").alias("I"))
+        )
+    else:
+        ts_json = F.lit('{"$timestamp":{"t":0,"i":0}}')
+        ts_plain = F.lit('{"T":0,"I":0}')
+    key = _id_plain_json(F.col(id_col), df.schema[id_col].dataType)
+    op_part = (
+        F.when(
+            F.col(op_col).isNotNull() & (F.col(op_col) != ""),
+            F.concat(F.lit(',"op":"'), F.col(op_col), F.lit('"')),
+        ).otherwise(F.lit(""))
+        if op_col
+        else F.lit("")
+    )
+    meta = F.concat(
+        F.lit('{"_id":'), key,
+        F.lit(',"ts":'), ts_json,
+        F.lit(f',"ns":"{namespace}"'), op_part,
+        F.lit("}"),
+    )
+    data_part = F.when(
+        F.col(json_col).isNotNull(), F.concat(F.lit(',"data":'), F.col(json_col))
+    ).otherwise(F.lit(""))
+    value = F.concat(F.lit('{"meta":'), meta, data_part, F.lit("}"))
+    headers = F.array(
+        F.struct(F.lit("ts").alias("key"), ts_plain.cast("binary").alias("value")),
+        F.struct(F.lit("ns").alias("key"), F.lit(namespace).cast("binary").alias("value")),
+        F.struct(F.lit("_id").alias("key"), key.cast("binary").alias("value")),
+    )
+    return df.select(
+        key.cast("binary").alias("key"),
+        value.cast("binary").alias("value"),
+        headers.alias("headers"),
+        route_topic(F.lit(namespace), cfg).alias("topic"),
+    )
+
+
 def with_synthetic_id(df: DataFrame, *cols: str, alias: str = "_id") -> DataFrame:
     """Synthesize the `_id` route81 documents always carry
     (FIXTURES.md F2): natural key rendered to string."""

@@ -155,8 +155,10 @@ def test_streaming_loopback(spark, tmp_path):
         spark.readStream.schema(records.schema).parquet(str(topic_dir))
         .withColumn("seq", ts.getField("t") * F.lit(10_000_000_000) + ts.getField("i"))
     )
+    consumer_stats: dict = {}
     cq = consumer_job(
-        spark, spec, rec_stream, table, DOC_SCHEMA, str(tmp_path / "ckpt_c")
+        spark, spec, rec_stream, table, DOC_SCHEMA, str(tmp_path / "ckpt_c"),
+        stats=consumer_stats,
     )
     try:
         # expected: 20 inserts, evens updated to i*10, multiples of 4 deleted
@@ -170,6 +172,9 @@ def test_streaming_loopback(spark, tmp_path):
     assert set(got) == {str(i) for i in range(20) if i % 4 != 0}
     assert got["2"]["i"] == 20 and got["2"]["tag"] == "t20"   # updated (replace)
     assert got["3"]["i"] == 3 and got["3"]["tag"] == "t3"     # untouched insert
+
+    # consumer-side counters (route81.go:497-505)
+    assert consumer_stats["success"] == 35 and consumer_stats["failed"] == 0
 
     # stats listener accumulated producer observe() metrics
     snap = listener.snapshot()
