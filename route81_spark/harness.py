@@ -699,6 +699,67 @@ def expr_convert(spark, sf_dir):
 
 
 @_q(
+    "match_extjson_literal",
+    """
+    SELECT o_orderkey, o_orderdate
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-06-01 00:00:00'
+      AND o_totalprice > 100000
+    """,
+)
+def match_extjson_literal(spark, sf_dir):
+    # Mongo-shell-authored configs carry ext-JSON literals in pipeline
+    # JSON ({"$date": ...}, {"$numberLong": ...}) — compile as literals
+    return apply_pipeline(
+        _t(spark, sf_dir, "orders"),
+        [
+            {
+                "$match": {
+                    "o_orderdate": {"$gte": {"$date": "1997-06-01T00:00:00Z"}},
+                    "o_totalprice": {"$gt": {"$numberLong": "100000"}},
+                }
+            },
+            {"$project": {"o_orderkey": 1, "o_orderdate": 1}},
+        ],
+    )
+
+
+@_q(
+    "expr_string_ops",
+    """
+    SELECT c_custkey,
+           replace(c_name, '#', '-') AS dashed,
+           CASE WHEN strpos(c_name, '0') > 0 THEN
+             substr(c_name, 1, strpos(c_name, '0') - 1) || 'X'
+               || substr(c_name, strpos(c_name, '0') + 1)
+           ELSE c_name END AS one_x,
+           CAST(strpos(c_name, '#') - 1 AS INT) AS hash_idx,
+           regexp_matches(c_name, '00[0-9]$') AS ends_low
+    FROM customer
+    """,
+)
+def expr_string_ops(spark, sf_dir):
+    return apply_pipeline(
+        _t(spark, sf_dir, "customer"),
+        [
+            {
+                "$project": {
+                    "c_custkey": 1,
+                    "dashed": {
+                        "$replaceAll": {"input": "$c_name", "find": "#", "replacement": "-"}
+                    },
+                    "one_x": {
+                        "$replaceOne": {"input": "$c_name", "find": "0", "replacement": "X"}
+                    },
+                    "hash_idx": {"$indexOfCP": ["$c_name", "#"]},
+                    "ends_low": {"$regexMatch": {"input": "$c_name", "regex": "00[0-9]$"}},
+                }
+            }
+        ],
+    )
+
+
+@_q(
     "expr_date_arith",
     """
     SELECT o_orderkey,

@@ -38,6 +38,31 @@ def _field(path: str, df: DataFrame | None = None) -> Column:
     return F.col(path)
 
 
+def extjson_literal(d: dict) -> Column | None:
+    """Recognize canonical-ext-JSON *literals* inside pipeline JSON —
+    `{"$date": ...}`, `{"$numberLong": "5"}`, `{"$oid": "..."}` — the
+    forms a Mongo-shell-authored config (README.md:271-313) carries.
+    Returns None when `d` is not a literal form."""
+    if len(d) != 1:
+        return None
+    k, v = next(iter(d.items()))
+    if k == "$numberInt":
+        return F.lit(int(v))
+    if k == "$numberLong":
+        return F.lit(int(v)).cast("long")
+    if k == "$numberDouble":
+        return F.lit(float(v))
+    if k == "$numberDecimal":
+        return F.lit(v).cast("decimal(38,10)")
+    if k == "$oid":
+        return F.lit(v)
+    if k == "$date":
+        if isinstance(v, dict) and "$numberLong" in v:
+            return F.timestamp_micros(F.lit(int(v["$numberLong"]) * 1000))
+        return F.lit(v).cast("timestamp")
+    return None
+
+
 def compile_expr(expr: Any, df: DataFrame | None = None) -> Column:
     """Compile one Mongo aggregation expression to a Column."""
     if isinstance(expr, str):
@@ -56,6 +81,9 @@ def compile_expr(expr: Any, df: DataFrame | None = None) -> Column:
     if isinstance(expr, list):
         return F.array(*[compile_expr(e, df) for e in expr])
     if isinstance(expr, dict):
+        lit = extjson_literal(expr)
+        if lit is not None:
+            return lit
         op_keys = [k for k in expr if k.startswith("$")]
         if not op_keys:
             # document constructor
@@ -374,6 +402,15 @@ def _apply_simple(op: str, cols: list[Column], raw_arg: Any, df: DataFrame | Non
         ).otherwise(F.array().cast("array<int>"))
     if op == "$reverseArray":
         return F.reverse(c[0])
+    if op == "$indexOfArray":
+        # Mongo returns -1 when absent; array_position is 1-based, 0=absent
+        return (F.array_position(c[0], c[1]) - 1).cast("int")
+    if op == "$indexOfCP":
+        if not (isinstance(raw_arg, list) and isinstance(raw_arg[1], str)):
+            raise PipelineCompileError("$indexOfCP requires a literal search string")
+        return (F.instr(c[0], raw_arg[1]) - 1).cast("int")
+    if op == "$arrayToObject":
+        raise PipelineCompileError("$arrayToObject requires map support; out of scope")
     if op == "$isArray":
         raise PipelineCompileError("$isArray requires schema introspection; not supported")
     if op == "$mergeObjects":
@@ -398,6 +435,31 @@ def _compile_op(op: str, arg: Any, df: DataFrame | None) -> Column:
     if op == "$dateToString":
         fmt = mongo_date_format(arg.get("format", "%Y-%m-%dT%H:%M:%S.%LZ"))
         return F.date_format(compile_expr(arg["date"], df), fmt)
+    if op == "$regexMatch":
+        inp = compile_expr(arg["input"], df)
+        pattern = arg["regex"]
+        if "i" in arg.get("options", ""):
+            pattern = f"(?i){pattern}"
+        return inp.rlike(pattern)
+    if op == "$replaceAll":
+        import re as _re
+
+        inp = compile_expr(arg["input"], df)
+        return F.regexp_replace(
+            inp, _re.escape(arg["find"]), arg["replacement"].replace("$", r"\$")
+        )
+    if op == "$replaceOne":
+        inp = compile_expr(arg["input"], df)
+        find, repl = arg["find"], arg["replacement"]
+        pos = F.instr(inp, find)
+        return F.when(
+            pos > 0,
+            F.concat(
+                F.substring(inp, 1, pos - 1).cast("string"),
+                F.lit(repl),
+                inp.substr(pos + len(find), F.length(inp)),
+            ),
+        ).otherwise(inp)
     if op == "$convert":
         inp = compile_expr(arg["input"], df)
         to = arg["to"]

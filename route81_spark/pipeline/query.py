@@ -29,12 +29,34 @@ from typing import Any
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from route81_spark.pipeline.exprs import PipelineCompileError, compile_expr
+from route81_spark.pipeline.exprs import PipelineCompileError, compile_expr, extjson_literal
+
+
+def _qlit(v: Any) -> Column:
+    """Literal in query position: plain value or an ext-JSON literal
+    form ({"$date": ...} etc., as Mongo-shell-authored configs carry)."""
+    if isinstance(v, dict):
+        lit = extjson_literal(v)
+        if lit is not None:
+            return lit
+        raise PipelineCompileError(f"unsupported literal: {v}")
+    return F.lit(v)
 
 
 def _in_clause(col: Column, values: list[Any]) -> Column:
     non_null = [v for v in values if v is not None]
-    clause = col.isin(non_null) if non_null else F.lit(False)
+    clause = (
+        col.isin([v for v in non_null if not isinstance(v, dict)])
+        if non_null and not any(isinstance(v, dict) for v in non_null)
+        else None
+    )
+    if clause is None and non_null:
+        eqs = [col.eqNullSafe(_qlit(v)) for v in non_null]
+        clause = eqs[0]
+        for e in eqs[1:]:
+            clause = clause | e
+    if clause is None:
+        clause = F.lit(False)
     if any(v is None for v in values):
         clause = col.isNull() | clause
     return clause
@@ -43,20 +65,23 @@ def _in_clause(col: Column, values: list[Any]) -> Column:
 def _field_pred(field: str, spec: Any, df: DataFrame | None) -> Column:
     col = F.col(field)
     if isinstance(spec, dict) and any(k.startswith("$") for k in spec):
+        lit = extjson_literal(spec)
+        if lit is not None:
+            return col == lit  # equality against an ext-JSON literal
         preds: list[Column] = []
         for op, val in spec.items():
             if op == "$eq":
-                preds.append(col.isNull() if val is None else col == F.lit(val))
+                preds.append(col.isNull() if val is None else col == _qlit(val))
             elif op == "$ne":
-                preds.append(~col.eqNullSafe(F.lit(val)))
+                preds.append(~col.eqNullSafe(_qlit(val)))
             elif op == "$gt":
-                preds.append(col > F.lit(val))
+                preds.append(col > _qlit(val))
             elif op == "$gte":
-                preds.append(col >= F.lit(val))
+                preds.append(col >= _qlit(val))
             elif op == "$lt":
-                preds.append(col < F.lit(val))
+                preds.append(col < _qlit(val))
             elif op == "$lte":
-                preds.append(col <= F.lit(val))
+                preds.append(col <= _qlit(val))
             elif op == "$in":
                 preds.append(_in_clause(col, val))
             elif op == "$nin":
