@@ -157,6 +157,59 @@ def test_expr_operators(spark):
     assert out["lit"] == "$x" and out["sw"] == "pos"
 
 
+def test_extjson_literals_in_expressions(spark):
+    out = apply_pipeline(
+        _docs(spark),
+        [
+            {"$match": {"_id": "a"}},
+            {
+                "$project": {
+                    "_id": 0,
+                    "n": {"$add": [{"$numberLong": "10"}, "$x"]},
+                    "d": {"$literal": "kept"},
+                    "ts": {"$date": "2020-01-02T03:04:05Z"},
+                }
+            },
+        ],
+    ).collect()[0]
+    assert out["n"] == 11 and out["d"] == "kept"
+    assert str(out["ts"]).startswith("2020-01-02 03:04:05")
+
+
+def test_string_replace_ops(spark):
+    out = apply_pipeline(
+        _docs(spark),
+        [
+            {"$match": {"_id": "a"}},
+            {
+                "$project": {
+                    "_id": 0,
+                    "all": {"$replaceAll": {"input": {"$literal": "a.b.c"}, "find": ".", "replacement": "-"}},
+                    "one": {"$replaceOne": {"input": {"$literal": "a.b.c"}, "find": ".", "replacement": "-"}},
+                    "none": {"$replaceOne": {"input": {"$literal": "abc"}, "find": "z", "replacement": "-"}},
+                    "idx": {"$indexOfArray": ["$tags", "q"]},
+                    "miss": {"$indexOfArray": ["$tags", "zz"]},
+                }
+            },
+        ],
+    ).collect()[0]
+    assert out["all"] == "a-b-c" and out["one"] == "a-b.c" and out["none"] == "abc"
+    assert out["idx"] == 1 and out["miss"] == -1
+
+
+def test_project_nested_dotted(spark):
+    df = apply_pipeline(
+        _docs(spark),
+        [
+            {"$match": {"_id": "a"}},
+            {"$project": {"_id": 0, "r": {"u": "$x", "v": "$s"}}},
+            {"$project": {"r.u": 1}},
+        ],
+    )
+    row = df.collect()[0]
+    assert df.columns == ["r"] and row["r"]["u"] == 1
+
+
 def test_replace_root_and_addfields_nested(spark):
     out = apply_pipeline(
         _docs(spark),
