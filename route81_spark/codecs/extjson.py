@@ -61,11 +61,18 @@ def ext_json_col(col: Column, dtype: T.DataType, oid: bool = False) -> Column:
     if isinstance(dtype, T.ArrayType):
         return F.transform(col, lambda x: ext_json_col(x, dtype.elementType))
     if isinstance(dtype, T.StructType):
-        return F.struct(
-            *[
-                ext_json_col(col.getField(f.name), f.dataType, oid=(f.name == "_id" and oid)).alias(f.name)
-                for f in dtype.fields
-            ]
+        # preserve nullness: a null document must encode as absent/null,
+        # not as an object of nulls
+        return F.when(
+            col.isNotNull(),
+            F.struct(
+                *[
+                    ext_json_col(
+                        col.getField(f.name), f.dataType, oid=(f.name == "_id" and oid)
+                    ).alias(f.name)
+                    for f in dtype.fields
+                ]
+            ),
         )
     if isinstance(dtype, T.MapType):
         # keep string-keyed maps as-is when values are strings; else recurse values
