@@ -699,6 +699,31 @@ def expr_convert(spark, sf_dir):
 
 
 @_q(
+    "json_dynamic_match",
+    """
+    SELECT event_id, event_type,
+           CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS DOUBLE) >= 50
+      AND (CAST(json_extract_string(props, '$.k') AS DOUBLE))
+          IS DISTINCT FROM 77
+    """,
+)
+def json_dynamic_match(spark, sf_dir):
+    # schemaless path: the $match dialect over an opaque JSON column
+    # (SURVEY §1.1-2 option b) — no declared schema for `props`
+    from route81_spark.pipeline.jsonpath import compile_match_json, json_field
+
+    ev = _t(spark, sf_dir, "events")
+    pred = compile_match_json({"k": {"$gte": 50, "$ne": 77}}, F.col("props"))
+    return ev.filter(pred).select(
+        "event_id",
+        "event_type",
+        json_field(F.col("props"), "k").cast("double").alias("k"),
+    )
+
+
+@_q(
     "match_extjson_literal",
     """
     SELECT o_orderkey, o_orderdate
