@@ -180,6 +180,73 @@ def avro_decode(schema: dict | str, payload: bytes) -> dict:
     return _decode(io.BytesIO(payload), schema)
 
 
+# --- textual (Avro JSON) encoding ----------------------------------------
+# goavro's TextualFromNative / NativeFromTextual equivalent
+# (encoding/encoding.go:50-57): unions wrap non-null values as
+# {"<type>": value}; bytes map through ISO-8859-1.
+
+
+def _branch_name(branch: Any) -> str:
+    t = branch["type"] if isinstance(branch, dict) else branch
+    if t in ("record", "array", "map"):
+        return branch.get("name", t) if t == "record" else t
+    return t
+
+
+def _to_textual(schema: Any, value: Any) -> Any:
+    if isinstance(schema, list):
+        for branch in schema:
+            if _matches(branch, value):
+                t = _branch_name(branch)
+                if t == "null":
+                    return None
+                return {t: _to_textual(branch, value)}
+        raise ValueError(f"value {value!r} matches no union branch")
+    t = schema["type"] if isinstance(schema, dict) else schema
+    if t == "bytes":
+        return bytes(value).decode("iso-8859-1")
+    if t == "record":
+        return {f["name"]: _to_textual(f["type"], value.get(f["name"])) for f in schema["fields"]}
+    if t == "array":
+        return [_to_textual(schema["items"], v) for v in value]
+    if t == "map":
+        return {k: _to_textual(schema["values"], v) for k, v in value.items()}
+    return value
+
+
+def _from_textual(schema: Any, value: Any) -> Any:
+    if isinstance(schema, list):
+        if value is None:
+            return None
+        (tname, inner), = value.items()
+        for branch in schema:
+            if _branch_name(branch) == tname:
+                return _from_textual(branch, inner)
+        raise ValueError(f"unknown union branch {tname}")
+    t = schema["type"] if isinstance(schema, dict) else schema
+    if t == "bytes":
+        return value.encode("iso-8859-1")
+    if t == "record":
+        return {f["name"]: _from_textual(f["type"], value.get(f["name"])) for f in schema["fields"]}
+    if t == "array":
+        return [_from_textual(schema["items"], v) for v in value]
+    if t == "map":
+        return {k: _from_textual(schema["values"], v) for k, v in value.items()}
+    return value
+
+
+def avro_encode_textual(schema: dict | str, value: dict) -> bytes:
+    if isinstance(schema, str):
+        schema = json.loads(schema)
+    return json.dumps(_to_textual(schema, value), separators=(",", ":")).encode()
+
+
+def avro_decode_textual(schema: dict | str, payload: bytes) -> dict:
+    if isinstance(schema, str):
+        schema = json.loads(schema)
+    return _from_textual(schema, json.loads(payload.decode()))
+
+
 # --- Spark integration ---------------------------------------------------
 
 

@@ -109,6 +109,23 @@ def test_avro_round_trip_property(n, x, s, flag, maybe, tags):
     assert out == doc
 
 
+def test_avro_textual_round_trip():
+    from route81_spark.codecs.avro import avro_decode_textual, avro_encode_textual
+
+    doc = {
+        "_id": "abc", "n": 5, "x": 1.5, "flag": True, "maybe": "yes",
+        "tags": ["a"], "kv": {"k": 1}, "nested": {"y": 7},
+    }
+    payload = avro_encode_textual(AVRO_SCHEMA, doc)
+    # union branches wrap as {"<type>": value} (goavro textual form)
+    import json as _json
+
+    assert _json.loads(payload)["maybe"] == {"string": "yes"}
+    assert avro_decode_textual(AVRO_SCHEMA, payload) == doc
+    doc["maybe"] = None
+    assert avro_decode_textual(AVRO_SCHEMA, avro_encode_textual(AVRO_SCHEMA, doc)) == doc
+
+
 def test_avro_spark_decode(spark):
     import json as _json
 
