@@ -197,7 +197,7 @@ def match_null_ne(spark, sf_dir):
 @_q(
     "addfields_unset",
     """
-    SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value,
+    SELECT event_id, CAST(ts AS TIMESTAMP_NS) AS ts, user_id, event_type, value,
            value * 2 AS value_x2,
            event_type || ':' || CAST(user_id AS VARCHAR) AS tag
     FROM events
@@ -726,7 +726,7 @@ def json_dynamic_match(spark, sf_dir):
 @_q(
     "match_extjson_literal",
     """
-    SELECT o_orderkey, o_orderdate
+    SELECT o_orderkey, CAST(o_orderdate AS TIMESTAMP_NS) AS o_orderdate
     FROM orders
     WHERE o_orderdate >= TIMESTAMP '1997-06-01 00:00:00'
       AND o_totalprice > 100000
@@ -789,7 +789,7 @@ def expr_string_ops(spark, sf_dir):
     """
     SELECT o_orderkey,
            CAST(week(o_orderdate) AS INT) AS wk,
-           o_orderdate + INTERVAL 30 DAY AS due,
+           CAST(o_orderdate + INTERVAL 30 DAY AS TIMESTAMP_NS) AS due,
            date_diff('day', o_orderdate, TIMESTAMP '1998-12-31') AS days_left,
            date_diff('month', o_orderdate, TIMESTAMP '1998-12-31') AS months_left
     FROM orders
@@ -959,7 +959,7 @@ def cdc_match_stream(spark, sf_dir):
 @_q(
     "cdc_merge_state",
     """
-    SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type,
+    SELECT event_id, CAST(ts AS TIMESTAMP_NS) AS ts, user_id, event_type,
            CASE WHEN event_id % 10 = 0 THEN value * 2 ELSE value END AS value,
            CASE WHEN event_id % 10 = 0 THEN NULL ELSE props END AS props
     FROM events WHERE event_id % 25 <> 0
