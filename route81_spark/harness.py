@@ -258,10 +258,10 @@ def sort_skip_limit(spark, sf_dir):
     "group_sum_avg",
     """
     SELECT l_returnflag AS rf, l_linestatus AS ls,
-           round(CAST(sum(l_quantity) AS DOUBLE), 4) AS sum_qty,
-           round(CAST(sum(l_extendedprice) AS DOUBLE), 4) AS sum_base,
-           round(avg(l_quantity), 4) AS avg_qty,
-           round(avg(l_discount), 4) AS avg_disc,
+           floor((CAST(sum(l_quantity) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS sum_qty,
+           floor((CAST(sum(l_extendedprice) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS sum_base,
+           floor((avg(l_quantity)) * 10000.0 + 0.5) / 10000.0 AS avg_qty,
+           floor((avg(l_discount)) * 10000.0 + 0.5) / 10000.0 AS avg_disc,
            count(*) AS n
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -288,10 +288,10 @@ def group_sum_avg(spark, sf_dir):
                     "_id": 0,
                     "rf": "$_id.rf",
                     "ls": "$_id.ls",
-                    "sum_qty": {"$round": ["$sum_qty", 4]},
-                    "sum_base": {"$round": ["$sum_base", 4]},
-                    "avg_qty": {"$round": ["$avg_qty", 4]},
-                    "avg_disc": {"$round": ["$avg_disc", 4]},
+                    "sum_qty": {"$divide": [{"$floor": {"$add": [{"$multiply": ["$sum_qty", 10000.0]}, 0.5]}}, 10000.0]},
+                    "sum_base": {"$divide": [{"$floor": {"$add": [{"$multiply": ["$sum_base", 10000.0]}, 0.5]}}, 10000.0]},
+                    "avg_qty": {"$divide": [{"$floor": {"$add": [{"$multiply": ["$avg_qty", 10000.0]}, 0.5]}}, 10000.0]},
+                    "avg_disc": {"$divide": [{"$floor": {"$add": [{"$multiply": ["$avg_disc", 10000.0]}, 0.5]}}, 10000.0]},
                     "n": 1,
                 }
             },
@@ -303,9 +303,9 @@ def group_sum_avg(spark, sf_dir):
     "group_expr_key",
     """
     SELECT CAST(year(o_orderdate) AS INT) AS y, o_orderpriority AS pr,
-           round(CAST(sum(o_totalprice) AS DOUBLE), 4) AS total,
-           round(min(o_totalprice), 4) AS lo,
-           round(max(o_totalprice), 4) AS hi,
+           floor((CAST(sum(o_totalprice) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS total,
+           floor((min(o_totalprice)) * 10000.0 + 0.5) / 10000.0 AS lo,
+           floor((max(o_totalprice)) * 10000.0 + 0.5) / 10000.0 AS hi,
            count(*) AS n
     FROM orders
     GROUP BY 1, 2
@@ -329,9 +329,9 @@ def group_expr_key(spark, sf_dir):
                     "_id": 0,
                     "y": "$_id.y",
                     "pr": "$_id.pr",
-                    "total": {"$round": ["$total", 4]},
-                    "lo": {"$round": ["$lo", 4]},
-                    "hi": {"$round": ["$hi", 4]},
+                    "total": {"$divide": [{"$floor": {"$add": [{"$multiply": ["$total", 10000.0]}, 0.5]}}, 10000.0]},
+                    "lo": {"$divide": [{"$floor": {"$add": [{"$multiply": ["$lo", 10000.0]}, 0.5]}}, 10000.0]},
+                    "hi": {"$divide": [{"$floor": {"$add": [{"$multiply": ["$hi", 10000.0]}, 0.5]}}, 10000.0]},
                     "n": 1,
                 }
             },
@@ -486,7 +486,7 @@ def expr_dates(spark, sf_dir):
              ELSE 'high'
            END AS seg,
            count(*) AS n,
-           round(CAST(sum(c_acctbal) AS DOUBLE), 4) AS bal
+           floor((CAST(sum(c_acctbal) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS bal
     FROM customer GROUP BY 1
     """,
 )
@@ -513,7 +513,7 @@ def expr_cond_switch(spark, sf_dir):
                     "_id": 0,
                     "seg": "$_id",
                     "n": 1,
-                    "bal": {"$round": ["$bal", 4]},
+                    "bal": {"$divide": [{"$floor": {"$add": [{"$multiply": ["$bal", 10000.0]}, 0.5]}}, 10000.0]},
                 }
             },
         ],
@@ -867,7 +867,7 @@ def plainjson_roundtrip(spark, sf_dir):
         SELECT e.vec_id, e.embedding, c.centroid_id,
                row_number() OVER (
                  PARTITION BY e.vec_id
-                 ORDER BY round({_cos_sql('e.embedding', 'c.cv')}, 6) DESC,
+                 ORDER BY floor(({_cos_sql('e.embedding', 'c.cv')}) * 1000000.0 + 0.5) / 1000000.0 DESC,
                           c.centroid_id ASC) AS rn
         FROM embeddings e CROSS JOIN c
       ) WHERE rn = 1
@@ -878,7 +878,7 @@ def plainjson_roundtrip(spark, sf_dir):
     ),
     scored AS (
       SELECT q.query_id, a.vec_id,
-             round({_cos_sql('a.embedding', 'q.qv')}, 6) AS score
+             floor(({_cos_sql('a.embedding', 'q.qv')}) * 1000000.0 + 0.5) / 1000000.0 AS score
       FROM assign a JOIN q USING (centroid_id)
     )
     SELECT query_id, vec_id, score, rank FROM (
@@ -1167,8 +1167,8 @@ def unwind_preserve_empty(spark, sf_dir):
     "group_stddev",
     """
     SELECT l_returnflag AS rf,
-           round(stddev_pop(l_quantity), 4) AS sd_pop,
-           round(stddev_samp(l_quantity), 4) AS sd_samp,
+           floor((stddev_pop(l_quantity)) * 10000.0 + 0.5) / 10000.0 AS sd_pop,
+           floor((stddev_samp(l_quantity)) * 10000.0 + 0.5) / 10000.0 AS sd_samp,
            count(*) AS n
     FROM lineitem GROUP BY l_returnflag
     """,
@@ -1189,8 +1189,8 @@ def group_stddev(spark, sf_dir):
                 "$project": {
                     "_id": 0,
                     "rf": "$_id",
-                    "sd_pop": {"$round": ["$sd_pop", 4]},
-                    "sd_samp": {"$round": ["$sd_samp", 4]},
+                    "sd_pop": {"$divide": [{"$floor": {"$add": [{"$multiply": ["$sd_pop", 10000.0]}, 0.5]}}, 10000.0]},
+                    "sd_samp": {"$divide": [{"$floor": {"$add": [{"$multiply": ["$sd_samp", 10000.0]}, 0.5]}}, 10000.0]},
                     "n": 1,
                 }
             },
@@ -1318,8 +1318,9 @@ def dedup_minhash_sig(spark, sf_dir):
       FROM bands a JOIN bands b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id
     )
     SELECT p.id_a, p.id_b,
-           round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
-                 / len(list_distinct(list_concat(sa.sh, sb.sh))), 6) AS jaccard
+           floor((CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                 / len(list_distinct(list_concat(sa.sh, sb.sh)))) * 1000000.0 + 0.5)
+             / 1000000.0 AS jaccard
     FROM pairs p
     JOIN sigs sa ON sa.doc_id = p.id_a
     JOIN sigs sb ON sb.doc_id = p.id_b
@@ -1372,7 +1373,7 @@ def dedup_simhash(spark, sf_dir):
     ),
     scored AS (
       SELECT q.query_id, e.vec_id,
-             round({_cos_sql('e.embedding', 'q.qv')}, 6) AS score
+             floor(({_cos_sql('e.embedding', 'q.qv')}) * 1000000.0 + 0.5) / 1000000.0 AS score
       FROM embeddings e CROSS JOIN q
     ),
     ranked AS (
@@ -1415,7 +1416,7 @@ def sim_topk_blas(spark, sf_dir):
     q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM e WHERE vec_id % 100 = 0),
     scored AS (
       SELECT q.query_id, e.vec_id,
-             round({_cos_sql('e.embedding', 'q.qv')}, 6) AS score
+             floor(({_cos_sql('e.embedding', 'q.qv')}) * 1000000.0 + 0.5) / 1000000.0 AS score
       FROM e JOIN q USING (bucket)
     ),
     ranked AS (
@@ -1445,9 +1446,9 @@ def sim_bucketed(spark, sf_dir):
       FROM embeddings
     )
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           round({_cos_sql('a.embedding', 'b.embedding')}, 6) AS cos
+           floor(({_cos_sql('a.embedding', 'b.embedding')}) * 1000000.0 + 0.5) / 1000000.0 AS cos
     FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-    WHERE round({_cos_sql('a.embedding', 'b.embedding')}, 6) >= 0.3
+    WHERE floor(({_cos_sql('a.embedding', 'b.embedding')}) * 1000000.0 + 0.5) / 1000000.0 >= 0.3
     """,
 )
 def emb_near_dups(spark, sf_dir):
@@ -1468,10 +1469,10 @@ _TOKS = "string_split_regex(trim(text), '\\s+')"
            CAST(len({_TOKS}) AS INT) AS n_tokens,
            CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+'))
                 AS INT) AS n_bpe_tokens,
-           round(least(length(text) / 400.0, 1.0)
+           floor((least(length(text) / 400.0, 1.0)
                  * (CAST(len(list_distinct({_TOKS})) AS DOUBLE) / len({_TOKS}))
                  * (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
-                    / length(text)), 6) AS quality,
+                    / length(text))) * 1000000.0 + 0.5) / 1000000.0 AS quality,
            md5(array_to_string(list_sort(list_distinct({_TOKS})), ' ')) AS fp
     FROM documents
     """,

@@ -23,6 +23,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from route81_spark.ops.text import shingles, tokens
+from route81_spark.ops.util import det_round as _det_round
 
 
 def h64(col: Column, seed: int) -> Column:
@@ -193,7 +194,12 @@ def ngram_jaccard_pairs(
     out = (
         pairs.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
-        .select("id_a", "id_b", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"))
+        # det_round: engine round() implementations disagree near halves
+        .select(
+            "id_a",
+            "id_b",
+            _det_round(jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"),
+        )
     )
     return out.filter(F.col("jaccard") >= threshold) if threshold > 0 else out
 

@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from route81_spark.ops.util import det_round
+
 
 def dot(a: Column, b: Column) -> Column:
     """Sequential-fold dot product (matches DuckDB list_reduce order)."""
@@ -55,7 +57,7 @@ def brute_force_topk(
     scored = emb.crossJoin(F.broadcast(queries)).select(
         F.col(query_id_col),
         F.col(id_col),
-        F.round(cosine(F.col(vec_col), F.col(query_vec_col)), 6).alias("score"),
+        det_round(cosine(F.col(vec_col), F.col(query_vec_col)), 6).alias("score"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("score").desc(), F.col(id_col).asc())
     return (
@@ -110,7 +112,7 @@ def brute_force_topk_np(
                         {
                             query_id_col: q_ids[qi],
                             id_col: ids[sel],
-                            "score": np.round(S[sel, qi], 6),
+                            "score": np.floor(S[sel, qi] * 1e6 + 0.5) / 1e6,
                         }
                     )
                 )
@@ -155,7 +157,7 @@ def bucketed_topk(
     scored = e.join(F.broadcast(q), "bucket").select(
         F.col(query_id_col),
         F.col(id_col),
-        F.round(cosine(F.col(vec_col), F.col(query_vec_col)), 6).alias("score"),
+        det_round(cosine(F.col(vec_col), F.col(query_vec_col)), 6).alias("score"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("score").desc(), F.col(id_col).asc())
     return (
@@ -181,7 +183,7 @@ def ivf_assign(
         F.col(id_col),
         F.col(vec_col),
         F.col(centroid_id_col),
-        F.round(cosine(F.col(vec_col), F.col(centroid_vec_col)), 6).alias("__cscore"),
+        det_round(cosine(F.col(vec_col), F.col(centroid_vec_col)), 6).alias("__cscore"),
     )
     w = Window.partitionBy(id_col).orderBy(
         F.col("__cscore").desc(), F.col(centroid_id_col).asc()
@@ -221,7 +223,7 @@ def ivf_topk(
     scored = assigned.join(F.broadcast(q_assigned), "centroid_id").select(
         F.col(query_id_col),
         F.col(id_col),
-        F.round(cosine(F.col(vec_col), F.col(query_vec_col)), 6).alias("score"),
+        det_round(cosine(F.col(vec_col), F.col(query_vec_col)), 6).alias("score"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("score").desc(), F.col(id_col).asc())
     return (
@@ -250,7 +252,7 @@ def embedding_near_dups(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.round(cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 6).alias("cos"),
+            det_round(cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 6).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
     )

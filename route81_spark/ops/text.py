@@ -44,12 +44,17 @@ def distinct_ratio(col: Column) -> Column:
 def quality_score(text_col: Column) -> Column:
     """Deterministic [0,1] quality heuristic: length factor x lexical
     diversity x alpha ratio. The components are the standard cheap
-    signals (length, punct/alpha ratios, type-token ratio)."""
+    signals (length, punct/alpha ratios, type-token ratio).
+
+    Rounded with det_round (floor-scaling) so the value is bit-identical
+    across engines — see ops/util.py."""
+    from route81_spark.ops.util import det_round
+
     n_chars = F.length(text_col)
     length_factor = F.least(n_chars / F.lit(400.0), F.lit(1.0))
     diversity = distinct_ratio(text_col)
     alpha = F.length(F.regexp_replace(text_col, r"[^A-Za-z]", "")) / n_chars
-    return F.round(length_factor * diversity * alpha, 6)
+    return det_round(length_factor * diversity * alpha, 6)
 
 
 def marker_hits(text_col: Column, words: list[str]) -> Column:

@@ -73,6 +73,15 @@ def main() -> int:
             failures.append(name)
             print(f"FAIL {name}: columns spark={list(s.columns)} oracle={list(o.columns)}")
             continue
+        dt = [
+            f"{c}: {s[c].dtype}!={o[c].dtype}"
+            for c in s.columns
+            if str(s[c].dtype) != str(o[c].dtype)
+        ]
+        if dt:
+            failures.append(name)
+            print(f"FAIL {name}: dtypes differ: {'; '.join(dt)}")
+            continue
         try:
             pd.testing.assert_frame_equal(s, o, check_dtype=False, check_exact=True)
             print(f"OK   {name} ({len(sdf)} rows)")
