@@ -107,6 +107,22 @@ def test_streaming_loopback(spark, tmp_path):
     finally:
         pq.stop()
 
+    # producer restart with the same checkpoint: a new event file is
+    # picked up, already-seen files are not re-emitted (resume ≡ P17)
+    with open(events_dir / "p3.json", "w") as f:
+        f.write(json.dumps(_event("insert", "99", 99, t=4)) + "\n")
+    pq2 = streaming_producer_job(
+        spark, cfg, stream, "test.test",
+        sink_dir=str(topic_dir), checkpoint_dir=str(tmp_path / "ckpt_p"),
+        trigger_seconds=0.5,
+    )
+    try:
+        assert _await(
+            lambda: spark.read.parquet(str(topic_dir)).count() == 36
+        ), f"expected exactly 36 records after resume, got {spark.read.parquet(str(topic_dir)).count()}"
+    finally:
+        pq2.stop()
+
     records = spark.read.parquet(str(topic_dir))
     assert set(records.columns) == {"key", "value", "headers", "topic"}
     assert records.select("topic").distinct().collect()[0][0] == "test.test"
@@ -161,24 +177,25 @@ def test_streaming_loopback(spark, tmp_path):
         stats=consumer_stats,
     )
     try:
-        # expected: 20 inserts, evens updated to i*10, multiples of 4 deleted
-        assert _await(lambda: table.exists() and table.read().count() == 15), (
+        # expected: 20 inserts + the resumed "99", evens updated to
+        # i*10, multiples of 4 deleted
+        assert _await(lambda: table.exists() and table.read().count() == 16), (
             f"consumer state wrong: {table.read().count() if table.exists() else 'missing'}"
         )
     finally:
         cq.stop()
 
     got = {r["_id"]: r for r in table.read().collect()}
-    assert set(got) == {str(i) for i in range(20) if i % 4 != 0}
+    assert set(got) == {str(i) for i in range(20) if i % 4 != 0} | {"99"}
     assert got["2"]["i"] == 20 and got["2"]["tag"] == "t20"   # updated (replace)
     assert got["3"]["i"] == 3 and got["3"]["tag"] == "t3"     # untouched insert
 
     # consumer-side counters (route81.go:497-505)
-    assert consumer_stats["success"] == 35 and consumer_stats["failed"] == 0
+    assert consumer_stats["success"] == 36 and consumer_stats["failed"] == 0
 
     # stats listener accumulated producer observe() metrics
     snap = listener.snapshot()
-    assert snap["inserted"] == 20 and snap["updated"] == 10 and snap["removed"] == 5
+    assert snap["inserted"] == 21 and snap["updated"] == 10 and snap["removed"] == 5
 
     # HTTP endpoints (route81.go:937-980)
     import urllib.request
@@ -191,7 +208,7 @@ def test_streaming_loopback(spark, tmp_path):
         stats = json.loads(
             urllib.request.urlopen(f"http://127.0.0.1:{port}/stats").read()
         )
-        assert stats["inserted"] == 20
+        assert stats["inserted"] == 21
     finally:
         srv.shutdown()
     spark.streams.removeListener(listener)
