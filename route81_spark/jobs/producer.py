@@ -149,6 +149,34 @@ def envelope_change_stream(events: DataFrame, namespace: str, cfg: Config) -> Da
     return doc_records.unionByName(cmd_records)
 
 
+def streaming_producer_multi(
+    spark: SparkSession,
+    cfg: Config,
+    event_streams: dict[str, DataFrame],
+    sink_dir: str,
+    checkpoint_dir: str,
+    trigger_seconds: float = 1.0,
+):
+    """All change-stream namespaces through ONE streaming query — the
+    reference funnels every namespace into a single producer loop with a
+    single resume timestamp (route81.go:1224-1234); one query = one
+    checkpoint preserves that recovery model. Per-namespace pipelines
+    apply before the union; records carry their routed topic."""
+    unioned: DataFrame | None = None
+    for ns, stream in event_streams.items():
+        records = envelope_change_stream(stream, ns, cfg)
+        unioned = records if unioned is None else unioned.unionByName(records)
+    if unioned is None:
+        raise ValueError("no change-stream namespaces configured")
+    return (
+        unioned.writeStream.format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+        .start()
+    )
+
+
 def streaming_producer_job(
     spark: SparkSession,
     cfg: Config,

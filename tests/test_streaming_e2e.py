@@ -214,6 +214,35 @@ def test_streaming_loopback(spark, tmp_path):
     spark.streams.removeListener(listener)
 
 
+def test_multi_namespace_single_query(spark, tmp_path):
+    """Two namespaces through one streaming query/checkpoint
+    (route81.go:1224-1234: one producer loop, one resume point)."""
+    from route81_spark.jobs.producer import streaming_producer_multi
+
+    cfg = load_config('topic-name-prefix = "p"\n')
+    dirs = {}
+    for ns in ("test.a", "test.b"):
+        d = tmp_path / ns
+        d.mkdir()
+        with open(d / "e.json", "w") as f:
+            for i in range(5):
+                f.write(json.dumps(_event("insert", str(i), i, t=1)) + "\n")
+        dirs[ns] = spark.readStream.schema(change_event_schema(DOC_SCHEMA)).json(str(d))
+    q = streaming_producer_multi(
+        spark, cfg, dirs, str(tmp_path / "out"), str(tmp_path / "ck"), 0.5
+    )
+    try:
+        assert _await(
+            lambda: spark.read.parquet(str(tmp_path / "out")).count() == 10
+        )
+    finally:
+        q.stop()
+    topics = {
+        r["topic"] for r in spark.read.parquet(str(tmp_path / "out")).select("topic").collect()
+    }
+    assert topics == {"p.test.a", "p.test.b"}
+
+
 def test_command_envelope_contract(spark):
     """Commands: key = namespace (db for dropDatabase), op='c', no data,
     no _id header; dropDatabase routes by db name (route81.go:1330-1398)."""
