@@ -23,6 +23,8 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     otherwise serialize every heavy per-row expression onto one task.
     At cluster scale inputs arrive with many partitions and this is a
     no-op (the condition, not the shuffle, is the point)."""
+    if df.isStreaming:
+        return df  # micro-batch partitioning is the source's concern
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
