@@ -340,6 +340,55 @@ def group_expr_key(spark, sf_dir):
 
 
 @_q(
+    "group_global",
+    """
+    SELECT floor((CAST(sum(l_extendedprice) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0
+             AS total_price,
+           floor((avg(l_quantity)) * 10000.0 + 0.5) / 10000.0 AS avg_qty,
+           count(*) AS n,
+           count(DISTINCT l_orderkey) AS n_orders
+    FROM lineitem
+    """,
+)
+def group_global(spark, sf_dir):
+    # $group with _id: null — one global aggregation row
+    df = apply_pipeline(
+        _t(spark, sf_dir, "lineitem"),
+        [
+            {
+                "$group": {
+                    "_id": None,
+                    "total_price": {"$sum": "$l_extendedprice"},
+                    "avg_qty": {"$avg": "$l_quantity"},
+                    "n": {"$sum": 1},
+                    "orders": {"$addToSet": "$l_orderkey"},
+                }
+            },
+            {
+                "$project": {
+                    "_id": 0,
+                    "total_price": {
+                        "$divide": [
+                            {"$floor": {"$add": [{"$multiply": ["$total_price", 10000.0]}, 0.5]}},
+                            10000.0,
+                        ]
+                    },
+                    "avg_qty": {
+                        "$divide": [
+                            {"$floor": {"$add": [{"$multiply": ["$avg_qty", 10000.0]}, 0.5]}},
+                            10000.0,
+                        ]
+                    },
+                    "n": 1,
+                    "n_orders": {"$toLong": {"$size": "$orders"}},
+                }
+            },
+        ],
+    )
+    return df
+
+
+@_q(
     "group_addtoset",
     """
     SELECT o_orderpriority AS pr,
