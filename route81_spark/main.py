@@ -79,6 +79,88 @@ def run_change_streams(spark, cfg: Config, doc_schemas: dict, args):
     return queries
 
 
+def run_consumers(spark, cfg: Config, args) -> list:
+    """Wire each [[consume]] block: kafka-shaped records (parquet topic
+    dirs, or Kafka when --kafka-bootstrap) -> decode -> classify ->
+    keyed merge into --tables-out/<ns> (route81 consumer path §3.3)."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from route81_spark.jobs.consumer import consumer_job
+    from route81_spark.sinks.merge import KeyedParquetTable
+
+    queries = []
+    for spec in cfg.consumers:
+        # doc schema from the target table seed (must exist: the merge
+        # needs a declared document shape, SURVEY §1.1 option a)
+        target_dir = os.path.join(args.tables_out, spec.mongo_namespace)
+        table = KeyedParquetTable(spark, target_dir)
+        doc_schema = table.read().schema if table.exists() else None
+        if doc_schema is None:
+            raise SystemExit(
+                f"seed the target table first: {target_dir}/current must exist"
+            )
+        if args.kafka_bootstrap:
+            stream = (
+                spark.readStream.format("kafka")
+                .option("kafka.bootstrap.servers", args.kafka_bootstrap)
+                .option("subscribe", ",".join(spec.kafka_topics))
+                .option("startingOffsets", "earliest")  # route81.go:1150
+                .load()
+                .withColumn("seq", F.col("offset"))
+            )
+        else:
+            # streaming producers write sink_dir/<topic>; batch direct
+            # reads write sink_dir/topic=<topic> partitions
+            topic_dir = os.path.join(args.sink_dir, spec.kafka_topics[0])
+            if not os.path.isdir(topic_dir):
+                topic_dir = os.path.join(args.sink_dir, f"topic={spec.kafka_topics[0]}")
+            first = spark.read.parquet(topic_dir)
+            stream = spark.readStream.schema(first.schema).parquet(topic_dir)
+            # per-key ordering from the envelope's oplog timestamp
+            # (kafka mode uses the record offset instead)
+            from pyspark.sql import types as T
+
+            seq_schema = T.StructType(
+                [
+                    T.StructField(
+                        "meta",
+                        T.StructType(
+                            [
+                                T.StructField(
+                                    "ts",
+                                    T.StructType(
+                                        [
+                                            T.StructField(
+                                                "$timestamp",
+                                                T.StructType(
+                                                    [
+                                                        T.StructField("t", T.LongType()),
+                                                        T.StructField("i", T.LongType()),
+                                                    ]
+                                                ),
+                                            )
+                                        ]
+                                    ),
+                                )
+                            ]
+                        ),
+                    )
+                ]
+            )
+            ts = F.from_json(F.col("value").cast("string"), seq_schema)["meta"]["ts"]["$timestamp"]
+            stream = stream.withColumn(
+                "seq", ts.getField("t") * F.lit(10_000_000_000) + ts.getField("i")
+            )
+        q = consumer_job(
+            spark, spec, stream, table, doc_schema,
+            os.path.join(args.checkpoint_dir or args.tables_out, f"_ckpt_{spec.mongo_namespace}"),
+        )
+        queries.append(q)
+    return queries
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="route81_spark")
     ap.add_argument("--config", required=True)
@@ -86,8 +168,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--ids", nargs="*", help="ns=col1,col2 natural-key columns")
     ap.add_argument("--events-dir", help="change-event JSON dir (per-ns subdirs)")
     ap.add_argument("--sink-dir", help="parquet topic sink root")
+    ap.add_argument("--tables-out", help="keyed-table root for consumers")
     ap.add_argument("--checkpoint-dir")
     ap.add_argument("--kafka-bootstrap", help="produce to Kafka instead of parquet")
+    ap.add_argument("--duration", type=float, help="stop streaming after N seconds")
     args = ap.parse_args(argv)
 
     with open(args.config) as f:
@@ -99,6 +183,7 @@ def main(argv: list[str] | None = None) -> int:
             run_direct_reads(spark, cfg, _parse_kv(args.tables), _parse_kv(args.ids), args)
             if cfg.exit_after_direct_reads:
                 return 0
+        queries = []
         if cfg.change_stream_namespaces and args.events_dir:
             from pyspark.sql import types as T
 
@@ -107,9 +192,19 @@ def main(argv: list[str] | None = None) -> int:
                 sample = spark.read.json(os.path.join(args.events_dir, ns))
                 fd = sample.schema["fullDocument"].dataType if "fullDocument" in sample.columns else T.StructType([])
                 schemas[ns] = fd
-            queries = run_change_streams(spark, cfg, schemas, args)
-            for q in queries:
-                q.awaitTermination()
+            queries += run_change_streams(spark, cfg, schemas, args)
+        if cfg.consumers and args.tables_out:
+            queries += run_consumers(spark, cfg, args)
+        if queries:
+            if args.duration:
+                import time as _time
+
+                _time.sleep(args.duration)
+                for q in queries:
+                    q.stop()
+            else:
+                for q in queries:
+                    q.awaitTermination()
         return 0
     except KeyboardInterrupt:
         # SIGINT drain ≡ route81.go:759-773
