@@ -1408,6 +1408,49 @@ def dedup_simhash(spark, sf_dir):
     return docs.select("doc_id", D.simhash(F.col("text"), n_bits=16).alias("sh"))
 
 
+_PAIRS_SQL = f"""
+    t AS (SELECT doc_id, {_SH_SQL} AS sh FROM documents),
+    sigs AS (
+      SELECT doc_id, sh,
+             [{", ".join(_minhash_sql_expr(j) for j in range(8))}] AS sig
+      FROM t
+    ),
+    bands AS (
+      SELECT doc_id, b,
+             md5(array_to_string(sig[b*4+1:b*4+4], ',')) AS bh
+      FROM sigs, (SELECT unnest(range(2)) AS b)
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id
+    )
+"""
+
+
+@_q(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE {_PAIRS_SQL},
+    bi AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, r) AS (
+      SELECT DISTINCT src, src FROM bi
+      UNION
+      SELECT bi.src, reach.r FROM bi JOIN reach ON bi.dst = reach.id
+    )
+    SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
+    """,
+)
+def dedup_clusters(spark, sf_dir):
+    # candidate pairs -> connected components -> one cluster id per doc
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.lsh_candidates(docs, k=8, bands=2)
+    return D.near_dup_clusters(pairs)
+
+
 # =====================================================================
 # Similarity search
 # =====================================================================
