@@ -1408,6 +1408,63 @@ def dedup_simhash(spark, sf_dir):
     return docs.select("doc_id", D.simhash(F.col("text"), n_bits=16).alias("sh"))
 
 
+@_q(
+    "dedup_end_to_end",
+    f"""
+    WITH RECURSIVE
+    survivors AS (
+      SELECT d.* FROM documents d
+      JOIN (SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) h,
+                   min(doc_id) keep_id
+            FROM documents GROUP BY 1) x ON d.doc_id = x.keep_id
+    ),
+    t AS (SELECT doc_id, {{sh}} AS sh FROM survivors),
+    sigs AS (
+      SELECT doc_id, sh,
+             [{", ".join(_minhash_sql_expr(j) for j in range(8))}] AS sig
+      FROM t
+    ),
+    bands AS (
+      SELECT doc_id, b, md5(array_to_string(sig[b*4+1:b*4+4], ',')) AS bh
+      FROM sigs, (SELECT unnest(range(2)) AS b)
+    ),
+    pairs0 AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id
+    ),
+    pairs AS (
+      SELECT p.id_a, p.id_b FROM pairs0 p
+      JOIN sigs sa ON sa.doc_id = p.id_a
+      JOIN sigs sb ON sb.doc_id = p.id_b
+      WHERE floor((CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+            / len(list_distinct(list_concat(sa.sh, sb.sh)))) * 1000000.0 + 0.5)
+            / 1000000.0 >= 0.5
+    ),
+    bi AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, r) AS (
+      SELECT DISTINCT src, src FROM bi
+      UNION
+      SELECT bi.src, reach.r FROM bi JOIN reach ON bi.dst = reach.id
+    ),
+    losers AS (
+      SELECT id AS doc_id FROM reach GROUP BY id HAVING min(r) <> id
+    )
+    SELECT s.doc_id, s.lang, s.source
+    FROM survivors s LEFT JOIN losers l ON s.doc_id = l.doc_id
+    WHERE l.doc_id IS NULL
+    """.replace(
+        "{sh}",
+        _SH_SQL.replace("FROM documents", "").replace("text", "text"),
+    ),
+)
+def dedup_end_to_end(spark, sf_dir):
+    out = D.near_dedup(_t(spark, sf_dir, "documents"), jaccard_threshold=0.5)
+    return out.select("doc_id", "lang", "source")
+
+
 _PAIRS_SQL = f"""
     t AS (SELECT doc_id, {_SH_SQL} AS sh FROM documents),
     sigs AS (

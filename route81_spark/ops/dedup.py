@@ -230,6 +230,34 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def near_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    bands: int = 2,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """The end-to-end dedup product: drop exact duplicates, then drop
+    near-duplicates (LSH candidates verified by Jaccard >= threshold,
+    clustered, min-id representative kept). Returns the surviving rows.
+
+    Composition of shuffle-minimal pieces: exact = one hash agg;
+    candidates = band equi-join; verify = broadcast-pruned Jaccard;
+    clusters = label propagation on the (tiny) verified-pair graph;
+    final filter = broadcast anti-join of the loser set."""
+    survivors = exact_dedup(df, text_col, id_col)
+    cand = lsh_candidates(survivors, text_col, id_col, k=k, bands=bands)
+    verified = ngram_jaccard_pairs(
+        survivors, cand, text_col, id_col, threshold=jaccard_threshold
+    )
+    clusters = near_dup_clusters(verified.select("id_a", "id_b"))
+    losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return survivors.join(F.broadcast(losers), id_col, "left_anti")
+
+
 def near_dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     """Connected components over near-dup pairs: (doc_id, cluster_id)
     where cluster_id = min doc id reachable through the pair graph —
