@@ -340,6 +340,23 @@ def group_expr_key(spark, sf_dir):
 
 
 @_q(
+    "sample_deterministic",
+    """
+    SELECT doc_id, lang FROM documents
+    ORDER BY md5('s|' || CAST(doc_id AS VARCHAR)) LIMIT 25
+    """,
+)
+def sample_deterministic(spark, sf_dir):
+    return apply_pipeline(
+        _t(spark, sf_dir, "documents"),
+        [
+            {"$sample": {"size": 25, "key": "$doc_id"}},
+            {"$project": {"doc_id": 1, "lang": 1}},
+        ],
+    )
+
+
+@_q(
     "group_global",
     """
     SELECT floor((CAST(sum(l_extendedprice) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0

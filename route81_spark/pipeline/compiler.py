@@ -206,7 +206,7 @@ def _stage_sort(df: DataFrame, arg: dict) -> DataFrame:
 _KNOWN_STAGES = {
     "$match", "$project", "$addFields", "$set", "$unset", "$limit", "$skip",
     "$count", "$sort", "$group", "$unwind", "$replaceRoot", "$replaceWith",
-    "$sortByCount",
+    "$sortByCount", "$sample",
 }
 
 
@@ -244,6 +244,15 @@ def compile_stage(stage: dict, sort_spec: dict | None = None) -> Callable[[DataF
             return _stage_unwind(df, arg)
         if name in ("$replaceRoot", "$replaceWith"):
             return _stage_replace_root(df, arg if name == "$replaceRoot" else {"newRoot": arg})
+        if name == "$sample":
+            # Mongo $sample is random; with the `key` extension the
+            # sample is a deterministic md5-ordering — reproducible
+            # sampling, which training-data pipelines want anyway
+            n = int(arg["size"])
+            if "key" in arg:
+                h = F.md5(F.concat(F.lit("s|"), compile_expr(arg["key"], df).cast("string")))
+                return df.orderBy(h).limit(n)
+            return df.orderBy(F.rand()).limit(n)
         if name == "$sortByCount":
             g = df.groupBy(compile_expr(arg, df).alias("_id")).agg(F.count(F.lit(1)).alias("count"))
             return g.orderBy(F.col("count").desc(), F.col("_id").asc_nulls_first())
