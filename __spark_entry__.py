@@ -12,11 +12,15 @@ envelope builder, classifier/merge, dedup/similarity/text ops).
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from route81_spark import harness
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from route81_spark import harness  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
