@@ -130,6 +130,8 @@ def ext_json_tagged_schema(dtype: T.DataType, oid: bool = False) -> T.DataType:
         )
     if isinstance(dtype, T.ArrayType):
         return T.ArrayType(ext_json_tagged_schema(dtype.elementType))
+    if isinstance(dtype, T.MapType):
+        return T.MapType(dtype.keyType, ext_json_tagged_schema(dtype.valueType))
     if isinstance(dtype, T.StructType):
         return T.StructType(
             [
@@ -163,6 +165,11 @@ def strip_ext_json(col: Column, dtype: T.DataType, oid: bool = False) -> Column:
         return F.unbase64(col.getField("$binary").getField("base64"))
     if isinstance(dtype, T.ArrayType):
         return F.transform(col, lambda x: strip_ext_json(x, dtype.elementType))
+    if isinstance(dtype, T.MapType):
+        return F.map_from_arrays(
+            F.map_keys(col),
+            F.transform(F.map_values(col), lambda v: strip_ext_json(v, dtype.valueType)),
+        )
     if isinstance(dtype, T.StructType):
         return F.when(
             col.isNotNull(),

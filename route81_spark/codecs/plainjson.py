@@ -38,14 +38,55 @@ def plain_json_col(col: Column, dtype: T.DataType) -> Column:
     return col
 
 
+def _double_field_names(dtype: T.DataType) -> set[str]:
+    """Names of struct fields whose type is floating — at any nesting
+    depth — used to scope the non-finite rewrite to those keys only."""
+    out: set[str] = set()
+    if isinstance(dtype, T.StructType):
+        for f in dtype.fields:
+            if isinstance(f.dataType, (T.DoubleType, T.FloatType)):
+                out.add(f.name)
+            else:
+                out |= _double_field_names(f.dataType)
+    elif isinstance(dtype, T.ArrayType):
+        out |= _double_field_names(dtype.elementType)
+    elif isinstance(dtype, T.MapType):
+        out |= _double_field_names(dtype.valueType)
+    return out
+
+
+def _has_double_arrays(dtype: T.DataType) -> bool:
+    if isinstance(dtype, T.ArrayType):
+        return isinstance(dtype.elementType, (T.DoubleType, T.FloatType)) or _has_double_arrays(
+            dtype.elementType
+        )
+    if isinstance(dtype, T.StructType):
+        return any(_has_double_arrays(f.dataType) for f in dtype.fields)
+    if isinstance(dtype, T.MapType):
+        return _has_double_arrays(dtype.valueType)
+    return False
+
+
 def plain_json_string(col: Column, dtype: T.DataType) -> Column:
+    import re as _re
+
     js = F.to_json(plain_json_col(col, dtype))
     # Spark's to_json emits non-finite doubles as the quoted strings
-    # "NaN" / "Infinity" / "-Infinity"; rewrite them to the reference's
-    # marker strings (encoding.go:83-94). The leading [:,\[] boundary
-    # keeps user string payloads containing e.g. `"NaN"` untouched
-    # (those appear after a quote, not directly after : , or [).
-    js = F.regexp_replace(js, r'(?<=[:,\[])"-Infinity"', '"-inf"')
-    js = F.regexp_replace(js, r'(?<=[:,\[])"Infinity"', '"+inf"')
-    js = F.regexp_replace(js, r'(?<=[:,\[])"NaN"', '"nan"')
+    # "NaN"/"Infinity"/"-Infinity" — textually identical to a *string*
+    # field holding those values. Scope the marker rewrite
+    # (encoding.go:83-94) by schema: only keys of floating-typed fields
+    # are targeted, so string payloads keep their text.
+    for name in sorted(_double_field_names(dtype)):
+        q = _re.escape(name)
+        js = F.regexp_replace(js, f'"{q}":"-Infinity"', f'"{name}":"-inf"')
+        js = F.regexp_replace(js, f'"{q}":"Infinity"', f'"{name}":"+inf"')
+        js = F.regexp_replace(js, f'"{q}":"NaN"', f'"{name}":"nan"')
+    if _has_double_arrays(dtype):
+        # elements of double arrays have no key to anchor on; rewrite
+        # bare array-context tokens (residual: a *string array* holding
+        # exactly "NaN" would also match — none exist in this engine's
+        # schemas, and the reference has the same textual ambiguity)
+        js = F.regexp_replace(js, r'(?<=[\[,])"-Infinity"(?=[,\]])', '"-inf"')
+        js = F.regexp_replace(js, r'(?<=[\[,])"Infinity"(?=[,\]])', '"+inf"')
+        js = F.regexp_replace(js, r'(?<=[\[,])"NaN"(?=[,\]])', '"nan"')
     return js

@@ -211,10 +211,14 @@ def main(argv: list[str] | None = None) -> int:
         for q in spark.streams.active:
             q.stop()
         return 0
-    except Exception:
+    except Exception as e:
         if cfg.fail_fast:
             raise
-        raise
+        # non-fail-fast: report and exit nonzero without a crash dump
+        # (the reference's retry loops are connection-establishment
+        # concerns; query errors are terminal either way)
+        print(f"route81_spark: error: {e}", file=sys.stderr)
+        return 1
 
 
 if __name__ == "__main__":

@@ -303,4 +303,12 @@ def near_dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # silent non-convergence would return wrong clusters (a chain
+        # longer than max_iter still carries intermediate labels)
+        raise RuntimeError(
+            f"near_dup_clusters did not converge in {max_iter} rounds; "
+            "component diameter exceeds max_iter — raise it or switch to "
+            "large-star/small-star"
+        )
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))

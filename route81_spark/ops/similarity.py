@@ -40,7 +40,11 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    # zero-norm guard: under Spark 4's default ANSI mode a zero vector
+    # would abort the job with DIVIDE_BY_ZERO; yield null instead (null
+    # scores sort last in every top-k here, so zero vectors never rank)
+    denom = norm(a) * norm(b)
+    return F.when(denom != 0, dot(a, b) / denom)
 
 
 def brute_force_topk(

@@ -38,7 +38,8 @@ def bpe_ish_tokens(col: Column) -> Column:
 
 def distinct_ratio(col: Column) -> Column:
     tk = tokens(col)
-    return F.size(F.array_distinct(tk)) / F.size(tk)
+    # empty token list -> null (not an ANSI DIVIDE_BY_ZERO abort)
+    return F.when(F.size(tk) > 0, F.size(F.array_distinct(tk)) / F.size(tk))
 
 
 def quality_score(text_col: Column) -> Column:
@@ -54,7 +55,11 @@ def quality_score(text_col: Column) -> Column:
     length_factor = F.least(n_chars / F.lit(400.0), F.lit(1.0))
     diversity = distinct_ratio(text_col)
     alpha = F.length(F.regexp_replace(text_col, r"[^A-Za-z]", "")) / n_chars
-    return det_round(length_factor * diversity * alpha, 6)
+    score = det_round(length_factor * diversity * alpha, 6)
+    # empty/whitespace-only text scores 0 instead of aborting under ANSI
+    return F.when((n_chars > 0) & (F.size(tokens(text_col)) > 0), score).otherwise(
+        F.lit(0.0)
+    )
 
 
 def marker_hits(text_col: Column, words: list[str]) -> Column:

@@ -117,7 +117,10 @@ def _stage_project(df: DataFrame, arg: dict) -> DataFrame:
         raise PipelineCompileError("$project requires at least one field")
     id_excluded = arg.get("_id") in (0, False)
     body = {k: v for k, v in arg.items() if k != "_id"}
-    exclusion = body and all(v in (0, False) for v in body.values())
+    # {"_id": 0} alone is exclusion mode too (keep everything else)
+    exclusion = (not body and id_excluded) or (
+        bool(body) and all(v in (0, False) for v in body.values())
+    )
     if exclusion:
         drops = list(body)
         if id_excluded:
@@ -215,10 +218,16 @@ def compile_stage(stage: dict, sort_spec: dict | None = None) -> Callable[[DataF
         raise PipelineCompileError(f"each pipeline stage must be a single-key document: {stage}")
     name, arg = next(iter(stage.items()))
     if name not in _KNOWN_STAGES and name not in EXTRA_STAGES:
-        # fail at config time, mirroring route81's hard pipeline-JSON
-        # validation (route81.go:273-277); $redact/$lookup/$facet/$bucket
-        # are documented out of scope (SURVEY §2.B)
-        raise PipelineCompileError(f"unsupported pipeline stage: {name}")
+        # extension stages register on route81_spark.ops import; load it
+        # before declaring the stage unknown so pipeline JSON works from
+        # any entry point (e.g. python -m route81_spark.main)
+        import route81_spark.ops  # noqa: F401
+
+        if name not in EXTRA_STAGES:
+            # fail at config time, mirroring route81's hard pipeline-JSON
+            # validation (route81.go:273-277); $redact/$lookup/$facet/
+            # $bucket are documented out of scope (SURVEY §2.B)
+            raise PipelineCompileError(f"unsupported pipeline stage: {name}")
 
     def fn(df: DataFrame) -> DataFrame:
         if name == "$match":

@@ -297,7 +297,7 @@ def _apply_simple(op: str, cols: list[Column], raw_arg: Any, df: DataFrame | Non
             return F.split(c[0], _re.escape(delim))
         return F.split(c[0], c[1])
     if op == "$trim":
-        return F.trim(c[0]) if not isinstance(raw_arg, dict) or "chars" not in raw_arg else F.trim(c[0])
+        return F.trim(c[0])
     if op == "$ltrim":
         return F.ltrim(c[0])
     if op == "$rtrim":
@@ -528,6 +528,12 @@ def _compile_op(op: str, arg: Any, df: DataFrame | None) -> Column:
         raise PipelineCompileError("$mergeObjects supported only as a $group accumulator")
     if op in ("$trim", "$ltrim", "$rtrim") and isinstance(arg, dict):
         inp = compile_expr(arg["input"], df)
+        if "chars" in arg:
+            if op == "$trim":
+                return F.btrim(inp, F.lit(arg["chars"]))
+            # Spark has no char-set ltrim/rtrim Column function; fail
+            # loudly rather than silently whitespace-trimming
+            raise PipelineCompileError(f"{op} with chars is not supported")
         fn = {"$trim": F.trim, "$ltrim": F.ltrim, "$rtrim": F.rtrim}[op]
         return fn(inp)
     # everything else: compile args generically

@@ -41,17 +41,19 @@ def apply_changes(
     changes: DataFrame,
     key: str = "doc_id",
     seq: str | None = "seq",
+    target_key: str = "_id",
 ) -> DataFrame:
     """Pure merge: replace/delete-by-key (route81.go:1086-1098 semantics).
 
-    `changes` columns: doc_id, is_delete, doc (struct matching target
-    rows). Returns the new target state as a DataFrame of doc fields.
+    `changes` columns: <key>, is_delete, doc (struct matching target
+    rows, keyed by <target_key>). Returns the new target state as a
+    DataFrame of doc fields.
     """
     if seq is not None and seq in changes.columns:
         changes = latest_per_key(changes, key=key, seq=seq)
     upserts = changes.filter(~F.col("is_delete")).select("doc.*")
-    changed_keys = changes.select(F.col("doc_id"))
-    kept = target.join(changed_keys, target["_id"] == changed_keys["doc_id"], "left_anti")
+    changed_keys = changes.select(F.col(key))
+    kept = target.join(changed_keys, target[target_key] == changed_keys[key], "left_anti")
     return kept.unionByName(upserts)
 
 
@@ -104,7 +106,7 @@ class KeyedParquetTable:
         if self.buckets:
             self._merge_bucketed(changes, seq)
             return
-        new_state = apply_changes(self.read(), changes, seq=seq)
+        new_state = apply_changes(self.read(), changes, seq=seq, target_key=self.key)
         tmp = os.path.join(self.path, "next")
         new_state.write.mode("overwrite").parquet(tmp)
         old = self._current
@@ -126,7 +128,9 @@ class KeyedParquetTable:
         current = self.spark.read.parquet(self._current).filter(
             F.col("bucket").isin(touched)
         )
-        new_state = apply_changes(current.drop("bucket"), changes.drop("bucket"), seq=seq)
+        new_state = apply_changes(
+            current.drop("bucket"), changes.drop("bucket"), seq=seq, target_key=self.key
+        )
         out = new_state.withColumn("bucket", self._bucket_of(F.col(self.key)))
         # write the new versions of the touched buckets to a scratch dir
         # (cannot overwrite the path being read), then swap exactly those
