@@ -27,6 +27,7 @@ from route81_spark.io import load_table
 from route81_spark.ops import dedup as D
 from route81_spark.ops import similarity as S
 from route81_spark.ops import text as X
+from route81_spark.ops.util import det_round_sql
 from route81_spark.pipeline import apply_pipeline
 from route81_spark.sinks.merge import latest_per_key
 from route81_spark.sources.change_events import synthetic_change_events
@@ -1682,6 +1683,243 @@ def text_stats(spark, sf_dir):
 def text_langid(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return docs.select("doc_id", "lang", X.lang_id(F.col("text")).alias("pred_lang"))
+
+
+# =====================================================================
+# Tier-3 pipeline stages: $lookup / $bucket / $bucketAuto / $facet /
+# $setWindowFields (route81 forwards arbitrary stage JSON — these are
+# the standard server stages a real config can carry)
+# =====================================================================
+
+def _mround(expr, digits: int = 4) -> dict:
+    """Mongo-dialect deterministic rounding: floor(x*10^d + 0.5)/10^d —
+    the same IEEE-exact form as ops.util.det_round (both engines)."""
+    scale = float(10**digits)
+    return {"$divide": [{"$floor": {"$add": [{"$multiply": [expr, scale]}, 0.5]}}, scale]}
+
+
+def _use_tables(spark, sf_dir):
+    from route81_spark.pipeline import compiler
+
+    compiler.set_collection_resolver(lambda name: _t(spark, sf_dir, name))
+
+
+@_q(
+    "lookup_unwind",
+    """
+    SELECT o_orderkey, c.c_name AS cust_name, o_totalprice
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_orderstatus = 'F'
+    """,
+)
+def lookup_unwind(spark, sf_dir):
+    _use_tables(spark, sf_dir)
+    return apply_pipeline(
+        _t(spark, sf_dir, "orders"),
+        [
+            {"$match": {"o_orderstatus": "F"}},
+            {
+                "$lookup": {
+                    "from": "customer",
+                    "localField": "o_custkey",
+                    "foreignField": "c_custkey",
+                    "as": "cust",
+                }
+            },
+            {"$unwind": "$cust"},
+            {
+                "$project": {
+                    "_id": 0,
+                    "o_orderkey": 1,
+                    "cust_name": "$cust.c_name",
+                    "o_totalprice": 1,
+                }
+            },
+        ],
+    )
+
+
+@_q(
+    "lookup_order_counts",
+    """
+    SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+    FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_custkey
+    """,
+)
+def lookup_order_counts(spark, sf_dir):
+    _use_tables(spark, sf_dir)
+    return apply_pipeline(
+        _t(spark, sf_dir, "customer"),
+        [
+            {
+                "$lookup": {
+                    "from": "orders",
+                    "localField": "c_custkey",
+                    "foreignField": "o_custkey",
+                    "as": "ords",
+                }
+            },
+            {
+                "$project": {
+                    "_id": 0,
+                    "c_custkey": 1,
+                    "n_orders": {"$toLong": {"$size": "$ords"}},
+                }
+            },
+        ],
+    )
+
+
+@_q(
+    "bucket_totalprice",
+    f"""
+    SELECT CASE
+             WHEN o_totalprice >= 0 AND o_totalprice < 50000 THEN 0
+             WHEN o_totalprice >= 50000 AND o_totalprice < 150000 THEN 50000
+             WHEN o_totalprice >= 150000 AND o_totalprice < 300000 THEN 150000
+             WHEN o_totalprice >= 300000 AND o_totalprice < 700000 THEN 300000
+             ELSE -1 END AS _id,
+           COUNT(*) AS n,
+           {det_round_sql('SUM(o_totalprice)', 4)} AS total
+    FROM orders GROUP BY 1
+    """,
+)
+def bucket_totalprice(spark, sf_dir):
+    return apply_pipeline(
+        _t(spark, sf_dir, "orders"),
+        [
+            {
+                "$bucket": {
+                    "groupBy": "$o_totalprice",
+                    "boundaries": [0, 50000, 150000, 300000, 700000],
+                    "default": -1,
+                    "output": {"n": {"$sum": 1}, "total": {"$sum": "$o_totalprice"}},
+                }
+            },
+            {"$project": {"_id": 1, "n": 1, "total": _mround("$total")}},
+        ],
+    )
+
+
+@_q(
+    "bucket_auto_custkey",
+    f"""
+    WITH b AS (
+      SELECT c_custkey, c_acctbal, ntile(8) OVER (ORDER BY c_custkey) AS bk
+      FROM customer
+    ), per AS (
+      SELECT bk, min(c_custkey) AS mn, max(c_custkey) AS mx,
+             COUNT(*) AS n, {det_round_sql('AVG(c_acctbal)', 4)} AS avg_bal
+      FROM b GROUP BY bk
+    )
+    SELECT mn AS lo, coalesce(lead(mn) OVER (ORDER BY bk), mx) AS hi, n, avg_bal
+    FROM per
+    """,
+)
+def bucket_auto_custkey(spark, sf_dir):
+    return apply_pipeline(
+        _t(spark, sf_dir, "customer"),
+        [
+            {
+                "$bucketAuto": {
+                    "groupBy": "$c_custkey",
+                    "buckets": 8,
+                    "output": {"n": {"$sum": 1}, "avg_bal": {"$avg": "$c_acctbal"}},
+                }
+            },
+            {
+                "$project": {
+                    "_id": 0,
+                    "lo": "$_id.min",
+                    "hi": "$_id.max",
+                    "n": 1,
+                    "avg_bal": _mround("$avg_bal"),
+                }
+            },
+        ],
+    )
+
+
+@_q(
+    "window_rank_shift",
+    """
+    SELECT o_orderkey, o_custkey,
+           CAST(RANK() OVER w AS INT) AS rk,
+           CAST(ROW_NUMBER() OVER w AS INT) AS rn,
+           COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_n,
+           CAST(LAG(o_orderdate) OVER w AS TIMESTAMP_NS) AS prev_date
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+    """,
+)
+def window_rank_shift(spark, sf_dir):
+    return apply_pipeline(
+        _t(spark, sf_dir, "orders"),
+        [
+            {
+                "$setWindowFields": {
+                    "partitionBy": "$o_custkey",
+                    "sortBy": {"o_orderkey": 1},
+                    "output": {
+                        "rk": {"$rank": {}},
+                        "rn": {"$documentNumber": {}},
+                        "run_n": {
+                            "$count": {},
+                            "window": {"documents": ["unbounded", "current"]},
+                        },
+                        "prev_date": {"$shift": {"output": "$o_orderdate", "by": -1}},
+                    },
+                }
+            },
+            {
+                "$project": {
+                    "_id": 0,
+                    "o_orderkey": 1,
+                    "o_custkey": 1,
+                    "rk": 1,
+                    "rn": 1,
+                    "run_n": 1,
+                    "prev_date": 1,
+                }
+            },
+        ],
+    )
+
+
+@_q(
+    "facet_summary",
+    """
+    SELECT (SELECT COUNT(*) FROM orders) AS total_orders,
+           (SELECT CAST(COUNT(DISTINCT o_orderstatus) AS INT) FROM orders) AS n_statuses,
+           (SELECT max(o_totalprice) FROM orders) AS max_price
+    """,
+)
+def facet_summary(spark, sf_dir):
+    return apply_pipeline(
+        _t(spark, sf_dir, "orders"),
+        [
+            {
+                "$facet": {
+                    "counts": [{"$count": "n"}],
+                    "by_status": [
+                        {"$group": {"_id": "$o_orderstatus", "n": {"$sum": 1}}}
+                    ],
+                    "extremes": [
+                        {"$group": {"_id": None, "mx": {"$max": "$o_totalprice"}}}
+                    ],
+                }
+            },
+            {
+                "$project": {
+                    "total_orders": {"$arrayElemAt": ["$counts.n", 0]},
+                    "n_statuses": {"$size": "$by_status"},
+                    "max_price": {"$arrayElemAt": ["$extremes.mx", 0]},
+                }
+            },
+        ],
+    )
 
 
 # =====================================================================

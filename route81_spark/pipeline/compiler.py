@@ -8,15 +8,18 @@ through $project, partial aggregation through $group, ...).
 
 Tier 1 (documented surface): $match $project $addFields $set $unset
 $limit $count.  Tier 2 (standard core): $sort $skip $group $unwind
-$replaceRoot/$replaceWith $sortByCount.  Extension stages (training-data
-ops — SURVEY §7 M5) register via `register_stage`.
+$replaceRoot/$replaceWith $sortByCount $sample.  Tier 3 (full-pipeline
+parity — route81 forwards arbitrary stage JSON to the server, so real
+configs may carry these): $lookup $bucket $bucketAuto $facet
+$setWindowFields.  Extension stages (training-data ops — SURVEY §7 M5)
+register via `register_stage`.
 """
 
 from __future__ import annotations
 
 from typing import Any, Callable
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from route81_spark.pipeline.exprs import PipelineCompileError, compile_expr
@@ -28,6 +31,27 @@ EXTRA_STAGES: dict[str, Callable[[DataFrame, Any], DataFrame]] = {}
 
 def register_stage(name: str, fn: Callable[[DataFrame, Any], DataFrame]) -> None:
     EXTRA_STAGES[name] = fn
+
+
+# $lookup resolves its `from` collection through this hook: callers
+# (harness, CLI config) install a name -> DataFrame loader. route81
+# itself never resolves collections — it ships the pipeline JSON to
+# MongoDB (route81.go:181-197) — so the hook is the Spark-side stand-in
+# for "the server knows the other collections".
+_COLLECTION_RESOLVER: Callable[[str], DataFrame] | None = None
+
+
+def set_collection_resolver(fn: Callable[[str], DataFrame] | None) -> None:
+    global _COLLECTION_RESOLVER
+    _COLLECTION_RESOLVER = fn
+
+
+def _resolve_collection(name: str) -> DataFrame:
+    if _COLLECTION_RESOLVER is None:
+        raise PipelineCompileError(
+            "$lookup requires a collection resolver (set_collection_resolver)"
+        )
+    return _COLLECTION_RESOLVER(name)
 
 
 # --- $group accumulators -------------------------------------------------
@@ -206,10 +230,200 @@ def _stage_sort(df: DataFrame, arg: dict) -> DataFrame:
     return df.orderBy(*orders)
 
 
+def _stage_lookup(df: DataFrame, arg: dict) -> DataFrame:
+    """Equality-form $lookup: left outer array-join against another
+    collection. Scale shape: the foreign side is pre-aggregated to one
+    row per join key (map-side combine shrinks the shuffle to distinct
+    keys), then a null-safe equi-join that Catalyst turns into a
+    broadcast join when the aggregated side is small (dimension tables).
+    Matches Mongo's null semantics: a null/missing localField matches
+    foreign docs whose foreignField is null/missing."""
+    for k in ("from", "localField", "foreignField", "as"):
+        if k not in arg:
+            raise PipelineCompileError(f"$lookup requires {k} (equality form only)")
+    foreign = _resolve_collection(arg["from"])
+    out_name = arg["as"]
+    fstruct = F.struct(*[F.col(c) for c in foreign.columns])
+    grouped = foreign.groupBy(F.col(arg["foreignField"]).alias("__lookup_key")).agg(
+        # Mongo's match order is natural (undefined for us); sort the
+        # struct array so results are deterministic under parallelism
+        F.array_sort(F.collect_list(fstruct)).alias("__lookup_matches")
+    )
+    joined = df.join(
+        grouped,
+        compile_expr("$" + arg["localField"], df).eqNullSafe(F.col("__lookup_key")),
+        "left",
+    )
+    empty = F.array().cast(grouped.schema["__lookup_matches"].dataType)
+    return (
+        joined.drop("__lookup_key")
+        .withColumn(out_name, F.coalesce(F.col("__lookup_matches"), empty))
+        .drop("__lookup_matches")
+    )
+
+
+def _stage_bucket(df: DataFrame, arg: dict) -> DataFrame:
+    """$bucket: explicit-boundary histogram. Compiles to a when() chain
+    (whole-stage codegen, no shuffle until the groupBy) + hash agg."""
+    key = compile_expr(arg["groupBy"], df)
+    bounds = arg.get("boundaries")
+    if not isinstance(bounds, list) or len(bounds) < 2 or sorted(bounds) != bounds:
+        raise PipelineCompileError("$bucket requires ascending `boundaries` (>= 2)")
+    has_default = "default" in arg
+    if not has_default:
+        # Mongo errors at runtime on out-of-range docs; we require the
+        # default at compile time so the plan can't silently drop rows
+        raise PipelineCompileError("$bucket requires `default` in this engine")
+    default = arg["default"]
+    # Mongo allows heterogeneous _id values (numeric bounds + string
+    # default); Spark's when() needs one type — stringify all branch
+    # values when the types are mixed
+    numeric = lambda v: isinstance(v, (int, float)) and not isinstance(v, bool)  # noqa: E731
+    homogeneous = all(map(numeric, bounds)) and numeric(default)
+    as_id = (lambda v: F.lit(v)) if homogeneous else (lambda v: F.lit(str(v)))
+    bucket = F.when(key.isNull(), as_id(default))
+    for lo, hi in zip(bounds, bounds[1:]):
+        bucket = bucket.when((key >= F.lit(lo)) & (key < F.lit(hi)), as_id(lo))
+    bucket = bucket.otherwise(as_id(default))
+    output = arg.get("output", {"count": {"$sum": 1}})
+    accs = [_accumulator(spec, df).alias(name) for name, spec in output.items()]
+    return df.groupBy(bucket.alias("_id")).agg(*accs).orderBy(F.col("_id").asc_nulls_first())
+
+
+def _stage_bucket_auto(df: DataFrame, arg: dict) -> DataFrame:
+    """$bucketAuto: N equal-count buckets via ntile over the groupBy
+    key. NOTE the total order: this stage is a global sort (single
+    reduce task for the ntile window) — at cluster scale prefer $bucket
+    with approx-quantile boundaries; kept exact here because Mongo's
+    semantics are exact even-count distribution. _id = {min, max} where
+    max is the next bucket's min (Mongo's boundary convention) and the
+    last bucket's max is the global max."""
+    key = compile_expr(arg["groupBy"], df)
+    n = int(arg["buckets"])
+    if n < 1:
+        raise PipelineCompileError("$bucketAuto requires buckets >= 1")
+    output = arg.get("output", {"count": {"$sum": 1}})
+    w = Window.orderBy(key.asc_nulls_first())
+    bucketed = df.withColumn("__bucket", F.ntile(n).over(w))
+    accs = [_accumulator(spec, bucketed).alias(name) for name, spec in output.items()]
+    per = bucketed.groupBy("__bucket").agg(
+        F.min(key).alias("__min"), F.max(key).alias("__max"), *accs
+    )
+    wb = Window.orderBy("__bucket")
+    return (
+        per.withColumn(
+            "_id",
+            F.struct(
+                F.col("__min").alias("min"),
+                F.coalesce(F.lead("__min").over(wb), F.col("__max")).alias("max"),
+            ),
+        )
+        .select("_id", *output.keys())
+    )
+
+
+def _stage_facet(df: DataFrame, arg: dict) -> DataFrame:
+    """$facet: run each sub-pipeline over the same input; one output row
+    whose fields are arrays of each facet's result docs. The input plan
+    is shared (Spark recomputes or reuses the exchange per AQE); each
+    facet collapses to a single row, so the final cross-join is trivial."""
+    if not arg:
+        raise PipelineCompileError("$facet requires at least one facet")
+    parts: list[DataFrame] = []
+    for name, stages in arg.items():
+        if not isinstance(stages, list):
+            raise PipelineCompileError(f"$facet field {name} must be a stage list")
+        sub = apply_pipeline(df, stages)
+        parts.append(
+            sub.agg(
+                F.array_sort(
+                    F.collect_list(F.struct(*[F.col(c) for c in sub.columns]))
+                ).alias(name)
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.crossJoin(p)
+    return out
+
+
+_WINDOW_RANKS = {
+    "$rank": F.rank,
+    "$denseRank": F.dense_rank,
+    "$documentNumber": F.row_number,
+}
+
+_WINDOW_AGGS = {
+    "$sum": F.sum, "$avg": F.avg, "$min": F.min, "$max": F.max,
+    "$push": F.collect_list, "$count": None,
+}
+
+
+def _window_bound(b: Any) -> int:
+    if b == "unbounded":
+        return Window.unboundedPreceding  # caller flips sign for the end
+    if b == "current":
+        return Window.currentRow
+    if isinstance(b, int):
+        return b
+    raise PipelineCompileError(f"bad window bound: {b}")
+
+
+def _stage_set_window_fields(df: DataFrame, arg: dict) -> DataFrame:
+    """$setWindowFields -> Spark window functions (rank/row_number/lead/
+    lag/windowed aggregates over rowsBetween). partitionBy keeps this
+    shuffle-parallel; an omitted partitionBy is a single global window
+    (one task) exactly as in Mongo."""
+    part = arg.get("partitionBy")
+    sort_by = arg.get("sortBy")
+    base = Window.partitionBy(compile_expr(part, df)) if part is not None else Window.partitionBy()
+    if sort_by:
+        orders = [
+            F.col(f).asc_nulls_first() if d >= 0 else F.col(f).desc_nulls_last()
+            for f, d in sort_by.items()
+        ]
+        base = base.orderBy(*orders)
+    out = df
+    for name, spec in arg.get("output", {}).items():
+        spec = dict(spec)
+        win = spec.pop("window", None)
+        if len(spec) != 1:
+            raise PipelineCompileError(f"bad $setWindowFields output: {name}")
+        op, op_arg = next(iter(spec.items()))
+        if op in _WINDOW_RANKS:
+            if not sort_by:
+                raise PipelineCompileError(f"{op} requires sortBy")
+            col = _WINDOW_RANKS[op]().over(base)
+        elif op == "$shift":
+            if not sort_by:
+                raise PipelineCompileError("$shift requires sortBy")
+            by = int(op_arg.get("by", 1))
+            default = op_arg.get("default")
+            target = compile_expr(op_arg["output"], df)
+            fn = F.lead if by >= 0 else F.lag
+            col = fn(target, abs(by), default).over(base)
+        elif op in _WINDOW_AGGS:
+            lo, hi = (win or {}).get("documents", ["unbounded", "unbounded"])
+            lo_b = _window_bound(lo)
+            hi_b = _window_bound(hi)
+            if hi == "unbounded":
+                hi_b = Window.unboundedFollowing
+            w = base.rowsBetween(lo_b, hi_b)
+            if op == "$count":
+                col = F.count(F.lit(1)).over(w)
+            else:
+                col = _WINDOW_AGGS[op](compile_expr(op_arg, df)).over(w)
+        else:
+            raise PipelineCompileError(f"unsupported $setWindowFields op: {op}")
+        out = out.withColumn(name, col)
+    return out
+
+
 _KNOWN_STAGES = {
     "$match", "$project", "$addFields", "$set", "$unset", "$limit", "$skip",
     "$count", "$sort", "$group", "$unwind", "$replaceRoot", "$replaceWith",
-    "$sortByCount", "$sample",
+    "$sortByCount", "$sample", "$lookup", "$bucket", "$bucketAuto", "$facet",
+    "$setWindowFields",
 }
 
 
@@ -225,8 +439,8 @@ def compile_stage(stage: dict, sort_spec: dict | None = None) -> Callable[[DataF
 
         if name not in EXTRA_STAGES:
             # fail at config time, mirroring route81's hard pipeline-JSON
-            # validation (route81.go:273-277); $redact/$lookup/$facet/
-            # $bucket are documented out of scope (SURVEY §2.B)
+            # validation (route81.go:273-277); $redact remains out of
+            # scope (SURVEY §2.B)
             raise PipelineCompileError(f"unsupported pipeline stage: {name}")
 
     def fn(df: DataFrame) -> DataFrame:
@@ -265,6 +479,16 @@ def compile_stage(stage: dict, sort_spec: dict | None = None) -> Callable[[DataF
         if name == "$sortByCount":
             g = df.groupBy(compile_expr(arg, df).alias("_id")).agg(F.count(F.lit(1)).alias("count"))
             return g.orderBy(F.col("count").desc(), F.col("_id").asc_nulls_first())
+        if name == "$lookup":
+            return _stage_lookup(df, arg)
+        if name == "$bucket":
+            return _stage_bucket(df, arg)
+        if name == "$bucketAuto":
+            return _stage_bucket_auto(df, arg)
+        if name == "$facet":
+            return _stage_facet(df, arg)
+        if name == "$setWindowFields":
+            return _stage_set_window_fields(df, arg)
         if name in EXTRA_STAGES:
             return EXTRA_STAGES[name](df, arg)
         raise PipelineCompileError(f"unsupported pipeline stage: {name}")

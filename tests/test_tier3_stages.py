@@ -1,0 +1,136 @@
+"""Tier-3 pipeline stages: $lookup, $bucket, $bucketAuto, $facet,
+$setWindowFields. route81 forwards arbitrary stage JSON to the server
+(route81.go:181-197), so real configs can carry these; here they compile
+to joins / width-bucketing / windows instead of being delegated."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+
+from route81_spark.pipeline import apply_pipeline
+from route81_spark.pipeline import compiler
+from route81_spark.pipeline.exprs import PipelineCompileError
+
+
+@pytest.fixture()
+def resolver(spark):
+    nation = spark.createDataFrame(
+        [Row(nk=1, name="A"), Row(nk=2, name="B"), Row(nk=None, name="NULLKEY")],
+        "nk long, name string",
+    )
+    compiler.set_collection_resolver(lambda n: {"nation": nation}[n])
+    yield
+    compiler.set_collection_resolver(None)
+
+
+def test_lookup_matches_and_empty(spark, resolver):
+    df = spark.createDataFrame(
+        [Row(i=1, nk=1), Row(i=2, nk=9), Row(i=3, nk=None)], "i long, nk long"
+    )
+    out = apply_pipeline(
+        df,
+        [{"$lookup": {"from": "nation", "localField": "nk", "foreignField": "nk", "as": "n"}}],
+    )
+    rows = {r["i"]: r["n"] for r in out.collect()}
+    assert [m["name"] for m in rows[1]] == ["A"]
+    assert rows[2] == []  # no match -> empty array, not null
+    # Mongo: null localField matches null foreignField
+    assert [m["name"] for m in rows[3]] == ["NULLKEY"]
+
+
+def test_lookup_requires_resolver(spark):
+    compiler.set_collection_resolver(None)
+    df = spark.createDataFrame([Row(i=1)], "i long")
+    with pytest.raises(PipelineCompileError, match="resolver"):
+        apply_pipeline(
+            df,
+            [{"$lookup": {"from": "x", "localField": "i", "foreignField": "i", "as": "y"}}],
+        )
+
+
+def test_bucket_boundaries_and_default(spark):
+    df = spark.createDataFrame(
+        [Row(v=None if x is None else float(x)) for x in [0, 4, 5, 9, 10, -3, None]],
+        "v double",
+    )
+    out = apply_pipeline(
+        df,
+        [{"$bucket": {"groupBy": "$v", "boundaries": [0, 5, 10], "default": "other"}}],
+    )
+    got = {r["_id"]: r["count"] for r in out.collect()}
+    # [0,5): 0,4  [5,10): 5,9  out-of-range: 10,-3,null
+    assert got == {"0": 2, "5": 2, "other": 3}
+
+
+def test_bucket_requires_sorted_bounds_and_default(spark):
+    df = spark.createDataFrame([Row(v=1)], "v int")
+    with pytest.raises(PipelineCompileError):
+        apply_pipeline(df, [{"$bucket": {"groupBy": "$v", "boundaries": [5, 1], "default": 0}}])
+    with pytest.raises(PipelineCompileError, match="default"):
+        apply_pipeline(df, [{"$bucket": {"groupBy": "$v", "boundaries": [0, 5]}}])
+
+
+def test_bucket_auto_even_counts_and_boundaries(spark):
+    df = spark.createDataFrame([Row(k=i) for i in range(1, 9)], "k long")
+    out = apply_pipeline(df, [{"$bucketAuto": {"groupBy": "$k", "buckets": 4}}])
+    rows = sorted(out.collect(), key=lambda r: r["_id"]["min"])
+    assert [r["count"] for r in rows] == [2, 2, 2, 2]
+    # each bucket's max is the next bucket's min; last is the global max
+    assert [(r["_id"]["min"], r["_id"]["max"]) for r in rows] == [
+        (1, 3), (3, 5), (5, 7), (7, 8)
+    ]
+
+
+def test_facet_shapes(spark):
+    df = spark.createDataFrame([Row(g="a", v=1), Row(g="a", v=2), Row(g="b", v=3)],
+                               "g string, v int")
+    out = apply_pipeline(
+        df,
+        [
+            {
+                "$facet": {
+                    "counts": [{"$count": "n"}],
+                    "per_g": [{"$group": {"_id": "$g", "s": {"$sum": "$v"}}}],
+                }
+            }
+        ],
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["counts"][0]["n"] == 3
+    assert {(r["_id"], r["s"]) for r in out[0]["per_g"]} == {("a", 3), ("b", 3)}
+
+
+def test_set_window_fields_rank_requires_sort(spark):
+    df = spark.createDataFrame([Row(v=1)], "v int")
+    with pytest.raises(PipelineCompileError, match="sortBy"):
+        apply_pipeline(
+            df,
+            [{"$setWindowFields": {"output": {"r": {"$rank": {}}}}}],
+        )
+
+
+def test_set_window_fields_bounded_window(spark):
+    df = spark.createDataFrame([Row(g="a", k=i, v=i) for i in range(1, 6)],
+                               "g string, k int, v int")
+    out = apply_pipeline(
+        df,
+        [
+            {
+                "$setWindowFields": {
+                    "partitionBy": "$g",
+                    "sortBy": {"k": 1},
+                    "output": {
+                        # trailing window of the last 2 docs (previous + current)
+                        "s2": {"$sum": "$v", "window": {"documents": [-1, "current"]}},
+                        "total": {"$sum": "$v"},  # default: whole partition
+                        "nxt": {"$shift": {"output": "$v", "by": 1, "default": -1}},
+                    },
+                }
+            }
+        ],
+    )
+    rows = sorted(out.collect(), key=lambda r: r["k"])
+    assert [r["s2"] for r in rows] == [1, 3, 5, 7, 9]
+    assert [r["total"] for r in rows] == [15] * 5
+    assert [r["nxt"] for r in rows] == [2, 3, 4, 5, -1]
