@@ -130,12 +130,21 @@ def lsh_candidates(
     id_col: str = "doc_id",
     k: int = 16,
     bands: int = 4,
+    max_bucket_size: int = 4096,
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) sharing >= 1 LSH band.
-    Plan shape: agg-form signatures -> band hashes over signature
-    *attributes* (computed once) -> posexplode -> equi-join on
-    (band_idx, band_hash) -> distinct. No cartesian product; the join
-    key is the bucket, so co-candidates co-locate in one shuffle."""
+
+    Plan shape: agg-form signatures -> band hashes -> posexplode ->
+    groupBy (band_idx, band_hash) collecting each bucket's id list ->
+    generate the in-bucket pairs with array expressions. One pass over
+    the signature lineage (the md5-per-shingle cost is paid once; the
+    former self-join formulation computed it once per side) and one
+    shuffle (the bucket groupBy; the join formulation shuffled both
+    sides). Pair count per bucket is m(m-1)/2 either way — inherent to
+    LSH — but in-bucket generation materializes a bucket's pairs in a
+    single row, so buckets larger than `max_bucket_size` (degenerate
+    boilerplate clusters) fall back to a per-row equi-join that spreads
+    the quadratic output across tasks. Result set is identical."""
     rows = k // bands
     sigs = minhash_signatures(df, text_col, id_col, k)
     band_hashes = [
@@ -144,22 +153,41 @@ def lsh_candidates(
     ]
     banded = sigs.select(F.col(id_col), F.array(*band_hashes).alias("bh"))
     exploded = banded.select(id_col, F.posexplode("bh").alias("band_idx", "band_hash"))
-    # NB: the self-join recomputes this lineage on both sides. Measured at
-    # sf0.1 that is cheaper than truncating lineage (localCheckpoint made
-    # it 1.5x slower); on a real cluster with a 100x corpus, persist() the
-    # signatures before the join instead.
-    a = exploded.alias("a")
-    b = exploded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .distinct()
+    buckets = (
+        exploded.groupBy("band_idx", "band_hash")
+        .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
+        .filter(F.size("ids") > 1)
     )
+    ids = F.col("ids")
+    small_pairs = (
+        buckets.filter(F.size(ids) <= max_bucket_size)
+        .select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        ids,
+                        # 2-arg lambda = (element, index) in Spark HOFs
+                        lambda x, i: F.transform(
+                            F.slice(ids, i + F.lit(2), F.size(ids)),
+                            lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b")
+    )
+    big = buckets.filter(F.size(ids) > max_bucket_size).select(
+        "band_idx", "band_hash", F.explode(ids).alias(id_col)
+    )
+    a, b = big.alias("a"), big.alias("b")
+    big_pairs = a.join(
+        b,
+        (F.col("a.band_idx") == F.col("b.band_idx"))
+        & (F.col("a.band_hash") == F.col("b.band_hash"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+    return small_pairs.unionByName(big_pairs).distinct()
 
 
 def jaccard(a_tokens: Column, b_tokens: Column) -> Column:

@@ -126,3 +126,19 @@ def test_embedding_near_dups_planted(spark):
     )
     pairs = S.embedding_near_dups(df, threshold=0.9, n_dims=4).collect()
     assert [(p["id_a"], p["id_b"]) for p in pairs] == [(1, 2)]
+
+
+def test_lsh_bucket_fallback_identical(spark):
+    # max_bucket_size=1 forces every bucket through the equi-join
+    # fallback; the pair set must be identical to the in-bucket path
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=f"the quick brown fox {i % 3} jumps over the lazy dog")
+         for i in range(12)],
+        "doc_id long, text string",
+    )
+    default = {(r["id_a"], r["id_b"]) for r in D.lsh_candidates(docs, k=8, bands=2).collect()}
+    fallback = {
+        (r["id_a"], r["id_b"])
+        for r in D.lsh_candidates(docs, k=8, bands=2, max_bucket_size=1).collect()
+    }
+    assert default == fallback and default
