@@ -1889,6 +1889,49 @@ def window_rank_shift(spark, sf_dir):
 
 
 @_q(
+    "graph_lookup_chain",
+    """
+    WITH RECURSIVE reach(start, node, depth) AS (
+      SELECT s.start, c.c_custkey, CAST(0 AS BIGINT)
+      FROM (SELECT DISTINCT c_nationkey AS start FROM customer) s
+      JOIN customer c ON c.c_custkey = s.start
+      UNION
+      SELECT r.start, c.c_custkey, r.depth + 1
+      FROM reach r
+      JOIN customer prev ON prev.c_custkey = r.node
+      JOIN customer c ON c.c_custkey = prev.c_nationkey
+      WHERE r.depth < 20
+    ), closure AS (
+      SELECT start, node, MIN(depth) AS d FROM reach GROUP BY start, node
+    )
+    SELECT cu.c_custkey, cl.node, cl.d
+    FROM customer cu JOIN closure cl ON cl.start = cu.c_nationkey
+    """,
+)
+def graph_lookup_chain(spark, sf_dir):
+    """BFS closure over customer self-edges (c_nationkey -> c_custkey):
+    an org-chart-shaped $graphLookup, flattened for value comparison."""
+    _use_tables(spark, sf_dir)
+    return apply_pipeline(
+        _t(spark, sf_dir, "customer"),
+        [
+            {
+                "$graphLookup": {
+                    "from": "customer",
+                    "startWith": "$c_nationkey",
+                    "connectFromField": "c_nationkey",
+                    "connectToField": "c_custkey",
+                    "as": "chain",
+                    "depthField": "d",
+                }
+            },
+            {"$unwind": "$chain"},
+            {"$project": {"_id": 0, "c_custkey": 1, "node": "$chain.c_custkey", "d": "$chain.d"}},
+        ],
+    )
+
+
+@_q(
     "facet_summary",
     """
     SELECT (SELECT COUNT(*) FROM orders) AS total_orders,

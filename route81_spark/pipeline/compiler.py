@@ -262,6 +262,84 @@ def _stage_lookup(df: DataFrame, arg: dict) -> DataFrame:
     )
 
 
+def _stage_graph_lookup(df: DataFrame, arg: dict) -> DataFrame:
+    """$graphLookup: breadth-first closure over a self-referential
+    collection. The traversal depends only on the start VALUE, so the
+    BFS runs once per distinct start value and the closure array joins
+    back to source rows on that value — never on synthetic row ids.
+    Each round shuffles only the frontier (start, value) pairs plus the
+    matched docs; visited/expanded sets bound work on cyclic graphs.
+    Driver-side loop with a distributed emptiness check per round, like
+    near_dup_clusters."""
+    for k in ("from", "startWith", "connectFromField", "connectToField", "as"):
+        if k not in arg:
+            raise PipelineCompileError(f"$graphLookup requires {k}")
+    raw_foreign = _resolve_collection(arg["from"])
+    max_depth = int(arg.get("maxDepth", 20))
+    depth_field = arg.get("depthField")
+    conn_from, conn_to = arg["connectFromField"], arg["connectToField"]
+    out_name = arg["as"]
+    fcols = raw_foreign.columns
+    # fresh attribute names: `from` may be the source collection itself
+    # (org-chart pattern), which would make the joins ambiguous self-joins
+    foreign = raw_foreign.select(
+        *[F.col(c).alias(f"__f_{c}") for c in fcols]
+    )
+
+    start = df.select(compile_expr(arg["startWith"], df).alias("__start")).distinct()
+    # localCheckpoint each round's frontier: the emptiness probe is a
+    # job per round, and without lineage truncation round k would
+    # re-execute rounds 1..k-1 (plan growth is exponential in depth).
+    # Frontiers are (start, value) pairs — tiny relative to the corpus.
+    frontier = start.select("__start", F.col("__start").alias("__val")).localCheckpoint()
+    doc_struct = F.struct(*[F.col(f"__f_{c}").alias(c) for c in fcols])
+    visited_parts: list[DataFrame] = []  # (__start, __doc, __depth) per round
+    expanded = frontier  # (start, val) pairs already used as a frontier
+    for depth in range(max_depth + 1):
+        hits = frontier.join(
+            foreign, F.col("__val").eqNullSafe(F.col(f"__f_{conn_to}"))
+        ).select(
+            F.col("__start"),
+            doc_struct.alias("__doc"),
+            F.lit(depth).cast("long").alias("__depth"),
+            F.col(f"__f_{conn_from}").alias("__next"),
+        )
+        visited_parts.append(hits.select("__start", "__doc", "__depth"))
+        if depth == max_depth:
+            break
+        nxt = hits.select("__start", F.col("__next").alias("__val")).distinct()
+        frontier = nxt.join(expanded, ["__start", "__val"], "left_anti").localCheckpoint()
+        if frontier.limit(1).count() == 0:
+            break
+        expanded = expanded.unionByName(frontier)
+
+    visited = visited_parts[0]
+    for part in visited_parts[1:]:
+        visited = visited.unionByName(part)
+    # first-encounter (= minimum BFS) depth per (start, doc)
+    per_doc = visited.groupBy("__start", "__doc").agg(F.min("__depth").alias("__depth"))
+    if depth_field:
+        # Mongo flattens depthField into the traversed document
+        elem = F.struct(
+            *[F.col("__doc").getField(c).alias(c) for c in fcols],
+            F.col("__depth").alias(depth_field),
+        )
+    else:
+        elem = F.col("__doc")
+    closures = per_doc.groupBy("__start").agg(
+        F.array_sort(F.collect_list(elem)).alias("__closure")
+    )
+    joined = df.join(
+        closures, compile_expr(arg["startWith"], df).eqNullSafe(F.col("__start")), "left"
+    )
+    empty = F.array().cast(closures.schema["__closure"].dataType)
+    return (
+        joined.drop("__start")
+        .withColumn(out_name, F.coalesce(F.col("__closure"), empty))
+        .drop("__closure")
+    )
+
+
 def _stage_bucket(df: DataFrame, arg: dict) -> DataFrame:
     """$bucket: explicit-boundary histogram. Compiles to a when() chain
     (whole-stage codegen, no shuffle until the groupBy) + hash agg."""
@@ -423,7 +501,7 @@ _KNOWN_STAGES = {
     "$match", "$project", "$addFields", "$set", "$unset", "$limit", "$skip",
     "$count", "$sort", "$group", "$unwind", "$replaceRoot", "$replaceWith",
     "$sortByCount", "$sample", "$lookup", "$bucket", "$bucketAuto", "$facet",
-    "$setWindowFields",
+    "$setWindowFields", "$graphLookup",
 }
 
 
@@ -481,6 +559,8 @@ def compile_stage(stage: dict, sort_spec: dict | None = None) -> Callable[[DataF
             return g.orderBy(F.col("count").desc(), F.col("_id").asc_nulls_first())
         if name == "$lookup":
             return _stage_lookup(df, arg)
+        if name == "$graphLookup":
+            return _stage_graph_lookup(df, arg)
         if name == "$bucket":
             return _stage_bucket(df, arg)
         if name == "$bucketAuto":

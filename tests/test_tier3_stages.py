@@ -134,3 +134,35 @@ def test_set_window_fields_bounded_window(spark):
     assert [r["s2"] for r in rows] == [1, 3, 5, 7, 9]
     assert [r["total"] for r in rows] == [15] * 5
     assert [r["nxt"] for r in rows] == [2, 3, 4, 5, -1]
+
+
+def test_graph_lookup_chain_and_cycle(spark):
+    emp = spark.createDataFrame(
+        [Row(name="a", boss=None), Row(name="b", boss="a"), Row(name="c", boss="b"),
+         Row(name="d", boss="c"), Row(name="x", boss="y"), Row(name="y", boss="x")],
+        "name string, boss string",
+    )
+    compiler.set_collection_resolver(lambda n: {"emp": emp}[n])
+    try:
+        out = apply_pipeline(
+            emp,
+            [
+                {
+                    "$graphLookup": {
+                        "from": "emp",
+                        "startWith": "$boss",
+                        "connectFromField": "boss",
+                        "connectToField": "name",
+                        "as": "chain",
+                        "depthField": "d",
+                    }
+                }
+            ],
+        )
+        rows = {r["name"]: [(e["name"], e["d"]) for e in r["chain"]] for r in out.collect()}
+    finally:
+        compiler.set_collection_resolver(None)
+    assert rows["a"] == []  # null boss -> no chain
+    assert rows["d"] == [("a", 2), ("b", 1), ("c", 0)]  # BFS min-depths
+    # cycle x <-> y terminates and includes the self through the cycle
+    assert rows["x"] == [("x", 1), ("y", 0)]
