@@ -1932,6 +1932,139 @@ def graph_lookup_chain(spark, sf_dir):
 
 
 @_q(
+    "fill_locf",
+    """
+    WITH s AS (
+      SELECT o_custkey, o_orderkey,
+             CASE WHEN o_orderkey % 3 = 1 THEN NULL ELSE o_totalprice END AS q
+      FROM orders
+    )
+    SELECT o_custkey, o_orderkey,
+           last_value(q IGNORE NULLS) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS q
+    FROM s
+    """,
+)
+def fill_locf(spark, sf_dir):
+    # o_orderkey is unique within each customer partition — window fills
+    # over tied sort keys are order-dependent in ANY engine, so the
+    # fixture must sort on a key that cannot tie
+    return apply_pipeline(
+        _t(spark, sf_dir, "orders"),
+        [
+            {
+                "$project": {
+                    "_id": 0,
+                    "o_custkey": 1,
+                    "o_orderkey": 1,
+                    "q": {
+                        "$cond": [
+                            {"$eq": [{"$mod": ["$o_orderkey", 3]}, 1]},
+                            None,
+                            "$o_totalprice",
+                        ]
+                    },
+                }
+            },
+            {
+                "$fill": {
+                    "partitionByFields": ["o_custkey"],
+                    "sortBy": {"o_orderkey": 1},
+                    "output": {"q": {"method": "locf"}},
+                }
+            },
+        ],
+    )
+
+
+@_q(
+    "fill_linear",
+    """
+    WITH s AS (
+      SELECT o_custkey, o_orderkey,
+             CASE WHEN o_orderkey % 3 = 1 THEN NULL ELSE o_totalprice END AS q
+      FROM orders
+    ), w AS (
+      SELECT o_custkey, o_orderkey, q,
+             last_value(q IGNORE NULLS) OVER before AS pv,
+             last_value(CASE WHEN q IS NOT NULL THEN o_orderkey END IGNORE NULLS)
+               OVER before AS pk,
+             first_value(q IGNORE NULLS) OVER after AS nv,
+             first_value(CASE WHEN q IS NOT NULL THEN o_orderkey END IGNORE NULLS)
+               OVER after AS nk
+      FROM s
+      WINDOW before AS (PARTITION BY o_custkey ORDER BY o_orderkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             after AS (PARTITION BY o_custkey ORDER BY o_orderkey
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT o_custkey, o_orderkey,
+           CASE WHEN q IS NOT NULL THEN q
+                WHEN pv IS NOT NULL AND nv IS NOT NULL
+                  THEN pv + (nv - pv) * (o_orderkey - pk) / (nk - pk)
+           END AS q
+    FROM w
+    """,
+)
+def fill_linear(spark, sf_dir):
+    return apply_pipeline(
+        _t(spark, sf_dir, "orders"),
+        [
+            {
+                "$project": {
+                    "_id": 0,
+                    "o_custkey": 1,
+                    "o_orderkey": 1,
+                    "q": {
+                        "$cond": [
+                            {"$eq": [{"$mod": ["$o_orderkey", 3]}, 1]},
+                            None,
+                            "$o_totalprice",
+                        ]
+                    },
+                }
+            },
+            {
+                "$fill": {
+                    "partitionByFields": ["o_custkey"],
+                    "sortBy": {"o_orderkey": 1},
+                    "output": {"q": {"method": "linear"}},
+                }
+            },
+        ],
+    )
+
+
+@_q(
+    "densify_custkey",
+    """
+    WITH f AS (
+      SELECT c_custkey, c_name FROM customer WHERE c_custkey % 7 = 0
+    ), b AS (
+      SELECT min(c_custkey) AS lo, max(c_custkey) AS hi FROM f
+    ), gs AS (
+      SELECT unnest(generate_series(lo, hi, 1)) AS c_custkey FROM b
+    )
+    SELECT c_custkey, c_name FROM f
+    UNION ALL
+    SELECT gs.c_custkey, NULL
+    FROM gs LEFT JOIN f ON f.c_custkey = gs.c_custkey
+    WHERE f.c_custkey IS NULL
+    """,
+)
+def densify_custkey(spark, sf_dir):
+    return apply_pipeline(
+        _t(spark, sf_dir, "customer"),
+        [
+            {"$match": {"c_custkey": {"$mod": [7, 0]}}},
+            {"$project": {"_id": 0, "c_custkey": 1, "c_name": 1}},
+            {"$densify": {"field": "c_custkey", "range": {"step": 1, "bounds": "full"}}},
+        ],
+    )
+
+
+@_q(
     "facet_summary",
     """
     SELECT (SELECT COUNT(*) FROM orders) AS total_orders,

@@ -497,11 +497,115 @@ def _stage_set_window_fields(df: DataFrame, arg: dict) -> DataFrame:
     return out
 
 
+def _stage_fill(df: DataFrame, arg: dict) -> DataFrame:
+    """$fill: null repair. value -> coalesce; locf -> last-non-null over
+    the sort window; linear -> interpolation between the surrounding
+    non-null points on the (numeric) sortBy axis. All window work, no
+    extra shuffle beyond partitionBy."""
+    part = arg.get("partitionBy")
+    part_fields = arg.get("partitionByFields")
+    sort_by = arg.get("sortBy")
+    if part is not None and part_fields:
+        raise PipelineCompileError("$fill: partitionBy and partitionByFields are exclusive")
+    if part_fields:
+        base = Window.partitionBy(*[F.col(f) for f in part_fields])
+    elif part is not None:
+        base = Window.partitionBy(compile_expr(part, df))
+    else:
+        base = Window.partitionBy()
+    orders = None
+    if sort_by:
+        orders = [
+            F.col(f).asc_nulls_first() if d >= 0 else F.col(f).desc_nulls_last()
+            for f, d in sort_by.items()
+        ]
+    out = df
+    for name, spec in arg.get("output", {}).items():
+        col = F.col(name)
+        if "value" in spec:
+            out = out.withColumn(name, F.coalesce(col, compile_expr(spec["value"], out)))
+            continue
+        method = spec.get("method")
+        if method not in ("locf", "linear"):
+            raise PipelineCompileError(f"$fill method must be locf/linear/value: {spec}")
+        if not sort_by:
+            raise PipelineCompileError(f"$fill method {method} requires sortBy")
+        w = base.orderBy(*orders)
+        before = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        if method == "locf":
+            out = out.withColumn(name, F.last(col, ignorenulls=True).over(before))
+            continue
+        # linear: interpolate on the first sortBy key's numeric axis
+        axis = F.col(next(iter(sort_by)))
+        after = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        prev_v = F.last(col, ignorenulls=True).over(before)
+        prev_k = F.last(F.when(col.isNotNull(), axis), ignorenulls=True).over(before)
+        next_v = F.first(col, ignorenulls=True).over(after)
+        next_k = F.first(F.when(col.isNotNull(), axis), ignorenulls=True).over(after)
+        interp = prev_v + (next_v - prev_v) * (axis - prev_k) / (next_k - prev_k)
+        out = out.withColumn(
+            name,
+            F.when(col.isNotNull(), col).when(
+                prev_v.isNotNull() & next_v.isNotNull(), interp
+            ),
+        )
+    return out
+
+
+def _stage_densify(df: DataFrame, arg: dict) -> DataFrame:
+    """$densify: materialize missing steps of a numeric/temporal axis.
+    Bounds rows (per partition or global) are tiny aggregates; the
+    generated sequence explodes from them and anti-joins the existing
+    axis values; created rows carry only the field + partition fields
+    (nulls elsewhere) exactly as in Mongo."""
+    field = arg["field"]
+    rng = arg.get("range") or {}
+    if "step" not in rng or "bounds" not in rng:
+        raise PipelineCompileError("$densify requires range.step and range.bounds")
+    step, bounds, unit = rng["step"], rng["bounds"], rng.get("unit")
+    parts = arg.get("partitionByFields", [])
+    if not unit and not (isinstance(step, int) and not isinstance(step, bool)):
+        raise PipelineCompileError("$densify numeric step must be an integer")
+
+    pcols = [F.col(p) for p in parts]
+    if isinstance(bounds, list):
+        lo, hi = bounds
+        distinct_parts = df.select(*pcols).distinct() if parts else df.limit(1).select(
+            F.lit(1).alias("__one")
+        )
+        ranged = distinct_parts.withColumn("__lo", F.lit(lo)).withColumn("__hi", F.lit(hi))
+        upper_exclusive = True
+    else:
+        if bounds == "partition" and parts:
+            ranged = df.groupBy(*pcols).agg(
+                F.min(field).alias("__lo"), F.max(field).alias("__hi")
+            )
+        elif bounds == "full":
+            agg = df.agg(F.min(field).alias("__lo"), F.max(field).alias("__hi"))
+            ranged = (
+                df.select(*pcols).distinct().crossJoin(F.broadcast(agg)) if parts else agg
+            )
+        else:
+            raise PipelineCompileError(f"$densify bounds must be full/partition/[lo,hi): {bounds}")
+        upper_exclusive = False
+    if unit:
+        seq = F.expr(f"sequence(__lo, __hi, interval {int(step)} {unit})")
+    else:
+        seq = F.sequence(F.col("__lo"), F.col("__hi"), F.lit(step))
+    gen = ranged.select(*parts, F.col("__hi"), F.explode(seq).alias(field))
+    if upper_exclusive:
+        gen = gen.filter(F.col(field) < F.col("__hi"))
+    gen = gen.select(*parts, field)
+    existing = df.select(*parts, field).distinct()
+    missing = gen.join(existing, parts + [field], "left_anti")
+    return df.unionByName(missing, allowMissingColumns=True)
+
+
 _KNOWN_STAGES = {
     "$match", "$project", "$addFields", "$set", "$unset", "$limit", "$skip",
     "$count", "$sort", "$group", "$unwind", "$replaceRoot", "$replaceWith",
     "$sortByCount", "$sample", "$lookup", "$bucket", "$bucketAuto", "$facet",
-    "$setWindowFields", "$graphLookup",
+    "$setWindowFields", "$graphLookup", "$fill", "$densify",
 }
 
 
@@ -569,6 +673,10 @@ def compile_stage(stage: dict, sort_spec: dict | None = None) -> Callable[[DataF
             return _stage_facet(df, arg)
         if name == "$setWindowFields":
             return _stage_set_window_fields(df, arg)
+        if name == "$fill":
+            return _stage_fill(df, arg)
+        if name == "$densify":
+            return _stage_densify(df, arg)
         if name in EXTRA_STAGES:
             return EXTRA_STAGES[name](df, arg)
         raise PipelineCompileError(f"unsupported pipeline stage: {name}")

@@ -166,3 +166,50 @@ def test_graph_lookup_chain_and_cycle(spark):
     assert rows["d"] == [("a", 2), ("b", 1), ("c", 0)]  # BFS min-depths
     # cycle x <-> y terminates and includes the self through the cycle
     assert rows["x"] == [("x", 1), ("y", 0)]
+
+
+def test_fill_methods(spark):
+    df = spark.createDataFrame(
+        [Row(g="a", k=1, v=10.0), Row(g="a", k=2, v=None), Row(g="a", k=3, v=None),
+         Row(g="a", k=4, v=40.0), Row(g="b", k=1, v=None), Row(g="b", k=2, v=5.0)],
+        "g string, k int, v double",
+    )
+    lin = apply_pipeline(
+        df,
+        [{"$fill": {"partitionByFields": ["g"], "sortBy": {"k": 1},
+                    "output": {"v": {"method": "linear"}}}}],
+    )
+    vals = {(r["g"], r["k"]): r["v"] for r in lin.collect()}
+    assert vals[("a", 2)] == 20.0 and vals[("a", 3)] == 30.0
+    assert vals[("b", 1)] is None  # no preceding point -> stays null
+    locf = apply_pipeline(
+        df,
+        [{"$fill": {"partitionByFields": ["g"], "sortBy": {"k": 1},
+                    "output": {"v": {"method": "locf"}}}}],
+    )
+    vals = {(r["g"], r["k"]): r["v"] for r in locf.collect()}
+    assert vals[("a", 3)] == 10.0 and vals[("b", 1)] is None
+    const = apply_pipeline(df, [{"$fill": {"output": {"v": {"value": -1}}}}])
+    assert sorted(r["v"] for r in const.collect()) == [-1.0, -1.0, -1.0, 5.0, 10.0, 40.0]
+
+
+def test_densify_partition_and_explicit_bounds(spark):
+    sparse = spark.createDataFrame(
+        [Row(g="a", k=1), Row(g="a", k=5), Row(g="b", k=10), Row(g="b", k=12)],
+        "g string, k int",
+    )
+    part = apply_pipeline(
+        sparse,
+        [{"$densify": {"field": "k", "partitionByFields": ["g"],
+                       "range": {"step": 1, "bounds": "partition"}}}],
+    )
+    assert sorted((r["g"], r["k"]) for r in part.collect()) == [
+        ("a", 1), ("a", 2), ("a", 3), ("a", 4), ("a", 5),
+        ("b", 10), ("b", 11), ("b", 12),
+    ]
+    # explicit [lo, hi) bounds: generated rows carry nulls elsewhere
+    explicit = apply_pipeline(
+        sparse, [{"$densify": {"field": "k", "range": {"step": 2, "bounds": [0, 7]}}}]
+    )
+    got = sorted(((r["g"], r["k"]) for r in explicit.collect()), key=str)
+    assert (None, 0) in got and (None, 6) in got and (None, 8) not in got
