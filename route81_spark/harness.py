@@ -2065,6 +2065,40 @@ def densify_custkey(spark, sf_dir):
 
 
 @_q(
+    "merge_order_counts",
+    """
+    WITH s AS (
+      SELECT o_custkey AS c_custkey, COUNT(*) AS order_cnt
+      FROM orders GROUP BY 1
+    )
+    SELECT c.c_custkey, c.c_name, c.c_nationkey, c.c_acctbal, c.c_mktsegment,
+           s.order_cnt
+    FROM customer c LEFT JOIN s USING (c_custkey)
+    """,
+)
+def merge_order_counts(spark, sf_dir):
+    """$merge whenMatched=merge / whenNotMatched=discard: graft a
+    computed per-customer aggregate onto the customer collection —
+    the resulting state is a left join in SQL."""
+    _use_tables(spark, sf_dir)
+    return apply_pipeline(
+        _t(spark, sf_dir, "orders"),
+        [
+            {"$group": {"_id": "$o_custkey", "order_cnt": {"$count": {}}}},
+            {"$project": {"_id": 0, "c_custkey": "$_id", "order_cnt": 1}},
+            {
+                "$merge": {
+                    "into": "customer",
+                    "on": "c_custkey",
+                    "whenMatched": "merge",
+                    "whenNotMatched": "discard",
+                }
+            },
+        ],
+    )
+
+
+@_q(
     "facet_summary",
     """
     SELECT (SELECT COUNT(*) FROM orders) AS total_orders,

@@ -40,10 +40,20 @@ def register_stage(name: str, fn: Callable[[DataFrame, Any], DataFrame]) -> None
 # for "the server knows the other collections".
 _COLLECTION_RESOLVER: Callable[[str], DataFrame] | None = None
 
+# $out/$merge persist through this hook when set; without it the stages
+# stay pure (they return the would-be new collection state, which is
+# what the correctness harness compares and what jobs hand to a sink).
+_COLLECTION_WRITER: Callable[[str, DataFrame], None] | None = None
+
 
 def set_collection_resolver(fn: Callable[[str], DataFrame] | None) -> None:
     global _COLLECTION_RESOLVER
     _COLLECTION_RESOLVER = fn
+
+
+def set_collection_writer(fn: Callable[[str, DataFrame], None] | None) -> None:
+    global _COLLECTION_WRITER
+    _COLLECTION_WRITER = fn
 
 
 def _resolve_collection(name: str) -> DataFrame:
@@ -497,6 +507,97 @@ def _stage_set_window_fields(df: DataFrame, arg: dict) -> DataFrame:
     return out
 
 
+def _coll_name(arg: Any) -> str:
+    if isinstance(arg, str):
+        return arg
+    if isinstance(arg, dict):
+        return arg.get("coll") or arg.get("into") or ""
+    raise PipelineCompileError(f"bad collection spec: {arg}")
+
+
+def _stage_out(df: DataFrame, arg: Any) -> DataFrame:
+    """$out: replace the target collection with the pipeline result.
+    Pure by default (returns the new state); persists via the writer
+    hook when one is installed."""
+    name = _coll_name(arg)
+    if _COLLECTION_WRITER is not None:
+        _COLLECTION_WRITER(name, df)
+    return df
+
+
+def _stage_merge(df: DataFrame, arg: Any) -> DataFrame:
+    """$merge: keyed merge of the pipeline result into an existing
+    collection — the same replace-per-key shape as the consumer sink
+    (route81.go:1086-1098), generalized to Mongo's whenMatched /
+    whenNotMatched modes. One full-outer hash join on the `on` keys;
+    target keys are unique per Mongo's requirement, so the join output
+    is one row per key. fail modes are checked distributed (an
+    aggregate, not a collect)."""
+    if isinstance(arg, str):
+        arg = {"into": arg}
+    name = _coll_name(arg.get("into", arg))
+    on = arg.get("on", "_id")
+    keys = [on] if isinstance(on, str) else list(on)
+    when_matched = arg.get("whenMatched", "merge")
+    when_not_matched = arg.get("whenNotMatched", "insert")
+    if when_matched not in ("replace", "keepExisting", "merge", "fail"):
+        raise PipelineCompileError(f"unsupported whenMatched: {when_matched}")
+    if when_not_matched not in ("insert", "discard", "fail"):
+        raise PipelineCompileError(f"unsupported whenNotMatched: {when_not_matched}")
+    target = _resolve_collection(name)
+
+    tcols = target.columns
+    scols = df.columns
+    # explicit presence markers: a null merge key on either side must
+    # not read as "row absent" (the join itself is null-safe)
+    t = target.select(
+        *[F.col(c).alias(f"__t_{c}") for c in tcols], F.lit(True).alias("__t_present")
+    )
+    s = df.select(
+        *[F.col(c).alias(f"__s_{c}") for c in scols], F.lit(True).alias("__s_present")
+    )
+    cond = None
+    for k in keys:
+        eq = F.col(f"__t_{k}").eqNullSafe(F.col(f"__s_{k}"))
+        cond = eq if cond is None else (cond & eq)
+    joined = t.join(s, cond, "full_outer")
+    in_t = F.col("__t_present").isNotNull()
+    in_s = F.col("__s_present").isNotNull()
+
+    if when_matched == "fail":
+        n = joined.filter(in_t & in_s).limit(1).count()
+        if n:
+            raise RuntimeError(f"$merge whenMatched=fail: matches exist in {name}")
+    if when_not_matched == "fail":
+        n = joined.filter(in_s & ~in_t).limit(1).count()
+        if n:
+            raise RuntimeError(f"$merge whenNotMatched=fail: unmatched source docs for {name}")
+
+    all_cols = list(dict.fromkeys(tcols + scols))
+
+    def pick(c: str) -> Column:
+        tc = F.col(f"__t_{c}") if c in tcols else F.lit(None)
+        sc = F.col(f"__s_{c}") if c in scols else F.lit(None)
+        if when_matched == "replace":
+            matched = sc
+        elif when_matched == "merge":
+            matched = F.coalesce(sc, tc)
+        else:  # keepExisting / fail (fail already raised on matches)
+            matched = tc
+        out = F.when(in_t & in_s, matched).when(in_t, tc)
+        if when_not_matched == "insert":
+            out = out.when(in_s, sc)
+        return out.alias(c)
+
+    keep = joined
+    if when_not_matched == "discard":
+        keep = joined.filter(in_t)
+    new_state = keep.select(*[pick(c) for c in all_cols])
+    if _COLLECTION_WRITER is not None:
+        _COLLECTION_WRITER(name, new_state)
+    return new_state
+
+
 def _stage_fill(df: DataFrame, arg: dict) -> DataFrame:
     """$fill: null repair. value -> coalesce; locf -> last-non-null over
     the sort window; linear -> interpolation between the surrounding
@@ -605,7 +706,7 @@ _KNOWN_STAGES = {
     "$match", "$project", "$addFields", "$set", "$unset", "$limit", "$skip",
     "$count", "$sort", "$group", "$unwind", "$replaceRoot", "$replaceWith",
     "$sortByCount", "$sample", "$lookup", "$bucket", "$bucketAuto", "$facet",
-    "$setWindowFields", "$graphLookup", "$fill", "$densify",
+    "$setWindowFields", "$graphLookup", "$fill", "$densify", "$out", "$merge",
 }
 
 
@@ -677,6 +778,10 @@ def compile_stage(stage: dict, sort_spec: dict | None = None) -> Callable[[DataF
             return _stage_fill(df, arg)
         if name == "$densify":
             return _stage_densify(df, arg)
+        if name == "$out":
+            return _stage_out(df, arg)
+        if name == "$merge":
+            return _stage_merge(df, arg)
         if name in EXTRA_STAGES:
             return EXTRA_STAGES[name](df, arg)
         raise PipelineCompileError(f"unsupported pipeline stage: {name}")

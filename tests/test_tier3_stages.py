@@ -213,3 +213,46 @@ def test_densify_partition_and_explicit_bounds(spark):
     )
     got = sorted(((r["g"], r["k"]) for r in explicit.collect()), key=str)
     assert (None, 0) in got and (None, 6) in got and (None, 8) not in got
+
+
+def test_merge_modes(spark):
+    target = spark.createDataFrame(
+        [Row(_id=1, a="t1", b=10), Row(_id=2, a="t2", b=20)],
+        "_id long, a string, b int",
+    )
+    source = spark.createDataFrame(
+        [Row(_id=2, a="s2", b=None), Row(_id=3, a="s3", b=30)],
+        "_id long, a string, b int",
+    )
+    compiler.set_collection_resolver(lambda n: {"tgt": target}[n])
+    try:
+        def run(wm, wnm="insert"):
+            out = apply_pipeline(
+                source, [{"$merge": {"into": "tgt", "on": "_id",
+                                     "whenMatched": wm, "whenNotMatched": wnm}}]
+            )
+            return {r["_id"]: (r["a"], r["b"]) for r in out.collect()}
+
+        assert run("replace") == {1: ("t1", 10), 2: ("s2", None), 3: ("s3", 30)}
+        # merge: source fields overwrite, target fills source nulls
+        assert run("merge") == {1: ("t1", 10), 2: ("s2", 20), 3: ("s3", 30)}
+        assert run("keepExisting") == {1: ("t1", 10), 2: ("t2", 20), 3: ("s3", 30)}
+        assert run("replace", "discard") == {1: ("t1", 10), 2: ("s2", None)}
+        with pytest.raises(RuntimeError, match="whenMatched=fail"):
+            run("fail")
+        with pytest.raises(RuntimeError, match="whenNotMatched=fail"):
+            run("replace", "fail")
+    finally:
+        compiler.set_collection_resolver(None)
+
+
+def test_out_writer_hook(spark):
+    captured = {}
+    compiler.set_collection_writer(lambda name, df: captured.update({name: df.count()}))
+    try:
+        df = spark.createDataFrame([Row(v=1), Row(v=2)], "v int")
+        out = apply_pipeline(df, [{"$match": {"v": {"$gt": 1}}}, {"$out": "dest"}])
+        assert out.count() == 1
+        assert captured == {"dest": 1}
+    finally:
+        compiler.set_collection_writer(None)
