@@ -2065,6 +2065,95 @@ def densify_custkey(spark, sf_dir):
 
 
 @_q(
+    "group_rank_accs",
+    """
+    WITH o AS (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    )
+    SELECT o_orderpriority AS pr,
+           arg_max(o_orderkey, o_totalprice) AS best,
+           array_to_string(list(o_orderkey ORDER BY o_totalprice DESC, o_orderkey DESC)[1:3], '|') AS top3,
+           array_to_string(list(cents ORDER BY cents)[1:2], '|') AS min2,
+           array_to_string(list(cents ORDER BY cents DESC)[1:2], '|') AS max2,
+           array_to_string(list(o_orderkey ORDER BY o_orderkey)[1:2], '|') AS f2,
+           array_to_string(CASE WHEN count(*) >= 2
+             THEN list(o_orderkey ORDER BY o_orderkey)[CAST(count(*) AS INT)-1:CAST(count(*) AS INT)]
+             ELSE list(o_orderkey ORDER BY o_orderkey) END, '|') AS l2,
+           count(*) AS n
+    FROM o GROUP BY o_orderpriority
+    """,
+)
+def group_rank_accs(spark, sf_dir):
+    """Modern accumulators: $top/$topN/$minN/$maxN/$firstN/$lastN.
+    Prices compare as integer cents — double->string formatting differs
+    across engines even when values are identical."""
+    df = apply_pipeline(
+        _t(spark, sf_dir, "orders"),
+        [
+            {"$addFields": {"cents": {"$toLong": {"$floor": {"$add": [{"$multiply": ["$o_totalprice", 100]}, 0.5]}}}}},
+            {"$sort": {"o_orderkey": 1}},
+            {
+                "$group": {
+                    "_id": "$o_orderpriority",
+                    "best": {"$top": {"sortBy": {"o_totalprice": -1}, "output": "$o_orderkey"}},
+                    "top3": {"$topN": {"n": 3, "sortBy": {"o_totalprice": -1}, "output": "$o_orderkey"}},
+                    "min2": {"$minN": {"input": "$cents", "n": 2}},
+                    "max2": {"$maxN": {"input": "$cents", "n": 2}},
+                    "f2": {"$firstN": {"input": "$o_orderkey", "n": 2}},
+                    "l2": {"$lastN": {"input": "$o_orderkey", "n": 2}},
+                    "n": {"$count": {}},
+                }
+            },
+        ],
+    )
+    return df.select(
+        F.col("_id").alias("pr"),
+        "best",
+        F.concat_ws("|", "top3").alias("top3"),
+        F.concat_ws("|", "min2").alias("min2"),
+        F.concat_ws("|", "max2").alias("max2"),
+        F.concat_ws("|", "f2").alias("f2"),
+        F.concat_ws("|", "l2").alias("l2"),
+        "n",
+    )
+
+
+@_q(
+    "group_median_pct",
+    f"""
+    SELECT o_orderstatus AS st,
+           {det_round_sql('quantile_cont(o_totalprice, 0.5)', 4)} AS med,
+           {det_round_sql('quantile_cont(o_totalprice, 0.25)', 4)} AS p25,
+           {det_round_sql('quantile_cont(o_totalprice, 0.75)', 4)} AS p75
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def group_median_pct(spark, sf_dir):
+    df = apply_pipeline(
+        _t(spark, sf_dir, "orders"),
+        [
+            {
+                "$group": {
+                    "_id": "$o_orderstatus",
+                    "med": {"$median": {"input": "$o_totalprice", "method": "approximate"}},
+                    "pct": {"$percentile": {"input": "$o_totalprice", "p": [0.25, 0.75], "method": "approximate"}},
+                }
+            },
+        ],
+    )
+    from route81_spark.ops.util import det_round
+
+    return df.select(
+        F.col("_id").alias("st"),
+        det_round(F.col("med"), 4).alias("med"),
+        det_round(F.col("pct")[0], 4).alias("p25"),
+        det_round(F.col("pct")[1], 4).alias("p75"),
+    )
+
+
+@_q(
     "merge_order_counts",
     """
     WITH s AS (

@@ -122,7 +122,92 @@ def _accumulator(spec: dict, df: DataFrame, sort_spec: dict | None = None) -> Co
         return F.stddev_pop(compile_expr(arg, df))
     if op == "$stdDevSamp":
         return F.stddev_samp(compile_expr(arg, df))
+    if op in ("$top", "$bottom", "$topN", "$bottomN"):
+        return _rank_accumulator(op, arg, df)
+    if op in ("$minN", "$maxN"):
+        vals = F.array_sort(F.collect_list(compile_expr(arg["input"], df)))
+        n = int(arg["n"])
+        if op == "$minN":
+            return F.slice(vals, 1, n)
+        # $maxN: last n, descending (Mongo's output order)
+        return F.reverse(
+            F.when(F.size(vals) > n, F.slice(vals, -n, n)).otherwise(vals)
+        )
+    if op in ("$firstN", "$lastN"):
+        # document order = the pipeline's sort order; without a prior
+        # $sort the result would be partition-order nondeterministic
+        key = _sort_key_col(sort_spec, reverse=False)
+        if key is None:
+            raise PipelineCompileError(f"{op} requires a preceding single-direction $sort")
+        ascending = next(iter(sort_spec.values())) >= 0
+        pairs = F.array_sort(
+            F.collect_list(F.struct(key.alias("k"), compile_expr(arg["input"], df).alias("v")))
+        )
+        if not ascending:
+            pairs = F.reverse(pairs)
+        n = int(arg["n"])
+        take = (
+            F.slice(pairs, 1, n)
+            if op == "$firstN"
+            else F.when(F.size(pairs) > n, F.slice(pairs, -n, n)).otherwise(pairs)
+        )
+        return F.transform(take, lambda s: s.getField("v"))
+    if op == "$median":
+        return F.percentile(compile_expr(arg["input"], df), F.lit(0.5))
+    if op == "$percentile":
+        ps = arg["p"]
+        return F.percentile(
+            compile_expr(arg["input"], df), F.array(*[F.lit(float(p)) for p in ps])
+        )
+    if op == "$mergeObjects":
+        # later documents override per field (non-null wins); order =
+        # the pipeline's sort order, so a single-direction $sort must
+        # precede for a deterministic result
+        key = _sort_key_col(sort_spec, reverse=False)
+        if key is None:
+            raise PipelineCompileError(
+                "$mergeObjects accumulator requires a preceding single-direction $sort"
+            )
+        ascending = next(iter(sort_spec.values())) >= 0
+        doc = compile_expr(arg, df)
+        dtype = df.select(doc.alias("__d")).schema["__d"].dataType
+        if not hasattr(dtype, "fields"):
+            raise PipelineCompileError("$mergeObjects accumulator input must be a document")
+        fields = [f.name for f in dtype.fields]
+        picked = []
+        for fname in fields:
+            v = doc.getField(fname)
+            order_key = F.when(v.isNotNull(), key)  # null keys are skipped
+            fn = F.max_by if ascending else F.min_by
+            picked.append(fn(v, order_key).alias(fname))
+        return F.struct(*picked)
     raise PipelineCompileError(f"unsupported $group accumulator: {op}")
+
+
+def _rank_accumulator(op: str, arg: dict, df: DataFrame | None) -> Column:
+    """$top/$bottom/$topN/$bottomN: extrema by an accumulator-local
+    sortBy. Single sort key or uniform direction (struct ordering)."""
+    sort_by = arg["sortBy"]
+    directions = set(sort_by.values())
+    if len(directions) != 1:
+        raise PipelineCompileError(f"{op}: mixed sort directions are not supported")
+    ascending = next(iter(directions)) >= 0
+    keys = [F.col(k) for k in sort_by]
+    key = keys[0] if len(keys) == 1 else F.struct(*keys)
+    out = compile_expr(arg["output"], df)
+    if op in ("$top", "$bottom"):
+        want_min = (op == "$top") == ascending
+        return (F.min_by if want_min else F.max_by)(out, key)
+    n = int(arg["n"])
+    pairs = F.array_sort(F.collect_list(F.struct(key.alias("k"), out.alias("v"))))
+    if not ascending:
+        pairs = F.reverse(pairs)
+    take = (
+        F.slice(pairs, 1, n)
+        if op == "$topN"
+        else F.when(F.size(pairs) > n, F.slice(pairs, -n, n)).otherwise(pairs)
+    )
+    return F.transform(take, lambda s: s.getField("v"))
 
 
 def _stage_group(df: DataFrame, arg: dict, sort_spec: dict | None = None) -> DataFrame:

@@ -122,9 +122,12 @@ def test_group_sum_all_null_is_zero(spark):
 
 def test_unknown_stage_and_operator_raise(spark):
     with pytest.raises(PipelineCompileError):
-        compile_pipeline([{"$lookup": {}}])
+        compile_pipeline([{"$redact": {}}])
     with pytest.raises(PipelineCompileError):
         apply_pipeline(_docs(spark), [{"$project": {"z": {"$nope": 1}}}])
+    # $lookup is supported now, but its args are still hard-validated
+    with pytest.raises(PipelineCompileError, match="requires"):
+        apply_pipeline(_docs(spark), [{"$lookup": {}}])
 
 
 def test_expr_operators(spark):
@@ -220,3 +223,24 @@ def test_replace_root_and_addfields_nested(spark):
         ],
     ).collect()[0]
     assert out["u"] == 1 and out["v"] == 20.0
+
+
+def test_merge_objects_accumulator(spark):
+    from pyspark.sql import Row
+    from route81_spark.pipeline import apply_pipeline
+    from route81_spark.pipeline.exprs import PipelineCompileError
+    import pytest
+
+    df = spark.createDataFrame(
+        [Row(g="a", k=1, s=Row(x=1, y=None)), Row(g="a", k=2, s=Row(x=None, y=2)),
+         Row(g="a", k=3, s=Row(x=5, y=None))],
+        "g string, k int, s struct<x:int,y:int>",
+    )
+    out = apply_pipeline(
+        df,
+        [{"$sort": {"k": 1}}, {"$group": {"_id": "$g", "mo": {"$mergeObjects": "$s"}}}],
+    ).collect()[0]
+    # later documents override per field; nulls don't clobber
+    assert (out["mo"]["x"], out["mo"]["y"]) == (5, 2)
+    with pytest.raises(PipelineCompileError, match="sort"):
+        apply_pipeline(df, [{"$group": {"_id": "$g", "mo": {"$mergeObjects": "$s"}}}])
