@@ -1,0 +1,81 @@
+"""Physical-plan audits: pin the scale-critical properties the README
+claims — filter/projection pushdown to the parquet scan, map-side
+partial aggregation, broadcast joins for dimension lookups, window
+group-limit for top-k, and no Python UDFs in pure-Column paths.
+These are the properties that decide whether a plan survives a 100x
+scale-up; asserting them keeps refactors honest."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+
+from route81_spark import harness
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+def test_match_project_pushdown(spark):
+    df = harness.QUERIES["match_project"](spark, SF)
+    plan = plan_of(df)
+    # the $match predicate must reach the parquet reader
+    assert "PushedFilters:" in plan
+    assert "l_returnflag" in plan.split("PushedFilters:")[1].splitlines()[0]
+    # projection pruning: the scan schema must not contain columns the
+    # query never touches (l_comment is the widest unused column)
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_comment" not in read_schema
+    assert "l_extendedprice" in read_schema
+
+
+def test_group_partial_aggregation(spark):
+    df = harness.QUERIES["group_sum_avg"](spark, SF)
+    plan = plan_of(df, "simple")
+    # two HashAggregate nodes = map-side partial + final (the shuffle
+    # carries one row per partition x group, not per input row)
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_" in plan
+
+
+def test_lookup_broadcasts_dimension(spark):
+    harness._use_tables(spark, SF)
+    df = harness.QUERIES["lookup_unwind"](spark, SF)
+    plan = plan_of(df, "simple")
+    # the pre-aggregated customer side is dimension-sized: Catalyst
+    # must pick a broadcast join, not a sort-merge join
+    assert "BroadcastHashJoin" in plan
+
+
+def test_no_python_udf_in_column_paths(spark):
+    # pure-Column constructions must stay inside the JVM: a
+    # BatchEvalPython / ArrowEvalPython node would mean a Python
+    # round-trip snuck into the hot path
+    for name in ("match_project", "group_sum_avg", "envelope_nation",
+                 "cdc_merge_state", "text_stats", "dedup_exact"):
+        df = harness.QUERIES[name](spark, SF)
+        plan = plan_of(df, "simple")
+        assert "EvalPython" not in plan, f"{name} has a Python UDF in its plan"
+
+
+def test_topk_uses_window_group_limit(spark):
+    df = harness.QUERIES["sim_topk"](spark, SF)
+    plan = plan_of(df, "simple")
+    # per-query top-k must prune before the shuffle (k rows per
+    # partition), not globally sort
+    assert "WindowGroupLimit" in plan
+
+
+def test_whole_stage_codegen_covers_envelope(spark):
+    df = harness.QUERIES["envelope_nation"](spark, SF)
+    plan = plan_of(df)
+    # formatted mode marks codegen stages with "[codegen id : N]"
+    assert "codegen id" in plan
