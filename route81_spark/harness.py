@@ -2154,6 +2154,97 @@ def group_median_pct(spark, sf_dir):
 
 
 @_q(
+    "union_with_pipeline",
+    """
+    SELECT o_orderkey, o_orderstatus, NULL AS src FROM orders WHERE o_orderstatus = 'F'
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus, 'other' AS src FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def union_with_pipeline(spark, sf_dir):
+    _use_tables(spark, sf_dir)
+    return apply_pipeline(
+        _t(spark, sf_dir, "orders"),
+        [
+            {"$match": {"o_orderstatus": "F"}},
+            {"$project": {"_id": 0, "o_orderkey": 1, "o_orderstatus": 1}},
+            {
+                "$unionWith": {
+                    "coll": "orders",
+                    "pipeline": [
+                        {"$match": {"o_orderstatus": "O"}},
+                        {
+                            "$project": {
+                                "_id": 0,
+                                "o_orderkey": 1,
+                                "o_orderstatus": 1,
+                                "src": {"$literal": "other"},
+                            }
+                        },
+                    ],
+                }
+            },
+        ],
+    )
+
+
+@_q(
+    "window_calculus",
+    f"""
+    WITH w AS (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             first_value(o_totalprice) OVER win AS fv,
+             last_value(o_totalprice) OVER win AS lv,
+             first_value(o_orderkey) OVER win AS fk,
+             last_value(o_orderkey) OVER win AS lk,
+             list(struct_pack(k := o_orderkey, v := o_totalprice)) OVER win AS samples
+      FROM orders
+      WINDOW win AS (PARTITION BY o_custkey ORDER BY o_orderkey
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    )
+    SELECT o_custkey, o_orderkey,
+           {det_round_sql('CASE WHEN lk != fk THEN (lv - fv) / (lk - fk) END', 4)} AS deriv,
+           {det_round_sql('''list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             [ (samples[i+1].v + samples[i].v) / 2 * (samples[i+1].k - samples[i].k)
+               for i in range(1, len(samples)) ]), (a, b) -> a + b)''', 4)} AS integ
+    FROM w
+    """,
+)
+def window_calculus(spark, sf_dir):
+    """$derivative + $integral over a trailing 3-document window."""
+    df = apply_pipeline(
+        _t(spark, sf_dir, "orders"),
+        [
+            {
+                "$setWindowFields": {
+                    "partitionBy": "$o_custkey",
+                    "sortBy": {"o_orderkey": 1},
+                    "output": {
+                        "deriv": {
+                            "$derivative": {"input": "$o_totalprice"},
+                            "window": {"documents": [-2, "current"]},
+                        },
+                        "integ": {
+                            "$integral": {"input": "$o_totalprice"},
+                            "window": {"documents": [-2, "current"]},
+                        },
+                    },
+                }
+            },
+            {"$project": {"_id": 0, "o_custkey": 1, "o_orderkey": 1, "deriv": 1, "integ": 1}},
+        ],
+    )
+    from route81_spark.ops.util import det_round
+
+    return df.select(
+        "o_custkey",
+        "o_orderkey",
+        det_round(F.col("deriv"), 4).alias("deriv"),
+        det_round(F.col("integ"), 4).alias("integ"),
+    )
+
+
+@_q(
     "merge_order_counts",
     """
     WITH s AS (

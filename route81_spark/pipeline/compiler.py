@@ -529,6 +529,8 @@ _WINDOW_RANKS = {
 _WINDOW_AGGS = {
     "$sum": F.sum, "$avg": F.avg, "$min": F.min, "$max": F.max,
     "$push": F.collect_list, "$count": None,
+    "$stdDevPop": F.stddev_pop, "$stdDevSamp": F.stddev_samp,
+    "$first": lambda c: F.first(c), "$last": lambda c: F.last(c),
 }
 
 
@@ -540,6 +542,59 @@ def _window_bound(b: Any) -> int:
     if isinstance(b, int):
         return b
     raise PipelineCompileError(f"bad window bound: {b}")
+
+
+def _calculus_window(op: str, op_arg: Any, df: DataFrame, sort_by: dict, w) -> Column:
+    """$derivative: (last - first input) / (last - first sortBy key)
+    over the window. $integral: trapezoidal sum over consecutive
+    (key, value) samples collected from the (ordered) window frame."""
+    if not sort_by:
+        raise PipelineCompileError(f"{op} requires sortBy")
+    axis = F.col(next(iter(sort_by)))
+    val = compile_expr(op_arg["input"], df)
+    if op == "$derivative":
+        dv = F.last(val).over(w) - F.first(val).over(w)
+        dk = F.last(axis).over(w) - F.first(axis).over(w)
+        return F.when(dk != 0, dv / dk)
+    samples = F.collect_list(F.struct(axis.alias("k"), val.alias("v"))).over(w)
+    # trapezoid over consecutive frame samples (frame order = sortBy)
+    return F.aggregate(
+        F.zip_with(
+            F.slice(samples, 1, F.greatest(F.size(samples) - 1, F.lit(0))),
+            F.slice(samples, 2, F.greatest(F.size(samples) - 1, F.lit(0))),
+            lambda a, b: (b.getField("v") + a.getField("v"))
+            / 2
+            * (b.getField("k") - a.getField("k")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _fill_window(op: str, op_arg: Any, df: DataFrame, sort_by: dict, base) -> Column:
+    """$locf / $linearFill window operators — same semantics as the
+    $fill stage methods, expressed per output field."""
+    if not sort_by:
+        raise PipelineCompileError(f"{op} requires sortBy")
+    orders = [
+        F.col(f).asc_nulls_first() if d >= 0 else F.col(f).desc_nulls_last()
+        for f, d in sort_by.items()
+    ]
+    w = base.orderBy(*orders)
+    col = compile_expr(op_arg, df)
+    before = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    if op == "$locf":
+        return F.last(col, ignorenulls=True).over(before)
+    axis = F.col(next(iter(sort_by)))
+    after = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    prev_v = F.last(col, ignorenulls=True).over(before)
+    prev_k = F.last(F.when(col.isNotNull(), axis), ignorenulls=True).over(before)
+    next_v = F.first(col, ignorenulls=True).over(after)
+    next_k = F.first(F.when(col.isNotNull(), axis), ignorenulls=True).over(after)
+    interp = prev_v + (next_v - prev_v) * (axis - prev_k) / (next_k - prev_k)
+    return F.when(col.isNotNull(), col).when(
+        prev_v.isNotNull() & next_v.isNotNull(), interp
+    )
 
 
 def _stage_set_window_fields(df: DataFrame, arg: dict) -> DataFrame:
@@ -575,7 +630,10 @@ def _stage_set_window_fields(df: DataFrame, arg: dict) -> DataFrame:
             target = compile_expr(op_arg["output"], df)
             fn = F.lead if by >= 0 else F.lag
             col = fn(target, abs(by), default).over(base)
-        elif op in _WINDOW_AGGS:
+        elif op in _WINDOW_AGGS or op in (
+            "$covariancePop", "$covarianceSamp", "$derivative", "$integral",
+            "$locf", "$linearFill",
+        ):
             lo, hi = (win or {}).get("documents", ["unbounded", "unbounded"])
             lo_b = _window_bound(lo)
             hi_b = _window_bound(hi)
@@ -584,12 +642,35 @@ def _stage_set_window_fields(df: DataFrame, arg: dict) -> DataFrame:
             w = base.rowsBetween(lo_b, hi_b)
             if op == "$count":
                 col = F.count(F.lit(1)).over(w)
+            elif op in ("$covariancePop", "$covarianceSamp"):
+                x = compile_expr(op_arg[0], df)
+                y = compile_expr(op_arg[1], df)
+                fn = F.covar_pop if op == "$covariancePop" else F.covar_samp
+                col = fn(x, y).over(w)
+            elif op in ("$derivative", "$integral"):
+                col = _calculus_window(op, op_arg, df, sort_by, w)
+            elif op in ("$locf", "$linearFill"):
+                col = _fill_window(op, op_arg, df, sort_by, base)
             else:
                 col = _WINDOW_AGGS[op](compile_expr(op_arg, df)).over(w)
         else:
             raise PipelineCompileError(f"unsupported $setWindowFields op: {op}")
         out = out.withColumn(name, col)
     return out
+
+
+def _stage_union_with(df: DataFrame, arg: Any) -> DataFrame:
+    """$unionWith: concatenate another collection (optionally through
+    its own sub-pipeline). Schema union by name; columns missing on
+    either side become null — Mongo's schemaless concatenation mapped
+    onto fixed schemas."""
+    if isinstance(arg, str):
+        arg = {"coll": arg}
+    other = _resolve_collection(arg["coll"])
+    sub = arg.get("pipeline")
+    if sub:
+        other = apply_pipeline(other, sub)
+    return df.unionByName(other, allowMissingColumns=True)
 
 
 def _coll_name(arg: Any) -> str:
@@ -792,6 +873,7 @@ _KNOWN_STAGES = {
     "$count", "$sort", "$group", "$unwind", "$replaceRoot", "$replaceWith",
     "$sortByCount", "$sample", "$lookup", "$bucket", "$bucketAuto", "$facet",
     "$setWindowFields", "$graphLookup", "$fill", "$densify", "$out", "$merge",
+    "$unionWith",
 }
 
 
@@ -867,6 +949,8 @@ def compile_stage(stage: dict, sort_spec: dict | None = None) -> Callable[[DataF
             return _stage_out(df, arg)
         if name == "$merge":
             return _stage_merge(df, arg)
+        if name == "$unionWith":
+            return _stage_union_with(df, arg)
         if name in EXTRA_STAGES:
             return EXTRA_STAGES[name](df, arg)
         raise PipelineCompileError(f"unsupported pipeline stage: {name}")

@@ -256,3 +256,43 @@ def test_out_writer_hook(spark):
         assert captured == {"dest": 1}
     finally:
         compiler.set_collection_writer(None)
+
+
+def test_union_with(spark):
+    a = spark.createDataFrame([Row(x=1)], "x int")
+    b = spark.createDataFrame([Row(x=2, y="b")], "x int, y string")
+    compiler.set_collection_resolver(lambda n: {"b": b}[n])
+    try:
+        out = apply_pipeline(a, [{"$unionWith": "b"}])
+        rows = sorted(out.collect(), key=lambda r: r["x"])
+        assert [(r["x"], r["y"]) for r in rows] == [(1, None), (2, "b")]
+    finally:
+        compiler.set_collection_resolver(None)
+
+
+def test_window_fill_and_stats_ops(spark):
+    df = spark.createDataFrame(
+        [Row(g="a", k=1, v=10.0), Row(g="a", k=2, v=None), Row(g="a", k=3, v=30.0)],
+        "g string, k int, v double",
+    )
+    out = apply_pipeline(
+        df,
+        [
+            {
+                "$setWindowFields": {
+                    "partitionBy": "$g",
+                    "sortBy": {"k": 1},
+                    "output": {
+                        "filled": {"$locf": "$v"},
+                        "lin": {"$linearFill": "$v"},
+                        "sd": {"$stdDevPop": "$k"},
+                        "cov": {"$covariancePop": ["$k", "$k"]},
+                    },
+                }
+            }
+        ],
+    )
+    rows = {r["k"]: r for r in out.collect()}
+    assert rows[2]["filled"] == 10.0 and rows[2]["lin"] == 20.0
+    assert rows[1]["sd"] == pytest.approx((2 / 3) ** 0.5)
+    assert rows[1]["cov"] == pytest.approx(2 / 3)
