@@ -2245,6 +2245,48 @@ def window_calculus(spark, sf_dir):
 
 
 @_q(
+    "geo_near_planar",
+    f"""
+    WITH pts AS (
+      SELECT c_custkey, c_custkey % 100 AS lon, c_nationkey AS lat FROM customer
+    ), d AS (
+      SELECT c_custkey, lon, lat,
+             sqrt((lon - 10) * (lon - 10) + (lat - 20) * (lat - 20)) AS dist
+      FROM pts
+    )
+    SELECT c_custkey, {det_round_sql('dist', 6)} AS dist
+    FROM d WHERE dist <= 30
+    """,
+)
+def geo_near_planar(spark, sf_dir):
+    """$geoNear (planar) over coordinates derived in-pipeline —
+    deterministic fixture without a geo column in the testdata."""
+    df = apply_pipeline(
+        _t(spark, sf_dir, "customer"),
+        [
+            {
+                "$addFields": {
+                    "lon": {"$mod": ["$c_custkey", 100]},
+                    "lat": "$c_nationkey",
+                }
+            },
+            {
+                "$geoNear": {
+                    "near": [10, 20],
+                    "key": ["lon", "lat"],
+                    "distanceField": "dist",
+                    "maxDistance": 30,
+                }
+            },
+            {"$project": {"_id": 0, "c_custkey": 1, "dist": 1}},
+        ],
+    )
+    from route81_spark.ops.util import det_round
+
+    return df.select("c_custkey", det_round(F.col("dist"), 6).alias("dist"))
+
+
+@_q(
     "merge_order_counts",
     """
     WITH s AS (

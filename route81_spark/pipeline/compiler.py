@@ -659,6 +659,50 @@ def _stage_set_window_fields(df: DataFrame, arg: dict) -> DataFrame:
     return out
 
 
+def _stage_geo_near(df: DataFrame, arg: dict) -> DataFrame:
+    """$geoNear: distance from a fixed point, filter, sort. Planar
+    (legacy-coordinates euclidean) and spherical (haversine on [lon,
+    lat] degrees, unit sphere — multiply by earth radius client-side,
+    as Mongo documents) modes. Pure per-row Column math + an optional
+    filter; the only wide operation is the final distance sort, which
+    Spark executes as range-partitioned sort (and as
+    TakeOrderedAndProject when followed by $limit)."""
+    for k in ("near", "distanceField", "key"):
+        if k not in arg:
+            raise PipelineCompileError(f"$geoNear requires {k} (key = [lonField, latField])")
+    nx, ny = arg["near"]
+    key = arg["key"]
+    if isinstance(key, str):
+        # Mongo form: one field holding a [lon, lat] legacy pair
+        x = F.col(key).getItem(0).cast("double")
+        y = F.col(key).getItem(1).cast("double")
+    else:
+        fx, fy = key
+        x = F.col(fx).cast("double")
+        y = F.col(fy).cast("double")
+    if arg.get("spherical"):
+        # haversine on the unit sphere; inputs in degrees
+        lam1, phi1 = F.radians(F.lit(float(nx))), F.radians(F.lit(float(ny)))
+        lam2, phi2 = F.radians(x), F.radians(y)
+        a = (
+            F.pow(F.sin((phi2 - phi1) / 2), 2)
+            + F.cos(phi1) * F.cos(phi2) * F.pow(F.sin((lam2 - lam1) / 2), 2)
+        )
+        dist = 2 * F.asin(F.sqrt(a))
+    else:
+        dist = F.sqrt(F.pow(x - F.lit(float(nx)), 2) + F.pow(y - F.lit(float(ny)), 2))
+    out = df
+    if "query" in arg:
+        out = out.filter(compile_match(arg["query"], out))
+    out = out.withColumn(arg["distanceField"], dist * F.lit(float(arg.get("distanceMultiplier", 1.0))))
+    dcol = F.col(arg["distanceField"])
+    if "maxDistance" in arg:
+        out = out.filter(dcol <= float(arg["maxDistance"]))
+    if "minDistance" in arg:
+        out = out.filter(dcol >= float(arg["minDistance"]))
+    return out.orderBy(dcol.asc())
+
+
 def _stage_union_with(df: DataFrame, arg: Any) -> DataFrame:
     """$unionWith: concatenate another collection (optionally through
     its own sub-pipeline). Schema union by name; columns missing on
@@ -873,7 +917,7 @@ _KNOWN_STAGES = {
     "$count", "$sort", "$group", "$unwind", "$replaceRoot", "$replaceWith",
     "$sortByCount", "$sample", "$lookup", "$bucket", "$bucketAuto", "$facet",
     "$setWindowFields", "$graphLookup", "$fill", "$densify", "$out", "$merge",
-    "$unionWith",
+    "$unionWith", "$geoNear",
 }
 
 
@@ -951,6 +995,8 @@ def compile_stage(stage: dict, sort_spec: dict | None = None) -> Callable[[DataF
             return _stage_merge(df, arg)
         if name == "$unionWith":
             return _stage_union_with(df, arg)
+        if name == "$geoNear":
+            return _stage_geo_near(df, arg)
         if name in EXTRA_STAGES:
             return EXTRA_STAGES[name](df, arg)
         raise PipelineCompileError(f"unsupported pipeline stage: {name}")

@@ -296,3 +296,31 @@ def test_window_fill_and_stats_ops(spark):
     assert rows[2]["filled"] == 10.0 and rows[2]["lin"] == 20.0
     assert rows[1]["sd"] == pytest.approx((2 / 3) ** 0.5)
     assert rows[1]["cov"] == pytest.approx(2 / 3)
+
+
+def test_geo_near_spherical_and_single_key(spark):
+    import math
+
+    df = spark.createDataFrame(
+        [Row(i=1, loc=[0.0, 0.0]), Row(i=2, loc=[90.0, 0.0]), Row(i=3, loc=[0.0, 90.0])],
+        "i long, loc array<double>",
+    )
+    out = apply_pipeline(
+        df,
+        [
+            {
+                "$geoNear": {
+                    "near": [0, 0],
+                    "key": "loc",
+                    "distanceField": "d",
+                    "spherical": True,
+                }
+            }
+        ],
+    ).collect()
+    assert [r["i"] for r in out] == [1, 2, 3] or [r["i"] for r in out][0] == 1
+    dists = {r["i"]: r["d"] for r in out}
+    assert dists[1] == pytest.approx(0.0)
+    # quarter great-circle = pi/2 radians on the unit sphere
+    assert dists[2] == pytest.approx(math.pi / 2)
+    assert dists[3] == pytest.approx(math.pi / 2)
