@@ -1196,6 +1196,283 @@ def expr_array_ops(spark, sf_dir):
     )
 
 
+def _dr(expr, digits: int = 6) -> dict:
+    """det_round as a Mongo pipeline expression — floor(x*10^s+0.5)/10^s,
+    the IEEE-exact cross-engine rounding of ops.util.det_round, expressed
+    in the dialect itself so the compiler is what's exercised."""
+    scale = float(10**digits)
+    return {"$divide": [{"$floor": {"$add": [{"$multiply": [expr, scale]}, 0.5]}}, scale]}
+
+
+@_q(
+    "expr_math_bits",
+    f"""
+    SELECT l_orderkey, l_linenumber,
+           {det_round_sql('sin(l_quantity)')} AS sin_q,
+           {det_round_sql('cos(l_discount)')} AS cos_d,
+           {det_round_sql('atan2(l_tax, l_discount + 1)')} AS atan2_v,
+           {det_round_sql('log2(l_quantity)')} AS log2_q,
+           {det_round_sql('ln(l_quantity + 1) / ln(3)')} AS logb,
+           {det_round_sql('radians(l_quantity)')} AS rad,
+           CAST(l_orderkey & 255 AS BIGINT) AS band,
+           CAST(l_linenumber | 8 AS BIGINT) AS bor,
+           CAST(xor(l_orderkey, l_linenumber) AS BIGINT) AS bxor,
+           CAST(~l_linenumber AS BIGINT) AS bnot,
+           CAST(CASE WHEN upper(l_returnflag) < 'N' THEN -1
+                     WHEN upper(l_returnflag) > 'N' THEN 1 ELSE 0 END AS INT) AS scmp
+    FROM lineitem
+    """,
+)
+def expr_math_bits(spark, sf_dir):
+    """Trig / log-base / bit / strcasecmp expression operators
+    (SURVEY §2.B expression table extension)."""
+    return apply_pipeline(
+        _t(spark, sf_dir, "lineitem"),
+        [
+            {
+                "$project": {
+                    "l_orderkey": 1,
+                    "l_linenumber": 1,
+                    "sin_q": _dr({"$sin": "$l_quantity"}),
+                    "cos_d": _dr({"$cos": "$l_discount"}),
+                    "atan2_v": _dr({"$atan2": ["$l_tax", {"$add": ["$l_discount", 1]}]}),
+                    "log2_q": _dr({"$log2": "$l_quantity"}),
+                    "logb": _dr({"$log": [{"$add": ["$l_quantity", 1]}, 3]}),
+                    "rad": _dr({"$degreesToRadians": "$l_quantity"}),
+                    "band": {"$toLong": {"$bitAnd": ["$l_orderkey", 255]}},
+                    "bor": {"$toLong": {"$bitOr": ["$l_linenumber", 8]}},
+                    "bxor": {"$toLong": {"$bitXor": ["$l_orderkey", "$l_linenumber"]}},
+                    "bnot": {"$toLong": {"$bitNot": "$l_linenumber"}},
+                    "scmp": {"$strcasecmp": ["$l_returnflag", "n"]},
+                }
+            }
+        ],
+    )
+
+
+_EMB_SUM = (
+    "list_reduce(list_prepend(0.0, list_transform({arr}, x -> CAST(x AS DOUBLE))),"
+    " (a, b) -> a + b)"
+)
+
+
+@_q(
+    "expr_array_fold",
+    f"""
+    WITH t AS (
+      SELECT vec_id, embedding,
+             {_EMB_SUM.format(arr='embedding')} AS s,
+             len(embedding) AS n
+      FROM embeddings
+    ),
+    u AS (SELECT vec_id, embedding, s, n, s / n AS mean FROM t)
+    SELECT vec_id,
+           CAST(n AS INT) AS n,
+           {det_round_sql('CAST(list_max(embedding) AS DOUBLE)')} AS amax,
+           {det_round_sql('CAST(list_min(embedding) AS DOUBLE)')} AS amin,
+           {det_round_sql('s')} AS asum,
+           {det_round_sql('mean')} AS aavg,
+           {det_round_sql(
+               "sqrt(list_reduce(list_prepend(0.0, list_transform(embedding,"
+               " x -> (CAST(x AS DOUBLE) - mean) * (CAST(x AS DOUBLE) - mean))),"
+               " (a, b) -> a + b) / n)"
+           )} AS sdp,
+           {det_round_sql(_EMB_SUM.format(arr='embedding[1:3]'))} AS first3_sum,
+           {det_round_sql(_EMB_SUM.format(arr='embedding[len(embedding)-1:len(embedding)]'))} AS last2_sum,
+           {det_round_sql(_EMB_SUM.format(arr="list_sort(embedding, 'DESC')[1:2]"))} AS max2_sum,
+           {det_round_sql('CAST(list_min(embedding) AS DOUBLE)')} AS min_first
+    FROM u
+    """,
+)
+def expr_array_fold(spark, sf_dir):
+    """Array-aggregation expression forms of $sum/$avg/$max/$min/
+    $stdDevPop plus $firstN/$lastN/$maxN/$sortArray/$first — the
+    project-context (non-accumulator) dialect."""
+    return apply_pipeline(
+        _t(spark, sf_dir, "embeddings"),
+        [
+            {
+                "$project": {
+                    "vec_id": 1,
+                    "n": {"$size": "$embedding"},
+                    "amax": _dr({"$toDouble": {"$max": "$embedding"}}),
+                    "amin": _dr({"$toDouble": {"$min": "$embedding"}}),
+                    "asum": _dr({"$sum": "$embedding"}),
+                    "aavg": _dr({"$avg": "$embedding"}),
+                    "sdp": _dr({"$stdDevPop": "$embedding"}),
+                    "first3_sum": _dr({"$sum": {"$firstN": {"input": "$embedding", "n": 3}}}),
+                    "last2_sum": _dr({"$sum": {"$lastN": {"input": "$embedding", "n": 2}}}),
+                    "max2_sum": _dr({"$sum": {"$maxN": {"input": "$embedding", "n": 2}}}),
+                    "min_first": _dr({"$toDouble": {"$first": {"$sortArray": {"input": "$embedding", "sortBy": 1}}}}),
+                }
+            }
+        ],
+    )
+
+
+@_q(
+    "expr_let_fields",
+    """
+    SELECT n_nationkey,
+           (n_nationkey + 10) * (n_regionkey * 3) - (n_nationkey + 10) AS letv,
+           n_name AS gf,
+           n_nationkey + 100 AS sf_key,
+           '|key=' || CAST(n_nationkey AS VARCHAR)
+             || '|region=' || CAST(n_regionkey AS VARCHAR)
+             || '|name=' || n_name AS kv,
+           array_to_string(
+             list_transform(
+               list_sort([n_nationkey % 7, n_regionkey, 3], 'DESC'),
+               x -> CAST(x AS VARCHAR)), ',') AS srt,
+           TRUE AS isn
+    FROM nation
+    """,
+)
+def expr_let_fields(spark, sf_dir):
+    """$let bindings, $getField/$setField, $objectToArray + $reduce,
+    $sortArray (desc), $isNumber — structured-document expression ops."""
+    return apply_pipeline(
+        _t(spark, sf_dir, "nation"),
+        [
+            {
+                "$addFields": {
+                    "doc": {"key": "$n_nationkey", "region": "$n_regionkey", "name": "$n_name"}
+                }
+            },
+            {
+                "$project": {
+                    "n_nationkey": 1,
+                    "letv": {
+                        "$let": {
+                            "vars": {
+                                "a": {"$add": ["$n_nationkey", 10]},
+                                "b": {"$multiply": ["$n_regionkey", 3]},
+                            },
+                            "in": {"$subtract": [{"$multiply": ["$$a", "$$b"]}, "$$a"]},
+                        }
+                    },
+                    "gf": {"$getField": {"input": "$doc", "field": "name"}},
+                    "sf_key": {
+                        "$getField": {
+                            "input": {
+                                "$setField": {
+                                    "field": "key",
+                                    "input": "$doc",
+                                    "value": {"$add": ["$n_nationkey", 100]},
+                                }
+                            },
+                            "field": "key",
+                        }
+                    },
+                    "kv": {
+                        "$reduce": {
+                            "input": {"$objectToArray": "$doc"},
+                            "initialValue": "",
+                            "in": {"$concat": ["$$value", "|", "$$this.k", "=", "$$this.v"]},
+                        }
+                    },
+                    "srt": {
+                        "$reduce": {
+                            "input": {
+                                "$map": {
+                                    "input": {
+                                        "$sortArray": {
+                                            "input": [
+                                                {"$mod": ["$n_nationkey", 7]},
+                                                "$n_regionkey",
+                                                3,
+                                            ],
+                                            "sortBy": -1,
+                                        }
+                                    },
+                                    "in": {"$toString": "$$this"},
+                                }
+                            },
+                            "initialValue": "",
+                            "in": {
+                                "$cond": [
+                                    {"$eq": ["$$value", ""]},
+                                    "$$this",
+                                    {"$concat": ["$$value", ",", "$$this"]},
+                                ]
+                            },
+                        }
+                    },
+                    "isn": {"$isNumber": "$n_nationkey"},
+                }
+            },
+        ],
+    )
+
+
+@_q(
+    "expr_date_parts",
+    """
+    SELECT o_orderkey,
+           CAST(quarter(o_orderdate) AS INT) AS q,
+           CAST(weekofyear(o_orderdate) AS INT) AS iw,
+           CAST(isoyear(o_orderdate) AS INT) AS iwy,
+           CAST(isodow(o_orderdate) AS INT) AS idw,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP_NS) AS mstart,
+           CAST(date_trunc('quarter', o_orderdate) AS TIMESTAMP_NS) AS qstart,
+           CAST(date_trunc('week', o_orderdate) AS TIMESTAMP_NS) AS wstart,
+           CAST(make_timestamp(CAST(year(o_orderdate) AS BIGINT),
+                          CAST(month(o_orderdate) AS BIGINT),
+                          CAST(day(o_orderdate) AS BIGINT), 0, 0, 0) AS TIMESTAMP_NS) AS rebuilt,
+           CAST(year(o_orderdate) AS INT) AS pyear,
+           CAST(strptime(strftime(o_orderdate, '%Y-%m-%d'), '%Y-%m-%d') AS TIMESTAMP_NS) AS parsed
+    FROM orders
+    """,
+)
+def expr_date_parts(spark, sf_dir):
+    """$quarter/$isoWeek/$isoWeekYear/$isoDayOfWeek, $dateTrunc,
+    $dateFromParts/$dateToParts/$dateFromString round-trips."""
+    return apply_pipeline(
+        _t(spark, sf_dir, "orders"),
+        [
+            {
+                "$project": {
+                    "o_orderkey": 1,
+                    "q": {"$quarter": "$o_orderdate"},
+                    "iw": {"$isoWeek": "$o_orderdate"},
+                    "iwy": {"$toInt": {"$isoWeekYear": "$o_orderdate"}},
+                    "idw": {"$isoDayOfWeek": "$o_orderdate"},
+                    "mstart": {"$dateTrunc": {"date": "$o_orderdate", "unit": "month"}},
+                    "qstart": {"$dateTrunc": {"date": "$o_orderdate", "unit": "quarter"}},
+                    "wstart": {
+                        "$dateTrunc": {
+                            "date": "$o_orderdate",
+                            "unit": "week",
+                            "startOfWeek": "monday",
+                        }
+                    },
+                    "rebuilt": {
+                        "$dateFromParts": {
+                            "year": {"$year": "$o_orderdate"},
+                            "month": {"$month": "$o_orderdate"},
+                            "day": {"$dayOfMonth": "$o_orderdate"},
+                        }
+                    },
+                    "pyear": {
+                        "$getField": {
+                            "input": {"$dateToParts": {"date": "$o_orderdate"}},
+                            "field": "year",
+                        }
+                    },
+                    "parsed": {
+                        "$dateFromString": {
+                            "dateString": {
+                                "$dateToString": {"format": "%Y-%m-%d", "date": "$o_orderdate"}
+                            },
+                            "format": "%Y-%m-%d",
+                        }
+                    },
+                }
+            }
+        ],
+    )
+
+
 @_q(
     "unwind_preserve_empty",
     """

@@ -135,21 +135,19 @@ def _compile_switch(arg: Any, df: DataFrame | None) -> Column:
     return out
 
 
-def _lambda_body(expr: Any, var: str, var_col: Column, df: DataFrame | None) -> Column:
-    """Compile an expression that references $$<var> by substituting the
-    Spark lambda variable. Handles the higher-order-function bodies of
-    $filter/$map/$reduce."""
+def _env_walk(expr: Any, env: dict[str, Column], df: DataFrame | None) -> Column:
+    """Compile an expression where $$<name> references resolve through
+    `env` (lambda variables of $filter/$map/$reduce, $let bindings)."""
 
     def walk(e: Any) -> Any:
         if isinstance(e, str):
-            if e == f"$${var}":
-                return var_col
-            if e.startswith(f"$${var}."):
-                sub = e[len(var) + 3 :]
-                c = var_col
-                for part in sub.split("."):
-                    c = c.getField(part)
-                return c
+            if e.startswith("$$"):
+                head, _, rest = e[2:].partition(".")
+                if head in env:
+                    c = env[head]
+                    for part in rest.split(".") if rest else []:
+                        c = c.getField(part)
+                    return c
             return compile_expr(e, df)
         if isinstance(e, list):
             return F.array(*[walk(x) for x in e])
@@ -158,41 +156,56 @@ def _lambda_body(expr: Any, var: str, var_col: Column, df: DataFrame | None) -> 
             if not op_keys:
                 return F.struct(*[walk(v).alias(k) for k, v in e.items()])
             op, arg = next(iter(e.items()))
+            if op == "$let":
+                inner = dict(env)
+                inner.update({k: walk(v) for k, v in arg["vars"].items()})
+                return _env_walk(arg["in"], inner, df)
+            if op == "$cond":
+                branches = (
+                    [arg.get("if"), arg.get("then"), arg.get("else")]
+                    if isinstance(arg, dict)
+                    else arg
+                )
+                i, t, el = (walk(x) for x in branches)
+                return F.when(i, t).otherwise(el)
+            if op == "$switch":
+                out = None
+                for b in arg["branches"]:
+                    case, then = walk(b["case"]), walk(b["then"])
+                    out = F.when(case, then) if out is None else out.when(case, then)
+                if "default" in arg:
+                    out = out.otherwise(walk(arg["default"]))
+                return out
+            if op == "$filter":
+                arr = walk(arg["input"])
+                var = arg.get("as", "this")
+                return F.filter(arr, lambda x: _env_walk(arg["cond"], {**env, var: x}, df))
+            if op == "$map":
+                arr = walk(arg["input"])
+                var = arg.get("as", "this")
+                return F.transform(arr, lambda x: _env_walk(arg["in"], {**env, var: x}, df))
+            if op == "$reduce":
+                arr = walk(arg["input"])
+                init = walk(arg["initialValue"])
+                return F.aggregate(
+                    arr,
+                    init,
+                    lambda a, x: _env_walk(arg["in"], {**env, "value": a, "this": x}, df),
+                )
+            if op == "$literal":
+                return F.lit(arg)
             return _compile_op_cols(op, arg, walk, df)
         return compile_expr(e, df)
 
     return walk(expr)
+
+
+def _lambda_body(expr: Any, var: str, var_col: Column, df: DataFrame | None) -> Column:
+    return _env_walk(expr, {var: var_col}, df)
 
 
 def _reduce_body(expr: Any, value_col: Column, this_col: Column, df: DataFrame | None) -> Column:
-    def walk(e: Any) -> Any:
-        if isinstance(e, str):
-            if e == "$$value":
-                return value_col
-            if e == "$$this":
-                return this_col
-            if e.startswith("$$value."):
-                c = value_col
-                for part in e[8:].split("."):
-                    c = c.getField(part)
-                return c
-            if e.startswith("$$this."):
-                c = this_col
-                for part in e[7:].split("."):
-                    c = c.getField(part)
-                return c
-            return compile_expr(e, df)
-        if isinstance(e, list):
-            return F.array(*[walk(x) for x in e])
-        if isinstance(e, dict):
-            op_keys = [k for k in e if k.startswith("$")]
-            if not op_keys:
-                return F.struct(*[walk(v).alias(k) for k, v in e.items()])
-            op, arg = next(iter(e.items()))
-            return _compile_op_cols(op, arg, walk, df)
-        return compile_expr(e, df)
-
-    return walk(expr)
+    return _env_walk(expr, {"value": value_col, "this": this_col}, df)
 
 
 def _compile_op_cols(op: str, arg: Any, walk: Callable[[Any], Column], df: DataFrame | None) -> Column:
@@ -232,6 +245,53 @@ def mongo_date_format(fmt: str) -> str:
     return out
 
 
+_TRIG = {
+    "$sin": F.sin, "$cos": F.cos, "$tan": F.tan,
+    "$asin": F.asin, "$acos": F.acos, "$atan": F.atan,
+    "$sinh": F.sinh, "$cosh": F.cosh, "$tanh": F.tanh,
+    "$asinh": F.asinh, "$acosh": F.acosh, "$atanh": F.atanh,
+    "$degreesToRadians": F.radians, "$radiansToDegrees": F.degrees,
+}
+
+
+def _nonnull(arr: Column) -> Column:
+    return F.filter(arr, lambda x: x.isNotNull())
+
+
+def _field_dtype(expr: Any, df: DataFrame | None):
+    """Resolve the Spark DataType of a "$dotted.path" expression against
+    the input schema, or None when it can't be known statically."""
+    if df is None or not (isinstance(expr, str) and expr.startswith("$") and not expr.startswith("$$")):
+        return None
+    dt = None
+    fields = {f.name: f.dataType for f in df.schema.fields}
+    for part in expr[1:].split("."):
+        if fields is None or part not in fields:
+            return None
+        dt = fields[part]
+        from pyspark.sql import types as _T
+
+        fields = {f.name: f.dataType for f in dt.fields} if isinstance(dt, _T.StructType) else None
+    return dt
+
+
+def _is_array(expr: Any, df: DataFrame | None) -> bool:
+    from pyspark.sql import types as _T
+
+    dt = _field_dtype(expr, df)
+    # computed single-arg inputs to $sum/$avg/... are overwhelmingly
+    # array-producing in the project context; default to array semantics
+    return True if dt is None else isinstance(dt, _T.ArrayType)
+
+
+def _arr_sum(arr: Column) -> Column:
+    # Mongo $sum over an array ignores nulls; empty → 0. Sequential
+    # left fold = DuckDB list_reduce order (bit-exact for doubles).
+    return F.aggregate(
+        _nonnull(arr), F.lit(0.0), lambda a, x: a + x.cast("double")
+    )
+
+
 def _apply_simple(op: str, cols: list[Column], raw_arg: Any, df: DataFrame | None) -> Column:
     """Operators whose compiled form is a pure function of already-compiled
     argument columns."""
@@ -266,8 +326,34 @@ def _apply_simple(op: str, cols: list[Column], raw_arg: Any, df: DataFrame | Non
         return F.log(c[0])
     if op == "$log10":
         return F.log10(c[0])
+    if op == "$log2":
+        return F.log2(c[0])
+    if op == "$log":
+        # Mongo: [number, base]; ln(x)/ln(base) keeps the base dynamic
+        return F.log(c[0]) / F.log(c[1])
     if op == "$exp":
         return F.exp(c[0])
+    if op in _TRIG:
+        return _TRIG[op](c[0])
+    if op == "$atan2":
+        return F.atan2(c[0], c[1])
+    if op == "$bitAnd":
+        out = c[0]
+        for x in c[1:]:
+            out = out.bitwiseAND(x)
+        return out
+    if op == "$bitOr":
+        out = c[0]
+        for x in c[1:]:
+            out = out.bitwiseOR(x)
+        return out
+    if op == "$bitXor":
+        out = c[0]
+        for x in c[1:]:
+            out = out.bitwiseXOR(x)
+        return out
+    if op == "$bitNot":
+        return F.bitwise_not(c[0])
     if op == "$round":
         return F.round(c[0], 0) if len(c) == 1 else F.round(c[0], raw_arg[1])
     if op == "$trunc":
@@ -332,6 +418,22 @@ def _apply_simple(op: str, cols: list[Column], raw_arg: Any, df: DataFrame | Non
         return F.dayofyear(c[0])
     if op == "$week":
         return F.weekofyear(c[0])
+    if op == "$quarter":
+        return F.quarter(c[0])
+    if op == "$isoWeek":
+        # Spark weekofyear IS the ISO week number
+        return F.weekofyear(c[0])
+    if op == "$isoDayOfWeek":
+        # Mongo: Monday=1..Sunday=7; Spark dayofweek: Sunday=1..Saturday=7
+        return ((F.dayofweek(c[0]) + 5) % 7) + 1
+    if op == "$isoWeekYear":
+        # the ISO week-year is the calendar year of that week's Thursday
+        isodow = ((F.dayofweek(c[0]) + 5) % 7) + 1
+        return F.year(F.date_add(F.to_date(c[0]), 4 - isodow)).cast("long")
+    if op == "$tsSecond":
+        return c[0].getField("t").cast("long")
+    if op == "$tsIncrement":
+        return c[0].getField("i").cast("long")
     if op == "$millisecond":
         return (F.unix_micros(c[0]) % 1_000_000 / 1000).cast("int")
     if op == "$eq":
@@ -348,6 +450,51 @@ def _apply_simple(op: str, cols: list[Column], raw_arg: Any, df: DataFrame | Non
         return c[0] <= c[1]
     if op == "$cmp":
         return F.when(c[0] < c[1], -1).when(c[0] > c[1], 1).otherwise(0)
+    if op == "$strcasecmp":
+        a, b = F.upper(c[0]), F.upper(c[1])
+        return F.when(a < b, -1).when(a > b, 1).otherwise(0)
+    if op == "$toDecimal":
+        return c[0].cast("decimal(38,10)")
+    if op in ("$max", "$min"):
+        if isinstance(raw_arg, list):
+            fn = F.greatest if op == "$max" else F.least
+            return fn(*c) if len(c) > 1 else c[0]
+        if not _is_array(raw_arg, df):
+            return c[0]
+        return F.array_max(c[0]) if op == "$max" else F.array_min(c[0])
+    if op == "$sum":
+        if isinstance(raw_arg, list):
+            out = F.coalesce(c[0].cast("double"), F.lit(0.0))
+            for x in c[1:]:
+                out = out + F.coalesce(x.cast("double"), F.lit(0.0))
+            return out
+        if not _is_array(raw_arg, df):
+            return F.coalesce(c[0].cast("double"), F.lit(0.0))
+        return _arr_sum(c[0])
+    if op == "$avg":
+        if isinstance(raw_arg, list):
+            vals = F.array(*c)
+        elif not _is_array(raw_arg, df):
+            return c[0].cast("double")
+        else:
+            vals = c[0]
+        nn = _nonnull(vals)
+        return F.when(F.size(nn) > 0, _arr_sum(nn) / F.size(nn))
+    if op in ("$stdDevPop", "$stdDevSamp"):
+        # two-pass fold over non-null elements; mirrored verbatim in
+        # oracle SQL so the fp operation order is identical
+        nn = _nonnull(F.array(*c)) if isinstance(raw_arg, list) else _nonnull(c[0])
+        n = F.size(nn)
+        mean = _arr_sum(nn) / n
+        ss = F.aggregate(
+            nn, F.lit(0.0), lambda a, x: a + (x.cast("double") - mean) * (x.cast("double") - mean)
+        )
+        denom = n if op == "$stdDevPop" else n - 1
+        return F.when(denom > 0, F.sqrt(ss / denom))
+    if op == "$first":
+        return F.get(c[0], 0)
+    if op == "$last":
+        return F.get(c[0], F.size(c[0]) - 1)
     if op == "$and":
         out = c[0]
         for x in c[1:]:
@@ -426,6 +573,128 @@ def _apply_simple(op: str, cols: list[Column], raw_arg: Any, df: DataFrame | Non
 
 def _compile_op(op: str, arg: Any, df: DataFrame | None) -> Column:
     # Operators with bespoke argument shapes first.
+    if op == "$let":
+        env = {k: compile_expr(v, df) for k, v in arg["vars"].items()}
+        return _env_walk(arg["in"], env, df)
+    if op == "$getField":
+        if isinstance(arg, str):
+            return F.col(arg)
+        inp = compile_expr(arg["input"], df) if "input" in arg else None
+        field = arg["field"]
+        return inp.getField(field) if inp is not None else F.col(field)
+    if op == "$setField":
+        inp = compile_expr(arg["input"], df)
+        return inp.withField(arg["field"], compile_expr(arg["value"], df))
+    if op == "$unsetField":
+        inp = compile_expr(arg["input"], df)
+        return inp.dropFields(arg["field"])
+    if op == "$sortArray":
+        arr = compile_expr(arg["input"], df)
+        by = arg["sortBy"]
+        if by in (1, -1):
+            # Mongo's sort order ranks null lowest: nulls first asc,
+            # last desc — exactly sort_array's placement
+            return F.sort_array(arr, asc=(by == 1))
+        if isinstance(by, dict) and len(by) == 1:
+            fname, direction = next(iter(by.items()))
+
+            def cmp(a: Column, b: Column) -> Column:
+                x, y = a.getField(fname), b.getField(fname)
+                lt, gt = (-1, 1) if direction == 1 else (1, -1)
+                return (
+                    F.when(x.eqNullSafe(y), 0)
+                    .when(x.isNull(), lt)
+                    .when(y.isNull(), gt)
+                    .when(x < y, lt)
+                    .otherwise(gt)
+                )
+
+            return F.array_sort(arr, cmp)
+        raise PipelineCompileError(f"unsupported $sortArray sortBy: {by}")
+    if op == "$objectToArray":
+        from pyspark.sql import types as _T
+
+        dt = _field_dtype(arg, df)
+        if not isinstance(dt, _T.StructType):
+            raise PipelineCompileError(
+                "$objectToArray requires a schema-known struct field path"
+            )
+        src = compile_expr(arg, df)
+        same = len({f.dataType.simpleString() for f in dt.fields}) == 1
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(f.name).alias("k"),
+                    (src.getField(f.name) if same else src.getField(f.name).cast("string")).alias("v"),
+                )
+                for f in dt.fields
+            ]
+        )
+    if op in ("$firstN", "$lastN", "$minN", "$maxN") and isinstance(arg, dict):
+        arr = compile_expr(arg["input"], df)
+        n = compile_expr(arg["n"], df)
+        if op == "$firstN":
+            return F.slice(arr, F.lit(1), n)
+        if op == "$lastN":
+            start = F.greatest(F.size(arr) - n + 1, F.lit(1))
+            return F.slice(arr, start, n)
+        nn = _nonnull(arr)
+        ordered = F.sort_array(nn) if op == "$minN" else F.sort_array(nn, asc=False)
+        return F.slice(ordered, F.lit(1), n)
+    if op == "$isNumber":
+        from pyspark.sql import types as _T
+
+        dt = _field_dtype(arg, df)
+        if dt is not None:
+            return F.lit(isinstance(dt, _T.NumericType))
+        if isinstance(arg, (int, float)) and not isinstance(arg, bool):
+            return F.lit(True)
+        if isinstance(arg, (str, bool)) or arg is None:
+            return F.lit(False)
+        raise PipelineCompileError("$isNumber needs a schema-known field or literal")
+    if op == "$dateTrunc":
+        unit = arg["unit"]
+        bin_size = arg.get("binSize", 1)
+        if bin_size != 1:
+            raise PipelineCompileError("$dateTrunc binSize != 1 is not supported")
+        if unit == "week" and arg.get("startOfWeek", "sunday").lower() != "monday":
+            raise PipelineCompileError(
+                "$dateTrunc week supports only startOfWeek=monday (Spark truncation)"
+            )
+        if unit not in ("year", "quarter", "month", "week", "day", "hour", "minute", "second"):
+            raise PipelineCompileError(f"unsupported $dateTrunc unit: {unit}")
+        return F.date_trunc(unit, compile_expr(arg["date"], df))
+    if op == "$dateFromParts":
+        def part(name: str, default: int) -> Column:
+            return (
+                compile_expr(arg[name], df).cast("int")
+                if name in arg
+                else F.lit(default)
+            )
+
+        return F.make_timestamp(
+            part("year", 1970), part("month", 1), part("day", 1),
+            part("hour", 0), part("minute", 0),
+            part("second", 0).cast("double"),
+        )
+    if op == "$dateToParts":
+        d = compile_expr(arg["date"], df)
+        return F.struct(
+            F.year(d).alias("year"),
+            F.month(d).alias("month"),
+            F.dayofmonth(d).alias("day"),
+            F.hour(d).alias("hour"),
+            F.minute(d).alias("minute"),
+            F.second(d).alias("second"),
+            # date_format works on both TIMESTAMP and TIMESTAMP_NTZ
+            # (unix_micros rejects NTZ)
+            F.date_format(d, "SSS").cast("int").alias("millisecond"),
+        )
+    if op == "$dateFromString":
+        ds = compile_expr(arg["dateString"], df)
+        if "format" in arg:
+            return F.to_timestamp(ds, mongo_date_format(arg["format"]))
+        return ds.cast("timestamp")
     if op == "$cond":
         return _compile_cond(arg, df)
     if op == "$switch":

@@ -244,3 +244,90 @@ def test_merge_objects_accumulator(spark):
     assert (out["mo"]["x"], out["mo"]["y"]) == (5, 2)
     with pytest.raises(PipelineCompileError, match="sort"):
         apply_pipeline(df, [{"$group": {"_id": "$g", "mo": {"$mergeObjects": "$s"}}}])
+
+
+def test_lambda_body_control_flow(spark):
+    """$cond/$switch and nested higher-order fns inside $map/$filter
+    lambda bodies compile through _env_walk (env-threaded recursion)."""
+    from route81_spark.pipeline import apply_pipeline
+
+    df = spark.createDataFrame([(1,)], "k int")
+    out = apply_pipeline(
+        df,
+        [
+            {
+                "$project": {
+                    "m": {
+                        "$map": {
+                            "input": [1, 2, 3],
+                            "in": {
+                                "$cond": [
+                                    {"$gt": ["$$this", 1]},
+                                    {"$multiply": ["$$this", 10]},
+                                    "$$this",
+                                ]
+                            },
+                        }
+                    },
+                    "sw": {
+                        "$map": {
+                            "input": [0, 5],
+                            "in": {
+                                "$switch": {
+                                    "branches": [
+                                        {"case": {"$eq": ["$$this", 0]}, "then": "z"},
+                                    ],
+                                    "default": "nz",
+                                }
+                            },
+                        }
+                    },
+                    "nested": {
+                        "$map": {
+                            "input": [[1, 2], [3]],
+                            "as": "row",
+                            "in": {"$sum": {"$map": {"input": "$$row", "in": {"$add": ["$$this", 1]}}}},
+                        }
+                    },
+                }
+            }
+        ],
+    ).collect()[0]
+    assert out["m"] == [1, 20, 30]
+    assert out["sw"] == ["z", "nz"]
+    assert out["nested"] == [5.0, 4.0]
+
+
+def test_let_shadowing_and_scalar_agg_semantics(spark):
+    from route81_spark.pipeline import apply_pipeline
+
+    df = spark.createDataFrame([(2.0, [4.0, 6.0])], "x double, arr array<double>")
+    out = apply_pipeline(
+        df,
+        [
+            {
+                "$project": {
+                    "outer": {
+                        "$let": {
+                            "vars": {"v": 1},
+                            "in": {
+                                "$add": [
+                                    "$$v",
+                                    {"$let": {"vars": {"v": 100}, "in": "$$v"}},
+                                ]
+                            },
+                        }
+                    },
+                    # schema-known scalar field: $sum/$max return the value itself
+                    "scalar_sum": {"$sum": "$x"},
+                    "scalar_max": {"$max": "$x"},
+                    # schema-known array field: aggregate semantics
+                    "arr_sum": {"$sum": "$arr"},
+                    "arr_max": {"$max": "$arr"},
+                }
+            }
+        ],
+    ).collect()[0]
+    assert out["outer"] == 101
+    assert out["scalar_sum"] == 2.0 and out["scalar_max"] == 2.0
+    assert out["arr_sum"] == 10.0 and out["arr_max"] == 6.0
