@@ -1474,6 +1474,55 @@ def expr_date_parts(spark, sf_dir):
 
 
 @_q(
+    "match_bits_geo_type",
+    """
+    WITH pts AS (
+      SELECT c_custkey, c_name, c_custkey % 100 AS lon, c_nationkey AS lat
+      FROM customer
+    )
+    SELECT c_custkey, c_name
+    FROM pts
+    WHERE ((lon BETWEEN 10 AND 60 AND lat BETWEEN 2 AND 15)
+           OR ((lon - 80) * (lon - 80) + (lat - 20) * (lat - 20)) <= 100
+           OR 2 * asin(sqrt(
+                sin((radians(CAST(lat AS DOUBLE)) - radians(5.0)) / 2)
+                  * sin((radians(CAST(lat AS DOUBLE)) - radians(5.0)) / 2)
+                + cos(radians(5.0)) * cos(radians(CAST(lat AS DOUBLE)))
+                  * sin((radians(CAST(lon AS DOUBLE)) - radians(90.0)) / 2)
+                  * sin((radians(CAST(lon AS DOUBLE)) - radians(90.0)) / 2)
+              )) <= 0.1)
+      AND (c_custkey & 3) = 3
+      AND (c_custkey & 4) != 4
+    """,
+)
+def match_bits_geo_type(spark, sf_dir):
+    """$bitsAllSet/$bitsAnyClear, $type (schema constant-fold), and
+    $geoWithin $box/$center/$centerSphere over legacy [lon,lat] pairs."""
+    return apply_pipeline(
+        _t(spark, sf_dir, "customer"),
+        [
+            {
+                "$addFields": {
+                    "coords": [{"$mod": ["$c_custkey", 100]}, "$c_nationkey"]
+                }
+            },
+            {
+                "$match": {
+                    "$or": [
+                        {"coords": {"$geoWithin": {"$box": [[10, 2], [60, 15]]}}},
+                        {"coords": {"$geoWithin": {"$center": [[80, 20], 10]}}},
+                        {"coords": {"$geoWithin": {"$centerSphere": [[90, 5], 0.1]}}},
+                    ],
+                    "c_custkey": {"$bitsAllSet": [0, 1], "$bitsAnyClear": 4},
+                    "c_name": {"$type": "string"},
+                }
+            },
+            {"$project": {"c_custkey": 1, "c_name": 1}},
+        ],
+    )
+
+
+@_q(
     "unwind_preserve_empty",
     """
     WITH t AS (

@@ -62,6 +62,88 @@ def _in_clause(col: Column, values: list[Any]) -> Column:
     return clause
 
 
+def _bit_mask(val: Any) -> int:
+    """$bits* mask argument: a numeric bitmask or a list of bit positions."""
+    if isinstance(val, int) and not isinstance(val, bool):
+        return val
+    if isinstance(val, list):
+        return sum(1 << int(p) for p in val)
+    raise PipelineCompileError(f"unsupported bitmask argument: {val!r}")
+
+
+_TYPE_ALIASES: dict[str, tuple[str, ...]] = {
+    # Mongo $type alias -> matching Spark simpleString prefixes
+    "double": ("double", "float"),
+    "string": ("string",),
+    "int": ("int", "smallint", "tinyint"),
+    "long": ("bigint",),
+    "bool": ("boolean",),
+    "date": ("timestamp", "timestamp_ntz", "date"),
+    "array": ("array",),
+    "object": ("struct", "map"),
+    "binData": ("binary",),
+    "decimal": ("decimal",),
+}
+
+
+def _type_pred(col: Column, field: str, val: Any, df: DataFrame | None) -> Column:
+    """{f: {$type: alias}} constant-folds against the declared schema
+    (SURVEY §2.B: '$type … schema-known: constant-fold'). A field of the
+    matching type matches when present (non-null); 'null' matches null."""
+    from route81_spark.pipeline.exprs import _field_dtype
+
+    aliases = val if isinstance(val, list) else [val]
+    dt = _field_dtype("$" + field, df)
+    if dt is None:
+        raise PipelineCompileError(f"$type needs a schema-known field: {field}")
+    simple = dt.simpleString()
+    out: Column | None = None
+    for alias in aliases:
+        if alias == "null":
+            p = col.isNull()
+        elif alias == "number":
+            p = (
+                col.isNotNull()
+                if simple.startswith(("double", "float", "int", "bigint", "smallint", "tinyint", "decimal"))
+                else F.lit(False)
+            )
+        elif alias in _TYPE_ALIASES:
+            p = col.isNotNull() if simple.startswith(_TYPE_ALIASES[alias]) else F.lit(False)
+        else:
+            raise PipelineCompileError(f"unsupported $type alias: {alias}")
+        out = p if out is None else (out | p)
+    return out
+
+
+def _geo_within(col: Column, shape: dict) -> Column:
+    """$geoWithin over a legacy coordinate-pair field [lon, lat]
+    ($box / $center planar, $centerSphere great-circle radians —
+    the same spherical model as the $geoNear stage)."""
+    lon, lat = F.get(col, 0).cast("double"), F.get(col, 1).cast("double")
+    if "$box" in shape:
+        (x1, y1), (x2, y2) = shape["$box"]
+        return (
+            (lon >= min(x1, x2)) & (lon <= max(x1, x2))
+            & (lat >= min(y1, y2)) & (lat <= max(y1, y2))
+        )
+    if "$center" in shape:
+        (cx, cy), r = shape["$center"]
+        dx, dy = lon - cx, lat - cy
+        return (dx * dx + dy * dy) <= float(r) ** 2
+    if "$centerSphere" in shape:
+        (cx, cy), r = shape["$centerSphere"]
+        lat1, lon1 = F.radians(F.lit(float(cy))), F.radians(F.lit(float(cx)))
+        lat2, lon2 = F.radians(lat), F.radians(lon)
+        dlat, dlon = lat2 - lat1, lon2 - lon1
+        a = (
+            F.sin(dlat / 2) * F.sin(dlat / 2)
+            + F.cos(lat1) * F.cos(lat2) * F.sin(dlon / 2) * F.sin(dlon / 2)
+        )
+        central = 2 * F.asin(F.sqrt(a))  # angular distance in radians
+        return central <= float(r)
+    raise PipelineCompileError(f"unsupported $geoWithin shape: {list(shape)}")
+
+
 def _field_pred(field: str, spec: Any, df: DataFrame | None) -> Column:
     col = F.col(field)
     if isinstance(spec, dict) and any(k.startswith("$") for k in spec):
@@ -112,6 +194,21 @@ def _field_pred(field: str, spec: Any, df: DataFrame | None) -> Column:
             elif op == "$not":
                 inner = _field_pred(field, val, df)
                 preds.append(~F.coalesce(inner, F.lit(False)))
+            elif op in ("$bitsAllSet", "$bitsAnySet", "$bitsAllClear", "$bitsAnyClear"):
+                m = F.lit(_bit_mask(val))
+                masked = col.cast("long").bitwiseAND(m)
+                preds.append(
+                    {
+                        "$bitsAllSet": masked == m,
+                        "$bitsAnySet": masked != 0,
+                        "$bitsAllClear": masked == 0,
+                        "$bitsAnyClear": masked != m,
+                    }[op]
+                )
+            elif op == "$type":
+                preds.append(_type_pred(col, field, val, df))
+            elif op == "$geoWithin":
+                preds.append(_geo_within(col, val))
             else:
                 raise PipelineCompileError(f"unsupported query operator: {op}")
         out = preds[0]
@@ -189,6 +286,16 @@ def compile_match(query: dict, df: DataFrame | None = None) -> Column:
             preds.append(~p)
         elif key == "$expr":
             preds.append(F.coalesce(compile_expr(val, df).cast("boolean"), F.lit(False)))
+        elif key == "$comment":
+            continue  # server-side annotation; no predicate
+        elif key == "$sampleRate":
+            # random per-document inclusion; seeded for reproducibility
+            # within a plan (no oracle — nondeterministic by contract)
+            preds.append(F.rand(42) < float(val))
+        elif key in ("$text", "$where", "$jsonSchema"):
+            raise PipelineCompileError(
+                f"{key} is out of scope (server-only feature; SURVEY §2.B)"
+            )
         elif key.startswith("$"):
             raise PipelineCompileError(f"unsupported top-level query operator: {key}")
         else:

@@ -331,3 +331,34 @@ def test_let_shadowing_and_scalar_agg_semantics(spark):
     assert out["outer"] == 101
     assert out["scalar_sum"] == 2.0 and out["scalar_max"] == 2.0
     assert out["arr_sum"] == 10.0 and out["arr_max"] == 6.0
+
+
+def test_match_bits_type_geo_and_out_of_scope(spark):
+    import pytest
+    from route81_spark.pipeline import apply_pipeline
+    from route81_spark.pipeline.exprs import PipelineCompileError
+
+    df = spark.createDataFrame(
+        [(5, "a", [1.0, 2.0]), (2, None, [50.0, 50.0])],
+        "k int, s string, pt array<double>",
+    )
+    got = apply_pipeline(df, [{"$match": {"k": {"$bitsAllSet": [0, 2]}}}]).collect()
+    assert [r["k"] for r in got] == [5]
+    got = apply_pipeline(df, [{"$match": {"k": {"$bitsAnySet": 2}}}]).collect()
+    assert [r["k"] for r in got] == [2]
+    got = apply_pipeline(df, [{"$match": {"s": {"$type": "string"}}}]).collect()
+    assert [r["k"] for r in got] == [5]  # null doesn't match a type
+    got = apply_pipeline(df, [{"$match": {"s": {"$type": ["null", "string"]}}}]).collect()
+    assert sorted(r["k"] for r in got) == [2, 5]
+    got = apply_pipeline(df, [{"$match": {"k": {"$type": "string"}}}]).collect()
+    assert got == []  # wrong type constant-folds to false
+    got = apply_pipeline(
+        df, [{"$match": {"pt": {"$geoWithin": {"$center": [[0, 0], 3]}}}}]
+    ).collect()
+    assert [r["k"] for r in got] == [5]
+    # $comment ignored; $sampleRate compiles to a filter
+    assert apply_pipeline(df, [{"$match": {"$comment": "x"}}]).count() == 2
+    assert apply_pipeline(df, [{"$match": {"$sampleRate": 1.0}}]).count() == 2
+    for bad in ({"$text": {"$search": "x"}}, {"$where": "f()"}):
+        with pytest.raises(PipelineCompileError):
+            apply_pipeline(df, [{"$match": bad}])
