@@ -1522,6 +1522,80 @@ def match_bits_geo_type(spark, sf_dir):
     )
 
 
+_VS_QUERY = [0.1 * ((i * 7) % 13 - 6) for i in range(64)]
+
+
+@_q(
+    "vector_search_stage",
+    f"""
+    WITH q AS (SELECT [{', '.join(f'{x!r}' for x in _VS_QUERY)}] AS qv),
+    scored AS (
+      SELECT e.vec_id, e.label,
+             {det_round_sql(
+                 '(1 + (' + _cos_sql('e.embedding', 'q.qv') + ')) / 2'
+             )} AS score
+      FROM embeddings e, q
+      WHERE e.label % 2 = 0
+    )
+    SELECT vec_id, label, score FROM scored
+    ORDER BY score DESC, vec_id ASC LIMIT 10
+    """,
+)
+def vector_search_stage(spark, sf_dir):
+    """$vectorSearch (Atlas dialect) with pre-filter + $meta score
+    projection, compiled to map-side cosine + global top-k."""
+    return apply_pipeline(
+        _t(spark, sf_dir, "embeddings"),
+        [
+            {
+                "$vectorSearch": {
+                    "index": "default",
+                    "path": "embedding",
+                    "queryVector": _VS_QUERY,
+                    "numCandidates": 200,
+                    "limit": 10,
+                    "filter": {"$expr": {"$eq": [{"$mod": ["$label", 2]}, 0]}},
+                    "tieBreaker": "vec_id",
+                }
+            },
+            {
+                "$project": {
+                    "vec_id": 1,
+                    "label": 1,
+                    "score": {"$meta": "vectorSearchScore"},
+                }
+            },
+        ],
+    )
+
+
+@_q(
+    "documents_stage",
+    """
+    SELECT * FROM (VALUES ('a', 1, 10.0), ('b', 2, 20.5), ('c', 2, 0.25))
+      AS t(name, grp, v)
+    WHERE grp = 2
+    ORDER BY name
+    """,
+)
+def documents_stage(spark, sf_dir):
+    """$documents literal source stage + downstream pipeline over it."""
+    return apply_pipeline(
+        _t(spark, sf_dir, "nation"),  # replaced by the literal docs
+        [
+            {
+                "$documents": [
+                    {"name": "a", "grp": 1, "v": 10.0},
+                    {"name": "b", "grp": 2, "v": 20.5},
+                    {"name": "c", "grp": 2, "v": 0.25},
+                ]
+            },
+            {"$match": {"grp": 2}},
+            {"$sort": {"name": 1}},
+        ],
+    )
+
+
 @_q(
     "unwind_preserve_empty",
     """

@@ -912,12 +912,59 @@ def _stage_densify(df: DataFrame, arg: dict) -> DataFrame:
     return df.unionByName(missing, allowMissingColumns=True)
 
 
+def _stage_documents(df: DataFrame, arg: Any) -> DataFrame:
+    """$documents: replace the input with a literal document array.
+    Documents must be literal (possibly nested / ext-JSON-tagged) and
+    schema-homogeneous; compiled as one array-of-structs expression and
+    exploded — no RDD, no driver-side type inference."""
+    if not isinstance(arg, list) or not arg:
+        raise PipelineCompileError("$documents requires a non-empty array of documents")
+    if not all(isinstance(d, dict) for d in arg):
+        raise PipelineCompileError("$documents entries must be documents")
+    structs = F.array(*[compile_expr(d, None) for d in arg])
+    return df.sparkSession.range(1).select(F.explode(structs).alias("__doc")).select("__doc.*")
+
+
+def _stage_vector_search(df: DataFrame, arg: dict) -> DataFrame:
+    """$vectorSearch (Atlas syntax) over an array<float> column.
+
+    Brute-force cosine: scores are pure map-side expressions; only the
+    global top-`limit` rows move (TakeOrderedAndProject), the right plan
+    at any scale when `limit` is small. `numCandidates` is accepted as a
+    hint (exact scan always scores everything; the ANN scale path lives
+    in ops.similarity.bucketed_topk / ivf_topk, reachable via the
+    $similarityTopK extension stage).
+
+    Score = Atlas cosine score (1 + cos) / 2, exposed to later stages as
+    the `__vs_score` column and via {"$meta": "vectorSearchScore"}.
+    `tieBreaker` (extension): field that breaks equal-score ties so
+    results are deterministic; Mongo leaves tie order undefined."""
+    from route81_spark.ops.similarity import cosine
+    from route81_spark.ops.util import det_round
+
+    path = arg["path"]
+    qv = arg["queryVector"]
+    limit = int(arg["limit"])
+    if not isinstance(qv, list) or not qv:
+        raise PipelineCompileError("$vectorSearch queryVector must be a non-empty array")
+    out = df
+    if "filter" in arg:
+        out = out.filter(compile_match(arg["filter"], out))
+    qcol = F.array(*[F.lit(float(x)) for x in qv])
+    score = det_round((F.lit(1.0) + cosine(F.col(path), qcol)) / 2, 6)
+    out = out.withColumn("__vs_score", score)
+    order = [F.col("__vs_score").desc()]
+    if "tieBreaker" in arg:
+        order.append(F.col(arg["tieBreaker"]).asc())
+    return out.orderBy(*order).limit(limit)
+
+
 _KNOWN_STAGES = {
     "$match", "$project", "$addFields", "$set", "$unset", "$limit", "$skip",
     "$count", "$sort", "$group", "$unwind", "$replaceRoot", "$replaceWith",
     "$sortByCount", "$sample", "$lookup", "$bucket", "$bucketAuto", "$facet",
     "$setWindowFields", "$graphLookup", "$fill", "$densify", "$out", "$merge",
-    "$unionWith", "$geoNear",
+    "$unionWith", "$geoNear", "$documents", "$vectorSearch",
 }
 
 
@@ -997,6 +1044,10 @@ def compile_stage(stage: dict, sort_spec: dict | None = None) -> Callable[[DataF
             return _stage_union_with(df, arg)
         if name == "$geoNear":
             return _stage_geo_near(df, arg)
+        if name == "$documents":
+            return _stage_documents(df, arg)
+        if name == "$vectorSearch":
+            return _stage_vector_search(df, arg)
         if name in EXTRA_STAGES:
             return EXTRA_STAGES[name](df, arg)
         raise PipelineCompileError(f"unsupported pipeline stage: {name}")

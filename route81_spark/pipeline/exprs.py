@@ -695,6 +695,10 @@ def _compile_op(op: str, arg: Any, df: DataFrame | None) -> Column:
         if "format" in arg:
             return F.to_timestamp(ds, mongo_date_format(arg["format"]))
         return ds.cast("timestamp")
+    if op == "$meta":
+        if arg == "vectorSearchScore":
+            return F.col("__vs_score")  # populated by the $vectorSearch stage
+        raise PipelineCompileError(f"unsupported $meta: {arg}")
     if op == "$cond":
         return _compile_cond(arg, df)
     if op == "$switch":
