@@ -1717,6 +1717,60 @@ def media_features(spark, sf_dir):
     )
 
 
+@_q(
+    "media_frames",
+    """
+    -- regenerate the synthetic-media arithmetic: payload hex =
+    -- sha256(id), duration = id*1000 ms, video iff id % 3 = 2;
+    -- frames every 700 ms capped at 64, frame hash = md5(hex:idx)
+    WITH vids AS (
+      SELECT i AS media_id,
+             sha256(CAST(i AS VARCHAR)) AS payload_hex,
+             least((i * 1000) // 700 + 1, 64) AS n_frames
+      FROM generate_series(0, 127) t(i) WHERE i % 3 = 2
+    ),
+    f AS (
+      SELECT media_id, payload_hex, unnest(generate_series(0, n_frames - 1)) AS frame_idx
+      FROM vids
+    )
+    SELECT media_id,
+           CAST(frame_idx AS INT) AS frame_idx,
+           frame_idx * 700 AS ts_ms,
+           md5(payload_hex || ':' || CAST(frame_idx AS VARCHAR)) AS frame_sha
+    FROM f
+    """,
+)
+def media_frames(spark, sf_dir):
+    """Video frame sampling (mapInPandas row expansion) — stub decode,
+    real batch plumbing; every derived value oracle-checked."""
+    from route81_spark.ops.multimodal import sample_frames, synthetic_media
+
+    return sample_frames(synthetic_media(spark, n=128), every_ms=700, max_frames=64)
+
+
+@_q(
+    "media_resize",
+    """
+    SELECT i AS media_id,
+           sha256(sha256(CAST(i AS VARCHAR)) || ':64x48') AS resized_hex,
+           64 AS w, 48 AS h
+    FROM generate_series(0, 127) t(i) WHERE i % 3 = 0
+    """,
+)
+def media_resize(spark, sf_dir):
+    """Image resize plumbing: payload rewritten + meta dims updated in
+    one schema-preserving mapInPandas pass; non-image rows untouched."""
+    from route81_spark.ops.multimodal import resize_images, synthetic_media
+
+    out = resize_images(synthetic_media(spark, n=128), 64, 48)
+    return out.filter(F.col("kind") == "image").select(
+        "media_id",
+        F.lower(F.hex("payload")).alias("resized_hex"),
+        F.col("meta.width").alias("w"),
+        F.col("meta.height").alias("h"),
+    )
+
+
 # =====================================================================
 # Dedup family
 # =====================================================================

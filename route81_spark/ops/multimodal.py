@@ -86,6 +86,76 @@ def extract_features(df: DataFrame) -> DataFrame:
     return df.mapInPandas(run, schema=_FEATURES_SCHEMA)
 
 
+_FRAMES_SCHEMA = "media_id long, frame_idx int, ts_ms long, frame_sha string"
+
+
+def sample_frames(df: DataFrame, every_ms: int = 1000, max_frames: int = 64) -> DataFrame:
+    """Frame sampling for video rows: one output row per sampled frame
+    at `every_ms` intervals (capped at `max_frames`), frame count driven
+    by `meta.duration_ms`. A production decoder would seek and decode
+    each frame (pyav); the stub derives a deterministic frame hash from
+    (payload hex, frame index) so results are verifiable end-to-end.
+
+    Scale shape: mapInPandas row *expansion* inside Arrow batches —
+    frames never exist as a driver-side list, and the blob column is
+    dropped on output so the expanded rows shuffle cheaply."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {"media_id": [], "frame_idx": [], "ts_ms": [], "frame_sha": []}
+            for mid, kind, payload, dur in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"], pdf["duration_ms"]
+            ):
+                if kind != "video" or dur is None:
+                    continue
+                n = min(int(dur) // every_ms + 1, max_frames)
+                base = (payload or b"").hex()
+                for i in range(n):
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(i)
+                    out["ts_ms"].append(i * every_ms)
+                    out["frame_sha"].append(hashlib.md5(f"{base}:{i}".encode()).hexdigest())
+            yield pd.DataFrame(out).astype(
+                {"media_id": "int64", "frame_idx": "int32", "ts_ms": "int64", "frame_sha": "object"}
+            )
+
+    sel = df.select(
+        "media_id", "kind", "payload", F.col("meta.duration_ms").alias("duration_ms")
+    )
+    return sel.mapInPandas(run, schema=_FRAMES_SCHEMA)
+
+
+def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize for image rows (passthrough for other kinds): payload is
+    replaced by the stub 'resized' bytes (sha256 of payload-hex + target
+    dims — a real impl decodes/resamples/re-encodes here), meta width/
+    height updated. Output schema == input schema, so resize composes
+    with any downstream media op."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            def resize_one(row):
+                payload, kind, meta = row["payload"], row["kind"], dict(row["meta"])
+                if kind == "image":
+                    payload = hashlib.sha256(
+                        f"{(payload or b'').hex()}:{width}x{height}".encode()
+                    ).digest()
+                    meta["width"], meta["height"] = width, height
+                return payload, meta
+
+            resized = pdf.apply(resize_one, axis=1)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "payload": [p for p, _ in resized],
+                    "meta": [m for _, m in resized],
+                }
+            )
+
+    return df.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
 def synthetic_media(spark, n: int = 64) -> DataFrame:
     """Deterministic fake media table for tests: payload bytes derived
     from the id."""
