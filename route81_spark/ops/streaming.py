@@ -1,0 +1,92 @@
+"""Streaming stateful operators (extension surface; SURVEY §7 M5).
+
+route81 itself keeps no stream state beyond the resume timestamp
+(SURVEY §2.C: no watermarks/windows by design), so these are the
+training-data-pipeline extensions expressed on Structured Streaming's
+state store:
+
+  * streaming_exact_dedup — cross-micro-batch exact dedup (first-seen
+    wins) on the normalized content hash. With an event-time column the
+    state is bounded by `dropDuplicatesWithinWatermark`; without one it
+    is unbounded (documented trade-off: matches the reference's
+    unbounded keyed upsert state, and the downstream keyed merge is
+    idempotent either way).
+  * running_group_stats — applyInPandasWithState custom stateful
+    aggregation: per-key running (count, sum, min, max) re-emitted on
+    every micro-batch that touches the key.
+
+Scale shape: both operators shuffle once on their state key and keep
+per-key state O(1); dedup state is one hash per distinct content, which
+the watermark evicts in event-time order.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from route81_spark.ops.dedup import content_hash
+
+STATS_OUT_SCHEMA = "key string, n long, total double, vmin double, vmax double"
+STATS_STATE_SCHEMA = "n long, total double, vmin double, vmax double"
+
+
+def streaming_exact_dedup(
+    stream: DataFrame,
+    text_col: str = "text",
+    ts_col: str | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """First-seen-wins exact dedup across micro-batches on the
+    normalized content hash (same normalization as the batch
+    ops.dedup.exact_dedup, so batch and stream agree on identity)."""
+    hashed = stream.withColumn("__chash", content_hash(F.col(text_col)))
+    if ts_col is not None:
+        deduped = hashed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            ["__chash"]
+        )
+    else:
+        deduped = hashed.dropDuplicates(["__chash"])
+    return deduped.drop("__chash")
+
+
+def _stats_update(key: tuple, pdfs: Iterator[pd.DataFrame], state: Any) -> Iterator[pd.DataFrame]:
+    if state.exists:
+        n, total, vmin, vmax = state.get
+    else:
+        n, total, vmin, vmax = 0, 0.0, None, None
+    for pdf in pdfs:
+        v = pdf["value"].dropna().astype("float64")
+        if len(v):
+            n += int(len(v))
+            total += float(v.sum())
+            vmin = float(v.min()) if vmin is None else min(vmin, float(v.min()))
+            vmax = float(v.max()) if vmax is None else max(vmax, float(v.max()))
+    state.update((n, total, vmin, vmax))
+    yield pd.DataFrame(
+        {"key": [key[0]], "n": [n], "total": [total], "vmin": [vmin], "vmax": [vmax]}
+    )
+
+
+def running_group_stats(stream: DataFrame, key_col: str, value_col: str) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: running
+    per-key stats, one output row per (key, micro-batch). The last row
+    per key is the converged aggregate — checked against the batch
+    groupBy in tests."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    prepared = stream.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(value_col).cast("double").alias("value"),
+    )
+    return prepared.groupBy("key").applyInPandasWithState(
+        _stats_update,
+        STATS_OUT_SCHEMA,
+        STATS_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

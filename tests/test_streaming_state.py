@@ -1,0 +1,144 @@
+"""Streaming stateful operators: cross-batch exact dedup and
+applyInPandasWithState running stats, driven by a JSON file stream with
+two sequential input files so state must survive micro-batches."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ]
+)
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def _write_batch(path, rows):
+    path.parent.mkdir(parents=True, exist_ok=True)
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def _run_available_now(df, out_dir, checkpoint):
+    q = (
+        df.writeStream.format("parquet")
+        .option("path", str(out_dir))
+        .option("checkpointLocation", str(checkpoint))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_streaming_exact_dedup_across_batches(spark, tmp_path):
+    from route81_spark.ops.streaming import streaming_exact_dedup
+
+    src = tmp_path / "src"
+    # batch 1: doc 1 and 2 (2 is a whitespace/case variant of 1 -> dup)
+    _write_batch(
+        src / "b1.json",
+        [
+            {"doc_id": 1, "text": "Hello  World", "ts": "2024-01-01T00:00:00"},
+            {"doc_id": 2, "text": "hello world", "ts": "2024-01-01T00:00:01"},
+            {"doc_id": 3, "text": "unique A", "ts": "2024-01-01T00:00:02"},
+        ],
+    )
+    stream = (
+        spark.readStream.schema(DOC_SCHEMA).option("maxFilesPerTrigger", 1).json(str(src))
+    )
+    deduped = streaming_exact_dedup(stream, "text")
+    out, ckpt = tmp_path / "out", tmp_path / "ckpt"
+    _run_available_now(deduped, out, ckpt)
+
+    got = {r["doc_id"] for r in spark.read.schema(DOC_SCHEMA).parquet(str(out)).collect()}
+    assert len(got) == 2 and 3 in got and len(got & {1, 2}) == 1
+
+    # batch 2 arrives later: all dups of batch 1 plus one new doc —
+    # state must persist across the restarted availableNow run (same
+    # checkpoint), so only the new doc is emitted
+    _write_batch(
+        src / "b2.json",
+        [
+            {"doc_id": 4, "text": "HELLO   world", "ts": "2024-01-01T00:01:00"},
+            {"doc_id": 5, "text": "unique a", "ts": "2024-01-01T00:01:01"},
+            {"doc_id": 6, "text": "brand new", "ts": "2024-01-01T00:01:02"},
+        ],
+    )
+    _run_available_now(deduped, out, ckpt)
+    got2 = {r["doc_id"] for r in spark.read.schema(DOC_SCHEMA).parquet(str(out)).collect()}
+    assert got2 - got == {6}
+
+
+def test_running_group_stats_matches_batch_agg(spark, tmp_path):
+    from route81_spark.ops.streaming import running_group_stats
+
+    src = tmp_path / "src"
+    rows1 = [{"event_id": i, "user_id": f"u{i % 3}", "value": float(i)} for i in range(30)]
+    rows2 = [
+        {"event_id": 100 + i, "user_id": f"u{i % 3}", "value": float(100 + i)}
+        for i in range(15)
+    ]
+    _write_batch(src / "b1.json", rows1)
+    _write_batch(src / "b2.json", rows2)
+
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA).option("maxFilesPerTrigger", 1).json(str(src))
+    )
+    stats = running_group_stats(stream, "user_id", "value")
+    out, ckpt = tmp_path / "out", tmp_path / "ckpt"
+    # stateful update-mode output needs an update-capable sink:
+    # foreachBatch appending each emission to parquet
+    q = (
+        stats.writeStream.outputMode("update")
+        .foreachBatch(
+            lambda batch, _id: batch.write.mode("append").parquet(str(out))
+        )
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    result = spark.read.parquet(str(out))
+    # the last emission per key must equal the batch aggregate over all rows
+    batch = (
+        spark.createDataFrame(rows1 + rows2, EVENT_SCHEMA)
+        .groupBy(F.col("user_id").alias("key"))
+        .agg(
+            F.count("value").alias("n"),
+            F.sum("value").alias("total"),
+            F.min("value").alias("vmin"),
+            F.max("value").alias("vmax"),
+        )
+    )
+    final = (
+        result.withColumn(
+            "rn",
+            F.row_number().over(
+                __import__("pyspark.sql.window", fromlist=["Window"]).Window.partitionBy(
+                    "key"
+                ).orderBy(F.col("n").desc())
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    got = {r["key"]: (r["n"], r["total"], r["vmin"], r["vmax"]) for r in final.collect()}
+    want = {r["key"]: (r["n"], r["total"], r["vmin"], r["vmax"]) for r in batch.collect()}
+    assert got == want
