@@ -2159,6 +2159,75 @@ def _use_tables(spark, sf_dir):
 
 
 @_q(
+    "lookup_pipeline_form",
+    f"""
+    WITH li AS (
+      SELECT l_orderkey, l_quantity, l_extendedprice
+      FROM lineitem WHERE l_quantity >= 45 AND l_returnflag = 'R'
+    ),
+    agg AS (
+      SELECT l_orderkey,
+             CAST(count(*) AS INT) AS n_heavy,
+             {det_round_sql('sum(l_extendedprice)', 4)} AS heavy_rev
+      FROM li GROUP BY l_orderkey
+    )
+    SELECT o.o_orderkey,
+           COALESCE(a.n_heavy, 0) AS n_heavy,
+           COALESCE(a.heavy_rev, 0.0) AS heavy_rev
+    FROM orders o LEFT JOIN agg a ON o.o_orderkey = a.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+    """,
+)
+def lookup_pipeline_form(spark, sf_dir):
+    """$lookup pipeline/let form: correlated $eq -> join key, the
+    uncorrelated conjunct + $project pushed to the foreign scan."""
+    _use_tables(spark, sf_dir)
+    df = apply_pipeline(
+        _t(spark, sf_dir, "orders"),
+        [
+            {"$match": {"o_orderstatus": "F"}},
+            {
+                "$lookup": {
+                    "from": "lineitem",
+                    "let": {"okey": "$o_orderkey"},
+                    "pipeline": [
+                        {
+                            "$match": {
+                                "$expr": {
+                                    "$and": [
+                                        {"$eq": ["$$okey", "$l_orderkey"]},
+                                        {"$gte": ["$l_quantity", 45]},
+                                        {"$eq": ["$l_returnflag", "R"]},
+                                    ]
+                                }
+                            }
+                        },
+                        {"$project": {"l_extendedprice": 1}},
+                    ],
+                    "as": "heavy",
+                }
+            },
+            {
+                "$project": {
+                    "o_orderkey": 1,
+                    "n_heavy": {"$size": "$heavy"},
+                    "heavy_rev": {
+                        "$sum": {
+                            "$map": {"input": "$heavy", "in": "$$this.l_extendedprice"}
+                        }
+                    },
+                }
+            },
+        ],
+    )
+    from route81_spark.ops.util import det_round
+
+    return df.select(
+        "o_orderkey", "n_heavy", det_round(F.col("heavy_rev"), 4).alias("heavy_rev")
+    )
+
+
+@_q(
     "lookup_unwind",
     """
     SELECT o_orderkey, c.c_name AS cust_name, o_totalprice

@@ -325,6 +325,132 @@ def _stage_sort(df: DataFrame, arg: dict) -> DataFrame:
     return df.orderBy(*orders)
 
 
+def _refs_vars(node: Any, names: set[str]) -> bool:
+    if isinstance(node, str):
+        return node.startswith("$$") and node[2:].split(".", 1)[0] in names
+    if isinstance(node, list):
+        return any(_refs_vars(x, names) for x in node)
+    if isinstance(node, dict):
+        return any(_refs_vars(v, names) for v in node.values())
+    return False
+
+
+def _stage_lookup_pipeline(df: DataFrame, arg: dict) -> DataFrame:
+    """Concise/pipeline-form $lookup ({from, let, pipeline, as}).
+
+    Compilable subset (fail loudly outside it): the first pipeline stage
+    is the correlated {$match: {$expr: ...}} whose $expr is an $eq — or
+    an $and of conjuncts — where each correlated conjunct equates a
+    $$let-variable with a foreign field. Correlated equalities become
+    the join keys (same pre-aggregated null-safe equi-join shape as the
+    equality form — broadcast-able, one shuffle on distinct keys);
+    uncorrelated conjuncts and any remaining row-local stages
+    ($match/$project/$addFields/$set/$unset) filter/shape the foreign
+    side BEFORE aggregation, so Catalyst pushes them into the foreign
+    scan. A trailing $limit becomes a per-key array slice after the
+    deterministic sort."""
+    foreign = _resolve_collection(arg["from"])
+    let = arg.get("let", {})
+    var_names = set(let)
+    pipe = list(arg["pipeline"])
+    out_name = arg["as"]
+    if not pipe or "$match" not in pipe[0] or "$expr" not in pipe[0]["$match"]:
+        raise PipelineCompileError(
+            "$lookup pipeline form requires a leading {$match: {$expr: ...}}"
+        )
+    expr = pipe[0]["$match"]["$expr"]
+    conjuncts = expr["$and"] if isinstance(expr, dict) and "$and" in expr else [expr]
+    local_keys: list[Column] = []
+    foreign_keys: list[str] = []
+    uncorrelated: list[Any] = []
+    for c in conjuncts:
+        if not (isinstance(c, dict) and len(c) == 1):
+            raise PipelineCompileError(f"unsupported $lookup conjunct: {c}")
+        op, operands = next(iter(c.items()))
+        if not _refs_vars(c, var_names):
+            uncorrelated.append(c)
+            continue
+        if op != "$eq" or len(operands) != 2:
+            raise PipelineCompileError(
+                f"correlated $lookup conjuncts must be $eq on a let variable: {c}"
+            )
+        a, b = operands
+        if isinstance(a, str) and a.startswith("$$") and a[2:] in var_names:
+            var, ffield = a[2:], b
+        elif isinstance(b, str) and b.startswith("$$") and b[2:] in var_names:
+            var, ffield = b[2:], a
+        else:
+            raise PipelineCompileError(f"cannot extract join key from: {c}")
+        if not (isinstance(ffield, str) and ffield.startswith("$")):
+            raise PipelineCompileError(f"foreign side of {c} must be a field path")
+        local_keys.append(compile_expr(let[var], df))
+        foreign_keys.append(ffield[1:])
+    if not local_keys:
+        raise PipelineCompileError("$lookup pipeline form needs >= 1 correlated equality")
+    rest = pipe[1:]
+    limit = None
+    if rest and "$limit" in rest[-1]:
+        limit = int(rest[-1]["$limit"])
+        rest = rest[:-1]
+    pre = foreign
+    if uncorrelated:
+        pre = pre.filter(compile_match({"$expr": {"$and": uncorrelated}}, pre))
+    # Shaping stages fold into the collected-struct expression (not df
+    # transforms) so the join-key columns stay available for grouping
+    # even when the sub-pipeline projects them away.
+    fields: dict[str, Column] = {c: F.col(c) for c in pre.columns}
+    for stage in rest:
+        name, sarg = next(iter(stage.items()))
+        if _refs_vars(stage, var_names):
+            raise PipelineCompileError("only the leading $match may reference let variables")
+        if name == "$match":
+            pre = pre.filter(compile_match(sarg, pre))
+        elif name == "$project":
+            specs = {k: v for k, v in sarg.items() if not (k == "_id" and v == 0)}
+            if all(v == 0 for v in specs.values()):
+                for k in specs:
+                    fields.pop(k, None)
+            else:
+                new_fields: dict[str, Column] = {}
+                for k, v in specs.items():
+                    if v in (1, True):
+                        if k not in fields:
+                            raise PipelineCompileError(f"$lookup $project: unknown field {k}")
+                        new_fields[k] = fields[k]
+                    elif v in (0, False):
+                        raise PipelineCompileError("cannot mix exclusion with inclusion in $project")
+                    else:
+                        new_fields[k] = compile_expr(v, pre)
+                fields = new_fields
+        elif name in ("$addFields", "$set"):
+            for k, v in sarg.items():
+                fields[k] = compile_expr(v, pre)
+        elif name == "$unset":
+            for k in sarg if isinstance(sarg, list) else [sarg]:
+                fields.pop(k, None)
+        else:
+            raise PipelineCompileError(
+                f"$lookup sub-pipeline stage {name} is not compilable (row-local only)"
+            )
+    fstruct = F.struct(*[v.alias(k) for k, v in fields.items()])
+    grouped = pre.groupBy(
+        *[F.col(k).alias(f"__lk{i}") for i, k in enumerate(foreign_keys)]
+    ).agg(F.array_sort(F.collect_list(fstruct)).alias("__lookup_matches"))
+    cond = local_keys[0].eqNullSafe(F.col("__lk0"))
+    for i, lk in enumerate(local_keys[1:], 1):
+        cond = cond & lk.eqNullSafe(F.col(f"__lk{i}"))
+    joined = df.join(grouped, cond, "left")
+    matches = F.col("__lookup_matches")
+    if limit is not None:
+        matches = F.slice(matches, 1, limit)
+    empty = F.array().cast(grouped.schema["__lookup_matches"].dataType)
+    return (
+        joined.drop(*[f"__lk{i}" for i in range(len(foreign_keys))])
+        .withColumn(out_name, F.coalesce(matches, empty))
+        .drop("__lookup_matches")
+    )
+
+
 def _stage_lookup(df: DataFrame, arg: dict) -> DataFrame:
     """Equality-form $lookup: left outer array-join against another
     collection. Scale shape: the foreign side is pre-aggregated to one
@@ -333,6 +459,11 @@ def _stage_lookup(df: DataFrame, arg: dict) -> DataFrame:
     broadcast join when the aggregated side is small (dimension tables).
     Matches Mongo's null semantics: a null/missing localField matches
     foreign docs whose foreignField is null/missing."""
+    if "pipeline" in arg:
+        for k in ("from", "as"):
+            if k not in arg:
+                raise PipelineCompileError(f"$lookup requires {k}")
+        return _stage_lookup_pipeline(df, arg)
     for k in ("from", "localField", "foreignField", "as"):
         if k not in arg:
             raise PipelineCompileError(f"$lookup requires {k} (equality form only)")

@@ -324,3 +324,74 @@ def test_geo_near_spherical_and_single_key(spark):
     # quarter great-circle = pi/2 radians on the unit sphere
     assert dists[2] == pytest.approx(math.pi / 2)
     assert dists[3] == pytest.approx(math.pi / 2)
+
+
+def test_lookup_pipeline_form_limit_and_guards(spark):
+    import pytest
+    from route81_spark.pipeline import apply_pipeline
+    from route81_spark.pipeline import compiler
+    from route81_spark.pipeline.exprs import PipelineCompileError
+
+    left = spark.createDataFrame([(1,), (2,)], "k int")
+    right = spark.createDataFrame(
+        [(1, 10), (1, 20), (1, 30), (2, 5)], "fk int, v int"
+    )
+    compiler.set_collection_resolver(lambda name: right)
+    try:
+        out = apply_pipeline(
+            left,
+            [
+                {
+                    "$lookup": {
+                        "from": "right",
+                        "let": {"kk": "$k"},
+                        "pipeline": [
+                            {"$match": {"$expr": {"$eq": ["$$kk", "$fk"]}}},
+                            {"$project": {"v": 1}},
+                            {"$limit": 2},
+                        ],
+                        "as": "m",
+                    }
+                }
+            ],
+        ).collect()
+        by_k = {r["k"]: [m["v"] for m in r["m"]] for r in out}
+        assert by_k == {1: [10, 20], 2: [5]}  # sorted, limited per key
+        # let vars outside the leading $match must fail loudly
+        with pytest.raises(PipelineCompileError, match="let variables"):
+            apply_pipeline(
+                left,
+                [
+                    {
+                        "$lookup": {
+                            "from": "right",
+                            "let": {"kk": "$k"},
+                            "pipeline": [
+                                {"$match": {"$expr": {"$eq": ["$$kk", "$fk"]}}},
+                                {"$addFields": {"w": "$$kk"}},
+                            ],
+                            "as": "m",
+                        }
+                    }
+                ],
+            )
+        # non-row-local sub-stage must fail loudly
+        with pytest.raises(PipelineCompileError, match="row-local"):
+            apply_pipeline(
+                left,
+                [
+                    {
+                        "$lookup": {
+                            "from": "right",
+                            "let": {"kk": "$k"},
+                            "pipeline": [
+                                {"$match": {"$expr": {"$eq": ["$$kk", "$fk"]}}},
+                                {"$group": {"_id": None}},
+                            ],
+                            "as": "m",
+                        }
+                    }
+                ],
+            )
+    finally:
+        compiler.set_collection_resolver(None)
