@@ -1597,6 +1597,49 @@ def documents_stage(spark, sf_dir):
 
 
 @_q(
+    "expr_regex_sets_bytes",
+    """
+    WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
+    SELECT doc_id,
+           regexp_extract(text, '([a-z]+)i(n)g', 0) AS m0,
+           regexp_extract(text, '([a-z]+)i(n)g', 1) AS g1,
+           coalesce(array_to_string(regexp_extract_all(text, 'th[a-z]+'), ','), '') AS caps,
+           list_has_all(toks, ['the']) AS has_the,
+           CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+           decode(from_hex(substr(hex(encode(text)), 1, 32))) AS head16
+    FROM t
+    """,
+)
+def expr_regex_sets_bytes(spark, sf_dir):
+    """$regexFind/$regexFindAll, $setIsSubset, $strLenBytes/$substrBytes."""
+    df = apply_pipeline(
+        _t(spark, sf_dir, "documents"),
+        [
+            {"$addFields": {"toks": {"$split": ["$text", " "]}}},
+            {
+                "$project": {
+                    "doc_id": 1,
+                    "rf": {"$regexFind": {"input": "$text", "regex": "([a-z]+)i(n)g"}},
+                    "rfa": {"$regexFindAll": {"input": "$text", "regex": "th[a-z]+"}},
+                    "has_the": {"$setIsSubset": [["the"], "$toks"]},
+                    "n_bytes": {"$strLenBytes": "$text"},
+                    "head16": {"$substrBytes": ["$text", 0, 16]},
+                }
+            },
+        ],
+    )
+    return df.select(
+        "doc_id",
+        F.coalesce(F.col("rf.match"), F.lit("")).alias("m0"),
+        F.coalesce(F.element_at(F.col("rf.captures"), 1), F.lit("")).alias("g1"),
+        F.concat_ws(",", "rfa").alias("caps"),
+        "has_the",
+        "n_bytes",
+        "head16",
+    )
+
+
+@_q(
     "unwind_preserve_empty",
     """
     WITH t AS (

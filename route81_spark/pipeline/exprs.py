@@ -531,6 +531,35 @@ def _apply_simple(op: str, cols: list[Column], raw_arg: Any, df: DataFrame | Non
         return F.array_sort(out)
     if op == "$setDifference":
         return F.array_sort(F.array_except(c[0], c[1]))
+    if op == "$setEquals":
+        out = None
+        first = F.array_sort(F.array_distinct(c[0]))
+        for x in c[1:]:
+            p = first == F.array_sort(F.array_distinct(x))
+            out = p if out is None else (out & p)
+        return out
+    if op == "$setIsSubset":
+        return F.size(F.array_except(F.array_distinct(c[0]), c[1])) == 0
+    if op == "$strLenBytes":
+        return F.octet_length(c[0])
+    if op == "$substrBytes":
+        return F.substring(c[0].cast("binary"), raw_arg[1] + 1, raw_arg[2]).cast("string")
+    if op == "$indexOfBytes":
+        if not (isinstance(raw_arg, list) and isinstance(raw_arg[1], str)):
+            raise PipelineCompileError("$indexOfBytes requires a literal search string")
+        # byte offset = octet_length of the prefix before the match
+        pos = F.instr(c[0], raw_arg[1])
+        return F.when(pos > 0, F.octet_length(F.substring(c[0], 1, pos - 1))).otherwise(
+            F.lit(-1)
+        ).cast("int")
+    if op == "$arrayToObject":
+        # array of {k, v} structs (the $objectToArray output shape) -> map
+        return F.map_from_entries(
+            F.transform(
+                c[0],
+                lambda e: F.struct(e.getField("k").alias("key"), e.getField("v").alias("value")),
+            )
+        )
     if op == "$in":
         return F.array_contains(c[1], c[0])
     if op == "$slice":
@@ -556,8 +585,6 @@ def _apply_simple(op: str, cols: list[Column], raw_arg: Any, df: DataFrame | Non
         if not (isinstance(raw_arg, list) and isinstance(raw_arg[1], str)):
             raise PipelineCompileError("$indexOfCP requires a literal search string")
         return (F.instr(c[0], raw_arg[1]) - 1).cast("int")
-    if op == "$arrayToObject":
-        raise PipelineCompileError("$arrayToObject requires map support; out of scope")
     if op == "$isArray":
         raise PipelineCompileError("$isArray requires schema introspection; not supported")
     if op == "$mergeObjects":
@@ -614,6 +641,19 @@ def _compile_op(op: str, arg: Any, df: DataFrame | None) -> Column:
     if op == "$objectToArray":
         from pyspark.sql import types as _T
 
+        if isinstance(arg, dict) and not any(k.startswith("$") for k in arg):
+            # literal document constructor: keys are known statically
+            vals = {k: compile_expr(v, df) for k, v in arg.items()}
+            same = len({type(v) for v in arg.values()}) == 1
+            return F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("k"),
+                        (v if same else v.cast("string")).alias("v"),
+                    )
+                    for k, v in vals.items()
+                ]
+            )
         dt = _field_dtype(arg, df)
         if not isinstance(dt, _T.StructType):
             raise PipelineCompileError(
@@ -695,6 +735,8 @@ def _compile_op(op: str, arg: Any, df: DataFrame | None) -> Column:
         if "format" in arg:
             return F.to_timestamp(ds, mongo_date_format(arg["format"]))
         return ds.cast("timestamp")
+    if op == "$rand":
+        return F.rand()
     if op == "$meta":
         if arg == "vectorSearchScore":
             return F.col("__vs_score")  # populated by the $vectorSearch stage
@@ -708,6 +750,29 @@ def _compile_op(op: str, arg: Any, df: DataFrame | None) -> Column:
     if op == "$dateToString":
         fmt = mongo_date_format(arg.get("format", "%Y-%m-%dT%H:%M:%S.%LZ"))
         return F.date_format(compile_expr(arg["date"], df), fmt)
+    if op in ("$regexFind", "$regexFindAll"):
+        import re as _re
+
+        inp = compile_expr(arg["input"], df)
+        pattern = arg["regex"]
+        if not isinstance(pattern, str):
+            raise PipelineCompileError(f"{op} requires a literal regex")
+        if "i" in arg.get("options", ""):
+            pattern = f"(?i){pattern}"
+        n_groups = _re.compile(pattern).groups
+        if op == "$regexFindAll":
+            return F.regexp_extract_all(inp, F.lit(pattern), 0)
+        captures = F.array(
+            *[F.regexp_extract(inp, pattern, g + 1) for g in range(n_groups)]
+        ) if n_groups else F.array().cast("array<string>")
+        return F.when(
+            inp.rlike(pattern),
+            F.struct(
+                F.regexp_extract(inp, pattern, 0).alias("match"),
+                (F.regexp_instr(inp, F.lit(pattern)) - 1).cast("int").alias("idx"),
+                captures.alias("captures"),
+            ),
+        )
     if op == "$regexMatch":
         inp = compile_expr(arg["input"], df)
         pattern = arg["regex"]
