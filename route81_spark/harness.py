@@ -791,6 +791,52 @@ def json_dynamic_match(spark, sf_dir):
 
 
 @_q(
+    "json_dynamic_pipeline",
+    f"""
+    WITH t AS (
+      SELECT floor(CAST(json_extract_string(props, '$.k') AS DOUBLE) / 10) AS cat,
+             CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k
+      FROM events
+      WHERE CAST(json_extract_string(props, '$.k') AS DOUBLE) < 900
+    )
+    SELECT cat AS _id,
+           CAST(count(*) AS BIGINT) AS n,
+           {det_round_sql('sum(k * 2)', 4)} AS dk,
+           {det_round_sql('avg(k)', 4)} AS mk
+    FROM t GROUP BY cat
+    HAVING count(*) > 1
+    """,
+)
+def json_dynamic_pipeline(spark, sf_dir):
+    """Dynamic pipeline over the opaque JSON column: $match -> $group on
+    JSON paths, then post-materialization stages on the schema'd
+    compiler ($match over the aggregate)."""
+    from route81_spark.ops.util import det_round
+    from route81_spark.pipeline.jsonpath import apply_pipeline_json
+
+    ev = _t(spark, sf_dir, "events")
+    out = apply_pipeline_json(
+        ev,
+        "props",
+        [
+            {"$match": {"k": {"$lt": 900}}},
+            {
+                "$group": {
+                    "_id": {"$floor": {"$divide": ["$k", 10]}},
+                    "n": {"$count": {}},
+                    "dk": {"$sum": {"$multiply": ["$k", 2]}},
+                    "mk": {"$avg": "$k"},
+                }
+            },
+            {"$match": {"n": {"$gt": 1}}},
+        ],
+    )
+    return out.select(
+        "_id", "n", det_round(F.col("dk"), 4).alias("dk"), det_round(F.col("mk"), 4).alias("mk")
+    )
+
+
+@_q(
     "match_extjson_literal",
     """
     SELECT o_orderkey, CAST(o_orderdate AS TIMESTAMP_NS) AS o_orderdate

@@ -116,3 +116,131 @@ def compile_match_json(query: dict, json_col: Column) -> Column:
 def project_json(json_col: Column, fields: dict[str, str]) -> list[Column]:
     """Inclusion projection over a JSON document: {out_name: path}."""
     return [json_field(json_col, path).alias(name) for name, path in fields.items()]
+
+
+# --- dynamic pipeline ----------------------------------------------------
+
+_CASTS = {
+    "$toDouble": "double",
+    "$toLong": "long",
+    "$toInt": "int",
+    "$toString": "string",
+    "$toBool": "boolean",
+}
+
+
+def compile_expr_json(e: Any, json_col: Column) -> Column:
+    """Micro expression dialect for dynamic documents: field paths
+    (get_json_object), literals, casts, $ifNull, arithmetic (double
+    domain), $concat. Anything richer needs a declared schema — fail
+    loudly rather than guess types."""
+    if isinstance(e, str):
+        if e.startswith("$"):
+            return json_field(json_col, e[1:])
+        return F.lit(e)
+    if isinstance(e, bool) or isinstance(e, (int, float)) or e is None:
+        return F.lit(e)
+    if isinstance(e, dict) and len(e) == 1:
+        op, arg = next(iter(e.items()))
+        if op in _CASTS:
+            return compile_expr_json(arg, json_col).cast(_CASTS[op])
+        if op == "$ifNull":
+            return F.coalesce(*[compile_expr_json(a, json_col) for a in arg])
+        if op in ("$add", "$subtract", "$multiply", "$divide"):
+            cols = [compile_expr_json(a, json_col).cast("double") for a in arg]
+            out = cols[0]
+            for x in cols[1:]:
+                out = {
+                    "$add": out + x, "$subtract": out - x,
+                    "$multiply": out * x, "$divide": out / x,
+                }[op]
+            return out
+        if op == "$concat":
+            return F.concat(*[compile_expr_json(a, json_col) for a in arg])
+        if op == "$floor":
+            return F.floor(compile_expr_json(arg, json_col).cast("double")).cast("double")
+        if op == "$mod":
+            a, b = (compile_expr_json(x, json_col).cast("double") for x in arg)
+            return a % b
+    raise PipelineCompileError(f"unsupported dynamic expression: {e!r}")
+
+
+def _sort_json(df, json_col: Column, spec: dict):
+    """Dynamic $sort: numeric values order before strings (Mongo type
+    order for the scalar subset) — numeric cast primary, raw text
+    secondary."""
+    keys = []
+    for path, direction in spec.items():
+        raw = json_field(json_col, path)
+        num = raw.cast("double")
+        if direction == 1:
+            keys += [num.asc_nulls_last(), raw.asc()]
+        else:
+            keys += [num.desc_nulls_first(), raw.desc()]
+    return df.orderBy(*keys)
+
+
+def apply_pipeline_json(df, json_col: str, stages: list[dict]):
+    """Run a pipeline against documents carried as an opaque JSON string
+    column — no declared schema (SURVEY §1.1-2 option b; route81 ships
+    documents opaquely, so this is the passthrough-query surface).
+
+    Row-preserving stages ($match/$sort/$limit/$skip) operate directly
+    on JSON paths. The first materializing stage ($project/$group/
+    $count) turns paths into real columns; any stages after it run on
+    the schema'd compiler (`apply_pipeline`) over those columns, so the
+    full dialect is available once the shape is declared."""
+    from route81_spark.pipeline.compiler import apply_pipeline
+
+    jc = F.col(json_col)
+    for i, stage in enumerate(stages):
+        if not (isinstance(stage, dict) and len(stage) == 1):
+            raise PipelineCompileError(f"bad stage: {stage}")
+        name, arg = next(iter(stage.items()))
+        if name == "$match":
+            df = df.filter(compile_match_json(arg, jc))
+        elif name == "$sort":
+            df = _sort_json(df, jc, arg)
+        elif name == "$limit":
+            df = df.limit(int(arg))
+        elif name == "$skip":
+            df = df.offset(int(arg))
+        elif name == "$project":
+            cols = []
+            for out_name, spec in arg.items():
+                if spec in (1, True):
+                    cols.append(json_field(jc, out_name).alias(out_name))
+                else:
+                    cols.append(compile_expr_json(spec, jc).alias(out_name))
+            return apply_pipeline(df.select(*cols), stages[i + 1 :])
+        elif name == "$count":
+            return apply_pipeline(df.agg(F.count(F.lit(1)).alias(arg)), stages[i + 1 :])
+        elif name == "$group":
+            gid = arg["_id"]
+            key = (
+                F.lit(None).alias("_id")
+                if gid is None
+                else compile_expr_json(gid, jc).alias("_id")
+            )
+            aggs = []
+            for out_name, acc in arg.items():
+                if out_name == "_id":
+                    continue
+                op, val = next(iter(acc.items()))
+                if op == "$count":
+                    aggs.append(F.count(F.lit(1)).alias(out_name))
+                elif op == "$sum" and val in (1, True):
+                    aggs.append(F.count(F.lit(1)).cast("double").alias(out_name))
+                elif op in ("$sum", "$avg", "$min", "$max"):
+                    v = compile_expr_json(val, jc).cast("double")
+                    fn = {"$sum": F.sum, "$avg": F.avg, "$min": F.min, "$max": F.max}[op]
+                    out = fn(v)
+                    if op == "$sum":
+                        out = F.coalesce(out, F.lit(0.0))
+                    aggs.append(out.alias(out_name))
+                else:
+                    raise PipelineCompileError(f"unsupported dynamic accumulator: {op}")
+            return apply_pipeline(df.groupBy(key).agg(*aggs), stages[i + 1 :])
+        else:
+            raise PipelineCompileError(f"unsupported dynamic stage: {name}")
+    return df
