@@ -394,7 +394,13 @@ def _stage_lookup_pipeline(df: DataFrame, arg: dict) -> DataFrame:
         rest = rest[:-1]
     pre = foreign
     if uncorrelated:
-        pre = pre.filter(compile_match({"$expr": {"$and": uncorrelated}}, pre))
+        # compile WITHOUT the $expr coalesce(.., false) wrapper: in
+        # filter context null drops the row either way, and the bare
+        # comparison tree is what parquet pushdown can consume
+        cond_expr = (
+            {"$and": uncorrelated} if len(uncorrelated) > 1 else uncorrelated[0]
+        )
+        pre = pre.filter(compile_expr(cond_expr, pre).cast("boolean"))
     # Shaping stages fold into the collected-struct expression (not df
     # transforms) so the join-key columns stay available for grouping
     # even when the sub-pipeline projects them away.

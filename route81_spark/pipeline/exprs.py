@@ -818,6 +818,16 @@ def _compile_op(op: str, arg: Any, df: DataFrame | None) -> Column:
             raise PipelineCompileError(f"unsupported $dateAdd unit: {unit}")
         amount = compile_expr(arg["amount"], df)
         return F.timestamp_add(unit.upper(), amount, start)
+    if op == "$dateSubtract":
+        start = compile_expr(arg["startDate"], df)
+        unit = arg["unit"]
+        if unit.lower() not in ("year", "quarter", "month", "week", "day", "hour", "minute", "second"):
+            raise PipelineCompileError(f"unsupported $dateSubtract unit: {unit}")
+        amount = compile_expr(arg["amount"], df)
+        return F.timestamp_add(unit.upper(), -amount, start)
+    if op == "$binarySize":
+        inp = compile_expr(arg, df)
+        return F.octet_length(inp)
     if op == "$dateDiff":
         # Mongo counts *boundary crossings* (like DuckDB date_diff), not
         # elapsed full units (like Spark timestampdiff) — compile

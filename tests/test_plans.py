@@ -79,3 +79,29 @@ def test_whole_stage_codegen_covers_envelope(spark):
     plan = plan_of(df)
     # formatted mode marks codegen stages with "[codegen id : N]"
     assert "codegen id" in plan
+
+
+def test_vector_search_is_take_ordered(spark):
+    df = harness.QUERIES["vector_search_stage"](spark, SF)
+    plan = plan_of(df, "simple")
+    # global top-k must be TakeOrderedAndProject (k rows per partition
+    # to the driver), never a full Sort + Exchange
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
+
+
+def test_lookup_pipeline_form_broadcasts_and_pushes_down(spark):
+    harness._use_tables(spark, SF)
+    df = harness.QUERIES["lookup_pipeline_form"](spark, SF)
+    plan = plan_of(df)
+    # the uncorrelated conjuncts must reach the foreign parquet scan
+    assert "PushedFilters:" in plan
+    pushed = plan.split("PushedFilters:")
+    assert any("l_quantity" in p.splitlines()[0] for p in pushed[1:])
+
+
+def test_dynamic_pipeline_stays_jvm_side(spark):
+    df = harness.QUERIES["json_dynamic_pipeline"](spark, SF)
+    plan = plan_of(df, "simple")
+    assert "EvalPython" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial agg on JSON paths
