@@ -807,9 +807,18 @@ def _compile_op(op: str, arg: Any, df: DataFrame | None) -> Column:
         }
         if to not in mapping:
             raise PipelineCompileError(f"unsupported $convert target: {to}")
-        out = inp.cast(mapping[to])
+        if "onError" in arg:
+            # try_cast yields null on conversion failure (instead of the
+            # ANSI error Mongo would also raise), onError fills it — but
+            # only for values that were present: a null input stays null
+            # (or takes onNull), matching Mongo's precedence
+            out = inp.try_cast(mapping[to])
+            on_err = compile_expr(arg["onError"], df)
+            out = F.when(inp.isNotNull() & out.isNull(), on_err).otherwise(out)
+        else:
+            out = inp.cast(mapping[to])
         if "onNull" in arg:
-            out = F.coalesce(out, compile_expr(arg["onNull"], df))
+            out = F.when(inp.isNull(), compile_expr(arg["onNull"], df)).otherwise(out)
         return out
     if op == "$dateAdd":
         start = compile_expr(arg["startDate"], df)
