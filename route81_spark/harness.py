@@ -1686,6 +1686,51 @@ def expr_regex_sets_bytes(spark, sf_dir):
 
 
 @_q(
+    "window_ema_addtoset",
+    f"""
+    WITH w AS (
+      SELECT event_id, user_id,
+             list(CAST(value AS DOUBLE)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pfx,
+             list(event_type) OVER (PARTITION BY user_id) AS types
+      FROM events
+    )
+    SELECT event_id, user_id,
+           {det_round_sql('list_reduce(pfx, (acc, x) -> acc * (1 - 1.0/3) + x * (1.0/3))')} AS ema,
+           array_to_string(list_sort(list_distinct(types)), ',') AS types
+    FROM w
+    """,
+)
+def window_ema_addtoset(spark, sf_dir):
+    """$setWindowFields $expMovingAvg (recursive EMA via ordered-prefix
+    fold) and $addToSet window accumulator."""
+    df = apply_pipeline(
+        _t(spark, sf_dir, "events"),
+        [
+            {
+                "$setWindowFields": {
+                    "partitionBy": "$user_id",
+                    "sortBy": {"ts": 1, "event_id": 1},
+                    "output": {
+                        "ema": {"$expMovingAvg": {"input": "$value", "N": 5}},
+                        "types": {"$addToSet": "$event_type"},
+                    },
+                }
+            }
+        ],
+    )
+    from route81_spark.ops.util import det_round
+
+    return df.select(
+        "event_id",
+        "user_id",
+        det_round(F.col("ema"), 6).alias("ema"),
+        F.concat_ws(",", "types").alias("types"),
+    )
+
+
+@_q(
     "unwind_preserve_empty",
     """
     WITH t AS (

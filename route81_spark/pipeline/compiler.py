@@ -767,6 +767,39 @@ def _stage_set_window_fields(df: DataFrame, arg: dict) -> DataFrame:
             target = compile_expr(op_arg["output"], df)
             fn = F.lead if by >= 0 else F.lag
             col = fn(target, abs(by), default).over(base)
+        elif op == "$expMovingAvg":
+            if not sort_by:
+                raise PipelineCompileError("$expMovingAvg requires sortBy")
+            if "N" in op_arg:
+                alpha = 2.0 / (int(op_arg["N"]) + 1)
+            elif "alpha" in op_arg:
+                alpha = float(op_arg["alpha"])
+            else:
+                raise PipelineCompileError("$expMovingAvg requires N or alpha")
+            target = compile_expr(op_arg["input"], df).cast("double")
+            # EMA is inherently recursive: fold the ordered prefix
+            # (collect_list over unbounded-preceding..current) — the
+            # prefix lists stay inside the partition's task
+            prefix = F.collect_list(target).over(
+                base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            col = F.when(
+                F.size(prefix) > 0,
+                F.aggregate(
+                    F.slice(prefix, 2, F.greatest(F.size(prefix) - 1, F.lit(0))),
+                    F.get(prefix, 0),
+                    lambda acc, x: acc * (1.0 - alpha) + x * alpha,
+                ),
+            )
+        elif op == "$addToSet":
+            lo, hi = (win or {}).get("documents", ["unbounded", "unbounded"])
+            w = base.rowsBetween(
+                _window_bound(lo),
+                Window.unboundedFollowing if hi == "unbounded" else _window_bound(hi),
+            )
+            col = F.array_sort(
+                F.array_distinct(F.collect_list(compile_expr(op_arg, df)).over(w))
+            )
         elif op in _WINDOW_AGGS or op in (
             "$covariancePop", "$covarianceSamp", "$derivative", "$integral",
             "$locf", "$linearFill",
