@@ -35,6 +35,7 @@ BENCH_QUERIES = [
     "sim_ivf",            # IVF coarse-quantization ANN
     "text_stats",         # per-row text analysis expressions
     "unwind_group",       # explode + aggregate
+    "tpch_q3_pipeline",   # 3-table join + agg + top-k via $lookup/$group
 ]
 
 

@@ -2362,6 +2362,87 @@ def lookup_pipeline_form(spark, sf_dir):
 
 
 @_q(
+    "tpch_q3_pipeline",
+    f"""
+    SELECT l.l_orderkey,
+           {det_round_sql("sum(l.l_extendedprice * (1 - l.l_discount))", 4)} AS revenue,
+           CAST(o.o_orderdate AS TIMESTAMP_NS) AS o_orderdate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1995-03-15'
+      AND l.l_shipdate > TIMESTAMP '1995-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, l.l_orderkey ASC
+    LIMIT 10
+    """,
+)
+def tpch_q3_pipeline(spark, sf_dir):
+    """TPC-H Q3 expressed entirely in the Mongo pipeline dialect:
+    $match -> $lookup (x2, both broadcast-shaped) -> $unwind -> computed
+    $group -> $sort/$limit (TakeOrderedAndProject top-k)."""
+    _use_tables(spark, sf_dir)
+    from route81_spark.ops.util import det_round
+
+    df = apply_pipeline(
+        _t(spark, sf_dir, "customer"),
+        [
+            {"$match": {"c_mktsegment": "BUILDING"}},
+            {
+                "$lookup": {
+                    "from": "orders",
+                    "localField": "c_custkey",
+                    "foreignField": "o_custkey",
+                    "as": "orders",
+                }
+            },
+            {"$unwind": "$orders"},
+            {"$match": {"orders.o_orderdate": {"$lt": {"$date": "1995-03-15 00:00:00"}}}},
+            {
+                "$lookup": {
+                    "from": "lineitem",
+                    "localField": "orders.o_orderkey",
+                    "foreignField": "l_orderkey",
+                    "as": "items",
+                }
+            },
+            {"$unwind": "$items"},
+            {"$match": {"items.l_shipdate": {"$gt": {"$date": "1995-03-15 00:00:00"}}}},
+            {
+                "$group": {
+                    "_id": {
+                        "okey": "$items.l_orderkey",
+                        "odate": "$orders.o_orderdate",
+                    },
+                    "revenue": {
+                        "$sum": {
+                            "$multiply": [
+                                "$items.l_extendedprice",
+                                {"$subtract": [1, "$items.l_discount"]},
+                            ]
+                        }
+                    },
+                }
+            },
+            {"$sort": {"revenue": -1, "_id.okey": 1}},
+            {"$limit": 10},
+            {
+                "$project": {
+                    "_id": 0,
+                    "l_orderkey": "$_id.okey",
+                    "revenue": 1,
+                    "o_orderdate": "$_id.odate",
+                }
+            },
+        ],
+    )
+    return df.select(
+        "l_orderkey", det_round(F.col("revenue"), 4).alias("revenue"), "o_orderdate"
+    )
+
+
+@_q(
     "lookup_unwind",
     """
     SELECT o_orderkey, c.c_name AS cust_name, o_totalprice
