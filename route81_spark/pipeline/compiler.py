@@ -1134,7 +1134,7 @@ _KNOWN_STAGES = {
     "$count", "$sort", "$group", "$unwind", "$replaceRoot", "$replaceWith",
     "$sortByCount", "$sample", "$lookup", "$bucket", "$bucketAuto", "$facet",
     "$setWindowFields", "$graphLookup", "$fill", "$densify", "$out", "$merge",
-    "$unionWith", "$geoNear", "$documents", "$vectorSearch",
+    "$unionWith", "$geoNear", "$documents", "$vectorSearch", "$__lookupUnwind",
 }
 
 
@@ -1216,6 +1216,8 @@ def compile_stage(stage: dict, sort_spec: dict | None = None) -> Callable[[DataF
             return _stage_geo_near(df, arg)
         if name == "$documents":
             return _stage_documents(df, arg)
+        if name == "$__lookupUnwind":
+            return _stage_lookup_unwind_fused(df, arg)
         if name == "$vectorSearch":
             return _stage_vector_search(df, arg)
         if name in EXTRA_STAGES:
@@ -1225,12 +1227,65 @@ def compile_stage(stage: dict, sort_spec: dict | None = None) -> Callable[[DataF
     return fn
 
 
+def _stage_lookup_unwind_fused(df: DataFrame, arg: dict) -> DataFrame:
+    """Fused $lookup+$unwind (equality form): compiles to a direct join.
+
+    The naive composition builds per-key struct arrays (groupBy +
+    collect_list) only to explode them one stage later — two wide ops
+    and a buffered array per key that a plain join never materializes.
+    The fusion is what makes Mongo-style 'relational join spelled as
+    $lookup→$unwind' run at Spark-native join speed (broadcast or
+    sort-merge, chosen by Catalyst/AQE on the real sizes).
+    preserveNullAndEmptyArrays ≡ left outer; default ≡ inner."""
+    foreign = _resolve_collection(arg["from"])
+    out_name = arg["as"]
+    f2 = foreign.select(
+        F.struct(*[F.col(c) for c in foreign.columns]).alias(out_name),
+        F.col(arg["foreignField"]).alias("__lk"),
+    )
+    how = "left" if arg.get("__preserve") else "inner"
+    local = compile_expr("$" + arg["localField"], df)
+    return df.join(f2, local.eqNullSafe(F.col("__lk")), how).drop("__lk")
+
+
+def _fuse_lookup_unwind(stages: list[dict]) -> list[dict]:
+    """Pipeline rewrite: [$lookup(eq-form, as=X), $unwind($X)] -> one
+    fused join stage. Skipped when the $unwind needs the array form
+    (includeArrayIndex) or the $lookup is the pipeline/let form."""
+    out: list[dict] = []
+    i = 0
+    while i < len(stages):
+        s = stages[i]
+        if (
+            "$lookup" in s
+            and "pipeline" not in s["$lookup"]
+            and all(k in s["$lookup"] for k in ("from", "localField", "foreignField", "as"))
+            and i + 1 < len(stages)
+            and "$unwind" in stages[i + 1]
+        ):
+            u = stages[i + 1]["$unwind"]
+            path = u if isinstance(u, str) else u.get("path")
+            include_idx = isinstance(u, dict) and u.get("includeArrayIndex")
+            preserve = isinstance(u, dict) and u.get("preserveNullAndEmptyArrays")
+            if path == "$" + s["$lookup"]["as"] and not include_idx:
+                fused = dict(s["$lookup"])
+                if preserve:
+                    fused["__preserve"] = True
+                out.append({"$__lookupUnwind": fused})
+                i += 2
+                continue
+        out.append(s)
+        i += 1
+    return out
+
+
 def compile_pipeline(stages: list[dict]) -> Callable[[DataFrame], DataFrame]:
     """Compile a stage list into one DataFrame -> DataFrame transform.
     Tracks the most recent $sort so $first/$last accumulators in a later
     $group compile to deterministic min_by/max_by over the sort key."""
     fns = []
     sort_spec: dict | None = None
+    stages = _fuse_lookup_unwind(stages)
     for s in stages:
         fns.append(compile_stage(s, sort_spec))
         key = next(iter(s))

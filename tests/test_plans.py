@@ -105,3 +105,13 @@ def test_dynamic_pipeline_stays_jvm_side(spark):
     plan = plan_of(df, "simple")
     assert "EvalPython" not in plan
     assert plan.count("HashAggregate") >= 2  # partial agg on JSON paths
+
+
+def test_lookup_unwind_fuses_to_join(spark):
+    # [$lookup, $unwind] must compile to a direct join — no
+    # collect_list aggregate and no Generate (explode) in the plan
+    harness._use_tables(spark, SF)
+    df = harness.QUERIES["tpch_q3_pipeline"](spark, SF)
+    plan = plan_of(df, "simple")
+    assert "Generate" not in plan
+    assert "collect_list" not in plan
