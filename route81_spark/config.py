@@ -56,6 +56,10 @@ class Config:
     direct_read_split_max: int = 9   # route81.go:447-448
     direct_read_concur: int = 4      # route81.go:449-450
     exit_after_direct_reads: bool = False
+    # route81 `kafka` key (route81.go:123, default localhost:9092). Here
+    # empty = harness parquet-loopback sink; non-empty = real
+    # format("kafka") with this bootstrap string.
+    kafka_servers: str = ""
     topic_name_prefix: str = ""
     metadata_db: str = "route81"     # route81.go:439-442
     resume_name: str = "default"
@@ -84,7 +88,7 @@ _TOP_KEYS = {
     "change-stream-namespaces", "direct-read-namespaces",
     "direct-read-split-max", "direct-read-concur", "exit-after-direct-reads",
     "topic-name-prefix", "metadata-db", "resume-name", "stats-duration",
-    "fail-fast", "producer-map", "pipeline", "consume",
+    "fail-fast", "producer-map", "pipeline", "consume", "kafka",
 }
 
 
@@ -120,6 +124,7 @@ def load_config(text: str) -> Config:
         direct_read_split_max=int(data.get("direct-read-split-max", 9)),
         direct_read_concur=int(data.get("direct-read-concur", 4)),
         exit_after_direct_reads=bool(data.get("exit-after-direct-reads", False)),
+        kafka_servers=str(data.get("kafka", "")),
         topic_name_prefix=str(data.get("topic-name-prefix", "")),
         metadata_db=str(data.get("metadata-db", "route81")),
         resume_name=str(data.get("resume-name", "default")),

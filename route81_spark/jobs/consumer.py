@@ -76,6 +76,31 @@ def apply_consumer_batch(
     return {"success": int(counts["total"] - counts["failed"]), "failed": int(counts["failed"])}
 
 
+def topic_source(
+    spark: SparkSession,
+    cfg,
+    spec: ConsumerSpec,
+    sink_dir: str,
+    record_schema: T.StructType,
+) -> DataFrame:
+    """Consumer source selection (P12): with a configured `kafka`
+    bootstrap string, the real format("kafka") subscription (earliest
+    offsets + headers, group parallelism ≡ topic partitions,
+    route81.go:1146-1175); without one, a file stream over the parquet
+    'topic' directory the producer wrote — identical record schema."""
+    if getattr(cfg, "kafka_servers", ""):
+        return (
+            spark.readStream.format("kafka")
+            .option("kafka.bootstrap.servers", cfg.kafka_servers)
+            .option("subscribe", ",".join(spec.kafka_topics))
+            .option("startingOffsets", "earliest")
+            .option("includeHeaders", "true")
+            .option("kafka.group.id", spec.group_id)
+            .load()
+        )
+    return spark.readStream.schema(record_schema).parquet(sink_dir)
+
+
 def consumer_job(
     spark: SparkSession,
     spec: ConsumerSpec,

@@ -168,10 +168,32 @@ def streaming_producer_multi(
         unioned = records if unioned is None else unioned.unionByName(records)
     if unioned is None:
         raise ValueError("no change-stream namespaces configured")
+    return _start_topic_sink(unioned, cfg, sink_dir, checkpoint_dir, trigger_seconds)
+
+
+def _start_topic_sink(
+    records: DataFrame,
+    cfg: Config,
+    sink_dir: str,
+    checkpoint_dir: str,
+    trigger_seconds: float,
+):
+    """Producer sink selection (P16): records already carry the native
+    Kafka sink schema (key/value binary, topic string, headers array),
+    so with a configured `kafka` bootstrap string this is the real
+    format("kafka") producer; without one (the harness) the same rows
+    land in a parquet 'topic' directory."""
+    writer = records.writeStream
+    if cfg.kafka_servers:
+        writer = (
+            writer.format("kafka")
+            .option("kafka.bootstrap.servers", cfg.kafka_servers)
+            .option("includeHeaders", "true")
+        )
+    else:
+        writer = writer.format("parquet").option("path", sink_dir)
     return (
-        unioned.writeStream.format("parquet")
-        .option("path", sink_dir)
-        .option("checkpointLocation", checkpoint_dir)
+        writer.option("checkpointLocation", checkpoint_dir)
         .trigger(processingTime=f"{trigger_seconds} seconds")
         .start()
     )
@@ -197,10 +219,4 @@ def streaming_producer_job(
         F.count(F.when(F.col("operationType") == "delete", 1)).alias("removed"),
     )
     records = envelope_change_stream(observed, namespace, cfg)
-    return (
-        records.writeStream.format("parquet")
-        .option("path", sink_dir)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(processingTime=f"{trigger_seconds} seconds")
-        .start()
-    )
+    return _start_topic_sink(records, cfg, sink_dir, checkpoint_dir, trigger_seconds)
