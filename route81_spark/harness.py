@@ -3059,6 +3059,67 @@ def merge_order_counts(spark, sf_dir):
 
 
 @_q(
+    "merge_matched_pipeline",
+    f"""
+    WITH s AS (
+      SELECT o_custkey AS c_custkey,
+             COUNT(*) AS n_orders,
+             {det_round_sql('sum(o_totalprice)', 4)} AS spend
+      FROM orders GROUP BY 1
+    )
+    SELECT c.c_custkey, c.c_name,
+           CASE WHEN s.c_custkey IS NOT NULL
+                THEN {det_round_sql('c.c_acctbal + s.spend', 4)}
+                ELSE {det_round_sql('c.c_acctbal', 4)} END AS bal,
+           CASE WHEN s.c_custkey IS NOT NULL THEN s.n_orders END AS n_orders
+    FROM customer c LEFT JOIN s USING (c_custkey)
+    """,
+)
+def merge_matched_pipeline(spark, sf_dir):
+    """$merge whenMatched as a custom update pipeline: bare paths read
+    the existing doc, $$new the incoming doc — per-row expressions on
+    the matched pair, no extra shuffle."""
+    _use_tables(spark, sf_dir)
+    from route81_spark.ops.util import det_round
+
+    out = apply_pipeline(
+        _t(spark, sf_dir, "orders"),
+        [
+            {
+                "$group": {
+                    "_id": "$o_custkey",
+                    "n_orders": {"$count": {}},
+                    "spend": {"$sum": "$o_totalprice"},
+                }
+            },
+            {"$project": {"_id": 0, "c_custkey": "$_id", "n_orders": 1, "spend": 1}},
+            {
+                "$merge": {
+                    "into": "customer",
+                    "on": "c_custkey",
+                    "whenMatched": [
+                        {
+                            "$set": {
+                                "bal": {"$add": ["$c_acctbal", "$$new.spend"]},
+                                "n_orders": "$$new.n_orders",
+                            }
+                        },
+                        {"$unset": ["c_nationkey", "c_mktsegment", "c_acctbal", "spend"]},
+                    ],
+                    "whenNotMatched": "discard",
+                }
+            },
+        ],
+    )
+    return out.select(
+        "c_custkey",
+        "c_name",
+        det_round(F.coalesce(F.col("bal"), F.col("c_acctbal")), 4).alias("bal"),
+        "n_orders",
+    )
+
+
+@_q(
     "facet_summary",
     """
     SELECT (SELECT COUNT(*) FROM orders) AS total_orders,

@@ -920,7 +920,10 @@ def _stage_merge(df: DataFrame, arg: Any) -> DataFrame:
     keys = [on] if isinstance(on, str) else list(on)
     when_matched = arg.get("whenMatched", "merge")
     when_not_matched = arg.get("whenNotMatched", "insert")
-    if when_matched not in ("replace", "keepExisting", "merge", "fail"):
+    matched_pipeline = when_matched if isinstance(when_matched, list) else None
+    if matched_pipeline is not None:
+        when_matched = "__pipeline__"
+    elif when_matched not in ("replace", "keepExisting", "merge", "fail"):
         raise PipelineCompileError(f"unsupported whenMatched: {when_matched}")
     if when_not_matched not in ("insert", "discard", "fail"):
         raise PipelineCompileError(f"unsupported whenNotMatched: {when_not_matched}")
@@ -953,7 +956,34 @@ def _stage_merge(df: DataFrame, arg: Any) -> DataFrame:
         if n:
             raise RuntimeError(f"$merge whenNotMatched=fail: unmatched source docs for {name}")
 
-    all_cols = list(dict.fromkeys(tcols + scols))
+    matched_fields: dict[str, Column] = {}
+    if matched_pipeline is not None:
+        # whenMatched custom pipeline: bare "$field" paths read the
+        # EXISTING target doc, "$$new.field" the incoming doc (Mongo's
+        # update-pipeline binding) — evaluated per matched row via the
+        # env-walker, no extra join or shuffle
+        from route81_spark.pipeline.exprs import _env_walk
+
+        t_struct = F.struct(*[F.col(f"__t_{c}").alias(c) for c in tcols])
+        s_struct = F.struct(*[F.col(f"__s_{c}").alias(c) for c in scols])
+        env = {"CURRENT": t_struct, "new": s_struct}
+        matched_fields = {c: F.col(f"__t_{c}") for c in tcols}
+        for stage in matched_pipeline:
+            if not (isinstance(stage, dict) and len(stage) == 1):
+                raise PipelineCompileError(f"bad whenMatched stage: {stage}")
+            nm, sarg = next(iter(stage.items()))
+            if nm in ("$set", "$addFields"):
+                for k, v in sarg.items():
+                    matched_fields[k] = _env_walk(v, env, None)
+            elif nm == "$unset":
+                for k in sarg if isinstance(sarg, list) else [sarg]:
+                    matched_fields.pop(k, None)
+            else:
+                raise PipelineCompileError(
+                    f"whenMatched pipeline supports $set/$addFields/$unset, not {nm}"
+                )
+
+    all_cols = list(dict.fromkeys(tcols + scols + list(matched_fields)))
 
     def pick(c: str) -> Column:
         tc = F.col(f"__t_{c}") if c in tcols else F.lit(None)
@@ -962,6 +992,8 @@ def _stage_merge(df: DataFrame, arg: Any) -> DataFrame:
             matched = sc
         elif when_matched == "merge":
             matched = F.coalesce(sc, tc)
+        elif when_matched == "__pipeline__":
+            matched = matched_fields.get(c, F.lit(None))
         else:  # keepExisting / fail (fail already raised on matches)
             matched = tc
         out = F.when(in_t & in_s, matched).when(in_t, tc)

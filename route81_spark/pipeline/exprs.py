@@ -148,6 +148,13 @@ def _env_walk(expr: Any, env: dict[str, Column], df: DataFrame | None) -> Column
                     for part in rest.split(".") if rest else []:
                         c = c.getField(part)
                     return c
+            elif e.startswith("$") and "CURRENT" in env:
+                # a bound current document ($merge whenMatched pipeline):
+                # bare field paths resolve against it, not the input df
+                c = env["CURRENT"]
+                for part in e[1:].split("."):
+                    c = c.getField(part)
+                return c
             return compile_expr(e, df)
         if isinstance(e, list):
             return F.array(*[walk(x) for x in e])
