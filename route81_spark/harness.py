@@ -1731,6 +1731,79 @@ def window_ema_addtoset(spark, sf_dir):
 
 
 @_q(
+    "corpus_stats",
+    f"""
+    WITH t AS (
+      SELECT source,
+             len(string_split_regex(trim(text), '\\s+')) AS n_toks,
+             string_split_regex(trim(text), '\\s+') AS toks
+      FROM documents
+    ),
+    u AS (SELECT source, unnest(toks) AS tok FROM t)
+    SELECT t.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(t.n_toks) AS BIGINT) AS total_toks,
+           {det_round_sql('quantile_cont(t.n_toks, 0.5)', 4)} AS med_toks,
+           (SELECT CAST(count(DISTINCT u.tok) AS BIGINT) FROM u WHERE u.source = t.source) AS vocab
+    FROM t GROUP BY t.source
+    """,
+)
+def corpus_stats(spark, sf_dir):
+    """Corpus-level training-data statistics per source: doc counts,
+    token totals, median doc length, vocabulary size. Vocab = distinct
+    agg after an explode — the shuffle carries (source, token) pairs
+    once, with map-side partial distinct."""
+    from route81_spark.ops.text import tokens
+    from route81_spark.ops.util import det_round
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "source", tokens(F.col("text")).alias("toks")
+    )
+    per_doc = docs.select("source", F.size("toks").alias("n_toks"), "toks")
+    base = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").alias("total_toks"),
+        det_round(F.percentile(F.col("n_toks"), F.lit(0.5)), 4).alias("med_toks"),
+    )
+    vocab = (
+        per_doc.select("source", F.explode("toks").alias("tok"))
+        .groupBy("source")
+        .agg(F.count_distinct("tok").alias("vocab"))
+    )
+    return base.join(vocab, "source")
+
+
+@_q(
+    "skew_two_stage_agg",
+    f"""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           {det_round_sql('sum(value)', 4)} AS total
+    FROM events GROUP BY event_type
+    """,
+)
+def skew_two_stage_agg(spark, sf_dir):
+    """Salted two-stage aggregation for skewed keys: stage 1 aggregates
+    (key, salt) — spreading one hot key over 16 reducers — stage 2
+    combines the 16 partials per key. Same result as a direct groupBy;
+    at 100 TB with a dominant key this is the difference between one
+    straggler task and even reducers. (Spark's partial agg already
+    map-side-combines; salting additionally splits the REDUCE side.)"""
+    from route81_spark.ops.util import det_round
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "__salt", (F.crc32(F.col("event_id").cast("string")) % 16).cast("int")
+    )
+    partial = ev.groupBy("event_type", "__salt").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("value").alias("total")
+    )
+    return (
+        partial.groupBy("event_type")
+        .agg(F.sum("n").alias("n"), det_round(F.sum("total"), 4).alias("total"))
+    )
+
+
+@_q(
     "unwind_preserve_empty",
     """
     WITH t AS (
