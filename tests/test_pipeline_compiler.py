@@ -362,3 +362,17 @@ def test_match_bits_type_geo_and_out_of_scope(spark):
     for bad in ({"$text": {"$search": "x"}}, {"$where": "f()"}):
         with pytest.raises(PipelineCompileError):
             apply_pipeline(df, [{"$match": bad}])
+
+
+def test_js_accumulators_fail_loudly(spark):
+    """$accumulator/$function embed JavaScript — not executable here;
+    the compiler must reject them at config time, never run them."""
+    import pytest
+    from route81_spark.pipeline import apply_pipeline
+    from route81_spark.pipeline.exprs import PipelineCompileError
+
+    df = spark.createDataFrame([(1,)], "k int")
+    with pytest.raises(PipelineCompileError):
+        apply_pipeline(df, [{"$group": {"_id": None, "x": {"$accumulator": {"init": "function(){}"}}}}])
+    with pytest.raises(PipelineCompileError):
+        apply_pipeline(df, [{"$project": {"x": {"$function": {"body": "function(){}", "args": [], "lang": "js"}}}}])
