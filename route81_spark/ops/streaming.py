@@ -54,6 +54,36 @@ def streaming_exact_dedup(
     return deduped.drop("__chash")
 
 
+def windowed_counts(
+    stream: DataFrame,
+    ts_col: str,
+    key_col: str,
+    value_col: str,
+    window: str = "10 minutes",
+    watermark: str = "5 minutes",
+) -> DataFrame:
+    """Tumbling event-time window aggregation with a watermark — the
+    late-data-bounded streaming aggregate (readStream -> watermark ->
+    window -> agg). State per (window, key) is dropped once the
+    watermark passes the window end, so state size is bounded by
+    (watermark / window) * |keys| regardless of stream length."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("w"), F.col(key_col))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col(value_col).cast("double")).alias("total"),
+        )
+        .select(
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            key_col,
+            "n",
+            "total",
+        )
+    )
+
+
 def _stats_update(key: tuple, pdfs: Iterator[pd.DataFrame], state: Any) -> Iterator[pd.DataFrame]:
     if state.exists:
         n, total, vmin, vmax = state.get

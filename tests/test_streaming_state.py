@@ -142,3 +142,74 @@ def test_running_group_stats_matches_batch_agg(spark, tmp_path):
     got = {r["key"]: (r["n"], r["total"], r["vmin"], r["vmax"]) for r in final.collect()}
     want = {r["key"]: (r["n"], r["total"], r["vmin"], r["vmax"]) for r in batch.collect()}
     assert got == want
+
+
+def test_windowed_counts_matches_batch(spark, tmp_path):
+    from route81_spark.ops.streaming import windowed_counts
+
+    src = tmp_path / "src"
+    rows = [
+        {
+            "event_id": i,
+            "user_id": f"u{i % 2}",
+            "value": float(i),
+            "ts": f"2024-01-01T00:{i % 50:02d}:00",
+        }
+        for i in range(100)
+    ]
+    _write_batch(src / "b1.json", rows[:60])
+    _write_batch(src / "b2.json", rows[60:])
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(str(src))
+    agg = windowed_counts(stream, "ts", "user_id", "value", window="10 minutes")
+    out, ckpt = tmp_path / "out", tmp_path / "ckpt"
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # append mode only emits watermark-closed windows; re-run with a
+    # far-future row to flush the rest
+    _write_batch(
+        src / "b3.json",
+        [{"event_id": 999, "user_id": "u0", "value": 0.0, "ts": "2024-01-02T00:00:00"}],
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(str(out))
+    batch = (
+        spark.createDataFrame(
+            [(r["event_id"], r["user_id"], r["value"], r["ts"]) for r in rows],
+            "event_id long, user_id string, value double, ts string",
+        )
+        .withColumn("ts", F.to_timestamp("ts"))
+        .groupBy(F.window("ts", "10 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .select(F.col("w.start").alias("w_start"), "user_id", "n", "total")
+    )
+    g = {(r["w_start"], r["user_id"]): (r["n"], r["total"]) for r in got.collect()}
+    w = {(r["w_start"], r["user_id"]): (r["n"], r["total"]) for r in batch.collect()}
+    # every original window must have been flushed and match exactly
+    # (the flush row's own window may or may not be closed yet)
+    for k, v in w.items():
+        assert g[k] == v
