@@ -86,6 +86,7 @@ def build_envelope(
     updates_col: str | None = None,
     data_cols: list[str] | None = None,
     oid_id: bool = False,
+    oid_cols: set[str] | None = None,
 ) -> DataFrame:
     """Build the Kafka-record DataFrame for one namespace.
 
@@ -146,7 +147,11 @@ def build_envelope(
 
     data_struct = F.struct(
         *[
-            ext_json_col(F.col(c), dtype_of(c), oid=(c == id_col and oid_id)).alias(c)
+            ext_json_col(
+                F.col(c),
+                dtype_of(c),
+                oid=(c == id_col and oid_id) or c in (oid_cols or ()),
+            ).alias(c)
             for c in data_cols
         ]
     )

@@ -191,3 +191,99 @@ def test_synthetic_id(spark, sf_dir):
     )
     row = df.orderBy("l_orderkey", "l_linenumber").limit(1).collect()[0]
     assert row["_id"] == f"{row['l_orderkey']}-{row['l_linenumber']}"
+
+
+def test_gridfs_golden_messages(spark):
+    """Byte-exact reproduction of the README's GridFS goldens
+    (/root/reference/README.md:155-182): the fs.files and fs.chunks
+    insert messages, including $oid tagging of the non-_id `files_id`
+    reference and $binary chunk data."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+    from route81_spark.envelope import EnvelopeConfig, build_envelope
+
+    files_schema = T.StructType(
+        [
+            T.StructField("_id", T.StringType()),
+            T.StructField("chunkSize", T.IntegerType()),
+            T.StructField("uploadDate", T.TimestampType()),
+            T.StructField("length", T.IntegerType()),
+            T.StructField("md5", T.StringType()),
+            T.StructField("filename", T.StringType()),
+            T.StructField("op", T.StringType()),
+            T.StructField("ts", T.StructType([T.StructField("t", T.LongType()), T.StructField("i", T.LongType())])),
+        ]
+    )
+    import datetime as dt
+
+    files = spark.createDataFrame(
+        [
+            (
+                "5d06f146636239111ef90bfa",
+                261120,
+                dt.datetime.fromtimestamp(1560736070.080, dt.timezone.utc).replace(tzinfo=None),
+                12,
+                "6f5902ac237024bdd0c176cb93063dc4",
+                "test.txt",
+                "i",
+                (1560736070, 4),
+            )
+        ],
+        files_schema,
+    )
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    rec = build_envelope(
+        files, "test.fs.files", EnvelopeConfig(), id_col="_id",
+        op_col="op", ts_col="ts",
+        data_cols=["_id", "chunkSize", "uploadDate", "length", "md5", "filename"],
+        oid_id=True,
+    ).collect()[0]
+    golden_files = (
+        '{"meta":{"_id":{"$oid":"5d06f146636239111ef90bfa"},'
+        '"ts":{"$timestamp":{"t":1560736070,"i":4}},"ns":"test.fs.files","op":"i"},'
+        '"data":{"_id":{"$oid":"5d06f146636239111ef90bfa"},"chunkSize":{"$numberInt":"261120"},'
+        '"uploadDate":{"$date":{"$numberLong":"1560736070080"}},"length":{"$numberInt":"12"},'
+        '"md5":"6f5902ac237024bdd0c176cb93063dc4","filename":"test.txt"}}'
+    )
+    assert bytes(rec["value"]).decode() == golden_files
+    assert rec["topic"] == "test.fs.files"
+
+    chunks_schema = T.StructType(
+        [
+            T.StructField("_id", T.StringType()),
+            T.StructField("files_id", T.StringType()),
+            T.StructField("n", T.IntegerType()),
+            T.StructField("data", T.BinaryType()),
+            T.StructField("op", T.StringType()),
+            T.StructField("ts", T.StructType([T.StructField("t", T.LongType()), T.StructField("i", T.LongType())])),
+        ]
+    )
+    import base64
+
+    chunks = spark.createDataFrame(
+        [
+            (
+                "5d06f146636239111ef90bfb",
+                "5d06f146636239111ef90bfa",
+                0,
+                base64.b64decode("aGVsbG8gd29ybGQK"),
+                "i",
+                (1560736070, 2),
+            )
+        ],
+        chunks_schema,
+    )
+    rec = build_envelope(
+        chunks, "test.fs.chunks", EnvelopeConfig(), id_col="_id",
+        op_col="op", ts_col="ts",
+        data_cols=["_id", "files_id", "n", "data"],
+        oid_id=True, oid_cols={"files_id"},
+    ).collect()[0]
+    golden_chunks = (
+        '{"meta":{"_id":{"$oid":"5d06f146636239111ef90bfb"},'
+        '"ts":{"$timestamp":{"t":1560736070,"i":2}},"ns":"test.fs.chunks","op":"i"},'
+        '"data":{"_id":{"$oid":"5d06f146636239111ef90bfb"},'
+        '"files_id":{"$oid":"5d06f146636239111ef90bfa"},"n":{"$numberInt":"0"},'
+        '"data":{"$binary":{"base64":"aGVsbG8gd29ybGQK","subType":"00"}}}}'
+    )
+    assert bytes(rec["value"]).decode() == golden_chunks
