@@ -60,6 +60,9 @@ class Config:
     # empty = harness parquet-loopback sink; non-empty = real
     # format("kafka") with this bootstrap string.
     kafka_servers: str = ""
+    # [kafka-settings] table (route81.go:72-89), preserved key-for-key;
+    # kafka_sink_options() maps them to the Spark/Java client names.
+    kafka_settings: dict = field(default_factory=dict)
     topic_name_prefix: str = ""
     metadata_db: str = "route81"     # route81.go:439-442
     resume_name: str = "default"
@@ -88,7 +91,7 @@ _TOP_KEYS = {
     "change-stream-namespaces", "direct-read-namespaces",
     "direct-read-split-max", "direct-read-concur", "exit-after-direct-reads",
     "topic-name-prefix", "metadata-db", "resume-name", "stats-duration",
-    "fail-fast", "producer-map", "pipeline", "consume", "kafka",
+    "fail-fast", "producer-map", "pipeline", "consume", "kafka", "kafka-settings",
 }
 
 
@@ -125,6 +128,7 @@ def load_config(text: str) -> Config:
         direct_read_concur=int(data.get("direct-read-concur", 4)),
         exit_after_direct_reads=bool(data.get("exit-after-direct-reads", False)),
         kafka_servers=str(data.get("kafka", "")),
+        kafka_settings=dict(data.get("kafka-settings", {})),
         topic_name_prefix=str(data.get("topic-name-prefix", "")),
         metadata_db=str(data.get("metadata-db", "route81")),
         resume_name=str(data.get("resume-name", "default")),
@@ -172,3 +176,60 @@ def load_config(text: str) -> Config:
             )
         )
     return cfg
+
+
+# route81 kafka-settings (librdkafka names, route81.go:1470-1517) -> the
+# Spark Kafka connector's Java-client option names, applied with the
+# `kafka.` prefix. Keys with no Java equivalent (broker-version /
+# api-version fallbacks are librdkafka-only) are accepted and dropped,
+# mirroring the reference's passthrough spirit without inventing knobs.
+_KAFKA_SETTING_MAP = {
+    "enable-idempotence": ("kafka.enable.idempotence", str),
+    "request-timeout-ms": ("kafka.request.timeout.ms", int),
+    "message-timeout-ms": ("kafka.delivery.timeout.ms", int),
+    "message-max-retries": ("kafka.retries", int),
+    "retry-backoff-ms": ("kafka.retry.backoff.ms", int),
+    "security-protocol": ("kafka.security.protocol", str),
+    # PEM files (librdkafka style) work on the Java client with
+    # ssl.truststore.type/keystore.type=PEM (Kafka >= 2.7)
+    "ssl-ca-location": ("kafka.ssl.truststore.location", str),
+    "ssl-certificate-location": ("kafka.ssl.keystore.location", str),
+    "ssl-key-location": ("kafka.ssl.keystore.key", str),
+    "ssl-key-password": ("kafka.ssl.key.password", str),
+    "sasl-mechanisms": ("kafka.sasl.mechanism", str),
+}
+
+_KAFKA_DROPPED = {
+    "broker-version-fallback", "api-version-fallback", "api-version-fallback-ms",
+}
+
+
+def kafka_sink_options(cfg: Config) -> dict[str, str]:
+    """Spark writer/reader options for the configured [kafka-settings]."""
+    out: dict[str, str] = {}
+    settings = dict(cfg.kafka_settings)
+    unknown = set(settings) - set(_KAFKA_SETTING_MAP) - _KAFKA_DROPPED - {
+        "sasl-username", "sasl-password",
+    }
+    if unknown:
+        raise ConfigError(f"unknown kafka-settings keys: {sorted(unknown)}")
+    for key, (opt, typ) in _KAFKA_SETTING_MAP.items():
+        if key in settings:
+            v = settings[key]
+            out[opt] = str(typ(v)).lower() if isinstance(v, bool) else str(typ(v))
+    if "ssl-ca-location" in settings:
+        out["kafka.ssl.truststore.type"] = "PEM"
+    if "ssl-certificate-location" in settings or "ssl-key-location" in settings:
+        out["kafka.ssl.keystore.type"] = "PEM"
+    user, pw = settings.get("sasl-username"), settings.get("sasl-password")
+    if user is not None or pw is not None:
+        mech = str(settings.get("sasl-mechanisms", "PLAIN")).upper()
+        module = (
+            "org.apache.kafka.common.security.plain.PlainLoginModule"
+            if mech == "PLAIN"
+            else "org.apache.kafka.common.security.scram.ScramLoginModule"
+        )
+        out["kafka.sasl.jaas.config"] = (
+            f'{module} required username="{user or ""}" password="{pw or ""}";'
+        )
+    return out

@@ -89,15 +89,19 @@ def topic_source(
     route81.go:1146-1175); without one, a file stream over the parquet
     'topic' directory the producer wrote — identical record schema."""
     if getattr(cfg, "kafka_servers", ""):
-        return (
+        from route81_spark.config import kafka_sink_options
+
+        reader = (
             spark.readStream.format("kafka")
             .option("kafka.bootstrap.servers", cfg.kafka_servers)
             .option("subscribe", ",".join(spec.kafka_topics))
             .option("startingOffsets", "earliest")
             .option("includeHeaders", "true")
             .option("kafka.group.id", spec.group_id)
-            .load()
         )
+        for k, v in kafka_sink_options(cfg).items():
+            reader = reader.option(k, v)
+        return reader.load()
     return spark.readStream.schema(record_schema).parquet(sink_dir)
 
 

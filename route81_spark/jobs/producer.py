@@ -185,11 +185,15 @@ def _start_topic_sink(
     land in a parquet 'topic' directory."""
     writer = records.writeStream
     if cfg.kafka_servers:
+        from route81_spark.config import kafka_sink_options
+
         writer = (
             writer.format("kafka")
             .option("kafka.bootstrap.servers", cfg.kafka_servers)
             .option("includeHeaders", "true")
         )
+        for k, v in kafka_sink_options(cfg).items():
+            writer = writer.option(k, v)
     else:
         writer = writer.format("parquet").option("path", sink_dir)
     return (

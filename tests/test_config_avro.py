@@ -146,3 +146,28 @@ def test_avro_spark_decode(spark):
     got = {r["_id"]: r for r in out}
     assert len(got) == 10
     assert got["3"]["n"] == 3 and got["3"]["nested"]["y"] == 3 and got["3"]["seq"] == 3
+
+
+def test_kafka_settings_passthrough_mapping():
+    import pytest
+    from route81_spark.config import ConfigError, kafka_sink_options, load_config
+
+    cfg = load_config(
+        'kafka = "b:9092"\n'
+        "[kafka-settings]\n"
+        "enable-idempotence = true\n"
+        "message-max-retries = 3\n"
+        'sasl-mechanisms = "PLAIN"\n'
+        'sasl-username = "u"\n'
+        'sasl-password = "p"\n'
+        'broker-version-fallback = "0.10"\n'  # librdkafka-only: accepted, dropped
+    )
+    opts = kafka_sink_options(cfg)
+    assert opts["kafka.enable.idempotence"] == "true"
+    assert opts["kafka.retries"] == "3"
+    assert "PlainLoginModule" in opts["kafka.sasl.jaas.config"]
+    assert not any("broker-version" in k for k in opts)
+    # unknown settings keys are a hard error, like route81's config validation
+    bad = load_config('kafka = "b:9092"\n[kafka-settings]\nnot-a-key = 1\n')
+    with pytest.raises(ConfigError):
+        kafka_sink_options(bad)
