@@ -172,11 +172,40 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--checkpoint-dir")
     ap.add_argument("--kafka-bootstrap", help="produce to Kafka instead of parquet")
     ap.add_argument("--duration", type=float, help="stop streaming after N seconds")
+    # reference flag parity (route81.go:415-469)
+    ap.add_argument("--view-config", action="store_true",
+                    help="print the parsed config as JSON and exit (route81 view-config)")
+    ap.add_argument("--disable-change-stream", action="store_true",
+                    help="run only direct reads / consumers")
+    ap.add_argument("--disable-stats", action="store_true",
+                    help="no stats listener or HTTP server")
+    ap.add_argument("--disable-stats-log", action="store_true",
+                    help="keep counters but don't log them")
+    ap.add_argument("--http-server", action="store_true",
+                    help="serve /started /healthz /stats")
+    ap.add_argument("--http-server-addr", default=":8080",
+                    help="listen address for --http-server ([host]:port)")
     args = ap.parse_args(argv)
 
     with open(args.config) as f:
         cfg = load_config(f.read())
+    if args.view_config:
+        import dataclasses, json as _json
+
+        print(_json.dumps(dataclasses.asdict(cfg), indent=2, default=str))
+        return 0
+    if args.disable_change_stream:
+        cfg.change_stream_namespaces = []
     spark = get_spark("route81_spark_main")
+
+    http_server = None
+    if args.http_server and not args.disable_stats:
+        from route81_spark.stats import StatsListener, serve_stats
+
+        listener = StatsListener(log=not args.disable_stats_log)
+        spark.streams.addListener(listener)
+        port = int(args.http_server_addr.rsplit(":", 1)[-1] or 8080)
+        http_server = serve_stats(listener, port=port)
 
     try:
         if cfg.direct_read_namespaces:

@@ -21,7 +21,10 @@ class StatsListener(StreamingQueryListener):
     """Accumulates the observe('producer_stats', ...) metrics emitted by
     the producer job — the counter set mirrors route81.go:488-509."""
 
-    def __init__(self) -> None:
+    def __init__(self, log: bool = True) -> None:
+        # log=False ≡ route81's disable-stats-log: counters accumulate
+        # (HTTP /stats still serves them) but nothing prints
+        self.log = log
         self.lock = threading.Lock()
         self.counters: dict[str, int] = {
             "success": 0, "failed": 0, "inserted": 0, "updated": 0,
@@ -46,6 +49,8 @@ class StatsListener(StreamingQueryListener):
             # rows that reached the sink committed with the batch:
             # at-least-once success accounting (route81.go:824-831)
             self.counters["success"] += int(d.get("queued", 0) or 0)
+        if self.log:
+            print(f"route81_spark stats: {self.snapshot()}")
 
     def onQueryTerminated(self, event) -> None:  # noqa: N802
         # fatal-error handling ≡ route81's shutdown on fatal Kafka errors
