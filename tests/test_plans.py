@@ -115,3 +115,47 @@ def test_lookup_unwind_fuses_to_join(spark):
     plan = plan_of(df, "simple")
     assert "Generate" not in plan
     assert "collect_list" not in plan
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
+    """Scale pattern: pre-bucketing both sides of a repeated join key
+    lets every subsequent join skip the shuffle entirely — at 100 TB
+    this converts the dominant cost of orders x lineitem joins into a
+    one-time layout decision. Pin: bucketed join plan has NO Exchange."""
+    import uuid
+
+    from pyspark.sql import functions as F
+    from route81_spark.io import load_table
+
+    db = f"bkt_{uuid.uuid4().hex[:8]}"
+    spark.sql(f"CREATE DATABASE {db}")
+    try:
+        orders = load_table(spark, SF, "orders")
+        lineitem = load_table(spark, SF, "lineitem")
+        (
+            orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+            .format("parquet").saveAsTable(f"{db}.orders_b")
+        )
+        (
+            lineitem.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+            .format("parquet").saveAsTable(f"{db}.lineitem_b")
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = (
+                spark.table(f"{db}.orders_b")
+                .join(
+                    spark.table(f"{db}.lineitem_b"),
+                    F.col("o_orderkey") == F.col("l_orderkey"),
+                )
+                .groupBy("o_orderkey")
+                .agg(F.sum("l_extendedprice").alias("rev"))
+            )
+            plan = plan_of(j, "simple")
+            join_part = plan.split("HashAggregate")[-1]  # below the agg
+            assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+            assert "Exchange" not in join_part, "bucketed join still shuffles"
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    finally:
+        spark.sql(f"DROP DATABASE {db} CASCADE")
