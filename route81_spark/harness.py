@@ -2221,6 +2221,18 @@ def sim_topk(spark, sf_dir):
     return S.brute_force_topk(emb, queries, k=5)
 
 
+@_q("sim_pq")  # no SQL oracle: PQ codebook is numpy-trained; recall pinned in tests
+def sim_pq(spark, sf_dir):
+    """Product-quantization ANN with exact re-ranking (compressed-domain
+    retrieve -> cosine refine) — the 32x-compression scale path."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    books = S.pq_train_codebook(emb, m=16, ksub=16, sample=256)
+    return S.pq_refined_topk(emb, queries, books, k=5, refine=10)
+
+
 @_q("sim_topk_blas")  # rows-only: BLAS ulps may shift 1e-6-rounded ties
 def sim_topk_blas(spark, sf_dir):
     from route81_spark.io import ensure_parallelism

@@ -260,3 +260,160 @@ def embedding_near_dups(
         )
         .filter(F.col("cos") >= threshold)
     )
+
+
+def pq_train_codebook(
+    emb: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    sample: int = 512,
+    iters: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Train a product-quantization codebook on a deterministic sample
+    (lowest ids): the vector space splits into `m` subspaces, each
+    k-means'd into `ksub` centroids. Training is driver-side numpy on a
+    tiny sample — exactly how IVF/PQ systems train (the codebook is
+    kilobytes; the corpus never moves). Returns a (m, ksub, dsub)
+    ndarray."""
+    import numpy as np
+
+    rows = emb.orderBy(id_col).limit(sample).select(vec_col).collect()
+    X = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    # normalize: ADC's L2 on unit vectors is monotone with cosine, so
+    # PQ ranking approximates the exact cosine ranking
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    n, d = X.shape
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    rng = np.random.RandomState(42)
+    books = np.empty((m, ksub, dsub))
+    for s in range(m):
+        sub = X[:, s * dsub : (s + 1) * dsub]
+        cent = sub[rng.choice(n, size=ksub, replace=False)]
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(ksub):
+                mask = assign == c
+                if mask.any():
+                    cent[c] = sub[mask].mean(axis=0)
+        books[s] = cent
+    return books
+
+
+def pq_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    codebook,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """PQ asymmetric-distance top-k: vectors compress to `m` uint8 codes
+    (d floats -> m bytes, a 32x shrink at d=64/m=8); each query
+    precomputes per-subspace distance tables once, and scoring a vector
+    is `m` table lookups — no float math per candidate.
+
+    Scale shape: encode is one Arrow-batched pass (the codes table is
+    what you'd persist); scoring ships only the tables (m*ksub floats
+    per query) and the shuffle carries k rows per (query, partition).
+    Approximate by construction: rank by negative ADC distance; exact
+    re-ranking of the PQ top-R with brute-force cosine is the standard
+    refinement and composes via brute_force_topk on the candidate set."""
+    import numpy as np
+    import pandas as pd
+
+    books = np.asarray(codebook, dtype=np.float64)  # (m, ksub, dsub)
+    m, ksub, dsub = books.shape
+
+    q_rows = queries.select(query_id_col, query_vec_col).collect()
+    q_ids = np.array([r[query_id_col] for r in q_rows])
+    Q = np.array([r[query_vec_col] for r in q_rows], dtype=np.float64)
+    Q = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    # per-query ADC tables: squared L2 from each query sub-vector to
+    # every centroid of that subspace -> (q, m, ksub)
+    tables = np.empty((len(q_ids), m, ksub))
+    for s in range(m):
+        qs = Q[:, s * dsub : (s + 1) * dsub]  # (q, dsub)
+        diff = qs[:, None, :] - books[s][None, :, :]  # (q, ksub, dsub)
+        tables[:, s, :] = (diff**2).sum(axis=2)
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            E = np.array(list(pdf[vec_col]), dtype=np.float64)  # (n, d)
+            E = E / np.maximum(np.linalg.norm(E, axis=1, keepdims=True), 1e-12)
+            # encode: per-subspace nearest centroid -> (n, m) codes
+            codes = np.empty((len(E), m), dtype=np.int64)
+            for s in range(m):
+                sub = E[:, s * dsub : (s + 1) * dsub]
+                d2 = ((sub[:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
+                codes[:, s] = d2.argmin(axis=1)
+            ids = pdf[id_col].to_numpy()
+            out = []
+            for qi in range(len(q_ids)):
+                # ADC distance = sum of table lookups over subspaces
+                dist = tables[qi][np.arange(m)[None, :], codes].sum(axis=1)
+                kk = min(k, len(E))
+                sel = np.argpartition(dist, kk - 1)[:kk]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            query_id_col: q_ids[qi],
+                            id_col: ids[sel],
+                            "adc_dist": np.floor(dist[sel] * 1e6 + 0.5) / 1e6,
+                        }
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    partial = emb.select(id_col, vec_col).mapInPandas(
+        score, schema=f"{query_id_col} long, {id_col} long, adc_dist double"
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "adc_dist", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def pq_refined_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    codebook,
+    k: int = 5,
+    refine: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """The production PQ design: ADC retrieves `refine*k` candidates
+    from the compressed domain (cheap, approximate), then exact cosine
+    re-ranks ONLY those candidates (expensive math on refine*k rows per
+    query, not the corpus). Recall approaches exact search while the
+    full-precision vectors of only ~refine*k*|Q| rows are ever touched."""
+    cand = pq_topk(
+        emb, queries, codebook, k=refine * k,
+        id_col=id_col, vec_col=vec_col,
+        query_id_col=query_id_col, query_vec_col=query_vec_col,
+    ).select(query_id_col, id_col)
+    with_vecs = cand.join(emb.select(id_col, vec_col), id_col)
+    scored = with_vecs.join(F.broadcast(queries), query_id_col).select(
+        F.col(query_id_col),
+        F.col(id_col),
+        det_round(cosine(F.col(vec_col), F.col(query_vec_col)), 6).alias("score"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "score", F.col("rank").cast("int").alias("rank"))
+    )

@@ -142,3 +142,40 @@ def test_lsh_bucket_fallback_identical(spark):
         for r in D.lsh_candidates(docs, k=8, bands=2, max_bucket_size=1).collect()
     }
     assert default == fallback and default
+
+
+def test_pq_topk_recall_vs_brute_force(spark, sf_dir):
+    """PQ ADC top-k must be a faithful approximation: recall@10 vs the
+    exact brute-force neighbors above a floor, and self-match (query is
+    in the corpus) always in the top ranks."""
+    from route81_spark.io import load_table
+    from route81_spark.ops import similarity as S
+    import pyspark.sql.functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = (
+        emb.filter(F.col("vec_id") % 100 == 0)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    )
+    books = S.pq_train_codebook(emb, m=16, ksub=16, sample=256)
+    pq = S.pq_topk(emb, queries, books, k=10).collect()
+    refined = S.pq_refined_topk(emb, queries, books, k=10, refine=10).collect()
+    exact = S.brute_force_topk(emb, queries, k=10).collect()
+
+    def by_query(rows):
+        out = {}
+        for r in rows:
+            out.setdefault(r["query_id"], set()).add(r["vec_id"])
+        return out
+
+    got, ref, want = by_query(pq), by_query(refined), by_query(exact)
+    # raw ADC on near-uniform synthetic vectors is weak but must beat
+    # chance (10/500 = 2%) comfortably and always find the query itself
+    raw = [len(got[q] & want[q]) / len(want[q]) for q in want]
+    assert sum(raw) / len(raw) >= 0.2, f"raw ADC recall@10 too low: {raw}"
+    for q, ids in got.items():
+        assert q in ids
+    # the refine stage is the product contract: near-exact recall
+    rr = [len(ref[q] & want[q]) / len(want[q]) for q in want]
+    assert sum(rr) / len(rr) >= 0.8, f"refined recall@10 too low: {rr}"
+
