@@ -1804,6 +1804,46 @@ def skew_two_stage_agg(spark, sf_dir):
 
 
 @_q(
+    "window_range_time",
+    f"""
+    SELECT event_id, user_id,
+           {det_round_sql("sum(value) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP) RANGE BETWEEN INTERVAL 5 MINUTES PRECEDING AND CURRENT ROW)", 4)} AS roll_5m,
+           CAST(count(*) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP) RANGE BETWEEN INTERVAL 5 MINUTES PRECEDING AND CURRENT ROW) AS BIGINT) AS n_5m
+    FROM events
+    """,
+)
+def window_range_time(spark, sf_dir):
+    """$setWindowFields range window with a time unit: per-user rolling
+    5-minute sum/count — Spark rangeBetween over epoch seconds."""
+    df = apply_pipeline(
+        _t(spark, sf_dir, "events"),
+        [
+            {
+                "$setWindowFields": {
+                    "partitionBy": "$user_id",
+                    "sortBy": {"ts": 1},
+                    "output": {
+                        "roll_5m": {
+                            "$sum": "$value",
+                            "window": {"range": [-5, "current"], "unit": "minute"},
+                        },
+                        "n_5m": {
+                            "$count": {},
+                            "window": {"range": [-5, "current"], "unit": "minute"},
+                        },
+                    },
+                }
+            }
+        ],
+    )
+    from route81_spark.ops.util import det_round
+
+    return df.select(
+        "event_id", "user_id", det_round(F.col("roll_5m"), 4).alias("roll_5m"), "n_5m"
+    )
+
+
+@_q(
     "unwind_preserve_empty",
     """
     WITH t AS (

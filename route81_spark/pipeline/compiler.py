@@ -804,12 +804,50 @@ def _stage_set_window_fields(df: DataFrame, arg: dict) -> DataFrame:
             "$covariancePop", "$covarianceSamp", "$derivative", "$integral",
             "$locf", "$linearFill",
         ):
-            lo, hi = (win or {}).get("documents", ["unbounded", "unbounded"])
-            lo_b = _window_bound(lo)
-            hi_b = _window_bound(hi)
-            if hi == "unbounded":
-                hi_b = Window.unboundedFollowing
-            w = base.rowsBetween(lo_b, hi_b)
+            if win and "range" in win:
+                # value-range window over the (single) sortBy key;
+                # `unit` scales time bounds for timestamp keys
+                if not sort_by or len(sort_by) != 1:
+                    raise PipelineCompileError("range windows need exactly one sortBy key")
+                sf_field, direction = next(iter(sort_by.items()))
+                if direction < 0:
+                    raise PipelineCompileError("range windows require ascending sortBy")
+                lo, hi = win["range"]
+                unit = win.get("unit")
+                order = F.col(sf_field)
+                scale = 1
+                if unit is not None:
+                    mult = {
+                        "second": 1, "minute": 60, "hour": 3600, "day": 86400, "week": 604800,
+                    }
+                    if unit not in mult:
+                        raise PipelineCompileError(f"unsupported range window unit: {unit}")
+                    # timestamps order by epoch MICROseconds (full
+                    # TimestampType precision) so boundary rows agree
+                    # with an engine windowing on the timestamp itself
+                    order = F.unix_micros(F.col(sf_field).cast("timestamp"))
+                    scale = mult[unit] * 1_000_000
+
+                def rb(b: Any, is_lo: bool) -> int:
+                    if b == "unbounded":
+                        return Window.unboundedPreceding if is_lo else Window.unboundedFollowing
+                    if b == "current":
+                        return Window.currentRow
+                    return int(b) * scale
+
+                part = arg.get("partitionBy")
+                w = (
+                    Window.partitionBy(compile_expr(part, df))
+                    if part is not None
+                    else Window.partitionBy()
+                ).orderBy(order.asc()).rangeBetween(rb(lo, True), rb(hi, False))
+            else:
+                lo, hi = (win or {}).get("documents", ["unbounded", "unbounded"])
+                lo_b = _window_bound(lo)
+                hi_b = _window_bound(hi)
+                if hi == "unbounded":
+                    hi_b = Window.unboundedFollowing
+                w = base.rowsBetween(lo_b, hi_b)
             if op == "$count":
                 col = F.count(F.lit(1)).over(w)
             elif op in ("$covariancePop", "$covarianceSamp"):
