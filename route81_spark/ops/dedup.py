@@ -207,6 +207,15 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Score candidate pairs with exact shingle-set Jaccard. `pairs` has
     (id_a, id_b); the doc table joins in twice (broadcast when small)."""
+    # the pairs DataFrame is consumed three times below (two id
+    # projections + the scoring join); without persistence the whole
+    # LSH candidate DAG — the expensive part — re-executes each time.
+    # Candidates are tiny relative to the corpus, so caching them is
+    # the correct trade at any scale (MEMORY_AND_DISK spills safely).
+    from pyspark import StorageLevel
+
+    if pairs.storageLevel == StorageLevel.NONE:
+        pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
     # compute shingles only for documents that appear in a candidate pair
     # (left-semi prune): at 100 TB the candidate set is orders of
     # magnitude smaller than the corpus
