@@ -2568,6 +2568,80 @@ def tpch_q3_pipeline(spark, sf_dir):
 
 
 @_q(
+    "tpch_q5_pipeline",
+    f"""
+    SELECT n.n_name,
+           {det_round_sql("sum(l.l_extendedprice * (1 - l.l_discount))", 4)} AS revenue
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = n.n_nationkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, n.n_name ASC
+    """,
+)
+def tpch_q5_pipeline(spark, sf_dir):
+    """TPC-H Q5 in the pipeline dialect: a five-deep fused
+    $lookup+$unwind join chain (each compiles to a direct join —
+    broadcast for the dims, shuffle for orders x lineitem) plus a
+    cross-field $expr equality (local-supplier condition)."""
+    _use_tables(spark, sf_dir)
+    from route81_spark.ops.util import det_round
+
+    df = apply_pipeline(
+        _t(spark, sf_dir, "region"),
+        [
+            {"$match": {"r_name": "ASIA"}},
+            {"$lookup": {"from": "nation", "localField": "r_regionkey",
+                         "foreignField": "n_regionkey", "as": "n"}},
+            {"$unwind": "$n"},
+            {"$lookup": {"from": "customer", "localField": "n.n_nationkey",
+                         "foreignField": "c_nationkey", "as": "c"}},
+            {"$unwind": "$c"},
+            {"$lookup": {"from": "orders", "localField": "c.c_custkey",
+                         "foreignField": "o_custkey", "as": "o"}},
+            {"$unwind": "$o"},
+            {
+                "$match": {
+                    "o.o_orderdate": {
+                        "$gte": {"$date": "1996-01-01 00:00:00"},
+                        "$lt": {"$date": "1997-01-01 00:00:00"},
+                    }
+                }
+            },
+            {"$lookup": {"from": "lineitem", "localField": "o.o_orderkey",
+                         "foreignField": "l_orderkey", "as": "l"}},
+            {"$unwind": "$l"},
+            {"$lookup": {"from": "supplier", "localField": "l.l_suppkey",
+                         "foreignField": "s_suppkey", "as": "s"}},
+            {"$unwind": "$s"},
+            {"$match": {"$expr": {"$eq": ["$s.s_nationkey", "$n.n_nationkey"]}}},
+            {
+                "$group": {
+                    "_id": "$n.n_name",
+                    "revenue": {
+                        "$sum": {
+                            "$multiply": [
+                                "$l.l_extendedprice",
+                                {"$subtract": [1, "$l.l_discount"]},
+                            ]
+                        }
+                    },
+                }
+            },
+            {"$sort": {"revenue": -1, "_id": 1}},
+            {"$project": {"_id": 0, "n_name": "$_id", "revenue": 1}},
+        ],
+    )
+    return df.select("n_name", det_round(F.col("revenue"), 4).alias("revenue"))
+
+
+@_q(
     "lookup_unwind",
     """
     SELECT o_orderkey, c.c_name AS cust_name, o_totalprice
