@@ -1844,6 +1844,55 @@ def window_range_time(spark, sf_dir):
 
 
 @_q(
+    "window_median_rolling",
+    f"""
+    SELECT o_orderkey, o_custkey,
+           {det_round_sql("quantile_cont(o_totalprice, 0.5) OVER w", 4)} AS med3,
+           {det_round_sql("quantile_cont(o_totalprice, 0.25) OVER w", 4)} AS p25
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_median_rolling(spark, sf_dir):
+    """$setWindowFields $median/$percentile window operators (rolling
+    3-document window, exact interpolated percentile both engines)."""
+    df = apply_pipeline(
+        _t(spark, sf_dir, "orders"),
+        [
+            {
+                "$setWindowFields": {
+                    "partitionBy": "$o_custkey",
+                    "sortBy": {"o_orderdate": 1, "o_orderkey": 1},
+                    "output": {
+                        "med3": {
+                            "$median": {"input": "$o_totalprice", "method": "approximate"},
+                            "window": {"documents": [-2, "current"]},
+                        },
+                        "p": {
+                            "$percentile": {
+                                "input": "$o_totalprice",
+                                "p": [0.25],
+                                "method": "approximate",
+                            },
+                            "window": {"documents": [-2, "current"]},
+                        },
+                    },
+                }
+            }
+        ],
+    )
+    from route81_spark.ops.util import det_round
+
+    return df.select(
+        "o_orderkey",
+        "o_custkey",
+        det_round(F.col("med3"), 4).alias("med3"),
+        det_round(F.col("p")[0], 4).alias("p25"),
+    )
+
+
+@_q(
     "unwind_preserve_empty",
     """
     WITH t AS (

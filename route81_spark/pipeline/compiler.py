@@ -802,7 +802,7 @@ def _stage_set_window_fields(df: DataFrame, arg: dict) -> DataFrame:
             )
         elif op in _WINDOW_AGGS or op in (
             "$covariancePop", "$covarianceSamp", "$derivative", "$integral",
-            "$locf", "$linearFill",
+            "$locf", "$linearFill", "$median", "$percentile",
         ):
             if win and "range" in win:
                 # value-range window over the (single) sortBy key;
@@ -850,6 +850,14 @@ def _stage_set_window_fields(df: DataFrame, arg: dict) -> DataFrame:
                 w = base.rowsBetween(lo_b, hi_b)
             if op == "$count":
                 col = F.count(F.lit(1)).over(w)
+            elif op == "$median":
+                col = F.percentile(compile_expr(op_arg["input"], df), F.lit(0.5)).over(w)
+            elif op == "$percentile":
+                ps = op_arg["p"]
+                col = F.percentile(
+                    compile_expr(op_arg["input"], df),
+                    F.array(*[F.lit(float(x)) for x in ps]),
+                ).over(w)
             elif op in ("$covariancePop", "$covarianceSamp"):
                 x = compile_expr(op_arg[0], df)
                 y = compile_expr(op_arg[1], df)

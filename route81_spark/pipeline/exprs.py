@@ -859,11 +859,34 @@ def _compile_op(op: str, arg: Any, df: DataFrame | None) -> Column:
             return (
                 (F.year(end) * 12 + F.month(end)) - (F.year(start) * 12 + F.month(start))
             ).cast("long")
-        if unit == "hour":
+        if unit == "quarter":
             return (
-                (F.unix_seconds(F.date_trunc("hour", end))
-                 - F.unix_seconds(F.date_trunc("hour", start))) / 3600
+                (F.year(end) * 4 + F.quarter(end)) - (F.year(start) * 4 + F.quarter(start))
             ).cast("long")
+        if unit == "week":
+            # boundary crossings of week starts; Mongo's default
+            # startOfWeek is sunday, Spark/ISO truncation is monday —
+            # honor the argument, reject silent divergence
+            start_of_week = arg.get("startOfWeek", "sunday").lower()
+            if start_of_week != "monday":
+                raise PipelineCompileError(
+                    "$dateDiff week supports only startOfWeek=monday"
+                )
+            return (
+                F.datediff(
+                    F.to_date(F.date_trunc("week", end)),
+                    F.to_date(F.date_trunc("week", start)),
+                )
+                / 7
+            ).cast("long")
+        if unit in ("hour", "minute", "second"):
+            secs = {"hour": 3600, "minute": 60, "second": 1}[unit]
+            return (
+                (F.unix_seconds(F.date_trunc(unit, end))
+                 - F.unix_seconds(F.date_trunc(unit, start))) / secs
+            ).cast("long")
+        if unit == "millisecond":
+            return (F.unix_millis(end) - F.unix_millis(start)).cast("long")
         raise PipelineCompileError(f"unsupported $dateDiff unit: {unit}")
     if op == "$filter":
         arr = compile_expr(arg["input"], df)
