@@ -376,3 +376,24 @@ def test_js_accumulators_fail_loudly(spark):
         apply_pipeline(df, [{"$group": {"_id": None, "x": {"$accumulator": {"init": "function(){}"}}}}])
     with pytest.raises(PipelineCompileError):
         apply_pipeline(df, [{"$project": {"x": {"$function": {"body": "function(){}", "args": [], "lang": "js"}}}}])
+
+
+def test_datediff_extended_units(spark):
+    """$dateDiff counts boundary crossings per unit (quarter/week/
+    minute/second/millisecond), not elapsed full units."""
+    from route81_spark.pipeline import apply_pipeline
+
+    df = spark.createDataFrame([(1,)], "x int")
+
+    def dd(start, end, unit, **kw):
+        spec = {"startDate": {"$toDate": {"$literal": start}},
+                "endDate": {"$toDate": {"$literal": end}}, "unit": unit, **kw}
+        return apply_pipeline(
+            df, [{"$project": {"v": {"$dateDiff": spec}}}]
+        ).collect()[0]["v"]
+
+    assert dd("2024-03-31", "2024-04-01", "quarter") == 1  # crosses Q1->Q2
+    assert dd("2024-01-07", "2024-01-08", "week", startOfWeek="monday") == 1  # Sun->Mon
+    assert dd("2024-01-01 10:00:59", "2024-01-01 10:01:00", "minute") == 1
+    assert dd("2024-01-01 10:00:00.9", "2024-01-01 10:00:01.0", "second") == 1
+    assert dd("2024-01-01 10:00:00", "2024-01-01 10:00:00.25", "millisecond") == 250
