@@ -1893,6 +1893,30 @@ def window_median_rolling(spark, sf_dir):
 
 
 @_q(
+    "unwind_array_index",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    )
+    SELECT t.doc_id, CAST(s.i - 1 AS BIGINT) AS idx, t.toks[CAST(s.i AS INT)] AS tok
+    FROM t, generate_series(1, 5) s(i)
+    WHERE s.i <= len(t.toks)
+    """,
+)
+def unwind_array_index(spark, sf_dir):
+    """$unwind with includeArrayIndex (posexplode) — first five tokens
+    per document with their positions."""
+    return apply_pipeline(
+        _t(spark, sf_dir, "documents"),
+        [
+            {"$addFields": {"toks": {"$slice": [{"$split": ["$text", " "]}, 5]}}},
+            {"$unwind": {"path": "$toks", "includeArrayIndex": "idx"}},
+            {"$project": {"doc_id": 1, "idx": 1, "tok": "$toks"}},
+        ],
+    )
+
+
+@_q(
     "unwind_preserve_empty",
     """
     WITH t AS (
