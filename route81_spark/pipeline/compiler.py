@@ -1241,7 +1241,16 @@ def compile_stage(stage: dict, sort_spec: dict | None = None) -> Callable[[DataF
             return _stage_add_fields(df, arg)
         if name == "$unset":
             fields = arg if isinstance(arg, list) else [arg]
-            return df.drop(*fields)
+            out = df
+            for fname in fields:
+                if "." in fname:
+                    # nested unset: rebuild the top-level struct without
+                    # the sub-field (Column.dropFields)
+                    top, rest = fname.split(".", 1)
+                    out = out.withColumn(top, F.col(top).dropFields(rest))
+                else:
+                    out = out.drop(fname)
+            return out
         if name == "$limit":
             return df.limit(int(arg))
         if name == "$skip":

@@ -397,3 +397,16 @@ def test_datediff_extended_units(spark):
     assert dd("2024-01-01 10:00:59", "2024-01-01 10:01:00", "minute") == 1
     assert dd("2024-01-01 10:00:00.9", "2024-01-01 10:00:01.0", "second") == 1
     assert dd("2024-01-01 10:00:00", "2024-01-01 10:00:00.25", "millisecond") == 250
+
+
+def test_unset_nested_path(spark):
+    from pyspark.sql import Row
+    from route81_spark.pipeline import apply_pipeline
+
+    df = spark.createDataFrame(
+        [Row(k=1, s=Row(a=1, b="x", c=2.0))], "k int, s struct<a:int,b:string,c:double>"
+    )
+    out = apply_pipeline(df, [{"$unset": ["s.b", "k"]}])
+    assert out.columns == ["s"]
+    r = out.collect()[0]["s"].asDict()
+    assert r == {"a": 1, "c": 2.0}
