@@ -244,7 +244,14 @@ def _stage_project(df: DataFrame, arg: dict) -> DataFrame:
         drops = list(body)
         if id_excluded:
             drops.append("_id")
-        return df.drop(*[d for d in drops if d in df.columns or "." not in d])
+        out = df
+        for d in drops:
+            if "." in d:
+                top, rest = d.split(".", 1)
+                out = out.withColumn(top, F.col(top).dropFields(rest))
+            elif d in out.columns:
+                out = out.drop(d)
+        return out
     # inclusion / computed mode
     cols: list[Column] = []
     id_spec = arg.get("_id")

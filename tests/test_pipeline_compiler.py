@@ -410,3 +410,15 @@ def test_unset_nested_path(spark):
     assert out.columns == ["s"]
     r = out.collect()[0]["s"].asDict()
     assert r == {"a": 1, "c": 2.0}
+
+
+def test_project_nested_exclusion(spark):
+    from pyspark.sql import Row
+    from route81_spark.pipeline import apply_pipeline
+
+    df = spark.createDataFrame(
+        [Row(k=1, s=Row(a=1, b="x"))], "k int, s struct<a:int,b:string>"
+    )
+    out = apply_pipeline(df, [{"$project": {"s.b": 0}}])
+    assert out.columns == ["k", "s"]
+    assert out.collect()[0]["s"].asDict() == {"a": 1}
