@@ -3075,6 +3075,51 @@ def densify_custkey(spark, sf_dir):
 
 
 @_q(
+    "densify_months",
+    """
+    WITH t AS (
+      SELECT o_orderpriority AS p, date_trunc('month', o_orderdate) AS m,
+             count(*) AS n
+      FROM orders GROUP BY 1, 2
+    ), b AS (
+      SELECT p, min(m) AS lo, max(m) AS hi FROM t GROUP BY p
+    ), gs AS (
+      SELECT p, unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS m FROM b
+    )
+    SELECT t.p, CAST(t.m AS TIMESTAMP_NS) AS m, CAST(t.n AS BIGINT) AS n FROM t
+    UNION ALL
+    SELECT gs.p, CAST(gs.m AS TIMESTAMP_NS) AS m, CAST(NULL AS BIGINT) AS n
+    FROM gs LEFT JOIN t ON t.p = gs.p AND t.m = gs.m
+    WHERE t.p IS NULL
+    """,
+)
+def densify_months(spark, sf_dir):
+    """$densify with a temporal unit: fill missing months per partition
+    (sequence-explode from per-partition bounds + anti-join)."""
+    return apply_pipeline(
+        _t(spark, sf_dir, "orders"),
+        [
+            {
+                "$project": {
+                    "_id": 0,
+                    "p": "$o_orderpriority",
+                    "m": {"$dateTrunc": {"date": "$o_orderdate", "unit": "month"}},
+                }
+            },
+            {"$group": {"_id": {"p": "$p", "m": "$m"}, "n": {"$count": {}}}},
+            {"$project": {"_id": 0, "p": "$_id.p", "m": "$_id.m", "n": 1}},
+            {
+                "$densify": {
+                    "field": "m",
+                    "partitionByFields": ["p"],
+                    "range": {"step": 1, "unit": "month", "bounds": "partition"},
+                }
+            },
+        ],
+    )
+
+
+@_q(
     "group_rank_accs",
     """
     WITH o AS (
