@@ -3120,6 +3120,34 @@ def densify_months(spark, sf_dir):
 
 
 @_q(
+    "replace_with_merge",
+    """
+    SELECT n_nationkey AS k,
+           n_regionkey AS r,
+           n_name AS name,
+           'dim' AS kind
+    FROM nation
+    """,
+)
+def replace_with_merge(spark, sf_dir):
+    """$replaceWith {$mergeObjects: [...]}: later non-null fields win
+    (the standard document-defaulting idiom)."""
+    return apply_pipeline(
+        _t(spark, sf_dir, "nation"),
+        [
+            {
+                "$replaceWith": {
+                    "$mergeObjects": [
+                        {"k": "$n_nationkey", "r": None, "kind": "dim"},
+                        {"r": "$n_regionkey", "name": "$n_name"},
+                    ]
+                }
+            }
+        ],
+    )
+
+
+@_q(
     "group_rank_accs",
     """
     WITH o AS (

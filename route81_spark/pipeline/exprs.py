@@ -912,7 +912,39 @@ def _compile_op(op: str, arg: Any, df: DataFrame | None) -> Column:
         arr = _args(arg, df, 1)[0]
         return F.forall(arr, lambda x: F.coalesce(x.cast("boolean"), F.lit(False)))
     if op == "$mergeObjects":
-        raise PipelineCompileError("$mergeObjects supported only as a $group accumulator")
+        # expression form: merge documents left-to-right, later non-null
+        # values win per field (Mongo semantics). Field sets must be
+        # statically known: literal doc constructors or schema-known
+        # struct field paths.
+        from pyspark.sql import types as _T
+
+        items = arg if isinstance(arg, list) else [arg]
+        sources: list[tuple[dict[str, Column], list[str]]] = []
+        for it in items:
+            if isinstance(it, dict) and not any(k.startswith("$") for k in it):
+                sources.append(({k: compile_expr(v, df) for k, v in it.items()}, list(it)))
+            else:
+                dt = _field_dtype(it, df)
+                if not isinstance(dt, _T.StructType):
+                    raise PipelineCompileError(
+                        "$mergeObjects args must be literal documents or "
+                        "schema-known struct paths"
+                    )
+                src = compile_expr(it, df)
+                sources.append(
+                    ({f.name: src.getField(f.name) for f in dt.fields},
+                     [f.name for f in dt.fields])
+                )
+        order: list[str] = []
+        for _, names in sources:
+            for n in names:
+                if n not in order:
+                    order.append(n)
+        merged = []
+        for n in order:
+            cands = [vals[n] for vals, _ in reversed(sources) if n in vals]
+            merged.append(F.coalesce(*cands).alias(n) if len(cands) > 1 else cands[0].alias(n))
+        return F.struct(*merged)
     if op in ("$trim", "$ltrim", "$rtrim") and isinstance(arg, dict):
         inp = compile_expr(arg["input"], df)
         if "chars" in arg:
