@@ -272,15 +272,23 @@ def _stage_project(df: DataFrame, arg: dict) -> DataFrame:
         else:
             cols.append(compile_expr(spec, df).alias(name))
     for top, subs in nested.items():
-        fields = []
-        for rest, spec in subs.items():
-            if "." in rest:
-                raise PipelineCompileError("max 2-level dotted paths in $project")
-            if spec in (1, True):
-                fields.append(F.col(f"{top}.{rest}").alias(rest))
-            else:
-                fields.append(compile_expr(spec, df).alias(rest))
-        cols.append(F.struct(*fields).alias(top))
+        def build(prefix: str, spec_map: dict) -> Column:
+            # group this level's direct fields vs deeper paths, recurse
+            direct: list[Column] = []
+            deeper: dict[str, dict] = {}
+            for rest, spec in spec_map.items():
+                if "." in rest:
+                    head, tail = rest.split(".", 1)
+                    deeper.setdefault(head, {})[tail] = spec
+                elif spec in (1, True):
+                    direct.append(F.col(f"{prefix}.{rest}").alias(rest))
+                else:
+                    direct.append(compile_expr(spec, df).alias(rest))
+            for head, sub in deeper.items():
+                direct.append(build(f"{prefix}.{head}", sub).alias(head))
+            return F.struct(*direct)
+
+        cols.append(build(top, subs).alias(top))
     return df.select(*cols)
 
 

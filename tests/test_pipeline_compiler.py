@@ -422,3 +422,17 @@ def test_project_nested_exclusion(spark):
     out = apply_pipeline(df, [{"$project": {"s.b": 0}}])
     assert out.columns == ["k", "s"]
     assert out.collect()[0]["s"].asDict() == {"a": 1}
+
+
+def test_project_deep_nested_inclusion(spark):
+    from pyspark.sql import Row
+    from route81_spark.pipeline import apply_pipeline
+
+    df = spark.createDataFrame(
+        [Row(k=1, s=Row(a=Row(b=1, c=2), d=3))],
+        "k int, s struct<a:struct<b:int,c:int>,d:int>",
+    )
+    out = apply_pipeline(df, [{"$project": {"k": 1, "s.a.b": 1, "s.d": 1}}])
+    r = out.collect()[0]
+    assert r["k"] == 1
+    assert r["s"].asDict(recursive=True) == {"a": {"b": 1}, "d": 3}
