@@ -115,6 +115,14 @@ def _variadic(f: Callable[[Column, Column], Column]):
     return build
 
 
+def _require_utc(op: str, arg: dict) -> None:
+    """Date operators run in the session's UTC zone; a non-UTC timezone
+    argument would be silently wrong — reject it loudly instead."""
+    tz = arg.get("timezone")
+    if tz not in (None, "UTC", "+00", "+0000", "+00:00", "Z"):
+        raise PipelineCompileError(f"{op}: only UTC timezone is supported, got {tz!r}")
+
+
 def _compile_cond(arg: Any, df: DataFrame | None) -> Column:
     if isinstance(arg, dict):
         branches = [arg.get("if"), arg.get("then"), arg.get("else")]
@@ -700,6 +708,7 @@ def _compile_op(op: str, arg: Any, df: DataFrame | None) -> Column:
             return F.lit(False)
         raise PipelineCompileError("$isNumber needs a schema-known field or literal")
     if op == "$dateTrunc":
+        _require_utc(op, arg)
         unit = arg["unit"]
         bin_size = arg.get("binSize", 1)
         if bin_size != 1:
@@ -755,8 +764,12 @@ def _compile_op(op: str, arg: Any, df: DataFrame | None) -> Column:
     if op == "$literal":
         return F.lit(arg)
     if op == "$dateToString":
+        _require_utc(op, arg)
         fmt = mongo_date_format(arg.get("format", "%Y-%m-%dT%H:%M:%S.%LZ"))
-        return F.date_format(compile_expr(arg["date"], df), fmt)
+        out = F.date_format(compile_expr(arg["date"], df), fmt)
+        if "onNull" in arg:
+            out = F.coalesce(out, compile_expr(arg["onNull"], df))
+        return out
     if op in ("$regexFind", "$regexFindAll"):
         import re as _re
 
@@ -828,6 +841,7 @@ def _compile_op(op: str, arg: Any, df: DataFrame | None) -> Column:
             out = F.when(inp.isNull(), compile_expr(arg["onNull"], df)).otherwise(out)
         return out
     if op == "$dateAdd":
+        _require_utc(op, arg)
         start = compile_expr(arg["startDate"], df)
         unit = arg["unit"]
         if unit.lower() not in ("year", "quarter", "month", "week", "day", "hour", "minute", "second"):
@@ -835,6 +849,7 @@ def _compile_op(op: str, arg: Any, df: DataFrame | None) -> Column:
         amount = compile_expr(arg["amount"], df)
         return F.timestamp_add(unit.upper(), amount, start)
     if op == "$dateSubtract":
+        _require_utc(op, arg)
         start = compile_expr(arg["startDate"], df)
         unit = arg["unit"]
         if unit.lower() not in ("year", "quarter", "month", "week", "day", "hour", "minute", "second"):
