@@ -43,13 +43,10 @@ class EnvelopeConfig:
 
 
 def route_topic(ns_col: Column, cfg: EnvelopeConfig) -> Column:
-    """Topic = [prefix "."] + namespace unless a producer-map entry
-    rewrites it; first match wins (route81.go:1330-1351)."""
-    default = (
-        F.concat(F.lit(cfg.topic_name_prefix + "."), ns_col)
-        if cfg.topic_name_prefix
-        else ns_col
-    )
+    """Topic = [prefix "."] + (producer-map rewrite | namespace); the
+    prefix applies to map-matched names too, and the first matching map
+    entry wins (route81.go:1330-1351 writes TopicPrefix before the
+    ProducerMaps rewrite)."""
     out = None
     for m in cfg.producer_maps:
         cond = (
@@ -58,7 +55,10 @@ def route_topic(ns_col: Column, cfg: EnvelopeConfig) -> Column:
             else ns_col.startswith(m.mongo_namespace)
         )
         out = F.when(cond, F.lit(m.kafka_topic)) if out is None else out.when(cond, F.lit(m.kafka_topic))
-    return default if out is None else out.otherwise(default)
+    name = ns_col if out is None else out.otherwise(ns_col)
+    if cfg.topic_name_prefix:
+        return F.concat(F.lit(cfg.topic_name_prefix + "."), name)
+    return name
 
 
 def _id_plain_json(id_col: Column, id_type: T.DataType) -> Column:

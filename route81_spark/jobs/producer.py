@@ -81,9 +81,18 @@ def command_envelope(events: DataFrame, cfg: Config) -> DataFrame:
     from pyspark.sql import functions as F
 
     env_cfg = _envelope_cfg(cfg)
+    from pyspark.sql import types as T
+
+    from route81_spark.envelope import _id_plain_json
+
     ns_full = F.concat_ws(".", F.col("ns.db"), F.col("ns.coll"))
     route_ns = F.when(F.col("operationType") == "dropDatabase", F.col("ns.db")).otherwise(ns_full)
-    key = F.when(F.col("operationType") == "dropDatabase", F.col("ns.db")).otherwise(ns_full)
+    # command keys go through the JSON meta encoder -> quoted string
+    # (route81.go:1362-1371 getMsgKey: enc.Encode(namespace))
+    key = _id_plain_json(
+        F.when(F.col("operationType") == "dropDatabase", F.col("ns.db")).otherwise(ns_full),
+        T.StringType(),
+    )
     ts_plain = F.to_json(
         F.struct(F.col("clusterTime.t").alias("T"), F.col("clusterTime.i").alias("I"))
     )

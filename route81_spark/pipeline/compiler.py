@@ -293,16 +293,24 @@ def _stage_project(df: DataFrame, arg: dict) -> DataFrame:
 
 
 def _stage_add_fields(df: DataFrame, arg: dict) -> DataFrame:
-    out = df
+    # All expressions in one $addFields/$set evaluate against the STAGE
+    # INPUT document ({$addFields: {a: 5, b: "$a"}} -> b = original a),
+    # so compile every spec against df and apply them in a single select.
+    updates: dict[str, Column] = {}
     for name, spec in arg.items():
         if "." in name:
             top, rest = name.split(".", 1)
             if "." in rest:
                 raise PipelineCompileError("max 2-level dotted paths in $addFields")
-            out = out.withColumn(top, F.col(top).withField(rest, compile_expr(spec, out)))
+            base = updates.get(top, F.col(top))
+            updates[top] = base.withField(rest, compile_expr(spec, df))
         else:
-            out = out.withColumn(name, compile_expr(spec, out))
-    return out
+            updates[name] = compile_expr(spec, df)
+    cols = [
+        updates.pop(c).alias(c) if c in updates else F.col(c) for c in df.columns
+    ]
+    cols.extend(expr.alias(name) for name, expr in updates.items())
+    return df.select(*cols)
 
 
 def _stage_unwind(df: DataFrame, arg: Any) -> DataFrame:

@@ -110,7 +110,12 @@ def test_producer_map_first_match_wins(spark):
         [("db.c",), ("db.other",), ("x.y",)], "ns string"
     ).select(route_topic(F.col("ns"), cfg).alias("topic"), "ns")
     got = {r["ns"]: r["topic"] for r in df.collect()}
-    assert got == {"db.c": "exact-topic", "db.other": "db-topic", "x.y": "catch-all"}
+    # prefix applies before the map rewrite (route81.go:1330-1351)
+    assert got == {
+        "db.c": "pfx.exact-topic",
+        "db.other": "pfx.db-topic",
+        "x.y": "pfx.catch-all",
+    }
     # no maps: prefix + "." + ns (README.md:236-259)
     df2 = spark.createDataFrame([("db.c",)], "ns string").select(
         route_topic(F.col("ns"), EnvelopeConfig(topic_name_prefix="pfx")).alias("t")

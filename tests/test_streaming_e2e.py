@@ -261,13 +261,14 @@ def test_command_envelope_contract(spark):
     ).select(F.from_json("value", change_event_schema(DOC_SCHEMA)).alias("e")).select("e.*")
     recs = envelope_change_stream(evs, "test.test", cfg).collect()
     by_key = {bytes(r["key"]).decode(): r for r in recs}
-    assert set(by_key) == {'"1"', "test.test", "test"}
-    cmd = by_key["test.test"]
+    # command keys are JSON-encoded like doc keys (route81.go:1362-1371)
+    assert set(by_key) == {'"1"', '"test.test"', '"test"'}
+    cmd = by_key['"test.test"']
     v = json.loads(bytes(cmd["value"]).decode())
     assert v["meta"]["op"] == "c" and "data" not in v and "_id" not in v["meta"]
     hdr_keys = [h["key"] for h in cmd["headers"]]
     assert "_id" not in hdr_keys and "ns" in hdr_keys
-    dropdb = by_key["test"]
+    dropdb = by_key['"test"']
     assert dropdb["topic"] == "test"  # routed by db name
 
 
