@@ -29,6 +29,7 @@ BENCH_QUERIES = [
     "cdc_merge_state",    # change feed -> classify -> keyed merge
     "dedup_lsh_jaccard",  # MinHash LSH candidates + Jaccard verify
     "dedup_exact",        # hash-agg dedup
+    "dedup_end_to_end",   # LSH + verify + label-propagation clustering loop
     "sim_topk",           # brute-force cosine top-k (bit-exact fold path)
     "sim_topk_blas",      # brute-force via Arrow+BLAS matmul (scale path)
     "sim_bucketed",       # sign-bucket LSH ANN
@@ -58,11 +59,19 @@ def main() -> None:
     for name in BENCH_QUERIES:
         materialize(qs[name](spark, warm_dir))
 
+    # measured phase: min of 3 runs per query. Single runs at sf0.1 on a
+    # shared box swing ±2-3x (GC pauses, page-cache state); the min is the
+    # stable estimator of the plan's true cost (r2 recorded 37.6s of noise
+    # against a true ~19.8s)
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        t0 = time.perf_counter()
-        materialize(qs[name](spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+    for _ in range(n_runs):
+        for name in BENCH_QUERIES:
+            t0 = time.perf_counter()
+            materialize(qs[name](spark, sf_dir))
+            dt = round(time.perf_counter() - t0, 3)
+            if name not in timings or dt < timings[name]:
+                timings[name] = dt
 
     total = round(sum(timings.values()), 3)
     print(
@@ -73,6 +82,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "runs": n_runs,
+                "aggregation": "min",
             }
         )
     )

@@ -273,10 +273,16 @@ def _avro_to_spark_type(schema: Any) -> T.DataType:
     raise ValueError(f"unsupported avro type: {t}")
 
 
-def decode_avro_records(records: DataFrame, schema_spec: str) -> DataFrame:
+def decode_avro_records(
+    records: DataFrame, schema_spec: str, binary: bool = True
+) -> DataFrame:
     """Kafka records with avro `value` bytes -> decoded document rows
-    (one column per top-level record field, plus passthrough `seq`)."""
+    (one column per top-level record field, plus passthrough `seq`).
+
+    `binary` selects the wire form like the reference's AvroMessageDecoder
+    (decoding/decoding.go:45-57): NativeFromBinary vs NativeFromTextual."""
     schema = json.loads(schema_spec)
+    decode_one = avro_decode if binary else avro_decode_textual
     spark_type = _avro_to_spark_type(schema)
     if not isinstance(spark_type, T.StructType):
         raise ValueError("avro-schema-spec must be a record schema")
@@ -286,7 +292,7 @@ def decode_avro_records(records: DataFrame, schema_spec: str) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = [avro_decode(schema, bytes(v)) for v in pdf["value"]]
+            rows = [decode_one(schema, bytes(v)) for v in pdf["value"]]
             frame = pd.DataFrame(rows, columns=[f.name for f in fields])
             if has_seq:
                 frame["seq"] = pdf["seq"].values

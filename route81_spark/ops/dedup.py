@@ -310,42 +310,56 @@ def near_dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     edges = edges.unionByName(
         pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
     )
+    # materialize the edge set ONCE: without this, every iteration (and
+    # every `changed` count) re-executes the full upstream candidate/
+    # verify DAG — the LSH join, shingling, the lot — once per round
+    edges = edges.persist()
+    # localCheckpoint per iteration truncates lineage: otherwise the
+    # labels plan deepens by two joins per round and round N re-executes
+    # rounds 1..N-1 (quadratic work, and a planner blow-up past ~15
+    # rounds). eager=True also makes `labels` the single materialization
+    # the changed-count and next round both reuse.
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
     )
-    for _ in range(max_iter):
-        neighbor_min = (
-            edges.join(labels, edges["dst"] == labels["id"])
-            .groupBy("src")
-            .agg(F.min("label").alias("nlabel"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
-            .select(
-                "id",
-                F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias(
-                    "label"
-                ),
+    try:
+        for _ in range(max_iter):
+            neighbor_min = (
+                edges.join(labels, edges["dst"] == labels["id"])
+                .groupBy("src")
+                .agg(F.min("label").alias("nlabel"))
             )
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
-    else:
-        # silent non-convergence would return wrong clusters (a chain
-        # longer than max_iter still carries intermediate labels)
-        raise RuntimeError(
-            f"near_dup_clusters did not converge in {max_iter} rounds; "
-            "component diameter exceeds max_iter — raise it or switch to "
-            "large-star/small-star"
-        )
+            new_labels = (
+                labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
+                .select(
+                    "id",
+                    F.least(
+                        F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                    ).alias("label"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "id")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .limit(1)
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                break
+        else:
+            # silent non-convergence would return wrong clusters (a chain
+            # longer than max_iter still carries intermediate labels)
+            raise RuntimeError(
+                f"near_dup_clusters did not converge in {max_iter} rounds; "
+                "component diameter exceeds max_iter — raise it or switch to "
+                "large-star/small-star"
+            )
+    finally:
+        edges.unpersist()
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))

@@ -179,23 +179,50 @@ def ivf_assign(
     centroid_id_col: str = "centroid_id",
     centroid_vec_col: str = "centroid_vec",
 ) -> DataFrame:
-    """IVF coarse quantization: assign every vector to its
-    max-cosine centroid (ties -> lowest centroid id). The codebook is
-    broadcast; assignment is map-side + a per-vector top-1 window over
-    C rows — no full shuffle of the corpus."""
-    scored = emb.crossJoin(F.broadcast(centroids)).select(
-        F.col(id_col),
-        F.col(vec_col),
-        F.col(centroid_id_col),
-        det_round(cosine(F.col(vec_col), F.col(centroid_vec_col)), 6).alias("__cscore"),
+    """IVF coarse quantization as a ZERO-SHUFFLE narrow transform.
+
+    The codebook (C centroids — bounded by definition, typically
+    C ~ sqrt(N)) is collapsed to a single row holding the whole array of
+    (id, vec) cells; a 1-row broadcast nested-loop join attaches it to
+    every corpus partition map-side, and each row computes its argmax
+    cosine with JVM higher-order functions. No per-vector window, no
+    Exchange: the corpus (and its embedding payload) never shuffles —
+    the previous crossJoin + row_number(PARTITION BY vec_id) forced a
+    full-corpus hash Exchange carrying every embedding, which is the
+    scale-killer at 100 TB.
+
+    Contract unchanged: ties -> lowest centroid id; a vector whose score
+    is null against every centroid (zero vector) also takes the lowest
+    centroid id — identical to the old
+    row_number(ORDER BY score DESC NULLS LAST, cid ASC) semantics.
+    """
+    cell = F.struct(
+        F.col(centroid_id_col).alias("cid"), F.col(centroid_vec_col).alias("cvec")
     )
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("__cscore").desc(), F.col(centroid_id_col).asc()
+    codebook = centroids.agg(F.collect_list(cell).alias("__codebook"))
+
+    def scored(row):
+        return F.transform(
+            F.col("__codebook"),
+            lambda c: F.struct(
+                det_round(cosine(row, c["cvec"]), 6).alias("score"),
+                c["cid"].alias("cid"),
+            ),
+        )
+
+    best_score = F.array_max(
+        F.transform(scored(F.col(vec_col)), lambda s: s["score"])
     )
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(id_col, vec_col, centroid_id_col)
+    best_cid = F.array_min(
+        F.transform(
+            F.filter(
+                scored(F.col(vec_col)), lambda s: s["score"].eqNullSafe(best_score)
+            ),
+            lambda s: s["cid"],
+        )
+    )
+    return emb.crossJoin(F.broadcast(codebook)).select(
+        F.col(id_col), F.col(vec_col), best_cid.alias(centroid_id_col)
     )
 
 

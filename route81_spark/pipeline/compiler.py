@@ -296,6 +296,16 @@ def _stage_add_fields(df: DataFrame, arg: dict) -> DataFrame:
     # All expressions in one $addFields/$set evaluate against the STAGE
     # INPUT document ({$addFields: {a: 5, b: "$a"}} -> b = original a),
     # so compile every spec against df and apply them in a single select.
+    # MongoDB rejects a name appearing both bare and as a dotted prefix
+    # in one stage ({"a": .., "a.b": ..} -> conflicting-path error);
+    # silently merging would make the result depend on spec order.
+    bare = {n for n in arg if "." not in n}
+    dotted_tops = {n.split(".", 1)[0] for n in arg if "." in n}
+    conflict = bare & dotted_tops
+    if conflict:
+        raise PipelineCompileError(
+            f"conflicting paths in $addFields/$set: {sorted(conflict)}"
+        )
     updates: dict[str, Column] = {}
     for name, spec in arg.items():
         if "." in name:

@@ -20,6 +20,7 @@ paths compile to nested-Column access so the classifier is a pure
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame
@@ -33,18 +34,46 @@ class ClassifierConfig:
     delete_id_path: str | None = None  # e.g. "meta._id"
 
 
+_SEG = re.compile(r"^([^\[\]]+)((?:\[\d+\])*)$")
+
+
+def _parse_path(path: str) -> list[str | int]:
+    """`data.items[0]._id` -> ["data", "items", 0, "_id"]. The reference
+    compiles these with gval.Full() (route81.go:323-336); the subset a
+    consumer config actually uses is dotted fields + [n] indexing, which
+    maps 1:1 onto nested-Column access (both are 0-based)."""
+    out: list[str | int] = []
+    for part in path.split("."):
+        m = _SEG.match(part)
+        if not m:
+            raise ValueError(f"bad path segment {part!r} in {path!r}")
+        out.append(m.group(1))
+        for idx in re.findall(r"\[(\d+)\]", m.group(2)):
+            out.append(int(idx))
+    return out
+
+
 def _path_col(path: str) -> Column:
-    return F.col(path)
+    segs = _parse_path(path)
+    col = F.col(str(segs[0]))
+    for s in segs[1:]:
+        col = col.getItem(s) if isinstance(s, int) else col.getField(s)
+    return col
 
 
 def _root_type(schema: T.StructType, path: str | None) -> T.DataType:
     if path is None:
         return schema
     dt: T.DataType = schema
-    for part in path.split("."):
-        if not isinstance(dt, T.StructType):
-            raise ValueError(f"path {path} does not resolve to a struct field")
-        dt = dt[part].dataType
+    for part in _parse_path(path):
+        if isinstance(part, int):
+            if not isinstance(dt, T.ArrayType):
+                raise ValueError(f"path {path} indexes a non-array field")
+            dt = dt.elementType
+        else:
+            if not isinstance(dt, T.StructType):
+                raise ValueError(f"path {path} does not resolve to a struct field")
+            dt = dt[part].dataType
     return dt
 
 
@@ -55,12 +84,17 @@ def classify(
     `doc` (the re-rooted replacement document struct), plus any `keep`
     passthrough columns (e.g. a kafka offset for per-key ordering)."""
     cfg = cfg or ClassifierConfig()
+    keep = [c for c in (keep or []) if c in df.columns]
     if cfg.document_root_path:
         root = _path_col(cfg.document_root_path)
         root_type = _root_type(df.schema, cfg.document_root_path)
     else:
-        root = F.struct(*[F.col(c) for c in df.columns])
-        root_type = _root_type(df.schema, None)
+        # whole-message root: transport passthrough columns (kafka seq)
+        # are NOT part of the document — folding them in would corrupt
+        # the replacement doc and break id-only delete detection
+        doc_cols = [c for c in df.columns if c not in set(keep)]
+        root = F.struct(*[F.col(c) for c in doc_cols])
+        root_type = T.StructType([df.schema[c] for c in doc_cols])
 
     if not isinstance(root_type, T.StructType):
         raise ValueError("document root must be a struct")
@@ -84,5 +118,5 @@ def classify(
         is_delete.alias("is_delete"),
         doc_id.cast("string").alias("doc_id"),
         root.alias("doc"),
-        *[F.col(c) for c in (keep or []) if c in df.columns],
+        *[F.col(c) for c in keep],
     )

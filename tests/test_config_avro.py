@@ -171,3 +171,61 @@ def test_kafka_settings_passthrough_mapping():
     bad = load_config('kafka = "b:9092"\n[kafka-settings]\nnot-a-key = 1\n')
     with pytest.raises(ConfigError):
         kafka_sink_options(bad)
+
+
+def test_avro_binary_config_toggle():
+    # route81.go:108: avro-binary is a plain bool whose Go zero value is
+    # false -> textual decode is the default (decoding/decoding.go:45-57)
+    tmpl = (
+        '[[consume]]\nkafka-topics=["t"]\nmongo-namespace="a.b"\n'
+        'message-format="avro"\n'
+        'avro-schema-spec=\'{"type":"record","name":"d","fields":[]}\'\n'
+    )
+    assert load_config(tmpl).consumers[0].avro_binary is False
+    assert load_config(tmpl + "avro-binary=true\n").consumers[0].avro_binary is True
+    assert load_config(tmpl + "avro-binary=false\n").consumers[0].avro_binary is False
+
+
+def test_avro_textual_consumer_loopback(spark, tmp_path):
+    """End-to-end textual-avro consume (route81.go:718-722 default path):
+    encode TextualFromNative-style, run a full consumer batch, target
+    table tracks the documents."""
+    import json as _json
+
+    from pyspark.sql import Row
+    from pyspark.sql import types as T
+
+    from route81_spark.codecs.avro import avro_encode_textual
+    from route81_spark.config import ConsumerSpec
+    from route81_spark.jobs.consumer import apply_consumer_batch
+    from route81_spark.sinks.merge import KeyedParquetTable
+
+    schema = {
+        "type": "record",
+        "name": "doc",
+        "fields": [
+            {"name": "_id", "type": "string"},
+            {"name": "n", "type": "long"},
+        ],
+    }
+    doc_schema = T.StructType(
+        [T.StructField("_id", T.StringType()), T.StructField("n", T.LongType())]
+    )
+    table = KeyedParquetTable(spark, str(tmp_path / "t"))
+    table.init(spark.createDataFrame([], doc_schema))
+    docs = [{"_id": str(i), "n": i} for i in range(5)]
+    batch = spark.createDataFrame(
+        [Row(value=avro_encode_textual(schema, d), seq=i) for i, d in enumerate(docs)],
+        "value binary, seq long",
+    )
+    spec = ConsumerSpec(
+        kafka_topics=["t"],
+        mongo_namespace="a.b",
+        message_format="avro",
+        avro_schema_spec=_json.dumps(schema),
+    )
+    assert spec.avro_binary is False  # default matches the reference
+    res = apply_consumer_batch(table, batch, spec, doc_schema)
+    assert res == {"success": 5, "failed": 0}
+    got = {r["_id"]: r["n"] for r in table.read().collect()}
+    assert got == {str(i): i for i in range(5)}

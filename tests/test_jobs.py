@@ -40,8 +40,9 @@ stages = '[{"$match": {"n_regionkey": {"$lte": 2}}}]'
     )
     rows = records.collect()
     topics = {r["topic"] for r in rows}
-    # producer-map rewrites region; nation takes prefix+ns (README.md:236-259)
-    assert topics == {"pfx.test.nation", "regions"}
+    # prefix applies before the producer-map rewrite (route81.go:1330-1351):
+    # region -> map topic "regions" still gets the prefix; nation takes prefix+ns
+    assert topics == {"pfx.test.nation", "pfx.regions"}
     nation_rows = [r for r in rows if r["topic"] == "pfx.test.nation"]
     assert all(
         json.loads(bytes(r["value"]).decode())["data"]["n_regionkey"]["$numberInt"] in "012"

@@ -436,3 +436,20 @@ def test_project_deep_nested_inclusion(spark):
     r = out.collect()[0]
     assert r["k"] == 1
     assert r["s"].asDict(recursive=True) == {"a": {"b": 1}, "d": 3}
+
+
+def test_addfields_conflicting_paths_rejected(spark):
+    # MongoDB raises a conflicting-path error when a name appears both
+    # bare and as a dotted prefix in one $addFields/$set stage; silently
+    # merging would make the result depend on spec order
+    df = spark.createDataFrame(
+        [Row(a=Row(b=1), x=2)], "a struct<b:int>, x int"
+    )
+    with pytest.raises(PipelineCompileError, match="conflicting paths"):
+        apply_pipeline(df, [{"$addFields": {"a": {"$literal": 5}, "a.b": "$x"}}])
+    # two dotted updates under the same top are still fine
+    out = apply_pipeline(
+        spark.createDataFrame([Row(a=Row(b=1, c=2))], "a struct<b:int,c:int>"),
+        [{"$addFields": {"a.b": {"$literal": 9}, "a.c": {"$literal": 8}}}],
+    ).collect()[0]
+    assert out["a"]["b"] == 9 and out["a"]["c"] == 8

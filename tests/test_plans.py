@@ -117,6 +117,39 @@ def test_lookup_unwind_fuses_to_join(spark):
     assert "collect_list" not in plan
 
 
+def test_ivf_assign_never_shuffles_corpus(spark):
+    """ivf_assign must be a narrow transform over the corpus: the only
+    Exchange allowed is the SinglePartition agg that folds the (tiny)
+    codebook into one broadcast row. A hashpartitioning Exchange — the
+    old crossJoin + row_number(PARTITION BY vec_id) shape — would
+    re-shuffle every embedding at 100 TB."""
+    from pyspark.sql import functions as F
+    from route81_spark.io import load_table
+    from route81_spark.ops.similarity import ivf_assign
+
+    emb = load_table(spark, SF, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid_vec")
+    )
+    plan = plan_of(ivf_assign(emb, centroids), "simple")
+    assert "hashpartitioning" not in plan, "corpus is being shuffled"
+    assert "Window" not in plan  # per-vector top-1 window is gone
+    assert "EvalPython" not in plan  # argmax stays JVM-side
+
+
+def test_ivf_topk_corpus_side_joins_broadcast(spark):
+    # candidate retrieval must be a broadcast equi-join on centroid_id;
+    # the only hash Exchange is the final per-query window over the tiny
+    # projected (query_id, vec_id, score) result — never the corpus
+    df = harness.QUERIES["sim_ivf"](spark, SF)
+    plan = plan_of(df, "simple")
+    assert "BroadcastHashJoin" in plan
+    # embedding payloads must not cross a hash Exchange
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "embedding" not in line, f"embedding shuffled: {line}"
+
+
 def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
     """Scale pattern: pre-bucketing both sides of a repeated join key
     lets every subsequent join skip the shuffle entirely — at 100 TB

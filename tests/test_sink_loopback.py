@@ -152,3 +152,33 @@ def test_namespace_feedback_loop_filter(spark):
         & ~F.col("ns").isin(consumer_targets)
     )
     assert [r["ns"] for r in out.collect()] == ["test.test"]
+
+
+def test_classifier_array_index_paths(spark):
+    """gval-style [n] indexing in document-root-path / delete-id-path
+    (route81.go:323-336): re-root at data.items[0] and take the delete
+    id from meta.ids[1]."""
+    schema = (
+        "meta struct<ids:array<string>>, "
+        "data struct<items:array<struct<_id:string, v:int>>>"
+    )
+    df = spark.createDataFrame(
+        [
+            Row(meta=Row(ids=["x0", "x1"]), data=Row(items=[Row(_id="A", v=7)])),
+            Row(meta=Row(ids=["y0", "y1"]), data=Row(items=[Row(_id="B", v=None)])),
+            Row(meta=Row(ids=["z0", "z1"]), data=None),
+        ],
+        schema=schema,
+    )
+    out = classify(
+        df,
+        ClassifierConfig(
+            document_root_path="data.items[0]", delete_id_path="meta.ids[1]"
+        ),
+    ).collect()
+    got = {r["doc_id"]: (r["is_delete"], r["doc"]) for r in out}
+    assert got["A"][0] is False and got["A"][1]["v"] == 7
+    # id-only root -> delete, id from delete-id-path
+    assert got["y1"][0] is True
+    # missing root -> delete
+    assert got["z1"][0] is True
