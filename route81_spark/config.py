@@ -77,6 +77,7 @@ class Config:
     resume_name: str = "default"
     stats_seconds: float = 10        # route81.go:443-444
     fail_fast: bool = False
+    pprof: bool = False              # route81.go:141, served :967-973
     producer_maps: list[ProducerMapSpec] = field(default_factory=list)
     pipelines: list[PipelineSpec] = field(default_factory=list)
     consumers: list[ConsumerSpec] = field(default_factory=list)
@@ -101,7 +102,7 @@ _TOP_KEYS = {
     "direct-read-split-max", "direct-read-concur", "exit-after-direct-reads",
     "topic-name-prefix", "metadata-db", "resume-name", "stats-duration",
     "fail-fast", "producer-map", "pipeline", "consume", "kafka", "kafka-settings",
-    "mongo",
+    "mongo", "pprof",
 }
 
 
@@ -145,6 +146,7 @@ def load_config(text: str) -> Config:
         resume_name=str(data.get("resume-name", "default")),
         stats_seconds=_duration_seconds(data.get("stats-duration", 10)),
         fail_fast=bool(data.get("fail-fast", False)),
+        pprof=bool(data.get("pprof", False)),
     )
     for m in data.get("producer-map", []):
         if "kafka-topic" not in m or not m["kafka-topic"]:

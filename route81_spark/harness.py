@@ -2480,6 +2480,43 @@ def text_langid(spark, sf_dir):
     return docs.select("doc_id", "lang", X.lang_id(F.col("text")).alias("pred_lang"))
 
 
+@_q(
+    "text_winnow",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_transform(range(1, greatest(len(tk) - 3, 1) + 1),
+                            i -> coalesce(array_to_string(tk[i:i+3], ' '), '')) AS sgl
+      FROM t
+    ),
+    h AS (
+      SELECT doc_id,
+             list_transform(sgl, s -> ('0x' || substr(md5('7|' || s), 1, 15))::BIGINT) AS hs
+      FROM sh
+    ),
+    w AS (
+      SELECT doc_id,
+             list_sort(list_distinct(
+               list_transform(range(1, greatest(len(hs) - 3, 1) + 1),
+                              i -> list_aggregate(hs[i:i+3], 'min')))) AS fps
+      FROM h
+    )
+    SELECT doc_id, unnest(fps) AS fp FROM w
+    """,
+)
+def text_winnow(spark, sf_dir):
+    # winnowing fingerprints (MOSS), exploded to (doc_id, fp) rows —
+    # the equi-joinable representation candidate retrieval uses
+    from route81_spark.io import ensure_parallelism
+
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    return docs.select(
+        "doc_id",
+        F.explode(X.winnow_fingerprints(F.col("text"), k=4, window=4)).alias("fp"),
+    )
+
+
 # =====================================================================
 # Tier-3 pipeline stages: $lookup / $bucket / $bucketAuto / $facet /
 # $setWindowFields (route81 forwards arbitrary stage JSON — these are

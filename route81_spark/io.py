@@ -26,6 +26,13 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     if df.isStreaming:
         return df  # micro-batch partitioning is the source's concern
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    try:
+        # cheap file-count screen: >= target input files means the scan
+        # already splits enough, no need to build the RDD plan at all
+        if len(df.inputFiles()) >= target:
+            return df
+    except Exception:
+        pass
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df

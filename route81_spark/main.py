@@ -185,6 +185,8 @@ def main(argv: list[str] | None = None) -> int:
                     help="serve /started /healthz /stats")
     ap.add_argument("--http-server-addr", default=":8080",
                     help="listen address for --http-server ([host]:port)")
+    ap.add_argument("--pprof", action="store_true",
+                    help="serve /debug/pprof/* (route81.go:457)")
     args = ap.parse_args(argv)
 
     with open(args.config) as f:
@@ -205,7 +207,9 @@ def main(argv: list[str] | None = None) -> int:
         listener = StatsListener(log=not args.disable_stats_log)
         spark.streams.addListener(listener)
         port = int(args.http_server_addr.rsplit(":", 1)[-1] or 8080)
-        http_server = serve_stats(listener, port=port)
+        http_server = serve_stats(
+            listener, port=port, pprof=args.pprof or cfg.pprof
+        )
 
     try:
         if cfg.direct_read_namespaces:

@@ -100,6 +100,37 @@ def shingles(text_col: Column, n: int = 3) -> Column:
     )
 
 
+def winnow_fingerprints(text_col: Column, k: int = 4, window: int = 4) -> Column:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD 2003, the MOSS algorithm): rolling-hash every k-token
+    shingle POSITIONALLY (no distinct — window order matters), keep the
+    minimum hash of each `window` consecutive hashes, then dedupe+sort.
+    Guarantees any shared run of >= window+k-1 tokens yields a common
+    fingerprint, with ~2/(window+1) of hashes retained.
+
+    Pure per-row Column expression — at 100 TB this is a narrow map with
+    no shuffle; candidate retrieval is then an equi-join on fp."""
+    tk = tokens(text_col)
+    n_sh = F.greatest(F.size(tk) - F.lit(k - 1), F.lit(1))
+    sh = F.transform(
+        F.sequence(F.lit(1), n_sh), lambda i: F.concat_ws(" ", F.slice(tk, i, k))
+    )
+    hs = F.transform(sh, lambda s: _h64(s, 7))
+    n_win = F.greatest(F.size(hs) - F.lit(window - 1), F.lit(1))
+    fps = F.transform(
+        F.sequence(F.lit(1), n_win), lambda i: F.array_min(F.slice(hs, i, window))
+    )
+    return F.array_sort(F.array_distinct(fps))
+
+
+def _h64(col: Column, seed: int) -> Column:
+    # same deterministic 60-bit md5 hash as ops.dedup.h64 (kept local to
+    # avoid a circular import)
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{seed}|"), col)), 1, 15), 16, 10
+    ).cast("long")
+
+
 def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
     c = F.col(text_col)
     return df.select(

@@ -21,6 +21,7 @@ def direct_read(
     min_partitions: int | None = None,
 ) -> DataFrame:
     df = spark.read.parquet(path)
-    if min_partitions and df.rdd.getNumPartitions() < min_partitions:
-        df = df.repartition(min_partitions)
+    if min_partitions and len(df.inputFiles()) < min_partitions:
+        if df.rdd.getNumPartitions() < min_partitions:
+            df = df.repartition(min_partitions)
     return df

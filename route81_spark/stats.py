@@ -65,23 +65,86 @@ class StatsListener(StreamingQueryListener):
             return dict(self.counters)
 
 
-def serve_stats(listener: StatsListener, port: int = 0) -> ThreadingHTTPServer:
-    """HTTP /started /healthz /stats like route81.go:937-980. Returns the
-    server (already serving on a daemon thread); .server_port has the
-    bound port."""
+def _thread_stacks() -> str:
+    """All driver-thread stacks — the Python analogue of a goroutine
+    dump (pprof.Index's goroutine profile)."""
+    import sys
+    import traceback
+
+    names = {t.ident: t.name for t in threading.enumerate()}
+    out = []
+    for ident, frame in sys._current_frames().items():
+        out.append(f"thread {names.get(ident, ident)}:")
+        out.extend(line.rstrip() for line in traceback.format_stack(frame))
+        out.append("")
+    return "\n".join(out)
+
+
+def _sample_profile(seconds: float, interval: float = 0.01) -> str:
+    """Sampling CPU profile of the Python driver (pprof.Profile
+    equivalent; the JVM side is covered by the Spark UI). Samples every
+    thread's innermost frames and reports aggregate counts, hottest
+    first."""
+    import sys
+    from collections import Counter
+
+    counts: Counter[str] = Counter()
+    deadline = time.time() + max(0.1, min(seconds, 60.0))
+    n = 0
+    while time.time() < deadline:
+        for frame in sys._current_frames().values():
+            stack = []
+            f = frame
+            while f is not None and len(stack) < 8:
+                stack.append(f"{f.f_code.co_filename}:{f.f_lineno}({f.f_code.co_name})")
+                f = f.f_back
+            counts[" <- ".join(stack)] += 1
+        n += 1
+        time.sleep(interval)
+    lines = [f"samples: {n} interval_s: {interval}"]
+    lines += [f"{c}\t{s}" for s, c in counts.most_common(50)]
+    return "\n".join(lines)
+
+
+def serve_stats(
+    listener: StatsListener, port: int = 0, pprof: bool = False
+) -> ThreadingHTTPServer:
+    """HTTP /started /healthz /stats like route81.go:937-980, plus the
+    config-gated /debug/pprof/* family (route81.go:141 `pprof` key,
+    served route81.go:967-973) mapped to the Python driver: cmdline,
+    thread-stack dump, sampling CPU profile. Returns the server (already
+    serving on a daemon thread); .server_port has the bound port."""
 
     class Handler(BaseHTTPRequestHandler):
         def do_GET(self):  # noqa: N802
-            if self.path in ("/started", "/healthz"):
+            import sys
+            from urllib.parse import parse_qs, urlparse
+
+            url = urlparse(self.path)
+            ctype = "application/json"
+            if url.path in ("/started", "/healthz"):
                 body = b"ok"
-            elif self.path == "/stats":
+            elif url.path == "/stats":
                 body = json.dumps(listener.snapshot()).encode()
+            elif pprof and url.path in ("/debug/pprof", "/debug/pprof/"):
+                ctype = "text/plain"
+                body = b"profiles: cmdline profile goroutine\n"
+            elif pprof and url.path == "/debug/pprof/cmdline":
+                ctype = "text/plain"
+                body = "\x00".join(sys.argv).encode()
+            elif pprof and url.path == "/debug/pprof/goroutine":
+                ctype = "text/plain"
+                body = _thread_stacks().encode()
+            elif pprof and url.path == "/debug/pprof/profile":
+                secs = float(parse_qs(url.query).get("seconds", ["1"])[0])
+                ctype = "text/plain"
+                body = _sample_profile(secs).encode()
             else:
                 self.send_response(404)
                 self.end_headers()
                 return
             self.send_response(200)
-            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Type", ctype)
             self.send_header("Content-Length", str(len(body)))
             self.end_headers()
             self.wfile.write(body)

@@ -179,3 +179,27 @@ def test_pq_topk_recall_vs_brute_force(spark, sf_dir):
     rr = [len(ref[q] & want[q]) / len(want[q]) for q in want]
     assert sum(rr) / len(rr) >= 0.8, f"refined recall@10 too low: {rr}"
 
+
+
+def test_winnow_guarantee_shared_run(spark):
+    """Winnowing guarantee (Schleimer et al. 2003): two documents
+    sharing a token run of >= window+k-1 tokens (here 7) must share at
+    least one fingerprint; disjoint texts share none."""
+    shared = "alpha beta gamma delta epsilon zeta eta"  # 7 tokens
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=f"one two three {shared} four five"),
+            Row(doc_id=2, text=f"{shared} completely different tail here"),
+            Row(doc_id=3, text="nothing in common with the others at all"),
+        ],
+        "doc_id int, text string",
+    )
+    out = df.select(
+        "doc_id", X.winnow_fingerprints(F.col("text"), k=4, window=4).alias("fps")
+    ).collect()
+    fps = {r["doc_id"]: set(r["fps"]) for r in out}
+    assert fps[1] & fps[2], "shared 7-token run must produce a common fingerprint"
+    assert not (fps[1] & fps[3])
+    assert not (fps[2] & fps[3])
+    # retention: fingerprints are a strict subset of the shingle hashes
+    assert all(len(v) > 0 for v in fps.values())

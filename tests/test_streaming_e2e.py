@@ -279,3 +279,38 @@ def test_namespace_filter_blocks_consumer_targets(spark):
     )
     out = namespace_filter(df, cfg)
     assert [r["ns_full"] for r in out.collect()] == ["test.test"]
+
+
+def test_pprof_endpoints_config_gated():
+    """/debug/pprof/* family (route81.go:967-973): served only when the
+    pprof toggle is on (route81.go:141), 404 otherwise."""
+    import urllib.error
+    import urllib.request
+
+    from route81_spark.config import load_config
+    from route81_spark.stats import StatsListener, serve_stats
+
+    assert load_config("pprof = true").pprof is True
+    assert load_config("").pprof is False
+
+    listener = StatsListener(log=False)
+    srv = serve_stats(listener, pprof=True)
+    try:
+        base = f"http://127.0.0.1:{srv.server_port}/debug/pprof"
+        assert b"profiles" in urllib.request.urlopen(f"{base}/").read()
+        assert urllib.request.urlopen(f"{base}/cmdline").read()
+        stacks = urllib.request.urlopen(f"{base}/goroutine").read().decode()
+        assert "thread" in stacks
+        prof = urllib.request.urlopen(f"{base}/profile?seconds=0.2").read().decode()
+        assert prof.startswith("samples:")
+    finally:
+        srv.shutdown()
+
+    srv_off = serve_stats(listener, pprof=False)
+    try:
+        with pytest.raises(urllib.error.HTTPError):
+            urllib.request.urlopen(
+                f"http://127.0.0.1:{srv_off.server_port}/debug/pprof/"
+            )
+    finally:
+        srv_off.shutdown()
