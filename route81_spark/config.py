@@ -78,6 +78,14 @@ class Config:
     stats_seconds: float = 10        # route81.go:443-444
     fail_fast: bool = False
     pprof: bool = False              # route81.go:141, served :967-973
+    # remaining route81.go:120-147 toggles, TOML-settable like the
+    # reference (each also has a CLI flag; flag OR config wins)
+    disable_change_stream: bool = False
+    resume: bool = False
+    disable_stats: bool = False
+    disable_stats_log: bool = False
+    http_server: bool = False
+    http_server_addr: str = ":8080"
     producer_maps: list[ProducerMapSpec] = field(default_factory=list)
     pipelines: list[PipelineSpec] = field(default_factory=list)
     consumers: list[ConsumerSpec] = field(default_factory=list)
@@ -101,9 +109,19 @@ _TOP_KEYS = {
     "change-stream-namespaces", "direct-read-namespaces",
     "direct-read-split-max", "direct-read-concur", "exit-after-direct-reads",
     "topic-name-prefix", "metadata-db", "resume-name", "stats-duration",
-    "fail-fast", "producer-map", "pipeline", "consume", "kafka", "kafka-settings",
-    "mongo", "pprof",
+    "fail-fast", "producer-map", "pipeline", "consumer", "kafka", "kafka-settings",
+    "mongo", "pprof", "disable-change-stream", "resume", "disable-stats",
+    "disable-stats-log", "http-server", "http-server-addr",
 }
+
+_CONSUMER_KEYS = {
+    "group-id", "namespace", "topics", "message-format", "bulk-size",
+    "bulk-flush-duration", "workers", "avro-schema-spec", "avro-binary",
+    "document-root-path", "delete-id-path",
+}
+
+_PRODUCER_MAP_KEYS = {"mongo-namespace", "kafka-topic"}
+_PIPELINE_KEYS = {"namespace", "direct", "stages"}
 
 
 def _duration_seconds(v) -> float:
@@ -147,8 +165,17 @@ def load_config(text: str) -> Config:
         stats_seconds=_duration_seconds(data.get("stats-duration", 10)),
         fail_fast=bool(data.get("fail-fast", False)),
         pprof=bool(data.get("pprof", False)),
+        disable_change_stream=bool(data.get("disable-change-stream", False)),
+        resume=bool(data.get("resume", False)),
+        disable_stats=bool(data.get("disable-stats", False)),
+        disable_stats_log=bool(data.get("disable-stats-log", False)),
+        http_server=bool(data.get("http-server", False)),
+        http_server_addr=str(data.get("http-server-addr", ":8080")),
     )
     for m in data.get("producer-map", []):
+        unknown = set(m) - _PRODUCER_MAP_KEYS
+        if unknown:
+            raise ConfigError(f"unknown producer-map keys: {sorted(unknown)}")
         if "kafka-topic" not in m or not m["kafka-topic"]:
             raise ConfigError("producer-map requires kafka-topic")  # route81.go:260-264
         cfg.producer_maps.append(
@@ -156,6 +183,9 @@ def load_config(text: str) -> Config:
         )
     seen: set[tuple[str, bool]] = set()
     for p in data.get("pipeline", []):
+        unknown = set(p) - _PIPELINE_KEYS
+        if unknown:
+            raise ConfigError(f"unknown pipeline keys: {sorted(unknown)}")
         stages_raw = p.get("stages", "[]")
         try:
             stages = json.loads(stages_raw) if isinstance(stages_raw, str) else stages_raw
@@ -168,7 +198,12 @@ def load_config(text: str) -> Config:
             raise ConfigError(f"duplicate pipeline for {key}")  # README.md:289-291
         seen.add(key)
         cfg.pipelines.append(PipelineSpec(key[0], key[1], stages))
-    for c in data.get("consume", []):
+    # the reference's TOML key is [[consumer]] with `namespace`/`topics`
+    # (route81.go:99-113, README.md:323-329)
+    for c in data.get("consumer", []):
+        unknown = set(c) - _CONSUMER_KEYS
+        if unknown:
+            raise ConfigError(f"unknown consumer keys: {sorted(unknown)}")
         fmt = c.get("message-format", "json-ext")
         if fmt not in MESSAGE_FORMATS:
             raise ConfigError(f"bad message-format: {fmt}")  # route81.go:291-292
@@ -176,8 +211,8 @@ def load_config(text: str) -> Config:
             raise ConfigError("avro requires avro-schema-spec")  # route81.go:306-308
         cfg.consumers.append(
             ConsumerSpec(
-                kafka_topics=list(c.get("kafka-topics", [])),
-                mongo_namespace=_validate_namespace(c["mongo-namespace"]),
+                kafka_topics=list(c.get("topics", [])),
+                mongo_namespace=_validate_namespace(c["namespace"]),
                 message_format=fmt,
                 document_root_path=c.get("document-root-path"),
                 delete_id_path=c.get("delete-id-path"),

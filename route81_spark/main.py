@@ -80,7 +80,7 @@ def run_change_streams(spark, cfg: Config, doc_schemas: dict, args):
 
 
 def run_consumers(spark, cfg: Config, args) -> list:
-    """Wire each [[consume]] block: kafka-shaped records (parquet topic
+    """Wire each [[consumer]] block: kafka-shaped records (parquet topic
     dirs, or Kafka when --kafka-bootstrap) -> decode -> classify ->
     keyed merge into --tables-out/<ns> (route81 consumer path §3.3)."""
     import json as _json
@@ -196,17 +196,28 @@ def main(argv: list[str] | None = None) -> int:
 
         print(_json.dumps(dataclasses.asdict(cfg), indent=2, default=str))
         return 0
-    if args.disable_change_stream:
+    # each toggle is TOML-settable like the reference (route81.go:120-147);
+    # the CLI flag ORs on top (route81.go:342-404 merge semantics)
+    if args.disable_change_stream or cfg.disable_change_stream:
         cfg.change_stream_namespaces = []
     spark = get_spark("route81_spark_main")
 
     http_server = None
-    if args.http_server and not args.disable_stats:
+    want_http = args.http_server or cfg.http_server
+    disable_stats = args.disable_stats or cfg.disable_stats
+    if want_http and not disable_stats:
         from route81_spark.stats import StatsListener, serve_stats
 
-        listener = StatsListener(log=not args.disable_stats_log)
+        listener = StatsListener(
+            log=not (args.disable_stats_log or cfg.disable_stats_log)
+        )
         spark.streams.addListener(listener)
-        port = int(args.http_server_addr.rsplit(":", 1)[-1] or 8080)
+        addr = (
+            args.http_server_addr
+            if args.http_server_addr != ":8080"
+            else cfg.http_server_addr
+        )
+        port = int(addr.rsplit(":", 1)[-1] or 8080)
         http_server = serve_stats(
             listener, port=port, pprof=args.pprof or cfg.pprof
         )

@@ -28,9 +28,9 @@ namespace = "test.lineitem"
 direct = true
 stages = '[{"$match": {"l_returnflag": "R"}}]'
 
-[[consume]]
-kafka-topics = ["li"]
-mongo-namespace = "test.copy"
+[[consumer]]
+topics = ["li"]
+namespace = "test.copy"
 bulk-flush-duration = "500ms"
 """
     )
@@ -51,13 +51,13 @@ def test_config_rejections():
     with pytest.raises(ConfigError, match="kafka-topic"):
         load_config('[[producer-map]]\nmongo-namespace = "a.b"')
     with pytest.raises(ConfigError, match="db.collection"):
-        load_config('[[consume]]\nkafka-topics=["t"]\nmongo-namespace = "nodot"')
+        load_config('[[consumer]]\ntopics=["t"]\nnamespace = "nodot"')
     with pytest.raises(ConfigError, match="stages JSON"):
         load_config("[[pipeline]]\nstages = 'not json'")
     with pytest.raises(ConfigError, match="message-format"):
-        load_config('[[consume]]\nkafka-topics=["t"]\nmongo-namespace="a.b"\nmessage-format="xml"')
+        load_config('[[consumer]]\ntopics=["t"]\nnamespace="a.b"\nmessage-format="xml"')
     with pytest.raises(ConfigError, match="avro-schema-spec"):
-        load_config('[[consume]]\nkafka-topics=["t"]\nmongo-namespace="a.b"\nmessage-format="avro"')
+        load_config('[[consumer]]\ntopics=["t"]\nnamespace="a.b"\nmessage-format="avro"')
     with pytest.raises(ConfigError, match="duplicate pipeline"):
         load_config("[[pipeline]]\nstages='[]'\n\n[[pipeline]]\nstages='[]'")
 
@@ -177,7 +177,7 @@ def test_avro_binary_config_toggle():
     # route81.go:108: avro-binary is a plain bool whose Go zero value is
     # false -> textual decode is the default (decoding/decoding.go:45-57)
     tmpl = (
-        '[[consume]]\nkafka-topics=["t"]\nmongo-namespace="a.b"\n'
+        '[[consumer]]\ntopics=["t"]\nnamespace="a.b"\n'
         'message-format="avro"\n'
         'avro-schema-spec=\'{"type":"record","name":"d","fields":[]}\'\n'
     )
@@ -229,3 +229,38 @@ def test_avro_textual_consumer_loopback(spark, tmp_path):
     assert res == {"success": 5, "failed": 0}
     got = {r["_id"]: r["n"] for r in table.read().collect()}
     assert got == {str(i): i for i in range(5)}
+
+
+def test_config_reference_toml_surface():
+    """A verbatim reference-style TOML (README.md:323-329 consumer form,
+    route81.go:120-147 toggles) must parse: the consumer table is
+    [[consumer]] with `namespace`/`topics` keys."""
+    cfg = load_config(
+        """
+mongo = "mongodb://localhost:27017"
+kafka = "localhost:9092"
+resume = true
+disable-stats-log = true
+http-server = true
+http-server-addr = ":8081"
+disable-change-stream = true
+
+[[consumer]]
+namespace = "test.test2"
+topics = ["test.test"]
+message-format = "json-ext"
+document-root-path = "data"
+delete-id-path = "meta._id"
+"""
+    )
+    assert cfg.resume and cfg.disable_stats_log and cfg.http_server
+    assert cfg.http_server_addr == ":8081" and cfg.disable_change_stream
+    c = cfg.consumers[0]
+    assert c.mongo_namespace == "test.test2" and c.kafka_topics == ["test.test"]
+    # strict unknown-key errors inside each block, like the top level
+    with pytest.raises(ConfigError, match="unknown consumer keys"):
+        load_config('[[consumer]]\nnamespace="a.b"\nkafka-topics=["t"]')
+    with pytest.raises(ConfigError, match="unknown producer-map keys"):
+        load_config('[[producer-map]]\nkafka-topic="t"\nnamespace="a.b"')
+    with pytest.raises(ConfigError, match="unknown pipeline keys"):
+        load_config("[[pipeline]]\nstages='[]'\nbogus=1")

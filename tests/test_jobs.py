@@ -98,8 +98,8 @@ def test_kafka_sink_source_selection(spark, tmp_path):
     from pyspark.sql import types as T
 
     schema = T.StructType([T.StructField("value", T.BinaryType())])
-    cfg_kafka = load_config('kafka = "broker:9092"\n[[consume]]\nkafka-topics = ["t"]\nmongo-namespace = "db.c"')
-    cfg_loop = load_config('[[consume]]\nkafka-topics = ["t"]\nmongo-namespace = "db.c"')
+    cfg_kafka = load_config('kafka = "broker:9092"\n[[consumer]]\ntopics = ["t"]\nnamespace = "db.c"')
+    cfg_loop = load_config('[[consumer]]\ntopics = ["t"]\nnamespace = "db.c"')
 
     try:
         src = topic_source(spark, cfg_kafka, cfg_kafka.consumers[0], str(tmp_path), schema)

@@ -36,9 +36,9 @@ topic-name-prefix = ""
 namespace = "test.test"
 stages = '[{"$match": {"operationType": {"$in": ["insert", "update", "delete"]}}}]'
 
-[[consume]]
-kafka-topics = ["test.test"]
-mongo-namespace = "test.test2"
+[[consumer]]
+topics = ["test.test"]
+namespace = "test.test2"
 document-root-path = "data"
 delete-id-path = "meta._id"
 bulk-flush-duration = "1s"
