@@ -2481,6 +2481,60 @@ def text_langid(spark, sf_dir):
 
 
 @_q(
+    "redact_pipeline",
+    """
+    WITH p AS (
+      SELECT o_orderkey, o_custkey % 3 AS level,
+             o_orderkey % 3 AS d_level, o_orderstatus AS d_status
+      FROM orders
+    )
+    SELECT o_orderkey, level,
+           CASE WHEN level = 0 OR d_level IN (0, 1) THEN d_level END AS detail_level,
+           CASE WHEN level = 0 OR d_level IN (0, 1) THEN d_status END AS detail_status
+    FROM p WHERE level IN (0, 1)
+    """,
+)
+def redact_pipeline(spark, sf_dir):
+    # $redact over a nested doc built from orders: root level decides
+    # KEEP/DESCEND/PRUNE; the embedded detail doc re-evaluates the same
+    # condition against ITS level field
+    return apply_pipeline(
+        _t(spark, sf_dir, "orders"),
+        [
+            {
+                "$project": {
+                    "o_orderkey": 1,
+                    "level": {"$mod": ["$o_custkey", 3]},
+                    "detail": {
+                        "level": {"$mod": ["$o_orderkey", 3]},
+                        "status": "$o_orderstatus",
+                    },
+                }
+            },
+            {
+                "$redact": {
+                    "$switch": {
+                        "branches": [
+                            {"case": {"$eq": ["$level", 0]}, "then": "$$KEEP"},
+                            {"case": {"$eq": ["$level", 1]}, "then": "$$DESCEND"},
+                        ],
+                        "default": "$$PRUNE",
+                    }
+                }
+            },
+            {
+                "$project": {
+                    "o_orderkey": 1,
+                    "level": 1,
+                    "detail_level": "$detail.level",
+                    "detail_status": "$detail.status",
+                }
+            },
+        ],
+    )
+
+
+@_q(
     "text_winnow",
     f"""
     WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents),

@@ -21,6 +21,7 @@ from typing import Any, Callable
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from route81_spark.pipeline.exprs import PipelineCompileError, compile_expr
 from route81_spark.pipeline.query import compile_match
@@ -321,6 +322,103 @@ def _stage_add_fields(df: DataFrame, arg: dict) -> DataFrame:
     ]
     cols.extend(expr.alias(name) for name, expr in updates.items())
     return df.select(*cols)
+
+
+# ---------------------------------------------------------------------
+# $redact: per-level document pruning driven by $$PRUNE/$$KEEP/$$DESCEND
+# (the reference forwards arbitrary stage JSON to the server; this is
+# the server stage). Schema-driven recursion: the condition re-compiles
+# at every struct level with bare field paths bound to that level's
+# document, so depth is bounded by the static schema, and the whole
+# stage stays a pure Column program (filter + nested struct rebuild —
+# no shuffle, no Python). Mongo removes pruned fields; with a static
+# schema they become null, matching this engine's missing≡null rule.
+
+_REDACT_PRUNE = "__PRUNE__"
+_REDACT_KEEP = "__KEEP__"
+_REDACT_DESCEND = "__DESCEND__"
+
+
+def _redact_mask_missing(expr: Any, dtype: T.StructType) -> Any:
+    """Replace '$path' refs absent from this level's schema with null
+    literals (Mongo: missing field; Spark: getField on an absent struct
+    field is an analysis error)."""
+
+    def present(path: str) -> bool:
+        dt: T.DataType = dtype
+        for part in path.split("."):
+            if not isinstance(dt, T.StructType) or part not in dt.fieldNames():
+                return False
+            dt = dt[part].dataType
+        return True
+
+    def walk(e: Any) -> Any:
+        if isinstance(e, str) and e.startswith("$") and not e.startswith("$$"):
+            return e if present(e[1:]) else {"$literal": None}
+        if isinstance(e, list):
+            return [walk(x) for x in e]
+        if isinstance(e, dict):
+            if "$literal" in e:
+                return e
+            return {k: walk(v) for k, v in e.items()}
+        return e
+
+    return walk(expr)
+
+
+def _redact_decision(arg: Any, doc: Column, dtype: T.StructType, df: DataFrame) -> Column:
+    from route81_spark.pipeline.exprs import _env_walk
+
+    env = {
+        "CURRENT": doc,
+        "PRUNE": F.lit(_REDACT_PRUNE),
+        "KEEP": F.lit(_REDACT_KEEP),
+        "DESCEND": F.lit(_REDACT_DESCEND),
+    }
+    return _env_walk(_redact_mask_missing(arg, dtype), env, df)
+
+
+def _redact_apply(arg: Any, doc: Column, dtype: T.StructType, df: DataFrame) -> Column:
+    """Redacted form of a struct value (KEEP -> as-is, DESCEND ->
+    rebuilt with children redacted, PRUNE/invalid -> null)."""
+    decision = _redact_decision(arg, doc, dtype, df)
+    rebuilt = F.struct(
+        *[
+            _redact_child(arg, doc.getField(f.name), f.dataType, df).alias(f.name)
+            for f in dtype.fields
+        ]
+    )
+    return F.when(decision == _REDACT_KEEP, doc).when(
+        decision == _REDACT_DESCEND, rebuilt
+    )
+
+
+def _redact_child(arg: Any, v: Column, dtype: T.DataType, df: DataFrame) -> Column:
+    if isinstance(dtype, T.StructType):
+        # a null value is not an embedded document: kept as-is
+        return F.when(v.isNull(), v).otherwise(_redact_apply(arg, v, dtype, df))
+    if isinstance(dtype, T.ArrayType):
+        et = dtype.elementType
+        if isinstance(et, T.StructType):
+            # pruned elements are REMOVED from the array (not nulled)
+            kept = F.filter(
+                v,
+                lambda x: _redact_decision(arg, x, et, df) != F.lit(_REDACT_PRUNE),
+            )
+            return F.transform(kept, lambda x: _redact_apply(arg, x, et, df))
+        if isinstance(et, T.ArrayType):
+            # Mongo descends through nested arrays
+            return F.transform(v, lambda x: _redact_child(arg, x, et, df))
+    return v
+
+
+def _stage_redact(df: DataFrame, arg: Any) -> DataFrame:
+    root = F.struct(*[F.col(c) for c in df.columns])
+    kept = df.filter(
+        _redact_decision(arg, root, df.schema, df) != F.lit(_REDACT_PRUNE)
+    )
+    red = _redact_apply(arg, root, df.schema, df)
+    return kept.select(*[red.getField(c).alias(c) for c in df.columns])
 
 
 def _stage_unwind(df: DataFrame, arg: Any) -> DataFrame:
@@ -1246,6 +1344,7 @@ _KNOWN_STAGES = {
     "$sortByCount", "$sample", "$lookup", "$bucket", "$bucketAuto", "$facet",
     "$setWindowFields", "$graphLookup", "$fill", "$densify", "$out", "$merge",
     "$unionWith", "$geoNear", "$documents", "$vectorSearch", "$__lookupUnwind",
+    "$redact",
 }
 
 
@@ -1261,8 +1360,7 @@ def compile_stage(stage: dict, sort_spec: dict | None = None) -> Callable[[DataF
 
         if name not in EXTRA_STAGES:
             # fail at config time, mirroring route81's hard pipeline-JSON
-            # validation (route81.go:273-277); $redact remains out of
-            # scope (SURVEY §2.B)
+            # validation (route81.go:273-277)
             raise PipelineCompileError(f"unsupported pipeline stage: {name}")
 
     def fn(df: DataFrame) -> DataFrame:
@@ -1296,6 +1394,8 @@ def compile_stage(stage: dict, sort_spec: dict | None = None) -> Callable[[DataF
             return _stage_group(df, arg, sort_spec)
         if name == "$unwind":
             return _stage_unwind(df, arg)
+        if name == "$redact":
+            return _stage_redact(df, arg)
         if name in ("$replaceRoot", "$replaceWith"):
             return _stage_replace_root(df, arg if name == "$replaceRoot" else {"newRoot": arg})
         if name == "$sample":

@@ -122,7 +122,7 @@ def test_group_sum_all_null_is_zero(spark):
 
 def test_unknown_stage_and_operator_raise(spark):
     with pytest.raises(PipelineCompileError):
-        compile_pipeline([{"$redact": {}}])
+        compile_pipeline([{"$totallyUnknownStage": {}}])
     with pytest.raises(PipelineCompileError):
         apply_pipeline(_docs(spark), [{"$project": {"z": {"$nope": 1}}}])
     # $lookup is supported now, but its args are still hard-validated
@@ -453,3 +453,68 @@ def test_addfields_conflicting_paths_rejected(spark):
         [{"$addFields": {"a.b": {"$literal": 9}, "a.c": {"$literal": 8}}}],
     ).collect()[0]
     assert out["a"]["b"] == 9 and out["a"]["c"] == 8
+
+
+def _redact_docs(spark):
+    schema = (
+        "_id string, level int, "
+        "detail struct<level:int, note:string>, "
+        "items array<struct<level:int, v:int>>"
+    )
+    return spark.createDataFrame(
+        [
+            Row(_id="keepall", level=0, detail=Row(level=2, note="secret"),
+                items=[Row(level=2, v=1)]),
+            Row(_id="descend", level=1, detail=Row(level=1, note="ok"),
+                items=[Row(level=0, v=10), Row(level=2, v=20)]),
+            Row(_id="descend2", level=1, detail=Row(level=2, note="secret"),
+                items=[]),
+            Row(_id="prune", level=2, detail=Row(level=0, note="x"), items=None),
+            Row(_id="nulldoc", level=1, detail=None, items=None),
+        ],
+        schema=schema,
+    )
+
+
+_REDACT_COND = {
+    "$switch": {
+        "branches": [
+            {"case": {"$eq": ["$level", 0]}, "then": "$$KEEP"},
+            {"case": {"$eq": ["$level", 1]}, "then": "$$DESCEND"},
+        ],
+        "default": "$$PRUNE",
+    }
+}
+
+
+def test_redact_keep_descend_prune(spark):
+    out = {r["_id"]: r for r in apply_pipeline(
+        _redact_docs(spark), [{"$redact": _REDACT_COND}]
+    ).collect()}
+    # level=2 root -> row pruned
+    assert set(out) == {"keepall", "descend", "descend2", "nulldoc"}
+    # $$KEEP: subtree untouched, even though detail.level would prune
+    assert out["keepall"]["detail"]["note"] == "secret"
+    assert out["keepall"]["items"][0]["v"] == 1
+    # $$DESCEND: subdoc re-evaluated (level=1 -> kept; level=2 -> nulled)
+    assert out["descend"]["detail"]["note"] == "ok"
+    assert out["descend2"]["detail"] is None
+    # array elements: the level=2 element is REMOVED (not nulled),
+    # the level=0 element survives via $$KEEP
+    assert [e["v"] for e in out["descend"]["items"]] == [10]
+    # null embedded values pass through
+    assert out["nulldoc"]["detail"] is None and out["nulldoc"]["items"] is None
+
+
+def test_redact_missing_field_path_is_null(spark):
+    # a cond referencing a field absent at some level sees null there:
+    # subdocs lack 'level' -> {$lte: [null, 1]} is null -> not DESCEND
+    df = spark.createDataFrame(
+        [Row(_id="a", level=1, d=Row(x=1))], "_id string, level int, d struct<x:int>"
+    )
+    out = apply_pipeline(
+        df,
+        [{"$redact": {"$cond": [{"$lte": ["$level", 1]}, "$$DESCEND", "$$PRUNE"]}}],
+    ).collect()
+    # root descends (level=1); subdoc cond sees level=null -> pruned -> null
+    assert out[0]["d"] is None
