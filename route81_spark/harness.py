@@ -1013,6 +1013,61 @@ def sim_ivf(spark, sf_dir):
     return S.ivf_topk(emb, queries, centroids, k=5)
 
 
+@_q(
+    "sim_ivf_nprobe",
+    f"""
+    WITH c AS (
+      SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings WHERE vec_id < 16
+    ),
+    assign AS (
+      SELECT vec_id, embedding, centroid_id FROM (
+        SELECT e.vec_id, e.embedding, c.centroid_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY floor(({_cos_sql('e.embedding', 'c.cv')}) * 1000000.0 + 0.5) / 1000000.0 DESC,
+                          c.centroid_id ASC) AS rn
+        FROM embeddings e CROSS JOIN c
+      ) WHERE rn = 1
+    ),
+    q0 AS (
+      SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0
+    ),
+    probe AS (
+      SELECT query_id, qv, centroid_id FROM (
+        SELECT q0.query_id, q0.qv, c.centroid_id,
+               row_number() OVER (
+                 PARTITION BY q0.query_id
+                 ORDER BY floor(({_cos_sql('q0.qv', 'c.cv')}) * 1000000.0 + 0.5) / 1000000.0 DESC,
+                          c.centroid_id ASC) AS rn
+        FROM q0 CROSS JOIN c
+      ) WHERE rn <= 2
+    ),
+    scored AS (
+      SELECT p.query_id, a.vec_id,
+             floor(({_cos_sql('a.embedding', 'p.qv')}) * 1000000.0 + 0.5) / 1000000.0 AS score
+      FROM assign a JOIN probe p USING (centroid_id)
+    )
+    SELECT query_id, vec_id, score, rank FROM (
+      SELECT query_id, vec_id, score,
+             CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY score DESC, vec_id ASC) AS INT) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def sim_ivf_nprobe(spark, sf_dir):
+    # nprobe=2: each query scans its two closest cells — the recall/cost
+    # knob of the two-level IVF scheme
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid_vec")
+    )
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return S.ivf_topk(emb, queries, centroids, k=5, nprobe=2)
+
+
 # =====================================================================
 # CDC: change-event dialect, envelope, classifier + keyed merge
 # =====================================================================

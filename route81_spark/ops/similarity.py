@@ -232,30 +232,54 @@ def ivf_assign(
     )
 
 
+def ivf_probe_cells(
+    queries: DataFrame,
+    centroids: DataFrame,
+    nprobe: int,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """(query_id, query_vec, centroid_id) rows for each query's nprobe
+    closest cells. The query side is small by construction, so the
+    crossJoin + rank window here is over |Q| x C rows — never the
+    corpus."""
+    scored = queries.crossJoin(F.broadcast(centroids)).select(
+        F.col(query_id_col),
+        F.col(query_vec_col),
+        F.col("centroid_id"),
+        det_round(cosine(F.col(query_vec_col), F.col("centroid_vec")), 6).alias(
+            "__cs"
+        ),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("__cs").desc(), F.col("centroid_id").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= nprobe)
+        .select(query_id_col, query_vec_col, "centroid_id")
+    )
+
+
 def ivf_topk(
     emb: DataFrame,
     queries: DataFrame,
     centroids: DataFrame,
     k: int = 5,
+    nprobe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
 ) -> DataFrame:
-    """IVF ANN (nprobe=1): search only the query's own centroid cell.
+    """IVF ANN: search the query's `nprobe` closest centroid cells.
     At 100 TB this is the classic two-level scheme: the corpus is
-    partitioned once by centroid (hash shuffle on a small int), each
-    query probes one cell via an equi-join on the centroid id."""
+    assigned once map-side (ivf_assign, zero shuffle), each query probes
+    its cells via a broadcast equi-join on the centroid id; nprobe
+    trades recall against scanned fraction (~nprobe/C of the corpus)."""
     assigned = ivf_assign(emb, centroids, id_col, vec_col)
-    q_assigned = ivf_assign(
-        queries.select(
-            F.col(query_id_col).alias("vec_id"), F.col(query_vec_col).alias("embedding")
-        ),
-        centroids,
-    ).select(
-        F.col("vec_id").alias(query_id_col),
-        F.col("embedding").alias(query_vec_col),
-        F.col("centroid_id"),
+    q_assigned = ivf_probe_cells(
+        queries, centroids, nprobe, query_id_col, query_vec_col
     )
     scored = assigned.join(F.broadcast(q_assigned), "centroid_id").select(
         F.col(query_id_col),

@@ -203,3 +203,32 @@ def test_winnow_guarantee_shared_run(spark):
     assert not (fps[2] & fps[3])
     # retention: fingerprints are a strict subset of the shingle hashes
     assert all(len(v) > 0 for v in fps.values())
+
+
+def test_ivf_nprobe_improves_recall(spark, sf_dir):
+    """nprobe is the IVF recall knob: probing 2 cells must recover at
+    least as many true (brute-force) neighbors as probing 1, and the
+    nprobe=1 candidate set is a subset of nprobe=2's."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    centroids = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid_vec")
+    )
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    truth = {
+        (r["query_id"], r["vec_id"])
+        for r in S.brute_force_topk(emb, queries, k=5).collect()
+    }
+
+    def hits(nprobe):
+        got = {
+            (r["query_id"], r["vec_id"])
+            for r in S.ivf_topk(emb, queries, centroids, k=5, nprobe=nprobe).collect()
+        }
+        return got
+
+    h1, h2 = hits(1), hits(2)
+    assert len(h2 & truth) >= len(h1 & truth)
+    # every query still returns k rows from a wider candidate pool
+    assert len(h2) == len(h1)
