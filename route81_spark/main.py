@@ -56,6 +56,19 @@ def run_direct_reads(spark, cfg: Config, tables: dict, ids: dict, args) -> None:
     write_records(records, args.sink_dir, args.kafka_bootstrap)
 
 
+def ckpt_dir(cfg: Config, root: str, name: str) -> str:
+    """Spark's checkpointLocation IS the resume store: the reference
+    reads a stored oplog ts from metadata-db.resume under _id=resume-name
+    (route81.go:199-224) and saves it periodically (route81.go:846,913);
+    structured streaming persists source offsets in the checkpoint.
+    resume=true -> stable path keyed by resume-name (restart resumes);
+    resume=false (the reference default) -> unique per-process path, so
+    a restart starts fresh from current data."""
+    if cfg.resume:
+        return os.path.join(root, "resume", cfg.resume_name, name)
+    return os.path.join(root, f"fresh_{os.getpid()}", name)
+
+
 def run_change_streams(spark, cfg: Config, doc_schemas: dict, args):
     from pyspark.sql import functions as F
 
@@ -73,7 +86,7 @@ def run_change_streams(spark, cfg: Config, doc_schemas: dict, args):
         q = streaming_producer_job(
             spark, cfg, stream, ns,
             sink_dir=os.path.join(args.sink_dir, ns),
-            checkpoint_dir=os.path.join(args.checkpoint_dir or args.sink_dir, f"_ckpt_{ns}"),
+            checkpoint_dir=ckpt_dir(cfg, args.checkpoint_dir or args.sink_dir, f"_ckpt_{ns}"),
         )
         queries.append(q)
     return queries
@@ -155,7 +168,7 @@ def run_consumers(spark, cfg: Config, args) -> list:
             )
         q = consumer_job(
             spark, spec, stream, table, doc_schema,
-            os.path.join(args.checkpoint_dir or args.tables_out, f"_ckpt_{spec.mongo_namespace}"),
+            ckpt_dir(cfg, args.checkpoint_dir or args.tables_out, f"_ckpt_{spec.mongo_namespace}"),
         )
         queries.append(q)
     return queries

@@ -314,3 +314,18 @@ def test_pprof_endpoints_config_gated():
             )
     finally:
         srv_off.shutdown()
+
+
+def test_resume_toggle_checkpoint_paths():
+    """resume=true -> stable checkpoint path keyed by resume-name
+    (restart resumes, route81.go:199-224); resume=false (reference
+    default) -> per-process path, restart starts fresh."""
+    from route81_spark.config import load_config
+    from route81_spark.main import ckpt_dir
+
+    on = load_config('resume = true\nresume-name = "alpha"')
+    assert ckpt_dir(on, "/c", "ns") == "/c/resume/alpha/ns"
+    assert ckpt_dir(on, "/c", "ns") == ckpt_dir(on, "/c", "ns")  # stable
+    off = load_config("")
+    p = ckpt_dir(off, "/c", "ns")
+    assert p != ckpt_dir(on, "/c", "ns") and "fresh_" in p
