@@ -230,6 +230,9 @@ def streaming_producer_job(
         F.count(F.when(F.col("operationType") == "insert", 1)).alias("inserted"),
         F.count(F.when(F.col("operationType") == "update", 1)).alias("updated"),
         F.count(F.when(F.col("operationType") == "delete", 1)).alias("removed"),
+        F.count(
+            F.when(F.col("operationType").isin("drop", "dropDatabase"), 1)
+        ).alias("dropped"),
     )
     records = envelope_change_stream(observed, namespace, cfg)
     return _start_topic_sink(records, cfg, sink_dir, checkpoint_dir, trigger_seconds)

@@ -28,7 +28,7 @@ class StatsListener(StreamingQueryListener):
         self.lock = threading.Lock()
         self.counters: dict[str, int] = {
             "success": 0, "failed": 0, "inserted": 0, "updated": 0,
-            "removed": 0, "queued": 0,
+            "removed": 0, "dropped": 0, "queued": 0,
         }
         self.started_at = time.time()
         self.terminated: list[str] = []
@@ -46,6 +46,7 @@ class StatsListener(StreamingQueryListener):
             self.counters["inserted"] += int(d.get("inserted", 0) or 0)
             self.counters["updated"] += int(d.get("updated", 0) or 0)
             self.counters["removed"] += int(d.get("removed", 0) or 0)
+            self.counters["dropped"] += int(d.get("dropped", 0) or 0)
             # rows that reached the sink committed with the batch:
             # at-least-once success accounting (route81.go:824-831)
             self.counters["success"] += int(d.get("queued", 0) or 0)
