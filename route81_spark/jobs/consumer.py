@@ -110,6 +110,9 @@ def topic_source(
             .option("startingOffsets", "earliest")
             .option("includeHeaders", "true")
             .option("kafka.group.id", spec.group_id)
+            # bulk-size x workers bounds one flush cycle's records
+            # (route81.go:991-1017: N workers each buffering <= bulk-size)
+            .option("maxOffsetsPerTrigger", str(spec.bulk_size * spec.workers))
         )
         for k, v in kafka_sink_options(cfg).items():
             reader = reader.option(k, v)

@@ -222,7 +222,8 @@ def main(argv: list[str] | None = None) -> int:
         from route81_spark.stats import StatsListener, serve_stats
 
         listener = StatsListener(
-            log=not (args.disable_stats_log or cfg.disable_stats_log)
+            log=not (args.disable_stats_log or cfg.disable_stats_log),
+            interval_s=cfg.stats_seconds,
         )
         spark.streams.addListener(listener)
         addr = (

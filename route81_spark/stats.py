@@ -21,10 +21,14 @@ class StatsListener(StreamingQueryListener):
     """Accumulates the observe('producer_stats', ...) metrics emitted by
     the producer job — the counter set mirrors route81.go:488-509."""
 
-    def __init__(self, log: bool = True) -> None:
+    def __init__(self, log: bool = True, interval_s: float = 0.0) -> None:
         # log=False ≡ route81's disable-stats-log: counters accumulate
-        # (HTTP /stats still serves them) but nothing prints
+        # (HTTP /stats still serves them) but nothing prints.
+        # interval_s ≡ stats-duration (route81.go:443-444): progress
+        # events arrive per micro-batch; only log on this cadence.
         self.log = log
+        self.interval_s = interval_s
+        self._last_log = 0.0
         self.lock = threading.Lock()
         self.counters: dict[str, int] = {
             "success": 0, "failed": 0, "inserted": 0, "updated": 0,
@@ -50,7 +54,8 @@ class StatsListener(StreamingQueryListener):
             # rows that reached the sink committed with the batch:
             # at-least-once success accounting (route81.go:824-831)
             self.counters["success"] += int(d.get("queued", 0) or 0)
-        if self.log:
+        if self.log and time.time() - self._last_log >= self.interval_s:
+            self._last_log = time.time()
             print(f"route81_spark stats: {self.snapshot()}")
 
     def onQueryTerminated(self, event) -> None:  # noqa: N802
