@@ -2472,6 +2472,42 @@ def emb_near_dups(spark, sf_dir):
     return S.embedding_near_dups(_t(spark, sf_dir, "embeddings"), threshold=0.3)
 
 
+@_q(
+    "emb_semantic_dedup",
+    f"""
+    WITH RECURSIVE e AS (
+      SELECT vec_id, embedding,
+             {" + ".join(f"(CASE WHEN embedding[{i + 1}] > 0 THEN {2**i} ELSE 0 END)" for i in range(8))}
+               AS bucket
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      WHERE floor(({_cos_sql('a.embedding', 'b.embedding')}) * 1000000.0 + 0.5) / 1000000.0 >= 0.3
+    ),
+    bi AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, r) AS (
+      SELECT DISTINCT src, src FROM bi
+      UNION
+      SELECT bi.src, reach.r FROM bi JOIN reach ON bi.dst = reach.id
+    ),
+    losers AS (SELECT id FROM reach GROUP BY id HAVING min(r) <> id)
+    SELECT vec_id FROM embeddings WHERE vec_id NOT IN (SELECT id FROM losers)
+    """,
+)
+def emb_semantic_dedup(spark, sf_dir):
+    # SemDeDup-style survivor set: one representative per embedding
+    # near-dup cluster (id only — embeddings stay columnar)
+    return S.embedding_dedup(_t(spark, sf_dir, "embeddings"), threshold=0.3).select(
+        "vec_id"
+    )
+
+
 # =====================================================================
 # Text analysis
 # =====================================================================

@@ -294,6 +294,29 @@ def ivf_topk(
     )
 
 
+def embedding_dedup(
+    emb: DataFrame,
+    threshold: float = 0.98,
+    n_dims: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic dedup in embedding space (the SemDeDup recipe, Abbas et
+    al. 2023): bucket the corpus, find within-bucket high-cosine pairs,
+    connect them into clusters, keep each cluster's min-id
+    representative. Composition of the scale-safe pieces: bucketed
+    self-join (never all-pairs) -> label propagation on the tiny pair
+    graph -> broadcast anti-join of the loser set."""
+    from route81_spark.ops.dedup import near_dup_clusters
+
+    pairs = embedding_near_dups(emb, threshold, n_dims, id_col, vec_col)
+    clusters = near_dup_clusters(pairs.select("id_a", "id_b"))
+    losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return emb.join(F.broadcast(losers), id_col, "left_anti")
+
+
 def embedding_near_dups(
     emb: DataFrame,
     threshold: float = 0.98,

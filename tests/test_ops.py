@@ -232,3 +232,21 @@ def test_ivf_nprobe_improves_recall(spark, sf_dir):
     assert len(h2 & truth) >= len(h1 & truth)
     # every query still returns k rows from a wider candidate pool
     assert len(h2) == len(h1)
+
+
+def test_embedding_dedup_planted_duplicates(spark):
+    """Two planted identical vectors (cos=1) must collapse to the min-id
+    representative; the distinct vector survives."""
+    import numpy as np
+
+    rng = [(1, [1.0, 2.0, 0.5, -1.0]), (2, [1.0, 2.0, 0.5, -1.0]),
+           (3, [-1.0, -2.0, 3.0, 0.0])]
+    emb = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in v]) for i, v in rng],
+        "vec_id long, embedding array<float>",
+    )
+    kept = sorted(
+        r["vec_id"]
+        for r in S.embedding_dedup(emb, threshold=0.99, n_dims=4).collect()
+    )
+    assert kept == [1, 3]
