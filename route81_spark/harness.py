@@ -1859,6 +1859,41 @@ def skew_two_stage_agg(spark, sf_dir):
 
 
 @_q(
+    "events_sessionize",
+    f"""
+    WITH o AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+             CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+                  OR CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP)) OVER w
+                     >= INTERVAL 30 MINUTES
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), value)
+    ),
+    s AS (
+      SELECT user_id, ts, value,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, value
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o
+    )
+    SELECT user_id,
+           epoch_us(min(ts)) AS start_us,
+           epoch_us(max(ts) + INTERVAL 30 MINUTES) AS end_us,
+           CAST(count(*) AS BIGINT) AS n_events,
+           {det_round_sql("sum(value)", 4)} AS total_value
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def events_sessionize(spark, sf_dir):
+    # gap-and-island sessions per user: the oracle re-derives Spark's
+    # session_window semantics (new session iff inter-event gap >= 30m;
+    # session end = last event + gap)
+    from route81_spark.ops.streaming import sessionize
+
+    return sessionize(_t(spark, sf_dir, "events"), gap="30 minutes")
+
+
+@_q(
     "window_range_time",
     f"""
     SELECT event_id, user_id,

@@ -54,6 +54,43 @@ def streaming_exact_dedup(
     return deduped.drop("__chash")
 
 
+def sessionize(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap: str = "30 minutes",
+    value_col: str = "value",
+) -> DataFrame:
+    """Gap-based sessionization via the built-in session_window: a
+    session extends while consecutive events arrive within `gap`; its
+    end is last-event + gap. The SAME expression runs batch and
+    streaming (streaming needs a watermark on ts_col upstream; state
+    merges sessions across micro-batches). At scale this is one shuffle
+    on the session key — no self-join, no per-user collect."""
+    from route81_spark.ops.util import det_round
+
+    return (
+        df.groupBy(key_col, F.session_window(ts_col, gap))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            det_round(F.sum(value_col), 4).alias("total_value"),
+        )
+        .select(
+            key_col,
+            # unix_micros rejects TIMESTAMP_NTZ; the cast reinterprets in
+            # the (UTC) session zone, matching DuckDB's tz-less epoch_us
+            F.unix_micros(F.col("session_window.start").cast("timestamp")).alias(
+                "start_us"
+            ),
+            F.unix_micros(F.col("session_window.end").cast("timestamp")).alias(
+                "end_us"
+            ),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def windowed_counts(
     stream: DataFrame,
     ts_col: str,

@@ -213,3 +213,62 @@ def test_windowed_counts_matches_batch(spark, tmp_path):
     # (the flush row's own window may or may not be closed yet)
     for k, v in w.items():
         assert g[k] == v
+
+
+def test_sessionize_streaming_matches_batch(spark, tmp_path):
+    """session_window is the rare stateful op whose EXPRESSION is
+    identical batch vs stream: sessions split across two micro-batches
+    must merge in state and the final parquet must equal the batch
+    result over the union of inputs."""
+    from route81_spark.ops.streaming import sessionize
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    rows1 = [
+        {"user_id": 1, "ts": "2024-01-01T00:00:00", "value": 1.0},
+        {"user_id": 1, "ts": "2024-01-01T00:10:00", "value": 2.0},
+        {"user_id": 2, "ts": "2024-01-01T02:00:00", "value": 5.0},
+    ]
+    # batch 2 extends user 1's open session (10:00 + <30m gap) and opens
+    # a fresh one much later
+    rows2 = [
+        {"user_id": 1, "ts": "2024-01-01T00:25:00", "value": 3.0},
+        {"user_id": 1, "ts": "2024-01-01T05:00:00", "value": 4.0},
+    ]
+    src = tmp_path / "src"
+    _write_batch(src / "b1.json", rows1)
+    # 3h watermark: after batch 1 (max ts 02:00) the watermark sits at
+    # 23:00 the previous day, so user 1's session stays OPEN in state and
+    # batch 2's 00:25 event must merge into it (not count as late data)
+    stream = (
+        spark.readStream.schema(schema).json(str(src)).withWatermark("ts", "3 hours")
+    )
+    out, ckpt = tmp_path / "out", tmp_path / "ckpt"
+    _run_available_now(sessionize(stream), out, ckpt)
+    _write_batch(src / "b2.json", rows2)
+    _run_available_now(sessionize(stream), out, ckpt)
+
+    got = {
+        (r["user_id"], r["start_us"]): (r["n_events"], r["total_value"])
+        for r in spark.read.parquet(str(out)).collect()
+    }
+    batch_df = spark.createDataFrame(
+        [(r["user_id"], r["ts"], r["value"]) for r in rows1 + rows2],
+        "user_id long, ts string, value double",
+    ).select("user_id", F.col("ts").cast("timestamp").alias("ts"), "value")
+    want = {
+        (r["user_id"], r["start_us"]): (r["n_events"], r["total_value"])
+        for r in sessionize(batch_df).collect()
+    }
+    # after batch 2 the watermark is 05:00-3h = 02:00: exactly user 1's
+    # merged first session (ends 00:55) has finalized — it must match the
+    # batch result over the UNION of inputs (3 events, 6.0), proving the
+    # cross-batch merge; the still-open sessions must not be emitted yet
+    u1_first = min(k for k in want if k[0] == 1)
+    assert got == {u1_first: want[u1_first]}
+    assert want[u1_first] == (3, 6.0)
