@@ -2660,6 +2660,143 @@ def redact_pipeline(spark, sf_dir):
     )
 
 
+# language-ID and quality-score SQL mirrors (same math as text_langid /
+# text_stats oracles), reused by the corpus-curation chain
+_LANG_SQL = """
+    CASE WHEN greatest(
+           len(list_filter({T}, t -> t IN ('der','die','und','das','ist'))),
+           len(list_filter({T}, t -> t IN ('the','and','of','to','a'))),
+           len(list_filter({T}, t -> t IN ('le','la','et','les','des')))) > 0 THEN
+      CASE WHEN len(list_filter({T}, t -> t IN ('der','die','und','das','ist')))
+                = greatest(
+                    len(list_filter({T}, t -> t IN ('der','die','und','das','ist'))),
+                    len(list_filter({T}, t -> t IN ('the','and','of','to','a'))),
+                    len(list_filter({T}, t -> t IN ('le','la','et','les','des'))))
+           THEN 'de'
+           WHEN len(list_filter({T}, t -> t IN ('the','and','of','to','a')))
+                = greatest(
+                    len(list_filter({T}, t -> t IN ('der','die','und','das','ist'))),
+                    len(list_filter({T}, t -> t IN ('the','and','of','to','a'))),
+                    len(list_filter({T}, t -> t IN ('le','la','et','les','des'))))
+           THEN 'en'
+           ELSE 'fr' END
+    ELSE 'und' END
+"""
+
+_QUALITY_SQL = """
+    floor((least(length(text) / 400.0, 1.0)
+          * (CAST(len(list_distinct({T})) AS DOUBLE) / len({T}))
+          * (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+             / length(text))) * 1000000.0 + 0.5) / 1000000.0
+"""
+
+
+@_q(
+    "corpus_split",
+    f"""
+    SELECT doc_id,
+           CASE WHEN ('0x' || substr(md5('split0|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                     / 1152921504606846976.0 < 0.1
+                THEN 'val' ELSE 'train' END AS split
+    FROM documents
+    """,
+)
+def corpus_split(spark, sf_dir):
+    # deterministic hash split: a doc never flips sides across reruns,
+    # repartitions, or incremental appends (rand() guarantees none of that)
+    from route81_spark.ops.corpus import train_val_split
+
+    return train_val_split(_t(spark, sf_dir, "documents"), val_fraction=0.1).select(
+        "doc_id", "split"
+    )
+
+
+@_q(
+    "corpus_shard",
+    """
+    SELECT doc_id,
+           CAST(('0x' || substr(md5('shuffle0|s|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                % 8 AS INT) AS shard,
+           CAST(row_number() OVER (
+             PARTITION BY ('0x' || substr(md5('shuffle0|s|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 8
+             ORDER BY md5('shuffle0|o|' || CAST(doc_id AS VARCHAR))
+           ) - 1 AS BIGINT) AS pos
+    FROM documents
+    """,
+)
+def corpus_shard(spark, sf_dir):
+    # deterministic global shuffle into 8 training shards: one hash
+    # Exchange + in-partition sort, never a global ORDER BY
+    from route81_spark.ops.corpus import shard
+
+    return shard(_t(spark, sf_dir, "documents"), n_shards=8).select(
+        "doc_id", "shard", "pos"
+    )
+
+
+@_q(
+    "corpus_curation",
+    f"""
+    WITH RECURSIVE
+    gated AS (
+      SELECT * FROM documents
+      WHERE {_LANG_SQL.format(T=_TOKS)} = 'en'
+        AND {_QUALITY_SQL.format(T=_TOKS)} >= 0.05
+        AND len({_TOKS}) BETWEEN 5 AND 1000000
+    ),
+    survivors AS (
+      SELECT d.* FROM gated d
+      JOIN (SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) h,
+                   min(doc_id) keep_id
+            FROM gated GROUP BY 1) x ON d.doc_id = x.keep_id
+    ),
+    t AS (SELECT doc_id, {_SH_SQL} AS sh FROM survivors),
+    sigs AS (
+      SELECT doc_id, sh,
+             [{", ".join(_minhash_sql_expr(j) for j in range(8))}] AS sig
+      FROM t
+    ),
+    bands AS (
+      SELECT doc_id, b, md5(array_to_string(sig[b*4+1:b*4+4], ',')) AS bh
+      FROM sigs, (SELECT unnest(range(2)) AS b)
+    ),
+    pairs0 AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id
+    ),
+    pairs AS (
+      SELECT p.id_a, p.id_b FROM pairs0 p
+      JOIN sigs sa ON sa.doc_id = p.id_a
+      JOIN sigs sb ON sb.doc_id = p.id_b
+      WHERE floor((CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+            / len(list_distinct(list_concat(sa.sh, sb.sh)))) * 1000000.0 + 0.5)
+            / 1000000.0 >= 0.5
+    ),
+    bi AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, r) AS (
+      SELECT DISTINCT src, src FROM bi
+      UNION
+      SELECT bi.src, reach.r FROM bi JOIN reach ON bi.dst = reach.id
+    ),
+    losers AS (
+      SELECT id AS doc_id FROM reach GROUP BY id HAVING min(r) <> id
+    )
+    SELECT s.doc_id FROM survivors s
+    LEFT JOIN losers l ON s.doc_id = l.doc_id WHERE l.doc_id IS NULL
+    """,
+)
+def corpus_curation(spark, sf_dir):
+    # the full curation funnel: language -> quality -> length gates,
+    # then exact + near dedup; gates run before shingling so the
+    # expensive stages only see surviving rows
+    from route81_spark.ops.corpus import curate
+
+    return curate(_t(spark, sf_dir, "documents")).select("doc_id")
+
+
 @_q(
     "text_winnow",
     f"""

@@ -250,3 +250,46 @@ def test_embedding_dedup_planted_duplicates(spark):
         for r in S.embedding_dedup(emb, threshold=0.99, n_dims=4).collect()
     )
     assert kept == [1, 3]
+
+
+def test_train_val_split_deterministic_and_sized(spark, sf_dir):
+    from route81_spark.ops.corpus import train_val_split
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = {r["doc_id"]: r["split"] for r in train_val_split(docs).collect()}
+    b = {r["doc_id"]: r["split"] for r in
+         train_val_split(docs.repartition(7)).collect()}
+    assert a == b  # stable under repartition / rerun
+    frac = sum(1 for v in a.values() if v == "val") / len(a)
+    assert 0.02 < frac < 0.25  # ~10% at small n
+
+
+def test_shard_is_permutation(spark, sf_dir):
+    from route81_spark.ops.corpus import shard
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = shard(docs, n_shards=4).select("doc_id", "shard", "pos").collect()
+    assert len(out) == docs.count()
+    # (shard, pos) is a dense 0..k-1 numbering per shard: a permutation
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    assert set(by_shard) <= {0, 1, 2, 3}
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(len(positions)))
+    # deterministic across reruns
+    again = shard(docs, n_shards=4).select("doc_id", "shard", "pos").collect()
+    assert {(r["doc_id"], r["shard"], r["pos"]) for r in again} == {
+        (r["doc_id"], r["shard"], r["pos"]) for r in out
+    }
+
+
+def test_curate_is_subset_and_gated(spark, sf_dir):
+    from route81_spark.ops.corpus import curate
+    from route81_spark.ops.text import lang_id
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kept = curate(docs)
+    assert kept.count() <= docs.count()
+    # every survivor passes the language gate
+    assert kept.filter(lang_id(F.col("text")) != "en").count() == 0
