@@ -274,6 +274,7 @@ def near_dedup(
     k: int = 8,
     bands: int = 2,
     jaccard_threshold: float = 0.5,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """The end-to-end dedup product: drop exact duplicates, then drop
     near-duplicates (LSH candidates verified by Jaccard >= threshold,
@@ -282,22 +283,124 @@ def near_dedup(
     Composition of shuffle-minimal pieces: exact = one hash agg;
     candidates = band equi-join; verify = broadcast-pruned Jaccard;
     clusters = label propagation on the (tiny) verified-pair graph;
-    final filter = broadcast anti-join of the loser set."""
+    final filter = broadcast anti-join of the loser set.
+
+    `checkpoint_dir` selects reliable (HDFS/disk-file) checkpoints for
+    the cluster loop — set it on a real cluster so an executor loss
+    mid-computation cannot lose blocks; localCheckpoint (executor-local,
+    faster) remains the local-mode default.
+
+    Caching contract: intermediates persisted during the call are
+    unpersisted before returning — nothing stays cached in the session.
+    The clustering work is materialized in the returned plan (the loser
+    set is computed eagerly here); only the cheap exact-dedup agg is
+    re-executed when the caller materializes the result."""
     # survivors feeds three consumers (candidate gen, Jaccard verify,
     # the final anti-join) — persist or the exact-dedup agg runs 3x
+    # during the eager clustering below
     survivors = exact_dedup(df, text_col, id_col).persist()
-    cand = lsh_candidates(survivors, text_col, id_col, k=k, bands=bands)
-    verified = ngram_jaccard_pairs(
-        survivors, cand, text_col, id_col, threshold=jaccard_threshold
-    )
-    clusters = near_dup_clusters(verified.select("id_a", "id_b"))
-    losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
-        F.col("doc_id").alias(id_col)
-    )
-    return survivors.join(F.broadcast(losers), id_col, "left_anti")
+    cand = None
+    try:
+        cand = lsh_candidates(survivors, text_col, id_col, k=k, bands=bands)
+        verified = ngram_jaccard_pairs(
+            survivors, cand, text_col, id_col, threshold=jaccard_threshold
+        )
+        # eager: near_dup_clusters materializes the pair graph + labels,
+        # so after this line the candidate/verify lineage is consumed
+        clusters = near_dup_clusters(
+            verified.select("id_a", "id_b"), checkpoint_dir=checkpoint_dir
+        )
+        losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+            F.col("doc_id").alias(id_col)
+        )
+        return survivors.join(F.broadcast(losers), id_col, "left_anti")
+    finally:
+        # release the explicit caches (ngram_jaccard_pairs persisted the
+        # candidate pairs; same plan, so unpersisting `cand` clears it) —
+        # a long-lived session must not leak blocks per call
+        survivors.unpersist()
+        if cand is not None:
+            cand.unpersist()
 
 
-def near_dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+def _checkpointer(df_or_spark, checkpoint_dir: str | None):
+    """Checkpoint strategy for iterative loops. localCheckpoint blocks
+    are executor-local — fast, but one lost executor mid-loop fails the
+    job, so on a real cluster (where executor loss is expected at 100x
+    scale) pass `checkpoint_dir`: reliable file-backed checkpoints
+    survive executor loss and leave nothing pinned in executor memory."""
+    if checkpoint_dir:
+        spark = getattr(df_or_spark, "sparkSession", df_or_spark)
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+        return lambda df: df.checkpoint(eager=True)
+    return lambda df: df.localCheckpoint(eager=True)
+
+
+def _symmetric(e: DataFrame) -> DataFrame:
+    return e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+
+def _star_step(sym: DataFrame, large: bool) -> DataFrame:
+    """One large-star / small-star operation (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14) over a
+    symmetric edge list. Per node u with neighborhood N(u) and
+    m = min(N(u) ∪ {u}): large-star links every neighbor v > u to m;
+    small-star links every neighbor v < u, plus u itself, to m. One
+    groupBy shuffle per operation; neighborhoods shrink geometrically."""
+    nbr = sym.groupBy("src").agg(F.collect_set("dst").alias("nbrs"))
+    m = F.least(F.col("src"), F.array_min("nbrs"))
+    if large:
+        targets = F.filter(F.col("nbrs"), lambda v: v > F.col("src"))
+    else:
+        targets = F.array_union(
+            F.filter(F.col("nbrs"), lambda v: v < F.col("src")),
+            F.array(F.col("src")),
+        )
+    return (
+        nbr.select(F.explode(targets).alias("src"), m.alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _star_components(edges: DataFrame, ck, max_rounds: int = 64) -> DataFrame:
+    """Connected components via alternating large-star/small-star:
+    O(log^2 n) rounds regardless of component *diameter*, which is what
+    makes it the correct fallback when plain min-label propagation hits
+    its round budget on a deep chain. Returns (id, label) with label =
+    component minimum. Edges arrive as (src, dst) pairs; convergence is
+    detected by a (count, hash-sum) signature of the edge multiset —
+    two scalars, no driver-side edge list."""
+    prev_sig = None
+    for _ in range(max_rounds):
+        edges = ck(_star_step(_symmetric(edges), large=True))
+        edges = ck(_star_step(_symmetric(edges), large=False))
+        sig = tuple(
+            edges.agg(
+                F.count(F.lit(1)),
+                # decimal sum: exact and overflow-proof under ANSI mode
+                F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")),
+            ).collect()[0]
+        )
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    else:  # pragma: no cover - log^2 bound makes this unreachable
+        raise RuntimeError(f"star contraction did not converge in {max_rounds} rounds")
+    # at convergence the graph is a forest of stars centered on each
+    # component minimum: children point at their root; roots self-label
+    kids = edges.select(F.col("src").alias("id"), F.col("dst").alias("label"))
+    roots = (
+        edges.select(F.col("dst").alias("id")).distinct().withColumn("label", F.col("id"))
+    )
+    return kids.unionByName(roots)
+
+
+def near_dup_clusters(
+    pairs: DataFrame, max_iter: int = 20, checkpoint_dir: str | None = None
+) -> DataFrame:
     """Connected components over near-dup pairs: (doc_id, cluster_id)
     where cluster_id = min doc id reachable through the pair graph —
     the grouping that turns candidate pairs into dedup decisions (keep
@@ -306,12 +409,18 @@ def near_dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     Iterative min-label propagation. Each round is one join + one
     aggregation on the *pair set* (orders of magnitude smaller than the
     corpus); convergence in <= diameter rounds, checked distributed
-    (an agg, no collect of labels). The classic large-graph alternative
-    (large-star/small-star) drops in here if components get deep."""
+    (an agg, no collect of labels). If a component's diameter exceeds
+    `max_iter` (pathological chains), the loop hands off to
+    large-star/small-star contraction (O(log^2 n) rounds, diameter-
+    independent) instead of failing.
+
+    `checkpoint_dir` switches the per-iteration lineage truncation from
+    localCheckpoint (executor-local blocks, local-mode default) to
+    reliable file checkpoints — required on a real cluster, where an
+    executor lost mid-loop must not lose the only copy of a block."""
+    ck = _checkpointer(pairs, checkpoint_dir)
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-    edges = edges.unionByName(
-        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
-    )
+    edges = _symmetric(edges)
     # Materialize the edge set ONCE and right-size the loop's
     # parallelism to the PAIR GRAPH, not the corpus: the verified
     # near-dup pairs are orders of magnitude smaller than the input, and
@@ -323,27 +432,27 @@ def near_dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     edges = edges.persist()
     n_edges = edges.count()
     parts = max(2, min(32, n_edges // 500_000 + 1))
-    edges_ck = edges.coalesce(parts).localCheckpoint(eager=True)
+    edges_ck = ck(edges.coalesce(parts))
     edges.unpersist()
-    # localCheckpoint per iteration truncates lineage: otherwise the
-    # labels plan deepens by two joins per round and round N re-executes
+    # checkpoint per iteration truncates lineage: otherwise the labels
+    # plan deepens by two joins per round and round N re-executes
     # rounds 1..N-1 (quadratic work, and a planner blow-up past ~15
     # rounds). Carrying the previous label through the checkpoint makes
     # the convergence check a filter over already-materialized blocks —
     # no extra join per round.
-    labels = (
+    labels = ck(
         edges_ck.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
-        .localCheckpoint(eager=True)
     )
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             edges_ck.join(labels, edges_ck["dst"] == labels["id"])
             .groupBy("src")
             .agg(F.min("label").alias("nlabel"))
         )
-        stepped = (
+        stepped = ck(
             labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
             .select(
                 "id",
@@ -352,18 +461,15 @@ def near_dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
                     F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint(eager=True)
         )
         changed = stepped.filter(F.col("label") != F.col("__old")).limit(1).count()
         labels = stepped.select("id", "label")
         if changed == 0:
+            converged = True
             break
-    else:
-        # silent non-convergence would return wrong clusters (a chain
-        # longer than max_iter still carries intermediate labels)
-        raise RuntimeError(
-            f"near_dup_clusters did not converge in {max_iter} rounds; "
-            "component diameter exceeds max_iter — raise it or switch to "
-            "large-star/small-star"
-        )
+    if not converged:
+        # component diameter exceeds the round budget: contract with the
+        # diameter-independent algorithm instead of returning wrong
+        # (intermediate) labels or raising
+        labels = _star_components(edges_ck, ck)
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))

@@ -108,14 +108,18 @@ def test_map_type_envelope_roundtrip(spark):
     assert row["kv"] == {"a": 1, "b": 2}
 
 
-def test_cluster_nonconvergence_raises(spark):
+def test_cluster_deep_chain_star_fallback(spark):
     from route81_spark.ops.dedup import near_dup_clusters
 
-    # chain 0-1-2-...-9 with max_iter=2 cannot converge
+    # chain 0-1-2-...-9: diameter 9 exceeds max_iter=2, so label
+    # propagation hands off to large-star/small-star (diameter-
+    # independent) instead of raising or returning intermediate labels
     pairs = spark.createDataFrame(
         [Row(id_a=i, id_b=i + 1) for i in range(9)], "id_a long, id_b long"
     )
-    with pytest.raises(RuntimeError, match="did not converge"):
-        near_dup_clusters(pairs, max_iter=2)
+    fb = near_dup_clusters(pairs, max_iter=2)
+    assert {(r["doc_id"], r["cluster_id"]) for r in fb.collect()} == {
+        (i, 0) for i in range(10)
+    }
     ok = near_dup_clusters(pairs, max_iter=15)
     assert {r["cluster_id"] for r in ok.collect()} == {0}
