@@ -171,6 +171,79 @@ def bucketed_topk(
     )
 
 
+def _ivf_assign_codegen(
+    emb: DataFrame,
+    cells: list,
+    cid_type: str,
+    id_col: str,
+    vec_col: str,
+    centroid_id_col: str,
+) -> DataFrame:
+    """Small-codebook IVF assignment: C independent cosine columns
+    against *literal* centroid arrays, argmax as one `greatest()` over
+    C (score, -cid) structs — highest score wins, ties fall to the
+    LOWEST cid because the second struct field is the negated id. Still
+    a narrow zero-shuffle transform. vs. the fold form this removes the
+    interpreted aggregate-over-structs argmax (greatest is a plain
+    codegen'd comparison tree) and the per-row codebook materialization;
+    the C cosines themselves stay higher-order expressions, which is
+    the right size/speed trade (a fully-unrolled multiply-add tree was
+    measured 5x SLOWER: ~12 MiB task binaries, codegen fallback).
+
+    Bit-parity with the fold form (and the DuckDB oracle): each score
+    is the same dot/norm fold arithmetic in the same element order —
+    the corpus-side norm is hoisted to ONE column (computed once per
+    row instead of once per centroid), and each centroid's norm is
+    folded to a Python-computed double constant (same sequential sum,
+    IEEE-identical).
+
+    The whole argmax is assembled as ONE SQL string and parsed
+    JVM-side: building it as C*d Column objects costs >2s of py4j
+    round-trips per call (literal-by-literal), dominating the query at
+    interactive scales."""
+    import math
+
+    from route81_spark.ops.util import det_round_sql
+
+    vq = f"`{vec_col}`"
+    vnorm = "__r81_vnorm"
+    emb = emb.withColumn(vnorm, norm(F.col(vec_col)))
+
+    def dbl(x: float) -> str:
+        return f"cast('{x!r}' as double)"
+
+    structs = []
+    for cid, cvec in cells:
+        c = [float(x) for x in cvec]
+        cn = 0.0  # python float IS ieee double; same fold order as norm()
+        for x in c:
+            cn += x * x
+        cn = math.sqrt(cn)
+        if cn == 0.0:
+            # zero-norm centroid scores null against everything, exactly
+            # like cosine()'s denom-zero guard
+            score = "cast(null as double)"
+        else:
+            arr = ", ".join(dbl(x) for x in c)
+            # same shape as dot(): zip_with products, sequential fold
+            dot_sql = (
+                f"aggregate(zip_with({vq}, array({arr}), "
+                "(x, y) -> cast(x as double) * cast(y as double)), "
+                "cast(0.0 as double), (acc, v) -> acc + v)"
+            )
+            denom = f"(`{vnorm}` * {dbl(cn)})"
+            score = det_round_sql(
+                f"CASE WHEN {denom} != 0 THEN ({dot_sql}) / {denom} END", 6
+            )
+        structs.append(f"named_struct('score', {score}, 'negcid', {-cid}L)")
+    best = f"greatest({', '.join(structs)})" if len(structs) > 1 else structs[0]
+    return emb.selectExpr(
+        f"`{id_col}`",
+        vq,
+        f"cast(-(({best}).negcid) as {cid_type}) as `{centroid_id_col}`",
+    )
+
+
 def ivf_assign(
     emb: DataFrame,
     centroids: DataFrame,
@@ -178,24 +251,52 @@ def ivf_assign(
     vec_col: str = "embedding",
     centroid_id_col: str = "centroid_id",
     centroid_vec_col: str = "centroid_vec",
+    codegen_max_centroids: int = 64,
 ) -> DataFrame:
     """IVF coarse quantization as a ZERO-SHUFFLE narrow transform.
 
-    The codebook (C centroids — bounded by definition, typically
-    C ~ sqrt(N)) is collapsed to a single row holding the whole array of
-    (id, vec) cells; a 1-row broadcast nested-loop join attaches it to
-    every corpus partition map-side, and each row computes its argmax
-    cosine with JVM higher-order functions. No per-vector window, no
-    Exchange: the corpus (and its embedding payload) never shuffles —
-    the previous crossJoin + row_number(PARTITION BY vec_id) forced a
-    full-corpus hash Exchange carrying every embedding, which is the
-    scale-killer at 100 TB.
+    Small codebooks (C <= codegen_max_centroids, integral ids, uniform
+    dim — the common case: C is bounded by definition) are collected at
+    plan-build time and compiled straight into whole-stage-codegen'd
+    expressions: C unrolled cosine chains + one greatest() argmax
+    (_ivf_assign_codegen). Collecting C rows to the driver is the same
+    bounded-codebook assumption the broadcast already makes.
 
-    Contract unchanged: ties -> lowest centroid id; a vector whose score
-    is null against every centroid (zero vector) also takes the lowest
-    centroid id — identical to the old
+    Larger / non-integral codebooks keep the fold form: the codebook is
+    collapsed to a single row holding the whole array of (id, vec)
+    cells; a 1-row broadcast nested-loop join attaches it to every
+    corpus partition map-side, and each row computes its argmax cosine
+    with JVM higher-order functions. Either way there is no per-vector
+    window and no Exchange: the corpus (and its embedding payload)
+    never shuffles — a crossJoin + row_number(PARTITION BY vec_id)
+    would force a full-corpus hash Exchange, the scale-killer at
+    100 TB.
+
+    Contract (both paths): ties -> lowest centroid id; a vector whose
+    score is null against every centroid (zero vector) also takes the
+    lowest centroid id — identical to the old
     row_number(ORDER BY score DESC NULLS LAST, cid ASC) semantics.
+    An empty codebook raises (the old shape silently returned zero
+    rows; silent null assignments would vanish in downstream joins).
     """
+    head = centroids.select(
+        F.col(centroid_id_col), F.col(centroid_vec_col)
+    ).limit(codegen_max_centroids + 1).collect()
+    if not head:
+        raise ValueError("ivf_assign: centroids must be non-empty")
+    cid_type = centroids.schema[centroid_id_col].dataType.simpleString()
+    dims = {len(r[centroid_vec_col]) for r in head if r[centroid_vec_col] is not None}
+    if (
+        len(head) <= codegen_max_centroids
+        and cid_type in ("tinyint", "smallint", "int", "bigint")
+        and len(dims) == 1
+        and all(r[centroid_vec_col] is not None for r in head)
+    ):
+        cells = sorted((r[centroid_id_col], r[centroid_vec_col]) for r in head)
+        return _ivf_assign_codegen(
+            emb, cells, cid_type, id_col, vec_col, centroid_id_col
+        )
+
     cell = F.struct(
         F.col(centroid_id_col).alias("cid"), F.col(centroid_vec_col).alias("cvec")
     )

@@ -347,3 +347,47 @@ def test_near_dedup_leaves_no_cached_rdds(spark, tmp_path):
     assert kept == [1, 3]  # 4 is an exact dup of 1 (normalized), 2 a near-dup
     after = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
     assert after <= before, f"leaked cached RDDs: {after - before}"
+
+
+def test_ivf_assign_empty_centroids_raises(spark):
+    # ADVICE r3: an empty codebook used to emit NULL centroid ids that
+    # silently vanished in downstream equi-joins; now it fails loudly
+    emb = spark.createDataFrame(
+        [Row(vec_id=1, embedding=[1.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    empty = spark.createDataFrame(
+        [], "centroid_id long, centroid_vec array<float>"
+    )
+    with pytest.raises(ValueError, match="non-empty"):
+        S.ivf_assign(emb, empty)
+
+
+def test_ivf_assign_codegen_fold_parity(spark):
+    # the small-codebook SQL path and the fold path must agree exactly:
+    # ties -> lowest cid, zero vectors -> lowest cid, null scores lose
+    rows = [
+        Row(vec_id=1, embedding=[1.0, 0.0, 0.0]),
+        Row(vec_id=2, embedding=[0.0, 1.0, 0.0]),
+        Row(vec_id=3, embedding=[0.0, 0.0, 0.0]),   # zero vector
+        Row(vec_id=4, embedding=[1.0, 1.0, 0.0]),   # equidistant tie
+        Row(vec_id=5, embedding=[-1.0, -1.0, -0.5]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = spark.createDataFrame(
+        [
+            Row(centroid_id=10, centroid_vec=[1.0, 0.0, 0.0]),
+            Row(centroid_id=11, centroid_vec=[0.0, 1.0, 0.0]),
+        ],
+        "centroid_id long, centroid_vec array<float>",
+    )
+    fast = {
+        (r["vec_id"], r["centroid_id"])
+        for r in S.ivf_assign(emb, cents).collect()
+    }
+    fold = {
+        (r["vec_id"], r["centroid_id"])
+        for r in S.ivf_assign(emb, cents, codegen_max_centroids=0).collect()
+    }
+    assert fast == fold
+    assert (3, 10) in fast  # zero vector -> lowest centroid id
+    assert (4, 10) in fast  # exact tie -> lowest centroid id
