@@ -37,6 +37,8 @@ BENCH_QUERIES = [
     "text_stats",         # per-row text analysis expressions
     "unwind_group",       # explode + aggregate
     "tpch_q3_pipeline",   # 3-table join + agg + top-k via $lookup/$group
+    "redact_pipeline",    # $redact recursive KEEP/DESCEND/PRUNE column program
+    "corpus_curation",    # quality gates -> dedup funnel composition
 ]
 
 

@@ -10,6 +10,9 @@ microsecond TIMESTAMP for value parity.
 
 from __future__ import annotations
 
+import os
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -17,20 +20,46 @@ from pyspark.sql import types as T
 NANO_TS_COLS = {"events": ["ts"]}
 
 
+def _size_bytes(v) -> int:
+    """Parse a Spark size conf value ('134217728b', '128MB', 134217728)."""
+    m = re.match(r"^(\d+)\s*([kmgt]?)b?$", str(v).strip().lower())
+    if not m:
+        raise ValueError(f"bad size: {v!r}")
+    return int(m.group(1)) * {
+        "": 1, "k": 1024, "m": 1024**2, "g": 1024**3, "t": 1024**4
+    }[m.group(2)]
+
+
 def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Round-robin repartition when the input has fewer partitions than
     cores — the harness tables are single parquet files, which would
     otherwise serialize every heavy per-row expression onto one task.
     At cluster scale inputs arrive with many partitions and this is a
-    no-op (the condition, not the shuffle, is the point)."""
+    no-op (the condition, not the shuffle, is the point).
+
+    The fast path is a *clearly-large-scan* screen: many input files do
+    NOT guarantee many partitions (Spark bin-packs small files into
+    shared splits via maxPartitionBytes/openCostInBytes — 32 tiny files
+    can scan as a couple of tasks), so the file count alone is never
+    trusted. The screen passes only when the measurable total bytes
+    already fill >= target max-sized bins; anything else falls through
+    to df.rdd.getNumPartitions(), the authority."""
     if df.isStreaming:
         return df  # micro-batch partitioning is the source's concern
-    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    spark = df.sparkSession
+    target = min_partitions or spark.sparkContext.defaultParallelism
     try:
-        # cheap file-count screen: >= target input files means the scan
-        # already splits enough, no need to build the RDD plan at all
-        if len(df.inputFiles()) >= target:
-            return df
+        files = df.inputFiles()
+        if len(files) >= target:
+            local = [p[len("file:"):] for p in files if p.startswith("file:")]
+            if len(local) == len(files):
+                max_bytes = _size_bytes(
+                    spark.conf.get("spark.sql.files.maxPartitionBytes", "128m")
+                )
+                if sum(os.path.getsize(p) for p in local) >= target * max_bytes:
+                    return df  # >= target full-size splits guaranteed
+            # non-local or small files: can't cheaply prove the split
+            # count, ask the planner below
     except Exception:
         pass
     if df.rdd.getNumPartitions() < target:

@@ -43,9 +43,17 @@ def curate(
         & (quality_score(c) >= min_quality)
         & token_count(c).between(min_tokens, max_tokens)
     )
-    return near_dedup(
-        gated, text_col, id_col, jaccard_threshold=jaccard_threshold
-    )
+    # the funnel scans its input several times (exact-dedup agg + semi
+    # join, signature build); cache the gated rows so the three
+    # tokenizing gate expressions run once, and release the cache after
+    # near_dedup's checkpoint-materialized result no longer needs it
+    gated = gated.persist()
+    try:
+        return near_dedup(
+            gated, text_col, id_col, jaccard_threshold=jaccard_threshold
+        )
+    finally:
+        gated.unpersist()
 
 
 def split_hash(id_col: Column, seed: str) -> Column:

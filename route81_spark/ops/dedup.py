@@ -291,10 +291,11 @@ def near_dedup(
     faster) remains the local-mode default.
 
     Caching contract: intermediates persisted during the call are
-    unpersisted before returning — nothing stays cached in the session.
-    The clustering work is materialized in the returned plan (the loser
-    set is computed eagerly here); only the cheap exact-dedup agg is
-    re-executed when the caller materializes the result."""
+    unpersisted before returning — nothing stays explicitly cached in
+    the session. The returned DataFrame is checkpoint-materialized
+    (files under `checkpoint_dir`, or executor-local blocks by default)
+    so downstream actions re-read the result instead of re-running the
+    funnel."""
     # survivors feeds three consumers (candidate gen, Jaccard verify,
     # the final anti-join) — persist or the exact-dedup agg runs 3x
     # during the eager clustering below
@@ -313,7 +314,11 @@ def near_dedup(
         losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
             F.col("doc_id").alias(id_col)
         )
-        return survivors.join(F.broadcast(losers), id_col, "left_anti")
+        result = survivors.join(F.broadcast(losers), id_col, "left_anti")
+        # materialize while survivors is still cached: the caller's
+        # actions then read the checkpointed result instead of paying
+        # the gate+exact-dedup scans again after the unpersist below
+        return _checkpointer(result, checkpoint_dir)(result)
     finally:
         # release the explicit caches (ngram_jaccard_pairs persisted the
         # candidate pairs; same plan, so unpersisting `cand` clears it) —

@@ -34,19 +34,31 @@ class ClassifierConfig:
     delete_id_path: str | None = None  # e.g. "meta._id"
 
 
-_SEG = re.compile(r"^([^\[\]]+)((?:\[\d+\])*)$")
+# identifier-ish field names only: a name with spaces/operators/parens
+# is full gval syntax, outside the supported subset -> loud error
+_SEG = re.compile(r"^([\w$-]+)((?:\[\d+\])*)$")
 
 
 def _parse_path(path: str) -> list[str | int]:
     """`data.items[0]._id` -> ["data", "items", 0, "_id"]. The reference
     compiles these with gval.Full() (route81.go:323-336); the subset a
-    consumer config actually uses is dotted fields + [n] indexing, which
-    maps 1:1 onto nested-Column access (both are 0-based)."""
+    consumer config actually uses — and the documented contract here
+    (README "Path expressions") — is dotted fields + [n] indexing, which
+    maps 1:1 onto nested-Column access (both are 0-based). Anything
+    outside that subset fails loudly at config-compile time, naming the
+    supported syntax, instead of surfacing a cryptic segment error."""
     out: list[str | int] = []
     for part in path.split("."):
         m = _SEG.match(part)
         if not m:
-            raise ValueError(f"bad path segment {part!r} in {path!r}")
+            raise ValueError(
+                f"unsupported path expression {path!r} (at segment {part!r}): "
+                "document-root-path / delete-id-path accept dot-separated "
+                "field names with optional [n] array indexes, e.g. "
+                "'data.items[0]._id'. Full gval syntax (quoted keys, "
+                "arithmetic, function calls) is not supported; restructure "
+                "the path or pre-shape the document with a pipeline stage."
+            )
         out.append(m.group(1))
         for idx in re.findall(r"\[(\d+)\]", m.group(2)):
             out.append(int(idx))

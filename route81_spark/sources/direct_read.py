@@ -14,6 +14,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from route81_spark.io import ensure_parallelism
+
 
 def direct_read(
     spark: SparkSession,
@@ -21,7 +23,8 @@ def direct_read(
     min_partitions: int | None = None,
 ) -> DataFrame:
     df = spark.read.parquet(path)
-    if min_partitions and len(df.inputFiles()) < min_partitions:
-        if df.rdd.getNumPartitions() < min_partitions:
-            df = df.repartition(min_partitions)
+    if min_partitions:
+        # ensure_parallelism handles small-file bin-packing correctly
+        # (file count alone over-estimates split count)
+        df = ensure_parallelism(df, min_partitions)
     return df

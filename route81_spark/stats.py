@@ -86,6 +86,9 @@ def _thread_stacks() -> str:
     return "\n".join(out)
 
 
+_profile_lock = threading.Lock()
+
+
 def _sample_profile(seconds: float, interval: float = 0.01) -> str:
     """Sampling CPU profile of the Python driver (pprof.Profile
     equivalent; the JVM side is covered by the Spark UI). Samples every
@@ -142,9 +145,24 @@ def serve_stats(
                 ctype = "text/plain"
                 body = _thread_stacks().encode()
             elif pprof and url.path == "/debug/pprof/profile":
-                secs = float(parse_qs(url.query).get("seconds", ["1"])[0])
+                # malformed ?seconds must be a 400, not a handler
+                # traceback/connection reset; valid values are clamped
+                # so a request can't pin a handler thread for minutes
+                try:
+                    secs = float(parse_qs(url.query).get("seconds", ["1"])[0])
+                    if not (0 < secs <= 60):
+                        raise ValueError(secs)
+                except ValueError:
+                    self.send_response(400)
+                    self.end_headers()
+                    self.wfile.write(b"bad seconds parameter")
+                    return
                 ctype = "text/plain"
-                body = _sample_profile(secs).encode()
+                # serialize profiles: each request samples every thread's
+                # frames in a loop — concurrent profilers would degrade
+                # the process they're measuring
+                with _profile_lock:
+                    body = _sample_profile(secs).encode()
             else:
                 self.send_response(404)
                 self.end_headers()

@@ -182,3 +182,16 @@ def test_classifier_array_index_paths(spark):
     assert got["y1"][0] is True
     # missing root -> delete
     assert got["z1"][0] is True
+
+
+def test_path_expression_contract_error():
+    # unsupported gval syntax must fail at compile time with an error
+    # naming the supported subset (README "Path expressions")
+    import pytest
+
+    from route81_spark.sinks.classify import _parse_path
+
+    assert _parse_path("data.items[0]._id") == ["data", "items", 0, "_id"]
+    for bad in ('data["k"]', "a.b[x]", "a..b", "a + b", "fn(a)", "items[0"):
+        with pytest.raises(ValueError, match="dot-separated"):
+            _parse_path(bad)

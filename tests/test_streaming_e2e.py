@@ -303,6 +303,11 @@ def test_pprof_endpoints_config_gated():
         assert "thread" in stacks
         prof = urllib.request.urlopen(f"{base}/profile?seconds=0.2").read().decode()
         assert prof.startswith("samples:")
+        # malformed / out-of-range seconds -> 400, not a handler crash
+        for bad in ("abc", "-1", "9999"):
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                urllib.request.urlopen(f"{base}/profile?seconds={bad}")
+            assert ei.value.code == 400
     finally:
         srv.shutdown()
 
