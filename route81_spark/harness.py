@@ -3862,6 +3862,217 @@ def facet_summary(spark, sf_dir):
 
 
 # =====================================================================
+# Training-data curation extensions, round 4: PII scrub, Gopher-style
+# repetition filters, benchmark decontamination, stratified sampling,
+# token-budget sequence packing
+# =====================================================================
+
+# RE2/Java-portable PII patterns (same strings as ops.text)
+_PII_EMAIL_SQL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_PHONE_SQL = "\\+?[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}"
+_PII_IP_SQL = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+# deterministic synthetic PII injection shared by query and oracle (the
+# corpus tables carry no real PII, so the redaction path needs planted
+# targets; keyed off doc_id -> stable under reruns)
+_PII_AUG_SQL = """
+    text || CASE CAST(doc_id % 7 AS INT)
+      WHEN 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com now'
+      WHEN 1 THEN ' call 555-123-4567 soon'
+      WHEN 2 THEN ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1 up'
+      ELSE '' END
+"""
+
+
+@_q(
+    "text_pii_redact",
+    f"""
+    WITH aug AS (SELECT doc_id, {_PII_AUG_SQL} AS p FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(p, '{_PII_EMAIL_SQL}')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(p, '{_PII_PHONE_SQL}')) AS INT) AS n_phones,
+           CAST(len(regexp_extract_all(p, '{_PII_IP_SQL}')) AS INT) AS n_ips,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(p, '{_PII_EMAIL_SQL}', '<EMAIL>', 'g'),
+               '{_PII_PHONE_SQL}', '<PHONE>', 'g'),
+             '{_PII_IP_SQL}', '<IP>', 'g') AS redacted
+    FROM aug
+    """,
+)
+def text_pii_redact(spark, sf_dir):
+    # PII scrub over the documents table: typed placeholder redaction +
+    # per-class counts, all narrow regexp expressions (ops/text.py
+    # pii_counts/pii_redact)
+    from route81_spark.ops.text import pii_counts, pii_redact
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            did % 7 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                did.cast("string"),
+                F.lit("@mail.example.com now"),
+            ),
+        )
+        .when(did % 7 == 1, F.lit(" call 555-123-4567 soon"))
+        .when(
+            did % 7 == 2,
+            F.concat(F.lit(" host 10.0."), (did % 256).cast("string"), F.lit(".1 up")),
+        )
+        .otherwise(F.lit("")),
+    )
+    with_pii = docs.select("doc_id", aug.alias("p"))
+    counts = pii_counts(F.col("p"))
+    return with_pii.select(
+        "doc_id",
+        counts["n_emails"].alias("n_emails"),
+        counts["n_phones"].alias("n_phones"),
+        counts["n_ips"].alias("n_ips"),
+        pii_redact(F.col("p")).alias("redacted"),
+    )
+
+
+@_q(
+    "text_gopher_flags",
+    f"""
+    WITH t AS (SELECT doc_id, text, {_TOKS} AS tk FROM documents),
+    g AS (
+      SELECT doc_id, text, tk,
+             list_transform(range(1, greatest(len(tk) - 2, 1) + 1),
+                            i -> coalesce(array_to_string(tk[i:i+2], ' '), '')) AS g3
+      FROM t
+    ),
+    m AS (
+      SELECT doc_id,
+             floor((1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3))
+                   * 1000000.0 + 0.5) / 1000000.0 AS dup_3gram_frac,
+             floor((CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE)
+                    / len(tk)) * 1000000.0 + 0.5) / 1000000.0 AS mean_word_len,
+             floor((CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+                    / length(text)) * 1000000.0 + 0.5) / 1000000.0 AS symbol_ratio,
+             CAST(len(list_filter(tk, x -> x IN
+               ('a','and','das','der','des','die','et','ist','la','le','les',
+                'of','the','to','und'))) AS INT) AS stopword_hits
+      FROM g
+    )
+    SELECT doc_id, dup_3gram_frac, mean_word_len, symbol_ratio, stopword_hits,
+           (dup_3gram_frac <= 0.75 AND mean_word_len BETWEEN 2.0 AND 12.0
+            AND symbol_ratio <= 0.3 AND stopword_hits >= 1) AS keep
+    FROM m
+    """,
+)
+def text_gopher_flags(spark, sf_dir):
+    # Gopher-style cheap quality filters: 3-gram repetition fraction,
+    # mean word length, symbol ratio, stopword presence — pure Column
+    # expressions (ops/text.py gopher_metrics/gopher_keep)
+    from route81_spark.ops.text import gopher_keep, gopher_metrics
+
+    docs = _t(spark, sf_dir, "documents")
+    m = gopher_metrics(F.col("text"))
+    return docs.select(
+        "doc_id",
+        m["dup_3gram_frac"].alias("dup_3gram_frac"),
+        m["mean_word_len"].alias("mean_word_len"),
+        m["symbol_ratio"].alias("symbol_ratio"),
+        m["stopword_hits"].alias("stopword_hits"),
+        gopher_keep(F.col("text")).alias("keep"),
+    )
+
+
+@_q(
+    "corpus_decontaminate",
+    """
+    WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
+               FROM documents),
+    g AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(tk) - 4, 1) + 1),
+                           i -> coalesce(array_to_string(tk[i:i+4], ' '), ''))) AS gs
+      FROM t
+    ),
+    bench AS (SELECT DISTINCT unnest(gs) AS ng FROM g WHERE doc_id % 97 = 0),
+    corp AS (SELECT doc_id, unnest(gs) AS ng FROM g WHERE doc_id % 97 <> 0),
+    hits AS (SELECT c.doc_id, count(*) AS n FROM corp c
+             JOIN bench b USING (ng) GROUP BY 1)
+    SELECT d.doc_id,
+           CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,
+           coalesce(h.n, 0) >= 3 AS contaminated
+    FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+    WHERE d.doc_id % 97 <> 0
+    """,
+)
+def corpus_decontaminate(spark, sf_dir):
+    # benchmark decontamination: every 97th doc plays the eval set; a
+    # training doc is contaminated at >= 3 shared distinct 5-grams.
+    # Benchmark n-gram set broadcasts; only matching rows shuffle.
+    from route81_spark.ops.corpus import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corp = docs.filter(F.col("doc_id") % 97 != 0)
+    return decontaminate(corp, bench, n=5, min_hits=3).select(
+        "doc_id", "n_hits", "contaminated"
+    )
+
+
+@_q(
+    "corpus_stratified_sample",
+    """
+    SELECT doc_id, lang FROM documents
+    WHERE ('0x' || substr(md5('strat0|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+          / 1152921504606846976.0
+          < CASE lang WHEN 'en' THEN 0.5 WHEN 'fr' THEN 0.25
+                      WHEN 'de' THEN 0.125 ELSE 0.0 END
+    """,
+)
+def corpus_stratified_sample(spark, sf_dir):
+    # language rebalancing by deterministic per-stratum hash sampling —
+    # re-runnable, zero shuffle, docs never flip across reruns
+    from route81_spark.ops.corpus import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs, "lang", {"en": 0.5, "fr": 0.25, "de": 0.125}
+    ).select("doc_id", "lang")
+
+
+@_q(
+    "corpus_pack",
+    f"""
+    WITH t AS (SELECT doc_id, len({_TOKS}) AS n_tokens FROM documents),
+    s AS (
+      SELECT doc_id, n_tokens,
+             CAST(('0x' || substr(md5('shuffle0|s|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                  % 4 AS INT) AS shard,
+             md5('shuffle0|o|' || CAST(doc_id AS VARCHAR)) AS oh
+      FROM t
+    )
+    SELECT doc_id, shard,
+           CAST(floor((sum(n_tokens) OVER (PARTITION BY shard ORDER BY oh
+                       ROWS UNBOUNDED PRECEDING) - n_tokens) / 512.0) AS INT) AS bin
+    FROM s
+    """,
+)
+def corpus_pack(spark, sf_dir):
+    # token-budget sequence packing: shard-shuffle, then bin consecutive
+    # docs by exclusive running token count — per-shard window sorts,
+    # never a global ORDER BY
+    from route81_spark.ops.corpus import pack_sequences
+    from route81_spark.ops.text import token_count
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    return pack_sequences(docs, budget_tokens=512, n_shards=4).select(
+        "doc_id", "shard", "bin"
+    )
+
+
+# =====================================================================
 # Registry accessors (consumed by __spark_entry__)
 # =====================================================================
 

@@ -84,6 +84,101 @@ def train_val_split(
     )
 
 
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination (the GPT-3/PaLM-style n-gram overlap
+    check): annotate each corpus doc with the number of DISTINCT word
+    n-grams it shares with any benchmark doc, and a `contaminated` flag
+    at >= min_hits.
+
+    100 TB shape: the benchmark side (eval sets) is tiny by definition —
+    its distinct n-gram set broadcasts. The corpus side is a narrow
+    explode of per-row distinct shingles into a broadcast semi-join;
+    the only shuffle is the per-doc hit count, carrying MATCHING rows
+    only (usually a vanishing fraction). The corpus text/payload never
+    shuffles — hits join back by id."""
+    from route81_spark.ops.text import shingles
+
+    bench_grams = benchmark.select(
+        F.explode(shingles(F.col(text_col), n)).alias("__ng")
+    ).distinct()
+    corpus_grams = corpus.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("__ng")
+    )
+    hits = (
+        corpus_grams.join(F.broadcast(bench_grams), "__ng")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    out = corpus.join(hits, id_col, "left")
+    n_hits = F.coalesce(F.col("n_hits"), F.lit(0)).cast("long")
+    return out.select(
+        *[F.col(c) for c in corpus.columns if c != "n_hits"],
+        n_hits.alias("n_hits"),
+        (n_hits >= min_hits).alias("contaminated"),
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    seed: str = "strat0",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum downsampling (e.g. language rebalancing
+    before training): keep a row iff its id-hash falls under its
+    stratum's fraction. Unlike df.sampleBy, the decision is a pure
+    per-row expression — re-runnable, resume-safe, no RNG state, zero
+    shuffle — and a doc never flips in or out across reruns/appends."""
+    frac = None
+    for key in sorted(fractions):
+        cond = F.col(strata_col) == key
+        val = F.lit(float(fractions[key]))
+        frac = F.when(cond, val) if frac is None else frac.when(cond, val)
+    frac = frac.otherwise(F.lit(float(default_fraction))) if frac is not None else F.lit(
+        float(default_fraction)
+    )
+    return df.filter(split_hash(F.col(id_col), seed) < frac)
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget_tokens: int,
+    n_shards: int = 8,
+    tokens_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    seed: str = "shuffle0",
+) -> DataFrame:
+    """Deterministic token-budget packing: shard-shuffle the docs
+    (shard()), then within each shard assign consecutive docs to bins of
+    ~budget_tokens by exclusive running token count (bin = floor of the
+    tokens BEFORE this doc / budget — the streaming-friendly approximate
+    packing used to build fixed-length training batches; a doc may
+    straddle a boundary, which sequence-packing tolerates by design).
+
+    Plan: shard() is one hash Exchange; the running sum is a window over
+    (shard, order-hash) — per-shard sorts of corpus/N rows, never a
+    global ORDER BY."""
+    sharded = shard(df, n_shards, id_col=id_col, seed=seed)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(F.col(tokens_col)).over(w) - F.col(tokens_col)
+    return sharded.withColumn(
+        "bin", F.floor(cum / F.lit(float(budget_tokens))).cast("int")
+    )
+
+
 def shard(
     df: DataFrame,
     n_shards: int,

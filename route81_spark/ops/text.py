@@ -131,6 +131,105 @@ def _h64(col: Column, seed: int) -> Column:
     ).cast("long")
 
 
+# PII patterns chosen to parse identically under Java regex (Spark) and
+# RE2 (DuckDB oracle): no backrefs, no lookaround.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\+?[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}"
+PII_IP = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+def pii_counts(text_col: Column) -> dict[str, Column]:
+    """Occurrence counts of the supported PII classes (pre-redaction)."""
+    return {
+        "n_emails": F.regexp_count(text_col, F.lit(PII_EMAIL)),
+        "n_phones": F.regexp_count(text_col, F.lit(PII_PHONE)),
+        "n_ips": F.regexp_count(text_col, F.lit(PII_IP)),
+    }
+
+
+def pii_redact(text_col: Column) -> Column:
+    """Replace emails/phones/IPv4s with typed placeholder tags — the
+    standard pre-training scrub pass. Pure per-row regexp expressions:
+    narrow, zero-shuffle, codegen'd; order matters (emails first so an
+    address is not half-eaten by the IP rule)."""
+    out = F.regexp_replace(text_col, PII_EMAIL, "<EMAIL>")
+    out = F.regexp_replace(out, PII_PHONE, "<PHONE>")
+    return F.regexp_replace(out, PII_IP, "<IP>")
+
+
+# Gopher-rule thresholds (Rae et al. 2021, table A1-style cheap filters)
+GOPHER_MAX_DUP_3GRAM_FRAC = 0.75
+GOPHER_MEAN_WORD_LEN = (2.0, 12.0)
+GOPHER_MAX_SYMBOL_RATIO = 0.3
+GOPHER_MIN_STOPWORD_HITS = 1
+
+
+def positional_ngrams(tk: Column, n: int) -> Column:
+    """All word n-grams WITH multiplicity (unlike shingles(): repetition
+    analysis needs the duplicates)."""
+    idx = F.sequence(F.lit(1), F.greatest(F.size(tk) - F.lit(n - 1), F.lit(1)))
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tk, i, n)))
+
+
+def gopher_metrics(text_col: Column) -> dict[str, Column]:
+    """The cheap repetition/shape signals of Gopher-style quality
+    filtering, each a pure Column expression (det_round'ed for
+    cross-engine value parity):
+
+      * dup_3gram_frac — fraction of 3-gram occurrences that are
+        repeats of an earlier occurrence (1 - distinct/total)
+      * mean_word_len  — total token chars / token count
+      * symbol_ratio   — non-alphanumeric-non-space chars / chars
+      * stopword_hits  — tokens in the (tiny, deterministic) marker set
+    """
+    from route81_spark.ops.util import det_round
+
+    tk = tokens(text_col)
+    n_tok = F.size(tk)
+    grams = positional_ngrams(tk, 3)
+    n_grams = F.size(grams)
+    dup_frac = F.when(
+        n_grams > 0,
+        det_round(
+            F.lit(1.0) - F.size(F.array_distinct(grams)) / n_grams.cast("double"), 6
+        ),
+    )
+    char_sum = F.aggregate(
+        tk, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    mean_word_len = F.when(
+        n_tok > 0, det_round(char_sum.cast("double") / n_tok, 6)
+    )
+    n_chars = F.length(text_col)
+    symbol_ratio = F.when(
+        n_chars > 0,
+        det_round(
+            F.length(F.regexp_replace(text_col, r"[A-Za-z0-9\s]", "")).cast("double")
+            / n_chars,
+            6,
+        ),
+    )
+    all_markers = sorted({w for ws in LANG_MARKERS.values() for w in ws})
+    return {
+        "dup_3gram_frac": dup_frac,
+        "mean_word_len": mean_word_len,
+        "symbol_ratio": symbol_ratio,
+        "stopword_hits": marker_hits(text_col, all_markers),
+    }
+
+
+def gopher_keep(text_col: Column) -> Column:
+    """Boolean keep-decision from gopher_metrics vs the thresholds."""
+    m = gopher_metrics(text_col)
+    lo, hi = GOPHER_MEAN_WORD_LEN
+    return (
+        (m["dup_3gram_frac"] <= GOPHER_MAX_DUP_3GRAM_FRAC)
+        & m["mean_word_len"].between(lo, hi)
+        & (m["symbol_ratio"] <= GOPHER_MAX_SYMBOL_RATIO)
+        & (m["stopword_hits"] >= GOPHER_MIN_STOPWORD_HITS)
+    )
+
+
 def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
     c = F.col(text_col)
     return df.select(

@@ -391,3 +391,86 @@ def test_ivf_assign_codegen_fold_parity(spark):
     assert fast == fold
     assert (3, 10) in fast  # zero vector -> lowest centroid id
     assert (4, 10) in fast  # exact tie -> lowest centroid id
+
+
+def test_pii_redact_and_counts(spark):
+    from route81_spark.ops.text import pii_counts, pii_redact
+
+    df = spark.createDataFrame(
+        [Row(t="mail a.b@x.co or call 555-123-4567 from 10.0.0.1 ok")], "t string"
+    )
+    c = pii_counts(F.col("t"))
+    row = df.select(
+        c["n_emails"].alias("e"), c["n_phones"].alias("p"), c["n_ips"].alias("i"),
+        pii_redact(F.col("t")).alias("r"),
+    ).collect()[0]
+    assert (row["e"], row["p"], row["i"]) == (1, 1, 1)
+    assert row["r"] == "mail <EMAIL> or call <PHONE> from <IP> ok"
+
+
+def test_gopher_repetition_flags(spark):
+    from route81_spark.ops.text import gopher_keep
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, t="the cat sat on the mat and slept all of today quietly"),
+            Row(doc_id=2, t="spam spam spam spam spam spam spam spam spam spam"),
+        ],
+        "doc_id long, t string",
+    )
+    keep = {r["doc_id"]: r["k"] for r in df.select("doc_id", gopher_keep(F.col("t")).alias("k")).collect()}
+    assert keep[1] is True       # normal prose passes
+    assert keep[2] is False      # pure repetition fails dup-3gram + stopwords
+
+
+def test_decontaminate_flags_overlap(spark):
+    from route81_spark.ops.corpus import decontaminate
+
+    bench = spark.createDataFrame(
+        [Row(doc_id=100, text="alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="alpha beta gamma delta epsilon zeta eta"),  # overlaps
+            Row(doc_id=2, text="one two three four five six seven"),        # clean
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: (r["n_hits"], r["contaminated"])
+           for r in decontaminate(corpus, bench, n=5, min_hits=1).collect()}
+    assert out[1][0] >= 1 and out[1][1] is True
+    assert out[2] == (0, False)
+
+
+def test_stratified_sample_deterministic(spark):
+    from route81_spark.ops.corpus import stratified_sample
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, lang="en" if i % 2 == 0 else "xx") for i in range(200)],
+        "doc_id long, lang string",
+    )
+    a = {r["doc_id"] for r in stratified_sample(df, "lang", {"en": 0.5}).collect()}
+    b = {r["doc_id"] for r in stratified_sample(df, "lang", {"en": 0.5}).collect()}
+    assert a == b                              # rerun-stable
+    assert all(i % 2 == 0 for i in a)          # default fraction 0 drops 'xx'
+    assert 20 < len(a) < 80                    # ~half of the 100 'en' docs
+
+
+def test_pack_sequences_bins(spark):
+    from route81_spark.ops.corpus import pack_sequences
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, n_tokens=100) for i in range(40)], "doc_id long, n_tokens long"
+    )
+    out = pack_sequences(df, budget_tokens=250, n_shards=2).collect()
+    assert {r["shard"] for r in out} <= {0, 1}
+    for shard in (0, 1):
+        rows = sorted((r["pos"], r["bin"]) for r in out if r["shard"] == shard)
+        bins = [b for _, b in rows]
+        assert bins == sorted(bins)            # bins increase along pack order
+        # exclusive running count: 100-token docs on a 250 budget ->
+        # bins of 3,2,3,2,... docs; every bin holds 2 or 3 docs
+        from collections import Counter
+
+        assert set(Counter(bins).values()) <= {2, 3}
