@@ -39,6 +39,8 @@ BENCH_QUERIES = [
     "tpch_q3_pipeline",   # 3-table join + agg + top-k via $lookup/$group
     "redact_pipeline",    # $redact recursive KEEP/DESCEND/PRUNE column program
     "corpus_curation",    # quality gates -> dedup funnel composition
+    "text_gopher_flags",  # repetition/shape quality metrics (heavy per-row HOFs)
+    "corpus_decontaminate",  # benchmark n-gram overlap, broadcast eval set
 ]
 
 

@@ -3969,9 +3969,12 @@ def text_gopher_flags(spark, sf_dir):
     # Gopher-style cheap quality filters: 3-gram repetition fraction,
     # mean word length, symbol ratio, stopword presence — pure Column
     # expressions (ops/text.py gopher_metrics/gopher_keep)
+    from route81_spark.io import ensure_parallelism
     from route81_spark.ops.text import gopher_keep, gopher_metrics
 
-    docs = _t(spark, sf_dir, "documents")
+    # the repetition metrics are heavy per-row HOFs; a single-file scan
+    # must not serialize them onto one task
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
     m = gopher_metrics(F.col("text"))
     return docs.select(
         "doc_id",

@@ -103,12 +103,15 @@ def decontaminate(
     the only shuffle is the per-doc hit count, carrying MATCHING rows
     only (usually a vanishing fraction). The corpus text/payload never
     shuffles — hits join back by id."""
+    from route81_spark.io import ensure_parallelism
     from route81_spark.ops.text import shingles
 
     bench_grams = benchmark.select(
         F.explode(shingles(F.col(text_col), n)).alias("__ng")
     ).distinct()
-    corpus_grams = corpus.select(
+    # shingling + explode is the expensive narrow stage — spread a
+    # few-file scan across cores (no-op on well-partitioned inputs)
+    corpus_grams = ensure_parallelism(corpus.select(id_col, text_col)).select(
         F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("__ng")
     )
     hits = (

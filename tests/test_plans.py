@@ -192,3 +192,42 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
     finally:
         spark.sql(f"DROP DATABASE {db} CASCADE")
+
+
+def test_stratified_sample_no_shuffle(spark):
+    # the sampling decision is a pure per-row expression: no Exchange of
+    # any kind in the plan, and the filter math stays JVM-side
+    df = harness.QUERIES["corpus_stratified_sample"](spark, SF)
+    plan = plan_of(df, "simple")
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    # benchmark gram set must be the broadcast side; the corpus text
+    # payload must never hash-shuffle (only the doc_id/hit rows may)
+    df = harness.QUERIES["corpus_decontaminate"](spark, SF)
+    plan = plan_of(df, "simple")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    # the per-doc hit count is the only aggregation shuffle; the wide
+    # text column must not appear in any hashpartitioning clause
+    for line in plan.splitlines():
+        if "hashpartitioning" in line:
+            assert "text" not in line
+
+
+def test_pack_sequences_single_shard_exchange(spark):
+    # one hash Exchange on the shard key + per-shard window sort; a
+    # global ORDER BY (rangepartitioning) must never appear
+    df = harness.QUERIES["corpus_pack"](spark, SF)
+    plan = plan_of(df, "simple")
+    assert "rangepartitioning" not in plan
+    assert plan.count("hashpartitioning") >= 1
+    assert "Window" in plan
+
+
+def test_pii_redact_stays_jvm_side(spark):
+    df = harness.QUERIES["text_pii_redact"](spark, SF)
+    plan = plan_of(df, "simple")
+    assert "EvalPython" not in plan
+    assert "Exchange" not in plan  # narrow per-row regexps only
