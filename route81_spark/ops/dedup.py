@@ -204,9 +204,15 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     shingle_n: int = 3,
     threshold: float = 0.0,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Score candidate pairs with exact shingle-set Jaccard. `pairs` has
-    (id_a, id_b); the doc table joins in twice (broadcast when small)."""
+    (id_a, id_b); the doc table joins in twice (broadcast when small).
+
+    DataFrames persisted internally are appended to `cache_registry`
+    (when given) so a composing caller — near_dedup — can unpersist
+    them once the result is materialized; ad-hoc callers accept the
+    session-lifetime cache (documented contract)."""
     # the pairs DataFrame is consumed three times below (two id
     # projections + the scoring join); without persistence the whole
     # LSH candidate DAG — the expensive part — re-executes each time.
@@ -216,6 +222,8 @@ def ngram_jaccard_pairs(
 
     if pairs.storageLevel == StorageLevel.NONE:
         pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+        if cache_registry is not None:
+            cache_registry.append(pairs)
     # compute shingles only for documents that appear in a candidate pair
     # (left-semi prune): at 100 TB the candidate set is orders of
     # magnitude smaller than the corpus
@@ -225,9 +233,15 @@ def ngram_jaccard_pairs(
         .distinct()
     )
     needed = df.join(F.broadcast(ids), id_col, "left_semi")
+    # persisted: the a-side and b-side joins below are DIFFERENT join
+    # keys, so without a cache the shingling of the needed docs runs
+    # twice (no ReusedExchange across renamed plans). Bounded by the
+    # candidate set.
     sh = needed.select(
         F.col(id_col), F.array_sort(shingles(F.col(text_col), shingle_n)).alias("sh")
-    )
+    ).persist()
+    if cache_registry is not None:
+        cache_registry.append(sh)
     out = (
         pairs.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
@@ -300,11 +314,16 @@ def near_dedup(
     # the final anti-join) — persist or the exact-dedup agg runs 3x
     # during the eager clustering below
     survivors = exact_dedup(df, text_col, id_col).persist()
-    cand = None
+    caches: list = []
     try:
         cand = lsh_candidates(survivors, text_col, id_col, k=k, bands=bands)
         verified = ngram_jaccard_pairs(
-            survivors, cand, text_col, id_col, threshold=jaccard_threshold
+            survivors,
+            cand,
+            text_col,
+            id_col,
+            threshold=jaccard_threshold,
+            cache_registry=caches,
         )
         # eager: near_dup_clusters materializes the pair graph + labels,
         # so after this line the candidate/verify lineage is consumed
@@ -320,12 +339,12 @@ def near_dedup(
         # the gate+exact-dedup scans again after the unpersist below
         return _checkpointer(result, checkpoint_dir)(result)
     finally:
-        # release the explicit caches (ngram_jaccard_pairs persisted the
-        # candidate pairs; same plan, so unpersisting `cand` clears it) —
-        # a long-lived session must not leak blocks per call
+        # release every explicit cache (candidate pairs + shingle sets
+        # registered by ngram_jaccard_pairs) — a long-lived session must
+        # not leak blocks per call
         survivors.unpersist()
-        if cand is not None:
-            cand.unpersist()
+        for c in caches:
+            c.unpersist()
 
 
 def _checkpointer(df_or_spark, checkpoint_dir: str | None):
@@ -445,13 +464,19 @@ def near_dup_clusters(
     # rounds). Carrying the previous label through the checkpoint makes
     # the convergence check a filter over already-materialized blocks —
     # no extra join per round.
+    #
+    # Round 1 is FUSED into the label initialization: with identity
+    # labels, neighbor-min is just min(dst) per src — one aggregation,
+    # no join and no separate identity-labels checkpoint (two fewer
+    # jobs per call; near-dup graphs usually converge in 2-3 rounds, so
+    # the fixed per-round job cost dominates at interactive scales).
     labels = ck(
-        edges_ck.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("label", F.col("id"))
+        edges_ck.groupBy("src").agg(
+            F.least(F.col("src"), F.min("dst")).alias("label")
+        ).select(F.col("src").alias("id"), "label")
     )
     converged = False
-    for _ in range(max_iter):
+    for _ in range(max_iter - 1):
         neighbor_min = (
             edges_ck.join(labels, edges_ck["dst"] == labels["id"])
             .groupBy("src")
