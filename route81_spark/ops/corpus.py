@@ -20,7 +20,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from route81_spark.ops.dedup import near_dedup
-from route81_spark.ops.text import lang_id, quality_score, token_count
+from route81_spark.ops.text import curation_gate
 
 
 def curate(
@@ -38,10 +38,10 @@ def curate(
     per-row Column predicates (pushed ahead of the expensive dedup
     stages, so shingling/minhash only run on surviving rows)."""
     c = F.col(text_col)
+    # one-expression gate: tokenizes each doc exactly once (a naive
+    # lang_id/quality/token_count conjunction re-splits ~6x per row)
     gated = df.filter(
-        lang_id(c).isin(*langs)
-        & (quality_score(c) >= min_quality)
-        & token_count(c).between(min_tokens, max_tokens)
+        curation_gate(c, tuple(langs), min_quality, min_tokens, max_tokens)
     )
     # the funnel scans its input several times (exact-dedup agg + semi
     # join, signature build); cache the gated rows so the three

@@ -48,18 +48,9 @@ def quality_score(text_col: Column) -> Column:
     signals (length, punct/alpha ratios, type-token ratio).
 
     Rounded with det_round (floor-scaling) so the value is bit-identical
-    across engines — see ops/util.py."""
-    from route81_spark.ops.util import det_round
-
-    n_chars = F.length(text_col)
-    length_factor = F.least(n_chars / F.lit(400.0), F.lit(1.0))
-    diversity = distinct_ratio(text_col)
-    alpha = F.length(F.regexp_replace(text_col, r"[^A-Za-z]", "")) / n_chars
-    score = det_round(length_factor * diversity * alpha, 6)
-    # empty/whitespace-only text scores 0 instead of aborting under ANSI
-    return F.when((n_chars > 0) & (F.size(tokens(text_col)) > 0), score).otherwise(
-        F.lit(0.0)
-    )
+    across engines — see ops/util.py. Empty/whitespace-only text scores
+    0 instead of aborting under ANSI."""
+    return quality_score_tk(text_col, tokens(text_col))
 
 
 def marker_hits(text_col: Column, words: list[str]) -> Column:
@@ -72,10 +63,13 @@ def lang_scores(text_col: Column) -> dict[str, Column]:
     return {lang: marker_hits(text_col, ws) for lang, ws in LANG_MARKERS.items()}
 
 
-def lang_id(text_col: Column) -> Column:
-    """argmax over marker-hit scores, ties broken by language code order;
-    all-zero -> 'und' (undetermined)."""
-    scores = lang_scores(text_col)
+def lang_id_tk(tk: Column) -> Column:
+    """lang_id over an already-computed token array — pass a lambda
+    variable to evaluate the tokenization once (see curation_gate)."""
+    scores = {
+        lang: F.size(F.filter(tk, lambda t: t.isin(ws)))
+        for lang, ws in LANG_MARKERS.items()
+    }
     langs = sorted(scores)  # deterministic tie-break: first max in code-order wins
     best = F.greatest(*[scores[l] for l in langs]) if len(langs) > 1 else scores[langs[0]]
     chain = None
@@ -83,6 +77,50 @@ def lang_id(text_col: Column) -> Column:
         cond = scores[l] == best
         chain = F.when(cond, F.lit(l)) if chain is None else chain.when(cond, F.lit(l))
     return F.when(best > 0, chain).otherwise(F.lit("und"))
+
+
+def lang_id(text_col: Column) -> Column:
+    """argmax over marker-hit scores, ties broken by language code order;
+    all-zero -> 'und' (undetermined)."""
+    return lang_id_tk(tokens(text_col))
+
+
+def quality_score_tk(text_col: Column, tk: Column) -> Column:
+    """quality_score with the token array supplied (same math as
+    quality_score; tokenize once when tk is a lambda variable)."""
+    from route81_spark.ops.util import det_round
+
+    n_chars = F.length(text_col)
+    length_factor = F.least(n_chars / F.lit(400.0), F.lit(1.0))
+    diversity = F.when(F.size(tk) > 0, F.size(F.array_distinct(tk)) / F.size(tk))
+    alpha = F.length(F.regexp_replace(text_col, r"[^A-Za-z]", "")) / n_chars
+    score = det_round(length_factor * diversity * alpha, 6)
+    return F.when((n_chars > 0) & (F.size(tk) > 0), score).otherwise(F.lit(0.0))
+
+
+def curation_gate(
+    text_col: Column,
+    langs: tuple[str, ...],
+    min_quality: float,
+    min_tokens: int,
+    max_tokens: int,
+) -> Column:
+    """The language+quality+length gate as ONE boolean expression that
+    tokenizes the text exactly once: the token array binds to a lambda
+    variable (transform over a 1-element array), so every sub-predicate
+    references the bound value instead of re-embedding the split. A
+    naive conjunction of lang_id/quality_score/token_count evaluates the
+    tokenization ~6x per row — and filter pushdown through a projection
+    would re-inline any pre-computed token column right back."""
+    return F.get(
+        F.transform(
+            F.array(tokens(text_col)),
+            lambda tk: lang_id_tk(tk).isin(*langs)
+            & (quality_score_tk(text_col, tk) >= F.lit(min_quality))
+            & F.size(tk).between(min_tokens, max_tokens),
+        ),
+        0,
+    )
 
 
 def fingerprint(text_col: Column) -> Column:
