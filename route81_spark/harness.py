@@ -4075,6 +4075,69 @@ def corpus_pack(spark, sf_dir):
     )
 
 
+@_q(
+    "text_rare_bigrams",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    p AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(tk) - 1, 1) + 1),
+                    i -> coalesce(array_to_string(tk[i:i+1], ' '), ''))) AS bg
+      FROM t
+    ),
+    pairs AS (SELECT doc_id, bg FROM p WHERE contains(bg, ' ')),
+    model AS (SELECT bg, count(*) AS c2 FROM pairs GROUP BY 1),
+    uni AS (SELECT string_split(bg, ' ')[1] AS w1, count(*) AS c1
+            FROM pairs GROUP BY 1),
+    s AS (
+      SELECT pr.doc_id,
+             count(*) AS n_bigrams,
+             CAST(sum(CASE WHEN m.c2 * 20 < u.c1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_rare
+      FROM pairs pr
+      JOIN model m USING (bg)
+      JOIN uni u ON string_split(pr.bg, ' ')[1] = u.w1
+      GROUP BY 1
+    )
+    SELECT doc_id, n_bigrams, n_rare,
+           floor((CAST(n_rare AS DOUBLE) / n_bigrams) * 1000000.0 + 0.5)
+             / 1000000.0 AS rare_frac
+    FROM s
+    """,
+)
+def text_rare_bigrams(spark, sf_dir):
+    # corpus-LM fluency proxy: fraction of bigrams whose conditional
+    # probability (trained on this corpus) is rare — integer-exact
+    # decision, no float log-prob summation order to disagree on
+    from route81_spark.ops.corpus import rare_bigram_stats
+
+    return rare_bigram_stats(_t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "text_tfidf_top",
+    f"""
+    WITH t AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+    d AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+    s AS (SELECT tf.doc_id, tf.term,
+                 CAST(tf.tf * ((n.n * 1000000) // d.df) AS BIGINT) AS score
+          FROM tf JOIN d USING (term) CROSS JOIN n)
+    SELECT doc_id, term, score, CAST(rn AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                    ORDER BY score DESC, term ASC) AS rn FROM s)
+    WHERE rn <= 3
+    """,
+)
+def text_tfidf_top(spark, sf_dir):
+    # top-3 characteristic terms per doc by tf-idf with a rational idf
+    # (integer (N*1e6) div df) so ranking is bit-exact across engines
+    from route81_spark.ops.corpus import tfidf_top_terms
+
+    return tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
+
+
 # =====================================================================
 # Registry accessors (consumed by __spark_entry__)
 # =====================================================================

@@ -84,6 +84,104 @@ def train_val_split(
     )
 
 
+def rare_bigram_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    rare_denominator: int = 20,
+) -> DataFrame:
+    """Corpus-LM fluency proxy (the CCNet/perplexity-filter idea made
+    engine-exact): train bigram counts on the corpus itself, then score
+    each doc by its fraction of RARE bigrams — those with conditional
+    probability c(w1,w2)/c(w1) < 1/rare_denominator, tested as the
+    integer comparison c(w1,w2)*rare_denominator < c(w1), so the
+    decision is exact (no float log-prob sums, whose summation order
+    differs per engine).
+
+    Returns (id, n_bigrams, n_rare, rare_frac). 100 TB shape: one
+    explode->count aggregation for the model (bigram vocab is bounded
+    by vocab^2 and heavily skew-coalesced by AQE), one join back on the
+    bigram key, one per-doc count agg. The doc text never shuffles —
+    only (id, bigram) pairs."""
+    from route81_spark.io import ensure_parallelism
+    from route81_spark.ops.text import positional_ngrams, tokens
+
+    base = ensure_parallelism(df.select(id_col, text_col))
+    pairs = base.select(
+        F.col(id_col),
+        F.explode(positional_ngrams(tokens(F.col(text_col)), 2)).alias("bg"),
+    ).filter(F.col("bg").contains(" "))  # docs with <2 tokens emit no bigram
+    w1 = F.split(F.col("bg"), " ")[0]
+    model = pairs.groupBy("bg").agg(F.count(F.lit(1)).alias("c2"))
+    uni = (
+        pairs.select(w1.alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    scored = (
+        pairs.join(model, "bg")
+        .withColumn("w1", w1)
+        .join(uni, "w1")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(
+                F.when(
+                    F.col("c2") * rare_denominator < F.col("c1"), 1
+                ).otherwise(0)
+            ).alias("n_rare"),
+        )
+    )
+    from route81_spark.ops.util import det_round
+
+    return scored.select(
+        F.col(id_col),
+        F.col("n_bigrams"),
+        F.col("n_rare"),
+        det_round(F.col("n_rare") / F.col("n_bigrams"), 6).alias("rare_frac"),
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    idf_scale: int = 1_000_000,
+) -> DataFrame:
+    """Top-k characteristic terms per doc by tf-idf, with a RATIONAL idf
+    (idf' = (N * idf_scale) div df — integer, same ordering as N/df) so
+    ranking is bit-exact across engines; float ln() idf can flip
+    near-tied ranks between libm implementations.
+
+    Returns (id, term, score, rank). Shape: explode->per-doc term
+    counts (one agg), document frequencies (one agg on the term key),
+    join on term, per-doc top-k window — every shuffle carries (id,
+    term, counts), never the text."""
+    from route81_spark.io import ensure_parallelism
+    from route81_spark.ops.text import tokens
+
+    n_docs = df.select(id_col).distinct().count()  # scalar model constant
+    base = ensure_parallelism(df.select(id_col, text_col))
+    terms = base.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.expr(f"{n_docs}L * {idf_scale}L div df")
+    scored = tf.join(dfreq, "term").select(
+        F.col(id_col), F.col("term"), (F.col("tf") * idf).alias("score")
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "score", "rank")
+    )
+
+
 def decontaminate(
     corpus: DataFrame,
     benchmark: DataFrame,

@@ -474,3 +474,49 @@ def test_pack_sequences_bins(spark):
         from collections import Counter
 
         assert set(Counter(bins).values()) <= {2, 3}
+
+
+def test_rare_bigram_stats(spark):
+    from route81_spark.ops.corpus import rare_bigram_stats
+
+    # "a b" occurs in every doc (common); doc 3 adds a one-off bigram
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a b"),
+            Row(doc_id=2, text="a b"),
+            Row(doc_id=3, text="a b x y"),
+        ]
+        + [Row(doc_id=10 + i, text="a b") for i in range(20)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in rare_bigram_stats(df, rare_denominator=5).collect()}
+    assert out[1]["n_rare"] == 0                   # "a b": c2=23, c1(a)=23 -> common
+    r3 = out[3]
+    assert r3["n_bigrams"] == 3                    # "a b", "b x", "x y"
+    # "b x": c2=1, c1(b)=1 -> 5*1 < 1 false -> common; "x y": c2=1, c1(x)=1 common
+    # rare needs a w1 that is frequent with OTHER continuations:
+    df2 = spark.createDataFrame(
+        [Row(doc_id=i, text="go home") for i in range(10)]
+        + [Row(doc_id=99, text="go wild")],
+        "doc_id long, text string",
+    )
+    out2 = {r["doc_id"]: r for r in rare_bigram_stats(df2, rare_denominator=5).collect()}
+    assert out2[99]["n_rare"] == 1                 # "go wild": 1*5 < c1(go)=11
+    assert out2[0]["n_rare"] == 0
+
+
+def test_tfidf_top_terms(spark):
+    from route81_spark.ops.corpus import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="common common zebra"),
+            Row(doc_id=2, text="common common common"),
+            Row(doc_id=3, text="common plain words"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_top_terms(df, k=1).collect()
+    top = {r["doc_id"]: r["term"] for r in out}
+    assert top[1] == "zebra"  # unique term beats the ubiquitous one
+    assert all(r["rank"] == 1 for r in out)
