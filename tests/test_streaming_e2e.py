@@ -334,3 +334,76 @@ def test_resume_toggle_checkpoint_paths():
     off = load_config("")
     p = ckpt_dir(off, "/c", "ns")
     assert p != ckpt_dir(on, "/c", "ns") and "fresh_" in p
+
+
+def test_main_cli_end_to_end(spark, tmp_path, sf_dir):
+    """The daemon entry point end-to-end, in-process: batch direct-read
+    producer (pipeline + producer-map + prefix) into parquet topic dirs,
+    then a consumer daemon run that decodes ext-JSON, re-roots at
+    `data`, and merges into the seeded keyed table — the README loopback
+    scenario (README.md:339-345) through the real CLI surface."""
+    from pyspark.sql import functions as F
+
+    from route81_spark.main import main
+    from route81_spark.sinks.merge import KeyedParquetTable
+
+    prod_cfg = tmp_path / "producer.toml"
+    prod_cfg.write_text(
+        """
+direct-read-namespaces = ["test.nation"]
+exit-after-direct-reads = true
+topic-name-prefix = "demo"
+
+[[pipeline]]
+namespace = "test.nation"
+direct = true
+stages = '[{"$match": {"n_regionkey": {"$lte": 1}}}]'
+"""
+    )
+    rc = main(
+        [
+            "--config", str(prod_cfg),
+            "--tables", f"test.nation={sf_dir}/nation.parquet",
+            "--ids", "test.nation=n_nationkey",
+            "--sink-dir", str(tmp_path / "topics"),
+        ]
+    )
+    assert rc == 0
+    produced = spark.read.parquet(str(tmp_path / "topics"))
+    n_expected = (
+        spark.read.parquet(f"{sf_dir}/nation.parquet")
+        .filter(F.col("n_regionkey") <= 1)
+        .count()
+    )
+    assert produced.count() == n_expected
+    assert produced.select("topic").distinct().collect()[0][0] == "demo.test.nation"
+
+    # seed the consumer target with the doc schema, then run the daemon
+    src = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    doc = src.withColumn("_id", F.col("n_nationkey").cast("string")).limit(0)
+    table = KeyedParquetTable(spark, str(tmp_path / "tables" / "test.nation2"))
+    table.init(doc)
+
+    cons_cfg = tmp_path / "consumer.toml"
+    cons_cfg.write_text(
+        """
+[[consumer]]
+namespace = "test.nation2"
+topics = ["demo.test.nation"]
+message-format = "json-ext"
+document-root-path = "data"
+bulk-flush-duration = "1s"
+"""
+    )
+    rc = main(
+        [
+            "--config", str(cons_cfg),
+            "--sink-dir", str(tmp_path / "topics"),
+            "--tables-out", str(tmp_path / "tables"),
+            "--duration", "20",
+        ]
+    )
+    assert rc == 0
+    merged = table.read()
+    assert merged.count() == n_expected
+    assert set(merged.columns) == {"n_nationkey", "n_name", "n_regionkey", "_id"}
