@@ -4138,6 +4138,35 @@ def text_tfidf_top(spark, sf_dir):
     return tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
 
 
+@_q(
+    "emb_quantize_int8",
+    """
+    WITH s AS (
+      SELECT vec_id, embedding,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS amax
+      FROM embeddings
+    ),
+    p AS (
+      SELECT vec_id, embedding, 127.0 / amax AS sc
+      FROM s WHERE amax > 0
+    )
+    SELECT vec_id,
+           CAST(unnest(range(len(embedding))) AS INT) AS pos,
+           unnest(list_transform(embedding,
+                  x -> CAST(floor(CAST(x AS DOUBLE) * sc + 0.5) AS INT))) AS q,
+           floor(sc * 1000000.0 + 0.5) / 1000000.0 AS scale
+    FROM p
+    """,
+)
+def emb_quantize_int8(spark, sf_dir):
+    # symmetric int8 embedding quantization (storage/serving
+    # compression): per-vector scale, deterministic round, exploded to
+    # oracle-comparable rows
+    from route81_spark.ops.similarity import quantize_int8
+
+    return quantize_int8(_t(spark, sf_dir, "embeddings"))
+
+
 # =====================================================================
 # Registry accessors (consumed by __spark_entry__)
 # =====================================================================

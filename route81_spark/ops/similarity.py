@@ -395,6 +395,42 @@ def ivf_topk(
     )
 
 
+def quantize_int8(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric int8 quantization of an embedding column — the
+    standard storage/serving compression (scale = 127/max|x| per
+    vector, q = round-half-up(x*scale)). Returns exploded rows
+    (id, pos, q, scale) so the result is oracle-comparable; zero
+    vectors are dropped (no scale exists).
+
+    Pure narrow expressions + posexplode: no shuffle, no UDF. The
+    round is floor(x+0.5) — deterministic across engines, unlike
+    engine round() (see ops/util.det_round)."""
+    v = F.col(vec_col)
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+    sc = F.lit(127.0) / F.col("__amax")
+    return (
+        emb.select(F.col(id_col), v, amax.alias("__amax"))
+        .filter(F.col("__amax") > 0)
+        .select(
+            F.col(id_col),
+            F.posexplode(v).alias("pos", "__x"),
+            sc.alias("__sc"),
+        )
+        .select(
+            id_col,
+            "pos",
+            F.floor(F.col("__x").cast("double") * F.col("__sc") + F.lit(0.5))
+            .cast("int")
+            .alias("q"),
+            det_round(F.col("__sc"), 6).alias("scale"),
+        )
+    )
+
+
 def embedding_dedup(
     emb: DataFrame,
     threshold: float = 0.98,

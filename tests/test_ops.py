@@ -520,3 +520,17 @@ def test_tfidf_top_terms(spark):
     top = {r["doc_id"]: r["term"] for r in out}
     assert top[1] == "zebra"  # unique term beats the ubiquitous one
     assert all(r["rank"] == 1 for r in out)
+
+
+def test_quantize_int8(spark):
+    rows = [
+        Row(vec_id=1, embedding=[1.0, -0.5, 0.25, 0.0]),
+        Row(vec_id=2, embedding=[0.0, 0.0, 0.0, 0.0]),  # zero vector dropped
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = S.quantize_int8(emb).collect()
+    assert {r["vec_id"] for r in out} == {1}
+    by_pos = {r["pos"]: r for r in out}
+    assert [by_pos[i]["q"] for i in range(4)] == [127, -63, 32, 0]
+    # scale = 127/1.0; round-half-up: -63.5 -> floor(-63.0) = -63
+    assert by_pos[0]["scale"] == 127.0
