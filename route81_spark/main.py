@@ -36,13 +36,26 @@ def _parse_kv(pairs: list[str]) -> dict[str, str]:
     return out
 
 
-def write_records(records, sink_dir: str | None, kafka_bootstrap: str | None) -> None:
+def effective_bootstrap(cfg: Config, args) -> str:
+    """Kafka seam selection for the daemon: the --kafka-bootstrap flag
+    ORs over the TOML `kafka` key (route81's flag/TOML merge semantics,
+    route81.go:342-404) — either selects the real format("kafka")
+    path; both empty keeps the parquet topic-dir loopback."""
+    return getattr(args, "kafka_bootstrap", None) or cfg.kafka_servers
+
+
+def write_records(
+    records, sink_dir: str | None, kafka_bootstrap: str | None, cfg: Config | None = None
+) -> None:
     if kafka_bootstrap:
-        (
-            records.write.format("kafka")
-            .option("kafka.bootstrap.servers", kafka_bootstrap)
-            .save()
+        from route81_spark.config import kafka_sink_options
+
+        writer = records.write.format("kafka").option(
+            "kafka.bootstrap.servers", kafka_bootstrap
         )
+        for k, v in (kafka_sink_options(cfg) if cfg else {}).items():
+            writer = writer.option(k, v)
+        writer.save()
     else:
         records.write.mode("append").partitionBy("topic").parquet(sink_dir)
 
@@ -53,7 +66,7 @@ def run_direct_reads(spark, cfg: Config, tables: dict, ids: dict, args) -> None:
     records = direct_read_job(
         spark, cfg, tables, {ns: v.split(",") for ns, v in ids.items()}
     )
-    write_records(records, args.sink_dir, args.kafka_bootstrap)
+    write_records(records, args.sink_dir, effective_bootstrap(cfg, args), cfg)
 
 
 def ckpt_dir(cfg: Config, root: str, name: str) -> str:
@@ -125,15 +138,23 @@ def run_consumers(spark, cfg: Config, args) -> list:
                     f"seed the target table first: "
                     f"{os.path.join(args.tables_out, spec.mongo_namespace)}/current must exist"
                 )
-        if args.kafka_bootstrap:
-            stream = (
+        bootstrap = effective_bootstrap(cfg, args)
+        if bootstrap:
+            from route81_spark.config import kafka_sink_options
+
+            reader = (
                 spark.readStream.format("kafka")
-                .option("kafka.bootstrap.servers", args.kafka_bootstrap)
+                .option("kafka.bootstrap.servers", bootstrap)
                 .option("subscribe", ",".join(spec.kafka_topics))
                 .option("startingOffsets", "earliest")  # route81.go:1150
-                .load()
-                .withColumn("seq", F.col("offset"))
+                .option("includeHeaders", "true")
+                .option("kafka.group.id", spec.group_id)
+                # bulk-size x workers bounds one flush cycle's records
+                .option("maxOffsetsPerTrigger", str(spec.bulk_size * spec.workers))
             )
+            for k, v in kafka_sink_options(cfg).items():
+                reader = reader.option(k, v)
+            stream = reader.load().withColumn("seq", F.col("offset"))
         else:
             # streaming producers write sink_dir/<topic>; batch direct
             # reads write sink_dir/topic=<topic> partitions

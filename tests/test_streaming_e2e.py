@@ -407,3 +407,19 @@ bulk-flush-duration = "1s"
     merged = table.read()
     assert merged.count() == n_expected
     assert set(merged.columns) == {"n_nationkey", "n_name", "n_regionkey", "_id"}
+
+
+def test_effective_bootstrap_flag_or_toml():
+    # the TOML `kafka` key must select the real sink even without the
+    # CLI flag (route81's flag/TOML merge, route81.go:342-404)
+    from argparse import Namespace
+
+    from route81_spark.main import effective_bootstrap
+
+    toml_cfg = load_config('kafka = "broker:9092"')
+    plain = load_config("")
+    none_args = Namespace(kafka_bootstrap=None)
+    flag_args = Namespace(kafka_bootstrap="flag:9092")
+    assert effective_bootstrap(toml_cfg, none_args) == "broker:9092"
+    assert effective_bootstrap(plain, none_args) == ""
+    assert effective_bootstrap(toml_cfg, flag_args) == "flag:9092"  # flag wins
