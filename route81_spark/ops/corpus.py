@@ -111,25 +111,38 @@ def rare_bigram_stats(
         F.col(id_col),
         F.explode(positional_ngrams(tokens(F.col(text_col)), 2)).alias("bg"),
     ).filter(F.col("bg").contains(" "))  # docs with <2 tokens emit no bigram
+    # Aggregate to per-(doc, bigram) counts FIRST: the explode above is
+    # a narrow plan, so every downstream consumer would otherwise
+    # re-tokenize and re-explode the corpus (narrow subplans duplicate;
+    # only Exchanges are reused). tfb puts an Exchange right at the
+    # fan-out point — the model aggregation and the scoring join both
+    # read it as a ReusedExchange, so the corpus is tokenized exactly
+    # once. Unigram counts then derive from the (vocab-sized) bigram
+    # model — sum of c2 over bigrams sharing w1 — and the rarity
+    # decision precomputes per bigram, so the scoring join is a single
+    # equi-join against (bg, is_rare).
+    tfb = pairs.groupBy(id_col, "bg").agg(F.count(F.lit(1)).alias("n"))
     w1 = F.split(F.col("bg"), " ")[0]
-    model = pairs.groupBy("bg").agg(F.count(F.lit(1)).alias("c2"))
+    model = tfb.groupBy("bg").agg(F.sum("n").alias("c2"))
     uni = (
-        pairs.select(w1.alias("w1"))
+        model.select(w1.alias("w1"), "c2")
         .groupBy("w1")
-        .agg(F.count(F.lit(1)).alias("c1"))
+        .agg(F.sum("c2").alias("c1"))
+    )
+    rare_bg = (
+        model.withColumn("w1", w1)
+        .join(uni, "w1")
+        .select(
+            "bg",
+            (F.col("c2") * rare_denominator < F.col("c1")).alias("is_rare"),
+        )
     )
     scored = (
-        pairs.join(model, "bg")
-        .withColumn("w1", w1)
-        .join(uni, "w1")
+        tfb.join(rare_bg, "bg")
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            F.sum(
-                F.when(
-                    F.col("c2") * rare_denominator < F.col("c1"), 1
-                ).otherwise(0)
-            ).alias("n_rare"),
+            F.sum("n").alias("n_bigrams"),
+            F.sum(F.when(F.col("is_rare"), F.col("n")).otherwise(0)).alias("n_rare"),
         )
     )
     from route81_spark.ops.util import det_round
