@@ -3970,19 +3970,20 @@ def text_gopher_flags(spark, sf_dir):
     # mean word length, symbol ratio, stopword presence — pure Column
     # expressions (ops/text.py gopher_metrics/gopher_keep)
     from route81_spark.io import ensure_parallelism
-    from route81_spark.ops.text import gopher_keep, gopher_metrics
+    from route81_spark.ops.text import gopher_struct
 
     # the repetition metrics are heavy per-row HOFs; a single-file scan
-    # must not serialize them onto one task
+    # must not serialize them onto one task. Two projections: the struct
+    # evaluates once (multi-referenced non-cheap producers don't
+    # collapse), fields project from it.
     docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
-    m = gopher_metrics(F.col("text"))
-    return docs.select(
+    return docs.select("doc_id", gopher_struct(F.col("text")).alias("g")).select(
         "doc_id",
-        m["dup_3gram_frac"].alias("dup_3gram_frac"),
-        m["mean_word_len"].alias("mean_word_len"),
-        m["symbol_ratio"].alias("symbol_ratio"),
-        m["stopword_hits"].alias("stopword_hits"),
-        gopher_keep(F.col("text")).alias("keep"),
+        F.col("g.dup_3gram_frac").alias("dup_3gram_frac"),
+        F.col("g.mean_word_len").alias("mean_word_len"),
+        F.col("g.symbol_ratio").alias("symbol_ratio"),
+        F.col("g.stopword_hits").alias("stopword_hits"),
+        F.col("g.keep").alias("keep"),
     )
 
 

@@ -256,16 +256,71 @@ def gopher_metrics(text_col: Column) -> dict[str, Column]:
     }
 
 
-def gopher_keep(text_col: Column) -> Column:
-    """Boolean keep-decision from gopher_metrics vs the thresholds."""
-    m = gopher_metrics(text_col)
+def gopher_struct(text_col: Column) -> Column:
+    """All gopher metrics + the keep decision as ONE struct column that
+    tokenizes the text exactly once and builds the 3-gram list exactly
+    once (nested single-element transform bindings — the same trick as
+    curation_gate; the standalone gopher_metrics expressions re-derive
+    the token array per metric). Select it into its own projection and
+    read fields from a second select: CollapseProject keeps a
+    multi-referenced non-cheap producer un-inlined, so the struct
+    evaluates once per row."""
+    from route81_spark.ops.util import det_round
+
+    all_markers = sorted({w for ws in LANG_MARKERS.values() for w in ws})
     lo, hi = GOPHER_MEAN_WORD_LEN
-    return (
-        (m["dup_3gram_frac"] <= GOPHER_MAX_DUP_3GRAM_FRAC)
-        & m["mean_word_len"].between(lo, hi)
-        & (m["symbol_ratio"] <= GOPHER_MAX_SYMBOL_RATIO)
-        & (m["stopword_hits"] >= GOPHER_MIN_STOPWORD_HITS)
-    )
+
+    def with_tk(tk: Column) -> Column:
+        def with_g3(g3: Column) -> Column:
+            n_tok = F.size(tk)
+            n_grams = F.size(g3)
+            dup = F.when(
+                n_grams > 0,
+                det_round(
+                    F.lit(1.0)
+                    - F.size(F.array_distinct(g3)) / n_grams.cast("double"),
+                    6,
+                ),
+            )
+            char_sum = F.aggregate(
+                tk, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+            )
+            mwl = F.when(n_tok > 0, det_round(char_sum.cast("double") / n_tok, 6))
+            n_chars = F.length(text_col)
+            sym = F.when(
+                n_chars > 0,
+                det_round(
+                    F.length(
+                        F.regexp_replace(text_col, r"[A-Za-z0-9\s]", "")
+                    ).cast("double")
+                    / n_chars,
+                    6,
+                ),
+            )
+            hits = F.size(F.filter(tk, lambda t: t.isin(all_markers)))
+            keep = (
+                (dup <= GOPHER_MAX_DUP_3GRAM_FRAC)
+                & mwl.between(lo, hi)
+                & (sym <= GOPHER_MAX_SYMBOL_RATIO)
+                & (hits >= GOPHER_MIN_STOPWORD_HITS)
+            )
+            return F.struct(
+                dup.alias("dup_3gram_frac"),
+                mwl.alias("mean_word_len"),
+                sym.alias("symbol_ratio"),
+                hits.alias("stopword_hits"),
+                keep.alias("keep"),
+            )
+
+        return F.get(F.transform(F.array(positional_ngrams(tk, 3)), with_g3), 0)
+
+    return F.get(F.transform(F.array(tokens(text_col)), with_tk), 0)
+
+
+def gopher_keep(text_col: Column) -> Column:
+    """Boolean keep-decision vs the thresholds (one evaluation of the
+    shared metric struct)."""
+    return gopher_struct(text_col)["keep"]
 
 
 def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
