@@ -47,9 +47,21 @@ def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Keep the min-id representative of each exact-duplicate group."""
-    keep = exact_dedup_groups(df, text_col, id_col).select(F.col("keep_id").alias(id_col))
-    return df.join(keep, id_col, "left_semi")
+    """Keep the min-id representative of each exact-duplicate group.
+
+    ONE corpus shuffle: rank within each content-hash partition and keep
+    rank 1. Spark's WindowGroupLimit pushes the rank<=1 filter map-side,
+    so the shuffle carries at most one row per (partition, content) —
+    strictly better than the agg + semi-join formulation, which
+    re-shuffled the FULL corpus rows a second time on the id key."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(content_hash(F.col(text_col))).orderBy(F.col(id_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
 
 
 def _seeded_hasher(j: int):

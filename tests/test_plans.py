@@ -231,3 +231,17 @@ def test_pii_redact_stays_jvm_side(spark):
     plan = plan_of(df, "simple")
     assert "EvalPython" not in plan
     assert "Exchange" not in plan  # narrow per-row regexps only
+
+
+def test_exact_dedup_single_shuffle_group_limit(spark):
+    # exact dedup must be ONE corpus shuffle (rank over content hash)
+    # with the map-side WindowGroupLimit prune — never agg + a second
+    # full-row semi-join shuffle
+    from pyspark.sql import functions as F
+    from route81_spark.io import load_table
+    from route81_spark.ops.dedup import exact_dedup
+
+    docs = load_table(spark, SF, "documents")
+    plan = plan_of(exact_dedup(docs), "simple")
+    assert "WindowGroupLimit" in plan
+    assert plan.count("Exchange") == 1
