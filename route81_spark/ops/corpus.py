@@ -107,9 +107,17 @@ def rare_bigram_stats(
     from route81_spark.ops.text import positional_ngrams, tokens
 
     base = ensure_parallelism(df.select(id_col, text_col))
+    # bind the token array before the positional n-grams slice it: an
+    # unbound tokens() inside the per-position lambda re-splits the text
+    # once per bigram position
+    bound_grams = F.get(
+        F.transform(
+            F.array(tokens(F.col(text_col))), lambda tk: positional_ngrams(tk, 2)
+        ),
+        0,
+    )
     pairs = base.select(
-        F.col(id_col),
-        F.explode(positional_ngrams(tokens(F.col(text_col)), 2)).alias("bg"),
+        F.col(id_col), F.explode(bound_grams).alias("bg")
     ).filter(F.col("bg").contains(" "))  # docs with <2 tokens emit no bigram
     # Aggregate to per-(doc, bigram) counts FIRST: the explode above is
     # a narrow plan, so every downstream consumer would otherwise

@@ -75,10 +75,19 @@ def minhash_signature(text_col: Column, k: int = 16, shingle_n: int = 3) -> Colu
     """k-minhash signature as one array column. Convenient for ad-hoc
     per-row use, but each consumer of the result re-inlines the whole
     shingle pipeline (CollapseProject), so for fan-out consumers use
-    minhash_signatures() — the aggregation form — instead."""
-    sh = shingles(text_col, shingle_n)
-    mins = [F.array_min(F.transform(sh, _seeded_hasher(j))).alias(f"mh{j}") for j in range(k)]
-    return F.array(*mins)
+    minhash_signatures() — the aggregation form — instead. The shingle
+    array binds to a lambda variable so the k per-seed scans share one
+    shingle construction."""
+
+    def with_sh(sh: Column) -> Column:
+        return F.array(
+            *[
+                F.array_min(F.transform(sh, _seeded_hasher(j))).alias(f"mh{j}")
+                for j in range(k)
+            ]
+        )
+
+    return F.get(F.transform(F.array(shingles(text_col, shingle_n)), with_sh), 0)
 
 
 # Universal-hash family for MinHash: one md5 base hash per shingle, k
@@ -269,24 +278,46 @@ def ngram_jaccard_pairs(
 
 def simhash(text_col: Column, n_bits: int = 16) -> Column:
     """SimHash: for each bit, majority vote of token-hash bits (with
-    multiplicity); bit set iff sum(+1/-1) > 0. Pure per-row expressions."""
-    tk = tokens(text_col)
-    hashes = F.transform(tk, lambda t: h64(t, 0))
+    multiplicity); bit set iff sum(+1/-1) > 0. Pure per-row expressions.
 
-    def bit_vote(b: int):
-        # 2-arg lambda exactly: a 3-parameter callable breaks F.aggregate
-        return lambda acc, h: acc + F.when(
-            F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
-        ).otherwise(F.lit(-1))
+    One fold over the token hashes with a struct accumulator carrying
+    all n_bits vote counters — the per-bit-aggregate form re-evaluated
+    the md5 hash array once per bit (n_bits full passes)."""
 
-    bit_cols = []
-    for b in range(n_bits):
-        contrib = F.aggregate(hashes, F.lit(0).cast("long"), bit_vote(b))
-        bit_cols.append(F.when(contrib > 0, F.lit(2**b).cast("long")).otherwise(F.lit(0).cast("long")))
-    out = bit_cols[0]
-    for c in bit_cols[1:]:
-        out = out + c
-    return out
+    def with_hashes(hs: Column) -> Column:
+        zero = F.struct(
+            *[F.lit(0).cast("long").alias(f"b{b}") for b in range(n_bits)]
+        )
+
+        def step(acc: Column, h: Column) -> Column:
+            return F.struct(
+                *[
+                    (
+                        acc[f"b{b}"]
+                        + F.when(
+                            F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+                        ).otherwise(F.lit(-1))
+                    ).alias(f"b{b}")
+                    for b in range(n_bits)
+                ]
+            )
+
+        def with_votes(votes: Column) -> Column:
+            out = F.lit(0).cast("long")
+            for b in range(n_bits):
+                out = out + F.when(
+                    votes[f"b{b}"] > 0, F.lit(2**b).cast("long")
+                ).otherwise(F.lit(0).cast("long"))
+            return out
+
+        # votes is referenced n_bits times below — bind it, or the whole
+        # fold re-runs per bit
+        return F.get(
+            F.transform(F.array(F.aggregate(hs, zero, step)), with_votes), 0
+        )
+
+    hashes = F.transform(tokens(text_col), lambda t: h64(t, 0))
+    return F.get(F.transform(F.array(hashes), with_hashes), 0)
 
 
 def hamming64(a: Column, b: Column) -> Column:
