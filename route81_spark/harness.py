@@ -4168,6 +4168,38 @@ def emb_quantize_int8(spark, sf_dir):
     return quantize_int8(_t(spark, sf_dir, "embeddings"))
 
 
+@_q(
+    "text_chunks",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    c AS (
+      SELECT doc_id, tk, len(tk) AS n,
+             greatest(CAST(floor((len(tk) - 8 + 23) / 24.0) AS INT), 1)
+               AS n_chunks
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(unnest(range(n_chunks)) AS INT) AS chunk_idx,
+           unnest(list_transform(range(1, n_chunks + 1),
+                  i -> coalesce(array_to_string(
+                         tk[(i-1)*24 + 1 : (i-1)*24 + 32], ' '), '')))
+             AS chunk_text,
+           unnest(list_transform(range(1, n_chunks + 1),
+                  i -> CAST(least(n - (i-1)*24, 32) AS INT))) AS n_tokens
+    FROM c
+    """,
+)
+def text_chunks(spark, sf_dir):
+    # overlapping token-window segmentation (chunk 32 / overlap 8 so the
+    # test corpus exercises multi-chunk docs): the standard pre-training
+    # / retrieval chunking, pure narrow expressions + one explode
+    from route81_spark.ops.text import chunk_documents
+
+    return chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_tokens=32, overlap=8
+    )
+
+
 # =====================================================================
 # Registry accessors (consumed by __spark_entry__)
 # =====================================================================

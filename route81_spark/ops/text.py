@@ -344,6 +344,51 @@ def gopher_keep(text_col: Column) -> Column:
     return gopher_struct(text_col)["keep"]
 
 
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks — the
+    standard pre-training / retrieval segmentation. Chunk i covers
+    tokens [i*stride, i*stride + chunk_tokens) with
+    stride = chunk_tokens - overlap; the final chunk may be short, and
+    every token is covered. Returns exploded rows
+    (id, chunk_idx, chunk_text, n_tokens).
+
+    Pure per-row expressions (token array bound once per row, chunk
+    count by integer arithmetic — no float ceil to disagree across
+    engines) + one explode: a narrow zero-shuffle transform."""
+    if not (0 <= overlap < chunk_tokens):
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+
+    def with_tk(tk: Column) -> Column:
+        n = F.size(tk)
+        n_chunks = F.greatest(
+            (n - F.lit(overlap) + F.lit(stride - 1)) / F.lit(stride), F.lit(1)
+        ).cast("int")
+        return F.transform(
+            F.sequence(F.lit(1), n_chunks),
+            lambda i: F.struct(
+                (i - 1).cast("int").alias("chunk_idx"),
+                F.concat_ws(
+                    " ", F.slice(tk, (i - 1) * F.lit(stride) + 1, chunk_tokens)
+                ).alias("chunk_text"),
+                F.least(
+                    n - (i - 1) * F.lit(stride), F.lit(chunk_tokens)
+                ).cast("int").alias("n_tokens"),
+            ),
+        )
+
+    chunks = F.get(F.transform(F.array(tokens(F.col(text_col))), with_tk), 0)
+    return df.select(F.col(id_col), F.explode(chunks).alias("c")).select(
+        id_col, "c.chunk_idx", "c.chunk_text", "c.n_tokens"
+    )
+
+
 def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
     c = F.col(text_col)
     return df.select(

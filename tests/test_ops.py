@@ -534,3 +534,29 @@ def test_quantize_int8(spark):
     assert [by_pos[i]["q"] for i in range(4)] == [127, -63, 32, 0]
     # scale = 127/1.0; round-half-up: -63.5 -> floor(-63.0) = -63
     assert by_pos[0]["scale"] == 127.0
+
+
+def test_chunk_documents_overlap_coverage(spark):
+    from route81_spark.ops.text import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(25))
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text=words), Row(doc_id=2, text="short doc")],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(df, chunk_tokens=10, overlap=2).collect()
+    d1 = sorted((r["chunk_idx"], r["chunk_text"], r["n_tokens"])
+                for r in out if r["doc_id"] == 1)
+    # stride 8: chunks at 0,8,16 -> ceil((25-2)/8) = 3 chunks
+    assert [c[0] for c in d1] == [0, 1, 2]
+    assert d1[0][1].split() == [f"w{i}" for i in range(10)]
+    assert d1[1][1].split() == [f"w{i}" for i in range(8, 18)]   # 2-token overlap
+    assert d1[2][1].split() == [f"w{i}" for i in range(16, 25)]  # short tail
+    assert [c[2] for c in d1] == [10, 10, 9]
+    d2 = [r for r in out if r["doc_id"] == 2]
+    assert len(d2) == 1 and d2[0]["n_tokens"] == 2
+
+    import pytest
+
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, chunk_tokens=8, overlap=8)
