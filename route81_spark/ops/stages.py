@@ -60,8 +60,64 @@ def _similarity_topk(df: DataFrame, arg: dict) -> DataFrame:
     return fn(df, queries, k=int(arg.get("k", 5)), id_col=id_col, vec_col=vec_col)
 
 
+def _chunk(df: DataFrame, arg: dict) -> DataFrame:
+    return X.chunk_documents(
+        df,
+        chunk_tokens=int(arg.get("chunkTokens", 128)),
+        overlap=int(arg.get("overlap", 16)),
+        text_col=arg.get("textField", "text"),
+        id_col=arg.get("idField", "doc_id"),
+    )
+
+
+def _pii_redact(df: DataFrame, arg: dict) -> DataFrame:
+    text_col = arg.get("textField", "text")
+    out = df
+    if arg.get("counts"):  # counts come from the ORIGINAL text
+        for name, col in X.pii_counts(F.col(text_col)).items():
+            out = out.withColumn(name, col)
+    return out.withColumn(text_col, X.pii_redact(F.col(text_col)))
+
+
+def _gopher_filter(df: DataFrame, arg: dict) -> DataFrame:
+    return df.filter(X.gopher_keep(F.col(arg.get("textField", "text"))))
+
+
+def _stratified_sample(df: DataFrame, arg: dict) -> DataFrame:
+    from route81_spark.ops.corpus import stratified_sample
+
+    return stratified_sample(
+        df,
+        strata_col=arg["strataField"],
+        fractions={str(k): float(v) for k, v in arg["fractions"].items()},
+        id_col=arg.get("idField", "doc_id"),
+        seed=str(arg.get("seed", "strat0")),
+        default_fraction=float(arg.get("defaultFraction", 0.0)),
+    )
+
+
+def _curate(df: DataFrame, arg: dict) -> DataFrame:
+    from route81_spark.ops.corpus import curate
+
+    return curate(
+        df,
+        text_col=arg.get("textField", "text"),
+        id_col=arg.get("idField", "doc_id"),
+        langs=tuple(arg.get("langs", ["en"])),
+        min_quality=float(arg.get("minQuality", 0.05)),
+        min_tokens=int(arg.get("minTokens", 5)),
+        max_tokens=int(arg.get("maxTokens", 1_000_000)),
+        jaccard_threshold=float(arg.get("jaccardThreshold", 0.5)),
+    )
+
+
 register_stage("$dedupExact", _dedup_exact)
 register_stage("$minhashLsh", _minhash_lsh)
 register_stage("$simhash", _simhash)
 register_stage("$textAnalyze", _text_analyze)
 register_stage("$similarityTopK", _similarity_topk)
+register_stage("$chunk", _chunk)
+register_stage("$piiRedact", _pii_redact)
+register_stage("$gopherFilter", _gopher_filter)
+register_stage("$stratifiedSample", _stratified_sample)
+register_stage("$curate", _curate)

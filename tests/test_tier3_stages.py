@@ -395,3 +395,50 @@ def test_lookup_pipeline_form_limit_and_guards(spark):
             )
     finally:
         compiler.set_collection_resolver(None)
+
+
+def test_new_extension_stages_compile_and_run(spark):
+    """Round-4 extension stages through the pipeline-JSON surface:
+    $piiRedact, $gopherFilter, $chunk, $stratifiedSample, $curate."""
+    from pyspark.sql import Row
+
+    from route81_spark.pipeline import apply_pipeline
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, lang="en",
+                text="the cat and the dog of a to mail a.b@x.co now"),
+            Row(doc_id=2, lang="en",
+                text="spam spam spam spam spam spam spam spam spam"),
+            Row(doc_id=3, lang="xx", text="xyzzy plugh foo bar baz qux"),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    out = apply_pipeline(
+        df,
+        [
+            {"$piiRedact": {"counts": True}},
+            {"$gopherFilter": {}},
+        ],
+    ).collect()
+    assert [r["doc_id"] for r in out] == [1]          # spam + non-stopword docs drop
+    assert "<EMAIL>" in out[0]["text"] and out[0]["n_emails"] == 1
+
+    chunks = apply_pipeline(
+        df, [{"$chunk": {"chunkTokens": 5, "overlap": 1}}]
+    ).collect()
+    assert {r["doc_id"] for r in chunks} == {1, 2, 3}
+    assert all(set(r.asDict()) == {"doc_id", "chunk_idx", "chunk_text", "n_tokens"}
+               for r in chunks)
+
+    sampled = apply_pipeline(
+        df,
+        [{"$stratifiedSample": {"strataField": "lang",
+                                "fractions": {"en": 1.0}}}],
+    ).collect()
+    assert {r["doc_id"] for r in sampled} == {1, 2}   # en kept fully, xx dropped
+
+    curated = apply_pipeline(
+        df, [{"$curate": {"minTokens": 3, "minQuality": 0.0}}]
+    ).collect()
+    assert {r["doc_id"] for r in curated} <= {1, 2}   # lang gate drops doc 3
