@@ -333,6 +333,77 @@ def ivf_assign(
     )
 
 
+def train_ivf_centroids(
+    emb: DataFrame,
+    n_centroids: int,
+    max_iter: int = 10,
+    tol: float = 1e-4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed Lloyd's k-means for the IVF codebook, so the index is
+    self-contained (callers previously had to supply centroids).
+
+    Deterministic: seeds are the n_centroids lowest-id vectors; each
+    round assigns the corpus with ivf_assign (the zero-shuffle codegen
+    path) and recomputes per-cell means with ONE posexplode + (cell,
+    dim) aggregation — map-side partial sums, shuffle carries C*d
+    partial rows per partition, never the corpus. Only the C x d means
+    come back to the driver per round (the same bounded-codebook
+    assumption ivf_assign's broadcast already makes). Empty cells keep
+    their previous centroid. Stops when every centroid moves < tol
+    (L-inf) or after max_iter rounds.
+
+    Returns a (centroid_id, centroid_vec) DataFrame ready for
+    ivf_assign/ivf_topk."""
+    spark = emb.sparkSession
+    seed_rows = (
+        emb.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(n_centroids)
+        .collect()
+    )
+    if not seed_rows:
+        raise ValueError("train_ivf_centroids: empty corpus")
+    centroids = [[float(x) for x in r[vec_col]] for r in seed_rows]
+
+    def as_df(cents: list) -> DataFrame:
+        return spark.createDataFrame(
+            [(i, v) for i, v in enumerate(cents)],
+            "centroid_id int, centroid_vec array<double>",
+        )
+
+    for _ in range(max_iter):
+        assigned = ivf_assign(emb, as_df(centroids), id_col, vec_col)
+        means = (
+            assigned.select(
+                "centroid_id", F.posexplode(F.col(vec_col)).alias("pos", "x")
+            )
+            .groupBy("centroid_id", "pos")
+            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .collect()
+        )
+        new_cents = [list(c) for c in centroids]
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cell.setdefault(r["centroid_id"], {})[r["pos"]] = r["m"]
+        for cid, dims in by_cell.items():
+            for pos, m in dims.items():
+                new_cents[cid][pos] = m
+        shift = max(
+            (
+                abs(a - b)
+                for old, new in zip(centroids, new_cents)
+                for a, b in zip(old, new)
+            ),
+            default=0.0,
+        )
+        centroids = new_cents
+        if shift < tol:
+            break
+    return as_df(centroids)
+
+
 def ivf_probe_cells(
     queries: DataFrame,
     centroids: DataFrame,

@@ -560,3 +560,37 @@ def test_chunk_documents_overlap_coverage(spark):
 
     with pytest.raises(ValueError, match="overlap"):
         chunk_documents(df, chunk_tokens=8, overlap=8)
+
+
+def test_train_ivf_centroids_converges(spark):
+    import random
+
+    random.seed(7)
+    centers = [[5.0, 0.0, 0.0], [0.0, 5.0, 0.0], [0.0, 0.0, 5.0]]
+    rows = []
+    for i in range(150):
+        c = centers[i % 3]
+        rows.append(
+            Row(vec_id=i, embedding=[v + random.uniform(-0.4, 0.4) for v in c])
+        )
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = S.train_ivf_centroids(emb, n_centroids=3, max_iter=15)
+    got = {r["centroid_id"]: r["centroid_vec"] for r in cents.collect()}
+    assert len(got) == 3
+    # each learned centroid lands near one true center, each center claimed
+    claimed = set()
+    for vec in got.values():
+        best = min(
+            range(3),
+            key=lambda j: sum((a - b) ** 2 for a, b in zip(vec, centers[j])),
+        )
+        dist = sum((a - b) ** 2 for a, b in zip(vec, centers[best])) ** 0.5
+        assert dist < 0.5, f"centroid {vec} far from any center"
+        claimed.add(best)
+    assert claimed == {0, 1, 2}
+    # the trained codebook drives the existing IVF search end-to-end
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    topk = S.ivf_topk(emb, queries, cents, k=3)
+    assert topk.count() == 9
