@@ -4200,6 +4200,46 @@ def text_chunks(spark, sf_dir):
     )
 
 
+@_q(
+    "text_winnow_pairs",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_transform(range(1, greatest(len(tk) - 3, 1) + 1),
+                            i -> coalesce(array_to_string(tk[i:i+3], ' '), '')) AS sgl
+      FROM t
+    ),
+    h AS (
+      SELECT doc_id,
+             list_transform(sgl, s -> ('0x' || substr(md5('7|' || s), 1, 15))::BIGINT) AS hs
+      FROM sh
+    ),
+    w AS (
+      SELECT doc_id,
+             list_sort(list_distinct(
+               list_transform(range(1, greatest(len(hs) - 3, 1) + 1),
+                              i -> list_aggregate(hs[i:i+3], 'min')))) AS fps
+      FROM h
+    ),
+    e AS (SELECT doc_id, unnest(fps) AS fp FROM w),
+    ok AS (SELECT fp FROM e GROUP BY fp HAVING count(*) BETWEEN 2 AND 10),
+    p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM e a JOIN e b USING (fp) JOIN ok USING (fp)
+          WHERE a.doc_id < b.doc_id)
+    SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS n_shared
+    FROM p GROUP BY 1, 2 HAVING count(*) >= 2
+    """,
+)
+def text_winnow_pairs(spark, sf_dir):
+    # candidate near-clone retrieval over winnowing fingerprints (the
+    # MOSS scheme's second half): shared uncommon fingerprints ->
+    # candidate pairs; common fingerprints dropped (boilerplate)
+    from route81_spark.ops.text import winnow_pairs
+
+    return winnow_pairs(_t(spark, sf_dir, "documents"))
+
+
 # =====================================================================
 # Registry accessors (consumed by __spark_entry__)
 # =====================================================================

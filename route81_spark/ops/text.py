@@ -182,6 +182,60 @@ def winnow_fingerprints(text_col: Column, k: int = 4, window: int = 4) -> Column
     return F.get(F.transform(F.array(tokens(text_col)), with_tk), 0)
 
 
+def winnow_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+    window: int = 4,
+    max_docs_per_fp: int = 10,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Candidate near-clone pairs from winnowing fingerprints — the
+    retrieval half of the MOSS scheme: docs sharing >= min_shared
+    (uncommon) fingerprints are candidate copies of a span of
+    >= window+k-1 tokens. Fingerprints appearing in more than
+    max_docs_per_fp docs are dropped (MOSS's common-fingerprint
+    removal: boilerplate matches everything and carries no signal —
+    and the cap also bounds in-bucket pair fan-out, so no degenerate
+    bucket ever goes quadratic).
+
+    Shape: explode per-row fingerprints, ONE groupBy on fp collecting
+    each bucket's id list, in-bucket pair generation, per-pair count.
+    Never an all-pairs join; the doc text never shuffles."""
+    from route81_spark.io import ensure_parallelism
+
+    fps = ensure_parallelism(df.select(id_col, text_col)).select(
+        F.col(id_col),
+        F.explode(winnow_fingerprints(F.col(text_col), k, window)).alias("fp"),
+    )
+    buckets = (
+        fps.groupBy("fp")
+        .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= max_docs_per_fp))
+    )
+    ids = F.col("ids")
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    ids,
+                    # 2-arg lambda = (element, index) in Spark HOFs
+                    lambda x, i: F.transform(
+                        F.slice(ids, i + F.lit(2), F.size(ids)),
+                        lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.id_a", "p.id_b")
+    return (
+        pairs.groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 def _h64(col: Column, seed: int) -> Column:
     # same deterministic 60-bit md5 hash as ops.dedup.h64 (kept local to
     # avoid a circular import)

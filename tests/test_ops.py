@@ -594,3 +594,21 @@ def test_train_ivf_centroids_converges(spark):
     )
     topk = S.ivf_topk(emb, queries, cents, k=3)
     assert topk.count() == 9
+
+
+def test_winnow_pairs_finds_clones(spark):
+    from route81_spark.ops.text import winnow_pairs
+
+    base = "one two three four five six seven eight nine ten eleven twelve"
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=base),
+            Row(doc_id=2, text=base + " extra tail words here"),  # clone + suffix
+            Row(doc_id=3, text="totally different content with no overlap at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = winnow_pairs(df, min_shared=1).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in out}
+    assert (1, 2) in pairs          # shared long span -> shared fingerprints
+    assert all(3 not in p for p in pairs)
