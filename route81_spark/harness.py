@@ -4240,6 +4240,63 @@ def text_winnow_pairs(spark, sf_dir):
     return winnow_pairs(_t(spark, sf_dir, "documents"))
 
 
+@_q(
+    "dedup_incremental",
+    f"""
+    WITH idx AS (SELECT * FROM documents WHERE doc_id % 3 = 0),
+    nw AS (SELECT * FROM documents WHERE doc_id % 3 <> 0),
+    surv AS (
+      SELECT n.* FROM nw n
+      WHERE md5(regexp_replace(lower(trim(n.text)), '\\s+', ' ', 'g')) NOT IN
+            (SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+             FROM idx)
+    ),
+    tn AS (SELECT doc_id, {_SH_SQL} AS sh FROM surv),
+    ti AS (SELECT doc_id, {_SH_SQL} AS sh FROM idx),
+    sign AS (
+      SELECT doc_id, sh,
+             [{", ".join(_minhash_sql_expr(j) for j in range(8))}] AS sig
+      FROM tn
+    ),
+    sigi AS (
+      SELECT doc_id, sh,
+             [{", ".join(_minhash_sql_expr(j) for j in range(8))}] AS sig
+      FROM ti
+    ),
+    bandn AS (
+      SELECT doc_id, b, md5(array_to_string(sig[b*4+1:b*4+4], ',')) AS bh
+      FROM sign, (SELECT unnest(range(2)) AS b)
+    ),
+    bandi AS (
+      SELECT doc_id, b, md5(array_to_string(sig[b*4+1:b*4+4], ',')) AS bh
+      FROM sigi, (SELECT unnest(range(2)) AS b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bandn a JOIN bandi b ON a.b = b.b AND a.bh = b.bh
+    ),
+    losers AS (
+      SELECT DISTINCT c.id_a
+      FROM cand c
+      JOIN sign sa ON sa.doc_id = c.id_a
+      JOIN sigi sb ON sb.doc_id = c.id_b
+      WHERE floor((CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                  / len(list_distinct(list_concat(sa.sh, sb.sh))))
+                  * 1000000.0 + 0.5) / 1000000.0 >= 0.5
+    )
+    SELECT doc_id FROM surv WHERE doc_id NOT IN (SELECT id_a FROM losers)
+    """,
+)
+def dedup_incremental(spark, sf_dir):
+    # incremental-ingest dedup: every 3rd doc plays the accepted index;
+    # the rest are the new batch — exact + near dups vs the index drop,
+    # index untouched, batch-internal dups out of scope by contract
+    docs = _t(spark, sf_dir, "documents")
+    index = docs.filter(F.col("doc_id") % 3 == 0)
+    new = docs.filter(F.col("doc_id") % 3 != 0)
+    return D.dedup_against(new, index).select("doc_id")
+
+
 # =====================================================================
 # Registry accessors (consumed by __spark_entry__)
 # =====================================================================

@@ -465,6 +465,81 @@ def _star_components(edges: DataFrame, ck, max_rounds: int = 64) -> DataFrame:
     return kids.unionByName(roots)
 
 
+def dedup_against(
+    new: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    bands: int = 2,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Incremental-ingest dedup: drop rows of `new` that exactly or
+    nearly duplicate a document already in `index` (the accepted
+    corpus). The index is never modified; duplicates WITHIN the new
+    batch are near_dedup's job, not this one's.
+
+    Shape mirrors the self-dedup pipeline but always joins NEW vs
+    INDEX, never self: content-hash anti-join for exact dups; MinHash
+    band buckets equi-joined across the two tables for candidates;
+    shingle-Jaccard verification on candidates only (semi-join pruned
+    per side); broadcast anti-join of the verified losers. At 100 TB
+    the index side's signatures can be precomputed/stored — the band
+    join only carries (id, band hash) rows either way."""
+    nh = new.withColumn("__ch", content_hash(F.col(text_col)))
+    ih = index.select(content_hash(F.col(text_col)).alias("__ch")).distinct()
+    survivors = nh.join(ih, "__ch", "left_anti").drop("__ch")
+
+    rows_per_band = k // bands
+
+    def banded(df: DataFrame, out_id: str) -> DataFrame:
+        sigs = minhash_signatures(df, text_col, id_col, k)
+        bhs = [
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)],
+                )
+            ).alias(f"b{b}")
+            for b in range(bands)
+        ]
+        return sigs.select(
+            F.col(id_col).alias(out_id),
+            F.posexplode(F.array(*bhs)).alias("band_idx", "band_hash"),
+        )
+
+    cand = (
+        banded(survivors, "id_a")
+        .join(banded(index, "id_b"), ["band_idx", "band_hash"])
+        .select("id_a", "id_b")
+        .distinct()
+        .persist()
+    )
+
+    def shingle_side(df: DataFrame, ids_col: str, sh_alias: str) -> DataFrame:
+        ids = cand.select(F.col(ids_col).alias(id_col)).distinct()
+        needed = df.join(F.broadcast(ids), id_col, "left_semi")
+        return needed.select(
+            F.col(id_col).alias(ids_col),
+            F.array_sort(shingles(F.col(text_col))).alias(sh_alias),
+        )
+
+    verified = (
+        cand.join(shingle_side(survivors, "id_a", "sh_a"), "id_a")
+        .join(shingle_side(index, "id_b", "sh_b"), "id_b")
+        .select(
+            "id_a",
+            _det_round(jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("j"),
+        )
+    )
+    losers = (
+        verified.filter(F.col("j") >= jaccard_threshold)
+        .select(F.col("id_a").alias(id_col))
+        .distinct()
+    )
+    return survivors.join(F.broadcast(losers), id_col, "left_anti")
+
+
 def near_dup_clusters(
     pairs: DataFrame, max_iter: int = 20, checkpoint_dir: str | None = None
 ) -> DataFrame:

@@ -612,3 +612,33 @@ def test_winnow_pairs_finds_clones(spark):
     pairs = {(r["id_a"], r["id_b"]) for r in out}
     assert (1, 2) in pairs          # shared long span -> shared fingerprints
     assert all(3 not in p for p in pairs)
+
+
+def test_dedup_against_index(spark):
+    index = spark.createDataFrame(
+        [
+            Row(doc_id=100, text="the quick brown fox jumps over the lazy dog"),
+            Row(doc_id=101, text="some indexed reference content lives here"),
+        ],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="The quick  brown fox jumps over the lazy dog"),  # exact (normalized)
+            Row(doc_id=2, text="the quick brown fox jumps over the lazy dog!!"),  # near
+            Row(doc_id=3, text="entirely novel writing about spark pipelines"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in D.dedup_against(new, index, jaccard_threshold=0.3).collect()
+    )
+    assert kept == [3]
+    # the index side is never modified and batch-internal dups are out
+    # of scope: a new batch with two copies of a novel doc keeps both
+    twins = spark.createDataFrame(
+        [Row(doc_id=7, text="novel twin text"), Row(doc_id=8, text="novel twin text")],
+        "doc_id long, text string",
+    )
+    assert D.dedup_against(twins, index).count() == 2
