@@ -485,7 +485,12 @@ def dedup_against(
     shingle-Jaccard verification on candidates only (semi-join pruned
     per side); broadcast anti-join of the verified losers. At 100 TB
     the index side's signatures can be precomputed/stored — the band
-    join only carries (id, band hash) rows either way."""
+    join only carries (id, band hash) rows either way.
+
+    Caching contract: the candidate set persists for the session (it
+    feeds three consumers in the returned lazy plan) — same documented
+    trade as ngram_jaccard_pairs' ad-hoc path; compose through
+    near_dedup-style wrappers if per-call cache release matters."""
     nh = new.withColumn("__ch", content_hash(F.col(text_col)))
     ih = index.select(content_hash(F.col(text_col)).alias("__ch")).distinct()
     survivors = nh.join(ih, "__ch", "left_anti").drop("__ch")

@@ -1,0 +1,83 @@
+"""Property-based invariants for the round-4 curation ops: chunking
+coverage/overlap, int8 quantization error bounds, and stratified-sample
+determinism — driven by hypothesis over random documents/vectors.
+One Spark job per property (all examples batched into one DataFrame)
+keeps the suite fast."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+words = st.lists(
+    st.text(alphabet="abcdefg", min_size=1, max_size=5), min_size=0, max_size=60
+)
+
+
+@settings(max_examples=20, deadline=None)
+@given(tokens=words, chunk=st.integers(4, 16), overlap=st.integers(0, 3))
+def test_chunking_invariants(spark, tokens, chunk, overlap):
+    from route81_spark.ops.text import chunk_documents
+
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text=" ".join(tokens))], "doc_id long, text string"
+    )
+    out = sorted(
+        (r["chunk_idx"], r["chunk_text"], r["n_tokens"])
+        for r in chunk_documents(df, chunk_tokens=chunk, overlap=overlap).collect()
+    )
+    stride = chunk - overlap
+    # contiguous chunk indexes from 0
+    assert [c[0] for c in out] == list(range(len(out)))
+    rebuilt = []
+    for idx, text, n in out:
+        toks = text.split() if text else []
+        assert len(toks) == n <= chunk
+        # chunk i starts at i*stride and matches the source tokens
+        assert toks == tokens[idx * stride : idx * stride + chunk]
+        rebuilt.extend(toks if idx == 0 else toks[overlap:])
+    # every token covered exactly once after removing overlaps
+    if tokens:
+        assert rebuilt == tokens
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    vec=st.lists(
+        st.floats(-100, 100, allow_nan=False, width=32), min_size=1, max_size=16
+    )
+)
+def test_quantize_int8_error_bound(spark, vec):
+    from route81_spark.ops.similarity import quantize_int8
+
+    emb = spark.createDataFrame(
+        [Row(vec_id=1, embedding=vec)], "vec_id long, embedding array<float>"
+    )
+    rows = quantize_int8(emb).collect()
+    amax = max(abs(float(x)) for x in vec)
+    if amax == 0:
+        assert rows == []  # zero vectors dropped
+        return
+    scale = 127.0 / amax
+    for r in rows:
+        assert -128 <= r["q"] <= 128  # |x|*scale <= 127 (+0.5 rounding)
+        x = float(vec[r["pos"]])
+        assert abs(x - r["q"] / scale) <= 0.5 / scale + 1e-9
+
+
+def test_stratified_sample_fraction_monotone(spark):
+    # a doc kept at fraction f stays kept at every f' > f (hash
+    # thresholding, not re-sampling) — the property that makes
+    # incremental fraction changes safe
+    from route81_spark.ops.corpus import stratified_sample
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, lang="en") for i in range(300)], "doc_id long, lang string"
+    )
+    kept = {}
+    for f in (0.2, 0.5, 0.8):
+        kept[f] = {r["doc_id"] for r in stratified_sample(df, "lang", {"en": f}).collect()}
+    assert kept[0.2] <= kept[0.5] <= kept[0.8]
+    assert len(kept[0.2]) < len(kept[0.8])
