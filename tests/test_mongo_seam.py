@@ -299,3 +299,38 @@ def test_direct_read_job_mongo_source_keeps_real_id(spark, monkeypatch):
 def test_mongo_live_roundtrip(spark):  # pragma: no cover
     cfg = load_config(CFG)
     with_mongo_retry(lambda: mongo_reader(spark, cfg, "test.nation").load(), cfg)
+
+
+def test_direct_read_concur_chunks_live_reads(monkeypatch):
+    # route81.go:449-450: <= direct-read-concur collections scan the
+    # live cluster at once; parquet stand-ins keep one unioned job
+    from argparse import Namespace
+
+    from route81_spark import main as M
+
+    calls = {"jobs": [], "writes": 0}
+    monkeypatch.setattr(
+        M, "write_records", lambda *a, **k: calls.__setitem__("writes", calls["writes"] + 1)
+    )
+    import route81_spark.jobs.producer as P
+
+    def fake_job(spark, cfg, tables, ids):
+        calls["jobs"].append(list(cfg.direct_read_namespaces))
+        return object()
+
+    monkeypatch.setattr(P, "direct_read_job", fake_job)
+    ns = [f"db.c{i}" for i in range(5)]
+    args = Namespace(sink_dir="/tmp/x", kafka_bootstrap=None)
+
+    cfg = load_config(CFG + "direct-read-concur = 2\n")
+    cfg.direct_read_namespaces = ns
+    M.run_direct_reads(None, cfg, {}, {}, args)
+    assert calls["jobs"] == [ns[0:2], ns[2:4], ns[4:5]]
+    assert calls["writes"] == 3
+
+    calls["jobs"], calls["writes"] = [], 0
+    plain = load_config("direct-read-concur = 2")
+    plain.direct_read_namespaces = ns
+    M.run_direct_reads(None, plain, {}, {}, args)
+    assert calls["jobs"] == [ns]  # no live cluster -> one unioned job
+    assert calls["writes"] == 1
