@@ -81,3 +81,43 @@ def test_stratified_sample_fraction_monotone(spark):
         kept[f] = {r["doc_id"] for r in stratified_sample(df, "lang", {"en": f}).collect()}
     assert kept[0.2] <= kept[0.5] <= kept[0.8]
     assert len(kept[0.2]) < len(kept[0.8])
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 24), st.integers(0, 24)).filter(lambda p: p[0] != p[1]),
+        min_size=1,
+        max_size=40,
+    ),
+    force_star=st.booleans(),
+)
+def test_clusters_match_union_find(spark, edges, force_star):
+    """near_dup_clusters (label propagation AND the large-star/small-star
+    fallback) must agree with a reference union-find on random graphs."""
+    from route81_spark.ops.dedup import near_dup_clusters
+
+    parent = list(range(25))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    nodes = set()
+    for a, b in edges:
+        nodes |= {a, b}
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {n: find(n) for n in sorted(nodes)}
+
+    df = spark.createDataFrame(
+        [Row(id_a=a, id_b=b) for a, b in edges], "id_a long, id_b long"
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in near_dup_clusters(df, max_iter=1 if force_star else 20).collect()
+    }
+    assert got == expected
