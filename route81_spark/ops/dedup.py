@@ -545,8 +545,47 @@ def dedup_against(
     return survivors.join(F.broadcast(losers), id_col, "left_anti")
 
 
+def _collected_components(pairs: DataFrame, rows: list) -> DataFrame:
+    """Driver-side union-find over a COLLECTED edge list (small-graph
+    fast path of near_dup_clusters). Union-by-min keeps every tree
+    rooted at its component minimum, so find(n) IS the cluster label —
+    the same min-reachable-id contract as the distributed loop. Python's
+    str ordering agrees with Spark's UTF8String comparison (UTF-8 byte
+    order preserves code-point order), so labels match for string and
+    numeric ids alike."""
+    from pyspark.sql import types as T
+
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in rows:
+        a, b = r["src"], r["dst"]
+        for n in (a, b):
+            parent.setdefault(n, n)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    idt = pairs.schema["id_a"].dataType
+    schema = T.StructType(
+        [T.StructField("doc_id", idt), T.StructField("cluster_id", idt)]
+    )
+    data = [(n, find(n)) for n in parent]
+    return pairs.sparkSession.createDataFrame(data, schema)
+
+
 def near_dup_clusters(
-    pairs: DataFrame, max_iter: int = 20, checkpoint_dir: str | None = None
+    pairs: DataFrame,
+    max_iter: int = 20,
+    checkpoint_dir: str | None = None,
+    small_graph_max_edges: int = 100_000,
 ) -> DataFrame:
     """Connected components over near-dup pairs: (doc_id, cluster_id)
     where cluster_id = min doc id reachable through the pair graph —
@@ -564,9 +603,27 @@ def near_dup_clusters(
     `checkpoint_dir` switches the per-iteration lineage truncation from
     localCheckpoint (executor-local blocks, local-mode default) to
     reliable file checkpoints — required on a real cluster, where an
-    executor lost mid-loop must not lose the only copy of a block."""
-    ck = _checkpointer(pairs, checkpoint_dir)
+    executor lost mid-loop must not lose the only copy of a block.
+
+    Graphs with <= `small_graph_max_edges` pairs short-circuit to a
+    driver-side union-find over the collected edge list. The verified
+    near-dup pair graph is usually orders of magnitude smaller than the
+    corpus — a few hundred edges at test scale, where 2-5 distributed
+    rounds cost ~1.5 s of pure job-scheduling overhead against a graph
+    that fits in one network packet. 100k edges is a few MB on the
+    driver (far below any realistic driver budget); a 100 TB corpus
+    with pathological duplication blows past the threshold and takes
+    the distributed loop, so there is no scale cliff — set
+    `small_graph_max_edges=0` to force the distributed path."""
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    if small_graph_max_edges > 0:
+        # one probe job: LIMIT N+1 short-circuits (LocalLimit runs
+        # before the shuffle), so a huge graph pays one bounded pass,
+        # not a full materialization, before taking the distributed loop
+        probe = edges.distinct().limit(small_graph_max_edges + 1).collect()
+        if len(probe) <= small_graph_max_edges:
+            return _collected_components(pairs, probe)
+    ck = _checkpointer(pairs, checkpoint_dir)
     edges = _symmetric(edges)
     # Materialize the edge set ONCE and right-size the loop's
     # parallelism to the PAIR GRAPH, not the corpus: the verified

@@ -118,6 +118,13 @@ def test_clusters_match_union_find(spark, edges, force_star):
     )
     got = {
         r["doc_id"]: r["cluster_id"]
-        for r in near_dup_clusters(df, max_iter=1 if force_star else 20).collect()
+        for r in near_dup_clusters(
+            df, max_iter=1 if force_star else 20, small_graph_max_edges=0
+        ).collect()
     }
     assert got == expected
+    # the small-graph driver union-find fast path must agree too
+    fast = {
+        r["doc_id"]: r["cluster_id"] for r in near_dup_clusters(df).collect()
+    }
+    assert fast == expected

@@ -295,6 +295,30 @@ def test_curate_is_subset_and_gated(spark, sf_dir):
     assert kept.filter(lang_id(F.col("text")) != "en").count() == 0
 
 
+def test_cluster_small_graph_fast_path(spark, tmp_path):
+    # under the edge threshold the loop short-circuits to a driver
+    # union-find: same labels, no checkpoint files, no leaked blocks
+    import os
+
+    before = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+    pairs = spark.createDataFrame(
+        [Row(id_a=f"d{i}", id_b=f"d{i + 1}") for i in range(5)]
+        + [Row(id_a="x2", id_b="x1")],
+        "id_a string, id_b string",
+    )
+    ckdir = str(tmp_path / "ck_fast")
+    out = D.near_dup_clusters(pairs, checkpoint_dir=ckdir)
+    got = {(r["doc_id"], r["cluster_id"]) for r in out.collect()}
+    assert got == {(f"d{i}", "d0") for i in range(6)} | {("x1", "x1"), ("x2", "x1")}
+    assert not any(files for _, _, files in os.walk(ckdir)), "fast path wrote checkpoints"
+    after = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+    assert after <= before
+    # empty pair set: empty result, id-typed schema preserved
+    empty = D.near_dup_clusters(pairs.limit(0))
+    assert empty.count() == 0
+    assert [f.dataType.simpleString() for f in empty.schema.fields] == ["string", "string"]
+
+
 def test_cluster_reliable_checkpoint(spark, tmp_path):
     # cluster-mode path: reliable file checkpoints instead of
     # executor-local blocks; same clusters, checkpoint files on disk,
@@ -308,7 +332,7 @@ def test_cluster_reliable_checkpoint(spark, tmp_path):
         "id_a long, id_b long",
     )
     ckdir = str(tmp_path / "ck")
-    out = D.near_dup_clusters(pairs, checkpoint_dir=ckdir)
+    out = D.near_dup_clusters(pairs, checkpoint_dir=ckdir, small_graph_max_edges=0)
     got = {(r["doc_id"], r["cluster_id"]) for r in out.collect()}
     assert got == {(i, 0) for i in range(6)} | {(10, 10), (11, 10)}
     assert any(files for _, _, files in os.walk(ckdir)), "no checkpoint files written"
@@ -322,7 +346,9 @@ def test_star_fallback_reliable_checkpoint(spark, tmp_path):
     pairs = spark.createDataFrame(
         [Row(id_a=i, id_b=i + 1) for i in range(9)], "id_a long, id_b long"
     )
-    out = D.near_dup_clusters(pairs, max_iter=1, checkpoint_dir=str(tmp_path / "ck"))
+    out = D.near_dup_clusters(
+        pairs, max_iter=1, checkpoint_dir=str(tmp_path / "ck"), small_graph_max_edges=0
+    )
     assert {(r["doc_id"], r["cluster_id"]) for r in out.collect()} == {
         (i, 0) for i in range(10)
     }

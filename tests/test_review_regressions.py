@@ -117,9 +117,9 @@ def test_cluster_deep_chain_star_fallback(spark):
     pairs = spark.createDataFrame(
         [Row(id_a=i, id_b=i + 1) for i in range(9)], "id_a long, id_b long"
     )
-    fb = near_dup_clusters(pairs, max_iter=2)
+    fb = near_dup_clusters(pairs, max_iter=2, small_graph_max_edges=0)
     assert {(r["doc_id"], r["cluster_id"]) for r in fb.collect()} == {
         (i, 0) for i in range(10)
     }
-    ok = near_dup_clusters(pairs, max_iter=15)
+    ok = near_dup_clusters(pairs, max_iter=15, small_graph_max_edges=0)
     assert {r["cluster_id"] for r in ok.collect()} == {0}
