@@ -4297,6 +4297,161 @@ def dedup_incremental(spark, sf_dir):
     return D.dedup_against(new, index).select("doc_id")
 
 
+_VOCAB_SQL = f"""
+    vt AS (SELECT unnest({_TOKS}) AS term FROM documents),
+    vc AS (SELECT term, count(*) AS n FROM vt GROUP BY 1),
+    vr AS (SELECT term, n,
+                  CAST(row_number() OVER (ORDER BY n DESC, term ASC) - 1 AS INT)
+                    AS token_id
+           FROM vc)
+"""
+
+
+@_q(
+    "text_vocab",
+    f"""
+    WITH {_VOCAB_SQL}
+    SELECT term, n, token_id FROM vr WHERE token_id < 20
+    """,
+)
+def text_vocab(spark, sf_dir):
+    # frequency vocabulary with dense most-frequent-first ids: one
+    # map-side-combined count agg over the corpus, rank over the
+    # (bounded) vocab only
+    from route81_spark.ops.corpus import build_vocab
+
+    return build_vocab(_t(spark, sf_dir, "documents"), max_vocab=20)
+
+
+@_q(
+    "text_token_ids",
+    f"""
+    WITH {_VOCAB_SQL},
+    v AS (SELECT term, token_id FROM vr WHERE token_id < 20),
+    t AS (SELECT doc_id, {_TOKS} AS tk FROM documents WHERE doc_id % 20 = 0),
+    p AS (SELECT doc_id, unnest(range(1, len(tk) + 1)) AS pos1,
+                 unnest(tk) AS term
+          FROM t)
+    SELECT p.doc_id, CAST(p.pos1 - 1 AS INT) AS pos,
+           CAST(coalesce(v.token_id, -1) AS INT) AS token_id
+    FROM p LEFT JOIN v USING (term)
+    """,
+)
+def text_token_ids(spark, sf_dir):
+    # encode a doc subset against the corpus vocabulary: exploded
+    # (id, pos, token_id) rows, OOV -> -1, broadcast vocab join — the
+    # corpus never shuffles
+    from route81_spark.ops.corpus import build_vocab, encode_token_ids
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = build_vocab(docs, max_vocab=20)
+    return encode_token_ids(docs.filter(F.col("doc_id") % 20 == 0), vocab)
+
+
+@_q(
+    "text_lm_nll",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    p AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(tk) - 1, 1) + 1),
+                    i -> coalesce(array_to_string(tk[i:i+1], ' '), ''))) AS bg
+      FROM t
+    ),
+    pairs AS (SELECT doc_id, bg FROM p WHERE contains(bg, ' ')),
+    model AS (SELECT bg, count(*) AS c2 FROM pairs GROUP BY 1),
+    uni AS (SELECT string_split(bg, ' ')[1] AS w1, count(*) AS c1
+            FROM pairs GROUP BY 1),
+    v AS (SELECT count(*) AS vs FROM uni),
+    lp AS (
+      SELECT m.bg, ln(CAST(m.c2 + 1 AS DOUBLE) / (u.c1 + v.vs)) AS lp
+      FROM model m JOIN uni u ON string_split(m.bg, ' ')[1] = u.w1 CROSS JOIN v
+    ),
+    s AS (
+      SELECT pr.doc_id, count(*) AS n_bigrams, sum(l.lp) AS slp
+      FROM pairs pr JOIN lp l USING (bg) GROUP BY 1
+    )
+    SELECT doc_id, n_bigrams,
+           floor((-slp / n_bigrams) * 1000000.0 + 0.5) / 1000000.0 AS nll
+    FROM s
+    """,
+)
+def text_lm_nll(spark, sf_dir):
+    # self-trained bigram-LM negative log-likelihood per doc (the
+    # KenLM/CCNet perplexity-filter signal); det-rounded so libm /
+    # summation-order ulps cannot flip values
+    from route81_spark.ops.corpus import lm_logprob_score
+
+    return lm_logprob_score(_t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "corpus_boilerplate",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    c AS (SELECT doc_id, tk,
+                 greatest(CAST(floor((len(tk) + 3) / 4.0) AS INT), 1) AS nc
+          FROM t),
+    ch AS (
+      SELECT doc_id,
+             unnest(range(1, nc + 1)) AS i,
+             unnest(list_transform(range(1, nc + 1),
+                    i -> coalesce(array_to_string(tk[(i-1)*4+1:(i-1)*4+4], ' '), '')))
+               AS txt
+      FROM c
+    ),
+    freq AS (SELECT txt, count(DISTINCT doc_id) AS nd FROM ch GROUP BY 1),
+    f AS (SELECT ch.doc_id, ch.i, ch.txt, freq.nd FROM ch JOIN freq USING (txt))
+    SELECT doc_id,
+           CAST(count(*) AS INT) AS n_chunks,
+           CAST(sum(CASE WHEN nd <= 2 THEN 1 ELSE 0 END) AS INT) AS n_kept,
+           coalesce(string_agg(CASE WHEN nd <= 2 THEN txt END, ' ' ORDER BY i), '')
+             AS clean_text
+    FROM f GROUP BY doc_id
+    """,
+)
+def corpus_boilerplate(spark, sf_dir):
+    # corpus-wide repeated-segment removal (C4/RefinedWeb boilerplate
+    # pass): 4-token chunks shared by >2 distinct docs are dropped and
+    # the survivors reassembled in order
+    from route81_spark.ops.corpus import remove_boilerplate
+
+    return remove_boilerplate(
+        _t(spark, sf_dir, "documents"), window=4, max_docs=2
+    )
+
+
+@_q(
+    "corpus_mixture",
+    """
+    WITH c AS (
+      SELECT source AS g, count(*) AS n FROM documents
+      WHERE source IN ('src0', 'src1', 'src2') GROUP BY 1
+    ),
+    sh(g, s) AS (
+      VALUES ('src0', CAST(0.5 AS DOUBLE)), ('src1', CAST(0.3 AS DOUBLE)),
+             ('src2', CAST(0.2 AS DOUBLE))
+    ),
+    j AS (SELECT c.g, c.n, sh.s FROM c JOIN sh USING (g)),
+    t AS (SELECT min(n / s) AS t FROM j),
+    r AS (SELECT j.g, least(CAST(1.0 AS DOUBLE), t.t * j.s / j.n) AS rate
+          FROM j CROSS JOIN t)
+    SELECT d.doc_id, d.source FROM documents d JOIN r ON d.source = r.g
+    WHERE ('0x' || substr(md5('mix0|' || CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+          / 1152921504606846976.0 < r.rate
+    """,
+)
+def corpus_mixture(spark, sf_dir):
+    # domain-mixture construction: rates derived from target shares at
+    # the largest feasible total, selection by deterministic id-hash
+    from route81_spark.ops.corpus import mixture_resample
+
+    docs = _t(spark, sf_dir, "documents")
+    return mixture_resample(
+        docs, "source", {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+    ).select("doc_id", "source")
+
+
 # =====================================================================
 # Registry accessors (consumed by __spark_entry__)
 # =====================================================================

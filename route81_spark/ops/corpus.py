@@ -330,3 +330,211 @@ def shard(
         .withColumn("pos", (F.row_number().over(w) - 1).cast("long"))
         .drop("__oh")
     )
+
+
+def build_vocab(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 1,
+    max_vocab: int | None = None,
+) -> DataFrame:
+    """Frequency vocabulary for tokenizer/embedding training:
+    (term, n, token_id) with dense 0-based ids ordered by count desc,
+    term asc (the conventional most-frequent-first id assignment).
+
+    100 TB shape: the corpus passes through ONE explode + map-side-
+    combined count aggregation; the ranking window then runs over the
+    VOCAB (bounded by distinct terms, orders of magnitude below corpus
+    rows — and further cut by min_count/max_vocab before/at the rank).
+    The unpartitioned row_number is a deliberate single-reducer step
+    over that bounded set, the same shape every tokenizer trainer uses;
+    it is never applied to corpus-sized data."""
+    from route81_spark.io import ensure_parallelism
+    from route81_spark.ops.text import tokens
+
+    counts = (
+        ensure_parallelism(df.select(text_col))
+        .select(F.explode(tokens(F.col(text_col))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_count)
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("term").asc())
+    out = counts.select(
+        "term", "n", (F.row_number().over(w) - 1).cast("int").alias("token_id")
+    )
+    if max_vocab is not None:
+        # row_number + filter compiles to WindowGroupLimit: per-partition
+        # top-k prunes before the single-partition final rank
+        out = out.filter(F.col("token_id") < max_vocab)
+    return out
+
+
+def encode_token_ids(
+    df: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    unk_id: int = -1,
+) -> DataFrame:
+    """Encode documents against a vocabulary: exploded (id, pos,
+    token_id) rows, OOV terms -> `unk_id`. The exploded form is what
+    sequence packers / loss-mask builders consume, and it keeps every
+    operation JVM-side: one explode, one BROADCAST join against the
+    vocab (vocab tables fit executor memory by construction — that is
+    what max_vocab is for), no corpus shuffle at all."""
+    from route81_spark.io import ensure_parallelism
+    from route81_spark.ops.text import tokens
+
+    p = ensure_parallelism(df.select(id_col, text_col)).select(
+        F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("pos", "term")
+    )
+    v = vocab.select("term", "token_id")
+    return p.join(F.broadcast(v), "term", "left").select(
+        id_col,
+        F.col("pos").cast("int").alias("pos"),
+        F.coalesce(F.col("token_id"), F.lit(unk_id)).cast("int").alias("token_id"),
+    )
+
+
+def lm_logprob_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Bigram-LM negative log-likelihood per document (the CCNet/KenLM
+    perplexity-filter signal, self-trained on the corpus): add-one-
+    smoothed p(w2|w1) = (c2+1)/(c1+V), doc score = -mean ln p over its
+    bigram instances. Returns (id, n_bigrams, nll) with nll det-rounded
+    to 6 dp so engine libm/summation-order ulps cannot flip the value.
+
+    Same 100 TB shape as rare_bigram_stats: per-(doc,bigram) counts
+    aggregate FIRST (one Exchange at the fan-out point, reused by the
+    model aggregation and the scoring join), the model is vocab^2-
+    bounded, and only (id, bigram, n) rows ever shuffle — never text."""
+    from route81_spark.io import ensure_parallelism
+    from route81_spark.ops.text import positional_ngrams, tokens
+    from route81_spark.ops.util import det_round
+
+    base = ensure_parallelism(df.select(id_col, text_col))
+    bound_grams = F.get(
+        F.transform(
+            F.array(tokens(F.col(text_col))), lambda tk: positional_ngrams(tk, 2)
+        ),
+        0,
+    )
+    pairs = base.select(
+        F.col(id_col), F.explode(bound_grams).alias("bg")
+    ).filter(F.col("bg").contains(" "))
+    tfb = pairs.groupBy(id_col, "bg").agg(F.count(F.lit(1)).alias("n"))
+    w1 = F.split(F.col("bg"), " ")[0]
+    model = tfb.groupBy("bg").agg(F.sum("n").alias("c2"))
+    uni = (
+        model.select(w1.alias("w1"), "c2").groupBy("w1").agg(F.sum("c2").alias("c1"))
+    )
+    vsize = uni.agg(F.count(F.lit(1)).alias("V"))
+    lp = (
+        model.withColumn("w1", w1)
+        .join(uni, "w1")
+        .crossJoin(F.broadcast(vsize))
+        .select(
+            "bg",
+            F.log((F.col("c2") + 1).cast("double") / (F.col("c1") + F.col("V"))).alias(
+                "lp"
+            ),
+        )
+    )
+    scored = (
+        tfb.join(lp, "bg")
+        .groupBy(id_col)
+        .agg(
+            F.sum("n").alias("n_bigrams"),
+            F.sum(F.col("n") * F.col("lp")).alias("__slp"),
+        )
+    )
+    return scored.select(
+        F.col(id_col),
+        F.col("n_bigrams"),
+        det_round(-F.col("__slp") / F.col("n_bigrams"), 6).alias("nll"),
+    )
+
+
+def remove_boilerplate(
+    df: DataFrame,
+    window: int = 16,
+    max_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-wide repeated-segment removal (the C4/RefinedWeb
+    boilerplate pass): split each doc into non-overlapping
+    `window`-token chunks, count how many DISTINCT documents each chunk
+    occurs in, drop chunks shared by more than `max_docs` docs, and
+    reassemble the survivors in order. Returns
+    (id, n_chunks, n_kept, clean_text) — n_kept may be 0 (fully
+    boilerplate doc, clean_text '').
+
+    100 TB shape: one chunk explode (narrow), one count-distinct agg on
+    a 64-bit chunk hash (chunk text never shuffles into the frequency
+    agg), one equi-join back, one per-doc reassembly agg. xxhash64
+    collisions merge two chunks' doc-counts with probability ~n^2/2^64
+    — negligible against the statistical nature of the filter."""
+    from route81_spark.ops.text import chunk_documents
+
+    chunks = chunk_documents(
+        df, chunk_tokens=window, overlap=0, text_col=text_col, id_col=id_col
+    ).select(id_col, "chunk_idx", "chunk_text", F.xxhash64("chunk_text").alias("__k"))
+    freq = chunks.groupBy("__k").agg(F.count_distinct(id_col).alias("__nd"))
+    flagged = chunks.join(freq, "__k")
+    keep = F.col("__nd") <= max_docs
+    return flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("int").alias("n_chunks"),
+        F.sum(keep.cast("int")).cast("int").alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(keep, F.struct("chunk_idx", "chunk_text"))
+                    )
+                ),
+                lambda s: s["chunk_text"],
+            ),
+        ).alias("clean_text"),
+    )
+
+
+def mixture_resample(
+    df: DataFrame,
+    group_col: str,
+    target_shares: dict[str, float],
+    id_col: str = "doc_id",
+    seed: str = "mix0",
+) -> DataFrame:
+    """Domain-mixture construction: downsample each group so the output
+    composition matches `target_shares` (e.g. {'web': .6, 'code': .4})
+    at the largest total the data supports — T = min_g(count_g /
+    share_g), acceptance rate_g = T * share_g / count_g. Selection is
+    the deterministic per-row id-hash (stratified_sample's contract):
+    re-runnable, no RNG state, rows never flip across reruns.
+
+    The per-group counts are one aggregation collected to the driver —
+    group cardinality is the number of DOMAINS (tens), not corpus rows,
+    the same bounded-collect contract as the IVF codebook. Groups
+    absent from `target_shares` (or with share 0) are dropped."""
+    shares = {g: float(s) for g, s in target_shares.items() if float(s) > 0}
+    if not shares:
+        raise ValueError("mixture_resample: need at least one positive share")
+    counts = {
+        r["g"]: r["n"]
+        for r in df.filter(F.col(group_col).isin(list(shares)))
+        .groupBy(F.col(group_col).alias("g"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    present = {g: s for g, s in shares.items() if counts.get(g, 0) > 0}
+    if not present:
+        return df.filter(F.lit(False))
+    t = min(counts[g] / s for g, s in present.items())
+    fractions = {g: min(1.0, t * s / counts[g]) for g, s in present.items()}
+    return stratified_sample(
+        df, group_col, fractions, id_col=id_col, seed=seed, default_fraction=0.0
+    )

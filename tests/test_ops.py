@@ -714,3 +714,131 @@ def test_real_decode_features_and_resize(spark):
         assert px.shape == (4, 4, 3)
         assert r["meta"]["width"] == 4 and r["meta"]["height"] == 4
         assert int(px[0, 0, 2]) == mid % 256   # blue channel survives resample
+
+
+# ---------------------------------------------------------------------
+# vocab / token-id encoding / LM scoring / boilerplate / mixture
+# ---------------------------------------------------------------------
+
+def _vocab_docs(spark):
+    return spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a a a b b c"),
+            Row(doc_id=2, text="a b c d"),
+            Row(doc_id=3, text="a z"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_build_vocab_dense_frequency_ids(spark):
+    from route81_spark.ops.corpus import build_vocab
+
+    rows = {r["term"]: (r["n"], r["token_id"]) for r in build_vocab(_vocab_docs(spark)).collect()}
+    # counts: a=5 b=3 c=2 d=1 z=1; ties broken term-asc
+    assert rows == {"a": (5, 0), "b": (3, 1), "c": (2, 2), "d": (1, 3), "z": (1, 4)}
+    capped = build_vocab(_vocab_docs(spark), max_vocab=2).collect()
+    assert sorted(r["term"] for r in capped) == ["a", "b"]
+    mc = build_vocab(_vocab_docs(spark), min_count=2).collect()
+    assert sorted(r["term"] for r in mc) == ["a", "b", "c"]
+
+
+def test_encode_token_ids_roundtrip_and_unk(spark):
+    from route81_spark.ops.corpus import build_vocab, encode_token_ids
+
+    docs = _vocab_docs(spark)
+    vocab = build_vocab(docs, max_vocab=3)  # a, b, c in-vocab; d, z OOV
+    enc = encode_token_ids(docs, vocab)
+    by_doc = {}
+    for r in enc.collect():
+        by_doc.setdefault(r["doc_id"], {})[r["pos"]] = r["token_id"]
+    assert [by_doc[1][p] for p in range(6)] == [0, 0, 0, 1, 1, 2]
+    assert [by_doc[2][p] for p in range(4)] == [0, 1, 2, -1]
+    assert [by_doc[3][p] for p in range(2)] == [0, -1]
+    # the vocab join must be broadcast — the corpus side never shuffles
+    plan = enc._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_lm_logprob_score_orders_fluency(spark):
+    from route81_spark.ops.corpus import lm_logprob_score
+
+    # doc 1 repeats the corpus-dominant bigram; doc 3 is one-off pairs
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="x y x y x y x y"),
+            Row(doc_id=2, text="x y x y"),
+            Row(doc_id=3, text="p q r s"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in lm_logprob_score(df).collect()}
+    assert rows[1]["n_bigrams"] == 7 and rows[3]["n_bigrams"] == 3
+    assert rows[1]["nll"] > 0 and rows[3]["nll"] > 0
+    assert rows[1]["nll"] < rows[3]["nll"]  # common bigrams -> lower NLL
+    assert rows[2]["nll"] < rows[3]["nll"]
+
+
+def test_remove_boilerplate_drops_shared_chunks(spark):
+    from route81_spark.ops.corpus import remove_boilerplate
+
+    shared = "one two three four"
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=f"{shared} u1 u2 u3 u4"),
+            Row(doc_id=2, text=f"{shared} v1 v2 v3 v4"),
+            Row(doc_id=3, text=f"{shared} w1 w2 w3 w4"),
+            Row(doc_id=4, text="solo only text here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in remove_boilerplate(df, window=4, max_docs=2).collect()}
+    # the shared leading chunk appears in 3 docs > max_docs=2 -> dropped
+    assert out[1]["clean_text"] == "u1 u2 u3 u4"
+    assert out[2]["clean_text"] == "v1 v2 v3 v4"
+    assert (out[1]["n_chunks"], out[1]["n_kept"]) == (2, 1)
+    # unique doc unchanged
+    assert out[4]["clean_text"] == "solo only text here"
+    assert (out[4]["n_chunks"], out[4]["n_kept"]) == (1, 1)
+
+
+def test_remove_boilerplate_fully_boilerplate_doc(spark):
+    from route81_spark.ops.corpus import remove_boilerplate
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text="same same same same") for i in range(4)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in remove_boilerplate(df, window=4, max_docs=2).collect()}
+    assert all(out[i]["clean_text"] == "" and out[i]["n_kept"] == 0 for i in range(4))
+
+
+def test_mixture_resample_hits_target_shares(spark, sf_dir):
+    from route81_spark.ops.corpus import mixture_resample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = mixture_resample(docs, "source", {"src0": 0.5, "src1": 0.3, "src2": 0.2})
+    counts = {r["source"]: r["n"] for r in out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(counts) <= {"src0", "src1", "src2"}
+    total = sum(counts.values())
+    # hash sampling is binomial around the target; allow generous slack
+    assert abs(counts.get("src0", 0) / total - 0.5) < 0.2
+    # deterministic: a rerun selects the identical row set
+    again = mixture_resample(docs, "source", {"src0": 0.5, "src1": 0.3, "src2": 0.2})
+    assert sorted(r["doc_id"] for r in out.select("doc_id").collect()) == sorted(
+        r["doc_id"] for r in again.select("doc_id").collect()
+    )
+
+
+def test_mixture_resample_degenerate_inputs(spark):
+    from route81_spark.ops.corpus import mixture_resample
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, source="a") for i in range(10)], "doc_id long, source string"
+    )
+    # group with all the mass keeps everything (rate 1.0)
+    assert mixture_resample(df, "source", {"a": 1.0}).count() == 10
+    # shares naming only absent groups -> empty, not an error
+    assert mixture_resample(df, "source", {"missing": 1.0}).count() == 0
+    with pytest.raises(ValueError):
+        mixture_resample(df, "source", {"a": 0.0})
