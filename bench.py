@@ -41,6 +41,8 @@ BENCH_QUERIES = [
     "corpus_curation",    # quality gates -> dedup funnel composition
     "text_gopher_flags",  # repetition/shape quality metrics (heavy per-row HOFs)
     "corpus_decontaminate",  # benchmark n-gram overlap, broadcast eval set
+    "text_lm_nll",        # self-trained bigram-LM NLL (two corpus-wide aggs + join)
+    "corpus_boilerplate", # repeated-chunk removal (chunk explode + reassembly)
 ]
 
 

@@ -472,19 +472,32 @@ def remove_boilerplate(
     (id, n_chunks, n_kept, clean_text) — n_kept may be 0 (fully
     boilerplate doc, clean_text '').
 
-    100 TB shape: one chunk explode (narrow), one count-distinct agg on
-    a 64-bit chunk hash (chunk text never shuffles into the frequency
-    agg), one equi-join back, one per-doc reassembly agg. xxhash64
-    collisions merge two chunks' doc-counts with probability ~n^2/2^64
-    — negligible against the statistical nature of the filter."""
+    100 TB shape: the frequency pass shuffles only (chunk-hash, doc-id)
+    pairs — never text — and reduces to the DROP set (chunks in more
+    than max_docs docs), which is small by the premise of the operation
+    (boilerplate is few distinct segments repeated many times) and
+    broadcasts back as a left join. Chunk text therefore shuffles
+    exactly once, in the per-doc reassembly agg; the corpus is chunked
+    twice (two scans), the right trade against shuffling text twice.
+    xxhash64 collisions merge two chunks' doc-counts with probability
+    ~n^2/2^64 — negligible against the statistical nature of the
+    filter. A degenerate corpus whose drop set outgrows executor
+    memory needs max_docs raised (or pre-gating) — matching the
+    operation's premise, and the same bounded-broadcast contract as
+    the vocab/codebook ops."""
     from route81_spark.ops.text import chunk_documents
 
     chunks = chunk_documents(
         df, chunk_tokens=window, overlap=0, text_col=text_col, id_col=id_col
     ).select(id_col, "chunk_idx", "chunk_text", F.xxhash64("chunk_text").alias("__k"))
-    freq = chunks.groupBy("__k").agg(F.count_distinct(id_col).alias("__nd"))
-    flagged = chunks.join(freq, "__k")
-    keep = F.col("__nd") <= max_docs
+    drops = (
+        chunks.groupBy("__k")
+        .agg(F.count_distinct(id_col).alias("__nd"))
+        .filter(F.col("__nd") > max_docs)
+        .select("__k", F.lit(True).alias("__drop"))
+    )
+    flagged = chunks.join(F.broadcast(drops), "__k", "left")
+    keep = F.col("__drop").isNull()
     return flagged.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("int").alias("n_chunks"),
         F.sum(keep.cast("int")).cast("int").alias("n_kept"),

@@ -245,3 +245,22 @@ def test_exact_dedup_single_shuffle_group_limit(spark):
     plan = plan_of(exact_dedup(docs), "simple")
     assert "WindowGroupLimit" in plan
     assert plan.count("Exchange") == 1
+
+
+def test_boilerplate_drop_set_broadcasts(spark):
+    # the repeated-chunk drop set must come back as a broadcast left
+    # join — chunk text shuffles once (reassembly), never for the
+    # frequency filter
+    df = harness.QUERIES["corpus_boilerplate"](spark, SF)
+    plan = plan_of(df, "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_encode_token_ids_vocab_broadcasts(spark):
+    # vocab tables are bounded by construction; encoding must join them
+    # broadcast so the exploded corpus never shuffles
+    df = harness.QUERIES["text_token_ids"](spark, SF)
+    plan = plan_of(df, "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
