@@ -4452,6 +4452,39 @@ def corpus_mixture(spark, sf_dir):
     ).select("doc_id", "source")
 
 
+@_q(
+    "corpus_select_topk",
+    f"""
+    WITH s AS (
+      SELECT doc_id, source,
+             floor((least(length(text) / 400.0, 1.0)
+                   * (CAST(len(list_distinct({_TOKS})) AS DOUBLE) / len({_TOKS}))
+                   * (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                      / length(text))) * 1000000.0 + 0.5) / 1000000.0 AS quality
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, source, quality,
+             CAST(row_number() OVER (PARTITION BY source
+                  ORDER BY quality DESC, doc_id ASC) AS INT) AS sel_rank
+      FROM s
+    )
+    SELECT doc_id, source, quality, sel_rank FROM r WHERE sel_rank <= 5
+    """,
+)
+def corpus_select_topk(spark, sf_dir):
+    # quality-budgeted data selection: the 5 best docs per source by
+    # det-rounded quality score — WindowGroupLimit prunes per partition
+    # before the single group shuffle
+    from route81_spark.io import ensure_parallelism
+    from route81_spark.ops.corpus import select_topk_per_group
+
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "source", X.quality_score(F.col("text")).alias("quality")
+    )
+    return select_topk_per_group(docs, "source", F.col("quality"), 5)
+
+
 # =====================================================================
 # Registry accessors (consumed by __spark_entry__)
 # =====================================================================

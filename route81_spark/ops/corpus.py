@@ -551,3 +551,22 @@ def mixture_resample(
     return stratified_sample(
         df, group_col, fractions, id_col=id_col, seed=seed, default_fraction=0.0
     )
+
+
+def select_topk_per_group(
+    df: DataFrame,
+    group_col: str,
+    score: Column,
+    k: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-budgeted data selection: keep the k best rows per group
+    by (score desc, id asc — deterministic tie-break). The
+    row_number-then-filter shape compiles to WindowGroupLimit, so each
+    input partition prunes to k rows per group BEFORE the single group
+    shuffle — the selection never moves more than k rows per (partition
+    x group), the same scale contract as the similarity top-k."""
+    w = Window.partitionBy(group_col).orderBy(score.desc(), F.col(id_col).asc())
+    return df.withColumn(
+        "sel_rank", F.row_number().over(w).cast("int")
+    ).filter(F.col("sel_rank") <= k)

@@ -128,3 +128,102 @@ def test_clusters_match_union_find(spark, edges, force_star):
         r["doc_id"]: r["cluster_id"] for r in near_dup_clusters(df).collect()
     }
     assert fast == expected
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    docs=st.lists(words, min_size=1, max_size=8),
+    max_vocab=st.integers(1, 10),
+)
+def test_vocab_encode_roundtrip_property(spark, docs, max_vocab):
+    """build_vocab ids are dense 0..V-1 ordered by (count desc, term
+    asc); encode_token_ids inverts through the vocab exactly (in-vocab
+    terms round-trip, OOV -> -1 at the right positions)."""
+    from collections import Counter
+
+    from route81_spark.ops.corpus import build_vocab, encode_token_ids
+
+    rows = [Row(doc_id=i, text=" ".join(tk)) for i, tk in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    vocab = build_vocab(df, max_vocab=max_vocab).collect()
+
+    counts = Counter(t for tk in docs for t in tk)
+    want = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:max_vocab]
+    assert [(r["term"], r["n"]) for r in sorted(vocab, key=lambda r: r["token_id"])] == want
+    assert sorted(r["token_id"] for r in vocab) == list(range(len(want)))
+
+    ids = {r["term"]: r["token_id"] for r in vocab}
+    enc = {}
+    for r in encode_token_ids(df, build_vocab(df, max_vocab=max_vocab)).collect():
+        enc.setdefault(r["doc_id"], {})[r["pos"]] = r["token_id"]
+    for i, tk in enumerate(docs):
+        got = [enc.get(i, {}).get(p) for p in range(len(tk))]
+        assert got == [ids.get(t, -1) for t in tk]
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    docs=st.lists(words.filter(lambda w: len(w) > 0), min_size=1, max_size=8),
+    window=st.integers(2, 6),
+    max_docs=st.integers(1, 3),
+)
+def test_boilerplate_reassembly_property(spark, docs, window, max_docs):
+    """remove_boilerplate must reproduce exactly the per-doc
+    concatenation of its sub-max_docs chunks, computed independently in
+    Python over the same chunk grid."""
+    from collections import Counter
+
+    from route81_spark.ops.corpus import remove_boilerplate
+
+    def chunks_of(tk):
+        n_chunks = max((len(tk) + window - 1) // window, 1)
+        return [" ".join(tk[i * window : (i + 1) * window]) for i in range(n_chunks)]
+
+    doc_chunks = {i: chunks_of(tk) for i, tk in enumerate(docs)}
+    nd = Counter()
+    for i, cs in doc_chunks.items():
+        for c in set(cs):
+            nd[c] += 1
+
+    rows = [Row(doc_id=i, text=" ".join(tk)) for i, tk in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in remove_boilerplate(df, window=window, max_docs=max_docs).collect()
+    }
+    for i, cs in doc_chunks.items():
+        kept = [c for c in cs if nd[c] <= max_docs]
+        assert out[i]["clean_text"] == " ".join(kept)
+        assert out[i]["n_chunks"] == len(cs)
+        assert out[i]["n_kept"] == len(kept)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    sizes=st.lists(st.integers(1, 40), min_size=2, max_size=4),
+    shares=st.lists(st.floats(0.05, 1.0), min_size=2, max_size=4),
+)
+def test_mixture_rates_property(spark, sizes, shares):
+    """mixture_resample: the implied acceptance rates are <= 1, the
+    binding group (smallest count/share) keeps everything, and output
+    is a subset of input selected deterministically."""
+    n = min(len(sizes), len(shares))
+    sizes, shares = sizes[:n], shares[:n]
+    rows = [
+        Row(doc_id=g * 1000 + i, source=f"g{g}")
+        for g, sz in enumerate(sizes)
+        for i in range(sz)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    target = {f"g{g}": shares[g] for g in range(n)}
+    from route81_spark.ops.corpus import mixture_resample
+
+    out = mixture_resample(df, "source", target).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["source"], set()).add(r["doc_id"])
+    binding = min(range(n), key=lambda g: sizes[g] / shares[g])
+    # the binding group's rate is exactly 1.0 -> all its rows survive
+    assert len(got.get(f"g{binding}", set())) == sizes[binding]
+    all_ids = {r["doc_id"] for r in rows}
+    assert all(i in all_ids for ids in got.values() for i in ids)

@@ -264,3 +264,11 @@ def test_encode_token_ids_vocab_broadcasts(spark):
     plan = plan_of(df, "simple")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_select_topk_uses_window_group_limit(spark):
+    # per-group selection must prune k rows per partition before the
+    # group shuffle
+    df = harness.QUERIES["corpus_select_topk"](spark, SF)
+    plan = plan_of(df, "simple")
+    assert "WindowGroupLimit" in plan
