@@ -111,6 +111,69 @@ def _curate(df: DataFrame, arg: dict) -> DataFrame:
     )
 
 
+def _lm_score(df: DataFrame, arg: dict) -> DataFrame:
+    from route81_spark.ops.corpus import lm_logprob_score
+
+    return lm_logprob_score(
+        df, text_col=arg.get("textField", "text"), id_col=arg.get("idField", "doc_id")
+    )
+
+
+def _boilerplate(df: DataFrame, arg: dict) -> DataFrame:
+    from route81_spark.ops.corpus import remove_boilerplate
+
+    return remove_boilerplate(
+        df,
+        window=int(arg.get("window", 16)),
+        max_docs=int(arg.get("maxDocs", 2)),
+        text_col=arg.get("textField", "text"),
+        id_col=arg.get("idField", "doc_id"),
+    )
+
+
+def _mixture_resample(df: DataFrame, arg: dict) -> DataFrame:
+    from route81_spark.ops.corpus import mixture_resample
+
+    return mixture_resample(
+        df,
+        group_col=arg["groupField"],
+        target_shares={str(k): float(v) for k, v in arg["shares"].items()},
+        id_col=arg.get("idField", "doc_id"),
+        seed=str(arg.get("seed", "mix0")),
+    )
+
+
+def _select_topk(df: DataFrame, arg: dict) -> DataFrame:
+    from route81_spark.ops.corpus import select_topk_per_group
+
+    return select_topk_per_group(
+        df,
+        group_col=arg["groupField"],
+        score=F.col(arg["scoreField"]),
+        k=int(arg.get("k", 10)),
+        id_col=arg.get("idField", "doc_id"),
+    )
+
+
+def _tokenize_ids(df: DataFrame, arg: dict) -> DataFrame:
+    from route81_spark.ops.corpus import build_vocab, encode_token_ids
+
+    text_col = arg.get("textField", "text")
+    vocab = build_vocab(
+        df,
+        text_col=text_col,
+        min_count=int(arg.get("minCount", 1)),
+        max_vocab=int(arg["maxVocab"]) if "maxVocab" in arg else None,
+    )
+    return encode_token_ids(
+        df,
+        vocab,
+        text_col=text_col,
+        id_col=arg.get("idField", "doc_id"),
+        unk_id=int(arg.get("unkId", -1)),
+    )
+
+
 register_stage("$dedupExact", _dedup_exact)
 register_stage("$minhashLsh", _minhash_lsh)
 register_stage("$simhash", _simhash)
@@ -121,3 +184,8 @@ register_stage("$piiRedact", _pii_redact)
 register_stage("$gopherFilter", _gopher_filter)
 register_stage("$stratifiedSample", _stratified_sample)
 register_stage("$curate", _curate)
+register_stage("$lmScore", _lm_score)
+register_stage("$boilerplate", _boilerplate)
+register_stage("$mixtureResample", _mixture_resample)
+register_stage("$selectTopK", _select_topk)
+register_stage("$tokenizeIds", _tokenize_ids)

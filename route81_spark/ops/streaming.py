@@ -54,6 +54,45 @@ def streaming_exact_dedup(
     return deduped.drop("__chash")
 
 
+def streaming_curate(
+    stream: DataFrame,
+    index: DataFrame | None = None,
+    langs: tuple[str, ...] = ("en",),
+    min_quality: float = 0.05,
+    min_tokens: int = 5,
+    max_tokens: int = 1_000_000,
+    text_col: str = "text",
+    ts_col: str | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming corpus intake: the batch funnel's one-expression
+    curation gate (lang/quality/length — pure per-row Columns, so it
+    streams unchanged), exact dedup against an optional STATIC accepted
+    index (stream-static anti-join on the content hash — the streaming
+    form of ops.dedup.dedup_against's exact stage), then first-seen
+    exact dedup across micro-batches.
+
+    Near-dup (LSH) verification is deliberately NOT here: it self-joins
+    the corpus, which Structured Streaming cannot express — the
+    standard architecture runs cheap gates inline on ingest and the
+    full near-dedup in the periodic batch compaction (ops.corpus.curate
+    / ops.dedup.dedup_against over the accumulated table)."""
+    from route81_spark.ops.text import curation_gate
+
+    c = F.col(text_col)
+    gated = stream.filter(
+        curation_gate(c, tuple(langs), min_quality, min_tokens, max_tokens)
+    )
+    if index is not None:
+        ih = index.select(content_hash(F.col(text_col)).alias("__chash")).distinct()
+        gated = (
+            gated.withColumn("__chash", content_hash(c))
+            .join(ih, "__chash", "left_anti")
+            .drop("__chash")
+        )
+    return streaming_exact_dedup(gated, text_col, ts_col=ts_col, watermark=watermark)
+
+
 def sessionize(
     df: DataFrame,
     ts_col: str = "ts",

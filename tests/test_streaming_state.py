@@ -272,3 +272,39 @@ def test_sessionize_streaming_matches_batch(spark, tmp_path):
     u1_first = min(k for k in want if k[0] == 1)
     assert got == {u1_first: want[u1_first]}
     assert want[u1_first] == (3, 6.0)
+
+
+def test_streaming_curate_gate_index_and_dedup(spark, tmp_path):
+    """streaming_curate: the batch curation gate streams unchanged, the
+    static accepted index prunes via stream-static anti-join, and
+    cross-batch dedup holds — all in one availableNow run."""
+    from pyspark.sql import Row
+
+    from route81_spark.ops.streaming import streaming_curate
+
+    en = "the cat and the dog of a to a walk"          # passes en gate
+    src = tmp_path / "src"
+    _write_batch(
+        src / "b1.json",
+        [
+            {"doc_id": 1, "text": en, "ts": "2024-01-01T00:00:00"},
+            # whitespace variant of doc 1 -> in-stream dup
+            {"doc_id": 2, "text": en.replace(" cat ", "  cat "), "ts": "2024-01-01T00:00:01"},
+            # fails the language gate
+            {"doc_id": 3, "text": "der hund und die katze ist das gut ja", "ts": "2024-01-01T00:00:02"},
+            # already in the accepted index -> anti-joined away
+            {"doc_id": 4, "text": "the bird and the fish of a to a swim", "ts": "2024-01-01T00:00:03"},
+            # fails min_tokens
+            {"doc_id": 5, "text": "the a", "ts": "2024-01-01T00:00:04"},
+        ],
+    )
+    index = spark.createDataFrame(
+        [Row(doc_id=100, text="THE bird and the fish of a to a   swim")],
+        "doc_id long, text string",
+    )
+    stream = spark.readStream.schema(DOC_SCHEMA).json(str(src))
+    curated = streaming_curate(stream, index=index, min_quality=0.0, min_tokens=5)
+    out, ckpt = tmp_path / "out", tmp_path / "ckpt"
+    _run_available_now(curated, out, ckpt)
+    got = {r["doc_id"] for r in spark.read.schema(DOC_SCHEMA).parquet(str(out)).collect()}
+    assert len(got) == 1 and got <= {1, 2}

@@ -442,3 +442,52 @@ def test_new_extension_stages_compile_and_run(spark):
         df, [{"$curate": {"minTokens": 3, "minQuality": 0.0}}]
     ).collect()
     assert {r["doc_id"] for r in curated} <= {1, 2}   # lang gate drops doc 3
+
+
+def test_round5_extension_stages_compile_and_run(spark):
+    """$lmScore, $boilerplate, $mixtureResample, $selectTopK,
+    $tokenizeIds through the pipeline-JSON surface."""
+    from pyspark.sql import Row
+
+    from route81_spark.pipeline import apply_pipeline
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, src="a", text="one two three four u1 u2 u3 u4"),
+            Row(doc_id=2, src="a", text="one two three four v1 v2 v3 v4"),
+            Row(doc_id=3, src="a", text="one two three four w1 w2 w3 w4"),
+            Row(doc_id=4, src="b", text="solo text entirely unique here ok"),
+        ],
+        "doc_id long, src string, text string",
+    )
+
+    lm = apply_pipeline(df, [{"$lmScore": {}}]).collect()
+    assert {r["doc_id"] for r in lm} == {1, 2, 3, 4}
+    assert all(r["nll"] > 0 for r in lm)
+
+    bp = {r["doc_id"]: r for r in apply_pipeline(
+        df, [{"$boilerplate": {"window": 4, "maxDocs": 2}}]
+    ).collect()}
+    assert bp[1]["clean_text"] == "u1 u2 u3 u4"
+    assert bp[4]["clean_text"] == "solo text entirely unique here ok"
+
+    mixed = apply_pipeline(
+        df, [{"$mixtureResample": {"groupField": "src",
+                                   "shares": {"a": 0.5, "b": 0.5}}}]
+    ).collect()
+    assert {r["doc_id"] for r in mixed} >= {4}  # binding group keeps all
+
+    from pyspark.sql import functions as SF
+
+    top = apply_pipeline(
+        df.withColumn("score", SF.col("doc_id").cast("double")),
+        [{"$selectTopK": {"groupField": "src", "scoreField": "score", "k": 1}}],
+    ).collect()
+    assert {r["doc_id"] for r in top} == {3, 4}
+
+    ids = apply_pipeline(df, [{"$tokenizeIds": {"maxVocab": 4}}]).collect()
+    assert {r["doc_id"] for r in ids} == {1, 2, 3, 4}
+    # 'one two three four' are the only repeated terms -> the vocab;
+    # every other token encodes as unk (-1)
+    by_pos = {(r["doc_id"], r["pos"]): r["token_id"] for r in ids}
+    assert by_pos[(1, 0)] != -1 and by_pos[(1, 4)] == -1
