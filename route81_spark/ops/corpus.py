@@ -397,22 +397,11 @@ def encode_token_ids(
     )
 
 
-def lm_logprob_score(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
-) -> DataFrame:
-    """Bigram-LM negative log-likelihood per document (the CCNet/KenLM
-    perplexity-filter signal, self-trained on the corpus): add-one-
-    smoothed p(w2|w1) = (c2+1)/(c1+V), doc score = -mean ln p over its
-    bigram instances. Returns (id, n_bigrams, nll) with nll det-rounded
-    to 6 dp so engine libm/summation-order ulps cannot flip the value.
-
-    Same 100 TB shape as rare_bigram_stats: per-(doc,bigram) counts
-    aggregate FIRST (one Exchange at the fan-out point, reused by the
-    model aggregation and the scoring join), the model is vocab^2-
-    bounded, and only (id, bigram, n) rows ever shuffle — never text."""
+def _bigram_pairs(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, bg) rows — the token array is bound once per row before the
+    positional slice, so the text splits exactly once."""
     from route81_spark.io import ensure_parallelism
     from route81_spark.ops.text import positional_ngrams, tokens
-    from route81_spark.ops.util import det_round
 
     base = ensure_parallelism(df.select(id_col, text_col))
     bound_grams = F.get(
@@ -421,12 +410,21 @@ def lm_logprob_score(
         ),
         0,
     )
-    pairs = base.select(
+    return base.select(
         F.col(id_col), F.explode(bound_grams).alias("bg")
     ).filter(F.col("bg").contains(" "))
-    tfb = pairs.groupBy(id_col, "bg").agg(F.count(F.lit(1)).alias("n"))
+
+
+def train_bigram_lm(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> tuple[DataFrame, DataFrame]:
+    """Add-one-smoothed bigram log-prob model: returns (lp, vsize) —
+    lp = (bg, lp) with lp = ln((c2+1)/(c1+V)), vsize a 1-row (V)
+    DataFrame. Persist/write lp once and score many batches against it
+    (the train-once shape a 100 TB pipeline actually runs)."""
+    pairs = _bigram_pairs(df, text_col, id_col)
+    model = pairs.groupBy("bg").agg(F.count(F.lit(1)).alias("c2"))
     w1 = F.split(F.col("bg"), " ")[0]
-    model = tfb.groupBy("bg").agg(F.sum("n").alias("c2"))
     uni = (
         model.select(w1.alias("w1"), "c2").groupBy("w1").agg(F.sum("c2").alias("c1"))
     )
@@ -442,12 +440,71 @@ def lm_logprob_score(
             ),
         )
     )
+    return lp, vsize
+
+
+def lm_logprob_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    train_on: DataFrame | None = None,
+) -> DataFrame:
+    """Bigram-LM negative log-likelihood per document (the CCNet/KenLM
+    perplexity-filter signal): add-one-smoothed p(w2|w1) = (c2+1)/(c1+V),
+    doc score = -mean ln p over its bigram instances. Returns
+    (id, n_bigrams, nll) with nll det-rounded to 6 dp so engine
+    libm/summation-order ulps cannot flip the value.
+
+    `train_on` selects the training corpus (default: df itself, the
+    self-trained filter). With a separate training set, bigrams unseen
+    at training time take the true add-one unseen mass ln(1/(V+1)) —
+    so held-out scoring is total (no dropped bigrams) and strictly
+    penalizes novelty.
+
+    Same 100 TB shape as rare_bigram_stats: per-(doc,bigram) counts
+    aggregate FIRST (one Exchange at the fan-out point, reused by the
+    model aggregation and the scoring join in the self-trained case),
+    the model is vocab^2-bounded, and only (id, bigram, n) rows ever
+    shuffle — never text."""
+    from route81_spark.ops.util import det_round
+
+    if train_on is None:
+        pairs = _bigram_pairs(df, text_col, id_col)
+        tfb = pairs.groupBy(id_col, "bg").agg(F.count(F.lit(1)).alias("n"))
+        model = tfb.groupBy("bg").agg(F.sum("n").alias("c2"))
+        w1 = F.split(F.col("bg"), " ")[0]
+        uni = (
+            model.select(w1.alias("w1"), "c2")
+            .groupBy("w1")
+            .agg(F.sum("c2").alias("c1"))
+        )
+        vsize = uni.agg(F.count(F.lit(1)).alias("V"))
+        lp = (
+            model.withColumn("w1", w1)
+            .join(uni, "w1")
+            .crossJoin(F.broadcast(vsize))
+            .select(
+                "bg",
+                F.log(
+                    (F.col("c2") + 1).cast("double") / (F.col("c1") + F.col("V"))
+                ).alias("lp"),
+            )
+        )
+    else:
+        lp, vsize = train_bigram_lm(train_on, text_col, id_col)
+        tfb = _bigram_pairs(df, text_col, id_col).groupBy(id_col, "bg").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+    eff_lp = F.coalesce(
+        F.col("lp"), -F.log((F.col("V") + 1).cast("double"))
+    )
     scored = (
-        tfb.join(lp, "bg")
+        tfb.join(lp, "bg", "left")
+        .crossJoin(F.broadcast(vsize))
         .groupBy(id_col)
         .agg(
             F.sum("n").alias("n_bigrams"),
-            F.sum(F.col("n") * F.col("lp")).alias("__slp"),
+            F.sum(F.col("n") * eff_lp).alias("__slp"),
         )
     )
     return scored.select(

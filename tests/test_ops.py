@@ -842,3 +842,27 @@ def test_mixture_resample_degenerate_inputs(spark):
     assert mixture_resample(df, "source", {"missing": 1.0}).count() == 0
     with pytest.raises(ValueError):
         mixture_resample(df, "source", {"a": 0.0})
+
+
+def test_lm_score_heldout_training_set(spark):
+    from route81_spark.ops.corpus import lm_logprob_score
+
+    train = spark.createDataFrame(
+        [Row(doc_id=i, text="x y x y x y") for i in range(3)],
+        "doc_id long, text string",
+    )
+    test = spark.createDataFrame(
+        [
+            Row(doc_id=10, text="x y x y"),     # all bigrams seen
+            Row(doc_id=11, text="p q r s"),     # all bigrams unseen
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in lm_logprob_score(test, train_on=train).collect()}
+    # unseen bigrams take the ln(1/(V+1)) mass: doc 11 scores strictly
+    # worse, and nothing is dropped (total scoring)
+    assert rows[10]["n_bigrams"] == 3 and rows[11]["n_bigrams"] == 3
+    assert rows[11]["nll"] > rows[10]["nll"]
+    import math
+    # V = {x, y} -> unseen lp = -ln(3) exactly
+    assert rows[11]["nll"] == pytest.approx(math.log(3.0), abs=1e-6)
