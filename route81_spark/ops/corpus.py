@@ -415,15 +415,11 @@ def _bigram_pairs(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     ).filter(F.col("bg").contains(" "))
 
 
-def train_bigram_lm(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
-) -> tuple[DataFrame, DataFrame]:
-    """Add-one-smoothed bigram log-prob model: returns (lp, vsize) —
-    lp = (bg, lp) with lp = ln((c2+1)/(c1+V)), vsize a 1-row (V)
-    DataFrame. Persist/write lp once and score many batches against it
-    (the train-once shape a 100 TB pipeline actually runs)."""
-    pairs = _bigram_pairs(df, text_col, id_col)
-    model = pairs.groupBy("bg").agg(F.count(F.lit(1)).alias("c2"))
+def _lm_tables(model: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Model tables from (bg, c2) bigram counts: (lp, uni, vsize) with
+    lp = (bg, ln((c2+1)/(c1+V))), uni = (w1, c1), vsize = 1-row (V).
+    Shared by the self-trained and held-out LM paths so the smoothing
+    arithmetic cannot diverge between them."""
     w1 = F.split(F.col("bg"), " ")[0]
     uni = (
         model.select(w1.alias("w1"), "c2").groupBy("w1").agg(F.sum("c2").alias("c1"))
@@ -440,7 +436,21 @@ def train_bigram_lm(
             ),
         )
     )
-    return lp, vsize
+    return lp, uni, vsize
+
+
+def train_bigram_lm(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Add-one-smoothed bigram log-prob model: returns (lp, uni, vsize)
+    — lp = (bg, lp) with lp = ln((c2+1)/(c1+V)), uni the (w1, c1)
+    continuation counts (needed to smooth unseen bigrams of a KNOWN
+    first word), vsize a 1-row (V) DataFrame. Persist/write these once
+    and score many batches (the train-once shape a 100 TB pipeline
+    actually runs)."""
+    pairs = _bigram_pairs(df, text_col, id_col)
+    model = pairs.groupBy("bg").agg(F.count(F.lit(1)).alias("c2"))
+    return _lm_tables(model)
 
 
 def lm_logprob_score(
@@ -456,10 +466,17 @@ def lm_logprob_score(
     libm/summation-order ulps cannot flip the value.
 
     `train_on` selects the training corpus (default: df itself, the
-    self-trained filter). With a separate training set, bigrams unseen
-    at training time take the true add-one unseen mass ln(1/(V+1)) —
-    so held-out scoring is total (no dropped bigrams) and strictly
-    penalizes novelty.
+    self-trained filter). With a separate training set, a bigram unseen
+    at training time takes the true add-one mass for its first word:
+    p = 1/(c1+V) with the trained continuation count c1 (0 if the first
+    word itself is unseen, giving 1/V) — monotonically below every SEEN
+    bigram sharing that first word, so held-out scoring is total and
+    novelty is never ranked as more fluent than in-distribution text.
+
+    Contract: a document with fewer than 2 tokens has no bigrams and
+    emits NO output row (same as the DuckDB oracle's GROUP BY over
+    bigram instances); left-join the result back on the id if totality
+    matters downstream.
 
     Same 100 TB shape as rare_bigram_stats: per-(doc,bigram) counts
     aggregate FIRST (one Exchange at the fan-out point, reused by the
@@ -471,41 +488,31 @@ def lm_logprob_score(
     if train_on is None:
         pairs = _bigram_pairs(df, text_col, id_col)
         tfb = pairs.groupBy(id_col, "bg").agg(F.count(F.lit(1)).alias("n"))
-        model = tfb.groupBy("bg").agg(F.sum("n").alias("c2"))
-        w1 = F.split(F.col("bg"), " ")[0]
-        uni = (
-            model.select(w1.alias("w1"), "c2")
-            .groupBy("w1")
-            .agg(F.sum("c2").alias("c1"))
-        )
-        vsize = uni.agg(F.count(F.lit(1)).alias("V"))
-        lp = (
-            model.withColumn("w1", w1)
-            .join(uni, "w1")
-            .crossJoin(F.broadcast(vsize))
-            .select(
-                "bg",
-                F.log(
-                    (F.col("c2") + 1).cast("double") / (F.col("c1") + F.col("V"))
-                ).alias("lp"),
-            )
-        )
+        lp, _, _ = _lm_tables(tfb.groupBy("bg").agg(F.sum("n").alias("c2")))
+        # self-trained: every scored bigram is in the model, so a plain
+        # inner join scores everything — no smoothing fallback needed
+        joined = tfb.join(lp, "bg")
+        eff_lp = F.col("lp")
     else:
-        lp, vsize = train_bigram_lm(train_on, text_col, id_col)
+        lp, uni, vsize = train_bigram_lm(train_on, text_col, id_col)
         tfb = _bigram_pairs(df, text_col, id_col).groupBy(id_col, "bg").agg(
             F.count(F.lit(1)).alias("n")
         )
-    eff_lp = F.coalesce(
-        F.col("lp"), -F.log((F.col("V") + 1).cast("double"))
-    )
-    scored = (
-        tfb.join(lp, "bg", "left")
-        .crossJoin(F.broadcast(vsize))
-        .groupBy(id_col)
-        .agg(
-            F.sum("n").alias("n_bigrams"),
-            F.sum(F.col("n") * eff_lp).alias("__slp"),
+        joined = (
+            tfb.withColumn("__w1", F.split(F.col("bg"), " ")[0])
+            .join(lp, "bg", "left")
+            # no broadcast hint: uni is vocab-sized — usually broadcast-
+            # able, but past the threshold the planner's SMJ is correct
+            .join(uni.withColumnRenamed("w1", "__w1"), "__w1", "left")
+            .crossJoin(F.broadcast(vsize))
         )
+        eff_lp = F.coalesce(
+            F.col("lp"),
+            -F.log((F.coalesce(F.col("c1"), F.lit(0)) + F.col("V")).cast("double")),
+        )
+    scored = joined.groupBy(id_col).agg(
+        F.sum("n").alias("n_bigrams"),
+        F.sum(F.col("n") * eff_lp).alias("__slp"),
     )
     return scored.select(
         F.col(id_col),

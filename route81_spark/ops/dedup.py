@@ -615,28 +615,30 @@ def near_dup_clusters(
     with pathological duplication blows past the threshold and takes
     the distributed loop, so there is no scale cliff — set
     `small_graph_max_edges=0` to force the distributed path."""
-    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    # persist BEFORE the path decision: both the probe and (on large
+    # graphs) the distributed loop read the cached edge set, so the
+    # expensive upstream candidate/verify lineage executes exactly once
+    # regardless of which path wins
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).persist()
     if small_graph_max_edges > 0:
-        # one probe job: LIMIT N+1 short-circuits (LocalLimit runs
-        # before the shuffle), so a huge graph pays one bounded pass,
-        # not a full materialization, before taking the distributed loop
         probe = edges.distinct().limit(small_graph_max_edges + 1).collect()
         if len(probe) <= small_graph_max_edges:
+            edges.unpersist()
             return _collected_components(pairs, probe)
     ck = _checkpointer(pairs, checkpoint_dir)
-    edges = _symmetric(edges)
-    # Materialize the edge set ONCE and right-size the loop's
-    # parallelism to the PAIR GRAPH, not the corpus: the verified
-    # near-dup pairs are orders of magnitude smaller than the input, and
-    # running each round's two tiny joins through corpus-sized task
-    # counts makes per-iteration scheduling overhead the dominant cost
-    # (measured 5.4s -> the count below picks ~1 partition per 500k
-    # edges). Without the persist, every iteration re-executes the full
-    # upstream candidate/verify DAG — the LSH join, shingling, the lot.
-    edges = edges.persist()
-    n_edges = edges.count()
+    # Right-size the loop's parallelism to the PAIR GRAPH, not the
+    # corpus: the verified near-dup pairs are orders of magnitude
+    # smaller than the input, and running each round's two tiny joins
+    # through corpus-sized task counts makes per-iteration scheduling
+    # overhead the dominant cost (measured 5.4s -> the count below
+    # picks ~1 partition per 500k edges). The count and the checkpoint
+    # below both read the persisted directed edges — the upstream DAG
+    # (LSH join, shingling, the lot) never re-executes.
+    n_edges = 2 * edges.count()
     parts = max(2, min(32, n_edges // 500_000 + 1))
-    edges_ck = ck(edges.coalesce(parts))
+    edges_ck = ck(_symmetric(edges).coalesce(parts))
     edges.unpersist()
     # checkpoint per iteration truncates lineage: otherwise the labels
     # plan deepens by two joins per round and round N re-executes

@@ -159,11 +159,16 @@ def _tokenize_ids(df: DataFrame, arg: dict) -> DataFrame:
     from route81_spark.ops.corpus import build_vocab, encode_token_ids
 
     text_col = arg.get("textField", "text")
+    if "maxVocab" not in arg:
+        # encode_token_ids broadcasts the vocab unconditionally — an
+        # unbounded distinct-term vocabulary would blow the broadcast
+        # at corpus scale, so the stage makes the bound explicit
+        raise ValueError("$tokenizeIds requires maxVocab (the vocab broadcast bound)")
     vocab = build_vocab(
         df,
         text_col=text_col,
         min_count=int(arg.get("minCount", 1)),
-        max_vocab=int(arg["maxVocab"]) if "maxVocab" in arg else None,
+        max_vocab=int(arg["maxVocab"]),
     )
     return encode_token_ids(
         df,

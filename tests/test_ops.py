@@ -859,10 +859,18 @@ def test_lm_score_heldout_training_set(spark):
         "doc_id long, text string",
     )
     rows = {r["doc_id"]: r for r in lm_logprob_score(test, train_on=train).collect()}
-    # unseen bigrams take the ln(1/(V+1)) mass: doc 11 scores strictly
-    # worse, and nothing is dropped (total scoring)
+    # unseen bigrams take the add-one mass 1/(c1+V): doc 11 scores
+    # strictly worse, and nothing is dropped (total scoring)
     assert rows[10]["n_bigrams"] == 3 and rows[11]["n_bigrams"] == 3
     assert rows[11]["nll"] > rows[10]["nll"]
     import math
-    # V = {x, y} -> unseen lp = -ln(3) exactly
-    assert rows[11]["nll"] == pytest.approx(math.log(3.0), abs=1e-6)
+    # V = {x, y}; all of doc 11's first words are unseen -> c1=0,
+    # lp = -ln(V) = -ln(2) exactly
+    assert rows[11]["nll"] == pytest.approx(math.log(2.0), abs=1e-6)
+    # unseen bigram with a SEEN first word must score below every seen
+    # bigram of that word: 'x x' -> 1/(c1+V), c1(x)=3*3=9 -> nll=ln(11)
+    heldout2 = spark.createDataFrame(
+        [Row(doc_id=12, text="x x")], "doc_id long, text string"
+    )
+    r12 = lm_logprob_score(heldout2, train_on=train).collect()[0]
+    assert r12["nll"] == pytest.approx(math.log(11.0), abs=1e-6)

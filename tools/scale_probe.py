@@ -27,10 +27,14 @@ from route81_spark.session import get_spark  # noqa: E402
 
 
 def scaled(docs: DataFrame, k: int) -> DataFrame:
+    # stride past the real max id so copies have disjoint id ranges for
+    # ANY base table — colliding ids would corrupt the hash-keyed ops
+    # (mixture, shards) and fake exact-dup merges in dedup
+    stride = (docs.agg(F.max("doc_id")).first()[0] or 0) + 1
     out = None
     for i in range(k):
         c = docs.withColumn(
-            "doc_id", (F.col("doc_id") + F.lit(i * 10_000_000)).cast("long")
+            "doc_id", (F.col("doc_id") + F.lit(i * stride)).cast("long")
         )
         out = c if out is None else out.unionByName(c)
     return out
