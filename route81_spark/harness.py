@@ -4453,6 +4453,39 @@ def corpus_mixture(spark, sf_dir):
 
 
 @_q(
+    "corpus_upsample",
+    """
+    WITH f(g, whole, frac) AS (
+      VALUES ('src0', 2, CAST(0.0 AS DOUBLE)),
+             ('src1', 1, CAST(0.5 AS DOUBLE)),
+             ('src2', 0, CAST(0.25 AS DOUBLE))
+    ),
+    d AS (
+      SELECT doc_id, source,
+             coalesce(f.whole, 1) +
+             CASE WHEN ('0x' || substr(md5('up0|' || f.g || '|' ||
+                        CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                       / 1152921504606846976.0 < coalesce(f.frac, 0.0)
+                  THEN 1 ELSE 0 END AS n
+      FROM documents LEFT JOIN f ON documents.source = f.g
+    )
+    SELECT doc_id, source, CAST(unnest(range(n)) AS INT) AS copy
+    FROM d WHERE n > 0
+    """,
+)
+def corpus_upsample(spark, sf_dir):
+    # epoch-style repeat-factor upsampling: 2.0 epochs of src0, 1.5 of
+    # src1, 0.25 of src2, 1.0 elsewhere — fractional epochs by
+    # deterministic id-hash, output exploded with a copy index
+    from route81_spark.ops.corpus import mixture_upsample
+
+    docs = _t(spark, sf_dir, "documents")
+    return mixture_upsample(
+        docs, "source", {"src0": 2.0, "src1": 1.5, "src2": 0.25}
+    ).select("doc_id", "source", "copy")
+
+
+@_q(
     "corpus_select_topk",
     f"""
     WITH s AS (

@@ -634,3 +634,40 @@ def select_topk_per_group(
     return df.withColumn(
         "sel_rank", F.row_number().over(w).cast("int")
     ).filter(F.col("sel_rank") <= k)
+
+
+def mixture_upsample(
+    df: DataFrame,
+    group_col: str,
+    factors: dict[str, float],
+    id_col: str = "doc_id",
+    seed: str = "up0",
+) -> DataFrame:
+    """Epoch-style upsampling: each row of group g is emitted
+    floor(f_g) times plus one more with probability frac(f_g), decided
+    by the deterministic id-hash — so a factor of 1.7 means "1.7
+    epochs" of that domain, exactly the repeat-factor mixing used to
+    hit target token budgets. Output carries a 0-based `copy` index
+    (same id appears in several copies by design — downstream shard()
+    keys on (id, copy) via the copy-qualified id this returns).
+
+    Groups absent from `factors` keep factor 1.0 (one copy). Pure
+    per-row expressions: one explode by a per-row literal count, no
+    shuffle, rerun-stable."""
+    n_copies = None
+    for key in sorted(factors):
+        f = float(factors[key])
+        if f < 0:
+            raise ValueError(f"mixture_upsample: negative factor for {key!r}")
+        whole, frac = int(f), f - int(f)
+        cnt = F.lit(whole) + F.when(
+            split_hash(F.col(id_col), f"{seed}|{key}") < F.lit(frac), 1
+        ).otherwise(0)
+        cond = F.col(group_col) == key
+        n_copies = F.when(cond, cnt) if n_copies is None else n_copies.when(cond, cnt)
+    n_copies = (
+        n_copies.otherwise(F.lit(1)) if n_copies is not None else F.lit(1)
+    )
+    return df.withColumn("__n", n_copies).filter(F.col("__n") > 0).select(
+        "*", F.explode(F.sequence(F.lit(0), F.col("__n") - 1)).alias("copy")
+    ).drop("__n")

@@ -143,6 +143,18 @@ def _mixture_resample(df: DataFrame, arg: dict) -> DataFrame:
     )
 
 
+def _mixture_upsample(df: DataFrame, arg: dict) -> DataFrame:
+    from route81_spark.ops.corpus import mixture_upsample
+
+    return mixture_upsample(
+        df,
+        group_col=arg["groupField"],
+        factors={str(k): float(v) for k, v in arg["factors"].items()},
+        id_col=arg.get("idField", "doc_id"),
+        seed=str(arg.get("seed", "up0")),
+    )
+
+
 def _select_topk(df: DataFrame, arg: dict) -> DataFrame:
     from route81_spark.ops.corpus import select_topk_per_group
 
@@ -192,5 +204,6 @@ register_stage("$curate", _curate)
 register_stage("$lmScore", _lm_score)
 register_stage("$boilerplate", _boilerplate)
 register_stage("$mixtureResample", _mixture_resample)
+register_stage("$mixtureUpsample", _mixture_upsample)
 register_stage("$selectTopK", _select_topk)
 register_stage("$tokenizeIds", _tokenize_ids)

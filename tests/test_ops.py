@@ -874,3 +874,30 @@ def test_lm_score_heldout_training_set(spark):
     )
     r12 = lm_logprob_score(heldout2, train_on=train).collect()[0]
     assert r12["nll"] == pytest.approx(math.log(11.0), abs=1e-6)
+
+
+def test_mixture_upsample_epochs(spark):
+    from route81_spark.ops.corpus import mixture_upsample
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, source="a" if i < 50 else "b") for i in range(100)],
+        "doc_id long, source string",
+    )
+    out = mixture_upsample(df, "source", {"a": 2.5, "b": 0.0}).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r["copy"])
+    # factor 0.0 removes the group entirely
+    assert all(d < 50 for d in by_doc)
+    # every 'a' doc appears 2 or 3 times with dense copy indexes
+    ns = {len(v) for v in by_doc.values()}
+    assert ns <= {2, 3} and 2 in ns
+    total = sum(len(v) for v in by_doc.values())
+    assert 50 * 2 <= total <= 50 * 3 and abs(total - 125) <= 15  # ~2.5 epochs
+    for v in by_doc.values():
+        assert sorted(v) == list(range(len(v)))
+    # deterministic across reruns
+    again = mixture_upsample(df, "source", {"a": 2.5, "b": 0.0}).collect()
+    assert sorted((r["doc_id"], r["copy"]) for r in again) == sorted(
+        (r["doc_id"], r["copy"]) for r in out
+    )
