@@ -901,3 +901,40 @@ def test_mixture_upsample_epochs(spark):
     assert sorted((r["doc_id"], r["copy"]) for r in again) == sorted(
         (r["doc_id"], r["copy"]) for r in out
     )
+
+
+def test_jsonl_corpus_ingest_with_corrupt_lines(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from route81_spark.sources.corpus_files import (
+        ingest_stats,
+        read_jsonl_corpus,
+        split_corrupt,
+    )
+
+    p = tmp_path / "drop" / "part-0.jsonl"
+    p.parent.mkdir(parents=True)
+    p.write_text(
+        '{"doc_id": 1, "text": "hello world"}\n'
+        "this is not json at all\n"
+        '{"doc_id": 2, "text": "second doc"}\n'
+        '{"doc_id": 3, "text": "third", "extra": "ignored"}\n'
+        '{"broken": \n'
+    )
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    df = read_jsonl_corpus(spark, str(p.parent), schema)
+    stats = ingest_stats(df)
+    assert stats == {"total": 5, "corrupt": 2, "parsed": 3}
+    good, bad = split_corrupt(df)
+    assert {r["doc_id"] for r in good.collect()} == {1, 2, 3}
+    assert "_corrupt" not in good.columns
+    raws = {r["raw"] for r in bad.collect()}
+    assert "this is not json at all" in raws and len(raws) == 2
+    # declared-schema contract: undeclared fields are pruned, not errors
+    assert set(good.columns) == {"doc_id", "text"}
+    # schema collision guard
+    bad_schema = T.StructType([T.StructField("_corrupt", T.StringType())])
+    with pytest.raises(ValueError):
+        read_jsonl_corpus(spark, str(p.parent), bad_schema)

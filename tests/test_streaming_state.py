@@ -308,3 +308,39 @@ def test_streaming_curate_gate_index_and_dedup(spark, tmp_path):
     _run_available_now(curated, out, ckpt)
     got = {r["doc_id"] for r in spark.read.schema(DOC_SCHEMA).parquet(str(out)).collect()}
     assert len(got) == 1 and got <= {1, 2}
+
+
+def test_jsonl_stream_intake_to_curation(spark, tmp_path):
+    """Drop-dir JSONL stream -> parse/corrupt split -> streaming_curate:
+    the full streaming intake path, one availableNow run."""
+    from route81_spark.ops.streaming import streaming_curate
+    from route81_spark.sources.corpus_files import (
+        CORRUPT_COL,
+        read_jsonl_corpus_stream,
+        split_corrupt,
+    )
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    (drop / "a.jsonl").write_text(
+        '{"doc_id": 1, "text": "the cat and the dog of a to a walk"}\n'
+        "not json\n"
+        '{"doc_id": 2, "text": "der hund und die katze ist das gut ja"}\n'
+    )
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    stream = read_jsonl_corpus_stream(spark, str(drop), schema)
+    good, _ = split_corrupt(stream)
+    curated = streaming_curate(good, min_quality=0.0, min_tokens=5)
+    out, ckpt = tmp_path / "out", tmp_path / "ckpt"
+    q = (
+        curated.writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.read.schema(schema).parquet(str(out)).collect()
+    assert [r["doc_id"] for r in rows] == [1]  # corrupt + de doc filtered
