@@ -671,3 +671,35 @@ def mixture_upsample(
     return df.withColumn("__n", n_copies).filter(F.col("__n") > 0).select(
         "*", F.explode(F.sequence(F.lit(0), F.col("__n") - 1)).alias("copy")
     ).drop("__n")
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    id_col: str = "doc_id",
+    seed: str = "shuffle0",
+    max_records_per_file: int | None = None,
+    file_format: str = "parquet",
+) -> None:
+    """Materialize a curated corpus as training shards: shard() gives
+    the deterministic global shuffle (shard=<k> partition dirs, `pos`
+    the in-shard order — the loader reads one dir and sorts by pos),
+    and the write clusters rows so each shard directory is written by
+    one task in pos order. `max_records_per_file` bounds file sizes for
+    loader parallelism without an extra shuffle (the writer rolls
+    files).
+
+    One hash Exchange (the shard assignment) + an in-partition sort —
+    the same plan shard() always has; the writer adds no global sort
+    and no second shuffle."""
+    sharded = shard(df, n_shards, id_col=id_col, seed=seed)
+    writer = (
+        sharded.repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("shard", "pos")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+    )
+    if max_records_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
+    writer.format(file_format).save(path)

@@ -938,3 +938,28 @@ def test_jsonl_corpus_ingest_with_corrupt_lines(spark, tmp_path):
     bad_schema = T.StructType([T.StructField("_corrupt", T.StringType())])
     with pytest.raises(ValueError):
         read_jsonl_corpus(spark, str(p.parent), bad_schema)
+
+
+def test_write_training_shards_layout(spark, tmp_path):
+    import os
+
+    from route81_spark.ops.corpus import write_training_shards
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=f"doc {i}") for i in range(100)],
+        "doc_id long, text string",
+    )
+    out = str(tmp_path / "shards")
+    write_training_shards(df, out, n_shards=4, max_records_per_file=10)
+    dirs = sorted(d for d in os.listdir(out) if d.startswith("shard="))
+    assert dirs == [f"shard={i}" for i in range(4)]
+    back = spark.read.parquet(out)
+    assert back.count() == 100
+    assert {r["doc_id"] for r in back.collect()} == set(range(100))
+    # pos is dense 0..n-1 within each shard (loader contract)
+    for i in range(4):
+        pos = sorted(r["pos"] for r in back.filter(f"shard = {i}").collect())
+        assert pos == list(range(len(pos)))
+    # maxRecordsPerFile bounds files: >=3 files for ~25 rows at 10/file
+    files = [f for f in os.listdir(os.path.join(out, "shard=0")) if f.endswith(".parquet")]
+    assert len(files) >= 2

@@ -272,3 +272,25 @@ def test_select_topk_uses_window_group_limit(spark):
     df = harness.QUERIES["corpus_select_topk"](spark, SF)
     plan = plan_of(df, "simple")
     assert "WindowGroupLimit" in plan
+
+
+def test_no_row_python_udf_in_any_registered_query(spark):
+    """Sweep EVERY registered query's physical plan: row-at-a-time
+    Python UDFs (BatchEvalPython) are forbidden everywhere — Python is
+    allowed only as Arrow-vectorized nodes (MapInPandas /
+    ArrowEvalPython), and only in the queries built on them."""
+    allowed_arrow = {"media_features", "media_frames", "media_resize",
+                     "sim_topk_blas", "sim_pq"}
+    offenders, arrow_unexpected = [], []
+    for name, fn in harness.queries().items():
+        plan = plan_of(fn(spark, SF), "simple")
+        if "BatchEvalPython" in plan:
+            offenders.append(name)
+        if ("MapInPandas" in plan or "ArrowEvalPython" in plan or
+                "FlatMapGroupsInPandas" in plan) and name not in allowed_arrow:
+            arrow_unexpected.append(name)
+    assert not offenders, f"row-at-a-time Python UDFs in: {offenders}"
+    assert not arrow_unexpected, (
+        f"unexpected Python nodes (extend allowlist only with Arrow-"
+        f"vectorized ops): {arrow_unexpected}"
+    )
