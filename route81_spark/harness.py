@@ -4518,6 +4518,157 @@ def corpus_select_topk(spark, sf_dir):
     return select_topk_per_group(docs, "source", F.col("quality"), 5)
 
 
+@_q(
+    "events_asof_join",
+    f"""
+    WITH c AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+      FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+             max(event_id) AS p_event_id,
+             arg_max(value, event_id) AS p_value
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY 1, 2
+    )
+    SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us,
+           p.p_event_id AS p_event_id,
+           {det_round_sql('p.p_value', 4)} AS p_value
+    FROM c ASOF LEFT JOIN p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+)
+def events_asof_join(spark, sf_dir):
+    """As-of join (pandas merge_asof 'backward', DuckDB ASOF JOIN):
+    each click picks up the user's most recent purchase at-or-before
+    it. Spark has no ASOF JOIN; ops.temporal.asof_join is the
+    union-tag + running-last-value construction — ONE hash shuffle on
+    user_id, no inequality join (the oracle IS a native ASOF JOIN, so
+    the semantics are checked against a real implementation)."""
+    from route81_spark.ops.temporal import asof_join
+    from route81_spark.ops.util import det_round
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    # right side unique per (user_id, ts): asof_join's determinism contract
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max("event_id").alias("p_event_id"),
+            F.max_by("value", "event_id").alias("p_value"),
+        )
+    )
+    j = asof_join(clicks, purchases, on="user_id", left_ts="ts", right_ts="ts")
+    return j.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "p_event_id",
+        det_round(F.col("p_value"), 4).alias("p_value"),
+    )
+
+
+@_q(
+    "events_range_join",
+    f"""
+    WITH p AS (
+      SELECT event_id AS p_id, user_id, CAST(ts AS TIMESTAMP) AS s
+      FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+      FROM events WHERE event_type = 'click'
+    )
+    SELECT p.p_id, p.user_id, CAST(count(*) AS BIGINT) AS n_clicks,
+           {det_round_sql('sum(c.value)', 4)} AS click_value
+    FROM p JOIN c
+      ON p.user_id = c.user_id
+     AND c.ts >= p.s AND c.ts < p.s + INTERVAL 30 MINUTES
+    GROUP BY 1, 2
+    """,
+)
+def events_range_join(spark, sf_dir):
+    """Interval (range) join via time-bucketing: clicks landing in the
+    30-minute window after each purchase, aggregated per purchase. A
+    raw range predicate would plan a BroadcastNestedLoopJoin
+    (O(n x m)); ops.temporal.range_join explodes each interval to its
+    covered fixed-width buckets and equi-joins on (user_id, bucket),
+    then refines — linear shuffle, pair produced exactly once."""
+    from route81_spark.ops.temporal import range_join
+    from route81_spark.ops.util import det_round
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    iv = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        "user_id",
+        F.col("ts").alias("start"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("end"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    pairs = range_join(
+        clicks, iv, on="user_id", point_ts="ts",
+        start_col="start", end_col="end", bucket_s=1800,
+    )
+    return pairs.groupBy("p_id", "user_id").agg(
+        F.count(F.lit(1)).alias("n_clicks"),
+        det_round(F.sum("value"), 4).alias("click_value"),
+    )
+
+
+@_q(
+    "events_rollup",
+    f"""
+    WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, value FROM events)
+    SELECT 'hour' AS resolution, epoch_us(date_trunc('hour', ts)) AS bucket_us,
+           CAST(count(*) AS BIGINT) AS n,
+           {det_round_sql('sum(value)', 4)} AS total,
+           {det_round_sql('sum(value) / count(*)', 4)} AS avg
+    FROM e GROUP BY 2
+    UNION ALL
+    SELECT 'day', epoch_us(date_trunc('day', ts)),
+           CAST(count(*) AS BIGINT),
+           {det_round_sql('sum(value)', 4)},
+           {det_round_sql('sum(value) / count(*)', 4)}
+    FROM e GROUP BY 2
+    UNION ALL
+    SELECT 'month', epoch_us(date_trunc('month', ts)),
+           CAST(count(*) AS BIGINT),
+           {det_round_sql('sum(value)', 4)},
+           {det_round_sql('sum(value) / count(*)', 4)}
+    FROM e GROUP BY 2
+    """,
+)
+def events_rollup(spark, sf_dir):
+    """Hypertable-style hour/day/month rollup in ONE scan + ONE shuffle
+    (rollup() = Expand + partial hash agg; map-side combine collapses
+    the 4x expansion before the Exchange). Re-aggregable stats only;
+    avg derived at the end — the continuous-aggregate contract."""
+    from route81_spark.ops.temporal import rollup_time
+    from route81_spark.ops.util import det_round
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    r = rollup_time(ev, "ts", "value", resolutions=("hour", "day", "month"))
+    return r.select(
+        "resolution",
+        F.unix_micros(F.col("bucket")).alias("bucket_us"),
+        "n",
+        det_round(F.col("total"), 4).alias("total"),
+        det_round(F.col("avg"), 4).alias("avg"),
+    )
+
+
 # =====================================================================
 # Registry accessors (consumed by __spark_entry__)
 # =====================================================================

@@ -1,0 +1,204 @@
+"""Temporal join/rollup operators (extension surface).
+
+Operators a time-series / event-log workload needs that neither the
+reference (route81 delegates all queries to the MongoDB server,
+/root/reference/route81.go:181-197) nor stock Spark SQL expresses
+directly: as-of joins, interval (range) joins, and hypertable-style
+multi-resolution rollups. Each is built as a composition of existing
+DataFrame ops chosen for the 100 TB plan shape, never a theta-join:
+
+  * asof_join     — the classic union trick: tag both sides, ONE hash
+                    shuffle on the key, a running last_value window
+                    carries the most recent right row forward onto each
+                    left row. No inequality join, no per-key loop; cost
+                    is one Exchange + one sort, identical to a groupBy.
+  * range_join    — interval containment via time-bucketing: an
+                    interval explodes to the fixed-width buckets it
+                    covers, the point side maps to its single bucket,
+                    and the match becomes an EQUI-join on (key, bucket)
+                    refined by the exact range predicate. Each
+                    (interval, point) pair meets exactly once (the
+                    point's bucket is unique), so no dedup pass. This
+                    is the standard replacement for the
+                    BroadcastNestedLoopJoin Spark would otherwise pick.
+  * rollup_time   — hour/day/month rollup in ONE scan and ONE shuffle
+                    via Spark's native rollup() (Expand + partial
+                    hash agg): map-side combine collapses the 4x
+                    expansion to (distinct buckets x levels) before
+                    anything moves. Re-aggregable stats only (count /
+                    sum; avg derived at the end), the continuous-
+                    aggregate contract of hypertable systems.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    tolerance_s: float | None = None,
+    suffix: str = "_r",
+) -> DataFrame:
+    """Left as-of join: for every left row, attach the right row with
+    the greatest ``right_ts`` <= ``left_ts`` for the same key(s)
+    (pandas ``merge_asof`` direction='backward', inclusive). Left rows
+    with no prior right row keep nulls; with ``tolerance_s`` a match
+    older than ``left_ts - tolerance_s`` is also nulled.
+
+    Contract: ``right`` must be unique per (key, right_ts) — pre-
+    aggregate otherwise (ties would be resolved arbitrarily, breaking
+    rerun determinism).
+
+    Scale shape: union both sides (narrow), ONE hash Exchange on the
+    key, one per-key sort by (ts, side) where right rows at equal ts
+    sort before left (inclusive <=), then ``last(payload, ignorenulls)``
+    over an unbounded-preceding running window. The shuffle carries
+    each row once; no inequality join, no BroadcastNestedLoopJoin, no
+    per-key collect. A pathologically hot single key serializes into
+    one task (window semantics) — shard such keys by time range
+    upstream if that ever dominates.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    payload_cols = [c for c in right.columns if c not in keys]
+    out_names = {c: (c + suffix if c in left.columns else c) for c in payload_cols}
+
+    payload = F.struct(
+        *[F.col(c).alias(out_names[c]) for c in payload_cols],
+        F.col(right_ts).alias("__rts"),
+    )
+    r = right.select(*keys, F.col(right_ts).alias("__ts"), F.lit(0).alias("__side"),
+                     payload.alias("__pay"))
+    lpay_t = "struct<" + ",".join(
+        f"`{out_names[c]}`:{right.schema[c].dataType.simpleString()}" for c in payload_cols
+    ) + f",`__rts`:{right.schema[right_ts].dataType.simpleString()}>"
+    l = left.select(
+        "*", F.col(left_ts).alias("__ts"), F.lit(1).alias("__side"),
+        F.lit(None).cast(lpay_t).alias("__pay"),
+    )
+    unioned = l.unionByName(r, allowMissingColumns=True)
+
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = unioned.withColumn("__m", F.last("__pay", ignorenulls=True).over(w))
+    out = matched.filter(F.col("__side") == 1)
+    if tolerance_s is not None:
+        in_tol = (
+            F.col("__ts").cast("double") - F.col("__m.__rts").cast("double")
+        ) <= F.lit(float(tolerance_s))
+        out = out.withColumn("__m", F.when(in_tol, F.col("__m")))
+    keep = [c for c in left.columns]
+    return out.select(
+        *keep, *[F.col(f"__m.`{out_names[c]}`").alias(out_names[c]) for c in payload_cols]
+    )
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: str | list[str],
+    point_ts: str = "ts",
+    start_col: str = "start",
+    end_col: str = "end",
+    bucket_s: int = 3600,
+) -> DataFrame:
+    """Inner interval join: each point row pairs with every interval of
+    the same key(s) satisfying ``start <= point_ts < end`` (half-open).
+
+    Scale shape: an interval explodes to ceil(len/bucket_s)+1 fixed
+    buckets; a point maps to exactly ONE bucket; the join is an
+    EQUI-join on (keys..., bucket) refined by the exact predicate.
+    Because the point's bucket is unique, each qualifying pair is
+    produced exactly once — no distinct pass. Pick ``bucket_s`` near
+    the typical interval length: the interval side then explodes ~2x
+    and the shuffle stays linear in |points| + |intervals|, vs. the
+    O(|points| x |intervals|) BroadcastNestedLoopJoin Spark plans for
+    a raw range predicate.
+
+    Column-name collisions between the two inputs are the caller's to
+    resolve (select/alias first), as with a plain join.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    b = F.lit(int(bucket_s))
+
+    iv = intervals.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col).cast("double") / b).cast("long"),
+                F.floor(F.col(end_col).cast("double") / b).cast("long"),
+            )
+        ),
+    )
+    pt = points.withColumn(
+        "__bucket", F.floor(F.col(point_ts).cast("double") / b).cast("long")
+    )
+    joined = pt.join(iv, [*keys, "__bucket"])
+    refined = joined.filter(
+        (F.col(point_ts) >= F.col(start_col)) & (F.col(point_ts) < F.col(end_col))
+    )
+    return refined.drop("__bucket")
+
+
+def rollup_time(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    resolutions: tuple[str, ...] = ("hour", "day", "month"),
+) -> DataFrame:
+    """Hypertable-style multi-resolution rollup: one row per (resolution,
+    time bucket) with re-aggregable stats (n, total) plus the derived
+    avg. Resolutions must be a contiguous coarse<-fine chain from
+    ('month','day','hour') — the hierarchy Spark's rollup() expresses.
+
+    Scale shape: ONE corpus scan, ONE shuffle. ``rollup()`` compiles to
+    Expand (len(resolutions)+1 copies per row) + hash aggregation, and
+    the map-side partial agg collapses the expansion to
+    (distinct buckets x levels) rows before the Exchange — the same
+    cost as the finest-grain groupBy alone. Only re-aggregable
+    accumulators ride the shuffle (count/sum); avg is derived after.
+    """
+    order = [r for r in ("month", "day", "hour") if r in resolutions]
+    if len(order) != len(resolutions):
+        raise ValueError(f"resolutions must be drawn from month/day/hour: {resolutions}")
+
+    ts = F.col(ts_col)
+    base = df.select(
+        *[F.date_trunc(r, ts).alias(f"__{r}") for r in order],
+        F.col(value_col).alias("__v"),
+    )
+    g = base.rollup(*[f"__{r}" for r in order]).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__v").alias("total"),
+        F.grouping_id().alias("__gid"),
+    )
+    # grouping_id bit i set => column i is rolled away; gid == all-set is
+    # the grand total (dropped); the finest non-null column names the level
+    grand = (1 << len(order)) - 1
+    level = F.lit(None).cast("string")
+    bucket: Column = F.lit(None).cast("timestamp")
+    for i, r in enumerate(order):
+        # level i keeps cols 0..i and rolls away the len-1-i finer cols;
+        # rollup's grouping_id sets one low bit per rolled column
+        gid_here = (1 << (len(order) - 1 - i)) - 1
+        level = F.when(F.col("__gid") == F.lit(gid_here), F.lit(r)).otherwise(level)
+        bucket = F.when(F.col("__gid") == F.lit(gid_here), F.col(f"__{r}")).otherwise(bucket)
+    return (
+        g.filter(F.col("__gid") != grand)
+        .select(
+            level.alias("resolution"),
+            bucket.alias("bucket"),
+            F.col("n"),
+            F.col("total"),
+            (F.col("total") / F.col("n")).alias("avg"),
+        )
+    )

@@ -1,0 +1,221 @@
+"""Unit semantics for ops.temporal (as-of join, range join, rollup).
+
+The driver-facing oracles (events_asof_join vs DuckDB's native ASOF
+JOIN, events_range_join vs a raw inequality join, events_rollup vs
+per-resolution GROUP BYs) pin the bulk semantics; these tests pin the
+edge cases oracles can miss: boundary inclusivity, ties, tolerance,
+empty matches, multi-bucket intervals, and level labeling.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from route81_spark.ops.temporal import asof_join, range_join, rollup_time
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+@pytest.fixture()
+def quotes(spark):
+    return spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 10:00:00"), 100.0),
+            (1, _ts("2024-01-01 10:05:00"), 101.0),
+            (1, _ts("2024-01-01 10:10:00"), 102.0),
+            (2, _ts("2024-01-01 10:03:00"), 200.0),
+        ],
+        "key int, ts timestamp, px double",
+    )
+
+
+def test_asof_backward_inclusive(spark, quotes):
+    trades = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 10:04:59")),  # after 10:00 quote
+            (1, _ts("2024-01-01 10:05:00")),  # ties 10:05 quote -> inclusive
+            (1, _ts("2024-01-01 10:20:00")),  # after last quote
+            (1, _ts("2024-01-01 09:00:00")),  # before any quote -> null
+            (2, _ts("2024-01-01 10:04:00")),  # other key sees only its quotes
+        ],
+        "key int, ts timestamp",
+    )
+    out = asof_join(trades, quotes, on="key").orderBy("key", "ts")
+    got = [(r["key"], r["px"]) for r in out.collect()]
+    assert got == [(1, None), (1, 100.0), (1, 101.0), (1, 102.0), (2, 200.0)]
+    # left row count is preserved (left join semantics)
+    assert out.count() == trades.count()
+
+
+def test_asof_tolerance_nulls_stale_matches(spark, quotes):
+    trades = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:12:00")), (1, _ts("2024-01-01 10:30:00"))],
+        "key int, ts timestamp",
+    )
+    out = asof_join(trades, quotes, on="key", tolerance_s=300).orderBy("ts")
+    got = [r["px"] for r in out.collect()]
+    # 10:12 is 2min after the 10:10 quote (in tolerance); 10:30 is 20min (stale)
+    assert got == [102.0, None]
+
+
+def test_asof_renames_colliding_payload(spark, quotes):
+    trades = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:06:00"), 5.0)], "key int, ts timestamp, px double"
+    )
+    out = asof_join(trades, quotes, on="key")
+    assert set(out.columns) == {"key", "ts", "px", "ts_r", "px_r"}
+    row = out.collect()[0]
+    assert row["px"] == 5.0 and row["px_r"] == 101.0
+    assert row["ts_r"] == _ts("2024-01-01 10:05:00")
+
+
+def test_asof_multi_key(spark):
+    right = spark.createDataFrame(
+        [(1, "a", _ts("2024-01-01 00:00:00"), 1.0),
+         (1, "b", _ts("2024-01-01 00:00:00"), 2.0)],
+        "k1 int, k2 string, ts timestamp, v double",
+    )
+    left = spark.createDataFrame(
+        [(1, "a", _ts("2024-01-01 01:00:00")),
+         (1, "b", _ts("2024-01-01 01:00:00")),
+         (2, "a", _ts("2024-01-01 01:00:00"))],
+        "k1 int, k2 string, ts timestamp",
+    )
+    out = asof_join(left, right, on=["k1", "k2"]).orderBy("k1", "k2")
+    assert [r["v"] for r in out.collect()] == [1.0, 2.0, None]
+
+
+def test_range_join_half_open_boundaries(spark):
+    iv = spark.createDataFrame(
+        [(10, 1, _ts("2024-01-01 10:00:00"), _ts("2024-01-01 11:00:00"))],
+        "iv_id int, key int, start timestamp, end timestamp",
+    )
+    pts = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 09:59:59")),  # before start -> no
+            (1, _ts("2024-01-01 10:00:00")),  # == start -> yes (closed)
+            (1, _ts("2024-01-01 10:59:59")),  # inside -> yes
+            (1, _ts("2024-01-01 11:00:00")),  # == end -> no (open)
+            (2, _ts("2024-01-01 10:30:00")),  # wrong key -> no
+        ],
+        "key int, ts timestamp",
+    )
+    out = range_join(pts, iv, on="key", bucket_s=600)
+    got = sorted(r["ts"] for r in out.collect())
+    assert got == [_ts("2024-01-01 10:00:00"), _ts("2024-01-01 10:59:59")]
+
+
+def test_range_join_long_interval_pairs_once(spark):
+    # interval spans many buckets; each qualifying point pairs exactly once
+    iv = spark.createDataFrame(
+        [(1, 1, _ts("2024-01-01 00:00:00"), _ts("2024-01-02 00:00:00"))],
+        "iv_id int, key int, start timestamp, end timestamp",
+    )
+    pts = spark.createDataFrame(
+        [(1, _ts(f"2024-01-01 {h:02d}:30:00")) for h in range(24)],
+        "key int, ts timestamp",
+    )
+    out = range_join(pts, iv, on="key", bucket_s=3600)
+    assert out.count() == 24
+    assert out.select("ts").distinct().count() == 24
+
+
+def test_range_join_overlapping_intervals_all_match(spark):
+    iv = spark.createDataFrame(
+        [
+            (1, 1, _ts("2024-01-01 10:00:00"), _ts("2024-01-01 12:00:00")),
+            (2, 1, _ts("2024-01-01 11:00:00"), _ts("2024-01-01 13:00:00")),
+        ],
+        "iv_id int, key int, start timestamp, end timestamp",
+    )
+    pts = spark.createDataFrame(
+        [(1, _ts("2024-01-01 11:30:00"))], "key int, ts timestamp"
+    )
+    out = range_join(pts, iv, on="key", bucket_s=3600)
+    assert sorted(r["iv_id"] for r in out.collect()) == [1, 2]
+
+
+def test_rollup_levels_and_reaggregation(spark):
+    df = spark.createDataFrame(
+        [
+            (_ts("2024-01-01 10:15:00"), 1.0),
+            (_ts("2024-01-01 10:45:00"), 2.0),
+            (_ts("2024-01-01 11:05:00"), 4.0),
+            (_ts("2024-01-02 00:30:00"), 8.0),
+            (_ts("2024-02-01 00:00:00"), 16.0),
+        ],
+        "ts timestamp, value double",
+    )
+    out = rollup_time(df, "ts", "value")
+    rows = {(r["resolution"], r["bucket"]): r for r in out.collect()}
+    # hour level
+    assert rows[("hour", _ts("2024-01-01 10:00:00"))]["total"] == 3.0
+    assert rows[("hour", _ts("2024-01-01 10:00:00"))]["n"] == 2
+    # day level re-aggregates hours
+    assert rows[("day", _ts("2024-01-01 00:00:00"))]["total"] == 7.0
+    # month level re-aggregates days
+    assert rows[("month", _ts("2024-01-01 00:00:00"))]["total"] == 15.0
+    assert rows[("month", _ts("2024-02-01 00:00:00"))]["n"] == 1
+    # avg derived, grand total excluded, no null labels
+    assert rows[("day", _ts("2024-01-02 00:00:00"))]["avg"] == 8.0
+    assert all(k[0] in ("hour", "day", "month") for k in rows)
+    # 4 hours + 3 days + 2 months
+    assert len(rows) == 9
+
+
+def test_rollup_subset_resolutions(spark):
+    df = spark.createDataFrame(
+        [(_ts("2024-01-01 10:15:00"), 1.0), (_ts("2024-01-01 11:15:00"), 2.0)],
+        "ts timestamp, value double",
+    )
+    out = rollup_time(df, "ts", "value", resolutions=("day", "hour"))
+    labels = {r["resolution"] for r in out.collect()}
+    assert labels == {"day", "hour"}
+    with pytest.raises(ValueError):
+        rollup_time(df, "ts", "value", resolutions=("week",))
+
+
+def test_asof_single_exchange_no_join_node(spark, quotes):
+    """Scale pin: the as-of construction is ONE hash shuffle on the key
+    plus a window — never an inequality join node."""
+    trades = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:04:00"))], "key int, ts timestamp"
+    )
+    plan = asof_join(trades, quotes, on="key")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_range_join_is_equi_join(spark):
+    """Scale pin: the bucketed construction must plan a hash/sort-merge
+    EQUI-join on (key, bucket), never a nested-loop over the range
+    predicate."""
+    iv = spark.createDataFrame(
+        [(1, 1, _ts("2024-01-01 10:00:00"), _ts("2024-01-01 11:00:00"))],
+        "iv_id int, key int, start timestamp, end timestamp",
+    )
+    pts = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:30:00"))], "key int, ts timestamp"
+    )
+    plan = range_join(pts, iv, on="key")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan) or ("HashJoin" in plan)
+
+
+def test_rollup_one_expand_one_shuffle(spark):
+    df = spark.range(10).select(
+        F.timestamp_seconds(F.col("id") * 3600 + 1_700_000_000).alias("ts"),
+        F.col("id").cast("double").alias("value"),
+    )
+    plan = rollup_time(df, "ts", "value")._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Expand") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+    # partial agg before the shuffle collapses the expansion
+    assert "partial_" in plan
