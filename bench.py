@@ -43,6 +43,8 @@ BENCH_QUERIES = [
     "corpus_decontaminate",  # benchmark n-gram overlap, broadcast eval set
     "text_lm_nll",        # self-trained bigram-LM NLL (two corpus-wide aggs + join)
     "corpus_boilerplate", # repeated-chunk removal (chunk explode + reassembly)
+    "events_asof_join",   # as-of join (union-tag + running last_value window)
+    "events_rollup",      # hour/day/month rollup (one Expand shuffle)
 ]
 
 

@@ -4519,6 +4519,59 @@ def corpus_select_topk(spark, sf_dir):
 
 
 @_q(
+    "cdc_scd2_history",
+    f"""
+    WITH ch AS (
+      SELECT CAST(event_id AS VARCHAR) AS doc_id,
+             event_id AS seq, FALSE AS is_del, value AS v
+      FROM events
+      UNION ALL
+      SELECT CAST(event_id AS VARCHAR),
+             10000000000 + event_id, FALSE, value * 2
+      FROM events WHERE event_id % 10 = 0
+      UNION ALL
+      SELECT CAST(event_id AS VARCHAR),
+             20000000000 + event_id, TRUE, NULL
+      FROM events WHERE event_id % 25 = 0
+    ),
+    h AS (
+      SELECT doc_id, seq, is_del, v,
+             lead(seq) OVER (PARTITION BY doc_id ORDER BY seq) AS valid_to
+      FROM ch
+    )
+    SELECT doc_id, {det_round_sql('v', 4)} AS value,
+           seq AS valid_from, valid_to,
+           valid_to IS NULL AS is_current
+    FROM h WHERE NOT is_del
+    """,
+)
+def cdc_scd2_history(spark, sf_dir):
+    """SCD type-2 history replayed from the change feed: each version's
+    validity range [own seq, next change's seq), deletes closing but
+    not opening versions. One lead() window shuffle on the key —
+    sinks.merge.scd2_history over the same change shape the keyed
+    merge consumes."""
+    from route81_spark.ops.util import det_round
+    from route81_spark.sinks.merge import scd2_history
+
+    ev = synthetic_change_events(spark, sf_dir)
+    changes = ev.select(
+        F.col("documentKey._id").alias("doc_id"),
+        (F.col("operationType") == "delete").alias("is_delete"),
+        F.col("fullDocument.value").alias("value"),
+        (F.col("clusterTime.t") * F.lit(10_000_000_000) + F.col("clusterTime.i")).alias("seq"),
+    )
+    h = scd2_history(changes)
+    return h.select(
+        "doc_id",
+        det_round(F.col("value"), 4).alias("value"),
+        "valid_from",
+        "valid_to",
+        "is_current",
+    )
+
+
+@_q(
     "events_asof_join",
     f"""
     WITH c AS (

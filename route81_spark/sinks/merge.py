@@ -36,6 +36,43 @@ def latest_per_key(changes: DataFrame, key: str = "doc_id", seq: str = "seq") ->
     )
 
 
+def scd2_history(
+    changes: DataFrame,
+    key: str = "doc_id",
+    seq: str = "seq",
+    is_delete: str = "is_delete",
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension history from a keyed change feed
+    (the same (key, seq, is_delete, payload...) shape the merge sink
+    consumes): every non-delete change becomes a version row valid from
+    its own seq until the key's NEXT change (delete or replacement);
+    the latest un-superseded, un-deleted version is flagged current.
+
+    Deletes contribute no version but close the preceding one — so a
+    key deleted and later re-inserted yields two disjoint validity
+    ranges, matching the reference sink's replace/delete-by-_id
+    semantics (/root/reference/route81.go:1088-1116) replayed into
+    history form.
+
+    Scale shape: ONE hash shuffle on `key` (the lead() window), same
+    cost as latest_per_key; no self-join against the history table.
+    Columns out: all change columns except `is_delete`, plus
+    valid_from / valid_to (next change's seq, null = open) and
+    is_current."""
+    w = Window.partitionBy(key).orderBy(F.col(seq).asc())
+    h = changes.withColumn("__valid_to", F.lead(F.col(seq)).over(w))
+    keep = [c for c in changes.columns if c not in (is_delete, seq)]
+    return (
+        h.filter(~F.col(is_delete))
+        .select(
+            *keep,
+            F.col(seq).alias("valid_from"),
+            F.col("__valid_to").alias("valid_to"),
+            F.col("__valid_to").isNull().alias("is_current"),
+        )
+    )
+
+
 def apply_changes(
     target: DataFrame,
     changes: DataFrame,

@@ -195,3 +195,39 @@ def test_path_expression_contract_error():
     for bad in ('data["k"]', "a.b[x]", "a..b", "a + b", "fn(a)", "items[0"):
         with pytest.raises(ValueError, match="dot-separated"):
             _parse_path(bad)
+
+
+def test_scd2_history_versions_and_reinsert(spark):
+    from route81_spark.sinks.merge import scd2_history
+
+    # key "a": insert -> update -> delete -> re-insert (two validity eras)
+    # key "b": single insert, still current
+    changes = spark.createDataFrame(
+        [
+            ("a", 1, False, "v1"),
+            ("a", 2, False, "v2"),
+            ("a", 3, True, None),
+            ("a", 4, False, "v3"),
+            ("b", 1, False, "w1"),
+        ],
+        "doc_id string, seq long, is_delete boolean, payload string",
+    )
+    h = scd2_history(changes).orderBy("doc_id", "valid_from")
+    rows = [
+        (r["doc_id"], r["payload"], r["valid_from"], r["valid_to"], r["is_current"])
+        for r in h.collect()
+    ]
+    assert rows == [
+        ("a", "v1", 1, 2, False),
+        ("a", "v2", 2, 3, False),   # closed by the delete, no version for it
+        ("a", "v3", 4, None, True),  # re-insert opens a new era
+        ("b", "w1", 1, None, True),
+    ]
+    # the deleted-state gap [3, 4) has no covering version
+    assert h.count() == 4
+    # scale pin: exactly one hash Exchange (the per-key lead window);
+    # AQE's toString repeats the plan as Final + Initial, so inspect
+    # only the final section
+    plan = h._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange hashpartitioning") == 1
