@@ -4722,6 +4722,89 @@ def events_rollup(spark, sf_dir):
     )
 
 
+_QUAL_SQL = (
+    "floor((least(length(text) / 400.0, 1.0)"
+    f" * (CAST(len(list_distinct({_TOKS})) AS DOUBLE) / len({_TOKS}))"
+    " * (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)"
+    " / length(text))) * 1000000.0 + 0.5) / 1000000.0"
+)
+
+
+@_q(
+    "corpus_dataset_card",
+    f"""
+    WITH s AS (
+      SELECT source, lang,
+             CAST(len({_TOKS}) AS INT) AS tok,
+             {_QUAL_SQL} AS q,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS chash
+      FROM documents
+    ),
+    m AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(tok) AS BIGINT) AS total_tokens,
+             {det_round_sql('avg(tok)', 4)} AS avg_tokens,
+             CAST(max(tok) AS INT) AS max_tokens,
+             {det_round_sql('quantile_cont(q, 0.5)', 6)} AS p50_quality,
+             {det_round_sql("avg(CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END)", 4)} AS en_share
+      FROM s GROUP BY source
+    ),
+    u AS (
+      SELECT source, CAST(count(DISTINCT chash) AS BIGINT) AS n_unique
+      FROM s GROUP BY source
+    )
+    SELECT m.source, m.n_docs, m.total_tokens, m.avg_tokens, m.max_tokens,
+           m.p50_quality, m.en_share,
+           {det_round_sql('1.0 - u.n_unique / CAST(m.n_docs AS DOUBLE)', 4)} AS dup_rate
+    FROM m JOIN u USING (source)
+    """,
+)
+def corpus_dataset_card(spark, sf_dir):
+    """Per-source dataset card (volumes, token profile, median quality,
+    language share, exact-dup rate) — the release summary table. One
+    tokenize-once narrow stage, two map-side-combined aggs, broadcast
+    join of the source-sized results."""
+    from route81_spark.ops.corpus import dataset_card
+
+    return dataset_card(_t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "emb_decontaminate",
+    f"""
+    WITH b AS (
+      SELECT embedding AS bv FROM embeddings WHERE vec_id % 97 = 0
+    ),
+    s AS (
+      SELECT e.vec_id,
+             max({_cos_sql('e.embedding', 'b.bv')}) AS raw_max
+      FROM embeddings e CROSS JOIN b
+      GROUP BY e.vec_id
+    )
+    SELECT e.vec_id, e.label,
+           {det_round_sql('s.raw_max', 6)} AS max_sim,
+           coalesce({det_round_sql('s.raw_max', 6)} >= 0.6, FALSE) AS contaminated
+    FROM embeddings e LEFT JOIN s USING (vec_id)
+    """,
+)
+def emb_decontaminate(spark, sf_dir):
+    """Semantic benchmark decontamination: max cosine of each corpus
+    vector against a broadcast eval set (vec_id % 97 stand-in),
+    flagged at >= 0.6 — catches paraphrased leakage the n-gram check
+    (corpus_decontaminate) misses. Zero corpus shuffle: the eval set
+    collapses to one broadcast row and the max-cosine fold runs
+    map-side (floor-round commutes with max, so rounding after the
+    fold matches the oracle's round-of-max)."""
+    from route81_spark.ops.similarity import semantic_decontaminate
+
+    emb = _t(spark, sf_dir, "embeddings")
+    bench = emb.filter(F.col("vec_id") % 97 == 0)
+    return semantic_decontaminate(emb, bench, threshold=0.6).select(
+        "vec_id", "label", "max_sim", "contaminated"
+    )
+
+
 # =====================================================================
 # Registry accessors (consumed by __spark_entry__)
 # =====================================================================

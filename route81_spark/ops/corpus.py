@@ -673,6 +673,59 @@ def mixture_upsample(
     ).drop("__n")
 
 
+def dataset_card(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Per-source dataset card: the summary table a corpus release ships
+    with — doc/token volumes, token-length profile, median quality,
+    language share, and exact-duplicate rate.
+
+    100 TB shape: one narrow per-row stage (tokenize once; hash once)
+    feeding two map-side-combined aggregations — the per-source card
+    agg and the (source, content-hash) distinct count for the dup rate
+    (exact distinct needs its own key; both shuffles carry aggregated
+    rows only). The card is source-count-sized, so the final join is a
+    broadcast."""
+    from route81_spark.io import ensure_parallelism
+    from route81_spark.ops.dedup import content_hash
+    from route81_spark.ops.text import quality_score, token_count
+    from route81_spark.ops.util import det_round
+
+    c = F.col(text_col)
+    base = ensure_parallelism(docs).select(
+        F.col(source_col).alias("source"),
+        token_count(c).alias("__tok"),
+        quality_score(c).alias("__q"),
+        (F.col(lang_col) == "en").cast("double").alias("__en"),
+        content_hash(c).alias("__chash"),
+    )
+    card = base.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__tok").alias("total_tokens"),
+        det_round(F.avg("__tok"), 4).alias("avg_tokens"),
+        F.max("__tok").alias("max_tokens"),
+        det_round(F.percentile(F.col("__q"), 0.5), 6).alias("p50_quality"),
+        det_round(F.avg("__en"), 4).alias("en_share"),
+    )
+    uniq = (
+        base.select("source", "__chash")
+        .distinct()
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("__n_unique"))
+    )
+    return (
+        card.join(F.broadcast(uniq), "source")
+        .withColumn(
+            "dup_rate",
+            det_round(F.lit(1.0) - F.col("__n_unique") / F.col("n_docs"), 4),
+        )
+        .drop("__n_unique")
+    )
+
+
 def write_training_shards(
     df: DataFrame,
     path: str,

@@ -550,6 +550,41 @@ def embedding_near_dups(
     )
 
 
+def semantic_decontaminate(
+    emb: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bench_vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space benchmark decontamination: annotate each corpus
+    vector with its max cosine to ANY benchmark vector and a
+    `contaminated` flag at >= threshold — the semantic complement of
+    the n-gram overlap check (ops.corpus.decontaminate) that catches
+    paraphrased eval leakage n-grams miss.
+
+    100 TB shape: the benchmark (eval sets) is tiny by definition, so
+    it collapses to ONE broadcast row of vectors (the ivf_assign
+    codebook pattern) and the max-cosine fold runs map-side —
+    ZERO corpus shuffle, zero corpus movement. An empty benchmark
+    yields contaminated=false everywhere (max over nothing is null)."""
+    bench_row = benchmark.agg(F.collect_list(F.col(bench_vec_col)).alias("__bvs"))
+    v = F.col(vec_col)
+    max_sim = det_round(
+        F.array_max(F.transform(F.col("__bvs"), lambda b: cosine(v, b))), 6
+    )
+    return (
+        emb.crossJoin(F.broadcast(bench_row))
+        .select(
+            "*",
+            max_sim.alias("max_sim"),
+            F.coalesce(max_sim >= F.lit(threshold), F.lit(False)).alias("contaminated"),
+        )
+        .drop("__bvs")
+    )
+
+
 def pq_train_codebook(
     emb: DataFrame,
     m: int = 8,

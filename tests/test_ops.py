@@ -963,3 +963,55 @@ def test_write_training_shards_layout(spark, tmp_path):
     # maxRecordsPerFile bounds files: >=3 files for ~25 rows at 10/file
     files = [f for f in os.listdir(os.path.join(out, "shard=0")) if f.endswith(".parquet")]
     assert len(files) >= 2
+
+
+def test_dataset_card_toy_sources(spark):
+    from route81_spark.ops.corpus import dataset_card
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox", "en", "web"),
+            (2, "the quick brown fox", "en", "web"),   # exact dup of 1
+            (3, "unique document here", "de", "web"),
+            (4, "another corpus entirely", "en", "books"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    card = {r["source"]: r for r in dataset_card(docs).collect()}
+    web = card["web"]
+    assert web["n_docs"] == 3 and web["total_tokens"] == 11
+    assert web["max_tokens"] == 4
+    # 2 distinct contents over 3 docs -> dup rate 1/3
+    assert abs(web["dup_rate"] - 0.3333) < 1e-9
+    assert abs(web["en_share"] - 0.6667) < 1e-9
+    books = card["books"]
+    assert books["n_docs"] == 1 and books["dup_rate"] == 0.0
+
+
+def test_semantic_decontaminate_flags_and_empty_benchmark(spark):
+    from route81_spark.ops.similarity import semantic_decontaminate
+
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.9, 0.1]),   # high cosine to [1,0]
+            (3, [0.0, 1.0]),   # orthogonal
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    bench = spark.createDataFrame([(99, [1.0, 0.0])], "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r for r in semantic_decontaminate(emb, bench, 0.95).collect()}
+    assert out[1]["contaminated"] and out[2]["contaminated"]
+    assert not out[3]["contaminated"] and out[3]["max_sim"] == 0.0
+    # empty benchmark: nothing contaminated, max_sim null
+    empty = bench.filter("vec_id < 0")
+    out2 = semantic_decontaminate(emb, empty, 0.95).collect()
+    assert all(not r["contaminated"] and r["max_sim"] is None for r in out2)
+    # scale pin: zero corpus Exchange (benchmark collapses to one
+    # broadcast row; scoring is map-side)
+    plan = (
+        semantic_decontaminate(emb, bench, 0.95)
+        ._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert "Exchange hashpartitioning" not in plan
