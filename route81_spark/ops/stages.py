@@ -191,6 +191,51 @@ def _tokenize_ids(df: DataFrame, arg: dict) -> DataFrame:
     )
 
 
+def _sessionize(df: DataFrame, arg: dict) -> DataFrame:
+    from route81_spark.ops.streaming import sessionize
+
+    return sessionize(
+        df,
+        ts_col=arg.get("tsField", "ts"),
+        key_col=arg.get("keyField", "user_id"),
+        gap=arg.get("gap", "30 minutes"),
+        value_col=arg.get("valueField", "value"),
+    )
+
+
+def _rollup_time(df: DataFrame, arg: dict) -> DataFrame:
+    from route81_spark.ops.temporal import rollup_time
+
+    return rollup_time(
+        df,
+        ts_col=arg.get("tsField", "ts"),
+        value_col=arg.get("valueField", "value"),
+        resolutions=tuple(arg.get("resolutions", ["hour", "day", "month"])),
+    )
+
+
+def _scd2_history(df: DataFrame, arg: dict) -> DataFrame:
+    from route81_spark.sinks.merge import scd2_history
+
+    return scd2_history(
+        df,
+        key=arg.get("keyField", "doc_id"),
+        seq=arg.get("seqField", "seq"),
+        is_delete=arg.get("deleteField", "is_delete"),
+    )
+
+
+def _dataset_card(df: DataFrame, arg: dict) -> DataFrame:
+    from route81_spark.ops.corpus import dataset_card
+
+    return dataset_card(
+        df,
+        source_col=arg.get("sourceField", "source"),
+        text_col=arg.get("textField", "text"),
+        lang_col=arg.get("langField", "lang"),
+    )
+
+
 register_stage("$dedupExact", _dedup_exact)
 register_stage("$minhashLsh", _minhash_lsh)
 register_stage("$simhash", _simhash)
@@ -207,3 +252,7 @@ register_stage("$mixtureResample", _mixture_resample)
 register_stage("$mixtureUpsample", _mixture_upsample)
 register_stage("$selectTopK", _select_topk)
 register_stage("$tokenizeIds", _tokenize_ids)
+register_stage("$sessionize", _sessionize)
+register_stage("$rollupTime", _rollup_time)
+register_stage("$scd2History", _scd2_history)
+register_stage("$datasetCard", _dataset_card)

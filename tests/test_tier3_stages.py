@@ -491,3 +491,46 @@ def test_round5_extension_stages_compile_and_run(spark):
     # every other token encodes as unk (-1)
     by_pos = {(r["doc_id"], r["pos"]): r["token_id"] for r in ids}
     assert by_pos[(1, 0)] != -1 and by_pos[(1, 4)] == -1
+
+
+def test_round6_extension_stages_compile_and_run(spark):
+    """$sessionize, $rollupTime, $scd2History, $datasetCard through the
+    pipeline-JSON surface."""
+    import datetime as dt
+
+    from route81_spark.pipeline import apply_pipeline
+
+    def ts(s):
+        return dt.datetime.fromisoformat(s)
+
+    ev = spark.createDataFrame(
+        [
+            (1, ts("2024-01-01 10:00:00"), 1.0),
+            (1, ts("2024-01-01 10:10:00"), 2.0),
+            (1, ts("2024-01-01 12:00:00"), 4.0),
+        ],
+        "user_id long, ts timestamp, value double",
+    )
+    sess = apply_pipeline(ev, [{"$sessionize": {"gap": "30 minutes"}}]).collect()
+    assert sorted(r["n_events"] for r in sess) == [1, 2]
+
+    roll = apply_pipeline(
+        ev, [{"$rollupTime": {"resolutions": ["day", "hour"]}}]
+    ).collect()
+    assert {r["resolution"] for r in roll} == {"day", "hour"}
+    day = [r for r in roll if r["resolution"] == "day"][0]
+    assert day["n"] == 3 and day["total"] == 7.0
+
+    ch = spark.createDataFrame(
+        [("a", 1, False, "v1"), ("a", 2, True, None)],
+        "doc_id string, seq long, is_delete boolean, payload string",
+    )
+    hist = apply_pipeline(ch, [{"$scd2History": {}}]).collect()
+    assert len(hist) == 1 and hist[0]["valid_to"] == 2 and not hist[0]["is_current"]
+
+    docs = spark.createDataFrame(
+        [(1, "hello world", "en", "web"), (2, "hello world", "en", "web")],
+        "doc_id long, text string, lang string, source string",
+    )
+    card = apply_pipeline(docs, [{"$datasetCard": {}}]).collect()
+    assert len(card) == 1 and card[0]["n_docs"] == 2 and card[0]["dup_rate"] == 0.5
