@@ -219,3 +219,89 @@ def test_rollup_one_expand_one_shuffle(spark):
     assert plan.count("Exchange hashpartitioning") == 1
     # partial agg before the shuffle collapses the expansion
     assert "partial_" in plan
+
+
+# ---------------------------------------------------------------------
+# Property-based: random feeds vs independent reference implementations
+# ---------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_events = st.lists(
+    st.tuples(
+        st.integers(1, 3),            # key
+        st.integers(0, 2000),         # ts (seconds)
+        st.booleans(),                # side: left/right
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(evs=_events)
+def test_asof_matches_pandas_merge_asof(spark, evs):
+    import pandas as pd
+
+    left_rows = [(k, t) for k, t, side in evs if side]
+    right_rows = sorted({(k, t) for k, t, side in evs if not side})
+    if not left_rows or not right_rows:
+        return
+    left = spark.createDataFrame(
+        [(k, float(t)) for k, t in left_rows], "key int, ts double"
+    )
+    right = spark.createDataFrame(
+        [(k, float(t), float(k * 10000 + t)) for k, t in right_rows],
+        "key int, ts double, v double",
+    )
+    got = sorted(
+        (r["key"], r["ts"], r["v"])
+        for r in asof_join(left, right, on="key").collect()
+    )
+    lp = pd.DataFrame(left_rows, columns=["key", "ts"]).astype(float).sort_values("ts")
+    rp = (
+        pd.DataFrame(
+            [(k, t, k * 10000 + t) for k, t in right_rows],
+            columns=["key", "ts", "v"],
+        )
+        .astype(float)
+        .sort_values("ts")
+    )
+    ref = pd.merge_asof(lp, rp, on="ts", by="key", direction="backward")
+    want = sorted(
+        (int(r.key), float(r.ts), None if pd.isna(r.v) else float(r.v))
+        for r in ref.itertuples()
+    )
+    assert got == want
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    pts=st.lists(st.tuples(st.integers(1, 2), st.integers(0, 500)), max_size=30),
+    ivs=st.lists(
+        st.tuples(st.integers(1, 2), st.integers(0, 500), st.integers(1, 400)),
+        max_size=10,
+    ),
+    bucket=st.integers(7, 120),
+)
+def test_range_join_matches_bruteforce(spark, pts, ivs, bucket):
+    if not pts or not ivs:
+        return
+    points = spark.createDataFrame(
+        [(k, float(t)) for k, t in pts], "key int, ts double"
+    )
+    intervals = spark.createDataFrame(
+        [(i, k, float(s), float(s + ln)) for i, (k, s, ln) in enumerate(ivs)],
+        "iv_id int, key int, start double, end double",
+    )
+    got = sorted(
+        (r["iv_id"], r["key"], r["ts"])
+        for r in range_join(points, intervals, on="key", bucket_s=bucket).collect()
+    )
+    want = sorted(
+        (i, k, float(t))
+        for i, (ik, s, ln) in enumerate(ivs)
+        for (k, t) in pts
+        if k == ik and s <= t < s + ln
+    )
+    assert got == want

@@ -50,6 +50,7 @@ def ops() -> dict:
     from route81_spark.ops.corpus import (
         build_vocab,
         curate,
+        dataset_card,
         encode_token_ids,
         lm_logprob_score,
         mixture_resample,
@@ -71,6 +72,57 @@ def ops() -> dict:
         ),
         "near_dedup": lambda d: near_dedup(d),
         "curate": curate,
+        "dataset_card": dataset_card,
+    }
+
+
+def scaled_events(ev: DataFrame, k: int) -> DataFrame:
+    """K copies with disjoint user_id/event_id ranges — growth = new
+    users, the organic axis for per-key temporal ops (per-user history
+    length stays constant, as it would in production)."""
+    ustride = (ev.agg(F.max("user_id")).first()[0] or 0) + 1
+    estride = (ev.agg(F.max("event_id")).first()[0] or 0) + 1
+    out = None
+    for i in range(k):
+        c = ev.withColumn(
+            "user_id", (F.col("user_id") + F.lit(i * ustride)).cast("long")
+        ).withColumn("event_id", (F.col("event_id") + F.lit(i * estride)).cast("long"))
+        out = c if out is None else out.unionByName(c)
+    return out
+
+
+def event_ops() -> dict:
+    from route81_spark.ops.streaming import sessionize
+    from route81_spark.ops.temporal import asof_join, range_join, rollup_time
+
+    def asof(ev: DataFrame) -> DataFrame:
+        clicks = ev.filter(F.col("event_type") == "click").select(
+            "event_id", "user_id", "ts"
+        )
+        purchases = (
+            ev.filter(F.col("event_type") == "purchase")
+            .groupBy("user_id", "ts")
+            .agg(F.max("event_id").alias("p_event_id"))
+        )
+        return asof_join(clicks, purchases, on="user_id")
+
+    def rjoin(ev: DataFrame) -> DataFrame:
+        iv = ev.filter(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("p_id"),
+            "user_id",
+            F.col("ts").alias("start"),
+            (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("end"),
+        )
+        clicks = ev.filter(F.col("event_type") == "click").select(
+            "user_id", "ts", "value"
+        )
+        return range_join(clicks, iv, on="user_id", bucket_s=1800)
+
+    return {
+        "asof": asof,
+        "range_join": rjoin,
+        "rollup": lambda ev: rollup_time(ev, "ts", "value"),
+        "sessionize": lambda ev: sessionize(ev),
     }
 
 
@@ -90,6 +142,22 @@ def main() -> int:
         t1 = min(_time(fn, base) for _ in range(2))
         tk = _time(fn, big)
         print(f"{name:12s} 1x={t1:6.2f}s  {k}x={tk:7.2f}s  ratio={tk / t1:5.1f}x")
+
+    eo = event_ops()
+    if not selected or selected & set(eo):
+        ev_base = load_table(
+            spark,
+            os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+            "events",
+        ).withColumn("ts", F.col("ts").cast("timestamp")).persist()
+        ev_big = scaled_events(ev_base, k).persist()
+        print(f"events base={ev_base.count()} rows, scaled={ev_big.count()} (K={k})")
+        for name, fn in eo.items():
+            if selected and name not in selected:
+                continue
+            t1 = min(_time(fn, ev_base) for _ in range(2))
+            tk = _time(fn, ev_big)
+            print(f"{name:12s} 1x={t1:6.2f}s  {k}x={tk:7.2f}s  ratio={tk / t1:5.1f}x")
     return 0
 
 
