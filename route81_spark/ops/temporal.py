@@ -34,7 +34,17 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window
+
+
+def _as_seconds(c: Column, dtype: T.DataType) -> Column:
+    """Epoch seconds (double) from a timestamp/ntz/numeric column.
+    TIMESTAMP_NTZ cannot cast to double directly — reinterpret in the
+    (UTC) session zone first, like ops.streaming.sessionize does."""
+    if isinstance(dtype, T.TimestampNTZType):
+        c = c.cast("timestamp")
+    return c.cast("double")
 
 
 def asof_join(
@@ -93,7 +103,8 @@ def asof_join(
     out = matched.filter(F.col("__side") == 1)
     if tolerance_s is not None:
         in_tol = (
-            F.col("__ts").cast("double") - F.col("__m.__rts").cast("double")
+            _as_seconds(F.col("__ts"), left.schema[left_ts].dataType)
+            - _as_seconds(F.col("__m.__rts"), right.schema[right_ts].dataType)
         ) <= F.lit(float(tolerance_s))
         out = out.withColumn("__m", F.when(in_tol, F.col("__m")))
     keep = [c for c in left.columns]
@@ -134,13 +145,20 @@ def range_join(
         "__bucket",
         F.explode(
             F.sequence(
-                F.floor(F.col(start_col).cast("double") / b).cast("long"),
-                F.floor(F.col(end_col).cast("double") / b).cast("long"),
+                F.floor(
+                    _as_seconds(F.col(start_col), intervals.schema[start_col].dataType) / b
+                ).cast("long"),
+                F.floor(
+                    _as_seconds(F.col(end_col), intervals.schema[end_col].dataType) / b
+                ).cast("long"),
             )
         ),
     )
     pt = points.withColumn(
-        "__bucket", F.floor(F.col(point_ts).cast("double") / b).cast("long")
+        "__bucket",
+        F.floor(
+            _as_seconds(F.col(point_ts), points.schema[point_ts].dataType) / b
+        ).cast("long"),
     )
     joined = pt.join(iv, [*keys, "__bucket"])
     refined = joined.filter(

@@ -305,3 +305,26 @@ def test_range_join_matches_bruteforce(spark, pts, ivs, bucket):
         if k == ik and s <= t < s + ln
     )
     assert got == want
+
+
+def test_ntz_timestamps_supported(spark):
+    """The raw testdata parquet reads as TIMESTAMP_NTZ, which cannot
+    cast to double — the ops must reinterpret via the session zone
+    instead of failing analysis."""
+    l = spark.sql("select 1 as key, timestamp_ntz'2024-01-01 10:12:00' as ts")
+    r = spark.sql(
+        "select 1 as key, timestamp_ntz'2024-01-01 10:10:00' as ts, 1.5 as v"
+    )
+    out = asof_join(l, r, on="key", tolerance_s=300).collect()
+    assert out[0]["v"] == 1.5
+    stale = asof_join(l, r, on="key", tolerance_s=60).collect()
+    assert stale[0]["v"] is None
+    iv = spark.sql(
+        "select 1 as key, timestamp_ntz'2024-01-01 10:00:00' as start,"
+        " timestamp_ntz'2024-01-01 11:00:00' as end"
+    )
+    assert range_join(l, iv, on="key").count() == 1
+    ntz = spark.sql(
+        "select timestamp_ntz'2024-01-01 10:30:00' as ts, 2.0 as value"
+    )
+    assert rollup_time(ntz, "ts", "value").count() == 3
