@@ -196,3 +196,66 @@ def running_group_stats(stream: DataFrame, key_col: str, value_col: str) -> Data
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_rollup(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Continuous-aggregate intake (the streaming half of
+    ops.temporal.rollup_time): hour-bucket partials — re-aggregable
+    (n, total) only — maintained under a watermark, so state is bounded
+    by (watermark / hour) x |active buckets| and a closed bucket is
+    emitted exactly once in append mode.
+
+    The coarser resolutions deliberately do NOT stream: day/month
+    buckets would hold state open for days. The contract is the
+    hypertable one — stream the finest grain, derive the rest in the
+    periodic batch compaction via compact_rollup (count/sum re-
+    aggregate exactly; avg is derived at read time)."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        # window(), not date_trunc: only a window on the watermarked
+        # column keeps the event-time tag append mode requires; its
+        # start IS the hour boundary
+        .groupBy(F.window(F.col(ts_col), "1 hour").alias("__w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col(value_col).cast("double")).alias("total"),
+        )
+        .select(F.col("__w.start").alias("bucket"), "n", "total")
+    )
+
+
+def compact_rollup(
+    hourly: DataFrame, resolutions: tuple[str, ...] = ("hour", "day", "month")
+) -> DataFrame:
+    """Batch compaction over accumulated hour partials: derive the
+    coarser buckets by re-aggregating (n, total) — NEVER rescanning the
+    raw stream — and emit the same (resolution, bucket, n, total, avg)
+    shape as ops.temporal.rollup_time. Input is bucket-count-sized, so
+    every agg here is tiny regardless of how much raw data the stream
+    absorbed."""
+    order = [r for r in ("month", "day", "hour") if r in resolutions]
+    if len(order) != len(resolutions):
+        raise ValueError(f"resolutions must be drawn from month/day/hour: {resolutions}")
+    parts = []
+    for r in order:
+        g = (
+            hourly.groupBy(F.date_trunc(r, F.col("bucket")).alias("bucket"))
+            .agg(F.sum("n").alias("n"), F.sum("total").alias("total"))
+            .select(
+                F.lit(r).alias("resolution"),
+                "bucket",
+                "n",
+                "total",
+                (F.col("total") / F.col("n")).alias("avg"),
+            )
+        )
+        parts.append(g)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

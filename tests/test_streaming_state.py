@@ -344,3 +344,75 @@ def test_jsonl_stream_intake_to_curation(spark, tmp_path):
     q.awaitTermination(120)
     rows = spark.read.schema(schema).parquet(str(out)).collect()
     assert [r["doc_id"] for r in rows] == [1]  # corrupt + de doc filtered
+
+
+def test_streaming_rollup_compacts_to_batch_rollup(spark, tmp_path):
+    """Stream hour partials (availableNow), compact to hour/day/month,
+    and the result must equal the pure-batch rollup_time over the same
+    rows — the continuous-aggregate contract."""
+    import datetime as dtm
+
+    from route81_spark.ops.streaming import compact_rollup, streaming_rollup
+    from route81_spark.ops.temporal import rollup_time
+
+    src = tmp_path / "roll_src"
+    rows = [
+        {"event_id": i, "user_id": "u0", "value": float(i),
+         "ts": f"2024-01-{1 + i % 3:02d}T{i % 24:02d}:15:00"}
+        for i in range(60)
+    ]
+    # files arrive in event-time order: the watermark advances between
+    # micro-batches, so out-of-order files would (correctly) be dropped
+    # as late data — this test pins the no-late-data equivalence
+    rows.sort(key=lambda r: r["ts"])
+    _write_batch(src / "b1.json", rows[:30])
+    _write_batch(src / "b2.json", rows[30:])
+    # the file source orders micro-batches by mtime; same-tick writes
+    # tie arbitrarily and a reordered file would be watermark-dropped —
+    # pin strictly increasing mtimes (b3 pinned after its write below)
+    import os as _os
+
+    _os.utime(src / "b1.json", (1_000_000, 1_000_000))
+    _os.utime(src / "b2.json", (1_000_100, 1_000_100))
+    # far-future row so the watermark closes every real bucket
+    _write_batch(
+        src / "b3.json",
+        [{"event_id": 999, "user_id": "u0", "value": 0.0,
+          "ts": "2024-06-01T00:00:00"}],
+    )
+    _os.utime(src / "b3.json", (1_000_200, 1_000_200))
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(str(src))
+    out, ckpt = tmp_path / "roll_out", tmp_path / "roll_ckpt"
+    q = (
+        streaming_rollup(stream, "ts", "value")
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    hourly = spark.read.parquet(str(out))
+    got = {
+        (r["resolution"], r["bucket"]): (r["n"], r["total"])
+        for r in compact_rollup(hourly).collect()
+    }
+    batch_df = spark.createDataFrame(
+        [(dtm.datetime.fromisoformat(r["ts"]), r["value"]) for r in rows],
+        "ts timestamp, value double",
+    )
+    want = {
+        (r["resolution"], r["bucket"]): (r["n"], r["total"])
+        for r in rollup_time(batch_df, "ts", "value").collect()
+    }
+    assert got == want
