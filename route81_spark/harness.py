@@ -4805,6 +4805,39 @@ def emb_decontaminate(spark, sf_dir):
     )
 
 
+@_q(
+    "skew_salted_join",
+    f"""
+    WITH d AS (
+      SELECT event_type, {det_round_sql('avg(value)', 4)} AS type_avg
+      FROM events GROUP BY 1
+    )
+    SELECT e.event_id, e.event_type,
+           {det_round_sql('e.value - d.type_avg', 4)} AS delta
+    FROM events e JOIN d USING (event_type)
+    """,
+)
+def skew_salted_join(spark, sf_dir):
+    """Skew-resistant fact-to-dimension join via explicit salting
+    (ops.util.salted_join): the 5-value event_type key is maximally
+    hot, so the big side gets a deterministic 16-way salt and the
+    dimension replicates 16-fold — a hot key spreads over 16 reducers
+    instead of one straggler. Result identical to the plain join
+    (oracle), partitioning rerun-stable (no rand())."""
+    from route81_spark.ops.util import det_round, salted_join
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    dim = ev.groupBy("event_type").agg(
+        det_round(F.avg("value"), 4).alias("type_avg")
+    )
+    j = salted_join(ev, dim, on="event_type", salt=16)
+    return j.select(
+        "event_id",
+        "event_type",
+        det_round(F.col("value") - F.col("type_avg"), 4).alias("delta"),
+    )
+
+
 # =====================================================================
 # Registry accessors (consumed by __spark_entry__)
 # =====================================================================

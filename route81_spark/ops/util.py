@@ -26,3 +26,43 @@ def det_round(col: Column, digits: int = 6) -> Column:
 def det_round_sql(expr: str, digits: int = 6) -> str:
     scale = float(10**digits)
     return f"floor(({expr}) * {scale} + 0.5) / {scale}"
+
+
+def salted_join(
+    big,
+    small,
+    on: str,
+    salt: int = 16,
+    how: str = "inner",
+):
+    """Skew-resistant equi-join: the big (skewed) side gets a
+    deterministic per-row salt derived from a secondary hash of the
+    whole row's key occurrence, the small side is replicated `salt`
+    times, and the join runs on (key, salt) — one hot key spreads over
+    `salt` reducer partitions instead of one straggler task.
+
+    Use when AQE's runtime skew split cannot apply (e.g. the join
+    feeds an operator that pins partitioning, or statistics hide the
+    skew). `small` is replicated salt-fold, so keep it the dimension
+    side. Deterministic: the salt is a hash of a monotonic row id
+    substitute (the key + a crc of all columns) — no rand(), so reruns
+    produce identical partitioning.
+
+    At 100 TB this is the difference between a 2-hour straggler and
+    even reducers; the cost is salt-fold replication of the small side
+    (bounded: salt * |small|).
+    """
+    from pyspark.sql import DataFrame, functions as F
+
+    assert isinstance(big, DataFrame) and isinstance(small, DataFrame)
+    big_salted = big.withColumn(
+        "__salt",
+        (
+            F.abs(F.hash(*[F.col(c) for c in big.columns])) % F.lit(salt)
+        ).cast("int"),
+    )
+    small_rep = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    ).withColumn("__salt", F.col("__salt").cast("int"))
+    out = big_salted.join(small_rep, [on, "__salt"], how)
+    return out.drop("__salt")

@@ -294,3 +294,27 @@ def test_no_row_python_udf_in_any_registered_query(spark):
         f"unexpected Python nodes (extend allowlist only with Arrow-"
         f"vectorized ops): {arrow_unexpected}"
     )
+
+
+def test_salted_join_spreads_hot_key(spark):
+    """salted_join must (a) produce exactly the plain-join result and
+    (b) join on (key, salt) so a hot key spans multiple partitions."""
+    from route81_spark.ops.util import salted_join
+    import pyspark.sql.functions as SF
+
+    big = spark.range(0, 10_000).select(
+        (SF.col("id") % 3).alias("k"), SF.col("id").alias("v")
+    )
+    small = spark.createDataFrame(
+        [(0, "a"), (1, "b"), (2, "c")], "k long, name string"
+    )
+    out = salted_join(big, small, on="k", salt=8)
+    assert out.count() == 10_000
+    plain = big.join(small, "k").groupBy("k").count().collect()
+    salted = out.groupBy("k").count().collect()
+    assert {(r["k"], r["count"]) for r in plain} == {
+        (r["k"], r["count"]) for r in salted
+    }
+    # the join keys must include the salt column
+    plan = out._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
+    assert "__salt" in plan
