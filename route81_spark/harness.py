@@ -27,6 +27,7 @@ from route81_spark.io import load_table
 from route81_spark.ops import dedup as D
 from route81_spark.ops import similarity as S
 from route81_spark.ops import text as X
+from route81_spark.ops.layout import morton_sql
 from route81_spark.ops.util import det_round_sql
 from route81_spark.pipeline import apply_pipeline
 from route81_spark.sinks.merge import latest_per_key
@@ -4802,6 +4803,36 @@ def emb_decontaminate(spark, sf_dir):
     bench = emb.filter(F.col("vec_id") % 97 == 0)
     return semantic_decontaminate(emb, bench, threshold=0.6).select(
         "vec_id", "label", "max_sim", "contaminated"
+    )
+
+
+_Z_RANGES = [(0.0, 2048.0), (0.0, 1024.0)]
+
+
+@_q(
+    "events_zorder",
+    f"""
+    SELECT event_id, user_id,
+           {morton_sql(['user_id', 'value'], _Z_RANGES)} AS z
+    FROM events
+    """,
+)
+def events_zorder(spark, sf_dir):
+    """Z-order (Morton) clustering key over (user_id, value): the
+    layout key OPTIMIZE ... ZORDER BY computes, as a pure Column
+    program over fixed ranges — bucket each dimension to 8 bits,
+    interleave. The oracle replays the identical arithmetic with SQL
+    bit ops, so bucketing, clamping, and interleaving are all
+    value-checked. ops.layout.zorder_layout uses this key to write
+    files whose min/max boxes are tight in both dimensions (parquet
+    row-group pruning on either column)."""
+    from route81_spark.ops.layout import morton_code
+
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "user_id",
+        morton_code([F.col("user_id"), F.col("value")], _Z_RANGES).alias("z"),
     )
 
 
