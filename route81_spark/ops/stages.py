@@ -236,6 +236,42 @@ def _dataset_card(df: DataFrame, arg: dict) -> DataFrame:
     )
 
 
+def _asof_join_stage(df: DataFrame, arg: dict) -> DataFrame:
+    """{"$asofJoin": {"from": <collection>, "on": key(s), ...}} — the
+    right side resolves through the same collection resolver $lookup
+    uses, so pipelines join against named tables declaratively."""
+    from route81_spark.ops.temporal import asof_join
+    from route81_spark.pipeline.compiler import _resolve_collection
+
+    right = _resolve_collection(arg["from"])
+    tol = arg.get("toleranceS")
+    return asof_join(
+        df,
+        right,
+        on=arg.get("on", "user_id"),
+        left_ts=arg.get("leftTs", "ts"),
+        right_ts=arg.get("rightTs", "ts"),
+        tolerance_s=float(tol) if tol is not None else None,
+        suffix=arg.get("suffix", "_r"),
+    )
+
+
+def _range_join_stage(df: DataFrame, arg: dict) -> DataFrame:
+    from route81_spark.ops.temporal import range_join
+    from route81_spark.pipeline.compiler import _resolve_collection
+
+    intervals = _resolve_collection(arg["from"])
+    return range_join(
+        df,
+        intervals,
+        on=arg.get("on", "user_id"),
+        point_ts=arg.get("pointTs", "ts"),
+        start_col=arg.get("startField", "start"),
+        end_col=arg.get("endField", "end"),
+        bucket_s=int(arg.get("bucketS", 3600)),
+    )
+
+
 register_stage("$dedupExact", _dedup_exact)
 register_stage("$minhashLsh", _minhash_lsh)
 register_stage("$simhash", _simhash)
@@ -256,3 +292,5 @@ register_stage("$sessionize", _sessionize)
 register_stage("$rollupTime", _rollup_time)
 register_stage("$scd2History", _scd2_history)
 register_stage("$datasetCard", _dataset_card)
+register_stage("$asofJoin", _asof_join_stage)
+register_stage("$rangeJoin", _range_join_stage)

@@ -534,3 +534,41 @@ def test_round6_extension_stages_compile_and_run(spark):
     )
     card = apply_pipeline(docs, [{"$datasetCard": {}}]).collect()
     assert len(card) == 1 and card[0]["n_docs"] == 2 and card[0]["dup_rate"] == 0.5
+
+
+def test_asof_and_range_join_stages(spark):
+    """$asofJoin / $rangeJoin resolve their right side through the
+    $lookup collection resolver."""
+    import datetime as dt
+
+    from route81_spark.pipeline import apply_pipeline, compiler
+
+    def ts(s):
+        return dt.datetime.fromisoformat(s)
+
+    trades = spark.createDataFrame(
+        [(1, ts("2024-01-01 10:06:00"))], "key int, ts timestamp"
+    )
+    quotes = spark.createDataFrame(
+        [(1, ts("2024-01-01 10:05:00"), 101.0)], "key int, ts timestamp, px double"
+    )
+    windows = spark.createDataFrame(
+        [(7, 1, ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00"))],
+        "w_id int, key int, start timestamp, end timestamp",
+    )
+    compiler.set_collection_resolver(
+        lambda n: {"quotes": quotes, "windows": windows}[n]
+    )
+    try:
+        out = apply_pipeline(
+            trades, [{"$asofJoin": {"from": "quotes", "on": "key"}}]
+        ).collect()
+        assert out[0]["px"] == 101.0 and out[0]["ts_r"] == ts("2024-01-01 10:05:00")
+
+        rj = apply_pipeline(
+            trades, [{"$rangeJoin": {"from": "windows", "on": "key",
+                                     "bucketS": 600}}]
+        ).collect()
+        assert len(rj) == 1 and rj[0]["w_id"] == 7
+    finally:
+        compiler.set_collection_resolver(None)
