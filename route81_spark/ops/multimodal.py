@@ -133,15 +133,113 @@ def decode_bmp24(payload: bytes) -> np.ndarray:
     return out
 
 
+def encode_png_rgb8(pixels: np.ndarray) -> bytes:
+    """Real PNG writer (8-bit RGB, no interlace): zlib is stdlib, so
+    PNG needs no external codec. Scanlines use filter type 0."""
+    import struct
+    import zlib
+
+    h, w, _ = pixels.shape
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = b"".join(b"\x00" + pixels[y].tobytes() for y in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png_rgb8(payload: bytes) -> np.ndarray:
+    """Real PNG reader -> HxWx3 uint8 RGB. Supports 8-bit truecolor
+    (type 2) and truecolor+alpha (type 6, alpha dropped), no interlace;
+    all five scanline filters (None/Sub/Up/Average/Paeth) un-applied
+    per the spec. Palette/16-bit/interlaced files raise."""
+    import struct
+    import zlib
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos, idat, meta = 8, [], None
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        typ = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if typ == b"IHDR":
+            meta = struct.unpack(">IIBBBBB", data)
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+        pos += 12 + length
+    if meta is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, ctype, comp, filt, interlace = meta
+    if depth != 8 or ctype not in (2, 6) or comp != 0 or filt != 0 or interlace != 0:
+        raise NotImplementedError(
+            "PNG decode supports 8-bit truecolor(+alpha), non-interlaced only"
+        )
+    bpp = 4 if ctype == 6 else 3
+    stride = w * bpp
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline data length mismatch")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        ftype = raw[y * (stride + 1)]
+        cur = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).astype(np.int32)
+        if ftype == 0:
+            pass
+        elif ftype == 1:  # Sub
+            for x in range(bpp, stride):
+                cur[x] = (cur[x] + cur[x - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            cur = (cur + prev) & 0xFF
+        elif ftype == 3:  # Average
+            for x in range(stride):
+                left = cur[x - bpp] if x >= bpp else 0
+                cur[x] = (cur[x] + ((left + prev[x]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (cur[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    px = out.reshape(h, w, bpp)
+    return px[:, :, :3].copy()
+
+
 def real_decode(payload: bytes, mime: str):
-    """Decode supported container-free formats with pure numpy/struct:
-    PCM16 WAV and 24-bit BMP. Compressed formats (JPEG/PNG/MP4/...)
-    need codec libraries this container doesn't ship — those raise, and
-    callers fall back to fake_features."""
+    """Decode supported formats with pure numpy/struct/zlib: PCM16 WAV,
+    24-bit BMP, and 8-bit truecolor PNG (zlib is stdlib — no external
+    codec needed). JPEG/MP4/... need codec libraries this container
+    doesn't ship — those raise, and callers fall back to
+    fake_features."""
     if mime == "audio/wav":
         return decode_wav_pcm16(payload)
     if mime == "image/bmp":
         return decode_bmp24(payload)
+    if mime == "image/png":
+        return decode_png_rgb8(payload)
     raise NotImplementedError(
         f"no codec for {mime} in this container (PIL/torchaudio/pyav needed)"
     )
@@ -164,8 +262,9 @@ def real_features(payload: bytes, mime: str, dim: int = FEATURE_DIM) -> np.ndarr
         out[5] = float(mono.min()) if len(mono) else 0.0
         out[6] = len(mono) / rate
         out[7] = samples.shape[1]
-    elif mime == "image/bmp":
-        px = decode_bmp24(payload).astype(np.float64) / 255.0
+    elif mime in ("image/bmp", "image/png"):
+        dec = decode_bmp24 if mime == "image/bmp" else decode_png_rgb8
+        px = dec(payload).astype(np.float64) / 255.0
         out[0:3] = px.mean(axis=(0, 1))
         out[3:6] = px.std(axis=(0, 1))
         out[6] = px.shape[1]  # width
@@ -186,7 +285,7 @@ def fake_features(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
     return (arr / 2**32).astype(np.float32)
 
 
-DECODABLE_MIMES = ("audio/wav", "image/bmp")
+DECODABLE_MIMES = ("audio/wav", "image/bmp", "image/png")
 
 
 def extract_features(df: DataFrame) -> DataFrame:
@@ -275,12 +374,19 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
             def resize_one(row):
                 payload, kind, meta = row["payload"], row["kind"], dict(row["meta"])
                 if kind == "image":
-                    if meta.get("mime") == "image/bmp":
-                        # REAL nearest-neighbor resample + re-encode
-                        px = decode_bmp24(bytes(payload))
+                    mime = meta.get("mime")
+                    if mime in ("image/bmp", "image/png"):
+                        # REAL nearest-neighbor resample + re-encode in
+                        # the source container
+                        dec, enc = (
+                            (decode_bmp24, encode_bmp24)
+                            if mime == "image/bmp"
+                            else (decode_png_rgb8, encode_png_rgb8)
+                        )
+                        px = dec(bytes(payload))
                         ys = (np.arange(height) * px.shape[0] // height).clip(0, px.shape[0] - 1)
                         xs = (np.arange(width) * px.shape[1] // width).clip(0, px.shape[1] - 1)
-                        payload = encode_bmp24(px[np.ix_(ys, xs)])
+                        payload = enc(px[np.ix_(ys, xs)])
                     else:
                         payload = hashlib.sha256(
                             f"{(payload or b'').hex()}:{width}x{height}".encode()
@@ -323,11 +429,17 @@ def synthetic_decodable_media(spark, n: int = 32) -> DataFrame:
                         ],
                         axis=2,
                     ).astype(np.uint8)
+                    # alternate containers: BMP and (compressed) PNG
+                    mime, enc = (
+                        ("image/bmp", encode_bmp24)
+                        if mid % 4 == 0
+                        else ("image/png", encode_png_rgb8)
+                    )
                     out["media_id"].append(mid)
                     out["kind"].append("image")
-                    out["payload"].append(encode_bmp24(px))
+                    out["payload"].append(enc(px))
                     out["meta"].append(
-                        {"mime": "image/bmp", "width": w, "height": h, "duration_ms": None}
+                        {"mime": mime, "width": w, "height": h, "duration_ms": None}
                     )
                 else:
                     rate = 8000

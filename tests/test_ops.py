@@ -707,13 +707,20 @@ def test_real_decode_features_and_resize(spark):
             assert f[6] == 8 + mid % 8   # decoded width matches generator
 
     resized = {r["media_id"]: r for r in resize_images(media, 4, 4).collect()}
+    saw_mimes = set()
     for mid, r in resized.items():
         if r["kind"] != "image":
             continue
-        px = decode_bmp24(bytes(r["payload"]))  # REAL re-encoded image
+        # REAL re-encoded image, in whichever container it arrived in
+        from route81_spark.ops.multimodal import real_decode
+
+        saw_mimes.add(r["meta"]["mime"])
+        px = real_decode(bytes(r["payload"]), r["meta"]["mime"])
         assert px.shape == (4, 4, 3)
         assert r["meta"]["width"] == 4 and r["meta"]["height"] == 4
         assert int(px[0, 0, 2]) == mid % 256   # blue channel survives resample
+    # the generator alternates containers, so both real codecs ran
+    assert saw_mimes == {"image/bmp", "image/png"}
 
 
 # ---------------------------------------------------------------------
@@ -1015,3 +1022,103 @@ def test_semantic_decontaminate_flags_and_empty_benchmark(spark):
         .split("== Initial Plan ==")[0]
     )
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_png_roundtrip_and_all_filters():
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from route81_spark.ops.multimodal import decode_png_rgb8, encode_png_rgb8
+
+    px = (np.arange(7 * 5 * 3) * 13 % 256).reshape(7, 5, 3).astype(np.uint8)
+    assert np.array_equal(decode_png_rgb8(encode_png_rgb8(px)), px)
+
+    # hand-build a PNG using every filter type (our encoder only emits
+    # type 0) so the un-filter paths are all exercised
+    h, w, bpp = 5, 4, 3
+    img = (np.arange(h * w * bpp) * 37 % 256).reshape(h, w * bpp).astype(np.int32)
+    lines = []
+    prev = np.zeros(w * bpp, dtype=np.int32)
+    for y, ftype in enumerate([0, 1, 2, 3, 4]):
+        cur = img[y]
+        if ftype == 0:
+            enc = cur.copy()
+        elif ftype == 1:
+            enc = cur.copy()
+            enc[bpp:] = (cur[bpp:] - cur[:-bpp]) % 256
+        elif ftype == 2:
+            enc = (cur - prev) % 256
+        elif ftype == 3:
+            enc = cur.copy()
+            for x in range(w * bpp):
+                left = cur[x - bpp] if x >= bpp else 0
+                enc[x] = (cur[x] - ((left + prev[x]) >> 1)) % 256
+        else:
+            enc = cur.copy()
+            for x in range(w * bpp):
+                a = cur[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc[x] = (cur[x] - pred) % 256
+        lines.append(bytes([ftype]) + enc.astype(np.uint8).tobytes())
+        prev = cur
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"".join(lines)))
+        + chunk(b"IEND", b"")
+    )
+    got = decode_png_rgb8(payload)
+    assert np.array_equal(got, img.astype(np.uint8).reshape(h, w, bpp))
+
+
+def test_png_rgba_drops_alpha_and_unsupported_raise():
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest as pt
+
+    from route81_spark.ops.multimodal import decode_png_rgb8
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    # RGBA (type 6): alpha must be dropped
+    h, w = 2, 3
+    rgba = (np.arange(h * w * 4) % 256).astype(np.uint8).reshape(h, w * 4)
+    raw = b"".join(b"\x00" + rgba[y].tobytes() for y in range(h))
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 6, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    got = decode_png_rgb8(payload)
+    assert got.shape == (h, w, 3)
+    assert np.array_equal(got, rgba.reshape(h, w, 4)[:, :, :3])
+
+    # palette PNG must raise, not mis-decode
+    pal = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"\x00" * (h * (w + 1))))
+        + chunk(b"IEND", b"")
+    )
+    with pt.raises(NotImplementedError):
+        decode_png_rgb8(pal)
