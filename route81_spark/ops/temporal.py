@@ -113,6 +113,53 @@ def asof_join(
     )
 
 
+def asof_join_static(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    suffix: str = "_r",
+) -> DataFrame:
+    """As-of join against a STATIC right side, in a form Structured
+    Streaming accepts: the window-based asof_join cannot stream
+    (non-time windows are unsupported on streams), so here the right
+    side collapses to one sorted array of (ts, payload) per key —
+    a batch aggregation, broadcast-joined onto the (possibly streaming)
+    left — and each left row picks its match with a pure-Column
+    element_at(filter(...), -1) probe. Same backward-inclusive
+    semantics as asof_join.
+
+    Scale shape: ZERO shuffle on the left/stream side (broadcast hash
+    join + per-row expressions). The right side must be
+    dimension-sized: each key's full history lives in one array cell,
+    so this is the reference-data enrichment case (latest price, last
+    config change), not the fact-fact case — use asof_join for that.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    payload_cols = [c for c in right.columns if c not in keys]
+    out_names = {c: (c + suffix if c in left.columns else c) for c in payload_cols}
+
+    entry = F.struct(
+        F.col(right_ts).alias("__rts"),
+        F.struct(*[F.col(c).alias(out_names[c]) for c in payload_cols]).alias("__p"),
+    )
+    hist = right.groupBy(*keys).agg(
+        F.sort_array(F.collect_list(entry)).alias("__hist")
+    )
+    joined = left.join(F.broadcast(hist), keys, "left")
+    lts = F.col(left_ts)
+    # try_element_at: an empty filtered history (no quote at-or-before,
+    # or key absent) is a null match, not an ANSI index error
+    match = F.try_element_at(
+        F.filter(F.col("__hist"), lambda e: e["__rts"] <= lts), F.lit(-1)
+    )
+    return joined.select(
+        *left.columns,
+        *[match["__p"][out_names[c]].alias(out_names[c]) for c in payload_cols],
+    )
+
+
 def range_join(
     points: DataFrame,
     intervals: DataFrame,

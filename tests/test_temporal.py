@@ -328,3 +328,70 @@ def test_ntz_timestamps_supported(spark):
         "select timestamp_ntz'2024-01-01 10:30:00' as ts, 2.0 as value"
     )
     assert rollup_time(ntz, "ts", "value").count() == 3
+
+
+def test_asof_static_matches_window_form(spark, quotes):
+    """asof_join_static (broadcast sorted-history probe) must agree
+    with the window-based asof_join on the same inputs."""
+    from route81_spark.ops.temporal import asof_join_static
+
+    trades = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 09:00:00")),
+            (1, _ts("2024-01-01 10:05:00")),
+            (1, _ts("2024-01-01 10:07:00")),
+            (2, _ts("2024-01-01 11:00:00")),
+            (3, _ts("2024-01-01 11:00:00")),  # key absent from right
+        ],
+        "key int, ts timestamp",
+    )
+    a = sorted(
+        (r["key"], r["ts"], r["px"], r["ts_r"])
+        for r in asof_join(trades, quotes, on="key").collect()
+    )
+    b = sorted(
+        (r["key"], r["ts"], r["px"], r["ts_r"])
+        for r in asof_join_static(trades, quotes, on="key").collect()
+    )
+    assert a == b
+    # scale pin: zero Exchange on the left side (broadcast join + probe)
+    plan = (
+        asof_join_static(trades, quotes, on="key")
+        ._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert "BroadcastHashJoin" in plan
+
+
+def test_asof_static_streams(spark, tmp_path, quotes):
+    """The static form must run as a stream-static enrichment."""
+    import json
+
+    from route81_spark.ops.temporal import asof_join_static
+
+    src = tmp_path / "asof_src"
+    src.mkdir()
+    rows = [
+        {"key": 1, "ts": "2024-01-01T10:06:00"},
+        {"key": 1, "ts": "2024-01-01T09:00:00"},
+        {"key": 2, "ts": "2024-01-01T10:04:00"},
+    ]
+    (src / "b1.json").write_text("\n".join(json.dumps(r) for r in rows))
+    stream = spark.readStream.schema("key int, ts timestamp").json(str(src))
+    out, ckpt = tmp_path / "asof_out", tmp_path / "asof_ckpt"
+    q = (
+        asof_join_static(stream, quotes, on="key")
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["key"], r["ts"]): r["px"] for r in spark.read.parquet(str(out)).collect()
+    }
+    assert got[(1, _ts("2024-01-01 10:06:00"))] == 101.0
+    assert got[(1, _ts("2024-01-01 09:00:00"))] is None
+    assert got[(2, _ts("2024-01-01 10:04:00"))] == 200.0
