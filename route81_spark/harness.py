@@ -4573,6 +4573,39 @@ def cdc_scd2_history(spark, sf_dir):
 
 
 @_q(
+    "corpus_weighted_sample",
+    f"""
+    WITH s AS (
+      SELECT doc_id, {_QUALITY_SQL.format(T=_TOKS)} AS q,
+             greatest(
+               ('0x' || substr(md5('wsample0|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                 / 1152921504606846976.0,
+               1.0 / 1152921504606846976.0) AS u
+      FROM documents
+    )
+    SELECT doc_id, {det_round_sql('ln(u) / q', 6)} AS sample_key
+    FROM s WHERE q > 0
+    ORDER BY sample_key DESC, doc_id ASC LIMIT 50
+    """,
+)
+def corpus_weighted_sample(spark, sf_dir):
+    """Quality-weighted corpus subsample without replacement (A-ES:
+    rank by ln(u)/w over a deterministic id-hash uniform) — the
+    probabilistic counterpart of quality top-k. TakeOrderedAndProject
+    ships k rows per partition; no global sort, no rand()."""
+    from route81_spark.ops.corpus import weighted_sample
+    from route81_spark.ops.text import quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    out = weighted_sample(
+        docs.withColumn("__q", quality_score(F.col("text"))),
+        F.col("__q"),
+        k=50,
+    )
+    return out.select("doc_id", "sample_key")
+
+
+@_q(
     "events_asof_join",
     f"""
     WITH c AS (
@@ -4777,21 +4810,13 @@ def events_rollup(spark, sf_dir):
     )
 
 
-_QUAL_SQL = (
-    "floor((least(length(text) / 400.0, 1.0)"
-    f" * (CAST(len(list_distinct({_TOKS})) AS DOUBLE) / len({_TOKS}))"
-    " * (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)"
-    " / length(text))) * 1000000.0 + 0.5) / 1000000.0"
-)
-
-
 @_q(
     "corpus_dataset_card",
     f"""
     WITH s AS (
       SELECT source, lang,
              CAST(len({_TOKS}) AS INT) AS tok,
-             {_QUAL_SQL} AS q,
+             {_QUALITY_SQL.format(T=_TOKS)} AS q,
              md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS chash
       FROM documents
     ),

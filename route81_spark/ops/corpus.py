@@ -271,6 +271,44 @@ def stratified_sample(
     return df.filter(split_hash(F.col(id_col), seed) < frac)
 
 
+def weighted_sample(
+    df: DataFrame,
+    weight: Column,
+    k: int,
+    id_col: str = "doc_id",
+    seed: str = "wsample0",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, size k (Efraimidis &
+    Spirakis 2006 A-ES): each row draws a deterministic uniform u from
+    its id hash and ranks by ln(u)/w — the top k are a true
+    w-proportional sample. Unlike quality top-k (select_topk_per_group)
+    this is probabilistic: low-weight rows still appear at their
+    proportional rate, which is what corpus subsampling wants.
+
+    Deterministic by construction (hash-derived u, no rand()): reruns,
+    repartitions, and appends never flip a row's key. Rows with w <= 0
+    are excluded (zero weight = never sampled).
+
+    Plan: per-row expressions + TakeOrderedAndProject for the top-k —
+    each partition ships k rows, never a global sort. The returned
+    `sample_key` is det-rounded for cross-engine rank stability; ties
+    break by id."""
+    u = split_hash(F.col(id_col), seed)
+    from route81_spark.ops.util import det_round
+
+    # u in [0,1): nudge 0 to the smallest cell to keep ln defined
+    safe_u = F.greatest(u, F.lit(1.0 / 2**60))
+    key = det_round(F.log(safe_u) / weight, 6)
+    return (
+        df.withColumn("__w", weight)
+        .filter(F.col("__w") > 0)
+        .withColumn("sample_key", key)
+        .orderBy(F.col("sample_key").desc(), F.col(id_col).asc())
+        .limit(k)
+        .drop("__w")
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     budget_tokens: int,

@@ -1122,3 +1122,24 @@ def test_png_rgba_drops_alpha_and_unsupported_raise():
     )
     with pt.raises(NotImplementedError):
         decode_png_rgb8(pal)
+
+
+def test_weighted_sample_proportional_and_deterministic(spark):
+    from route81_spark.ops.corpus import weighted_sample
+
+    # two weight classes, 10:1 — heavy rows should dominate the sample
+    rows = [(i, 10.0 if i % 2 == 0 else 1.0) for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    out = weighted_sample(df, F.col("w"), k=200)
+    ids = [r["doc_id"] for r in out.collect()]
+    assert len(ids) == 200 and len(set(ids)) == 200
+    heavy = sum(1 for i in ids if i % 2 == 0)
+    # E[heavy] ~ 183 of 200; anywhere clearly above parity proves
+    # w-proportional selection without flaking
+    assert heavy > 140
+    # deterministic: identical rerun
+    ids2 = [r["doc_id"] for r in weighted_sample(df, F.col("w"), k=200).collect()]
+    assert ids == ids2
+    # zero/negative weights never sampled
+    dfz = spark.createDataFrame([(1, 0.0), (2, -1.0), (3, 5.0)], "doc_id long, w double")
+    assert [r["doc_id"] for r in weighted_sample(dfz, F.col("w"), k=3).collect()] == [3]
