@@ -299,3 +299,38 @@ def decode_avro_records(
             yield frame
 
     return records.mapInPandas(run, schema=out_schema)
+
+
+def encode_avro_records(
+    df: DataFrame, schema_spec: str, binary: bool = True
+) -> DataFrame:
+    """Document rows -> avro `value` bytes (the inverse of
+    decode_avro_records; Arrow-batched like it). The reference only
+    DECODES avro (consumer side, decoding/decoding.go:45-57) — this
+    encoder exists so the codec is closed under roundtrip and testable
+    end-to-end without external fixtures."""
+    schema = json.loads(schema_spec)
+    encode_one = avro_encode if binary else avro_encode_textual
+    spark_type = _avro_to_spark_type(schema)
+    if not isinstance(spark_type, T.StructType):
+        raise ValueError("avro-schema-spec must be a record schema")
+    names = [f["name"] for f in schema["fields"]]
+    missing = [n for n in names if n not in df.columns]
+    if missing:
+        raise ValueError(f"dataframe lacks avro record fields: {missing}")
+
+    def _clean(v):
+        # pandas surfaces SQL NULLs as NaN/None; avro unions want None
+        if v is None or (isinstance(v, float) and pd.isna(v)):
+            return None
+        return v
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vals = [
+                encode_one(schema, {n: _clean(row[n]) for n in names})
+                for row in pdf.to_dict("records")
+            ]
+            yield pd.DataFrame({"value": vals})
+
+    return df.select(*names).mapInPandas(run, schema="value binary")

@@ -4519,6 +4519,31 @@ def corpus_select_topk(spark, sf_dir):
     return select_topk_per_group(docs, "source", F.col("quality"), 5)
 
 
+_AVRO_NATION_SPEC = (
+    '{"type":"record","name":"nation","fields":['
+    '{"name":"n_nationkey","type":"int"},'
+    '{"name":"n_name","type":["null","string"]},'
+    '{"name":"n_regionkey","type":"int"}]}'
+)
+
+
+@_q(
+    "avro_roundtrip",
+    "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def avro_roundtrip(spark, sf_dir):
+    """Avro binary wire roundtrip (P10 encode ∘ P11 decode = id): rows
+    -> dependency-free avro binary (zigzag varints, union indexes) ->
+    decoded rows, identity-checked against the raw table. Both
+    directions run Arrow-batched (mapInPandas) like the consumer's
+    decode path; reference wire contract decoding/decoding.go:45-57."""
+    from route81_spark.codecs.avro import decode_avro_records, encode_avro_records
+
+    df = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    records = encode_avro_records(df, _AVRO_NATION_SPEC, binary=True)
+    return decode_avro_records(records, _AVRO_NATION_SPEC, binary=True)
+
+
 @_q(
     "cdc_scd2_history",
     f"""

@@ -292,3 +292,23 @@ def test_gridfs_golden_messages(spark):
         '"data":{"$binary":{"base64":"aGVsbG8gd29ybGQK","subType":"00"}}}}'
     )
     assert bytes(rec["value"]).decode() == golden_chunks
+
+
+def test_avro_records_roundtrip_with_nulls(spark):
+    from route81_spark.codecs.avro import decode_avro_records, encode_avro_records
+
+    spec = (
+        '{"type":"record","name":"r","fields":['
+        '{"name":"a","type":"int"},'
+        '{"name":"b","type":["null","string"]},'
+        '{"name":"c","type":["null","double"]}]}'
+    )
+    df = spark.createDataFrame(
+        [(1, "x", 2.5), (2, None, None)], "a int, b string, c double"
+    )
+    for binary in (True, False):
+        back = decode_avro_records(
+            encode_avro_records(df, spec, binary=binary), spec, binary=binary
+        )
+        got = sorted((r["a"], r["b"], r["c"]) for r in back.collect())
+        assert got == [(1, "x", 2.5), (2, None, None)]
