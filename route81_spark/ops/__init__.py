@@ -11,5 +11,5 @@ At cluster scale the same plans hold — the hash function choice only
 changes per-row CPU, not the shuffle structure.
 """
 
-from route81_spark.ops import dedup, similarity, text  # noqa: F401
+from route81_spark.ops import dedup, layout, similarity, temporal, text  # noqa: F401
 from route81_spark.ops import stages  # noqa: F401  (registers $dedupExact etc.)

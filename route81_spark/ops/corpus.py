@@ -794,3 +794,24 @@ def write_training_shards(
     if max_records_per_file is not None:
         writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
     writer.format(file_format).save(path)
+
+
+def approx_distinct_by(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    rsd: float = 0.05,
+) -> DataFrame:
+    """Per-group approximate distinct count (HyperLogLog++ via Spark's
+    approx_count_distinct) next to the exact-path alternative the
+    dataset card uses. At 100 TB the sketch is the right default:
+    per-partition HLL registers merge map-side, so the shuffle carries
+    one fixed-size sketch per (partition x group) instead of every
+    distinct value — the exact count's (group, value) pre-aggregation
+    shuffles the full distinct set. Error is bounded by `rsd`
+    (relative standard deviation); the test pins observed error well
+    inside 3*rsd."""
+    return df.groupBy(group_col).agg(
+        F.approx_count_distinct(value_col, rsd=rsd).alias("approx_distinct"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )

@@ -292,5 +292,18 @@ register_stage("$sessionize", _sessionize)
 register_stage("$rollupTime", _rollup_time)
 register_stage("$scd2History", _scd2_history)
 register_stage("$datasetCard", _dataset_card)
+def _weighted_sample(df: DataFrame, arg: dict) -> DataFrame:
+    from route81_spark.ops.corpus import weighted_sample
+
+    return weighted_sample(
+        df,
+        weight=F.col(arg["weightField"]),
+        k=int(arg["k"]),
+        id_col=arg.get("idField", "doc_id"),
+        seed=arg.get("seed", "wsample0"),
+    )
+
+
 register_stage("$asofJoin", _asof_join_stage)
 register_stage("$rangeJoin", _range_join_stage)
+register_stage("$weightedSample", _weighted_sample)

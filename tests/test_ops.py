@@ -1143,3 +1143,22 @@ def test_weighted_sample_proportional_and_deterministic(spark):
     # zero/negative weights never sampled
     dfz = spark.createDataFrame([(1, 0.0), (2, -1.0), (3, 5.0)], "doc_id long, w double")
     assert [r["doc_id"] for r in weighted_sample(dfz, F.col("w"), k=3).collect()] == [3]
+
+
+def test_approx_distinct_error_bounded(spark):
+    from route81_spark.ops.corpus import approx_distinct_by
+
+    # group 'a': 1000 distinct; group 'b': 100 distinct with repeats
+    rows = [("a", i) for i in range(1000)] + [("b", i % 100) for i in range(1000)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = {r["g"]: r for r in approx_distinct_by(df, "g", "v", rsd=0.05).collect()}
+    assert got["a"]["n_rows"] == 1000 and got["b"]["n_rows"] == 1000
+    for g, exact in (("a", 1000), ("b", 100)):
+        err = abs(got[g]["approx_distinct"] - exact) / exact
+        assert err <= 0.15, f"group {g}: {err} beyond 3*rsd"
+    # HLL partials merge map-side: one hash Exchange, partial agg
+    plan = (
+        approx_distinct_by(df, "g", "v")._jdf.queryExecution()
+        .executedPlan().toString().split("== Initial Plan ==")[0]
+    )
+    assert plan.count("Exchange hashpartitioning") == 1 and "partial_" in plan

@@ -572,3 +572,17 @@ def test_asof_and_range_join_stages(spark):
         assert len(rj) == 1 and rj[0]["w_id"] == 7
     finally:
         compiler.set_collection_resolver(None)
+
+
+def test_weighted_sample_stage(spark):
+    from pyspark.sql import functions as SF
+
+    from route81_spark.pipeline import apply_pipeline
+
+    df = spark.range(100).select(
+        SF.col("id").alias("doc_id"), (SF.col("id") % 7 + 1.0).alias("w")
+    )
+    out = apply_pipeline(
+        df, [{"$weightedSample": {"weightField": "w", "k": 10}}]
+    ).collect()
+    assert len(out) == 10
