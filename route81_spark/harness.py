@@ -4836,6 +4836,47 @@ def events_rollup(spark, sf_dir):
 
 
 @_q(
+    "events_rollup_series",
+    f"""
+    WITH e AS (
+      SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+    )
+    SELECT event_type, 'day' AS resolution,
+           epoch_us(date_trunc('day', ts)) AS bucket_us,
+           CAST(count(*) AS BIGINT) AS n,
+           {det_round_sql('sum(value)', 4)} AS total
+    FROM e GROUP BY 1, 3
+    UNION ALL
+    SELECT event_type, 'month', epoch_us(date_trunc('month', ts)),
+           CAST(count(*) AS BIGINT),
+           {det_round_sql('sum(value)', 4)}
+    FROM e GROUP BY 1, 3
+    """,
+)
+def events_rollup_series(spark, sf_dir):
+    """Per-series rollup (the timeseries-DB continuous-aggregate
+    shape): day/month buckets per event_type in one Expand shuffle;
+    series subtotals and the grand total excluded by grouping_id."""
+    from route81_spark.ops.temporal import rollup_time
+    from route81_spark.ops.util import det_round
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    r = rollup_time(
+        ev, "ts", "value", resolutions=("day", "month"),
+        series_cols=("event_type",),
+    )
+    return r.select(
+        "event_type",
+        "resolution",
+        F.unix_micros(F.col("bucket")).alias("bucket_us"),
+        "n",
+        det_round(F.col("total"), 4).alias("total"),
+    )
+
+
+@_q(
     "corpus_dataset_card",
     f"""
     WITH s AS (

@@ -219,47 +219,56 @@ def rollup_time(
     ts_col: str = "ts",
     value_col: str = "value",
     resolutions: tuple[str, ...] = ("hour", "day", "month"),
+    series_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """Hypertable-style multi-resolution rollup: one row per (resolution,
-    time bucket) with re-aggregable stats (n, total) plus the derived
-    avg. Resolutions must be a contiguous coarse<-fine chain from
-    ('month','day','hour') — the hierarchy Spark's rollup() expresses.
+    """Hypertable-style multi-resolution rollup: one row per
+    (series..., resolution, time bucket) with re-aggregable stats
+    (n, total) plus the derived avg. Resolutions must be a contiguous
+    coarse<-fine chain from ('month','day','hour') — the hierarchy
+    Spark's rollup() expresses. With ``series_cols`` the hierarchy is
+    computed per series (the timeseries-DB continuous-aggregate shape);
+    series-level subtotals and the grand total are excluded.
 
     Scale shape: ONE corpus scan, ONE shuffle. ``rollup()`` compiles to
-    Expand (len(resolutions)+1 copies per row) + hash aggregation, and
-    the map-side partial agg collapses the expansion to
-    (distinct buckets x levels) rows before the Exchange — the same
-    cost as the finest-grain groupBy alone. Only re-aggregable
+    Expand (one copy per grouping set) + hash aggregation, and the
+    map-side partial agg collapses the expansion to
+    (series x distinct buckets x levels) rows before the Exchange —
+    the same cost as the finest-grain groupBy alone. Only re-aggregable
     accumulators ride the shuffle (count/sum); avg is derived after.
     """
     order = [r for r in ("month", "day", "hour") if r in resolutions]
     if len(order) != len(resolutions):
         raise ValueError(f"resolutions must be drawn from month/day/hour: {resolutions}")
+    series = list(series_cols)
 
     ts = F.col(ts_col)
     base = df.select(
+        *series,
         *[F.date_trunc(r, ts).alias(f"__{r}") for r in order],
         F.col(value_col).alias("__v"),
     )
-    g = base.rollup(*[f"__{r}" for r in order]).agg(
+    # series cols first: in grouping_id they take the HIGH bits, so any
+    # set that rolls a series col away gets a gid above every time-level
+    # gid and the isin() filter below drops it (incl. the grand total)
+    g = base.rollup(*series, *[f"__{r}" for r in order]).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("__v").alias("total"),
         F.grouping_id().alias("__gid"),
     )
-    # grouping_id bit i set => column i is rolled away; gid == all-set is
-    # the grand total (dropped); the finest non-null column names the level
-    grand = (1 << len(order)) - 1
     level = F.lit(None).cast("string")
     bucket: Column = F.lit(None).cast("timestamp")
+    level_gids = []
     for i, r in enumerate(order):
         # level i keeps cols 0..i and rolls away the len-1-i finer cols;
         # rollup's grouping_id sets one low bit per rolled column
         gid_here = (1 << (len(order) - 1 - i)) - 1
+        level_gids.append(gid_here)
         level = F.when(F.col("__gid") == F.lit(gid_here), F.lit(r)).otherwise(level)
         bucket = F.when(F.col("__gid") == F.lit(gid_here), F.col(f"__{r}")).otherwise(bucket)
     return (
-        g.filter(F.col("__gid") != grand)
+        g.filter(F.col("__gid").isin(level_gids))
         .select(
+            *series,
             level.alias("resolution"),
             bucket.alias("bucket"),
             F.col("n"),

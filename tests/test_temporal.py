@@ -395,3 +395,31 @@ def test_asof_static_streams(spark, tmp_path, quotes):
     assert got[(1, _ts("2024-01-01 10:06:00"))] == 101.0
     assert got[(1, _ts("2024-01-01 09:00:00"))] is None
     assert got[(2, _ts("2024-01-01 10:04:00"))] == 200.0
+
+
+def test_rollup_per_series(spark):
+    df = spark.createDataFrame(
+        [
+            ("a", _ts("2024-01-01 10:15:00"), 1.0),
+            ("a", _ts("2024-01-01 11:15:00"), 2.0),
+            ("b", _ts("2024-01-01 10:30:00"), 8.0),
+        ],
+        "series string, ts timestamp, value double",
+    )
+    out = rollup_time(
+        df, "ts", "value", resolutions=("day", "hour"), series_cols=("series",)
+    )
+    rows = {(r["series"], r["resolution"], r["bucket"]): r for r in out.collect()}
+    assert rows[("a", "day", _ts("2024-01-01 00:00:00"))]["total"] == 3.0
+    assert rows[("b", "day", _ts("2024-01-01 00:00:00"))]["total"] == 8.0
+    assert rows[("a", "hour", _ts("2024-01-01 11:00:00"))]["n"] == 1
+    # no series subtotals (null series) and no grand total
+    assert all(k[0] in ("a", "b") for k in rows)
+    assert len(rows) == 5  # a: 2 hours + 1 day; b: 1 hour + 1 day
+    # still one Expand + one shuffle
+    plan = (
+        out._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert plan.count("Expand") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
