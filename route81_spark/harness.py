@@ -4741,6 +4741,59 @@ def events_asof_static(spark, sf_dir):
 
 
 @_q(
+    "events_asof_sliced",
+    f"""
+    WITH c AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+      FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+             max(event_id) AS p_event_id,
+             arg_max(value, event_id) AS p_value
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY 1, 2
+    )
+    SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us,
+           p.p_event_id AS p_event_id,
+           {det_round_sql('p.p_value', 4)} AS p_value
+    FROM c ASOF LEFT JOIN p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+)
+def events_asof_sliced(spark, sf_dir):
+    """The hot-key as-of construction (ops.temporal.asof_join_sliced —
+    heavy scan partitioned by (key, day-slice), per-key stitch over
+    slice summaries only) against the same native ASOF JOIN oracle:
+    all three as-of constructions value-checked to one semantics."""
+    from route81_spark.ops.temporal import asof_join_sliced
+    from route81_spark.ops.util import det_round
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max("event_id").alias("p_event_id"),
+            F.max_by("value", "event_id").alias("p_value"),
+        )
+    )
+    j = asof_join_sliced(clicks, purchases, on="user_id", slice_s=86400)
+    return j.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "p_event_id",
+        det_round(F.col("p_value"), 4).alias("p_value"),
+    )
+
+
+@_q(
     "events_range_join",
     f"""
     WITH p AS (

@@ -113,6 +113,100 @@ def asof_join(
     )
 
 
+def asof_join_sliced(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    slice_s: int = 3600,
+    suffix: str = "_r",
+) -> DataFrame:
+    """asof_join for HOT keys: the plain form's window serializes each
+    key into one task, so a key with 10^9 events is a straggler. This
+    variant runs the heavy scan partitioned by (key, time-slice) — even
+    parallelism no matter how hot the key — then stitches slices with a
+    two-level segmented scan:
+
+      1. in-slice pass: the union-tag running-last-value window, but
+         partitioned by (key, slice) — each slice's rows are a task.
+      2. carry pass: per (key, slice), the slice's final right row
+         (a tiny aggregate); a per-key window over SLICE SUMMARIES
+         (rows = #slices, not #events) computes the strictly-earlier
+         carry-in, joined back on (key, slice).
+
+    A left row's match is its in-slice match if any, else the carry-in
+    from earlier slices — exactly the plain as-of semantics (verified
+    by equivalence tests). Same right-side uniqueness contract.
+
+    Pick slice_s so a slice's events fit a task comfortably; the
+    per-key stitch handles time-range/slice_s rows per key.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    payload_cols = [c for c in right.columns if c not in keys]
+    out_names = {c: (c + suffix if c in left.columns else c) for c in payload_cols}
+
+    def slice_of(c: Column, dtype: T.DataType) -> Column:
+        return F.floor(_as_seconds(c, dtype) / F.lit(int(slice_s))).cast("long")
+
+    payload = F.struct(
+        *[F.col(c).alias(out_names[c]) for c in payload_cols],
+        F.col(right_ts).alias("__rts"),
+    )
+    r = right.select(
+        *keys,
+        F.col(right_ts).alias("__ts"),
+        slice_of(F.col(right_ts), right.schema[right_ts].dataType).alias("__slice"),
+        F.lit(0).alias("__side"),
+        payload.alias("__pay"),
+    )
+    lpay_t = "struct<" + ",".join(
+        f"`{out_names[c]}`:{right.schema[c].dataType.simpleString()}" for c in payload_cols
+    ) + f",`__rts`:{right.schema[right_ts].dataType.simpleString()}>"
+    l = left.select(
+        "*",
+        F.col(left_ts).alias("__ts"),
+        slice_of(F.col(left_ts), left.schema[left_ts].dataType).alias("__slice"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(lpay_t).alias("__pay"),
+    )
+    unioned = l.unionByName(r, allowMissingColumns=True)
+
+    # pass 1: heavy scan, evenly partitioned by (key, slice)
+    w_slice = (
+        Window.partitionBy(*keys, "__slice")
+        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    in_slice = unioned.withColumn("__m", F.last("__pay", ignorenulls=True).over(w_slice))
+
+    # pass 2: slice summaries — final right row per (key, slice), then a
+    # strictly-preceding running last over slices per key
+    finals = r.groupBy(*keys, "__slice").agg(F.max_by("__pay", "__ts").alias("__fin"))
+    slices = (
+        unioned.select(*keys, "__slice").distinct()
+        .join(finals, [*keys, "__slice"], "left")
+    )
+    w_carry = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__slice").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = slices.withColumn(
+        "__carry", F.last("__fin", ignorenulls=True).over(w_carry)
+    ).select(*keys, "__slice", "__carry")
+
+    out = (
+        in_slice.filter(F.col("__side") == 1)
+        .join(carry, [*keys, "__slice"], "left")
+        .withColumn("__m", F.coalesce(F.col("__m"), F.col("__carry")))
+    )
+    keep = [c for c in left.columns]
+    return out.select(
+        *keep, *[F.col(f"__m.`{out_names[c]}`").alias(out_names[c]) for c in payload_cols]
+    )
+
+
 def asof_join_static(
     left: DataFrame,
     right: DataFrame,

@@ -423,3 +423,55 @@ def test_rollup_per_series(spark):
     )
     assert plan.count("Expand") == 1
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+@settings(max_examples=15, deadline=None)
+@given(evs=_events, slice_s=st.integers(5, 500))
+def test_asof_sliced_matches_plain(spark, evs, slice_s):
+    """The (key, time-slice) segmented-scan form must be row-for-row
+    identical to the plain window form across random feeds and slice
+    widths (slice boundaries landing anywhere in the data)."""
+    from route81_spark.ops.temporal import asof_join_sliced
+
+    left_rows = [(k, t) for k, t, side in evs if side]
+    right_rows = sorted({(k, t) for k, t, side in evs if not side})
+    if not left_rows or not right_rows:
+        return
+    left = spark.createDataFrame(
+        [(k, float(t)) for k, t in left_rows], "key int, ts double"
+    )
+    right = spark.createDataFrame(
+        [(k, float(t), float(k * 10000 + t)) for k, t in right_rows],
+        "key int, ts double, v double",
+    )
+    plain = sorted(
+        (r["key"], r["ts"], r["v"])
+        for r in asof_join(left, right, on="key").collect()
+    )
+    sliced = sorted(
+        (r["key"], r["ts"], r["v"])
+        for r in asof_join_sliced(left, right, on="key", slice_s=slice_s).collect()
+    )
+    assert sliced == plain
+
+
+def test_asof_sliced_partitions_by_slice(spark, quotes):
+    """Scale pin: the heavy window must partition by (key, slice) —
+    the hot-key parallelism claim — with the per-key pass only over
+    slice summaries."""
+    from route81_spark.ops.temporal import asof_join_sliced
+
+    trades = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:04:00"))], "key int, ts timestamp"
+    )
+    plan = (
+        asof_join_sliced(trades, quotes, on="key", slice_s=60)
+        ._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert "partitionspec=[key#" in plan.replace(" ", "").lower() or "__slice" in plan
+    # the in-slice window's partition spec includes the slice column
+    import re
+
+    windows = re.findall(r"Window .*?windowspecdefinition\(([^)]*)\)", plan)
+    assert any("__slice" in w for w in windows), plan
