@@ -211,6 +211,7 @@ def _rollup_time(df: DataFrame, arg: dict) -> DataFrame:
         ts_col=arg.get("tsField", "ts"),
         value_col=arg.get("valueField", "value"),
         resolutions=tuple(arg.get("resolutions", ["hour", "day", "month"])),
+        series_cols=tuple(arg.get("seriesFields", [])),
     )
 
 
