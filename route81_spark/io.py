@@ -68,12 +68,23 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_path(spark, f"{sf_dir}/{name}.parquet", name=name)
+
+
+def load_path(spark: SparkSession, path: str, name: str | None = None) -> DataFrame:
+    """Parquet loader by explicit path (run_pipeline's --tables); the
+    TIMESTAMP(NANOS) workaround keys off the table name, inferred from
+    the filename stem when not given."""
+    if name is None:
+        import os as _os
+
+        name = _os.path.splitext(_os.path.basename(path.rstrip("/")))[0]
     if name in NANO_TS_COLS:
         try:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         except Exception:
             pass
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(path)
     for c in NANO_TS_COLS.get(name, []):
         if c in df.columns and isinstance(df.schema[c].dataType, T.LongType):
             # integer `div`, not fp division: a double ns/1000 can round

@@ -1,0 +1,94 @@
+"""Batch pipeline runner — the analytics front door.
+
+The daemon (main.py) mirrors the reference's sync flows; this entry
+point exposes the same pipeline dialect as a standalone batch query
+tool: a pipeline-JSON file (Mongo stages + the $-extension stages)
+applied to a named parquet table, with every other named table
+available to $lookup/$graphLookup/$asofJoin/$rangeJoin through the
+collection resolver.
+
+    python -m route81_spark.run_pipeline \
+        --pipeline q.json --source orders \
+        --tables orders=/data/orders.parquet customer=/data/customer.parquet \
+        --out /data/result    # omit --out to print a sample + count
+
+The reference has no equivalent (it ships pipelines to the MongoDB
+server, route81.go:181-197); here the pipeline IS the query engine, so
+a user can run any supported query without writing Spark code.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import DataFrame
+
+
+def run(
+    spark,
+    pipeline: list[dict],
+    source: str,
+    tables: dict[str, str],
+) -> DataFrame:
+    import route81_spark.ops  # noqa: F401  (registers extension stages)
+    from route81_spark.io import load_path
+    from route81_spark.pipeline import apply_pipeline, compiler
+
+    loaded = {name: load_path(spark, path) for name, path in tables.items()}
+    if source not in loaded:
+        raise SystemExit(f"--source {source!r} is not among --tables {sorted(loaded)}")
+
+    def resolve(name: str) -> DataFrame:
+        if name not in loaded:
+            raise KeyError(
+                f"pipeline references table {name!r}; pass it via --tables"
+            )
+        return loaded[name]
+
+    compiler.set_collection_resolver(resolve)
+    try:
+        return apply_pipeline(loaded[source], pipeline)
+    finally:
+        compiler.set_collection_resolver(None)
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="route81_spark.run_pipeline")
+    ap.add_argument("--pipeline", required=True, help="pipeline JSON file")
+    ap.add_argument("--source", required=True, help="table the pipeline reads")
+    ap.add_argument(
+        "--tables", nargs="+", required=True, help="name=parquet_path (repeatable)"
+    )
+    ap.add_argument("--out", help="parquet output path; omit to print a sample")
+    ap.add_argument("--show", type=int, default=20, help="sample rows when no --out")
+    args = ap.parse_args(argv)
+
+    with open(args.pipeline) as f:
+        pipeline = json.load(f)
+    if not isinstance(pipeline, list):
+        raise SystemExit("pipeline file must contain a JSON array of stages")
+    tables = {}
+    for spec in args.tables:
+        name, _, path = spec.partition("=")
+        if not path:
+            raise SystemExit(f"bad --tables entry (want name=path): {spec!r}")
+        tables[name] = path
+
+    from route81_spark.session import get_spark
+
+    spark = get_spark("route81_spark_run_pipeline")
+    out = run(spark, pipeline, args.source, tables)
+    if args.out:
+        out.write.mode("overwrite").parquet(args.out)
+        n = spark.read.parquet(args.out).count()
+        print(json.dumps({"rows": n, "out": args.out}))
+    else:
+        out.show(args.show, truncate=False)
+        print(json.dumps({"rows": out.count()}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

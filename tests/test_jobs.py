@@ -112,3 +112,51 @@ def test_kafka_sink_source_selection(spark, tmp_path):
     (tmp_path / "x").mkdir(exist_ok=True)
     src2 = topic_source(spark, cfg_loop, cfg_loop.consumers[0], str(tmp_path / "x"), schema)
     assert [f.name for f in src2.schema.fields] == ["value"]
+
+
+def test_run_pipeline_cli(spark, tmp_path):
+    """The batch pipeline-runner front door: pipeline JSON + named
+    parquet tables -> result parquet, with $lookup resolving the other
+    named tables."""
+    import json
+
+    from route81_spark.run_pipeline import main as rp_main
+
+    sf = "/root/testdata/sf0.001"
+    pipe = [
+        {"$match": {"o_orderstatus": "F"}},
+        {
+            "$lookup": {
+                "from": "customer",
+                "localField": "o_custkey",
+                "foreignField": "c_custkey",
+                "as": "cust",
+            }
+        },
+        {"$unwind": "$cust"},
+        {
+            "$group": {
+                "_id": "$cust.c_mktsegment",
+                "n": {"$sum": 1},
+            }
+        },
+        {"$project": {"_id": 0, "segment": "$_id", "n": 1}},
+    ]
+    pfile = tmp_path / "p.json"
+    pfile.write_text(json.dumps(pipe))
+    out = tmp_path / "result"
+    rc = rp_main(
+        [
+            "--pipeline", str(pfile),
+            "--source", "orders",
+            "--tables",
+            f"orders={sf}/orders.parquet",
+            f"customer={sf}/customer.parquet",
+            "--out", str(out),
+        ]
+    )
+    assert rc == 0
+    got = spark.read.parquet(str(out))
+    assert set(got.columns) == {"segment", "n"}
+    assert got.count() == 5  # five market segments
+    assert got.agg({"n": "sum"}).first()[0] > 0
