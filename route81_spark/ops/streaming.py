@@ -203,6 +203,7 @@ def streaming_rollup(
     ts_col: str = "ts",
     value_col: str = "value",
     watermark: str = "1 hour",
+    series_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Continuous-aggregate intake (the streaming half of
     ops.temporal.rollup_time): hour-bucket partials — re-aggregable
@@ -215,22 +216,25 @@ def streaming_rollup(
     hypertable one — stream the finest grain, derive the rest in the
     periodic batch compaction via compact_rollup (count/sum re-
     aggregate exactly; avg is derived at read time)."""
+    series = list(series_cols)
     return (
         stream.withWatermark(ts_col, watermark)
         # window(), not date_trunc: only a window on the watermarked
         # column keeps the event-time tag append mode requires; its
         # start IS the hour boundary
-        .groupBy(F.window(F.col(ts_col), "1 hour").alias("__w"))
+        .groupBy(F.window(F.col(ts_col), "1 hour").alias("__w"), *series)
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.col(value_col).cast("double")).alias("total"),
         )
-        .select(F.col("__w.start").alias("bucket"), "n", "total")
+        .select(F.col("__w.start").alias("bucket"), *series, "n", "total")
     )
 
 
 def compact_rollup(
-    hourly: DataFrame, resolutions: tuple[str, ...] = ("hour", "day", "month")
+    hourly: DataFrame,
+    resolutions: tuple[str, ...] = ("hour", "day", "month"),
+    series_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Batch compaction over accumulated hour partials: derive the
     coarser buckets by re-aggregating (n, total) — NEVER rescanning the
@@ -241,12 +245,14 @@ def compact_rollup(
     order = [r for r in ("month", "day", "hour") if r in resolutions]
     if len(order) != len(resolutions):
         raise ValueError(f"resolutions must be drawn from month/day/hour: {resolutions}")
+    series = list(series_cols)
     parts = []
     for r in order:
         g = (
-            hourly.groupBy(F.date_trunc(r, F.col("bucket")).alias("bucket"))
+            hourly.groupBy(F.date_trunc(r, F.col("bucket")).alias("bucket"), *series)
             .agg(F.sum("n").alias("n"), F.sum("total").alias("total"))
             .select(
+                *series,
                 F.lit(r).alias("resolution"),
                 "bucket",
                 "n",

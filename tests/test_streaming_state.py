@@ -416,3 +416,69 @@ def test_streaming_rollup_compacts_to_batch_rollup(spark, tmp_path):
         for r in rollup_time(batch_df, "ts", "value").collect()
     }
     assert got == want
+
+
+def test_streaming_rollup_per_series(spark, tmp_path):
+    """Series-keyed streaming partials compact to the per-series batch
+    rollup."""
+    import datetime as dtm
+
+    from route81_spark.ops.streaming import compact_rollup, streaming_rollup
+    from route81_spark.ops.temporal import rollup_time
+
+    src = tmp_path / "sroll_src"
+    rows = [
+        {"event_id": i, "user_id": "a" if i % 2 else "b", "value": float(i),
+         "ts": f"2024-01-01T{i % 12:02d}:10:00"}
+        for i in range(48)
+    ]
+    rows.sort(key=lambda r: r["ts"])
+    _write_batch(src / "b1.json", rows)
+    _write_batch(
+        src / "b2.json",
+        [{"event_id": 999, "user_id": "a", "value": 0.0,
+          "ts": "2024-06-01T00:00:00"}],
+    )
+    import os as _os
+
+    _os.utime(src / "b1.json", (1_000_000, 1_000_000))
+    _os.utime(src / "b2.json", (1_000_100, 1_000_100))
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(str(src))
+    out, ckpt = tmp_path / "sroll_out", tmp_path / "sroll_ckpt"
+    q = (
+        streaming_rollup(stream, "ts", "value", series_cols=("user_id",))
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    hourly = spark.read.parquet(str(out))
+    got = {
+        (r["user_id"], r["resolution"], r["bucket"]): (r["n"], r["total"])
+        for r in compact_rollup(
+            hourly, resolutions=("hour", "day"), series_cols=("user_id",)
+        ).collect()
+    }
+    batch_df = spark.createDataFrame(
+        [(r["user_id"], dtm.datetime.fromisoformat(r["ts"]), r["value"]) for r in rows],
+        "user_id string, ts timestamp, value double",
+    )
+    want = {
+        (r["user_id"], r["resolution"], r["bucket"]): (r["n"], r["total"])
+        for r in rollup_time(
+            batch_df, "ts", "value", resolutions=("hour", "day"),
+            series_cols=("user_id",),
+        ).collect()
+    }
+    assert got == want
