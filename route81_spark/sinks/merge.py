@@ -85,13 +85,19 @@ def apply_changes(
     `changes` columns: <key>, is_delete, doc (struct matching target
     rows, keyed by <target_key>). Returns the new target state as a
     DataFrame of doc fields.
+
+    Schema drift: the reference sink is schemaless (a replace with new
+    fields just stores them, route81.go:1094-1100), so the union is
+    allowMissingColumns — documents that add fields widen the table
+    and old rows read null there; documents that drop fields store
+    null, exactly the BSON-absent reading.
     """
     if seq is not None and seq in changes.columns:
         changes = latest_per_key(changes, key=key, seq=seq)
     upserts = changes.filter(~F.col("is_delete")).select("doc.*")
     changed_keys = changes.select(F.col(key))
     kept = target.join(changed_keys, target[target_key] == changed_keys[key], "left_anti")
-    return kept.unionByName(upserts)
+    return kept.unionByName(upserts, allowMissingColumns=True)
 
 
 class KeyedParquetTable:

@@ -231,3 +231,30 @@ def test_scd2_history_versions_and_reinsert(spark):
     plan = h._jdf.queryExecution().executedPlan().toString()
     final = plan.split("== Initial Plan ==")[0]
     assert final.count("Exchange hashpartitioning") == 1
+
+
+def test_apply_changes_schema_drift(spark):
+    """The reference sink is schemaless: a replace that ADDS a field
+    widens the table (old rows read null); one that DROPS a field
+    stores null — the merge must not reject either shape."""
+    from pyspark.sql import functions as SF
+
+    target = spark.createDataFrame(
+        [("a", 1), ("b", 2)], "_id string, x int"
+    )
+    changes = spark.createDataFrame(
+        [("b", False, ("b", 20, "new")), ("c", False, ("c", 30, "brand"))],
+        "doc_id string, is_delete boolean, doc struct<_id:string,x:int,extra:string>",
+    )
+    out = apply_changes(target, changes, seq=None)
+    got = {r["_id"]: (r["x"], r["extra"]) for r in out.collect()}
+    assert got == {"a": (1, None), "b": (20, "new"), "c": (30, "brand")}
+
+    # narrower doc than target: dropped field stores null
+    narrow = spark.createDataFrame(
+        [("a", False, ("a",))],
+        "doc_id string, is_delete boolean, doc struct<_id:string>",
+    )
+    out2 = apply_changes(out, narrow, seq=None)
+    row_a = out2.filter(SF.col("_id") == "a").collect()[0]
+    assert row_a["x"] is None and row_a["extra"] is None
