@@ -44,7 +44,9 @@ BENCH_QUERIES = [
     "text_lm_nll",        # self-trained bigram-LM NLL (two corpus-wide aggs + join)
     "corpus_boilerplate", # repeated-chunk removal (chunk explode + reassembly)
     "events_asof_join",   # as-of join (union-tag + running last_value window)
+    "events_asof_sliced", # hot-key as-of ((key, slice) segmented scan)
     "events_rollup",      # hour/day/month rollup (one Expand shuffle)
+    "corpus_dataset_card",  # per-source release card (two map-side aggs)
 ]
 
 

@@ -160,3 +160,41 @@ def test_run_pipeline_cli(spark, tmp_path):
     assert set(got.columns) == {"segment", "n"}
     assert got.count() == 5  # five market segments
     assert got.agg({"n": "sum"}).first()[0] > 0
+
+
+def test_run_pipeline_cli_extension_stages(spark, tmp_path):
+    """Extension stages ($curate-family) work through the CLI runner."""
+    import json
+
+    from route81_spark.run_pipeline import main as rp_main
+
+    docs = tmp_path / "docs.parquet"
+    spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog", "web"),
+            (2, "the quick brown fox jumps over the lazy dog", "web"),  # dup
+            (3, "der hund und die katze ist das haus", "web"),          # de
+            (4, "a completely different english document with many words here", "web"),
+        ],
+        "doc_id long, text string, source string",
+    ).write.parquet(str(docs))
+    pipe = [
+        {"$dedupExact": {}},
+        {"$textAnalyze": {}},
+        {"$match": {"pred_lang": "en"}},
+        {"$project": {"doc_id": 1, "n_tokens": 1}},
+    ]
+    pfile = tmp_path / "p.json"
+    pfile.write_text(json.dumps(pipe))
+    out = tmp_path / "res"
+    rc = rp_main(
+        [
+            "--pipeline", str(pfile),
+            "--source", "docs",
+            "--tables", f"docs={docs}",
+            "--out", str(out),
+        ]
+    )
+    assert rc == 0
+    got = sorted(r["doc_id"] for r in spark.read.parquet(str(out)).collect())
+    assert got == [1, 4]  # dup 2 collapsed, German 3 filtered

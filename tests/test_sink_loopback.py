@@ -258,3 +258,48 @@ def test_apply_changes_schema_drift(spark):
     out2 = apply_changes(out, narrow, seq=None)
     row_a = out2.filter(SF.col("_id") == "a").collect()[0]
     assert row_a["x"] is None and row_a["extra"] is None
+
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_changes = st.lists(
+    st.tuples(
+        st.integers(1, 3),      # key
+        st.booleans(),          # is_delete
+        st.integers(0, 99),     # payload token
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(ch=_changes)
+def test_scd2_matches_python_replay(spark, ch):
+    """Fuzz scd2_history against a per-key python replay."""
+    from route81_spark.sinks.merge import scd2_history
+
+    rows = [
+        (str(k), i + 1, d, None if d else f"p{v}") for i, (k, d, v) in enumerate(ch)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id string, seq long, is_delete boolean, payload string"
+    )
+    got = sorted(
+        (r["doc_id"], r["valid_from"], r["valid_to"], r["payload"], r["is_current"])
+        for r in scd2_history(df).collect()
+    )
+    # reference: per key, ordered by seq; each non-delete opens a version
+    # closed by the next change of the same key
+    want = []
+    bykey: dict = {}
+    for doc_id, seq, dele, payload in rows:
+        bykey.setdefault(doc_id, []).append((seq, dele, payload))
+    for doc_id, evs in bykey.items():
+        evs.sort()
+        for i, (seq, dele, payload) in enumerate(evs):
+            if dele:
+                continue
+            nxt = evs[i + 1][0] if i + 1 < len(evs) else None
+            want.append((doc_id, seq, nxt, payload, nxt is None))
+    assert got == sorted(want)
