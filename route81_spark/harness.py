@@ -4929,6 +4929,50 @@ def events_rollup_series(spark, sf_dir):
     )
 
 
+_BM25_TERMS = ["join", "vector", "scan"]
+_BM25_ORACLE = f"""
+    WITH s AS (
+      SELECT doc_id, {_TOKS} AS tk FROM documents
+    ),
+    c AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             avg(CAST(len(tk) AS DOUBLE)) AS avgdl
+      FROM s
+    ),
+    d AS (
+      SELECT
+        {", ".join(f"(SELECT CAST(count(*) AS DOUBLE) FROM s WHERE list_contains(tk, '{t}')) AS df{i}" for i, t in enumerate(_BM25_TERMS))}
+    )
+    SELECT doc_id,
+           {det_round_sql(" + ".join(
+               f"(ln(1 + (c.n - d.df{i} + 0.5) / (d.df{i} + 0.5))"
+               f" * (CAST(len(list_filter(tk, x -> x = '{t}')) AS DOUBLE) * 2.2)"
+               f" / (CAST(len(list_filter(tk, x -> x = '{t}')) AS DOUBLE)"
+               f"    + 1.2 * (0.25 + 0.75 * CAST(len(tk) AS DOUBLE) / c.avgdl)))"
+               for i, t in enumerate(_BM25_TERMS)), 6)} AS bm25
+    FROM s, c, d
+    ORDER BY bm25 DESC, doc_id ASC LIMIT 25
+"""
+
+
+@_q("text_bm25", _BM25_ORACLE)
+def text_bm25(spark, sf_dir):
+    """Okapi BM25 top-25 for a fixed bag-of-terms query: corpus model
+    constants (N, avgdl, per-term df) fold into one per-row scoring
+    expression — zero scoring shuffle, TakeOrderedAndProject top-k.
+    The fold is left-associative in both engines so the float sum
+    order matches the oracle exactly."""
+    from route81_spark.ops.corpus import bm25_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = bm25_scores(docs, _BM25_TERMS)
+    return (
+        scored.select("doc_id", "bm25")
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(25)
+    )
+
+
 @_q(
     "corpus_dataset_card",
     f"""

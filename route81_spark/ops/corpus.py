@@ -796,6 +796,68 @@ def write_training_shards(
     writer.format(file_format).save(path)
 
 
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Okapi BM25 relevance of every document to a bag-of-terms query —
+    the classic retrieval scorer, exact formula:
+
+        score = sum_t idf(t) * tf_t*(k1+1) / (tf_t + k1*(1-b+b*dl/avgdl))
+        idf(t) = ln(1 + (N - df_t + 0.5)/(df_t + 0.5))
+
+    100 TB shape: the corpus model constants (N, avgdl, and df per
+    query term) come from two tiny aggregations — |query| rows collected
+    (query-sized by definition, like the tf-idf doc count) — and fold
+    into ONE per-row scoring expression over a single bound token
+    array. Scoring shuffles NOTHING; only a caller's top-k ships rows.
+    """
+    import math
+
+    from route81_spark.io import ensure_parallelism
+    from route81_spark.ops.text import tokens
+
+    qt = [str(t) for t in query_terms]
+    if not qt:
+        raise ValueError("bm25_scores needs at least one query term")
+    stats = df.select(F.size(tokens(F.col(text_col))).alias("__dl")).agg(
+        F.count(F.lit(1)).alias("n"), F.avg("__dl").alias("avgdl")
+    ).first()
+    n_docs, avgdl = int(stats["n"]), float(stats["avgdl"])
+    dfreq = {
+        r["t"]: int(r["c"])
+        for r in (
+            df.select(
+                F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("t")
+            )
+            .filter(F.col("t").isin(qt))
+            .groupBy("t")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+    }
+    idf = {
+        t: math.log(1.0 + (n_docs - dfreq.get(t, 0) + 0.5) / (dfreq.get(t, 0) + 0.5))
+        for t in qt
+    }
+
+    scored = ensure_parallelism(df).withColumn("__tk", tokens(F.col(text_col)))
+    dl = F.size(F.col("__tk")).cast("double")
+    norm = F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl / F.lit(avgdl))
+    score = None
+    for t in qt:  # fixed left-assoc fold: identical fp order in the oracle
+        tf = F.size(F.filter(F.col("__tk"), lambda x: x == F.lit(t))).cast("double")
+        term = F.lit(idf[t]) * (tf * F.lit(k1 + 1.0)) / (tf + norm)
+        score = term if score is None else score + term
+    from route81_spark.ops.util import det_round
+
+    return scored.withColumn("bm25", det_round(score, 6)).drop("__tk")
+
+
 def approx_distinct_by(
     df: DataFrame,
     group_col: str,

@@ -1162,3 +1162,29 @@ def test_approx_distinct_error_bounded(spark):
         .executedPlan().toString().split("== Initial Plan ==")[0]
     )
     assert plan.count("Exchange hashpartitioning") == 1 and "partial_" in plan
+
+
+def test_bm25_ranking_properties(spark):
+    from route81_spark.ops.corpus import bm25_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "join join join filler filler"),       # high tf of query term
+            (2, "join filler filler filler filler"),   # one hit
+            (3, "filler filler filler filler filler"), # no hits
+            (4, "rare filler filler filler filler"),   # hits the rare term
+        ]
+        + [(10 + i, "join common words here now") for i in range(6)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["bm25"] for r in bm25_scores(docs, ["join", "rare"]).collect()}
+    # more tf -> higher score; zero hits -> zero
+    assert out[1] > out[2] > out[3] == 0.0
+    # 'rare' appears in 1 doc, 'join' in 8: one rare hit out-scores one common hit
+    assert out[4] > out[2]
+    # zero scoring shuffle
+    plan = (
+        bm25_scores(docs, ["join"])._jdf.queryExecution().executedPlan()
+        .toString().split("== Initial Plan ==")[0]
+    )
+    assert "Exchange hashpartitioning" not in plan
