@@ -4929,6 +4929,33 @@ def events_rollup_series(spark, sf_dir):
     )
 
 
+@_q(
+    "dedup_edit_distance",
+    f"""
+    WITH {_PAIRS_SQL}
+    SELECT p.id_a, p.id_b,
+           CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist,
+           {det_round_sql(
+               "CAST(levenshtein(a.text, b.text) AS DOUBLE)"
+               " / greatest(length(a.text), length(b.text))", 6)} AS norm_dist
+    FROM pairs p
+    JOIN documents a ON a.doc_id = p.id_a
+    JOIN documents b ON b.doc_id = p.id_b
+    WHERE CAST(levenshtein(a.text, b.text) AS DOUBLE)
+          / greatest(length(a.text), length(b.text)) <= 0.2
+    """,
+)
+def dedup_edit_distance(spark, sf_dir):
+    """Character-level near-dup verification: LSH candidates scored by
+    exact Levenshtein distance (built-in, JVM-side both engines) and
+    kept under 20% normalized edit distance — the verifier of choice
+    for short/near-identical texts where shingle Jaccard is coarse.
+    The O(len^2) DP runs only on candidate pairs, never corpus-wide."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.lsh_candidates(docs, k=8, bands=2)
+    return D.edit_distance_pairs(docs, pairs, max_norm=0.2)
+
+
 _BM25_TERMS = ["join", "vector", "scan"]
 _BM25_ORACLE = f"""
     WITH s AS (

@@ -685,3 +685,47 @@ def near_dup_clusters(
         # (intermediate) labels or raising
         labels = _star_components(edges_ck, ck)
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_norm: float = 1.0,
+) -> DataFrame:
+    """Score candidate pairs with exact Levenshtein edit distance — the
+    right verifier where shingle Jaccard is too coarse (short texts,
+    titles, near-identical docs differing by character edits). Built-in
+    levenshtein() on both engines, so this stays JVM-side and
+    oracle-checkable.
+
+    Returns (id_a, id_b, dist, norm_dist) with norm_dist = dist /
+    max(len_a, len_b), filtered to norm_dist <= max_norm. Scale shape:
+    identical to the Jaccard verifier — texts join onto the (tiny)
+    candidate-pair set, never pairwise over the corpus; O(len^2) DP cost
+    is paid only on candidate pairs."""
+    docs = df.select(F.col(id_col), F.col(text_col))
+    a = docs.select(
+        F.col(id_col).alias("id_a"), F.col(text_col).alias("__ta")
+    )
+    b = docs.select(
+        F.col(id_col).alias("id_b"), F.col(text_col).alias("__tb")
+    )
+    joined = pairs.select("id_a", "id_b").join(a, "id_a").join(b, "id_b")
+    dist = F.levenshtein(F.col("__ta"), F.col("__tb"))
+    denom = F.greatest(F.length("__ta"), F.length("__tb"))
+    norm = F.when(denom > 0, dist.cast("double") / denom.cast("double")).otherwise(
+        F.lit(0.0)
+    )
+    from route81_spark.ops.util import det_round
+
+    return (
+        joined.select(
+            "id_a",
+            "id_b",
+            dist.cast("long").alias("dist"),
+            det_round(norm, 6).alias("norm_dist"),
+        )
+        .filter(F.col("norm_dist") <= max_norm)
+    )

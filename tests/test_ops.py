@@ -1188,3 +1188,27 @@ def test_bm25_ranking_properties(spark):
         .toString().split("== Initial Plan ==")[0]
     )
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_edit_distance_pairs_basics(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "hello world"),
+            (2, "hello worlds"),   # 1 edit
+            (3, "totally different text"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4)], "id_a long, id_b long"
+    )
+    out = {(r["id_a"], r["id_b"]): r for r in
+           D.edit_distance_pairs(docs, pairs, max_norm=1.0).collect()}
+    assert out[(1, 2)]["dist"] == 1
+    assert abs(out[(1, 2)]["norm_dist"] - 1 / 12) < 1e-6
+    assert out[(1, 4)]["dist"] == 11  # vs empty: all inserts
+    # threshold prunes the far pair
+    kept = {(r["id_a"], r["id_b"]) for r in
+            D.edit_distance_pairs(docs, pairs, max_norm=0.2).collect()}
+    assert kept == {(1, 2)}
