@@ -4956,6 +4956,31 @@ def dedup_edit_distance(spark, sf_dir):
     return D.edit_distance_pairs(docs, pairs, max_norm=0.2)
 
 
+@_q(
+    "text_phrase_search",
+    f"""
+    WITH s AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    idx AS (
+      SELECT doc_id, tk[t.p + 1] AS term, t.p AS pos
+      FROM s, unnest(range(len(tk))) AS t(p)
+    )
+    SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_occurrences
+    FROM idx a
+    JOIN idx b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+    WHERE a.term = 'table' AND b.term = 'part'
+    GROUP BY a.doc_id
+    """,
+)
+def text_phrase_search(spark, sf_dir):
+    """Exact phrase match ('table part') via the positional inverted
+    index: per-term posting filters + consecutive-position equi-joins —
+    term-selective, no LIKE scan (which also false-matches inside
+    longer tokens)."""
+    from route81_spark.ops.text import phrase_search
+
+    return phrase_search(_t(spark, sf_dir, "documents"), ["table", "part"])
+
+
 _BM25_TERMS = ["join", "vector", "scan"]
 _BM25_ORACLE = f"""
     WITH s AS (

@@ -453,3 +453,50 @@ def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
         lang_id(c).alias("pred_lang"),
         fingerprint(c).alias("fp"),
     )
+
+
+def inverted_index(
+    df: "DataFrame", text_col: str = "text", id_col: str = "doc_id"
+) -> "DataFrame":
+    """Positional inverted index: one row per token occurrence —
+    (term, doc_id, pos). The standard retrieval structure: term-keyed,
+    so a term filter prunes to that term's postings before any join.
+    At scale, write this partitioned/bucketed by term so a query reads
+    one term's postings, not the corpus."""
+    from route81_spark.io import ensure_parallelism
+
+    return ensure_parallelism(df.select(id_col, text_col)).select(
+        F.col(id_col),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "term"),
+    ).select("term", id_col, "pos")
+
+
+def phrase_search(
+    df: "DataFrame",
+    phrase: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "DataFrame":
+    """Exact phrase match via the positional index: occurrences where
+    the phrase's terms appear at consecutive token positions. Returns
+    (doc_id, n_occurrences).
+
+    Scale shape: each term filters the index to ITS postings first
+    (term-selective scans), then consecutive-position equi-joins chain
+    on (doc_id, pos) — the joined sets are per-term posting lists, a
+    vanishing corpus fraction for selective phrases. Never a LIKE scan
+    over full text (which also false-matches inside longer tokens)."""
+    terms = [str(t) for t in phrase]
+    if not terms:
+        raise ValueError("phrase_search needs at least one term")
+    idx = inverted_index(df, text_col, id_col)
+    cur = (
+        idx.filter(F.col("term") == terms[0])
+        .select(F.col(id_col), F.col("pos").alias("__p0"))
+    )
+    for i, t in enumerate(terms[1:], start=1):
+        nxt = idx.filter(F.col("term") == t).select(
+            F.col(id_col), (F.col("pos") - i).alias("__p0")
+        )
+        cur = cur.join(nxt, [id_col, "__p0"])
+    return cur.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_occurrences"))

@@ -1212,3 +1212,24 @@ def test_edit_distance_pairs_basics(spark):
     kept = {(r["id_a"], r["id_b"]) for r in
             D.edit_distance_pairs(docs, pairs, max_norm=0.2).collect()}
     assert kept == {(1, 2)}
+
+
+def test_phrase_search_exact_positions(spark):
+    from route81_spark.ops.text import phrase_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "big data small data big data"),   # "big data" x2
+            (2, "data big"),                       # reversed -> no
+            (3, "big database"),                   # token boundary -> no
+            (4, "the big data pipeline"),          # x1
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["n_occurrences"] for r in
+           phrase_search(docs, ["big", "data"]).collect()}
+    assert out == {1: 2, 4: 1}
+    # three-term chain
+    out3 = {r["doc_id"]: r["n_occurrences"] for r in
+            phrase_search(docs, ["big", "data", "pipeline"]).collect()}
+    assert out3 == {4: 1}
