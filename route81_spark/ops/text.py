@@ -500,3 +500,38 @@ def phrase_search(
         )
         cur = cur.join(nxt, [id_col, "__p0"])
     return cur.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_occurrences"))
+
+
+def compression_ratio(
+    df: "DataFrame", text_col: str = "text", id_col: str = "doc_id"
+) -> "DataFrame":
+    """Deflate compression ratio per document — the classic cheap
+    redundancy signal (highly repetitive/boilerplate text compresses
+    far below ~0.4; natural prose sits higher). zlib level is pinned so
+    the ratio is deterministic across runs/executors.
+
+    The ONE Arrow-batched op in this module: compression needs real
+    bytes, so it runs in mapInPandas (vectorized batches, text never
+    shuffles — derive the signal before any wide transform, like the
+    multimodal features)."""
+    import zlib
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    sel = df.select(id_col, text_col)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ratios, sizes = [], []
+            for t in pdf[text_col]:
+                raw = (t or "").encode("utf-8")
+                sizes.append(len(raw))
+                ratios.append(
+                    len(zlib.compress(raw, 6)) / len(raw) if raw else 1.0
+                )
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "n_bytes": sizes, "deflate_ratio": ratios}
+            )
+
+    return sel.mapInPandas(run, schema=f"{id_col} long, n_bytes long, deflate_ratio double")

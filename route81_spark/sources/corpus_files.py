@@ -103,3 +103,52 @@ def ingest_stats(df: DataFrame) -> dict:
         "corrupt": int(row["corrupt"]),
         "parsed": int(row["total"] - row["corrupt"]),
     }
+
+
+def read_csv_corpus(
+    spark: SparkSession,
+    path: str,
+    doc_schema: T.StructType,
+    header: bool = True,
+    sep: str = ",",
+) -> DataFrame:
+    """CSV corpus read with the same corrupt-record contract as the
+    JSONL reader: declared schema (never inferred), malformed rows
+    surfaced whole in `_corrupt` with document fields null.
+
+    Built as text + from_csv (like the JSONL reader) so corrupt-side
+    projections stay legal — the native CSV source forbids queries
+    whose pruned schema is only the corrupt column. Quoting/escaped
+    separators within a line are handled by from_csv; MULTILINE quoted
+    fields are not — deliberately: multiline CSV defeats file
+    splitting (one task per file at 100 TB), so corpora should not
+    ship that way. Header lines (exact schema header, any file) are
+    dropped when header=True."""
+    if CORRUPT_COL in doc_schema.fieldNames():
+        raise ValueError(f"doc_schema must not define {CORRUPT_COL!r}")
+    parse_schema = T.StructType(
+        list(doc_schema.fields) + [T.StructField(CORRUPT_COL, T.StringType())]
+    )
+    lines = spark.read.text(path).filter(F.trim(F.col("value")) != "")
+    if header:
+        header_line = sep.join(f.name for f in doc_schema.fields)
+        lines = lines.filter(F.col("value") != header_line)
+    parsed = lines.select(
+        F.col("value"),
+        F.from_csv(
+            F.col("value"),
+            parse_schema.simpleString(),
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL, "sep": sep},
+        ).alias("__doc"),
+    )
+    corrupt = F.when(
+        F.col("__doc").isNull() | F.col(f"__doc.{CORRUPT_COL}").isNotNull(),
+        F.col("value"),
+    )
+    return parsed.select(
+        *[
+            F.when(corrupt.isNull(), F.col(f"__doc.{f.name}")).alias(f.name)
+            for f in doc_schema.fields
+        ],
+        corrupt.alias(CORRUPT_COL),
+    )

@@ -1233,3 +1233,59 @@ def test_phrase_search_exact_positions(spark):
     out3 = {r["doc_id"]: r["n_occurrences"] for r in
             phrase_search(docs, ["big", "data", "pipeline"]).collect()}
     assert out3 == {4: 1}
+
+
+def test_csv_corpus_ingest_with_corrupt_rows(spark, tmp_path):
+    from pyspark.sql import types as TT
+
+    from route81_spark.sources.corpus_files import (
+        ingest_stats, read_csv_corpus, split_corrupt,
+    )
+
+    p = tmp_path / "c.csv"
+    p.write_text(
+        "doc_id,text,n\n"
+        '1,"hello, world",10\n'
+        "2,plain text,20\n"
+        "3,broken,notanint\n"      # type failure -> corrupt
+        "4,final row,40\n"
+    )
+    schema = TT.StructType(
+        [
+            TT.StructField("doc_id", TT.LongType()),
+            TT.StructField("text", TT.StringType()),
+            TT.StructField("n", TT.IntegerType()),
+        ]
+    )
+    df = read_csv_corpus(spark, str(p), schema).withColumn(
+        "__", F.lit(1)
+    ).drop("__")
+    good, bad = split_corrupt(df)
+    g = {r["doc_id"]: (r["text"], r["n"]) for r in good.collect()}
+    assert g[1] == ("hello, world", 10)   # quoted comma survives
+    assert g[2] == ("plain text", 20)
+    assert 3 not in g
+    raws = [r["raw"] for r in bad.collect()]
+    assert len(raws) == 1 and "notanint" in raws[0]
+    stats = ingest_stats(df)
+    assert stats["corrupt"] == 1 and stats["parsed"] >= 3
+
+
+def test_compression_ratio_orders_redundancy(spark):
+    from route81_spark.ops.text import compression_ratio
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam " * 400),                      # highly repetitive
+            (2, "the quick brown fox jumps over the lazy dog " * 10),
+            (3, ""),                                  # empty -> ratio 1.0
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in compression_ratio(docs).collect()}
+    assert out[1]["deflate_ratio"] < out[2]["deflate_ratio"] < 1.0
+    assert out[1]["deflate_ratio"] < 0.1   # boilerplate compresses away
+    assert out[3]["deflate_ratio"] == 1.0 and out[3]["n_bytes"] == 0
+    # deterministic across runs
+    again = {r["doc_id"]: r["deflate_ratio"] for r in compression_ratio(docs).collect()}
+    assert again == {k: v["deflate_ratio"] for k, v in out.items()}
