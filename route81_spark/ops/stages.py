@@ -305,6 +305,32 @@ def _weighted_sample(df: DataFrame, arg: dict) -> DataFrame:
     )
 
 
+def _bm25(df: DataFrame, arg: dict) -> DataFrame:
+    from route81_spark.ops.corpus import bm25_scores
+
+    return bm25_scores(
+        df,
+        query_terms=list(arg["terms"]),
+        k1=float(arg.get("k1", 1.2)),
+        b=float(arg.get("b", 0.75)),
+        text_col=arg.get("textField", "text"),
+        id_col=arg.get("idField", "doc_id"),
+    )
+
+
+def _phrase_search(df: DataFrame, arg: dict) -> DataFrame:
+    from route81_spark.ops.text import phrase_search
+
+    return phrase_search(
+        df,
+        phrase=list(arg["phrase"]),
+        text_col=arg.get("textField", "text"),
+        id_col=arg.get("idField", "doc_id"),
+    )
+
+
 register_stage("$asofJoin", _asof_join_stage)
 register_stage("$rangeJoin", _range_join_stage)
 register_stage("$weightedSample", _weighted_sample)
+register_stage("$bm25", _bm25)
+register_stage("$phraseSearch", _phrase_search)

@@ -586,3 +586,20 @@ def test_weighted_sample_stage(spark):
         df, [{"$weightedSample": {"weightField": "w", "k": 10}}]
     ).collect()
     assert len(out) == 10
+
+
+def test_bm25_and_phrase_stages(spark):
+    from route81_spark.pipeline import apply_pipeline
+
+    docs = spark.createDataFrame(
+        [(1, "big data systems"), (2, "data big"), (3, "small files")],
+        "doc_id long, text string",
+    )
+    scored = apply_pipeline(docs, [{"$bm25": {"terms": ["data"]}}]).collect()
+    by_id = {r["doc_id"]: r["bm25"] for r in scored}
+    assert by_id[1] > 0 and by_id[2] > 0 and by_id[3] == 0.0
+
+    hits = apply_pipeline(
+        docs, [{"$phraseSearch": {"phrase": ["big", "data"]}}]
+    ).collect()
+    assert {r["doc_id"] for r in hits} == {1}
