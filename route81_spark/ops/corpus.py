@@ -824,22 +824,28 @@ def bm25_scores(
     qt = [str(t) for t in query_terms]
     if not qt:
         raise ValueError("bm25_scores needs at least one query term")
-    stats = df.select(F.size(tokens(F.col(text_col))).alias("__dl")).agg(
-        F.count(F.lit(1)).alias("n"), F.avg("__dl").alias("avgdl")
-    ).first()
-    n_docs, avgdl = int(stats["n"]), float(stats["avgdl"])
-    dfreq = {
-        r["t"]: int(r["c"])
-        for r in (
-            df.select(
-                F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("t")
-            )
-            .filter(F.col("t").isin(qt))
-            .groupBy("t")
-            .agg(F.count(F.lit(1)).alias("c"))
-            .collect()
+    # ONE corpus pass builds the whole model: doc count, avg length, and
+    # every query term's document frequency ride the same aggregation
+    # (the corpus tokenizes once, not once per statistic)
+    stats = (
+        df.select(tokens(F.col(text_col)).alias("__tk"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg(F.size("__tk")).alias("avgdl"),
+            *[
+                F.sum(F.array_contains("__tk", t).cast("long")).alias(f"__df{i}")
+                for i, t in enumerate(qt)
+            ],
         )
-    }
+        .first()
+    )
+    n_docs = int(stats["n"])
+    if n_docs == 0:
+        raise ValueError("bm25_scores: empty corpus (no documents to model)")
+    # all-empty docs give avgdl == 0; every tf is 0 then, so any positive
+    # avgdl yields the same (all-zero) scores without a DIVIDE_BY_ZERO
+    avgdl = float(stats["avgdl"] or 0.0) or 1.0
+    dfreq = {t: int(stats[f"__df{i}"] or 0) for i, t in enumerate(qt)}
     idf = {
         t: math.log(1.0 + (n_docs - dfreq.get(t, 0) + 0.5) / (dfreq.get(t, 0) + 0.5))
         for t in qt

@@ -124,11 +124,17 @@ def compact_small_files(
     )
     n = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
     tmp = tempfile.mkdtemp(dir=os.path.dirname(os.path.abspath(path)))
+    swap = path.rstrip("/") + ".__old__"
     try:
         df.coalesce(n).write.format(fmt).mode("overwrite").save(tmp)
-        swap = path.rstrip("/") + ".__old__"
         os.rename(path, swap)
-        os.rename(tmp, path)
+        try:
+            os.rename(tmp, path)
+        except BaseException:
+            # restore the original directory before surfacing the error:
+            # readers must never find `path` missing
+            os.rename(swap, path)
+            raise
         shutil.rmtree(swap)
     except BaseException:
         shutil.rmtree(tmp, ignore_errors=True)

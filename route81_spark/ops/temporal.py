@@ -47,6 +47,61 @@ def _as_seconds(c: Column, dtype: T.DataType) -> Column:
     return c.cast("double")
 
 
+def _tag_union(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    left_ts: str,
+    right_ts: str,
+    suffix: str,
+    extra_cols=None,
+):
+    """Shared as-of machinery: tag right rows (side 0, payload struct)
+    and left rows (side 1, null payload of the same type), union them.
+    Returns (unioned, right_tagged, payload_cols, out_names).
+    ``extra_cols`` maps name -> fn(ts_col, dtype) for derived columns
+    that must exist on both sides (e.g. the time slice)."""
+    payload_cols = [c for c in right.columns if c not in keys]
+    out_names = {c: (c + suffix if c in left.columns else c) for c in payload_cols}
+
+    payload = F.struct(
+        *[F.col(c).alias(out_names[c]) for c in payload_cols],
+        F.col(right_ts).alias("__rts"),
+    )
+    extra_cols = extra_cols or {}
+    r = right.select(
+        *keys,
+        F.col(right_ts).alias("__ts"),
+        *[
+            fn(F.col(right_ts), right.schema[right_ts].dataType).alias(name)
+            for name, fn in extra_cols.items()
+        ],
+        F.lit(0).alias("__side"),
+        payload.alias("__pay"),
+    )
+    lpay_t = "struct<" + ",".join(
+        f"`{out_names[c]}`:{right.schema[c].dataType.simpleString()}" for c in payload_cols
+    ) + f",`__rts`:{right.schema[right_ts].dataType.simpleString()}>"
+    l = left.select(
+        "*",
+        F.col(left_ts).alias("__ts"),
+        *[
+            fn(F.col(left_ts), left.schema[left_ts].dataType).alias(name)
+            for name, fn in extra_cols.items()
+        ],
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(lpay_t).alias("__pay"),
+    )
+    return l.unionByName(r, allowMissingColumns=True), r, payload_cols, out_names
+
+
+def _extract_match(out: DataFrame, left_cols: list[str], payload_cols, out_names) -> DataFrame:
+    return out.select(
+        *left_cols,
+        *[F.col(f"__m.`{out_names[c]}`").alias(out_names[c]) for c in payload_cols],
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -76,24 +131,9 @@ def asof_join(
     upstream if that ever dominates.
     """
     keys = [on] if isinstance(on, str) else list(on)
-    payload_cols = [c for c in right.columns if c not in keys]
-    out_names = {c: (c + suffix if c in left.columns else c) for c in payload_cols}
-
-    payload = F.struct(
-        *[F.col(c).alias(out_names[c]) for c in payload_cols],
-        F.col(right_ts).alias("__rts"),
+    unioned, _, payload_cols, out_names = _tag_union(
+        left, right, keys, left_ts, right_ts, suffix
     )
-    r = right.select(*keys, F.col(right_ts).alias("__ts"), F.lit(0).alias("__side"),
-                     payload.alias("__pay"))
-    lpay_t = "struct<" + ",".join(
-        f"`{out_names[c]}`:{right.schema[c].dataType.simpleString()}" for c in payload_cols
-    ) + f",`__rts`:{right.schema[right_ts].dataType.simpleString()}>"
-    l = left.select(
-        "*", F.col(left_ts).alias("__ts"), F.lit(1).alias("__side"),
-        F.lit(None).cast(lpay_t).alias("__pay"),
-    )
-    unioned = l.unionByName(r, allowMissingColumns=True)
-
     w = (
         Window.partitionBy(*keys)
         .orderBy(F.col("__ts").asc(), F.col("__side").asc())
@@ -107,10 +147,7 @@ def asof_join(
             - _as_seconds(F.col("__m.__rts"), right.schema[right_ts].dataType)
         ) <= F.lit(float(tolerance_s))
         out = out.withColumn("__m", F.when(in_tol, F.col("__m")))
-    keep = [c for c in left.columns]
-    return out.select(
-        *keep, *[F.col(f"__m.`{out_names[c]}`").alias(out_names[c]) for c in payload_cols]
-    )
+    return _extract_match(out, list(left.columns), payload_cols, out_names)
 
 
 def asof_join_sliced(
@@ -150,34 +187,14 @@ def asof_join_sliced(
     for ordinary keys, this for the hot ones.
     """
     keys = [on] if isinstance(on, str) else list(on)
-    payload_cols = [c for c in right.columns if c not in keys]
-    out_names = {c: (c + suffix if c in left.columns else c) for c in payload_cols}
 
     def slice_of(c: Column, dtype: T.DataType) -> Column:
         return F.floor(_as_seconds(c, dtype) / F.lit(int(slice_s))).cast("long")
 
-    payload = F.struct(
-        *[F.col(c).alias(out_names[c]) for c in payload_cols],
-        F.col(right_ts).alias("__rts"),
+    unioned, r, payload_cols, out_names = _tag_union(
+        left, right, keys, left_ts, right_ts, suffix,
+        extra_cols={"__slice": slice_of},
     )
-    r = right.select(
-        *keys,
-        F.col(right_ts).alias("__ts"),
-        slice_of(F.col(right_ts), right.schema[right_ts].dataType).alias("__slice"),
-        F.lit(0).alias("__side"),
-        payload.alias("__pay"),
-    )
-    lpay_t = "struct<" + ",".join(
-        f"`{out_names[c]}`:{right.schema[c].dataType.simpleString()}" for c in payload_cols
-    ) + f",`__rts`:{right.schema[right_ts].dataType.simpleString()}>"
-    l = left.select(
-        "*",
-        F.col(left_ts).alias("__ts"),
-        slice_of(F.col(left_ts), left.schema[left_ts].dataType).alias("__slice"),
-        F.lit(1).alias("__side"),
-        F.lit(None).cast(lpay_t).alias("__pay"),
-    )
-    unioned = l.unionByName(r, allowMissingColumns=True)
 
     # pass 1: heavy scan, evenly partitioned by (key, slice)
     w_slice = (
@@ -208,10 +225,7 @@ def asof_join_sliced(
         .join(carry, [*keys, "__slice"], "left")
         .withColumn("__m", F.coalesce(F.col("__m"), F.col("__carry")))
     )
-    keep = [c for c in left.columns]
-    return out.select(
-        *keep, *[F.col(f"__m.`{out_names[c]}`").alias(out_names[c]) for c in payload_cols]
-    )
+    return _extract_match(out, list(left.columns), payload_cols, out_names)
 
 
 def asof_join_static(

@@ -55,11 +55,12 @@ def salted_join(
     from pyspark.sql import DataFrame, functions as F
 
     assert isinstance(big, DataFrame) and isinstance(small, DataFrame)
+    # pmod, not abs(...)%: abs(Integer.MIN_VALUE) overflows (aborts the
+    # job under ANSI; stays negative otherwise, silently dropping the
+    # row from the inner join for non-power-of-two salt)
     big_salted = big.withColumn(
         "__salt",
-        (
-            F.abs(F.hash(*[F.col(c) for c in big.columns])) % F.lit(salt)
-        ).cast("int"),
+        F.pmod(F.hash(*[F.col(c) for c in big.columns]), F.lit(salt)).cast("int"),
     )
     small_rep = small.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))

@@ -24,6 +24,7 @@ import json
 import sys
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def run(
@@ -36,7 +37,10 @@ def run(
     from route81_spark.io import load_path
     from route81_spark.pipeline import apply_pipeline, compiler
 
-    loaded = {name: load_path(spark, path) for name, path in tables.items()}
+    # pass the LOGICAL name: the TIMESTAMP(NANOS) workaround keys off
+    # it, and a snapshot path like events_backup.parquet must still get
+    # the events treatment
+    loaded = {name: load_path(spark, path, name=name) for name, path in tables.items()}
     if source not in loaded:
         raise SystemExit(f"--source {source!r} is not among --tables {sorted(loaded)}")
 
@@ -81,12 +85,21 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark("route81_spark_run_pipeline")
     out = run(spark, pipeline, args.source, tables)
     if args.out:
-        out.write.mode("overwrite").parquet(args.out)
-        n = spark.read.parquet(args.out).count()
-        print(json.dumps({"rows": n, "out": args.out}))
+        # observe() rides the write job — no second pass over the result
+        from pyspark.sql import Observation
+
+        obs = Observation("run_pipeline")
+        out.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(
+            "overwrite"
+        ).parquet(args.out)
+        print(json.dumps({"rows": int(obs.get["rows"]), "out": args.out}))
     else:
-        out.show(args.show, truncate=False)
-        print(json.dumps({"rows": out.count()}))
+        out = out.persist()  # show + count share one execution
+        try:
+            out.show(args.show, truncate=False)
+            print(json.dumps({"rows": out.count()}))
+        finally:
+            out.unpersist()
     return 0
 
 

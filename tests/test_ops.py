@@ -1289,3 +1289,14 @@ def test_compression_ratio_orders_redundancy(spark):
     # deterministic across runs
     again = {r["doc_id"]: r["deflate_ratio"] for r in compression_ratio(docs).collect()}
     assert again == {k: v["deflate_ratio"] for k, v in out.items()}
+
+
+def test_bm25_degenerate_inputs(spark):
+    from route81_spark.ops.corpus import bm25_scores
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    with pytest.raises(ValueError, match="empty corpus"):
+        bm25_scores(empty, ["x"])
+    blank = spark.createDataFrame([(1, ""), (2, " ")], "doc_id long, text string")
+    out = bm25_scores(blank, ["x"]).collect()  # avgdl==0 must not divide-by-zero
+    assert all(r["bm25"] == 0.0 for r in out)
