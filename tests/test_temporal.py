@@ -475,3 +475,38 @@ def test_asof_sliced_partitions_by_slice(spark, quotes):
 
     windows = re.findall(r"Window .*?windowspecdefinition\(([^)]*)\)", plan)
     assert any("__slice" in w for w in windows), plan
+
+
+def test_range_join_stream_static(spark, tmp_path):
+    """The bucketed range join is a plain equi-join + filter, so it
+    runs stream-static natively: a stream of points against a static
+    interval table."""
+    import json
+
+    iv = spark.createDataFrame(
+        [(7, 1, _ts("2024-01-01 10:00:00"), _ts("2024-01-01 11:00:00"))],
+        "iv_id int, key int, start timestamp, end timestamp",
+    )
+    src = tmp_path / "rj_src"
+    src.mkdir()
+    rows = [
+        {"key": 1, "ts": "2024-01-01T10:30:00"},   # inside
+        {"key": 1, "ts": "2024-01-01T12:00:00"},   # outside
+        {"key": 2, "ts": "2024-01-01T10:30:00"},   # wrong key
+    ]
+    (src / "b1.json").write_text("\n".join(json.dumps(r) for r in rows))
+    stream = spark.readStream.schema("key int, ts timestamp").json(str(src))
+    out, ckpt = tmp_path / "rj_out", tmp_path / "rj_ckpt"
+    q = (
+        range_join(stream, iv, on="key", bucket_s=600)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(str(out)).collect()
+    assert len(got) == 1 and got[0]["iv_id"] == 7
+    assert got[0]["ts"] == _ts("2024-01-01 10:30:00")
