@@ -729,3 +729,36 @@ def edit_distance_pairs(
         )
         .filter(F.col("norm_dist") <= max_norm)
     )
+
+
+def cluster_representatives(
+    df: DataFrame,
+    clusters: DataFrame,
+    score: Column,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pick each near-dup cluster's KEEPER by a caller-supplied score
+    (highest wins; ties break to min id for rerun determinism) instead
+    of near_dedup's min-id policy — the knob curation pipelines want:
+    keep the highest-quality / longest / most-recent copy, drop the
+    rest.
+
+    `clusters` is near_dup_clusters' (doc_id, cluster_id) output —
+    rows NOT in any cluster are untouched survivors. One max_by agg on
+    the (tiny) cluster table + a broadcast anti-join of the losers:
+    the corpus itself never shuffles."""
+    scored = df.select(F.col(id_col), score.alias("__score"))
+    members = clusters.select(
+        F.col("doc_id").alias(id_col), "cluster_id"
+    ).join(scored, id_col)
+    keepers = members.groupBy("cluster_id").agg(
+        F.max_by(
+            F.col(id_col), F.struct(F.col("__score"), -F.col(id_col))
+        ).alias("__keep")
+    )
+    losers = (
+        members.join(keepers, "cluster_id")
+        .filter(F.col(id_col) != F.col("__keep"))
+        .select(id_col)
+    )
+    return df.join(F.broadcast(losers), id_col, "left_anti")

@@ -1300,3 +1300,22 @@ def test_bm25_degenerate_inputs(spark):
     blank = spark.createDataFrame([(1, ""), (2, " ")], "doc_id long, text string")
     out = bm25_scores(blank, ["x"]).collect()  # avgdl==0 must not divide-by-zero
     assert all(r["bm25"] == 0.0 for r in out)
+
+
+def test_cluster_representatives_keep_best(spark):
+    from route81_spark.ops.dedup import cluster_representatives, near_dup_clusters
+
+    docs = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.9), (4, 0.5), (5, 0.1)],
+        "doc_id long, quality double",
+    )
+    # cluster A = {1,2,3}, cluster B = {4}; 5 unclustered
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    clusters = near_dup_clusters(pairs)
+    kept = sorted(
+        r["doc_id"]
+        for r in cluster_representatives(docs, clusters, F.col("quality")).collect()
+    )
+    # cluster A keeps doc 2 (top quality 0.9, tie with 3 -> min id);
+    # 4 and 5 aren't in any multi-member cluster -> untouched
+    assert kept == [2, 4, 5]
