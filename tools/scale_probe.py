@@ -48,6 +48,7 @@ def _time(fn, df: DataFrame) -> float:
 
 def ops() -> dict:
     from route81_spark.ops.corpus import (
+        bm25_scores,
         build_vocab,
         curate,
         dataset_card,
@@ -56,6 +57,7 @@ def ops() -> dict:
         mixture_resample,
         remove_boilerplate,
     )
+    from route81_spark.ops.text import phrase_search
     from route81_spark.ops.dedup import near_dedup
     from route81_spark.ops.text import gopher_struct
 
@@ -73,6 +75,8 @@ def ops() -> dict:
         "near_dedup": lambda d: near_dedup(d),
         "curate": curate,
         "dataset_card": dataset_card,
+        "bm25": lambda d: bm25_scores(d, ["join", "vector", "scan"]),
+        "phrase": lambda d: phrase_search(d, ["table", "part"]),
     }
 
 
