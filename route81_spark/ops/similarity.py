@@ -740,3 +740,68 @@ def pq_refined_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "score", F.col("rank").cast("int").alias("rank"))
     )
+
+
+def mmr_select(
+    df: DataFrame,
+    score_col: str,
+    k: int,
+    lam: float = 0.7,
+    candidate_pool: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance selection: greedily pick k rows
+    maximizing  lam*score - (1-lam)*max_cosine_to_already_selected —
+    the standard diversity-aware alternative to plain top-k (few-shot
+    example selection, dedup-aware retrieval, diverse eval sets).
+
+    Scale shape: a distributed top-(candidate_pool) prune by score
+    (TakeOrderedAndProject — k rows per partition ship) bounds the
+    candidate set, then the greedy loop runs driver-side in numpy over
+    that BOUNDED pool (default 4k candidates — the same
+    bounded-model-set pattern as the PQ codebook). Selection is
+    deterministic: score ties break to min id, and the greedy argmax
+    breaks ties to min id too.
+
+    Returns the selected rows of `df` (broadcast semi-join on id)."""
+    import numpy as np
+
+    if k <= 0:
+        raise ValueError("mmr_select: k must be positive")
+    pool_n = int(candidate_pool or 4 * k)
+    cands = (
+        df.select(id_col, score_col, vec_col)
+        .orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+        .limit(pool_n)
+        .collect()
+    )
+    if not cands:
+        return df.limit(0)
+    ids = [r[id_col] for r in cands]
+    scores = np.array([float(r[score_col]) for r in cands])
+    V = np.array([list(map(float, r[vec_col])) for r in cands])
+    norms = np.linalg.norm(V, axis=1)
+    norms[norms == 0] = 1.0
+    V = V / norms[:, None]
+
+    selected: list[int] = []
+    remaining = list(range(len(ids)))
+    max_sim = np.zeros(len(ids))
+    while remaining and len(selected) < k:
+        best, best_val = None, None
+        for i in remaining:
+            val = lam * scores[i] - (1.0 - lam) * (max_sim[i] if selected else 0.0)
+            if best is None or val > best_val or (val == best_val and ids[i] < ids[best]):
+                best, best_val = i, val
+        selected.append(best)
+        remaining.remove(best)
+        sims = V[remaining] @ V[best]
+        for j, i in enumerate(remaining):
+            if sims[j] > max_sim[i]:
+                max_sim[i] = sims[j]
+
+    chosen = df.sparkSession.createDataFrame(
+        [(ids[i],) for i in selected], f"{id_col} {df.schema[id_col].dataType.simpleString()}"
+    )
+    return df.join(F.broadcast(chosen), id_col, "left_semi")

@@ -1319,3 +1319,28 @@ def test_cluster_representatives_keep_best(spark):
     # cluster A keeps doc 2 (top quality 0.9, tie with 3 -> min id);
     # 4 and 5 aren't in any multi-member cluster -> untouched
     assert kept == [2, 4, 5]
+
+
+def test_mmr_select_prefers_diversity(spark):
+    from route81_spark.ops.similarity import mmr_select
+
+    # 1 and 2: near-identical high-score vectors; 3: different direction,
+    # slightly lower score. Top-2 by score = {1,2}; MMR = {1,3}.
+    emb = spark.createDataFrame(
+        [
+            (1, 1.00, [1.0, 0.0]),
+            (2, 0.99, [0.999, 0.01]),
+            (3, 0.90, [0.0, 1.0]),
+        ],
+        "vec_id long, score double, embedding array<float>",
+    )
+    got = sorted(r["vec_id"] for r in mmr_select(emb, "score", k=2, lam=0.5).collect())
+    assert got == [1, 3]
+    # lam=1.0 degenerates to plain top-k
+    topk = sorted(r["vec_id"] for r in mmr_select(emb, "score", k=2, lam=1.0).collect())
+    assert topk == [1, 2]
+    # deterministic rerun
+    again = sorted(r["vec_id"] for r in mmr_select(emb, "score", k=2, lam=0.5).collect())
+    assert again == got
+    # empty input
+    assert mmr_select(emb.filter("vec_id < 0"), "score", k=2).count() == 0
