@@ -821,7 +821,9 @@ def bm25_scores(
     from route81_spark.io import ensure_parallelism
     from route81_spark.ops.text import tokens
 
-    qt = [str(t) for t in query_terms]
+    # dedupe (order-preserving): a repeated query term must not double-
+    # count its contribution
+    qt = list(dict.fromkeys(str(t) for t in query_terms))
     if not qt:
         raise ValueError("bm25_scores needs at least one query term")
     # ONE corpus pass builds the whole model: doc count, avg length, and

@@ -47,6 +47,10 @@ def morton_code(
         raise ValueError("one (lo, hi) range per column required")
     if not cols:
         raise ValueError("morton_code needs at least one column")
+    for lo, hi in ranges:
+        if not hi > lo:
+            # a zero-width range divides by zero (ANSI abort) / NaNs
+            raise ValueError(f"morton_code range must have hi > lo, got ({lo}, {hi})")
     nd = len(cols)
     cells = [_bucket(c, lo, hi, bits) for c, (lo, hi) in zip(cols, ranges)]
     z = F.lit(0).cast("long")

@@ -96,3 +96,10 @@ def test_compact_small_files(spark, tmp_path):
     n_after = len([f for f in os.listdir(p) if f.endswith(".parquet")])
     assert written == n_after == 1
     assert spark.read.parquet(p).count() == 10_000
+
+
+def test_morton_rejects_degenerate_range(spark):
+    import pyspark.sql.functions as SF
+
+    with pytest.raises(ValueError, match="hi > lo"):
+        morton_code([SF.col("x")], [(5.0, 5.0)])
