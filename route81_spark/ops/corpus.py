@@ -811,9 +811,8 @@ def bm25_scores(
         idf(t) = ln(1 + (N - df_t + 0.5)/(df_t + 0.5))
 
     100 TB shape: the corpus model constants (N, avgdl, and df per
-    query term) come from two tiny aggregations — |query| rows collected
-    (query-sized by definition, like the tf-idf doc count) — and fold
-    into ONE per-row scoring expression over a single bound token
+    query term) come from ONE aggregation collecting a single row, and
+    fold into ONE per-row scoring expression over a single bound token
     array. Scoring shuffles NOTHING; only a caller's top-k ships rows.
     """
     import math

@@ -751,9 +751,13 @@ def cluster_representatives(
     members = clusters.select(
         F.col("doc_id").alias(id_col), "cluster_id"
     ).join(scored, id_col)
+    # min_by over (negated score, id): largest score wins, ties fall to
+    # the smallest id — and the id is compared natively, so string ids
+    # work (negating the id aborts under ANSI for non-numeric ids)
     keepers = members.groupBy("cluster_id").agg(
-        F.max_by(
-            F.col(id_col), F.struct(F.col("__score"), -F.col(id_col))
+        F.min_by(
+            F.col(id_col),
+            F.struct((-F.col("__score")).alias("s"), F.col(id_col).alias("i")),
         ).alias("__keep")
     )
     losers = (

@@ -129,6 +129,9 @@ def compact_small_files(
     n = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
     tmp = tempfile.mkdtemp(dir=os.path.dirname(os.path.abspath(path)))
     swap = path.rstrip("/") + ".__old__"
+    # a crashed prior run can strand the swap dir; clear it or the
+    # rename below fails ENOTEMPTY forever
+    shutil.rmtree(swap, ignore_errors=True)
     try:
         df.coalesce(n).write.format(fmt).mode("overwrite").save(tmp)
         os.rename(path, swap)

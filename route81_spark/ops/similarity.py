@@ -772,6 +772,7 @@ def mmr_select(
     pool_n = int(candidate_pool or 4 * k)
     cands = (
         df.select(id_col, score_col, vec_col)
+        .filter(F.col(score_col).isNotNull() & F.col(vec_col).isNotNull())
         .orderBy(F.col(score_col).desc(), F.col(id_col).asc())
         .limit(pool_n)
         .collect()
@@ -787,7 +788,9 @@ def mmr_select(
 
     selected: list[int] = []
     remaining = list(range(len(ids)))
-    max_sim = np.zeros(len(ids))
+    # -inf, not 0: a candidate anti-correlated with everything selected
+    # must get a NEGATIVE penalty (i.e. a bonus), per the MMR formula
+    max_sim = np.full(len(ids), -np.inf)
     while remaining and len(selected) < k:
         best, best_val = None, None
         for i in remaining:

@@ -1344,3 +1344,61 @@ def test_mmr_select_prefers_diversity(spark):
     assert again == got
     # empty input
     assert mmr_select(emb.filter("vec_id < 0"), "score", k=2).count() == 0
+
+
+def test_cluster_representatives_string_ids(spark):
+    from route81_spark.ops.dedup import cluster_representatives, near_dup_clusters
+
+    docs = spark.createDataFrame(
+        [("doc-a", 0.2), ("doc-b", 0.9), ("doc-c", 0.9)],
+        "doc_id string, quality double",
+    )
+    pairs = spark.createDataFrame(
+        [("doc-a", "doc-b"), ("doc-b", "doc-c")], "id_a string, id_b string"
+    )
+    kept = [
+        r["doc_id"]
+        for r in cluster_representatives(
+            docs, near_dup_clusters(pairs), F.col("quality")
+        ).collect()
+    ]
+    # top quality 0.9 tie between b and c -> min id 'doc-b'; works on
+    # STRING ids (no numeric negation in the tie-break)
+    assert kept == ["doc-b"]
+
+
+def test_mmr_negative_cosine_is_a_bonus(spark):
+    from route81_spark.ops.similarity import mmr_select
+
+    # B is anti-correlated with A: its diversity term must be a BONUS
+    # (negative max-cosine), beating the orthogonal C despite lower score
+    emb = spark.createDataFrame(
+        [
+            (1, 1.0, [1.0, 0.0]),    # A: picked first
+            (2, 0.2, [-1.0, 0.0]),   # B: cos(A,B) = -1
+            (3, 0.5, [0.0, 1.0]),    # C: cos(A,C) = 0
+        ],
+        "vec_id long, score double, embedding array<float>",
+    )
+    got = sorted(r["vec_id"] for r in mmr_select(emb, "score", k=2, lam=0.5).collect())
+    assert got == [1, 2]  # 0.5*0.2 - 0.5*(-1) = 0.6 > 0.5*0.5 = 0.25
+    # null scores are excluded from the pool, not a crash
+    withnull = emb.union(
+        spark.createDataFrame([(4, None, [1.0, 1.0])], emb.schema)
+    )
+    assert mmr_select(withnull, "score", k=3).count() == 3
+
+
+def test_compact_recovers_from_stale_swap(spark, tmp_path):
+    import os
+
+    from route81_spark.ops.layout import compact_small_files
+
+    p = str(tmp_path / "t")
+    spark.range(100).repartition(5).write.parquet(p)
+    stale = p + ".__old__"
+    os.makedirs(stale)
+    open(os.path.join(stale, "junk"), "w").write("x")
+    assert compact_small_files(spark, p) == 1
+    assert spark.read.parquet(p).count() == 100
+    assert not os.path.exists(stale)
