@@ -332,5 +332,50 @@ def _phrase_search(df: DataFrame, arg: dict) -> DataFrame:
 register_stage("$asofJoin", _asof_join_stage)
 register_stage("$rangeJoin", _range_join_stage)
 register_stage("$weightedSample", _weighted_sample)
+def _edit_distance_dedup(df: DataFrame, arg: dict) -> DataFrame:
+    """LSH candidates verified by normalized Levenshtein (the short-text
+    counterpart of $minhashLsh's Jaccard verification)."""
+    text_col = arg.get("textField", "text")
+    id_col = arg.get("idField", "doc_id")
+    pairs = D.lsh_candidates(
+        df, text_col, id_col, k=int(arg.get("k", 8)), bands=int(arg.get("bands", 2))
+    )
+    return D.edit_distance_pairs(
+        df, pairs, text_col, id_col, max_norm=float(arg.get("maxNorm", 0.2))
+    )
+
+
+def _cluster_reps(df: DataFrame, arg: dict) -> DataFrame:
+    from route81_spark.ops.dedup import cluster_representatives, near_dup_clusters
+
+    text_col = arg.get("textField", "text")
+    id_col = arg.get("idField", "doc_id")
+    pairs = D.lsh_candidates(
+        df, text_col, id_col, k=int(arg.get("k", 8)), bands=int(arg.get("bands", 2))
+    )
+    verified = D.ngram_jaccard_pairs(
+        df, pairs, text_col, id_col, threshold=float(arg.get("threshold", 0.5))
+    )
+    clusters = near_dup_clusters(verified.select("id_a", "id_b"))
+    return cluster_representatives(df, clusters, F.col(arg["scoreField"]), id_col=id_col)
+
+
+def _mmr_select(df: DataFrame, arg: dict) -> DataFrame:
+    from route81_spark.ops.similarity import mmr_select
+
+    return mmr_select(
+        df,
+        score_col=arg["scoreField"],
+        k=int(arg["k"]),
+        lam=float(arg.get("lambda", 0.7)),
+        candidate_pool=arg.get("candidatePool"),
+        id_col=arg.get("idField", "vec_id"),
+        vec_col=arg.get("vecField", "embedding"),
+    )
+
+
 register_stage("$bm25", _bm25)
+register_stage("$editDistanceDedup", _edit_distance_dedup)
+register_stage("$clusterRepresentatives", _cluster_reps)
+register_stage("$mmrSelect", _mmr_select)
 register_stage("$phraseSearch", _phrase_search)

@@ -603,3 +603,35 @@ def test_bm25_and_phrase_stages(spark):
         docs, [{"$phraseSearch": {"phrase": ["big", "data"]}}]
     ).collect()
     assert {r["doc_id"] for r in hits} == {1}
+
+
+def test_dedup_and_selection_stages(spark):
+    from pyspark.sql import functions as SF
+
+    from route81_spark.pipeline import apply_pipeline
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog", 0.9),
+            (2, "the quick brown fox jumps over the lazy dogs", 0.5),
+            (3, "a completely different document lives here now", 0.7),
+        ],
+        "doc_id long, text string, quality double",
+    )
+    ed = apply_pipeline(docs, [{"$editDistanceDedup": {"maxNorm": 0.3}}]).collect()
+    assert [(r["id_a"], r["id_b"]) for r in ed] == [(1, 2)]
+
+    reps = apply_pipeline(
+        docs, [{"$clusterRepresentatives": {"scoreField": "quality",
+                                            "threshold": 0.5}}]
+    ).collect()
+    assert sorted(r["doc_id"] for r in reps) == [1, 3]  # keeps best of {1,2}
+
+    emb = spark.createDataFrame(
+        [(1, 1.0, [1.0, 0.0]), (2, 0.99, [0.999, 0.01]), (3, 0.9, [0.0, 1.0])],
+        "vec_id long, score double, embedding array<float>",
+    )
+    sel = apply_pipeline(
+        emb, [{"$mmrSelect": {"scoreField": "score", "k": 2, "lambda": 0.5}}]
+    ).collect()
+    assert sorted(r["vec_id"] for r in sel) == [1, 3]
