@@ -37,12 +37,12 @@ def run(
     from route81_spark.io import load_path
     from route81_spark.pipeline import apply_pipeline, compiler
 
+    if source not in tables:
+        raise SystemExit(f"--source {source!r} is not among --tables {sorted(tables)}")
     # pass the LOGICAL name: the TIMESTAMP(NANOS) workaround keys off
     # it, and a snapshot path like events_backup.parquet must still get
     # the events treatment
     loaded = {name: load_path(spark, path, name=name) for name, path in tables.items()}
-    if source not in loaded:
-        raise SystemExit(f"--source {source!r} is not among --tables {sorted(loaded)}")
 
     def resolve(name: str) -> DataFrame:
         if name not in loaded:

@@ -264,3 +264,36 @@ delete-id-path = "meta._id"
         load_config('[[producer-map]]\nkafka-topic="t"\nnamespace="a.b"')
     with pytest.raises(ConfigError, match="unknown pipeline keys"):
         load_config("[[pipeline]]\nstages='[]'\nbogus=1")
+
+
+def test_toml_pipeline_with_extension_stages(spark):
+    """A route81-style TOML [[pipeline]] can carry the $-extension
+    stages: config parses them like Mongo stages and apply_pipeline
+    executes them — the declarative curation story end to end."""
+    from route81_spark.config import load_config
+    from route81_spark.pipeline import apply_pipeline
+
+    cfg = load_config(
+        """
+[[pipeline]]
+namespace = "corpus.docs"
+direct = true
+stages = '''
+[{"$dedupExact": {}},
+ {"$textAnalyze": {}},
+ {"$match": {"pred_lang": "en"}}]
+'''
+"""
+    )
+    stages = cfg.pipeline_for("corpus.docs", stream=False)
+    assert stages and "$dedupExact" in stages[0]
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "der hund und die katze ist das haus"),
+        ],
+        "doc_id long, text string",
+    )
+    out = apply_pipeline(docs, stages).collect()
+    assert [r["doc_id"] for r in out] == [1]  # dup collapsed, German gated

@@ -198,3 +198,29 @@ def test_run_pipeline_cli_extension_stages(spark, tmp_path):
     assert rc == 0
     got = sorted(r["doc_id"] for r in spark.read.parquet(str(out)).collect())
     assert got == [1, 4]  # dup 2 collapsed, German 3 filtered
+
+
+def test_run_pipeline_cli_errors(tmp_path):
+    """Clear failures for the CLI's user mistakes."""
+    import json
+
+    import pytest
+
+    from route81_spark.run_pipeline import main as rp_main
+
+    pfile = tmp_path / "p.json"
+    pfile.write_text(json.dumps([{"$match": {}}]))
+    # --source not among --tables
+    with pytest.raises(SystemExit, match="not among"):
+        rp_main(["--pipeline", str(pfile), "--source", "nope",
+                 "--tables", "docs=/tmp/x.parquet"])
+    # malformed --tables entry
+    with pytest.raises(SystemExit, match="name=path"):
+        rp_main(["--pipeline", str(pfile), "--source", "docs",
+                 "--tables", "justapath"])
+    # pipeline file must be a JSON array
+    bad = tmp_path / "bad.json"
+    bad.write_text('{"$match": {}}')
+    with pytest.raises(SystemExit, match="JSON array"):
+        rp_main(["--pipeline", str(bad), "--source", "docs",
+                 "--tables", "docs=/tmp/x.parquet"])
