@@ -4794,6 +4794,47 @@ def events_asof_sliced(spark, sf_dir):
 
 
 @_q(
+    "events_funnel",
+    """
+    WITH u1 AS (
+      SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t
+      FROM events WHERE event_type = 'signup' GROUP BY 1
+    ),
+    u2 AS (
+      SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t
+      FROM events e JOIN u1 ON e.user_id = u1.user_id
+      WHERE e.event_type = 'view' AND CAST(e.ts AS TIMESTAMP) >= u1.t
+      GROUP BY 1
+    ),
+    u3 AS (
+      SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t
+      FROM events e JOIN u2 ON e.user_id = u2.user_id
+      WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) >= u2.t
+      GROUP BY 1
+    )
+    SELECT 1 AS step, 'signup' AS step_name,
+           CAST((SELECT count(*) FROM u1) AS BIGINT) AS n_users
+    UNION ALL
+    SELECT 2, 'view', CAST((SELECT count(*) FROM u2) AS BIGINT)
+    UNION ALL
+    SELECT 3, 'purchase', CAST((SELECT count(*) FROM u3) AS BIGINT)
+    """,
+)
+def events_funnel(spark, sf_dir):
+    """Ordered funnel (signup -> view -> purchase): users counted at
+    each step only if reached IN ORDER (earliest step event at-or-
+    after the previous step's reach time). One filtered user-level
+    min-agg per step; the event log never self-joins at event
+    granularity."""
+    from route81_spark.ops.temporal import funnel_counts
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    return funnel_counts(ev, ["signup", "view", "purchase"])
+
+
+@_q(
     "events_range_join",
     f"""
     WITH p AS (

@@ -391,3 +391,54 @@ def rollup_time(
             (F.col("total") / F.col("n")).alias("avg"),
         )
     )
+
+
+def funnel_counts(
+    df: DataFrame,
+    steps: list,
+    step_col: str = "event_type",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Ordered funnel analysis: for each step i, how many users reached
+    it IN ORDER — a user reaches step i at the earliest event of that
+    step at-or-after their step-(i-1) reach time. The product-analytics
+    staple (signup -> activation -> purchase), exactly specified so it
+    oracles cleanly.
+
+    Returns (step:int, step_name, n_users), one row per step.
+
+    Scale shape: one filtered min-aggregation per step over (user,
+    reach-time) — each produces a USER-level table (tiny vs the event
+    log) joined back by user key; the event log itself is scanned once
+    per step with the step filter pushed down, and nothing ever
+    self-joins at event granularity."""
+    if not steps:
+        raise ValueError("funnel_counts needs at least one step")
+    reach = None  # (user_col, __t): when each user reached the previous step
+    counts = []
+    for i, step in enumerate(steps):
+        ev = df.filter(F.col(step_col) == step).select(
+            F.col(user_col), F.col(ts_col).alias("__ts")
+        )
+        if reach is None:
+            reach = ev.groupBy(user_col).agg(F.min("__ts").alias("__t"))
+        else:
+            reach = (
+                ev.join(reach, user_col)
+                .filter(F.col("__ts") >= F.col("__t"))
+                .groupBy(user_col)
+                .agg(F.min("__ts").alias("__t"))
+            )
+        counts.append((i + 1, str(step), reach))
+    spark = df.sparkSession
+    parts = [
+        r.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(i).alias("step"), F.lit(name).alias("step_name"), "n_users"
+        )
+        for i, name, r in counts
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -510,3 +510,33 @@ def test_range_join_stream_static(spark, tmp_path):
     got = spark.read.parquet(str(out)).collect()
     assert len(got) == 1 and got[0]["iv_id"] == 7
     assert got[0]["ts"] == _ts("2024-01-01 10:30:00")
+
+
+def test_funnel_order_matters(spark):
+    from route81_spark.ops.temporal import funnel_counts
+
+    ev = spark.createDataFrame(
+        [
+            # u1 completes in order
+            (1, "a", _ts("2024-01-01 10:00:00")),
+            (1, "b", _ts("2024-01-01 11:00:00")),
+            (1, "c", _ts("2024-01-01 12:00:00")),
+            # u2 does b BEFORE a: b must not count
+            (2, "b", _ts("2024-01-01 09:00:00")),
+            (2, "a", _ts("2024-01-01 10:00:00")),
+            # u3 stops after a
+            (3, "a", _ts("2024-01-01 10:00:00")),
+        ],
+        "user_id long, event_type string, ts timestamp",
+    )
+    out = {r["step_name"]: r["n_users"] for r in
+           funnel_counts(ev, ["a", "b", "c"]).collect()}
+    assert out == {"a": 3, "b": 1, "c": 1}
+    # same-timestamp step events count (at-or-after semantics)
+    tie = spark.createDataFrame(
+        [(1, "a", _ts("2024-01-01 10:00:00")), (1, "b", _ts("2024-01-01 10:00:00"))],
+        "user_id long, event_type string, ts timestamp",
+    )
+    out2 = {r["step_name"]: r["n_users"] for r in
+            funnel_counts(tie, ["a", "b"]).collect()}
+    assert out2 == {"a": 1, "b": 1}
