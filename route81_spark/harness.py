@@ -4835,6 +4835,47 @@ def events_funnel(spark, sf_dir):
 
 
 @_q(
+    "events_retention",
+    f"""
+    WITH a AS (
+      SELECT DISTINCT user_id,
+             CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 604800.0) AS BIGINT) AS p
+      FROM events
+    ),
+    f AS (SELECT user_id, min(p) AS cohort FROM a GROUP BY 1),
+    sz AS (SELECT cohort, CAST(count(*) AS BIGINT) AS n_cohort FROM f GROUP BY 1),
+    cell AS (
+      SELECT f.cohort, a.p - f.cohort AS "offset",
+             CAST(count(*) AS BIGINT) AS n_active
+      FROM a JOIN f USING (user_id) GROUP BY 1, 2
+    )
+    SELECT epoch_us(to_timestamp(cell.cohort * 604800)) AS cohort_us,
+           cell."offset", cell.n_active, sz.n_cohort,
+           {det_round_sql('cell.n_active / CAST(sz.n_cohort AS DOUBLE)', 4)} AS retention
+    FROM cell JOIN sz USING (cohort)
+    """,
+)
+def events_retention(spark, sf_dir):
+    """Weekly cohort retention: users bucketed by first-activity week;
+    per (cohort, week offset) the active count and share. User-level
+    tables throughout — one distinct agg over the log, then tiny
+    cohort-level joins."""
+    from route81_spark.ops.temporal import retention_cohorts
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    r = retention_cohorts(ev)
+    return r.select(
+        F.unix_micros(F.col("cohort")).alias("cohort_us"),
+        "offset",
+        "n_active",
+        "n_cohort",
+        "retention",
+    )
+
+
+@_q(
     "events_range_join",
     f"""
     WITH p AS (

@@ -442,3 +442,54 @@ def funnel_counts(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def retention_cohorts(
+    df: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    period_s: int = 7 * 86400,
+) -> DataFrame:
+    """Cohort retention: users grouped by first-activity period
+    (cohort); for each (cohort, period-offset), the count and share of
+    the cohort active in that period — the companion analysis to
+    funnel_counts.
+
+    Returns (cohort, offset, n_active, n_cohort, retention) with
+    cohort = the epoch-aligned period start timestamp and offset in
+    whole periods from the cohort period (offset 0 is first activity,
+    so its retention is 1.0 by construction).
+
+    Scale shape: one (user, period) distinct agg over the log, one
+    user-level min for the cohort, a user-key join, then a tiny
+    (cohort, offset) agg — user-level tables throughout; no event-
+    granularity self-join."""
+    period = F.lit(int(period_s))
+    pstart = (
+        F.floor(_as_seconds(F.col(ts_col), df.schema[ts_col].dataType) / period)
+        .cast("long")
+    )
+    active = (
+        df.select(F.col(user_col), pstart.alias("__p"))
+        .distinct()
+    )
+    first = active.groupBy(user_col).agg(F.min("__p").alias("__cohort"))
+    cohort_sizes = first.groupBy("__cohort").agg(
+        F.count(F.lit(1)).alias("n_cohort")
+    )
+    joined = active.join(first, user_col)
+    per_cell = joined.groupBy("__cohort", (F.col("__p") - F.col("__cohort")).alias("offset")).agg(
+        F.count(F.lit(1)).alias("n_active")
+    )
+    from route81_spark.ops.util import det_round
+
+    return (
+        per_cell.join(cohort_sizes, "__cohort")
+        .select(
+            F.timestamp_seconds(F.col("__cohort") * period).alias("cohort"),
+            F.col("offset"),
+            "n_active",
+            "n_cohort",
+            det_round(F.col("n_active") / F.col("n_cohort"), 4).alias("retention"),
+        )
+    )

@@ -540,3 +540,28 @@ def test_funnel_order_matters(spark):
     out2 = {r["step_name"]: r["n_users"] for r in
             funnel_counts(tie, ["a", "b"]).collect()}
     assert out2 == {"a": 1, "b": 1}
+
+
+def test_retention_cohorts_basics(spark):
+    from route81_spark.ops.temporal import retention_cohorts
+
+    day = 86400
+    ev = spark.createDataFrame(
+        [
+            # cohort P0: users 1,2. User 1 returns in P1; user 2 doesn't.
+            (1, _ts("1970-01-02 00:00:00")),
+            (2, _ts("1970-01-03 00:00:00")),
+            (1, _ts("1970-01-09 00:00:00")),
+            # cohort P1: user 3 only
+            (3, _ts("1970-01-10 00:00:00")),
+        ],
+        "user_id long, ts timestamp",
+    )
+    out = {(r["cohort"], r["offset"]): (r["n_active"], r["n_cohort"], r["retention"])
+           for r in retention_cohorts(ev, period_s=7 * day).collect()}
+    p0 = _ts("1970-01-01 00:00:00")
+    p1 = _ts("1970-01-08 00:00:00")
+    assert out[(p0, 0)] == (2, 2, 1.0)
+    assert out[(p0, 1)] == (1, 2, 0.5)
+    assert out[(p1, 0)] == (1, 1, 1.0)
+    assert len(out) == 3
