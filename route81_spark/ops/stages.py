@@ -375,7 +375,32 @@ def _mmr_select(df: DataFrame, arg: dict) -> DataFrame:
 
 
 register_stage("$bm25", _bm25)
+def _funnel(df: DataFrame, arg: dict) -> DataFrame:
+    from route81_spark.ops.temporal import funnel_counts
+
+    return funnel_counts(
+        df,
+        steps=list(arg["steps"]),
+        step_col=arg.get("stepField", "event_type"),
+        ts_col=arg.get("tsField", "ts"),
+        user_col=arg.get("userField", "user_id"),
+    )
+
+
+def _retention(df: DataFrame, arg: dict) -> DataFrame:
+    from route81_spark.ops.temporal import retention_cohorts
+
+    return retention_cohorts(
+        df,
+        ts_col=arg.get("tsField", "ts"),
+        user_col=arg.get("userField", "user_id"),
+        period_s=int(arg.get("periodS", 7 * 86400)),
+    )
+
+
 register_stage("$editDistanceDedup", _edit_distance_dedup)
 register_stage("$clusterRepresentatives", _cluster_reps)
 register_stage("$mmrSelect", _mmr_select)
+register_stage("$funnel", _funnel)
+register_stage("$retention", _retention)
 register_stage("$phraseSearch", _phrase_search)

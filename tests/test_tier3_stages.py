@@ -635,3 +635,24 @@ def test_dedup_and_selection_stages(spark):
         emb, [{"$mmrSelect": {"scoreField": "score", "k": 2, "lambda": 0.5}}]
     ).collect()
     assert sorted(r["vec_id"] for r in sel) == [1, 3]
+
+
+def test_funnel_and_retention_stages(spark):
+    import datetime as dt
+
+    from route81_spark.pipeline import apply_pipeline
+
+    ev = spark.createDataFrame(
+        [
+            (1, "a", dt.datetime(2024, 1, 1, 10)),
+            (1, "b", dt.datetime(2024, 1, 1, 11)),
+            (2, "a", dt.datetime(2024, 1, 2, 10)),
+        ],
+        "user_id long, event_type string, ts timestamp",
+    )
+    fun = {r["step_name"]: r["n_users"] for r in apply_pipeline(
+        ev, [{"$funnel": {"steps": ["a", "b"]}}]
+    ).collect()}
+    assert fun == {"a": 2, "b": 1}
+    ret = apply_pipeline(ev, [{"$retention": {"periodS": 86400}}]).collect()
+    assert any(r["offset"] == 0 and r["retention"] == 1.0 for r in ret)
