@@ -240,20 +240,27 @@ def _dataset_card(df: DataFrame, arg: dict) -> DataFrame:
 def _asof_join_stage(df: DataFrame, arg: dict) -> DataFrame:
     """{"$asofJoin": {"from": <collection>, "on": key(s), ...}} — the
     right side resolves through the same collection resolver $lookup
-    uses, so pipelines join against named tables declaratively."""
-    from route81_spark.ops.temporal import asof_join
+    uses, so pipelines join against named tables declaratively.
+    "static": true selects the broadcast sorted-history form (zero
+    left-side shuffle; required when the pipeline runs on a stream);
+    "sliceS": N selects the hot-key (key, time-slice) form."""
+    from route81_spark.ops.temporal import asof_join, asof_join_sliced, asof_join_static
     from route81_spark.pipeline.compiler import _resolve_collection
 
     right = _resolve_collection(arg["from"])
-    tol = arg.get("toleranceS")
-    return asof_join(
-        df,
-        right,
+    common = dict(
         on=arg.get("on", "user_id"),
         left_ts=arg.get("leftTs", "ts"),
         right_ts=arg.get("rightTs", "ts"),
-        tolerance_s=float(tol) if tol is not None else None,
         suffix=arg.get("suffix", "_r"),
+    )
+    if arg.get("static"):
+        return asof_join_static(df, right, **common)
+    if arg.get("sliceS") is not None:
+        return asof_join_sliced(df, right, slice_s=int(arg["sliceS"]), **common)
+    tol = arg.get("toleranceS")
+    return asof_join(
+        df, right, tolerance_s=float(tol) if tol is not None else None, **common
     )
 
 
@@ -403,4 +410,15 @@ register_stage("$clusterRepresentatives", _cluster_reps)
 register_stage("$mmrSelect", _mmr_select)
 register_stage("$funnel", _funnel)
 register_stage("$retention", _retention)
+def _compression_ratio(df: DataFrame, arg: dict) -> DataFrame:
+    from route81_spark.ops.text import compression_ratio
+
+    return compression_ratio(
+        df,
+        text_col=arg.get("textField", "text"),
+        id_col=arg.get("idField", "doc_id"),
+    )
+
+
 register_stage("$phraseSearch", _phrase_search)
+register_stage("$compressionRatio", _compression_ratio)

@@ -656,3 +656,32 @@ def test_funnel_and_retention_stages(spark):
     assert fun == {"a": 2, "b": 1}
     ret = apply_pipeline(ev, [{"$retention": {"periodS": 86400}}]).collect()
     assert any(r["offset"] == 0 and r["retention"] == 1.0 for r in ret)
+
+
+def test_asof_stage_variants_and_compression(spark):
+    import datetime as dt
+
+    from route81_spark.pipeline import apply_pipeline, compiler
+
+    trades = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 10, 6))], "key int, ts timestamp"
+    )
+    quotes = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 10, 5), 101.0)],
+        "key int, ts timestamp, px double",
+    )
+    compiler.set_collection_resolver(lambda n: {"quotes": quotes}[n])
+    try:
+        for extra in ({"static": True}, {"sliceS": 3600}):
+            out = apply_pipeline(
+                trades, [{"$asofJoin": {"from": "quotes", "on": "key", **extra}}]
+            ).collect()
+            assert out[0]["px"] == 101.0, extra
+    finally:
+        compiler.set_collection_resolver(None)
+
+    docs = spark.createDataFrame(
+        [(1, "spam " * 200)], "doc_id long, text string"
+    )
+    cr = apply_pipeline(docs, [{"$compressionRatio": {}}]).collect()
+    assert cr[0]["deflate_ratio"] < 0.1
