@@ -4876,6 +4876,40 @@ def events_retention(spark, sf_dir):
 
 
 @_q(
+    "events_anomaly",
+    f"""
+    WITH s AS (
+      SELECT event_id, user_id, value,
+             count(*) OVER w AS roll_n,
+             avg(value) OVER w AS m,
+             stddev_samp(value) OVER w AS sd
+      FROM events
+      WINDOW w AS (PARTITION BY user_id
+                   ORDER BY CAST(ts AS TIMESTAMP), event_id
+                   ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, CAST(roll_n AS BIGINT) AS roll_n,
+           {det_round_sql("CASE WHEN roll_n >= 5 AND sd IS NOT NULL AND sd > 1e-9 THEN (value - m) / sd END", 4)} AS z,
+           coalesce(abs(CASE WHEN roll_n >= 5 AND sd IS NOT NULL AND sd > 1e-9
+                             THEN (value - m) / sd END) > 2.0, FALSE) AS is_anomaly
+    FROM s
+    """,
+)
+def events_anomaly(spark, sf_dir):
+    """Rolling z-score anomaly flags per user (trailing 10-event
+    window, |z| > 2, min 5 events): one shuffle on the series key,
+    bounded rows-window state — the standard cheap metric-stream
+    change detector."""
+    from route81_spark.ops.temporal import rolling_zscore_anomalies
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    out = rolling_zscore_anomalies(ev, order_tiebreak="event_id")
+    return out.select("event_id", "roll_n", "z", "is_anomaly")
+
+
+@_q(
     "events_range_join",
     f"""
     WITH p AS (

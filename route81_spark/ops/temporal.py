@@ -493,3 +493,50 @@ def retention_cohorts(
             det_round(F.col("n_active") / F.col("n_cohort"), 4).alias("retention"),
         )
     )
+
+
+def rolling_zscore_anomalies(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+    window_rows: int = 10,
+    threshold: float = 2.0,
+    min_n: int = 5,
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """Per-series rolling z-score anomaly flags: each event scored
+    against the mean/stddev of its trailing `window_rows`-event window
+    (itself included); |z| > threshold flags an anomaly once the window
+    holds at least `min_n` events. The standard cheap change detector
+    for metric streams.
+
+    Returns the input plus (roll_n, z, is_anomaly); z is null (and the
+    flag false) while the window is short or flat (std ~ 0).
+
+    Scale shape: ONE hash shuffle on the series key + a per-key sort —
+    the same cost as any windowed aggregate; no self-joins. Rows-window
+    (not range) so the memory per key is bounded by window_rows."""
+    order = [F.col(ts_col).asc()]
+    if order_tiebreak:
+        order.append(F.col(order_tiebreak).asc())
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*order)
+        .rowsBetween(-(window_rows - 1), Window.currentRow)
+    )
+    v = F.col(value_col).cast("double")
+    mean = F.avg(v).over(w)
+    std = F.stddev_samp(v).over(w)
+    n = F.count(F.lit(1)).over(w)
+    from route81_spark.ops.util import det_round
+
+    z = F.when(
+        (n >= min_n) & std.isNotNull() & (std > 1e-9), (v - mean) / std
+    )
+    return df.select(
+        "*",
+        n.alias("roll_n"),
+        det_round(z, 4).alias("z"),
+        F.coalesce(F.abs(z) > threshold, F.lit(False)).alias("is_anomaly"),
+    )

@@ -565,3 +565,24 @@ def test_retention_cohorts_basics(spark):
     assert out[(p0, 1)] == (1, 2, 0.5)
     assert out[(p1, 0)] == (1, 1, 1.0)
     assert len(out) == 3
+
+
+def test_rolling_zscore_flags_spike(spark):
+    from route81_spark.ops.temporal import rolling_zscore_anomalies
+
+    rows = [(1, _ts(f"2024-01-01 00:{m:02d}:00"), 10.0 + (m % 2)) for m in range(9)]
+    rows.append((1, _ts("2024-01-01 00:09:00"), 100.0))  # spike
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    out = {r["ts"]: r for r in rolling_zscore_anomalies(df).collect()}
+    spike = out[_ts("2024-01-01 00:09:00")]
+    assert spike["is_anomaly"] and spike["z"] > 2
+    # steady rows are not anomalous; early short-window rows have null z
+    assert not out[_ts("2024-01-01 00:05:00")]["is_anomaly"]
+    assert out[_ts("2024-01-01 00:01:00")]["z"] is None  # window < min_n
+    # flat series: std ~ 0 -> null z, never a divide-by-zero
+    flat = spark.createDataFrame(
+        [(1, _ts(f"2024-01-01 00:{m:02d}:00"), 5.0) for m in range(8)],
+        "user_id long, ts timestamp, value double",
+    )
+    fo = rolling_zscore_anomalies(flat).collect()
+    assert all(r["z"] is None and not r["is_anomaly"] for r in fo)
