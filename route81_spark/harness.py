@@ -4910,6 +4910,41 @@ def events_anomaly(spark, sf_dir):
 
 
 @_q(
+    "events_cooccurrence",
+    """
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM ut a JOIN ut b
+      ON a.user_id = b.user_id AND a.event_type < b.event_type
+    GROUP BY 1, 2
+    """,
+)
+def events_cooccurrence(spark, sf_dir):
+    """Market-basket co-occurrence: for each unordered pair of event
+    types, how many users performed both. The (user, type) DISTINCT
+    projection collapses the event log first, so the self-join runs at
+    |users| x |types-per-user| granularity — never event granularity —
+    and the pair space is bounded by the (small) type vocabulary."""
+    ev = _t(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    a = ut.alias("a")
+    b = ut.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+@_q(
     "events_range_join",
     f"""
     WITH p AS (
