@@ -254,11 +254,19 @@ def _asof_join_stage(df: DataFrame, arg: dict) -> DataFrame:
         right_ts=arg.get("rightTs", "ts"),
         suffix=arg.get("suffix", "_r"),
     )
+    tol = arg.get("toleranceS")
+    if arg.get("static") or arg.get("sliceS") is not None:
+        if tol is not None:
+            raise ValueError(
+                "$asofJoin: toleranceS is only supported by the default window "
+                "form — the static/sliced variants would silently ignore it"
+            )
+        if arg.get("static") and arg.get("sliceS") is not None:
+            raise ValueError("$asofJoin: choose ONE of static / sliceS")
     if arg.get("static"):
         return asof_join_static(df, right, **common)
     if arg.get("sliceS") is not None:
         return asof_join_sliced(df, right, slice_s=int(arg["sliceS"]), **common)
-    tol = arg.get("toleranceS")
     return asof_join(
         df, right, tolerance_s=float(tol) if tol is not None else None, **common
     )

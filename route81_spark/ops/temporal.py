@@ -415,33 +415,37 @@ def funnel_counts(
     self-joins at event granularity."""
     if not steps:
         raise ValueError("funnel_counts needs at least one step")
-    reach = None  # (user_col, __t): when each user reached the previous step
-    counts = []
-    for i, step in enumerate(steps):
-        ev = df.filter(F.col(step_col) == step).select(
-            F.col(user_col), F.col(ts_col).alias("__ts")
-        )
-        if reach is None:
-            reach = ev.groupBy(user_col).agg(F.min("__ts").alias("__t"))
-        else:
-            reach = (
-                ev.join(reach, user_col)
-                .filter(F.col("__ts") >= F.col("__t"))
-                .groupBy(user_col)
-                .agg(F.min("__ts").alias("__t"))
+    # persist each (tiny, user-level) reach table: without it, counting
+    # step k re-executes the whole chain 1..k and the event log would be
+    # scanned O(k^2) times instead of once per step
+    reach = None
+    levels: list = []
+    try:
+        for step in steps:
+            ev = df.filter(F.col(step_col) == step).select(
+                F.col(user_col), F.col(ts_col).alias("__ts")
             )
-        counts.append((i + 1, str(step), reach))
-    spark = df.sparkSession
-    parts = [
-        r.agg(F.count(F.lit(1)).alias("n_users")).select(
-            F.lit(i).alias("step"), F.lit(name).alias("step_name"), "n_users"
-        )
-        for i, name, r in counts
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+            if reach is None:
+                reach = ev.groupBy(user_col).agg(F.min("__ts").alias("__t"))
+            else:
+                reach = (
+                    ev.join(reach, user_col)
+                    .filter(F.col("__ts") >= F.col("__t"))
+                    .groupBy(user_col)
+                    .agg(F.min("__ts").alias("__t"))
+                )
+            reach = reach.persist()
+            levels.append(reach)
+        counts = [
+            (i + 1, str(step), lvl.count())
+            for i, (step, lvl) in enumerate(zip(steps, levels))
+        ]
+    finally:
+        for lvl in levels:
+            lvl.unpersist()
+    return df.sparkSession.createDataFrame(
+        counts, "step int, step_name string, n_users long"
+    )
 
 
 def retention_cohorts(
@@ -517,9 +521,13 @@ def rolling_zscore_anomalies(
     Scale shape: ONE hash shuffle on the series key + a per-key sort —
     the same cost as any windowed aggregate; no self-joins. Rows-window
     (not range) so the memory per key is bounded by window_rows."""
-    order = [F.col(ts_col).asc()]
-    if order_tiebreak:
-        order.append(F.col(order_tiebreak).asc())
+    if order_tiebreak is None:
+        raise ValueError(
+            "rolling_zscore_anomalies needs order_tiebreak (a unique column "
+            "breaking equal-ts ties) — without one, equal-timestamp rows sort "
+            "arbitrarily and the flags are nondeterministic across runs"
+        )
+    order = [F.col(ts_col).asc(), F.col(order_tiebreak).asc()]
     w = (
         Window.partitionBy(key_col)
         .orderBy(*order)

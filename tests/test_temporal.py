@@ -573,7 +573,12 @@ def test_rolling_zscore_flags_spike(spark):
     rows = [(1, _ts(f"2024-01-01 00:{m:02d}:00"), 10.0 + (m % 2)) for m in range(9)]
     rows.append((1, _ts("2024-01-01 00:09:00"), 100.0))  # spike
     df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
-    out = {r["ts"]: r for r in rolling_zscore_anomalies(df).collect()}
+    import pytest as pt
+
+    with pt.raises(ValueError, match="order_tiebreak"):
+        rolling_zscore_anomalies(df)  # determinism contract: tiebreak required
+    out = {r["ts"]: r for r in
+           rolling_zscore_anomalies(df, order_tiebreak="value").collect()}
     spike = out[_ts("2024-01-01 00:09:00")]
     assert spike["is_anomaly"] and spike["z"] > 2
     # steady rows are not anomalous; early short-window rows have null z
@@ -584,5 +589,5 @@ def test_rolling_zscore_flags_spike(spark):
         [(1, _ts(f"2024-01-01 00:{m:02d}:00"), 5.0) for m in range(8)],
         "user_id long, ts timestamp, value double",
     )
-    fo = rolling_zscore_anomalies(flat).collect()
+    fo = rolling_zscore_anomalies(flat, order_tiebreak="value").collect()
     assert all(r["z"] is None and not r["is_anomaly"] for r in fo)
