@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -4941,6 +4941,44 @@ def events_cooccurrence(spark, sf_dir):
             F.col("b.event_type").alias("type_b"),
         )
         .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+@_q(
+    "events_transitions",
+    """
+    WITH o AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                  ORDER BY CAST(ts AS TIMESTAMP), event_id) AS next_type
+      FROM events
+    )
+    SELECT event_type AS from_type, next_type AS to_type,
+           CAST(count(*) AS BIGINT) AS n
+    FROM o WHERE next_type IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def events_transitions(spark, sf_dir):
+    """First-order (Markov) transition counts: for each user's
+    time-ordered event sequence, count (current type -> next type)
+    pairs — the behavioral-flow matrix behind sankeys and next-action
+    models. One lead() window shuffle on the user key + a tiny
+    type-pair aggregation; deterministic via the event_id tiebreak."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    o = ev.withColumn("next_type", F.lead("event_type").over(w))
+    return (
+        o.filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
     )
 
 

@@ -416,7 +416,28 @@ def _retention(df: DataFrame, arg: dict) -> DataFrame:
 register_stage("$editDistanceDedup", _edit_distance_dedup)
 register_stage("$clusterRepresentatives", _cluster_reps)
 register_stage("$mmrSelect", _mmr_select)
+def _anomaly(df: DataFrame, arg: dict) -> DataFrame:
+    from route81_spark.ops.temporal import rolling_zscore_anomalies
+
+    if "tiebreakField" not in arg:
+        raise ValueError(
+            "$anomaly requires tiebreakField (a unique column breaking "
+            "equal-timestamp ties; determinism contract)"
+        )
+    return rolling_zscore_anomalies(
+        df,
+        ts_col=arg.get("tsField", "ts"),
+        key_col=arg.get("keyField", "user_id"),
+        value_col=arg.get("valueField", "value"),
+        window_rows=int(arg.get("windowRows", 10)),
+        threshold=float(arg.get("threshold", 2.0)),
+        min_n=int(arg.get("minN", 5)),
+        order_tiebreak=arg["tiebreakField"],
+    )
+
+
 register_stage("$funnel", _funnel)
+register_stage("$anomaly", _anomaly)
 register_stage("$retention", _retention)
 def _compression_ratio(df: DataFrame, arg: dict) -> DataFrame:
     from route81_spark.ops.text import compression_ratio

@@ -685,3 +685,23 @@ def test_asof_stage_variants_and_compression(spark):
     )
     cr = apply_pipeline(docs, [{"$compressionRatio": {}}]).collect()
     assert cr[0]["deflate_ratio"] < 0.1
+
+
+def test_anomaly_stage(spark):
+    import datetime as dt
+
+    import pytest as pt
+
+    from route81_spark.pipeline import apply_pipeline
+
+    ev = spark.createDataFrame(
+        [(1, i, dt.datetime(2024, 1, 1, 0, i), 10.0 + (i % 2)) for i in range(9)]
+        + [(1, 9, dt.datetime(2024, 1, 1, 0, 9), 99.0)],
+        "user_id long, event_id long, ts timestamp, value double",
+    )
+    out = apply_pipeline(
+        ev, [{"$anomaly": {"tiebreakField": "event_id"}}]
+    ).collect()
+    assert any(r["is_anomaly"] for r in out)
+    with pt.raises(ValueError, match="tiebreakField"):
+        apply_pipeline(ev, [{"$anomaly": {}}]).collect()
