@@ -4945,6 +4945,56 @@ def events_cooccurrence(spark, sf_dir):
 
 
 @_q(
+    "events_funnel_latency",
+    f"""
+    WITH u1 AS (
+      SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t
+      FROM events WHERE event_type = 'signup' GROUP BY 1
+    ),
+    u2 AS (
+      SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t
+      FROM events e JOIN u1 ON e.user_id = u1.user_id
+      WHERE e.event_type = 'view' AND CAST(e.ts AS TIMESTAMP) >= u1.t
+      GROUP BY 1
+    ),
+    u3 AS (
+      SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t
+      FROM events e JOIN u2 ON e.user_id = u2.user_id
+      WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) >= u2.t
+      GROUP BY 1
+    ),
+    d2 AS (
+      SELECT epoch(u2.t) - epoch(u1.t) AS d
+      FROM u2 JOIN u1 USING (user_id)
+    ),
+    d3 AS (
+      SELECT epoch(u3.t) - epoch(u2.t) AS d
+      FROM u3 JOIN u2 USING (user_id)
+    )
+    SELECT 2 AS step, 'view' AS step_name,
+           CAST((SELECT count(*) FROM d2) AS BIGINT) AS n_users,
+           {det_round_sql('(SELECT quantile_cont(d, 0.5) FROM d2)', 4)} AS p50_s,
+           {det_round_sql('(SELECT quantile_cont(d, 0.9) FROM d2)', 4)} AS p90_s
+    UNION ALL
+    SELECT 3, 'purchase',
+           CAST((SELECT count(*) FROM d3) AS BIGINT),
+           {det_round_sql('(SELECT quantile_cont(d, 0.5) FROM d3)', 4)},
+           {det_round_sql('(SELECT quantile_cont(d, 0.9) FROM d3)', 4)}
+    """,
+)
+def events_funnel_latency(spark, sf_dir):
+    """Funnel step latency: median / p90 seconds between consecutive
+    reach times (funnel_counts semantics) per transition — exact
+    interpolated percentiles over user-level tables."""
+    from route81_spark.ops.temporal import funnel_latency
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    return funnel_latency(ev, ["signup", "view", "purchase"])
+
+
+@_q(
     "events_transitions",
     """
     WITH o AS (

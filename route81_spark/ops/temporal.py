@@ -548,3 +548,85 @@ def rolling_zscore_anomalies(
         det_round(z, 4).alias("z"),
         F.coalesce(F.abs(z) > threshold, F.lit(False)).alias("is_anomaly"),
     )
+
+
+def funnel_latency(
+    df: DataFrame,
+    steps: list,
+    step_col: str = "event_type",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Step-latency companion to funnel_counts: for each transition
+    step i-1 -> i, the median / p90 seconds users took (among users who
+    reached step i, with reach times defined exactly as funnel_counts).
+    Exact interpolated percentiles, so the numbers oracle cleanly.
+
+    Returns (step, step_name, n_users, p50_s, p90_s), one row per
+    transition (steps[1:]). Same scale shape as funnel_counts:
+    user-level min-aggs chained by user key; percentile aggs run over
+    user-level tables."""
+    if len(steps) < 2:
+        raise ValueError("funnel_latency needs at least two steps")
+    from route81_spark.ops.util import det_round
+
+    reach = None
+    rows = []
+    prev = None
+    levels: list = []
+    try:
+        for i, step in enumerate(steps):
+            ev = df.filter(F.col(step_col) == step).select(
+                F.col(user_col), F.col(ts_col).alias("__ts")
+            )
+            if reach is None:
+                reach = ev.groupBy(user_col).agg(F.min("__ts").alias("__t"))
+            else:
+                reach = (
+                    ev.join(reach.select(user_col, "__t"), user_col)
+                    .filter(F.col("__ts") >= F.col("__t"))
+                    .groupBy(user_col)
+                    .agg(F.min("__ts").alias("__t"))
+                )
+            reach = reach.persist()
+            levels.append(reach)
+            if prev is not None:
+                delta = (
+                    reach.join(
+                        prev.select(user_col, F.col("__t").alias("__t0")), user_col
+                    )
+                    .select(
+                        (
+                            _as_seconds(F.col("__t"), df.schema[ts_col].dataType)
+                            - _as_seconds(F.col("__t0"), df.schema[ts_col].dataType)
+                        ).alias("__d")
+                    )
+                )
+                agg = delta.agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.percentile(F.col("__d"), 0.5).alias("p50"),
+                    F.percentile(F.col("__d"), 0.9).alias("p90"),
+                ).first()
+                rows.append(
+                    (
+                        i + 1,
+                        str(step),
+                        int(agg["n"]),
+                        None if agg["p50"] is None else float(agg["p50"]),
+                        None if agg["p90"] is None else float(agg["p90"]),
+                    )
+                )
+            prev = reach
+        out = df.sparkSession.createDataFrame(
+            rows, "step int, step_name string, n_users long, p50_s double, p90_s double"
+        )
+        return out.select(
+            "step",
+            "step_name",
+            "n_users",
+            det_round(F.col("p50_s"), 4).alias("p50_s"),
+            det_round(F.col("p90_s"), 4).alias("p90_s"),
+        )
+    finally:
+        for lvl in levels:
+            lvl.unpersist()

@@ -591,3 +591,23 @@ def test_rolling_zscore_flags_spike(spark):
     )
     fo = rolling_zscore_anomalies(flat, order_tiebreak="value").collect()
     assert all(r["z"] is None and not r["is_anomaly"] for r in fo)
+
+
+def test_funnel_latency_values(spark):
+    from route81_spark.ops.temporal import funnel_latency
+
+    ev = spark.createDataFrame(
+        [
+            (1, "a", _ts("2024-01-01 10:00:00")),
+            (1, "b", _ts("2024-01-01 10:00:30")),   # 30s
+            (2, "a", _ts("2024-01-01 10:00:00")),
+            (2, "b", _ts("2024-01-01 10:01:30")),   # 90s
+            (3, "a", _ts("2024-01-01 10:00:00")),   # never reaches b
+        ],
+        "user_id long, event_type string, ts timestamp",
+    )
+    out = {r["step_name"]: r for r in funnel_latency(ev, ["a", "b"]).collect()}
+    b = out["b"]
+    assert b["n_users"] == 2
+    assert b["p50_s"] == 60.0   # interpolated median of {30, 90}
+    assert abs(b["p90_s"] - 84.0) < 1e-6
