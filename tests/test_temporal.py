@@ -611,3 +611,77 @@ def test_funnel_latency_values(spark):
     assert b["n_users"] == 2
     assert b["p50_s"] == 60.0   # interpolated median of {30, 90}
     assert abs(b["p90_s"] - 84.0) < 1e-6
+
+
+_funnel_events = st.lists(
+    st.tuples(
+        st.integers(1, 4),            # user
+        st.sampled_from(["a", "b", "c"]),
+        st.integers(0, 100),          # ts seconds
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(evs=_funnel_events)
+def test_funnel_matches_python_replay(spark, evs):
+    from route81_spark.ops.temporal import funnel_counts
+
+    df = spark.createDataFrame(
+        [(u, t, float(s)) for u, t, s in evs],
+        "user_id long, event_type string, ts double",
+    )
+    got = {r["step_name"]: r["n_users"] for r in
+           funnel_counts(df, ["a", "b", "c"], ts_col="ts").collect()}
+
+    # reference replay: reach[i] = earliest step-i event at-or-after reach[i-1]
+    by_user: dict = {}
+    for u, t, s in evs:
+        by_user.setdefault(u, []).append((s, t))
+    want = {"a": 0, "b": 0, "c": 0}
+    for u, items in by_user.items():
+        prev = None
+        for step in ["a", "b", "c"]:
+            cand = [s for s, t in items if t == step and (prev is None or s >= prev)]
+            if not cand:
+                break
+            prev = min(cand)
+            want[step] += 1
+    assert got == want
+
+
+@settings(max_examples=15, deadline=None)
+@given(evs=_funnel_events)
+def test_transitions_match_python_replay(spark, evs):
+    """Per-user time-ordered next-event pairs; a synthetic unique seq
+    breaks ts ties identically in both implementations."""
+    rows = [(u, t, float(s), i) for i, (u, t, s) in enumerate(evs)]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts double, event_id long"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    got = {
+        (r["from_type"], r["to_type"]): r["n"]
+        for r in (
+            df.withColumn("next_type", F.lead("event_type").over(w))
+            .filter(F.col("next_type").isNotNull())
+            .groupBy(F.col("event_type").alias("from_type"),
+                     F.col("next_type").alias("to_type"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+    }
+    by_user: dict = {}
+    for u, t, s, i in rows:
+        by_user.setdefault(u, []).append((s, i, t))
+    want: dict = {}
+    for items in by_user.values():
+        items.sort()
+        for cur, nxt in zip(items, items[1:]):
+            key = (cur[2], nxt[2])
+            want[key] = want.get(key, 0) + 1
+    assert got == want
