@@ -122,11 +122,20 @@ def event_ops() -> dict:
         )
         return range_join(clicks, iv, on="user_id", bucket_s=1800)
 
+    from route81_spark.ops.temporal import (
+        funnel_counts,
+        retention_cohorts,
+        rolling_zscore_anomalies,
+    )
+
     return {
         "asof": asof,
         "range_join": rjoin,
         "rollup": lambda ev: rollup_time(ev, "ts", "value"),
         "sessionize": lambda ev: sessionize(ev),
+        "funnel": lambda ev: funnel_counts(ev, ["signup", "view", "purchase"]),
+        "retention": retention_cohorts,
+        "anomaly": lambda ev: rolling_zscore_anomalies(ev, order_tiebreak="event_id"),
     }
 
 
