@@ -4995,6 +4995,59 @@ def events_funnel_latency(spark, sf_dir):
 
 
 @_q(
+    "text_vocab_coverage",
+    f"""
+    WITH tc AS (
+      SELECT t AS term, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT unnest({_TOKS}) AS t FROM documents)
+      GROUP BY 1
+    ),
+    ranked AS (
+      SELECT term, c,
+             CAST(row_number() OVER (ORDER BY c DESC, term ASC) AS BIGINT) AS rank,
+             sum(c) OVER (ORDER BY c DESC, term ASC
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(c) OVER () AS total
+      FROM tc
+    )
+    SELECT rank, term, c AS term_count,
+           {det_round_sql('cum / CAST(total AS DOUBLE)', 6)} AS coverage
+    FROM ranked WHERE rank <= 32
+    """,
+)
+def text_vocab_coverage(spark, sf_dir):
+    """Vocabulary coverage curve: cumulative share of all corpus tokens
+    covered by the top-k terms — the tokenizer-design question ('how
+    big a vocab covers 95%?') answered exactly. One map-side-combined
+    term count over the corpus; ranking and the running sum operate on
+    the vocab-sized table only."""
+    from route81_spark.io import ensure_parallelism
+    from route81_spark.ops.text import tokens
+    from route81_spark.ops.util import det_round
+
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    tc = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w_rank = Window.orderBy(F.col("c").desc(), F.col("term").asc())
+    w_cum = w_rank.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy()
+    ranked = tc.select(
+        F.row_number().over(w_rank).cast("long").alias("rank"),
+        "term",
+        F.col("c").alias("term_count"),
+        (
+            F.sum("c").over(w_cum) / F.sum("c").over(w_all).cast("double")
+        ).alias("__cov"),
+    )
+    return ranked.filter(F.col("rank") <= 32).select(
+        "rank", "term", "term_count", det_round(F.col("__cov"), 6).alias("coverage")
+    )
+
+
+@_q(
     "events_transitions",
     """
     WITH o AS (
