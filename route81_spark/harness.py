@@ -5019,31 +5019,36 @@ def text_vocab_coverage(spark, sf_dir):
     """Vocabulary coverage curve: cumulative share of all corpus tokens
     covered by the top-k terms — the tokenizer-design question ('how
     big a vocab covers 95%?') answered exactly. One map-side-combined
-    term count over the corpus; ranking and the running sum operate on
-    the vocab-sized table only."""
+    term count over the corpus; top-k ships k rows per partition and
+    the 32-point curve assembles driver-side."""
     from route81_spark.io import ensure_parallelism
     from route81_spark.ops.text import tokens
-    from route81_spark.ops.util import det_round
 
     docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
     tc = (
         docs.select(F.explode(tokens(F.col("text"))).alias("term"))
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("c"))
+        .persist()  # total + top-k share the term-count aggregation
     )
-    w_rank = Window.orderBy(F.col("c").desc(), F.col("term").asc())
-    w_cum = w_rank.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    w_all = Window.partitionBy()
-    ranked = tc.select(
-        F.row_number().over(w_rank).cast("long").alias("rank"),
-        "term",
-        F.col("c").alias("term_count"),
-        (
-            F.sum("c").over(w_cum) / F.sum("c").over(w_all).cast("double")
-        ).alias("__cov"),
-    )
-    return ranked.filter(F.col("rank") <= 32).select(
-        "rank", "term", "term_count", det_round(F.col("__cov"), 6).alias("coverage")
+    try:
+        # scalar total + TOP-K, never a global window: orderBy+limit is
+        # TakeOrderedAndProject (k rows per partition) — a full-vocab
+        # rank/cumsum window would drag millions of terms through ONE
+        # task at scale. The 32-row curve assembles driver-side (eager,
+        # so the cached term counts are read exactly once).
+        total = float(tc.agg(F.sum("c")).first()[0])
+        top = tc.orderBy(F.col("c").desc(), F.col("term").asc()).limit(32).collect()
+    finally:
+        tc.unpersist()
+    scale = 1_000_000.0
+    rows, cum = [], 0
+    for i, r in enumerate(top):
+        cum += int(r["c"])
+        cov = __import__("math").floor(cum / total * scale + 0.5) / scale
+        rows.append((i + 1, r["term"], int(r["c"]), cov))
+    return spark.createDataFrame(
+        rows, "rank long, term string, term_count long, coverage double"
     )
 
 
