@@ -5037,19 +5037,23 @@ def text_vocab_coverage(spark, sf_dir):
         # rank/cumsum window would drag millions of terms through ONE
         # task at scale. The 32-row curve assembles driver-side (eager,
         # so the cached term counts are read exactly once).
-        total = float(tc.agg(F.sum("c")).first()[0])
+        raw_total = tc.agg(F.sum("c")).first()[0]
         top = tc.orderBy(F.col("c").desc(), F.col("term").asc()).limit(32).collect()
     finally:
         tc.unpersist()
-    scale = 1_000_000.0
+    schema = "rank long, term string, term_count long, coverage double"
+    if raw_total is None:  # empty corpus: empty curve, like the oracle
+        return spark.createDataFrame([], schema)
+    total = float(raw_total)
     rows, cum = [], 0
     for i, r in enumerate(top):
         cum += int(r["c"])
-        cov = __import__("math").floor(cum / total * scale + 0.5) / scale
-        rows.append((i + 1, r["term"], int(r["c"]), cov))
-    return spark.createDataFrame(
-        rows, "rank long, term string, term_count long, coverage double"
-    )
+        rows.append((i + 1, r["term"], int(r["c"]), cum / total))
+    out = spark.createDataFrame(rows, schema)
+    from route81_spark.ops.util import det_round
+
+    # the SHARED cross-engine rounding, not a hand-rolled copy
+    return out.withColumn("coverage", det_round(F.col("coverage"), 6))
 
 
 @_q(
@@ -5073,21 +5077,12 @@ def events_transitions(spark, sf_dir):
     pairs — the behavioral-flow matrix behind sankeys and next-action
     models. One lead() window shuffle on the user key + a tiny
     type-pair aggregation; deterministic via the event_id tiebreak."""
+    from route81_spark.ops.temporal import transition_counts
+
     ev = _t(spark, sf_dir, "events").withColumn(
         "ts", F.col("ts").cast("timestamp")
     )
-    w = Window.partitionBy("user_id").orderBy(
-        F.col("ts").asc(), F.col("event_id").asc()
-    )
-    o = ev.withColumn("next_type", F.lead("event_type").over(w))
-    return (
-        o.filter(F.col("next_type").isNotNull())
-        .groupBy(
-            F.col("event_type").alias("from_type"),
-            F.col("next_type").alias("to_type"),
-        )
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
+    return transition_counts(ev)
 
 
 @_q(

@@ -393,6 +393,64 @@ def rollup_time(
     )
 
 
+def _reach_levels(
+    df: DataFrame,
+    steps: list,
+    step_col: str,
+    ts_col: str,
+    user_col: str,
+) -> list:
+    """Shared funnel machinery: per step, the PERSISTED user-level
+    (user, __t) table of reach times — step i's reach is the earliest
+    step-i event at-or-after the step-(i-1) reach. Persisting each
+    (tiny) level keeps the event log scanned once per step instead of
+    O(k^2). Caller MUST unpersist every returned level."""
+    reach = None
+    levels: list = []
+    for step in steps:
+        ev = df.filter(F.col(step_col) == step).select(
+            F.col(user_col), F.col(ts_col).alias("__ts")
+        )
+        if reach is None:
+            reach = ev.groupBy(user_col).agg(F.min("__ts").alias("__t"))
+        else:
+            reach = (
+                ev.join(reach.select(user_col, "__t"), user_col)
+                .filter(F.col("__ts") >= F.col("__t"))
+                .groupBy(user_col)
+                .agg(F.min("__ts").alias("__t"))
+            )
+        reach = reach.persist()
+        levels.append(reach)
+    return levels
+
+
+def transition_counts(
+    df: DataFrame,
+    step_col: str = "event_type",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """First-order (Markov) transition counts: per user's time-ordered
+    sequence, count (current -> next) step pairs — the behavioral-flow
+    matrix behind sankeys and next-action models. One lead() window
+    shuffle on the user key + a tiny step-pair aggregation;
+    deterministic via the tiebreak column."""
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(tiebreak_col).asc()
+    )
+    o = df.withColumn("__next", F.lead(F.col(step_col)).over(w))
+    return (
+        o.filter(F.col("__next").isNotNull())
+        .groupBy(
+            F.col(step_col).alias("from_type"),
+            F.col("__next").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 def funnel_counts(
     df: DataFrame,
     steps: list,
@@ -415,27 +473,8 @@ def funnel_counts(
     self-joins at event granularity."""
     if not steps:
         raise ValueError("funnel_counts needs at least one step")
-    # persist each (tiny, user-level) reach table: without it, counting
-    # step k re-executes the whole chain 1..k and the event log would be
-    # scanned O(k^2) times instead of once per step
-    reach = None
-    levels: list = []
+    levels = _reach_levels(df, steps, step_col, ts_col, user_col)
     try:
-        for step in steps:
-            ev = df.filter(F.col(step_col) == step).select(
-                F.col(user_col), F.col(ts_col).alias("__ts")
-            )
-            if reach is None:
-                reach = ev.groupBy(user_col).agg(F.min("__ts").alias("__t"))
-            else:
-                reach = (
-                    ev.join(reach, user_col)
-                    .filter(F.col("__ts") >= F.col("__t"))
-                    .groupBy(user_col)
-                    .agg(F.min("__ts").alias("__t"))
-                )
-            reach = reach.persist()
-            levels.append(reach)
         counts = [
             (i + 1, str(step), lvl.count())
             for i, (step, lvl) in enumerate(zip(steps, levels))
@@ -570,53 +609,36 @@ def funnel_latency(
         raise ValueError("funnel_latency needs at least two steps")
     from route81_spark.ops.util import det_round
 
-    reach = None
     rows = []
-    prev = None
-    levels: list = []
+    levels = _reach_levels(df, steps, step_col, ts_col, user_col)
     try:
-        for i, step in enumerate(steps):
-            ev = df.filter(F.col(step_col) == step).select(
-                F.col(user_col), F.col(ts_col).alias("__ts")
-            )
-            if reach is None:
-                reach = ev.groupBy(user_col).agg(F.min("__ts").alias("__t"))
-            else:
-                reach = (
-                    ev.join(reach.select(user_col, "__t"), user_col)
-                    .filter(F.col("__ts") >= F.col("__t"))
-                    .groupBy(user_col)
-                    .agg(F.min("__ts").alias("__t"))
+        for i, step in enumerate(steps[1:], start=1):
+            prev, reach = levels[i - 1], levels[i]
+            delta = (
+                reach.join(
+                    prev.select(user_col, F.col("__t").alias("__t0")), user_col
                 )
-            reach = reach.persist()
-            levels.append(reach)
-            if prev is not None:
-                delta = (
-                    reach.join(
-                        prev.select(user_col, F.col("__t").alias("__t0")), user_col
-                    )
-                    .select(
-                        (
-                            _as_seconds(F.col("__t"), df.schema[ts_col].dataType)
-                            - _as_seconds(F.col("__t0"), df.schema[ts_col].dataType)
-                        ).alias("__d")
-                    )
-                )
-                agg = delta.agg(
-                    F.count(F.lit(1)).alias("n"),
-                    F.percentile(F.col("__d"), 0.5).alias("p50"),
-                    F.percentile(F.col("__d"), 0.9).alias("p90"),
-                ).first()
-                rows.append(
+                .select(
                     (
-                        i + 1,
-                        str(step),
-                        int(agg["n"]),
-                        None if agg["p50"] is None else float(agg["p50"]),
-                        None if agg["p90"] is None else float(agg["p90"]),
-                    )
+                        _as_seconds(F.col("__t"), df.schema[ts_col].dataType)
+                        - _as_seconds(F.col("__t0"), df.schema[ts_col].dataType)
+                    ).alias("__d")
                 )
-            prev = reach
+            )
+            agg = delta.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.percentile(F.col("__d"), 0.5).alias("p50"),
+                F.percentile(F.col("__d"), 0.9).alias("p90"),
+            ).first()
+            rows.append(
+                (
+                    i + 1,
+                    str(step),
+                    int(agg["n"]),
+                    None if agg["p50"] is None else float(agg["p50"]),
+                    None if agg["p90"] is None else float(agg["p90"]),
+                )
+            )
         out = df.sparkSession.createDataFrame(
             rows, "step int, step_name string, n_users long, p50_s double, p90_s double"
         )

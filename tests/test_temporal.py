@@ -657,23 +657,15 @@ def test_funnel_matches_python_replay(spark, evs):
 def test_transitions_match_python_replay(spark, evs):
     """Per-user time-ordered next-event pairs; a synthetic unique seq
     breaks ts ties identically in both implementations."""
+    from route81_spark.ops.temporal import transition_counts
+
     rows = [(u, t, float(s), i) for i, (u, t, s) in enumerate(evs)]
     df = spark.createDataFrame(
         rows, "user_id long, event_type string, ts double, event_id long"
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
     got = {
         (r["from_type"], r["to_type"]): r["n"]
-        for r in (
-            df.withColumn("next_type", F.lead("event_type").over(w))
-            .filter(F.col("next_type").isNotNull())
-            .groupBy(F.col("event_type").alias("from_type"),
-                     F.col("next_type").alias("to_type"))
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        )
+        for r in transition_counts(df).collect()
     }
     by_user: dict = {}
     for u, t, s, i in rows:
