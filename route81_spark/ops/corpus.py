@@ -737,7 +737,9 @@ def dataset_card(
         F.col(source_col).alias("source"),
         token_count(c).alias("__tok"),
         quality_score(c).alias("__q"),
-        (F.col(lang_col) == "en").cast("double").alias("__en"),
+        # null-safe: `lang == 'en'` is NULL for null lang, which avg()
+        # would silently exclude; the oracle's CASE WHEN counts it as 0
+        F.when(F.col(lang_col) == "en", 1.0).otherwise(0.0).alias("__en"),
         content_hash(c).alias("__chash"),
     )
     card = base.groupBy("source").agg(

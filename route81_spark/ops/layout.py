@@ -113,7 +113,15 @@ def compact_small_files(
     streaming sink's per-trigger files degrade scans (open cost, tiny
     row groups, starved parallelism); periodic compaction is standard
     table maintenance. Coalesce, not repartition — merging files needs
-    no shuffle. Returns the file count written."""
+    no shuffle. Returns the file count written.
+
+    SCOPE: driver-local filesystem paths only. The size scan and the
+    atomic-ish directory swap use os.walk/os.rename, which do not reach
+    HDFS/S3; on an object-store table use a transactional table format
+    (Delta/Iceberg OPTIMIZE) or route the rename through Hadoop
+    FileSystem APIs. The swap is also not reader-atomic: a concurrent
+    reader can observe a missing path for the instant between the two
+    renames — schedule compaction in a maintenance window."""
     import math
     import os
     import shutil

@@ -534,4 +534,9 @@ def compression_ratio(
                 {id_col: pdf[id_col], "n_bytes": sizes, "deflate_ratio": ratios}
             )
 
-    return sel.mapInPandas(run, schema=f"{id_col} long, n_bytes long, deflate_ratio double")
+    # id type follows the input (Mongo _id is often a string), not a
+    # hardcoded long — a mismatched Arrow schema fails at runtime
+    id_type = df.schema[id_col].dataType.simpleString()
+    return sel.mapInPandas(
+        run, schema=f"{id_col} {id_type}, n_bytes long, deflate_ratio double"
+    )

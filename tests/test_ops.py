@@ -995,6 +995,22 @@ def test_dataset_card_toy_sources(spark):
     assert books["n_docs"] == 1 and books["dup_rate"] == 0.0
 
 
+def test_dataset_card_null_lang_counts_as_non_en(spark):
+    """NULL lang must count as 0 in en_share (oracle's CASE WHEN), not
+    be excluded from the average by a null-propagating comparison."""
+    from route81_spark.ops.corpus import dataset_card
+
+    docs = spark.createDataFrame(
+        [
+            (1, "one two three", "en", "web"),
+            (2, "vier fünf sechs", None, "web"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    card = {r["source"]: r for r in dataset_card(docs).collect()}
+    assert abs(card["web"]["en_share"] - 0.5) < 1e-9
+
+
 def test_semantic_decontaminate_flags_and_empty_benchmark(spark):
     from route81_spark.ops.similarity import semantic_decontaminate
 
@@ -1289,6 +1305,21 @@ def test_compression_ratio_orders_redundancy(spark):
     # deterministic across runs
     again = {r["doc_id"]: r["deflate_ratio"] for r in compression_ratio(docs).collect()}
     assert again == {k: v["deflate_ratio"] for k, v in out.items()}
+
+
+def test_compression_ratio_string_ids(spark):
+    """The output schema must follow the id column's actual type — a
+    string doc_id (typical Mongo _id) used to crash Arrow conversion
+    against the hardcoded `long` schema."""
+    from route81_spark.ops.text import compression_ratio
+
+    docs = spark.createDataFrame(
+        [("a1", "spam " * 50), ("b2", "unique words only here")],
+        "doc_id string, text string",
+    )
+    out = {r["doc_id"]: r for r in compression_ratio(docs).collect()}
+    assert set(out) == {"a1", "b2"}
+    assert out["a1"]["deflate_ratio"] < out["b2"]["deflate_ratio"]
 
 
 def test_bm25_degenerate_inputs(spark):

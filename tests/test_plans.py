@@ -318,3 +318,13 @@ def test_salted_join_spreads_hot_key(spark):
     # the join keys must include the salt column
     plan = out._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
     assert "__salt" in plan
+    # replicating the small side makes right/full-outer wrong (salt-fold
+    # duplicate unmatched rows) -> must be rejected loudly
+    import pytest
+
+    with pytest.raises(ValueError, match="inner/left"):
+        salted_join(big, small, on="k", salt=8, how="full")
+    with pytest.raises(ValueError, match="inner/left"):
+        salted_join(big, small, on="k", salt=8, how="right")
+    # left outer stays supported (null-extends the big side only)
+    assert salted_join(big, small, on="k", salt=4, how="left").count() == 10_000
