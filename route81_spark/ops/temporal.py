@@ -475,13 +475,26 @@ def funnel_counts(
         raise ValueError("funnel_counts needs at least one step")
     levels = _reach_levels(df, steps, step_col, ts_col, user_col)
     try:
-        counts = [
-            (i + 1, str(step), lvl.count())
-            for i, (step, lvl) in enumerate(zip(steps, levels))
-        ]
+        # ONE job for all steps: tag each (persisted, user-level) level
+        # with its step index, union, and count per tag — k sequential
+        # .count() actions would pay scheduler overhead per funnel step
+        tagged = None
+        for i, lvl in enumerate(levels):
+            t = lvl.select(F.lit(i + 1).alias("step"))
+            tagged = t if tagged is None else tagged.unionByName(t)
+        got = {
+            r["step"]: r["n_users"]
+            for r in tagged.groupBy("step")
+            .agg(F.count(F.lit(1)).alias("n_users"))
+            .collect()
+        }
     finally:
         for lvl in levels:
             lvl.unpersist()
+    counts = [
+        (i + 1, str(step), int(got.get(i + 1, 0)))
+        for i, step in enumerate(steps)
+    ]
     return df.sparkSession.createDataFrame(
         counts, "step int, step_name string, n_users long"
     )
@@ -609,46 +622,56 @@ def funnel_latency(
         raise ValueError("funnel_latency needs at least two steps")
     from route81_spark.ops.util import det_round
 
-    rows = []
     levels = _reach_levels(df, steps, step_col, ts_col, user_col)
     try:
-        for i, step in enumerate(steps[1:], start=1):
+        # ONE job for all transitions: tag each per-transition delta
+        # table with its step index, union, aggregate per tag — the
+        # per-step .first() loop ran one Spark job per funnel step
+        deltas = None
+        for i in range(1, len(steps)):
             prev, reach = levels[i - 1], levels[i]
-            delta = (
-                reach.join(
-                    prev.select(user_col, F.col("__t").alias("__t0")), user_col
-                )
-                .select(
-                    (
-                        _as_seconds(F.col("__t"), df.schema[ts_col].dataType)
-                        - _as_seconds(F.col("__t0"), df.schema[ts_col].dataType)
-                    ).alias("__d")
-                )
+            d = reach.join(
+                prev.select(user_col, F.col("__t").alias("__t0")), user_col
+            ).select(
+                F.lit(i + 1).alias("step"),
+                (
+                    _as_seconds(F.col("__t"), df.schema[ts_col].dataType)
+                    - _as_seconds(F.col("__t0"), df.schema[ts_col].dataType)
+                ).alias("__d"),
             )
-            agg = delta.agg(
+            deltas = d if deltas is None else deltas.unionByName(d)
+        got = {
+            r["step"]: r
+            for r in deltas.groupBy("step")
+            .agg(
                 F.count(F.lit(1)).alias("n"),
                 F.percentile(F.col("__d"), 0.5).alias("p50"),
                 F.percentile(F.col("__d"), 0.9).alias("p90"),
-            ).first()
-            rows.append(
-                (
-                    i + 1,
-                    str(step),
-                    int(agg["n"]),
-                    None if agg["p50"] is None else float(agg["p50"]),
-                    None if agg["p90"] is None else float(agg["p90"]),
-                )
             )
-        out = df.sparkSession.createDataFrame(
-            rows, "step int, step_name string, n_users long, p50_s double, p90_s double"
-        )
-        return out.select(
-            "step",
-            "step_name",
-            "n_users",
-            det_round(F.col("p50_s"), 4).alias("p50_s"),
-            det_round(F.col("p90_s"), 4).alias("p90_s"),
-        )
+            .collect()
+        }
     finally:
         for lvl in levels:
             lvl.unpersist()
+    rows = []
+    for i, step in enumerate(steps[1:], start=1):
+        agg = got.get(i + 1)
+        rows.append(
+            (
+                i + 1,
+                str(step),
+                0 if agg is None else int(agg["n"]),
+                None if agg is None or agg["p50"] is None else float(agg["p50"]),
+                None if agg is None or agg["p90"] is None else float(agg["p90"]),
+            )
+        )
+    out = df.sparkSession.createDataFrame(
+        rows, "step int, step_name string, n_users long, p50_s double, p90_s double"
+    )
+    return out.select(
+        "step",
+        "step_name",
+        "n_users",
+        det_round(F.col("p50_s"), 4).alias("p50_s"),
+        det_round(F.col("p90_s"), 4).alias("p90_s"),
+    )

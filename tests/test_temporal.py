@@ -613,6 +613,53 @@ def test_funnel_latency_values(spark):
     assert abs(b["p90_s"] - 84.0) < 1e-6
 
 
+def test_funnel_single_job(spark, monkeypatch):
+    """Both funnel entry points must aggregate all steps in ONE Spark
+    action (tagged union over the persisted levels), not one action per
+    step — a long funnel used to pay k sequential scheduler
+    round-trips. (AQE splits one action into several jobs, so count
+    actions at the API layer, not job ids.)"""
+    # patch the concrete class — pyspark.sql.DataFrame is an abstract
+    # facade in Spark 4; instances are the classic implementation
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    from route81_spark.ops.temporal import funnel_counts, funnel_latency
+
+    steps = ["a", "b", "c", "d"]
+    ev = spark.createDataFrame(
+        [
+            (u, s, _ts(f"2024-01-01 10:0{i}:00"))
+            for u in (1, 2, 3)
+            for i, s in enumerate(steps)
+        ],
+        "user_id long, event_type string, ts timestamp",
+    )
+    actions = {"n": 0}
+    for name in ("collect", "count", "first", "take", "head"):
+        orig = getattr(DataFrame, name)
+
+        def wrapped(self, *a, _orig=orig, **kw):
+            actions["n"] += 1
+            return _orig(self, *a, **kw)
+
+        monkeypatch.setattr(DataFrame, name, wrapped)
+    for fn in (funnel_counts, funnel_latency):
+        actions["n"] = 0
+        res = fn(ev, steps).collect()
+        assert len(res) >= len(steps) - 1
+        # 1 internal action + the test's own .collect() on the result
+        assert actions["n"] == 2, (fn.__name__, actions["n"])
+    # counts stay correct with unreached steps (zero-filled rows)
+    short = spark.createDataFrame(
+        [(1, "a", _ts("2024-01-01 10:00:00"))],
+        "user_id long, event_type string, ts timestamp",
+    )
+    out = {r["step_name"]: r["n_users"] for r in funnel_counts(short, steps).collect()}
+    assert out == {"a": 1, "b": 0, "c": 0, "d": 0}
+    lat = {r["step_name"]: r for r in funnel_latency(short, steps).collect()}
+    assert lat["b"]["n_users"] == 0 and lat["b"]["p50_s"] is None
+
+
 _funnel_events = st.lists(
     st.tuples(
         st.integers(1, 4),            # user
