@@ -35,9 +35,15 @@ from route81_spark import harness  # noqa: E402
 _HEADLINE = [
     "lookup_unwind", "tpch_q3_pipeline", "dedup_lsh_jaccard",
     "graph_lookup_chain", "facet_summary", "merge_matched_pipeline",
-    # no-oracle (rows-only) queries whose latest driver rows predate their
-    # r3 fixes: pin them so r4 formally records the driver-safe shapes.
-    "envelope_lineitem", "sim_pq", "sim_topk_blas", "media_features",
+    # newly ORACLED in r5 (were rows-only through r4): pin so the driver
+    # formally records their first hash-checked rows.
+    "envelope_lineitem", "sim_pq", "sim_topk_blas",
+    # changed in r5 (single-job funnel; null-safe en_share): re-grade.
+    "events_funnel", "events_funnel_latency", "corpus_dataset_card",
+    # media_features stays rows-only by design (mapInPandas feature
+    # extraction) and has a fresh r4 row — rotation re-records it by
+    # staleness; skew_salted_join is never-recorded so it sorts first
+    # in the tail automatically.
 ]
 
 

@@ -48,6 +48,17 @@ def ext_json_col(col: Column, dtype: T.DataType, oid: bool = False) -> Column:
         return _tag("$numberDecimal", col.cast("string"))
     if isinstance(dtype, T.BooleanType):
         return col
+    if isinstance(dtype, T.TimestampNTZType):
+        # raw parquet reads surface TIMESTAMP_NTZ; BSON datetimes are
+        # UTC instants, so interpret the wall time AS UTC via pure
+        # wall-clock arithmetic — unix_micros/to_utc_timestamp both
+        # coerce NTZ through the session timezone and would shift the
+        # epoch on non-UTC drivers
+        us = F.timestamp_diff(
+            "MICROSECOND", F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"), col
+        )
+        ms = (us / 1000).cast("long").cast("string")
+        return _tag("$date", _tag("$numberLong", ms))
     if isinstance(dtype, (T.TimestampType, T.DateType)):
         ms = (F.unix_micros(col.cast("timestamp")) / 1000).cast("long").cast("string")
         return _tag("$date", _tag("$numberLong", ms))
@@ -105,7 +116,7 @@ def ext_json_tagged_schema(dtype: T.DataType, oid: bool = False) -> T.DataType:
         return T.StructType([T.StructField("$numberDouble", T.StringType())])
     if isinstance(dtype, T.BooleanType):
         return dtype
-    if isinstance(dtype, (T.TimestampType, T.DateType)):
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType, T.DateType)):
         return T.StructType(
             [
                 T.StructField(
@@ -157,6 +168,14 @@ def strip_ext_json(col: Column, dtype: T.DataType, oid: bool = False) -> Column:
         return col.getField("$numberDouble").cast(dtype)
     if isinstance(dtype, T.BooleanType):
         return col
+    if isinstance(dtype, T.TimestampNTZType):
+        # inverse of the encode path: UTC epoch ms -> NTZ wall time,
+        # session-timezone-independent (timestampadd on NTZ is pure
+        # wall-clock arithmetic)
+        ms = col.getField("$date").getField("$numberLong").cast("long")
+        return F.timestamp_add(
+            "MICROSECOND", ms * 1000, F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
+        )
     if isinstance(dtype, (T.TimestampType, T.DateType)):
         ms = col.getField("$date").getField("$numberLong").cast("long")
         ts = F.timestamp_micros(ms * 1000)

@@ -18,6 +18,13 @@ from pyspark.sql import types as T
 
 
 def plain_json_col(col: Column, dtype: T.DataType) -> Column:
+    if isinstance(dtype, T.TimestampNTZType):
+        # NTZ wall time is treated as UTC (BSON datetimes are UTC
+        # instants); date_format on NTZ is session-tz-independent
+        return F.when(
+            F.year(col).between(0, 9999),
+            F.concat(F.date_format(col, "yyyy-MM-dd'T'HH:mm:ss.SSS"), F.lit("Z")),
+        ).otherwise(F.lit(None).cast("string"))
     if isinstance(dtype, (T.TimestampType, T.DateType)):
         ts = col.cast("timestamp")
         return F.when(

@@ -2105,10 +2105,42 @@ def stage_dedup_then_analyze(spark, sf_dir):
     return df
 
 
-@_q("envelope_lineitem")  # no SQL oracle (binary wire columns) -> rows-only;
+@_q(
+    "envelope_lineitem",
+    # Parsed-projection oracle: the full canonical-ext-JSON envelope is
+    # BUILT (binary wire columns, golden-tested elsewhere), then parsed
+    # BACK out of the produced value bytes — so the oracle checks that
+    # the envelope carries the right topic/key/meta and correctly
+    # type-tagged data ($numberLong/$numberInt/$date/plain string) for
+    # every lineitem row, without DuckDB having to hash raw binary
+    # (which crashed its hash table in r02) or reproduce Go float
+    # formatting (doubles stay golden-test-covered).
+    """
+    WITH src AS (
+      SELECT CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR) AS id,
+             *
+      FROM lineitem
+    )
+    SELECT 'pfx.test.lineitem' AS topic,
+           '"' || id || '"' AS key_json,
+           id,
+           'test.lineitem' AS ns,
+           CAST(0 AS INT) AS ts_t,
+           l_orderkey,
+           l_partkey,
+           l_suppkey,
+           CAST(l_linenumber AS INT) AS l_linenumber,
+           epoch_ms(l_shipdate) AS shipdate_ms,
+           l_returnflag,
+           l_linestatus,
+           '{"T":0,"I":0}' AS hdr_ts
+    FROM src
+    """,
+)
 def envelope_lineitem(spark, sf_dir):
     # the producer-path throughput workload for bench: full canonical
-    # ext-JSON envelope over the widest table
+    # ext-JSON envelope over the widest table, then a parse-back
+    # projection of the produced value bytes for the DuckDB oracle
     from route81_spark.io import ensure_parallelism
 
     df = with_synthetic_id(
@@ -2117,14 +2149,21 @@ def envelope_lineitem(spark, sf_dir):
     env = build_envelope(
         df, "test.lineitem", EnvelopeConfig(topic_name_prefix="pfx")
     )
-    # registry-only reshaping: the driver's pandas canonicalizer sorts object
-    # columns and cannot hash binary/array cells, so expose hex/json views of
-    # the wire columns (build_envelope itself stays binary and golden-tested)
+    v = F.col("value").cast("string")
     return env.select(
         F.col("topic"),
-        F.hex("key").alias("key_hex"),
-        F.hex("value").alias("value_hex"),
-        F.to_json("headers").alias("headers_json"),
+        F.col("key").cast("string").alias("key_json"),
+        F.get_json_object(v, "$.meta._id").alias("id"),
+        F.get_json_object(v, "$.meta.ns").alias("ns"),
+        F.get_json_object(v, "$.meta.ts['$timestamp'].t").cast("int").alias("ts_t"),
+        F.get_json_object(v, "$.data.l_orderkey['$numberLong']").cast("long").alias("l_orderkey"),
+        F.get_json_object(v, "$.data.l_partkey['$numberLong']").cast("long").alias("l_partkey"),
+        F.get_json_object(v, "$.data.l_suppkey['$numberLong']").cast("long").alias("l_suppkey"),
+        F.get_json_object(v, "$.data.l_linenumber['$numberInt']").cast("int").alias("l_linenumber"),
+        F.get_json_object(v, "$.data.l_shipdate['$date']['$numberLong']").cast("long").alias("shipdate_ms"),
+        F.get_json_object(v, "$.data.l_returnflag").alias("l_returnflag"),
+        F.get_json_object(v, "$.data.l_linestatus").alias("l_linestatus"),
+        F.element_at("headers", 1).getField("value").cast("string").alias("hdr_ts"),
     )
 
 
@@ -2434,27 +2473,158 @@ def sim_topk(spark, sf_dir):
     return S.brute_force_topk(emb, queries, k=5)
 
 
-@_q("sim_pq")  # no SQL oracle: PQ codebook is numpy-trained; recall pinned in tests
+@_q(
+    "sim_pq",
+    # Full SQL replica of the deterministic-PQ pipeline: seeded codebook
+    # (centroids = the 16 lowest-id vectors, zero k-means iterations),
+    # normalized components quantized at 1e-9, every distance a
+    # left-fold — so encode -> ADC -> candidate ranking -> exact-cosine
+    # refine are bit-identical between numpy and DuckDB. The k-means
+    # path keeps its pytest recall pins; this registry configuration is
+    # the oracle-checked one.
+    f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    n0 AS (
+      SELECT vec_id, v,
+             greatest(sqrt(list_reduce(list_transform(v, y -> y*y), (a,b) -> a+b)), 1e-12) AS nrm
+      FROM e
+    ),
+    n AS (
+      SELECT vec_id,
+             list_transform(v, x -> floor(x / nrm * 1000000000.0 + 0.5) / 1000000000.0) AS nv
+      FROM n0
+    ),
+    cents AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS c, nv
+      FROM (SELECT vec_id, nv FROM n ORDER BY vec_id LIMIT 16)
+    ),
+    cent_sub AS (
+      SELECT c, sp.range AS s, nv[(sp.range*4+1):(sp.range*4+4)] AS cv
+      FROM cents, range(16) sp
+    ),
+    vsub AS (
+      SELECT vec_id, sp.range AS s, nv[(sp.range*4+1):(sp.range*4+4)] AS sv
+      FROM n, range(16) sp
+    ),
+    code1 AS (
+      SELECT vec_id, s, c FROM (
+        SELECT v.vec_id, v.s, cs.c,
+               row_number() OVER (
+                 PARTITION BY v.vec_id, v.s
+                 ORDER BY list_reduce(list_transform(range(1,5),
+                            j -> (v.sv[j]-cs.cv[j])*(v.sv[j]-cs.cv[j])), (a,b) -> a+b) ASC,
+                          cs.c ASC
+               ) AS rn
+        FROM vsub v JOIN cent_sub cs USING (s)
+      ) WHERE rn = 1
+    ),
+    qsub AS (
+      SELECT vec_id AS query_id, sp.range AS s,
+             nv[(sp.range*4+1):(sp.range*4+4)] AS qv
+      FROM n, range(16) sp WHERE vec_id % 100 = 0
+    ),
+    qtab AS (
+      SELECT query_id, s, c,
+             list_reduce(list_transform(range(1,5),
+               j -> (qv[j]-cv[j])*(qv[j]-cv[j])), (a,b) -> a+b) AS qd2
+      FROM qsub JOIN cent_sub USING (s)
+    ),
+    adc AS (
+      SELECT t.query_id, cd.vec_id,
+             floor(list_reduce(list(t.qd2 ORDER BY t.s), (a,b) -> a+b) * 1000000.0 + 0.5)
+               / 1000000.0 AS dist6
+      FROM code1 cd JOIN qtab t ON t.s = cd.s AND t.c = cd.c
+      GROUP BY t.query_id, cd.vec_id
+    ),
+    cand AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                    ORDER BY dist6 ASC, vec_id ASC) AS rn
+        FROM adc
+      ) WHERE rn <= 50
+    ),
+    scored AS (
+      SELECT c.query_id, c.vec_id,
+             floor(({_cos_sql('e.embedding', 'qe.embedding')}) * 1000000.0 + 0.5)
+               / 1000000.0 AS score
+      FROM cand c
+      JOIN embeddings e ON e.vec_id = c.vec_id
+      JOIN embeddings qe ON qe.vec_id = c.query_id
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, score,
+             CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY score DESC, vec_id ASC) AS INT) AS rank
+      FROM scored
+    )
+    SELECT * FROM ranked WHERE rank <= 5
+    """,
+)
 def sim_pq(spark, sf_dir):
     """Product-quantization ANN with exact re-ranking (compressed-domain
-    retrieve -> cosine refine) — the 32x-compression scale path."""
+    retrieve -> cosine refine) — the 32x-compression scale path. The
+    registry runs the deterministic configuration (prefix-seeded
+    codebook, iters=0, 1e-9 quantization) so the whole pipeline is
+    DuckDB-oracle-checked end to end; k-means training quality stays
+    pinned by the pytest recall tests."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    books = S.pq_train_codebook(emb, m=16, ksub=16, sample=256)
-    return S.pq_refined_topk(emb, queries, books, k=5, refine=10)
+    books = S.pq_train_codebook(
+        emb, m=16, ksub=16, sample=16, iters=0, init="prefix", det_quantize=9
+    )
+    return S.pq_refined_topk(emb, queries, books, k=5, refine=10, det_quantize=9)
 
 
-@_q("sim_topk_blas")  # rows-only: BLAS ulps may shift 1e-6-rounded ties
+@_q(
+    "sim_topk_blas",
+    # Oracle = exact top-k (recall pinned bit-identical at 1e-6 by
+    # test_ops; measured equal at sf0.01 AND sf0.1). Scores re-round
+    # 1e-6 -> 1e-4 on BOTH sides — the double rounding must be
+    # replicated, floor(x*1e4+0.5) of the raw cosine can differ —
+    # absorbing any future single-ulp BLAS-summation flip in the value.
+    f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+      WHERE vec_id % 100 = 0
+    ),
+    scored AS (
+      SELECT q.query_id, e.vec_id,
+             floor(({_cos_sql('e.embedding', 'q.qv')}) * 1000000.0 + 0.5) / 1000000.0 AS score6
+      FROM embeddings e CROSS JOIN q
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, score6,
+             CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY score6 DESC, vec_id ASC) AS INT) AS rank
+      FROM scored
+    )
+    SELECT query_id, vec_id,
+           floor(score6 * 10000.0 + 0.5) / 10000.0 AS score,
+           rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
 def sim_topk_blas(spark, sf_dir):
     from route81_spark.io import ensure_parallelism
+    from route81_spark.ops.util import det_round
 
     emb = ensure_parallelism(_t(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    return S.brute_force_topk_np(emb, queries, k=5)
+    out = S.brute_force_topk_np(emb, queries, k=5)
+    return out.select(
+        "query_id",
+        "vec_id",
+        det_round(F.col("score"), 4).alias("score"),
+        "rank",
+    )
 
 
 @_q(

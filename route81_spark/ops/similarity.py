@@ -585,6 +585,36 @@ def semantic_decontaminate(
     )
 
 
+def _fold_sum(arr, axis: int):
+    """Left-to-right sequential sum over one (small) axis — np.sum uses
+    pairwise/unrolled accumulation whose fp rounding differs from a SQL
+    left fold; oracle-exact PQ needs bit-identical summation order. The
+    loop is over the reduced axis only (4-64 iterations), each step
+    vectorized over the rest."""
+    import numpy as np
+
+    arr = np.moveaxis(np.asarray(arr, dtype=np.float64), axis, 0)
+    acc = np.zeros(arr.shape[1:], dtype=np.float64)
+    for j in range(arr.shape[0]):
+        acc = acc + arr[j]
+    return acc
+
+
+def _unit_rows(X, det_quantize: int | None):
+    """Normalize rows to unit L2 (sequential-fold norm, matching the
+    SQL list_reduce order); optionally quantize each component with
+    det_round semantics so every downstream distance is computed on
+    bit-identical inputs in numpy and DuckDB."""
+    import numpy as np
+
+    n2 = _fold_sum(X * X, axis=1)
+    U = X / np.maximum(np.sqrt(n2), 1e-12)[:, None]
+    if det_quantize is not None:
+        s = float(10**det_quantize)
+        U = np.floor(U * s + 0.5) / s
+    return U
+
+
 def pq_train_codebook(
     emb: DataFrame,
     m: int = 8,
@@ -593,20 +623,29 @@ def pq_train_codebook(
     iters: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    init: str = "random",
+    det_quantize: int | None = None,
 ):
     """Train a product-quantization codebook on a deterministic sample
     (lowest ids): the vector space splits into `m` subspaces, each
     k-means'd into `ksub` centroids. Training is driver-side numpy on a
     tiny sample — exactly how IVF/PQ systems train (the codebook is
     kilobytes; the corpus never moves). Returns a (m, ksub, dsub)
-    ndarray."""
+    ndarray.
+
+    `init="prefix"` seeds centroids from the first `ksub` sample rows
+    (instead of a seeded random choice); with `iters=0` the codebook is
+    then a pure deterministic function of the data that a SQL oracle
+    can replicate exactly — the registry's oracle-checked configuration.
+    `det_quantize` rounds normalized components at 10^-digits so numpy
+    and SQL compute every distance on bit-identical inputs."""
     import numpy as np
 
     rows = emb.orderBy(id_col).limit(sample).select(vec_col).collect()
     X = np.array([r[vec_col] for r in rows], dtype=np.float64)
     # normalize: ADC's L2 on unit vectors is monotone with cosine, so
     # PQ ranking approximates the exact cosine ranking
-    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    X = _unit_rows(X, det_quantize)
     n, d = X.shape
     if d % m:
         raise ValueError(f"dim {d} not divisible by m={m}")
@@ -615,7 +654,10 @@ def pq_train_codebook(
     books = np.empty((m, ksub, dsub))
     for s in range(m):
         sub = X[:, s * dsub : (s + 1) * dsub]
-        cent = sub[rng.choice(n, size=ksub, replace=False)]
+        if init == "prefix":
+            cent = sub[:ksub].copy()
+        else:
+            cent = sub[rng.choice(n, size=ksub, replace=False)]
         for _ in range(iters):
             d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
             assign = d2.argmin(axis=1)
@@ -636,6 +678,7 @@ def pq_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    det_quantize: int | None = None,
 ) -> DataFrame:
     """PQ asymmetric-distance top-k: vectors compress to `m` uint8 codes
     (d floats -> m bytes, a 32x shrink at d=64/m=8); each query
@@ -657,40 +700,48 @@ def pq_topk(
     q_rows = queries.select(query_id_col, query_vec_col).collect()
     q_ids = np.array([r[query_id_col] for r in q_rows])
     Q = np.array([r[query_vec_col] for r in q_rows], dtype=np.float64)
-    Q = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    Q = _unit_rows(Q, det_quantize)
     # per-query ADC tables: squared L2 from each query sub-vector to
-    # every centroid of that subspace -> (q, m, ksub)
+    # every centroid of that subspace -> (q, m, ksub). Sequential folds
+    # so the distances are bit-identical to a SQL left-fold oracle.
     tables = np.empty((len(q_ids), m, ksub))
     for s in range(m):
         qs = Q[:, s * dsub : (s + 1) * dsub]  # (q, dsub)
         diff = qs[:, None, :] - books[s][None, :, :]  # (q, ksub, dsub)
-        tables[:, s, :] = (diff**2).sum(axis=2)
+        tables[:, s, :] = _fold_sum(diff**2, axis=2)
 
     def score(batches):
         for pdf in batches:
             if not len(pdf):
                 continue
             E = np.array(list(pdf[vec_col]), dtype=np.float64)  # (n, d)
-            E = E / np.maximum(np.linalg.norm(E, axis=1, keepdims=True), 1e-12)
+            E = _unit_rows(E, det_quantize)
             # encode: per-subspace nearest centroid -> (n, m) codes
             codes = np.empty((len(E), m), dtype=np.int64)
             for s in range(m):
                 sub = E[:, s * dsub : (s + 1) * dsub]
-                d2 = ((sub[:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
+                d2 = _fold_sum(
+                    (sub[:, None, :] - books[s][None, :, :]) ** 2, axis=2
+                )
                 codes[:, s] = d2.argmin(axis=1)
             ids = pdf[id_col].to_numpy()
             out = []
             for qi in range(len(q_ids)):
-                # ADC distance = sum of table lookups over subspaces
-                dist = tables[qi][np.arange(m)[None, :], codes].sum(axis=1)
+                # ADC distance = ordered (s asc) fold of table lookups
+                dist = _fold_sum(tables[qi][np.arange(m)[None, :], codes], axis=1)
+                dist6 = np.floor(dist * 1e6 + 0.5) / 1e6
                 kk = min(k, len(E))
-                sel = np.argpartition(dist, kk - 1)[:kk]
+                # partition-local selection must use the SAME key the
+                # global window ranks by — (rounded dist, id) — or a
+                # boundary tie (e.g. two vectors sharing all m codes)
+                # could drop the globally-ranked row here
+                sel = np.lexsort((ids, dist6))[:kk]
                 out.append(
                     pd.DataFrame(
                         {
                             query_id_col: q_ids[qi],
                             id_col: ids[sel],
-                            "adc_dist": np.floor(dist[sel] * 1e6 + 0.5) / 1e6,
+                            "adc_dist": dist6[sel],
                         }
                     )
                 )
@@ -717,6 +768,7 @@ def pq_refined_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    det_quantize: int | None = None,
 ) -> DataFrame:
     """The production PQ design: ADC retrieves `refine*k` candidates
     from the compressed domain (cheap, approximate), then exact cosine
@@ -727,6 +779,7 @@ def pq_refined_topk(
         emb, queries, codebook, k=refine * k,
         id_col=id_col, vec_col=vec_col,
         query_id_col=query_id_col, query_vec_col=query_vec_col,
+        det_quantize=det_quantize,
     ).select(query_id_col, id_col)
     with_vecs = cand.join(emb.select(id_col, vec_col), id_col)
     scored = with_vecs.join(F.broadcast(queries), query_id_col).select(

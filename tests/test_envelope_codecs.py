@@ -312,3 +312,33 @@ def test_avro_records_roundtrip_with_nulls(spark):
         )
         got = sorted((r["a"], r["b"], r["c"]) for r in back.collect())
         assert got == [(1, "x", 2.5), (2, None, None)]
+
+
+def test_ext_json_timestamp_ntz_tags_date_tz_independent(spark):
+    """TIMESTAMP_NTZ (what raw parquet reads surface) must tag as
+    canonical {"$date": {"$numberLong": ms}} with the wall time read AS
+    UTC — independent of the session timezone — and round-trip through
+    decode. An untagged NTZ used to leak through as a bare ISO string."""
+    from pyspark.sql import functions as F
+
+    from route81_spark.codecs.extjson import decode_ext_json, ext_json_string
+    from route81_spark.codecs.plainjson import plain_json_col
+
+    df = spark.createDataFrame([("2000-04-04 12:34:56.789",)], "s string").select(
+        F.col("s").cast("timestamp_ntz").alias("ts")
+    )
+    ntz = df.schema["ts"].dataType
+    expected_ms = 954851696789  # 2000-04-04T12:34:56.789Z
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        for tz in ("UTC", "America/New_York"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            enc = df.select(ext_json_string(F.col("ts"), ntz).alias("j"))
+            j = enc.first()["j"]
+            assert j == '{"$date":{"$numberLong":"%d"}}' % expected_ms, (tz, j)
+            back = enc.select(decode_ext_json(F.col("j"), ntz).alias("ts")).first()["ts"]
+            assert str(back) == "2000-04-04 12:34:56.789000", (tz, back)
+            plain = df.select(plain_json_col(F.col("ts"), ntz).alias("p")).first()["p"]
+            assert plain == "2000-04-04T12:34:56.789Z", (tz, plain)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
