@@ -110,7 +110,10 @@ def direct_read_job(
     for ns in cfg.direct_read_namespaces:
         df = producer_source(spark, cfg, ns, table_paths)
         stages = cfg.pipeline_for(ns, stream=False)
-        if stages:
+        # live source: the FULL pipeline already ran server-side
+        # (mongo_read_options ships it via aggregation.pipeline, like
+        # route81.go:1585-1597) — compiling it again would double-apply
+        if stages and not cfg.mongo_uri:
             df = apply_pipeline(df, stages)
         if "_id" not in df.columns:
             df = with_synthetic_id(df, *id_cols[ns])
@@ -175,6 +178,12 @@ def envelope_change_stream(events: DataFrame, namespace: str, cfg: Config) -> Da
     i/u/d (README.md:125/139/153) and updates {removed, changed}.
     Command events (drop/dropDatabase) take the command contract path."""
     stages = cfg.pipeline_for(namespace, stream=True)
+    if stages and cfg.mongo_uri:
+        # live change stream: the $match-compatible prefix already ran
+        # server-side (mongo_stream_options); apply only the suffix
+        from route81_spark.sources.mongo import split_stream_pipeline
+
+        _, stages = split_stream_pipeline(stages)
     if stages:
         events = apply_pipeline(events, stages)
     commands = events.filter(F.col("operationType").isin("drop", "dropDatabase"))

@@ -49,8 +49,7 @@ def _split_namespace(namespace: str) -> tuple[str, str]:
     return db, coll
 
 
-def mongo_read_options(cfg: Config, namespace: str) -> dict[str, str]:
-    """Batch-read option set for one direct-read namespace."""
+def _base_options(cfg: Config, namespace: str) -> dict[str, str]:
     db, coll = _split_namespace(namespace)
     return {
         "connection.uri": cfg.mongo_uri,
@@ -59,17 +58,90 @@ def mongo_read_options(cfg: Config, namespace: str) -> dict[str, str]:
     }
 
 
+# MongoDB change streams accept only this aggregation-stage subset
+# (server-enforced); anything else must stay Spark-side.
+STREAM_SAFE_STAGES = frozenset(
+    {
+        "$match",
+        "$project",
+        "$addFields",
+        "$set",
+        "$unset",
+        "$replaceRoot",
+        "$replaceWith",
+        "$redact",
+    }
+)
+
+
+def split_stream_pipeline(stages: list[dict] | None) -> tuple[list[dict], list[dict]]:
+    """(server_prefix, spark_suffix) for a change-stream pipeline: the
+    longest leading run of change-stream-legal stages ships to the
+    server verbatim (route81.go:181-197 executes stages server-side via
+    gtm); the remainder compiles in Spark. Split at the FIRST illegal
+    stage — later legal stages cannot jump the queue without changing
+    semantics."""
+    prefix: list[dict] = []
+    for i, stage in enumerate(stages or []):
+        op = next(iter(stage), None)
+        if op in STREAM_SAFE_STAGES:
+            prefix.append(stage)
+        else:
+            return prefix, list(stages[i:])
+    return prefix, []
+
+
+def mongo_read_options(cfg: Config, namespace: str) -> dict[str, str]:
+    """Batch-read option set for one direct-read namespace.
+
+    Parity with the reference's core efficiency property: the
+    namespace's configured direct-read pipeline (already Mongo-dialect
+    JSON, config.py) ships verbatim in the connector's
+    `aggregation.pipeline` option so a selective $match never leaves
+    the database (route81.go:181-197, stages handed to gtm at
+    route81.go:1585-1597). The caller must then SKIP Spark-side
+    compilation for this source (jobs/producer.direct_read_job does).
+
+    direct-read-split-max maps to the paginate-into-partitions
+    partitioner cap — the reference fans each collection into <= 9
+    cursor segments (route81.go:447-450)."""
+    import json
+
+    opts = _base_options(cfg, namespace)
+    stages = cfg.pipeline_for(namespace, stream=False)
+    if stages:
+        opts["aggregation.pipeline"] = json.dumps(stages)
+    opts["partitioner"] = (
+        "com.mongodb.spark.sql.connector.read.partitioner."
+        "PaginateIntoPartitionsPartitioner"
+    )
+    opts["partitioner.options.max.number.of.partitions"] = str(
+        cfg.direct_read_split_max
+    )
+    return opts
+
+
 def mongo_stream_options(cfg: Config, namespace: str) -> dict[str, str]:
     """Change-stream option set for one namespace. fullDocument
     updateLookup (README.md:303-304) + raw events so the producer sees
-    operationType/updateDescription like gtm hands the reference."""
-    opts = mongo_read_options(cfg, namespace)
+    operationType/updateDescription like gtm hands the reference.
+
+    The $match-compatible PREFIX of the configured stream pipeline
+    ships server-side via `aggregation.pipeline` (change streams reject
+    other stages); envelope_change_stream applies only the remaining
+    suffix in Spark so no stage runs twice."""
+    import json
+
+    opts = _base_options(cfg, namespace)
     opts.update(
         {
             "change.stream.lookup.full.document": "updateLookup",
             "change.stream.publish.full.document.only": "false",
         }
     )
+    prefix, _ = split_stream_pipeline(cfg.pipeline_for(namespace, stream=True))
+    if prefix:
+        opts["aggregation.pipeline"] = json.dumps(prefix)
     return opts
 
 
@@ -77,7 +149,7 @@ def mongo_write_options(cfg: Config, namespace: str) -> dict[str, str]:
     """Upsert (replace-by-_id) writer options for the consumer sink —
     the connector form of the reference's ReplaceOneModel+SetUpsert
     bulk (route81.go:1088-1108)."""
-    opts = mongo_read_options(cfg, namespace)
+    opts = _base_options(cfg, namespace)
     opts.update({"operationType": "replace", "idFieldList": "_id"})
     return opts
 

@@ -30,11 +30,49 @@ def test_mongo_config_key_parses():
 
 def test_mongo_read_options():
     cfg = load_config(CFG)
-    assert mongo_read_options(cfg, "test.nation") == {
-        "connection.uri": "mongodb://db:27017/?replicaSet=rs0",
-        "database": "test",
-        "collection": "nation",
-    }
+    opts = mongo_read_options(cfg, "test.nation")
+    assert opts["connection.uri"] == "mongodb://db:27017/?replicaSet=rs0"
+    assert opts["database"] == "test"
+    assert opts["collection"] == "nation"
+    # no configured pipeline -> nothing shipped server-side
+    assert "aggregation.pipeline" not in opts
+
+
+def test_mongo_read_options_partitioner_split_max():
+    # direct-read-split-max ≡ the reference's <=9 cursor segments per
+    # collection (route81.go:447-450) -> the paginate-into-partitions cap
+    opts = mongo_read_options(load_config(CFG), "test.nation")
+    assert opts["partitioner"].endswith("PaginateIntoPartitionsPartitioner")
+    assert opts["partitioner.options.max.number.of.partitions"] == "9"
+    opts = mongo_read_options(
+        load_config(CFG + "direct-read-split-max = 4\n"), "test.nation"
+    )
+    assert opts["partitioner.options.max.number.of.partitions"] == "4"
+
+
+def test_mongo_read_options_ship_direct_pipeline():
+    # route81's core efficiency property: direct-read pipeline JSON
+    # executes ON the MongoDB server (route81.go:181-197, 1585-1597) —
+    # the configured stages must land verbatim in aggregation.pipeline
+    import json
+
+    cfg = load_config(
+        CFG
+        + '[[pipeline]]\nnamespace = "test.nation"\ndirect = true\n'
+        + "stages = '[{\"$match\": {\"n_regionkey\": 1}}, {\"$project\": {\"n_name\": 1}}]'\n"
+    )
+    opts = mongo_read_options(cfg, "test.nation")
+    assert json.loads(opts["aggregation.pipeline"]) == [
+        {"$match": {"n_regionkey": 1}},
+        {"$project": {"n_name": 1}},
+    ]
+    # a stream-only pipeline must NOT leak into the direct read
+    cfg2 = load_config(
+        CFG
+        + '[[pipeline]]\nnamespace = "test.nation"\ndirect = false\n'
+        + "stages = '[{\"$match\": {\"x\": 1}}]'\n"
+    )
+    assert "aggregation.pipeline" not in mongo_read_options(cfg2, "test.nation")
 
 
 def test_mongo_stream_options_update_lookup():
@@ -44,6 +82,39 @@ def test_mongo_stream_options_update_lookup():
     assert opts["change.stream.lookup.full.document"] == "updateLookup"
     assert opts["change.stream.publish.full.document.only"] == "false"
     assert opts["collection"] == "events"
+    # batch partitioner options must not leak into the stream reader
+    assert "partitioner" not in opts
+
+
+def test_mongo_stream_options_ship_match_prefix():
+    # only the change-stream-legal PREFIX ships; the $group suffix (and
+    # everything after it) stays Spark-side
+    import json
+
+    cfg = load_config(
+        CFG
+        + '[[pipeline]]\nnamespace = "test.events"\ndirect = false\n'
+        + 'stages = \'[{"$match": {"operationType": "insert"}}, '
+        + '{"$group": {"_id": "$x"}}, {"$match": {"y": 1}}]\'\n'
+    )
+    opts = mongo_stream_options(cfg, "test.events")
+    assert json.loads(opts["aggregation.pipeline"]) == [
+        {"$match": {"operationType": "insert"}}
+    ]
+
+
+def test_split_stream_pipeline():
+    from route81_spark.sources.mongo import split_stream_pipeline
+
+    match = {"$match": {"a": 1}}
+    proj = {"$project": {"b": 1}}
+    group = {"$group": {"_id": "$c"}}
+    assert split_stream_pipeline(None) == ([], [])
+    assert split_stream_pipeline([]) == ([], [])
+    assert split_stream_pipeline([match, proj]) == ([match, proj], [])
+    # split at the FIRST illegal stage; later legal stages stay behind it
+    assert split_stream_pipeline([match, group, proj]) == ([match], [group, proj])
+    assert split_stream_pipeline([group, match]) == ([], [group, match])
 
 
 def test_mongo_write_options_replace_by_id():
@@ -221,6 +292,35 @@ def test_producer_source_selection(spark, sf_dir, monkeypatch):
     monkeypatch.setattr(mongo_seam, "mongo_reader", fake_reader)
     out = producer_source(spark, load_config(CFG), "test.nation")
     assert out is sentinel and seen["loaded"] and seen["ns"] == "test.nation"
+
+
+def test_direct_read_job_no_double_apply(spark, sf_dir, monkeypatch):
+    """With a live mongo source the direct pipeline runs SERVER-side
+    (aggregation.pipeline) — direct_read_job must not compile it again;
+    with the parquet stand-in it must."""
+    from route81_spark.jobs import producer
+
+    pipeline_toml = (
+        'direct-read-namespaces = ["test.nation"]\n'
+        '[[pipeline]]\nnamespace = "test.nation"\ndirect = true\n'
+        "stages = '[{\"$match\": {\"n_regionkey\": 1}}]'\n"
+    )
+    applied = []
+    real_apply = producer.apply_pipeline
+    monkeypatch.setattr(
+        producer, "apply_pipeline",
+        lambda df, stages: applied.append(stages) or real_apply(df, stages),
+    )
+    src = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    monkeypatch.setattr(producer, "producer_source", lambda s, c, ns, tp=None: src)
+
+    live = load_config(CFG + pipeline_toml)
+    producer.direct_read_job(spark, live, id_cols={"test.nation": ["n_nationkey"]})
+    assert applied == []  # server already ran it
+
+    local = load_config(pipeline_toml)
+    producer.direct_read_job(spark, local, id_cols={"test.nation": ["n_nationkey"]})
+    assert applied == [[{"$match": {"n_regionkey": 1}}]]
 
 
 def test_change_stream_source_selection(spark, monkeypatch):

@@ -423,3 +423,38 @@ def test_effective_bootstrap_flag_or_toml():
     assert effective_bootstrap(toml_cfg, none_args) == "broker:9092"
     assert effective_bootstrap(plain, none_args) == ""
     assert effective_bootstrap(toml_cfg, flag_args) == "flag:9092"  # flag wins
+
+
+def test_envelope_change_stream_live_applies_suffix_only(spark, monkeypatch):
+    """Live change stream: the $match-compatible prefix runs SERVER-side
+    (shipped by mongo_stream_options) — envelope_change_stream must
+    compile only the suffix; with the harness source it compiles all."""
+    from route81_spark.config import load_config
+    from route81_spark.jobs import producer
+
+    toml = (
+        '[[pipeline]]\nnamespace = "test.test"\ndirect = false\n'
+        'stages = \'[{"$match": {"operationType": "insert"}}, '
+        '{"$group": {"_id": "$x", "n": {"$sum": 1}}}]\'\n'
+    )
+    applied = []
+    monkeypatch.setattr(
+        producer, "apply_pipeline", lambda df, st: applied.append(st) or df
+    )
+    evs = (
+        spark.createDataFrame([json.dumps(_event("insert", "1", 1, t=1))], "string")
+        .select(F.from_json("value", change_event_schema(DOC_SCHEMA)).alias("e"))
+        .select("e.*")
+    )
+    live = load_config('mongo = "mongodb://db:27017"\n' + toml)
+    producer.envelope_change_stream(evs, "test.test", live)
+    assert applied == [[{"$group": {"_id": "$x", "n": {"$sum": 1}}}]]
+
+    applied.clear()
+    producer.envelope_change_stream(evs, "test.test", load_config(toml))
+    assert applied == [
+        [
+            {"$match": {"operationType": "insert"}},
+            {"$group": {"_id": "$x", "n": {"$sum": 1}}},
+        ]
+    ]
