@@ -32,6 +32,7 @@ def run(
     pipeline: list[dict],
     source: str,
     tables: dict[str, str],
+    collections_dir: str | None = None,
 ) -> DataFrame:
     import route81_spark.ops  # noqa: F401  (registers extension stages)
     from route81_spark.io import load_path
@@ -51,11 +52,25 @@ def run(
             )
         return loaded[name]
 
+    writer = None
+    if collections_dir is not None:
+        # $out/$merge persist their (new) collection state as a parquet
+        # collection dir — the route81-style write-back path. A fresh
+        # directory per run: never overwrite an input path mid-read.
+        import os
+
+        def writer(name: str, df: DataFrame) -> None:
+            df.write.mode("overwrite").parquet(
+                os.path.join(collections_dir, f"{name}.parquet")
+            )
+
     compiler.set_collection_resolver(resolve)
+    compiler.set_collection_writer(writer)
     try:
         return apply_pipeline(loaded[source], pipeline)
     finally:
         compiler.set_collection_resolver(None)
+        compiler.set_collection_writer(None)
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -67,6 +82,12 @@ def main(argv: list[str] | None = None) -> int:
     )
     ap.add_argument("--out", help="parquet output path; omit to print a sample")
     ap.add_argument("--show", type=int, default=20, help="sample rows when no --out")
+    ap.add_argument(
+        "--write-collections",
+        help="directory where $out/$merge persist their collection state "
+        "as <name>.parquet; omit to keep those stages pure (they still "
+        "return the would-be new state)",
+    )
     args = ap.parse_args(argv)
 
     with open(args.pipeline) as f:
@@ -83,7 +104,10 @@ def main(argv: list[str] | None = None) -> int:
     from route81_spark.session import get_spark
 
     spark = get_spark("route81_spark_run_pipeline")
-    out = run(spark, pipeline, args.source, tables)
+    out = run(
+        spark, pipeline, args.source, tables,
+        collections_dir=args.write_collections,
+    )
     if args.out:
         # observe() rides the write job — no second pass over the result
         from pyspark.sql import Observation

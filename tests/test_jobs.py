@@ -162,6 +162,51 @@ def test_run_pipeline_cli(spark, tmp_path):
     assert got.agg({"n": "sum"}).first()[0] > 0
 
 
+def test_run_pipeline_cli_merge_writeback(spark, tmp_path):
+    """--write-collections closes the loop from 'compiles the stage' to
+    'a user can run route81-style write-back pipelines': $merge (and
+    $out) persist their new collection state as <name>.parquet through
+    the writer hook, while the pipeline result still flows to --out."""
+    import json
+
+    from route81_spark.run_pipeline import main as rp_main
+
+    src = tmp_path / "src.parquet"
+    tgt = tmp_path / "tgt.parquet"
+    spark.createDataFrame(
+        [(1, "new-a"), (2, "new-b"), (4, "new-d")], "_id long, v string"
+    ).write.parquet(str(src))
+    spark.createDataFrame(
+        [(1, "old-a"), (3, "old-c")], "_id long, v string"
+    ).write.parquet(str(tgt))
+
+    pipe = [{"$merge": {"into": "tgt", "on": "_id", "whenMatched": "replace"}}]
+    pfile = tmp_path / "p.json"
+    pfile.write_text(json.dumps(pipe))
+    coll_dir = tmp_path / "collections"
+    out = tmp_path / "result"
+    rc = rp_main(
+        [
+            "--pipeline", str(pfile),
+            "--source", "src",
+            "--tables", f"src={src}", f"tgt={tgt}",
+            "--out", str(out),
+            "--write-collections", str(coll_dir),
+        ]
+    )
+    assert rc == 0
+    merged = {
+        r["_id"]: r["v"]
+        for r in spark.read.parquet(str(coll_dir / "tgt.parquet")).collect()
+    }
+    # replace matched (1), keep unmatched target (3), insert new (2, 4)
+    assert merged == {1: "new-a", 2: "new-b", 3: "old-c", 4: "new-d"}
+    # the original target path is untouched (writes go to the new dir)
+    assert {r["_id"] for r in spark.read.parquet(str(tgt)).collect()} == {1, 3}
+    # and the pipeline result itself still lands at --out
+    assert spark.read.parquet(str(out)).count() == 4
+
+
 def test_run_pipeline_cli_extension_stages(spark, tmp_path):
     """Extension stages ($curate-family) work through the CLI runner."""
     import json
