@@ -2149,20 +2149,32 @@ def envelope_lineitem(spark, sf_dir):
     env = build_envelope(
         df, "test.lineitem", EnvelopeConfig(topic_name_prefix="pfx")
     )
-    v = F.col("value").cast("string")
+    # ONE from_json pass over the wire bytes (a get_json_object per
+    # projected field would re-parse the 60k-row value string 12x)
+    wire_schema = (
+        "meta struct<_id: string, ns: string,"
+        "            ts: struct<`$timestamp`: struct<t: int, i: int>>>,"
+        "data struct<l_orderkey: struct<`$numberLong`: string>,"
+        "            l_partkey: struct<`$numberLong`: string>,"
+        "            l_suppkey: struct<`$numberLong`: string>,"
+        "            l_linenumber: struct<`$numberInt`: string>,"
+        "            l_shipdate: struct<`$date`: struct<`$numberLong`: string>>,"
+        "            l_returnflag: string, l_linestatus: string>"
+    )
+    p = F.from_json(F.col("value").cast("string"), wire_schema)
     return env.select(
         F.col("topic"),
         F.col("key").cast("string").alias("key_json"),
-        F.get_json_object(v, "$.meta._id").alias("id"),
-        F.get_json_object(v, "$.meta.ns").alias("ns"),
-        F.get_json_object(v, "$.meta.ts['$timestamp'].t").cast("int").alias("ts_t"),
-        F.get_json_object(v, "$.data.l_orderkey['$numberLong']").cast("long").alias("l_orderkey"),
-        F.get_json_object(v, "$.data.l_partkey['$numberLong']").cast("long").alias("l_partkey"),
-        F.get_json_object(v, "$.data.l_suppkey['$numberLong']").cast("long").alias("l_suppkey"),
-        F.get_json_object(v, "$.data.l_linenumber['$numberInt']").cast("int").alias("l_linenumber"),
-        F.get_json_object(v, "$.data.l_shipdate['$date']['$numberLong']").cast("long").alias("shipdate_ms"),
-        F.get_json_object(v, "$.data.l_returnflag").alias("l_returnflag"),
-        F.get_json_object(v, "$.data.l_linestatus").alias("l_linestatus"),
+        p.getField("meta").getField("_id").alias("id"),
+        p.getField("meta").getField("ns").alias("ns"),
+        p.getField("meta").getField("ts").getField("$timestamp").getField("t").alias("ts_t"),
+        p.getField("data").getField("l_orderkey").getField("$numberLong").cast("long").alias("l_orderkey"),
+        p.getField("data").getField("l_partkey").getField("$numberLong").cast("long").alias("l_partkey"),
+        p.getField("data").getField("l_suppkey").getField("$numberLong").cast("long").alias("l_suppkey"),
+        p.getField("data").getField("l_linenumber").getField("$numberInt").cast("int").alias("l_linenumber"),
+        p.getField("data").getField("l_shipdate").getField("$date").getField("$numberLong").cast("long").alias("shipdate_ms"),
+        p.getField("data").getField("l_returnflag").alias("l_returnflag"),
+        p.getField("data").getField("l_linestatus").alias("l_linestatus"),
         F.element_at("headers", 1).getField("value").cast("string").alias("hdr_ts"),
     )
 
