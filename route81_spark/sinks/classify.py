@@ -34,40 +34,82 @@ class ClassifierConfig:
     delete_id_path: str | None = None  # e.g. "meta._id"
 
 
-# identifier-ish field names only: a name with spaces/operators/parens
-# is full gval syntax, outside the supported subset -> loud error
-_SEG = re.compile(r"^([\w$-]+)((?:\[\d+\])*)$")
+# bare identifier-ish field names; anything else must use ["..."]
+_IDENT = re.compile(r"[\w$-]+")
+_INDEX = re.compile(r"\[(\d+)\]")
+
+
+def _path_error(path: str, at: int, why: str) -> ValueError:
+    return ValueError(
+        f"unsupported path expression {path!r} (at offset {at}: {why}): "
+        "document-root-path / delete-id-path accept dot-separated field "
+        "names, [n] array indexes, and [\"quoted keys\"] for names with "
+        "dots/spaces, e.g. 'data.items[0][\"weird.key\"]._id'. Other gval "
+        "syntax (arithmetic, comparisons, function calls) is not "
+        "supported; restructure the path or pre-shape the document with "
+        "a pipeline stage."
+    )
 
 
 def _parse_path(path: str) -> list[str | int]:
-    """`data.items[0]._id` -> ["data", "items", 0, "_id"]. The reference
-    compiles these with gval.Full() (route81.go:323-336); the subset a
-    consumer config actually uses — and the documented contract here
-    (README "Path expressions") — is dotted fields + [n] indexing, which
-    maps 1:1 onto nested-Column access (both are 0-based). Anything
-    outside that subset fails loudly at config-compile time, naming the
-    supported syntax, instead of surfacing a cryptic segment error."""
+    """`data.items[0]["weird.key"]._id` -> ["data", "items", 0,
+    "weird.key", "_id"]. The reference compiles these with gval.Full()
+    (route81.go:323-336); the subset a consumer config actually uses —
+    and the documented contract here (README "Path expressions") — is
+    dotted fields + [n] indexing + gval's ["..."]/['...'] selector for
+    keys that aren't bare identifiers (dots, spaces, operators), all of
+    which map 1:1 onto nested-Column access (indexes 0-based on both
+    sides). Anything outside that subset fails loudly at config-compile
+    time, naming the supported syntax, instead of surfacing a cryptic
+    segment error."""
     out: list[str | int] = []
-    for part in path.split("."):
-        m = _SEG.match(part)
-        if not m:
-            raise ValueError(
-                f"unsupported path expression {path!r} (at segment {part!r}): "
-                "document-root-path / delete-id-path accept dot-separated "
-                "field names with optional [n] array indexes, e.g. "
-                "'data.items[0]._id'. Full gval syntax (quoted keys, "
-                "arithmetic, function calls) is not supported; restructure "
-                "the path or pre-shape the document with a pipeline stage."
-            )
-        out.append(m.group(1))
-        for idx in re.findall(r"\[(\d+)\]", m.group(2)):
-            out.append(int(idx))
+    i, n = 0, len(path)
+    need_field = True  # a bare identifier is only legal at start / after '.'
+    while i < n:
+        c = path[i]
+        if c == ".":
+            if need_field:
+                raise _path_error(path, i, "empty segment")
+            i += 1
+            need_field = True
+            continue
+        if c == "[":
+            if need_field and out:
+                raise _path_error(path, i, "'[' directly after '.'")
+            if i + 1 < n and path[i + 1] in "\"'":
+                q = path[i + 1]
+                k = path.find(q, i + 2)
+                while k != -1 and path[k - 1] == "\\":
+                    k = path.find(q, k + 1)
+                if k == -1 or k + 1 >= n or path[k + 1] != "]":
+                    raise _path_error(path, i, "unterminated quoted key")
+                out.append(path[i + 2 : k].replace("\\" + q, q))
+                i = k + 2
+            else:
+                m = _INDEX.match(path, i)
+                if not m:
+                    raise _path_error(path, i, "expected [n] or [\"key\"]")
+                out.append(int(m.group(1)))
+                i = m.end()
+            need_field = False
+            continue
+        m = _IDENT.match(path, i)
+        if not m or not need_field:
+            raise _path_error(path, i, f"unexpected {c!r}")
+        out.append(m.group(0))
+        i = m.end()
+        need_field = False
+    if need_field:
+        raise _path_error(path, n, "empty segment" if out else "empty path")
     return out
 
 
 def _path_col(path: str) -> Column:
     segs = _parse_path(path)
-    col = F.col(str(segs[0]))
+    first = str(segs[0])
+    # a quoted first segment may contain dots — backtick it so F.col
+    # doesn't parse it as nested access (getField below is exact-name)
+    col = F.col(first if _IDENT.fullmatch(first) else f"`{first}`")
     for s in segs[1:]:
         col = col.getItem(s) if isinstance(s, int) else col.getField(s)
     return col

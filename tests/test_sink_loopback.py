@@ -192,7 +192,15 @@ def test_path_expression_contract_error():
     from route81_spark.sinks.classify import _parse_path
 
     assert _parse_path("data.items[0]._id") == ["data", "items", 0, "_id"]
-    for bad in ('data["k"]', "a.b[x]", "a..b", "a + b", "fn(a)", "items[0"):
+    # gval's quoted-key selector: names with dots/spaces/operators
+    assert _parse_path('data["weird.key"]._id') == ["data", "weird.key", "_id"]
+    assert _parse_path("data['a b'][3]") == ["data", "a b", 3]
+    assert _parse_path('["top.level"]') == ["top.level"]
+    assert _parse_path('a["q\\"uote"]') == ["a", 'q"uote']
+    for bad in (
+        "a.b[x]", "a..b", "a + b", "fn(a)", "items[0", 'a["unterminated]',
+        "a.", ".a", 'a.["k"]', "", "a[0]b",
+    ):
         with pytest.raises(ValueError, match="dot-separated"):
             _parse_path(bad)
 
@@ -303,3 +311,17 @@ def test_scd2_matches_python_replay(spark, ch):
             nxt = evs[i + 1][0] if i + 1 < len(evs) else None
             want.append((doc_id, seq, nxt, payload, nxt is None))
     assert got == sorted(want)
+
+
+def test_classify_quoted_key_root_path(spark):
+    """Quoted-key paths work end to end through classify — including a
+    first segment containing dots (backtick-escaped, not nested)."""
+    from route81_spark.sinks.classify import ClassifierConfig, classify
+
+    df = spark.createDataFrame(
+        [(({"x.y": {"_id": "k1", "v": 7}},))],
+        "`weird.root` struct<`x.y`: struct<_id: string, v: int>>",
+    )
+    out = classify(df, ClassifierConfig(document_root_path='["weird.root"]["x.y"]'))
+    r = out.first()
+    assert r["doc_id"] == "k1" and not r["is_delete"] and r["doc"]["v"] == 7
