@@ -47,6 +47,8 @@ BENCH_QUERIES = [
     "events_asof_sliced", # hot-key as-of ((key, slice) segmented scan)
     "events_rollup",      # hour/day/month rollup (one Expand shuffle)
     "corpus_dataset_card",  # per-source release card (two map-side aggs)
+    "sim_pq",             # PQ encode->ADC->exact refine (Arrow batches + joins)
+    "corpus_dsir",        # DSIR importance weights (bucket counts + tiny model)
 ]
 
 

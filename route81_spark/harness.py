@@ -5637,6 +5637,57 @@ def skew_salted_join(spark, sf_dir):
     )
 
 
+@_q(
+    "corpus_dsir",
+    # mirror of ops.corpus.dsir_importance: hashed-bigram buckets via
+    # the md5-derived 60-bit hash (seed 11), integer-ratio model, one
+    # Laplace +1 on both counts, per-doc integer importance sums
+    f"""
+    WITH t AS (SELECT doc_id, source, {_TOKS} AS tk FROM documents),
+    p AS (
+      SELECT doc_id, source IN ('src0', 'src1') AS tgt,
+             unnest(list_transform(range(1, greatest(len(tk) - 1, 1) + 1),
+                    i -> coalesce(array_to_string(tk[i:i+1], ' '), ''))) AS bg
+      FROM t
+    ),
+    pairs AS (
+      SELECT doc_id, tgt,
+             ('0x' || substr(md5('11|' || bg), 1, 15))::BIGINT % 256 AS b
+      FROM p WHERE contains(bg, ' ')
+    ),
+    doc_bucket AS (
+      SELECT doc_id, tgt, b, count(*) AS n_db FROM pairs GROUP BY 1, 2, 3
+    ),
+    model AS (
+      SELECT b,
+             CAST(((sum(CASE WHEN tgt THEN n_db ELSE 0 END) + 1) * 1000000)
+               // (sum(n_db) + 1) AS BIGINT) AS r
+      FROM doc_bucket GROUP BY b
+    ),
+    s AS (
+      SELECT d.doc_id, d.tgt,
+             CAST(sum(d.n_db) AS BIGINT) AS n_bigrams,
+             CAST(sum(d.n_db * m.r) AS BIGINT) AS importance
+      FROM doc_bucket d JOIN model m USING (b)
+      GROUP BY 1, 2
+    )
+    SELECT doc_id, CAST(tgt AS INT) AS is_target, n_bigrams, importance,
+           floor((CAST(importance AS DOUBLE) / n_bigrams) * 10000.0 + 0.5)
+             / 10000.0 AS avg_importance
+    FROM s
+    """,
+)
+def corpus_dsir(spark, sf_dir):
+    """DSIR-style importance weights for domain-targeted data selection:
+    target = src0/src1 documents, raw = the whole corpus; every doc gets
+    the integer-exact hashed-bigram importance the mixture would sample
+    by."""
+    from route81_spark.ops.corpus import dsir_importance
+
+    docs = _t(spark, sf_dir, "documents")
+    return dsir_importance(docs, F.col("source").isin("src0", "src1"))
+
+
 # =====================================================================
 # Registry accessors (consumed by __spark_entry__)
 # =====================================================================

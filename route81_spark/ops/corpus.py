@@ -886,3 +886,95 @@ def approx_distinct_by(
         F.approx_count_distinct(value_col, rsd=rsd).alias("approx_distinct"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+def dsir_importance(
+    docs: DataFrame,
+    target_filter: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+    scale: int = 1_000_000,
+    seed: int = 11,
+) -> DataFrame:
+    """DSIR-style hashed-bigram importance weights (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"):
+    score every raw document by how target-like its hashed n-gram
+    profile is, then sample the pretraining mix by that weight. The
+    published estimator is a log-likelihood ratio of two hashed
+    bag-of-bigrams models; this integer-ratio variant scores with
+
+        r[b]       = ((tgt[b] + 1) * scale) div (raw[b] + 1)
+        importance = sum_b n_db * r[b]
+        avg_importance = importance / n_bigrams      (det-rounded)
+
+    — the same monotone-in-(tgt/raw) per-bucket signal, but every
+    decision is integer-exact, so the DuckDB oracle matches bit for bit
+    (log/exp ulps cannot flip a rounding). Laplace +1 on both counts
+    keeps empty buckets finite exactly like the paper's smoothing.
+
+    Docs with no bigram (0/1 tokens) carry no signal and are omitted.
+
+    Scale shape: text explodes ONCE into (doc, bucket) counts — the
+    map-side combine caps the shuffle at n_buckets rows per doc; the
+    model is n_buckets rows total (hash-agg of those same counts,
+    broadcast back); the scoring join is per-(doc, bucket), never
+    per-token, and raw text never shuffles."""
+    from route81_spark.io import ensure_parallelism
+    from route81_spark.ops.dedup import h64
+    from route81_spark.ops.text import positional_ngrams, tokens
+    from route81_spark.ops.util import det_round
+
+    base = ensure_parallelism(
+        docs.select(
+            F.col(id_col),
+            target_filter.cast("boolean").alias("__tgt"),
+            F.col(text_col),
+        )
+    )
+    # bind the token array once per row before the positional slice
+    bound_grams = F.get(
+        F.transform(
+            F.array(tokens(F.col(text_col))), lambda tk: positional_ngrams(tk, 2)
+        ),
+        0,
+    )
+    pairs = base.select(
+        F.col(id_col), F.col("__tgt"), F.explode(bound_grams).alias("bg")
+    ).filter(F.col("bg").contains(" "))
+    doc_bucket = (
+        pairs.select(
+            id_col, "__tgt", F.pmod(h64(F.col("bg"), seed), F.lit(n_buckets)).alias("b")
+        )
+        .groupBy(id_col, "__tgt", "b")
+        .agg(F.count(F.lit(1)).alias("n_db"))
+    )
+    model = (
+        doc_bucket.groupBy("b")
+        .agg(
+            F.sum("n_db").alias("raw_c"),
+            F.sum(F.when(F.col("__tgt"), F.col("n_db")).otherwise(F.lit(0))).alias(
+                "tgt_c"
+            ),
+        )
+        # integer div, not floor(double /): bucket counts at 100 TB
+        # exceed 2^53 once multiplied by `scale`
+        .selectExpr("b", f"((tgt_c + 1) * CAST({scale} AS BIGINT)) div (raw_c + 1) AS r")
+    )
+    scored = (
+        doc_bucket.join(F.broadcast(model), "b")
+        .groupBy(id_col, "__tgt")
+        .agg(
+            F.sum("n_db").alias("n_bigrams"),
+            F.sum(F.col("n_db") * F.col("r")).alias("importance"),
+        )
+    )
+    return scored.select(
+        id_col,
+        F.col("__tgt").cast("int").alias("is_target"),
+        "n_bigrams",
+        "importance",
+        det_round(
+            F.col("importance").cast("double") / F.col("n_bigrams"), 4
+        ).alias("avg_importance"),
+    )

