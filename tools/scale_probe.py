@@ -52,6 +52,7 @@ def ops() -> dict:
         build_vocab,
         curate,
         dataset_card,
+        dsir_importance,
         encode_token_ids,
         lm_logprob_score,
         mixture_resample,
@@ -77,6 +78,9 @@ def ops() -> dict:
         "dataset_card": dataset_card,
         "bm25": lambda d: bm25_scores(d, ["join", "vector", "scan"]),
         "phrase": lambda d: phrase_search(d, ["table", "part"]),
+        "dsir": lambda d: dsir_importance(
+            d, F.col("source").isin("src0", "src1")
+        ),
     }
 
 
