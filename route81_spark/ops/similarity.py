@@ -655,6 +655,11 @@ def pq_train_codebook(
     for s in range(m):
         sub = X[:, s * dsub : (s + 1) * dsub]
         if init == "prefix":
+            if n < ksub:
+                raise ValueError(
+                    f"pq_train_codebook init='prefix' needs >= ksub={ksub} "
+                    f"sample rows, got {n}"
+                )
             cent = sub[:ksub].copy()
         else:
             cent = sub[rng.choice(n, size=ksub, replace=False)]
