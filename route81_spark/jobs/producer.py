@@ -110,10 +110,14 @@ def direct_read_job(
     for ns in cfg.direct_read_namespaces:
         df = producer_source(spark, cfg, ns, table_paths)
         stages = cfg.pipeline_for(ns, stream=False)
-        # live source: the FULL pipeline already ran server-side
-        # (mongo_read_options ships it via aggregation.pipeline, like
-        # route81.go:1585-1597) — compiling it again would double-apply
-        if stages and not cfg.mongo_uri:
+        if stages and cfg.mongo_uri:
+            # live source: the row-local prefix already ran server-side
+            # (mongo_read_options ships it via aggregation.pipeline, like
+            # route81.go:1585-1597) — compile only the remaining suffix
+            from route81_spark.sources.mongo import split_direct_pipeline
+
+            _, stages = split_direct_pipeline(stages)
+        if stages:
             df = apply_pipeline(df, stages)
         if "_id" not in df.columns:
             df = with_synthetic_id(df, *id_cols[ns])

@@ -71,6 +71,22 @@ def brute_force_topk(
     )
 
 
+def _local_topk_superset(key6, kk: int):
+    """Indices of a partition-local candidate SUPERSET for a global
+    top-kk by (rounded key asc, id asc): the kk smallest rounded keys
+    PLUS every boundary-value tie. Including all ties is what makes the
+    selection safe — dropping an arbitrary tied row here could drop the
+    row the global window would rank (ids break ties there). O(n) via
+    np.partition; the tie group is duplicate-key-sized (normally tiny;
+    a fully-degenerate batch returns itself, which is still correct)."""
+    import numpy as np
+
+    if kk >= len(key6):
+        return np.arange(len(key6))
+    thresh = np.partition(key6, kk - 1)[kk - 1]
+    return np.flatnonzero(key6 <= thresh)
+
+
 def brute_force_topk_np(
     emb: DataFrame,
     queries: DataFrame,
@@ -104,19 +120,21 @@ def brute_force_topk_np(
             E = np.array(list(pdf[vec_col]), dtype=np.float64)
             En = E / np.linalg.norm(E, axis=1, keepdims=True)
             S = En @ Qn.T  # (n, q)
-            n = len(pdf)
-            kk = min(k, n)
-            idx = np.argpartition(-S, kk - 1, axis=0)[:kk]  # (kk, q)
+            kk = min(k, len(pdf))
             out_rows = []
             ids = pdf[id_col].to_numpy()
             for qi in range(len(q_ids)):
-                sel = idx[:, qi]
+                # select on the ROUNDED score (the key the global window
+                # ranks by) and keep boundary ties — raw-score selection
+                # could drop the tied row the window (ties by id) wants
+                s6 = np.floor(S[:, qi] * 1e6 + 0.5) / 1e6
+                sel = _local_topk_superset(-s6, kk)
                 out_rows.append(
                     pd.DataFrame(
                         {
                             query_id_col: q_ids[qi],
                             id_col: ids[sel],
-                            "score": np.floor(S[sel, qi] * 1e6 + 0.5) / 1e6,
+                            "score": s6[sel],
                         }
                     )
                 )
@@ -737,10 +755,11 @@ def pq_topk(
                 dist6 = np.floor(dist * 1e6 + 0.5) / 1e6
                 kk = min(k, len(E))
                 # partition-local selection must use the SAME key the
-                # global window ranks by — (rounded dist, id) — or a
-                # boundary tie (e.g. two vectors sharing all m codes)
-                # could drop the globally-ranked row here
-                sel = np.lexsort((ids, dist6))[:kk]
+                # global window ranks by — the ROUNDED dist — and keep
+                # boundary ties (e.g. two vectors sharing all m codes),
+                # or it could drop the row the global (dist, id) window
+                # ranks. Superset selection is O(n), not a batch sort.
+                sel = _local_topk_superset(dist6, kk)
                 out.append(
                     pd.DataFrame(
                         {

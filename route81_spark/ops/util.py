@@ -52,21 +52,27 @@ def salted_join(
     even reducers; the cost is salt-fold replication of the small side
     (bounded: salt * |small|).
 
-    Only inner/left/left_semi are supported: the small side is
+    Only big-side-preserving joins are supported (inner / left /
+    left_semi / left_anti, any Spark spelling): the small side is
     replicated salt-fold, so right/full-outer would emit `salt` copies
-    of every unmatched small-side row. Known limitation: the salt is a
-    hash of the whole big-side row, so EXACT-duplicate hot rows all
-    land in one salt partition — dedupe-or-count duplicates first if
-    the skew is duplicate-row-shaped rather than hot-key-shaped.
+    of every unmatched small-side row. left_anti stays correct — the
+    replica set carries every (key, salt), so anti on (key, salt)
+    equals anti on key. Known limitation: the salt is a hash of the
+    whole big-side row, so EXACT-duplicate hot rows all land in one
+    salt partition — dedupe-or-count duplicates first if the skew is
+    duplicate-row-shaped rather than hot-key-shaped.
     """
     from pyspark.sql import DataFrame, functions as F
 
     assert isinstance(big, DataFrame) and isinstance(small, DataFrame)
-    if how not in ("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi"):
+    # normalize the way Spark's JoinType.apply does (casefold, drop _)
+    norm = how.lower().replace("_", "")
+    if norm not in ("inner", "left", "leftouter", "leftsemi", "semi", "leftanti", "anti"):
         raise ValueError(
-            f"salted_join supports inner/left/left_semi, got {how!r}: the "
-            "small side is replicated per salt, so right/full-outer joins "
-            "would duplicate unmatched small-side rows salt-fold"
+            f"salted_join supports inner/left/left_semi/left_anti, got "
+            f"{how!r}: the small side is replicated per salt, so "
+            "right/full-outer joins would duplicate unmatched small-side "
+            "rows salt-fold"
         )
     # pmod, not abs(...)%: abs(Integer.MIN_VALUE) overflows (aborts the
     # job under ANSI; stays negative otherwise, silently dropping the

@@ -83,12 +83,18 @@ def _parse_path(path: str) -> list[str | int]:
                     k = path.find(q, k + 1)
                 if k == -1 or k + 1 >= n or path[k + 1] != "]":
                     raise _path_error(path, i, "unterminated quoted key")
-                out.append(path[i + 2 : k].replace("\\" + q, q))
+                key = path[i + 2 : k].replace("\\" + q, q)
+                if not key:
+                    raise _path_error(path, i, "empty quoted key")
+                out.append(key)
                 i = k + 2
             else:
                 m = _INDEX.match(path, i)
                 if not m:
                     raise _path_error(path, i, "expected [n] or [\"key\"]")
+                if not out:
+                    # a root-level [n] would silently become F.col("0")
+                    raise _path_error(path, i, "path cannot start with an index")
                 out.append(int(m.group(1)))
                 i = m.end()
             need_field = False
@@ -107,9 +113,11 @@ def _parse_path(path: str) -> list[str | int]:
 def _path_col(path: str) -> Column:
     segs = _parse_path(path)
     first = str(segs[0])
-    # a quoted first segment may contain dots — backtick it so F.col
-    # doesn't parse it as nested access (getField below is exact-name)
-    col = F.col(first if _IDENT.fullmatch(first) else f"`{first}`")
+    # a quoted first segment may contain dots (or backticks) — backtick
+    # it, doubling embedded backticks, so F.col doesn't parse it as
+    # nested access (getField below is exact-name)
+    escaped = first.replace("`", "``")
+    col = F.col(first if _IDENT.fullmatch(first) else f"`{escaped}`")
     for s in segs[1:]:
         col = col.getItem(s) if isinstance(s, int) else col.getField(s)
     return col

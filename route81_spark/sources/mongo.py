@@ -73,22 +73,41 @@ STREAM_SAFE_STAGES = frozenset(
     }
 )
 
+# Stages whose result is a pure per-document function — safe to run
+# per connector PARTITION on direct reads. Cardinality-global stages
+# ($group/$sort/$limit/$skip/...) would otherwise execute once per
+# partition page and return partial/duplicated results; they stay
+# Spark-side so the live path agrees with the global stand-in path.
+ROW_LOCAL_STAGES = STREAM_SAFE_STAGES | {"$unwind"}
 
-def split_stream_pipeline(stages: list[dict] | None) -> tuple[list[dict], list[dict]]:
-    """(server_prefix, spark_suffix) for a change-stream pipeline: the
-    longest leading run of change-stream-legal stages ships to the
-    server verbatim (route81.go:181-197 executes stages server-side via
-    gtm); the remainder compiles in Spark. Split at the FIRST illegal
-    stage — later legal stages cannot jump the queue without changing
-    semantics."""
+
+def _split_pipeline(
+    stages: list[dict] | None, allowed: frozenset | set
+) -> tuple[list[dict], list[dict]]:
+    """(server_prefix, spark_suffix): the longest leading run of
+    `allowed` stages ships to the server verbatim (route81.go:181-197
+    executes stages server-side via gtm); the remainder compiles in
+    Spark. Split at the FIRST disallowed stage — later allowed stages
+    cannot jump the queue without changing semantics."""
     prefix: list[dict] = []
     for i, stage in enumerate(stages or []):
         op = next(iter(stage), None)
-        if op in STREAM_SAFE_STAGES:
+        if op in allowed:
             prefix.append(stage)
         else:
             return prefix, list(stages[i:])
     return prefix, []
+
+
+def split_stream_pipeline(stages: list[dict] | None) -> tuple[list[dict], list[dict]]:
+    """Change-stream split: server gets the change-stream-legal prefix."""
+    return _split_pipeline(stages, STREAM_SAFE_STAGES)
+
+
+def split_direct_pipeline(stages: list[dict] | None) -> tuple[list[dict], list[dict]]:
+    """Direct-read split: server gets the row-local prefix — safe under
+    the connector's per-partition query execution."""
+    return _split_pipeline(stages, ROW_LOCAL_STAGES)
 
 
 def mongo_read_options(cfg: Config, namespace: str) -> dict[str, str]:
@@ -96,11 +115,14 @@ def mongo_read_options(cfg: Config, namespace: str) -> dict[str, str]:
 
     Parity with the reference's core efficiency property: the
     namespace's configured direct-read pipeline (already Mongo-dialect
-    JSON, config.py) ships verbatim in the connector's
-    `aggregation.pipeline` option so a selective $match never leaves
-    the database (route81.go:181-197, stages handed to gtm at
-    route81.go:1585-1597). The caller must then SKIP Spark-side
-    compilation for this source (jobs/producer.direct_read_job does).
+    JSON, config.py) ships in the connector's `aggregation.pipeline`
+    option so a selective $match never leaves the database
+    (route81.go:181-197, stages handed to gtm at route81.go:1585-1597).
+    Only the ROW-LOCAL prefix ships: the connector (like gtm's segment
+    cursors) runs the pipeline once per partition, so a $group/$limit
+    there would yield per-page partials; those stages stay Spark-side
+    (jobs/producer.direct_read_job applies the suffix and must SKIP the
+    shipped prefix).
 
     direct-read-split-max maps to the paginate-into-partitions
     partitioner cap — the reference fans each collection into <= 9
@@ -108,9 +130,9 @@ def mongo_read_options(cfg: Config, namespace: str) -> dict[str, str]:
     import json
 
     opts = _base_options(cfg, namespace)
-    stages = cfg.pipeline_for(namespace, stream=False)
-    if stages:
-        opts["aggregation.pipeline"] = json.dumps(stages)
+    prefix, _ = split_direct_pipeline(cfg.pipeline_for(namespace, stream=False))
+    if prefix:
+        opts["aggregation.pipeline"] = json.dumps(prefix)
     opts["partitioner"] = (
         "com.mongodb.spark.sql.connector.read.partitioner."
         "PaginateIntoPartitionsPartitioner"

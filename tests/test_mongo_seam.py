@@ -73,6 +73,18 @@ def test_mongo_read_options_ship_direct_pipeline():
         + "stages = '[{\"$match\": {\"x\": 1}}]'\n"
     )
     assert "aggregation.pipeline" not in mongo_read_options(cfg2, "test.nation")
+    # cardinality-global stages must NOT ship: the connector runs the
+    # pipeline once per partition, so a $group there would return
+    # per-page partials — only the row-local prefix goes server-side
+    cfg3 = load_config(
+        CFG
+        + '[[pipeline]]\nnamespace = "test.nation"\ndirect = true\n'
+        + 'stages = \'[{"$match": {"n_regionkey": 1}}, '
+        + '{"$group": {"_id": "$n_name"}}, {"$project": {"x": 1}}]\'\n'
+    )
+    assert json.loads(mongo_read_options(cfg3, "test.nation")["aggregation.pipeline"]) == [
+        {"$match": {"n_regionkey": 1}}
+    ]
 
 
 def test_mongo_stream_options_update_lookup():
@@ -322,6 +334,20 @@ def test_direct_read_job_no_double_apply(spark, sf_dir, monkeypatch):
     producer.direct_read_job(spark, local, id_cols={"test.nation": ["n_nationkey"]})
     assert applied == [[{"$match": {"n_regionkey": 1}}]]
 
+    # live + a cardinality-global suffix: only the suffix compiles in
+    # Spark (the row-local prefix ran server-side)
+    applied.clear()
+    mixed = (
+        'direct-read-namespaces = ["test.nation"]\n'
+        '[[pipeline]]\nnamespace = "test.nation"\ndirect = true\n'
+        'stages = \'[{"$match": {"n_regionkey": 1}}, '
+        '{"$limit": 5}]\'\n'
+    )
+    producer.direct_read_job(
+        spark, load_config(CFG + mixed), id_cols={"test.nation": ["n_nationkey"]}
+    )
+    assert applied == [[{"$limit": 5}]]
+
 
 def test_change_stream_source_selection(spark, monkeypatch):
     from route81_spark.jobs.producer import change_stream_source
@@ -434,3 +460,14 @@ def test_direct_read_concur_chunks_live_reads(monkeypatch):
     M.run_direct_reads(None, plain, {}, {}, args)
     assert calls["jobs"] == [ns]  # no live cluster -> one unioned job
     assert calls["writes"] == 1
+
+
+def test_split_direct_pipeline_row_local():
+    from route81_spark.sources.mongo import split_direct_pipeline
+
+    match = {"$match": {"a": 1}}
+    unwind = {"$unwind": "$xs"}
+    group = {"$group": {"_id": "$c"}}
+    # $unwind is row-local -> ships for direct reads (unlike streams)
+    assert split_direct_pipeline([match, unwind, group]) == ([match, unwind], [group])
+    assert split_direct_pipeline([group]) == ([], [group])

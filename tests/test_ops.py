@@ -1462,8 +1462,6 @@ def test_dsir_importance_orders_by_target_likeness(spark):
     assert set(out) == {1, 2, 3, 4, 5}
     assert out[1]["is_target"] == 1 and out[3]["is_target"] == 0
     assert out[1]["avg_importance"] > out[5]["avg_importance"] > out[3]["avg_importance"]
-    # target-pure raw doc scores like the target docs (same buckets)
-    assert out[1]["avg_importance"] == out[2]["avg_importance"] or True
     again = {
         r["doc_id"]: r["avg_importance"]
         for r in dsir_importance(docs, F.col("source") == "wiki").collect()

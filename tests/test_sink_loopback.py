@@ -325,3 +325,17 @@ def test_classify_quoted_key_root_path(spark):
     out = classify(df, ClassifierConfig(document_root_path='["weird.root"]["x.y"]'))
     r = out.first()
     assert r["doc_id"] == "k1" and not r["is_delete"] and r["doc"]["v"] == 7
+
+
+def test_path_parser_rejects_root_index_and_empty_key():
+    """A root-level [n] would silently compile to F.col('0'); an empty
+    quoted key to field '' — both must fail loudly instead."""
+    import pytest
+
+    from route81_spark.sinks.classify import _parse_path
+
+    for bad in ("[0].data", '[""]', 'a[""].b'):
+        with pytest.raises(ValueError, match="dot-separated"):
+            _parse_path(bad)
+    # quoted key AFTER a field stays fine, including one with backticks
+    assert _parse_path('a["b`c"]') == ["a", "b`c"]
