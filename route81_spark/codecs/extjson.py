@@ -57,7 +57,11 @@ def ext_json_col(col: Column, dtype: T.DataType, oid: bool = False) -> Column:
         us = F.timestamp_diff(
             "MICROSECOND", F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"), col
         )
-        ms = (us / 1000).cast("long").cast("string")
+        # floor division like Go's UnixMilli — (us/1000).cast('long')
+        # truncates toward zero, putting pre-1970 sub-ms times 1ms high.
+        # Subtracting the (non-negative) pmod makes us an exact multiple
+        # of 1000, so the double division is exact for |us| < 2^53
+        ms = ((us - F.pmod(us, F.lit(1000))) / 1000).cast("long").cast("string")
         return _tag("$date", _tag("$numberLong", ms))
     if isinstance(dtype, (T.TimestampType, T.DateType)):
         ms = (F.unix_micros(col.cast("timestamp")) / 1000).cast("long").cast("string")

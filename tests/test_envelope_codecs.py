@@ -342,3 +342,23 @@ def test_ext_json_timestamp_ntz_tags_date_tz_independent(spark):
             assert plain == "2000-04-04T12:34:56.789Z", (tz, plain)
     finally:
         spark.conf.set("spark.sql.session.timeZone", old_tz)
+
+
+def test_ext_json_ntz_pre_epoch_floors_millis(spark):
+    """Pre-1970 sub-millisecond wall times must FLOOR to the earlier
+    millisecond like Go's UnixMilli (truncation would tag 1969-12-31
+    23:59:59.999999 as epoch 0 instead of -1)."""
+    from pyspark.sql import functions as F
+
+    from route81_spark.codecs.extjson import ext_json_string
+
+    df = spark.createDataFrame(
+        [("1969-12-31 23:59:59.999999",), ("1970-01-01 00:00:00.000001",)],
+        "s string",
+    ).select(F.col("s").cast("timestamp_ntz").alias("ts"))
+    ntz = df.schema["ts"].dataType
+    got = [r["j"] for r in df.select(ext_json_string(F.col("ts"), ntz).alias("j")).collect()]
+    assert got == [
+        '{"$date":{"$numberLong":"-1"}}',
+        '{"$date":{"$numberLong":"0"}}',
+    ]
