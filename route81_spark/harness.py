@@ -2595,11 +2595,15 @@ def sim_pq(spark, sf_dir):
 
 @_q(
     "sim_topk_blas",
-    # Oracle = exact top-k (recall pinned bit-identical at 1e-6 by
-    # test_ops; measured equal at sf0.01 AND sf0.1). Scores re-round
-    # 1e-6 -> 1e-4 on BOTH sides — the double rounding must be
-    # replicated, floor(x*1e4+0.5) of the raw cosine can differ —
-    # absorbing any future single-ulp BLAS-summation flip in the value.
+    # Oracle = exact top-k. BLAS scores are measured bit-identical to
+    # the fold at 1e-6 on the fixed sf0.01/sf0.1 fixtures, which is
+    # what makes membership/rank comparable; the 1e-6 -> 1e-4 re-round
+    # (replicated on both sides — the double rounding differs from
+    # rounding the raw cosine at 1e-4) additionally absorbs a
+    # future single-ulp summation flip in the VALUE. A flip at a 1e-6
+    # boundary that changes ORDERING at the rank-k cut is not
+    # absorbable — that residual risk rides on the measured equality
+    # and the pinned fixtures (recall test in test_ops).
     f"""
     WITH q AS (
       SELECT vec_id AS query_id, embedding AS qv FROM embeddings
