@@ -111,14 +111,20 @@ def brute_force_topk_np(
     q_rows = queries.select(query_id_col, query_vec_col).collect()
     q_ids = np.array([r[query_id_col] for r in q_rows])
     Q = np.array([r[query_vec_col] for r in q_rows], dtype=np.float64)
-    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    # zero-norm guard (matches cosine()'s null-score contract): a zero
+    # vector must never rank, but NaN would — Spark's desc ordering
+    # puts NaN FIRST, and _local_topk_superset's fate for NaN rows is
+    # batch-size-dependent (key6 <= thresh is false, yet kk >= len
+    # passes them through). Clamping the norm yields score 0.0 instead,
+    # which simply never wins a top-k cut.
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
 
     def score(batches):
         for pdf in batches:
             if not len(pdf):
                 continue
             E = np.array(list(pdf[vec_col]), dtype=np.float64)
-            En = E / np.linalg.norm(E, axis=1, keepdims=True)
+            En = E / np.maximum(np.linalg.norm(E, axis=1, keepdims=True), 1e-12)
             S = En @ Qn.T  # (n, q)
             kk = min(k, len(pdf))
             out_rows = []

@@ -59,10 +59,20 @@ def run(
         # directory per run: never overwrite an input path mid-read.
         import os
 
+        # realpath both sides: Spark usually raises "cannot overwrite a
+        # path being read", but an input registered under a different
+        # string for the same file (symlink, ../, trailing slash) can
+        # slip past that check and mode('overwrite') would drop data.
+        input_paths = {os.path.realpath(p) for p in tables.values()}
+
         def writer(name: str, df: DataFrame) -> None:
-            df.write.mode("overwrite").parquet(
-                os.path.join(collections_dir, f"{name}.parquet")
-            )
+            target = os.path.join(collections_dir, f"{name}.parquet")
+            if os.path.realpath(target) in input_paths:
+                raise SystemExit(
+                    f"refusing $out/$merge write: {target} resolves to an "
+                    "input table path (pass a fresh --write-collections dir)"
+                )
+            df.write.mode("overwrite").parquet(target)
 
     compiler.set_collection_resolver(resolve)
     compiler.set_collection_writer(writer)

@@ -77,17 +77,29 @@ def _parse_path(path: str) -> list[str | int]:
             if need_field and out:
                 raise _path_error(path, i, "'[' directly after '.'")
             if i + 1 < n and path[i + 1] in "\"'":
+                # char-by-char scan so backslashes can escape themselves:
+                # a find()-based scan treated ANY backslash before the
+                # closing quote as escaping it, making a key that ENDS in
+                # a backslash (["a\\"]) unparseable and leaving '\\'
+                # sequences unescaped. Here \<quote> -> quote, \\ -> \,
+                # and any other backslash is literal (gval-compatible).
                 q = path[i + 1]
-                k = path.find(q, i + 2)
-                while k != -1 and path[k - 1] == "\\":
-                    k = path.find(q, k + 1)
-                if k == -1 or k + 1 >= n or path[k + 1] != "]":
+                buf: list[str] = []
+                j = i + 2
+                while j < n and path[j] != q:
+                    if path[j] == "\\" and j + 1 < n and path[j + 1] in (q, "\\"):
+                        buf.append(path[j + 1])
+                        j += 2
+                    else:
+                        buf.append(path[j])
+                        j += 1
+                if j >= n or j + 1 >= n or path[j + 1] != "]":
                     raise _path_error(path, i, "unterminated quoted key")
-                key = path[i + 2 : k].replace("\\" + q, q)
+                key = "".join(buf)
                 if not key:
                     raise _path_error(path, i, "empty quoted key")
                 out.append(key)
-                i = k + 2
+                i = j + 2
             else:
                 m = _INDEX.match(path, i)
                 if not m:

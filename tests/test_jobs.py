@@ -207,6 +207,46 @@ def test_run_pipeline_cli_merge_writeback(spark, tmp_path):
     assert spark.read.parquet(str(out)).count() == 4
 
 
+def test_run_pipeline_writeback_refuses_input_collision(spark, tmp_path):
+    """r5-advice regression: --write-collections pointed AT the input
+    dir makes $merge's mode('overwrite') target resolve to an input
+    table path (even via a different path string, e.g. a symlink) —
+    the writer must refuse instead of dropping data."""
+    import json
+    import os
+
+    import pytest
+
+    from route81_spark.run_pipeline import main as rp_main
+
+    data = tmp_path / "data"
+    data.mkdir()
+    src = data / "src.parquet"
+    tgt = data / "tgt.parquet"
+    spark.createDataFrame([(1, "a")], "_id long, v string").write.parquet(str(src))
+    spark.createDataFrame([(2, "b")], "_id long, v string").write.parquet(str(tgt))
+    pfile = tmp_path / "p.json"
+    pfile.write_text(
+        json.dumps([{"$merge": {"into": "tgt", "on": "_id", "whenMatched": "replace"}}])
+    )
+    # register tgt under a DIFFERENT string for the same file: Spark's
+    # own being-read check can miss it; the realpath guard must not
+    link = tmp_path / "link"
+    os.symlink(data, link)
+    with pytest.raises(SystemExit, match="refusing"):
+        rp_main(
+            [
+                "--pipeline", str(pfile),
+                "--source", "src",
+                "--tables", f"src={src}", f"tgt={link / 'tgt.parquet'}",
+                "--out", str(tmp_path / "result"),
+                "--write-collections", str(data),
+            ]
+        )
+    # the input collection is intact
+    assert [r["_id"] for r in spark.read.parquet(str(tgt)).collect()] == [2]
+
+
 def test_run_pipeline_cli_extension_stages(spark, tmp_path):
     """Extension stages ($curate-family) work through the CLI runner."""
     import json

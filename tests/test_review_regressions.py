@@ -123,3 +123,63 @@ def test_cluster_deep_chain_star_fallback(spark):
     }
     ok = near_dup_clusters(pairs, max_iter=15, small_graph_max_edges=0)
     assert {r["cluster_id"] for r in ok.collect()} == {0}
+
+
+def test_blas_topk_zero_vector_never_ranks(spark):
+    """r5-advice regression: brute_force_topk_np normalized without the
+    zero-norm guard, so a zero embedding produced NaN scores whose fate
+    was batch-size-dependent (dropped when the batch exceeded k, ranked
+    FIRST under desc ordering when kk >= len). With the clamp it scores
+    0.0 and never wins a cut."""
+    from route81_spark.ops.similarity import brute_force_topk_np
+
+    emb = spark.createDataFrame(
+        [
+            Row(vec_id=1, embedding=[1.0, 0.0]),
+            Row(vec_id=2, embedding=[0.0, 0.0]),  # zero vector
+            Row(vec_id=3, embedding=[0.9, 0.1]),
+        ],
+        "vec_id long, embedding array<float>",
+    ).coalesce(1)  # one Arrow batch of 3 rows with k=2 -> kk >= len path
+    q = emb.filter("vec_id = 1").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    rows = brute_force_topk_np(emb, q, k=2).orderBy("rank").collect()
+    assert [r["vec_id"] for r in rows] == [1, 3]
+    assert all(r["score"] == r["score"] for r in rows)  # no NaN survived
+
+
+@pytest.mark.parametrize("sf", ["0.01", "0.1"])
+def test_blas_topk_oracle_ulp_margin_invariant(sf):
+    """r5-advice item 4, turned into a checked invariant: the
+    sim_topk_blas oracle equality rests on BLAS and SQL-fold scores
+    rounding to the SAME 1e-6 grid point on the pinned fixtures. A
+    rounding flip requires a raw cosine within summation-ulp error of a
+    0.5e-6 boundary (where floor(s*1e6 + 0.5) steps), AND it only
+    changes the top-5 membership when the flipping row sits adjacent to
+    that query's rank-5 cut (flips elsewhere are value noise the 1e-4
+    re-round absorbs). Assert every cut-adjacent fixture score sits at
+    least 1e-2 grid units (1e-8 absolute) from the nearest boundary —
+    ~10^6 times the plausible 64-dim float64 reorder error (~1e-14) —
+    so a future single-ulp flip cannot reorder rows at any rank-5 cut.
+    (Measured: 0.053 at sf0.01, 0.025 at sf0.1.)"""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"/root/testdata/sf{sf}/embeddings.parquet")
+    ids = t["vec_id"].to_numpy()
+    E = np.array(t["embedding"].combine_chunks().to_pylist(), dtype=np.float64)
+    En = E / np.maximum(np.linalg.norm(E, axis=1, keepdims=True), 1e-12)
+    Q = En[ids % 100 == 0]
+    S = En @ Q.T
+    worst = 1.0
+    for qi in range(S.shape[1]):
+        d = S[:, qi] * 1e6
+        k6 = np.floor(d + 0.5)
+        cut = np.sort(k6)[-5]  # the k=5 boundary value, descending order
+        near = np.abs(k6 - cut) <= 1
+        worst = min(worst, np.abs((d[near] - np.floor(d[near])) - 0.5).min())
+    assert worst > 1e-2, (
+        f"cut-adjacent fixture score within {worst:.2e} grid units of a "
+        "rounding boundary — the blas-vs-fold oracle ordering is at risk"
+    )

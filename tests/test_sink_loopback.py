@@ -197,6 +197,12 @@ def test_path_expression_contract_error():
     assert _parse_path("data['a b'][3]") == ["data", "a b", 3]
     assert _parse_path('["top.level"]') == ["top.level"]
     assert _parse_path('a["q\\"uote"]') == ["a", 'q"uote']
+    # r5-advice regression: backslashes can escape THEMSELVES, so a key
+    # ending in a literal backslash parses, and '\\' unescapes to '\'
+    assert _parse_path('a["back\\\\"]') == ["a", "back\\"]
+    assert _parse_path('a["x\\\\\\"y"]') == ["a", 'x\\"y']
+    # a lone backslash (not before quote/backslash) stays literal
+    assert _parse_path('a["p\\q"]') == ["a", "p\\q"]
     for bad in (
         "a.b[x]", "a..b", "a + b", "fn(a)", "items[0", 'a["unterminated]',
         "a.", ".a", 'a.["k"]', "", "a[0]b",
