@@ -5692,6 +5692,50 @@ def corpus_dsir(spark, sf_dir):
     return dsir_importance(docs, F.col("source").isin("src0", "src1"))
 
 
+@_q(
+    "corpus_line_dedup",
+    # keep-first-occurrence global line dedup (C4/RefinedWeb): the
+    # DuckDB twin picks each distinct line's winner with ROW_NUMBER
+    # over (doc_id, pos) while Spark reduces min(struct(doc,pos)) per
+    # line-hash — same winner, different algorithmic shape. Lines are
+    # non-overlapping 4-token windows (this corpus has no newlines),
+    # the same unit arithmetic as the boilerplate oracle.
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    c AS (SELECT doc_id, tk,
+                 greatest(CAST(floor((len(tk) + 3) / 4.0) AS INT), 1) AS nc
+          FROM t),
+    ln AS (
+      SELECT doc_id,
+             unnest(range(1, nc + 1)) AS i,
+             unnest(list_transform(range(1, nc + 1),
+                    i -> coalesce(array_to_string(tk[(i-1)*4+1:(i-1)*4+4], ' '), '')))
+               AS txt
+      FROM c
+    ),
+    r AS (SELECT doc_id, i, txt,
+                 ROW_NUMBER() OVER (PARTITION BY txt ORDER BY doc_id, i) AS rn
+          FROM ln)
+    SELECT doc_id,
+           CAST(count(*) AS INT) AS n_lines,
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS INT) AS n_kept,
+           coalesce(string_agg(CASE WHEN rn = 1 THEN txt END, ' ' ORDER BY i), '')
+             AS clean_text
+    FROM r GROUP BY doc_id
+    """,
+)
+def corpus_line_dedup(spark, sf_dir):
+    """Global exact line-level dedup: every distinct 4-token line unit
+    survives only at its first corpus occurrence (min (doc_id, pos));
+    repeats are dropped and documents rebuilt — the keep-first
+    primitive remove_boilerplate's frequency threshold cannot express."""
+    from route81_spark.io import ensure_parallelism
+    from route81_spark.ops.corpus import line_dedup_global
+
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    return line_dedup_global(docs, window=4)
+
+
 # =====================================================================
 # Registry accessors (consumed by __spark_entry__)
 # =====================================================================

@@ -617,6 +617,98 @@ def remove_boilerplate(
     )
 
 
+def _line_array(text_col: str, sep: str | None, window: int | None) -> Column:
+    """Per-row array of 'line' units: literal-separator split (`sep`,
+    the C4 case) or non-overlapping `window`-token chunks (corpora
+    without line structure). Pure expressions, token array bound once."""
+    if (sep is None) == (window is None):
+        raise ValueError("pass exactly one of sep= or window=")
+    if sep is not None:
+        import re as _re
+
+        return F.split(F.col(text_col), _re.escape(sep), -1)
+    from route81_spark.ops.text import tokens
+
+    w = int(window)
+
+    def with_tk(tk: Column) -> Column:
+        # ceil(n / w) via float-div + int-cast truncation — the same
+        # arithmetic as chunk_documents / the boilerplate oracle
+        nc = F.greatest((F.size(tk) + F.lit(w - 1)) / F.lit(w), F.lit(1)).cast("int")
+        return F.transform(
+            F.sequence(F.lit(1), nc),
+            lambda i: F.concat_ws(" ", F.slice(tk, (i - 1) * F.lit(w) + 1, w)),
+        )
+
+    return F.get(F.transform(F.array(tokens(F.col(text_col))), with_tk), 0)
+
+
+def line_dedup_global(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str | None = None,
+    window: int | None = None,
+) -> DataFrame:
+    """Corpus-wide exact line dedup, C4/RefinedWeb-style: keep only the
+    FIRST occurrence — min (doc_id, position) — of every distinct line
+    in the whole corpus, drop every repeat, and rebuild each document
+    from its surviving lines in order. Returns
+    (id, n_lines, n_kept, clean_text); n_kept may be 0 (every line of
+    the doc first appeared elsewhere -> clean_text '').
+
+    This is a different primitive from remove_boilerplate's
+    frequency-threshold pass: a line shared by two docs survives in
+    exactly one of them (deterministically the earliest), instead of
+    both keeping it until it crosses max_docs.
+
+    100 TB shape — raw text shuffles exactly ONCE:
+      1. metadata pass: each doc's line array is hashed per-row and
+         posexploded to (line-hash, doc, pos) INTEGER rows; the winner
+         per line-hash is one map-side-combinable min(struct(doc,pos))
+         hash agg. The winner rows ARE the kept occurrences (no join
+         back to the exploded lines), so nothing line-sized shuffles.
+      2. kept positions: winners reduce to (doc, sorted pos array) —
+         still integers, one (already small) shuffle.
+      3. rebuild: ONE join of the original docs against their kept
+         positions on doc id — the only Exchange that carries text —
+         then a per-row projection slices the surviving lines out of
+         the re-split array. Text is split twice (two scans), the
+         right trade against shuffling exploded line text.
+    xxhash64 merges two distinct lines with probability ~n^2/2^65 —
+    at 10^12 lines that is still ~1e-5 expected collisions, each of
+    which drops one line; acceptable for a statistical cleaning pass
+    (and the same contract as every hash-keyed dedup here)."""
+    lines = _line_array(text_col, sep, window)
+    hashed = df.select(
+        F.col(id_col), F.posexplode(F.transform(lines, lambda l: F.xxhash64(l)))
+    ).select(
+        F.col("col").alias("__h"),
+        F.struct(
+            F.col(id_col).alias("i"), F.col("pos").cast("int").alias("p")
+        ).alias("__occ"),
+    )
+    winners = hashed.groupBy("__h").agg(F.min("__occ").alias("__w"))
+    keep = (
+        winners.select(F.col("__w.i").alias(id_col), F.col("__w.p").alias("__p"))
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("__p")).alias("__kp"))
+    )
+    joiner = sep if sep is not None else " "
+    kp = F.coalesce(F.col("__kp"), F.array().cast("array<int>"))
+    return (
+        df.join(keep, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.size(lines).alias("n_lines"),
+            F.size(kp).alias("n_kept"),
+            F.concat_ws(
+                joiner, F.transform(kp, lambda p: F.get(lines, p))
+            ).alias("clean_text"),
+        )
+    )
+
+
 def mixture_resample(
     df: DataFrame,
     group_col: str,

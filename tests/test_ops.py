@@ -1467,3 +1467,50 @@ def test_dsir_importance_orders_by_target_likeness(spark):
         for r in dsir_importance(docs, F.col("source") == "wiki").collect()
     }
     assert again == {k: v["avg_importance"] for k, v in out.items()}
+
+
+def test_line_dedup_global_keep_first(spark):
+    """Keep-first-occurrence semantics: a line shared by N docs survives
+    ONLY in the (doc_id, pos)-earliest one — unlike remove_boilerplate,
+    which keeps it everywhere until it crosses max_docs."""
+    from pyspark.sql import Row
+
+    from route81_spark.ops.corpus import line_dedup_global
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=3, text="a\nb"),       # repeats only -> empty
+            Row(doc_id=1, text="a\nb\nc"),
+            Row(doc_id=2, text="b\nd\na"),
+            Row(doc_id=4, text=""),           # '' line, first seen here
+            Row(doc_id=5, text="\n"),         # two '' lines, both repeats
+        ]
+    )
+    out = {r["doc_id"]: r for r in line_dedup_global(df, sep="\n").collect()}
+    assert (out[1]["n_lines"], out[1]["n_kept"], out[1]["clean_text"]) == (3, 3, "a\nb\nc")
+    assert (out[2]["n_kept"], out[2]["clean_text"]) == (1, "d")
+    assert (out[3]["n_kept"], out[3]["clean_text"]) == (0, "")
+    assert (out[4]["n_lines"], out[4]["n_kept"]) == (1, 1)
+    assert (out[5]["n_lines"], out[5]["n_kept"]) == (2, 0)
+    # intra-doc repeats also dedup (doc 2's 'a' lost to doc 1 pos 0;
+    # doc 1 keeps each of its distinct lines exactly once)
+
+
+def test_line_dedup_global_window_mode_and_arg_check(spark):
+    import pytest
+    from pyspark.sql import Row
+
+    from route81_spark.ops.corpus import line_dedup_global
+
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="x y z w x y"), Row(doc_id=2, text="x y z w q")]
+    )
+    out = {r["doc_id"]: r for r in line_dedup_global(df, window=2).collect()}
+    # doc 1 = [x y][z w][x y]: the third window repeats the first
+    assert (out[1]["n_lines"], out[1]["n_kept"], out[1]["clean_text"]) == (3, 2, "x y z w")
+    # doc 2 = [x y][z w][q]: first two lost to doc 1, short tail kept
+    assert (out[2]["n_kept"], out[2]["clean_text"]) == (1, "q")
+    with pytest.raises(ValueError, match="exactly one"):
+        line_dedup_global(df)
+    with pytest.raises(ValueError, match="exactly one"):
+        line_dedup_global(df, sep="\n", window=2)

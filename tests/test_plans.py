@@ -337,3 +337,21 @@ def test_dsir_model_broadcasts_and_text_never_shuffles(spark):
     plan = plan_of(df, "simple")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_line_dedup_text_shuffles_at_most_once(spark):
+    """line_dedup_global's contract: the winner selection runs on
+    (line-hash, doc, pos) integer rows — the ONLY Exchange allowed to
+    carry the raw text column is the final rebuild join on doc id
+    (round-robin ensure_parallelism repartitions are input artifacts,
+    not algorithmic shuffles, and don't count)."""
+    df = harness.QUERIES["corpus_line_dedup"](spark, SF)
+    plan = plan_of(df, "formatted")
+    text_shuffles = 0
+    for block in plan.split("\n\n"):
+        head = block.strip().splitlines()[0] if block.strip() else ""
+        if "Exchange" not in head or "BroadcastExchange" in head:
+            continue
+        if "hashpartitioning" in block and "text#" in block:
+            text_shuffles += 1
+    assert text_shuffles <= 1, plan
