@@ -5736,6 +5736,48 @@ def corpus_line_dedup(spark, sf_dir):
     return line_dedup_global(docs, window=4)
 
 
+def _bpe_oracle_sql(n: int) -> str:
+    """Unrolled round-by-round DuckDB twin of ops.corpus.bpe_train_merges:
+    the same wrapped-symbol wire format (chr(1) sym chr(2), chr(3)
+    end-of-word), the same ONE literal replace per merge (left-to-right
+    non-overlapping on both engines), the same count-desc/l-asc/r-asc
+    argmax tie-break — but expressed as n chained CTE rounds with
+    ROW-LIMIT argmax instead of a driver loop. MATERIALIZED pins each
+    round's word table (referenced twice: pair counting + next round)
+    so the unroll stays linear, not exponential."""
+    S, E, W = "chr(1)", "chr(2)", "chr(3)"
+    parts = [
+        f"tok AS (SELECT unnest({_TOKS}) AS word FROM documents)",
+        "wc AS (SELECT word, count(*) AS f FROM tok GROUP BY 1)",
+        f"w0 AS MATERIALIZED (SELECT regexp_replace(word, '(.)', {S} || '\\1' || {E}, 'g')"
+        f" || {S} || {W} || {E} AS w, f FROM wc)",
+    ]
+    for r in range(1, n + 1):
+        parts += [
+            f"s{r} AS (SELECT string_split(substr(w, 2, length(w) - 2), {E} || {S}) AS s, f FROM w{r - 1})",
+            f"p{r} AS (SELECT unnest(range(1, len(s))) AS i, s, f FROM s{r})",
+            f"pc{r} AS (SELECT s[i] AS sym_l, s[i + 1] AS sym_r, sum(f) AS cnt FROM p{r} GROUP BY 1, 2)",
+            f"m{r} AS MATERIALIZED (SELECT sym_l, sym_r, cnt FROM pc{r} ORDER BY cnt DESC, sym_l, sym_r LIMIT 1)",
+            f"w{r} AS MATERIALIZED (SELECT replace(w, {S} || sym_l || {E} || {S} || sym_r || {E},"
+            f" {S} || sym_l || sym_r || {E}) AS w, f FROM w{r - 1} CROSS JOIN m{r})",
+        ]
+    union = "\n      UNION ALL ".join(
+        f"SELECT CAST({r} AS INT) AS step, sym_l, sym_r, CAST(cnt AS BIGINT) AS pair_count FROM m{r}"
+        for r in range(1, n + 1)
+    )
+    return "WITH " + ",\n    ".join(parts) + "\n    " + union
+
+
+@_q("corpus_bpe_merges", _bpe_oracle_sql(6))
+def corpus_bpe_merges(spark, sf_dir):
+    """Distributed BPE merge training over the corpus: 6 pair-merge
+    rounds on the vocab-sized word-frequency table; the corpus itself
+    is scanned once and never collected."""
+    from route81_spark.ops.corpus import bpe_train_merges
+
+    return bpe_train_merges(_t(spark, sf_dir, "documents"), 6)
+
+
 # =====================================================================
 # Registry accessors (consumed by __spark_entry__)
 # =====================================================================

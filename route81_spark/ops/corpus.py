@@ -435,6 +435,116 @@ def encode_token_ids(
     )
 
 
+# BPE wire format for a word's symbol sequence: every symbol wrapped as
+# \x01<sym>\x02, so a merge (l, r) is ONE literal (not regex) replace of
+# \x01l\x02\x01r\x02 with \x01lr\x02 — left-to-right non-overlapping on
+# both engines, which is exactly BPE's scan order ('aaaa' + (a,a) ->
+# [aa, aa], 'aaa' -> [aa, a]), and the wrappers make it impossible to
+# match across symbol boundaries or inside a multi-char symbol.
+_BPE_S, _BPE_E, _BPE_EOW = "\x01", "\x02", "\x03"
+
+
+def bpe_train_merges(
+    df: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Distributed BPE merge training (Sennrich et al. 2016): start
+    from character symbols (+ an end-of-word marker), then repeat
+    `n_merges` times: aggregate frequency-weighted adjacent-pair
+    counts, pick the most frequent pair (deterministic tie-break:
+    count desc, left asc, right asc), fuse it in every word. Returns
+    the learned merge table (step, sym_l, sym_r, pair_count) — the
+    artifact a tokenizer consumes, in learned order. Stops early when
+    no pair is left (fully merged corpus); integer counts make every
+    round oracle-able.
+
+    100 TB shape: the corpus is touched ONCE — a map-side-combined
+    word-count aggregation reduces it to the vocab-sized (word, freq)
+    table, and the whole merge loop iterates on THAT (the classic
+    trainer's word-frequency dict, kept distributed). Per round: one
+    (l, r) pair-count shuffle over vocab rows, ONE argmax row to the
+    driver, one per-row literal replace. localCheckpoint every
+    `checkpoint_every` rounds bounds lineage growth exactly like the
+    connected-components loop (dedup.py); the corpus is never
+    collected and nothing corpus-sized ever reaches the driver."""
+    from route81_spark.io import ensure_parallelism
+    from route81_spark.ops.text import tokens
+
+    if n_merges < 1:
+        raise ValueError("n_merges must be >= 1")
+    wrapped = F.concat(
+        F.regexp_replace(F.col("word"), "(.)", f"{_BPE_S}$1{_BPE_E}"),
+        F.lit(f"{_BPE_S}{_BPE_EOW}{_BPE_E}"),
+    )
+    words = (
+        ensure_parallelism(df.select(text_col))
+        .select(F.explode(tokens(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .select(wrapped.alias("w"), "f")
+        .persist()
+    )
+    spark = df.sparkSession
+    merges: list[tuple[int, str, str, int]] = []
+    prev = words
+    try:
+        for step in range(1, n_merges + 1):
+            syms = F.split(
+                F.col("w").substr(F.lit(2), F.length("w") - 2), f"{_BPE_E}{_BPE_S}"
+            )
+
+            def with_s(s: Column) -> Column:
+                return F.when(
+                    F.size(s) > 1,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(s) - 1),
+                        lambda i: F.struct(
+                            F.element_at(s, i).alias("l"),
+                            F.element_at(s, i + 1).alias("r"),
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
+
+            pair_col = F.get(F.transform(F.array(syms), with_s), 0)
+            best = (
+                prev.select(F.explode(pair_col).alias("p"), "f")
+                .groupBy("p.l", "p.r")
+                .agg(F.sum("f").alias("cnt"))
+                .orderBy(F.col("cnt").desc(), F.col("l").asc(), F.col("r").asc())
+                .limit(1)
+                .collect()
+            )
+            if not best:
+                break
+            l, r, cnt = best[0]["l"], best[0]["r"], best[0]["cnt"]
+            merges.append((step, l, r, cnt))
+            nxt = prev.select(
+                F.replace(
+                    F.col("w"),
+                    F.lit(f"{_BPE_S}{l}{_BPE_E}{_BPE_S}{r}{_BPE_E}"),
+                    F.lit(f"{_BPE_S}{l}{r}{_BPE_E}"),
+                ).alias("w"),
+                "f",
+            )
+            if step % checkpoint_every == 0 or step == n_merges:
+                nxt = nxt.localCheckpoint(eager=True)
+            else:
+                nxt = nxt.persist()
+                nxt.count()  # materialize so prev can release
+            if prev is not words:
+                prev.unpersist()
+            prev = nxt
+    finally:
+        words.unpersist()
+        if prev is not words:
+            prev.unpersist()
+    return spark.createDataFrame(
+        merges, "step int, sym_l string, sym_r string, pair_count long"
+    )
+
+
 def _bigram_pairs(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """(id, bg) rows — the token array is bound once per row before the
     positional slice, so the text splits exactly once."""

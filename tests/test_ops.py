@@ -1514,3 +1514,74 @@ def test_line_dedup_global_window_mode_and_arg_check(spark):
         line_dedup_global(df)
     with pytest.raises(ValueError, match="exactly one"):
         line_dedup_global(df, sep="\n", window=2)
+
+
+def test_bpe_train_merges_matches_single_node_reference(spark):
+    """The distributed trainer must learn the SAME merge table (pairs,
+    order, counts) as a straightforward single-node BPE on the same
+    word counts — including the Sennrich toy corpus whose first merges
+    are the canonical (e,s)(es,t)(est,</w>)(l,o)(lo,w)."""
+    from collections import Counter
+
+    from pyspark.sql import Row
+
+    from route81_spark.ops.corpus import bpe_train_merges
+
+    corpus = [
+        "low low low low low lower lower newest newest newest",
+        "newest newest newest widest widest widest low",
+    ]
+
+    def reference_bpe(texts, n):
+        words = Counter()
+        for t in texts:
+            for w in t.split():
+                words[tuple(w) + ("\x03",)] += 1
+        merges = []
+        for step in range(1, n + 1):
+            pairs = Counter()
+            for syms, f in words.items():
+                for a, b in zip(syms, syms[1:]):
+                    pairs[(a, b)] += f
+            if not pairs:
+                break
+            # count desc, left asc, right asc — the trainer's tie-break
+            (l, r), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+            merges.append((step, l, r, cnt))
+            out = {}
+            for syms, f in words.items():
+                s, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                        s.append(l + r)
+                        i += 2
+                    else:
+                        s.append(syms[i])
+                        i += 1
+                out[tuple(s)] = out.get(tuple(s), 0) + f
+            words = Counter(out)
+        return merges
+
+    df = spark.createDataFrame([Row(text=t) for t in corpus])
+    got = [
+        (r["step"], r["sym_l"], r["sym_r"], r["pair_count"])
+        for r in bpe_train_merges(df, 10, checkpoint_every=3).orderBy("step").collect()
+    ]
+    assert got == reference_bpe(corpus, 10)
+    assert [g[1:3] for g in got[:3]] == [("e", "s"), ("es", "t"), ("est", "\x03")]
+
+
+def test_bpe_train_merges_early_stop_and_args(spark):
+    import pytest
+    from pyspark.sql import Row
+
+    from route81_spark.ops.corpus import bpe_train_merges
+
+    # 'ab' fully merges in 2 steps (a+b, ab+eow); further rounds stop
+    df = spark.createDataFrame([Row(text="ab ab")])
+    got = bpe_train_merges(df, 10).orderBy("step").collect()
+    assert [(r["sym_l"], r["sym_r"], r["pair_count"]) for r in got] == [
+        ("a", "b", 2), ("ab", "\x03", 2),
+    ]
+    with pytest.raises(ValueError, match="n_merges"):
+        bpe_train_merges(df, 0)
