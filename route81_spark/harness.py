@@ -5736,6 +5736,66 @@ def corpus_line_dedup(spark, sf_dir):
     return line_dedup_global(docs, window=4)
 
 
+@_q(
+    "text_quality_classifier",
+    # mirror of ops.corpus.quality_classifier: hashed-bigram buckets via
+    # the md5-derived 60-bit hash (seed 13), naive-Bayes integer-odds
+    # model with Laplace +1 and class-total normalization, per-doc
+    # integer score sums. Seed set: English-labeled documents.
+    f"""
+    WITH t AS (SELECT doc_id, lang, {_TOKS} AS tk FROM documents),
+    p AS (
+      SELECT doc_id, lang = 'en' AS tgt,
+             unnest(list_transform(range(1, greatest(len(tk) - 1, 1) + 1),
+                    i -> coalesce(array_to_string(tk[i:i+1], ' '), ''))) AS bg
+      FROM t
+    ),
+    pairs AS (
+      SELECT doc_id, tgt,
+             ('0x' || substr(md5('13|' || bg), 1, 15))::BIGINT % 256 AS b
+      FROM p WHERE contains(bg, ' ')
+    ),
+    doc_bucket AS (
+      SELECT doc_id, tgt, b, count(*) AS n_db FROM pairs GROUP BY 1, 2, 3
+    ),
+    by_bucket AS (
+      SELECT b,
+             sum(CASE WHEN tgt THEN n_db ELSE 0 END) AS pos_c,
+             sum(CASE WHEN NOT tgt THEN n_db ELSE 0 END) AS neg_c
+      FROM doc_bucket GROUP BY b
+    ),
+    tot AS (SELECT sum(pos_c) AS npos, sum(neg_c) AS nneg FROM by_bucket),
+    model AS (
+      SELECT b,
+             CAST(((pos_c + 1) * (nneg + 256) * 10000)
+               // ((neg_c + 1) * (npos + 256)) AS BIGINT) AS w
+      FROM by_bucket CROSS JOIN tot
+    ),
+    s AS (
+      SELECT d.doc_id, d.tgt,
+             CAST(sum(d.n_db) AS BIGINT) AS n_bigrams,
+             CAST(sum(d.n_db * m.w) AS BIGINT) AS score
+      FROM doc_bucket d JOIN model m USING (b)
+      GROUP BY 1, 2
+    )
+    SELECT doc_id, CAST(tgt AS INT) AS is_seed, n_bigrams, score,
+           floor((CAST(score AS DOUBLE) / n_bigrams) * 10000.0 + 0.5)
+             / 10000.0 AS avg_odds,
+           CAST(score > n_bigrams * 10000 AS INT) AS pred_keep
+    FROM s
+    """,
+)
+def text_quality_classifier(spark, sf_dir):
+    """Trained hashed-bigram quality filter (CCNet/GPT-3 style): every
+    document scored by a naive-Bayes integer-odds model fit against the
+    English-labeled seed set; pred_keep marks docs whose mean bucket
+    odds exceed 1."""
+    from route81_spark.ops.corpus import quality_classifier
+
+    docs = _t(spark, sf_dir, "documents")
+    return quality_classifier(docs, F.col("lang") == "en")
+
+
 def _bpe_oracle_sql(n: int) -> str:
     """Unrolled round-by-round DuckDB twin of ops.corpus.bpe_train_merges:
     the same wrapped-symbol wire format (chr(1) sym chr(2), chr(3)

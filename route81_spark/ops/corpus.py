@@ -1090,6 +1090,126 @@ def approx_distinct_by(
     )
 
 
+def _hashed_bigram_buckets(
+    docs: DataFrame,
+    flag_filter: Column,
+    text_col: str,
+    id_col: str,
+    n_buckets: int,
+    seed: int,
+) -> DataFrame:
+    """Shared DSIR/classifier front end: explode each doc's text ONCE
+    into hashed-bigram bucket counts (id, __tgt, b, n_db). The token
+    array is bound once per row before the positional slice; the
+    map-side combine caps the shuffle at n_buckets rows per doc, and
+    raw text never shuffles. Docs with no bigram contribute no rows."""
+    from route81_spark.io import ensure_parallelism
+    from route81_spark.ops.dedup import h64
+    from route81_spark.ops.text import positional_ngrams, tokens
+
+    base = ensure_parallelism(
+        docs.select(
+            F.col(id_col),
+            flag_filter.cast("boolean").alias("__tgt"),
+            F.col(text_col),
+        )
+    )
+    bound_grams = F.get(
+        F.transform(
+            F.array(tokens(F.col(text_col))), lambda tk: positional_ngrams(tk, 2)
+        ),
+        0,
+    )
+    pairs = base.select(
+        F.col(id_col), F.col("__tgt"), F.explode(bound_grams).alias("bg")
+    ).filter(F.col("bg").contains(" "))
+    return (
+        pairs.select(
+            id_col, "__tgt", F.pmod(h64(F.col("bg"), seed), F.lit(n_buckets)).alias("b")
+        )
+        .groupBy(id_col, "__tgt", "b")
+        .agg(F.count(F.lit(1)).alias("n_db"))
+    )
+
+
+def quality_classifier(
+    docs: DataFrame,
+    seed_filter: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+    scale: int = 10_000,
+    seed: int = 13,
+) -> DataFrame:
+    """CCNet/GPT-3-style trained quality filter: a hashed-bigram
+    naive-Bayes classifier scoring every document against a labeled
+    seed set (positives = `seed_filter` docs, negatives = the rest) —
+    the standard companion to DSIR's importance weights when curating
+    a pretraining mix. The fastText/NB log-odds
+
+        sum_b n_db * [log P(b|pos) - log P(b|neg)]
+
+    is replaced by its integer-ratio analog: per-bucket scaled odds
+
+        w[b] = ((pos[b]+1) * (Nneg+B) * scale) div ((neg[b]+1) * (Npos+B))
+
+    (Laplace +1, class-normalized by each side's total mass, odds 1 ==
+    `scale`), scored as sum_b n_db * w[b]. Monotone in the NB odds per
+    bucket, and every decision is integer-exact, so the DuckDB oracle
+    matches bit for bit. pred_keep fires when the doc's mean bucket
+    odds exceed 1 (score > n_bigrams * scale) — an integer compare.
+
+    Docs with no bigram (0/1 tokens) carry no signal and are omitted.
+
+    Scale shape: identical to dsir_importance — text explodes once
+    into (doc, bucket) counts; the model is n_buckets rows (plus ONE
+    totals row) broadcast back; scoring joins per-(doc, bucket). With
+    int64 arithmetic the products bound corpus size to ~3e9 bigrams at
+    scale=1e4 ((pos+1)*(Nneg+B)*scale < 2^63); beyond that lower
+    `scale` or move the model columns to decimal(38,0) — ANSI mode
+    fails loudly rather than wrapping."""
+    from route81_spark.ops.util import det_round
+
+    doc_bucket = _hashed_bigram_buckets(
+        docs, seed_filter, text_col, id_col, n_buckets, seed
+    )
+    by_bucket = doc_bucket.groupBy("b").agg(
+        F.sum(F.when(F.col("__tgt"), F.col("n_db")).otherwise(F.lit(0))).alias("pos_c"),
+        F.sum(F.when(~F.col("__tgt"), F.col("n_db")).otherwise(F.lit(0))).alias(
+            "neg_c"
+        ),
+    )
+    totals = by_bucket.agg(
+        F.sum("pos_c").alias("npos"), F.sum("neg_c").alias("nneg")
+    )
+    model = by_bucket.crossJoin(F.broadcast(totals)).selectExpr(
+        "b",
+        # integer div, not floor(double /): the products exceed 2^53
+        f"((pos_c + 1) * (nneg + {n_buckets}) * CAST({scale} AS BIGINT))"
+        f" div ((neg_c + 1) * (npos + {n_buckets})) AS w",
+    )
+    scored = (
+        doc_bucket.join(F.broadcast(model), "b")
+        .groupBy(id_col, "__tgt")
+        .agg(
+            F.sum("n_db").alias("n_bigrams"),
+            F.sum(F.col("n_db") * F.col("w")).alias("score"),
+        )
+    )
+    return scored.select(
+        id_col,
+        F.col("__tgt").cast("int").alias("is_seed"),
+        "n_bigrams",
+        "score",
+        det_round(F.col("score").cast("double") / F.col("n_bigrams"), 4).alias(
+            "avg_odds"
+        ),
+        (F.col("score") > F.col("n_bigrams") * F.lit(scale).cast("long"))
+        .cast("int")
+        .alias("pred_keep"),
+    )
+
+
 def dsir_importance(
     docs: DataFrame,
     target_filter: Column,
@@ -1122,34 +1242,10 @@ def dsir_importance(
     model is n_buckets rows total (hash-agg of those same counts,
     broadcast back); the scoring join is per-(doc, bucket), never
     per-token, and raw text never shuffles."""
-    from route81_spark.io import ensure_parallelism
-    from route81_spark.ops.dedup import h64
-    from route81_spark.ops.text import positional_ngrams, tokens
     from route81_spark.ops.util import det_round
 
-    base = ensure_parallelism(
-        docs.select(
-            F.col(id_col),
-            target_filter.cast("boolean").alias("__tgt"),
-            F.col(text_col),
-        )
-    )
-    # bind the token array once per row before the positional slice
-    bound_grams = F.get(
-        F.transform(
-            F.array(tokens(F.col(text_col))), lambda tk: positional_ngrams(tk, 2)
-        ),
-        0,
-    )
-    pairs = base.select(
-        F.col(id_col), F.col("__tgt"), F.explode(bound_grams).alias("bg")
-    ).filter(F.col("bg").contains(" "))
-    doc_bucket = (
-        pairs.select(
-            id_col, "__tgt", F.pmod(h64(F.col("bg"), seed), F.lit(n_buckets)).alias("b")
-        )
-        .groupBy(id_col, "__tgt", "b")
-        .agg(F.count(F.lit(1)).alias("n_db"))
+    doc_bucket = _hashed_bigram_buckets(
+        docs, target_filter, text_col, id_col, n_buckets, seed
     )
     model = (
         doc_bucket.groupBy("b")

@@ -1585,3 +1585,31 @@ def test_bpe_train_merges_early_stop_and_args(spark):
     ]
     with pytest.raises(ValueError, match="n_merges"):
         bpe_train_merges(df, 0)
+
+
+def test_quality_classifier_separates_seed_like_docs(spark):
+    """Docs sharing the seed set's bigrams must score above odds-1
+    (pred_keep=1); docs from the disjoint low-quality vocabulary must
+    score below. Held-out doc 9 proves generalization: unlabeled but
+    seed-like text still passes the filter."""
+    from pyspark.sql import Row
+
+    from route81_spark.ops.corpus import quality_classifier
+
+    good = "the quick brown fox jumps over the lazy dog near the river bank"
+    bad = "zz yy xx ww vv uu tt ss rr qq pp oo nn mm ll kk jj"
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, lab="seed" if i < 4 else "raw",
+             text=good if i < 4 or i == 9 else bad)
+         for i in range(10)]
+    )
+    out = {r["doc_id"]: r for r in
+           quality_classifier(docs, F.col("lab") == "seed").collect()}
+    assert all(out[i]["pred_keep"] == 1 for i in range(4))
+    assert out[9]["pred_keep"] == 1 and out[9]["is_seed"] == 0  # held-out
+    assert all(out[i]["pred_keep"] == 0 for i in range(4, 9))
+    assert all(out[i]["avg_odds"] > out[j]["avg_odds"]
+               for i in (0, 9) for j in range(4, 9))
+    # single-token docs carry no bigram signal and are omitted
+    one = spark.createDataFrame([Row(doc_id=1, lab="seed", text="solo")])
+    assert quality_classifier(one, F.col("lab") == "seed").count() == 0

@@ -355,3 +355,13 @@ def test_line_dedup_text_shuffles_at_most_once(spark):
         if "hashpartitioning" in block and "text#" in block:
             text_shuffles += 1
     assert text_shuffles <= 1, plan
+
+
+def test_quality_classifier_model_broadcasts_and_text_never_shuffles(spark):
+    # same contract as DSIR: the bucket model (n_buckets rows + one
+    # totals row) comes back broadcast; no SortMergeJoin may drag the
+    # corpus across the cluster — only (doc, bucket) count rows shuffle
+    df = harness.QUERIES["text_quality_classifier"](spark, SF)
+    plan = plan_of(df, "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
