@@ -5796,6 +5796,24 @@ def text_quality_classifier(spark, sf_dir):
     return quality_classifier(docs, F.col("lang") == "en")
 
 
+@_q("media_image_dedup")  # no SQL oracle BY NECESSITY: the payload
+# encode -> PNG/BMP decode -> dHash round trip is numpy inside
+# mapInPandas (same class as media_features); DuckDB cannot decode
+# image containers. Deterministic generation keeps the rows-only
+# check stable: 96 planted images -> 64 survivors (each triple's
+# noisy re-encoded near-dup collapses onto its base).
+def media_image_dedup(spark, sf_dir):
+    """Perceptual image dedup through the pipeline-JSON surface:
+    dHash -> banded hamming join -> CC -> min-id representative,
+    exercised on really-encoded BMP/PNG payloads with planted
+    cross-container near-dups."""
+    from route81_spark.ops.multimodal import synthetic_image_corpus
+
+    corp = synthetic_image_corpus(spark, n=96)
+    out = apply_pipeline(corp, [{"$imageDedup": {"maxHamming": 3}}])
+    return out.select("media_id", "kind", F.col("meta.mime").alias("mime"))
+
+
 def _bpe_oracle_sql(n: int) -> str:
     """Unrolled round-by-round DuckDB twin of ops.corpus.bpe_train_merges:
     the same wrapped-symbol wire format (chr(1) sym chr(2), chr(3)

@@ -489,3 +489,215 @@ def synthetic_media(spark, n: int = 64) -> DataFrame:
         ).alias("meta"),
     )
     return base
+
+
+# ---------------------------------------------------------------------
+# Perceptual image dedup: dHash over really-decoded BMP/PNG payloads
+# ---------------------------------------------------------------------
+
+def dhash64(pixels: np.ndarray) -> int:
+    """64-bit difference hash (dHash): luma -> 8x9 downscale (area mean
+    over integer block boundaries; nearest-sample fallback when the
+    image is smaller than the grid) -> bit (r, c) set iff
+    gray[r, c] > gray[r, c + 1]. The standard perceptual fingerprint:
+    stable under noise/re-encode/resize, 64 bits, integer compare."""
+    g = pixels.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    h, w = g.shape
+    th, tw = 8, 9
+    if h >= th and w >= tw:
+        rb = (np.arange(th + 1) * h) // th
+        cb = (np.arange(tw + 1) * w) // tw
+        cs = g.cumsum(axis=0).cumsum(axis=1)
+        z = np.zeros((h + 1, w + 1))
+        z[1:, 1:] = cs
+        area = (
+            z[rb[1:, None], cb[None, 1:]]
+            - z[rb[:-1, None], cb[None, 1:]]
+            - z[rb[1:, None], cb[None, :-1]]
+            + z[rb[:-1, None], cb[None, :-1]]
+        )
+        cnt = (rb[1:, None] - rb[:-1, None]) * (cb[None, 1:] - cb[None, :-1])
+        small = area / cnt
+    else:
+        small = g[(np.arange(th) * h) // th][:, (np.arange(tw) * w) // tw]
+    bits = small[:, :-1] > small[:, 1:]
+    v = 0
+    for i, b in enumerate(bits.ravel()):
+        if b:
+            v |= 1 << i
+    return v - (1 << 64) if v >= 1 << 63 else v  # two's-complement long
+
+
+_DHASH_SCHEMA = "media_id long, mime string, dhash long, decodable boolean"
+_DHASH_MIMES = ("image/bmp", "image/png")
+
+
+def image_dhash(df: DataFrame) -> DataFrame:
+    """Per-image 64-bit perceptual hash, computed in the same Arrow
+    mapInPandas decode pass extract_features uses: BMP/PNG payloads
+    REALLY decode (pure numpy/struct/zlib); compressed formats this
+    container can't decode yield (dhash NULL, decodable false) — a
+    loud, documented gate, NOT a fake hash that would fabricate dedup
+    decisions. Payload bytes never leave the map task: the output is
+    (media_id, mime, dhash, decodable), so everything downstream
+    shuffles 16-byte rows."""
+
+    def one(payload, mime):
+        if mime not in _DHASH_MIMES or payload is None:
+            return None
+        px = real_decode(payload, mime)
+        return dhash64(px)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = [one(p, m) for p, m in zip(pdf["payload"], pdf["mime"])]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "mime": pdf["mime"],
+                    "dhash": pd.array(hashes, dtype="Int64"),
+                    "decodable": [hh is not None for hh in hashes],
+                }
+            )
+
+    src = df.select("media_id", "payload", F.col("meta.mime").alias("mime"))
+    return src.mapInPandas(run, schema=_DHASH_SCHEMA)
+
+
+def image_near_dup_pairs(
+    hashes: DataFrame, max_hamming: int = 3, bands: int = 4
+) -> DataFrame:
+    """Candidate generation + verify for perceptual near-dups, the
+    image analog of the text SimHash path: split each 64-bit dHash into
+    `bands` equal bit-slices, equi-join images sharing any slice
+    (pigeonhole: every pair within hamming < bands MUST share one — so
+    the default 4/3 is exact, not probabilistic), then verify
+    bit_count(a XOR b) <= max_hamming. Returns (id_a, id_b, hamming),
+    id_a < id_b.
+
+    Scale shape: the banded equi-join touches only (band_idx, slice,
+    id) rows — never payloads, never all-pairs; identical contract to
+    lsh_candidates. A degenerate corpus of near-identical images makes
+    the bucket join quadratic IN THAT BUCKET — the same premise-bound
+    as every LSH join here (and exactly the corpus image_dedup would
+    collapse to one representative anyway)."""
+    from route81_spark.ops.dedup import hamming64
+
+    if 64 % bands:
+        raise ValueError("bands must divide 64")
+    width = 64 // bands
+    mask = (1 << width) - 1
+    h = hashes.filter(F.col("decodable")).select("media_id", "dhash")
+    banded = h.select(
+        "media_id",
+        "dhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned("dhash", i * width).bitwiseAND(F.lit(mask))
+                    for i in range(bands)
+                ]
+            )
+        ).alias("band", "slice"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.slice") == F.col("b.slice"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("id_a"),
+            F.col("b.media_id").alias("id_b"),
+            F.col("a.dhash").alias("ha"),
+            F.col("b.dhash").alias("hb"),
+        )
+        .distinct()
+    )
+    return cand.select(
+        "id_a",
+        "id_b",
+        hamming64(F.col("ha"), F.col("hb")).cast("int").alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)
+
+
+def image_dedup(df: DataFrame, max_hamming: int = 3, bands: int = 4) -> DataFrame:
+    """End-to-end perceptual image dedup: dHash -> banded candidate
+    join -> hamming verify -> connected components -> keep the min-id
+    representative per cluster. Returns the surviving rows of `df`
+    (left-semi join on id — payload columns pass through untouched and
+    unshuffled; the clustering runs entirely on 16-byte hash rows).
+    Undecodable images can't be compared, so they survive by default
+    (curate them via the decodable flag upstream if that's wrong)."""
+    from route81_spark.ops.dedup import near_dup_clusters
+
+    hashes = image_dhash(df)
+    pairs = image_near_dup_pairs(hashes, max_hamming=max_hamming, bands=bands)
+    clusters = near_dup_clusters(pairs.select("id_a", "id_b"))
+    losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias("media_id")
+    )
+    return df.join(F.broadcast(losers), "media_id", "left_anti")
+
+
+def synthetic_image_corpus(spark, n: int = 96) -> DataFrame:
+    """Deterministic image corpus with PLANTED near-dup structure, for
+    exercising the perceptual-dedup path on really-encoded payloads.
+    Ids come in triples g = id // 3: id%3==0 is a base gradient image
+    (parameterized by g), id%3==1 the same image with tiny seeded pixel
+    noise re-encoded in the OTHER container (BMP <-> PNG) — a true
+    near-dup the exact-hash path can never catch — and id%3==2 an
+    inverted-gradient image (visually distinct). Generated inside
+    executors via mapInPandas, like synthetic_decodable_media."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {"media_id": [], "kind": [], "payload": [], "meta": []}
+            for mid in pdf["id"]:
+                mid = int(mid)
+                g, v = mid // 3, mid % 3
+                h, w = 32, 36
+                yy, xx = np.mgrid[0:h, 0:w]
+                # per-(group, pixel) MIXED pseudo-random luma: a pure
+                # gradient collapses every image to the same dHash (all
+                # horizontal diffs share one sign), and a per-COLUMN
+                # profile leaves only 8 bits of entropy (the 8 row
+                # blocks repeat) — so the R channel is a murmur-style
+                # mixed texture over (g, x, y). Measured over 32
+                # groups: +-1 noise moves a dup <= 2 bits; any non-dup
+                # pair (cross-group or the reversed v=2 texture) >= 18.
+                x = (
+                    g * 73
+                    + ((w - 1 - xx) * 151 + 7 if v == 2 else xx * 151)
+                    + yy * 37
+                ).astype(np.uint64)
+                x = (x * np.uint64(2654435761)) & np.uint64(0xFFFFFFFF)
+                x ^= x >> np.uint64(16)
+                x = (x * np.uint64(2246822519)) & np.uint64(0xFFFFFFFF)
+                x ^= x >> np.uint64(13)
+                prof = (x % np.uint64(200)).astype(np.int16) + 28
+                px = np.stack(
+                    [prof, (yy * (53 + g)) % 256, np.full((h, w), (17 * g) % 256)],
+                    axis=2,
+                ).astype(np.int16)
+                if v == 1:
+                    rng = np.random.default_rng(1000 + g)
+                    px = px + rng.integers(-1, 2, size=px.shape)
+                px = np.clip(px, 0, 255).astype(np.uint8)
+                use_png = (g % 2 == 0) != (v == 1)  # dup flips container
+                mime, enc = (
+                    ("image/png", encode_png_rgb8)
+                    if use_png
+                    else ("image/bmp", encode_bmp24)
+                )
+                out["media_id"].append(mid)
+                out["kind"].append("image")
+                out["payload"].append(enc(px))
+                out["meta"].append(
+                    {"mime": mime, "width": w, "height": h, "duration_ms": None}
+                )
+            yield pd.DataFrame(out)
+
+    return spark.range(n).mapInPandas(gen, schema=MEDIA_SCHEMA)

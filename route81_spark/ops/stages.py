@@ -451,3 +451,58 @@ def _compression_ratio(df: DataFrame, arg: dict) -> DataFrame:
 
 register_stage("$phraseSearch", _phrase_search)
 register_stage("$compressionRatio", _compression_ratio)
+
+
+def _image_dedup(df: DataFrame, arg: dict) -> DataFrame:
+    from route81_spark.ops.multimodal import image_dedup
+
+    return image_dedup(
+        df,
+        max_hamming=int(arg.get("maxHamming", 3)),
+        bands=int(arg.get("bands", 4)),
+    )
+
+
+def _line_dedup(df: DataFrame, arg: dict) -> DataFrame:
+    from route81_spark.ops.corpus import line_dedup_global
+
+    return line_dedup_global(
+        df,
+        text_col=arg.get("textField", "text"),
+        id_col=arg.get("idField", "doc_id"),
+        sep=arg.get("sep"),
+        window=arg.get("window"),
+    )
+
+
+def _bpe_train(df: DataFrame, arg: dict) -> DataFrame:
+    from route81_spark.ops.corpus import bpe_train_merges
+
+    return bpe_train_merges(
+        df, int(arg["merges"]), text_col=arg.get("textField", "text")
+    )
+
+
+def _quality_classify(df: DataFrame, arg: dict) -> DataFrame:
+    from route81_spark.ops.corpus import quality_classifier
+
+    if "seedField" not in arg:
+        raise ValueError(
+            "$qualityClassify requires seedField (the boolean/label column "
+            "marking the positive seed set)"
+        )
+    seed = F.col(arg["seedField"])
+    if "seedValue" in arg:
+        seed = seed == F.lit(arg["seedValue"])
+    return quality_classifier(
+        df,
+        seed,
+        text_col=arg.get("textField", "text"),
+        id_col=arg.get("idField", "doc_id"),
+    )
+
+
+register_stage("$imageDedup", _image_dedup)
+register_stage("$lineDedup", _line_dedup)
+register_stage("$bpeTrain", _bpe_train)
+register_stage("$qualityClassify", _quality_classify)

@@ -1613,3 +1613,62 @@ def test_quality_classifier_separates_seed_like_docs(spark):
     # single-token docs carry no bigram signal and are omitted
     one = spark.createDataFrame([Row(doc_id=1, lab="seed", text="solo")])
     assert quality_classifier(one, F.col("lab") == "seed").count() == 0
+
+
+def test_image_dhash_and_near_dup_pairs(spark):
+    """dHash over REALLY-encoded payloads: every planted (base, noisy
+    re-encoded copy) pair — and nothing else — must land within the
+    hamming threshold, across BMP<->PNG container boundaries."""
+    from route81_spark.ops.multimodal import (
+        image_dhash, image_near_dup_pairs, synthetic_image_corpus,
+    )
+
+    corp = synthetic_image_corpus(spark, 24)
+    hashes = image_dhash(corp)
+    rows = hashes.collect()
+    assert all(r["decodable"] and r["dhash"] is not None for r in rows)
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in image_near_dup_pairs(hashes, max_hamming=3).collect()
+    }
+    assert set(pairs) == {(3 * g, 3 * g + 1) for g in range(8)}
+    assert all(h <= 2 for h in pairs.values())  # measured dup distance
+    # the near-dup really crosses containers (exact hash can't see it)
+    mimes = {r["media_id"]: r["mime"] for r in rows}
+    assert all(mimes[3 * g] != mimes[3 * g + 1] for g in range(8))
+
+
+def test_image_dedup_keeps_representatives_and_undecodable(spark):
+    from route81_spark.ops.multimodal import (
+        image_dedup, synthetic_image_corpus, synthetic_media,
+    )
+    from route81_spark.pipeline import apply_pipeline
+
+    corp = synthetic_image_corpus(spark, 24)
+    surv = sorted(r["media_id"] for r in image_dedup(corp).collect())
+    # min-id representative per planted pair + every distinct image
+    assert surv == sorted([3 * g for g in range(8)] + [3 * g + 2 for g in range(8)])
+    # same result through the pipeline-JSON stage surface
+    via_stage = apply_pipeline(corp, [{"$imageDedup": {"maxHamming": 3}}])
+    assert sorted(r["media_id"] for r in via_stage.collect()) == surv
+    # undecodable payloads (no codec) can't be compared -> all survive
+    fake = synthetic_media(spark, 12)
+    assert image_dedup(fake).count() == 12
+
+
+def test_dhash64_downscale_paths():
+    import numpy as np
+
+    from route81_spark.ops.multimodal import dhash64
+
+    # area-mean path: monotone horizontal gradient -> all-zero bits
+    # (left < right everywhere); reversed -> all-one bits
+    yy, xx = np.mgrid[0:32, 0:36]
+    grad = np.stack([xx * 7 % 256] * 3, axis=2).astype(np.uint8)
+    assert dhash64(grad[:, ::1]) == 0
+    rev = grad[:, ::-1]
+    assert dhash64(rev) == -1  # 64 set bits as a signed long
+    # nearest-sample fallback for images smaller than the 8x9 grid
+    tiny = np.stack([np.arange(4 * 5).reshape(4, 5) * 10 % 256] * 3, axis=2).astype(np.uint8)
+    v = dhash64(tiny)
+    assert isinstance(v, int) and -(1 << 63) <= v < 1 << 63

@@ -705,3 +705,36 @@ def test_anomaly_stage(spark):
     assert any(r["is_anomaly"] for r in out)
     with pt.raises(ValueError, match="tiebreakField"):
         apply_pipeline(ev, [{"$anomaly": {}}]).collect()
+
+
+def test_r6_corpus_stages(spark):
+    """$lineDedup / $bpeTrain / $qualityClassify reach their operators
+    through the pipeline-JSON surface with argument mapping intact
+    ($imageDedup is covered in test_ops)."""
+    import pytest as pt
+    from pyspark.sql import Row
+
+    from route81_spark.pipeline import apply_pipeline
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, lab="seed", text="good doc words here"),
+            Row(doc_id=2, lab="raw", text="good doc words here"),
+            Row(doc_id=3, lab="raw", text="zz yy xx ww vv"),
+        ]
+    )
+    ld = {r["doc_id"]: r for r in apply_pipeline(
+        docs, [{"$lineDedup": {"window": 2}}]).collect()}
+    assert ld[1]["n_kept"] == 2 and ld[2]["n_kept"] == 0 and ld[3]["n_kept"] > 0
+
+    bpe = apply_pipeline(docs, [{"$bpeTrain": {"merges": 2}}]).collect()
+    assert [r["step"] for r in sorted(bpe, key=lambda r: r["step"])] == [1, 2]
+    with pt.raises(KeyError):
+        apply_pipeline(docs, [{"$bpeTrain": {}}]).collect()
+
+    qc = {r["doc_id"]: r for r in apply_pipeline(
+        docs, [{"$qualityClassify": {"seedField": "lab", "seedValue": "seed"}}]
+    ).collect()}
+    assert qc[2]["pred_keep"] == 1 and qc[3]["pred_keep"] == 0
+    with pt.raises(ValueError, match="seedField"):
+        apply_pipeline(docs, [{"$qualityClassify": {}}]).collect()
