@@ -26,6 +26,9 @@ BENCH_QUERIES = [
     "group_sum_avg",      # pipeline-compiled Q1-style aggregation (lineitem)
     "match_project",      # filter+project scan path, pushdown-sensitive
     "envelope_lineitem",  # full-envelope wire-format construction, widest table
+                          # (build only — comparable to the r1-r4 series)
+    "envelope_lineitem_parseback",  # build + the oracle's from_json parse-back
+                                    # (the r5 number; correctness-gate shape)
     "cdc_merge_state",    # change feed -> classify -> keyed merge
     "dedup_lsh_jaccard",  # MinHash LSH candidates + Jaccard verify
     "dedup_exact",        # hash-agg dedup
@@ -49,6 +52,9 @@ BENCH_QUERIES = [
     "corpus_dataset_card",  # per-source release card (two map-side aggs)
     "sim_pq",             # PQ encode->ADC->exact refine (Arrow batches + joins)
     "corpus_dsir",        # DSIR importance weights (bucket counts + tiny model)
+    "corpus_line_dedup",  # keep-first global line dedup (int winner agg + 1 text join)
+    "text_quality_classifier",  # hashed-bigram NB quality filter (DSIR-shaped)
+    "corpus_bpe_merges",  # 6 BPE merge rounds on the vocab-sized word table
 ]
 
 
@@ -63,6 +69,11 @@ def main() -> None:
     spark = get_spark("route81_spark_bench")
 
     qs = harness.queries()
+    # envelope_lineitem's REGISTERED form carries the r5 oracle's
+    # parse-back of the produced wire bytes; the bench series wants the
+    # raw producer build (r1-r4 comparable) AND the parse-back variant
+    qs["envelope_lineitem_parseback"] = qs["envelope_lineitem"]
+    qs["envelope_lineitem"] = harness.envelope_lineitem_build
     # warm phase: run every headline query once at sf0.001 — identical
     # plan shapes on tiny data — so whole-stage-codegen compilation and
     # JIT warmup are paid before measurement (first-run compile cost was

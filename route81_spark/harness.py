@@ -2179,6 +2179,21 @@ def envelope_lineitem(spark, sf_dir):
     )
 
 
+def envelope_lineitem_build(spark, sf_dir):
+    """Bench-only variant (NOT registered): the raw producer path —
+    full canonical ext-JSON envelope construction over the widest
+    table, WITHOUT the oracle's from_json parse-back. This is what the
+    r1-r4 bench series timed as `envelope_lineitem`; the r5 oracle
+    added an in-query parse-back that belongs to the correctness gate,
+    not the throughput number. bench.py times both."""
+    from route81_spark.io import ensure_parallelism
+
+    df = with_synthetic_id(
+        ensure_parallelism(_t(spark, sf_dir, "lineitem")), "l_orderkey", "l_linenumber"
+    )
+    return build_envelope(df, "test.lineitem", EnvelopeConfig(topic_name_prefix="pfx"))
+
+
 @_q("media_features")  # no SQL oracle: mapInPandas plumbing -> rows-only check
 def media_features(spark, sf_dir):
     from route81_spark.ops.multimodal import extract_features, synthetic_media
