@@ -33,17 +33,15 @@ from route81_spark import harness  # noqa: E402
 # (never-recorded first, then oldest), tie-broken by registration order.
 # Consecutive rounds therefore alternate halves without hand-kept lists.
 _HEADLINE = [
-    "lookup_unwind", "tpch_q3_pipeline", "dedup_lsh_jaccard",
-    "graph_lookup_chain", "facet_summary", "merge_matched_pipeline",
-    # newly ORACLED in r5 (were rows-only through r4): pin so the driver
-    # formally records their first hash-checked rows.
-    "envelope_lineitem", "sim_pq", "sim_topk_blas",
-    # changed in r5 (single-job funnel; null-safe en_share): re-grade.
-    "events_funnel", "events_funnel_latency", "corpus_dataset_card",
-    # media_features stays rows-only by design (mapInPandas feature
-    # extraction) and has a fresh r4 row — rotation re-records it by
-    # staleness; skew_salted_join is never-recorded so it sorts first
-    # in the tail automatically.
+    # r6 keeps the pinned set MINIMAL (the r5 verdict's freshness
+    # sweep): only queries whose CODE changed this round — the four
+    # new r6 operators are never-recorded and sort first in the tail
+    # automatically, so the remaining ~43 slots flow to the stalest
+    # entries (all 12 r1-r2-latest rows get re-graded, plus ~31 of
+    # the r3 set).
+    "sim_topk_blas",   # zero-norm guard added to brute_force_topk_np
+    "corpus_dsir",     # bucket counting refactored into shared helper
+    "cdc_merge_state", # quoted-key path parser rewrite (classify.py)
 ]
 
 

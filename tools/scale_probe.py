@@ -193,10 +193,78 @@ def hot_key_asof_probe(spark, n: int = 40_000_000) -> None:
     )
 
 
+def headline_probe(spark, k: int = 10) -> None:
+    """Kx probe for the TPC-H-SHAPED headline queries (the 20x probes
+    above cover documents/events ops): synthesize Kx lineitem/orders
+    deterministically — K copies with disjoint orderkey ranges shifted
+    by ONE shared stride, so every order keeps its lineitems and the
+    join fan-out replicates instead of skewing — write them as parquet
+    (the probe must include real scan/pushdown behavior), and run the
+    HARNESS queries unmodified against the scaled directory. customer
+    stays 1x (growth axis = more orders per customer); events scale by
+    new users via scaled_events. Prints 1x-vs-Kx wall ratios; a ratio
+    near/above K is a plan smell."""
+    import shutil
+    import tempfile
+
+    from route81_spark import harness
+
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    tmp = tempfile.mkdtemp(prefix="headline_probe_")
+
+    def replicate(df: DataFrame, key: str, stride: int) -> DataFrame:
+        out = None
+        for i in range(k):
+            c = df.withColumn(key, (F.col(key) + F.lit(i * stride)).cast("long"))
+            out = c if out is None else out.unionByName(c)
+        return out
+
+    od = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    stride = (od.agg(F.max("o_orderkey")).first()[0] or 0) + 1
+    replicate(li, "l_orderkey", stride).write.mode("overwrite").parquet(
+        f"{tmp}/lineitem.parquet"
+    )
+    replicate(od, "o_orderkey", stride).write.mode("overwrite").parquet(
+        f"{tmp}/orders.parquet"
+    )
+    scaled_events(load_table(spark, sf, "events"), k).write.mode(
+        "overwrite"
+    ).parquet(f"{tmp}/events.parquet")
+    os.symlink(f"{sf}/customer.parquet", f"{tmp}/customer.parquet")
+
+    probes = {
+        "envelope_build": harness.envelope_lineitem_build,
+        "tpch_q3": harness.QUERIES["tpch_q3_pipeline"],
+        "merge_matched": harness.QUERIES["merge_matched_pipeline"],
+        "window_range_time": harness.QUERIES["window_range_time"],
+    }
+
+    def run(fn, d) -> float:
+        t0 = time.time()
+        fn(spark, d).write.format("noop").mode("overwrite").save()
+        return time.time() - t0
+
+    try:
+        for name, fn in probes.items():
+            t1 = min(run(fn, sf) for _ in range(2))
+            tk = run(fn, tmp)
+            print(
+                f"{name:18s} 1x={t1:6.2f}s  {k}x={tk:7.2f}s  ratio={tk / t1:5.1f}x"
+            )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main() -> int:
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 20
     selected = set(sys.argv[2:])
     spark = get_spark("scale_probe")
+    if "headline" in selected:
+        headline_probe(spark, k)
+        selected = selected - {"headline"}
+        if not selected:
+            return 0
     base = load_table(
         spark, os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"), "documents"
     ).persist()
