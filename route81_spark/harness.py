@@ -5829,6 +5829,55 @@ def media_image_dedup(spark, sf_dir):
     return out.select("media_id", "kind", F.col("meta.mime").alias("mime"))
 
 
+@_q(
+    "corpus_span_dedup",
+    # exact-substring dedup twin: stride-1 4-token spans, keep-first by
+    # ROW_NUMBER over (doc, pos); repeats expand to their covered token
+    # positions (DISTINCT union = the interval merge) and a left join
+    # excises them. Spark reduces min(struct) per span hash + per-row
+    # interval fold instead — same winner, same coverage.
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    sh AS (
+      SELECT doc_id,
+             unnest(range(1, greatest(len(tk) - 3, 0) + 1)) AS i,
+             unnest(list_transform(range(1, greatest(len(tk) - 3, 0) + 1),
+                    i -> array_to_string(tk[i:i+3], ' '))) AS span
+      FROM t
+    ),
+    r AS (SELECT doc_id, i, span,
+                 ROW_NUMBER() OVER (PARTITION BY span ORDER BY doc_id, i) AS rn
+          FROM sh),
+    cov AS (
+      SELECT DISTINCT doc_id, unnest(range(i - 1, i + 3)) AS tpos
+      FROM r WHERE rn > 1
+    ),
+    tok AS (
+      SELECT doc_id, len(tk) AS n,
+             unnest(range(0, len(tk))) AS tpos,
+             unnest(tk) AS tok
+      FROM t
+    )
+    SELECT tok.doc_id,
+           CAST(max(tok.n) AS INT) AS n_tokens,
+           CAST(count(cov.tpos) AS INT) AS n_dropped,
+           coalesce(string_agg(CASE WHEN cov.tpos IS NULL THEN tok.tok END,
+                               ' ' ORDER BY tok.tpos), '') AS clean_text
+    FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.tpos = cov.tpos
+    GROUP BY tok.doc_id
+    """,
+)
+def corpus_span_dedup(spark, sf_dir):
+    """Lee-et-al-style exact substring dedup: every repeated 4-token
+    span keeps only its first corpus occurrence; later occurrences are
+    excised at any alignment and the documents rebuilt."""
+    from route81_spark.io import ensure_parallelism
+    from route81_spark.ops.corpus import span_dedup_global
+
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    return span_dedup_global(docs, min_tokens=4)
+
+
 def _bpe_oracle_sql(n: int) -> str:
     """Unrolled round-by-round DuckDB twin of ops.corpus.bpe_train_merges:
     the same wrapped-symbol wire format (chr(1) sym chr(2), chr(3)

@@ -819,6 +819,138 @@ def line_dedup_global(
     )
 
 
+def span_dedup_global(
+    df: DataFrame,
+    min_tokens: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact SUBSTRING dedup (Lee et al. 2021, "Deduplicating Training
+    Data Makes Language Models Better"): every `min_tokens`-token span
+    that repeats anywhere in the corpus keeps only its FIRST occurrence
+    (min (doc_id, pos)); every other occurrence's tokens are excised
+    and the documents rebuilt. Finer than line/doc dedup: it catches a
+    duplicated paragraph embedded in otherwise-distinct documents, at
+    any alignment (stride-1 shingles, where line dedup sees only its
+    fixed segmentation). Returns (id, n_tokens, n_dropped, clean_text).
+
+    The published method builds a corpus-wide suffix array; that is a
+    sequential construction over the whole corpus. This keeps the exact
+    same REMOVAL semantics for spans of exactly-`min_tokens` granularity
+    (a repeat of length m >= L is covered by its stride-1 L-shingles,
+    so long repeats are fully excised span-for-span) while staying a
+    shuffle-minimal DataFrame program — the standard trade (e.g. the
+    RefinedWeb reimplementation) for distributing this pass.
+
+    100 TB shape — raw text shuffles exactly ONCE (same contract as
+    line_dedup_global): shingle hashes are computed per-row and only
+    (hash, doc, pos) INTEGER rows shuffle; the winner agg is a
+    map-side-combinable min(struct); the non-winner occurrences join
+    winner rows hash-partitioned (shuffle reuse, still integers) and
+    reduce to per-doc sorted drop-start arrays; ONE join on doc id
+    brings the drop lists to the documents, where interval merge +
+    token excision are pure per-row expressions. Shingle hashing
+    re-concatenates L tokens per position (O(n*L) chars per doc) — the
+    CPU cost of alignment-free matching; collisions merge spans with
+    probability ~n^2/2^65 (the statistical-pass contract of every
+    hash-keyed dedup here)."""
+    from route81_spark.ops.text import tokens
+
+    L = int(min_tokens)
+    if L < 2:
+        raise ValueError("min_tokens must be >= 2")
+
+    def shingle_hashes(tk: Column) -> Column:
+        # stride-1 L-windows; docs shorter than L emit none
+        return F.when(
+            F.size(tk) >= L,
+            F.transform(
+                F.sequence(F.lit(1), F.size(tk) - F.lit(L - 1)),
+                lambda i: F.xxhash64(F.concat_ws(" ", F.slice(tk, i, L))),
+            ),
+        ).otherwise(F.array().cast("array<long>"))
+
+    bound = F.get(
+        F.transform(F.array(tokens(F.col(text_col))), shingle_hashes), 0
+    )
+    occ = df.select(F.col(id_col), F.posexplode(bound)).select(
+        F.col("col").alias("__h"),
+        F.struct(
+            F.col(id_col).alias("i"), F.col("pos").cast("int").alias("p")
+        ).alias("__occ"),
+    )
+    winners = occ.groupBy("__h").agg(F.min("__occ").alias("__w"))
+    drops = (
+        occ.join(winners, "__h")
+        .filter(F.col("__occ") != F.col("__w"))
+        .select(F.col("__occ.i").alias(id_col), F.col("__occ.p").alias("__p"))
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_set("__p")).alias("__ds"))
+    )
+    # per-row: merge the sorted drop starts into disjoint [s, e) spans
+    # (each start covers L tokens), then excise covered tokens
+    iv_type = "array<struct<s:int,e:int>>"
+    merged = F.aggregate(
+        F.coalesce(F.col("__ds"), F.array().cast("array<int>")),
+        F.array().cast(iv_type),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (s <= F.element_at(acc, -1).getField("e")),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(
+                    F.struct(
+                        F.element_at(acc, -1).getField("s").alias("s"),
+                        (s + F.lit(L)).cast("int").alias("e"),
+                    )
+                ),
+            ),
+        ).otherwise(
+            F.concat(
+                acc,
+                F.array(
+                    F.struct(
+                        s.cast("int").alias("s"), (s + F.lit(L)).cast("int").alias("e")
+                    )
+                ),
+            )
+        ),
+    )
+
+    def with_state(tk: Column, ivs: Column) -> Column:
+        kept = F.filter(
+            F.sequence(F.lit(0), F.size(tk) - 1),
+            lambda t: ~F.exists(
+                ivs, lambda iv: (t >= iv.getField("s")) & (t < iv.getField("e"))
+            ),
+        )
+        return F.struct(
+            F.size(tk).alias("n_tokens"),
+            (F.size(tk) - F.size(kept)).alias("n_dropped"),
+            F.concat_ws(
+                " ", F.transform(kept, lambda t: F.element_at(tk, t + 1))
+            ).alias("clean_text"),
+        )
+
+    state = F.get(
+        F.transform(
+            F.array(F.struct(tokens(F.col(text_col)).alias("tk"), merged.alias("iv"))),
+            lambda b: with_state(b.getField("tk"), b.getField("iv")),
+        ),
+        0,
+    )
+    return (
+        df.join(drops, id_col, "left")
+        .select(F.col(id_col), state.alias("__st"))
+        .select(
+            id_col,
+            F.col("__st.n_tokens").cast("int").alias("n_tokens"),
+            F.col("__st.n_dropped").cast("int").alias("n_dropped"),
+            F.col("__st.clean_text").alias("clean_text"),
+        )
+    )
+
+
 def mixture_resample(
     df: DataFrame,
     group_col: str,

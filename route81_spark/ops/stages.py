@@ -506,3 +506,17 @@ register_stage("$imageDedup", _image_dedup)
 register_stage("$lineDedup", _line_dedup)
 register_stage("$bpeTrain", _bpe_train)
 register_stage("$qualityClassify", _quality_classify)
+
+
+def _span_dedup(df: DataFrame, arg: dict) -> DataFrame:
+    from route81_spark.ops.corpus import span_dedup_global
+
+    return span_dedup_global(
+        df,
+        min_tokens=int(arg.get("minTokens", 8)),
+        text_col=arg.get("textField", "text"),
+        id_col=arg.get("idField", "doc_id"),
+    )
+
+
+register_stage("$spanDedup", _span_dedup)

@@ -1672,3 +1672,33 @@ def test_dhash64_downscale_paths():
     tiny = np.stack([np.arange(4 * 5).reshape(4, 5) * 10 % 256] * 3, axis=2).astype(np.uint8)
     v = dhash64(tiny)
     assert isinstance(v, int) and -(1 << 63) <= v < 1 << 63
+
+
+def test_span_dedup_global_excises_repeats_any_alignment(spark):
+    """Exact-substring semantics (Lee et al.): a repeated >= L-token
+    span is excised span-for-span from every occurrence EXCEPT the
+    (doc, pos)-earliest — at any alignment, including self-repeats and
+    long repeats covered by their stride-1 shingles."""
+    import pytest
+    from pyspark.sql import Row
+
+    from route81_spark.ops.corpus import span_dedup_global
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a b c d e f g h"),
+            Row(doc_id=2, text="x x a b c d y y"),    # embedded repeat
+            Row(doc_id=3, text="a b c d e f zz ww"),  # length-6 overlap
+            Row(doc_id=4, text="short doc"),           # < L tokens
+            Row(doc_id=5, text="a b c d a b c d"),    # self-repeat
+        ]
+    )
+    out = {r["doc_id"]: r for r in span_dedup_global(df, min_tokens=4).collect()}
+    assert (out[1]["n_dropped"], out[1]["clean_text"]) == (0, "a b c d e f g h")
+    assert (out[2]["n_dropped"], out[2]["clean_text"]) == (4, "x x y y")
+    # the len-6 repeat is covered by its three stride-1 4-shingles
+    assert (out[3]["n_dropped"], out[3]["clean_text"]) == (6, "zz ww")
+    assert (out[4]["n_tokens"], out[4]["n_dropped"]) == (2, 0)
+    assert (out[5]["n_dropped"], out[5]["clean_text"]) == (8, "")
+    with pytest.raises(ValueError, match="min_tokens"):
+        span_dedup_global(df, min_tokens=1)

@@ -365,3 +365,19 @@ def test_quality_classifier_model_broadcasts_and_text_never_shuffles(spark):
     plan = plan_of(df, "simple")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_span_dedup_text_shuffles_at_most_once(spark):
+    """span_dedup_global shares line_dedup_global's contract: winner
+    selection and drop-list reduction run on (hash, doc, pos) integer
+    rows; only the final rebuild join on doc id may carry text."""
+    df = harness.QUERIES["corpus_span_dedup"](spark, SF)
+    plan = plan_of(df, "formatted")
+    text_shuffles = 0
+    for block in plan.split("\n\n"):
+        head = block.strip().splitlines()[0] if block.strip() else ""
+        if "Exchange" not in head or "BroadcastExchange" in head:
+            continue
+        if "hashpartitioning" in block and "text#" in block:
+            text_shuffles += 1
+    assert text_shuffles <= 1, plan
