@@ -5878,7 +5878,7 @@ def corpus_span_dedup(spark, sf_dir):
     return span_dedup_global(docs, min_tokens=4)
 
 
-def _bpe_oracle_sql(n: int) -> str:
+def _bpe_oracle_sql(n: int, encode: bool = False) -> str:
     """Unrolled round-by-round DuckDB twin of ops.corpus.bpe_train_merges:
     the same wrapped-symbol wire format (chr(1) sym chr(2), chr(3)
     end-of-word), the same ONE literal replace per merge (left-to-right
@@ -5886,12 +5886,18 @@ def _bpe_oracle_sql(n: int) -> str:
     argmax tie-break — but expressed as n chained CTE rounds with
     ROW-LIMIT argmax instead of a driver loop. MATERIALIZED pins each
     round's word table (referenced twice: pair counting + next round)
-    so the unroll stays linear, not exponential."""
+    so the unroll stays linear, not exponential.
+
+    encode=True: instead of the merge table, return the ENCODING of
+    every document against the learned merges — the final round's word
+    table IS word -> merged-symbol-string, so encoding is one join of
+    exploded doc tokens against it plus a positional unnest (the
+    oracle stays fully self-contained: it re-derives the merges)."""
     S, E, W = "chr(1)", "chr(2)", "chr(3)"
     parts = [
         f"tok AS (SELECT unnest({_TOKS}) AS word FROM documents)",
         "wc AS (SELECT word, count(*) AS f FROM tok GROUP BY 1)",
-        f"w0 AS MATERIALIZED (SELECT regexp_replace(word, '(.)', {S} || '\\1' || {E}, 'g')"
+        f"w0 AS MATERIALIZED (SELECT word, regexp_replace(word, '(.)', {S} || '\\1' || {E}, 'g')"
         f" || {S} || {W} || {E} AS w, f FROM wc)",
     ]
     for r in range(1, n + 1):
@@ -5900,9 +5906,23 @@ def _bpe_oracle_sql(n: int) -> str:
             f"p{r} AS (SELECT unnest(range(1, len(s))) AS i, s, f FROM s{r})",
             f"pc{r} AS (SELECT s[i] AS sym_l, s[i + 1] AS sym_r, sum(f) AS cnt FROM p{r} GROUP BY 1, 2)",
             f"m{r} AS MATERIALIZED (SELECT sym_l, sym_r, cnt FROM pc{r} ORDER BY cnt DESC, sym_l, sym_r LIMIT 1)",
-            f"w{r} AS MATERIALIZED (SELECT replace(w, {S} || sym_l || {E} || {S} || sym_r || {E},"
+            f"w{r} AS MATERIALIZED (SELECT word, replace(w, {S} || sym_l || {E} || {S} || sym_r || {E},"
             f" {S} || sym_l || sym_r || {E}) AS w, f FROM w{r - 1} CROSS JOIN m{r})",
         ]
+    if encode:
+        parts += [
+            f"dw AS (SELECT doc_id, unnest(range(0, len({_TOKS}))) AS wpos,"
+            f" unnest({_TOKS}) AS word FROM documents)",
+            f"enc AS (SELECT word, string_split(substr(w, 2, length(w) - 2),"
+            f" {E} || {S}) AS syms FROM w{n})",
+            "ex AS (SELECT doc_id, wpos, unnest(range(0, len(syms))) AS spos,"
+            " unnest(syms) AS sym FROM dw JOIN enc USING (word))",
+        ]
+        final = (
+            "SELECT doc_id, CAST(wpos AS INT) AS wpos,"
+            " CAST(spos AS INT) AS spos, sym FROM ex"
+        )
+        return "WITH " + ",\n    ".join(parts) + "\n    " + final
     union = "\n      UNION ALL ".join(
         f"SELECT CAST({r} AS INT) AS step, sym_l, sym_r, CAST(cnt AS BIGINT) AS pair_count FROM m{r}"
         for r in range(1, n + 1)
@@ -5918,6 +5938,19 @@ def corpus_bpe_merges(spark, sf_dir):
     from route81_spark.ops.corpus import bpe_train_merges
 
     return bpe_train_merges(_t(spark, sf_dir, "documents"), 6)
+
+
+@_q("corpus_bpe_encode", _bpe_oracle_sql(6, encode=True))
+def corpus_bpe_encode(spark, sf_dir):
+    """Train 6 BPE merges, then ENCODE the corpus with them: exploded
+    (doc, word-pos, symbol-pos, subword) rows via a chain of literal
+    replaces compiled from the (driver-side, vocab-bounded) merge
+    table — zero joins on the Spark side; the oracle re-derives the
+    merges itself and encodes by joining the final round's word table."""
+    from route81_spark.ops.corpus import bpe_encode, bpe_train_merges
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_encode(docs, bpe_train_merges(docs, 6))
 
 
 # =====================================================================

@@ -545,6 +545,65 @@ def bpe_train_merges(
     )
 
 
+def bpe_encode(
+    df: DataFrame,
+    merges,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Encode documents with a learned BPE merge table: every word is
+    re-wrapped into character symbols (+ end-of-word) and the merges
+    apply IN LEARNED ORDER, each as one literal left-to-right replace —
+    exact for any merge table produced by bpe_train_merges, because BPE
+    only learns a pair after both its symbols exist (every non-char
+    symbol was created by an EARLIER merge, so a later merge can never
+    open an earlier opportunity). Output is exploded subword rows
+    (id, wpos, spos, sym) — the form sequence packers consume.
+
+    Scale shape: the merge table is a driver-side artifact by
+    definition (vocab-bounded, the tokenizer file every trainer ships);
+    it compiles into a chain of n_merges literal replaces INSIDE one
+    per-row projection — zero joins, zero shuffles, the corpus is
+    touched once. Expression depth grows with n_merges; past a few
+    hundred merges split the chain with localCheckpoint-free select
+    boundaries (or pre-merge words via a broadcast word->symbols map)."""
+    if isinstance(merges, DataFrame):
+        pairs = [
+            (r["sym_l"], r["sym_r"]) for r in merges.orderBy("step").collect()
+        ]
+    else:
+        pairs = [(l, r) for l, r in merges]
+
+    def encode_word(word: Column) -> Column:
+        expr = F.concat(
+            F.regexp_replace(word, "(.)", f"{_BPE_S}$1{_BPE_E}"),
+            F.lit(f"{_BPE_S}{_BPE_EOW}{_BPE_E}"),
+        )
+        for l, r in pairs:
+            expr = F.replace(
+                expr,
+                F.lit(f"{_BPE_S}{l}{_BPE_E}{_BPE_S}{r}{_BPE_E}"),
+                F.lit(f"{_BPE_S}{l}{r}{_BPE_E}"),
+            )
+        return F.split(
+            expr.substr(F.lit(2), F.length(expr) - 2), f"{_BPE_E}{_BPE_S}"
+        )
+
+    from route81_spark.io import ensure_parallelism
+    from route81_spark.ops.text import tokens
+
+    words = ensure_parallelism(df.select(id_col, text_col)).select(
+        F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("wpos", "word")
+    )
+    return words.select(
+        id_col,
+        F.col("wpos").cast("int").alias("wpos"),
+        F.posexplode(encode_word(F.col("word"))).alias("spos", "sym"),
+    ).select(
+        id_col, "wpos", F.col("spos").cast("int").alias("spos"), "sym"
+    )
+
+
 def _bigram_pairs(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """(id, bg) rows — the token array is bound once per row before the
     positional slice, so the text splits exactly once."""

@@ -520,3 +520,28 @@ def _span_dedup(df: DataFrame, arg: dict) -> DataFrame:
 
 
 register_stage("$spanDedup", _span_dedup)
+
+
+def _bpe_encode(df: DataFrame, arg: dict) -> DataFrame:
+    from route81_spark.ops.corpus import bpe_encode, bpe_train_merges
+
+    if "merges" in arg:
+        merges = [tuple(p) for p in arg["merges"]]
+    elif "trainMerges" in arg:
+        merges = bpe_train_merges(
+            df, int(arg["trainMerges"]), text_col=arg.get("textField", "text")
+        )
+    else:
+        raise ValueError(
+            "$bpeEncode requires merges ([[l, r], ...] in learned order) "
+            "or trainMerges (train N merges on this corpus first)"
+        )
+    return bpe_encode(
+        df,
+        merges,
+        text_col=arg.get("textField", "text"),
+        id_col=arg.get("idField", "doc_id"),
+    )
+
+
+register_stage("$bpeEncode", _bpe_encode)

@@ -1702,3 +1702,58 @@ def test_span_dedup_global_excises_repeats_any_alignment(spark):
     assert (out[5]["n_dropped"], out[5]["clean_text"]) == (8, "")
     with pytest.raises(ValueError, match="min_tokens"):
         span_dedup_global(df, min_tokens=1)
+
+
+def test_bpe_encode_matches_single_node_reference(spark):
+    """bpe_encode's chain-of-replaces must produce exactly the subword
+    sequence of the classic iterative encoder (apply the lowest-rank
+    applicable merge until none applies) for merges learned by
+    bpe_train_merges — the in-order single-pass is exact because BPE
+    learns a pair only after both symbols exist."""
+    from pyspark.sql import Row
+
+    from route81_spark.ops.corpus import bpe_encode, bpe_train_merges
+
+    corpus = [
+        "low low low low low lower lower newest newest newest",
+        "newest newest newest widest widest widest low",
+    ]
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(corpus)]
+    )
+    merges_df = bpe_train_merges(df, 10)
+    ranks = {
+        (r["sym_l"], r["sym_r"]): r["step"]
+        for r in merges_df.collect()
+    }
+
+    def ref_encode(word):
+        syms = list(word) + ["\x03"]
+        while True:
+            best = None
+            for i, pair in enumerate(zip(syms, syms[1:])):
+                if pair in ranks and (best is None or ranks[pair] < ranks[best[1]]):
+                    best = (i, pair)
+            if best is None:
+                return syms
+            l, r = best[1]
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+
+    got = {}
+    for r in bpe_encode(df, merges_df).collect():
+        got.setdefault((r["doc_id"], r["wpos"]), []).append((r["spos"], r["sym"]))
+    for d, t in enumerate(corpus):
+        for w, word in enumerate(t.split()):
+            syms = [s for _, s in sorted(got[(d, w)])]
+            assert syms == ref_encode(word), (word, syms)
+    # list-of-pairs form accepted too
+    alt = bpe_encode(df, [("e", "s"), ("es", "t")]).count()
+    assert alt > 0

@@ -738,3 +738,24 @@ def test_r6_corpus_stages(spark):
     assert qc[2]["pred_keep"] == 1 and qc[3]["pred_keep"] == 0
     with pt.raises(ValueError, match="seedField"):
         apply_pipeline(docs, [{"$qualityClassify": {}}]).collect()
+
+
+def test_bpe_encode_stage(spark):
+    import pytest as pt
+    from pyspark.sql import Row
+
+    from route81_spark.pipeline import apply_pipeline
+
+    docs = spark.createDataFrame([Row(doc_id=1, text="lest best")])
+    out = apply_pipeline(
+        docs, [{"$bpeEncode": {"merges": [["e", "s"], ["es", "t"]]}}]
+    ).collect()
+    by_word = {}
+    for r in out:
+        by_word.setdefault(r["wpos"], []).append((r["spos"], r["sym"]))
+    assert [s for _, s in sorted(by_word[0])] == ["l", "est", "\x03"]
+    assert [s for _, s in sorted(by_word[1])] == ["b", "est", "\x03"]
+    trained = apply_pipeline(docs, [{"$bpeEncode": {"trainMerges": 2}}])
+    assert trained.count() > 0
+    with pt.raises(ValueError, match="bpeEncode"):
+        apply_pipeline(docs, [{"$bpeEncode": {}}]).collect()
