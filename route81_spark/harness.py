@@ -5878,6 +5878,78 @@ def corpus_span_dedup(spark, sf_dir):
     return span_dedup_global(docs, min_tokens=4)
 
 
+@_q(
+    "media_video_dedup",
+    # the dedup input is two REAL sample_frames passes (mapInPandas)
+    # over the same synthetic payloads: the +1000-id copy is a
+    # 24-frame "trimmed cut" of each original (same footage, shorter),
+    # so every (v, v+1000) pair shares exactly the copy's frame set.
+    # The oracle regenerates the frame arithmetic (sha = md5(sha256(id)
+    # || ':' || idx), nf = min(id*1000//700 + 1, cap)), reproduces the
+    # integer Jaccard gate shared*10 >= 3*union, and resolves clusters
+    # with the same recursive-CC + min-id-representative used by the
+    # SemDeDup oracle.
+    """
+    WITH RECURSIVE v AS (
+      SELECT i AS media_id, i AS src,
+             least((i * 1000) // 700 + 1, 64) AS nf
+      FROM generate_series(0, 127) t(i) WHERE i % 3 = 2
+      UNION ALL
+      SELECT i + 1000, i, least((i * 1000) // 700 + 1, 24)
+      FROM generate_series(0, 127) t(i) WHERE i % 3 = 2
+    ),
+    f AS (
+      SELECT media_id, src, unnest(generate_series(0, nf - 1)) AS idx FROM v
+    ),
+    fh AS (
+      SELECT media_id,
+             md5(sha256(CAST(src AS VARCHAR)) || ':' || CAST(idx AS VARCHAR)) AS sha
+      FROM f
+    ),
+    pair AS (
+      SELECT a.media_id AS id_a, b.media_id AS id_b, count(*) AS shared
+      FROM fh a JOIN fh b ON a.sha = b.sha AND a.media_id < b.media_id
+      GROUP BY 1, 2
+    ),
+    ok AS (
+      SELECT p.id_a, p.id_b
+      FROM pair p
+      JOIN v va ON va.media_id = p.id_a
+      JOIN v vb ON vb.media_id = p.id_b
+      WHERE p.shared * 10 >= 3 * (va.nf + vb.nf - p.shared)
+    ),
+    bi AS (
+      SELECT id_a AS s, id_b AS d FROM ok UNION ALL SELECT id_b, id_a FROM ok
+    ),
+    reach(id, r) AS (
+      SELECT DISTINCT s, s FROM bi
+      UNION
+      SELECT bi.s, reach.r FROM bi JOIN reach ON bi.d = reach.id
+    ),
+    losers AS (SELECT id FROM reach GROUP BY id HAVING min(r) <> id)
+    SELECT media_id, CAST(nf AS BIGINT) AS n_frames
+    FROM v WHERE media_id NOT IN (SELECT id FROM losers)
+    """,
+)
+def media_video_dedup(spark, sf_dir):
+    """Frame-overlap video dedup: every +1000-id video is a trimmed
+    re-cut of its original (identical payload, 24-frame cap); the
+    integer-Jaccard frame join + CC keeps the original as the min-id
+    representative."""
+    from route81_spark.ops.multimodal import (
+        sample_frames,
+        synthetic_media,
+        video_dedup,
+    )
+
+    corp = synthetic_media(spark, n=128)
+    cut = corp.withColumn("media_id", F.col("media_id") + F.lit(1000))
+    frames = sample_frames(corp, every_ms=700, max_frames=64).unionByName(
+        sample_frames(cut, every_ms=700, max_frames=24)
+    )
+    return video_dedup(frames, threshold_ratio=(3, 10))
+
+
 def _bpe_oracle_sql(n: int, encode: bool = False) -> str:
     """Unrolled round-by-round DuckDB twin of ops.corpus.bpe_train_merges:
     the same wrapped-symbol wire format (chr(1) sym chr(2), chr(3)

@@ -701,3 +701,92 @@ def synthetic_image_corpus(spark, n: int = 96) -> DataFrame:
             yield pd.DataFrame(out)
 
     return spark.range(n).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+# ---------------------------------------------------------------------
+# Video near-dup: frame-fingerprint overlap
+# ---------------------------------------------------------------------
+
+def frame_overlap_pairs(
+    frames: DataFrame,
+    threshold_ratio: tuple[int, int] = (3, 10),
+    id_col: str = "media_id",
+    sha_col: str = "frame_sha",
+    max_videos_per_frame: int = 64,
+) -> DataFrame:
+    """Video near-dup candidates: two videos are a pair when the
+    Jaccard overlap of their frame-fingerprint SETS reaches
+    threshold_ratio (num/den) — trims, re-encodes, and
+    different-length cuts of the same footage share most frames, while
+    unrelated videos share none. The compare is INTEGER
+    (shared * den >= num * (union)), so an oracle matches bit for bit.
+
+    Scale shape: the frame equi-join on fingerprint touches only
+    (sha, id) rows — never payloads, never all-pairs. Ubiquitous
+    frames (black frames, intro cards) would make their bucket
+    quadratic, so fingerprints seen in more than `max_videos_per_frame`
+    videos are dropped from CANDIDATE GENERATION first (the stop-word
+    guard every inverted-index join uses; they still count in each
+    video's set size, keeping Jaccard honest). Returns
+    (id_a, id_b, shared, n_a, n_b), id_a < id_b."""
+    num, den = threshold_ratio
+    uniq = frames.select(id_col, sha_col).distinct()
+    per = uniq.groupBy(id_col).agg(F.count(F.lit(1)).alias("nf"))
+    hot = (
+        uniq.groupBy(sha_col)
+        .agg(F.count(F.lit(1)).alias("nv"))
+        .filter(F.col("nv") > max_videos_per_frame)
+        .select(sha_col)
+    )
+    cold = uniq.join(F.broadcast(hot), sha_col, "left_anti")
+    a, b = cold.alias("a"), cold.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col(f"a.{sha_col}") == F.col(f"b.{sha_col}"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    na = per.select(F.col(id_col).alias("id_a"), F.col("nf").alias("n_a"))
+    nb = per.select(F.col(id_col).alias("id_b"), F.col("nf").alias("n_b"))
+    return (
+        shared.join(na, "id_a")
+        .join(nb, "id_b")
+        .filter(
+            F.col("shared") * F.lit(den)
+            >= F.lit(num) * (F.col("n_a") + F.col("n_b") - F.col("shared"))
+        )
+        .select("id_a", "id_b", "shared", "n_a", "n_b")
+    )
+
+
+def video_dedup(
+    frames: DataFrame,
+    threshold_ratio: tuple[int, int] = (3, 10),
+    id_col: str = "media_id",
+    sha_col: str = "frame_sha",
+) -> DataFrame:
+    """Frame-overlap video dedup: overlap pairs -> connected components
+    -> keep the min-id representative. Returns surviving
+    (media_id, n_frames) — clustering runs on (id, id) integer pairs
+    only."""
+    from route81_spark.ops.dedup import near_dup_clusters
+
+    per = (
+        frames.select(id_col, sha_col)
+        .distinct()
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_frames"))
+    )
+    pairs = frame_overlap_pairs(
+        frames, threshold_ratio=threshold_ratio, id_col=id_col, sha_col=sha_col
+    )
+    clusters = near_dup_clusters(pairs.select("id_a", "id_b"))
+    losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return per.join(F.broadcast(losers), id_col, "left_anti")

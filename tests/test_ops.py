@@ -1757,3 +1757,36 @@ def test_bpe_encode_matches_single_node_reference(spark):
     # list-of-pairs form accepted too
     alt = bpe_encode(df, [("e", "s"), ("es", "t")]).count()
     assert alt > 0
+
+
+def test_video_dedup_frame_overlap_and_hot_frame_guard(spark):
+    from pyspark.sql import Row
+
+    from route81_spark.ops.multimodal import frame_overlap_pairs, video_dedup
+
+    def fr(vid, shas):
+        return [Row(media_id=vid, frame_sha=s) for s in shas]
+
+    frames = spark.createDataFrame(
+        fr(1, ["a", "b", "c", "d"])          # original
+        + fr(2, ["a", "b", "c"])             # trimmed cut: jac 3/4
+        + fr(3, ["x", "y", "z", "a"])        # one shared frame: 1/7 < 3/10
+        + fr(4, ["q", "r"])                  # unrelated
+    )
+    pairs = frame_overlap_pairs(frames, threshold_ratio=(3, 10)).collect()
+    assert [(r["id_a"], r["id_b"], r["shared"]) for r in pairs] == [(1, 2, 3)]
+    surv = {r["media_id"]: r["n_frames"] for r in video_dedup(frames).collect()}
+    assert surv == {1: 4, 3: 4, 4: 2}
+    # stop-frame guard: a sha in EVERY video (intro card) must not
+    # create candidate pairs on its own
+    intro = frames.unionByName(
+        spark.createDataFrame(
+            [Row(media_id=v, frame_sha="intro") for v in (1, 2, 3, 4)]
+        )
+    )
+    p2 = frame_overlap_pairs(
+        intro, threshold_ratio=(3, 10), max_videos_per_frame=3
+    ).collect()
+    # (1,2) still pairs (now 3 shared of union 6 -> 0.5); (3,4) must
+    # NOT appear even though they share the ubiquitous intro frame
+    assert {(r["id_a"], r["id_b"]) for r in p2} == {(1, 2)}

@@ -281,8 +281,9 @@ def test_no_row_python_udf_in_any_registered_query(spark):
     ArrowEvalPython), and only in the queries built on them."""
     allowed_arrow = {"media_features", "media_frames", "media_resize",
                      "sim_topk_blas", "sim_pq", "avro_roundtrip",
-                     "media_image_dedup"}  # r6: synthetic corpus gen +
+                     "media_image_dedup",  # r6: synthetic corpus gen +
                      # dHash both run in the Arrow decode pass
+                     "media_video_dedup"}  # r6: two sample_frames passes
     offenders, arrow_unexpected = [], []
     for name, fn in harness.queries().items():
         plan = plan_of(fn(spark, SF), "simple")
