@@ -5878,6 +5878,22 @@ def corpus_span_dedup(spark, sf_dir):
     return span_dedup_global(docs, min_tokens=4)
 
 
+@_q("media_audio_dedup")  # no SQL oracle BY NECESSITY: WAV decode +
+# rfft fingerprint are numpy inside mapInPandas (same class as
+# media_features/media_image_dedup). Deterministic generation keeps
+# the rows-only check stable: 96 planted clips -> 64 survivors.
+def media_audio_dedup(spark, sf_dir):
+    """Perceptual audio dedup through the pipeline-JSON surface:
+    spectral-band fingerprint -> banded hamming join -> CC -> min-id
+    representative, on really-encoded PCM16 WAV with planted -40 dB
+    noisy near-dups."""
+    from route81_spark.ops.multimodal import synthetic_audio_corpus
+
+    corp = synthetic_audio_corpus(spark, n=96)
+    out = apply_pipeline(corp, [{"$audioDedup": {"maxHamming": 4}}])
+    return out.select("media_id", "kind", F.col("meta.mime").alias("mime"))
+
+
 @_q(
     "media_video_dedup",
     # the dedup input is two REAL sample_frames passes (mapInPandas)

@@ -545,3 +545,29 @@ def _bpe_encode(df: DataFrame, arg: dict) -> DataFrame:
 
 
 register_stage("$bpeEncode", _bpe_encode)
+
+
+def _audio_dedup(df: DataFrame, arg: dict) -> DataFrame:
+    from route81_spark.ops.multimodal import audio_dedup
+
+    return audio_dedup(
+        df,
+        max_hamming=int(arg.get("maxHamming", 4)),
+        bands=int(arg.get("bands", 4)),
+    )
+
+
+def _video_dedup(df: DataFrame, arg: dict) -> DataFrame:
+    from route81_spark.ops.multimodal import video_dedup
+
+    num, den = arg.get("threshold", [3, 10])
+    return video_dedup(
+        df,
+        threshold_ratio=(int(num), int(den)),
+        id_col=arg.get("idField", "media_id"),
+        sha_col=arg.get("shaField", "frame_sha"),
+    )
+
+
+register_stage("$audioDedup", _audio_dedup)
+register_stage("$videoDedup", _video_dedup)

@@ -1790,3 +1790,24 @@ def test_video_dedup_frame_overlap_and_hot_frame_guard(spark):
     # (1,2) still pairs (now 3 shared of union 6 -> 0.5); (3,4) must
     # NOT appear even though they share the ubiquitous intro frame
     assert {(r["id_a"], r["id_b"]) for r in p2} == {(1, 2)}
+
+
+def test_audio_dedup_planted_near_dups_and_gate(spark):
+    """Spectral fingerprints over REALLY-encoded WAV: each planted
+    noisy copy collapses onto its base (min-id representative); the
+    distinct-profile clip survives. Non-WAV payloads can't be compared
+    -> decodable false, all survive."""
+    from route81_spark.ops.multimodal import (
+        audio_dedup, audio_fingerprint, synthetic_audio_corpus, synthetic_media,
+    )
+    from route81_spark.pipeline import apply_pipeline
+
+    corp = synthetic_audio_corpus(spark, 24)
+    fps = audio_fingerprint(corp).collect()
+    assert all(r["decodable"] and r["afp"] is not None for r in fps)
+    surv = sorted(r["media_id"] for r in audio_dedup(corp).collect())
+    assert surv == sorted([3 * g for g in range(8)] + [3 * g + 2 for g in range(8)])
+    via_stage = apply_pipeline(corp, [{"$audioDedup": {}}])
+    assert sorted(r["media_id"] for r in via_stage.collect()) == surv
+    fake = synthetic_media(spark, 12)  # octet-stream payloads
+    assert audio_dedup(fake).count() == 12

@@ -759,3 +759,17 @@ def test_bpe_encode_stage(spark):
     assert trained.count() > 0
     with pt.raises(ValueError, match="bpeEncode"):
         apply_pipeline(docs, [{"$bpeEncode": {}}]).collect()
+
+
+def test_video_dedup_stage(spark):
+    from pyspark.sql import Row
+
+    from route81_spark.pipeline import apply_pipeline
+
+    frames = spark.createDataFrame(
+        [Row(media_id=1, frame_sha=s) for s in "abcd"]
+        + [Row(media_id=2, frame_sha=s) for s in "abc"]
+        + [Row(media_id=3, frame_sha=s) for s in "wxyz"]
+    )
+    out = apply_pipeline(frames, [{"$videoDedup": {"threshold": [3, 10]}}])
+    assert sorted(r["media_id"] for r in out.collect()) == [1, 3]
