@@ -5878,6 +5878,89 @@ def corpus_span_dedup(spark, sf_dir):
     return span_dedup_global(docs, min_tokens=4)
 
 
+@_q(
+    "sim_hard_negatives",
+    # sim_topk's oracle + the cross-label gate: negatives must be
+    # semantically close but carry a DIFFERENT label than the query
+    f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qv, label AS ql
+      FROM embeddings WHERE vec_id % 100 = 0
+    ),
+    scored AS (
+      SELECT q.query_id, e.vec_id, e.label,
+             floor(({_cos_sql('e.embedding', 'q.qv')}) * 1000000.0 + 0.5)
+               / 1000000.0 AS score
+      FROM embeddings e CROSS JOIN q
+      WHERE e.label <> q.ql
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, label, score,
+             CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY score DESC, vec_id ASC) AS INT) AS rank
+      FROM scored
+    )
+    SELECT * FROM ranked WHERE rank <= 5
+    """,
+)
+def sim_hard_negatives(spark, sf_dir):
+    """Hard-negative mining (DPR/Contriever): per query embedding, the
+    5 most-similar vectors with a different class label — map-side
+    filtered before ranking."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        F.col("label").alias("query_label"),
+    )
+    return S.hard_negatives(emb, queries, k=5)
+
+
+@_q(
+    "text_ccnet_buckets",
+    # text_lm_nll's oracle + per-source NTILE over (rounded nll, id):
+    # the det-round means engine ulps cannot reorder the tile sort
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    p AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(tk) - 1, 1) + 1),
+                    i -> coalesce(array_to_string(tk[i:i+1], ' '), ''))) AS bg
+      FROM t
+    ),
+    pairs AS (SELECT doc_id, bg FROM p WHERE contains(bg, ' ')),
+    model AS (SELECT bg, count(*) AS c2 FROM pairs GROUP BY 1),
+    uni AS (SELECT string_split(bg, ' ')[1] AS w1, count(*) AS c1
+            FROM pairs GROUP BY 1),
+    v AS (SELECT count(*) AS vs FROM uni),
+    lp AS (
+      SELECT m.bg, ln(CAST(m.c2 + 1 AS DOUBLE) / (u.c1 + v.vs)) AS lp
+      FROM model m JOIN uni u ON string_split(m.bg, ' ')[1] = u.w1 CROSS JOIN v
+    ),
+    s AS (
+      SELECT pr.doc_id, count(*) AS n_bigrams, sum(l.lp) AS slp
+      FROM pairs pr JOIN lp l USING (bg) GROUP BY 1
+    ),
+    nll AS (
+      SELECT doc_id, n_bigrams,
+             floor((-slp / n_bigrams) * 1000000.0 + 0.5) / 1000000.0 AS nll
+      FROM s
+    )
+    SELECT n.doc_id, d.source, n.n_bigrams, n.nll,
+           CAST(ntile(3) OVER (PARTITION BY d.source
+                ORDER BY n.nll ASC, n.doc_id ASC) AS INT) AS bucket
+    FROM nll n JOIN documents d USING (doc_id)
+    """,
+)
+def text_ccnet_buckets(spark, sf_dir):
+    """CCNet-style perplexity terciles per source: head / middle / tail
+    buckets over the self-trained bigram-LM NLL — the artifact
+    perplexity-stratified sampling consumes."""
+    from route81_spark.ops.corpus import ccnet_buckets
+
+    return ccnet_buckets(_t(spark, sf_dir, "documents"))
+
+
 @_q("media_audio_dedup")  # no SQL oracle BY NECESSITY: WAV decode +
 # rfft fingerprint are numpy inside mapInPandas (same class as
 # media_features/media_image_dedup). Deterministic generation keeps

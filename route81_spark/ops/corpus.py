@@ -1467,3 +1467,36 @@ def dsir_importance(
             F.col("importance").cast("double") / F.col("n_bigrams"), 4
         ).alias("avg_importance"),
     )
+
+
+def ccnet_buckets(
+    df: DataFrame,
+    group_col: str = "source",
+    n_buckets: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style perplexity bucketing: score every doc with the
+    self-trained bigram-LM NLL (lm_logprob_score), then split each
+    `group_col` slice into `n_buckets` NTILE buckets ordered by
+    (rounded NLL asc, id) — bucket 1 = head (most fluent), middle,
+    tail. The standard artifact for perplexity-stratified sampling.
+
+    Scale note: the per-group NTILE sorts (id, nll) ROWS per group —
+    doc-count-sized but thin (3 columns, no text); ordering ranks the
+    det-rounded NLL so engine ulps cannot reorder, ties broken by id."""
+    scored = lm_logprob_score(df, text_col=text_col, id_col=id_col)
+    src = df.select(id_col, group_col)
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("nll").asc(), F.col(id_col).asc()
+    )
+    return (
+        scored.join(src, id_col)
+        .select(
+            id_col,
+            group_col,
+            "n_bigrams",
+            "nll",
+            F.ntile(n_buckets).over(w).cast("int").alias("bucket"),
+        )
+    )

@@ -891,3 +891,52 @@ def mmr_select(
         [(ids[i],) for i in selected], f"{id_col} {df.schema[id_col].dataType.simpleString()}"
     )
     return df.join(F.broadcast(chosen), id_col, "left_semi")
+
+
+def hard_negatives(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    query_label_col: str = "query_label",
+) -> DataFrame:
+    """Hard-negative mining for embedding-model training (the
+    DPR/Contriever recipe): per query, the top-k most-similar corpus
+    vectors whose label DIFFERS from the query's — semantically close
+    but wrong, the negatives that actually teach the margin (random
+    negatives are trivially separable).
+
+    Same scale shape as brute_force_topk: queries broadcast, scoring
+    map-side, per-query top-k via WindowGroupLimit. The label gate is
+    a map-side filter BEFORE ranking, so only cross-label rows reach
+    the shuffle; swap the scorer for the bucketed/IVF variants when
+    the corpus outgrows brute force."""
+    from route81_spark.ops.util import det_round
+
+    scored = (
+        emb.crossJoin(F.broadcast(queries))
+        .filter(F.col(label_col) != F.col(query_label_col))
+        .select(
+            F.col(query_id_col),
+            F.col(id_col),
+            F.col(label_col),
+            det_round(cosine(F.col(vec_col), F.col(query_vec_col)), 6).alias(
+                "score"
+            ),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_id_col, id_col, label_col, "score",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

@@ -1811,3 +1811,52 @@ def test_audio_dedup_planted_near_dups_and_gate(spark):
     assert sorted(r["media_id"] for r in via_stage.collect()) == surv
     fake = synthetic_media(spark, 12)  # octet-stream payloads
     assert audio_dedup(fake).count() == 12
+
+
+def test_hard_negatives_cross_label_only(spark):
+    """Negatives must (a) exclude every same-label vector — including
+    the query itself — and (b) rank the closest wrong-label vector
+    first."""
+    from pyspark.sql import Row
+
+    from route81_spark.ops.similarity import hard_negatives
+
+    emb = spark.createDataFrame(
+        [
+            Row(vec_id=0, embedding=[1.0, 0.0], label=0),   # query
+            Row(vec_id=1, embedding=[0.99, 0.1], label=0),  # same label: out
+            Row(vec_id=2, embedding=[0.9, 0.4], label=1),   # hard negative
+            Row(vec_id=3, embedding=[0.0, 1.0], label=1),   # easy negative
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    q = emb.filter("vec_id = 0").select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        F.col("label").alias("query_label"),
+    )
+    rows = hard_negatives(emb, q, k=2).orderBy("rank").collect()
+    assert [(r["vec_id"], r["rank"]) for r in rows] == [(2, 1), (3, 2)]
+    assert all(r["label"] == 1 for r in rows)
+
+
+def test_ccnet_buckets_tiles_per_group(spark):
+    from pyspark.sql import Row
+
+    from route81_spark.ops.corpus import ccnet_buckets
+
+    # source A: 6 docs -> tiles of 2/2/2; fluent docs reuse the corpus's
+    # common bigrams (low NLL), the rare-bigram docs land in the tail
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, source="A", text="the cat sat on the mat " * 3)
+         for i in range(4)]
+        + [Row(doc_id=10 + i, source="A", text=f"zq{i} wx{i} kv{i} jm{i}")
+           for i in range(2)]
+        + [Row(doc_id=20, source="B", text="solo doc here")]
+    )
+    out = {r["doc_id"]: r for r in ccnet_buckets(docs).collect()}
+    assert [out[i]["bucket"] for i in range(4)] == [1, 1, 2, 2]
+    assert {out[10]["bucket"], out[11]["bucket"]} == {3}
+    assert out[20]["bucket"] == 1  # singleton group -> head
+    # every group uses buckets 1..3 contiguously
+    assert all(1 <= r["bucket"] <= 3 for r in out.values())
