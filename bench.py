@@ -55,6 +55,10 @@ BENCH_QUERIES = [
     "corpus_line_dedup",  # keep-first global line dedup (int winner agg + 1 text join)
     "text_quality_classifier",  # hashed-bigram NB quality filter (DSIR-shaped)
     "corpus_bpe_merges",  # 6 BPE merge rounds on the vocab-sized word table
+    "corpus_span_dedup",  # stride-1 shingle winner agg + interval excision
+    "corpus_bpe_encode",  # train 6 merges + replace-chain subword encode
+    "sim_hard_negatives", # cross-label top-k (map-side filter + window limit)
+    "text_ccnet_buckets", # bigram-LM NLL + per-source ntile
 ]
 
 

@@ -81,7 +81,28 @@ def ops() -> dict:
         "dsir": lambda d: dsir_importance(
             d, F.col("source").isin("src0", "src1")
         ),
+        "line_dedup": lambda d: _line_dedup(d),
+        "span_dedup": lambda d: _span_dedup(d),
+        "quality_cls": lambda d: _quality_cls(d),
     }
+
+
+def _line_dedup(d: DataFrame) -> DataFrame:
+    from route81_spark.ops.corpus import line_dedup_global
+
+    return line_dedup_global(d, window=4)
+
+
+def _span_dedup(d: DataFrame) -> DataFrame:
+    from route81_spark.ops.corpus import span_dedup_global
+
+    return span_dedup_global(d, min_tokens=4)
+
+
+def _quality_cls(d: DataFrame) -> DataFrame:
+    from route81_spark.ops.corpus import quality_classifier
+
+    return quality_classifier(d, F.col("source").isin("src0", "src1"))
 
 
 def scaled_events(ev: DataFrame, k: int) -> DataFrame:
