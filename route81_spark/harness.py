@@ -5811,12 +5811,102 @@ def text_quality_classifier(spark, sf_dir):
     return quality_classifier(docs, F.col("lang") == "en")
 
 
-@_q("media_image_dedup")  # no SQL oracle BY NECESSITY: the payload
-# encode -> PNG/BMP decode -> dHash round trip is numpy inside
-# mapInPandas (same class as media_features); DuckDB cannot decode
-# image containers. Deterministic generation keeps the rows-only
-# check stable: 96 planted images -> 64 survivors (each triple's
-# noisy re-encoded near-dup collapses onto its base).
+@_q(
+    "media_image_dedup",
+    # FULL value oracle (upgraded from rows-only): the image pipeline
+    # is integer end to end — mix-based pixel generation, lossless
+    # BMP/PNG round trip, ITU-601 integer luma, cross-multiplied
+    # area-mean compare — so DuckDB regenerates every PIXEL, recomputes
+    # every dHash (verified bit-identical to the Spark decode path for
+    # all 96 payloads), applies the same hamming<=3 gate (brute-force
+    # here; the banded join finds the identical pair set by pigeonhole)
+    # and resolves clusters with the recursive-CC min-id pattern. What
+    # SQL cannot replicate (the container encode/decode itself) is
+    # exactly what the byte-exact codec golden tests cover.
+    """
+    WITH RECURSIVE imgs AS (
+      SELECT i AS media_id, i // 3 AS g, i % 3 AS v
+      FROM generate_series(0, 95) t(i)
+    ),
+    px0 AS (
+      SELECT media_id, g, v, y, x,
+             g * 73 + (CASE WHEN v = 2 THEN (35 - x) * 151 + 7
+                            ELSE x * 151 END) + y * 37 AS t
+      FROM imgs,
+           (SELECT unnest(range(0, 32)) AS y),
+           (SELECT unnest(range(0, 36)) AS x)
+    ),
+    -- murmur-style 32-bit mix, replicated step for step (HUGEINT
+    -- products; numpy wraps in uint64 but stays < 2^64 here)
+    pm1 AS (SELECT *, CAST((CAST(t AS HUGEINT) * 2654435761) % 4294967296 AS BIGINT) AS m1 FROM px0),
+    pm2 AS (SELECT *, xor(m1, m1 >> 16) AS m2 FROM pm1),
+    pm3 AS (SELECT *, CAST((CAST(m2 AS HUGEINT) * 2246822519) % 4294967296 AS BIGINT) AS m3 FROM pm2),
+    prof AS (SELECT media_id, g, v, y, x, xor(m3, m3 >> 13) % 200 + 28 AS p FROM pm3),
+    -- per-channel +-1 noise for v=1 (same mix over flat index + g*1000003)
+    nz0 AS (
+      SELECT media_id, g, v, y, x, c,
+             (y * 36 + x) * 3 + c + g * 1000003 AS t
+      FROM prof, (SELECT unnest(range(0, 3)) AS c)
+      WHERE v = 1
+    ),
+    nm1 AS (SELECT *, CAST((CAST(t AS HUGEINT) * 2654435761) % 4294967296 AS BIGINT) AS m1 FROM nz0),
+    nm2 AS (SELECT *, xor(m1, m1 >> 16) AS m2 FROM nm1),
+    nm3 AS (SELECT *, CAST((CAST(m2 AS HUGEINT) * 2246822519) % 4294967296 AS BIGINT) AS m3 FROM nm2),
+    noise AS (
+      SELECT media_id, y, x, c, xor(m3, m3 >> 13) % 3 - 1 AS n FROM nm3
+    ),
+    chan AS (
+      SELECT p.media_id, p.y, p.x,
+             greatest(least(p.p + coalesce(n0.n, 0), 255), 0) AS r,
+             greatest(least((p.y * (53 + p.g)) % 256 + coalesce(n1.n, 0), 255), 0) AS gg,
+             greatest(least((17 * p.g) % 256 + coalesce(n2.n, 0), 255), 0) AS b
+      FROM prof p
+      LEFT JOIN noise n0 ON n0.media_id = p.media_id AND n0.y = p.y AND n0.x = p.x AND n0.c = 0
+      LEFT JOIN noise n1 ON n1.media_id = p.media_id AND n1.y = p.y AND n1.x = p.x AND n1.c = 1
+      LEFT JOIN noise n2 ON n2.media_id = p.media_id AND n2.y = p.y AND n2.x = p.x AND n2.c = 2
+    ),
+    blocks AS (
+      SELECT media_id, (y * 8) // 32 AS br, (x * 9) // 36 AS bc,
+             sum(299 * r + 587 * gg + 114 * b) AS s
+      FROM chan GROUP BY 1, 2, 3
+    ),
+    bits AS (
+      SELECT a.media_id, a.br, a.bc,
+             CASE WHEN a.s > b.s THEN 1 ELSE 0 END AS bit
+      FROM blocks a JOIN blocks b
+        ON a.media_id = b.media_id AND a.br = b.br AND b.bc = a.bc + 1
+      WHERE a.bc < 8
+    ),
+    dh AS (
+      SELECT media_id,
+             CAST(CASE WHEN u >= CAST(9223372036854775808 AS HUGEINT)
+                  THEN u - CAST(18446744073709551616 AS HUGEINT)
+                  ELSE u END AS BIGINT) AS dhash
+      FROM (
+        SELECT media_id,
+               sum(CAST(bit AS HUGEINT)
+                   * (CAST(1 AS HUGEINT) << CAST(br * 8 + bc AS INT))) AS u
+        FROM bits GROUP BY media_id
+      )
+    ),
+    pair AS (
+      SELECT a.media_id AS id_a, b.media_id AS id_b
+      FROM dh a JOIN dh b ON a.media_id < b.media_id
+      WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+    ),
+    bi AS (SELECT id_a AS s, id_b AS d FROM pair UNION ALL SELECT id_b, id_a FROM pair),
+    reach(id, r) AS (
+      SELECT DISTINCT s, s FROM bi
+      UNION
+      SELECT bi.s, reach.r FROM bi JOIN reach ON bi.d = reach.id
+    ),
+    losers AS (SELECT id FROM reach GROUP BY id HAVING min(r) <> id)
+    SELECT media_id, 'image' AS kind,
+           CASE WHEN (g % 2 = 0) <> (v = 1) THEN 'image/png' ELSE 'image/bmp' END AS mime
+    FROM imgs
+    WHERE media_id NOT IN (SELECT id FROM losers)
+""",
+)
 def media_image_dedup(spark, sf_dir):
     """Perceptual image dedup through the pipeline-JSON surface:
     dHash -> banded hamming join -> CC -> min-id representative,

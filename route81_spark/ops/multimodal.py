@@ -500,27 +500,36 @@ def dhash64(pixels: np.ndarray) -> int:
     over integer block boundaries; nearest-sample fallback when the
     image is smaller than the grid) -> bit (r, c) set iff
     gray[r, c] > gray[r, c + 1]. The standard perceptual fingerprint:
-    stable under noise/re-encode/resize, 64 bits, integer compare."""
-    g = pixels.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    stable under noise/re-encode/resize, 64 bits, integer compare.
+
+    INTEGER end to end: luma is the ITU-601 integer form
+    (299 R + 587 G + 114 B, the x1000 weights), and the area-mean
+    compare is the cross-multiplication sum_a * cnt_b > sum_b * cnt_a —
+    no float division anywhere, so any independent reimplementation
+    (e.g. a SQL oracle over the same pixels) matches bit for bit."""
+    g = (
+        299 * pixels[:, :, 0].astype(np.int64)
+        + 587 * pixels[:, :, 1].astype(np.int64)
+        + 114 * pixels[:, :, 2].astype(np.int64)
+    )
     h, w = g.shape
     th, tw = 8, 9
     if h >= th and w >= tw:
         rb = (np.arange(th + 1) * h) // th
         cb = (np.arange(tw + 1) * w) // tw
-        cs = g.cumsum(axis=0).cumsum(axis=1)
-        z = np.zeros((h + 1, w + 1))
-        z[1:, 1:] = cs
-        area = (
+        z = np.zeros((h + 1, w + 1), dtype=np.int64)
+        z[1:, 1:] = g.cumsum(axis=0).cumsum(axis=1)
+        s = (
             z[rb[1:, None], cb[None, 1:]]
             - z[rb[:-1, None], cb[None, 1:]]
             - z[rb[1:, None], cb[None, :-1]]
             + z[rb[:-1, None], cb[None, :-1]]
         )
         cnt = (rb[1:, None] - rb[:-1, None]) * (cb[None, 1:] - cb[None, :-1])
-        small = area / cnt
+        bits = s[:, :-1] * cnt[:, 1:] > s[:, 1:] * cnt[:, :-1]
     else:
         small = g[(np.arange(th) * h) // th][:, (np.arange(tw) * w) // tw]
-    bits = small[:, :-1] > small[:, 1:]
+        bits = small[:, :-1] > small[:, 1:]
     v = 0
     for i, b in enumerate(bits.ravel()):
         if b:
@@ -683,8 +692,17 @@ def synthetic_image_corpus(spark, n: int = 96) -> DataFrame:
                     axis=2,
                 ).astype(np.int16)
                 if v == 1:
-                    rng = np.random.default_rng(1000 + g)
-                    px = px + rng.integers(-1, 2, size=px.shape)
+                    # deterministic mix-based +-1 noise per (g, y, x,
+                    # channel): unlike an RNG stream, this is plain
+                    # integer arithmetic an oracle can regenerate
+                    idx = (np.arange(h * w * 3) + g * 1000003).astype(np.uint64)
+                    nz = (idx * np.uint64(2654435761)) & np.uint64(0xFFFFFFFF)
+                    nz ^= nz >> np.uint64(16)
+                    nz = (nz * np.uint64(2246822519)) & np.uint64(0xFFFFFFFF)
+                    nz ^= nz >> np.uint64(13)
+                    px = px + (
+                        (nz % np.uint64(3)).astype(np.int16).reshape(h, w, 3) - 1
+                    )
                 px = np.clip(px, 0, 255).astype(np.uint8)
                 use_png = (g % 2 == 0) != (v == 1)  # dup flips container
                 mime, enc = (
