@@ -449,6 +449,7 @@ def bpe_train_merges(
     n_merges: int,
     text_col: str = "text",
     checkpoint_every: int = 4,
+    max_words: int | None = None,
 ) -> DataFrame:
     """Distributed BPE merge training (Sennrich et al. 2016): start
     from character symbols (+ an end-of-word marker), then repeat
@@ -468,7 +469,13 @@ def bpe_train_merges(
     driver, one per-row literal replace. localCheckpoint every
     `checkpoint_every` rounds bounds lineage growth exactly like the
     connected-components loop (dedup.py); the corpus is never
-    collected and nothing corpus-sized ever reaches the driver."""
+    collected and nothing corpus-sized ever reaches the driver.
+    `max_words` caps the iterated table to the top-V words by
+    (frequency desc, word asc) — the standard trainer prune when the
+    raw word-type count (hapax-heavy web corpora) outgrows what N
+    rounds of pair aggregation should pay for; the deliberate
+    single-reducer rank runs over the WORD TABLE, never the corpus,
+    the same bounded-set contract as build_vocab."""
     from route81_spark.io import ensure_parallelism
     from route81_spark.ops.text import tokens
 
@@ -483,9 +490,15 @@ def bpe_train_merges(
         .select(F.explode(tokens(F.col(text_col))).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("f"))
-        .select(wrapped.alias("w"), "f")
-        .persist()
     )
+    if max_words is not None:
+        wr = Window.orderBy(F.col("f").desc(), F.col("word").asc())
+        words = (
+            words.withColumn("__r", F.row_number().over(wr))
+            .filter(F.col("__r") <= max_words)
+            .drop("__r")
+        )
+    words = words.select(wrapped.alias("w"), "f").persist()
     spark = df.sparkSession
     merges: list[tuple[int, str, str, int]] = []
     prev = words
@@ -1482,8 +1495,12 @@ def ccnet_buckets(
     (rounded NLL asc, id) — bucket 1 = head (most fluent), middle,
     tail. The standard artifact for perplexity-stratified sampling.
 
-    Scale note: the per-group NTILE sorts (id, nll) ROWS per group —
-    doc-count-sized but thin (3 columns, no text); ordering ranks the
+    Scale note: exact NTILE is a per-group total order — Spark sends
+    each `group_col` value to ONE window task. That matches how CCNet
+    actually runs (per-language / per-snapshot shards, each
+    reducer-sized); for a monolithic group at corpus scale use
+    ccnet_buckets_approx below (map-side bucketing against sketched
+    tercile boundaries — no per-group sort at all). Ordering ranks the
     det-rounded NLL so engine ulps cannot reorder, ties broken by id."""
     scored = lm_logprob_score(df, text_col=text_col, id_col=id_col)
     src = df.select(id_col, group_col)
@@ -1499,4 +1516,41 @@ def ccnet_buckets(
             "nll",
             F.ntile(n_buckets).over(w).cast("int").alias("bucket"),
         )
+    )
+
+
+def ccnet_buckets_approx(
+    df: DataFrame,
+    group_col: str = "source",
+    n_buckets: int = 3,
+    rel_err: float = 0.001,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Scalable CCNet bucketing: instead of an exact per-group NTILE
+    (one reducer per group), estimate each group's bucket BOUNDARIES
+    with percentile_approx (Greenwald-Khanna sketch: map-side partial
+    sketches merge, no sort) and assign buckets with a broadcast join +
+    per-row compare. Same head/middle/tail artifact; bucket SIZES are
+    exact only within the sketch's rank error (rel_err of the group
+    count at the boundary), which is what every production perplexity
+    filter accepts in exchange for removing the per-group sort."""
+    scored = lm_logprob_score(df, text_col=text_col, id_col=id_col)
+    src = df.select(id_col, group_col)
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = (
+        scored.join(src, id_col)
+        .groupBy(group_col)
+        .agg(
+            F.percentile_approx(
+                "nll", qs, F.lit(int(1.0 / rel_err))
+            ).alias("__b")
+        )
+    )
+    joined = scored.join(src, id_col).join(F.broadcast(bounds), group_col)
+    bucket = F.lit(1)
+    for i in range(n_buckets - 1):
+        bucket = bucket + (F.col("nll") > F.element_at("__b", i + 1)).cast("int")
+    return joined.select(
+        id_col, group_col, "n_bigrams", "nll", bucket.cast("int").alias("bucket")
     )

@@ -1860,3 +1860,32 @@ def test_ccnet_buckets_tiles_per_group(spark):
     assert out[20]["bucket"] == 1  # singleton group -> head
     # every group uses buckets 1..3 contiguously
     assert all(1 <= r["bucket"] <= 3 for r in out.values())
+
+
+def test_bpe_max_words_prune_and_ccnet_approx(spark):
+    from pyspark.sql import Row
+
+    from route81_spark.ops.corpus import (
+        bpe_train_merges, ccnet_buckets, ccnet_buckets_approx,
+    )
+
+    df = spark.createDataFrame(
+        [Row(doc_id=0, text="aa aa aa aa bb bb zz")]
+    )
+    # with the hapax 'zz' pruned away, merges come only from aa/bb
+    got = bpe_train_merges(df, 3, max_words=2).orderBy("step").collect()
+    syms = {(r["sym_l"], r["sym_r"]) for r in got}
+    assert ("z", "z") not in syms and ("zz", "\x03") not in syms
+    # approx bucketing agrees with exact NTILE away from boundaries:
+    # clearly-fluent docs land in bucket 1, clearly-rare ones in 3
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, source="A", text="the cat sat on the mat " * 3)
+         for i in range(6)]
+        + [Row(doc_id=10 + i, source="A", text=f"zq{i} wx{i} kv{i} jm{i}")
+           for i in range(3)]
+    )
+    exact = {r["doc_id"]: r["bucket"] for r in ccnet_buckets(docs).collect()}
+    approx = {r["doc_id"]: r["bucket"] for r in ccnet_buckets_approx(docs).collect()}
+    assert set(approx) == set(exact)
+    assert all(approx[10 + i] == 3 for i in range(3))
+    assert all(approx[i] in (1, exact[i]) for i in range(6))
