@@ -6051,6 +6051,60 @@ def text_ccnet_buckets(spark, sf_dir):
     return ccnet_buckets(_t(spark, sf_dir, "documents"))
 
 
+@_q(
+    "corpus_decontaminate_excise",
+    # excision twin: corp = docs not in the %97 eval split; any corp
+    # 5-gram present in the eval set marks tokens [pos, pos+5); merged
+    # coverage excised via the span-dedup left-join pattern
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    sh AS (
+      SELECT doc_id,
+             unnest(range(1, greatest(len(tk) - 4, 0) + 1)) AS i,
+             unnest(list_transform(range(1, greatest(len(tk) - 4, 0) + 1),
+                    i -> coalesce(array_to_string(tk[i:i+4], ' '), '')))
+               AS span
+      FROM t WHERE doc_id % 97 <> 0
+    ),
+    bench AS (
+      SELECT DISTINCT
+             unnest(list_transform(range(1, greatest(len(tk) - 4, 0) + 1),
+                    i -> coalesce(array_to_string(tk[i:i+4], ' '), '')))
+               AS span
+      FROM t WHERE doc_id % 97 = 0
+    ),
+    cov AS (
+      SELECT DISTINCT doc_id, unnest(range(i - 1, i + 4)) AS tpos
+      FROM sh JOIN bench USING (span)
+    ),
+    tok AS (
+      SELECT doc_id, len(tk) AS n,
+             unnest(range(0, len(tk))) AS tpos,
+             unnest(tk) AS tok
+      FROM t WHERE doc_id % 97 <> 0
+    )
+    SELECT tok.doc_id,
+           CAST(max(tok.n) AS INT) AS n_tokens,
+           CAST(count(cov.tpos) AS INT) AS n_dropped,
+           coalesce(string_agg(CASE WHEN cov.tpos IS NULL THEN tok.tok END,
+                               ' ' ORDER BY tok.tpos), '') AS clean_text
+    FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.tpos = cov.tpos
+    GROUP BY tok.doc_id
+    """,
+)
+def corpus_decontaminate_excise(spark, sf_dir):
+    """Decontamination by excision: every 97th doc plays the benchmark;
+    training docs lose every verbatim 5-gram span shared with it (the
+    flag-only variant is corpus_decontaminate)."""
+    from route81_spark.io import ensure_parallelism
+    from route81_spark.ops.corpus import decontaminate_excise
+
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corp = docs.filter(F.col("doc_id") % 97 != 0)
+    return decontaminate_excise(corp, bench, n=5)
+
+
 @_q("media_audio_dedup")  # no SQL oracle BY NECESSITY: WAV decode +
 # rfft fingerprint are numpy inside mapInPandas (same class as
 # media_features/media_image_dedup). Deterministic generation keeps

@@ -891,49 +891,12 @@ def line_dedup_global(
     )
 
 
-def span_dedup_global(
-    df: DataFrame,
-    min_tokens: int = 8,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-) -> DataFrame:
-    """Exact SUBSTRING dedup (Lee et al. 2021, "Deduplicating Training
-    Data Makes Language Models Better"): every `min_tokens`-token span
-    that repeats anywhere in the corpus keeps only its FIRST occurrence
-    (min (doc_id, pos)); every other occurrence's tokens are excised
-    and the documents rebuilt. Finer than line/doc dedup: it catches a
-    duplicated paragraph embedded in otherwise-distinct documents, at
-    any alignment (stride-1 shingles, where line dedup sees only its
-    fixed segmentation). Returns (id, n_tokens, n_dropped, clean_text).
-
-    The published method builds a corpus-wide suffix array; that is a
-    sequential construction over the whole corpus. This keeps the exact
-    same REMOVAL semantics for spans of exactly-`min_tokens` granularity
-    (a repeat of length m >= L is covered by its stride-1 L-shingles,
-    so long repeats are fully excised span-for-span) while staying a
-    shuffle-minimal DataFrame program — the standard trade (e.g. the
-    RefinedWeb reimplementation) for distributing this pass.
-
-    100 TB shape — raw text shuffles exactly ONCE (same contract as
-    line_dedup_global): shingle hashes are computed per-row and only
-    (hash, doc, pos) INTEGER rows shuffle; the winner agg is a
-    map-side-combinable min(struct); the non-winner occurrences join
-    winner rows hash-partitioned (shuffle reuse, still integers) and
-    reduce to per-doc sorted drop-start arrays; ONE join on doc id
-    brings the drop lists to the documents, where interval merge +
-    token excision are pure per-row expressions. Shingle hashing
-    re-concatenates L tokens per position (O(n*L) chars per doc) — the
-    CPU cost of alignment-free matching; collisions merge spans with
-    probability ~n^2/2^65 (the statistical-pass contract of every
-    hash-keyed dedup here)."""
+def _shingle_hash_array(text_col: str, L: int) -> Column:
+    """Per-row array of stride-1 L-token shingle hashes (docs shorter
+    than L emit none); token array bound once per row."""
     from route81_spark.ops.text import tokens
 
-    L = int(min_tokens)
-    if L < 2:
-        raise ValueError("min_tokens must be >= 2")
-
     def shingle_hashes(tk: Column) -> Column:
-        # stride-1 L-windows; docs shorter than L emit none
         return F.when(
             F.size(tk) >= L,
             F.transform(
@@ -942,25 +905,26 @@ def span_dedup_global(
             ),
         ).otherwise(F.array().cast("array<long>"))
 
-    bound = F.get(
+    return F.get(
         F.transform(F.array(tokens(F.col(text_col))), shingle_hashes), 0
     )
-    occ = df.select(F.col(id_col), F.posexplode(bound)).select(
-        F.col("col").alias("__h"),
-        F.struct(
-            F.col(id_col).alias("i"), F.col("pos").cast("int").alias("p")
-        ).alias("__occ"),
-    )
-    winners = occ.groupBy("__h").agg(F.min("__occ").alias("__w"))
-    drops = (
-        occ.join(winners, "__h")
-        .filter(F.col("__occ") != F.col("__w"))
-        .select(F.col("__occ.i").alias(id_col), F.col("__occ.p").alias("__p"))
-        .groupBy(id_col)
-        .agg(F.sort_array(F.collect_set("__p")).alias("__ds"))
-    )
-    # per-row: merge the sorted drop starts into disjoint [s, e) spans
-    # (each start covers L tokens), then excise covered tokens
+
+
+def _excise_drop_starts(
+    df: DataFrame,
+    drops: DataFrame,
+    L: int,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Shared rebuild tail for span-level removal (span_dedup_global /
+    decontaminate_excise): join per-doc sorted drop-START arrays (each
+    start covers L tokens) to the docs — the only text-carrying join —
+    then merge starts into disjoint [s, e) intervals and excise covered
+    tokens, all as per-row expressions. Returns
+    (id, n_tokens, n_dropped, clean_text)."""
+    from route81_spark.ops.text import tokens
+
     iv_type = "array<struct<s:int,e:int>>"
     merged = F.aggregate(
         F.coalesce(F.col("__ds"), F.array().cast("array<int>")),
@@ -1022,6 +986,62 @@ def span_dedup_global(
         )
     )
 
+
+
+def span_dedup_global(
+    df: DataFrame,
+    min_tokens: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact SUBSTRING dedup (Lee et al. 2021, "Deduplicating Training
+    Data Makes Language Models Better"): every `min_tokens`-token span
+    that repeats anywhere in the corpus keeps only its FIRST occurrence
+    (min (doc_id, pos)); every other occurrence's tokens are excised
+    and the documents rebuilt. Finer than line/doc dedup: it catches a
+    duplicated paragraph embedded in otherwise-distinct documents, at
+    any alignment (stride-1 shingles, where line dedup sees only its
+    fixed segmentation). Returns (id, n_tokens, n_dropped, clean_text).
+
+    The published method builds a corpus-wide suffix array; that is a
+    sequential construction over the whole corpus. This keeps the exact
+    same REMOVAL semantics for spans of exactly-`min_tokens` granularity
+    (a repeat of length m >= L is covered by its stride-1 L-shingles,
+    so long repeats are fully excised span-for-span) while staying a
+    shuffle-minimal DataFrame program — the standard trade (e.g. the
+    RefinedWeb reimplementation) for distributing this pass.
+
+    100 TB shape — raw text shuffles exactly ONCE (same contract as
+    line_dedup_global): shingle hashes are computed per-row and only
+    (hash, doc, pos) INTEGER rows shuffle; the winner agg is a
+    map-side-combinable min(struct); the non-winner occurrences join
+    winner rows hash-partitioned (shuffle reuse, still integers) and
+    reduce to per-doc sorted drop-start arrays; ONE join on doc id
+    brings the drop lists to the documents, where interval merge +
+    token excision are pure per-row expressions. Shingle hashing
+    re-concatenates L tokens per position (O(n*L) chars per doc) — the
+    CPU cost of alignment-free matching; collisions merge spans with
+    probability ~n^2/2^65 (the statistical-pass contract of every
+    hash-keyed dedup here)."""
+    L = int(min_tokens)
+    if L < 2:
+        raise ValueError("min_tokens must be >= 2")
+    bound = _shingle_hash_array(text_col, L)
+    occ = df.select(F.col(id_col), F.posexplode(bound)).select(
+        F.col("col").alias("__h"),
+        F.struct(
+            F.col(id_col).alias("i"), F.col("pos").cast("int").alias("p")
+        ).alias("__occ"),
+    )
+    winners = occ.groupBy("__h").agg(F.min("__occ").alias("__w"))
+    drops = (
+        occ.join(winners, "__h")
+        .filter(F.col("__occ") != F.col("__w"))
+        .select(F.col("__occ.i").alias(id_col), F.col("__occ.p").alias("__p"))
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_set("__p")).alias("__ds"))
+    )
+    return _excise_drop_starts(df, drops, L, text_col, id_col)
 
 def mixture_resample(
     df: DataFrame,
@@ -1554,3 +1574,47 @@ def ccnet_buckets_approx(
     return joined.select(
         id_col, group_col, "n_bigrams", "nll", bucket.cast("int").alias("bucket")
     )
+
+
+def decontaminate_excise(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination by EXCISION (the GPT-3/Pile recipe's
+    stronger form): any stride-1 `n`-token span of a training document
+    that appears verbatim anywhere in the benchmark set is cut out
+    (overlapping hits merge into one excised interval) and the document
+    rebuilt — `decontaminate` FLAGS offenders; this removes the
+    contamination while keeping the rest of the doc. Returns
+    (id, n_tokens, n_dropped, clean_text).
+
+    Scale shape: benchmark suites are small by nature, so their
+    distinct shingle-hash set BROADCASTS; marking is a map-side
+    broadcast semi-join on (hash, doc, pos) integer rows — no winner
+    aggregation at all, corpus-sized nothing shuffles except the one
+    drop-list join on doc id that every excision pays
+    (_excise_drop_starts). Same collision contract as span dedup."""
+    L = int(n)
+    if L < 2:
+        raise ValueError("n must be >= 2")
+    bench_sh = (
+        benchmark.select(
+            F.explode(
+                _shingle_hash_array(bench_text_col, L)
+            ).alias("__h")
+        )
+        .distinct()
+    )
+    occ = docs.select(
+        F.col(id_col), F.posexplode(_shingle_hash_array(text_col, L))
+    ).select(F.col(id_col), F.col("pos").cast("int").alias("__p"), F.col("col").alias("__h"))
+    drops = (
+        occ.join(F.broadcast(bench_sh), "__h")
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_set("__p")).alias("__ds"))
+    )
+    return _excise_drop_starts(docs, drops, L, text_col, id_col)

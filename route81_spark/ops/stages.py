@@ -571,3 +571,23 @@ def _video_dedup(df: DataFrame, arg: dict) -> DataFrame:
 
 register_stage("$audioDedup", _audio_dedup)
 register_stage("$videoDedup", _video_dedup)
+
+
+def _decontaminate_excise(df: DataFrame, arg: dict) -> DataFrame:
+    from route81_spark.ops.corpus import decontaminate_excise
+    from route81_spark.pipeline import compiler
+
+    if "from" not in arg:
+        raise ValueError("$decontaminateExcise requires 'from' (benchmark collection)")
+    bench = compiler._resolve_collection(arg["from"])
+    return decontaminate_excise(
+        df,
+        bench,
+        n=int(arg.get("n", 5)),
+        text_col=arg.get("textField", "text"),
+        id_col=arg.get("idField", "doc_id"),
+        bench_text_col=arg.get("benchTextField", arg.get("textField", "text")),
+    )
+
+
+register_stage("$decontaminateExcise", _decontaminate_excise)

@@ -1889,3 +1889,31 @@ def test_bpe_max_words_prune_and_ccnet_approx(spark):
     assert set(approx) == set(exact)
     assert all(approx[10 + i] == 3 for i in range(3))
     assert all(approx[i] in (1, exact[i]) for i in range(6))
+
+
+def test_decontaminate_excise_merges_overlapping_hits(spark):
+    """Excision (not just flagging): overlapping benchmark 5-gram hits
+    merge into ONE cut interval; untouched docs pass through verbatim;
+    a fully-contaminated doc empties."""
+    import pytest
+    from pyspark.sql import Row
+
+    from route81_spark.ops.corpus import decontaminate_excise
+
+    bench = spark.createDataFrame(
+        [Row(doc_id=99, text="the quick brown fox jumps over")]
+    )
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="intro words the quick brown fox jumps over outro text"),
+            Row(doc_id=2, text="totally unrelated content with nothing shared at all"),
+            Row(doc_id=3, text="the quick brown fox jumps"),
+        ]
+    )
+    out = {r["doc_id"]: r for r in decontaminate_excise(docs, bench, n=5).collect()}
+    # two overlapping 5-gram hits merge into the 6-token run [2, 8)
+    assert (out[1]["n_dropped"], out[1]["clean_text"]) == (6, "intro words outro text")
+    assert out[2]["n_dropped"] == 0
+    assert (out[3]["n_dropped"], out[3]["clean_text"]) == (5, "")
+    with pytest.raises(ValueError, match="n must"):
+        decontaminate_excise(docs, bench, n=1)

@@ -773,3 +773,23 @@ def test_video_dedup_stage(spark):
     )
     out = apply_pipeline(frames, [{"$videoDedup": {"threshold": [3, 10]}}])
     assert sorted(r["media_id"] for r in out.collect()) == [1, 3]
+
+
+def test_decontaminate_excise_stage(spark):
+    import pytest as pt
+    from pyspark.sql import Row
+
+    from route81_spark.pipeline import apply_pipeline, compiler
+
+    bench = spark.createDataFrame([Row(doc_id=9, text="a b c d e")])
+    docs = spark.createDataFrame([Row(doc_id=1, text="x a b c d e y")])
+    compiler.set_collection_resolver(lambda name: {"bench": bench}[name])
+    try:
+        out = apply_pipeline(
+            docs, [{"$decontaminateExcise": {"from": "bench", "n": 5}}]
+        ).collect()
+        assert out[0]["clean_text"] == "x y" and out[0]["n_dropped"] == 5
+        with pt.raises(ValueError, match="from"):
+            apply_pipeline(docs, [{"$decontaminateExcise": {}}]).collect()
+    finally:
+        compiler.set_collection_resolver(None)
