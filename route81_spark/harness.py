@@ -6105,6 +6105,39 @@ def corpus_decontaminate_excise(spark, sf_dir):
     return decontaminate_excise(corp, bench, n=5)
 
 
+@_q(
+    "corpus_temperature_mix",
+    # XLM/mT5-style temperature sampling over the (skewed) language
+    # distribution: integer weights floor(n^(1/T)*1e6+0.5) make the
+    # normalizing sum order-independent; the rest is corpus_mixture's
+    # largest-feasible-total acceptance with seed 'mixT'
+    """
+    WITH c AS (SELECT lang AS g, count(*) AS n FROM documents GROUP BY 1),
+    w AS (SELECT g, n,
+                 CAST(floor(pow(n, 1.0 / 2.0) * 1000000 + 0.5) AS BIGINT) AS w
+          FROM c),
+    tw AS (SELECT CAST(sum(w) AS BIGINT) AS wt FROM w),
+    s AS (SELECT g, n, CAST(w AS DOUBLE) / wt AS s FROM w CROSS JOIN tw),
+    t AS (SELECT min(n / s) AS t FROM s),
+    r AS (SELECT s.g, least(CAST(1.0 AS DOUBLE), t.t * s.s / s.n) AS rate
+          FROM s CROSS JOIN t)
+    SELECT d.doc_id, d.lang, d.source FROM documents d JOIN r ON d.lang = r.g
+    WHERE ('0x' || substr(md5('mixT|' || CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+          / 1152921504606846976.0 < r.rate
+    """,
+)
+def corpus_temperature_mix(spark, sf_dir):
+    """Temperature-flattened language mixture (T=2): head languages
+    downsample toward sqrt-proportional shares so low-resource
+    languages are over-represented relative to natural frequency."""
+    from route81_spark.ops.corpus import temperature_mixture
+
+    docs = _t(spark, sf_dir, "documents")
+    return temperature_mixture(docs, "lang", 2.0).select(
+        "doc_id", "lang", "source"
+    )
+
+
 @_q("media_audio_dedup")  # no SQL oracle BY NECESSITY: WAV decode +
 # rfft fingerprint are numpy inside mapInPandas (same class as
 # media_features/media_image_dedup). Deterministic generation keeps

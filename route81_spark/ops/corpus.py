@@ -1618,3 +1618,40 @@ def decontaminate_excise(
         .agg(F.sort_array(F.collect_set("__p")).alias("__ds"))
     )
     return _excise_drop_starts(docs, drops, L, text_col, id_col)
+
+
+def temperature_mixture(
+    df: DataFrame,
+    group_col: str,
+    temperature: float,
+    id_col: str = "doc_id",
+    seed: str = "mixT",
+) -> DataFrame:
+    """Temperature-flattened domain mixture (the multilingual-LM
+    sampling recipe, XLM/mT5 style): target share of group g is
+    proportional to count_g^(1/T) — T=1 reproduces the natural
+    distribution, T -> inf approaches uniform, flattening the head
+    domains so low-resource groups are seen more often. Shares are
+    derived from the data (one tiny count agg; the group list is
+    domain-sized and collected deliberately) as INTEGER weights
+    floor(n^(1/T) * 1e6 + 0.5) — the round makes the normalizing sum
+    order-independent, so an oracle's unordered SQL sum agrees — then
+    fed to mixture_resample's largest-feasible-total acceptance
+    (deterministic id-hash selection, same scale shape)."""
+    if temperature <= 0:
+        raise ValueError("temperature must be > 0")
+    counts = {
+        r["g"]: r["n"]
+        for r in df.groupBy(F.col(group_col).alias("g"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    import math
+
+    w = {
+        g: math.floor(n ** (1.0 / temperature) * 1e6 + 0.5)
+        for g, n in counts.items()
+    }
+    total = sum(w.values())
+    shares = {g: wg / total for g, wg in w.items()}
+    return mixture_resample(df, group_col, shares, id_col=id_col, seed=seed)

@@ -591,3 +591,20 @@ def _decontaminate_excise(df: DataFrame, arg: dict) -> DataFrame:
 
 
 register_stage("$decontaminateExcise", _decontaminate_excise)
+
+
+def _temperature_mix(df: DataFrame, arg: dict) -> DataFrame:
+    from route81_spark.ops.corpus import temperature_mixture
+
+    if "groupField" not in arg or "T" not in arg:
+        raise ValueError("$temperatureMix requires groupField and T")
+    return temperature_mixture(
+        df,
+        arg["groupField"],
+        float(arg["T"]),
+        id_col=arg.get("idField", "doc_id"),
+        seed=arg.get("seed", "mixT"),
+    )
+
+
+register_stage("$temperatureMix", _temperature_mix)

@@ -1917,3 +1917,29 @@ def test_decontaminate_excise_merges_overlapping_hits(spark):
     assert (out[3]["n_dropped"], out[3]["clean_text"]) == (5, "")
     with pytest.raises(ValueError, match="n must"):
         decontaminate_excise(docs, bench, n=1)
+
+
+def test_temperature_mixture_flattens_head_groups(spark):
+    """T=2 must downsample the head group toward sqrt-proportional
+    shares (low-resource groups keep ~everything); T=1 is the natural
+    distribution (everything kept — shares already proportional)."""
+    import pytest
+    from pyspark.sql import Row
+
+    from route81_spark.ops.corpus import temperature_mixture
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, g="big", text="x") for i in range(400)]
+        + [Row(doc_id=1000 + i, g="small", text="x") for i in range(100)]
+    )
+    out = temperature_mixture(docs, "g", 2.0).groupBy("g").count().collect()
+    got = {r["g"]: r["count"] for r in out}
+    # weights: 400^.5=20, 100^.5=10 -> shares 2/3, 1/3; T_total is
+    # pinned by the small group (100/(1/3)=300): big target=200 of 400,
+    # small target=100 of 100 (rate 1.0). Hash acceptance is
+    # statistical around 200 for big; small keeps everything exactly.
+    assert got["small"] == 100
+    assert 160 <= got["big"] <= 240
+    assert temperature_mixture(docs, "g", 1.0).count() == 500
+    with pytest.raises(ValueError, match="temperature"):
+        temperature_mixture(docs, "g", 0.0)
