@@ -6150,7 +6150,7 @@ def media_audio_dedup(spark, sf_dir):
     from route81_spark.ops.multimodal import synthetic_audio_corpus
 
     corp = synthetic_audio_corpus(spark, n=96)
-    out = apply_pipeline(corp, [{"$audioDedup": {"maxHamming": 4}}])
+    out = apply_pipeline(corp, [{"$audioDedup": {"maxHamming": 3}}])
     return out.select("media_id", "kind", F.col("meta.mime").alias("mime"))
 
 
@@ -6254,8 +6254,13 @@ def _bpe_oracle_sql(n: int, encode: bool = False) -> str:
             f"p{r} AS (SELECT unnest(range(1, len(s))) AS i, s, f FROM s{r})",
             f"pc{r} AS (SELECT s[i] AS sym_l, s[i + 1] AS sym_r, sum(f) AS cnt FROM p{r} GROUP BY 1, 2)",
             f"m{r} AS MATERIALIZED (SELECT sym_l, sym_r, cnt FROM pc{r} ORDER BY cnt DESC, sym_l, sym_r LIMIT 1)",
-            f"w{r} AS MATERIALIZED (SELECT word, replace(w, {S} || sym_l || {E} || {S} || sym_r || {E},"
-            f" {S} || sym_l || sym_r || {E}) AS w, f FROM w{r - 1} CROSS JOIN m{r})",
+            # LEFT JOIN ON TRUE, not CROSS JOIN: if the corpus fully
+            # merges before round r, m{r} is EMPTY and a cross join
+            # would erase the word table (breaking encode mode and any
+            # later round); the left join passes words through
+            f"w{r} AS MATERIALIZED (SELECT word, CASE WHEN sym_l IS NULL THEN w ELSE"
+            f" replace(w, {S} || sym_l || {E} || {S} || sym_r || {E},"
+            f" {S} || sym_l || sym_r || {E}) END AS w, f FROM w{r - 1} LEFT JOIN m{r} ON TRUE)",
         ]
     if encode:
         parts += [

@@ -954,8 +954,14 @@ def _excise_drop_starts(
     )
 
     def with_state(tk: Column, ivs: Column) -> Column:
+        # zero-token guard: sequence(0, -1) is DESCENDING in Spark
+        # ([0, -1]), and its elements would index element_at out of
+        # bounds — an empty doc (tokens('') = []) must yield an empty
+        # position list, not a crash
         kept = F.filter(
-            F.sequence(F.lit(0), F.size(tk) - 1),
+            F.when(
+                F.size(tk) > 0, F.sequence(F.lit(0), F.size(tk) - 1)
+            ).otherwise(F.array().cast("array<int>")),
             lambda t: ~F.exists(
                 ivs, lambda iv: (t >= iv.getField("s")) & (t < iv.getField("e"))
             ),
@@ -1049,6 +1055,7 @@ def mixture_resample(
     target_shares: dict[str, float],
     id_col: str = "doc_id",
     seed: str = "mix0",
+    group_counts: dict[str, int] | None = None,
 ) -> DataFrame:
     """Domain-mixture construction: downsample each group so the output
     composition matches `target_shares` (e.g. {'web': .6, 'code': .4})
@@ -1065,6 +1072,8 @@ def mixture_resample(
     if not shares:
         raise ValueError("mixture_resample: need at least one positive share")
     counts = {
+        g: n for g, n in (group_counts or {}).items() if g in shares
+    } or {
         r["g"]: r["n"]
         for r in df.filter(F.col(group_col).isin(list(shares)))
         .groupBy(F.col(group_col).alias("g"))
@@ -1654,4 +1663,8 @@ def temperature_mixture(
     }
     total = sum(w.values())
     shares = {g: wg / total for g, wg in w.items()}
-    return mixture_resample(df, group_col, shares, id_col=id_col, seed=seed)
+    # pass the counts through — mixture_resample would otherwise re-run
+    # the identical full-corpus aggregation to rebuild them
+    return mixture_resample(
+        df, group_col, shares, id_col=id_col, seed=seed, group_counts=counts
+    )

@@ -850,6 +850,8 @@ def audio_fingerprint(df: DataFrame) -> DataFrame:
         if mime != "audio/wav" or payload is None:
             return None
         samples, _rate = decode_wav_pcm16(payload)
+        if (len(samples) // 2) < 65:  # rfft bins minus DC < bands
+            return None  # too short to fingerprint -> decodable false
         return afp64(samples)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -868,11 +870,17 @@ def audio_fingerprint(df: DataFrame) -> DataFrame:
     return src.mapInPandas(run, schema=_AFP_SCHEMA)
 
 
-def audio_dedup(df: DataFrame, max_hamming: int = 4, bands: int = 4) -> DataFrame:
+def audio_dedup(df: DataFrame, max_hamming: int = 3, bands: int = 4) -> DataFrame:
     """Perceptual audio dedup: spectral fingerprint -> the SAME banded
     hamming candidate join image_dhash uses (hash_col swapped) -> CC ->
     min-id representative. Survivors of `df` via left-anti on id;
-    payloads pass through untouched and unshuffled."""
+    payloads pass through untouched and unshuffled.
+
+    Default max_hamming=3 with 4 bands keeps candidate generation
+    EXACT (pigeonhole needs hamming < bands); raising max_hamming to
+    bands or beyond is allowed but turns recall probabilistic — a pair
+    can spread one differing bit into every band and never share a
+    slice."""
     from route81_spark.ops.dedup import near_dup_clusters
 
     fps = audio_fingerprint(df)

@@ -115,8 +115,11 @@ def brute_force_topk_np(
     # vector must never rank, but NaN would — Spark's desc ordering
     # puts NaN FIRST, and _local_topk_superset's fate for NaN rows is
     # batch-size-dependent (key6 <= thresh is false, yet kk >= len
-    # passes them through). Clamping the norm yields score 0.0 instead,
-    # which simply never wins a top-k cut.
+    # passes them through). Zero-norm EMBEDDING rows get the sentinel
+    # score -2.0 (below the cosine range) so they rank after every real
+    # score — exactly where the fold path's null sorts — and the final
+    # select nulls the sentinel so the output matches brute_force_topk
+    # even when k exceeds the nonzero-vector count.
     Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
 
     def score(batches):
@@ -124,8 +127,10 @@ def brute_force_topk_np(
             if not len(pdf):
                 continue
             E = np.array(list(pdf[vec_col]), dtype=np.float64)
-            En = E / np.maximum(np.linalg.norm(E, axis=1, keepdims=True), 1e-12)
+            norms = np.linalg.norm(E, axis=1, keepdims=True)
+            En = E / np.maximum(norms, 1e-12)
             S = En @ Qn.T  # (n, q)
+            S[norms.ravel() == 0.0, :] = -2.0  # sentinel: ranks last
             kk = min(k, len(pdf))
             out_rows = []
             ids = pdf[id_col].to_numpy()
@@ -153,7 +158,13 @@ def brute_force_topk_np(
     return (
         partial.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select(query_id_col, id_col, "score", F.col("rank").cast("int").alias("rank"))
+        .select(
+            query_id_col,
+            id_col,
+            # sentinel -> null: the fold path scores zero vectors null
+            F.when(F.col("score") >= -1.0, F.col("score")).alias("score"),
+            F.col("rank").cast("int").alias("rank"),
+        )
     )
 
 

@@ -183,3 +183,63 @@ def test_blas_topk_oracle_ulp_margin_invariant(sf):
         f"cut-adjacent fixture score within {worst:.2e} grid units of a "
         "rounding boundary — the blas-vs-fold oracle ordering is at risk"
     )
+
+
+def test_span_excision_tolerates_empty_documents(spark):
+    """r6 code-review finding: sequence(0, -1) is DESCENDING in Spark,
+    so a zero-token doc (tokens('') = []) indexed element_at out of
+    bounds and crashed span_dedup_global / decontaminate_excise."""
+    from route81_spark.ops.corpus import decontaminate_excise, span_dedup_global
+
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text=""), Row(doc_id=2, text="a b c d e"),
+         Row(doc_id=3, text="a b c d x")]
+    )
+    out = {r["doc_id"]: r for r in span_dedup_global(df, min_tokens=4).collect()}
+    assert (out[1]["n_tokens"], out[1]["n_dropped"], out[1]["clean_text"]) == (0, 0, "")
+    assert out[3]["clean_text"] == "x"
+    bench = spark.createDataFrame([Row(doc_id=9, text="a b c d")])
+    exc = {r["doc_id"]: r for r in decontaminate_excise(df, bench, n=4).collect()}
+    assert exc[1]["n_tokens"] == 0 and exc[2]["n_dropped"] == 4
+
+
+def test_blas_topk_zero_vector_scores_null_like_fold_path(spark):
+    """r6 code-review finding: the 1e-12 clamp gave zero vectors score
+    0.0, which WINS a cut when real scores are negative; the fold path
+    scores them null (ranks last). Both paths must agree — membership,
+    order, and the null score."""
+    from route81_spark.ops.similarity import brute_force_topk, brute_force_topk_np
+
+    emb = spark.createDataFrame(
+        [Row(vec_id=1, embedding=[-1.0, 0.1]), Row(vec_id=2, embedding=[0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    q = spark.createDataFrame(
+        [Row(query_id=0, query_vec=[1.0, 0.0])],
+        "query_id long, query_vec array<float>",
+    )
+    fold = [(r["vec_id"], r["score"]) for r in
+            brute_force_topk(emb, q, k=2).orderBy("rank").collect()]
+    npv = [(r["vec_id"], r["score"]) for r in
+           brute_force_topk_np(emb, q, k=2).orderBy("rank").collect()]
+    assert fold == npv
+    assert npv[0][0] == 1 and npv[1] == (2, None)
+
+
+def test_audio_fingerprint_short_clip_gates_not_crashes(spark):
+    """r6 code-review finding: a valid WAV shorter than 130 samples
+    cannot carry a 65-band fingerprint — it must gate to
+    (afp NULL, decodable false), not abort the job."""
+    import numpy as np
+
+    from route81_spark.ops.multimodal import audio_fingerprint, encode_wav_pcm16
+
+    short = encode_wav_pcm16(np.zeros(80, dtype=np.int16), 8000)
+    df = spark.createDataFrame(
+        [(1, "audio", bytearray(short),
+          {"mime": "audio/wav", "width": None, "height": None, "duration_ms": 10})],
+        "media_id long, kind string, payload binary, "
+        "meta struct<mime:string,width:int,height:int,duration_ms:long>",
+    )
+    row = audio_fingerprint(df).collect()[0]
+    assert row["afp"] is None and row["decodable"] is False

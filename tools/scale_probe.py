@@ -230,7 +230,9 @@ def headline_probe(spark, k: int = 10) -> None:
 
     from route81_spark import harness
 
-    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # abspath: the customer symlink below is created INSIDE the tempdir,
+    # so a relative SPARK_GRAFT_SF_DIR would make it dangling
+    sf = os.path.abspath(os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     tmp = tempfile.mkdtemp(prefix="headline_probe_")
 
     def replicate(df: DataFrame, key: str, stride: int) -> DataFrame:
