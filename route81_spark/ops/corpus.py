@@ -1668,3 +1668,108 @@ def temperature_mixture(
     return mixture_resample(
         df, group_col, shares, id_col=id_col, seed=seed, group_counts=counts
     )
+
+
+def quality_model(
+    docs: DataFrame,
+    seed_filter: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+    scale: int = 10_000,
+    seed: int = 13,
+) -> DataFrame:
+    """Train the hashed-bigram NB quality model STANDALONE: the same
+    integer-odds per-bucket weights quality_classifier fits, but
+    materialized as a complete (b, w) table over ALL n_buckets buckets
+    (buckets no training bigram hit get the pure-Laplace weight), so it
+    can be saved and applied to other corpora — or to a STREAM — via
+    apply_quality_model."""
+    doc_bucket = _hashed_bigram_buckets(
+        docs, seed_filter, text_col, id_col, n_buckets, seed
+    )
+    by_bucket = doc_bucket.groupBy("b").agg(
+        F.sum(F.when(F.col("__tgt"), F.col("n_db")).otherwise(F.lit(0))).alias("pos_c"),
+        F.sum(F.when(~F.col("__tgt"), F.col("n_db")).otherwise(F.lit(0))).alias(
+            "neg_c"
+        ),
+    )
+    totals = by_bucket.agg(F.sum("pos_c").alias("npos"), F.sum("neg_c").alias("nneg"))
+    full = (
+        docs.sparkSession.range(n_buckets)
+        .select(F.col("id").alias("b"))
+        .join(by_bucket, "b", "left")
+        .crossJoin(F.broadcast(totals))
+        .selectExpr(
+            "b",
+            f"((coalesce(pos_c, 0) + 1) * (nneg + {n_buckets}) * CAST({scale} AS BIGINT))"
+            f" div ((coalesce(neg_c, 0) + 1) * (npos + {n_buckets})) AS w",
+        )
+    )
+    return full
+
+
+def apply_quality_model(
+    df: DataFrame,
+    model: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+    scale: int = 10_000,
+    seed: int = 13,
+) -> DataFrame:
+    """Score documents against a TRAINED quality model as a pure
+    per-row expression — the stream-legal half of the CCNet recipe
+    (train on a curated batch, filter the firehose). The (b, w) table
+    collects to a 2*n_buckets-literal map (bounded by construction, the
+    same contract as every broadcast model here) and scoring is one
+    in-row fold over the doc's bigrams: NO shuffle, NO stateful
+    aggregation, so it runs unchanged on a Structured Streaming
+    DataFrame in append mode. Docs with no bigram are omitted (batch)
+    or scored null-free with n_bigrams=0 filtered out, matching
+    quality_classifier's contract."""
+    from route81_spark.ops.dedup import h64
+    from route81_spark.ops.text import positional_ngrams, tokens
+    from route81_spark.ops.util import det_round
+
+    weights = {int(r["b"]): int(r["w"]) for r in model.collect()}
+    wmap = F.create_map(
+        *[F.lit(x) for kv in sorted(weights.items()) for x in kv]
+    )
+
+    def with_state(bgs: Column) -> Column:
+        pairs = F.filter(bgs, lambda bg: bg.contains(" "))
+        score = F.aggregate(
+            pairs,
+            F.lit(0).cast("long"),
+            lambda acc, bg: acc
+            + F.element_at(wmap, F.pmod(h64(bg, seed), F.lit(n_buckets))),
+        )
+        return F.struct(
+            F.size(pairs).cast("long").alias("n_bigrams"),
+            score.alias("score"),
+        )
+
+    bound = F.get(
+        F.transform(
+            F.array(tokens(F.col(text_col))),
+            lambda tk: with_state(positional_ngrams(tk, 2)),
+        ),
+        0,
+    )
+    out = df.select(F.col(id_col), bound.alias("__st")).select(
+        F.col(id_col),
+        F.col("__st.n_bigrams").alias("n_bigrams"),
+        F.col("__st.score").alias("score"),
+    )
+    return out.filter(F.col("n_bigrams") > 0).select(
+        id_col,
+        "n_bigrams",
+        "score",
+        det_round(F.col("score").cast("double") / F.col("n_bigrams"), 4).alias(
+            "avg_odds"
+        ),
+        (F.col("score") > F.col("n_bigrams") * F.lit(scale).cast("long"))
+        .cast("int")
+        .alias("pred_keep"),
+    )

@@ -482,3 +482,51 @@ def test_streaming_rollup_per_series(spark, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_streaming_quality_model_scoring(spark, tmp_path):
+    """apply_quality_model is stateless per-row, so the CCNet recipe's
+    'train on curated batch, filter the firehose' runs on a Structured
+    Stream in append mode with NO watermark/state — and produces the
+    exact integer scores the batch classifier computes."""
+    from pyspark.sql import Row
+
+    from route81_spark.ops.corpus import (
+        apply_quality_model, quality_classifier, quality_model,
+    )
+
+    good = "the quick brown fox jumps over the lazy dog near the river"
+    bad = "zz yy xx ww vv uu tt ss rr qq pp oo"
+    train = spark.createDataFrame(
+        [Row(doc_id=i, lab="seed" if i < 3 else "raw",
+             text=good if i < 3 else bad) for i in range(6)]
+    )
+    model = quality_model(train, F.col("lab") == "seed")
+
+    src = tmp_path / "src"
+    _write_batch(
+        src / "b1.json",
+        [
+            {"doc_id": 101, "text": good, "ts": "2024-01-01T00:00:00"},
+            {"doc_id": 102, "text": bad, "ts": "2024-01-01T00:00:01"},
+            {"doc_id": 103, "text": "solo", "ts": "2024-01-01T00:00:02"},
+        ],
+    )
+    stream = spark.readStream.schema(DOC_SCHEMA).json(str(src))
+    scored = apply_quality_model(stream, model)
+    out, ckpt = tmp_path / "out", tmp_path / "ckpt"
+    _run_available_now(scored, out, ckpt)
+    got = {r["doc_id"]: r for r in spark.read.parquet(str(out)).collect()}
+    assert got[101]["pred_keep"] == 1 and got[102]["pred_keep"] == 0
+    assert 103 not in got  # no bigram -> omitted, matching the batch contract
+    # stream scores == batch classifier scores for the same docs
+    batch_docs = spark.createDataFrame(
+        [Row(doc_id=i, lab="seed" if i < 3 else "raw",
+             text=good if i < 3 else bad) for i in range(6)]
+    )
+    batch = {r["doc_id"]: r for r in
+             quality_classifier(batch_docs, F.col("lab") == "seed").collect()}
+    assert (got[101]["score"], got[101]["n_bigrams"]) == (
+        batch[0]["score"], batch[0]["n_bigrams"])
+    assert (got[102]["score"], got[102]["n_bigrams"]) == (
+        batch[3]["score"], batch[3]["n_bigrams"])
