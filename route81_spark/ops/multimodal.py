@@ -949,3 +949,56 @@ def synthetic_audio_corpus(spark, n: int = 96, rate: int = 8000) -> DataFrame:
             yield pd.DataFrame(out)
 
     return spark.range(n).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def fingerprint_dedup_against(
+    new_hashes: DataFrame,
+    index_hashes: DataFrame,
+    max_hamming: int = 3,
+    bands: int = 4,
+    hash_col: str = "dhash",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Incremental perceptual dedup — the media analog of the text
+    side's dedup_against: drop every NEW item whose fingerprint sits
+    within `max_hamming` of ANY accepted-index fingerprint; the index
+    is never modified and never re-clustered. Candidates come from a
+    cross-table band equi-join (same pigeonhole contract as
+    image_near_dup_pairs: exact for max_hamming < bands), so neither
+    table is scanned all-pairs. Input frames are (id, hash, decodable)
+    rows from image_dhash / audio_fingerprint; undecodable new rows
+    pass through (they cannot be compared — gate upstream if that is
+    wrong). Returns the surviving new_hashes rows."""
+    from route81_spark.ops.dedup import hamming64
+
+    if 64 % bands:
+        raise ValueError("bands must divide 64")
+    width = 64 // bands
+    mask = (1 << width) - 1
+
+    def banded(df: DataFrame, out_id: str) -> DataFrame:
+        return df.filter(F.col("decodable")).select(
+            F.col(id_col).alias(out_id),
+            F.col(hash_col).alias(f"__h_{out_id}"),
+            F.posexplode(
+                F.array(
+                    *[
+                        F.shiftrightunsigned(hash_col, i * width).bitwiseAND(
+                            F.lit(mask)
+                        )
+                        for i in range(bands)
+                    ]
+                )
+            ).alias("band", "slice"),
+        )
+    hits = (
+        banded(new_hashes, "nid")
+        .join(banded(index_hashes, "iid"), ["band", "slice"])
+        .filter(
+            hamming64(F.col("__h_nid"), F.col("__h_iid")) <= max_hamming
+        )
+        .select("nid")
+        .distinct()
+        .withColumnRenamed("nid", id_col)
+    )
+    return new_hashes.join(F.broadcast(hits), id_col, "left_anti")

@@ -1943,3 +1943,41 @@ def test_temperature_mixture_flattens_head_groups(spark):
     assert temperature_mixture(docs, "g", 1.0).count() == 500
     with pytest.raises(ValueError, match="temperature"):
         temperature_mixture(docs, "g", 0.0)
+
+
+def test_fingerprint_dedup_against_index(spark):
+    """Incremental perceptual dedup: new items within hamming threshold
+    of ANY accepted fingerprint drop; fresh content and undecodable
+    rows survive; the index is untouched. Works for both hash kinds
+    (image dhash / audio afp via hash_col)."""
+    from pyspark.sql import Row
+
+    from route81_spark.ops.multimodal import (
+        audio_fingerprint, fingerprint_dedup_against, image_dhash,
+        synthetic_audio_corpus, synthetic_image_corpus,
+    )
+
+    corp = synthetic_image_corpus(spark, 24)
+    h = image_dhash(corp)
+    index = h.filter(F.col("media_id") % 3 == 0)
+    new = h.filter(F.col("media_id") % 3 != 0)
+    surv = sorted(
+        r["media_id"] for r in fingerprint_dedup_against(new, index).collect()
+    )
+    assert surv == [3 * g + 2 for g in range(8)]
+    # undecodable new rows pass through
+    und = spark.createDataFrame(
+        [Row(media_id=999, mime="image/gif", dhash=None, decodable=False)],
+        "media_id long, mime string, dhash long, decodable boolean",
+    )
+    assert fingerprint_dedup_against(und, index).count() == 1
+    # audio kind through hash_col
+    ac = synthetic_audio_corpus(spark, 12)
+    af = audio_fingerprint(ac)
+    a_index = af.filter(F.col("media_id") % 3 == 0)
+    a_new = af.filter(F.col("media_id") % 3 != 0)
+    a_surv = sorted(
+        r["media_id"]
+        for r in fingerprint_dedup_against(a_new, a_index, hash_col="afp").collect()
+    )
+    assert a_surv == [3 * g + 2 for g in range(4)]
