@@ -84,6 +84,7 @@ def ops() -> dict:
         "line_dedup": lambda d: _line_dedup(d),
         "span_dedup": lambda d: _span_dedup(d),
         "quality_cls": lambda d: _quality_cls(d),
+        "excise": lambda d: _excise(d),
     }
 
 
@@ -103,6 +104,14 @@ def _quality_cls(d: DataFrame) -> DataFrame:
     from route81_spark.ops.corpus import quality_classifier
 
     return quality_classifier(d, F.col("source").isin("src0", "src1"))
+
+
+def _excise(d: DataFrame) -> DataFrame:
+    from route81_spark.ops.corpus import decontaminate_excise
+
+    return decontaminate_excise(
+        d.filter(F.col("doc_id") % 97 != 0), d.filter(F.col("doc_id") % 97 == 0), n=5
+    )
 
 
 def scaled_events(ev: DataFrame, k: int) -> DataFrame:
