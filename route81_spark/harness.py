@@ -6138,6 +6138,68 @@ def corpus_temperature_mix(spark, sf_dir):
     )
 
 
+@_q(
+    "text_quality_apply",
+    # the train->apply split must reproduce text_quality_classifier's
+    # integer scores exactly (the apply path folds a 256-entry literal
+    # map per row instead of joining bucket counts — same arithmetic,
+    # and every bucket a doc hits exists in the self-trained model),
+    # so the oracle is the classifier's SQL without the label column
+    f"""
+    WITH t AS (SELECT doc_id, lang, {_TOKS} AS tk FROM documents),
+    p AS (
+      SELECT doc_id, lang = 'en' AS tgt,
+             unnest(list_transform(range(1, greatest(len(tk) - 1, 1) + 1),
+                    i -> coalesce(array_to_string(tk[i:i+1], ' '), ''))) AS bg
+      FROM t
+    ),
+    pairs AS (
+      SELECT doc_id, tgt,
+             ('0x' || substr(md5('13|' || bg), 1, 15))::BIGINT % 256 AS b
+      FROM p WHERE contains(bg, ' ')
+    ),
+    doc_bucket AS (
+      SELECT doc_id, tgt, b, count(*) AS n_db FROM pairs GROUP BY 1, 2, 3
+    ),
+    by_bucket AS (
+      SELECT b,
+             sum(CASE WHEN tgt THEN n_db ELSE 0 END) AS pos_c,
+             sum(CASE WHEN NOT tgt THEN n_db ELSE 0 END) AS neg_c
+      FROM doc_bucket GROUP BY b
+    ),
+    tot AS (SELECT sum(pos_c) AS npos, sum(neg_c) AS nneg FROM by_bucket),
+    model AS (
+      SELECT b,
+             CAST(((pos_c + 1) * (nneg + 256) * 10000)
+               // ((neg_c + 1) * (npos + 256)) AS BIGINT) AS w
+      FROM by_bucket CROSS JOIN tot
+    ),
+    s AS (
+      SELECT d.doc_id,
+             CAST(sum(d.n_db) AS BIGINT) AS n_bigrams,
+             CAST(sum(d.n_db * m.w) AS BIGINT) AS score
+      FROM doc_bucket d JOIN model m USING (b)
+      GROUP BY 1
+    )
+    SELECT doc_id, n_bigrams, score,
+           floor((CAST(score AS DOUBLE) / n_bigrams) * 10000.0 + 0.5)
+             / 10000.0 AS avg_odds,
+           CAST(score > n_bigrams * 10000 AS INT) AS pred_keep
+    FROM s
+    """,
+)
+def text_quality_apply(spark, sf_dir):
+    """The production split of the quality filter: quality_model trains
+    the bucket weights, apply_quality_model scores every doc with one
+    in-row fold over the broadcast map (the stream-legal path) —
+    bit-identical to the fused classifier."""
+    from route81_spark.ops.corpus import apply_quality_model, quality_model
+
+    docs = _t(spark, sf_dir, "documents")
+    model = quality_model(docs, F.col("lang") == "en")
+    return apply_quality_model(docs, model)
+
+
 @_q("media_audio_dedup")  # no SQL oracle BY NECESSITY: WAV decode +
 # rfft fingerprint are numpy inside mapInPandas (same class as
 # media_features/media_image_dedup). Deterministic generation keeps
