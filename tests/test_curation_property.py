@@ -227,3 +227,90 @@ def test_mixture_rates_property(spark, sizes, shares):
     assert len(got.get(f"g{binding}", set())) == sizes[binding]
     all_ids = {r["doc_id"] for r in rows}
     assert all(i in all_ids for ids in got.values() for i in ids)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_line_dedup_matches_python_reference(spark, seed):
+    """Randomized corpora vs a direct single-node keep-first
+    implementation: every (doc, line-window) decision must agree."""
+    import random
+
+    from pyspark.sql import Row
+
+    from route81_spark.ops.corpus import line_dedup_global
+
+    rng = random.Random(seed)
+    vocab = ["a", "b", "c", "d"]
+    docs = {
+        i: " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 9)))
+        for i in range(30)
+    }
+    W = 2
+
+    def ref():
+        seen, out = set(), {}
+        for i in sorted(docs):
+            toks = docs[i].split()
+            n = len(toks)
+            nc = max((n + W - 1) // W, 1)
+            lines = [" ".join(toks[j * W:(j + 1) * W]) for j in range(nc)]
+            kept = []
+            for ln in lines:
+                if ln not in seen:
+                    seen.add(ln)
+                    kept.append(ln)
+            out[i] = (nc, len(kept), " ".join(kept))
+        return out
+
+    df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in docs.items()])
+    got = {
+        r["doc_id"]: (r["n_lines"], r["n_kept"], r["clean_text"])
+        for r in line_dedup_global(df, window=W).collect()
+    }
+    assert got == ref()
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_span_dedup_matches_python_reference(spark, seed):
+    """Randomized corpora vs a direct single-node implementation of
+    keep-first span excision (winner = min (doc, pos) per L-shingle;
+    every other occurrence's L tokens excised)."""
+    import random
+
+    from pyspark.sql import Row
+
+    from route81_spark.ops.corpus import span_dedup_global
+
+    rng = random.Random(100 + seed)
+    vocab = ["x", "y", "z"]
+    docs = {
+        i: " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 10)))
+        for i in range(25)
+    }
+    L = 3
+
+    def ref():
+        first = {}
+        for i in sorted(docs):
+            toks = docs[i].split()
+            for p in range(max(len(toks) - L + 1, 0)):
+                key = tuple(toks[p:p + L])
+                first.setdefault(key, (i, p))
+        out = {}
+        for i in sorted(docs):
+            toks = docs[i].split()
+            drop = [False] * len(toks)
+            for p in range(max(len(toks) - L + 1, 0)):
+                if first[tuple(toks[p:p + L])] != (i, p):
+                    for t in range(p, p + L):
+                        drop[t] = True
+            kept = [t for t, d in zip(toks, drop) if not d]
+            out[i] = (len(toks), sum(drop), " ".join(kept))
+        return out
+
+    df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in docs.items()])
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_dropped"], r["clean_text"])
+        for r in span_dedup_global(df, min_tokens=L).collect()
+    }
+    assert got == ref()
