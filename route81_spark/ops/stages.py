@@ -608,3 +608,35 @@ def _temperature_mix(df: DataFrame, arg: dict) -> DataFrame:
 
 
 register_stage("$temperatureMix", _temperature_mix)
+
+
+def _quality_apply(df: DataFrame, arg: dict) -> DataFrame:
+    from route81_spark.ops.corpus import apply_quality_model, quality_model
+    from route81_spark.pipeline import compiler
+
+    if "modelFrom" in arg:
+        model = compiler._resolve_collection(arg["modelFrom"])
+    elif "trainSeedField" in arg:
+        seed = F.col(arg["trainSeedField"])
+        if "seedValue" in arg:
+            seed = seed == F.lit(arg["seedValue"])
+        model = quality_model(
+            df,
+            seed,
+            text_col=arg.get("textField", "text"),
+            id_col=arg.get("idField", "doc_id"),
+        )
+    else:
+        raise ValueError(
+            "$qualityApply requires modelFrom (a trained (b, w) collection) "
+            "or trainSeedField (train on this corpus first)"
+        )
+    return apply_quality_model(
+        df,
+        model,
+        text_col=arg.get("textField", "text"),
+        id_col=arg.get("idField", "doc_id"),
+    )
+
+
+register_stage("$qualityApply", _quality_apply)

@@ -793,3 +793,38 @@ def test_decontaminate_excise_stage(spark):
             apply_pipeline(docs, [{"$decontaminateExcise": {}}]).collect()
     finally:
         compiler.set_collection_resolver(None)
+
+
+def test_quality_apply_stage(spark):
+    import pytest as pt
+    from pyspark.sql import Row
+
+    from route81_spark.ops.corpus import quality_model
+    from route81_spark.pipeline import apply_pipeline, compiler
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, lab="seed", text="good words make good docs here"),
+            Row(doc_id=2, lab="raw", text="good words make good docs here"),
+            Row(doc_id=3, lab="raw", text="zz yy xx ww vv uu"),
+        ]
+    )
+    inline = {r["doc_id"]: r for r in apply_pipeline(
+        docs, [{"$qualityApply": {"trainSeedField": "lab", "seedValue": "seed"}}]
+    ).collect()}
+    assert inline[2]["pred_keep"] == 1 and inline[3]["pred_keep"] == 0
+    # pre-trained model through the collection resolver
+    from pyspark.sql import functions as SF
+
+    model = quality_model(docs, SF.col("lab") == "seed")
+    compiler.set_collection_resolver(lambda name: {"qmodel": model}[name])
+    try:
+        via_model = {r["doc_id"]: r for r in apply_pipeline(
+            docs, [{"$qualityApply": {"modelFrom": "qmodel"}}]
+        ).collect()}
+        assert {k: (v["score"], v["pred_keep"]) for k, v in via_model.items()} == \
+               {k: (v["score"], v["pred_keep"]) for k, v in inline.items()}
+    finally:
+        compiler.set_collection_resolver(None)
+    with pt.raises(ValueError, match="qualityApply"):
+        apply_pipeline(docs, [{"$qualityApply": {}}]).collect()
