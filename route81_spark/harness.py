@@ -6200,6 +6200,50 @@ def text_quality_apply(spark, sf_dir):
     return apply_quality_model(docs, model)
 
 
+@_q(
+    "corpus_fim",
+    # FIM split points regenerated from the md5-derived 60-bit hashes
+    # (seed 7): sel = h(id) % 100 < 50, p1 = 1 + h(id|a) % (n-2),
+    # p2 = p1 + 1 + h(id|b) % (n - p1 - 1); PSM re-ordering with the
+    # same inclusive token slices
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    b AS (
+      SELECT doc_id, tk, len(tk) AS n,
+             ('0x' || substr(md5('7|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+               % 100 AS sel,
+             ('0x' || substr(md5('7|' || CAST(doc_id AS VARCHAR) || '|a'), 1, 15))::BIGINT AS ha,
+             ('0x' || substr(md5('7|' || CAST(doc_id AS VARCHAR) || '|b'), 1, 15))::BIGINT AS hb
+      FROM t
+    ),
+    c AS (
+      SELECT doc_id, tk, n, hb, (sel < 50 AND n >= 4) AS pick,
+             CASE WHEN n >= 4 THEN 1 + ha % (n - 2) END AS p1
+      FROM b
+    ),
+    d AS (
+      SELECT *, CASE WHEN pick THEN p1 + 1 + hb % (n - p1 - 1) END AS p2 FROM c
+    )
+    SELECT doc_id, CAST(pick AS INT) AS fim,
+           CASE WHEN pick THEN
+             '<fim_prefix> ' || coalesce(array_to_string(tk[1:p1], ' '), '')
+             || ' <fim_suffix> ' || coalesce(array_to_string(tk[p2+1:n], ' '), '')
+             || ' <fim_middle> ' || coalesce(array_to_string(tk[p1+1:p2], ' '), '')
+           ELSE coalesce(array_to_string(tk, ' '), '') END AS text_out
+    FROM d
+    """,
+)
+def corpus_fim(spark, sf_dir):
+    """Fill-in-the-middle augmentation at rate 0.5: hash-selected docs
+    re-ordered as <fim_prefix> P <fim_suffix> S <fim_middle> M with
+    integer split points; everything else passes through."""
+    from route81_spark.io import ensure_parallelism
+    from route81_spark.ops.corpus import fim_transform
+
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    return fim_transform(docs, rate=0.5)
+
+
 @_q("media_audio_dedup")  # no SQL oracle BY NECESSITY: WAV decode +
 # rfft fingerprint are numpy inside mapInPandas (same class as
 # media_features/media_image_dedup). Deterministic generation keeps

@@ -1773,3 +1773,60 @@ def apply_quality_model(
         .cast("int")
         .alias("pred_keep"),
     )
+
+
+def fim_transform(
+    df: DataFrame,
+    rate: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 7,
+) -> DataFrame:
+    """Fill-in-the-middle transformation (Bavarian et al. 2022): for a
+    deterministic `rate` share of documents, pick two hash-derived
+    token split points and emit the PSM re-ordering
+    <fim_prefix> P <fim_suffix> S <fim_middle> M — the data
+    augmentation that teaches causal code models infilling. Docs not
+    selected (or too short: < 4 tokens) pass through unchanged with
+    fim = 0. Every decision is integer (60-bit md5-derived hashes of
+    the doc id, modular split points), so an oracle reproduces the
+    exact same splits; the whole op is one per-row projection — no
+    shuffle, stream-legal."""
+    from route81_spark.ops.dedup import h64
+    from route81_spark.ops.text import tokens
+
+    if not (0 <= rate <= 1):
+        raise ValueError("rate must be in [0, 1]")
+    ids = F.col(id_col).cast("string")
+
+    def with_tk(tk: Column) -> Column:
+        n = F.size(tk)
+        pick = (F.pmod(h64(ids, seed), F.lit(100)) < F.lit(int(rate * 100))) & (
+            n >= 4
+        )
+        p1 = F.lit(1) + F.pmod(h64(F.concat(ids, F.lit("|a")), seed), n - 2)
+        p2 = p1 + 1 + F.pmod(
+            F.when(n - p1 - 1 > 0, h64(F.concat(ids, F.lit("|b")), seed)).otherwise(
+                F.lit(0)
+            ),
+            F.greatest(n - p1 - 1, F.lit(1)),
+        )
+        psm = F.concat(
+            F.lit("<fim_prefix> "),
+            F.concat_ws(" ", F.slice(tk, 1, p1)),
+            F.lit(" <fim_suffix> "),
+            F.concat_ws(" ", F.slice(tk, p2 + 1, n - p2)),
+            F.lit(" <fim_middle> "),
+            F.concat_ws(" ", F.slice(tk, p1 + 1, p2 - p1)),
+        )
+        return F.struct(
+            pick.cast("int").alias("fim"),
+            F.when(pick, psm).otherwise(F.concat_ws(" ", tk)).alias("text_out"),
+        )
+
+    st = F.get(F.transform(F.array(tokens(F.col(text_col))), with_tk), 0)
+    return df.select(F.col(id_col), st.alias("__st")).select(
+        id_col,
+        F.col("__st.fim").alias("fim"),
+        F.col("__st.text_out").alias("text_out"),
+    )

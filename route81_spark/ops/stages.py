@@ -640,3 +640,18 @@ def _quality_apply(df: DataFrame, arg: dict) -> DataFrame:
 
 
 register_stage("$qualityApply", _quality_apply)
+
+
+def _fim(df: DataFrame, arg: dict) -> DataFrame:
+    from route81_spark.ops.corpus import fim_transform
+
+    return fim_transform(
+        df,
+        rate=float(arg.get("rate", 0.5)),
+        text_col=arg.get("textField", "text"),
+        id_col=arg.get("idField", "doc_id"),
+        seed=int(arg.get("seed", 7)),
+    )
+
+
+register_stage("$fimTransform", _fim)

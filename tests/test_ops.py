@@ -1981,3 +1981,34 @@ def test_fingerprint_dedup_against_index(spark):
         for r in fingerprint_dedup_against(a_new, a_index, hash_col="afp").collect()
     )
     assert a_surv == [3 * g + 2 for g in range(4)]
+
+
+def test_fim_transform_reconstruction_invariant(spark):
+    """PSM re-ordering must be lossless: suffix+prefix+middle token
+    multisets reassemble the original doc, middle is non-empty, and
+    rate=0 / short docs pass through untouched."""
+    import pytest
+    import re
+    from pyspark.sql import Row
+
+    from route81_spark.ops.corpus import fim_transform
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=" ".join(f"t{j}" for j in range(4 + i))) for i in range(12)]
+        + [Row(doc_id=100, text="a b"), Row(doc_id=101, text="")]
+    )
+    out = {r["doc_id"]: r for r in fim_transform(docs, rate=1.0).collect()}
+    m = re.compile(r"<fim_prefix> (.*) <fim_suffix> (.*) <fim_middle> (.*)")
+    for i in range(12):
+        assert out[i]["fim"] == 1
+        pre, suf, mid = m.fullmatch(out[i]["text_out"]).groups()
+        # exact in-order reconstruction: prefix + middle + suffix
+        assert pre.split() + mid.split() + suf.split() == [
+            f"t{j}" for j in range(4 + i)
+        ]
+        assert pre and mid, "prefix and middle must be non-empty"
+    assert out[100]["fim"] == 0 and out[100]["text_out"] == "a b"
+    assert out[101]["fim"] == 0 and out[101]["text_out"] == ""
+    assert all(r["fim"] == 0 for r in fim_transform(docs, rate=0.0).collect())
+    with pytest.raises(ValueError, match="rate"):
+        fim_transform(docs, rate=1.5)
