@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "corpus_bpe_encode",  # train 6 merges + replace-chain subword encode
     "sim_hard_negatives", # cross-label top-k (map-side filter + window limit)
     "text_ccnet_buckets", # bigram-LM NLL + per-source ntile
+    "corpus_fim",         # FIM PSM re-ordering (pure per-row projection)
 ]
 
 
