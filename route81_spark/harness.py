@@ -4279,6 +4279,46 @@ def corpus_pack(spark, sf_dir):
 
 
 @_q(
+    "corpus_pack_layout",
+    # corpus_pack's oracle + per-(shard, bin) running token offsets —
+    # the attention/loss-mask layout inside each packed window
+    f"""
+    WITH t AS (SELECT doc_id, len({_TOKS}) AS n_tokens FROM documents),
+    s AS (
+      SELECT doc_id, n_tokens,
+             CAST(('0x' || substr(md5('shuffle0|s|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                  % 4 AS INT) AS shard,
+             md5('shuffle0|o|' || CAST(doc_id AS VARCHAR)) AS oh
+      FROM t
+    ),
+    p AS (
+      SELECT doc_id, n_tokens, shard, oh,
+             CAST(floor((sum(n_tokens) OVER (PARTITION BY shard ORDER BY oh
+                         ROWS UNBOUNDED PRECEDING) - n_tokens) / 512.0) AS INT) AS bin
+      FROM s
+    )
+    SELECT doc_id, shard, bin,
+           CAST(sum(n_tokens) OVER (PARTITION BY shard, bin ORDER BY oh
+                ROWS UNBOUNDED PRECEDING) - n_tokens AS INT) AS off_start,
+           CAST(sum(n_tokens) OVER (PARTITION BY shard, bin ORDER BY oh
+                ROWS UNBOUNDED PRECEDING) AS INT) AS off_end
+    FROM p
+    """,
+)
+def corpus_pack_layout(spark, sf_dir):
+    """Sequence-packing layout: (shard, bin) assignment plus each doc's
+    [off_start, off_end) token offsets within its packed window — what
+    boundary-aware attention masks consume."""
+    from route81_spark.ops.corpus import pack_layout
+    from route81_spark.ops.text import token_count
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    return pack_layout(docs, budget_tokens=512, n_shards=4)
+
+
+@_q(
     "text_rare_bigrams",
     f"""
     WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents),

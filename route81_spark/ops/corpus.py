@@ -1830,3 +1830,42 @@ def fim_transform(
         F.col("__st.fim").alias("fim"),
         F.col("__st.text_out").alias("text_out"),
     )
+
+
+def pack_layout(
+    df: DataFrame,
+    budget_tokens: int,
+    n_shards: int = 8,
+    tokens_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    seed: str = "shuffle0",
+) -> DataFrame:
+    """Packing LAYOUT: pack_sequences' (shard, bin) assignment plus each
+    doc's token offsets [off_start, off_end) WITHIN its packed training
+    sequence — exactly what an attention-mask / loss-mask builder needs
+    to reset attention at doc boundaries inside a packed window (a doc
+    that straddles the budget keeps its offsets past `budget_tokens`,
+    which the consumer truncates-or-wraps; recording it beats silently
+    splitting). One extra window over the SAME (shard, order-hash) sort
+    pack_sequences already pays — no new shuffle."""
+    packed = pack_sequences(
+        df,
+        budget_tokens,
+        n_shards=n_shards,
+        tokens_col=tokens_col,
+        id_col=id_col,
+        seed=seed,
+    )
+    w = (
+        Window.partitionBy("shard", "bin")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = F.sum(F.col(tokens_col)).over(w) - F.col(tokens_col)
+    return packed.select(
+        id_col,
+        "shard",
+        "bin",
+        start.cast("int").alias("off_start"),
+        (start + F.col(tokens_col)).cast("int").alias("off_end"),
+    )

@@ -2012,3 +2012,30 @@ def test_fim_transform_reconstruction_invariant(spark):
     assert all(r["fim"] == 0 for r in fim_transform(docs, rate=0.0).collect())
     with pytest.raises(ValueError, match="rate"):
         fim_transform(docs, rate=1.5)
+
+
+def test_pack_layout_offsets_contiguous(spark):
+    """Within every (shard, bin): offsets start at 0, are contiguous
+    (doc i+1 starts where doc i ends), and only the LAST doc of a bin
+    may cross the budget (that is what makes the next doc open a new
+    bin under exclusive-prefix binning)."""
+    from pyspark.sql import Row
+
+    from route81_spark.ops.corpus import pack_layout
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, n_tokens=(i * 37) % 90 + 10) for i in range(200)]
+    )
+    rows = pack_layout(docs, budget_tokens=128, n_shards=4).collect()
+    by_bin: dict = {}
+    for r in rows:
+        by_bin.setdefault((r["shard"], r["bin"]), []).append(r)
+    assert sum(len(v) for v in by_bin.values()) == 200
+    for (shard, b), docs_in in by_bin.items():
+        docs_in.sort(key=lambda r: r["off_start"])
+        assert docs_in[0]["off_start"] == 0
+        for a, c in zip(docs_in, docs_in[1:]):
+            assert c["off_start"] == a["off_end"]
+        # all docs except possibly the last START inside the budget
+        for r in docs_in[:-1]:
+            assert r["off_start"] < 128
