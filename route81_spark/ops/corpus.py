@@ -1733,6 +1733,13 @@ def apply_quality_model(
     from route81_spark.ops.util import det_round
 
     weights = {int(r["b"]): int(r["w"]) for r in model.collect()}
+    if len(weights) != n_buckets:
+        raise ValueError(
+            f"model covers {len(weights)} of {n_buckets} buckets — "
+            "apply_quality_model needs the COMPLETE table quality_model "
+            "produces (a missing bucket would null out every score that "
+            "touches it)"
+        )
     wmap = F.create_map(
         *[F.lit(x) for kv in sorted(weights.items()) for x in kv]
     )
