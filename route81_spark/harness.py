@@ -6284,19 +6284,122 @@ def corpus_fim(spark, sf_dir):
     return fim_transform(docs, rate=0.5)
 
 
-@_q("media_audio_dedup")  # no SQL oracle BY NECESSITY: WAV decode +
-# rfft fingerprint are numpy inside mapInPandas (same class as
-# media_features/media_image_dedup). Deterministic generation keeps
-# the rows-only check stable: 96 planted clips -> 64 survivors.
+@_q(
+    "media_audio_dedup",
+    # FULL value oracle (upgraded from rows-only, the audio analog of
+    # media_image_dedup's r6 upgrade): the aefp64 energy-envelope
+    # fingerprint is integer end to end — mix-generated samples,
+    # lossless PCM16 WAV round trip, s = u*gain with no division,
+    # E[f] = sum(s^2) in int64 — so DuckDB regenerates every SAMPLE
+    # (96 clips x 1950), recomputes every fingerprint bit-identically
+    # to the Spark decode path, applies the same hamming<=3 gate
+    # (brute force here; the banded join finds the identical pair set
+    # by pigeonhole at max_hamming<bands) and resolves clusters with
+    # the recursive-CC min-id pattern. What SQL cannot replicate (the
+    # RIFF container encode/decode) is exactly what the byte-exact
+    # WAV codec golden tests cover. The rfft 'spectral' fingerprint
+    # variant stays pytest-covered (floats can't cross engines).
+    """
+    WITH RECURSIVE clips AS (
+      SELECT i AS media_id, i // 3 AS g, i % 3 AS v
+      FROM generate_series(0, 95) t(i)
+    ),
+    -- 65-frame integer gain envelope: 8 + mix32(g*97 + f*mult) % 24,
+    -- near-dups (v=1) bump one hash-chosen frame by +1
+    g0 AS (
+      SELECT media_id, g, v, f,
+             g * 97 + f * (CASE WHEN v = 2 THEN 13 ELSE 7 END) AS t
+      FROM clips, (SELECT unnest(range(0, 65)) AS f)
+    ),
+    gm1 AS (SELECT *, CAST((CAST(t AS HUGEINT) * 2654435761) % 4294967296 AS BIGINT) AS m1 FROM g0),
+    gm2 AS (SELECT *, xor(m1, m1 >> 16) AS m2 FROM gm1),
+    gm3 AS (SELECT *, CAST((CAST(m2 AS HUGEINT) * 2246822519) % 4294967296 AS BIGINT) AS m3 FROM gm2),
+    b0 AS (SELECT media_id, g, g * 53 + 11 AS t FROM clips WHERE v = 1),
+    bm1 AS (SELECT *, CAST((CAST(t AS HUGEINT) * 2654435761) % 4294967296 AS BIGINT) AS m1 FROM b0),
+    bm2 AS (SELECT *, xor(m1, m1 >> 16) AS m2 FROM bm1),
+    bm3 AS (SELECT *, CAST((CAST(m2 AS HUGEINT) * 2246822519) % 4294967296 AS BIGINT) AS m3 FROM bm2),
+    bump AS (SELECT media_id, xor(m3, m3 >> 13) % 65 AS f FROM bm3),
+    gains AS (
+      SELECT gm3.media_id, gm3.f,
+             8 + xor(m3, m3 >> 13) % 24
+               + CASE WHEN bump.media_id IS NOT NULL THEN 1 ELSE 0 END AS gain
+      FROM gm3 LEFT JOIN bump
+        ON bump.media_id = gm3.media_id AND bump.f = gm3.f
+    ),
+    -- base white noise u[t] = mix32(g*1009 + t) % 2001 - 1000
+    s0 AS (
+      SELECT media_id, g, v, s AS ts, g * 1009 + s AS t
+      FROM clips, (SELECT unnest(range(0, 1950)) AS s)
+    ),
+    sm1 AS (SELECT *, CAST((CAST(t AS HUGEINT) * 2654435761) % 4294967296 AS BIGINT) AS m1 FROM s0),
+    sm2 AS (SELECT *, xor(m1, m1 >> 16) AS m2 FROM sm1),
+    sm3 AS (SELECT *, CAST((CAST(m2 AS HUGEINT) * 2246822519) % 4294967296 AS BIGINT) AS m3 FROM sm2),
+    su AS (SELECT media_id, g, v, ts, xor(m3, m3 >> 13) % 2001 - 1000 AS u FROM sm3),
+    -- v=1 additive ±2 noise over mix32(g*31 + t + 777)
+    n0 AS (SELECT media_id, ts, g * 31 + ts + 777 AS t FROM su WHERE v = 1),
+    nm1 AS (SELECT *, CAST((CAST(t AS HUGEINT) * 2654435761) % 4294967296 AS BIGINT) AS m1 FROM n0),
+    nm2 AS (SELECT *, xor(m1, m1 >> 16) AS m2 FROM nm1),
+    nm3 AS (SELECT *, CAST((CAST(m2 AS HUGEINT) * 2246822519) % 4294967296 AS BIGINT) AS m3 FROM nm2),
+    nz AS (SELECT media_id, ts, xor(m3, m3 >> 13) % 5 - 2 AS nn FROM nm3),
+    samp AS (
+      SELECT su.media_id, su.ts,
+             su.u * gn.gain + coalesce(nz.nn, 0) AS s
+      FROM su
+      JOIN gains gn ON gn.media_id = su.media_id AND gn.f = su.ts // 30
+      LEFT JOIN nz ON nz.media_id = su.media_id AND nz.ts = su.ts
+    ),
+    -- ns=1950=65*30: aefp64's reduceat boundary (ts*65)//1950 == ts//30
+    eng AS (
+      SELECT media_id, ts // 30 AS f, sum(s * s) AS e
+      FROM samp GROUP BY 1, 2
+    ),
+    bits AS (
+      SELECT a.media_id, a.f AS i,
+             CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS bit
+      FROM eng a JOIN eng b ON a.media_id = b.media_id AND b.f = a.f + 1
+      WHERE a.f < 64
+    ),
+    fp AS (
+      SELECT media_id,
+             CAST(CASE WHEN u >= CAST(9223372036854775808 AS HUGEINT)
+                  THEN u - CAST(18446744073709551616 AS HUGEINT)
+                  ELSE u END AS BIGINT) AS afp
+      FROM (
+        SELECT media_id,
+               sum(CAST(bit AS HUGEINT)
+                   * (CAST(1 AS HUGEINT) << CAST(i AS INT))) AS u
+        FROM bits GROUP BY media_id
+      )
+    ),
+    pair AS (
+      SELECT a.media_id AS id_a, b.media_id AS id_b
+      FROM fp a JOIN fp b ON a.media_id < b.media_id
+      WHERE bit_count(xor(a.afp, b.afp)) <= 3
+    ),
+    bi AS (SELECT id_a AS s, id_b AS d FROM pair UNION ALL SELECT id_b, id_a FROM pair),
+    reach(id, r) AS (
+      SELECT DISTINCT s, s FROM bi
+      UNION
+      SELECT bi.s, reach.r FROM bi JOIN reach ON bi.d = reach.id
+    ),
+    losers AS (SELECT id FROM reach GROUP BY id HAVING min(r) <> id)
+    SELECT media_id, 'audio' AS kind, 'audio/wav' AS mime
+    FROM clips
+    WHERE media_id NOT IN (SELECT id FROM losers)
+""",
+)
 def media_audio_dedup(spark, sf_dir):
     """Perceptual audio dedup through the pipeline-JSON surface:
-    spectral-band fingerprint -> banded hamming join -> CC -> min-id
-    representative, on really-encoded PCM16 WAV with planted -40 dB
-    noisy near-dups."""
-    from route81_spark.ops.multimodal import synthetic_audio_corpus
+    integer energy-envelope fingerprint (aefp64) -> banded hamming
+    join -> CC -> min-id representative, on really-encoded PCM16 WAV
+    with planted re-encode-grade near-dups (±2 additive noise + one
+    +1 gain-frame bump)."""
+    from route81_spark.ops.multimodal import synthetic_audio_corpus_int
 
-    corp = synthetic_audio_corpus(spark, n=96)
-    out = apply_pipeline(corp, [{"$audioDedup": {"maxHamming": 3}}])
+    corp = synthetic_audio_corpus_int(spark, n=96)
+    out = apply_pipeline(
+        corp, [{"$audioDedup": {"maxHamming": 3, "method": "energy"}}]
+    )
     return out.select("media_id", "kind", F.col("meta.mime").alias("mime"))
 
 

@@ -837,19 +837,57 @@ def afp64(samples: np.ndarray) -> int:
     return v - (1 << 64) if v >= 1 << 63 else v
 
 
+def aefp64(samples: np.ndarray) -> int:
+    """64-bit INTEGER energy-envelope fingerprint: mono-mix (channel
+    SUM, exact) -> 65 equal time frames -> frame energy E[f] =
+    sum(s^2) (int64, exact) -> bit i set iff E[i+1] > E[i].
+
+    The integer twin of afp64: same band-delta idea applied to the
+    time-domain energy envelope instead of the spectrum. Gain-invariant
+    (comparisons survive any positive scale) and — unlike the rfft
+    path — bit-identical across platforms/BLAS builds, so the same
+    clip fingerprints identically on every executor of a heterogeneous
+    cluster AND the whole dedup is replicable in plain SQL (the
+    media_audio_dedup oracle recomputes every bit from regenerated
+    samples)."""
+    x = np.asarray(samples, dtype=np.int64)
+    if x.ndim > 1:
+        x = x.sum(axis=1)
+    n = len(x)
+    if n < 65:
+        raise ValueError("clip too short for a 65-frame fingerprint")
+    b = (np.arange(66) * n) // 65
+    E = np.add.reduceat(x * x, b[:-1])
+    v = 0
+    for i, t in enumerate(E[1:] > E[:-1]):
+        if t:
+            v |= 1 << i
+    return v - (1 << 64) if v >= 1 << 63 else v
+
+
 _AFP_SCHEMA = "media_id long, mime string, afp long, decodable boolean"
 
 
-def audio_fingerprint(df: DataFrame) -> DataFrame:
-    """Per-clip spectral fingerprint in the same Arrow decode pass as
+def audio_fingerprint(df: DataFrame, method: str = "spectral") -> DataFrame:
+    """Per-clip fingerprint in the same Arrow decode pass as
     image_dhash: PCM16 WAV payloads REALLY decode; anything else
     yields (afp NULL, decodable false) — same loud gate, no fake
-    hashes. Payload bytes never leave the map task."""
+    hashes. Payload bytes never leave the map task.
+
+    method='spectral' (afp64, rfft band deltas) or 'energy' (aefp64,
+    integer envelope deltas — deterministic cross-platform and
+    SQL-replicable)."""
+    if method not in ("spectral", "energy"):
+        raise ValueError(f"unknown audio fingerprint method {method!r}")
 
     def one(payload, mime):
         if mime != "audio/wav" or payload is None:
             return None
         samples, _rate = decode_wav_pcm16(payload)
+        if method == "energy":
+            if len(samples) < 65:  # fewer samples than frames
+                return None
+            return aefp64(samples)
         if (len(samples) // 2) < 65:  # rfft bins minus DC < bands
             return None  # too short to fingerprint -> decodable false
         return afp64(samples)
@@ -870,7 +908,12 @@ def audio_fingerprint(df: DataFrame) -> DataFrame:
     return src.mapInPandas(run, schema=_AFP_SCHEMA)
 
 
-def audio_dedup(df: DataFrame, max_hamming: int = 3, bands: int = 4) -> DataFrame:
+def audio_dedup(
+    df: DataFrame,
+    max_hamming: int = 3,
+    bands: int = 4,
+    method: str = "spectral",
+) -> DataFrame:
     """Perceptual audio dedup: spectral fingerprint -> the SAME banded
     hamming candidate join image_dhash uses (hash_col swapped) -> CC ->
     min-id representative. Survivors of `df` via left-anti on id;
@@ -883,7 +926,7 @@ def audio_dedup(df: DataFrame, max_hamming: int = 3, bands: int = 4) -> DataFram
     slice."""
     from route81_spark.ops.dedup import near_dup_clusters
 
-    fps = audio_fingerprint(df)
+    fps = audio_fingerprint(df, method=method)
     pairs = image_near_dup_pairs(
         fps, max_hamming=max_hamming, bands=bands, hash_col="afp"
     )
@@ -944,6 +987,74 @@ def synthetic_audio_corpus(spark, n: int = 96, rate: int = 8000) -> DataFrame:
                         "width": None,
                         "height": None,
                         "duration_ms": int(250),
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return spark.range(n).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def synthetic_audio_corpus_int(spark, n: int = 96, ns: int = 1950) -> DataFrame:
+    """INTEGER-exact PCM16 WAV corpus with planted near-dups — the
+    audio analog of the integer image corpus that made
+    media_image_dedup fully oracle-checkable. Every sample is a pure
+    integer function of (clip, t), so a SQL engine can regenerate the
+    waveform and recompute each aefp64 bit exactly.
+
+    Triples g = id // 3:
+      id%3==0  base clip: white mix-noise u[t] in [-1000, 1000] shaped
+               by a 65-frame integer gain envelope (8..31, +1 bump
+               headroom); s = u*gain (|s| <= 32002, no division — floor-vs-trunc never
+               enters)
+      id%3==1  the same clip + deterministic ±2 additive noise AND one
+               hash-chosen frame's gain bumped by +1 (a re-encode-grade
+               near-dup: the bump flips 0-2 envelope bits where the
+               neighboring gains were near-tied, so the planted pairs
+               actually exercise the hamming tolerance — measured
+               31 pairs at 0 bits, 1 pair at 1 bit, n=96)
+      id%3==2  same base noise, different gain envelope (distinct
+               clip: measured hamming >= 15 vs its group at n=96)
+
+    ns=1950 = 65*30 keeps aefp64's reduceat boundaries at exact
+    multiples of 30 (frame = t // 30 in the oracle)."""
+
+    def mix32(x):
+        x = np.asarray(x, dtype=np.uint64)
+        x = (x * np.uint64(2654435761)) & np.uint64(0xFFFFFFFF)
+        x ^= x >> np.uint64(16)
+        x = (x * np.uint64(2246822519)) & np.uint64(0xFFFFFFFF)
+        x ^= x >> np.uint64(13)
+        return x
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        t = np.arange(ns)
+        fidx = (t * 65) // ns
+        for pdf in batches:
+            out: dict[str, list] = {"media_id": [], "kind": [], "payload": [], "meta": []}
+            for mid in pdf["id"]:
+                mid = int(mid)
+                g, v = mid // 3, mid % 3
+                u = (mix32(g * 1009 + t) % np.uint64(2001)).astype(np.int64) - 1000
+                gains = 8 + (
+                    mix32(g * 97 + np.arange(65) * (13 if v == 2 else 7))
+                    % np.uint64(24)
+                ).astype(np.int64)
+                if v == 1:
+                    gains[int(mix32(g * 53 + 11) % np.uint64(65))] += 1
+                s = u * gains[fidx]
+                if v == 1:
+                    s = s + (
+                        (mix32(g * 31 + t + 777) % np.uint64(5)).astype(np.int64) - 2
+                    )
+                out["media_id"].append(mid)
+                out["kind"].append("audio")
+                out["payload"].append(encode_wav_pcm16(s.astype(np.int16), 8000))
+                out["meta"].append(
+                    {
+                        "mime": "audio/wav",
+                        "width": None,
+                        "height": None,
+                        "duration_ms": int(ns * 1000 // 8000),
                     }
                 )
             yield pd.DataFrame(out)

@@ -554,6 +554,7 @@ def _audio_dedup(df: DataFrame, arg: dict) -> DataFrame:
         df,
         max_hamming=int(arg.get("maxHamming", 4)),
         bands=int(arg.get("bands", 4)),
+        method=arg.get("method", "spectral"),
     )
 
 

@@ -1813,6 +1813,37 @@ def test_audio_dedup_planted_near_dups_and_gate(spark):
     assert audio_dedup(fake).count() == 12
 
 
+def test_audio_energy_fingerprint_integer_corpus(spark):
+    """The integer energy-envelope path (aefp64 over the int corpus):
+    Spark fingerprints through the REAL WAV encode/decode round trip
+    must equal direct-numpy aefp64 on the generated samples; planted
+    near-dups collapse onto min-id under method='energy'; the stereo
+    mono-mix is an exact channel sum."""
+    import numpy as np
+
+    from route81_spark.ops.multimodal import (
+        aefp64, audio_dedup, audio_fingerprint, decode_wav_pcm16,
+        synthetic_audio_corpus_int,
+    )
+
+    corp = synthetic_audio_corpus_int(spark, 24)
+    raw = {r["media_id"]: bytes(r["payload"]) for r in corp.collect()}
+    fps = {r["media_id"]: r["afp"]
+           for r in audio_fingerprint(corp, method="energy").collect()}
+    for mid, payload in raw.items():
+        samples, rate = decode_wav_pcm16(payload)
+        assert rate == 8000 and samples.shape == (1950, 1)
+        assert fps[mid] == aefp64(samples)
+    surv = sorted(r["media_id"] for r in
+                  audio_dedup(corp, max_hamming=3, method="energy").collect())
+    assert surv == sorted([3 * g for g in range(8)] + [3 * g + 2 for g in range(8)])
+    # exact stereo mono-mix: duplicating the channel scales every frame
+    # energy by 4 — comparisons (and so the fingerprint) are unchanged
+    mono, _ = decode_wav_pcm16(raw[0])
+    stereo = np.concatenate([mono, mono], axis=1)
+    assert aefp64(stereo) == aefp64(mono)
+
+
 def test_hard_negatives_cross_label_only(spark):
     """Negatives must (a) exclude every same-label vector — including
     the query itself — and (b) rank the closest wrong-label vector

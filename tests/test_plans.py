@@ -284,7 +284,8 @@ def test_no_row_python_udf_in_any_registered_query(spark):
                      "media_image_dedup",  # r6: synthetic corpus gen +
                      # dHash both run in the Arrow decode pass
                      "media_video_dedup",  # r6: two sample_frames passes
-                     "media_audio_dedup"}  # r6: WAV decode + rfft in Arrow pass
+                     "media_audio_dedup"}  # r6: WAV decode + integer
+    # energy fingerprint in the Arrow pass (oracle regenerates samples)
     offenders, arrow_unexpected = [], []
     for name, fn in harness.queries().items():
         plan = plan_of(fn(spark, SF), "simple")
