@@ -6555,6 +6555,85 @@ def corpus_bpe_encode(spark, sf_dir):
     return bpe_encode(docs, bpe_train_merges(docs, 6))
 
 
+@_q(
+    "corpus_chat_render",
+    # SQL twin: per-turn segments ordered by (ts, event_id); text via
+    # ordered string_agg; mask offsets via a window sum of preceding
+    # segment lengths (Spark folds the sorted turn array instead —
+    # same arithmetic, no window). chr(10) = the template's literal
+    # newline; '<|end|>' is 7 chars, '<|'+role+'|>\n' is len(role)+5.
+    """
+    WITH r AS (
+      SELECT user_id AS conv_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+             CASE WHEN event_type IN ('view', 'click', 'signup')
+                  THEN 'user' ELSE 'assistant' END AS role,
+             event_type AS content
+      FROM events
+    ),
+    seg AS (
+      SELECT conv_id, event_id, ts, role, content,
+             '<|' || role || '|>' || chr(10) || content || '<|end|>' || chr(10) AS seg,
+             length(role) + 5 AS open_len,
+             length(content) AS clen
+      FROM r
+    ),
+    pos AS (
+      SELECT *,
+             coalesce(sum(length(seg)) OVER (
+               PARTITION BY conv_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pos0
+      FROM seg
+    ),
+    agg AS (
+      SELECT conv_id, CAST(count(*) AS INT) AS n_turns,
+             string_agg(seg, '' ORDER BY ts, event_id) AS text
+      FROM pos GROUP BY 1
+    ),
+    mk AS (
+      SELECT conv_id,
+             flatten(list([pos0 + open_len, pos0 + open_len + clen + 7]
+                          ORDER BY ts, event_id)) AS mask
+      FROM pos WHERE role = 'assistant' GROUP BY 1
+    )
+    SELECT a.conv_id, a.n_turns, a.text,
+           coalesce(array_to_string(mk.mask, ','), '') AS mask
+    FROM agg a LEFT JOIN mk USING (conv_id)
+""",
+)
+def corpus_chat_render(spark, sf_dir):
+    """SFT chat-template rendering over the event log: each user's
+    events become one conversation (ordered by ts, event_id; view/
+    click/signup turns speak as 'user', purchase/error as
+    'assistant'), rendered to '<|role|>\\n{content}<|end|>\\n' segments
+    with [start, end) loss-mask char spans over assistant content +
+    stop token. One conv-key shuffle; render + offsets are a pure
+    Column fold over the sorted turn array."""
+    from route81_spark.ops.corpus import chat_render
+
+    ev = _t(spark, sf_dir, "events")
+    turns = ev.select(
+        F.col("user_id").alias("conv_id"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        "event_id",
+        F.when(
+            F.col("event_type").isin("view", "click", "signup"), "user"
+        ).otherwise("assistant").alias("role"),
+        F.col("event_type").alias("content"),
+    )
+    out = chat_render(turns, conv_col="conv_id", order_cols=("ts", "event_id"))
+    # registry surface stringifies the span array (the checker's row
+    # canonicalization str()s object cells: list vs ndarray reprs
+    # diverge); the operator API keeps the typed array<long>
+    return out.select(
+        "conv_id",
+        "n_turns",
+        "text",
+        F.array_join(
+            F.transform("mask", lambda x: x.cast("string")), ","
+        ).alias("mask"),
+    )
+
+
 # =====================================================================
 # Registry accessors (consumed by __spark_entry__)
 # =====================================================================

@@ -1876,3 +1876,77 @@ def pack_layout(
         start.cast("int").alias("off_start"),
         (start + F.col(tokens_col)).cast("int").alias("off_end"),
     )
+
+
+def chat_render(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    order_cols: tuple[str, ...] = ("ts",),
+    role_col: str = "role",
+    content_col: str = "content",
+    assistant_role: str = "assistant",
+) -> DataFrame:
+    """SFT/chat-template rendering with loss-mask spans: turn rows
+    (conv, order, role, content) become one training document per
+    conversation —
+
+      text = concat over turns of '<|{role}|>\\n{content}<|end|>\\n'
+      mask = flat [start, end) char-offset pairs covering each
+             assistant turn's content PLUS its '<|end|>' token (the
+             standard supervise-the-response-and-its-stop-token recipe;
+             the trailing newline stays unsupervised)
+
+    Returns (conv, n_turns int, text, mask array<long>). A tokenizer
+    downstream maps char spans to token spans (char offsets are the
+    engine-portable contract — token ids depend on the tokenizer).
+
+    Scale: ONE shuffle (partial-merge collect_list on the conv key);
+    per-conv state is bounded by conversation length, never corpus
+    size; the render + offset fold are pure Column expressions
+    (array_sort + aggregate), zero Python. At 100 TB conversations are
+    the natural unit of parallelism — no window, no self-join."""
+    o_fields = [F.col(c).alias(f"o{i}") for i, c in enumerate(order_cols)]
+    turns = df.select(
+        F.col(conv_col),
+        F.struct(
+            *o_fields,
+            F.col(role_col).alias("role"),
+            F.col(content_col).alias("content"),
+        ).alias("t"),
+    )
+    agg = turns.groupBy(conv_col).agg(
+        F.array_sort(F.collect_list("t")).alias("ts")
+    )
+
+    def seg(t: Column) -> Column:
+        return F.concat(
+            F.lit("<|"), t["role"], F.lit("|>\n"), t["content"], F.lit("<|end|>\n")
+        )
+
+    def step(acc: Column, t: Column) -> Column:
+        open_len = F.length(t["role"]) + F.lit(5)  # '<|' + '|>' + '\n'
+        clen = F.length(t["content"])
+        start = acc["pos"] + open_len
+        end_m = start + clen + F.lit(7)  # '<|end|>'
+        seg_len = open_len + clen + F.lit(8)  # + trailing '\n'
+        spans = F.when(
+            t["role"] == F.lit(assistant_role),
+            F.concat(
+                acc["spans"], F.array(start.cast("long"), end_m.cast("long"))
+            ),
+        ).otherwise(acc["spans"])
+        return F.struct(
+            (acc["pos"] + seg_len).cast("long").alias("pos"),
+            spans.alias("spans"),
+        )
+
+    zero = F.struct(
+        F.lit(0).cast("long").alias("pos"),
+        F.array().cast("array<long>").alias("spans"),
+    )
+    return agg.select(
+        conv_col,
+        F.size("ts").alias("n_turns"),
+        F.array_join(F.transform("ts", seg), "").alias("text"),
+        F.aggregate("ts", zero, step)["spans"].alias("mask"),
+    )

@@ -570,8 +570,22 @@ def _video_dedup(df: DataFrame, arg: dict) -> DataFrame:
     )
 
 
+def _chat_render(df: DataFrame, arg: dict) -> DataFrame:
+    from route81_spark.ops.corpus import chat_render
+
+    return chat_render(
+        df,
+        conv_col=arg.get("convField", "conv_id"),
+        order_cols=tuple(arg.get("orderFields", ["ts"])),
+        role_col=arg.get("roleField", "role"),
+        content_col=arg.get("contentField", "content"),
+        assistant_role=arg.get("assistantRole", "assistant"),
+    )
+
+
 register_stage("$audioDedup", _audio_dedup)
 register_stage("$videoDedup", _video_dedup)
+register_stage("$chatRender", _chat_render)
 
 
 def _decontaminate_excise(df: DataFrame, arg: dict) -> DataFrame:

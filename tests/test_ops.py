@@ -2070,3 +2070,45 @@ def test_pack_layout_offsets_contiguous(spark):
         # all docs except possibly the last START inside the budget
         for r in docs_in[:-1]:
             assert r["off_start"] < 128
+
+
+def test_chat_render_mask_spans_recover_assistant_text(spark):
+    """The loss-mask contract, checked by construction: slicing the
+    rendered text with each [start, end) span must recover exactly
+    the assistant turn's content + '<|end|>' (and nothing else);
+    all-user conversations get an empty mask; turn order follows the
+    order columns, not input row order."""
+    from pyspark.sql import Row
+
+    from route81_spark.ops.corpus import chat_render
+    from route81_spark.pipeline import apply_pipeline
+
+    rows = [
+        Row(conv_id=1, ts=3, role="assistant", content="sure, done"),
+        Row(conv_id=1, ts=1, role="user", content="hi"),
+        Row(conv_id=1, ts=2, role="user", content="do the thing"),
+        Row(conv_id=1, ts=4, role="assistant", content="bye"),
+        Row(conv_id=2, ts=1, role="user", content="lonely"),
+    ]
+    df = spark.createDataFrame(rows)
+    out = {r["conv_id"]: r for r in chat_render(df, order_cols=("ts",)).collect()}
+
+    r1 = out[1]
+    assert r1["n_turns"] == 4
+    assert r1["text"].startswith("<|user|>\nhi<|end|>\n<|user|>\ndo the thing")
+    spans = list(zip(r1["mask"][0::2], r1["mask"][1::2]))
+    got = [r1["text"][s:e] for s, e in spans]
+    assert got == ["sure, done<|end|>", "bye<|end|>"]
+    # nothing outside the spans contains assistant content
+    assert r1["text"].count("sure, done") == 1
+
+    r2 = out[2]
+    assert r2["mask"] == [] and r2["n_turns"] == 1
+    assert r2["text"] == "<|user|>\nlonely<|end|>\n"
+
+    via_stage = apply_pipeline(
+        df, [{"$chatRender": {"orderFields": ["ts"]}}]
+    )
+    assert {r["conv_id"]: r["text"] for r in via_stage.collect()} == {
+        1: r1["text"], 2: r2["text"],
+    }
