@@ -6634,6 +6634,39 @@ def corpus_chat_render(spark, sf_dir):
     )
 
 
+@_q(
+    "corpus_canary",
+    # The oracle replants every canary from the hash arithmetic alone:
+    # selection = h60 % 8 == 0, payload = decimal h60, splice position
+    # p = h60 % (len+1) — the detected first-occurrence offset is then
+    # p+2 by construction (substr(1..p) + ' ' + canary). Spark really
+    # splices + regex-scans; SQL predicts where the scan must land.
+    """
+    SELECT doc_id,
+           'CANARY-' || CAST(('0x' || substr(md5('canary0|payload|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS VARCHAR) AS canary,
+           CAST(('0x' || substr(md5('canary0|pos|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                % (length(text) + 1) + 2 AS INT) AS found_at
+    FROM documents
+    WHERE ('0x' || substr(md5('canary0|sel|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 8 = 0
+""",
+)
+def corpus_canary(spark, sf_dir):
+    """Memorization-probe round trip through the pipeline surface:
+    plant hash-rate canaries (1/8 of docs, unique 'CANARY-<h60>'
+    markers at hash-derived splice points), then detect them by regex
+    scan — (doc_id, canary, found_at). Both halves are pure map-side
+    Column work; the planting is reproducible from the seed alone."""
+    docs = _t(spark, sf_dir, "documents")
+    out = apply_pipeline(
+        docs,
+        [
+            {"$insertCanaries": {"rate": [1, 8], "seed": "canary0"}},
+            {"$detectCanaries": {}},
+        ],
+    )
+    return out
+
+
 # =====================================================================
 # Registry accessors (consumed by __spark_entry__)
 # =====================================================================

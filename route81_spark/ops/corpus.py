@@ -1950,3 +1950,92 @@ def chat_render(
         F.array_join(F.transform("ts", seg), "").alias("text"),
         F.aggregate("ts", zero, step)["spans"].alias("mask"),
     )
+
+
+def _h60(col: Column, seed: str) -> Column:
+    """60-bit non-negative cross-engine hash (first 15 md5 hex digits),
+    the integer sibling of split_hash — replicable in any SQL engine
+    via ('0x' || substr(md5(...), 1, 15))::BIGINT."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{seed}|"), col.cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
+def insert_canaries(
+    df: DataFrame,
+    rate: tuple[int, int] = (1, 8),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: str = "canary0",
+) -> DataFrame:
+    """Memorization-probe canaries (secret-sharer style): a
+    deterministic hash-rate subset of docs gets a unique marker string
+    'CANARY-<60-bit-id>' spliced in at a hash-derived character
+    position. Training on the output and later prompting for canaries
+    measures verbatim memorization; the insertion being hash-derived
+    (not rand()) means reruns, repartitions, and incremental appends
+    plant the SAME canaries — the probe set is reproducible without
+    storing it.
+
+    Adds is_canary boolean and canary_id (string, NULL when not
+    selected); text is modified only for selected rows. Pure Column
+    expressions — zero shuffle, zero Python; scales as a map."""
+    num, den = rate
+    if not (0 < num <= den):
+        raise ValueError("rate must be a fraction in (0, 1]")
+    ids = F.col(id_col)
+    text = F.col(text_col)
+    sel = _h60(ids, f"{seed}|sel") % den < num
+    canary = F.concat(
+        F.lit("CANARY-"), _h60(ids, f"{seed}|payload").cast("string")
+    )
+    pos = F.pmod(_h60(ids, f"{seed}|pos"), F.length(text) + 1)
+    spliced = F.concat(
+        F.substring(text, F.lit(1), pos),
+        F.lit(" "),
+        canary,
+        F.lit(" "),
+        F.substr(text, pos + 1),
+    )
+    return df.withColumns(
+        {
+            text_col: F.when(sel, spliced).otherwise(text),
+            "is_canary": sel,
+            "canary_id": F.when(sel, canary),
+        }
+    )
+
+
+def detect_canaries(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    pattern: str = "CANARY-[0-9]+",
+) -> DataFrame:
+    """The read side of the probe: scan any corpus (or model-generated
+    samples) for canary markers. Returns one row per hit:
+    (id, canary, found_at 1-based char position of the FIRST
+    occurrence of that marker). Pure per-row regex + explode — no
+    shuffle; run it over generations to quantify leakage, over the
+    training corpus to verify planting, or over a third-party corpus
+    to detect contamination by your own probe set."""
+    ids = F.col(id_col)
+    hits = F.array_distinct(
+        F.regexp_extract_all(F.col(text_col), F.lit(f"({pattern})"), 1)
+    )
+    return (
+        df.select(ids, F.col(text_col), F.explode(hits).alias("canary"))
+        .select(
+            ids,
+            "canary",
+            # instr()/locate() only take literal needles through the
+            # Python API — call the SQL function with two Columns
+            F.call_function("instr", F.col(text_col), F.col("canary")).alias(
+                "found_at"
+            ),
+        )
+    )

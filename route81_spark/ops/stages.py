@@ -583,9 +583,35 @@ def _chat_render(df: DataFrame, arg: dict) -> DataFrame:
     )
 
 
+def _insert_canaries(df: DataFrame, arg: dict) -> DataFrame:
+    from route81_spark.ops.corpus import insert_canaries
+
+    num, den = arg.get("rate", [1, 8])
+    return insert_canaries(
+        df,
+        rate=(int(num), int(den)),
+        text_col=arg.get("textField", "text"),
+        id_col=arg.get("idField", "doc_id"),
+        seed=arg.get("seed", "canary0"),
+    )
+
+
+def _detect_canaries(df: DataFrame, arg: dict) -> DataFrame:
+    from route81_spark.ops.corpus import detect_canaries
+
+    return detect_canaries(
+        df,
+        text_col=arg.get("textField", "text"),
+        id_col=arg.get("idField", "doc_id"),
+        pattern=arg.get("pattern", "CANARY-[0-9]+"),
+    )
+
+
 register_stage("$audioDedup", _audio_dedup)
 register_stage("$videoDedup", _video_dedup)
 register_stage("$chatRender", _chat_render)
+register_stage("$insertCanaries", _insert_canaries)
+register_stage("$detectCanaries", _detect_canaries)
 
 
 def _decontaminate_excise(df: DataFrame, arg: dict) -> DataFrame:

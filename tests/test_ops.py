@@ -2112,3 +2112,43 @@ def test_chat_render_mask_spans_recover_assistant_text(spark):
     assert {r["conv_id"]: r["text"] for r in via_stage.collect()} == {
         1: r1["text"], 2: r2["text"],
     }
+
+
+def test_canary_round_trip_and_reproducibility(spark):
+    """Planting is text-preserving (cutting ' CANARY-n ' back out
+    restores the original byte-for-byte), detection finds EXACTLY the
+    planted set at the planted offsets, unselected rows are untouched,
+    and a re-run plants the identical canaries (hash-derived, no
+    rand())."""
+    from pyspark.sql import Row
+
+    from route81_spark.ops.corpus import detect_canaries, insert_canaries
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=f"alpha bravo {i} charlie delta") for i in range(64)]
+    )
+    planted = insert_canaries(docs, rate=(1, 4), seed="t").collect()
+    orig = {i: f"alpha bravo {i} charlie delta" for i in range(64)}
+    n_sel = 0
+    for r in planted:
+        if not r["is_canary"]:
+            assert r["text"] == orig[r["doc_id"]] and r["canary_id"] is None
+            continue
+        n_sel += 1
+        assert r["canary_id"].startswith("CANARY-")
+        assert r["text"].replace(f" {r['canary_id']} ", "", 1) == orig[r["doc_id"]]
+    assert 0 < n_sel < 64
+    det = detect_canaries(
+        spark.createDataFrame([Row(doc_id=r["doc_id"], text=r["text"]) for r in planted])
+    ).collect()
+    got = {(r["doc_id"], r["canary"]) for r in det}
+    want = {(r["doc_id"], r["canary_id"]) for r in planted if r["is_canary"]}
+    assert got == want
+    for r in det:
+        full = {p["doc_id"]: p["text"] for p in planted}[r["doc_id"]]
+        s = r["found_at"] - 1
+        assert full[s : s + len(r["canary"])] == r["canary"]
+    again = insert_canaries(docs, rate=(1, 4), seed="t").collect()
+    assert {(r["doc_id"], r["canary_id"]) for r in again} == {
+        (r["doc_id"], r["canary_id"]) for r in planted
+    }
