@@ -6667,6 +6667,61 @@ def corpus_canary(spark, sf_dir):
     return out
 
 
+# normalize_text's 10-step chain, mirrored as nested DuckDB
+# regexp_replace(..., 'g') in the SAME order (order matters: space
+# folding before run-collapsing). Literal unicode via Python \\u
+# escapes so both engines see identical characters.
+_NORM_SQL = (
+    "regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+    "regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+    "{x},"
+    r" '[\x00-\x08\x0B-\x1F\x7F]', '', 'g'),"
+    " '[‘’‛]', '''', 'g'),"
+    " '[“”‟]', '\"', 'g'),"
+    " '[–—―]', '-', 'g'),"
+    " '…', '...', 'g'),"
+    " '[  -  　]', ' ', 'g'),"
+    r" '[ \t]+', ' ', 'g'),"
+    r" ' ?\n ?', chr(10), 'g'),"
+    r" '\n{{3,}}', chr(10)||chr(10), 'g'),"
+    r" '^\s+|\s+$', '', 'g')"
+)
+
+
+@_q(
+    "corpus_normalize",
+    # the wrapper first dirties each doc deterministically (NBSP for
+    # every space, curly-quoted prefix, em dash, tab + newline runs +
+    # ellipsis suffix) so the chain has real work to undo at any SF —
+    # the raw synthetic docs are already clean ASCII.
+    f"""
+    WITH m AS (
+      SELECT doc_id,
+             '  “q” — ' || replace(text, ' ', chr(160))
+             || ' ' || chr(9) || repeat(chr(10), 3) || '…  ' AS t
+      FROM documents
+    )
+    SELECT doc_id, {_NORM_SQL.format(x='t')} AS clean
+    FROM m
+""",
+)
+def corpus_normalize(spark, sf_dir):
+    """C4/Dolma-style character normalization: control-char strip,
+    unicode punctuation/space folding, whitespace run collapse,
+    paragraph-preserving newline squeeze, trim — one JVM regexp chain
+    (zero shuffle, zero Python), applied here to deterministically
+    dirtied docs so the oracle exercises every step."""
+    from route81_spark.ops.text import normalize_text
+
+    docs = _t(spark, sf_dir, "documents")
+    messy = F.concat(
+        F.lit("  “q” — "),
+        F.translate(F.col("text"), " ", " "),
+        F.lit(" \t\n\n\n…  "),
+    )
+    return docs.select("doc_id", normalize_text(messy).alias("clean"))
+
+
 # =====================================================================
 # Registry accessors (consumed by __spark_entry__)
 # =====================================================================

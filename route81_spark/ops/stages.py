@@ -610,8 +610,16 @@ def _detect_canaries(df: DataFrame, arg: dict) -> DataFrame:
 register_stage("$audioDedup", _audio_dedup)
 register_stage("$videoDedup", _video_dedup)
 register_stage("$chatRender", _chat_render)
+def _normalize_text(df: DataFrame, arg: dict) -> DataFrame:
+    from route81_spark.ops.text import normalize_text
+
+    src = arg.get("textField", "text")
+    return df.withColumn(arg.get("outputField", src), normalize_text(F.col(src)))
+
+
 register_stage("$insertCanaries", _insert_canaries)
 register_stage("$detectCanaries", _detect_canaries)
+register_stage("$normalizeText", _normalize_text)
 
 
 def _decontaminate_excise(df: DataFrame, arg: dict) -> DataFrame:

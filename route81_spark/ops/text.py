@@ -540,3 +540,33 @@ def compression_ratio(
     return sel.mapInPandas(
         run, schema=f"{id_col} {id_type}, n_bytes long, deflate_ratio double"
     )
+
+
+def normalize_text(col: Column) -> Column:
+    """C4/Dolma-style character normalization as ONE pure-Column
+    regexp chain (JVM-side, whole-stage-codegen friendly; replicable
+    step for step in any RE2/PCRE engine — the corpus_normalize oracle
+    mirrors each stage with regexp_replace(..., 'g')):
+
+      1. drop control chars except tab/newline (incl. DEL)
+      2. fold unicode punctuation: curly quotes -> ASCII quotes,
+         en/em/horizontal-bar dashes -> '-', ellipsis -> '...',
+         NBSP + unicode space family -> plain space
+      3. collapse space/tab runs -> one space; strip spaces hugging a
+         newline
+      4. collapse 3+ newlines -> exactly 2 (paragraphs survive,
+         vertical noise doesn't)
+      5. trim leading/trailing whitespace
+
+    Order matters (space folding must precede run-collapsing); keep
+    the oracle chain in the same order when editing."""
+    c = F.regexp_replace(col, r"[\x00-\x08\x0B-\x1F\x7F]", "")
+    c = F.regexp_replace(c, "[\u2018\u2019\u201B]", "'")
+    c = F.regexp_replace(c, '[\u201C\u201D\u201F]', '"')
+    c = F.regexp_replace(c, "[\u2013\u2014\u2015]", "-")
+    c = F.regexp_replace(c, "\u2026", "...")
+    c = F.regexp_replace(c, "[\u00A0\u2000-\u200A\u202F\u3000]", " ")
+    c = F.regexp_replace(c, r"[ \t]+", " ")
+    c = F.regexp_replace(c, r" ?\n ?", "\n")
+    c = F.regexp_replace(c, r"\n{3,}", "\n\n")
+    return F.regexp_replace(c, r"^\s+|\s+$", "")

@@ -2152,3 +2152,35 @@ def test_canary_round_trip_and_reproducibility(spark):
     assert {(r["doc_id"], r["canary_id"]) for r in again} == {
         (r["doc_id"], r["canary_id"]) for r in planted
     }
+
+
+def test_normalize_text_stages_and_idempotence(spark):
+    """Each normalization class folds as documented; the chain is
+    idempotent (normalize(normalize(x)) == normalize(x)); tabs/newlines
+    survive step 1 while other control chars don't; the $normalizeText
+    stage rewrites in place."""
+    from pyspark.sql import Row
+
+    from route81_spark.ops.text import normalize_text
+    from route81_spark.pipeline import apply_pipeline
+
+    cases = [
+        ("\x00a\x07b\x7fc", "abc"),                      # control strip
+        ("‘q’ “w”", "'q' \"w\""),     # quote folding
+        ("a–b—c…", "a-b-c..."),            # dashes + ellipsis
+        ("a  b　c", "a b c"),               # unicode spaces
+        ("a \t  b", "a b"),                               # run collapse
+        ("a \n b\n\n\n\n\nc", "a\nb\n\nc"),               # newline hygiene
+        ("  padded  ", "padded"),
+    ]
+    df = spark.createDataFrame([Row(i=i, text=t) for i, (t, _) in enumerate(cases)])
+    out = {r["i"]: r["clean"] for r in
+           df.select("i", normalize_text(F.col("text")).alias("clean")).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert out[i] == want, (i, out[i], want)
+    twice = df.select(
+        "i", normalize_text(normalize_text(F.col("text"))).alias("clean")
+    ).collect()
+    assert {r["i"]: r["clean"] for r in twice} == out
+    staged = apply_pipeline(df, [{"$normalizeText": {}}]).collect()
+    assert {r["i"]: r["text"] for r in staged} == out
