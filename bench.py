@@ -60,6 +60,10 @@ BENCH_QUERIES = [
     "sim_hard_negatives", # cross-label top-k (map-side filter + window limit)
     "text_ccnet_buckets", # bigram-LM NLL + per-source ntile
     "corpus_fim",         # FIM PSM re-ordering (pure per-row projection)
+    "corpus_chat_render", # SFT render + loss-mask fold (collect_list agg)
+    "corpus_normalize",   # 10-step regexp normalization chain (per-row JVM)
+    "corpus_canary",      # canary plant + regex detect (two map passes)
+    "text_stupid_backoff",  # trigram count tables + type-level backoff scoring
 ]
 
 

@@ -6722,6 +6722,75 @@ def corpus_normalize(spark, sf_dir):
     return docs.select("doc_id", normalize_text(messy).alias("clean"))
 
 
+@_q(
+    "text_stupid_backoff",
+    # count tables from the 90% md5-hash train split; the held-out 10%
+    # exercises every backoff tier. CASE arms and multiplication
+    # association mirror the Spark expression tree exactly
+    # (0.4*(0.4*s1), not (0.4*0.4)*s1) so only libm/summation ulps
+    # remain — absorbed by the repo-standard det_round(6).
+    f"""
+    WITH tk AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    tr AS (SELECT doc_id, tk, len(tk) AS n FROM tk),
+    train_ids AS (
+      SELECT doc_id FROM documents
+      WHERE ('0x' || substr(md5('sb0|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+            / 1152921504606846976.0 < 0.9
+    ),
+    tri_i AS (
+      SELECT doc_id, array_to_string(tk[i:i+2], ' ') AS tg
+      FROM tr, LATERAL (SELECT unnest(range(1, greatest(n - 2, 0) + 1)) AS i) s
+    ),
+    big_i AS (
+      SELECT doc_id, array_to_string(tk[i:i+1], ' ') AS bg
+      FROM tr, LATERAL (SELECT unnest(range(1, greatest(n - 1, 0) + 1)) AS i) s
+    ),
+    uni_i AS (SELECT doc_id, unnest(tk) AS w FROM tr),
+    tri_c AS (SELECT tg, count(*) AS c3 FROM tri_i JOIN train_ids USING (doc_id) GROUP BY 1),
+    big_c AS (SELECT bg, count(*) AS c2 FROM big_i JOIN train_ids USING (doc_id) GROUP BY 1),
+    uni_c AS (SELECT w, count(*) AS c1 FROM uni_i JOIN train_ids USING (doc_id) GROUP BY 1),
+    tot AS (SELECT sum(c1) AS N, count(*) AS V FROM uni_c),
+    tfb AS (SELECT doc_id, tg, count(*) AS n FROM tri_i GROUP BY 1, 2),
+    typed AS (
+      SELECT tg,
+             w[1] || ' ' || w[2] AS ctx,
+             w[2] || ' ' || w[3] AS bg2,
+             w[2] AS w2, w[3] AS w3
+      FROM (SELECT tg, string_split(tg, ' ') AS w FROM (SELECT DISTINCT tg FROM tfb))
+    ),
+    sc AS (
+      SELECT t.tg,
+             ln(CASE WHEN tri_c.c3 IS NOT NULL THEN tri_c.c3 / ctxc.c2
+                     WHEN bgc.c2 IS NOT NULL THEN 0.4 * (bgc.c2 / u2.c1)
+                     ELSE 0.4 * (0.4 * ((coalesce(u3.c1, 0) + 1) / (tot.N + tot.V)))
+                END) AS lp
+      FROM typed t
+      LEFT JOIN tri_c ON tri_c.tg = t.tg
+      LEFT JOIN big_c ctxc ON ctxc.bg = t.ctx
+      LEFT JOIN big_c bgc ON bgc.bg = t.bg2
+      LEFT JOIN uni_c u2 ON u2.w = t.w2
+      LEFT JOIN uni_c u3 ON u3.w = t.w3
+      CROSS JOIN tot
+    )
+    SELECT f.doc_id, CAST(sum(f.n) AS BIGINT) AS n_trigrams,
+           floor(-sum(f.n * sc.lp) / sum(f.n) * 1000000.0 + 0.5) / 1000000.0 AS sb_nll
+    FROM tfb f JOIN sc USING (tg)
+    GROUP BY 1
+""",
+)
+def text_stupid_backoff(spark, sf_dir):
+    """Stupid Backoff trigram scoring with count tables trained on the
+    deterministic 90% hash split and applied to ALL docs — the held-out
+    tail walks the trigram->bigram->unigram backoff chain. Corpus
+    reduces to three per-order count tables; each trigram TYPE is
+    scored once and joined back."""
+    from route81_spark.ops.corpus import split_hash, stupid_backoff_score
+
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.filter(split_hash(F.col("doc_id"), "sb0") < 0.9)
+    return stupid_backoff_score(docs, train_on=train)
+
+
 # =====================================================================
 # Registry accessors (consumed by __spark_entry__)
 # =====================================================================

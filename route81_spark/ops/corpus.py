@@ -2039,3 +2039,112 @@ def detect_canaries(
             ),
         )
     )
+
+
+def stupid_backoff_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    train_on: DataFrame | None = None,
+    alpha: float = 0.4,
+) -> DataFrame:
+    """Stupid Backoff trigram scoring (Brants et al. 2007 — THE
+    web-scale LM recipe: raw count ratios, a constant backoff factor,
+    no discount normalization, built from exactly the per-order count
+    tables a MapReduce/Spark job produces). Per trigram position:
+
+        S(w3|w1 w2) = c3/c(w1 w2)            if the trigram was seen
+                    = a * S(w3|w2)           else
+        S(w3|w2)    = c2/c(w2)               if the bigram was seen
+                    = a * S(w3)              else
+        S(w3)       = (c(w3)+1) / (N+V)      add-one unigram floor so
+                                             scoring is total (pure
+                                             Brants leaves OOV undefined)
+
+    Doc score = -mean ln S over its trigram instances, det-rounded to
+    6 dp (libm/summation-order ulps). Returns (id, n_trigrams, sb_nll);
+    docs with <3 tokens emit no row.
+
+    `train_on` picks the count corpus (held-out scoring exercises the
+    backoff chain; self-trained never backs off past the trigram).
+
+    100 TB shape: the corpus reduces to per-order count tables (three
+    map-side-combined aggs — the same three jobs Brants sharded);
+    scoring aggregates per-(doc, trigram) FIRST, scores each trigram
+    TYPE once (distinct types join the count tables, not instances),
+    and joins the vocab-bounded type scores back on the trigram key.
+    Only (id, tg, n) rows shuffle — never text."""
+    from route81_spark.io import ensure_parallelism
+    from route81_spark.ops.text import positional_ngrams, tokens
+    from route81_spark.ops.util import det_round
+
+    train = df if train_on is None else train_on
+
+    def grams(src: DataFrame, n: int) -> DataFrame:
+        base = ensure_parallelism(src.select(id_col, text_col))
+        bound = F.get(
+            F.transform(
+                F.array(tokens(F.col(text_col))),
+                lambda tk: positional_ngrams(tk, n),
+            ),
+            0,
+        )
+        g = base.select(F.col(id_col), F.explode(bound).alias("g"))
+        return g.filter(F.size(F.split(F.col("g"), " ")) == n)
+
+    tri = grams(train, 3).groupBy("g").agg(F.count(F.lit(1)).alias("c3"))
+    big = grams(train, 2).groupBy("g").agg(F.count(F.lit(1)).alias("c2"))
+    uni = grams(train, 1).groupBy("g").agg(F.count(F.lit(1)).alias("c1"))
+    tot = uni.agg(F.sum("c1").alias("N"), F.count(F.lit(1)).alias("V"))
+
+    tfb = grams(df, 3).groupBy(id_col, "g").agg(F.count(F.lit(1)).alias("n"))
+    w = F.split(F.col("g"), " ")
+    typed = tfb.select("g").distinct().select(
+        "g",
+        F.concat_ws(" ", w[0], w[1]).alias("__ctx"),
+        F.concat_ws(" ", w[1], w[2]).alias("__bg2"),
+        w[1].alias("__w2"),
+        w[2].alias("__w3"),
+    )
+    a = F.lit(float(alpha))
+    joined = (
+        typed.join(tri, "g", "left")
+        .join(
+            big.select(F.col("g").alias("__ctx"), F.col("c2").alias("__cctx")),
+            "__ctx",
+            "left",
+        )
+        .join(
+            big.select(F.col("g").alias("__bg2"), F.col("c2").alias("__cbg")),
+            "__bg2",
+            "left",
+        )
+        .join(
+            uni.select(F.col("g").alias("__w2"), F.col("c1").alias("__c1w2")),
+            "__w2",
+            "left",
+        )
+        .join(
+            uni.select(F.col("g").alias("__w3"), F.col("c1").alias("__c1w3")),
+            "__w3",
+            "left",
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    s1 = (F.coalesce(F.col("__c1w3"), F.lit(0)) + 1) / (F.col("N") + F.col("V"))
+    s2 = F.when(
+        F.col("__cbg").isNotNull(), F.col("__cbg") / F.col("__c1w2")
+    ).otherwise(a * s1)
+    s3 = F.when(
+        F.col("c3").isNotNull(), F.col("c3") / F.col("__cctx")
+    ).otherwise(a * s2)
+    scores = joined.select("g", F.log(s3).alias("__lp"))
+    agg = tfb.join(scores, "g").groupBy(id_col).agg(
+        F.sum("n").alias("n_trigrams"),
+        F.sum(F.col("n") * F.col("__lp")).alias("__slp"),
+    )
+    return agg.select(
+        F.col(id_col),
+        F.col("n_trigrams"),
+        det_round(-F.col("__slp") / F.col("n_trigrams"), 6).alias("sb_nll"),
+    )

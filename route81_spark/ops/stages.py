@@ -617,9 +617,31 @@ def _normalize_text(df: DataFrame, arg: dict) -> DataFrame:
     return df.withColumn(arg.get("outputField", src), normalize_text(F.col(src)))
 
 
+def _stupid_backoff(df: DataFrame, arg: dict) -> DataFrame:
+    from route81_spark.ops.corpus import split_hash, stupid_backoff_score
+
+    frac = float(arg.get("trainFraction", 1.0))
+    train = (
+        df.filter(
+            split_hash(F.col(arg.get("idField", "doc_id")), arg.get("seed", "sb0"))
+            < frac
+        )
+        if frac < 1.0
+        else None
+    )
+    return stupid_backoff_score(
+        df,
+        text_col=arg.get("textField", "text"),
+        id_col=arg.get("idField", "doc_id"),
+        train_on=train,
+        alpha=float(arg.get("alpha", 0.4)),
+    )
+
+
 register_stage("$insertCanaries", _insert_canaries)
 register_stage("$detectCanaries", _detect_canaries)
 register_stage("$normalizeText", _normalize_text)
+register_stage("$stupidBackoff", _stupid_backoff)
 
 
 def _decontaminate_excise(df: DataFrame, arg: dict) -> DataFrame:

@@ -2184,3 +2184,43 @@ def test_normalize_text_stages_and_idempotence(spark):
     assert {r["i"]: r["clean"] for r in twice} == out
     staged = apply_pipeline(df, [{"$normalizeText": {}}]).collect()
     assert {r["i"]: r["text"] for r in staged} == out
+
+
+def test_stupid_backoff_tiers_hand_computed(spark):
+    """Every backoff tier against hand arithmetic (train: 'a b c d' ->
+    N=4, V=4): seen trigram scores its raw ratio; unseen trigram with
+    seen suffix bigram takes 0.4 * c2/c1; unseen bigram falls to
+    0.4*0.4*(c(w3)+1)/(N+V); full OOV bottoms at the add-one floor.
+    Docs under 3 tokens emit no row; the $stupidBackoff stage agrees."""
+    import math
+
+    from pyspark.sql import Row
+
+    from route81_spark.ops.corpus import stupid_backoff_score
+    from route81_spark.pipeline import apply_pipeline
+
+    train = spark.createDataFrame([Row(doc_id=0, text="a b c d")])
+    score = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a b c"),   # seen trigram: S = 1/1
+            Row(doc_id=2, text="x b c"),   # backoff 1: 0.4 * (1/1)
+            Row(doc_id=3, text="x y c"),   # backoff 2: 0.4*0.4*(1+1)/8
+            Row(doc_id=4, text="x y z"),   # OOV floor: 0.4*0.4*(0+1)/8
+            Row(doc_id=5, text="a b"),     # <3 tokens: no row
+        ]
+    )
+    got = {
+        r["doc_id"]: (r["n_trigrams"], r["sb_nll"])
+        for r in stupid_backoff_score(score, train_on=train).collect()
+    }
+    r6 = lambda x: math.floor(x * 1e6 + 0.5) / 1e6
+    assert got == {
+        1: (1, r6(-math.log(1.0))),
+        2: (1, r6(-math.log(0.4 * 1.0))),
+        3: (1, r6(-math.log(0.4 * (0.4 * (2 / 8))))),
+        4: (1, r6(-math.log(0.4 * (0.4 * (1 / 8))))),
+    }
+    # self-trained via the stage: both trigrams seen with
+    # context-bigram count 1 -> S = 1/1 each, nll exactly 0
+    st = apply_pipeline(train, [{"$stupidBackoff": {}}]).collect()
+    assert st[0]["n_trigrams"] == 2 and st[0]["sb_nll"] == 0.0
