@@ -6791,6 +6791,58 @@ def text_stupid_backoff(spark, sf_dir):
     return stupid_backoff_score(docs, train_on=train)
 
 
+@_q(
+    "corpus_snapshot_diff",
+    # the 'new' snapshot is a deterministic mutation of documents:
+    # %11==0 dropped (removed), %7==3 text-revised (changed), %13==0
+    # re-added under shifted ids (added); both engines hash with
+    # lowercase-hex sha256 so old/new hashes compare bytewise.
+    """
+    WITH newt AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 3 THEN text || ' [rev2]' ELSE text END AS text
+      FROM documents WHERE doc_id % 11 <> 0
+      UNION ALL
+      SELECT doc_id + 10000000, 'new ' || text
+      FROM documents WHERE doc_id % 13 = 0
+    ),
+    oh AS (SELECT doc_id, sha256(text) AS old_hash FROM documents),
+    nh AS (SELECT doc_id, sha256(text) AS new_hash FROM newt)
+    SELECT coalesce(oh.doc_id, nh.doc_id) AS doc_id,
+           CASE WHEN oh.doc_id IS NULL THEN 'added'
+                WHEN nh.doc_id IS NULL THEN 'removed'
+                WHEN old_hash = new_hash THEN 'unchanged'
+                ELSE 'changed' END AS status,
+           old_hash, new_hash
+    FROM oh FULL OUTER JOIN nh ON oh.doc_id = nh.doc_id
+""",
+)
+def corpus_snapshot_diff(spark, sf_dir):
+    """Incremental-curation diff between two corpus snapshots: each
+    side reduces to (id, sha256) before ONE full-outer id join —
+    added/removed/changed/unchanged per id, text never joins."""
+    from route81_spark.ops.corpus import snapshot_diff
+
+    docs = _t(spark, sf_dir, "documents")
+    mid = F.col("doc_id")
+    new = (
+        docs.filter(mid % 11 != 0)
+        .select(
+            "doc_id",
+            F.when(mid % 7 == 3, F.concat(F.col("text"), F.lit(" [rev2]")))
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionByName(
+            docs.filter(mid % 13 == 0).select(
+                (mid + 10000000).alias("doc_id"),
+                F.concat(F.lit("new "), F.col("text")).alias("text"),
+            )
+        )
+    )
+    return snapshot_diff(docs, new)
+
+
 # =====================================================================
 # Registry accessors (consumed by __spark_entry__)
 # =====================================================================

@@ -2148,3 +2148,37 @@ def stupid_backoff_score(
         F.col("n_trigrams"),
         det_round(-F.col("__slp") / F.col("n_trigrams"), 6).alias("sb_nll"),
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus snapshot diff — the daily-ops primitive behind
+    incremental curation: given yesterday's and today's snapshots,
+    classify every id as added / removed / changed / unchanged by
+    content hash (sha256 of the text; ids compare even when the
+    payload moved files). Returns
+    (id, status, old_hash, new_hash) — feed `added` + `changed` into
+    the incremental dedup/index paths (dedup_against,
+    fingerprint_dedup_against) instead of recurating the world.
+
+    100 TB shape: each side reduces to (id, hash) BEFORE the join —
+    one full-outer hash join on the id key carrying two 64-char
+    strings per row, never text. Hashing is map-side JVM sha2."""
+    oh = old.select(
+        F.col(id_col), F.sha2(F.col(text_col), 256).alias("old_hash")
+    )
+    nh = new.select(
+        F.col(id_col), F.sha2(F.col(text_col), 256).alias("new_hash")
+    )
+    j = oh.join(nh, id_col, "full_outer")
+    status = (
+        F.when(F.col("old_hash").isNull(), "added")
+        .when(F.col("new_hash").isNull(), "removed")
+        .when(F.col("old_hash") == F.col("new_hash"), "unchanged")
+        .otherwise("changed")
+    )
+    return j.select(id_col, status.alias("status"), "old_hash", "new_hash")

@@ -638,10 +638,25 @@ def _stupid_backoff(df: DataFrame, arg: dict) -> DataFrame:
     )
 
 
+def _snapshot_diff(df: DataFrame, arg: dict) -> DataFrame:
+    """Pipeline input = the NEW snapshot; `from` names the OLD one
+    (resolved through the same collection hook $lookup uses)."""
+    from route81_spark.ops.corpus import snapshot_diff
+    from route81_spark.pipeline.compiler import _resolve_collection
+
+    return snapshot_diff(
+        _resolve_collection(arg["from"]),
+        df,
+        id_col=arg.get("idField", "doc_id"),
+        text_col=arg.get("textField", "text"),
+    )
+
+
 register_stage("$insertCanaries", _insert_canaries)
 register_stage("$detectCanaries", _detect_canaries)
 register_stage("$normalizeText", _normalize_text)
 register_stage("$stupidBackoff", _stupid_backoff)
+register_stage("$snapshotDiff", _snapshot_diff)
 
 
 def _decontaminate_excise(df: DataFrame, arg: dict) -> DataFrame:

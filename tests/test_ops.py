@@ -2224,3 +2224,36 @@ def test_stupid_backoff_tiers_hand_computed(spark):
     # context-bigram count 1 -> S = 1/1 each, nll exactly 0
     st = apply_pipeline(train, [{"$stupidBackoff": {}}]).collect()
     assert st[0]["n_trigrams"] == 2 and st[0]["sb_nll"] == 0.0
+
+
+def test_snapshot_diff_statuses_and_stage(spark):
+    """All four statuses classified correctly; the $snapshotDiff stage
+    reads the OLD snapshot through the $lookup collection hook with
+    the pipeline input as the NEW side."""
+    from pyspark.sql import Row
+
+    from route81_spark.ops.corpus import snapshot_diff
+    from route81_spark.pipeline import apply_pipeline, compiler
+
+    old = spark.createDataFrame(
+        [Row(doc_id=1, text="same"), Row(doc_id=2, text="before"),
+         Row(doc_id=3, text="gone")]
+    )
+    new = spark.createDataFrame(
+        [Row(doc_id=1, text="same"), Row(doc_id=2, text="after"),
+         Row(doc_id=4, text="fresh")]
+    )
+    got = {r["doc_id"]: r for r in snapshot_diff(old, new).collect()}
+    assert {i: r["status"] for i, r in got.items()} == {
+        1: "unchanged", 2: "changed", 3: "removed", 4: "added",
+    }
+    assert got[3]["new_hash"] is None and got[4]["old_hash"] is None
+    assert got[1]["old_hash"] == got[1]["new_hash"]
+    compiler.set_collection_resolver(lambda n: {"yesterday": old}[n])
+    try:
+        staged = apply_pipeline(new, [{"$snapshotDiff": {"from": "yesterday"}}])
+        assert {r["doc_id"]: r["status"] for r in staged.collect()} == {
+            i: r["status"] for i, r in got.items()
+        }
+    finally:
+        compiler.set_collection_resolver(None)

@@ -85,7 +85,23 @@ def ops() -> dict:
         "span_dedup": lambda d: _span_dedup(d),
         "quality_cls": lambda d: _quality_cls(d),
         "excise": lambda d: _excise(d),
+        "sbackoff": lambda d: _sbackoff(d),
+        "normalize": lambda d: _normalize(d),
     }
+
+
+def _sbackoff(d: DataFrame) -> DataFrame:
+    from route81_spark.ops.corpus import split_hash, stupid_backoff_score
+
+    return stupid_backoff_score(
+        d, train_on=d.filter(split_hash(F.col("doc_id"), "sb0") < 0.9)
+    )
+
+
+def _normalize(d: DataFrame) -> DataFrame:
+    from route81_spark.ops.text import normalize_text
+
+    return d.select("doc_id", normalize_text(F.col("text")).alias("clean"))
 
 
 def _line_dedup(d: DataFrame) -> DataFrame:
@@ -170,7 +186,23 @@ def event_ops() -> dict:
         "funnel": lambda ev: funnel_counts(ev, ["signup", "view", "purchase"]),
         "retention": retention_cohorts,
         "anomaly": lambda ev: rolling_zscore_anomalies(ev, order_tiebreak="event_id"),
+        "chat_render": _chat_render_ev,
     }
+
+
+def _chat_render_ev(ev: DataFrame) -> DataFrame:
+    from route81_spark.ops.corpus import chat_render
+
+    turns = ev.select(
+        F.col("user_id").alias("conv_id"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        "event_id",
+        F.when(
+            F.col("event_type").isin("view", "click", "signup"), "user"
+        ).otherwise("assistant").alias("role"),
+        F.col("event_type").alias("content"),
+    )
+    return chat_render(turns, conv_col="conv_id", order_cols=("ts", "event_id"))
 
 
 def hot_key_asof_probe(spark, n: int = 40_000_000) -> None:
