@@ -530,3 +530,47 @@ def test_streaming_quality_model_scoring(spark, tmp_path):
         batch[0]["score"], batch[0]["n_bigrams"])
     assert (got[102]["score"], got[102]["n_bigrams"]) == (
         batch[3]["score"], batch[3]["n_bigrams"])
+
+
+def test_streaming_normalize_and_canary_detection(spark, tmp_path):
+    """normalize_text and detect_canaries are stateless Column maps, so
+    they run on a Structured Stream in append mode with no watermark —
+    and produce exactly the batch results for the same rows (the
+    firehose-hygiene shape: normalize + scan-for-probes at intake)."""
+    from pyspark.sql import Row
+
+    from route81_spark.ops.corpus import detect_canaries, insert_canaries
+    from route81_spark.ops.text import normalize_text
+
+    base = spark.createDataFrame(
+        [Row(doc_id=i, text=f"  “doc {i}”  with junk\t\n\n\n\n end ")
+         for i in range(32)]
+    )
+    planted = insert_canaries(base, rate=(1, 2), seed="s")
+    rows = [
+        {"doc_id": r["doc_id"], "text": r["text"], "ts": "2024-01-01T00:00:00"}
+        for r in planted.collect()
+    ]
+    src = tmp_path / "src"
+    _write_batch(src / "b1.json", rows[:16])
+    _write_batch(src / "b2.json", rows[16:])
+    stream = spark.readStream.schema(DOC_SCHEMA).json(str(src))
+    cleaned = stream.select(
+        "doc_id", normalize_text(F.col("text")).alias("text")
+    )
+    out1, ck1 = tmp_path / "out1", tmp_path / "ck1"
+    _run_available_now(cleaned, out1, ck1)
+    got_norm = {r["doc_id"]: r["text"]
+                for r in spark.read.parquet(str(out1)).collect()}
+    want_norm = {r["doc_id"]: r["text"] for r in planted.select(
+        "doc_id", normalize_text(F.col("text")).alias("text")).collect()}
+    assert got_norm == want_norm
+
+    detected = detect_canaries(spark.readStream.schema(DOC_SCHEMA).json(str(src)))
+    out2, ck2 = tmp_path / "out2", tmp_path / "ck2"
+    _run_available_now(detected, out2, ck2)
+    got_det = {(r["doc_id"], r["canary"])
+               for r in spark.read.parquet(str(out2)).collect()}
+    want_det = {(r["doc_id"], r["canary_id"])
+                for r in planted.collect() if r["is_canary"]}
+    assert got_det == want_det and len(want_det) > 0
