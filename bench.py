@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "corpus_normalize",   # 10-step regexp normalization chain (per-row JVM)
     "corpus_canary",      # canary plant + regex detect (two map passes)
     "text_stupid_backoff",  # trigram count tables + type-level backoff scoring
+    "corpus_bloom_dedup",  # bloom bitmap build + map-only probe projection
 ]
 
 

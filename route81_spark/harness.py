@@ -6843,6 +6843,73 @@ def corpus_snapshot_diff(spark, sf_dir):
     return snapshot_diff(docs, new)
 
 
+@_q(
+    "corpus_bloom_dedup",
+    # mirror of ops.corpus.bloom_paragraph_dedup: the oracle replays
+    # Bloom semantics with SET membership — a probe unit is 'seen' iff
+    # all 3 of its md5-derived bit positions (mod 2^20) appear among
+    # the reference slice's positions. Identical to the bitmap because
+    # a bit is set iff some reference unit hashed onto that position
+    # (false positives = cross-unit position collisions, reproduced
+    # exactly). Units are the 4-token windows of the line-dedup
+    # arithmetic; ref slice = md5 60-bit doc hash < 2^59.
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    c AS (SELECT doc_id, tk,
+                 greatest(CAST(floor((len(tk) + 3) / 4.0) AS INT), 1) AS nc,
+                 ('0x' || substr(md5('bloomsplit0|' || CAST(doc_id AS VARCHAR)),
+                                 1, 15))::BIGINT < 576460752303423488 AS is_ref
+          FROM t),
+    ln AS (
+      SELECT doc_id, is_ref,
+             unnest(range(1, nc + 1)) AS i,
+             unnest(list_transform(range(1, nc + 1),
+                    i -> coalesce(array_to_string(tk[(i-1)*4+1:(i-1)*4+4], ' '), '')))
+               AS txt
+      FROM c
+    ),
+    hp AS (
+      SELECT doc_id, is_ref, i, txt,
+             ('0x' || substr(md5('bloom0|0|' || txt), 1, 15))::BIGINT % 1048576 AS h0,
+             ('0x' || substr(md5('bloom0|1|' || txt), 1, 15))::BIGINT % 1048576 AS h1,
+             ('0x' || substr(md5('bloom0|2|' || txt), 1, 15))::BIGINT % 1048576 AS h2
+      FROM ln
+    ),
+    refbits AS (
+      SELECT DISTINCT p FROM (
+        SELECT unnest([h0, h1, h2]) AS p FROM hp WHERE is_ref)
+    ),
+    probe AS (
+      SELECT doc_id, i, txt,
+             (h0 IN (SELECT p FROM refbits))
+             AND (h1 IN (SELECT p FROM refbits))
+             AND (h2 IN (SELECT p FROM refbits)) AS s
+      FROM hp WHERE NOT is_ref
+    )
+    SELECT doc_id,
+           CAST(count(*) AS INT) AS n_units,
+           CAST(sum(CASE WHEN s THEN 1 ELSE 0 END) AS INT) AS n_seen,
+           coalesce(string_agg(CASE WHEN NOT s THEN txt END, ' ' ORDER BY i), '')
+             AS clean_text
+    FROM probe GROUP BY doc_id
+""",
+)
+def corpus_bloom_dedup(spark, sf_dir):
+    """Dolma-style incremental-ingestion Bloom dedup: the
+    already-ingested half of the corpus (deterministic hash split)
+    builds a 2^20-bit / 3-hash paragraph Bloom bitmap; every unit of
+    the other half is dropped iff the filter claims it was seen, and
+    the probe docs are rebuilt. The probe pass is a pure per-row
+    projection against the 128 KiB bitmap literal — zero shuffles,
+    stream-legal."""
+    from route81_spark.io import ensure_parallelism
+    from route81_spark.ops.corpus import _h60, bloom_paragraph_dedup
+
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    ref = _h60(F.col("doc_id"), "bloomsplit0") < F.lit(1 << 59)
+    return bloom_paragraph_dedup(docs, ref, window=4)
+
+
 # =====================================================================
 # Registry accessors (consumed by __spark_entry__)
 # =====================================================================

@@ -2182,3 +2182,148 @@ def snapshot_diff(
         .otherwise("changed")
     )
     return j.select(id_col, status.alias("status"), "old_hash", "new_hash")
+
+
+def _bloom_positions(unit: Column, m_bits: int, k: int, seed: str) -> Column:
+    """Array of k bloom bit positions for one text unit — each an
+    independent md5-derived 60-bit hash mod m (cross-engine: DuckDB
+    computes the identical positions from the same md5 arithmetic)."""
+    return F.array(
+        *[(_h60(unit, f"{seed}|{i}") % F.lit(m_bits)) for i in range(k)]
+    )
+
+
+def bloom_build(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str | None = None,
+    window: int | None = None,
+    m_bits: int = 1 << 20,
+    k: int = 3,
+    seed: str = "bloom0",
+) -> DataFrame:
+    """Build a Bloom-filter bitmap of every paragraph/line unit in `df`
+    — the Dolma-style membership index an incremental ingestion pass
+    checks new crawl text against. Returns sparse bitmap rows
+    (word BIGINT in [0, m/64), bits BIGINT): word w's 64 bits OR-ed
+    over all unit-hash positions landing in it.
+
+    100 TB shape: units explode per-row, reduce to k integer positions
+    each BEFORE any shuffle, then ONE map-side-combinable bit_or hash
+    agg over at most m/64 distinct keys (m=2^20 -> <=16,384 rows,
+    128 KiB of filter). Raw text never shuffles; the filter is tiny by
+    construction no matter the corpus size — that bound is the entire
+    point of the structure (false-positive rate, not memory, is what
+    degrades as the corpus grows)."""
+    units = _line_array(text_col, sep, window)
+    pos = df.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    units, lambda u: _bloom_positions(u, m_bits, k, seed)
+                )
+            )
+        ).alias("__p")
+    )
+    word = F.call_function("shiftright", F.col("__p"), F.lit(6))
+    mask = F.call_function(
+        "shiftleft", F.lit(1).cast("long"), (F.col("__p") % 64).cast("int")
+    )
+    return pos.groupBy(word.alias("word")).agg(F.bit_or(mask).alias("bits"))
+
+
+def bloom_dense_words(bloom: DataFrame, m_bits: int = 1 << 20) -> list[int]:
+    """Materialize the sparse bitmap as a dense m/64-long word list for
+    literal broadcast. The collect is bounded BY CONSTRUCTION at
+    m/64 rows (16,384 longs = 128 KiB at the default m) — independent
+    of corpus size, the same bounded-collect contract as the PQ
+    codebook sample."""
+    n_words = m_bits >> 6
+    dense = [0] * n_words
+    for row in bloom.collect():
+        dense[int(row["word"])] = int(row["bits"])
+    return dense
+
+
+def bloom_apply(
+    df: DataFrame,
+    words: list[int],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str | None = None,
+    window: int | None = None,
+    k: int = 3,
+    seed: str = "bloom0",
+) -> DataFrame:
+    """Filter every unit of every document against a pre-built Bloom
+    bitmap (`words` from bloom_dense_words): a unit is `seen` iff ALL
+    k of its bit positions are set (false positives are inherent,
+    deterministic given the hashes, and replicated exactly by the
+    oracle's set-membership twin). Documents are rebuilt from their
+    unseen units in order. Returns (id, n_units, n_seen, clean_text).
+
+    100 TB shape: the bitmap rides along as ONE 128 KiB array literal,
+    so this is a pure per-row projection — zero shuffles, zero joins,
+    stream-legal (append-mode safe; pair with bloom_build on the
+    already-ingested index for incremental crawl dedup). Contrast
+    line_dedup_global, which needs the winner agg + text join because
+    it dedups a corpus against ITSELF."""
+    m_bits = len(words) << 6
+    lit_words = F.lit(words)
+
+    def seen(u: Column) -> Column:
+        return F.forall(
+            _bloom_positions(u, m_bits, k, seed),
+            lambda p: (
+                F.element_at(
+                    lit_words,
+                    (F.call_function("shiftright", p, F.lit(6)) + 1).cast("int"),
+                ).bitwiseAND(
+                    F.call_function(
+                        "shiftleft",
+                        F.lit(1).cast("long"),
+                        (p % 64).cast("int"),
+                    )
+                )
+                != 0
+            ),
+        )
+
+    units = _line_array(text_col, sep, window)
+    kept = F.filter(units, lambda u: ~seen(u))
+    joiner = sep if sep is not None else " "
+    return df.select(
+        F.col(id_col),
+        F.size(units).alias("n_units"),
+        (F.size(units) - F.size(kept)).alias("n_seen"),
+        F.array_join(kept, joiner).alias("clean_text"),
+    )
+
+
+def bloom_paragraph_dedup(
+    df: DataFrame,
+    ref_filter: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str | None = None,
+    window: int | None = None,
+    m_bits: int = 1 << 20,
+    k: int = 3,
+    seed: str = "bloom0",
+) -> DataFrame:
+    """End-to-end incremental-ingestion dedup (Dolma's paragraph Bloom
+    pass): build the bitmap from the already-ingested reference slice
+    (`ref_filter` true), then drop every probe-side unit the filter
+    claims to have seen and rebuild the probe documents. Returns probe
+    rows only: (id, n_units, n_seen, clean_text)."""
+    ref = df.filter(ref_filter)
+    probe = df.filter(~ref_filter)
+    bitmap = bloom_build(
+        ref, text_col, id_col, sep=sep, window=window,
+        m_bits=m_bits, k=k, seed=seed,
+    )
+    words = bloom_dense_words(bitmap, m_bits)
+    return bloom_apply(
+        probe, words, text_col, id_col, sep=sep, window=window, k=k, seed=seed
+    )

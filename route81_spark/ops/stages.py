@@ -652,6 +652,31 @@ def _snapshot_diff(df: DataFrame, arg: dict) -> DataFrame:
     )
 
 
+def _bloom_dedup(df: DataFrame, arg: dict) -> DataFrame:
+    """Incremental-ingestion Bloom dedup: `refSplit` carves the
+    already-ingested slice by deterministic hash (or pass a
+    pre-built dense `words` bitmap to skip the build phase)."""
+    from route81_spark.ops.corpus import _h60, bloom_apply, bloom_paragraph_dedup
+
+    kw = dict(
+        text_col=arg.get("textField", "text"),
+        id_col=arg.get("idField", "doc_id"),
+        sep=arg.get("sep"),
+        window=arg.get("window", 4 if arg.get("sep") is None else None),
+        k=int(arg.get("k", 3)),
+        seed=arg.get("seed", "bloom0"),
+    )
+    if "words" in arg:
+        return bloom_apply(df, [int(w) for w in arg["words"]], **kw)
+    num, den = arg.get("refSplit", [1, 2])
+    thr = (int(num) << 60) // int(den)
+    ref = _h60(F.col(kw["id_col"]), arg.get("splitSeed", "bloomsplit0")) < F.lit(thr)
+    return bloom_paragraph_dedup(
+        df, ref, m_bits=int(arg.get("mBits", 1 << 20)), **kw
+    )
+
+
+register_stage("$bloomDedup", _bloom_dedup)
 register_stage("$insertCanaries", _insert_canaries)
 register_stage("$detectCanaries", _detect_canaries)
 register_stage("$normalizeText", _normalize_text)

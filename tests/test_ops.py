@@ -2257,3 +2257,89 @@ def test_snapshot_diff_statuses_and_stage(spark):
         }
     finally:
         compiler.set_collection_resolver(None)
+
+
+def test_bloom_dedup_drops_planted_shared_units(spark):
+    """A probe paragraph that also appears in the reference slice is
+    dropped; unique probe paragraphs survive in order; reference docs
+    never appear in the output."""
+    from route81_spark.ops.corpus import bloom_paragraph_dedup
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="alpha beta\nshared paragraph here"),
+            Row(doc_id=100, text="shared paragraph here\nunique probe tail"),
+            Row(doc_id=101, text="all fresh\nnothing seen"),
+        ]
+    )
+    out = {
+        r["doc_id"]: r
+        for r in bloom_paragraph_dedup(
+            df, F.col("doc_id") < 10, sep="\n"
+        ).collect()
+    }
+    assert set(out) == {100, 101}
+    assert (out[100]["n_units"], out[100]["n_seen"]) == (2, 1)
+    assert out[100]["clean_text"] == "unique probe tail"
+    assert (out[101]["n_seen"], out[101]["clean_text"]) == (
+        0, "all fresh\nnothing seen")
+
+
+def test_bloom_bitmap_matches_python_reference_and_fp_determinism(spark):
+    """With a deliberately tiny filter (m=64 bits, k=2) false positives
+    MUST occur and MUST match an independent hashlib.md5 reference —
+    pinning both the cross-engine hash arithmetic and the bitwise
+    membership semantics."""
+    import hashlib
+
+    from route81_spark.ops.corpus import (
+        bloom_apply, bloom_build, bloom_dense_words)
+
+    def h60(u, seed):
+        return int(hashlib.md5(f"{seed}|{u}".encode()).hexdigest()[:15], 16)
+
+    m, k = 64, 2
+    ref_units = [f"ref unit {i}" for i in range(12)]
+    probe_units = [f"probe unit {i}" for i in range(40)]
+    ref = spark.createDataFrame([Row(doc_id=1, text="\n".join(ref_units))])
+    probe = spark.createDataFrame([Row(doc_id=2, text="\n".join(probe_units))])
+
+    bits = set()
+    for u in ref_units:
+        for i in range(k):
+            bits.add(h60(u, f"bloom0|{i}") % m)
+    want_words = [0]
+    for p in bits:
+        want_words[0] |= 1 << p
+    # sign-safe compare: Spark bit_or yields a signed 64-bit word
+    def signed(w):
+        return w - (1 << 64) if w >= (1 << 63) else w
+
+    got_words = bloom_dense_words(
+        bloom_build(ref, sep="\n", m_bits=m, k=k), m_bits=m)
+    assert got_words == [signed(want_words[0])]
+
+    out = bloom_apply(probe, got_words, sep="\n", k=k).collect()[0]
+    want_seen = [
+        u for u in probe_units
+        if all((want_words[0] >> (h60(u, f"bloom0|{i}") % m)) & 1 for i in range(k))
+    ]
+    assert out["n_seen"] == len(want_seen)
+    assert out["clean_text"] == "\n".join(
+        u for u in probe_units if u not in want_seen)
+    # the tiny filter is ~half full: false positives must actually occur
+    assert 0 < len(want_seen) < len(probe_units)
+
+
+def test_bloom_dedup_stage(spark):
+    from route81_spark.pipeline import apply_pipeline
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=f"unit a{i}\nunit b{i}") for i in range(20)]
+    )
+    staged = apply_pipeline(
+        df, [{"$bloomDedup": {"sep": "\n", "refSplit": [1, 2]}}])
+    assert set(staged.columns) == {"doc_id", "n_units", "n_seen", "clean_text"}
+    rows = staged.collect()
+    assert 0 < len(rows) < 20  # both splits non-empty at n=20
+    assert all(r["n_units"] == 2 for r in rows)

@@ -386,3 +386,16 @@ def test_span_dedup_text_shuffles_at_most_once(spark):
         if "hashpartitioning" in block and "text#" in block:
             text_shuffles += 1
     assert text_shuffles <= 1, plan
+
+
+def test_bloom_dedup_probe_is_map_only(spark):
+    """bloom_apply's contract: the probe phase carries the bitmap as a
+    128 KiB literal, so the returned plan has NO hash-partitioned
+    Exchange at all — a pure per-row projection (the build phase ran
+    as its own bounded job at construction time)."""
+    df = harness.QUERIES["corpus_bloom_dedup"](spark, SF)
+    plan = plan_of(df, "formatted")
+    for block in plan.split("\n\n"):
+        head = block.strip().splitlines()[0] if block.strip() else ""
+        if "Exchange" in head and "hashpartitioning" in block:
+            raise AssertionError(plan)

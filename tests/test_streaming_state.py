@@ -574,3 +574,41 @@ def test_streaming_normalize_and_canary_detection(spark, tmp_path):
     want_det = {(r["doc_id"], r["canary_id"])
                 for r in planted.collect() if r["is_canary"]}
     assert got_det == want_det and len(want_det) > 0
+
+
+def test_streaming_bloom_apply_matches_batch(spark, tmp_path):
+    """bloom_apply against a pre-built (static) bitmap is a stateless
+    per-row projection — stream-legal in append mode with no watermark
+    — and produces exactly the batch results: the incremental-crawl
+    intake shape (yesterday's index filters today's firehose)."""
+    from pyspark.sql import Row
+
+    from route81_spark.ops.corpus import (
+        bloom_apply, bloom_build, bloom_dense_words)
+
+    ref = spark.createDataFrame(
+        [Row(doc_id=i, text=f"seen unit {i} | common tail") for i in range(8)]
+    )
+    words = bloom_dense_words(
+        bloom_build(ref, sep=" | ", m_bits=1 << 12, k=3), m_bits=1 << 12)
+    rows = [
+        {"doc_id": 100 + i,
+         "text": (f"seen unit {i % 8} | fresh unit {i}" if i % 2
+                  else f"fresh unit {i} | common tail"),
+         "ts": "2024-01-01T00:00:00"}
+        for i in range(16)
+    ]
+    src = tmp_path / "src"
+    _write_batch(src / "b1.json", rows[:8])
+    _write_batch(src / "b2.json", rows[8:])
+    stream = spark.readStream.schema(DOC_SCHEMA).json(str(src))
+    out, ck = tmp_path / "out", tmp_path / "ck"
+    _run_available_now(bloom_apply(stream, words, sep=" | "), out, ck)
+    got = {r["doc_id"]: (r["n_units"], r["n_seen"], r["clean_text"])
+           for r in spark.read.parquet(str(out)).collect()}
+    batch_df = spark.createDataFrame([Row(doc_id=r["doc_id"], text=r["text"])
+                                      for r in rows])
+    want = {r["doc_id"]: (r["n_units"], r["n_seen"], r["clean_text"])
+            for r in bloom_apply(batch_df, words, sep=" | ").collect()}
+    assert got == want
+    assert all(n_seen == 1 for (_, n_seen, _) in want.values())
