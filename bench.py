@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "corpus_canary",      # canary plant + regex detect (two map passes)
     "text_stupid_backoff",  # trigram count tables + type-level backoff scoring
     "corpus_bloom_dedup",  # bloom bitmap build + map-only probe projection
+    "corpus_cdc_chunks",   # content-defined chunking + chunk dedup accounting
 ]
 
 

@@ -6910,6 +6910,63 @@ def corpus_bloom_dedup(spark, sf_dir):
     return bloom_paragraph_dedup(docs, ref, window=4)
 
 
+@_q(
+    "corpus_cdc_chunks",
+    # mirror of ops.dedup.cdc_chunk_stats: boundary after 1-based char
+    # position j (8 <= j < len) iff the md5 60-bit hash of the 8 chars
+    # ending at j is 0 mod 16; chunks hashed with a second md5 seed;
+    # each chunk-hash's first (doc, pos) occurrence is free, every
+    # repeat charges its bytes as duplicated. DuckDB picks winners with
+    # ROW_NUMBER where Spark reduces min(struct(doc,pos)) — same
+    # winner, skew-safe shape on the Spark side.
+    """
+    WITH d AS (SELECT doc_id, text, CAST(length(text) AS INT) AS L FROM documents),
+    b AS (SELECT doc_id, text, L,
+            CASE WHEN L >= 9 THEN
+              list_filter(range(8, L), j ->
+                ('0x' || substr(md5('cdcb0|' || substr(text, CAST(j - 7 AS INT), 8)),
+                                1, 15))::BIGINT % 16 = 0)
+            ELSE []::BIGINT[] END AS bnd
+          FROM d),
+    s AS (SELECT doc_id, text, L,
+                 [1] || list_transform(bnd, x -> x + 1) AS st,
+                 bnd || [L] AS en
+          FROM b),
+    ch AS (SELECT doc_id,
+                  unnest(range(1, len(st) + 1)) AS i,
+                  unnest(list_transform(range(1, len(st) + 1),
+                         i -> substr(text, CAST(st[i] AS INT),
+                                     CAST(en[i] - st[i] + 1 AS INT)))) AS c,
+                  unnest(list_transform(range(1, len(st) + 1),
+                         i -> en[i] - st[i] + 1)) AS clen
+           FROM s),
+    h AS (SELECT doc_id, i, clen,
+                 ('0x' || substr(md5('cdcc0|' || c), 1, 15))::BIGINT AS chash
+          FROM ch),
+    r AS (SELECT doc_id, i, clen,
+                 ROW_NUMBER() OVER (PARTITION BY chash ORDER BY doc_id, i) AS rn
+          FROM h)
+    SELECT doc_id,
+           CAST(count(*) AS INT) AS n_chunks,
+           CAST(sum(clen) AS BIGINT) AS total_chars,
+           CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS INT) AS n_dup_chunks,
+           CAST(sum(CASE WHEN rn > 1 THEN clen ELSE 0 END) AS BIGINT) AS dup_chars
+    FROM r GROUP BY doc_id
+""",
+)
+def corpus_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking + corpus-wide chunk dedup accounting
+    (the crawl-snapshot storage primitive): boundaries move with the
+    content so local edits re-align, every repeated chunk's bytes are
+    charged to the doc that repeats it. Chunk text reduces to
+    (hash, len) per row; only integer tuples shuffle."""
+    from route81_spark.io import ensure_parallelism
+    from route81_spark.ops.dedup import cdc_chunk_stats
+
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    return cdc_chunk_stats(docs)
+
+
 # =====================================================================
 # Registry accessors (consumed by __spark_entry__)
 # =====================================================================

@@ -766,3 +766,93 @@ def cluster_representatives(
         .select(id_col)
     )
     return df.join(F.broadcast(losers), id_col, "left_anti")
+
+
+def cdc_boundaries(
+    text: Column, k: int = 8, divisor: int = 16, seed: str = "cdcb0"
+) -> Column:
+    """Content-defined chunk boundary positions (Rabin/FastCDC family,
+    position-independence variant): position j (1-based, k <= j < len)
+    ends a chunk iff the md5-derived 60-bit hash of the k chars ending
+    at j is 0 mod `divisor` — so boundaries move WITH the content, and
+    an insertion near the front of a document shifts chunk alignment
+    only locally (the property that makes chunk-level dedup robust,
+    unlike fixed-width windows). Expected chunk length ~= divisor.
+    Dropping FastCDC's min/max-size clamps keeps every position's
+    boundary decision independent -> per-row parallel and exactly
+    SQL-replicable."""
+    ln = F.length(text)
+    return F.when(
+        ln >= k + 1,
+        F.filter(
+            F.sequence(F.lit(k), ln - 1),
+            lambda j: h64(F.substr(text, j - (k - 1), F.lit(k)), seed) % divisor
+            == 0,
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+
+
+def cdc_chunk_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    divisor: int = 16,
+    seed: str = "cdcb0",
+    content_seed: str = "cdcc0",
+) -> DataFrame:
+    """Content-defined chunking + corpus-wide chunk-level dedup
+    accounting — the storage/transfer primitive behind crawl-snapshot
+    dedup: split every document at content-defined boundaries, hash
+    each chunk, and charge every repeat of a chunk already seen at a
+    smaller (doc, position) as duplicated bytes. Returns per document
+    (id, n_chunks, total_chars, n_dup_chunks, dup_chars); the corpus
+    dedup ratio is sum(dup_chars)/sum(total_chars).
+
+    100 TB shape: chunk text reduces to (hash, len) integers PER ROW
+    before anything wide happens; the winner per chunk hash is one
+    map-side-combinable min(struct(doc,pos)) agg (skew-safe where a
+    ROW_NUMBER window over a hot chunk hash would serialize); the
+    exploded integer rows join the winners back on the hash and
+    re-aggregate per doc. Raw text NEVER shuffles — the only Exchanges
+    carry (hash, doc, pos, len) tuples."""
+    text = F.col(text_col)
+    bnd = cdc_boundaries(text, k=k, divisor=divisor, seed=seed)
+    starts = F.concat(F.array(F.lit(1)), F.transform(bnd, lambda b: b + 1))
+    ends = F.concat(bnd, F.array(F.length(text)))
+    chunks = F.transform(
+        F.sequence(F.lit(1), F.size(starts)),
+        lambda i: F.struct(
+            i.cast("int").alias("p"),
+            h64(
+                F.substr(
+                    text,
+                    F.element_at(starts, i),
+                    F.element_at(ends, i) - F.element_at(starts, i) + 1,
+                ),
+                content_seed,
+            ).alias("h"),
+            (F.element_at(ends, i) - F.element_at(starts, i) + 1)
+            .cast("int")
+            .alias("ln"),
+        ),
+    )
+    ex = df.select(F.col(id_col), F.explode(chunks).alias("c")).select(
+        F.col(id_col), F.col("c.p"), F.col("c.h"), F.col("c.ln")
+    )
+    winners = ex.groupBy("h").agg(
+        F.min(F.struct(F.col(id_col).alias("i"), F.col("p").alias("q"))).alias(
+            "w"
+        )
+    )
+    dup = (F.col("w.i") != F.col(id_col)) | (F.col("w.q") != F.col("p"))
+    return (
+        ex.join(winners, "h")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("int").alias("n_chunks"),
+            F.sum("ln").alias("total_chars"),
+            F.sum(dup.cast("int")).cast("int").alias("n_dup_chunks"),
+            F.sum(F.when(dup, F.col("ln")).otherwise(0)).alias("dup_chars"),
+        )
+    )

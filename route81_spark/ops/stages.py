@@ -676,6 +676,21 @@ def _bloom_dedup(df: DataFrame, arg: dict) -> DataFrame:
     )
 
 
+def _cdc_chunks(df: DataFrame, arg: dict) -> DataFrame:
+    from route81_spark.ops.dedup import cdc_chunk_stats
+
+    return cdc_chunk_stats(
+        df,
+        text_col=arg.get("textField", "text"),
+        id_col=arg.get("idField", "doc_id"),
+        k=int(arg.get("window", 8)),
+        divisor=int(arg.get("divisor", 16)),
+        seed=arg.get("seed", "cdcb0"),
+        content_seed=arg.get("contentSeed", "cdcc0"),
+    )
+
+
+register_stage("$cdcChunks", _cdc_chunks)
 register_stage("$bloomDedup", _bloom_dedup)
 register_stage("$insertCanaries", _insert_canaries)
 register_stage("$detectCanaries", _detect_canaries)

@@ -2343,3 +2343,90 @@ def test_bloom_dedup_stage(spark):
     rows = staged.collect()
     assert 0 < len(rows) < 20  # both splits non-empty at n=20
     assert all(r["n_units"] == 2 for r in rows)
+
+
+def _cdc_py_chunks(text, k=8, divisor=16):
+    """Independent hashlib reference for content-defined chunking."""
+    import hashlib
+
+    def h(s, seed):
+        return int(hashlib.md5(f"{seed}|{s}".encode()).hexdigest()[:15], 16)
+
+    bnd = [
+        j for j in range(k, len(text))
+        if h(text[j - k:j], "cdcb0") % divisor == 0
+    ] if len(text) >= k + 1 else []
+    starts = [0] + [b for b in bnd]
+    ends = bnd + [len(text)]
+    return [text[s:e] for s, e in zip(starts, ends)]
+
+
+def test_cdc_boundaries_match_hashlib_reference(spark):
+    from route81_spark.ops.dedup import cdc_boundaries
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "short",
+        "x" * 40,
+    ]
+    df = spark.createDataFrame([Row(i=i, text=t) for i, t in enumerate(texts)])
+    got = {
+        r["i"]: list(r["b"])
+        for r in df.select("i", cdc_boundaries(F.col("text")).alias("b")).collect()
+    }
+    for i, t in enumerate(texts):
+        chunks = _cdc_py_chunks(t)
+        # Spark boundaries are 1-based end positions of non-final chunks
+        want = []
+        pos = 0
+        for c in chunks[:-1]:
+            pos += len(c)
+            want.append(pos)
+        assert got[i] == want, (t, got[i], want)
+
+
+def test_cdc_chunks_realign_after_local_edit(spark):
+    """The defining CDC property: prepending text shifts every char
+    position, but chunk boundaries re-synchronize at the first
+    content-defined cut — the suffix chunks are IDENTICAL, so a
+    fixed-window scheme's total re-upload becomes a one-chunk delta."""
+    base = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+        "kilo lima mike november oscar papa quebec romeo sierra tango "
+        "uniform victor whiskey xray yankee zulu one two three four five"
+    )
+    a = _cdc_py_chunks(base)
+    b = _cdc_py_chunks("EDITED PREFIX >> " + base)
+    assert len(a) > 3 and len(b) > 3
+    # common suffix of the two chunk lists covers all but the head
+    n = 0
+    while n < min(len(a), len(b)) and a[-1 - n] == b[-1 - n]:
+        n += 1
+    assert n >= len(a) - 2, (a, b)
+
+    from route81_spark.ops.dedup import cdc_chunk_stats
+
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text=base), Row(doc_id=2, text="EDITED PREFIX >> " + base)]
+    )
+    got = {r["doc_id"]: r for r in cdc_chunk_stats(df).collect()}
+    # every re-synced suffix chunk of doc 2 is charged as duplicate
+    assert got[2]["n_dup_chunks"] >= n
+    assert got[1]["n_dup_chunks"] == 0
+
+
+def test_cdc_chunk_stats_identical_doc_fully_duplicated(spark):
+    from route81_spark.ops.dedup import cdc_chunk_stats
+    from route81_spark.pipeline import apply_pipeline
+
+    t = "repeat me " * 20
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text=t), Row(doc_id=2, text=t)]
+    )
+    got = {r["doc_id"]: r for r in cdc_chunk_stats(df).collect()}
+    assert got[2]["n_dup_chunks"] == got[2]["n_chunks"]  # all seen at doc 1
+    assert got[2]["dup_chars"] == got[2]["total_chars"] == len(t)
+    staged = apply_pipeline(df, [{"$cdcChunks": {}}]).collect()
+    assert {r["doc_id"]: r["n_chunks"] for r in staged} == {
+        i: r["n_chunks"] for i, r in got.items()
+    }

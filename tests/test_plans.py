@@ -399,3 +399,15 @@ def test_bloom_dedup_probe_is_map_only(spark):
         head = block.strip().splitlines()[0] if block.strip() else ""
         if "Exchange" in head and "hashpartitioning" in block:
             raise AssertionError(plan)
+
+
+def test_cdc_chunks_text_never_shuffles(spark):
+    """cdc_chunk_stats reduces chunk text to (hash, len) integers
+    per-row; NO hash-partitioned Exchange may carry the text column."""
+    df = harness.QUERIES["corpus_cdc_chunks"](spark, SF)
+    plan = plan_of(df, "formatted")
+    for block in plan.split("\n\n"):
+        head = block.strip().splitlines()[0] if block.strip() else ""
+        if "Exchange" not in head or "BroadcastExchange" in head:
+            continue
+        assert not ("hashpartitioning" in block and "text#" in block), plan
