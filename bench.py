@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "text_stupid_backoff",  # trigram count tables + type-level backoff scoring
     "corpus_bloom_dedup",  # bloom bitmap build + map-only probe projection
     "corpus_cdc_chunks",   # content-defined chunking + chunk dedup accounting
+    "dedup_containment",   # shingle-set containment pairs (inverted-index join)
 ]
 
 

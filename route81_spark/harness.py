@@ -6967,6 +6967,51 @@ def corpus_cdc_chunks(spark, sf_dir):
     return cdc_chunk_stats(docs)
 
 
+@_q(
+    "dedup_containment",
+    # mirror of ops.dedup.containment_pairs: distinct 3-token shingle
+    # sets (md5 60-bit, seed 19), stop-shingle prune at df>32, exact
+    # intersection via the inverted-index self-join, integer
+    # cross-product threshold 2*inter >= min(|A|,|B|). DuckDB joins
+    # where Spark joins — same sets, same winners.
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    sg AS (
+      SELECT DISTINCT doc_id AS i,
+             ('0x' || substr(md5('19|' || s), 1, 15))::BIGINT AS h
+      FROM (SELECT doc_id,
+                   unnest(list_transform(range(1, greatest(len(tk) - 2, 1) + 1),
+                          i -> coalesce(array_to_string(tk[i:i+2], ' '), ''))) AS s
+            FROM t)
+    ),
+    sz AS (SELECT i, CAST(count(*) AS BIGINT) AS sz FROM sg GROUP BY i),
+    hot AS (SELECT h FROM sg GROUP BY h HAVING count(*) > 32),
+    pr AS (SELECT i, h FROM sg WHERE h NOT IN (SELECT h FROM hot)),
+    pairs AS (
+      SELECT a.i AS id_a, b.i AS id_b, CAST(count(*) AS BIGINT) AS inter
+      FROM pr a JOIN pr b ON a.h = b.h AND a.i < b.i
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, inter, sa.sz AS size_a, sb.sz AS size_b,
+           floor(CAST(inter AS DOUBLE) / least(sa.sz, sb.sz) * 1000000.0 + 0.5)
+             / 1000000.0 AS containment
+    FROM pairs JOIN sz sa ON sa.i = id_a JOIN sz sb ON sb.i = id_b
+    WHERE inter * 2 >= least(sa.sz, sb.sz) * 1
+""",
+)
+def dedup_containment(spark, sf_dir):
+    """Asymmetric shingle-set containment pairs (quote/extraction
+    detection): |A∩B|/min(|A|,|B|) >= 1/2 over exact 3-token shingle
+    sets — the doc-inside-doc relation Jaccard resemblance scores near
+    zero. Inverted-index self-join with a df>32 stop-shingle guard;
+    never all-pairs."""
+    from route81_spark.io import ensure_parallelism
+    from route81_spark.ops.dedup import containment_pairs
+
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    return containment_pairs(docs)
+
+
 # =====================================================================
 # Registry accessors (consumed by __spark_entry__)
 # =====================================================================

@@ -856,3 +856,67 @@ def cdc_chunk_stats(
             F.sum(F.when(dup, F.col("ln")).otherwise(0)).alias("dup_chars"),
         )
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: tuple[int, int] = (1, 2),
+    max_df: int = 32,
+    seed: int = 19,
+) -> DataFrame:
+    """Asymmetric near-CONTAINMENT detection — the quote/extraction
+    primitive Jaccard resemblance misses: a short document pasted into
+    a long one scores |A∩B|/min(|A|,|B|) ~= 1 while its Jaccard
+    |A∩B|/|A∪B| stays near 0. Pairs (a < b) of documents whose exact
+    n-token shingle-set intersection covers >= threshold of the SMALLER
+    set. Returns (id_a, id_b, inter, size_a, size_b, containment).
+
+    100 TB shape: an inverted-index self-join — each distinct
+    (doc, shingle-hash) row meets its co-occurrences ON the shingle
+    key, never all-pairs. Shingles appearing in more than `max_df`
+    documents are dropped from intersection counting BEFORE the join
+    (the stop-shingle guard: boilerplate n-grams otherwise fan out
+    d^2/2 pairs each); set sizes keep the full count, so pruning can
+    only UNDER-count containment — a containment-0.5 pair built from
+    stop-shingles alone is noise, not signal. The threshold compares
+    integer cross-products (2*inter >= min-size); the reported double
+    is display-only."""
+    num, den = threshold
+    sh = (
+        df.select(
+            F.col(id_col).alias("i"),
+            F.explode(shingles(F.col(text_col), n)).alias("s"),
+        )
+        .select("i", h64(F.col("s"), seed).alias("h"))
+        .distinct()
+    )
+    sizes = sh.groupBy("i").agg(F.count("*").cast("long").alias("sz"))
+    hot = sh.groupBy("h").count().filter(F.col("count") > max_df).select("h")
+    pruned = sh.join(F.broadcast(hot), "h", "left_anti")
+    a = pruned.select(F.col("i").alias("id_a"), "h")
+    b = pruned.select(F.col("i").alias("id_b"), "h")
+    inter = (
+        a.join(b, "h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("long").alias("inter"))
+    )
+    sa = sizes.select(F.col("i").alias("id_a"), F.col("sz").alias("size_a"))
+    sb = sizes.select(F.col("i").alias("id_b"), F.col("sz").alias("size_b"))
+    least = F.least(F.col("size_a"), F.col("size_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(F.col("inter") * den >= least * num)
+        .select(
+            "id_a",
+            "id_b",
+            "inter",
+            "size_a",
+            "size_b",
+            _det_round(F.col("inter") / least, 6).alias("containment"),
+        )
+    )

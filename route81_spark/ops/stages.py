@@ -690,6 +690,22 @@ def _cdc_chunks(df: DataFrame, arg: dict) -> DataFrame:
     )
 
 
+def _containment(df: DataFrame, arg: dict) -> DataFrame:
+    from route81_spark.ops.dedup import containment_pairs
+
+    num, den = arg.get("threshold", [1, 2])
+    return containment_pairs(
+        df,
+        text_col=arg.get("textField", "text"),
+        id_col=arg.get("idField", "doc_id"),
+        n=int(arg.get("shingle", 3)),
+        threshold=(int(num), int(den)),
+        max_df=int(arg.get("maxDf", 32)),
+        seed=int(arg.get("seed", 19)),
+    )
+
+
+register_stage("$containment", _containment)
 register_stage("$cdcChunks", _cdc_chunks)
 register_stage("$bloomDedup", _bloom_dedup)
 register_stage("$insertCanaries", _insert_canaries)

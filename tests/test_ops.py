@@ -2430,3 +2430,46 @@ def test_cdc_chunk_stats_identical_doc_fully_duplicated(spark):
     assert {r["doc_id"]: r["n_chunks"] for r in staged} == {
         i: r["n_chunks"] for i, r in got.items()
     }
+
+
+def test_containment_catches_doc_inside_doc_where_jaccard_misses(spark):
+    """A short doc pasted verbatim into a much longer one: containment
+    ~= 1.0 (flagged) while Jaccard resemblance is far below any usable
+    dedup threshold — the case this operator exists for."""
+    from route81_spark.ops.dedup import containment_pairs
+
+    quote = "the sky above the port was the color of television"
+    filler = " ".join(f"w{i} w{i} filler{i}" for i in range(60))
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=quote),
+            Row(doc_id=2, text=filler + " " + quote + " " + filler[::-1]),
+            Row(doc_id=3, text="completely unrelated text about nothing at all"),
+        ]
+    )
+    got = containment_pairs(df).collect()
+    assert [(r["id_a"], r["id_b"]) for r in got] == [(1, 2)]
+    assert got[0]["containment"] >= 0.9
+    # Jaccard on the same pair is tiny: |A| << |B|
+    assert got[0]["inter"] / (
+        got[0]["size_a"] + got[0]["size_b"] - got[0]["inter"]
+    ) < 0.15
+
+
+def test_containment_stop_shingle_prune_and_stage(spark):
+    """Shingles present in > max_df docs are excluded from intersection
+    counting (never from set sizes): a pair whose overlap is ONLY the
+    corpus-wide boilerplate shingle reports no containment."""
+    from route81_spark.ops.dedup import containment_pairs
+    from route81_spark.pipeline import apply_pipeline
+
+    boiler = "subscribe to our newsletter today"
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=f"unique{i} body{i} stuff{i} " + boiler)
+         for i in range(10)]
+    )
+    assert containment_pairs(df, max_df=4).collect() == []
+    # same corpus without the prune: every pair shares the boiler shingles
+    assert len(containment_pairs(df, max_df=1000).collect()) > 0
+    staged = apply_pipeline(df, [{"$containment": {"maxDf": 4}}])
+    assert staged.collect() == []
