@@ -67,6 +67,9 @@ BENCH_QUERIES = [
     "corpus_bloom_dedup",  # bloom bitmap build + map-only probe projection
     "corpus_cdc_chunks",   # content-defined chunking + chunk dedup accounting
     "dedup_containment",   # shingle-set containment pairs (inverted-index join)
+    "text_novelty",        # df==1 shingle share (two int aggs + hash join)
+    "corpus_zipf",         # token freq agg + top-V TakeOrdered + one-row fold
+    "text_char_entropy",   # per-row sorted-char entropy fold (pure Column)
 ]
 
 

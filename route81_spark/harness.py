@@ -7012,6 +7012,136 @@ def dedup_containment(spark, sf_dir):
     return containment_pairs(docs)
 
 
+@_q(
+    "text_novelty",
+    # mirror of ops.text.novelty_scores: distinct 3-token shingle sets
+    # (md5 60-bit, seed 23), df-count per shingle hash, per-doc df==1
+    # share; integer counts both sides, det-rounded final ratio.
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    sg AS (
+      SELECT DISTINCT doc_id,
+             ('0x' || substr(md5('23|' || s), 1, 15))::BIGINT AS h
+      FROM (SELECT doc_id,
+                   unnest(list_transform(range(1, greatest(len(tk) - 2, 1) + 1),
+                          i -> coalesce(array_to_string(tk[i:i+2], ' '), ''))) AS s
+            FROM t)
+    ),
+    dfreq AS (SELECT h, count(*) AS df FROM sg GROUP BY h)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+           floor(CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*) * 1000000.0 + 0.5) / 1000000.0 AS novelty
+    FROM sg JOIN dfreq USING (h)
+    GROUP BY doc_id
+""",
+)
+def text_novelty(spark, sf_dir):
+    """Corpus-relative novelty share (df==1 shingles / all shingles):
+    the keep-what's-new signal under a token budget — template farms
+    and mirrored pages score near zero."""
+    from route81_spark.io import ensure_parallelism
+    from route81_spark.ops.text import novelty_scores
+
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    return novelty_scores(docs)
+
+
+@_q(
+    "corpus_zipf",
+    # mirror of ops.corpus.zipf_fit: token counts, top-256 by
+    # (cnt DESC, tok ASC), then the SAME sequential left fold over the
+    # sorted counts both engines (0.0-init == first-element-init in
+    # IEEE); ln() verified bit-identical libm both sides; final slope
+    # det-rounded at 1e-6.
+    f"""
+    WITH t AS (SELECT {_TOKS} AS tk FROM documents),
+    w AS (SELECT unnest(tk) AS tok FROM t),
+    c AS (SELECT tok, count(*) AS cnt FROM w GROUP BY tok),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_types,
+                   CAST(sum(cnt) AS BIGINT) AS n_tokens FROM c),
+    top AS (SELECT cnt, tok FROM c ORDER BY cnt DESC, tok ASC LIMIT 256),
+    l AS (SELECT list(cnt ORDER BY cnt DESC, tok ASC) AS cl FROM top),
+    f AS (SELECT
+      CAST(len(cl) AS INT) AS n_top,
+      cl[1] AS top_count,
+      CAST(len(cl) AS DOUBLE) AS n,
+      list_reduce(list_transform(range(1, len(cl) + 1),
+        i -> ln(CAST(i AS DOUBLE))), (a, b) -> a + b) AS sx,
+      list_reduce(list_transform(cl,
+        x -> ln(CAST(x AS DOUBLE))), (a, b) -> a + b) AS sy,
+      list_reduce(list_transform(range(1, len(cl) + 1),
+        i -> ln(CAST(i AS DOUBLE)) * ln(CAST(i AS DOUBLE))), (a, b) -> a + b) AS sxx,
+      list_reduce(list_transform(range(1, len(cl) + 1),
+        i -> ln(CAST(i AS DOUBLE)) * ln(CAST(cl[i] AS DOUBLE))), (a, b) -> a + b) AS sxy
+      FROM l)
+    SELECT n_types, n_tokens, n_top, top_count,
+           floor((n * sxy - sx * sy) / (n * sxx - sx * sx) * 1000000.0 + 0.5)
+             / 1000000.0 AS zipf_slope
+    FROM tot CROSS JOIN f
+""",
+)
+def corpus_zipf(spark, sf_dir):
+    """Zipf-law corpus diagnostic: ln-ln least-squares slope over the
+    top-256 token frequencies — natural text sits near -1; the
+    whole-corpus health check beside the dataset card."""
+    from route81_spark.io import ensure_parallelism
+    from route81_spark.ops.corpus import zipf_fit
+
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    return zipf_fit(docs)
+
+
+@_q(
+    "text_char_entropy",
+    # mirror of ops.text.char_entropy: per-position char array, sorted
+    # distinct chars, SAME sequential fold of p*ln(p) both engines,
+    # bits = -nats/ln(2) with the identical double literal; det-rounded.
+    """
+    WITH d AS (SELECT doc_id, text, CAST(length(text) AS INT) AS L FROM documents),
+    cs AS (SELECT doc_id, L,
+                  list_transform(range(1, L + 1),
+                                 i -> substr(text, CAST(i AS INT), 1)) AS c
+           FROM d),
+    e AS (SELECT doc_id, L,
+                 list_sort(list_distinct(c)) AS dc,
+                 list_reduce(list_prepend(0.0, list_transform(
+                   list_sort(list_distinct(c)),
+                   ch -> (CAST(len(list_filter(c, x -> x = ch)) AS DOUBLE) / L)
+                         * ln(CAST(len(list_filter(c, x -> x = ch)) AS DOUBLE) / L)
+                 )), (a, b) -> a + b) AS nats
+          FROM cs)
+    SELECT doc_id,
+           L AS n_chars,
+           CAST(len(dc) AS INT) AS n_distinct,
+           floor(-nats / 0.6931471805599453 * 1000000.0 + 0.5) / 1000000.0
+             AS entropy_bits
+    FROM e
+""",
+)
+def text_char_entropy(spark, sf_dir):
+    """Character-distribution Shannon entropy per document (bits) —
+    the gibberish/low-diversity-spam tagger; pure per-row Column
+    fold in sorted-char order, bit-reproducible."""
+    from route81_spark.io import ensure_parallelism
+    from route81_spark.ops.text import char_entropy
+    from route81_spark.ops.util import det_round
+
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    text = F.col("text")
+    cs = F.transform(
+        F.sequence(F.lit(1), F.length(text)),
+        lambda i: F.substr(text, i, F.lit(1)),
+    )
+    return docs.select(
+        "doc_id",
+        F.length(text).cast("int").alias("n_chars"),
+        F.size(F.array_distinct(cs)).alias("n_distinct"),
+        det_round(char_entropy(text), 6).alias("entropy_bits"),
+    )
+
+
 # =====================================================================
 # Registry accessors (consumed by __spark_entry__)
 # =====================================================================

@@ -2327,3 +2327,73 @@ def bloom_paragraph_dedup(
     return bloom_apply(
         probe, words, text_col, id_col, sep=sep, window=window, k=k, seed=seed
     )
+
+
+def zipf_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    top_v: int = 256,
+) -> DataFrame:
+    """Zipf-law diagnostic for a corpus: least-squares slope of
+    ln(frequency) on ln(rank) over the top_v most frequent tokens
+    (natural text sits near -1; template spam and synthetic filler
+    drift far off — a cheap whole-corpus health check next to the
+    dataset card). Returns ONE row
+    (n_types, n_tokens, n_top, top_count, zipf_slope).
+
+    100 TB shape: the corpus reduces to the token-frequency table in
+    one map-side-combinable agg; top_v selection is a TakeOrdered (no
+    global sort materializes); the regression runs as a SEQUENTIAL
+    left fold over the <= top_v sorted counts inside one row — bit-
+    reproducible, and the same fold the DuckDB oracle runs."""
+    from route81_spark.ops.text import tokens
+
+    c = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+    )
+    totals = c.agg(
+        F.count("*").cast("long").alias("n_types"),
+        F.sum("cnt").cast("long").alias("n_tokens"),
+    )
+    top = c.orderBy(F.desc("cnt"), F.asc("tok")).limit(top_v)
+    packed = top.groupBy().agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct((-F.col("cnt")).alias("nc"), F.col("tok").alias("t"))
+            )
+        ).alias("a")
+    )
+
+    def fold(term):
+        # left fold with 0.0 init == DuckDB list_reduce (0.0+t1 === t1)
+        return F.aggregate(
+            F.sequence(F.lit(1), F.size(F.col("a"))),
+            F.lit(0.0),
+            lambda acc, i: acc + term(i),
+        )
+
+    def lncnt(i):
+        return F.log((-F.element_at(F.col("a"), i).getField("nc")).cast("double"))
+
+    def lnrank(i):
+        return F.log(i.cast("double"))
+
+    n = F.size(F.col("a")).cast("double")
+    sx = fold(lnrank)
+    sy = fold(lncnt)
+    sxx = fold(lambda i: lnrank(i) * lnrank(i))
+    sxy = fold(lambda i: lnrank(i) * lncnt(i))
+    from route81_spark.ops.util import det_round
+
+    fitted = packed.select(
+        F.size(F.col("a")).alias("n_top"),
+        (-F.element_at(F.col("a"), 1).getField("nc")).alias("top_count"),
+        det_round(
+            (n * sxy - sx * sy) / (n * sxx - sx * sx), 6
+        ).alias("zipf_slope"),
+    )
+    return totals.crossJoin(fitted).select(
+        "n_types", "n_tokens", "n_top", "top_count", "zipf_slope"
+    )

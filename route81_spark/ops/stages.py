@@ -705,6 +705,40 @@ def _containment(df: DataFrame, arg: dict) -> DataFrame:
     )
 
 
+def _novelty(df: DataFrame, arg: dict) -> DataFrame:
+    from route81_spark.ops.text import novelty_scores
+
+    return novelty_scores(
+        df,
+        text_col=arg.get("textField", "text"),
+        id_col=arg.get("idField", "doc_id"),
+        n=int(arg.get("shingle", 3)),
+        seed=int(arg.get("seed", 23)),
+    )
+
+
+def _zipf_fit(df: DataFrame, arg: dict) -> DataFrame:
+    from route81_spark.ops.corpus import zipf_fit
+
+    return zipf_fit(
+        df,
+        text_col=arg.get("textField", "text"),
+        top_v=int(arg.get("topV", 256)),
+    )
+
+
+def _char_entropy(df: DataFrame, arg: dict) -> DataFrame:
+    from route81_spark.ops.text import char_entropy
+
+    src = arg.get("textField", "text")
+    return df.withColumn(
+        arg.get("outputField", "entropy_bits"), char_entropy(F.col(src))
+    )
+
+
+register_stage("$novelty", _novelty)
+register_stage("$zipfFit", _zipf_fit)
+register_stage("$charEntropy", _char_entropy)
 register_stage("$containment", _containment)
 register_stage("$cdcChunks", _cdc_chunks)
 register_stage("$bloomDedup", _bloom_dedup)

@@ -570,3 +570,79 @@ def normalize_text(col: Column) -> Column:
     c = F.regexp_replace(c, r" ?\n ?", "\n")
     c = F.regexp_replace(c, r"\n{3,}", "\n\n")
     return F.regexp_replace(c, r"^\s+|\s+$", "")
+
+
+def novelty_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    seed: int = 23,
+) -> DataFrame:
+    """Corpus-relative novelty: the share of a document's distinct
+    n-token shingles that appear NOWHERE else in the corpus (df == 1).
+    The inverse signal of boilerplate/dup metrics — low novelty means
+    the doc is assembled from text the corpus already has (template
+    farms, mirrored pages); high novelty marks genuinely new content
+    worth keeping when token budgets bind. Returns
+    (id, n_shingles, n_unique, novelty).
+
+    100 TB shape: distinct (doc, shingle-hash) integer rows -> one
+    map-side-combinable df count per hash -> join back on the hash
+    (both sides already integer-only) -> per-doc ratio agg. Text never
+    shuffles; no all-pairs anything."""
+    from route81_spark.ops.dedup import h64
+    from route81_spark.ops.util import det_round
+
+    sh = (
+        df.select(
+            F.col(id_col),
+            F.explode(shingles(F.col(text_col), n)).alias("__s"),
+        )
+        .select(F.col(id_col), h64(F.col("__s"), seed).alias("__h"))
+        .distinct()
+    )
+    dfreq = sh.groupBy("__h").agg(F.count("*").alias("__df"))
+    per_doc = (
+        sh.join(dfreq, "__h")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            F.sum((F.col("__df") == 1).cast("int")).cast("long").alias("n_unique"),
+        )
+    )
+    return per_doc.select(
+        F.col(id_col),
+        "n_shingles",
+        "n_unique",
+        det_round(F.col("n_unique") / F.col("n_shingles"), 6).alias("novelty"),
+    )
+
+
+def char_entropy(text_col: Column) -> Column:
+    """Per-document character-distribution Shannon entropy in BITS —
+    the cheap gibberish/keyboard-mash/low-diversity-spam signal
+    (Dolma/RedPajama-class quality tagger). Pure per-row expressions:
+    the char array binds once, the distinct-char fold runs in sorted
+    order so the float sum is bit-reproducible (and exactly mirrors
+    the oracle's list_reduce). Computed in nats via ln then divided by
+    ln(2) — both engines' log2() routes differ, ln() is bit-identical
+    libm."""
+
+    def with_cs(cs: Column) -> Column:
+        n = F.size(cs).cast("double")
+        dc = F.array_sort(F.array_distinct(cs))
+        nat = F.aggregate(
+            dc,
+            F.lit(0.0),
+            lambda acc, c: acc
+            + (F.size(F.filter(cs, lambda x: x == c)) / n)
+            * F.log(F.size(F.filter(cs, lambda x: x == c)) / n),
+        )
+        return -nat / F.lit(0.6931471805599453)
+
+    cs = F.transform(
+        F.sequence(F.lit(1), F.length(text_col)),
+        lambda i: F.substr(text_col, i, F.lit(1)),
+    )
+    return F.get(F.transform(F.array(cs), with_cs), 0)

@@ -2473,3 +2473,64 @@ def test_containment_stop_shingle_prune_and_stage(spark):
     assert len(containment_pairs(df, max_df=1000).collect()) > 0
     staged = apply_pipeline(df, [{"$containment": {"maxDf": 4}}])
     assert staged.collect() == []
+
+
+def test_novelty_scores_hand_computed(spark):
+    """Doc 3 copies doc 1 verbatim -> zero novelty for both (every
+    shared shingle has df=2); the lone-content doc scores 1.0."""
+    from route81_spark.ops.text import novelty_scores
+    from route81_spark.pipeline import apply_pipeline
+
+    t = "alpha beta gamma delta epsilon zeta"
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text=t), Row(doc_id=3, text=t),
+         Row(doc_id=2, text="wholly original content right here")]
+    )
+    got = {r["doc_id"]: r for r in novelty_scores(df).collect()}
+    assert got[1]["novelty"] == 0.0 and got[3]["novelty"] == 0.0
+    assert got[2]["novelty"] == 1.0
+    assert got[2]["n_unique"] == got[2]["n_shingles"]
+    staged = apply_pipeline(df, [{"$novelty": {}}])
+    assert {r["doc_id"]: r["novelty"] for r in staged.collect()} == {
+        i: r["novelty"] for i, r in got.items()}
+
+
+def test_zipf_fit_recovers_planted_power_law(spark):
+    """Tokens planted with freq(r) = C / r (slope -1 exactly in the
+    ln-ln plane for every sampled rank) must fit to ~-1."""
+    import math
+
+    from route81_spark.ops.corpus import zipf_fit
+
+    words = []
+    for r in range(1, 33):
+        words += [f"tok{r:02d}"] * (3200 // r)
+    df = spark.createDataFrame([Row(doc_id=1, text=" ".join(words))])
+    row = zipf_fit(df, top_v=32).collect()[0]
+    assert row["n_top"] == 32 and row["top_count"] == 3200
+    assert abs(row["zipf_slope"] - (-1.0)) < 0.02
+    # independent closed-form check on the exact planted counts
+    xs = [math.log(r) for r in range(1, 33)]
+    ys = [math.log(3200 // r) for r in range(1, 33)]
+    n = 32.0
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    want = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert abs(row["zipf_slope"] - want) < 1e-4
+
+
+def test_char_entropy_known_distributions(spark):
+    import math
+
+    from route81_spark.ops.text import char_entropy
+
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="aaaa"), Row(doc_id=2, text="abab"),
+         Row(doc_id=3, text="abcdefgh")]
+    )
+    got = {r["doc_id"]: r["e"] for r in df.select(
+        "doc_id", char_entropy(F.col("text")).alias("e")).collect()}
+    assert got[1] == 0.0 and abs(got[2] - 1.0) < 1e-12
+    assert abs(got[3] - 3.0) < 1e-12
+    assert math.isfinite(got[1])

@@ -87,6 +87,9 @@ def ops() -> dict:
         "excise": lambda d: _excise(d),
         "sbackoff": lambda d: _sbackoff(d),
         "normalize": lambda d: _normalize(d),
+        "bloom": lambda d: _bloom(d),
+        "cdc": lambda d: _cdc(d),
+        "containment": lambda d: _contain(d),
     }
 
 
@@ -96,6 +99,26 @@ def _sbackoff(d: DataFrame) -> DataFrame:
     return stupid_backoff_score(
         d, train_on=d.filter(split_hash(F.col("doc_id"), "sb0") < 0.9)
     )
+
+
+def _bloom(d: DataFrame) -> DataFrame:
+    from route81_spark.ops.corpus import _h60, bloom_paragraph_dedup
+
+    return bloom_paragraph_dedup(
+        d, _h60(F.col("doc_id"), "bloomsplit0") < F.lit(1 << 59), window=4
+    )
+
+
+def _cdc(d: DataFrame) -> DataFrame:
+    from route81_spark.ops.dedup import cdc_chunk_stats
+
+    return cdc_chunk_stats(d)
+
+
+def _contain(d: DataFrame) -> DataFrame:
+    from route81_spark.ops.dedup import containment_pairs
+
+    return containment_pairs(d)
 
 
 def _normalize(d: DataFrame) -> DataFrame:
