@@ -70,6 +70,7 @@ BENCH_QUERIES = [
     "text_novelty",        # df==1 shingle share (two int aggs + hash join)
     "corpus_zipf",         # token freq agg + top-V TakeOrdered + one-row fold
     "text_char_entropy",   # per-row sorted-char entropy fold (pure Column)
+    "corpus_intradoc_dedup",  # within-doc keep-first line scrub (map-only)
 ]
 
 

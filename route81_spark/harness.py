@@ -7142,6 +7142,46 @@ def text_char_entropy(spark, sf_dir):
     )
 
 
+@_q(
+    "corpus_intradoc_dedup",
+    # mirror of ops.corpus.intradoc_line_dedup: keep-first WITHIN each
+    # doc (ROW_NUMBER per (doc, txt) in the oracle vs per-row
+    # array_position in Spark — same winner), 4-token line units.
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    c AS (SELECT doc_id, tk,
+                 greatest(CAST(floor((len(tk) + 3) / 4.0) AS INT), 1) AS nc
+          FROM t),
+    ln AS (
+      SELECT doc_id,
+             unnest(range(1, nc + 1)) AS i,
+             unnest(list_transform(range(1, nc + 1),
+                    i -> coalesce(array_to_string(tk[(i-1)*4+1:(i-1)*4+4], ' '), '')))
+               AS txt
+      FROM c
+    ),
+    r AS (SELECT doc_id, i, txt,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id, txt ORDER BY i) AS rn
+          FROM ln)
+    SELECT doc_id,
+           CAST(count(*) AS INT) AS n_lines,
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS INT) AS n_kept,
+           coalesce(string_agg(CASE WHEN rn = 1 THEN txt END, ' ' ORDER BY i), '')
+             AS clean_text
+    FROM r GROUP BY doc_id
+""",
+)
+def corpus_intradoc_dedup(spark, sf_dir):
+    """Within-document repeated-line removal (Gopher-class intra-doc
+    repetition scrub): keep-first per doc, pure per-row projection —
+    zero shuffles, stream-legal."""
+    from route81_spark.io import ensure_parallelism
+    from route81_spark.ops.corpus import intradoc_line_dedup
+
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    return intradoc_line_dedup(docs, window=4)
+
+
 # =====================================================================
 # Registry accessors (consumed by __spark_entry__)
 # =====================================================================

@@ -2397,3 +2397,34 @@ def zipf_fit(
     return totals.crossJoin(fitted).select(
         "n_types", "n_tokens", "n_top", "top_count", "zipf_slope"
     )
+
+
+def intradoc_line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str | None = None,
+    window: int | None = None,
+) -> DataFrame:
+    """WITHIN-document repeated-line removal (the Gopher-class
+    intra-doc repetition scrub): each document keeps only the first
+    occurrence of every line it contains; repeats inside the SAME doc
+    are dropped, but a line shared across documents survives in each —
+    the complement of line_dedup_global's corpus-wide keep-first.
+    Returns (id, n_lines, n_kept, clean_text).
+
+    100 TB shape: entirely per-row — the keep-first decision is
+    array_position(units, u) == own index inside one document, so this
+    is a pure projection: zero shuffles, stream-legal (append-mode
+    intake hygiene alongside normalize_text)."""
+    units = _line_array(text_col, sep, window)
+    kept = F.filter(
+        units, lambda u, i: F.array_position(units, u) == i + F.lit(1)
+    )
+    joiner = sep if sep is not None else " "
+    return df.select(
+        F.col(id_col),
+        F.size(units).alias("n_lines"),
+        F.size(kept).alias("n_kept"),
+        F.array_join(kept, joiner).alias("clean_text"),
+    )

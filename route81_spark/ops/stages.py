@@ -736,6 +736,19 @@ def _char_entropy(df: DataFrame, arg: dict) -> DataFrame:
     )
 
 
+def _intradoc_dedup(df: DataFrame, arg: dict) -> DataFrame:
+    from route81_spark.ops.corpus import intradoc_line_dedup
+
+    return intradoc_line_dedup(
+        df,
+        text_col=arg.get("textField", "text"),
+        id_col=arg.get("idField", "doc_id"),
+        sep=arg.get("sep"),
+        window=arg.get("window", 4 if arg.get("sep") is None else None),
+    )
+
+
+register_stage("$intradocDedup", _intradoc_dedup)
 register_stage("$novelty", _novelty)
 register_stage("$zipfFit", _zipf_fit)
 register_stage("$charEntropy", _char_entropy)

@@ -2534,3 +2534,24 @@ def test_char_entropy_known_distributions(spark):
     assert got[1] == 0.0 and abs(got[2] - 1.0) < 1e-12
     assert abs(got[3] - 3.0) < 1e-12
     assert math.isfinite(got[1])
+
+
+def test_intradoc_dedup_vs_global_semantics(spark):
+    """The discriminating corpus: a line repeated INSIDE doc 1 and also
+    present in doc 2. Intra-doc keeps one copy in EACH doc; global
+    keep-first leaves it only in doc 1."""
+    from route81_spark.ops.corpus import intradoc_line_dedup, line_dedup_global
+    from route81_spark.pipeline import apply_pipeline
+
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="dup\nuniq1\ndup"), Row(doc_id=2, text="dup\nuniq2")]
+    )
+    intra = {r["doc_id"]: r for r in intradoc_line_dedup(df, sep="\n").collect()}
+    assert intra[1]["clean_text"] == "dup\nuniq1"
+    assert intra[2]["clean_text"] == "dup\nuniq2"  # survives in BOTH docs
+    glob = {r["doc_id"]: r for r in line_dedup_global(df, sep="\n").collect()}
+    assert glob[1]["clean_text"] == "dup\nuniq1"
+    assert glob[2]["clean_text"] == "uniq2"  # global keep-first drops it here
+    staged = apply_pipeline(df, [{"$intradocDedup": {"sep": "\n"}}])
+    assert {r["doc_id"]: r["clean_text"] for r in staged.collect()} == {
+        i: r["clean_text"] for i, r in intra.items()}
