@@ -90,6 +90,10 @@ def ops() -> dict:
         "bloom": lambda d: _bloom(d),
         "cdc": lambda d: _cdc(d),
         "containment": lambda d: _contain(d),
+        "novelty": lambda d: _novelty_p(d),
+        "zipf": lambda d: _zipf_p(d),
+        "entropy": lambda d: _entropy_p(d),
+        "intradoc": lambda d: _intradoc_p(d),
     }
 
 
@@ -119,6 +123,30 @@ def _contain(d: DataFrame) -> DataFrame:
     from route81_spark.ops.dedup import containment_pairs
 
     return containment_pairs(d)
+
+
+def _novelty_p(d: DataFrame) -> DataFrame:
+    from route81_spark.ops.text import novelty_scores
+
+    return novelty_scores(d)
+
+
+def _zipf_p(d: DataFrame) -> DataFrame:
+    from route81_spark.ops.corpus import zipf_fit
+
+    return zipf_fit(d)
+
+
+def _entropy_p(d: DataFrame) -> DataFrame:
+    from route81_spark.ops.text import char_entropy
+
+    return d.select("doc_id", char_entropy(F.col("text")).alias("e"))
+
+
+def _intradoc_p(d: DataFrame) -> DataFrame:
+    from route81_spark.ops.corpus import intradoc_line_dedup
+
+    return intradoc_line_dedup(d, window=4)
 
 
 def _normalize(d: DataFrame) -> DataFrame:
