@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "corpus_zipf",         # token freq agg + top-V TakeOrdered + one-row fold
     "text_char_entropy",   # per-row sorted-char entropy fold (pure Column)
     "corpus_intradoc_dedup",  # within-doc keep-first line scrub (map-only)
+    "sim_cluster_sample",  # codegen assign + WindowGroupLimit per-cluster quota
 ]
 
 

@@ -7182,6 +7182,54 @@ def corpus_intradoc_dedup(spark, sf_dir):
     return intradoc_line_dedup(docs, window=4)
 
 
+@_q(
+    "sim_cluster_sample",
+    # mirror of ops.similarity.cluster_balanced_sample: the assign CTE
+    # is sim_ivf's (det-rounded cosine argmax, ties -> lowest centroid
+    # id); the per-cluster quota picks by md5 60-bit of the id (seed
+    # 31) with the id as total tie-break.
+    f"""
+    WITH c AS (
+      SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings WHERE vec_id < 16
+    ),
+    assign AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT e.vec_id, c.centroid_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY floor(({_cos_sql('e.embedding', 'c.cv')}) * 1000000.0 + 0.5) / 1000000.0 DESC,
+                          c.centroid_id ASC) AS rn
+        FROM embeddings e CROSS JOIN c
+      ) WHERE rn = 1
+    ),
+    sz AS (SELECT centroid_id, CAST(count(*) AS BIGINT) AS cluster_size
+           FROM assign GROUP BY 1),
+    r AS (SELECT centroid_id, vec_id,
+                 CAST(ROW_NUMBER() OVER (
+                   PARTITION BY centroid_id
+                   ORDER BY ('0x' || substr(md5('31|' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT,
+                            vec_id) AS INT) AS pick_rank
+          FROM assign)
+    SELECT centroid_id, vec_id, pick_rank, cluster_size
+    FROM r JOIN sz USING (centroid_id)
+    WHERE pick_rank <= 8
+""",
+)
+def sim_cluster_sample(spark, sf_dir):
+    """Cluster-balanced diversity sample: fixed deterministic quota of
+    8 vectors per nearest-centroid cell — flattens over-represented
+    semantic modes; embeddings never shuffle (codegen assign +
+    WindowGroupLimit quota on integer rows)."""
+    from route81_spark.ops.similarity import cluster_balanced_sample
+
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+    return cluster_balanced_sample(emb, centroids, n_per=8)
+
+
 # =====================================================================
 # Registry accessors (consumed by __spark_entry__)
 # =====================================================================

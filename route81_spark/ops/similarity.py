@@ -951,3 +951,46 @@ def hard_negatives(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+def cluster_balanced_sample(
+    emb: DataFrame,
+    centroids: DataFrame,
+    n_per: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 31,
+) -> DataFrame:
+    """Cluster-balanced diversity sampling — the embedding-space analog
+    of temperature-flattened domain mixing: assign every vector to its
+    nearest centroid (zero-shuffle ivf_assign), then take a FIXED
+    deterministic quota from each cluster, so over-represented semantic
+    modes (boilerplate clouds, template swarms) can't dominate the
+    sample the way size-proportional sampling lets them. In-cluster
+    pick order is an md5 hash of the id — random-looking, seedable,
+    re-runnable. Returns (centroid_id, id, pick_rank, cluster_size).
+
+    100 TB shape: the embedding payload never shuffles — assignment is
+    map-side codegen, and the quota window runs on (centroid, id, hash)
+    integer rows only, with the rank<=k filter compiled to
+    WindowGroupLimit (map-side partial top-k per cluster, no full
+    per-cluster sort materializes). Cluster sizes are a
+    map-side-combinable count broadcast back."""
+    from route81_spark.ops.dedup import h64
+
+    assigned = ivf_assign(emb, centroids, id_col=id_col, vec_col=vec_col)
+    slim = assigned.select(
+        "centroid_id", F.col(id_col), h64(F.col(id_col).cast("string"), seed).alias("__h")
+    )
+    sizes = slim.groupBy("centroid_id").agg(
+        F.count("*").cast("long").alias("cluster_size")
+    )
+    w = Window.partitionBy("centroid_id").orderBy("__h", id_col)
+    picked = (
+        slim.withColumn("pick_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("pick_rank") <= n_per)
+        .drop("__h")
+    )
+    return picked.join(F.broadcast(sizes), "centroid_id").select(
+        "centroid_id", id_col, "pick_rank", "cluster_size"
+    )

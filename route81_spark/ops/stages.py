@@ -748,6 +748,23 @@ def _intradoc_dedup(df: DataFrame, arg: dict) -> DataFrame:
     )
 
 
+def _cluster_sample(df: DataFrame, arg: dict) -> DataFrame:
+    """Pipeline input = the embedding table; `centroids` names the
+    codebook collection (resolved via the $lookup collection hook)."""
+    from route81_spark.ops.similarity import cluster_balanced_sample
+    from route81_spark.pipeline.compiler import _resolve_collection
+
+    return cluster_balanced_sample(
+        df,
+        _resolve_collection(arg["centroids"]),
+        n_per=int(arg.get("nPer", 8)),
+        id_col=arg.get("idField", "vec_id"),
+        vec_col=arg.get("vecField", "embedding"),
+        seed=int(arg.get("seed", 31)),
+    )
+
+
+register_stage("$clusterSample", _cluster_sample)
 register_stage("$intradocDedup", _intradoc_dedup)
 register_stage("$novelty", _novelty)
 register_stage("$zipfFit", _zipf_fit)

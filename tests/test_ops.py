@@ -2555,3 +2555,32 @@ def test_intradoc_dedup_vs_global_semantics(spark):
     staged = apply_pipeline(df, [{"$intradocDedup": {"sep": "\n"}}])
     assert {r["doc_id"]: r["clean_text"] for r in staged.collect()} == {
         i: r["clean_text"] for i, r in intra.items()}
+
+
+def test_cluster_balanced_sample_quota_and_determinism(spark):
+    """Every cluster contributes exactly min(n_per, cluster_size) picks,
+    pick order is stable across runs, and a skewed cluster (90% of the
+    corpus) cannot exceed its quota — the flattening guarantee."""
+    import math
+
+    from route81_spark.ops.similarity import cluster_balanced_sample
+
+    def unit(theta):
+        return [math.cos(theta), math.sin(theta)] + [0.0] * 6
+
+    rows = [Row(vec_id=i, embedding=unit(0.01 * (i % 5))) for i in range(90)]
+    rows += [Row(vec_id=100 + i, embedding=unit(1.5 + 0.01 * i)) for i in range(6)]
+    emb = spark.createDataFrame(rows)
+    cents = spark.createDataFrame(
+        [Row(centroid_id=0, centroid_vec=unit(0.0)),
+         Row(centroid_id=1, centroid_vec=unit(1.55))]
+    )
+    out = cluster_balanced_sample(emb, cents, n_per=8).collect()
+    by_c = {}
+    for r in out:
+        by_c.setdefault(r["centroid_id"], []).append(r)
+    assert len(by_c[0]) == 8 and by_c[0][0]["cluster_size"] == 90
+    assert len(by_c[1]) == 6 and by_c[1][0]["cluster_size"] == 6  # < quota
+    again = cluster_balanced_sample(emb, cents, n_per=8).collect()
+    assert sorted((r["centroid_id"], r["vec_id"], r["pick_rank"]) for r in out) \
+        == sorted((r["centroid_id"], r["vec_id"], r["pick_rank"]) for r in again)

@@ -411,3 +411,18 @@ def test_cdc_chunks_text_never_shuffles(spark):
         if "Exchange" not in head or "BroadcastExchange" in head:
             continue
         assert not ("hashpartitioning" in block and "text#" in block), plan
+
+
+def test_cluster_sample_embeddings_never_shuffle(spark):
+    """cluster_balanced_sample: assignment is map-side codegen and the
+    quota window runs on integer rows — no hash-partitioned Exchange
+    may carry the embedding payload, and the rank filter must compile
+    to WindowGroupLimit (map-side partial top-k per cluster)."""
+    df = harness.QUERIES["sim_cluster_sample"](spark, SF)
+    plan = plan_of(df, "formatted")
+    assert "WindowGroupLimit" in plan
+    for block in plan.split("\n\n"):
+        head = block.strip().splitlines()[0] if block.strip() else ""
+        if "Exchange" not in head or "BroadcastExchange" in head:
+            continue
+        assert not ("hashpartitioning" in block and "embedding#" in block), plan
