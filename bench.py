@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "text_char_entropy",   # per-row sorted-char entropy fold (pure Column)
     "corpus_intradoc_dedup",  # within-doc keep-first line scrub (map-only)
     "sim_cluster_sample",  # codegen assign + WindowGroupLimit per-cluster quota
+    "corpus_budget_select",  # classifier priority + prefix-under-budget window
 ]
 
 

@@ -7230,6 +7230,77 @@ def sim_cluster_sample(spark, sf_dir):
     return cluster_balanced_sample(emb, centroids, n_per=8)
 
 
+@_q(
+    "corpus_budget_select",
+    # quality_classifier's integer model (seed 13 oracle twin above)
+    # feeding greedy budget selection: integer floor-div priority
+    # (score*1e6 // n_bigrams), cumulative (n_bigrams+1) token proxy,
+    # keep the prefix fitting 15000 tokens.
+    f"""
+    WITH t AS (SELECT doc_id, lang, {_TOKS} AS tk FROM documents),
+    p AS (
+      SELECT doc_id, lang = 'en' AS tgt,
+             unnest(list_transform(range(1, greatest(len(tk) - 1, 1) + 1),
+                    i -> coalesce(array_to_string(tk[i:i+1], ' '), ''))) AS bg
+      FROM t
+    ),
+    pairs AS (
+      SELECT doc_id, tgt,
+             ('0x' || substr(md5('13|' || bg), 1, 15))::BIGINT % 256 AS b
+      FROM p WHERE contains(bg, ' ')
+    ),
+    doc_bucket AS (
+      SELECT doc_id, tgt, b, count(*) AS n_db FROM pairs GROUP BY 1, 2, 3
+    ),
+    by_bucket AS (
+      SELECT b,
+             sum(CASE WHEN tgt THEN n_db ELSE 0 END) AS pos_c,
+             sum(CASE WHEN NOT tgt THEN n_db ELSE 0 END) AS neg_c
+      FROM doc_bucket GROUP BY b
+    ),
+    tot AS (SELECT sum(pos_c) AS npos, sum(neg_c) AS nneg FROM by_bucket),
+    model AS (
+      SELECT b,
+             CAST(((pos_c + 1) * (nneg + 256) * 10000)
+               // ((neg_c + 1) * (npos + 256)) AS BIGINT) AS w
+      FROM by_bucket CROSS JOIN tot
+    ),
+    s AS (
+      SELECT d.doc_id,
+             CAST(sum(d.n_db) AS BIGINT) AS n_bigrams,
+             CAST(sum(d.n_db * m.w) AS BIGINT) AS score
+      FROM doc_bucket d JOIN model m USING (b)
+      GROUP BY 1
+    ),
+    r AS (SELECT doc_id,
+                 (score * 1000000) // n_bigrams AS priority,
+                 n_bigrams + 1 AS n_tokens
+          FROM s),
+    c AS (SELECT doc_id, priority, n_tokens,
+                 CAST(ROW_NUMBER() OVER (ORDER BY priority DESC, doc_id) AS INT)
+                   AS sel_rank,
+                 CAST(sum(n_tokens) OVER (ORDER BY priority DESC, doc_id
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+          FROM r)
+    SELECT doc_id, priority, n_tokens, sel_rank, cum_tokens
+    FROM c WHERE cum_tokens <= 15000
+""",
+)
+def corpus_budget_select(spark, sf_dir):
+    """Greedy token-budget data selection: quality-classifier mean odds
+    as integer priority, keep the best-first prefix fitting 15k tokens
+    — the budget-bound tail of the curation funnel."""
+    from route81_spark.ops.corpus import budget_select, quality_classifier
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = quality_classifier(docs, F.col("lang") == "en").select(
+        "doc_id",
+        F.expr("CAST((score * 1000000) DIV n_bigrams AS LONG)").alias("priority"),
+        (F.col("n_bigrams") + 1).cast("long").alias("n_tokens"),
+    )
+    return budget_select(scored, "priority", "n_tokens", budget=15000)
+
+
 # =====================================================================
 # Registry accessors (consumed by __spark_entry__)
 # =====================================================================

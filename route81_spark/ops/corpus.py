@@ -2428,3 +2428,40 @@ def intradoc_line_dedup(
         F.size(kept).alias("n_kept"),
         F.array_join(kept, joiner).alias("clean_text"),
     )
+
+
+def budget_select(
+    scored: DataFrame,
+    priority_col: str,
+    tokens_col: str,
+    budget: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Greedy data selection under a token budget — the final step of
+    every curation funnel once quality scores exist: rank documents by
+    priority (id tie-break) and keep the prefix whose cumulative token
+    count fits the budget (a doc is kept iff the running total
+    INCLUDING it is <= budget; no skip-and-continue, so the kept set is
+    a deterministic prefix). Returns
+    (id, priority, n_tokens, sel_rank, cum_tokens) for kept docs.
+
+    Scale note: the ranking window is global — the same single-reducer
+    contract as ccnet_buckets' exact NTILE, documented there: the input
+    is the doc-count-sized (id, 2 ints) score table, not the corpus,
+    and the reducer streams it. For corpora where even that table is
+    too large, find the priority cutoff with a quantile sketch first
+    (the ccnet_buckets_approx pattern) and filter map-side; the exact
+    form is the oracle-checkable contract."""
+    w = (
+        Window.orderBy(F.desc(priority_col), F.asc(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    rw = Window.orderBy(F.desc(priority_col), F.asc(id_col))
+    out = scored.select(
+        F.col(id_col),
+        F.col(priority_col),
+        F.col(tokens_col),
+        F.row_number().over(rw).cast("int").alias("sel_rank"),
+        F.sum(tokens_col).over(w).cast("long").alias("cum_tokens"),
+    )
+    return out.filter(F.col("cum_tokens") <= budget)

@@ -764,6 +764,19 @@ def _cluster_sample(df: DataFrame, arg: dict) -> DataFrame:
     )
 
 
+def _budget_select(df: DataFrame, arg: dict) -> DataFrame:
+    from route81_spark.ops.corpus import budget_select
+
+    return budget_select(
+        df,
+        priority_col=arg.get("priorityField", "priority"),
+        tokens_col=arg.get("tokensField", "n_tokens"),
+        budget=int(arg["budget"]),
+        id_col=arg.get("idField", "doc_id"),
+    )
+
+
+register_stage("$budgetSelect", _budget_select)
 register_stage("$clusterSample", _cluster_sample)
 register_stage("$intradocDedup", _intradoc_dedup)
 register_stage("$novelty", _novelty)

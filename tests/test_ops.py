@@ -2584,3 +2584,25 @@ def test_cluster_balanced_sample_quota_and_determinism(spark):
     again = cluster_balanced_sample(emb, cents, n_per=8).collect()
     assert sorted((r["centroid_id"], r["vec_id"], r["pick_rank"]) for r in out) \
         == sorted((r["centroid_id"], r["vec_id"], r["pick_rank"]) for r in again)
+
+
+def test_budget_select_prefix_semantics(spark):
+    """Kept set = the exact best-first prefix: the doc that would push
+    the running total past the budget is dropped AND nothing after it
+    sneaks in (no skip-and-continue); ties break by id."""
+    from route81_spark.ops.corpus import budget_select
+    from route81_spark.pipeline import apply_pipeline
+
+    rows = [
+        Row(doc_id=1, priority=100, n_tokens=40),
+        Row(doc_id=2, priority=90, n_tokens=50),
+        Row(doc_id=3, priority=80, n_tokens=30),   # cum 120 > 100 -> dropped
+        Row(doc_id=4, priority=70, n_tokens=5),    # would fit, but prefix rule
+        Row(doc_id=5, priority=100, n_tokens=5),   # ties with 1, id 5 after 1
+    ]
+    df = spark.createDataFrame(rows)
+    got = budget_select(df, "priority", "n_tokens", budget=100).collect()
+    assert [(r["doc_id"], r["sel_rank"], r["cum_tokens"]) for r in got] == [
+        (1, 1, 40), (5, 2, 45), (2, 3, 95)]
+    staged = apply_pipeline(df, [{"$budgetSelect": {"budget": 100}}])
+    assert {r["doc_id"] for r in staged.collect()} == {1, 5, 2}
