@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "corpus_intradoc_dedup",  # within-doc keep-first line scrub (map-only)
     "sim_cluster_sample",  # codegen assign + WindowGroupLimit per-cluster quota
     "corpus_budget_select",  # classifier priority + prefix-under-budget window
+    "sim_triplets",        # one broadcast scoring pass -> pos/neg winners pivot
 ]
 
 

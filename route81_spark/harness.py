@@ -7301,6 +7301,60 @@ def corpus_budget_select(spark, sf_dir):
     return budget_select(scored, "priority", "n_tokens", budget=15000)
 
 
+@_q(
+    "sim_triplets",
+    # mirror of ops.similarity.contrastive_triplets: anchors =
+    # vec_id % 50 == 0; per anchor the best same-label (self excluded)
+    # and best cross-label vectors by det-rounded cosine with id
+    # tie-break; margin = difference of the rounded scores.
+    f"""
+    WITH a AS (
+      SELECT vec_id AS anchor_id, embedding AS av, label AS anchor_label
+      FROM embeddings WHERE vec_id % 50 = 0
+    ),
+    scored AS (
+      SELECT a.anchor_id, a.anchor_label, e.vec_id,
+             e.label = a.anchor_label AS pos,
+             floor(({_cos_sql('e.embedding', 'a.av')}) * 1000000.0 + 0.5)
+               / 1000000.0 AS s
+      FROM embeddings e CROSS JOIN a
+      WHERE e.vec_id <> a.anchor_id
+    ),
+    best AS (
+      SELECT anchor_id, anchor_label, vec_id, pos, s FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id, pos
+                                     ORDER BY s DESC, vec_id ASC) AS r
+        FROM scored
+      ) WHERE r = 1
+    ),
+    piv AS (
+      SELECT anchor_id, anchor_label,
+             max(CASE WHEN pos THEN vec_id END) AS pos_id,
+             max(CASE WHEN pos THEN s END) AS pos_score,
+             max(CASE WHEN NOT pos THEN vec_id END) AS neg_id,
+             max(CASE WHEN NOT pos THEN s END) AS neg_score
+      FROM best GROUP BY 1, 2
+    )
+    SELECT anchor_id, anchor_label, pos_id, pos_score, neg_id, neg_score,
+           pos_score - neg_score AS margin
+    FROM piv WHERE pos_id IS NOT NULL AND neg_id IS NOT NULL
+""",
+)
+def sim_triplets(spark, sf_dir):
+    """Contrastive (anchor, positive, hard-negative) triplet mining:
+    one broadcast scoring pass, both winners from a single
+    WindowGroupLimit rank, pivoted to one training row per anchor."""
+    from route81_spark.ops.similarity import contrastive_triplets
+
+    emb = _t(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("embedding").alias("anchor_vec"),
+        F.col("label").alias("anchor_label"),
+    )
+    return contrastive_triplets(emb, anchors)
+
+
 # =====================================================================
 # Registry accessors (consumed by __spark_entry__)
 # =====================================================================

@@ -994,3 +994,68 @@ def cluster_balanced_sample(
     return picked.join(F.broadcast(sizes), "centroid_id").select(
         "centroid_id", id_col, "pick_rank", "cluster_size"
     )
+
+
+def contrastive_triplets(
+    emb: DataFrame,
+    anchors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    anchor_id_col: str = "anchor_id",
+    anchor_vec_col: str = "anchor_vec",
+    anchor_label_col: str = "anchor_label",
+) -> DataFrame:
+    """(anchor, positive, hard-negative) triplet construction — the
+    training-pair factory for contrastive embedding fine-tuning
+    (SimCSE/DPR recipe): per anchor, positive = most-similar SAME-label
+    vector (self excluded), negative = most-similar CROSS-label vector
+    (the hard one, not a random one). Returns
+    (anchor_id, anchor_label, pos_id, pos_score, neg_id, neg_score,
+    margin); anchors whose label has no other member yield no row
+    (a positive-less triplet teaches nothing).
+
+    100 TB shape: ONE broadcast scoring pass tags each (anchor, corpus)
+    row same/cross; both winners come from a single
+    WindowGroupLimit-compiled rank over (anchor, side) — map-side
+    partial top-1 — then pivot to one row per anchor. Swap the scorer
+    for bucketed/IVF when the corpus outgrows brute force (same
+    contract as hard_negatives)."""
+    scored = (
+        emb.crossJoin(F.broadcast(anchors))
+        .filter(F.col(id_col) != F.col(anchor_id_col))
+        .select(
+            F.col(anchor_id_col),
+            F.col(anchor_label_col),
+            F.col(id_col),
+            (F.col(label_col) == F.col(anchor_label_col)).alias("__pos"),
+            det_round(cosine(F.col(vec_col), F.col(anchor_vec_col)), 6).alias(
+                "__s"
+            ),
+        )
+    )
+    w = Window.partitionBy(anchor_id_col, "__pos").orderBy(
+        F.col("__s").desc(), F.col(id_col).asc()
+    )
+    best = scored.withColumn("__r", F.row_number().over(w)).filter(
+        F.col("__r") == 1
+    )
+    side = lambda c: F.max(F.when(F.col("__pos"), F.col(c)))  # noqa: E731
+    oth = lambda c: F.max(F.when(~F.col("__pos"), F.col(c)))  # noqa: E731
+    out = best.groupBy(anchor_id_col, anchor_label_col).agg(
+        side(id_col).alias("pos_id"),
+        side("__s").alias("pos_score"),
+        oth(id_col).alias("neg_id"),
+        oth("__s").alias("neg_score"),
+    )
+    return out.filter(
+        F.col("pos_id").isNotNull() & F.col("neg_id").isNotNull()
+    ).select(
+        anchor_id_col,
+        anchor_label_col,
+        "pos_id",
+        "pos_score",
+        "neg_id",
+        "neg_score",
+        (F.col("pos_score") - F.col("neg_score")).alias("margin"),
+    )

@@ -776,6 +776,28 @@ def _budget_select(df: DataFrame, arg: dict) -> DataFrame:
     )
 
 
+def _triplets(df: DataFrame, arg: dict) -> DataFrame:
+    """Pipeline input = the embedding table; anchors default to the
+    whole input re-aliased, or a hash-sampled slice via `anchorEvery`."""
+    from route81_spark.ops.similarity import contrastive_triplets
+
+    idc = arg.get("idField", "vec_id")
+    vec = arg.get("vecField", "embedding")
+    lab = arg.get("labelField", "label")
+    anchors = df
+    if "anchorEvery" in arg:
+        anchors = df.filter(F.col(idc) % int(arg["anchorEvery"]) == 0)
+    anchors = anchors.select(
+        F.col(idc).alias("anchor_id"),
+        F.col(vec).alias("anchor_vec"),
+        F.col(lab).alias("anchor_label"),
+    )
+    return contrastive_triplets(
+        df, anchors, id_col=idc, vec_col=vec, label_col=lab
+    )
+
+
+register_stage("$tripletMine", _triplets)
 register_stage("$budgetSelect", _budget_select)
 register_stage("$clusterSample", _cluster_sample)
 register_stage("$intradocDedup", _intradoc_dedup)

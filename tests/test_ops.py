@@ -2606,3 +2606,37 @@ def test_budget_select_prefix_semantics(spark):
         (1, 1, 40), (5, 2, 45), (2, 3, 95)]
     staged = apply_pipeline(df, [{"$budgetSelect": {"budget": 100}}])
     assert {r["doc_id"] for r in staged.collect()} == {1, 5, 2}
+
+
+def test_contrastive_triplets_hand_computed(spark):
+    """Planted geometry: anchor A (label 0) has a same-label near-twin
+    P, a cross-label impostor N sitting CLOSER than P (the hard
+    negative), and a far random R. Triplet = (A, P, N); margin
+    negative because the impostor is closer; label-singleton anchors
+    emit nothing."""
+    import math
+
+    from route81_spark.ops.similarity import contrastive_triplets
+
+    def unit(theta):
+        return [math.cos(theta), math.sin(theta)] + [0.0] * 6
+
+    emb = spark.createDataFrame(
+        [Row(vec_id=1, embedding=unit(0.00), label=0),   # anchor
+         Row(vec_id=2, embedding=unit(0.20), label=0),   # positive
+         Row(vec_id=3, embedding=unit(0.05), label=1),   # hard negative
+         Row(vec_id=4, embedding=unit(2.50), label=1),   # far
+         Row(vec_id=9, embedding=unit(1.00), label=7)]   # singleton label
+    )
+    anchors = emb.filter(F.col("vec_id").isin(1, 9)).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("embedding").alias("anchor_vec"),
+        F.col("label").alias("anchor_label"),
+    )
+    got = contrastive_triplets(emb, anchors).collect()
+    assert len(got) == 1  # anchor 9's label has no positive -> dropped
+    r = got[0]
+    assert (r["anchor_id"], r["pos_id"], r["neg_id"]) == (1, 2, 3)
+    assert r["margin"] < 0  # impostor closer than positive
+    assert abs(r["pos_score"] - math.cos(0.20)) < 1e-6
+    assert abs(r["neg_score"] - math.cos(0.05)) < 1e-6
