@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     "sim_cluster_sample",  # codegen assign + WindowGroupLimit per-cluster quota
     "corpus_budget_select",  # classifier priority + prefix-under-budget window
     "sim_triplets",        # one broadcast scoring pass -> pos/neg winners pivot
+    "dedup_minhash_merge", # elementwise-min signature union (full-outer id join)
 ]
 
 

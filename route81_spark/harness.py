@@ -7355,6 +7355,49 @@ def sim_triplets(spark, sf_dir):
     return contrastive_triplets(emb, anchors)
 
 
+@_q(
+    "dedup_minhash_merge",
+    # mirror of ops.dedup.merge_minhash_signatures: snapshot A = even
+    # ids, snapshot B = ids % 3 == 0 (overlap at % 6 == 0, B's text
+    # tagged with an extra token so shared ids genuinely differ);
+    # elementwise least over a full-outer id join, one-sided ids pass
+    # through. Signatures are the dedup_minhash_sig arithmetic.
+    f"""
+    WITH ta AS (SELECT doc_id, {_SH_SQL} AS sh FROM documents WHERE doc_id % 2 = 0),
+    tb AS (SELECT doc_id,
+                  {_SH_SQL.replace("trim(text)", "trim(text || ' snapB')")} AS sh
+           FROM documents WHERE doc_id % 3 = 0),
+    sa AS (SELECT doc_id,
+                  {", ".join(f"{_minhash_sql_expr(j)} AS a{j}" for j in range(8))}
+           FROM ta),
+    sb AS (SELECT doc_id,
+                  {", ".join(f"{_minhash_sql_expr(j)} AS b{j}" for j in range(8))}
+           FROM tb)
+    SELECT coalesce(sa.doc_id, sb.doc_id) AS doc_id,
+           {", ".join(
+               f"least(coalesce(a{j}, b{j}), coalesce(b{j}, a{j})) AS mh{j}"
+               for j in range(8)
+           )}
+    FROM sa FULL OUTER JOIN sb ON sa.doc_id = sb.doc_id
+""",
+)
+def dedup_minhash_merge(spark, sf_dir):
+    """Incremental near-dup index maintenance: merge two snapshot
+    signature tables by elementwise min (sig(S1 ∪ S2) identity — old
+    text never rehashes). Full-outer id join carrying k longs per row."""
+    from route81_spark.ops.dedup import merge_minhash_signatures, minhash_signatures
+
+    docs = _t(spark, sf_dir, "documents")
+    a = minhash_signatures(docs.filter(F.col("doc_id") % 2 == 0), k=8)
+    b = minhash_signatures(
+        docs.filter(F.col("doc_id") % 3 == 0).select(
+            "doc_id", F.concat(F.col("text"), F.lit(" snapB")).alias("text")
+        ),
+        k=8,
+    )
+    return merge_minhash_signatures(a, b, k=8)
+
+
 # =====================================================================
 # Registry accessors (consumed by __spark_entry__)
 # =====================================================================

@@ -929,3 +929,36 @@ def containment_pairs(
             _det_round(F.col("inter") / least, 6).alias("containment"),
         )
     )
+
+
+def merge_minhash_signatures(
+    a: DataFrame,
+    b: DataFrame,
+    id_col: str = "doc_id",
+    k: int = 16,
+) -> DataFrame:
+    """Merge two MinHash signature tables by elementwise minimum — the
+    incremental-index maintenance primitive: because min is associative
+    over hash sets, min(sig(S1), sig(S2)) IS sig(S1 ∪ S2), so a standing
+    near-dup index absorbs a new crawl batch WITHOUT rehashing old text
+    (signatures are the only state that needs to live). Ids present on
+    one side pass through unchanged; shared ids take the elementwise
+    min. One full-outer join on the id carrying k longs per row —
+    text-free by construction."""
+    cols_a = a.select(
+        F.col(id_col), *[F.col(f"mh{j}").alias(f"__a{j}") for j in range(k)]
+    )
+    cols_b = b.select(
+        F.col(id_col), *[F.col(f"mh{j}").alias(f"__b{j}") for j in range(k)]
+    )
+    j = cols_a.join(cols_b, id_col, "full_outer")
+    return j.select(
+        F.col(id_col),
+        *[
+            F.least(
+                F.coalesce(F.col(f"__a{i}"), F.col(f"__b{i}")),
+                F.coalesce(F.col(f"__b{i}"), F.col(f"__a{i}")),
+            ).alias(f"mh{i}")
+            for i in range(k)
+        ],
+    )

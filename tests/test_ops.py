@@ -2640,3 +2640,32 @@ def test_contrastive_triplets_hand_computed(spark):
     assert r["margin"] < 0  # impostor closer than positive
     assert abs(r["pos_score"] - math.cos(0.20)) < 1e-6
     assert abs(r["neg_score"] - math.cos(0.05)) < 1e-6
+
+
+def test_merge_minhash_signatures_union_property(spark):
+    """The MinHash invariant that makes incremental indexing sound:
+    sig(S1 ∪ S2) == elementwise-min(sig(S1), sig(S2)). With 1-token
+    shingles the shingle set IS the token set, so concatenating two
+    token-disjoint texts is an exact set union — computed sig of the
+    concatenation must equal the merged sig of the parts."""
+    from route81_spark.ops.dedup import merge_minhash_signatures, minhash_signatures
+
+    t1 = "alpha bravo charlie delta"
+    t2 = "echo foxtrot golf hotel india"
+    a = minhash_signatures(
+        spark.createDataFrame([Row(doc_id=1, text=t1)]), shingle_n=1)
+    b = minhash_signatures(
+        spark.createDataFrame([Row(doc_id=1, text=t2)]), shingle_n=1)
+    merged = merge_minhash_signatures(a, b).collect()[0]
+    full = minhash_signatures(
+        spark.createDataFrame([Row(doc_id=1, text=t1 + " " + t2)]),
+        shingle_n=1).collect()[0]
+    assert [merged[f"mh{j}"] for j in range(16)] == \
+        [full[f"mh{j}"] for j in range(16)]
+    # one-sided ids pass through unchanged
+    c = minhash_signatures(
+        spark.createDataFrame([Row(doc_id=2, text="solo doc here")]),
+        shingle_n=1)
+    m2 = {r["doc_id"]: r for r in merge_minhash_signatures(a, c).collect()}
+    assert [m2[2][f"mh{j}"] for j in range(16)] == \
+        [c.collect()[0][f"mh{j}"] for j in range(16)]
