@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "corpus_budget_select",  # classifier priority + prefix-under-budget window
     "sim_triplets",        # one broadcast scoring pass -> pos/neg winners pivot
     "dedup_minhash_merge", # elementwise-min signature union (full-outer id join)
+    "corpus_gate_attribution",  # one-pass gate flags -> waterfall unpivot
 ]
 
 

@@ -7398,6 +7398,60 @@ def dedup_minhash_merge(spark, sf_dir):
     return merge_minhash_signatures(a, b, k=8)
 
 
+@_q(
+    "corpus_gate_attribution",
+    # mirror of ops.text.gate_attribution at (en, 0.05, 20..80):
+    # per-rule marginal fails + waterfall first-fails in declared order
+    # lang -> quality -> too_short -> too_long, plus the pass row.
+    f"""
+    WITH f AS (
+      SELECT
+        ({_LANG_SQL.format(T=_TOKS)}) <> 'en' AS f_lang,
+        ({_QUALITY_SQL.format(T=_TOKS)}) < 0.05 AS f_quality,
+        len({_TOKS}) < 20 AS f_short,
+        len({_TOKS}) > 80 AS f_long
+      FROM documents
+    ),
+    a AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(CASE WHEN f_lang THEN 1 ELSE 0 END) AS BIGINT) AS m_lang,
+        CAST(sum(CASE WHEN f_quality THEN 1 ELSE 0 END) AS BIGINT) AS m_quality,
+        CAST(sum(CASE WHEN f_short THEN 1 ELSE 0 END) AS BIGINT) AS m_short,
+        CAST(sum(CASE WHEN f_long THEN 1 ELSE 0 END) AS BIGINT) AS m_long,
+        CAST(sum(CASE WHEN f_lang THEN 1 ELSE 0 END) AS BIGINT) AS w_lang,
+        CAST(sum(CASE WHEN NOT f_lang AND f_quality THEN 1 ELSE 0 END) AS BIGINT)
+          AS w_quality,
+        CAST(sum(CASE WHEN NOT f_lang AND NOT f_quality AND f_short
+                 THEN 1 ELSE 0 END) AS BIGINT) AS w_short,
+        CAST(sum(CASE WHEN NOT f_lang AND NOT f_quality AND NOT f_short
+                 AND f_long THEN 1 ELSE 0 END) AS BIGINT) AS w_long
+      FROM f
+    ),
+    rows_ AS (
+      SELECT n, 'lang' AS rule, m_lang AS n_fail, w_lang AS n_first_fail FROM a
+      UNION ALL SELECT n, 'quality', m_quality, w_quality FROM a
+      UNION ALL SELECT n, 'too_short', m_short, w_short FROM a
+      UNION ALL SELECT n, 'too_long', m_long, w_long FROM a
+      UNION ALL SELECT n, 'pass', 0,
+                 n - w_lang - w_quality - w_short - w_long FROM a
+    )
+    SELECT rule, n_fail, n_first_fail,
+           floor(CAST(n_first_fail AS DOUBLE) / n * 1000000.0 + 0.5)
+             / 1000000.0 AS share
+    FROM rows_
+""",
+)
+def corpus_gate_attribution(spark, sf_dir):
+    """Per-rule drop attribution for the curation gate (funnel
+    observability): marginal fail counts + waterfall first-fail
+    attribution summing to total drops, one bound tokenization per
+    row, single map-side aggregate."""
+    from route81_spark.ops.text import gate_attribution
+
+    docs = _t(spark, sf_dir, "documents")
+    return gate_attribution(docs, min_tokens=20, max_tokens=80)
+
+
 # =====================================================================
 # Registry accessors (consumed by __spark_entry__)
 # =====================================================================

@@ -797,6 +797,21 @@ def _triplets(df: DataFrame, arg: dict) -> DataFrame:
     )
 
 
+def _gate_attribution(df: DataFrame, arg: dict) -> DataFrame:
+    from route81_spark.ops.text import gate_attribution
+
+    return gate_attribution(
+        df,
+        langs=tuple(arg.get("langs", ["en"])),
+        min_quality=float(arg.get("minQuality", 0.05)),
+        min_tokens=int(arg.get("minTokens", 5)),
+        max_tokens=int(arg.get("maxTokens", 1_000_000)),
+        text_col=arg.get("textField", "text"),
+        id_col=arg.get("idField", "doc_id"),
+    )
+
+
+register_stage("$gateAttribution", _gate_attribution)
 register_stage("$tripletMine", _triplets)
 register_stage("$budgetSelect", _budget_select)
 register_stage("$clusterSample", _cluster_sample)

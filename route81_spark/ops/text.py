@@ -646,3 +646,87 @@ def char_entropy(text_col: Column) -> Column:
         lambda i: F.substr(text_col, i, F.lit(1)),
     )
     return F.get(F.transform(F.array(cs), with_cs), 0)
+
+
+def gate_attribution(
+    df: DataFrame,
+    langs: tuple[str, ...] = ("en",),
+    min_quality: float = 0.05,
+    min_tokens: int = 5,
+    max_tokens: int = 1_000_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-rule drop attribution for the curation gate — the funnel
+    observability every production pipeline publishes (Dolma-style
+    tagger reports): for each rule, how many documents fail it at all
+    (marginal) and how many are dropped BY it first in the declared
+    order lang -> quality -> too_short -> too_long (waterfall — sums to
+    total drops), plus the pass row. Returns
+    (rule, n_fail, n_first_fail, share) ordered by the waterfall.
+
+    100 TB shape: all four flags come from ONE bound tokenization per
+    row (the curation_gate trick), reduced by a single
+    map-side-combinable aggregate to one driver row, then unpivoted to
+    five rule rows — text never shuffles, nothing per-doc survives."""
+    from route81_spark.ops.util import det_round
+
+    text = F.col(text_col)
+    flags = F.get(
+        F.transform(
+            F.array(tokens(text)),
+            lambda tk: F.struct(
+                (~lang_id_tk(tk).isin(*langs)).alias("f_lang"),
+                (quality_score_tk(text, tk) < F.lit(min_quality)).alias(
+                    "f_quality"
+                ),
+                (F.size(tk) < min_tokens).alias("f_short"),
+                (F.size(tk) > max_tokens).alias("f_long"),
+            ),
+        ),
+        0,
+    )
+    d = df.select(flags.alias("g"))
+    g = F.col("g")
+    ff_lang = g["f_lang"]
+    ff_quality = ~g["f_lang"] & g["f_quality"]
+    ff_short = ~g["f_lang"] & ~g["f_quality"] & g["f_short"]
+    ff_long = ~g["f_lang"] & ~g["f_quality"] & ~g["f_short"] & g["f_long"]
+    agg = d.agg(
+        F.count("*").cast("long").alias("n"),
+        *[
+            F.sum(c.cast("int")).cast("long").alias(a)
+            for c, a in [
+                (g["f_lang"], "m_lang"),
+                (g["f_quality"], "m_quality"),
+                (g["f_short"], "m_short"),
+                (g["f_long"], "m_long"),
+                (ff_lang, "w_lang"),
+                (ff_quality, "w_quality"),
+                (ff_short, "w_short"),
+                (ff_long, "w_long"),
+            ]
+        ],
+    )
+    n_pass = (
+        F.col("n") - F.col("w_lang") - F.col("w_quality")
+        - F.col("w_short") - F.col("w_long")
+    )
+    rows = F.array(
+        F.struct(F.lit("lang").alias("rule"), F.col("m_lang").alias("n_fail"),
+                 F.col("w_lang").alias("n_first_fail")),
+        F.struct(F.lit("quality").alias("rule"), F.col("m_quality").alias("n_fail"),
+                 F.col("w_quality").alias("n_first_fail")),
+        F.struct(F.lit("too_short").alias("rule"), F.col("m_short").alias("n_fail"),
+                 F.col("w_short").alias("n_first_fail")),
+        F.struct(F.lit("too_long").alias("rule"), F.col("m_long").alias("n_fail"),
+                 F.col("w_long").alias("n_first_fail")),
+        F.struct(F.lit("pass").alias("rule"), F.lit(0).cast("long").alias("n_fail"),
+                 n_pass.alias("n_first_fail")),
+    )
+    return agg.select(F.col("n"), F.inline(rows)).select(
+        "rule",
+        "n_fail",
+        "n_first_fail",
+        det_round(F.col("n_first_fail") / F.col("n"), 6).alias("share"),
+    )

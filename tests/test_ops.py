@@ -2669,3 +2669,32 @@ def test_merge_minhash_signatures_union_property(spark):
     m2 = {r["doc_id"]: r for r in merge_minhash_signatures(a, c).collect()}
     assert [m2[2][f"mh{j}"] for j in range(16)] == \
         [c.collect()[0][f"mh{j}"] for j in range(16)]
+
+
+def test_gate_attribution_waterfall_sums_and_order(spark):
+    """Waterfall first-fails + pass == total; marginal >= waterfall per
+    rule; a doc failing lang AND length attributes to lang (first in
+    declared order)."""
+    from route81_spark.ops.text import gate_attribution
+    from route81_spark.pipeline import apply_pipeline
+
+    en = "the and of to a " * 8                      # passes everything
+    de_long = "der die und das ist " * 30            # fails lang AND too_long
+    short_en = "the and of"                          # fails too_short
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text=en), Row(doc_id=2, text=de_long),
+         Row(doc_id=3, text=short_en)]
+    )
+    got = {r["rule"]: r for r in gate_attribution(
+        df, min_quality=0.0, min_tokens=5, max_tokens=100).collect()}
+    assert got["lang"]["n_fail"] == 1 and got["lang"]["n_first_fail"] == 1
+    assert got["too_long"]["n_fail"] == 1      # de_long IS too long...
+    assert got["too_long"]["n_first_fail"] == 0  # ...but lang claimed it
+    assert got["too_short"]["n_first_fail"] == 1
+    assert got["pass"]["n_first_fail"] == 1
+    total_first = sum(r["n_first_fail"] for r in got.values())
+    assert total_first == 3
+    staged = apply_pipeline(df, [{"$gateAttribution": {
+        "minQuality": 0.0, "minTokens": 5, "maxTokens": 100}}])
+    assert {r["rule"]: r["n_first_fail"] for r in staged.collect()} == {
+        k: r["n_first_fail"] for k, r in got.items()}
