@@ -76,6 +76,7 @@ BENCH_QUERIES = [
     "sim_triplets",        # one broadcast scoring pass -> pos/neg winners pivot
     "dedup_minhash_merge", # elementwise-min signature union (full-outer id join)
     "corpus_gate_attribution",  # one-pass gate flags -> waterfall unpivot
+    "corpus_drift",        # two vocab-sized count tables -> TV distance
 ]
 
 

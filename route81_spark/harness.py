@@ -7452,6 +7452,68 @@ def corpus_gate_attribution(spark, sf_dir):
     return gate_attribution(docs, min_tokens=20, max_tokens=80)
 
 
+@_q(
+    "corpus_drift",
+    # mirror of ops.corpus.distribution_drift over the snapshot_diff
+    # mutation (drop %11, revise %7 adds a ' [rev2]' token, %13 docs
+    # duplicated with a 'new' prefix token): integer cross-multiplied
+    # TV numerator, one det-rounded division at the end.
+    f"""
+    WITH newt AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 3 THEN text || ' [rev2]' ELSE text END AS text
+      FROM documents WHERE doc_id % 11 <> 0
+      UNION ALL
+      SELECT doc_id + 10000000, 'new ' || text
+      FROM documents WHERE doc_id % 13 = 0
+    ),
+    ca AS (SELECT tok, CAST(count(*) AS BIGINT) AS ca FROM
+             (SELECT unnest({_TOKS}) AS tok FROM documents) GROUP BY tok),
+    cb AS (SELECT tok, CAST(count(*) AS BIGINT) AS cb FROM
+             (SELECT unnest({_TOKS}) AS tok FROM newt) GROUP BY tok),
+    j AS (SELECT coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+          FROM ca FULL OUTER JOIN cb USING (tok)),
+    agg AS (SELECT CAST(count(*) AS INT) AS n_types_union,
+                   CAST(sum(ca) AS BIGINT) AS n_tokens_a,
+                   CAST(sum(cb) AS BIGINT) AS n_tokens_b
+            FROM j),
+    tv AS (SELECT CAST(sum(abs(ca * n_tokens_b - cb * n_tokens_a)) AS BIGINT)
+                    AS tv_num
+           FROM j CROSS JOIN agg)
+    SELECT n_types_union, n_tokens_a, n_tokens_b, tv_num,
+           floor(CAST(tv_num AS DOUBLE)
+                 / (2.0 * n_tokens_a * n_tokens_b) * 1000000.0 + 0.5)
+             / 1000000.0 AS tv_distance
+    FROM agg CROSS JOIN tv
+""",
+)
+def corpus_drift(spark, sf_dir):
+    """Snapshot-to-snapshot token-distribution drift (total-variation
+    distance, integer-exact numerator): each side reduces to its
+    vocab-sized count table, one full-outer token join, one scalar agg
+    — the source-health monitor ahead of recuration."""
+    from route81_spark.ops.corpus import distribution_drift
+
+    docs = _t(spark, sf_dir, "documents")
+    mid = F.col("doc_id")
+    new = (
+        docs.filter(mid % 11 != 0)
+        .select(
+            "doc_id",
+            F.when(mid % 7 == 3, F.concat(F.col("text"), F.lit(" [rev2]")))
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionByName(
+            docs.filter(mid % 13 == 0).select(
+                (mid + 10000000).alias("doc_id"),
+                F.concat(F.lit("new "), F.col("text")).alias("text"),
+            )
+        )
+    )
+    return distribution_drift(docs, new)
+
+
 # =====================================================================
 # Registry accessors (consumed by __spark_entry__)
 # =====================================================================

@@ -811,6 +811,20 @@ def _gate_attribution(df: DataFrame, arg: dict) -> DataFrame:
     )
 
 
+def _drift(df: DataFrame, arg: dict) -> DataFrame:
+    """Pipeline input = the NEW snapshot; `from` names the OLD one
+    (the $snapshotDiff convention)."""
+    from route81_spark.ops.corpus import distribution_drift
+    from route81_spark.pipeline.compiler import _resolve_collection
+
+    return distribution_drift(
+        _resolve_collection(arg["from"]),
+        df,
+        text_col=arg.get("textField", "text"),
+    )
+
+
+register_stage("$distributionDrift", _drift)
 register_stage("$gateAttribution", _gate_attribution)
 register_stage("$tripletMine", _triplets)
 register_stage("$budgetSelect", _budget_select)

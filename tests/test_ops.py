@@ -2698,3 +2698,28 @@ def test_gate_attribution_waterfall_sums_and_order(spark):
         "minQuality": 0.0, "minTokens": 5, "maxTokens": 100}}])
     assert {r["rule"]: r["n_first_fail"] for r in staged.collect()} == {
         k: r["n_first_fail"] for k, r in got.items()}
+
+
+def test_distribution_drift_hand_computed(spark):
+    """Identical snapshots -> TV 0; disjoint vocabularies -> TV 1;
+    a hand-computed mixed case matches the exact rational value."""
+    from route81_spark.ops.corpus import distribution_drift
+    from route81_spark.pipeline import apply_pipeline, compiler
+
+    a = spark.createDataFrame([Row(doc_id=1, text="x x y")])
+    same = distribution_drift(a, a).collect()[0]
+    assert same["tv_num"] == 0 and same["tv_distance"] == 0.0
+    b = spark.createDataFrame([Row(doc_id=1, text="z z z")])
+    disj = distribution_drift(a, b).collect()[0]
+    assert disj["tv_distance"] == 1.0
+    # a: {x:2, y:1} N=3 ; c: {x:1, y:2} N=3 -> TV = 1/2*(1/3+1/3) = 1/3
+    c = spark.createDataFrame([Row(doc_id=1, text="x y y")])
+    mix = distribution_drift(a, c).collect()[0]
+    assert mix["tv_num"] == 6  # |2*3-1*3| + |1*3-2*3|
+    assert abs(mix["tv_distance"] - 1 / 3) < 1e-6
+    compiler.set_collection_resolver(lambda n: {"old": a}[n])
+    try:
+        staged = apply_pipeline(c, [{"$distributionDrift": {"from": "old"}}])
+        assert staged.collect()[0]["tv_num"] == 6
+    finally:
+        compiler.set_collection_resolver(None)
