@@ -426,3 +426,27 @@ def test_cluster_sample_embeddings_never_shuffle(spark):
         if "Exchange" not in head or "BroadcastExchange" in head:
             continue
         assert not ("hashpartitioning" in block and "embedding#" in block), plan
+
+
+def test_containment_prune_broadcasts_and_text_never_shuffles(spark):
+    """containment_pairs: the stop-shingle prune is a broadcast
+    anti-join (hot list is tiny by construction) and no
+    hash-partitioned Exchange carries raw text — only (doc, hash)
+    integer rows move."""
+    df = harness.QUERIES["dedup_containment"](spark, SF)
+    plan = plan_of(df, "formatted")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    for block in plan.split("\n\n"):
+        head = block.strip().splitlines()[0] if block.strip() else ""
+        if "Exchange" not in head or "BroadcastExchange" in head:
+            continue
+        assert not ("hashpartitioning" in block and "text#" in block), plan
+
+
+def test_triplets_single_scoring_pass_with_window_group_limit(spark):
+    """contrastive_triplets: anchors broadcast (no corpus-side shuffle
+    for scoring), winners via WindowGroupLimit."""
+    df = harness.QUERIES["sim_triplets"](spark, SF)
+    plan = plan_of(df, "formatted")
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan

@@ -612,3 +612,38 @@ def test_streaming_bloom_apply_matches_batch(spark, tmp_path):
             for r in bloom_apply(batch_df, words, sep=" | ").collect()}
     assert got == want
     assert all(n_seen == 1 for (_, n_seen, _) in want.values())
+
+
+def test_streaming_intradoc_dedup_and_entropy_match_batch(spark, tmp_path):
+    """intradoc_line_dedup and char_entropy are pure per-row
+    projections — stream-legal in append mode, bit-identical to batch
+    on the same rows (intake-hygiene companions to normalize_text)."""
+    from pyspark.sql import Row
+
+    from route81_spark.ops.corpus import intradoc_line_dedup
+    from route81_spark.ops.text import char_entropy
+
+    rows = [
+        {"doc_id": i,
+         "text": f"rep unit {i % 3} | rep unit {i % 3} | tail {i}",
+         "ts": "2024-01-01T00:00:00"}
+        for i in range(12)
+    ]
+    src = tmp_path / "src"
+    _write_batch(src / "b1.json", rows[:6])
+    _write_batch(src / "b2.json", rows[6:])
+    stream = spark.readStream.schema(DOC_SCHEMA).json(str(src))
+    out, ck = tmp_path / "out", tmp_path / "ck"
+    deduped = intradoc_line_dedup(stream, sep=" | ").withColumn(
+        "e", char_entropy(F.col("clean_text"))
+    )
+    _run_available_now(deduped, out, ck)
+    got = {r["doc_id"]: (r["n_kept"], r["clean_text"], r["e"])
+           for r in spark.read.parquet(str(out)).collect()}
+    batch_df = spark.createDataFrame([Row(doc_id=r["doc_id"], text=r["text"])
+                                      for r in rows])
+    want = {r["doc_id"]: (r["n_kept"], r["clean_text"], r["e"])
+            for r in intradoc_line_dedup(batch_df, sep=" | ").withColumn(
+                "e", char_entropy(F.col("clean_text"))).collect()}
+    assert got == want
+    assert all(k == 2 for (k, _, _) in want.values())  # repeat dropped
