@@ -2269,8 +2269,14 @@ def bloom_apply(
     already-ingested index for incremental crawl dedup). Contrast
     line_dedup_global, which needs the winner agg + text join because
     it dedups a corpus against ITSELF."""
+    import numpy as np
+
     m_bits = len(words) << 6
-    lit_words = F.lit(words)
+    # np.int64 array -> ONE Literal node. F.lit(list) builds a 16k-child
+    # CreateArray, which codegen re-materializes per element_at call
+    # inside the lambda (measured: the probe ran 8s instead of 1s at
+    # sf0.1 — 3 probes/unit each rebuilding the 16k array).
+    lit_words = F.lit(np.asarray(words, dtype=np.int64))
 
     def seen(u: Column) -> Column:
         return F.forall(
@@ -2290,14 +2296,27 @@ def bloom_apply(
             ),
         )
 
-    units = _line_array(text_col, sep, window)
-    kept = F.filter(units, lambda u: ~seen(u))
     joiner = sep if sep is not None else " "
-    return df.select(
+    # two 1-element explodes materialize `units` then `kept` exactly
+    # once per row: CollapseProject does not cross a Generate, so the
+    # downstream multi-column projection can't re-inline the md5 probe
+    # chain (naive form evaluated it twice -> 2x the probe md5 work)
+    bound_units = df.select(
         F.col(id_col),
-        F.size(units).alias("n_units"),
-        (F.size(units) - F.size(kept)).alias("n_seen"),
-        F.array_join(kept, joiner).alias("clean_text"),
+        F.explode(F.array(_line_array(text_col, sep, window))).alias("__us"),
+    )
+    bound_kept = bound_units.select(
+        F.col(id_col),
+        F.size("__us").alias("n_units"),
+        F.explode(
+            F.array(F.filter(F.col("__us"), lambda u: ~seen(u)))
+        ).alias("__kp"),
+    )
+    return bound_kept.select(
+        F.col(id_col),
+        F.col("n_units"),
+        (F.col("n_units") - F.size("__kp")).alias("n_seen"),
+        F.array_join(F.col("__kp"), joiner).alias("clean_text"),
     )
 
 
