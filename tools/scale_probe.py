@@ -94,6 +94,9 @@ def ops() -> dict:
         "zipf": lambda d: _zipf_p(d),
         "entropy": lambda d: _entropy_p(d),
         "intradoc": lambda d: _intradoc_p(d),
+        "budget": lambda d: _budget_p(d),
+        "gate_attr": lambda d: _attr_p(d),
+        "drift": lambda d: _drift_p(d),
     }
 
 
@@ -147,6 +150,31 @@ def _intradoc_p(d: DataFrame) -> DataFrame:
     from route81_spark.ops.corpus import intradoc_line_dedup
 
     return intradoc_line_dedup(d, window=4)
+
+
+def _budget_p(d: DataFrame) -> DataFrame:
+    from route81_spark.ops.corpus import budget_select, quality_classifier
+
+    scored = quality_classifier(d, F.col("lang") == "en").select(
+        "doc_id",
+        F.expr("CAST((score * 1000000) DIV n_bigrams AS LONG)").alias("priority"),
+        (F.col("n_bigrams") + 1).cast("long").alias("n_tokens"),
+    )
+    return budget_select(scored, "priority", "n_tokens", budget=15000)
+
+
+def _attr_p(d: DataFrame) -> DataFrame:
+    from route81_spark.ops.text import gate_attribution
+
+    return gate_attribution(d, min_tokens=20, max_tokens=80)
+
+
+def _drift_p(d: DataFrame) -> DataFrame:
+    from route81_spark.ops.corpus import distribution_drift
+
+    return distribution_drift(
+        d, d.filter(F.col("doc_id") % 11 != 0)
+    )
 
 
 def _normalize(d: DataFrame) -> DataFrame:
