@@ -2549,3 +2549,22 @@ def distribution_drift(
             6,
         ).alias("tv_distance"),
     )
+
+
+def bloom_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Union two Bloom bitmaps (bloom_build outputs) — the index-update
+    step of the incremental-ingestion loop: OR yesterday's filter with
+    the batch just accepted, without touching any text. Bitmap-OR is
+    exact for Bloom semantics (a bit is set iff set in either side).
+    One full-outer join over <= m/64 integer rows."""
+    ja = a.select(F.col("word"), F.col("bits").alias("__a"))
+    jb = b.select(F.col("word"), F.col("bits").alias("__b"))
+    j = ja.join(jb, "word", "full_outer")
+    return j.select(
+        "word",
+        (
+            F.coalesce(F.col("__a"), F.lit(0)).bitwiseOR(
+                F.coalesce(F.col("__b"), F.lit(0))
+            )
+        ).alias("bits"),
+    )

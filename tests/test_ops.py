@@ -2723,3 +2723,29 @@ def test_distribution_drift_hand_computed(spark):
         assert staged.collect()[0]["tv_num"] == 6
     finally:
         compiler.set_collection_resolver(None)
+
+
+def test_bloom_merge_equals_combined_build(spark):
+    """OR-merging the bitmaps of two corpora == building one bitmap
+    over their union — the exactness that makes incremental index
+    updates sound — and a unit seen by either side is seen by the
+    merged filter."""
+    from route81_spark.ops.corpus import (
+        bloom_apply, bloom_build, bloom_dense_words, bloom_merge)
+
+    d1 = spark.createDataFrame([Row(doc_id=1, text="aa bb\ncc dd")])
+    d2 = spark.createDataFrame([Row(doc_id=2, text="ee ff\ngg hh")])
+    both = d1.unionByName(d2)
+    m = 1 << 12
+    merged = bloom_merge(
+        bloom_build(d1, sep="\n", m_bits=m),
+        bloom_build(d2, sep="\n", m_bits=m),
+    )
+    w_merged = bloom_dense_words(merged, m_bits=m)
+    w_both = bloom_dense_words(bloom_build(both, sep="\n", m_bits=m), m_bits=m)
+    assert w_merged == w_both
+    probe = spark.createDataFrame(
+        [Row(doc_id=9, text="aa bb\ngg hh\nnew unit")])
+    out = bloom_apply(probe, w_merged, sep="\n").collect()[0]
+    assert (out["n_units"], out["n_seen"], out["clean_text"]) == (
+        3, 2, "new unit")
