@@ -7130,10 +7130,14 @@ def text_char_entropy(spark, sf_dir):
 
     docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
     text = F.col("text")
-    cs = F.transform(
-        F.sequence(F.lit(1), F.length(text)),
-        lambda i: F.substr(text, i, F.lit(1)),
-    )
+    # same empty-text guard as char_entropy: sequence(1,0) descends
+    cs = F.when(
+        F.length(text) > 0,
+        F.transform(
+            F.sequence(F.lit(1), F.length(text)),
+            lambda i: F.substr(text, i, F.lit(1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return docs.select(
         "doc_id",
         F.length(text).cast("int").alias("n_chars"),

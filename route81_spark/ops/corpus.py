@@ -2230,7 +2230,9 @@ def bloom_build(
     mask = F.call_function(
         "shiftleft", F.lit(1).cast("long"), (F.col("__p") % 64).cast("int")
     )
-    return pos.groupBy(word.alias("word")).agg(F.bit_or(mask).alias("bits"))
+    return pos.groupBy(word.alias("word")).agg(
+        F.bit_or(mask).alias("bits")
+    ).withColumn("m_words", F.lit(m_bits >> 6))
 
 
 def bloom_dense_words(bloom: DataFrame, m_bits: int = 1 << 20) -> list[int]:
@@ -2242,6 +2244,11 @@ def bloom_dense_words(bloom: DataFrame, m_bits: int = 1 << 20) -> list[int]:
     n_words = m_bits >> 6
     dense = [0] * n_words
     for row in bloom.collect():
+        if "m_words" in row and int(row["m_words"]) != n_words:
+            raise ValueError(
+                f"bitmap was built with m_bits={int(row['m_words']) << 6}, "
+                f"asked to densify as m_bits={m_bits}"
+            )
         dense[int(row["word"])] = int(row["bits"])
     return dense
 
@@ -2436,16 +2443,32 @@ def intradoc_line_dedup(
     array_position(units, u) == own index inside one document, so this
     is a pure projection: zero shuffles, stream-legal (append-mode
     intake hygiene alongside normalize_text)."""
-    units = _line_array(text_col, sep, window)
-    kept = F.filter(
-        units, lambda u, i: F.array_position(units, u) == i + F.lit(1)
-    )
     joiner = sep if sep is not None else " "
-    return df.select(
+    # bind `units` then `kept` exactly once per row behind Generate
+    # boundaries (the bloom_apply fix): the naive form re-evaluated the
+    # whole tokenize+chunk tree per element via array_position(units,.)
+    # inside the HOF lambda, plus twice more across the select columns
+    bound_units = df.select(
         F.col(id_col),
-        F.size(units).alias("n_lines"),
-        F.size(kept).alias("n_kept"),
-        F.array_join(kept, joiner).alias("clean_text"),
+        F.explode(F.array(_line_array(text_col, sep, window))).alias("__us"),
+    )
+    us = F.col("__us")
+    bound_kept = bound_units.select(
+        F.col(id_col),
+        F.size("__us").alias("n_lines"),
+        F.explode(
+            F.array(
+                F.filter(
+                    us, lambda u, i: F.array_position(us, u) == i + F.lit(1)
+                )
+            )
+        ).alias("__kp"),
+    )
+    return bound_kept.select(
+        F.col(id_col),
+        F.col("n_lines"),
+        F.size("__kp").alias("n_kept"),
+        F.array_join(F.col("__kp"), joiner).alias("clean_text"),
     )
 
 
@@ -2499,6 +2522,13 @@ def distribution_drift(
     against the opposite side's total (|c_a*N_b - c_b*N_a| sums as
     BIGINT), divided once at the end. Returns ONE row
     (n_types_union, n_tokens_a, n_tokens_b, tv_num, tv_distance).
+
+    Exactness bound: the numerator is bounded by 2*N_a*N_b, so int64
+    is exact up to ~2.1e9 tokens PER SIDE (~8 GB of text) — right for
+    per-source/per-shard drift monitoring, the intended granularity.
+    Above that, swap the cross-products for decimal(38,0) (the
+    quality_classifier escape hatch) or compare hash-bucketed
+    sub-distributions.
 
     100 TB shape: each side reduces to its vocab-sized count table in
     one map-side-combinable agg; ONE full-outer join on the token key
@@ -2555,11 +2585,28 @@ def bloom_merge(a: DataFrame, b: DataFrame) -> DataFrame:
     """Union two Bloom bitmaps (bloom_build outputs) — the index-update
     step of the incremental-ingestion loop: OR yesterday's filter with
     the batch just accepted, without touching any text. Bitmap-OR is
-    exact for Bloom semantics (a bit is set iff set in either side).
-    One full-outer join over <= m/64 integer rows."""
+    exact for Bloom semantics (a bit is set iff set in either side) —
+    but ONLY for same-sized filters: positions are taken mod m, so
+    OR-ing bitmaps of different m silently misplaces bits and creates
+    FALSE NEGATIVES (the failure a Bloom filter must never have).
+    bloom_build therefore tags its output with m_words, and the merge
+    refuses mismatched sizes (one tiny agg over the <=m/64-row
+    bitmaps). One full-outer join over <= m/64 integer rows."""
+    sizes = (
+        a.select(F.col("m_words").alias("ma"))
+        .limit(1)
+        .crossJoin(b.select(F.col("m_words").alias("mb")).limit(1))
+        .collect()
+    )
+    if sizes and sizes[0]["ma"] != sizes[0]["mb"]:
+        raise ValueError(
+            f"cannot OR bitmaps of different sizes: m_bits "
+            f"{sizes[0]['ma'] << 6} vs {sizes[0]['mb'] << 6}"
+        )
     ja = a.select(F.col("word"), F.col("bits").alias("__a"))
     jb = b.select(F.col("word"), F.col("bits").alias("__b"))
     j = ja.join(jb, "word", "full_outer")
+    m_words = int(sizes[0]["ma"]) if sizes else 0
     return j.select(
         "word",
         (
@@ -2567,4 +2614,5 @@ def bloom_merge(a: DataFrame, b: DataFrame) -> DataFrame:
                 F.coalesce(F.col("__b"), F.lit(0))
             )
         ).alias("bits"),
+        F.lit(m_words).alias("m_words"),
     )

@@ -641,10 +641,16 @@ def char_entropy(text_col: Column) -> Column:
         )
         return -nat / F.lit(0.6931471805599453)
 
-    cs = F.transform(
-        F.sequence(F.lit(1), F.length(text_col)),
-        lambda i: F.substr(text_col, i, F.lit(1)),
-    )
+    # guard: sequence(1, 0) is DESCENDING [1, 0] in Spark (default step
+    # -1 when start > stop), which would fabricate two phantom ''
+    # chars for empty text — the oracle's range(1, L+1) is empty there
+    cs = F.when(
+        F.length(text_col) > 0,
+        F.transform(
+            F.sequence(F.lit(1), F.length(text_col)),
+            lambda i: F.substr(text_col, i, F.lit(1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return F.get(F.transform(F.array(cs), with_cs), 0)
 
 

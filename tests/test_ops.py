@@ -2749,3 +2749,33 @@ def test_bloom_merge_equals_combined_build(spark):
     out = bloom_apply(probe, w_merged, sep="\n").collect()[0]
     assert (out["n_units"], out["n_seen"], out["clean_text"]) == (
         3, 2, "new unit")
+
+
+def test_bloom_merge_refuses_mismatched_sizes(spark):
+    from route81_spark.ops.corpus import bloom_build, bloom_merge
+
+    d = spark.createDataFrame([Row(doc_id=1, text="aa bb\ncc dd")])
+    big = bloom_build(d, sep="\n", m_bits=1 << 12)
+    small = bloom_build(d, sep="\n", m_bits=1 << 8)
+    with pytest.raises(ValueError, match="different sizes"):
+        bloom_merge(big, small)
+
+
+def test_bloom_dense_words_refuses_wrong_m_bits(spark):
+    from route81_spark.ops.corpus import bloom_build, bloom_dense_words
+
+    d = spark.createDataFrame([Row(doc_id=1, text="aa bb\ncc dd")])
+    with pytest.raises(ValueError, match="m_bits"):
+        bloom_dense_words(bloom_build(d, sep="\n", m_bits=1 << 12),
+                          m_bits=1 << 20)
+
+
+def test_char_entropy_empty_text_no_phantom_chars(spark):
+    """sequence(1,0) descends in Spark — the guard must keep empty text
+    at zero distinct chars (oracle parity: DuckDB range(1,1) is [])."""
+    from route81_spark.ops.text import char_entropy
+
+    df = spark.createDataFrame([Row(doc_id=1, text=""), Row(doc_id=2, text="ab")])
+    got = {r["doc_id"]: r["e"] for r in df.select(
+        "doc_id", char_entropy(F.col("text")).alias("e")).collect()}
+    assert got[1] == 0.0 and got[2] == 1.0
