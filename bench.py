@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "dedup_minhash_merge", # elementwise-min signature union (full-outer id join)
     "corpus_gate_attribution",  # one-pass gate flags -> waterfall unpivot
     "corpus_drift",        # two vocab-sized count tables -> TV distance
+    "corpus_incremental_curation",  # diff -> gate -> bloom scrub (delta only)
 ]
 
 

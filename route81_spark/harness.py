@@ -7518,6 +7518,115 @@ def corpus_drift(spark, sf_dir):
     return distribution_drift(docs, new)
 
 
+@_q(
+    "corpus_incremental_curation",
+    # mirror of ops.corpus.incremental_curation — the composed day-2
+    # pipeline from proven fragments: snapshot_diff's mutation + hash
+    # classification, the corpus_curation gate (lang/quality/length),
+    # and corpus_bloom_dedup's set-membership Bloom twin with the OLD
+    # corpus as the reference slice.
+    f"""
+    WITH newt AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 3 THEN text || ' [rev2]' ELSE text END AS text
+      FROM documents WHERE doc_id % 11 <> 0
+      UNION ALL
+      SELECT doc_id + 10000000, 'new ' || text
+      FROM documents WHERE doc_id % 13 = 0
+    ),
+    oh AS (SELECT doc_id, sha256(text) AS h FROM documents),
+    nh AS (SELECT doc_id, sha256(text) AS h FROM newt),
+    delta AS (
+      SELECT nh.doc_id,
+             CASE WHEN oh.doc_id IS NULL THEN 'added' ELSE 'changed' END AS status
+      FROM nh LEFT JOIN oh ON nh.doc_id = oh.doc_id
+      WHERE oh.doc_id IS NULL OR oh.h <> nh.h
+    ),
+    cand AS (SELECT n.doc_id, n.text, d.status
+             FROM newt n JOIN delta d ON n.doc_id = d.doc_id),
+    gated AS (
+      SELECT * FROM cand
+      WHERE {_LANG_SQL.format(T=_TOKS)} = 'en'
+        AND {_QUALITY_SQL.format(T=_TOKS)} >= 0.05
+        AND len({_TOKS}) BETWEEN 5 AND 1000000
+    ),
+    t AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    c AS (SELECT doc_id, tk,
+                 greatest(CAST(floor((len(tk) + 3) / 4.0) AS INT), 1) AS nc
+          FROM t),
+    ln AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, nc + 1),
+                    i -> coalesce(array_to_string(tk[(i-1)*4+1:(i-1)*4+4], ' '), '')))
+               AS txt
+      FROM c
+    ),
+    refbits AS (
+      SELECT DISTINCT p FROM (
+        SELECT unnest([
+          ('0x' || substr(md5('bloom0|0|' || txt), 1, 15))::BIGINT % 1048576,
+          ('0x' || substr(md5('bloom0|1|' || txt), 1, 15))::BIGINT % 1048576,
+          ('0x' || substr(md5('bloom0|2|' || txt), 1, 15))::BIGINT % 1048576
+        ]) AS p FROM ln)
+    ),
+    tg AS (SELECT doc_id, status, {_TOKS} AS tk FROM gated),
+    cg AS (SELECT doc_id, status, tk,
+                  greatest(CAST(floor((len(tk) + 3) / 4.0) AS INT), 1) AS nc
+           FROM tg),
+    lng AS (
+      SELECT doc_id, status,
+             unnest(range(1, nc + 1)) AS i,
+             unnest(list_transform(range(1, nc + 1),
+                    i -> coalesce(array_to_string(tk[(i-1)*4+1:(i-1)*4+4], ' '), '')))
+               AS txt
+      FROM cg
+    ),
+    probe AS (
+      SELECT doc_id, status, i, txt,
+             (('0x' || substr(md5('bloom0|0|' || txt), 1, 15))::BIGINT % 1048576
+                IN (SELECT p FROM refbits))
+             AND (('0x' || substr(md5('bloom0|1|' || txt), 1, 15))::BIGINT % 1048576
+                IN (SELECT p FROM refbits))
+             AND (('0x' || substr(md5('bloom0|2|' || txt), 1, 15))::BIGINT % 1048576
+                IN (SELECT p FROM refbits)) AS s
+      FROM lng
+    )
+    SELECT doc_id, status,
+           CAST(count(*) AS INT) AS n_units,
+           CAST(sum(CASE WHEN s THEN 1 ELSE 0 END) AS INT) AS n_seen,
+           coalesce(string_agg(CASE WHEN NOT s THEN txt END, ' ' ORDER BY i), '')
+             AS clean_text
+    FROM probe GROUP BY doc_id, status
+""",
+)
+def corpus_incremental_curation(spark, sf_dir):
+    """End-to-end incremental (day-2) curation: snapshot diff finds
+    added/changed ids, the quality gate screens them, and yesterday's
+    Bloom index scrubs every paragraph already ingested — unchanged
+    docs are never reprocessed, and only the day's delta pays the
+    expensive paths."""
+    from route81_spark.ops.corpus import incremental_curation
+
+    docs = _t(spark, sf_dir, "documents")
+    mid = F.col("doc_id")
+    new = (
+        docs.filter(mid % 11 != 0)
+        .select(
+            "doc_id",
+            F.when(mid % 7 == 3, F.concat(F.col("text"), F.lit(" [rev2]")))
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionByName(
+            docs.filter(mid % 13 == 0).select(
+                (mid + 10000000).alias("doc_id"),
+                F.concat(F.lit("new "), F.col("text")).alias("text"),
+            )
+        )
+    )
+    return incremental_curation(docs, new)
+
+
 # =====================================================================
 # Registry accessors (consumed by __spark_entry__)
 # =====================================================================

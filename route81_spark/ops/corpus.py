@@ -2616,3 +2616,55 @@ def bloom_merge(a: DataFrame, b: DataFrame) -> DataFrame:
         ).alias("bits"),
         F.lit(m_words).alias("m_words"),
     )
+
+
+def incremental_curation(
+    old: DataFrame,
+    new: DataFrame,
+    langs: tuple[str, ...] = ("en",),
+    min_quality: float = 0.05,
+    min_tokens: int = 5,
+    max_tokens: int = 1_000_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 4,
+    m_bits: int = 1 << 20,
+    k: int = 3,
+    seed: str = "bloom0",
+) -> DataFrame:
+    """The day-2 ops composition, end to end: given yesterday's
+    accepted corpus and today's snapshot, (1) snapshot_diff finds the
+    added/changed ids — unchanged docs are never reprocessed, (2) the
+    quality/language/length gate screens the candidates, (3) the
+    standing Bloom index built from yesterday's corpus scrubs every
+    paragraph yesterday already had. Returns the accepted NEW work
+    only: (id, status, n_units, n_seen, clean_text).
+
+    100 TB shape: the diff is two (id, hash) reductions + one id join;
+    the gate is one bound tokenization per candidate; the index is the
+    bounded bitmap (built once per day, mergeable via bloom_merge);
+    the scrub is the map-only literal probe. Nothing corpus-sized
+    shuffles, and the expensive paths touch only the day's delta."""
+    from route81_spark.ops.text import curation_gate
+
+    delta = snapshot_diff(old, new, id_col=id_col, text_col=text_col).filter(
+        F.col("status").isin("added", "changed")
+    )
+    cand = new.join(delta.select(id_col, "status"), id_col)
+    gated = cand.filter(
+        curation_gate(
+            F.col(text_col), langs, min_quality, min_tokens, max_tokens
+        )
+    )
+    words = bloom_dense_words(
+        bloom_build(
+            old, text_col, id_col, window=window, m_bits=m_bits, k=k, seed=seed
+        ),
+        m_bits,
+    )
+    scrubbed = bloom_apply(
+        gated, words, text_col, id_col, window=window, k=k, seed=seed
+    )
+    return scrubbed.join(
+        gated.select(id_col, "status"), id_col
+    ).select(id_col, "status", "n_units", "n_seen", "clean_text")

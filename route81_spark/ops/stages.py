@@ -824,6 +824,29 @@ def _drift(df: DataFrame, arg: dict) -> DataFrame:
     )
 
 
+def _incremental_curate(df: DataFrame, arg: dict) -> DataFrame:
+    """Pipeline input = the NEW snapshot; `from` names the accepted
+    OLD corpus (the $snapshotDiff convention)."""
+    from route81_spark.ops.corpus import incremental_curation
+    from route81_spark.pipeline.compiler import _resolve_collection
+
+    return incremental_curation(
+        _resolve_collection(arg["from"]),
+        df,
+        langs=tuple(arg.get("langs", ["en"])),
+        min_quality=float(arg.get("minQuality", 0.05)),
+        min_tokens=int(arg.get("minTokens", 5)),
+        max_tokens=int(arg.get("maxTokens", 1_000_000)),
+        text_col=arg.get("textField", "text"),
+        id_col=arg.get("idField", "doc_id"),
+        window=int(arg.get("window", 4)),
+        m_bits=int(arg.get("mBits", 1 << 20)),
+        k=int(arg.get("k", 3)),
+        seed=arg.get("seed", "bloom0"),
+    )
+
+
+register_stage("$incrementalCurate", _incremental_curate)
 register_stage("$distributionDrift", _drift)
 register_stage("$gateAttribution", _gate_attribution)
 register_stage("$tripletMine", _triplets)

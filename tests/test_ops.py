@@ -2779,3 +2779,41 @@ def test_char_entropy_empty_text_no_phantom_chars(spark):
     got = {r["doc_id"]: r["e"] for r in df.select(
         "doc_id", char_entropy(F.col("text")).alias("e")).collect()}
     assert got[1] == 0.0 and got[2] == 1.0
+
+
+def test_incremental_curation_processes_only_the_delta(spark):
+    """Unchanged docs never reach the output; a changed doc is scrubbed
+    down to its genuinely-new units; an added non-English doc dies at
+    the gate; a fresh English doc passes whole."""
+    from route81_spark.ops.corpus import incremental_curation
+    from route81_spark.pipeline import apply_pipeline, compiler
+
+    en = "the and of to a " * 4
+    old = spark.createDataFrame(
+        [Row(doc_id=1, text=en + "stable tail one"),
+         Row(doc_id=2, text=en + "will change soon")]
+    )
+    new = spark.createDataFrame(
+        [Row(doc_id=1, text=en + "stable tail one"),              # unchanged
+         Row(doc_id=2, text=en + "will change soon brand new bit here"),
+         Row(doc_id=3, text="der die und das ist " * 6),          # added, non-en
+         Row(doc_id=4, text=en + "completely fresh page")]        # added, en
+    )
+    got = {r["doc_id"]: r for r in incremental_curation(
+        old, new, min_quality=0.0, min_tokens=3).collect()}
+    assert set(got) == {2, 4}
+    assert got[2]["status"] == "changed" and got[4]["status"] == "added"
+    # doc 2's prefix units were all in the old index; the new tail survives
+    assert "brand new bit here" in got[2]["clean_text"]
+    assert got[2]["n_seen"] > 0
+    # doc 4 shares the 'the and of to a' boilerplate units with old docs
+    # (scrubbed) but keeps its fresh tail
+    assert "completely fresh page" in got[4]["clean_text"]
+    compiler.set_collection_resolver(lambda n: {"accepted": old}[n])
+    try:
+        staged = apply_pipeline(new, [{"$incrementalCurate": {
+            "from": "accepted", "minQuality": 0.0, "minTokens": 3}}])
+        assert {r["doc_id"]: r["clean_text"] for r in staged.collect()} == {
+            i: r["clean_text"] for i, r in got.items()}
+    finally:
+        compiler.set_collection_resolver(None)
