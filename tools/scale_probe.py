@@ -399,6 +399,40 @@ def headline_probe(spark, k: int = 10) -> None:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def scaled_embeddings(emb: DataFrame, k: int) -> DataFrame:
+    stride = (emb.agg(F.max("vec_id")).first()[0] or 0) + 1
+    out = None
+    for i in range(k):
+        c = emb.withColumn(
+            "vec_id", (F.col("vec_id") + F.lit(i * stride)).cast("long")
+        )
+        out = c if out is None else out.unionByName(c)
+    return out
+
+
+def embedding_ops() -> dict:
+    def csample(e: DataFrame) -> DataFrame:
+        from route81_spark.ops.similarity import cluster_balanced_sample
+
+        cents = e.filter(F.col("vec_id") < 16).select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("centroid_vec"),
+        )
+        return cluster_balanced_sample(e, cents, n_per=8)
+
+    def triplets(e: DataFrame) -> DataFrame:
+        from route81_spark.ops.similarity import contrastive_triplets
+
+        anchors = e.filter(F.col("vec_id") % 1000 == 0).select(
+            F.col("vec_id").alias("anchor_id"),
+            F.col("embedding").alias("anchor_vec"),
+            F.col("label").alias("anchor_label"),
+        )
+        return contrastive_triplets(e, anchors)
+
+    return {"cluster_sample": csample, "triplets": triplets}
+
+
 def main() -> int:
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 20
     selected = set(sys.argv[2:])
@@ -435,6 +469,21 @@ def main() -> int:
                 continue
             t1 = min(_time(fn, ev_base) for _ in range(2))
             tk = _time(fn, ev_big)
+            print(f"{name:12s} 1x={t1:6.2f}s  {k}x={tk:7.2f}s  ratio={tk / t1:5.1f}x")
+    emb_sel = selected & set(embedding_ops()) if selected else set()
+    if emb_sel:
+        em_base = load_table(
+            spark,
+            os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+            "embeddings",
+        ).persist()
+        em_big = scaled_embeddings(em_base, k).persist()
+        print(f"embeddings base={em_base.count()} rows, scaled={em_big.count()} (K={k})")
+        for name, fn in embedding_ops().items():
+            if name not in emb_sel:
+                continue
+            t1 = min(_time(fn, em_base) for _ in range(2))
+            tk = _time(fn, em_big)
             print(f"{name:12s} 1x={t1:6.2f}s  {k}x={tk:7.2f}s  ratio={tk / t1:5.1f}x")
     if "hot_key_asof" in selected:  # explicit opt-in: generates 40M rows
         hot_key_asof_probe(spark)
