@@ -14,6 +14,9 @@ state store:
   * running_group_stats — applyInPandasWithState custom stateful
     aggregation: per-key running (count, sum, min, max) re-emitted on
     every micro-batch that touches the key.
+  * bloom_intake — BOUNDED-state paragraph dedup intake: a fixed
+    m-bit Bloom bitmap versioned per batch id (replay-idempotent
+    foreachBatch), where exact dedup state would grow without bound.
 
 Scale shape: both operators shuffle once on their state key and keep
 per-key state O(1); dedup state is one hash per distinct content, which
@@ -265,3 +268,75 @@ def compact_rollup(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def bloom_intake(
+    stream: DataFrame,
+    out_dir: str,
+    state_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str | None = None,
+    window: int | None = 4,
+    m_bits: int = 1 << 20,
+    k: int = 3,
+    seed: str = "bloom0",
+):
+    """BOUNDED-state streaming dedup intake — the scale counterpart of
+    streaming_exact_dedup: that operator's state grows one hash per
+    distinct content forever, while this one holds a FIXED m-bit Bloom
+    bitmap (128 KiB at the default m) no matter how many billions of
+    units flow past, trading exactness for deterministic false
+    positives (over-drop only — a Bloom filter never under-drops).
+
+    Per micro-batch (foreachBatch):
+      1. load the newest committed bitmap with batch id < this one
+         (replay after a crash reloads the SAME pre-state, recomputes
+         the same output, and overwrites its own partition — the
+         standard idempotent foreachBatch recipe);
+      2. bloom_apply scrubs every unit the index has seen; accepted
+         rows land in out_dir/batch=<id>;
+      3. the batch's OWN unit bitmap ORs into the state and commits as
+         state_dir/words_<id>.npy.
+
+    Returns a function for `.writeStream.foreachBatch(...)`."""
+    import os
+
+    import numpy as np
+
+    from route81_spark.ops.corpus import bloom_apply, bloom_build
+
+    n_words = m_bits >> 6
+    os.makedirs(state_dir, exist_ok=True)
+
+    def _latest_state(before_id: int) -> "np.ndarray":
+        best, path = -1, None
+        for f in os.listdir(state_dir):
+            if f.startswith("words_") and f.endswith(".npy"):
+                bid = int(f[len("words_"):-len(".npy")])
+                if best < bid < before_id:
+                    best, path = bid, os.path.join(state_dir, f)
+        if path is None:
+            return np.zeros(n_words, dtype=np.int64)
+        return np.load(path)
+
+    def run_batch(batch_df: DataFrame, batch_id: int) -> None:
+        words = _latest_state(int(batch_id))
+        accepted = bloom_apply(
+            batch_df, [int(w) for w in words], text_col, id_col,
+            sep=sep, window=window, k=k, seed=seed,
+        )
+        accepted.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch={int(batch_id)}")
+        )
+        delta = bloom_build(
+            batch_df, text_col, id_col, sep=sep, window=window,
+            m_bits=m_bits, k=k, seed=seed,
+        ).collect()
+        for row in delta:
+            words[int(row["word"])] |= np.int64(row["bits"])
+        tmp = os.path.join(state_dir, f".words_{int(batch_id)}.tmp.npy")
+        np.save(tmp, words)
+        os.replace(tmp, os.path.join(state_dir, f"words_{int(batch_id)}.npy"))
+
+    return run_batch

@@ -647,3 +647,47 @@ def test_streaming_intradoc_dedup_and_entropy_match_batch(spark, tmp_path):
                 "e", char_entropy(F.col("clean_text"))).collect()}
     assert got == want
     assert all(k == 2 for (k, _, _) in want.values())  # repeat dropped
+
+
+def test_streaming_bloom_intake_bounded_state_across_restart(spark, tmp_path):
+    """The fixed-size dedup intake: state is one 128 KiB-bounded bitmap
+    regardless of volume. Units seen in earlier micro-batches are
+    scrubbed from later ones, the bitmap survives a full query restart
+    (new stream, same checkpoint + state dir), and replaying a batch id
+    reloads the PRE-state (idempotent output partitions)."""
+    import os
+
+    from route81_spark.ops.streaming import bloom_intake
+
+    src = tmp_path / "src"
+    out, ck, st = str(tmp_path / "out"), str(tmp_path / "ck"), str(tmp_path / "st")
+    _write_batch(src / "b1.json", [
+        {"doc_id": 1, "text": "unit alpha | unit beta", "ts": "2024-01-01T00:00:00"}])
+    _write_batch(src / "b2.json", [
+        {"doc_id": 2, "text": "unit beta | unit gamma", "ts": "2024-01-01T00:01:00"}])
+
+    def run():
+        stream = (spark.readStream.schema(DOC_SCHEMA)
+                  .option("maxFilesPerTrigger", 1).json(str(src)))
+        q = (stream.writeStream
+             .foreachBatch(bloom_intake(stream, out, st, sep=" | ", window=None,
+                                        m_bits=1 << 12))
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    run()
+    got = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    assert got[1]["n_seen"] == 0 and got[1]["clean_text"] == "unit alpha | unit beta"
+    assert got[2]["n_seen"] == 1 and got[2]["clean_text"] == "unit gamma"
+
+    # restart: a third file arrives; alpha+gamma are in the bitmap now
+    _write_batch(src / "b3.json", [
+        {"doc_id": 3, "text": "unit alpha | unit gamma | unit delta",
+         "ts": "2024-01-01T00:02:00"}])
+    run()
+    got = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    assert got[3]["n_seen"] == 2 and got[3]["clean_text"] == "unit delta"
+    # state stayed bounded: one 2^12-bit bitmap file per committed batch
+    sizes = {f: os.path.getsize(os.path.join(st, f)) for f in os.listdir(st)}
+    assert all(sz <= (1 << 12) // 8 + 128 for sz in sizes.values()), sizes
