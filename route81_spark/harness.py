@@ -6868,12 +6868,20 @@ def corpus_snapshot_diff(spark, sf_dir):
                AS txt
       FROM c
     ),
+    hb AS (
+      SELECT doc_id, is_ref, i, txt,
+             ('0x' || substr(md5('bloom0|' || txt), 1, 15))::BIGINT AS base
+      FROM ln
+    ),
     hp AS (
       SELECT doc_id, is_ref, i, txt,
-             ('0x' || substr(md5('bloom0|0|' || txt), 1, 15))::BIGINT % 1048576 AS h0,
-             ('0x' || substr(md5('bloom0|1|' || txt), 1, 15))::BIGINT % 1048576 AS h1,
-             ('0x' || substr(md5('bloom0|2|' || txt), 1, 15))::BIGINT % 1048576 AS h2
-      FROM ln
+             (((base & 2147483647) + 0*(2*(base >> 31)+1))
+               % 2147483647) % 1048576 AS h0,
+             (((base & 2147483647) + 1*(2*(base >> 31)+1))
+               % 2147483647) % 1048576 AS h1,
+             (((base & 2147483647) + 2*(2*(base >> 31)+1))
+               % 2147483647) % 1048576 AS h2
+      FROM hb
     ),
     refbits AS (
       SELECT DISTINCT p FROM (
@@ -7563,11 +7571,11 @@ def corpus_drift(spark, sf_dir):
     ),
     refbits AS (
       SELECT DISTINCT p FROM (
-        SELECT unnest([
-          ('0x' || substr(md5('bloom0|0|' || txt), 1, 15))::BIGINT % 1048576,
-          ('0x' || substr(md5('bloom0|1|' || txt), 1, 15))::BIGINT % 1048576,
-          ('0x' || substr(md5('bloom0|2|' || txt), 1, 15))::BIGINT % 1048576
-        ]) AS p FROM ln)
+        SELECT unnest(list_transform(range(0, 3), i ->
+          (((base & 2147483647) + i*(2*(base >> 31)+1))
+            % 2147483647) % 1048576)) AS p
+        FROM (SELECT ('0x' || substr(md5('bloom0|' || txt), 1, 15))::BIGINT
+                AS base FROM ln))
     ),
     tg AS (SELECT doc_id, status, {_TOKS} AS tk FROM gated),
     cg AS (SELECT doc_id, status, tk,
@@ -7583,13 +7591,16 @@ def corpus_drift(spark, sf_dir):
     ),
     probe AS (
       SELECT doc_id, status, i, txt,
-             (('0x' || substr(md5('bloom0|0|' || txt), 1, 15))::BIGINT % 1048576
-                IN (SELECT p FROM refbits))
-             AND (('0x' || substr(md5('bloom0|1|' || txt), 1, 15))::BIGINT % 1048576
-                IN (SELECT p FROM refbits))
-             AND (('0x' || substr(md5('bloom0|2|' || txt), 1, 15))::BIGINT % 1048576
-                IN (SELECT p FROM refbits)) AS s
-      FROM lng
+             ((h1g % 2147483647) % 1048576 IN (SELECT p FROM refbits))
+             AND (((h1g + st) % 2147483647) % 1048576 IN (SELECT p FROM refbits))
+             AND (((h1g + 2*st) % 2147483647) % 1048576 IN (SELECT p FROM refbits))
+               AS s
+      FROM (SELECT doc_id, status, i, txt,
+                   (('0x' || substr(md5('bloom0|' || txt), 1, 15))::BIGINT
+                     & 2147483647) AS h1g,
+                   (2*(('0x' || substr(md5('bloom0|' || txt), 1, 15))::BIGINT
+                     >> 31)+1) AS st
+            FROM lng)
     )
     SELECT doc_id, status,
            CAST(count(*) AS INT) AS n_units,

@@ -2184,13 +2184,31 @@ def snapshot_diff(
     return j.select(id_col, status.alias("status"), "old_hash", "new_hash")
 
 
+_BLOOM_P = 2_147_483_647  # 2^31 - 1, the minhash universal-hash prime
+
+
 def _bloom_positions(unit: Column, m_bits: int, k: int, seed: str) -> Column:
-    """Array of k bloom bit positions for one text unit — each an
-    independent md5-derived 60-bit hash mod m (cross-engine: DuckDB
-    computes the identical positions from the same md5 arithmetic)."""
-    return F.array(
-        *[(_h60(unit, f"{seed}|{i}") % F.lit(m_bits)) for i in range(k)]
-    )
+    """Array of k bloom bit positions for one text unit via
+    Kirsch-Mitzenmacher double hashing: ONE md5 per unit (the
+    expensive part — the naive k-seeds form paid k of them), split by
+    pure bit ops into h1 = low 31 bits and h2 = high 29 bits, then
+    pos_i = (h1 + i*(2*h2+1)) mod P mod m with P = 2^31-1 prime.
+    The odd step keeps h2=0 from collapsing all k positions; K-M shows
+    this family preserves the Bloom false-positive asymptotics of k
+    independent hashes. Bit-exact cross-engine by construction: the
+    mask/shift split stays in int64 (no float division anywhere) and
+    DuckDB computes the identical `& 0x7FFFFFFF` / `>> 31` on the same
+    md5-derived 60-bit base."""
+
+    def with_base(b: Column) -> Column:
+        h1 = b.bitwiseAND(F.lit(_BLOOM_P))  # low 31 bits (mask = 2^31-1)
+        step = F.shiftright(b, 31) * 2 + 1
+        return F.array(
+            *[((h1 + F.lit(i) * step) % F.lit(_BLOOM_P)) % F.lit(m_bits)
+              for i in range(k)]
+        )
+
+    return F.get(F.transform(F.array(_h60(unit, seed)), with_base), 0)
 
 
 def bloom_build(

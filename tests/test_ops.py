@@ -2295,8 +2295,12 @@ def test_bloom_bitmap_matches_python_reference_and_fp_determinism(spark):
     from route81_spark.ops.corpus import (
         bloom_apply, bloom_build, bloom_dense_words)
 
-    def h60(u, seed):
-        return int(hashlib.md5(f"{seed}|{u}".encode()).hexdigest()[:15], 16)
+    P = 2_147_483_647
+
+    def positions(u, k, m):
+        base = int(hashlib.md5(f"bloom0|{u}".encode()).hexdigest()[:15], 16)
+        h1, h2 = base & P, base >> 31
+        return [((h1 + i * (2 * h2 + 1)) % P) % m for i in range(k)]
 
     m, k = 64, 2
     ref_units = [f"ref unit {i}" for i in range(12)]
@@ -2306,8 +2310,7 @@ def test_bloom_bitmap_matches_python_reference_and_fp_determinism(spark):
 
     bits = set()
     for u in ref_units:
-        for i in range(k):
-            bits.add(h60(u, f"bloom0|{i}") % m)
+        bits.update(positions(u, k, m))
     want_words = [0]
     for p in bits:
         want_words[0] |= 1 << p
@@ -2322,7 +2325,7 @@ def test_bloom_bitmap_matches_python_reference_and_fp_determinism(spark):
     out = bloom_apply(probe, got_words, sep="\n", k=k).collect()[0]
     want_seen = [
         u for u in probe_units
-        if all((want_words[0] >> (h60(u, f"bloom0|{i}") % m)) & 1 for i in range(k))
+        if all((want_words[0] >> p) & 1 for p in positions(u, k, m))
     ]
     assert out["n_seen"] == len(want_seen)
     assert out["clean_text"] == "\n".join(
