@@ -2745,6 +2745,66 @@ def emb_semantic_dedup(spark, sf_dir):
     )
 
 
+@_q(
+    "sim_knn_graph",
+    f"""
+    WITH e AS (
+      SELECT vec_id, embedding,
+             {" + ".join(f"(CASE WHEN embedding[{i + 1}] > 0 THEN {2**i} ELSE 0 END)" for i in range(8))}
+               AS bucket
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT a.vec_id AS src, b.vec_id AS nbr,
+             floor(({_cos_sql('a.embedding', 'b.embedding')}) * 1000000.0 + 0.5) / 1000000.0 AS score
+      FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+    ),
+    ranked AS (
+      SELECT src, nbr, score,
+             CAST(row_number() OVER (PARTITION BY src
+                  ORDER BY score DESC, nbr ASC) AS INT) AS rank
+      FROM scored
+    )
+    SELECT * FROM ranked WHERE rank <= 3
+    """,
+)
+def sim_knn_graph(spark, sf_dir):
+    """Corpus-wide approximate k-NN graph (each vector's 3 nearest
+    sign-bucket candidates) — the graph primitive for graph-based
+    curation: density scoring, cluster discovery past a hard threshold,
+    label propagation. Bucketed self-join, never all-pairs."""
+    return S.knn_graph(_t(spark, sf_dir, "embeddings"), k=3)
+
+
+@_q(
+    "sim_random_projection",
+    # regenerates the Achlioptas sign matrix from md5 exactly as
+    # _achlioptas_signs does, then folds each component in the same
+    # element order as the Spark zip_with/aggregate expression
+    """
+    WITH s AS (
+      SELECT d.range AS d, j.range AS j,
+             CAST(CASE (('0x' || substr(md5('jl|' || CAST(d.range AS VARCHAR) || ':'
+                    || CAST(j.range AS VARCHAR)), 1, 15))::BIGINT % 6)
+               WHEN 0 THEN 1.0 WHEN 1 THEN -1.0 ELSE 0.0 END AS DOUBLE) AS sgn
+      FROM range(64) d, range(16) j
+    ),
+    sm AS (SELECT j, list(sgn ORDER BY d) AS sv FROM s GROUP BY j)
+    SELECT e.vec_id, CAST(sm.j AS INT) AS dim,
+           floor(list_reduce(list_transform(range(1, 65),
+                 i -> CAST(e.embedding[i] AS DOUBLE) * sm.sv[i]), (a, b) -> a + b)
+                 * 1000000.0 + 0.5) / 1000000.0 AS value
+    FROM embeddings e, sm
+    """,
+)
+def sim_random_projection(spark, sf_dir):
+    """Sparse JL projection 64 -> 16 dims (hash-derived Achlioptas
+    signs, zero shuffle): the standard pre-step before ANN on very wide
+    embeddings. Exploded to (vec_id, dim, value) rows so the driver
+    hash-compares scalar doubles."""
+    return S.random_project(_t(spark, sf_dir, "embeddings"), out_dim=16)
+
+
 # =====================================================================
 # Text analysis
 # =====================================================================

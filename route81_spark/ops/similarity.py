@@ -1059,3 +1059,108 @@ def contrastive_triplets(
         "neg_score",
         (F.col("pos_score") - F.col("neg_score")).alias("margin"),
     )
+
+
+def knn_graph(
+    emb: DataFrame,
+    k: int = 3,
+    n_dims: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Corpus-wide approximate k-NN graph: each vector's `k` nearest
+    neighbours among its sign-bucket candidates. The graph primitive
+    behind graph-based curation (SemDeDup clustering beyond the
+    threshold cut, density/diversity scoring, label propagation).
+
+    Scale shape: the candidate relation is the same bucketed self-join
+    as embedding_near_dups — an equi-join on the LSH bucket key, never
+    all-pairs; per-bucket population is corpus/2^n_dims in expectation
+    (raise n_dims to keep cells bounded as the corpus grows). The only
+    other shuffle is the per-source top-k window over (src, score)
+    rows. Unlike bucketed_topk the query side IS the corpus, so the
+    join is a plain shuffle join on `bucket` — broadcasting would ship
+    the whole corpus."""
+    e = emb.select(
+        F.col(id_col), F.col(vec_col), sign_bucket(F.col(vec_col), n_dims).alias("bucket")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    scored = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("src"),
+        F.col(f"b.{id_col}").alias("nbr"),
+        det_round(cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 6).alias("score"),
+    )
+    w = Window.partitionBy("src").orderBy(F.col("score").desc(), F.col("nbr").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("src", "nbr", "score", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def _achlioptas_signs(in_dim: int, out_dim: int, seed: str) -> list[list[int]]:
+    """Deterministic sparse JL sign matrix (Achlioptas 2003): entry
+    (d, j) is +1 / -1 / 0 with probability 1/6, 1/6, 2/3, derived from
+    md5 so a SQL oracle regenerates every entry bit-for-bit:
+    ('0x' || substr(md5('<seed>|d:j'), 1, 15))::BIGINT % 6 -> 0=+1,
+    1=-1, else 0."""
+    import hashlib
+
+    signs = []
+    for d in range(in_dim):
+        row = []
+        for j in range(out_dim):
+            h = int(
+                hashlib.md5(f"{seed}|{d}:{j}".encode()).hexdigest()[:15], 16
+            ) % 6
+            row.append(1 if h == 0 else (-1 if h == 1 else 0))
+        signs.append(row)
+    return signs
+
+
+def random_project(
+    emb: DataFrame,
+    out_dim: int = 16,
+    in_dim: int = 64,
+    seed: str = "jl",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction with the sparse
+    Achlioptas projection: out[j] = sum_d sign(d, j) * vec[d], signs in
+    {+1, 0, -1} hash-derived (no stored matrix — any worker, any engine
+    regenerates it). 64 -> 16 dims cuts downstream ANN cost 4x while
+    approximately preserving pairwise distances; the standard pre-step
+    before bucketed/IVF search on very wide embeddings.
+
+    Scale shape: a pure per-row projection — ZERO shuffle, the matrix
+    is plan-time literals (kilobytes), the corpus never moves. Each
+    output component is the same zip_with/aggregate sequential fold as
+    dot(), so the DuckDB list_reduce twin is bit-identical; unscaled
+    integer-weight sums (the sqrt(3/out_dim) JL constant is a global
+    monotone factor, irrelevant to distance *ratios*) keep every
+    product exact-by-construction at float precision.
+
+    Returns (id, dim, value) rows — one per output component."""
+    from route81_spark.ops.util import det_round_sql
+
+    signs = _achlioptas_signs(in_dim, out_dim, seed)
+    comps = []
+    for j in range(out_dim):
+        arr = ", ".join(f"{signs[d][j]}.0D" for d in range(in_dim))
+        fold = (
+            f"aggregate(zip_with(`{vec_col}`, array({arr}), "
+            "(x, y) -> cast(x as double) * y), "
+            "cast(0.0 as double), (acc, v) -> acc + v)"
+        )
+        comps.append(det_round_sql(fold, 6))
+    return emb.selectExpr(
+        f"`{id_col}`", f"array({', '.join(comps)}) as __proj"
+    ).select(
+        F.col(id_col),
+        F.posexplode("__proj").alias("dim", "value"),
+    )

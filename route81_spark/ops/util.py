@@ -24,8 +24,12 @@ def det_round(col: Column, digits: int = 6) -> Column:
 
 
 def det_round_sql(expr: str, digits: int = 6) -> str:
-    scale = float(10**digits)
-    return f"floor(({expr}) * {scale} + 0.5) / {scale}"
+    # the divisor must be a DOUBLE: `bigint / 1000000.0` parses the rhs
+    # as DECIMAL(8,1) and produces DECIMAL(27,9) (floor() of a double
+    # is BIGINT in Spark SQL) — a different column TYPE than the
+    # Column-API det_round, surfacing as object-dtype in toPandas
+    s = float(10**digits)
+    return f"floor(({expr}) * {s} + 0.5) / cast({s} as double)"
 
 
 def salted_join(

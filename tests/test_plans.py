@@ -450,3 +450,23 @@ def test_triplets_single_scoring_pass_with_window_group_limit(spark):
     plan = plan_of(df, "formatted")
     assert "WindowGroupLimit" in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_random_projection_zero_shuffle(spark):
+    # JL projection is a pure per-row transform: the sign matrix lives
+    # in the plan as literals, the corpus never moves — no Exchange of
+    # any kind, no Python nodes
+    df = harness.QUERIES["sim_random_projection"](spark, SF)
+    plan = plan_of(df, "simple")
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_knn_graph_bucketed_never_all_pairs(spark):
+    # the candidate relation is an equi-join on the LSH bucket key —
+    # a cartesian/broadcast-nested-loop product would be the all-pairs
+    # plan that dies at scale
+    df = harness.QUERIES["sim_knn_graph"](spark, SF)
+    plan = plan_of(df, "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
