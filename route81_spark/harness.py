@@ -6903,6 +6903,77 @@ def corpus_snapshot_diff(spark, sf_dir):
     return snapshot_diff(docs, new)
 
 
+def _snapshot_b(docs):
+    """The deterministic 'next-day' snapshot shared by the snapshot
+    family (same mutation as corpus_snapshot_diff)."""
+    mid = F.col("doc_id")
+    return (
+        docs.filter(mid % 11 != 0)
+        .select(
+            "doc_id",
+            F.when(mid % 7 == 3, F.concat(F.col("text"), F.lit(" [rev2]")))
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionByName(
+            docs.filter(mid % 13 == 0).select(
+                (mid + 10000000).alias("doc_id"),
+                F.concat(F.lit("new "), F.col("text")).alias("text"),
+            )
+        )
+    )
+
+
+@_q(
+    "corpus_overlap_sketch",
+    # exact replica of the KMV estimator: 60-bit md5 content hashes,
+    # bottom-128 per side, union-sketch closure, integer counters and
+    # ONE double division per estimate (det-rounded both sides)
+    """
+    WITH newt AS (
+      SELECT CASE WHEN doc_id % 7 = 3 THEN text || ' [rev2]' ELSE text END AS text
+      FROM documents WHERE doc_id % 11 <> 0
+      UNION ALL
+      SELECT 'new ' || text FROM documents WHERE doc_id % 13 = 0
+    ),
+    ah AS (SELECT DISTINCT ('0x' || substr(md5(text), 1, 15))::BIGINT AS h FROM documents),
+    bh AS (SELECT DISTINCT ('0x' || substr(md5(text), 1, 15))::BIGINT AS h FROM newt),
+    ak AS (SELECT h FROM ah ORDER BY h LIMIT 128),
+    bk AS (SELECT h FROM bh ORDER BY h LIMIT 128),
+    u AS (
+      SELECT DISTINCT h FROM (SELECT h FROM ak UNION ALL SELECT h FROM bk)
+      ORDER BY h LIMIT 128
+    ),
+    inter AS (SELECT ak.h FROM ak JOIN bk USING (h)),
+    shared AS (SELECT u.h FROM u JOIN inter USING (h)),
+    s AS (
+      SELECT (SELECT count(*) FROM u) AS k_used,
+             (SELECT max(h) FROM u) AS kth,
+             (SELECT count(*) FROM ak) AS n_a,
+             (SELECT count(*) FROM bk) AS n_b,
+             (SELECT count(*) FROM shared) AS shared
+    )
+    SELECT CAST(k_used AS INT) AS k_used, CAST(n_a AS INT) AS n_a,
+           CAST(n_b AS INT) AS n_b, CAST(shared AS INT) AS shared,
+           floor(shared / CAST(k_used AS DOUBLE) * 1000000.0 + 0.5) / cast(1000000.0 as double) AS jaccard_est,
+           CASE WHEN k_used < 128 THEN CAST(k_used AS DOUBLE)
+                ELSE floor((k_used - 1) * 1152921504606846975.0 / CAST(kth AS DOUBLE)
+                     * 10000.0 + 0.5) / cast(10000.0 as double)
+           END AS union_est
+    FROM s
+    """,
+)
+def corpus_overlap_sketch(spark, sf_dir):
+    """Cross-snapshot overlap estimated from bottom-128 KMV sketches:
+    the cheap planning answer to "how much of today's crawl is already
+    curated?" before paying for a real cross-corpus dedup. Kilobytes of
+    sketch instead of a corpus join."""
+    from route81_spark.ops.corpus import kmv_overlap_sketch
+
+    docs = _t(spark, sf_dir, "documents")
+    return kmv_overlap_sketch(docs, _snapshot_b(docs), k=128)
+
+
 @_q(
     "corpus_bloom_dedup",
     # mirror of ops.corpus.bloom_paragraph_dedup: the oracle replays

@@ -2184,6 +2184,69 @@ def snapshot_diff(
     return j.select(id_col, status.alias("status"), "old_hash", "new_hash")
 
 
+_KMV_MAX = 1152921504606846975.0  # 2^60 - 1 as a double (both engines
+# parse the same literal to the same IEEE value)
+
+
+def kmv_overlap_sketch(
+    a: DataFrame,
+    b: DataFrame,
+    k: int = 128,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-overlap estimate from bottom-k (KMV) sketches — the
+    planning primitive before an expensive cross-corpus dedup: "how
+    much of snapshot B is already in A?" answered from two
+    kilobyte-sized sketches instead of a corpus join.
+
+    Each side reduces to the k smallest DISTINCT 60-bit content
+    hashes; the bottom-k of the union of two bottom-k sketches IS the
+    bottom-k of the union (KMV closure), so jaccard_est =
+    |union-sketch ∩ A_k ∩ B_k| / |union-sketch| is the standard
+    unbiased Jaccard estimator (Beyer et al. 2007), and the kth
+    minimum yields a distinct-cardinality estimate of the union.
+
+    100 TB shape: one integer-hash DISTINCT per side then a
+    per-partition top-k (TakeOrdered — never a global sort); every
+    subsequent join touches <= k rows. Returns ONE row:
+    (k_used, n_a, n_b, shared, jaccard_est, union_est)."""
+    from route81_spark.ops.util import det_round
+
+    def sk(df: DataFrame) -> DataFrame:
+        h = F.conv(F.substring(F.md5(F.col(text_col)), 1, 15), 16, 10).cast("long")
+        return df.select(h.alias("h")).distinct().orderBy("h").limit(k)
+
+    ak, bk = sk(a), sk(b)
+    u = ak.union(bk).distinct().orderBy("h").limit(k)
+    inter = ak.join(bk, "h")
+    shared = u.join(inter, "h")
+    row = (
+        u.agg(F.count("*").alias("k_used"), F.max("h").alias("kth"))
+        .crossJoin(ak.agg(F.count("*").alias("n_a")))
+        .crossJoin(bk.agg(F.count("*").alias("n_b")))
+        .crossJoin(shared.agg(F.count("*").alias("shared")))
+    )
+    jacc = det_round(F.col("shared") / F.col("k_used").cast("double"), 6)
+    union_est = F.when(
+        F.col("k_used") < k, F.col("k_used").cast("double")
+    ).otherwise(
+        det_round(
+            (F.col("k_used") - 1).cast("double")
+            * F.lit(_KMV_MAX)
+            / F.col("kth").cast("double"),
+            4,
+        )
+    )
+    return row.select(
+        F.col("k_used").cast("int").alias("k_used"),
+        F.col("n_a").cast("int").alias("n_a"),
+        F.col("n_b").cast("int").alias("n_b"),
+        F.col("shared").cast("int").alias("shared"),
+        jacc.alias("jaccard_est"),
+        union_est.alias("union_est"),
+    )
+
+
 _BLOOM_P = 2_147_483_647  # 2^31 - 1, the minhash universal-hash prime
 
 

@@ -2820,3 +2820,33 @@ def test_incremental_curation_processes_only_the_delta(spark):
             i: r["clean_text"] for i, r in got.items()}
     finally:
         compiler.set_collection_resolver(None)
+
+
+def test_kmv_overlap_sketch_bounds(spark):
+    from pyspark.sql import Row
+    from route81_spark.ops.corpus import kmv_overlap_sketch
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=f"document body number {i}") for i in range(40)]
+    )
+    same = kmv_overlap_sketch(docs, docs, k=16).collect()[0]
+    assert same["jaccard_est"] == 1.0 and same["shared"] == same["k_used"] == 16
+    other = spark.createDataFrame(
+        [Row(doc_id=i, text=f"totally different corpus {i}") for i in range(40)]
+    )
+    disj = kmv_overlap_sketch(docs, other, k=16).collect()[0]
+    assert disj["jaccard_est"] == 0.0 and disj["shared"] == 0
+    # unsaturated sketch (k > distinct union): union_est is the EXACT count
+    small_a = spark.createDataFrame([Row(doc_id=1, text="alpha"), Row(doc_id=2, text="beta")])
+    small_b = spark.createDataFrame([Row(doc_id=3, text="beta"), Row(doc_id=4, text="gamma")])
+    ex = kmv_overlap_sketch(small_a, small_b, k=16).collect()[0]
+    assert ex["union_est"] == 3.0 and ex["k_used"] == 3 and ex["shared"] == 1
+    # scale pin: the sketch is a TakeOrdered per side, never a global Sort
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        kmv_overlap_sketch(docs, other, k=16).explain(mode="simple")
+    plan = buf.getvalue()
+    assert "TakeOrderedAndProject" in plan
