@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "events_rollup",      # hour/day/month rollup (one Expand shuffle)
     "corpus_dataset_card",  # per-source release card (two map-side aggs)
     "sim_pq",             # PQ encode->ADC->exact refine (Arrow batches + joins)
+    "sim_ivfpq",          # IVF cells + PQ ADC + exact refine (two-level ANN)
     "corpus_dsir",        # DSIR importance weights (bucket counts + tiny model)
     "corpus_line_dedup",  # keep-first global line dedup (int winner agg + 1 text join)
     "text_quality_classifier",  # hashed-bigram NB quality filter (DSIR-shaped)

@@ -2609,6 +2609,144 @@ def sim_pq(spark, sf_dir):
 
 
 @_q(
+    "sim_ivfpq",
+    # composed replica: sim_ivf's assignment + nprobe=2 probe CTEs
+    # restrict sim_pq's encode -> ADC -> refine to each query's probed
+    # cells. Every arithmetic shape (cosine folds, 1e-9 normalized
+    # quantization, ordered qd2 fold, tie-break ranks) is identical to
+    # the two already-green parents.
+    f"""
+    WITH c AS (
+      SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings WHERE vec_id < 16
+    ),
+    assign AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT e0.vec_id, c.centroid_id,
+               row_number() OVER (
+                 PARTITION BY e0.vec_id
+                 ORDER BY floor(({_cos_sql('e0.embedding', 'c.cv')}) * 1000000.0 + 0.5) / 1000000.0 DESC,
+                          c.centroid_id ASC) AS rn
+        FROM embeddings e0 CROSS JOIN c
+      ) WHERE rn = 1
+    ),
+    q0 AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),
+    probe AS (
+      SELECT query_id, centroid_id FROM (
+        SELECT q0.query_id, c.centroid_id,
+               row_number() OVER (
+                 PARTITION BY q0.query_id
+                 ORDER BY floor(({_cos_sql('q0.qv', 'c.cv')}) * 1000000.0 + 0.5) / 1000000.0 DESC,
+                          c.centroid_id ASC) AS rn
+        FROM q0 CROSS JOIN c
+      ) WHERE rn <= 2
+    ),
+    e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    n0 AS (
+      SELECT vec_id, v,
+             greatest(sqrt(list_reduce(list_transform(v, y -> y*y), (a,b) -> a+b)), 1e-12) AS nrm
+      FROM e
+    ),
+    n AS (
+      SELECT vec_id,
+             list_transform(v, x -> floor(x / nrm * 1000000000.0 + 0.5) / 1000000000.0) AS nv
+      FROM n0
+    ),
+    cents AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS cc, nv
+      FROM (SELECT vec_id, nv FROM n ORDER BY vec_id LIMIT 16)
+    ),
+    cent_sub AS (
+      SELECT cc, sp.range AS s, nv[(sp.range*4+1):(sp.range*4+4)] AS csv
+      FROM cents, range(16) sp
+    ),
+    vsub AS (
+      SELECT vec_id, sp.range AS s, nv[(sp.range*4+1):(sp.range*4+4)] AS sv
+      FROM n, range(16) sp
+    ),
+    code1 AS (
+      SELECT vec_id, s, cc FROM (
+        SELECT v.vec_id, v.s, cs.cc,
+               row_number() OVER (
+                 PARTITION BY v.vec_id, v.s
+                 ORDER BY list_reduce(list_transform(range(1,5),
+                            j -> (v.sv[j]-cs.csv[j])*(v.sv[j]-cs.csv[j])), (a,b) -> a+b) ASC,
+                          cs.cc ASC
+               ) AS rn
+        FROM vsub v JOIN cent_sub cs USING (s)
+      ) WHERE rn = 1
+    ),
+    qsub AS (
+      SELECT vec_id AS query_id, sp.range AS s,
+             nv[(sp.range*4+1):(sp.range*4+4)] AS qsv
+      FROM n, range(16) sp WHERE vec_id % 100 = 0
+    ),
+    qtab AS (
+      SELECT query_id, s, cc,
+             list_reduce(list_transform(range(1,5),
+               j -> (qsv[j]-csv[j])*(qsv[j]-csv[j])), (a,b) -> a+b) AS qd2
+      FROM qsub JOIN cent_sub USING (s)
+    ),
+    adc AS (
+      SELECT t.query_id, cd.vec_id,
+             floor(list_reduce(list(t.qd2 ORDER BY t.s), (a,b) -> a+b) * 1000000.0 + 0.5)
+               / 1000000.0 AS dist6
+      FROM code1 cd
+      JOIN assign a ON a.vec_id = cd.vec_id
+      JOIN probe p ON p.centroid_id = a.centroid_id
+      JOIN qtab t ON t.s = cd.s AND t.cc = cd.cc AND t.query_id = p.query_id
+      GROUP BY t.query_id, cd.vec_id
+    ),
+    cand AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                    ORDER BY dist6 ASC, vec_id ASC) AS rn
+        FROM adc
+      ) WHERE rn <= 50
+    ),
+    scored AS (
+      SELECT cnd.query_id, cnd.vec_id,
+             floor(({_cos_sql('emb.embedding', 'qe.embedding')}) * 1000000.0 + 0.5)
+               / 1000000.0 AS score
+      FROM cand cnd
+      JOIN embeddings emb ON emb.vec_id = cnd.vec_id
+      JOIN embeddings qe ON qe.vec_id = cnd.query_id
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, score,
+             CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY score DESC, vec_id ASC) AS INT) AS rank
+      FROM scored
+    )
+    SELECT * FROM ranked WHERE rank <= 5
+    """,
+)
+def sim_ivfpq(spark, sf_dir):
+    """IVF + PQ composed (FAISS IVFPQ, by_residual=false): coarse cells
+    restrict each query to nprobe=2 cells, PQ asymmetric distance ranks
+    within them, exact cosine re-ranks the top refine*k. The registry
+    runs the deterministic configuration (prefix codebook, iters=0,
+    1e-9 quantization) so the ENTIRE two-level pipeline is
+    DuckDB-oracle-checked end to end."""
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid_vec")
+    )
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    books = S.pq_train_codebook(
+        emb, m=16, ksub=16, sample=16, iters=0, init="prefix", det_quantize=9
+    )
+    return S.ivfpq_topk(
+        emb, queries, centroids, books, k=5, nprobe=2, refine=10, det_quantize=9
+    )
+
+
+@_q(
     "sim_topk_blas",
     # Oracle = exact top-k. BLAS scores are measured bit-identical to
     # the fold at 1e-6 on the fixed sf0.01/sf0.1 fixtures, which is

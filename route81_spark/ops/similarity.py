@@ -1164,3 +1164,122 @@ def random_project(
         F.col(id_col),
         F.posexplode("__proj").alias("dim", "value"),
     )
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    codebook,
+    k: int = 5,
+    nprobe: int = 2,
+    refine: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    det_quantize: int | None = None,
+) -> DataFrame:
+    """IVF + PQ, composed — the canonical billion-scale ANN layout
+    (FAISS IVFPQ with by_residual=false): a coarse inverted index
+    restricts each query to its `nprobe` closest cells, and within
+    those cells candidates are ranked by PQ asymmetric distance (m
+    table lookups per candidate, no float math), then the top
+    `refine*k` get an exact cosine re-rank.
+
+    Scale shape: cell assignment is the zero-shuffle codegen argmax
+    (ivf_assign); the probe list is |Q|*nprobe integer pairs
+    (broadcast via closure); ADC scoring is one Arrow-batched pass
+    over ONLY the rows whose cell some query probed (~nprobe/C of the
+    corpus per query); the shuffle carries <= refine*k rows per
+    (query, partition). The full-precision vectors of just the
+    candidate set are ever touched again."""
+    import numpy as np
+    import pandas as pd
+
+    assigned = ivf_assign(emb, centroids, id_col, vec_col)
+    probes = ivf_probe_cells(queries, centroids, nprobe, query_id_col, query_vec_col)
+    # bounded by construction: |Q| * nprobe integer pairs
+    cells_of: dict = {}
+    for r in probes.select(query_id_col, "centroid_id").collect():
+        cells_of.setdefault(r[query_id_col], []).append(r["centroid_id"])
+    probed_union = sorted({c for cs in cells_of.values() for c in cs})
+
+    books = np.asarray(codebook, dtype=np.float64)  # (m, ksub, dsub)
+    m, ksub, dsub = books.shape
+    q_rows = queries.select(query_id_col, query_vec_col).collect()
+    q_ids = np.array([r[query_id_col] for r in q_rows])
+    Q = np.array([r[query_vec_col] for r in q_rows], dtype=np.float64)
+    Q = _unit_rows(Q, det_quantize)
+    tables = np.empty((len(q_ids), m, ksub))
+    for s in range(m):
+        qs = Q[:, s * dsub : (s + 1) * dsub]
+        diff = qs[:, None, :] - books[s][None, :, :]
+        tables[:, s, :] = _fold_sum(diff**2, axis=2)
+
+    kk_cand = refine * k
+    cent_col = "__r81_cell"
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            pdf = pdf[pdf[cent_col].isin(probed_union)]
+            if not len(pdf):
+                continue
+            E = np.array(list(pdf[vec_col]), dtype=np.float64)
+            E = _unit_rows(E, det_quantize)
+            codes = np.empty((len(E), m), dtype=np.int64)
+            for s in range(m):
+                sub = E[:, s * dsub : (s + 1) * dsub]
+                d2 = _fold_sum((sub[:, None, :] - books[s][None, :, :]) ** 2, axis=2)
+                codes[:, s] = d2.argmin(axis=1)
+            ids = pdf[id_col].to_numpy()
+            cents = pdf[cent_col].to_numpy()
+            out = []
+            for qi, qid in enumerate(q_ids):
+                qmask = np.isin(cents, cells_of.get(qid, []))
+                if not qmask.any():
+                    continue
+                dist = _fold_sum(
+                    tables[qi][np.arange(m)[None, :], codes[qmask]], axis=1
+                )
+                dist6 = np.floor(dist * 1e6 + 0.5) / 1e6
+                sub_ids = ids[qmask]
+                kk = min(kk_cand, len(sub_ids))
+                sel = _local_topk_superset(dist6, kk)
+                out.append(
+                    pd.DataFrame(
+                        {
+                            query_id_col: qid,
+                            id_col: sub_ids[sel],
+                            "adc_dist": dist6[sel],
+                        }
+                    )
+                )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    partial = assigned.select(
+        id_col, vec_col, F.col("centroid_id").alias(cent_col)
+    ).mapInPandas(score, schema=f"{query_id_col} long, {id_col} long, adc_dist double")
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("adc_dist").asc(), F.col(id_col).asc()
+    )
+    cand = (
+        partial.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= kk_cand)
+        .select(query_id_col, id_col)
+    )
+    with_vecs = cand.join(emb.select(id_col, vec_col), id_col)
+    scored = with_vecs.join(F.broadcast(queries), query_id_col).select(
+        F.col(query_id_col),
+        F.col(id_col),
+        det_round(cosine(F.col(vec_col), F.col(query_vec_col)), 6).alias("score"),
+    )
+    w2 = Window.partitionBy(query_id_col).orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "score", F.col("rank").cast("int").alias("rank"))
+    )

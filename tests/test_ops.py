@@ -2850,3 +2850,35 @@ def test_kmv_overlap_sketch_bounds(spark):
         kmv_overlap_sketch(docs, other, k=16).explain(mode="simple")
     plan = buf.getvalue()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_ivfpq_recall_vs_brute_force(spark, sf_dir):
+    """Composed IVFPQ must stay a faithful approximation: with refine
+    and nprobe=4 over the 16-cell index, recall@5 vs exact brute force
+    should be high (the probed fraction is ~1/4 of the corpus)."""
+    from pyspark.sql import functions as F
+    from route81_spark.io import load_table
+    from route81_spark.ops import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid_vec")
+    )
+    queries = emb.filter(F.col("vec_id") % 200 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    books = S.pq_train_codebook(
+        emb, m=16, ksub=16, sample=16, iters=0, init="prefix", det_quantize=9
+    )
+    got = S.ivfpq_topk(
+        emb, queries, centroids, books, k=5, nprobe=4, refine=10, det_quantize=9
+    ).collect()
+    exact = S.brute_force_topk(emb, queries, k=5).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = []
+    for qid in {r["query_id"] for r in exact}:
+        truth = {r["vec_id"] for r in exact if r["query_id"] == qid}
+        recalls.append(len(by_q.get(qid, set()) & truth) / len(truth))
+    assert sum(recalls) / len(recalls) >= 0.5, f"ivfpq recall@5 too low: {recalls}"

@@ -284,6 +284,7 @@ def test_no_row_python_udf_in_any_registered_query(spark):
                      "media_image_dedup",  # r6: synthetic corpus gen +
                      # dHash both run in the Arrow decode pass
                      "media_video_dedup",  # r6: two sample_frames passes
+                     "sim_ivfpq",  # r6: PQ encode + ADC in the Arrow pass
                      "media_audio_dedup"}  # r6: WAV decode + integer
     # energy fingerprint in the Arrow pass (oracle regenerates samples)
     offenders, arrow_unexpected = [], []
@@ -470,3 +471,16 @@ def test_knn_graph_bucketed_never_all_pairs(spark):
     plan = plan_of(df, "simple")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivfpq_corpus_never_hash_shuffles_embeddings(spark):
+    # the two-level scheme's whole point: cell assignment is map-side,
+    # ADC scoring is one Arrow pass over the assigned corpus, and only
+    # (query_id, vec_id, adc_dist)/candidate rows ever hash-shuffle —
+    # an embedding-payload Exchange would re-shuffle the corpus
+    df = harness.QUERIES["sim_ivfpq"](spark, SF)
+    plan = plan_of(df, "simple")
+    assert "MapInPandas" in plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "embedding#" not in line, f"embedding shuffled: {line}"
