@@ -948,3 +948,47 @@ def _fim(df: DataFrame, arg: dict) -> DataFrame:
 
 
 register_stage("$fimTransform", _fim)
+
+
+def _knn_graph(df: DataFrame, arg: dict) -> DataFrame:
+    from route81_spark.ops.similarity import knn_graph
+
+    return knn_graph(
+        df,
+        k=int(arg.get("k", 3)),
+        n_dims=int(arg.get("nDims", 8)),
+        id_col=arg.get("idField", "vec_id"),
+        vec_col=arg.get("vecField", "embedding"),
+    )
+
+
+def _random_project(df: DataFrame, arg: dict) -> DataFrame:
+    from route81_spark.ops.similarity import random_project
+
+    return random_project(
+        df,
+        out_dim=int(arg.get("outDim", 16)),
+        in_dim=int(arg.get("inDim", 64)),
+        seed=str(arg.get("seed", "jl")),
+        id_col=arg.get("idField", "vec_id"),
+        vec_col=arg.get("vecField", "embedding"),
+    )
+
+
+def _overlap_sketch(df: DataFrame, arg: dict) -> DataFrame:
+    """Pipeline input = snapshot A; `other` names snapshot B's
+    collection (resolved via the $lookup collection hook)."""
+    from route81_spark.ops.corpus import kmv_overlap_sketch
+    from route81_spark.pipeline.compiler import _resolve_collection
+
+    return kmv_overlap_sketch(
+        df,
+        _resolve_collection(arg["other"]),
+        k=int(arg.get("k", 128)),
+        text_col=arg.get("textField", "text"),
+    )
+
+
+register_stage("$knnGraph", _knn_graph)
+register_stage("$randomProject", _random_project)
+register_stage("$overlapSketch", _overlap_sketch)

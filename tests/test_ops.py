@@ -2882,3 +2882,36 @@ def test_ivfpq_recall_vs_brute_force(spark, sf_dir):
         truth = {r["vec_id"] for r in exact if r["query_id"] == qid}
         recalls.append(len(by_q.get(qid, set()) & truth) / len(truth))
     assert sum(recalls) / len(recalls) >= 0.5, f"ivfpq recall@5 too low: {recalls}"
+
+
+def test_new_sim_and_sketch_stages(spark):
+    """$knnGraph / $randomProject over the embedding table and
+    $overlapSketch through the collection hook match their op-level
+    twins."""
+    from pyspark.sql import Row
+
+    from route81_spark.ops.corpus import kmv_overlap_sketch
+    from route81_spark.ops.similarity import knn_graph, random_project
+    from route81_spark.pipeline import apply_pipeline, compiler
+
+    emb = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float((i * 7 + j * 3) % 11 - 5) for j in range(64)])
+         for i in range(12)]
+    )
+    got = apply_pipeline(emb, [{"$knnGraph": {"k": 2}}]).collect()
+    want = knn_graph(emb, k=2).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want)) and len(want) > 0
+
+    gp = apply_pipeline(emb, [{"$randomProject": {"outDim": 4}}]).collect()
+    wp = random_project(emb, out_dim=4).collect()
+    assert sorted(map(tuple, gp)) == sorted(map(tuple, wp)) and len(wp) == 48
+
+    a = spark.createDataFrame([Row(doc_id=i, text=f"doc {i}") for i in range(10)])
+    b = spark.createDataFrame([Row(doc_id=i, text=f"doc {i + 5}") for i in range(10)])
+    compiler.set_collection_resolver(lambda n: {"other_snap": b}[n])
+    try:
+        gs = apply_pipeline(a, [{"$overlapSketch": {"other": "other_snap", "k": 8}}]).collect()
+    finally:
+        compiler.set_collection_resolver(None)
+    ws = kmv_overlap_sketch(a, b, k=8).collect()
+    assert [tuple(r) for r in gs] == [tuple(r) for r in ws]

@@ -691,3 +691,33 @@ def test_streaming_bloom_intake_bounded_state_across_restart(spark, tmp_path):
     # state stayed bounded: one 2^12-bit bitmap file per committed batch
     sizes = {f: os.path.getsize(os.path.join(st, f)) for f in os.listdir(st)}
     assert all(sz <= (1 << 12) // 8 + 128 for sz in sizes.values()), sizes
+
+
+def test_streaming_random_projection_matches_batch(spark, tmp_path):
+    """random_project is a pure per-row projection (the sign matrix is
+    plan-time literals) — stream-legal in append mode, bit-identical
+    to batch: an embedding firehose can be reduced 4x at intake."""
+    from pyspark.sql import Row
+
+    from route81_spark.ops.similarity import random_project
+
+    vec_schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.DoubleType())),
+    ])
+    rows = [
+        {"vec_id": i, "embedding": [((i * 13 + j * 5) % 17 - 8) / 3.0 for j in range(64)]}
+        for i in range(10)
+    ]
+    src = tmp_path / "src"
+    _write_batch(src / "b1.json", rows[:5])
+    _write_batch(src / "b2.json", rows[5:])
+    stream = spark.readStream.schema(vec_schema).json(str(src))
+    out, ck = tmp_path / "out", tmp_path / "ck"
+    _run_available_now(random_project(stream, out_dim=8), out, ck)
+    got = {(r["vec_id"], r["dim"]): r["value"]
+           for r in spark.read.parquet(str(out)).collect()}
+    batch = spark.createDataFrame([Row(**r) for r in rows], schema=vec_schema)
+    want = {(r["vec_id"], r["dim"]): r["value"]
+            for r in random_project(batch, out_dim=8).collect()}
+    assert got == want and len(want) == 80
