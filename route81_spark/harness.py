@@ -7113,6 +7113,54 @@ def corpus_overlap_sketch(spark, sf_dir):
 
 
 @_q(
+    "corpus_preference_pairs",
+    # ROW_NUMBER twin of the struct-max/min aggregate: chosen = rank 1
+    # by (s DESC, id ASC), rejected = rank 1 by (s ASC, id DESC); the
+    # quality expression is text_stats' (already green) wrapped in the
+    # same empty-text guard as quality_score
+    f"""
+    WITH sc AS (
+      SELECT doc_id, doc_id % 40 AS prompt_id,
+             CASE WHEN length(text) > 0 AND len({_TOKS}) > 0 THEN
+               floor((least(length(text) / 400.0, 1.0)
+                     * (CAST(len(list_distinct({_TOKS})) AS DOUBLE) / len({_TOKS}))
+                     * (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                        / length(text))) * 1000000.0 + 0.5) / 1000000.0
+             ELSE CAST(0.0 AS DOUBLE) END AS s
+      FROM documents
+    ),
+    ch AS (
+      SELECT prompt_id, doc_id AS chosen_id, s AS chosen_score FROM (
+        SELECT *, row_number() OVER (PARTITION BY prompt_id
+               ORDER BY s DESC, doc_id ASC) AS rn FROM sc
+      ) WHERE rn = 1
+    ),
+    rj AS (
+      SELECT prompt_id, doc_id AS rejected_id, s AS rejected_score FROM (
+        SELECT *, row_number() OVER (PARTITION BY prompt_id
+               ORDER BY s ASC, doc_id DESC) AS rn FROM sc
+      ) WHERE rn = 1
+    )
+    SELECT ch.prompt_id, chosen_id, rejected_id, chosen_score, rejected_score,
+           chosen_score - rejected_score AS margin
+    FROM ch JOIN rj USING (prompt_id)
+    WHERE chosen_score > rejected_score
+    """,
+)
+def corpus_preference_pairs(spark, sf_dir):
+    """DPO preference-pair construction: per prompt group (synthetic
+    prompt_id = doc_id % 40 on the fixture), best-vs-worst candidate by
+    the deterministic quality score, strict-margin pairs only. One
+    map-side-combined aggregate; candidate text never shuffles."""
+    from route81_spark.ops.corpus import preference_pairs
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "prompt_id", F.col("doc_id") % 40
+    )
+    return preference_pairs(docs, group_col="prompt_id")
+
+
+@_q(
     "corpus_bloom_dedup",
     # mirror of ops.corpus.bloom_paragraph_dedup: the oracle replays
     # Bloom semantics with SET membership — a probe unit is 'seen' iff

@@ -2247,6 +2247,49 @@ def kmv_overlap_sketch(
     )
 
 
+def preference_pairs(
+    df: DataFrame,
+    group_col: str = "prompt_id",
+    score_col: Column | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DPO/RLHF preference-pair construction: within each prompt group
+    pick the highest-scoring candidate as `chosen` and the lowest as
+    `rejected` (deterministic tie-breaks: chosen falls to the LOWEST
+    id, rejected to the HIGHEST, via negated-id struct fields), and
+    keep only pairs with a strictly positive margin — equal-scored
+    pairs carry no preference signal.
+
+    Scale shape: ONE map-side-combined aggregate on the group key (two
+    struct max/mins), integer/double rows only — the candidate texts
+    never shuffle; join them back by id afterwards if the trainer
+    needs payloads. No window, no per-group sort."""
+    from route81_spark.ops.text import quality_score
+
+    s = score_col if score_col is not None else quality_score(F.col(text_col))
+    gid = F.col(id_col)
+    agg = df.groupBy(group_col).agg(
+        F.max(
+            F.struct(s.alias("s"), (-gid).alias("negid"), gid.alias("id"))
+        ).alias("best"),
+        F.min(
+            F.struct(s.alias("s"), (-gid).alias("negid"), gid.alias("id"))
+        ).alias("worst"),
+    )
+    return (
+        agg.filter(F.col("best.s") > F.col("worst.s"))
+        .select(
+            F.col(group_col),
+            F.col("best.id").alias("chosen_id"),
+            F.col("worst.id").alias("rejected_id"),
+            F.col("best.s").alias("chosen_score"),
+            F.col("worst.s").alias("rejected_score"),
+            (F.col("best.s") - F.col("worst.s")).alias("margin"),
+        )
+    )
+
+
 _BLOOM_P = 2_147_483_647  # 2^31 - 1, the minhash universal-hash prime
 
 

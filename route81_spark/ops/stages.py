@@ -992,3 +992,17 @@ def _overlap_sketch(df: DataFrame, arg: dict) -> DataFrame:
 register_stage("$knnGraph", _knn_graph)
 register_stage("$randomProject", _random_project)
 register_stage("$overlapSketch", _overlap_sketch)
+
+
+def _preference_pairs(df: DataFrame, arg: dict) -> DataFrame:
+    from route81_spark.ops.corpus import preference_pairs
+
+    return preference_pairs(
+        df,
+        group_col=arg.get("groupField", "prompt_id"),
+        id_col=arg.get("idField", "doc_id"),
+        text_col=arg.get("textField", "text"),
+    )
+
+
+register_stage("$preferencePairs", _preference_pairs)

@@ -2915,3 +2915,55 @@ def test_new_sim_and_sketch_stages(spark):
         compiler.set_collection_resolver(None)
     ws = kmv_overlap_sketch(a, b, k=8).collect()
     assert [tuple(r) for r in gs] == [tuple(r) for r in ws]
+
+
+def test_preference_pairs_semantics_and_plan(spark):
+    """chosen = best score (ties -> lowest id), rejected = worst (ties
+    -> highest id), zero-margin groups and singletons dropped; the plan
+    is ONE map-side-combined aggregate — no window, and the text column
+    never crosses a hash Exchange."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from route81_spark.ops.corpus import preference_pairs
+    from route81_spark.pipeline import apply_pipeline
+
+    rows = [
+        # group 0: clear winner/loser
+        Row(doc_id=1, prompt_id=0, text="The quick brown fox jumps over the lazy dog near the river bank today"),
+        Row(doc_id=2, prompt_id=0, text="a a a a a a !!!"),
+        # group 1: all-tie (identical text) -> dropped (no margin)
+        Row(doc_id=3, prompt_id=1, text="same body here"),
+        Row(doc_id=4, prompt_id=1, text="same body here"),
+        # group 2: singleton -> dropped
+        Row(doc_id=5, prompt_id=2, text="only candidate in this group"),
+    ]
+    df = spark.createDataFrame(rows)
+    got = preference_pairs(df).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["prompt_id"], r["chosen_id"], r["rejected_id"]) == (0, 1, 2)
+    assert r["margin"] > 0
+    # tie-break direction: duplicate best scores -> lowest id chosen
+    tie = spark.createDataFrame([
+        Row(doc_id=10, prompt_id=0, text="alpha beta gamma delta epsilon zeta"),
+        Row(doc_id=11, prompt_id=0, text="alpha beta gamma delta epsilon zeta"),
+        Row(doc_id=12, prompt_id=0, text="x!"),
+    ])
+    t = preference_pairs(tie).collect()[0]
+    assert t["chosen_id"] == 10 and t["rejected_id"] == 12
+    # stage parity
+    staged = apply_pipeline(df, [{"$preferencePairs": {}}]).collect()
+    assert sorted(map(tuple, staged)) == sorted(map(tuple, got + []))
+    # plan: one aggregate pair (partial+final), no Window, text not shuffled
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        preference_pairs(df).explain(mode="simple")
+    plan = buf.getvalue()
+    assert "Window" not in plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "text#" not in line, f"text shuffled: {line}"

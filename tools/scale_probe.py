@@ -97,6 +97,7 @@ def ops() -> dict:
         "budget": lambda d: _budget_p(d),
         "gate_attr": lambda d: _attr_p(d),
         "drift": lambda d: _drift_p(d),
+        "overlap_sketch": lambda d: _overlap_p(d),
     }
 
 
@@ -207,6 +208,15 @@ def _excise(d: DataFrame) -> DataFrame:
     return decontaminate_excise(
         d.filter(F.col("doc_id") % 97 != 0), d.filter(F.col("doc_id") % 97 == 0), n=5
     )
+
+
+def _overlap_p(d: DataFrame) -> DataFrame:
+    from route81_spark.ops.corpus import kmv_overlap_sketch
+
+    other = d.filter(F.col("doc_id") % 3 != 0).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" [v2]"))
+    )
+    return kmv_overlap_sketch(d, other, k=128)
 
 
 def scaled_events(ev: DataFrame, k: int) -> DataFrame:
@@ -430,7 +440,37 @@ def embedding_ops() -> dict:
         )
         return contrastive_triplets(e, anchors)
 
-    return {"cluster_sample": csample, "triplets": triplets}
+    def knn(e: DataFrame) -> DataFrame:
+        from route81_spark.ops.similarity import knn_graph
+
+        # more sign bits at larger corpora keep cells bounded (the
+        # documented scaling knob): 8 bits at 1x, 12 at 20x
+        n = e.count()
+        return knn_graph(e, k=3, n_dims=8 if n <= 50_000 else 12)
+
+    def project(e: DataFrame) -> DataFrame:
+        from route81_spark.ops.similarity import random_project
+
+        return random_project(e, out_dim=16)
+
+    def ivfpq(e: DataFrame) -> DataFrame:
+        from route81_spark.ops.similarity import ivfpq_topk, pq_train_codebook
+
+        cents = e.filter(F.col("vec_id") < 16).select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("centroid_vec"),
+        )
+        queries = e.filter(F.col("vec_id") % 2000 == 0).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+        books = pq_train_codebook(
+            e, m=16, ksub=16, sample=16, iters=0, init="prefix", det_quantize=9
+        )
+        return ivfpq_topk(e, queries, cents, books, k=5, nprobe=2, refine=10,
+                          det_quantize=9)
+
+    return {"cluster_sample": csample, "triplets": triplets, "knn_graph": knn,
+            "random_project": project, "ivfpq": ivfpq}
 
 
 def main() -> int:
