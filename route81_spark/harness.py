@@ -2747,6 +2747,61 @@ def sim_ivfpq(spark, sf_dir):
 
 
 @_q(
+    "sim_prefix_refine",
+    f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+      WHERE vec_id % 100 = 0
+    ),
+    p0 AS (
+      SELECT q.query_id, e.vec_id,
+             floor((
+               list_reduce(list_transform(range(1, 17),
+                 i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)), (x, y) -> x + y)
+               / (sqrt(list_reduce(list_transform(range(1, 17),
+                    i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), (x, y) -> x + y))
+                  * sqrt(list_reduce(list_transform(range(1, 17),
+                    i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)), (x, y) -> x + y)))
+             ) * 1000000.0 + 0.5) / 1000000.0 AS ps
+      FROM embeddings e CROSS JOIN q
+    ),
+    cand AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                    ORDER BY ps DESC, vec_id ASC) AS rn
+        FROM p0
+      ) WHERE rn <= 20
+    ),
+    scored AS (
+      SELECT c.query_id, c.vec_id,
+             floor(({_cos_sql('e.embedding', 'qe.embedding')}) * 1000000.0 + 0.5)
+               / 1000000.0 AS score
+      FROM cand c
+      JOIN embeddings e ON e.vec_id = c.vec_id
+      JOIN embeddings qe ON qe.vec_id = c.query_id
+    )
+    SELECT query_id, vec_id, score, rank FROM (
+      SELECT query_id, vec_id, score,
+             CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY score DESC, vec_id ASC) AS INT) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def sim_prefix_refine(spark, sf_dir):
+    """Matryoshka adaptive retrieval: cheap cosine over the leading 16
+    dims cuts candidates to refine*k, full-dimension cosine re-ranks
+    only those. Pure Column funnel — the scale answer when embeddings
+    are MRL-trained and the prefix is stored as its own column."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return S.prefix_refine_topk(emb, queries, k=5, prefix_dim=16, refine=4)
+
+
+@_q(
     "sim_topk_blas",
     # Oracle = exact top-k. BLAS scores are measured bit-identical to
     # the fold at 1e-6 on the fixed sf0.01/sf0.1 fixtures, which is

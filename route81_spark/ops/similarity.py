@@ -1283,3 +1283,54 @@ def ivfpq_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "score", F.col("rank").cast("int").alias("rank"))
     )
+
+
+def prefix_refine_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    prefix_dim: int = 16,
+    refine: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Matryoshka-style adaptive retrieval (MRL funnel, Kusupati et al.
+    2022): rank the corpus by cosine over only the LEADING `prefix_dim`
+    dimensions (MRL-trained embeddings pack the signal front-first),
+    keep refine*k candidates per query, then re-rank just those with
+    the full-dimension cosine. The cheap pass does prefix_dim/d of the
+    float math per row; only refine*k*|Q| full vectors are ever scored.
+
+    At 100 TB the prefix column would be stored as its own (4x
+    narrower) parquet column so the first pass also reads 4x less;
+    here the slice models that funnel. Pure Column end to end —
+    broadcast queries, WindowGroupLimit candidate cut, no Python."""
+    pfx = F.slice(F.col(vec_col), 1, prefix_dim)
+    qpfx = F.slice(F.col(query_vec_col), 1, prefix_dim)
+    scored0 = emb.crossJoin(F.broadcast(queries)).select(
+        F.col(query_id_col),
+        F.col(id_col),
+        det_round(cosine(pfx, qpfx), 6).alias("__ps"),
+    )
+    w0 = Window.partitionBy(query_id_col).orderBy(
+        F.col("__ps").desc(), F.col(id_col).asc()
+    )
+    cand = (
+        scored0.withColumn("__rn", F.row_number().over(w0))
+        .filter(F.col("__rn") <= refine * k)
+        .select(query_id_col, id_col)
+    )
+    with_vecs = cand.join(emb.select(id_col, vec_col), id_col)
+    scored = with_vecs.join(F.broadcast(queries), query_id_col).select(
+        F.col(query_id_col),
+        F.col(id_col),
+        det_round(cosine(F.col(vec_col), F.col(query_vec_col)), 6).alias("score"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "score", F.col("rank").cast("int").alias("rank"))
+    )

@@ -484,3 +484,13 @@ def test_ivfpq_corpus_never_hash_shuffles_embeddings(spark):
     for line in plan.splitlines():
         if "Exchange hashpartitioning" in line:
             assert "embedding#" not in line, f"embedding shuffled: {line}"
+
+
+def test_prefix_refine_pure_column_funnel(spark):
+    # MRL funnel: candidate cut must prune per-partition before the
+    # shuffle (WindowGroupLimit), and the whole two-pass funnel stays
+    # JVM-side (no Python nodes)
+    df = harness.QUERIES["sim_prefix_refine"](spark, SF)
+    plan = plan_of(df, "simple")
+    assert "WindowGroupLimit" in plan
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
