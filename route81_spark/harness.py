@@ -6657,6 +6657,96 @@ def media_audio_dedup(spark, sf_dir):
 
 
 @_q(
+    "media_audio_segments",
+    # same integer waveform regeneration as media_audio_dedup's oracle
+    # (clips -> gains -> samples -> 30-sample frame energies), then
+    # classic gaps-and-islands (f - row_number over active frames) for
+    # the segment runs — every boundary and energy is integer-exact
+    """
+    WITH clips AS (
+      SELECT i AS media_id, i // 3 AS g, i % 3 AS v
+      FROM generate_series(0, 95) t(i)
+    ),
+    g0 AS (
+      SELECT media_id, g, v, f,
+             g * 97 + f * (CASE WHEN v = 2 THEN 13 ELSE 7 END) AS t
+      FROM clips, (SELECT unnest(range(0, 65)) AS f)
+    ),
+    gm1 AS (SELECT *, CAST((CAST(t AS HUGEINT) * 2654435761) % 4294967296 AS BIGINT) AS m1 FROM g0),
+    gm2 AS (SELECT *, xor(m1, m1 >> 16) AS m2 FROM gm1),
+    gm3 AS (SELECT *, CAST((CAST(m2 AS HUGEINT) * 2246822519) % 4294967296 AS BIGINT) AS m3 FROM gm2),
+    b0 AS (SELECT media_id, g, g * 53 + 11 AS t FROM clips WHERE v = 1),
+    bm1 AS (SELECT *, CAST((CAST(t AS HUGEINT) * 2654435761) % 4294967296 AS BIGINT) AS m1 FROM b0),
+    bm2 AS (SELECT *, xor(m1, m1 >> 16) AS m2 FROM bm1),
+    bm3 AS (SELECT *, CAST((CAST(m2 AS HUGEINT) * 2246822519) % 4294967296 AS BIGINT) AS m3 FROM bm2),
+    bump AS (SELECT media_id, xor(m3, m3 >> 13) % 65 AS f FROM bm3),
+    gains AS (
+      SELECT gm3.media_id, gm3.f,
+             8 + xor(m3, m3 >> 13) % 24
+               + CASE WHEN bump.media_id IS NOT NULL THEN 1 ELSE 0 END AS gain
+      FROM gm3 LEFT JOIN bump
+        ON bump.media_id = gm3.media_id AND bump.f = gm3.f
+    ),
+    s0 AS (
+      SELECT media_id, g, v, s AS ts, g * 1009 + s AS t
+      FROM clips, (SELECT unnest(range(0, 1950)) AS s)
+    ),
+    sm1 AS (SELECT *, CAST((CAST(t AS HUGEINT) * 2654435761) % 4294967296 AS BIGINT) AS m1 FROM s0),
+    sm2 AS (SELECT *, xor(m1, m1 >> 16) AS m2 FROM sm1),
+    sm3 AS (SELECT *, CAST((CAST(m2 AS HUGEINT) * 2246822519) % 4294967296 AS BIGINT) AS m3 FROM sm2),
+    su AS (SELECT media_id, g, v, ts, xor(m3, m3 >> 13) % 2001 - 1000 AS u FROM sm3),
+    n0 AS (SELECT media_id, ts, g * 31 + ts + 777 AS t FROM su WHERE v = 1),
+    nm1 AS (SELECT *, CAST((CAST(t AS HUGEINT) * 2654435761) % 4294967296 AS BIGINT) AS m1 FROM n0),
+    nm2 AS (SELECT *, xor(m1, m1 >> 16) AS m2 FROM nm1),
+    nm3 AS (SELECT *, CAST((CAST(m2 AS HUGEINT) * 2246822519) % 4294967296 AS BIGINT) AS m3 FROM nm2),
+    nz AS (SELECT media_id, ts, xor(m3, m3 >> 13) % 5 - 2 AS nn FROM nm3),
+    samp AS (
+      SELECT su.media_id, su.ts,
+             su.u * gn.gain + coalesce(nz.nn, 0) AS s
+      FROM su
+      JOIN gains gn ON gn.media_id = su.media_id AND gn.f = su.ts // 30
+      LEFT JOIN nz ON nz.media_id = su.media_id AND nz.ts = su.ts
+    ),
+    eng AS (
+      SELECT media_id, ts // 30 AS f, CAST(sum(s * s) AS BIGINT) AS e
+      FROM samp GROUP BY 1, 2
+    ),
+    act AS (SELECT media_id, f, e FROM eng WHERE e >= 3000000000),
+    isl AS (
+      SELECT media_id, f, e,
+             f - row_number() OVER (PARTITION BY media_id ORDER BY f) AS grp
+      FROM act
+    ),
+    seg0 AS (
+      SELECT media_id, grp, min(f) AS start_frame, max(f) AS end_frame,
+             count(*) AS n_frames, CAST(sum(e) AS BIGINT) AS energy
+      FROM isl GROUP BY 1, 2
+    ),
+    kept AS (SELECT * FROM seg0 WHERE n_frames >= 2)
+    SELECT media_id,
+           CAST(row_number() OVER (PARTITION BY media_id ORDER BY start_frame) AS INT) - 1 AS seg_idx,
+           CAST(start_frame AS INT) AS start_frame,
+           CAST(end_frame AS INT) AS end_frame,
+           CAST(n_frames AS INT) AS n_frames,
+           energy
+    FROM kept
+    """,
+)
+def media_audio_segments(spark, sf_dir):
+    """VAD-shaped energy segmentation over really-encoded PCM16 WAV:
+    decode + frame energies + run detection in ONE Arrow pass, integer
+    end to end so the oracle regenerates every sample and recomputes
+    every segment boundary."""
+    from route81_spark.ops.multimodal import (
+        audio_segments,
+        synthetic_audio_corpus_int,
+    )
+
+    corp = synthetic_audio_corpus_int(spark, n=96)
+    return audio_segments(corp, threshold=3_000_000_000, min_frames=2)
+
+
+@_q(
     "media_video_dedup",
     # the dedup input is two REAL sample_frames passes (mapInPandas)
     # over the same synthetic payloads: the +1000-id copy is a

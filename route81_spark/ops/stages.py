@@ -1006,3 +1006,17 @@ def _preference_pairs(df: DataFrame, arg: dict) -> DataFrame:
 
 
 register_stage("$preferencePairs", _preference_pairs)
+
+
+def _audio_segments(df: DataFrame, arg: dict) -> DataFrame:
+    from route81_spark.ops.multimodal import audio_segments
+
+    return audio_segments(
+        df,
+        threshold=int(arg.get("threshold", 3_000_000_000)),
+        frame=int(arg.get("frame", 30)),
+        min_frames=int(arg.get("minFrames", 2)),
+    )
+
+
+register_stage("$audioSegments", _audio_segments)

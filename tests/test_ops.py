@@ -2967,3 +2967,41 @@ def test_preference_pairs_semantics_and_plan(spark):
     for line in plan.splitlines():
         if "Exchange hashpartitioning" in line:
             assert "text#" not in line, f"text shuffled: {line}"
+
+
+def test_audio_segments_boundaries_and_stage(spark):
+    """Hand-built waveforms through the REAL WAV codec: runs split on
+    gaps, min_frames filters short runs, seg_idx counts only kept
+    segments, silence yields no rows."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from route81_spark.ops.multimodal import audio_segments, encode_wav_pcm16
+    from route81_spark.pipeline import apply_pipeline
+
+    frame = 4
+    loud, quiet = 2000, 1  # frame energies 4*4e6 vs 4
+    def clip(pattern):  # one amplitude per frame
+        s = np.repeat(np.array(pattern, dtype=np.int64), frame).astype(np.int16)
+        return bytearray(encode_wav_pcm16(s, 8000))
+
+    df = spark.createDataFrame([
+        # frames: LL.LLL. -> runs [0,1] and [3,5]; the lone frame 7 run
+        # is dropped by min_frames=2; seg_idx stays dense (0, 1)
+        Row(media_id=1, payload=clip([loud, loud, quiet, loud, loud, loud, quiet, loud])),
+        Row(media_id=2, payload=clip([quiet] * 6)),      # silence: no rows
+        Row(media_id=3, payload=clip([loud] * 3)),       # one full-clip run
+    ])
+    thr = frame * loud * loud  # = energy of a loud frame
+    got = {(r["media_id"], r["seg_idx"]): (r["start_frame"], r["end_frame"], r["n_frames"], r["energy"])
+           for r in audio_segments(df, threshold=thr, frame=frame, min_frames=2).collect()}
+    e1 = frame * loud * loud
+    assert got == {
+        (1, 0): (0, 1, 2, 2 * e1),
+        (1, 1): (3, 5, 3, 3 * e1),
+        (3, 0): (0, 2, 3, 3 * e1),
+    }
+    staged = apply_pipeline(
+        df, [{"$audioSegments": {"threshold": thr, "frame": frame, "minFrames": 2}}]
+    ).collect()
+    assert {(r["media_id"], r["seg_idx"]) for r in staged} == set(got)
