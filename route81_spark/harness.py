@@ -5950,6 +5950,46 @@ def skew_salted_join(spark, sf_dir):
 
 
 @_q(
+    "opt_bloom_join",
+    # identity oracle: the Bloom semi-join reduction is semantics-
+    # preserving (no false negatives), so the oracle is the PLAIN join
+    f"""
+    SELECT l.l_returnflag, CAST(count(*) AS BIGINT) AS n,
+           {det_round_sql("sum(l.l_extendedprice * (1 - l.l_discount))", 4)} AS revenue
+    FROM lineitem l
+    JOIN (SELECT o_orderkey FROM orders
+          WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 250000) o
+      ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1
+    """,
+)
+def opt_bloom_join(spark, sf_dir):
+    """Runtime-filter join: a 128 KiB Bloom bitmap of the selective
+    order subset's keys prunes lineitem MAP-SIDE before its shuffle —
+    at 100 TB the fact table shuffles ~the matching fraction instead of
+    everything. Result provably identical to the plain join (the
+    oracle runs no Bloom at all)."""
+    from route81_spark.ops.util import bloom_semi_join, det_round
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders_sel = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_totalprice") > 250000)
+        )
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    )
+    j = bloom_semi_join(li, orders_sel, on="l_orderkey")
+    return j.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        det_round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+        ).alias("revenue"),
+    )
+
+
+@_q(
     "corpus_dsir",
     # mirror of ops.corpus.dsir_importance: hashed-bigram buckets via
     # the md5-derived 60-bit hash (seed 11), integer-ratio model, one

@@ -90,3 +90,73 @@ def salted_join(
     ).withColumn("__salt", F.col("__salt").cast("int"))
     out = big_salted.join(small_rep, [on, "__salt"], how)
     return out.drop("__salt")
+
+
+def bloom_semi_join(
+    big,
+    small,
+    on: str,
+    m_bits: int = 1 << 20,
+    k: int = 3,
+    seed: str = "bsj0",
+    how: str = "inner",
+):
+    """Runtime-filter join (the Bloom semi-join reduction every big
+    engine applies at scale): build a Bloom bitmap of the SMALL side's
+    join keys — bounded at m/64 longs (128 KiB default) no matter how
+    many keys — and prune the BIG side map-side BEFORE its shuffle,
+    then run the exact join. Bloom filters have no false negatives, so
+    the result is IDENTICAL to the plain join (the oracle is the plain
+    join); false positives only cost a few extra shuffled rows.
+
+    At 100 TB this is the difference between shuffling the whole fact
+    table and shuffling ~the matching fraction: with a 1% selective
+    dimension filter, ~99% of fact rows drop at the scan. Spark's own
+    runtime row-group filters fire only under narrow conditions; this
+    op makes the reduction explicit and unconditional.
+
+    Only big-side-preserving joins (inner / left_semi): pruning big
+    rows is invalid for left-outer (they must survive unmatched) and
+    the small side is never pruned."""
+    from pyspark.sql import DataFrame, functions as F
+
+    assert isinstance(big, DataFrame) and isinstance(small, DataFrame)
+    norm = how.lower().replace("_", "")
+    if norm not in ("inner", "leftsemi", "semi"):
+        raise ValueError(
+            f"bloom_semi_join supports inner/left_semi, got {how!r}: "
+            "pruning the big side drops rows an outer join must keep"
+        )
+    import numpy as np
+
+    from route81_spark.ops.corpus import _bloom_positions
+
+    key_pos = small.select(
+        F.explode(
+            _bloom_positions(F.col(on).cast("string"), m_bits, k, seed)
+        ).alias("__p")
+    )
+    word = F.call_function("shiftright", F.col("__p"), F.lit(6))
+    mask = F.call_function(
+        "shiftleft", F.lit(1).cast("long"), (F.col("__p") % 64).cast("int")
+    )
+    sparse = key_pos.groupBy(word.alias("word")).agg(F.bit_or(mask).alias("bits"))
+    dense = [0] * (m_bits >> 6)
+    for row in sparse.collect():  # bounded: <= m/64 rows by construction
+        dense[int(row["word"])] = int(row["bits"])
+    lit_words = F.lit(np.asarray(dense, dtype=np.int64))
+    probe = F.forall(
+        _bloom_positions(F.col(on).cast("string"), m_bits, k, seed),
+        lambda p: (
+            F.element_at(
+                lit_words,
+                (F.call_function("shiftright", p, F.lit(6)) + 1).cast("int"),
+            ).bitwiseAND(
+                F.call_function(
+                    "shiftleft", F.lit(1).cast("long"), (p % 64).cast("int")
+                )
+            )
+            != 0
+        ),
+    )
+    return big.filter(probe).join(small, on, how)

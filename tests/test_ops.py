@@ -3005,3 +3005,36 @@ def test_audio_segments_boundaries_and_stage(spark):
         df, [{"$audioSegments": {"threshold": thr, "frame": frame, "minFrames": 2}}]
     ).collect()
     assert {(r["media_id"], r["seg_idx"]) for r in staged} == set(got)
+
+
+def test_bloom_semi_join_identity_and_prune(spark):
+    """Result must equal the plain join exactly (no false negatives);
+    the big side's physical plan must carry the Bloom probe as a
+    Filter BELOW the join (prune before shuffle); outer joins refuse."""
+    import io
+    from contextlib import redirect_stdout
+
+    import pytest as _pytest
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from route81_spark.ops.util import bloom_semi_join
+
+    big = spark.createDataFrame(
+        [Row(k=i % 500, payload=i) for i in range(5000)]
+    )
+    small = spark.createDataFrame([Row(k=i * 7, tag=f"t{i}") for i in range(20)])
+    got = bloom_semi_join(big, small, on="k").collect()
+    want = big.join(small, "k").collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want)) and len(want) > 0
+    # the probe is a pre-join Filter over the bitmap literal
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        bloom_semi_join(big, small, on="k").explain(mode="simple")
+    plan = buf.getvalue()
+    assert "forall" in plan and "Filter" in plan
+    with _pytest.raises(ValueError, match="left_semi"):
+        bloom_semi_join(big, small, on="k", how="left")
+    # left_semi passes through
+    n = bloom_semi_join(big, small, on="k", how="left_semi").count()
+    assert n == big.join(small, "k", "left_semi").count()
