@@ -2747,6 +2747,65 @@ def sim_ivfpq(spark, sf_dir):
 
 
 @_q(
+    "sim_int8_topk",
+    # bit-exact twin: 1e-9-quantized unit vectors, floor-round int8
+    # codes, INTEGER dot products (BIGINT fold), one de-scale double
+    # per pair in identical operation order
+    """
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    n0 AS (
+      SELECT vec_id, v,
+             greatest(sqrt(list_reduce(list_transform(v, y -> y*y), (a,b) -> a+b)), 1e-12) AS nrm
+      FROM e
+    ),
+    n AS (
+      SELECT vec_id,
+             list_transform(v, x -> floor(x / nrm * 1000000000.0 + 0.5) / 1000000000.0) AS nv
+      FROM n0
+    ),
+    c AS (
+      SELECT vec_id, nv,
+             list_max(list_transform(nv, x -> abs(x))) AS amax
+      FROM n
+    ),
+    codes AS (
+      SELECT vec_id, amax,
+             list_transform(nv, x -> CAST(floor(x * (127.0 / amax) + 0.5) AS BIGINT)) AS q
+      FROM c
+    ),
+    qc AS (SELECT vec_id AS query_id, amax AS qamax, q AS qq FROM codes WHERE vec_id % 100 = 0),
+    scored AS (
+      SELECT qc.query_id, codes.vec_id,
+             floor(CAST(list_reduce(list_transform(range(1, 65),
+                     i -> codes.q[i] * qc.qq[i]), (a, b) -> a + b) AS DOUBLE)
+                   * codes.amax * qc.qamax / 16129.0
+                   * 1000000.0 + 0.5) / cast(1000000.0 as double) AS score
+      FROM codes CROSS JOIN qc
+    )
+    SELECT query_id, vec_id, score, rank FROM (
+      SELECT query_id, vec_id, score,
+             CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY score DESC, vec_id ASC) AS INT) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def sim_int8_topk(spark, sf_dir):
+    """Symmetric int8 retrieval: integer dot products over per-vector
+    127/max|x| codes on 1e-9-quantized unit vectors — the 4x
+    memory-bandwidth serving path, bit-exact across engines because
+    the ranking math is integer until one final de-scale."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return S.int8_topk(emb, queries, k=5)
+
+
+@_q(
     "sim_prefix_refine",
     f"""
     WITH q AS (

@@ -1334,3 +1334,73 @@ def prefix_refine_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "score", F.col("rank").cast("int").alias("rank"))
     )
+
+
+def _unit_quantized(vec: Column, digits: int = 9) -> Column:
+    """Unit-normalize then det-round each component at 10^-digits — the
+    Column twin of _unit_rows(det_quantize=digits), so numpy, Spark and
+    SQL all see bit-identical normalized inputs."""
+    nrm = F.greatest(norm(vec), F.lit(1e-12))
+    scale = float(10**digits)
+    return F.transform(
+        vec,
+        lambda x: F.floor(x.cast("double") / nrm * scale + F.lit(0.5)) / F.lit(scale),
+    )
+
+
+def int8_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Symmetric int8 retrieval (SDC): both sides unit-normalize,
+    quantize to int8 (per-vector scale = 127/max|x|), and candidates
+    rank by the INTEGER dot product de-scaled back to an approximate
+    cosine. The serving-economics path: 4x less memory bandwidth than
+    float32 scan, SIMD int8 dot kernels — and the integer dots make
+    the whole ranking bit-exact across engines (the only doubles are
+    the final de-scale, identical order both sides).
+
+    Pure Column: quantization is a narrow per-row transform, scoring
+    joins the broadcast query codes, top-k is the standard window."""
+    qz = _unit_quantized(F.col(vec_col))
+    qzq = _unit_quantized(F.col(query_vec_col))
+
+    def codes(nv: Column) -> Column:
+        amax = F.array_max(F.transform(nv, lambda x: F.abs(x)))
+        return F.struct(
+            F.transform(
+                nv, lambda x: F.floor(x * (F.lit(127.0) / amax) + F.lit(0.5)).cast("int")
+            ).alias("q"),
+            amax.alias("amax"),
+        )
+
+    e = emb.select(F.col(id_col), codes(qz).alias("__c"))
+    q = queries.select(F.col(query_id_col), codes(qzq).alias("__qc"))
+    idot = F.aggregate(
+        F.zip_with(
+            F.col("__c.q"), F.col("__qc.q"),
+            lambda x, y: x.cast("long") * y.cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    scored = e.crossJoin(F.broadcast(q)).select(
+        F.col(query_id_col),
+        F.col(id_col),
+        det_round(
+            idot.cast("double") * F.col("__c.amax") * F.col("__qc.amax")
+            / F.lit(16129.0),
+            6,
+        ).alias("score"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "score", F.col("rank").cast("int").alias("rank"))
+    )

@@ -3038,3 +3038,30 @@ def test_bloom_semi_join_identity_and_prune(spark):
     # left_semi passes through
     n = bloom_semi_join(big, small, on="k", how="left_semi").count()
     assert n == big.join(small, "k", "left_semi").count()
+
+
+def test_int8_topk_recall_vs_exact(spark, sf_dir):
+    """int8 quantization perturbs cosine by <1%: recall@5 vs exact
+    brute force should be near-perfect, and every query's own vector
+    must rank first."""
+    from pyspark.sql import functions as F
+
+    from route81_spark.io import load_table
+    from route81_spark.ops import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 200 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    got = S.int8_topk(emb, queries, k=5).collect()
+    exact = S.brute_force_topk(emb, queries, k=5).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], set()).add(r["vec_id"])
+        if r["rank"] == 1:
+            assert r["vec_id"] == r["query_id"]  # self-match survives int8
+    recalls = []
+    for qid in {r["query_id"] for r in exact}:
+        truth = {r["vec_id"] for r in exact if r["query_id"] == qid}
+        recalls.append(len(by_q[qid] & truth) / len(truth))
+    assert sum(recalls) / len(recalls) >= 0.8, f"int8 recall@5: {recalls}"
