@@ -6204,6 +6204,67 @@ def text_quality_classifier(spark, sf_dir):
 
 
 @_q(
+    "media_image_tiles",
+    # same pixel regeneration as media_image_dedup's oracle (imgs ->
+    # mixed texture -> +-1 noise -> clamped channels), then per-4x4-
+    # tile integer sums — every tile stat recomputed bit-exactly
+    """
+    WITH imgs AS (
+      SELECT i AS media_id, i // 3 AS g, i % 3 AS v
+      FROM generate_series(0, 95) t(i)
+    ),
+    px0 AS (
+      SELECT media_id, g, v, y, x,
+             g * 73 + (CASE WHEN v = 2 THEN (35 - x) * 151 + 7
+                            ELSE x * 151 END) + y * 37 AS t
+      FROM imgs,
+           (SELECT unnest(range(0, 32)) AS y),
+           (SELECT unnest(range(0, 36)) AS x)
+    ),
+    pm1 AS (SELECT *, CAST((CAST(t AS HUGEINT) * 2654435761) % 4294967296 AS BIGINT) AS m1 FROM px0),
+    pm2 AS (SELECT *, xor(m1, m1 >> 16) AS m2 FROM pm1),
+    pm3 AS (SELECT *, CAST((CAST(m2 AS HUGEINT) * 2246822519) % 4294967296 AS BIGINT) AS m3 FROM pm2),
+    prof AS (SELECT media_id, g, v, y, x, xor(m3, m3 >> 13) % 200 + 28 AS p FROM pm3),
+    nz0 AS (
+      SELECT media_id, g, v, y, x, c,
+             (y * 36 + x) * 3 + c + g * 1000003 AS t
+      FROM prof, (SELECT unnest(range(0, 3)) AS c)
+      WHERE v = 1
+    ),
+    nm1 AS (SELECT *, CAST((CAST(t AS HUGEINT) * 2654435761) % 4294967296 AS BIGINT) AS m1 FROM nz0),
+    nm2 AS (SELECT *, xor(m1, m1 >> 16) AS m2 FROM nm1),
+    nm3 AS (SELECT *, CAST((CAST(m2 AS HUGEINT) * 2246822519) % 4294967296 AS BIGINT) AS m3 FROM nm2),
+    noise AS (
+      SELECT media_id, y, x, c, xor(m3, m3 >> 13) % 3 - 1 AS n FROM nm3
+    ),
+    chan AS (
+      SELECT p.media_id, p.y, p.x,
+             greatest(least(p.p + coalesce(n0.n, 0), 255), 0) AS r,
+             greatest(least((p.y * (53 + p.g)) % 256 + coalesce(n1.n, 0), 255), 0) AS gg,
+             greatest(least((17 * p.g) % 256 + coalesce(n2.n, 0), 255), 0) AS b
+      FROM prof p
+      LEFT JOIN noise n0 ON n0.media_id = p.media_id AND n0.y = p.y AND n0.x = p.x AND n0.c = 0
+      LEFT JOIN noise n1 ON n1.media_id = p.media_id AND n1.y = p.y AND n1.x = p.x AND n1.c = 1
+      LEFT JOIN noise n2 ON n2.media_id = p.media_id AND n2.y = p.y AND n2.x = p.x AND n2.c = 2
+    )
+    SELECT media_id, CAST(y // 4 AS INT) AS ty, CAST(x // 4 AS INT) AS tx,
+           CAST(sum(299 * r + 587 * gg + 114 * b) AS BIGINT) AS luma_sum,
+           CAST(sum(r + gg + b) AS BIGINT) AS rgb_sum,
+           (min(r) = max(r) AND min(gg) = max(gg) AND min(b) = max(b)) AS uniform
+    FROM chan
+    GROUP BY media_id, y // 4, x // 4
+    """,
+)
+def media_image_tiles(spark, sf_dir):
+    """ViT-style 4x4 patch grid with per-tile integer stats (luma/RGB
+    sums + blank-patch flag) over really-encoded BMP/PNG payloads —
+    ONE Arrow decode pass, oracle regenerates every pixel."""
+    from route81_spark.ops.multimodal import image_tiles, synthetic_image_corpus
+
+    return image_tiles(synthetic_image_corpus(spark, n=96), patch=4)
+
+
+@_q(
     "media_image_dedup",
     # FULL value oracle (upgraded from rows-only): the image pipeline
     # is integer end to end — mix-based pixel generation, lossless

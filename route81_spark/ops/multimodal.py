@@ -1179,3 +1179,64 @@ def audio_segments(
             "end_frame int, n_frames int, energy long"
         ),
     )
+
+
+def image_tiles(
+    df: DataFrame,
+    patch: int = 4,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """ViT-style patch grid over decoded images: split each image into
+    patch x patch tiles (partial edge tiles dropped, like a resize-to-
+    multiple preprocessing would) and emit per-tile INTEGER statistics
+    — ITU-601 luma numerator sum (299R+587G+114B), raw RGB sum, and a
+    `uniform` flag (every channel constant across the tile: the
+    blank-patch signal used to score screenshot/scan-like images).
+
+    Integer end to end, so an oracle that regenerates the pixels
+    recomputes every tile bit-exactly. ONE Arrow pass, zero shuffles;
+    payload bytes never leave the scan — the standard shape for
+    vision-corpus preprocessing where the downstream join/filter works
+    on the tile rows, not the image."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "media_id": [], "ty": [], "tx": [],
+                "luma_sum": [], "rgb_sum": [], "uniform": [],
+            }
+            for mid, payload, mime in zip(
+                pdf[id_col], pdf[payload_col], pdf["mime"]
+            ):
+                px = real_decode(bytes(payload), mime)
+                a = px.astype(np.int64)
+                h, w, _ = a.shape
+                th, tw = h // patch, w // patch
+                if th == 0 or tw == 0:
+                    continue
+                a = a[: th * patch, : tw * patch]
+                t = a.reshape(th, patch, tw, patch, 3)
+                luma = (
+                    299 * t[..., 0] + 587 * t[..., 1] + 114 * t[..., 2]
+                ).sum(axis=(1, 3))
+                rgb = t.sum(axis=(1, 3, 4))
+                uni = (t.max(axis=(1, 3)) == t.min(axis=(1, 3))).all(axis=2)
+                for ty in range(th):
+                    for tx in range(tw):
+                        out["media_id"].append(int(mid))
+                        out["ty"].append(ty)
+                        out["tx"].append(tx)
+                        out["luma_sum"].append(int(luma[ty, tx]))
+                        out["rgb_sum"].append(int(rgb[ty, tx]))
+                        out["uniform"].append(bool(uni[ty, tx]))
+            yield pd.DataFrame(out)
+
+    src = df.select(id_col, payload_col, F.col("meta.mime").alias("mime"))
+    return src.mapInPandas(
+        run,
+        schema=(
+            "media_id long, ty int, tx int, "
+            "luma_sum long, rgb_sum long, uniform boolean"
+        ),
+    )

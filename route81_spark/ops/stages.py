@@ -1020,3 +1020,12 @@ def _audio_segments(df: DataFrame, arg: dict) -> DataFrame:
 
 
 register_stage("$audioSegments", _audio_segments)
+
+
+def _image_tiles(df: DataFrame, arg: dict) -> DataFrame:
+    from route81_spark.ops.multimodal import image_tiles
+
+    return image_tiles(df, patch=int(arg.get("patch", 4)))
+
+
+register_stage("$imageTiles", _image_tiles)

@@ -3065,3 +3065,32 @@ def test_int8_topk_recall_vs_exact(spark, sf_dir):
         truth = {r["vec_id"] for r in exact if r["query_id"] == qid}
         recalls.append(len(by_q[qid] & truth) / len(truth))
     assert sum(recalls) / len(recalls) >= 0.8, f"int8 recall@5: {recalls}"
+
+
+def test_image_tiles_stats_and_uniform_flag(spark):
+    """Hand-built images through the REAL BMP codec: a flat image is
+    all-uniform tiles with exact sums; a textured one isn't; partial
+    edge tiles drop; the stage delegates."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from route81_spark.ops.multimodal import encode_bmp24, image_tiles
+    from route81_spark.pipeline import apply_pipeline
+
+    flat = np.full((8, 10, 3), 7, dtype=np.uint8)        # 10 % 4 -> edge cols drop
+    tex = np.arange(8 * 8 * 3, dtype=np.uint8).reshape(8, 8, 3)
+    df = spark.createDataFrame([
+        Row(media_id=1, payload=bytearray(encode_bmp24(flat)),
+            meta={"mime": "image/bmp"}),
+        Row(media_id=2, payload=bytearray(encode_bmp24(tex)),
+            meta={"mime": "image/bmp"}),
+    ])
+    got = image_tiles(df, patch=4).collect()
+    g1 = [r for r in got if r["media_id"] == 1]
+    assert len(g1) == 4 and all(r["uniform"] for r in g1)  # 2x2 grid, cols 8-9 dropped
+    assert all(r["luma_sum"] == 16 * (299 + 587 + 114) * 7 for r in g1)
+    assert all(r["rgb_sum"] == 16 * 3 * 7 for r in g1)
+    g2 = [r for r in got if r["media_id"] == 2]
+    assert len(g2) == 4 and not any(r["uniform"] for r in g2)
+    staged = apply_pipeline(df, [{"$imageTiles": {"patch": 4}}]).collect()
+    assert sorted(map(tuple, staged)) == sorted(map(tuple, got))

@@ -286,6 +286,7 @@ def test_no_row_python_udf_in_any_registered_query(spark):
                      "media_video_dedup",  # r6: two sample_frames passes
                      "sim_ivfpq",  # r6: PQ encode + ADC in the Arrow pass
                      "media_audio_segments",  # r6: WAV decode + run detection
+                     "media_image_tiles",  # r6: BMP/PNG decode + tile sums
                      "media_audio_dedup"}  # r6: WAV decode + integer
     # energy fingerprint in the Arrow pass (oracle regenerates samples)
     offenders, arrow_unexpected = [], []
