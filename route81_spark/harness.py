@@ -2747,6 +2747,42 @@ def sim_ivfpq(spark, sf_dir):
 
 
 @_q(
+    "sim_ood_filter",
+    f"""
+    WITH c AS (
+      SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings WHERE vec_id < 16
+    ),
+    best AS (
+      SELECT vec_id, score FROM (
+        SELECT e.vec_id,
+               floor(({_cos_sql('e.embedding', 'c.cv')}) * 1000000.0 + 0.5) / 1000000.0 AS score,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY floor(({_cos_sql('e.embedding', 'c.cv')}) * 1000000.0 + 0.5) / 1000000.0 DESC,
+                          c.centroid_id ASC) AS rn
+        FROM embeddings e CROSS JOIN c
+      ) WHERE rn = 1
+    )
+    SELECT vec_id, score AS max_cos,
+           (score IS NULL OR score < 0.2) AS is_outlier
+    FROM best
+    """,
+)
+def sim_ood_filter(spark, sf_dir):
+    """Out-of-distribution pruning: max cosine to the 16-centroid
+    reference set via the zero-shuffle codegen argmax (score emitted),
+    outlier flag below 0.2 — the unmodeled-tail companion to SemDeDup's
+    over-dense-core trim."""
+    from route81_spark.ops.similarity import centroid_ood_scores
+
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid_vec")
+    )
+    return centroid_ood_scores(emb, centroids, threshold=0.2)
+
+
+@_q(
     "sim_int8_topk",
     # bit-exact twin: 1e-9-quantized unit vectors, floor-round int8
     # codes, INTEGER dot products (BIGINT fold), one de-scale double

@@ -213,6 +213,7 @@ def _ivf_assign_codegen(
     id_col: str,
     vec_col: str,
     centroid_id_col: str,
+    score_col: str | None = None,
 ) -> DataFrame:
     """Small-codebook IVF assignment: C independent cosine columns
     against *literal* centroid arrays, argmax as one `greatest()` over
@@ -272,11 +273,14 @@ def _ivf_assign_codegen(
             )
         structs.append(f"named_struct('score', {score}, 'negcid', {-cid}L)")
     best = f"greatest({', '.join(structs)})" if len(structs) > 1 else structs[0]
-    return emb.selectExpr(
+    cols = [
         f"`{id_col}`",
         vq,
         f"cast(-(({best}).negcid) as {cid_type}) as `{centroid_id_col}`",
-    )
+    ]
+    if score_col is not None:
+        cols.append(f"({best}).score as `{score_col}`")
+    return emb.selectExpr(*cols)
 
 
 def ivf_assign(
@@ -1403,4 +1407,36 @@ def int8_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "score", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def centroid_ood_scores(
+    emb: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Out-of-distribution scoring against a reference centroid set:
+    each vector's max cosine to any centroid, flagged `is_outlier`
+    below `threshold` (or when the vector has no defined cosine — a
+    zero vector). The embedding-curation companion to SemDeDup: dedup
+    trims the over-dense core, this trims the unmodeled tail (noise,
+    wrong-domain, encoder failures).
+
+    Reuses the zero-shuffle codegen argmax (ivf_assign's machinery,
+    emitting the best SCORE): a narrow per-row transform, the corpus
+    never moves, the codebook rides as plan literals."""
+    cells_rows = centroids.select("centroid_id", "centroid_vec").collect()
+    cells = [(int(r["centroid_id"]), list(r["centroid_vec"])) for r in cells_rows]
+    cells.sort()
+    out = _ivf_assign_codegen(
+        emb, cells, "long", id_col, vec_col, "__r81_cid", score_col="__r81_best"
+    )
+    return out.select(
+        F.col(id_col),
+        F.col("__r81_best").alias("max_cos"),
+        (
+            F.col("__r81_best").isNull() | (F.col("__r81_best") < F.lit(threshold))
+        ).alias("is_outlier"),
     )

@@ -496,3 +496,14 @@ def test_prefix_refine_pure_column_funnel(spark):
     plan = plan_of(df, "simple")
     assert "WindowGroupLimit" in plan
     assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_ood_filter_zero_shuffle(spark):
+    # OOD scoring is the codegen argmax with the score emitted: a
+    # narrow per-row transform — no hashpartitioning Exchange, no
+    # Window, no Python
+    df = harness.QUERIES["sim_ood_filter"](spark, SF)
+    plan = plan_of(df, "simple")
+    assert "hashpartitioning" not in plan
+    assert "Window" not in plan
+    assert "EvalPython" not in plan
