@@ -7363,23 +7363,7 @@ def corpus_snapshot_diff(spark, sf_dir):
     from route81_spark.ops.corpus import snapshot_diff
 
     docs = _t(spark, sf_dir, "documents")
-    mid = F.col("doc_id")
-    new = (
-        docs.filter(mid % 11 != 0)
-        .select(
-            "doc_id",
-            F.when(mid % 7 == 3, F.concat(F.col("text"), F.lit(" [rev2]")))
-            .otherwise(F.col("text"))
-            .alias("text"),
-        )
-        .unionByName(
-            docs.filter(mid % 13 == 0).select(
-                (mid + 10000000).alias("doc_id"),
-                F.concat(F.lit("new "), F.col("text")).alias("text"),
-            )
-        )
-    )
-    return snapshot_diff(docs, new)
+    return snapshot_diff(docs, _snapshot_b(docs))
 
 
 def _snapshot_b(docs):
@@ -8277,23 +8261,7 @@ def corpus_incremental_curation(spark, sf_dir):
     from route81_spark.ops.corpus import incremental_curation
 
     docs = _t(spark, sf_dir, "documents")
-    mid = F.col("doc_id")
-    new = (
-        docs.filter(mid % 11 != 0)
-        .select(
-            "doc_id",
-            F.when(mid % 7 == 3, F.concat(F.col("text"), F.lit(" [rev2]")))
-            .otherwise(F.col("text"))
-            .alias("text"),
-        )
-        .unionByName(
-            docs.filter(mid % 13 == 0).select(
-                (mid + 10000000).alias("doc_id"),
-                F.concat(F.lit("new "), F.col("text")).alias("text"),
-            )
-        )
-    )
-    return incremental_curation(docs, new)
+    return incremental_curation(docs, _snapshot_b(docs))
 
 
 # =====================================================================

@@ -2214,7 +2214,17 @@ def kmv_overlap_sketch(
 
     def sk(df: DataFrame) -> DataFrame:
         h = F.conv(F.substring(F.md5(F.col(text_col)), 1, 15), 16, 10).cast("long")
-        return df.select(h.alias("h")).distinct().orderBy("h").limit(k)
+        # NULL text -> NULL hash would sort FIRST in Spark's ASC order
+        # (DuckDB defaults NULLS LAST), occupying a sketch slot that can
+        # never match — drop it on both sides' semantics: no content,
+        # no membership
+        return (
+            df.filter(F.col(text_col).isNotNull())
+            .select(h.alias("h"))
+            .distinct()
+            .orderBy("h")
+            .limit(k)
+        )
 
     ak, bk = sk(a), sk(b)
     u = ak.union(bk).distinct().orderBy("h").limit(k)
@@ -2377,6 +2387,29 @@ def bloom_dense_words(bloom: DataFrame, m_bits: int = 1 << 20) -> list[int]:
     return dense
 
 
+def bloom_probe_expr(
+    lit_words: Column, unit: Column, m_bits: int, k: int, seed: str
+) -> Column:
+    """True iff ALL k bit positions of `unit` are set in the dense
+    bitmap literal — the single shared probe used by bloom_apply and
+    bloom_semi_join, so a change to the position encoding (like the
+    r6 K-M rewrite) lands in exactly one place."""
+    return F.forall(
+        _bloom_positions(unit, m_bits, k, seed),
+        lambda p: (
+            F.element_at(
+                lit_words,
+                (F.call_function("shiftright", p, F.lit(6)) + 1).cast("int"),
+            ).bitwiseAND(
+                F.call_function(
+                    "shiftleft", F.lit(1).cast("long"), (p % 64).cast("int")
+                )
+            )
+            != 0
+        ),
+    )
+
+
 def bloom_apply(
     df: DataFrame,
     words: list[int],
@@ -2410,22 +2443,7 @@ def bloom_apply(
     lit_words = F.lit(np.asarray(words, dtype=np.int64))
 
     def seen(u: Column) -> Column:
-        return F.forall(
-            _bloom_positions(u, m_bits, k, seed),
-            lambda p: (
-                F.element_at(
-                    lit_words,
-                    (F.call_function("shiftright", p, F.lit(6)) + 1).cast("int"),
-                ).bitwiseAND(
-                    F.call_function(
-                        "shiftleft",
-                        F.lit(1).cast("long"),
-                        (p % 64).cast("int"),
-                    )
-                )
-                != 0
-            ),
-        )
+        return bloom_probe_expr(lit_words, u, m_bits, k, seed)
 
     joiner = sep if sep is not None else " "
     # two 1-element explodes materialize `units` then `kept` exactly

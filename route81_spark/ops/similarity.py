@@ -1376,12 +1376,18 @@ def int8_topk(
 
     def codes(nv: Column) -> Column:
         amax = F.array_max(F.transform(nv, lambda x: F.abs(x)))
-        return F.struct(
+        # zero-vector guard (quantize_int8's __amax > 0 contract): no
+        # scale exists, and under Spark 4 ANSI 127.0/0.0 would abort
+        # the JOB — null codes make the pair score null, ranking last,
+        # exactly like cosine()'s denom-zero contract. The CASE WHEN
+        # keeps the division unevaluated for the zero rows.
+        q = F.when(
+            amax > 0,
             F.transform(
                 nv, lambda x: F.floor(x * (F.lit(127.0) / amax) + F.lit(0.5)).cast("int")
-            ).alias("q"),
-            amax.alias("amax"),
+            ),
         )
+        return F.struct(q.alias("q"), amax.alias("amax"))
 
     e = emb.select(F.col(id_col), codes(qz).alias("__c"))
     q = queries.select(F.col(query_id_col), codes(qzq).alias("__qc"))

@@ -271,7 +271,6 @@ def compact_rollup(
 
 
 def bloom_intake(
-    stream: DataFrame,
     out_dir: str,
     state_dir: str,
     text_col: str = "text",
@@ -297,7 +296,11 @@ def bloom_intake(
       2. bloom_apply scrubs every unit the index has seen; accepted
          rows land in out_dir/batch=<id>;
       3. the batch's OWN unit bitmap ORs into the state and commits as
-         state_dir/words_<id>.npy.
+         state_dir/words_<id>.npy; older snapshots beyond the latest
+         two are pruned at commit (Spark replays at most the last
+         batch id, so words_{N-1} is the only one a replay can need —
+         keeping two is the safety margin), which also keeps the
+         per-batch state-dir scan O(1) instead of O(#batches).
 
     Returns a function for `.writeStream.foreachBatch(...)`."""
     import os
@@ -322,21 +325,39 @@ def bloom_intake(
 
     def run_batch(batch_df: DataFrame, batch_id: int) -> None:
         words = _latest_state(int(batch_id))
-        accepted = bloom_apply(
-            batch_df, [int(w) for w in words], text_col, id_col,
-            sep=sep, window=window, k=k, seed=seed,
-        )
-        accepted.write.mode("overwrite").parquet(
-            os.path.join(out_dir, f"batch={int(batch_id)}")
-        )
-        delta = bloom_build(
-            batch_df, text_col, id_col, sep=sep, window=window,
-            m_bits=m_bits, k=k, seed=seed,
-        ).collect()
+        # two actions read this batch (scrub write + delta build):
+        # persist so the source files scan/tokenize once, not twice
+        batch_df = batch_df.persist()
+        try:
+            accepted = bloom_apply(
+                batch_df, [int(w) for w in words], text_col, id_col,
+                sep=sep, window=window, k=k, seed=seed,
+            )
+            accepted.write.mode("overwrite").parquet(
+                os.path.join(out_dir, f"batch={int(batch_id)}")
+            )
+            delta = bloom_build(
+                batch_df, text_col, id_col, sep=sep, window=window,
+                m_bits=m_bits, k=k, seed=seed,
+            ).collect()
+        finally:
+            batch_df.unpersist()
         for row in delta:
             words[int(row["word"])] |= np.int64(row["bits"])
         tmp = os.path.join(state_dir, f".words_{int(batch_id)}.tmp.npy")
         np.save(tmp, words)
         os.replace(tmp, os.path.join(state_dir, f"words_{int(batch_id)}.npy"))
+        # prune: keep the two newest committed snapshots (replay depth
+        # is one batch) so state stays bounded in FILES, not just bytes
+        snaps = sorted(
+            (int(f[len("words_"):-len(".npy")]), f)
+            for f in os.listdir(state_dir)
+            if f.startswith("words_") and f.endswith(".npy")
+        )
+        for _bid, f in snaps[:-2]:
+            try:
+                os.remove(os.path.join(state_dir, f))
+            except OSError:
+                pass
 
     return run_batch

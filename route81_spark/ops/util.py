@@ -129,7 +129,11 @@ def bloom_semi_join(
         )
     import numpy as np
 
-    from route81_spark.ops.corpus import _bloom_positions
+    from route81_spark.ops.corpus import (
+        _bloom_positions,
+        bloom_dense_words,
+        bloom_probe_expr,
+    )
 
     key_pos = small.select(
         F.explode(
@@ -141,22 +145,9 @@ def bloom_semi_join(
         "shiftleft", F.lit(1).cast("long"), (F.col("__p") % 64).cast("int")
     )
     sparse = key_pos.groupBy(word.alias("word")).agg(F.bit_or(mask).alias("bits"))
-    dense = [0] * (m_bits >> 6)
-    for row in sparse.collect():  # bounded: <= m/64 rows by construction
-        dense[int(row["word"])] = int(row["bits"])
+    dense = bloom_dense_words(sparse, m_bits)  # bounded collect: <= m/64 rows
     lit_words = F.lit(np.asarray(dense, dtype=np.int64))
-    probe = F.forall(
-        _bloom_positions(F.col(on).cast("string"), m_bits, k, seed),
-        lambda p: (
-            F.element_at(
-                lit_words,
-                (F.call_function("shiftright", p, F.lit(6)) + 1).cast("int"),
-            ).bitwiseAND(
-                F.call_function(
-                    "shiftleft", F.lit(1).cast("long"), (p % 64).cast("int")
-                )
-            )
-            != 0
-        ),
+    probe = bloom_probe_expr(
+        lit_words, F.col(on).cast("string"), m_bits, k, seed
     )
     return big.filter(probe).join(small, on, how)

@@ -3094,3 +3094,29 @@ def test_image_tiles_stats_and_uniform_flag(spark):
     assert len(g2) == 4 and not any(r["uniform"] for r in g2)
     staged = apply_pipeline(df, [{"$imageTiles": {"patch": 4}}]).collect()
     assert sorted(map(tuple, staged)) == sorted(map(tuple, got))
+
+
+def test_int8_topk_zero_vector_never_ranks(spark):
+    """A zero embedding (encoder failure) must not abort the job under
+    ANSI (127/amax guarded) and must never out-rank real vectors —
+    null codes -> null score -> sorts last (cosine()'s contract)."""
+    from pyspark.sql import Row
+
+    from route81_spark.ops.similarity import int8_topk
+
+    emb = spark.createDataFrame(
+        [Row(vec_id=0, embedding=[0.0] * 64)]
+        + [Row(vec_id=i, embedding=[float((i + j) % 5 + 1) for j in range(64)])
+           for i in range(1, 5)]
+    )
+    q = spark.createDataFrame(
+        [Row(query_id=1, query_vec=[float((1 + j) % 5 + 1) for j in range(64)])]
+    )
+    got = int8_topk(emb, q, k=5).collect()
+    ranked = {r["vec_id"]: (r["rank"], r["score"]) for r in got}
+    assert ranked[0][0] == 5 and ranked[0][1] is None  # zero vec last, null score
+    assert ranked[1][0] == 1  # self-match first
+    # zero-vector QUERY also survives (all-null scores, ranked by id)
+    qz = spark.createDataFrame([Row(query_id=9, query_vec=[0.0] * 64)])
+    gz = int8_topk(emb, qz, k=2).collect()
+    assert len(gz) == 2 and all(r["score"] is None for r in gz)

@@ -670,7 +670,7 @@ def test_streaming_bloom_intake_bounded_state_across_restart(spark, tmp_path):
         stream = (spark.readStream.schema(DOC_SCHEMA)
                   .option("maxFilesPerTrigger", 1).json(str(src)))
         q = (stream.writeStream
-             .foreachBatch(bloom_intake(stream, out, st, sep=" | ", window=None,
+             .foreachBatch(bloom_intake(out, st, sep=" | ", window=None,
                                         m_bits=1 << 12))
              .option("checkpointLocation", ck)
              .trigger(availableNow=True).start())
@@ -688,9 +688,11 @@ def test_streaming_bloom_intake_bounded_state_across_restart(spark, tmp_path):
     run()
     got = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
     assert got[3]["n_seen"] == 2 and got[3]["clean_text"] == "unit delta"
-    # state stayed bounded: one 2^12-bit bitmap file per committed batch
+    # state stayed bounded in BYTES and FILES: each snapshot is one
+    # 2^12-bit bitmap, and commit-time pruning keeps only the newest two
     sizes = {f: os.path.getsize(os.path.join(st, f)) for f in os.listdir(st)}
     assert all(sz <= (1 << 12) // 8 + 128 for sz in sizes.values()), sizes
+    assert len([f for f in sizes if f.startswith("words_")]) <= 2, sizes
 
 
 def test_streaming_random_projection_matches_batch(spark, tmp_path):
