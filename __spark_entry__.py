@@ -34,11 +34,12 @@ from route81_spark import harness  # noqa: E402
 # Consecutive rounds therefore alternate halves without hand-kept lists.
 _HEADLINE = [
     # r6 keeps the pinned set MINIMAL (the r5 verdict's freshness
-    # sweep): only queries whose CODE changed this round — the four
-    # new r6 operators are never-recorded and sort first in the tail
-    # automatically, so the remaining ~43 slots flow to the stalest
-    # entries (all 12 r1-r2-latest rows get re-graded, plus ~31 of
-    # the r3 set).
+    # sweep): only queries whose CODE changed this round — the new r6
+    # operators (incl. the continuation batch: knn graph, random
+    # projection, overlap sketch, ivfpq, preference pairs, prefix
+    # refine, audio segments, bloom join, int8 topk, image tiles, ood
+    # filter) are never-recorded and sort first in the tail
+    # automatically; the remaining slots flow to the stalest entries.
     "sim_topk_blas",   # zero-norm guard added to brute_force_topk_np
     "corpus_dsir",     # bucket counting refactored into shared helper
     "cdc_merge_state", # quoted-key path parser rewrite (classify.py)
