@@ -2747,6 +2747,50 @@ def sim_ivfpq(spark, sf_dir):
 
 
 @_q(
+    "sim_centroid_update",
+    # assignment twin + lateral-unnest component quantization: every
+    # sum is BIGINT over 1e6-quantized components, so reduction order
+    # (Spark partitions vs DuckDB) cannot matter
+    f"""
+    WITH c AS (
+      SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings WHERE vec_id < 16
+    ),
+    assign AS (
+      SELECT vec_id, embedding, centroid_id FROM (
+        SELECT e.vec_id, e.embedding, c.centroid_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY floor(({_cos_sql('e.embedding', 'c.cv')}) * 1000000.0 + 0.5) / 1000000.0 DESC,
+                          c.centroid_id ASC) AS rn
+        FROM embeddings e CROSS JOIN c
+      ) WHERE rn = 1
+    ),
+    comp AS (
+      SELECT centroid_id, CAST(s.i AS INT) AS dim,
+             CAST(floor(CAST(embedding[s.i + 1] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS q
+      FROM assign, LATERAL (SELECT unnest(range(0, 64)) AS i) s
+    )
+    SELECT centroid_id, dim, CAST(sum(q) AS BIGINT) AS sum_q,
+           CAST(count(*) AS BIGINT) AS n
+    FROM comp GROUP BY 1, 2
+    """,
+)
+def sim_centroid_update(spark, sf_dir):
+    """One distributed k-means M-step over the FULL corpus: zero-shuffle
+    codegen assignment, then BIGINT-exact per-(centroid, dim) component
+    sums (1e6-quantized before summing — float sums are reduction-order
+    nondeterministic, integers are not). new_centroid = sum_q/(n*1e6)
+    wherever the caller needs it."""
+    from route81_spark.ops.similarity import centroid_update
+
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid_vec")
+    )
+    return centroid_update(emb, centroids)
+
+
+@_q(
     "sim_ood_filter",
     f"""
     WITH c AS (

@@ -1446,3 +1446,40 @@ def centroid_ood_scores(
             F.col("__r81_best").isNull() | (F.col("__r81_best") < F.lit(threshold))
         ).alias("is_outlier"),
     )
+
+
+def centroid_update(
+    emb: DataFrame,
+    centroids: DataFrame,
+    digits: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One DISTRIBUTED k-means M-step over the full corpus — the
+    companion to train_ivf_centroids (which trains driver-side on a
+    bounded sample): assignment is the zero-shuffle codegen argmax,
+    then per-(centroid, dim) component sums reduce map-side. Components
+    are integer-quantized at 10^-digits BEFORE summing, so the sums are
+    BIGINT-exact regardless of partitioning/reduction order (float sums
+    across partitions are order-nondeterministic — the reason this op
+    emits (sum_q, n) integers and leaves new_centroid = sum_q /
+    (n * 10^digits) to the caller).
+
+    100 TB shape: embeddings never shuffle for assignment; the only
+    Exchange carries (centroid, dim, partial-sum) integer rows, at most
+    C * d per partition after map-side combine."""
+    scale = 10**digits
+    assigned = ivf_assign(emb, centroids, id_col, vec_col)
+    q = assigned.select(
+        "centroid_id",
+        F.posexplode(
+            F.transform(
+                F.col(vec_col),
+                lambda x: F.floor(x.cast("double") * scale + F.lit(0.5)).cast("long"),
+            )
+        ).alias("dim", "__q"),
+    )
+    return q.groupBy("centroid_id", "dim").agg(
+        F.sum("__q").alias("sum_q"),
+        F.count("*").alias("n"),
+    )

@@ -3120,3 +3120,46 @@ def test_int8_topk_zero_vector_never_ranks(spark):
     qz = spark.createDataFrame([Row(query_id=9, query_vec=[0.0] * 64)])
     gz = int8_topk(emb, qz, k=2).collect()
     assert len(gz) == 2 and all(r["score"] is None for r in gz)
+
+
+def test_centroid_update_exact_means_and_plan(spark):
+    """Recovered means from (sum_q, n) match the exact per-cluster
+    averages; the component-sum aggregate is map-side combined and the
+    assignment never hash-shuffles embeddings."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from route81_spark.ops.similarity import centroid_update
+
+    # two obvious clusters in 64-d: axis-0-ish and axis-1-ish vectors
+    def vec(axis, bump):
+        v = [0.01] * 64
+        v[axis] = 10.0 + bump
+        return [float(x) for x in v]
+
+    emb = spark.createDataFrame(
+        [Row(vec_id=10 + i, embedding=vec(0, i)) for i in range(3)]
+        + [Row(vec_id=20 + i, embedding=vec(1, i)) for i in range(2)]
+    )
+    cents = spark.createDataFrame([
+        Row(centroid_id=0, centroid_vec=vec(0, 0)),
+        Row(centroid_id=1, centroid_vec=vec(1, 0)),
+    ])
+    out = centroid_update(emb, cents)
+    rows = {(r["centroid_id"], r["dim"]): (r["sum_q"], r["n"]) for r in out.collect()}
+    # cluster 0: three vectors, dim 0 components 10.0, 11.0, 12.0
+    assert rows[(0, 0)] == (33_000_000, 3)
+    assert rows[(0, 1)] == (3 * 10_000, 3)       # 0.01 * 1e6 each
+    # cluster 1: two vectors, dim 1 components 10.0 and 11.0
+    assert rows[(1, 1)] == (21_000_000, 2)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain(mode="simple")
+    plan = buf.getvalue()
+    assert "partial_" in plan  # map-side combine before the shuffle
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "embedding#" not in line, f"embedding shuffled: {line}"
