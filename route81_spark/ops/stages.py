@@ -1029,3 +1029,35 @@ def _image_tiles(df: DataFrame, arg: dict) -> DataFrame:
 
 
 register_stage("$imageTiles", _image_tiles)
+
+
+def _ood_filter(df: DataFrame, arg: dict) -> DataFrame:
+    """Input = the embedding table; `centroids` names the reference
+    codebook collection (via the $lookup collection hook)."""
+    from route81_spark.ops.similarity import centroid_ood_scores
+    from route81_spark.pipeline.compiler import _resolve_collection
+
+    return centroid_ood_scores(
+        df,
+        _resolve_collection(arg["centroids"]),
+        threshold=float(arg.get("threshold", 0.2)),
+        id_col=arg.get("idField", "vec_id"),
+        vec_col=arg.get("vecField", "embedding"),
+    )
+
+
+def _centroid_update(df: DataFrame, arg: dict) -> DataFrame:
+    from route81_spark.ops.similarity import centroid_update
+    from route81_spark.pipeline.compiler import _resolve_collection
+
+    return centroid_update(
+        df,
+        _resolve_collection(arg["centroids"]),
+        digits=int(arg.get("digits", 6)),
+        id_col=arg.get("idField", "vec_id"),
+        vec_col=arg.get("vecField", "embedding"),
+    )
+
+
+register_stage("$oodFilter", _ood_filter)
+register_stage("$centroidUpdate", _centroid_update)

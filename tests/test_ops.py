@@ -3163,3 +3163,28 @@ def test_centroid_update_exact_means_and_plan(spark):
     for line in plan.splitlines():
         if "Exchange hashpartitioning" in line:
             assert "embedding#" not in line, f"embedding shuffled: {line}"
+
+
+def test_ood_and_centroid_update_stages(spark):
+    from pyspark.sql import Row
+
+    from route81_spark.ops.similarity import centroid_ood_scores, centroid_update
+    from route81_spark.pipeline import apply_pipeline, compiler
+
+    emb = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float((i * 3 + j) % 7 - 3) for j in range(64)])
+         for i in range(10)]
+    )
+    cents = emb.filter("vec_id < 2").selectExpr(
+        "vec_id as centroid_id", "embedding as centroid_vec"
+    )
+    compiler.set_collection_resolver(lambda n: {"codebook": cents}[n])
+    try:
+        g1 = apply_pipeline(emb, [{"$oodFilter": {"centroids": "codebook"}}]).collect()
+        g2 = apply_pipeline(emb, [{"$centroidUpdate": {"centroids": "codebook"}}]).collect()
+    finally:
+        compiler.set_collection_resolver(None)
+    assert sorted(map(tuple, g1)) == sorted(
+        map(tuple, centroid_ood_scores(emb, cents).collect()))
+    assert sorted(map(tuple, g2)) == sorted(
+        map(tuple, centroid_update(emb, cents).collect()))
