@@ -1343,12 +1343,23 @@ def prefix_refine_topk(
 def _unit_quantized(vec: Column, digits: int = 9) -> Column:
     """Unit-normalize then det-round each component at 10^-digits — the
     Column twin of _unit_rows(det_quantize=digits), so numpy, Spark and
-    SQL all see bit-identical normalized inputs."""
-    nrm = F.greatest(norm(vec), F.lit(1e-12))
+    SQL all see bit-identical normalized inputs.
+
+    The norm is BOUND once via the single-element-transform trick: a
+    plain `nrm` expression referenced inside the per-element lambda
+    re-expands (and re-folds the whole vector) PER ELEMENT — an O(d^2)
+    interpreted-HOF blowup (the cdc_chunk_stats lesson)."""
     scale = float(10**digits)
-    return F.transform(
-        vec,
-        lambda x: F.floor(x.cast("double") / nrm * scale + F.lit(0.5)) / F.lit(scale),
+
+    def with_nrm(nrm: Column) -> Column:
+        return F.transform(
+            vec,
+            lambda x: F.floor(x.cast("double") / nrm * scale + F.lit(0.5))
+            / F.lit(scale),
+        )
+
+    return F.get(
+        F.transform(F.array(F.greatest(norm(vec), F.lit(1e-12))), with_nrm), 0
     )
 
 
@@ -1371,26 +1382,49 @@ def int8_topk(
 
     Pure Column: quantization is a narrow per-row transform, scoring
     joins the broadcast query codes, top-k is the standard window."""
-    qz = _unit_quantized(F.col(vec_col))
-    qzq = _unit_quantized(F.col(query_vec_col))
+    def codes(raw: Column) -> Column:
+        # bind the normalized vector, then its amax, as lambda variables
+        # (nested single-element transforms): referencing the raw
+        # expressions inside the per-element quantization lambda would
+        # re-expand the whole normalize/amax chain PER ELEMENT
+        def with_nv(nv: Column) -> Column:
+            def with_amax(amax: Column) -> Column:
+                # zero-vector guard (quantize_int8's __amax > 0
+                # contract): no scale exists, and under Spark 4 ANSI
+                # 127.0/0.0 would abort the JOB — null codes make the
+                # pair score null, ranking last, exactly like cosine()'s
+                # denom-zero contract. The CASE WHEN keeps the division
+                # unevaluated for the zero rows.
+                q = F.when(
+                    amax > 0,
+                    F.transform(
+                        nv,
+                        lambda x: F.floor(
+                            x * (F.lit(127.0) / amax) + F.lit(0.5)
+                        ).cast("int"),
+                    ),
+                )
+                return F.struct(q.alias("q"), amax.alias("amax"))
 
-    def codes(nv: Column) -> Column:
-        amax = F.array_max(F.transform(nv, lambda x: F.abs(x)))
-        # zero-vector guard (quantize_int8's __amax > 0 contract): no
-        # scale exists, and under Spark 4 ANSI 127.0/0.0 would abort
-        # the JOB — null codes make the pair score null, ranking last,
-        # exactly like cosine()'s denom-zero contract. The CASE WHEN
-        # keeps the division unevaluated for the zero rows.
-        q = F.when(
-            amax > 0,
-            F.transform(
-                nv, lambda x: F.floor(x * (F.lit(127.0) / amax) + F.lit(0.5)).cast("int")
-            ),
-        )
-        return F.struct(q.alias("q"), amax.alias("amax"))
+            return F.get(
+                F.transform(
+                    F.array(F.array_max(F.transform(nv, lambda x: F.abs(x)))),
+                    with_amax,
+                ),
+                0,
+            )
 
-    e = emb.select(F.col(id_col), codes(qz).alias("__c"))
-    q = queries.select(F.col(query_id_col), codes(qzq).alias("__qc"))
+        return F.get(F.transform(F.array(_unit_quantized(raw)), with_nv), 0)
+
+    # explode(array(...)) puts a Generate between quantization and the
+    # join: CollapseProject cannot cross it, so codes() evaluates ONCE
+    # per row instead of once per (vector, query) PAIR (measured 34s ->
+    # ~2s at sf0.1 — the join-side re-inline recomputed the normalize +
+    # quantize chain |Q| times per vector)
+    e = emb.select(F.col(id_col), F.explode(F.array(codes(F.col(vec_col)))).alias("__c"))
+    q = queries.select(
+        F.col(query_id_col), F.explode(F.array(codes(F.col(query_vec_col)))).alias("__qc")
+    )
     idot = F.aggregate(
         F.zip_with(
             F.col("__c.q"), F.col("__qc.q"),

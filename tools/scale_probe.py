@@ -98,6 +98,7 @@ def ops() -> dict:
         "gate_attr": lambda d: _attr_p(d),
         "drift": lambda d: _drift_p(d),
         "overlap_sketch": lambda d: _overlap_p(d),
+        "pref_pairs": lambda d: _pref_p(d),
     }
 
 
@@ -207,6 +208,14 @@ def _excise(d: DataFrame) -> DataFrame:
 
     return decontaminate_excise(
         d.filter(F.col("doc_id") % 97 != 0), d.filter(F.col("doc_id") % 97 == 0), n=5
+    )
+
+
+def _pref_p(d: DataFrame) -> DataFrame:
+    from route81_spark.ops.corpus import preference_pairs
+
+    return preference_pairs(
+        d.withColumn("prompt_id", F.col("doc_id") % 512), group_col="prompt_id"
     )
 
 
@@ -469,8 +478,34 @@ def embedding_ops() -> dict:
         return ivfpq_topk(e, queries, cents, books, k=5, nprobe=2, refine=10,
                           det_quantize=9)
 
+    def int8(e: DataFrame) -> DataFrame:
+        from route81_spark.ops.similarity import int8_topk
+
+        queries = e.filter(F.col("vec_id") % 2000 == 0).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+        return int8_topk(e, queries, k=5)
+
+    def prefix(e: DataFrame) -> DataFrame:
+        from route81_spark.ops.similarity import prefix_refine_topk
+
+        queries = e.filter(F.col("vec_id") % 2000 == 0).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+        return prefix_refine_topk(e, queries, k=5)
+
+    def cupdate(e: DataFrame) -> DataFrame:
+        from route81_spark.ops.similarity import centroid_update
+
+        cents = e.filter(F.col("vec_id") < 16).select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("centroid_vec"),
+        )
+        return centroid_update(e, cents)
+
     return {"cluster_sample": csample, "triplets": triplets, "knn_graph": knn,
-            "random_project": project, "ivfpq": ivfpq}
+            "random_project": project, "ivfpq": ivfpq, "int8_topk": int8,
+            "prefix_refine": prefix, "centroid_update": cupdate}
 
 
 def main() -> int:
