@@ -314,3 +314,70 @@ def test_span_dedup_matches_python_reference(spark, seed):
         for r in span_dedup_global(df, min_tokens=L).collect()
     }
     assert got == ref()
+
+
+def test_preference_pairs_invariants_randomized(spark):
+    """Randomized invariants (3 seeds): every emitted pair's chosen
+    score is the group max and rejected the group min; margin > 0;
+    groups whose max==min never emit; ids come from the group."""
+    import random
+
+    from pyspark.sql import Row
+
+    from route81_spark.ops.corpus import preference_pairs
+    from route81_spark.ops.text import quality_score
+    from pyspark.sql import functions as F
+
+    words = "alpha beta gamma delta epsilon zeta eta theta".split()
+    for seed in (11, 23, 47):
+        rng = random.Random(seed)
+        rows = [
+            Row(
+                doc_id=i,
+                prompt_id=rng.randrange(6),
+                text=" ".join(rng.choice(words) for _ in range(rng.randrange(1, 30))),
+            )
+            for i in range(60)
+        ]
+        df = spark.createDataFrame(rows)
+        scored = df.select(
+            "doc_id", "prompt_id", quality_score(F.col("text")).alias("s")
+        ).collect()
+        by_g: dict = {}
+        for r in scored:
+            by_g.setdefault(r["prompt_id"], []).append((r["s"], r["doc_id"]))
+        got = {r["prompt_id"]: r for r in preference_pairs(df).collect()}
+        for g, members in by_g.items():
+            smax, smin = max(v for v, _ in members), min(v for v, _ in members)
+            if smax == smin:
+                assert g not in got
+                continue
+            r = got[g]
+            assert r["chosen_score"] == smax and r["rejected_score"] == smin
+            assert r["margin"] > 0
+            assert r["chosen_id"] == min(i for v, i in members if v == smax)
+            assert r["rejected_id"] == max(i for v, i in members if v == smin)
+
+
+def test_kmv_overlap_sketch_estimator_bounds_randomized(spark):
+    """Randomized bounds (3 seeds): 0 <= jaccard_est <= 1, union_est >=
+    max-side sketch size when saturated, exact count when not, and the
+    estimate tracks true Jaccard within the k=64 sketch's error."""
+    import random
+
+    from pyspark.sql import Row
+
+    from route81_spark.ops.corpus import kmv_overlap_sketch
+
+    for seed in (5, 17, 31):
+        rng = random.Random(seed)
+        universe = [f"document body {i}" for i in range(400)]
+        a_set = set(rng.sample(universe, 250))
+        b_set = set(rng.sample(universe, 250))
+        a = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in enumerate(sorted(a_set))])
+        b = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in enumerate(sorted(b_set))])
+        r = kmv_overlap_sketch(a, b, k=64).collect()[0]
+        true_j = len(a_set & b_set) / len(a_set | b_set)
+        assert 0.0 <= r["jaccard_est"] <= 1.0
+        assert abs(r["jaccard_est"] - true_j) < 0.25  # k=64 KMV error bound is loose
+        assert r["k_used"] == 64 and r["union_est"] > 250
