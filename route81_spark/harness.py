@@ -2763,6 +2763,7 @@ def sim_ivfpq(spark, sf_dir):
                  ORDER BY floor(({_cos_sql('e.embedding', 'c.cv')}) * 1000000.0 + 0.5) / 1000000.0 DESC,
                           c.centroid_id ASC) AS rn
         FROM embeddings e CROSS JOIN c
+        WHERE e.embedding IS NOT NULL
       ) WHERE rn = 1
     ),
     comp AS (

@@ -385,9 +385,11 @@ def train_ivf_centroids(
 
     Deterministic: seeds are the n_centroids lowest-id vectors; each
     round assigns the corpus with ivf_assign (the zero-shuffle codegen
-    path) and recomputes per-cell means with ONE posexplode + (cell,
-    dim) aggregation — map-side partial sums, shuffle carries C*d
-    partial rows per partition, never the corpus. Only the C x d means
+    path) and recomputes per-cell means from centroid_update's
+    BIGINT-exact quantized component sums (map-side partials, shuffle
+    carries C*d integer rows per partition, never the corpus) — so the
+    trained centroids are partitioning-independent, not just
+    seed-deterministic. Only the C x d means
     come back to the driver per round (the same bounded-codebook
     assumption ivf_assign's broadcast already makes). Empty cells keep
     their previous centroid. Stops when every centroid moves < tol
@@ -413,19 +415,20 @@ def train_ivf_centroids(
         )
 
     for _ in range(max_iter):
-        assigned = ivf_assign(emb, as_df(centroids), id_col, vec_col)
-        means = (
-            assigned.select(
-                "centroid_id", F.posexplode(F.col(vec_col)).alias("pos", "x")
-            )
-            .groupBy("centroid_id", "pos")
-            .agg(F.avg(F.col("x").cast("double")).alias("m"))
-            .collect()
-        )
+        # M-step via centroid_update's BIGINT-exact quantized sums:
+        # F.avg over doubles is reduction-order nondeterministic across
+        # partitionings, which would break this function's determinism
+        # contract — integer sums make the recovered means a pure
+        # function of the data (and keep ONE M-step implementation)
+        means = centroid_update(
+            emb, as_df(centroids), id_col=id_col, vec_col=vec_col
+        ).collect()
         new_cents = [list(c) for c in centroids]
         by_cell: dict[int, dict[int, float]] = {}
         for r in means:
-            by_cell.setdefault(r["centroid_id"], {})[r["pos"]] = r["m"]
+            by_cell.setdefault(r["centroid_id"], {})[r["dim"]] = (
+                r["sum_q"] / (r["n"] * 1e6)
+            )
         for cid, dims in by_cell.items():
             for pos, m in dims.items():
                 new_cents[cid][pos] = m
@@ -1503,7 +1506,13 @@ def centroid_update(
     Exchange carries (centroid, dim, partial-sum) integer rows, at most
     C * d per partition after map-side combine."""
     scale = 10**digits
-    assigned = ivf_assign(emb, centroids, id_col, vec_col)
+    # NULL embeddings contribute NO components (posexplode of a null
+    # array emits zero rows) — filter explicitly so that contract is
+    # visible and any SQL twin can mirror it (a LATERAL-unnest oracle
+    # would otherwise keep 64 null rows and inflate n)
+    assigned = ivf_assign(
+        emb.filter(F.col(vec_col).isNotNull()), centroids, id_col, vec_col
+    )
     q = assigned.select(
         "centroid_id",
         F.posexplode(

@@ -381,3 +381,15 @@ def test_kmv_overlap_sketch_estimator_bounds_randomized(spark):
         assert 0.0 <= r["jaccard_est"] <= 1.0
         assert abs(r["jaccard_est"] - true_j) < 0.25  # k=64 KMV error bound is loose
         assert r["k_used"] == 64 and r["union_est"] > 250
+        # non-saturated branch: k exceeds the union, so the sketch is
+        # the exact set — union_est must be the EXACT count and the
+        # jaccard the EXACT Jaccard
+        sa = set(rng.sample(universe, 20))
+        sb = set(rng.sample(universe, 20))
+        small_a = spark.createDataFrame(
+            [Row(doc_id=i, text=t) for i, t in enumerate(sorted(sa))])
+        small_b = spark.createDataFrame(
+            [Row(doc_id=i, text=t) for i, t in enumerate(sorted(sb))])
+        ex = kmv_overlap_sketch(small_a, small_b, k=64).collect()[0]
+        assert ex["k_used"] == len(sa | sb) and ex["union_est"] == float(len(sa | sb))
+        assert ex["shared"] == len(sa & sb)
