@@ -7255,6 +7255,42 @@ def corpus_canary(spark, sf_dir):
 # regexp_replace(..., 'g') in the SAME order (order matters: space
 # folding before run-collapsing). Literal unicode via Python \\u
 # escapes so both engines see identical characters.
+_HTML_STEPS = [
+    (r"(?is)<script\b.*?</script\s*>|<style\b.*?</style\s*>|<head\b.*?</head\s*>",
+     "' '"),
+    (r"(?s)<!--.*?-->", "' '"),
+    (r"(?i)</(p|div|li|tr|h[1-6])\s*>|<br\s*/?>", "chr(10)"),
+    (r"(?s)<[^>]*>", "' '"),
+    ("&nbsp;", "' '"),
+    ("&lt;", "'<'"),
+    ("&gt;", "'>'"),
+    ("&quot;", "'\"'"),
+    ("&#39;", "''''"),
+    ("&amp;", "'&'"),
+    (r"[ \t]+", "' '"),
+    (r" ?\n ?", "chr(10)"),
+    (r"\n{3,}", "chr(10)||chr(10)"),
+    (r"^\s+|\s+$", "''"),
+]
+
+
+def _html_sql(x: str) -> str:
+    """DuckDB twin of ops.text.html_to_text — the same regexes in the
+    same order (all RE2-safe: no backreferences)."""
+    expr = x
+    for pat, rep in _HTML_STEPS:
+        expr = f"regexp_replace({expr}, '{pat}', {rep}, 'g')"
+    return expr
+
+
+_HTML_PRE = (
+    '<html><head><title>doc</title><style>p {color: red}</style></head>'
+    '<body><script>if (1<2) { x("</div>"); }</script><!-- nav below -->'
+    '<nav><a href="/">home</a></nav><p id="main">'
+)
+_HTML_POST = '</p><br><div>footer &amp; legal &lt;terms&gt;</div></body></html>'
+
+
 _NORM_SQL = (
     "regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace("
     "regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace("
@@ -7270,6 +7306,35 @@ _NORM_SQL = (
     r" '\n{{3,}}', chr(10)||chr(10), 'g'),"
     r" '^\s+|\s+$', '', 'g')"
 )
+
+
+@_q(
+    "text_html_extract",
+    # each doc is wrapped in a deterministic page (head/style/script
+    # blocks, a comment, nav boilerplate, entity-bearing footer) so the
+    # chain exercises every step at any SF; the oracle runs the SAME
+    # RE2-safe regexes in the same order
+    "WITH h AS (SELECT doc_id, "
+    + "'"
+    + _HTML_PRE.replace("'", "''")
+    + "' || text || '"
+    + _HTML_POST.replace("'", "''")
+    + "' AS t FROM documents)\n"
+    + "SELECT doc_id, "
+    + _html_sql("t")
+    + " AS clean FROM h",
+)
+def text_html_extract(spark, sf_dir):
+    """Web-corpus HTML -> text extraction (trafilatura-lite): one JVM
+    regexp chain — script/style/head blocks dropped with content,
+    block tags become newlines, remaining tags strip, core entities
+    decode, whitespace folds. Zero shuffle, zero Python; malformed
+    markup degrades to whitespace, never to an error."""
+    from route81_spark.ops.text import html_to_text
+
+    docs = _t(spark, sf_dir, "documents")
+    page = F.concat(F.lit(_HTML_PRE), F.col("text"), F.lit(_HTML_POST))
+    return docs.select("doc_id", html_to_text(page).alias("clean"))
 
 
 @_q(

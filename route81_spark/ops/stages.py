@@ -1061,3 +1061,16 @@ def _centroid_update(df: DataFrame, arg: dict) -> DataFrame:
 
 register_stage("$oodFilter", _ood_filter)
 register_stage("$centroidUpdate", _centroid_update)
+
+
+def _html_extract(df: DataFrame, arg: dict) -> DataFrame:
+    from pyspark.sql import functions as FF
+
+    from route81_spark.ops.text import html_to_text
+
+    src = arg.get("field", "text")
+    out = arg.get("as", "clean_text")
+    return df.withColumn(out, html_to_text(FF.col(src)))
+
+
+register_stage("$htmlExtract", _html_extract)

@@ -736,3 +736,50 @@ def gate_attribution(
         "n_first_fail",
         det_round(F.col("n_first_fail") / F.col("n"), 6).alias("share"),
     )
+
+
+def html_to_text(col: Column) -> Column:
+    """Web-corpus HTML -> text extraction (trafilatura-lite) as ONE
+    pure-Column regexp chain — the first step of every crawl pipeline,
+    JVM-side and replicable step for step in any RE2/PCRE engine (the
+    media-free analog of normalize_text; keep the oracle chain in the
+    same order):
+
+      1. drop <script>/<style>/<head> blocks WITH their content
+         (case-insensitive, dotall)
+      2. drop HTML comments
+      3. block-level CLOSERS (</p>, </div>, </li>, </h1..6>, </tr>)
+         and <br> -> newline, so block structure survives as line
+         structure (openers strip to space in step 4 — closer+opener
+         pairs would otherwise double every break)
+      4. strip every remaining tag
+      5. decode the core entities (&amp; last — it may form others)
+      6. collapse space/tab runs; trim spaces hugging newlines;
+         collapse 3+ newlines to 2; trim
+
+    Deliberately NOT a parser: malformed markup degrades to extra
+    whitespace, never to an error — the right failure mode at crawl
+    scale (a DOM parse would be a per-row Python UDF)."""
+    # alternation instead of a backreference (`</\1>`): RE2 engines
+    # (DuckDB's) have no backreferences, and the oracle must run the
+    # SAME pattern
+    c = F.regexp_replace(
+        col,
+        r"(?is)<script\b.*?</script\s*>|<style\b.*?</style\s*>|<head\b.*?</head\s*>",
+        " ",
+    )
+    c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
+    c = F.regexp_replace(
+        c, r"(?i)</(p|div|li|tr|h[1-6])\s*>|<br\s*/?>", "\n"
+    )
+    c = F.regexp_replace(c, r"(?s)<[^>]*>", " ")
+    c = F.regexp_replace(c, "&nbsp;", " ")
+    c = F.regexp_replace(c, "&lt;", "<")
+    c = F.regexp_replace(c, "&gt;", ">")
+    c = F.regexp_replace(c, "&quot;", '"')
+    c = F.regexp_replace(c, "&#39;", "'")
+    c = F.regexp_replace(c, "&amp;", "&")
+    c = F.regexp_replace(c, r"[ \t]+", " ")
+    c = F.regexp_replace(c, r" ?\n ?", "\n")
+    c = F.regexp_replace(c, r"\n{3,}", "\n\n")
+    return F.regexp_replace(c, r"^\s+|\s+$", "")

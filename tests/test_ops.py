@@ -3188,3 +3188,40 @@ def test_ood_and_centroid_update_stages(spark):
         map(tuple, centroid_ood_scores(emb, cents).collect()))
     assert sorted(map(tuple, g2)) == sorted(
         map(tuple, centroid_update(emb, cents).collect()))
+
+
+def test_html_to_text_extraction(spark):
+    """Script/style/head content vanishes, block tags become line
+    breaks, entities decode (&amp; last), malformed markup degrades to
+    whitespace — never an error; the stage delegates."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from route81_spark.ops.text import html_to_text
+    from route81_spark.pipeline import apply_pipeline
+
+    cases = [
+        # full page: head+style+script with embedded tags/braces
+        (1, '<html><head><title>T</title><style>p{a:1}</style></head>'
+            '<body><script>if(1<2){x("</div>");}</script>'
+            '<p>Hello <b>world</b></p><br><div>A &amp; B &lt;ok&gt;</div></body></html>',
+         # </p> + <br> = 2 breaks -> paragraph gap
+         'Hello world\n\nA & B <ok>'),
+        # malformed: unclosed tag eats to the next '>', stray '<' stays
+        # only the CLOSER breaks: </p><p> = one line break; the stray
+        # '<' survives because closers became newlines BEFORE the
+        # generic tag strip
+        (2, '<p>first</p><p>second with 1 < 2 math</p>',
+         'first\nsecond with 1 < 2 math'),
+        # lists and headers become lines; nbsp folds
+        (3, '<h1>Title</h1><ul><li>one</li><li>two&nbsp;x</li></ul>', 'Title\none\ntwo x'),
+        # no markup at all: pass-through (trim only)
+        (4, '  plain text  ', 'plain text'),
+    ]
+    df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t, _ in cases])
+    got = {r["doc_id"]: r["clean"] for r in
+           df.select("doc_id", html_to_text(F.col("text")).alias("clean")).collect()}
+    for i, _, want in cases:
+        assert got[i] == want, (i, got[i], want)
+    staged = apply_pipeline(df, [{"$htmlExtract": {"as": "clean"}}]).collect()
+    assert {r["doc_id"]: r["clean"] for r in staged} == got
