@@ -99,6 +99,7 @@ def ops() -> dict:
         "drift": lambda d: _drift_p(d),
         "overlap_sketch": lambda d: _overlap_p(d),
         "pref_pairs": lambda d: _pref_p(d),
+        "html_extract": lambda d: _html_p(d),
     }
 
 
@@ -209,6 +210,17 @@ def _excise(d: DataFrame) -> DataFrame:
     return decontaminate_excise(
         d.filter(F.col("doc_id") % 97 != 0), d.filter(F.col("doc_id") % 97 == 0), n=5
     )
+
+
+def _html_p(d: DataFrame) -> DataFrame:
+    from route81_spark.ops.text import html_to_text
+
+    page = F.concat(
+        F.lit('<html><head><style>p{a}</style></head><body><p>'),
+        F.col("text"),
+        F.lit('</p><div>footer &amp; legal</div></body></html>'),
+    )
+    return d.select("doc_id", html_to_text(page).alias("clean"))
 
 
 def _pref_p(d: DataFrame) -> DataFrame:
