@@ -2747,6 +2747,61 @@ def sim_ivfpq(spark, sf_dir):
 
 
 @_q(
+    "sim_recall_report",
+    # composes the two green fragments: sim_topk's exact ranking and
+    # sim_bucketed's bucket-join ranking, left-joined per (query, hit)
+    f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+      WHERE vec_id % 100 = 0
+    ),
+    exact AS (
+      SELECT query_id, vec_id FROM (
+        SELECT q.query_id, e.vec_id,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY floor(({_cos_sql('e.embedding', 'q.qv')}) * 1000000.0 + 0.5) / 1000000.0 DESC,
+                          e.vec_id ASC) AS rn
+        FROM embeddings e CROSS JOIN q
+      ) WHERE rn <= 5
+    ),
+    eb AS (
+      SELECT vec_id, embedding,
+             {" + ".join(f"(CASE WHEN embedding[{i + 1}] > 0 THEN {2**i} ELSE 0 END)" for i in range(8))}
+               AS bucket
+      FROM embeddings
+    ),
+    qb AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM eb WHERE vec_id % 100 = 0),
+    approx AS (
+      SELECT query_id, vec_id FROM (
+        SELECT qb.query_id, eb.vec_id,
+               row_number() OVER (PARTITION BY qb.query_id
+                 ORDER BY floor(({_cos_sql('eb.embedding', 'qb.qv')}) * 1000000.0 + 0.5) / 1000000.0 DESC,
+                          eb.vec_id ASC) AS rn
+        FROM eb JOIN qb USING (bucket)
+      ) WHERE rn <= 5
+    )
+    SELECT e.query_id, CAST(count(*) AS INT) AS n_truth,
+           CAST(count(a.vec_id) AS INT) AS n_hit
+    FROM exact e LEFT JOIN approx a
+      ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+    GROUP BY e.query_id
+    """,
+)
+def sim_recall_report(spark, sf_dir):
+    """ANN index health check: per-query recall@5 of the sign-bucket
+    index vs exact brute force on the sampled query set — integer
+    (n_truth, n_hit) rows, the post-rebuild observability a serving
+    platform runs."""
+    from route81_spark.ops.similarity import ann_recall_report
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ann_recall_report(emb, queries, k=5)
+
+
+@_q(
     "sim_centroid_update",
     # assignment twin + lateral-unnest component quantization: every
     # sum is BIGINT over 1e6-quantized components, so reduction order

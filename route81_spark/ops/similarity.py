@@ -1526,3 +1526,48 @@ def centroid_update(
         F.sum("__q").alias("sum_q"),
         F.count("*").alias("n"),
     )
+
+
+def ann_recall_report(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_dims: int = 8,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Index-quality observability: per-query recall@k of the
+    sign-bucket ANN against exact brute force, on a sampled query set —
+    the health check a serving platform runs after every index rebuild
+    (recall collapse = the bucket function stopped matching the data).
+    Returns (query_id, n_truth, n_hit) integer rows; recall =
+    n_hit/n_truth wherever the caller plots it.
+
+    Scale shape: both retrievals are the existing bounded paths (exact
+    scan is map-side with broadcast queries; bucketed is the hash
+    join); the comparison joins two <= k*|Q|-row results. Run it on a
+    SAMPLED query set — the point is an estimate, not a second scan of
+    the corpus per query."""
+    exact = brute_force_topk(
+        emb, queries, k=k, id_col=id_col,
+        query_id_col=query_id_col, query_vec_col=query_vec_col,
+    ).select(query_id_col, id_col)
+    approx = bucketed_topk(
+        emb, queries, k=k, n_dims=n_dims, id_col=id_col,
+        query_id_col=query_id_col, query_vec_col=query_vec_col,
+    ).select(query_id_col, F.col(id_col).alias("__hit"))
+    j = exact.join(
+        approx,
+        (exact[query_id_col] == approx[query_id_col])
+        & (exact[id_col] == approx["__hit"]),
+        "left",
+    ).select(exact[query_id_col].alias("qid"), exact[id_col], "__hit")
+    return (
+        j.groupBy("qid")
+        .agg(
+            F.count("*").cast("int").alias("n_truth"),
+            F.count("__hit").cast("int").alias("n_hit"),
+        )
+        .select(F.col("qid").alias(query_id_col), "n_truth", "n_hit")
+    )

@@ -3225,3 +3225,22 @@ def test_html_to_text_extraction(spark):
         assert got[i] == want, (i, got[i], want)
     staged = apply_pipeline(df, [{"$htmlExtract": {"as": "clean"}}]).collect()
     assert {r["doc_id"]: r["clean"] for r in staged} == got
+
+
+def test_ann_recall_report_self_hit_and_bounds(spark, sf_dir):
+    """Every query's own vector is in both exact and bucketed top-k
+    (cosine 1.0 in its own bucket), so n_hit >= 1; 0 <= n_hit <=
+    n_truth <= k for every row."""
+    from pyspark.sql import functions as F
+
+    from route81_spark.io import load_table
+    from route81_spark.ops.similarity import ann_recall_report
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 200 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    rows = ann_recall_report(emb, queries, k=5).collect()
+    assert len(rows) == queries.count()
+    for r in rows:
+        assert 1 <= r["n_hit"] <= r["n_truth"] <= 5
