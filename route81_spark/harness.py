@@ -7311,6 +7311,7 @@ def corpus_canary(spark, sf_dir):
 # folding before run-collapsing). Literal unicode via Python \\u
 # escapes so both engines see identical characters.
 _HTML_STEPS = [
+    (r"\r\n?", "chr(10)"),
     (r"(?is)<script\b.*?</script\s*>|<style\b.*?</style\s*>|<head\b.*?</head\s*>",
      "' '"),
     (r"(?s)<!--.*?-->", "' '"),

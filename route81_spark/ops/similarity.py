@@ -1534,6 +1534,7 @@ def ann_recall_report(
     k: int = 5,
     n_dims: int = 8,
     id_col: str = "vec_id",
+    vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
 ) -> DataFrame:
@@ -1550,11 +1551,11 @@ def ann_recall_report(
     SAMPLED query set — the point is an estimate, not a second scan of
     the corpus per query."""
     exact = brute_force_topk(
-        emb, queries, k=k, id_col=id_col,
+        emb, queries, k=k, id_col=id_col, vec_col=vec_col,
         query_id_col=query_id_col, query_vec_col=query_vec_col,
     ).select(query_id_col, id_col)
     approx = bucketed_topk(
-        emb, queries, k=k, n_dims=n_dims, id_col=id_col,
+        emb, queries, k=k, n_dims=n_dims, id_col=id_col, vec_col=vec_col,
         query_id_col=query_id_col, query_vec_col=query_vec_col,
     ).select(query_id_col, F.col(id_col).alias("__hit"))
     j = exact.join(

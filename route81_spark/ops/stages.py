@@ -1064,13 +1064,11 @@ register_stage("$centroidUpdate", _centroid_update)
 
 
 def _html_extract(df: DataFrame, arg: dict) -> DataFrame:
-    from pyspark.sql import functions as FF
-
     from route81_spark.ops.text import html_to_text
 
-    src = arg.get("field", "text")
+    src = arg.get("textField", "text")
     out = arg.get("as", "clean_text")
-    return df.withColumn(out, html_to_text(FF.col(src)))
+    return df.withColumn(out, html_to_text(F.col(src)))
 
 
 register_stage("$htmlExtract", _html_extract)

@@ -760,11 +760,14 @@ def html_to_text(col: Column) -> Column:
     Deliberately NOT a parser: malformed markup degrades to extra
     whitespace, never to an error — the right failure mode at crawl
     scale (a DOM parse would be a per-row Python UDF)."""
+    # CRLF/CR -> LF first: crawl HTML is overwhelmingly CRLF, and the
+    # downstream whitespace folds only understand \n
+    c = F.regexp_replace(col, r"\r\n?", "\n")
     # alternation instead of a backreference (`</\1>`): RE2 engines
     # (DuckDB's) have no backreferences, and the oracle must run the
     # SAME pattern
     c = F.regexp_replace(
-        col,
+        c,
         r"(?is)<script\b.*?</script\s*>|<style\b.*?</style\s*>|<head\b.*?</head\s*>",
         " ",
     )

@@ -3217,6 +3217,9 @@ def test_html_to_text_extraction(spark):
         (3, '<h1>Title</h1><ul><li>one</li><li>two&nbsp;x</li></ul>', 'Title\none\ntwo x'),
         # no markup at all: pass-through (trim only)
         (4, '  plain text  ', 'plain text'),
+        # CRLF crawl data: \r\n folds to \n, blank CRLF lines collapse
+        (5, '<p>a</p>\r\n\r\n\r\n<p>b has a\rlone cr</p>',
+         'a\n\nb has a\nlone cr'),
     ]
     df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t, _ in cases])
     got = {r["doc_id"]: r["clean"] for r in
