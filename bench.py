@@ -81,6 +81,22 @@ BENCH_QUERIES = [
     "corpus_incremental_curation",  # diff -> gate -> bloom scrub (delta only)
 ]
 
+# Round-over-round comparability cohorts (r6 verdict: the growing set mixes
+# session noise into the 2x-of-baseline bar; report each cohort's subtotal
+# so BENCH_r{N} deltas compare like with like).
+COHORT_R1 = [  # the 13 queries of BENCH_r01 (baseline 18.59 s at sf0.1)
+    "group_sum_avg", "match_project", "envelope_lineitem", "cdc_merge_state",
+    "dedup_lsh_jaccard", "dedup_exact", "sim_topk", "sim_topk_blas",
+    "sim_bucketed", "sim_ivf", "text_stats", "unwind_group",
+    "tpch_q3_pipeline",
+]
+COHORT_PRE_R6 = COHORT_R1 + [  # the 26 queries of BENCH_r05 (23.52 s)
+    "dedup_end_to_end", "redact_pipeline", "corpus_curation",
+    "text_gopher_flags", "corpus_decontaminate", "text_lm_nll",
+    "corpus_boilerplate", "events_asof_join", "events_asof_sliced",
+    "events_rollup", "corpus_dataset_card", "sim_pq", "corpus_dsir",
+]
+
 
 def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
@@ -121,6 +137,11 @@ def main() -> None:
                 timings[name] = dt
 
     total = round(sum(timings.values()), 3)
+    subtotals = {
+        "headline13": round(sum(timings[q] for q in COHORT_R1), 3),
+        "pre_r6": round(sum(timings[q] for q in COHORT_PRE_R6), 3),
+        "full": total,
+    }
     print(
         json.dumps(
             {
@@ -128,6 +149,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "subtotals": subtotals,
                 "sf": sf,
                 "runs": n_runs,
                 "aggregation": "min",

@@ -8431,6 +8431,198 @@ def corpus_incremental_curation(spark, sf_dir):
 
 
 # =====================================================================
+# URL/domain curation layer (ops/web.py) — crawl-pipeline stage 1
+# =====================================================================
+
+def _wh60(seed: str, x: str = "CAST(doc_id AS VARCHAR)") -> str:
+    """DuckDB twin of ops.web._h60 (60-bit md5-slice hash)."""
+    return f"('0x' || substr(md5('{seed}|' || {x}), 1, 15))::BIGINT"
+
+
+def _wpick(options: str, h: str, n: int) -> str:
+    """DuckDB twin of ops.web._pick: options[h % n] (1-based list)."""
+    return f"({options})[CAST({h} % {n} AS INT) + 1]"
+
+
+# the synthetic messy-URL expression, regenerated from the SAME md5
+# slices ops.web.synthetic_urls uses (seed 'url0')
+_URL_SYN = (
+    _wpick("['http','HTTPS','https','HTTP']", _wh60("url0|sch"), 4)
+    + " || '://' || "
+    + _wpick("['','www.','WWW.','blog.']", _wh60("url0|sub"), 4)
+    + " || "
+    + _wpick("['site','Site','SITE']", _wh60("url0|case"), 3)
+    + f" || CAST({_wh60('url0|dom')} % 40 AS VARCHAR) || '.' || "
+    + _wpick(
+        "['com','org','net','io','co.uk','ac.uk','com.au','de']",
+        f"({_wh60('url0|dom')} % 40)",
+        8,
+    )
+    + " || "
+    + _wpick("['',':80',':443',':8080']", _wh60("url0|port"), 4)
+    + " || (['', '/', '/p/' || CAST("
+    + _wh60("url0|path")
+    + " % 50 AS VARCHAR), '/p/' || CAST("
+    + _wh60("url0|path")
+    + " % 50 AS VARCHAR) || '/x.html'])[CAST("
+    + _wh60("url0|path")
+    + " % 4 AS INT) + 1] || "
+    + _wpick(
+        "['','?b=2&a=1','?utm_source=feed&a=1','?z=9&utm_campaign=c',"
+        "'?a=1&z=9&b=2','?ref=home']",
+        _wh60("url0|q"),
+        6,
+    )
+    + f" || CASE WHEN {_wh60('url0|f')} % 3 = 0 THEN '#sec2' ELSE '' END"
+)
+
+_W_SCHEME_RE = "'^([A-Za-z][A-Za-z0-9+.\\-]*)://'"
+_W_TRACK_RE = "'^(utm_[^=]*|fbclid|gclid|msclkid|ref)(=|$)'"
+_W_SUFFIX_IN = (
+    "('co.uk','org.uk','ac.uk','gov.uk','com.au','net.au','org.au',"
+    "'co.jp','ne.jp','or.jp','com.br','co.in','co.nz','com.cn','com.mx')"
+)
+
+
+def _w_host_sql(u: str) -> str:
+    return (
+        f"lower(regexp_extract(regexp_extract({u}, "
+        f"'^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)', 1), '^([^:]*)', 1))"
+    )
+
+
+def _w_dom_sql(host: str) -> str:
+    """Registrable domain via DuckDB negative list indexing (a
+    different shape from Spark's size-relative F.get probes)."""
+    ls = f"string_split({host}, '.')"
+    last2 = f"({ls})[-2] || '.' || ({ls})[-1]"
+    last3 = f"({ls})[-3] || '.' || {last2}"
+    return (
+        f"CASE WHEN len({ls}) >= 3 AND {last2} IN {_W_SUFFIX_IN} THEN {last3} "
+        f"WHEN len({ls}) >= 2 AND NOT ({last2} IN {_W_SUFFIX_IN}) THEN {last2} "
+        f"ELSE NULL END"
+    )
+
+
+def _w_canon_sql(u: str) -> str:
+    """DuckDB twin of ops.web.url_canonicalize — identical RE2-safe
+    regexes, list ops for the query-param sort."""
+    sch = f"lower(regexp_extract({u}, {_W_SCHEME_RE}, 1))"
+    auth = f"regexp_extract({u}, '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)', 1)"
+    host = f"lower(regexp_extract({auth}, '^([^:]*)', 1))"
+    port = f"regexp_extract({auth}, ':([0-9]+)$', 1)"
+    portpart = (
+        f"CASE WHEN {port} = '' OR ({sch} = 'http' AND {port} = '80') "
+        f"OR ({sch} = 'https' AND {port} = '443') THEN '' "
+        f"ELSE ':' || {port} END"
+    )
+    path = (
+        f"regexp_extract({u}, '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*([^?#]*)', 1)"
+    )
+    pathpart = f"CASE WHEN {path} = '' THEN '/' ELSE {path} END"
+    q = f"regexp_extract({u}, '^[^?#]*\\?([^#]*)', 1)"
+    # array_to_string of an EMPTY list is NULL in DuckDB -> coalesce
+    qs = (
+        f"coalesce(array_to_string(list_sort(list_filter(string_split({q}, '&'), "
+        f"x -> x <> '' AND NOT regexp_matches(x, {_W_TRACK_RE}))), '&'), '')"
+    )
+    qpart = f"CASE WHEN {qs} = '' THEN '' ELSE '?' || {qs} END"
+    return (
+        f"CASE WHEN {sch} = '' THEN NULL "
+        f"ELSE {sch} || '://' || {host} || {portpart} || {pathpart} || {qpart} END"
+    )
+
+
+@_q(
+    "corpus_url_canon",
+    "WITH syn AS (SELECT doc_id, " + _URL_SYN + " AS url FROM documents),\n"
+    "     c AS (SELECT doc_id, url, " + _w_canon_sql("url") + " AS canon,\n"
+    "                  " + _w_host_sql("url") + " AS host FROM syn)\n"
+    "SELECT doc_id, url, canon, host, "
+    + _w_dom_sql("host")
+    + " AS domain FROM c",
+)
+def corpus_url_canon(spark, sf_dir):
+    """Crawl stage 1: URL canonicalization + registrable-domain
+    extraction over deterministic synthetic URLs (every canonicalizer
+    branch exercised: mixed-case scheme/host, default + non-default
+    ports, empty paths, unsorted query strings with tracking params,
+    fragments, multi-label public suffixes). Routed through the
+    $urlCanon pipeline stage so stage==op parity is part of the gate.
+    Pure-Column map work — zero shuffle, zero Python."""
+    from route81_spark.ops.web import synthetic_urls
+
+    docs = synthetic_urls(_t(spark, sf_dir, "documents"))
+    out = apply_pipeline(
+        docs,
+        [{"$urlCanon": {"field": "url", "as": "canon",
+                        "hostAs": "host", "domainAs": "domain"}}],
+    )
+    return out.select("doc_id", "url", "canon", "host", "domain")
+
+
+@_q(
+    "corpus_domain_stats",
+    # independently shaped: DuckDB counts distinct text/lang hashes
+    # directly; Spark rolls (domain, text-hash) partials into a
+    # domain-key agg so text never shuffles
+    "WITH syn AS (SELECT doc_id, text, lang, " + _URL_SYN
+    + " AS url FROM documents),\n"
+    "     d AS (SELECT "
+    + _w_dom_sql(_w_host_sql("url"))
+    + " AS domain,\n"
+    "                  ('0x' || substr(md5('domstats|t|' || text), 1, 15))::BIGINT AS th,\n"
+    "                  ('0x' || substr(md5('domstats|l|' || lang), 1, 15))::BIGINT AS lh,\n"
+    "                  length(text) AS ch FROM syn)\n"
+    "SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,\n"
+    "       CAST(count(*) - count(DISTINCT th) AS BIGINT) AS n_dup_docs,\n"
+    "       CAST(sum(ch) AS BIGINT) AS total_chars,\n"
+    "       CAST(count(DISTINCT lh) AS BIGINT) AS n_langs\n"
+    "FROM d GROUP BY domain",
+)
+def corpus_domain_stats(spark, sf_dir):
+    """Per-registrable-domain crawl rollup (doc count, exact-dup doc
+    count, total chars, distinct langs) — the signals a domain-level
+    quality gate ranks on. Text is hashed in the scan projection;
+    only (domain, 60-bit hash, int) rows ever shuffle."""
+    from route81_spark.ops.web import domain_stats, synthetic_urls
+
+    docs = synthetic_urls(_t(spark, sf_dir, "documents"))
+    return domain_stats(docs)
+
+
+@_q(
+    "corpus_domain_filter",
+    "WITH syn AS (SELECT doc_id, " + _URL_SYN + " AS url FROM documents),\n"
+    "     d AS (SELECT doc_id, "
+    + _w_dom_sql(_w_host_sql("url"))
+    + " AS domain FROM syn)\n"
+    "SELECT doc_id, domain FROM d\n"
+    "WHERE domain NOT IN ('site4.co.uk', 'site7.de', 'site16.com')",
+)
+def corpus_domain_filter(spark, sf_dir):
+    """Domain blocklist gate via the $domainFilter stage: drop every
+    document whose registrable domain is blocklisted (plan-literal IN
+    — map-only, zero shuffle; a million-entry blocklist becomes a
+    broadcast anti-join with the same fact-side shape)."""
+    from route81_spark.ops.web import synthetic_urls
+
+    docs = synthetic_urls(_t(spark, sf_dir, "documents"))
+    out = apply_pipeline(
+        docs,
+        [
+            {"$urlCanon": {"field": "url", "as": "canon",
+                           "domainAs": "domain"}},
+            {"$domainFilter": {
+                "field": "url",
+                "block": ["site4.co.uk", "site7.de", "site16.com"],
+            }},
+        ],
+    )
+    return out.select("doc_id", "domain")
+
+
+# =====================================================================
 # Registry accessors (consumed by __spark_entry__)
 # =====================================================================
 

@@ -563,6 +563,8 @@ def bpe_encode(
     merges,
     text_col: str = "text",
     id_col: str = "doc_id",
+    word_map: bool | None = None,
+    segment: int = 48,
 ) -> DataFrame:
     """Encode documents with a learned BPE merge table: every word is
     re-wrapped into character symbols (+ end-of-word) and the merges
@@ -573,46 +575,86 @@ def bpe_encode(
     open an earlier opportunity). Output is exploded subword rows
     (id, wpos, spos, sym) — the form sequence packers consume.
 
-    Scale shape: the merge table is a driver-side artifact by
-    definition (vocab-bounded, the tokenizer file every trainer ships);
-    it compiles into a chain of n_merges literal replaces INSIDE one
-    per-row projection — zero joins, zero shuffles, the corpus is
-    touched once. Expression depth grows with n_merges; past a few
-    hundred merges split the chain with localCheckpoint-free select
-    boundaries (or pre-merge words via a broadcast word->symbols map)."""
+    Scale shape, two regimes (identical output):
+    - SHALLOW tables (<= `segment` merges, or word_map=False): the
+      chain compiles into ONE per-row projection — zero joins, zero
+      shuffles, the corpus is touched once.
+    - DEEP tables (a real 32k-merge tokenizer; auto past `segment`
+      merges, or word_map=True): a 32k-deep replace chain would blow
+      the Catalyst expression tree AND re-pay the whole chain per
+      corpus token, so encoding moves to the VOCAB: distinct words
+      (one integer-cheap word shuffle, hapax-bounded like
+      bpe_train_merges' word table) run the chain in `segment`-sized
+      slices with a localCheckpoint barrier between slices (Catalyst's
+      project-collapse would otherwise re-inline the slices into one
+      giant expression), and the resulting word->symbols map joins
+      back BROADCAST — the corpus-sized side never shuffles. Chain
+      cost is paid once per word TYPE, not per token, which is also
+      the faster plan whenever the corpus has any repetition."""
+    from route81_spark.io import ensure_parallelism
+    from route81_spark.ops.text import tokens
+
     if isinstance(merges, DataFrame):
         pairs = [
             (r["sym_l"], r["sym_r"]) for r in merges.orderBy("step").collect()
         ]
     else:
         pairs = [(l, r) for l, r in merges]
+    if segment < 1:
+        raise ValueError("segment must be >= 1")
+    if word_map is None:
+        word_map = len(pairs) > segment
 
-    def encode_word(word: Column) -> Column:
-        expr = F.concat(
+    def wrap(word: Column) -> Column:
+        return F.concat(
             F.regexp_replace(word, "(.)", f"{_BPE_S}$1{_BPE_E}"),
             F.lit(f"{_BPE_S}{_BPE_EOW}{_BPE_E}"),
         )
-        for l, r in pairs:
+
+    def chain(expr: Column, chunk) -> Column:
+        for l, r in chunk:
             expr = F.replace(
                 expr,
                 F.lit(f"{_BPE_S}{l}{_BPE_E}{_BPE_S}{r}{_BPE_E}"),
                 F.lit(f"{_BPE_S}{l}{r}{_BPE_E}"),
             )
+        return expr
+
+    def unwrap(expr: Column) -> Column:
         return F.split(
             expr.substr(F.lit(2), F.length(expr) - 2), f"{_BPE_E}{_BPE_S}"
         )
 
-    from route81_spark.io import ensure_parallelism
-    from route81_spark.ops.text import tokens
-
     words = ensure_parallelism(df.select(id_col, text_col)).select(
         F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("wpos", "word")
     )
-    return words.select(
-        id_col,
-        F.col("wpos").cast("int").alias("wpos"),
-        F.posexplode(encode_word(F.col("word"))).alias("spos", "sym"),
-    ).select(
+    if word_map:
+        enc = words.select("word").distinct().select(
+            "word", wrap(F.col("word")).alias("__w")
+        )
+        for i in range(0, len(pairs), segment):
+            enc = enc.select(
+                "word", chain(F.col("__w"), pairs[i : i + segment]).alias("__w")
+            )
+            # barrier between slices: cuts the expression tree (and the
+            # lineage) at vocab-sized cost; without it ProjectCollapse
+            # re-inlines everything into one giant projection
+            enc = enc.localCheckpoint(eager=False)
+        mapping = enc.select("word", unwrap(F.col("__w")).alias("__syms"))
+        encoded = words.join(F.broadcast(mapping), "word").select(
+            id_col,
+            F.col("wpos").cast("int").alias("wpos"),
+            F.posexplode(F.col("__syms")).alias("spos", "sym"),
+        )
+    else:
+        encoded = words.select(
+            id_col,
+            F.col("wpos").cast("int").alias("wpos"),
+            F.posexplode(unwrap(chain(wrap(F.col("word")), pairs))).alias(
+                "spos", "sym"
+            ),
+        )
+    return encoded.select(
         id_col, "wpos", F.col("spos").cast("int").alias("spos"), "sym"
     )
 

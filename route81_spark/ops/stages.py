@@ -1072,3 +1072,43 @@ def _html_extract(df: DataFrame, arg: dict) -> DataFrame:
 
 
 register_stage("$htmlExtract", _html_extract)
+
+
+def _url_canon(df: DataFrame, arg: dict) -> DataFrame:
+    """$urlCanon: canonicalize a URL column (and optionally project the
+    host / registrable domain alongside). All pure-Column, zero shuffle."""
+    from route81_spark.ops.web import (
+        registrable_domain,
+        url_canonicalize,
+        url_host,
+    )
+
+    src = arg.get("field", "url")
+    out = df.withColumn(
+        arg.get("as", "canon_url"),
+        url_canonicalize(
+            F.col(src), strip_tracking=bool(arg.get("tracking", True))
+        ),
+    )
+    if arg.get("hostAs"):
+        out = out.withColumn(arg["hostAs"], url_host(F.col(src)))
+    if arg.get("domainAs"):
+        out = out.withColumn(
+            arg["domainAs"], registrable_domain(url_host(F.col(src)))
+        )
+    return out
+
+
+def _domain_filter(df: DataFrame, arg: dict) -> DataFrame:
+    from route81_spark.ops.web import domain_filter
+
+    return domain_filter(
+        df,
+        url_col=arg.get("field", "url"),
+        block=arg.get("block", ()),
+        allow=arg.get("allow", ()),
+    )
+
+
+register_stage("$urlCanon", _url_canon)
+register_stage("$domainFilter", _domain_filter)

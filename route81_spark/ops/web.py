@@ -1,0 +1,274 @@
+"""URL/domain curation layer — the first stage of a crawl-corpus
+pipeline (RefinedWeb-style filtering, Dolma's URL taggers): URL
+canonicalization, registrable-domain extraction against a static
+public-suffix subset, per-domain quality rollups, and block/allow
+domain filtering.
+
+Reference parity note: route81 itself ships no URL operators (it
+delegates its whole query surface to MongoDB, route81.go:181-197);
+this module belongs to the LLM-data-pipeline brief.
+
+Everything is pure-Column string/regexp work — JVM-side, inside
+whole-stage codegen, ZERO shuffle for canonicalization/extraction —
+and every transform is bit-reproducible in ANSI SQL (RE2-safe
+patterns, no backreferences) so the DuckDB oracles regenerate the
+same bytes. The testdata has no URL column, so `synthetic_urls`
+derives a deterministic messy URL per document from md5(doc_id)
+slices (the proven synthetic_image_corpus pattern, multimodal.py):
+mixed-case schemes/hosts, default and non-default ports, unsorted
+query strings with tracking params, fragments — every branch of the
+canonicalizer is exercised at any SF, and the oracle regenerates the
+identical inputs from the same hash slices.
+
+100 TB design: canonicalization/domain extraction are per-row map
+work (scale trivially); `domain_stats` shuffles only (domain, 60-bit
+text hash, int) rows — document text NEVER shuffles; `domain_filter`
+with a literal list is a map-only plan-literal IN filter (for
+million-entry blocklists, pass a DataFrame and it becomes a broadcast
+anti/semi join — still no fact-table shuffle).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Query parameters that carry tracking state, not content identity —
+# dropped during canonicalization (matches a bare param or param=...).
+# RE2-safe; mirrored verbatim in the DuckDB oracles.
+TRACKING_PARAM_RE = r"^(utm_[^=]*|fbclid|gclid|msclkid|ref)(=|$)"
+
+# Static public-suffix subset: the two-label suffixes under which
+# registrable domains take THREE labels (site.co.uk), not two. A real
+# deployment swaps in the full publicsuffix.org list — same plan shape
+# (a literal IN over the second-level tail), just a longer literal.
+MULTI_LABEL_SUFFIXES = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk",
+    "com.au", "net.au", "org.au",
+    "co.jp", "ne.jp", "or.jp",
+    "com.br", "co.in", "co.nz", "com.cn", "com.mx",
+)
+
+_SCHEME = r"^([A-Za-z][A-Za-z0-9+.\-]*)://"
+
+
+def _h60(col: Column, seed: str) -> Column:
+    """60-bit md5-slice hash (same contract as corpus._h60; local copy
+    avoids importing the much heavier corpus module for URL work)."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{seed}|"), col.cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
+def _pick(options: Sequence[Column | str], h: Column) -> Column:
+    """options[h % len] as a plan literal array (1-based element_at on
+    an in-range index — ANSI-safe by construction)."""
+    arr = F.array(*[o if isinstance(o, Column) else F.lit(o) for o in options])
+    return F.element_at(arr, (h % len(options) + 1).cast("int"))
+
+
+def synthetic_urls(
+    df: DataFrame, id_col: str = "doc_id", seed: str = "url0",
+    out_col: str = "url",
+) -> DataFrame:
+    """Attach a deterministic messy URL per row, derived entirely from
+    md5(id) slices: every component (scheme case, subdomain, site
+    number, TLD family incl. multi-label suffixes, port, path shape,
+    query-param set/order, fragment) comes from an independent 60-bit
+    slice, so the corpus covers every canonicalizer branch and any SQL
+    engine regenerates identical strings. ~40 distinct registrable
+    domains -> domain rollups see real fan-in at every SF."""
+    ids = F.col(id_col)
+    dom_n = _h60(ids, f"{seed}|dom") % 40
+    tld = _pick(
+        ["com", "org", "net", "io", "co.uk", "ac.uk", "com.au", "de"],
+        dom_n,
+    )
+    name = _pick(["site", "Site", "SITE"], _h60(ids, f"{seed}|case"))
+    sub = _pick(["", "www.", "WWW.", "blog."], _h60(ids, f"{seed}|sub"))
+    scheme = _pick(["http", "HTTPS", "https", "HTTP"], _h60(ids, f"{seed}|sch"))
+    port = _pick(["", ":80", ":443", ":8080"], _h60(ids, f"{seed}|port"))
+    pk = _h60(ids, f"{seed}|path")
+    path = _pick(
+        [
+            F.lit(""),
+            F.lit("/"),
+            F.concat(F.lit("/p/"), (pk % 50).cast("string")),
+            F.concat(F.lit("/p/"), (pk % 50).cast("string"), F.lit("/x.html")),
+        ],
+        pk,
+    )
+    query = _pick(
+        [
+            "", "?b=2&a=1", "?utm_source=feed&a=1", "?z=9&utm_campaign=c",
+            "?a=1&z=9&b=2", "?ref=home",
+        ],
+        _h60(ids, f"{seed}|q"),
+    )
+    frag = F.when(_h60(ids, f"{seed}|f") % 3 == 0, F.lit("#sec2")).otherwise(
+        F.lit("")
+    )
+    url = F.concat(
+        scheme, F.lit("://"), sub, name, dom_n.cast("string"), F.lit("."),
+        tld, port, path, query, frag,
+    )
+    return df.withColumn(out_col, url)
+
+
+def url_canonicalize(url: Column, strip_tracking: bool = True) -> Column:
+    """RFC-3986-shaped canonical form as ONE pure-Column chain:
+    scheme + host lowercase, default port stripped (http:80 / https:443),
+    fragment stripped, empty path -> '/', query params split on '&',
+    tracking params dropped (TRACKING_PARAM_RE), remainder sorted
+    byte-wise and re-joined. Non-URL strings (no scheme://) degrade to
+    NULL rather than erroring — curate them upstream. Path case and
+    trailing slashes are preserved (both are significant per RFC).
+
+    Zero shuffle, zero Python; every regex RE2-safe and mirrored in
+    the DuckDB twin. The input expression binds ONCE (transform over a
+    1-element array): when `url` is itself a computed expression,
+    Catalyst's project-collapse would otherwise inline it into every
+    one of the ~8 references and blow the Janino method limit."""
+
+    def canon(u: Column) -> Column:
+        scheme = F.lower(F.regexp_extract(u, _SCHEME, 1))
+        # _SCHEME already captures the scheme -> authority is group 2
+        auth = F.regexp_extract(u, _SCHEME + r"([^/?#]*)", 2)
+        host = F.lower(F.regexp_extract(auth, r"^([^:]*)", 1))
+        port = F.regexp_extract(auth, r":([0-9]+)$", 1)
+        port_part = F.when(
+            (port == "")
+            | ((scheme == "http") & (port == "80"))
+            | ((scheme == "https") & (port == "443")),
+            F.lit(""),
+        ).otherwise(F.concat(F.lit(":"), port))
+        path = F.regexp_extract(u, _SCHEME + r"[^/?#]*([^?#]*)", 2)
+        path = F.when(path == "", F.lit("/")).otherwise(path)
+        query = F.regexp_extract(u, r"^[^?#]*\?([^#]*)", 1)
+        params = F.split(query, "&")
+        keep = (
+            (lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE))
+            if strip_tracking
+            else (lambda p: p != "")
+        )
+        qsorted = F.array_join(F.array_sort(F.filter(params, keep)), "&")
+        q_part = F.when(qsorted == "", F.lit("")).otherwise(
+            F.concat(F.lit("?"), qsorted)
+        )
+        return F.when(scheme == "", F.lit(None).cast("string")).otherwise(
+            F.concat(scheme, F.lit("://"), host, port_part, path, q_part)
+        )
+
+    return F.get(F.transform(F.array(url), canon), 0)
+
+
+def url_host(url: Column) -> Column:
+    """Lowercased host (no port) of a URL-shaped string; NULL when the
+    string has no scheme://."""
+    auth = F.regexp_extract(url, _SCHEME + r"([^/?#]*)", 2)
+    host = F.lower(F.regexp_extract(auth, r"^([^:]*)", 1))
+    return F.when(host == "", F.lit(None).cast("string")).otherwise(host)
+
+
+def registrable_domain(host: Column) -> Column:
+    """Registrable (pay-level) domain: public suffix + one label, with
+    the static MULTI_LABEL_SUFFIXES subset standing in for the full
+    public-suffix list. A host that IS a suffix (or a single label)
+    has no registrable domain -> NULL. Pure Column: split + NULL-safe
+    F.get probes + a literal IN — no UDF, no shuffle. The label array
+    binds ONCE (see url_canonicalize) so a computed host expression is
+    evaluated a single time however many probes reference it; a NULL
+    host propagates to NULL through the whole chain."""
+
+    def rd(labels: Column) -> Column:
+        n = F.size(labels)
+        last2 = F.concat_ws(".", F.get(labels, n - 2), F.get(labels, n - 1))
+        last3 = F.concat_ws(
+            ".", F.get(labels, n - 3), F.get(labels, n - 2), F.get(labels, n - 1)
+        )
+        is_multi = last2.isin(*MULTI_LABEL_SUFFIXES)
+        return (
+            F.when(is_multi & (n >= 3), last3)
+            .when(~is_multi & (n >= 2), last2)
+            .otherwise(F.lit(None).cast("string"))
+        )
+
+    return F.get(F.transform(F.array(F.split(host, r"\.")), rd), 0)
+
+
+def domain_stats(
+    df: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Per-registrable-domain crawl rollup: doc count, exact-dup doc
+    count (docs beyond the first per distinct text), total chars, and
+    distinct language count — the signals a RefinedWeb-style domain
+    gate ranks on. Returns (domain, n_docs, n_dup_docs, total_chars,
+    n_langs); NULL-domain docs roll up under domain NULL so nothing is
+    silently dropped.
+
+    100 TB shape: text is reduced to a 60-bit md5 slice in the scan
+    projection, so only (domain, hash, lang-hash, int) rows shuffle —
+    never document text; then a (domain, hash) partial-agg feeds one
+    domain-key agg. Both aggs map-side combine; no distinct-expand."""
+    dom = registrable_domain(url_host(F.col(url_col)))
+    pre = df.select(
+        dom.alias("domain"),
+        _h60(F.col(text_col), "domstats|t").alias("__th"),
+        _h60(F.col(lang_col), "domstats|l").alias("__lh"),
+        F.length(F.col(text_col)).cast("long").alias("__chars"),
+    )
+    per_text = pre.groupBy("domain", "__th").agg(
+        F.count("*").alias("__cnt"),
+        F.sum("__chars").alias("__ch"),
+        F.min("__lh").alias("__lmin"),
+        F.max("__lh").alias("__lmax"),
+    )
+    # n_langs needs distinct langs per DOMAIN, not per text -> carry the
+    # lang hash through and count distinct at the domain level; the
+    # distinct runs over already-tiny (domain, lang-hash) data
+    per_lang = pre.select("domain", "__lh").distinct().groupBy("domain").agg(
+        F.count("*").cast("long").alias("n_langs")
+    )
+    rolled = per_text.groupBy("domain").agg(
+        F.sum("__cnt").cast("long").alias("n_docs"),
+        (F.sum("__cnt") - F.count("*")).cast("long").alias("n_dup_docs"),
+        F.sum("__ch").cast("long").alias("total_chars"),
+    )
+    return rolled.join(per_lang, ["domain"], "left").select(
+        "domain", "n_docs", "n_dup_docs", "total_chars", "n_langs"
+    )
+
+
+def domain_filter(
+    df: DataFrame,
+    url_col: str = "url",
+    block: Sequence[str] = (),
+    allow: Sequence[str] = (),
+) -> DataFrame:
+    """Block/allow filtering on the registrable domain. Allow-list (if
+    given) keeps only listed domains; block-list then removes its
+    domains (block wins on overlap). Docs with NO registrable domain
+    pass a block-only filter (nothing to match) but fail an allow
+    filter (not affirmatively allowed) — the conservative crawl-gate
+    convention.
+
+    Literal lists compile to plan-literal IN filters: map-only, zero
+    shuffle, pushed into the scan where possible. For blocklists too
+    big for a literal, join a domain DataFrame broadcast-anti instead —
+    same fact-side plan shape."""
+    dom = registrable_domain(url_host(F.col(url_col)))
+    cond = F.lit(True)
+    if allow:
+        cond = cond & F.coalesce(dom.isin(*allow), F.lit(False))
+    if block:
+        cond = cond & ~F.coalesce(dom.isin(*block), F.lit(False))
+    return df.filter(cond)

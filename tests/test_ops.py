@@ -1759,6 +1759,105 @@ def test_bpe_encode_matches_single_node_reference(spark):
     assert alt > 0
 
 
+def _ref_bpe_train(word_freqs: dict, n: int) -> list:
+    """Single-node Sennrich trainer over a word-frequency dict (same
+    tie-break as bpe_train_merges: count desc, left asc, right asc)."""
+    words = {tuple(w) + ("\x03",): f for w, f in word_freqs.items()}
+    merges = []
+    for _ in range(n):
+        pairs: dict = {}
+        for syms, f in words.items():
+            for p in zip(syms, syms[1:]):
+                pairs[p] = pairs.get(p, 0) + f
+        if not pairs:
+            break
+        (l, r), _ = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((l, r))
+        out: dict = {}
+        for syms, f in words.items():
+            s, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    s.append(l + r)
+                    i += 2
+                else:
+                    s.append(syms[i])
+                    i += 1
+            out[tuple(s)] = out.get(tuple(s), 0) + f
+        words = out
+    return merges
+
+
+def _ref_bpe_encode(word: str, merges: list) -> list:
+    """Apply merges IN LEARNED ORDER, one left-to-right pass each —
+    bpe_encode's exactness contract for trainer-produced tables."""
+    syms = list(word) + ["\x03"]
+    for l, r in merges:
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                out.append(l + r)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def test_bpe_encode_deep_table_256_merges(spark):
+    """Realistic merge depth (r6 verdict task): at >48 merges
+    bpe_encode switches to the vocab-level word-map path (distinct
+    words run the chain in checkpoint-separated slices, then broadcast
+    back) — pin 256 learned merges against the single-node reference
+    encoder, and pin shallow==deep equality on the same table."""
+    import random
+
+    from pyspark.sql import Row
+
+    from route81_spark.ops.corpus import bpe_encode
+
+    rng = random.Random(41)
+    vocab = sorted(
+        {
+            "".join(rng.choice("abcdefgh") for _ in range(rng.randint(3, 9)))
+            for _ in range(300)
+        }
+    )
+    freqs = {w: rng.randint(1, 40) for w in vocab}
+    merges = _ref_bpe_train(freqs, 256)
+    assert len(merges) == 256, len(merges)  # corpus rich enough
+
+    docs, flat = [], []
+    for d in range(24):
+        ws = [vocab[(d * 17 + j * 7) % len(vocab)] for j in range(30)]
+        docs.append(Row(doc_id=d, text=" ".join(ws)))
+        flat.append(ws)
+    df = spark.createDataFrame(docs)
+
+    deep = bpe_encode(df, merges)  # auto word-map (256 > 48)
+    got: dict = {}
+    for r in deep.collect():
+        got.setdefault((r["doc_id"], r["wpos"]), []).append(
+            (r["spos"], r["sym"])
+        )
+    for d, ws in enumerate(flat):
+        for w, word in enumerate(ws):
+            syms = [s for _, s in sorted(got[(d, w)])]
+            assert syms == _ref_bpe_encode(word, merges), (word, syms)
+
+    # the two regimes are the same function: force-shallow on a slice
+    # of the table must equal force-deep
+    small = merges[:12]
+    rows_deep = sorted(
+        map(tuple, bpe_encode(df, small, word_map=True, segment=4).collect())
+    )
+    rows_shallow = sorted(
+        map(tuple, bpe_encode(df, small, word_map=False).collect())
+    )
+    assert rows_deep == rows_shallow
+
+
 def test_video_dedup_frame_overlap_and_hot_frame_guard(spark):
     from pyspark.sql import Row
 

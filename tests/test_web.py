@@ -1,0 +1,151 @@
+"""URL/domain curation layer (ops/web.py): canonicalization edge
+cases, registrable-domain extraction against the static public-suffix
+subset, block/allow filter semantics, stage==op parity, and the
+scale plan pins (canonicalization is map-only; domain_stats never
+shuffles document text)."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+from pyspark.sql import functions as F
+
+from route81_spark import harness
+from route81_spark.ops.web import (
+    domain_filter,
+    registrable_domain,
+    synthetic_urls,
+    url_canonicalize,
+    url_host,
+)
+from route81_spark.pipeline import apply_pipeline
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+def _eval1(spark, col):
+    return spark.range(1).select(col.alias("v")).first()["v"]
+
+
+def test_url_canonicalize_edges(spark):
+    cases = {
+        # scheme+host lowercase, default https port stripped, path case
+        # kept, params sorted, tracking dropped, fragment stripped
+        "HTTPS://WWW.Example.COM:443/a/B?b=2&a=1&utm_source=x#frag":
+            "https://www.example.com/a/B?a=1&b=2",
+        # empty path -> '/', non-default port kept
+        "http://example.com:8080": "http://example.com:8080/",
+        # :80 is only default for http, not https
+        "https://example.com:80/x": "https://example.com:80/x",
+        "http://EXAMPLE.com:80/x": "http://example.com/x",
+        # non-http(s) schemes never strip a port
+        "ftp://Host.Org:21/file": "ftp://host.org:21/file",
+        # tracking-only query disappears entirely
+        "http://a.io/p?utm_campaign=c&fbclid=1&ref=home": "http://a.io/p",
+        # bare tracking param (no '=') also dropped; empty params folded
+        "http://a.io/?ref&&a=1": "http://a.io/?a=1",
+        # no scheme -> NULL (degrade, don't error)
+        "not a url": None,
+        "example.com/path": None,
+    }
+    for raw, want in cases.items():
+        got = _eval1(spark, url_canonicalize(F.lit(raw)))
+        assert got == want, f"{raw!r}: {got!r} != {want!r}"
+
+
+def test_url_canonicalize_keep_tracking(spark):
+    got = _eval1(
+        spark,
+        url_canonicalize(
+            F.lit("http://a.io/?utm_source=x&a=1"), strip_tracking=False
+        ),
+    )
+    assert got == "http://a.io/?a=1&utm_source=x"
+
+
+def test_registrable_domain_psl(spark):
+    cases = {
+        "www.example.co.uk": "example.co.uk",
+        "a.b.c.example.com": "example.com",
+        "example.com": "example.com",
+        "co.uk": None,        # the host IS a public suffix
+        "localhost": None,    # single label: no registrable domain
+        "site3.com.au": "site3.com.au",
+    }
+    for host, want in cases.items():
+        got = _eval1(spark, registrable_domain(F.lit(host)))
+        assert got == want, f"{host!r}: {got!r} != {want!r}"
+    # NULL host propagates (url_host of a scheme-less string is NULL)
+    assert _eval1(spark, registrable_domain(url_host(F.lit("nope")))) is None
+
+
+def test_domain_filter_semantics(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "http://a.example.com/x"),
+            (2, "http://b.blocked.org/"),
+            (3, "http://localhost/"),  # no registrable domain
+        ],
+        "id long, url string",
+    )
+    # block-only: NULL-domain rows survive (nothing to match)
+    got = {r["id"] for r in domain_filter(df, block=["blocked.org"]).collect()}
+    assert got == {1, 3}
+    # allow-only: NULL-domain rows are NOT affirmatively allowed
+    got = {r["id"] for r in domain_filter(df, allow=["example.com"]).collect()}
+    assert got == {1}
+    # block wins over allow on overlap
+    got = {
+        r["id"]
+        for r in domain_filter(
+            df, allow=["example.com", "blocked.org"], block=["blocked.org"]
+        ).collect()
+    }
+    assert got == {1}
+
+
+def test_url_stage_op_parity(spark):
+    docs = synthetic_urls(
+        spark.read.parquet(f"{SF}/documents.parquet").limit(64)
+    )
+    via_stage = apply_pipeline(
+        docs, [{"$urlCanon": {"field": "url", "as": "c", "domainAs": "d"}}]
+    ).select("doc_id", "c", "d")
+    direct = docs.select(
+        "doc_id",
+        url_canonicalize(F.col("url")).alias("c"),
+        registrable_domain(url_host(F.col("url"))).alias("d"),
+    )
+    assert sorted(map(tuple, via_stage.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+
+def test_url_canon_plan_is_map_only(spark):
+    """corpus_url_canon + corpus_domain_filter: pure per-row projection
+    — NO hash-partitioned Exchange anywhere in the plan."""
+    for name in ("corpus_url_canon", "corpus_domain_filter"):
+        plan = _plan(harness.QUERIES[name](spark, SF))
+        for block in plan.split("\n\n"):
+            head = block.strip().splitlines()[0] if block.strip() else ""
+            if "Exchange" in head and "hashpartitioning" in block:
+                raise AssertionError(f"{name} shuffles:\n{plan}")
+
+
+def test_domain_stats_text_never_shuffles(spark):
+    """domain_stats reduces text to a 60-bit hash in the scan
+    projection; no Exchange may carry the raw text column."""
+    plan = _plan(harness.QUERIES["corpus_domain_stats"](spark, SF))
+    for block in plan.split("\n\n"):
+        head = block.strip().splitlines()[0] if block.strip() else ""
+        if "Exchange" not in head or "BroadcastExchange" in head:
+            continue
+        assert not ("hashpartitioning" in block and "text#" in block), plan
