@@ -3135,11 +3135,20 @@ def emb_semantic_dedup(spark, sf_dir):
 
 @_q(
     "sim_knn_graph",
+    # the bucket width self-scales from count(*): n_dims =
+    # clamp(ceil(log2(n/16)), 2, 24), regenerated here so the oracle
+    # follows the Spark side at ANY scale factor; the dynamic-width
+    # bucket is a list fold over range(n_dims) with exact 1<<d weights
     f"""
-    WITH e AS (
+    WITH nd AS (
+      SELECT GREATEST(2, LEAST(24, CAST(ceil(log2(count(*) / 16.0)) AS INT))) AS n
+      FROM embeddings
+    ),
+    e AS (
       SELECT vec_id, embedding,
-             {" + ".join(f"(CASE WHEN embedding[{i + 1}] > 0 THEN {2**i} ELSE 0 END)" for i in range(8))}
-               AS bucket
+             list_sum(list_transform(range((SELECT n FROM nd)),
+                 d -> CASE WHEN embedding[CAST(d AS INT) + 1] > 0
+                      THEN (CAST(1 AS BIGINT) << d) ELSE 0 END)) AS bucket
       FROM embeddings
     ),
     scored AS (
@@ -3153,14 +3162,17 @@ def emb_semantic_dedup(spark, sf_dir):
                   ORDER BY score DESC, nbr ASC) AS INT) AS rank
       FROM scored
     )
-    SELECT * FROM ranked WHERE rank <= 3
+    SELECT src, nbr, score, rank, (SELECT CAST(n AS INT) FROM nd) AS n_dims
+    FROM ranked WHERE rank <= 3
     """,
 )
 def sim_knn_graph(spark, sf_dir):
     """Corpus-wide approximate k-NN graph (each vector's 3 nearest
     sign-bucket candidates) — the graph primitive for graph-based
     curation: density scoring, cluster discovery past a hard threshold,
-    label propagation. Bucketed self-join, never all-pairs."""
+    label propagation. Bucketed self-join, never all-pairs; the bucket
+    width self-scales from the corpus count (recorded in the n_dims
+    column) so candidate pairs grow linearly with the corpus."""
     return S.knn_graph(_t(spark, sf_dir, "embeddings"), k=3)
 
 

@@ -1071,9 +1071,12 @@ def contrastive_triplets(
 def knn_graph(
     emb: DataFrame,
     k: int = 3,
-    n_dims: int = 8,
+    n_dims: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    target_bucket_pop: int = 16,
+    min_dims: int = 2,
+    max_dims: int = 24,
 ) -> DataFrame:
     """Corpus-wide approximate k-NN graph: each vector's `k` nearest
     neighbours among its sign-bucket candidates. The graph primitive
@@ -1082,12 +1085,32 @@ def knn_graph(
 
     Scale shape: the candidate relation is the same bucketed self-join
     as embedding_near_dups — an equi-join on the LSH bucket key, never
-    all-pairs; per-bucket population is corpus/2^n_dims in expectation
-    (raise n_dims to keep cells bounded as the corpus grows). The only
-    other shuffle is the per-source top-k window over (src, score)
-    rows. Unlike bucketed_topk the query side IS the corpus, so the
-    join is a plain shuffle join on `bucket` — broadcasting would ship
-    the whole corpus."""
+    all-pairs; per-bucket population is corpus/2^n_dims in expectation.
+    With n_dims=None (the default) the bucket width SELF-SCALES from a
+    cheap corpus count: n_dims = clamp(ceil(log2(n / target_bucket_pop)),
+    min_dims, max_dims), which pins expected bucket population at
+    `target_bucket_pop` — candidate pairs then grow ~n·pop (LINEAR in
+    corpus size) instead of n²/2^const (this was the ledger's worst
+    scale exponent when the knob was a fixed 8). The chosen width is
+    recorded as an `n_dims` output column so results stay reproducible
+    and oracle-checkable (the DuckDB twin derives the same width from
+    count(*)). The only other shuffle is the per-source top-k window
+    over (src, score) rows. Unlike bucketed_topk the query side IS the
+    corpus, so the join is a plain shuffle join on `bucket` —
+    broadcasting would ship the whole corpus."""
+    import math
+
+    if n_dims is None:
+        n = emb.count()
+        n_dims = int(
+            min(
+                max_dims,
+                max(
+                    min_dims,
+                    math.ceil(math.log2(max(n, 1) / float(target_bucket_pop))),
+                ),
+            )
+        )
     e = emb.select(
         F.col(id_col), F.col(vec_col), sign_bucket(F.col(vec_col), n_dims).alias("bucket")
     )
@@ -1105,7 +1128,13 @@ def knn_graph(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("src", "nbr", "score", F.col("rank").cast("int").alias("rank"))
+        .select(
+            "src",
+            "nbr",
+            "score",
+            F.col("rank").cast("int").alias("rank"),
+            F.lit(n_dims).cast("int").alias("n_dims"),
+        )
     )
 
 

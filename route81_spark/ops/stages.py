@@ -956,7 +956,8 @@ def _knn_graph(df: DataFrame, arg: dict) -> DataFrame:
     return knn_graph(
         df,
         k=int(arg.get("k", 3)),
-        n_dims=int(arg.get("nDims", 8)),
+        # omitted nDims -> self-scaling bucket width from the count
+        n_dims=int(arg["nDims"]) if "nDims" in arg else None,
         id_col=arg.get("idField", "vec_id"),
         vec_col=arg.get("vecField", "embedding"),
     )

@@ -2983,6 +2983,28 @@ def test_ivfpq_recall_vs_brute_force(spark, sf_dir):
     assert sum(recalls) / len(recalls) >= 0.5, f"ivfpq recall@5 too low: {recalls}"
 
 
+def test_knn_graph_auto_bucket_width(spark):
+    """n_dims=None derives the bucket width from the corpus count
+    (clamp(ceil(log2(n/target)), 2, 24)) and records it in the output;
+    an explicit n_dims is respected verbatim."""
+    import math
+
+    from pyspark.sql import Row
+
+    from route81_spark.ops.similarity import knn_graph
+
+    emb = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float((i * 7 + j * 3) % 11 - 5) for j in range(64)])
+         for i in range(96)]
+    )
+    auto = knn_graph(emb, k=2, target_bucket_pop=4)
+    want = max(2, min(24, math.ceil(math.log2(96 / 4.0))))  # = 5
+    dims = {r["n_dims"] for r in auto.select("n_dims").distinct().collect()}
+    assert dims == {want}, dims
+    fixed = knn_graph(emb, k=2, n_dims=3)
+    assert {r["n_dims"] for r in fixed.select("n_dims").distinct().collect()} == {3}
+
+
 def test_new_sim_and_sketch_stages(spark):
     """$knnGraph / $randomProject over the embedding table and
     $overlapSketch through the collection hook match their op-level

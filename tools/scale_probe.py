@@ -464,10 +464,10 @@ def embedding_ops() -> dict:
     def knn(e: DataFrame) -> DataFrame:
         from route81_spark.ops.similarity import knn_graph
 
-        # more sign bits at larger corpora keep cells bounded (the
-        # documented scaling knob): 8 bits at 1x, 12 at 20x
-        n = e.count()
-        return knn_graph(e, k=3, n_dims=8 if n <= 50_000 else 12)
+        # n_dims=None -> the knob turns itself: bucket width derives
+        # from the corpus count, pinning expected bucket population so
+        # candidate pairs grow linearly with the corpus
+        return knn_graph(e, k=3)
 
     def project(e: DataFrame) -> DataFrame:
         from route81_spark.ops.similarity import random_project
