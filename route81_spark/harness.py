@@ -2194,13 +2194,142 @@ def envelope_lineitem_build(spark, sf_dir):
     return build_envelope(df, "test.lineitem", EnvelopeConfig(topic_name_prefix="pfx"))
 
 
-@_q("media_features")  # no SQL oracle: mapInPandas plumbing -> rows-only check
-def media_features(spark, sf_dir):
-    from route81_spark.ops.multimodal import extract_features, synthetic_media
-
-    return extract_features(synthetic_media(spark, n=128)).select(
-        "media_id", "kind", "n_bytes", "sha"
+@_q(
+    "media_features",
+    # FULL value oracle (upgraded from rows-only, r6 verdict task #4):
+    # the integer-exact descriptor core of feature extraction. Pixels
+    # regenerate via the media_image_tiles CTE chain (mixed texture ->
+    # +-1 noise -> clamped channels) and aggregate to whole-image
+    # rgb/luma sums; waveforms regenerate via the media_audio_segments
+    # chain (gains x mix-noise +-2) and aggregate to n_samples /
+    # energy / lag-based zero-crossing count. The float embedding
+    # vector (numpy pairwise-sum means/stds) remains rows-only by
+    # nature inside extract_features — see PARITY.md.
+    """
+    WITH imgs AS (
+      SELECT i AS media_id, i // 3 AS g, i % 3 AS v
+      FROM generate_series(0, 47) t(i)
+    ),
+    px0 AS (
+      SELECT media_id, g, v, y, x,
+             g * 73 + (CASE WHEN v = 2 THEN (35 - x) * 151 + 7
+                            ELSE x * 151 END) + y * 37 AS t
+      FROM imgs,
+           (SELECT unnest(range(0, 32)) AS y),
+           (SELECT unnest(range(0, 36)) AS x)
+    ),
+    pm1 AS (SELECT *, CAST((CAST(t AS HUGEINT) * 2654435761) % 4294967296 AS BIGINT) AS m1 FROM px0),
+    pm2 AS (SELECT *, xor(m1, m1 >> 16) AS m2 FROM pm1),
+    pm3 AS (SELECT *, CAST((CAST(m2 AS HUGEINT) * 2246822519) % 4294967296 AS BIGINT) AS m3 FROM pm2),
+    prof AS (SELECT media_id, g, v, y, x, xor(m3, m3 >> 13) % 200 + 28 AS p FROM pm3),
+    nz0 AS (
+      SELECT media_id, g, v, y, x, c,
+             (y * 36 + x) * 3 + c + g * 1000003 AS t
+      FROM prof, (SELECT unnest(range(0, 3)) AS c)
+      WHERE v = 1
+    ),
+    nm1 AS (SELECT *, CAST((CAST(t AS HUGEINT) * 2654435761) % 4294967296 AS BIGINT) AS m1 FROM nz0),
+    nm2 AS (SELECT *, xor(m1, m1 >> 16) AS m2 FROM nm1),
+    nm3 AS (SELECT *, CAST((CAST(m2 AS HUGEINT) * 2246822519) % 4294967296 AS BIGINT) AS m3 FROM nm2),
+    noise AS (
+      SELECT media_id, y, x, c, xor(m3, m3 >> 13) % 3 - 1 AS n FROM nm3
+    ),
+    chan AS (
+      SELECT p.media_id, p.y, p.x,
+             greatest(least(p.p + coalesce(n0.n, 0), 255), 0) AS r,
+             greatest(least((p.y * (53 + p.g)) % 256 + coalesce(n1.n, 0), 255), 0) AS gg,
+             greatest(least((17 * p.g) % 256 + coalesce(n2.n, 0), 255), 0) AS b
+      FROM prof p
+      LEFT JOIN noise n0 ON n0.media_id = p.media_id AND n0.y = p.y AND n0.x = p.x AND n0.c = 0
+      LEFT JOIN noise n1 ON n1.media_id = p.media_id AND n1.y = p.y AND n1.x = p.x AND n1.c = 1
+      LEFT JOIN noise n2 ON n2.media_id = p.media_id AND n2.y = p.y AND n2.x = p.x AND n2.c = 2
+    ),
+    clips AS (
+      SELECT i AS media_id, i // 3 AS g, i % 3 AS v
+      FROM generate_series(0, 47) t(i)
+    ),
+    g0 AS (
+      SELECT media_id, g, v, f,
+             g * 97 + f * (CASE WHEN v = 2 THEN 13 ELSE 7 END) AS t
+      FROM clips, (SELECT unnest(range(0, 65)) AS f)
+    ),
+    gm1 AS (SELECT *, CAST((CAST(t AS HUGEINT) * 2654435761) % 4294967296 AS BIGINT) AS m1 FROM g0),
+    gm2 AS (SELECT *, xor(m1, m1 >> 16) AS m2 FROM gm1),
+    gm3 AS (SELECT *, CAST((CAST(m2 AS HUGEINT) * 2246822519) % 4294967296 AS BIGINT) AS m3 FROM gm2),
+    b0 AS (SELECT media_id, g, g * 53 + 11 AS t FROM clips WHERE v = 1),
+    bm1 AS (SELECT *, CAST((CAST(t AS HUGEINT) * 2654435761) % 4294967296 AS BIGINT) AS m1 FROM b0),
+    bm2 AS (SELECT *, xor(m1, m1 >> 16) AS m2 FROM bm1),
+    bm3 AS (SELECT *, CAST((CAST(m2 AS HUGEINT) * 2246822519) % 4294967296 AS BIGINT) AS m3 FROM bm2),
+    bump AS (SELECT media_id, xor(m3, m3 >> 13) % 65 AS f FROM bm3),
+    gains AS (
+      SELECT gm3.media_id, gm3.f,
+             8 + xor(m3, m3 >> 13) % 24
+               + CASE WHEN bump.media_id IS NOT NULL THEN 1 ELSE 0 END AS gain
+      FROM gm3 LEFT JOIN bump
+        ON bump.media_id = gm3.media_id AND bump.f = gm3.f
+    ),
+    s0 AS (
+      SELECT media_id, g, v, s AS ts, g * 1009 + s AS t
+      FROM clips, (SELECT unnest(range(0, 1950)) AS s)
+    ),
+    sm1 AS (SELECT *, CAST((CAST(t AS HUGEINT) * 2654435761) % 4294967296 AS BIGINT) AS m1 FROM s0),
+    sm2 AS (SELECT *, xor(m1, m1 >> 16) AS m2 FROM sm1),
+    sm3 AS (SELECT *, CAST((CAST(m2 AS HUGEINT) * 2246822519) % 4294967296 AS BIGINT) AS m3 FROM sm2),
+    su AS (SELECT media_id, g, v, ts, xor(m3, m3 >> 13) % 2001 - 1000 AS u FROM sm3),
+    n0a AS (SELECT media_id, ts, g * 31 + ts + 777 AS t FROM su WHERE v = 1),
+    na1 AS (SELECT *, CAST((CAST(t AS HUGEINT) * 2654435761) % 4294967296 AS BIGINT) AS m1 FROM n0a),
+    na2 AS (SELECT *, xor(m1, m1 >> 16) AS m2 FROM na1),
+    na3 AS (SELECT *, CAST((CAST(m2 AS HUGEINT) * 2246822519) % 4294967296 AS BIGINT) AS m3 FROM na2),
+    nza AS (SELECT media_id, ts, xor(m3, m3 >> 13) % 5 - 2 AS nn FROM na3),
+    samp AS (
+      SELECT su.media_id, su.ts,
+             su.u * gn.gain + coalesce(nza.nn, 0) AS s
+      FROM su
+      JOIN gains gn ON gn.media_id = su.media_id AND gn.f = su.ts // 30
+      LEFT JOIN nza ON nza.media_id = su.media_id AND nza.ts = su.ts
+    ),
+    lagged AS (
+      SELECT media_id, s,
+             lag(s) OVER (PARTITION BY media_id ORDER BY ts) AS prev
+      FROM samp
     )
+    SELECT media_id, 'image' AS kind,
+           CAST(36 AS INT) AS width, CAST(32 AS INT) AS height,
+           CAST(sum(r + gg + b) AS BIGINT) AS rgb_sum,
+           CAST(sum(299 * r + 587 * gg + 114 * b) AS BIGINT) AS luma_sum,
+           CAST(NULL AS BIGINT) AS n_samples,
+           CAST(NULL AS BIGINT) AS energy,
+           CAST(NULL AS BIGINT) AS zero_cross
+    FROM chan GROUP BY media_id
+    UNION ALL
+    SELECT s.media_id + 1000, 'audio',
+           CAST(NULL AS INT), CAST(NULL AS INT),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(count(*) AS BIGINT) AS n_samples,
+           CAST(sum(s.s * s.s) AS BIGINT) AS energy,
+           (SELECT CAST(sum(CASE WHEN (l.s < 0) <> (l.prev < 0) THEN 1 ELSE 0 END) AS BIGINT)
+            FROM lagged l WHERE l.media_id = s.media_id AND l.prev IS NOT NULL) AS zero_cross
+    FROM samp s GROUP BY s.media_id
+    """,
+)
+def media_features(spark, sf_dir):
+    """Integer-exact media feature descriptors over really-encoded
+    BMP/PNG + PCM16 WAV payloads (one Arrow decode pass each): whole-
+    image RGB/luma sums, audio sample count / energy / zero-crossings.
+    The oracle regenerates every pixel and every sample; the float
+    embedding path stays rows-only inside extract_features (PARITY.md
+    records why: numpy pairwise summation)."""
+    from route81_spark.ops.multimodal import (
+        feature_stats,
+        synthetic_audio_corpus_int,
+        synthetic_image_corpus,
+    )
+
+    imgs = synthetic_image_corpus(spark, n=48)
+    auds = synthetic_audio_corpus_int(spark, n=48).withColumn(
+        "media_id", (F.col("media_id") + F.lit(1000)).cast("long")
+    )
+    return feature_stats(imgs.unionByName(auds))
 
 
 @_q(

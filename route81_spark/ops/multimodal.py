@@ -295,6 +295,93 @@ def fake_features(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
 
 DECODABLE_MIMES = ("audio/wav", "image/bmp", "image/png")
 
+_FEATURE_STATS_SCHEMA = (
+    "media_id long, kind string, width int, height int, rgb_sum long, "
+    "luma_sum long, n_samples long, energy long, zero_cross long"
+)
+
+
+def feature_stats(df: DataFrame) -> DataFrame:
+    """Integer-exact media descriptors from a REAL decode — the
+    oracle-checkable core of media feature extraction: images yield
+    (width, height, rgb_sum = sum of all channel bytes, luma_sum =
+    ITU-601 integer luma sum 299R+587G+114B); audio yields
+    (n_samples, energy = sum s^2, zero_cross = sign-change count),
+    computed over the first channel. Every output is an exact int64 a
+    SQL engine recomputes from regenerated pixels/samples, so this
+    path hash-verifies end to end; the FLOAT embedding vector stays in
+    extract_features (numpy means/stds use pairwise summation no SQL
+    engine replicates — rows-only by nature, documented in PARITY.md).
+    Compressed/unknown mimes fail loudly like the other decode gates.
+
+    Scale shape: ONE Arrow pass (mapInPandas) over the payload column;
+    blobs are dropped on output so downstream shuffles carry only
+    integers."""
+    sel = df.select(
+        "media_id", "kind", "payload", F.col("meta.mime").alias("mime")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                k: []
+                for k in (
+                    "media_id", "kind", "width", "height", "rgb_sum",
+                    "luma_sum", "n_samples", "energy", "zero_cross",
+                )
+            }
+            for mid, kind, payload, mime in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"], pdf["mime"]
+            ):
+                w = h = rs = ls = nsamp = en = zc = None
+                if mime in ("image/bmp", "image/png"):
+                    dec = decode_bmp24 if mime == "image/bmp" else decode_png_rgb8
+                    px = dec(payload).astype(np.int64)
+                    h, w = int(px.shape[0]), int(px.shape[1])
+                    rs = int(px.sum())
+                    ls = int(
+                        (
+                            299 * px[:, :, 0]
+                            + 587 * px[:, :, 1]
+                            + 114 * px[:, :, 2]
+                        ).sum()
+                    )
+                elif mime == "audio/wav":
+                    samples, _rate = decode_wav_pcm16(payload)
+                    mono = samples[:, 0].astype(np.int64)
+                    nsamp = int(mono.size)
+                    en = int((mono * mono).sum())
+                    zc = int((np.diff(np.signbit(mono)) != 0).sum())
+                else:
+                    raise NotImplementedError(
+                        f"feature_stats: no decoder for {mime!r} in this "
+                        "environment (same gate as extract_features)"
+                    )
+                out["media_id"].append(int(mid))
+                out["kind"].append(kind)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["rgb_sum"].append(rs)
+                out["luma_sum"].append(ls)
+                out["n_samples"].append(nsamp)
+                out["energy"].append(en)
+                out["zero_cross"].append(zc)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(out["media_id"], dtype="Int64"),
+                    "kind": out["kind"],
+                    "width": pd.array(out["width"], dtype="Int32"),
+                    "height": pd.array(out["height"], dtype="Int32"),
+                    "rgb_sum": pd.array(out["rgb_sum"], dtype="Int64"),
+                    "luma_sum": pd.array(out["luma_sum"], dtype="Int64"),
+                    "n_samples": pd.array(out["n_samples"], dtype="Int64"),
+                    "energy": pd.array(out["energy"], dtype="Int64"),
+                    "zero_cross": pd.array(out["zero_cross"], dtype="Int64"),
+                }
+            )
+
+    return sel.mapInPandas(run, schema=_FEATURE_STATS_SCHEMA)
+
 
 def extract_features(df: DataFrame) -> DataFrame:
     """mapInPandas feature extraction: Arrow batches in, fixed-width

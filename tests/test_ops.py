@@ -723,6 +723,53 @@ def test_real_decode_features_and_resize(spark):
     assert saw_mimes == {"image/bmp", "image/png"}
 
 
+def test_feature_stats_integer_exact_vs_numpy(spark):
+    """feature_stats (the media_features oracle core) must equal a
+    direct numpy recomputation over the decoded pixels/samples, and
+    fail loudly on undecodable mimes."""
+    import numpy as np
+    import pytest
+    from pyspark.errors import PythonException
+
+    from route81_spark.ops.multimodal import (
+        decode_wav_pcm16,
+        feature_stats,
+        real_decode,
+        synthetic_decodable_media,
+        synthetic_media,
+    )
+
+    media = synthetic_decodable_media(spark, n=8)
+    payloads = {
+        r["media_id"]: (bytes(r["payload"]), r["meta"]["mime"])
+        for r in media.collect()
+    }
+    got = {r["media_id"]: r for r in feature_stats(media).collect()}
+    assert len(got) == 8
+    for mid, (payload, mime) in payloads.items():
+        r = got[mid]
+        if mime == "audio/wav":
+            samples, _ = decode_wav_pcm16(payload)
+            mono = samples[:, 0].astype(np.int64)
+            assert r["n_samples"] == mono.size
+            assert r["energy"] == int((mono * mono).sum())
+            assert r["zero_cross"] == int(
+                (np.diff(np.signbit(mono)) != 0).sum()
+            )
+            assert r["width"] is None and r["rgb_sum"] is None
+        else:
+            px = real_decode(payload, mime).astype(np.int64)
+            assert (r["height"], r["width"]) == px.shape[:2]
+            assert r["rgb_sum"] == int(px.sum())
+            assert r["luma_sum"] == int(
+                (299 * px[:, :, 0] + 587 * px[:, :, 1] + 114 * px[:, :, 2]).sum()
+            )
+            assert r["n_samples"] is None and r["energy"] is None
+    # opaque payloads (no decoder in this environment) fail loudly
+    with pytest.raises(PythonException, match="NotImplementedError"):
+        feature_stats(synthetic_media(spark, n=3)).collect()
+
+
 # ---------------------------------------------------------------------
 # vocab / token-id encoding / LM scoring / boilerplate / mixture
 # ---------------------------------------------------------------------
