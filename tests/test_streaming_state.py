@@ -576,6 +576,60 @@ def test_streaming_normalize_and_canary_detection(spark, tmp_path):
     assert got_det == want_det and len(want_det) > 0
 
 
+def test_streaming_html_extract_and_url_canon_match_batch(spark, tmp_path):
+    """html_to_text and url_canonicalize complete the stateless
+    intake-hygiene set (with normalize_text / apply_quality_model /
+    intradoc dedup, pinned above): pure Column maps, stream-legal in
+    append mode with no watermark, bit-identical to batch on the same
+    rows — the crawl-firehose shape (strip markup, canonicalize the
+    source URL) runs on a Structured Stream unchanged."""
+    from pyspark.sql import Row
+
+    from route81_spark.ops.text import html_to_text
+    from route81_spark.ops.web import synthetic_urls, url_canonicalize
+
+    base = spark.createDataFrame([Row(doc_id=i) for i in range(24)])
+    urls = {r["doc_id"]: r["url"] for r in synthetic_urls(base).collect()}
+    rows = [
+        {"doc_id": i,
+         "text": f"<html><head><style>p{{}}</style></head><body>"
+                 f"<p>doc {i} &amp; more</p><br><div>at {urls[i]}</div>"
+                 f"<!-- c --></body></html>",
+         "ts": "2024-01-01T00:00:00"}
+        for i in range(24)
+    ]
+    src = tmp_path / "src"
+    _write_batch(src / "b1.json", rows[:12])
+    _write_batch(src / "b2.json", rows[12:])
+    stream = spark.readStream.schema(DOC_SCHEMA).json(str(src))
+    hygiene = stream.select(
+        "doc_id",
+        html_to_text(F.col("text")).alias("clean"),
+        url_canonicalize(
+            F.regexp_extract(F.col("text"), r"at ([^<]+)<", 1)
+        ).alias("canon"),
+    )
+    out, ck = tmp_path / "out", tmp_path / "ck"
+    _run_available_now(hygiene, out, ck)
+    got = {r["doc_id"]: (r["clean"], r["canon"])
+           for r in spark.read.parquet(str(out)).collect()}
+    batch_df = spark.createDataFrame(
+        [Row(doc_id=r["doc_id"], text=r["text"]) for r in rows]
+    )
+    want = {r["doc_id"]: (r["clean"], r["canon"])
+            for r in batch_df.select(
+                "doc_id",
+                html_to_text(F.col("text")).alias("clean"),
+                url_canonicalize(
+                    F.regexp_extract(F.col("text"), r"at ([^<]+)<", 1)
+                ).alias("canon"),
+            ).collect()}
+    assert got == want and len(got) == 24
+    # the extraction really stripped markup and the canon really fired
+    assert all("<" not in c and "&amp;" not in c for c, _ in got.values())
+    assert sum(1 for _, u in got.values() if u is not None) == 24
+
+
 def test_streaming_bloom_apply_matches_batch(spark, tmp_path):
     """bloom_apply against a pre-built (static) bitmap is a stateless
     per-row projection — stream-legal in append mode with no watermark
