@@ -33,16 +33,15 @@ from route81_spark import harness  # noqa: E402
 # (never-recorded first, then oldest), tie-broken by registration order.
 # Consecutive rounds therefore alternate halves without hand-kept lists.
 _HEADLINE = [
-    # r6 keeps the pinned set MINIMAL (the r5 verdict's freshness
-    # sweep): only queries whose CODE changed this round — the new r6
-    # operators (incl. the continuation batch: knn graph, random
-    # projection, overlap sketch, ivfpq, preference pairs, prefix
-    # refine, audio segments, bloom join, int8 topk, image tiles, ood
-    # filter) are never-recorded and sort first in the tail
-    # automatically; the remaining slots flow to the stalest entries.
-    "sim_topk_blas",   # zero-norm guard added to brute_force_topk_np
-    "corpus_dsir",     # bucket counting refactored into shared helper
-    "cdc_merge_state", # quoted-key path parser rewrite (classify.py)
+    # r7: only queries whose CODE changed this round (the r6 freshness
+    # discipline). The 4 new r7 queries (corpus_url_canon,
+    # corpus_domain_stats, corpus_domain_filter + the never-recorded
+    # corpus_incremental_curation) sort first in the tail
+    # automatically, then the 12 r2-stale rows, then r3 refreshes —
+    # the whole driver-ledger backlog fits this window (3+4+12 < 50).
+    "sim_knn_graph",     # self-scaling bucket width + n_dims column
+    "corpus_bpe_encode", # deep-table word-map regime added
+    "media_features",    # rows-only -> integer-exact full oracle
 ]
 
 

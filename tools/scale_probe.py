@@ -100,7 +100,67 @@ def ops() -> dict:
         "overlap_sketch": lambda d: _overlap_p(d),
         "pref_pairs": lambda d: _pref_p(d),
         "html_extract": lambda d: _html_p(d),
+        "bpe_encode256": lambda d: _bpe_encode256(d),
+        "bpe_train12": lambda d: _bpe_train12(d),
     }
+
+
+def _bpe_merges_256() -> list:
+    """A 256-deep VALID merge table (trained single-node over a seeded
+    synthetic vocab — any trainer-produced table satisfies bpe_encode's
+    exactness contract; table origin doesn't change per-word encode
+    cost, which is what the probe measures)."""
+    import random
+
+    rng = random.Random(41)
+    vocab = sorted(
+        {
+            "".join(rng.choice("abcdefgh") for _ in range(rng.randint(3, 9)))
+            for _ in range(300)
+        }
+    )
+    words = {tuple(w) + ("\x03",): rng.randint(1, 40) for w in vocab}
+    merges = []
+    for _ in range(256):
+        pairs: dict = {}
+        for syms, f in words.items():
+            for p in zip(syms, syms[1:]):
+                pairs[p] = pairs.get(p, 0) + f
+        if not pairs:
+            break
+        (l, r), _c = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((l, r))
+        out: dict = {}
+        for syms, f in words.items():
+            s, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    s.append(l + r)
+                    i += 2
+                else:
+                    s.append(syms[i])
+                    i += 1
+            out[tuple(s)] = out.get(tuple(s), 0) + f
+        words = out
+    return merges
+
+
+def _bpe_encode256(d: DataFrame) -> DataFrame:
+    # realistic merge depth -> the vocab-level word-map regime:
+    # distinct words pay the 256-replace chain once per TYPE, the
+    # corpus joins the map back broadcast
+    from route81_spark.ops.corpus import bpe_encode
+
+    return bpe_encode(d, _bpe_merges_256())
+
+
+def _bpe_train12(d: DataFrame) -> DataFrame:
+    # trainer wall-time vs corpus scale: the corpus reduces ONCE to the
+    # word-frequency table and all 12 rounds iterate THAT, so the ratio
+    # tracks word-TYPE growth (strongly sublinear), not token growth
+    from route81_spark.ops.corpus import bpe_train_merges
+
+    return bpe_train_merges(d, 12, max_words=20_000)
 
 
 def _sbackoff(d: DataFrame) -> DataFrame:
