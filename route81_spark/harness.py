@@ -8586,36 +8586,41 @@ def _wpick(options: str, h: str, n: int) -> str:
 
 
 # the synthetic messy-URL expression, regenerated from the SAME md5
-# slices ops.web.synthetic_urls uses (seed 'url0')
-_URL_SYN = (
-    _wpick("['http','HTTPS','https','HTTP']", _wh60("url0|sch"), 4)
-    + " || '://' || "
-    + _wpick("['','www.','WWW.','blog.']", _wh60("url0|sub"), 4)
-    + " || "
-    + _wpick("['site','Site','SITE']", _wh60("url0|case"), 3)
-    + f" || CAST({_wh60('url0|dom')} % 40 AS VARCHAR) || '.' || "
-    + _wpick(
-        "['com','org','net','io','co.uk','ac.uk','com.au','de']",
-        f"({_wh60('url0|dom')} % 40)",
-        8,
+# slices ops.web.synthetic_urls uses (seed 'url0'); `x` is the SQL id
+# expression the hashes bind to (doc_id, or a derived pair key)
+def _url_syn_sql(x: str = "CAST(doc_id AS VARCHAR)") -> str:
+    return (
+        _wpick("['http','HTTPS','https','HTTP']", _wh60("url0|sch", x), 4)
+        + " || '://' || "
+        + _wpick("['','www.','WWW.','blog.']", _wh60("url0|sub", x), 4)
+        + " || "
+        + _wpick("['site','Site','SITE']", _wh60("url0|case", x), 3)
+        + f" || CAST({_wh60('url0|dom', x)} % 40 AS VARCHAR) || '.' || "
+        + _wpick(
+            "['com','org','net','io','co.uk','ac.uk','com.au','de']",
+            f"({_wh60('url0|dom', x)} % 40)",
+            8,
+        )
+        + " || "
+        + _wpick("['',':80',':443',':8080']", _wh60("url0|port", x), 4)
+        + " || (['', '/', '/p/' || CAST("
+        + _wh60("url0|path", x)
+        + " % 50 AS VARCHAR), '/p/' || CAST("
+        + _wh60("url0|path", x)
+        + " % 50 AS VARCHAR) || '/x.html'])[CAST("
+        + _wh60("url0|path", x)
+        + " % 4 AS INT) + 1] || "
+        + _wpick(
+            "['','?b=2&a=1','?utm_source=feed&a=1','?z=9&utm_campaign=c',"
+            "'?a=1&z=9&b=2','?ref=home']",
+            _wh60("url0|q", x),
+            6,
+        )
+        + f" || CASE WHEN {_wh60('url0|f', x)} % 3 = 0 THEN '#sec2' ELSE '' END"
     )
-    + " || "
-    + _wpick("['',':80',':443',':8080']", _wh60("url0|port"), 4)
-    + " || (['', '/', '/p/' || CAST("
-    + _wh60("url0|path")
-    + " % 50 AS VARCHAR), '/p/' || CAST("
-    + _wh60("url0|path")
-    + " % 50 AS VARCHAR) || '/x.html'])[CAST("
-    + _wh60("url0|path")
-    + " % 4 AS INT) + 1] || "
-    + _wpick(
-        "['','?b=2&a=1','?utm_source=feed&a=1','?z=9&utm_campaign=c',"
-        "'?a=1&z=9&b=2','?ref=home']",
-        _wh60("url0|q"),
-        6,
-    )
-    + f" || CASE WHEN {_wh60('url0|f')} % 3 = 0 THEN '#sec2' ELSE '' END"
-)
+
+
+_URL_SYN = _url_syn_sql()
 
 _W_SCHEME_RE = "'^([A-Za-z][A-Za-z0-9+.\\-]*)://'"
 _W_TRACK_RE = "'^(utm_[^=]*|fbclid|gclid|msclkid|ref)(=|$)'"
@@ -8761,6 +8766,100 @@ def corpus_domain_filter(spark, sf_dir):
         ],
     )
     return out.select("doc_id", "domain")
+
+
+@_q(
+    "corpus_url_dedup",
+    # URLs pair up (both twins derive from k = doc_id with the low bit
+    # cleared); the odd twin carries canon-invisible noise (a tracking
+    # param + fragment) so every pair MUST collapse to the even id —
+    # the collapse itself proves the tracking-strip / sort / fragment
+    # semantics end to end
+    "WITH syn AS (SELECT doc_id, "
+    + _url_syn_sql("CAST(doc_id - doc_id % 2 AS VARCHAR)")
+    + " AS base FROM documents),\n"
+    "     u AS (SELECT doc_id,\n"
+    "           CASE WHEN doc_id % 2 = 1 THEN base ||\n"
+    "                CASE WHEN contains(base, '?')\n"
+    "                     THEN '&utm_source=pairnoise#dup'\n"
+    "                     ELSE '?utm_source=pairnoise#dup' END\n"
+    "                ELSE base END AS url FROM syn),\n"
+    "     c AS (SELECT doc_id, " + _w_canon_sql("url") + " AS canon_url FROM u)\n"
+    "SELECT min(doc_id) AS doc_id, canon_url FROM c GROUP BY canon_url",
+)
+def corpus_url_dedup(spark, sf_dir):
+    """Keep-first dedup by canonical URL — the crawl step right after
+    canonicalization. Planted pair structure: twin docs share a base
+    URL, the odd twin adds tracking-param + fragment noise the
+    canonicalizer must erase, so survivors are exactly the even ids.
+    One (canon, min-id) agg; documents never shuffle."""
+    from route81_spark.ops.web import synthetic_urls, url_dedup
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    base = docs.withColumn("__k", F.col("doc_id") - F.col("doc_id") % 2)
+    u = synthetic_urls(base, id_col="__k")
+    noisy = F.when(
+        F.col("doc_id") % 2 == 1,
+        F.concat(
+            F.col("url"),
+            F.when(
+                F.col("url").contains("?"),
+                F.lit("&utm_source=pairnoise#dup"),
+            ).otherwise(F.lit("?utm_source=pairnoise#dup")),
+        ),
+    ).otherwise(F.col("url"))
+    return url_dedup(u.withColumn("url", noisy))
+
+
+@_q(
+    "corpus_domain_gate",
+    # domains whose md5 slice % 5 == 0 get ALL their docs templated
+    # (exact dups) -> dup share ~1, far past the 1/4 gate; every other
+    # domain keeps its organic (distinct) texts and passes
+    "WITH syn AS (SELECT doc_id, lang, text, " + _URL_SYN
+    + " AS url FROM documents),\n"
+    "     d AS (SELECT doc_id, lang, "
+    + _w_dom_sql(_w_host_sql("url"))
+    + " AS domain,\n"
+    "                  CASE WHEN ('0x' || substr(md5('tmpl|' || "
+    + _w_dom_sql(_w_host_sql("url"))
+    + "), 1, 15))::BIGINT % 5 = 0\n"
+    "                       THEN 'template boilerplate page' ELSE text END AS t2\n"
+    "           FROM syn),\n"
+    "     st AS (SELECT domain, count(*) AS n_docs,\n"
+    "                   count(*) - count(DISTINCT md5(t2)) AS n_dup\n"
+    "            FROM d GROUP BY domain),\n"
+    "     losers AS (SELECT domain FROM st WHERE n_dup * 4 > n_docs * 1)\n"
+    "SELECT doc_id, lang, domain FROM d\n"
+    "WHERE domain NOT IN (SELECT domain FROM losers)",
+)
+def corpus_domain_gate(spark, sf_dir):
+    """Domain-level quality gate: domains whose exact-dup share
+    exceeds 1/4 fail AS A UNIT (template farms / mirrored hosts — the
+    long tail per-document gates miss). Dup structure is planted by
+    templating every doc on ~1/5 of domains; the gate must drop
+    exactly those. Rollup shuffles only hashes; the loser list joins
+    back broadcast-anti."""
+    from route81_spark.ops.web import (
+        domain_gate,
+        registrable_domain,
+        synthetic_urls,
+        url_host,
+    )
+    from route81_spark.ops.web import _h60 as _wh
+
+    docs = synthetic_urls(
+        _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    )
+    dom = registrable_domain(url_host(F.col("url")))
+    planted = docs.withColumn(
+        "text",
+        F.when(
+            _wh(dom, "tmpl") % 5 == 0, F.lit("template boilerplate page")
+        ).otherwise(F.col("text")),
+    )
+    out = domain_gate(planted, max_dup_ratio=(1, 4))
+    return out.select("doc_id", "lang", dom.alias("domain"))
 
 
 # =====================================================================

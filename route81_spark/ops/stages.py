@@ -1111,5 +1111,30 @@ def _domain_filter(df: DataFrame, arg: dict) -> DataFrame:
     )
 
 
+def _url_dedup(df: DataFrame, arg: dict) -> DataFrame:
+    from route81_spark.ops.web import url_dedup
+
+    return url_dedup(
+        df,
+        url_col=arg.get("field", "url"),
+        id_col=arg.get("idField", "doc_id"),
+    )
+
+
+def _domain_gate(df: DataFrame, arg: dict) -> DataFrame:
+    from route81_spark.ops.web import domain_gate
+
+    num, den = arg.get("maxDupRatio", [1, 4])
+    return domain_gate(
+        df,
+        url_col=arg.get("field", "url"),
+        text_col=arg.get("textField", "text"),
+        id_col=arg.get("idField", "doc_id"),
+        max_dup_ratio=(int(num), int(den)),
+    )
+
+
 register_stage("$urlCanon", _url_canon)
 register_stage("$domainFilter", _domain_filter)
+register_stage("$urlDedup", _url_dedup)
+register_stage("$domainGate", _domain_gate)

@@ -220,10 +220,12 @@ def domain_stats(
     never document text; then a (domain, hash) partial-agg feeds one
     domain-key agg. Both aggs map-side combine; no distinct-expand."""
     dom = registrable_domain(url_host(F.col(url_col)))
+    # tables without a language column still roll up (n_langs = 1)
+    lang = F.col(lang_col) if lang_col in df.columns else F.lit("")
     pre = df.select(
         dom.alias("domain"),
         _h60(F.col(text_col), "domstats|t").alias("__th"),
-        _h60(F.col(lang_col), "domstats|l").alias("__lh"),
+        _h60(lang, "domstats|l").alias("__lh"),
         F.length(F.col(text_col)).cast("long").alias("__chars"),
     )
     per_text = pre.groupBy("domain", "__th").agg(
@@ -245,6 +247,67 @@ def domain_stats(
     )
     return rolled.join(per_lang, ["domain"], "left").select(
         "domain", "n_docs", "n_dup_docs", "total_chars", "n_langs"
+    )
+
+
+def url_dedup(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep-first dedup by CANONICAL URL — the crawl-pipeline step
+    right after canonicalization: the same page refetched under
+    tracking params, host-case variants, default ports or fragments
+    collapses to one row (winner = min id, the deterministic keep-first
+    convention shared with line/span dedup). Returns survivor
+    (id, canon_url) rows; NULL canons (non-URL strings) group together
+    under NULL rather than silently vanishing.
+
+    100 TB shape: one map-side-combinable (canon, min-id) agg — only
+    (canon-string, id) rows shuffle, never the documents; the winner
+    list joins back broadcast if the caller needs full rows."""
+    canon = url_canonicalize(F.col(url_col))
+    return (
+        df.select(canon.alias("canon_url"), F.col(id_col))
+        .groupBy("canon_url")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col, "canon_url")
+    )
+
+
+def domain_gate(
+    df: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_dup_ratio: tuple[int, int] = (1, 4),
+) -> DataFrame:
+    """Domain-level quality gate (RefinedWeb-style): compute per-domain
+    rollups, then drop EVERY document from domains whose exact-dup
+    share exceeds `max_dup_ratio` (num/den, compared integer
+    cross-multiplied: n_dup_docs * den > n_docs * num — no float
+    thresholds). Template farms and mirrored hosts fail as a unit,
+    which catches the long tail a per-document gate misses. Docs with
+    no registrable domain pass (nothing to aggregate them under).
+
+    100 TB shape: the rollup shuffles only (domain, hash, int) rows;
+    the loser-domain list is domain-bounded and joins back BROADCAST
+    anti — the document table never shuffles."""
+    num, den = max_dup_ratio
+    stats = domain_stats(df, url_col=url_col, text_col=text_col)
+    losers = stats.filter(
+        F.col("domain").isNotNull()
+        & (F.col("n_dup_docs") * den > F.col("n_docs") * num)
+    ).select("domain")
+    dom = registrable_domain(url_host(F.col(url_col)))
+    return (
+        df.withColumn("__dom", dom)
+        .join(
+            F.broadcast(losers.withColumnRenamed("domain", "__dom")),
+            "__dom",
+            "left_anti",
+        )
+        .drop("__dom")
     )
 
 

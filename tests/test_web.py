@@ -129,6 +129,62 @@ def test_url_stage_op_parity(spark):
     )
 
 
+def test_url_dedup_collapses_canon_variants(spark):
+    """Variants of one page (tracking params, host case, default port,
+    fragment) must collapse to the min id; distinct pages survive."""
+    from route81_spark.ops.web import url_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "http://A.example.com/x?b=2&a=1"),
+            (2, "HTTP://a.EXAMPLE.com:80/x?a=1&utm_source=s&b=2#frag"),
+            (3, "http://a.example.com/y"),
+            (4, "not a url"),
+            (5, "also not"),
+        ],
+        "doc_id long, url string",
+    )
+    got = {(r["doc_id"], r["canon_url"]) for r in url_dedup(df).collect()}
+    assert got == {
+        (1, "http://a.example.com/x?a=1&b=2"),
+        (3, "http://a.example.com/y"),
+        (4, None),  # non-URLs group under NULL, keep-first
+    }
+
+
+def test_domain_gate_drops_dup_heavy_domains_as_a_unit(spark):
+    from route81_spark.ops.web import domain_gate
+
+    rows = []
+    # farm.com: 4 docs, all the same text -> dup share 3/4 > 1/4
+    for i in range(4):
+        rows.append((i, f"http://p{i}.farm.com/", "same template"))
+    # ok.org: 4 distinct docs -> dup share 0
+    for i in range(4, 8):
+        rows.append((i, f"http://p{i}.ok.org/", f"unique text {i}"))
+    # no registrable domain -> passes (nothing to aggregate under)
+    rows.append((8, "http://localhost/", "same template"))
+    df = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    got = {r["doc_id"] for r in domain_gate(df).collect()}
+    assert got == {4, 5, 6, 7, 8}
+
+
+def test_url_dedup_and_domain_gate_stage_parity(spark):
+    from route81_spark.ops.web import domain_gate, synthetic_urls, url_dedup
+
+    docs = synthetic_urls(
+        spark.read.parquet(f"{SF}/documents.parquet").limit(48)
+    )
+    s1 = apply_pipeline(docs, [{"$urlDedup": {}}])
+    assert sorted(map(tuple, s1.collect())) == sorted(
+        map(tuple, url_dedup(docs).collect())
+    )
+    s2 = apply_pipeline(docs, [{"$domainGate": {"maxDupRatio": [1, 2]}}])
+    assert sorted(map(tuple, s2.select("doc_id").collect())) == sorted(
+        map(tuple, domain_gate(docs, max_dup_ratio=(1, 2)).select("doc_id").collect())
+    )
+
+
 def test_url_canon_plan_is_map_only(spark):
     """corpus_url_canon + corpus_domain_filter: pure per-row projection
     — NO hash-partitioned Exchange anywhere in the plan."""
