@@ -79,6 +79,10 @@ BENCH_QUERIES = [
     "corpus_gate_attribution",  # one-pass gate flags -> waterfall unpivot
     "corpus_drift",        # two vocab-sized count tables -> TV distance
     "corpus_incremental_curation",  # diff -> gate -> bloom scrub (delta only)
+    "corpus_url_canon",    # URL canonicalization chain (pure map, r7)
+    "corpus_domain_stats", # per-domain rollup (hash-only shuffles, r7)
+    "corpus_url_dedup",    # keep-first by canon URL (one winner agg, r7)
+    "corpus_domain_gate",  # rollup -> broadcast-anti domain gate (r7)
 ]
 
 # Round-over-round comparability cohorts (r6 verdict: the growing set mixes

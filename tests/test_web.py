@@ -185,6 +185,32 @@ def test_url_dedup_and_domain_gate_stage_parity(spark):
     )
 
 
+def test_url_canonicalize_idempotent_over_corpus(spark):
+    """canon(canon(u)) == canon(u) for every synthetic URL including
+    the noisy pair variants — the property that makes re-canonicalizing
+    already-clean crawl data safe (no drift on repeated ingestion)."""
+    docs = synthetic_urls(spark.read.parquet(f"{SF}/documents.parquet"))
+    u = F.col("url")
+    noisy = F.when(
+        F.col("doc_id") % 2 == 1,
+        F.concat(
+            u,
+            F.when(u.contains("?"), F.lit("&utm_source=n#f")).otherwise(
+                F.lit("?utm_source=n#f")
+            ),
+        ),
+    ).otherwise(u)
+    once = url_canonicalize(noisy)
+    diff = (
+        docs.select(
+            once.alias("c1"), url_canonicalize(url_canonicalize(noisy)).alias("c2")
+        )
+        .filter(~F.col("c1").eqNullSafe(F.col("c2")))
+        .count()
+    )
+    assert diff == 0
+
+
 def test_url_canon_plan_is_map_only(spark):
     """corpus_url_canon + corpus_domain_filter: pure per-row projection
     — NO hash-partitioned Exchange anywhere in the plan."""
@@ -194,6 +220,20 @@ def test_url_canon_plan_is_map_only(spark):
             head = block.strip().splitlines()[0] if block.strip() else ""
             if "Exchange" in head and "hashpartitioning" in block:
                 raise AssertionError(f"{name} shuffles:\n{plan}")
+
+
+def test_domain_gate_docs_never_shuffle(spark):
+    """domain_gate: the rollup shuffles only (domain, hash, int) rows
+    and the loser list comes back broadcast — no Exchange carries the
+    document text, and no SortMergeJoin drags the corpus."""
+    plan = _plan(harness.QUERIES["corpus_domain_gate"](spark, SF))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan, plan
+    for block in plan.split("\n\n"):
+        head = block.strip().splitlines()[0] if block.strip() else ""
+        if "Exchange" not in head or "BroadcastExchange" in head:
+            continue
+        assert not ("hashpartitioning" in block and "text#" in block), plan
 
 
 def test_domain_stats_text_never_shuffles(spark):
