@@ -102,7 +102,48 @@ def ops() -> dict:
         "html_extract": lambda d: _html_p(d),
         "bpe_encode256": lambda d: _bpe_encode256(d),
         "bpe_train12": lambda d: _bpe_train12(d),
+        "url_canon": lambda d: _url_canon_p(d),
+        "url_dedup": lambda d: _url_dedup_p(d),
+        "domain_stats": lambda d: _domain_stats_p(d),
+        "domain_gate": lambda d: _domain_gate_p(d),
     }
+
+
+def _with_urls(d: DataFrame) -> DataFrame:
+    from route81_spark.ops.web import synthetic_urls
+
+    return synthetic_urls(d)
+
+
+def _url_canon_p(d: DataFrame) -> DataFrame:
+    from route81_spark.ops.web import (
+        registrable_domain, url_canonicalize, url_host,
+    )
+
+    u = _with_urls(d)
+    return u.select(
+        "doc_id",
+        url_canonicalize(F.col("url")).alias("canon"),
+        registrable_domain(url_host(F.col("url"))).alias("dom"),
+    )
+
+
+def _url_dedup_p(d: DataFrame) -> DataFrame:
+    from route81_spark.ops.web import url_dedup
+
+    return url_dedup(_with_urls(d))
+
+
+def _domain_stats_p(d: DataFrame) -> DataFrame:
+    from route81_spark.ops.web import domain_stats
+
+    return domain_stats(_with_urls(d))
+
+
+def _domain_gate_p(d: DataFrame) -> DataFrame:
+    from route81_spark.ops.web import domain_gate
+
+    return domain_gate(_with_urls(d))
 
 
 def _bpe_merges_256() -> list:
