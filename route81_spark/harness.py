@@ -8862,6 +8862,48 @@ def corpus_domain_gate(spark, sf_dir):
     return out.select("doc_id", "lang", dom.alias("domain"))
 
 
+@_q(
+    "match_text_search",
+    # mirrors the documented $text subset: phrase conjunctive
+    # (substring), negated term excluded, engine textScore = plain-term
+    # token occurrences + phrase substring occurrences (integer)
+    """
+    WITH t AS (
+      SELECT doc_id, lower(text) AS lt,
+             string_split_regex(lower(text), '[^0-9a-z]+') AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(list_filter(toks, x -> x = 'spark'))
+              + len(list_filter(toks, x -> x = 'vector'))
+              + (length(lt) - length(replace(lt, 'value table', '')))
+                // length('value table') AS BIGINT) AS score
+    FROM t
+    WHERE contains(lt, 'value table')
+      AND NOT coalesce(list_contains(toks, 'merge'), false)
+    """,
+)
+def match_text_search(spark, sf_dir):
+    """$text — the engine-backed documented subset of MongoDB text
+    search (the reference delegates $text to the server's text index;
+    here the same query document compiles to pure-Column token/phrase
+    predicates over a declared text column): conjunctive phrases,
+    disjunctive terms, negations, case folding, and the {$meta:
+    "textScore"} integer relevance. Zero shuffle — a per-row filter +
+    projection the optimizer can push around."""
+    docs = _t(spark, sf_dir, "documents")
+    return apply_pipeline(
+        docs,
+        [
+            {"$match": {"$text": {
+                "$search": 'spark vector -merge "value table"'
+            }}},
+            {"$addFields": {"score": {"$meta": "textScore"}}},
+            {"$project": {"doc_id": 1, "score": 1}},
+        ],
+    )
+
+
 # =====================================================================
 # Registry accessors (consumed by __spark_entry__)
 # =====================================================================

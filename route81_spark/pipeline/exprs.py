@@ -756,6 +756,18 @@ def _compile_op(op: str, arg: Any, df: DataFrame | None) -> Column:
     if op == "$meta":
         if arg == "vectorSearchScore":
             return F.col("__vs_score")  # populated by the $vectorSearch stage
+        if arg == "textScore":
+            # compiles the engine-defined score expression against the
+            # searched column, bound to the last $text seen by the
+            # query compiler (Mongo's implicit-index context)
+            from route81_spark.pipeline import query as Q
+
+            spec = Q.last_text_spec()
+            if spec is None:
+                raise PipelineCompileError(
+                    '{$meta: "textScore"} requires a preceding $match with $text'
+                )
+            return Q.text_score(spec)
         raise PipelineCompileError(f"unsupported $meta: {arg}")
     if op == "$cond":
         return _compile_cond(arg, df)

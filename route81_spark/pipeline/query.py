@@ -32,6 +32,130 @@ from pyspark.sql import functions as F
 from route81_spark.pipeline.exprs import PipelineCompileError, compile_expr, extjson_literal
 
 
+# --------------------------------------------------------------------
+# $text — engine-backed documented SUBSET of MongoDB text search.
+#
+# The reference delegates $text to the MongoDB server's text index
+# (route81.go:181-197); this engine implements the documented query
+# semantics directly over a declared text column so the operator works
+# without a server:
+#   * the $search string parses into phrases ("..."), plain terms, and
+#     negations (-term / -"phrase") — Mongo's grammar;
+#   * matching: ALL phrases must be present (substring); when there are
+#     no phrases, ANY plain term must match a token; negated terms/
+#     phrases must be absent (Mongo's documented behavior: with a
+#     phrase present, loose terms influence score, not matching);
+#   * $caseSensitive honored (default false = case-folded);
+#   * textScore ({$meta: "textScore"}) is the ENGINE-DEFINED integer
+#     relevance: token-occurrence count summed over plain terms plus
+#     substring-occurrence count summed over phrases (Mongo's own
+#     tf-weight formula is index-internal and unreplicable without it);
+#   * DOCUMENTED DIVERGENCES (fail loudly where dishonoring a request):
+#     no language stemming ($language accepted, ignored), tokens are
+#     ASCII-alnum runs (use phrases for CJK), diacritics are always
+#     significant ($diacriticSensitive: false raises).
+#   * engine extension key `field` names the searched column
+#     (default "text") — the analog of the server-side text index
+#     definition.
+# --------------------------------------------------------------------
+
+_LAST_TEXT_SPEC: dict | None = None  # read by {$meta: "textScore"}
+
+
+def _parse_search(search: str) -> tuple[list[str], list[str], list[str], list[str]]:
+    """-> (pos_terms, neg_terms, pos_phrases, neg_phrases)."""
+    pos_ph, neg_ph = [], []
+    for neg, ph in re.findall(r'(-?)"([^"]*)"', search):
+        if ph:
+            (neg_ph if neg else pos_ph).append(ph)
+    rest = re.sub(r'-?"[^"]*"', ' ', search)
+    pos_t = [t for t in rest.split() if not t.startswith("-")]
+    neg_t = [t[1:] for t in rest.split() if t.startswith("-") and len(t) > 1]
+    return pos_t, neg_t, pos_ph, neg_ph
+
+
+def _text_parts(spec: dict) -> tuple[str, bool, tuple]:
+    if not isinstance(spec, dict) or "$search" not in spec:
+        raise PipelineCompileError("$text requires a {$search: <string>} document")
+    unknown = set(spec) - {
+        "$search", "$language", "$caseSensitive", "$diacriticSensitive", "field"
+    }
+    if unknown:
+        raise PipelineCompileError(f"unsupported $text options: {sorted(unknown)}")
+    if spec.get("$diacriticSensitive") is False:
+        raise PipelineCompileError(
+            "$text: diacritic folding is not implemented — diacritics are "
+            "always significant (omit $diacriticSensitive or set it true)"
+        )
+    field = spec.get("field", "text")
+    cs = bool(spec.get("$caseSensitive", False))
+    return field, cs, _parse_search(str(spec["$search"]))
+
+
+def _text_norm(c: Column, cs: bool) -> Column:
+    return c if cs else F.lower(c)
+
+
+def _substr_count(text: Column, s: str) -> Column:
+    return (
+        (F.length(text) - F.length(F.replace(text, F.lit(s))))
+        / F.lit(len(s))
+    ).cast("long")
+
+
+def compile_text(spec: dict) -> Column:
+    """$text match predicate (see module comment for the subset)."""
+    field, cs, (pos_t, neg_t, pos_ph, neg_ph) = _text_parts(spec)
+    text = _text_norm(F.col(field), cs)
+    toks = F.split(text, "[^0-9a-zA-Z]+" if cs else "[^0-9a-z]+")
+
+    def norm(s: str) -> str:
+        return s if cs else s.lower()
+
+    preds: list[Column] = []
+    if pos_ph:
+        for ph in pos_ph:
+            preds.append(text.contains(F.lit(norm(ph))))
+    elif pos_t:
+        any_t = F.array_contains(toks, norm(pos_t[0]))
+        for t in pos_t[1:]:
+            any_t = any_t | F.array_contains(toks, norm(t))
+        preds.append(any_t)
+    else:
+        # only negations (or empty search): matches nothing, as in Mongo
+        preds.append(F.lit(False))
+    for t in neg_t:
+        preds.append(~F.coalesce(F.array_contains(toks, norm(t)), F.lit(False)))
+    for ph in neg_ph:
+        preds.append(~F.coalesce(text.contains(F.lit(norm(ph))), F.lit(False)))
+    out = preds[0]
+    for p in preds[1:]:
+        out = out & p
+    return F.coalesce(out, F.lit(False))
+
+
+def text_score(spec: dict) -> Column:
+    """Engine-defined textScore: token occurrences of plain terms +
+    substring occurrences of phrases (integer-exact, oracle-able)."""
+    field, cs, (pos_t, _neg_t, pos_ph, _neg_ph) = _text_parts(spec)
+    text = _text_norm(F.col(field), cs)
+    toks = F.split(text, "[^0-9a-zA-Z]+" if cs else "[^0-9a-z]+")
+
+    def norm(s: str) -> str:
+        return s if cs else s.lower()
+
+    score: Column = F.lit(0).cast("long")
+    for t in pos_t:
+        score = score + F.size(F.filter(toks, lambda x: x == F.lit(norm(t))))
+    for ph in pos_ph:
+        score = score + _substr_count(text, norm(ph))
+    return score
+
+
+def last_text_spec() -> dict | None:
+    return _LAST_TEXT_SPEC
+
+
 def _qlit(v: Any) -> Column:
     """Literal in query position: plain value or an ext-JSON literal
     form ({"$date": ...} etc., as Mongo-shell-authored configs carry)."""
@@ -292,7 +416,13 @@ def compile_match(query: dict, df: DataFrame | None = None) -> Column:
             # random per-document inclusion; seeded for reproducibility
             # within a plan (no oracle — nondeterministic by contract)
             preds.append(F.rand(42) < float(val))
-        elif key in ("$text", "$where", "$jsonSchema"):
+        elif key == "$text":
+            # documented engine subset (see module header); remember the
+            # spec so a later {$meta: "textScore"} can compile the score
+            global _LAST_TEXT_SPEC
+            _LAST_TEXT_SPEC = val
+            preds.append(compile_text(val))
+        elif key in ("$where", "$jsonSchema"):
             raise PipelineCompileError(
                 f"{key} is out of scope (server-only feature; SURVEY §2.B)"
             )

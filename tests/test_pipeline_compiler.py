@@ -359,9 +359,82 @@ def test_match_bits_type_geo_and_out_of_scope(spark):
     # $comment ignored; $sampleRate compiles to a filter
     assert apply_pipeline(df, [{"$match": {"$comment": "x"}}]).count() == 2
     assert apply_pipeline(df, [{"$match": {"$sampleRate": 1.0}}]).count() == 2
-    for bad in ({"$text": {"$search": "x"}}, {"$where": "f()"}):
+    for bad in ({"$where": "f()"}, {"$jsonSchema": {}}):
         with pytest.raises(PipelineCompileError):
             apply_pipeline(df, [{"$match": bad}])
+
+
+def test_text_search_subset_semantics(spark):
+    """$text engine subset: terms disjunctive, phrases conjunctive and
+    overriding loose terms, negation, case folding, $caseSensitive,
+    the engine textScore, and the loud failures for unsupported
+    options."""
+    import pytest
+    from pyspark.sql import Row
+
+    from route81_spark.pipeline import apply_pipeline
+    from route81_spark.pipeline.exprs import PipelineCompileError
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="Fast table scan with spark"),
+            Row(doc_id=2, text="slow merge but fast table wins"),
+            Row(doc_id=3, text="vector search only"),
+            Row(doc_id=4, text="nothing relevant"),
+            Row(doc_id=5, text="spark spark vector"),
+        ]
+    )
+
+    def run(search, **kw):
+        spec = {"$search": search, **kw}
+        return sorted(
+            r["doc_id"]
+            for r in apply_pipeline(df, [{"$match": {"$text": spec}}]).collect()
+        )
+
+    # terms are disjunctive (OR)
+    assert run("spark vector") == [1, 3, 5]
+    # phrase is conjunctive and overrides loose terms for MATCHING
+    assert run('vector "fast table"') == [1, 2]
+    # negated term excludes
+    assert run('"fast table" -merge') == [1]
+    # negated phrase excludes
+    assert run('spark -"table scan"') == [5]
+    # only negations match nothing (Mongo behavior)
+    assert run("-spark") == []
+    # case folding by default; $caseSensitive honors exact case
+    assert run("fast") == [1, 2]
+    assert run("fast", **{"$caseSensitive": True}) == [2]
+    assert run('"Fast table"', **{"$caseSensitive": True}) == [1]
+
+    # engine textScore: term token occurrences + phrase substring counts
+    got = {
+        r["doc_id"]: r["score"]
+        for r in apply_pipeline(
+            df,
+            [
+                {"$match": {"$text": {"$search": 'spark "fast table"'}}},
+                {"$addFields": {"score": {"$meta": "textScore"}}},
+            ],
+        ).collect()
+    }
+    assert got == {1: 2, 2: 1}  # doc1: spark(1) + phrase(1); doc2: phrase(1)
+
+    # unsupported requests fail loudly
+    with pytest.raises(PipelineCompileError, match="diacritic"):
+        run("x", **{"$diacriticSensitive": False})
+    with pytest.raises(PipelineCompileError, match="unsupported \\$text"):
+        run("x", **{"$bogus": 1})
+    with pytest.raises(PipelineCompileError, match="\\$search"):
+        apply_pipeline(df, [{"$match": {"$text": {}}}]).collect()
+    # $meta textScore with no $text in sight fails loudly
+    from route81_spark.pipeline import query as Q
+
+    Q._LAST_TEXT_SPEC = None
+    with pytest.raises(PipelineCompileError, match="textScore"):
+        apply_pipeline(
+            df, [{"$addFields": {"s": {"$meta": "textScore"}}}]
+        ).collect()
 
 
 def test_js_accumulators_fail_loudly(spark):
