@@ -8863,6 +8863,42 @@ def corpus_domain_gate(spark, sf_dir):
 
 
 @_q(
+    "corpus_domain_split",
+    # leakage-safe split: the side is a hash of the DOMAIN, so every
+    # doc of a domain (and with it the near-dup mass that lives inside
+    # domains) lands on ONE side — nothing straddles train/val
+    "WITH syn AS (SELECT doc_id, " + _URL_SYN + " AS url FROM documents),\n"
+    "     d AS (SELECT doc_id, "
+    + _w_dom_sql(_w_host_sql("url"))
+    + " AS domain FROM syn)\n"
+    "SELECT doc_id, domain,\n"
+    "       CASE WHEN ('0x' || substr(md5('domsplit0|' || domain), 1, 15))::BIGINT\n"
+    "                 / CAST(2 ** 60 AS DOUBLE) < 0.2 THEN 'val' ELSE 'train' END AS split\n"
+    "FROM d",
+)
+def corpus_domain_split(spark, sf_dir):
+    """Leakage-safe train/val split: the deterministic split hash keys
+    on the REGISTRABLE DOMAIN, not the doc id, so template families and
+    near-dups (which overwhelmingly live within a domain) can never
+    straddle the split — the standard holdout-contamination guard.
+    Pure composition: registrable_domain feeds train_val_split's
+    id_col. Zero shuffle; assignment survives reruns and appends."""
+    from route81_spark.ops.corpus import train_val_split
+    from route81_spark.ops.web import (
+        registrable_domain,
+        synthetic_urls,
+        url_host,
+    )
+
+    docs = synthetic_urls(_t(spark, sf_dir, "documents").select("doc_id"))
+    dom = registrable_domain(url_host(F.col("url")))
+    with_dom = docs.select("doc_id", dom.alias("domain"))
+    return train_val_split(
+        with_dom, id_col="domain", val_fraction=0.2, seed="domsplit0"
+    ).select("doc_id", "domain", "split")
+
+
+@_q(
     "match_text_search",
     # mirrors the documented $text subset: phrase conjunctive
     # (substring), negated term excluded, engine textScore = plain-term

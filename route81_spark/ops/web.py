@@ -314,8 +314,8 @@ def domain_gate(
 def domain_filter(
     df: DataFrame,
     url_col: str = "url",
-    block: Sequence[str] = (),
-    allow: Sequence[str] = (),
+    block: Sequence[str] | DataFrame = (),
+    allow: Sequence[str] | DataFrame = (),
 ) -> DataFrame:
     """Block/allow filtering on the registrable domain. Allow-list (if
     given) keeps only listed domains; block-list then removes its
@@ -325,13 +325,28 @@ def domain_filter(
     convention.
 
     Literal lists compile to plan-literal IN filters: map-only, zero
-    shuffle, pushed into the scan where possible. For blocklists too
-    big for a literal, join a domain DataFrame broadcast-anti instead —
-    same fact-side plan shape."""
+    shuffle, pushed into the scan where possible. A list too big for a
+    literal (a production million-entry blocklist) is passed as a
+    one-column DataFrame of domains instead and becomes a BROADCAST
+    semi/anti join — the fact table still never shuffles."""
     dom = registrable_domain(url_host(F.col(url_col)))
-    cond = F.lit(True)
-    if allow:
-        cond = cond & F.coalesce(dom.isin(*allow), F.lit(False))
-    if block:
-        cond = cond & ~F.coalesce(dom.isin(*block), F.lit(False))
-    return df.filter(cond)
+
+    def _df_join(base: DataFrame, domains: DataFrame, how: str) -> DataFrame:
+        key = domains.columns[0]
+        side = domains.select(F.col(key).alias("__dfilter_dom")).distinct()
+        return (
+            base.withColumn("__dfilter_dom", dom)
+            .join(F.broadcast(side), "__dfilter_dom", how)
+            .drop("__dfilter_dom")
+        )
+
+    out = df
+    if isinstance(allow, DataFrame):
+        out = _df_join(out, allow, "left_semi")
+    elif allow:
+        out = out.filter(F.coalesce(dom.isin(*allow), F.lit(False)))
+    if isinstance(block, DataFrame):
+        out = _df_join(out, block, "left_anti")
+    elif block:
+        out = out.filter(~F.coalesce(dom.isin(*block), F.lit(False)))
+    return out

@@ -112,6 +112,57 @@ def test_domain_filter_semantics(spark):
     assert got == {1}
 
 
+def test_domain_filter_dataframe_lists(spark):
+    """Production-size block/allow lists pass as one-column DataFrames
+    and become broadcast semi/anti joins — same semantics as literals
+    (NULL domain passes block, fails allow; block wins overlap)."""
+    df = spark.createDataFrame(
+        [
+            (1, "http://a.example.com/x"),
+            (2, "http://b.blocked.org/"),
+            (3, "http://localhost/"),
+        ],
+        "id long, url string",
+    )
+    blockdf = spark.createDataFrame([("blocked.org",)], "domain string")
+    allowdf = spark.createDataFrame(
+        [("example.com",), ("blocked.org",)], "domain string"
+    )
+    got = {r["id"] for r in domain_filter(df, block=blockdf).collect()}
+    assert got == {1, 3}
+    got = {r["id"] for r in domain_filter(df, allow=allowdf, block=blockdf).collect()}
+    assert got == {1}
+    # literal and DataFrame forms agree
+    lit = {r["id"] for r in domain_filter(df, block=["blocked.org"]).collect()}
+    assert lit == {1, 3}
+
+
+def test_domain_split_is_leakage_safe(spark):
+    """Every domain lands on exactly one split side."""
+    from route81_spark.ops.corpus import train_val_split
+    from route81_spark.ops.web import (
+        registrable_domain, synthetic_urls, url_host,
+    )
+
+    docs = synthetic_urls(
+        spark.read.parquet(f"{SF}/documents.parquet").select("doc_id")
+    )
+    dom = registrable_domain(url_host(F.col("url")))
+    out = train_val_split(
+        docs.select("doc_id", dom.alias("domain")), id_col="domain",
+        val_fraction=0.2, seed="domsplit0",
+    )
+    mixed = (
+        out.groupBy("domain")
+        .agg(F.countDistinct("split").alias("n"))
+        .filter(F.col("n") > 1)
+        .count()
+    )
+    assert mixed == 0
+    sides = {r["split"] for r in out.select("split").distinct().collect()}
+    assert sides == {"train", "val"}
+
+
 def test_url_stage_op_parity(spark):
     docs = synthetic_urls(
         spark.read.parquet(f"{SF}/documents.parquet").limit(64)
