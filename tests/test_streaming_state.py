@@ -630,6 +630,49 @@ def test_streaming_html_extract_and_url_canon_match_batch(spark, tmp_path):
     assert sum(1 for _, u in got.values() if u is not None) == 24
 
 
+def test_streaming_url_bloom_dedup_intake(spark, tmp_path):
+    """Crawl-refetch suppression at intake: a Bloom index over DAY-1
+    CANONICAL URLs scrubs day-2 refetches — including tracking-param /
+    case / fragment variants the canonicalizer folds — inside a
+    stateless streaming projection (canon + 128 KiB-literal probe,
+    zero state). The URL layer and the Bloom intake compose."""
+    from pyspark.sql import Row
+
+    from route81_spark.ops.corpus import (
+        bloom_apply, bloom_build, bloom_dense_words)
+    from route81_spark.ops.web import url_canonicalize
+
+    day1 = spark.createDataFrame(
+        [Row(doc_id=i, text=f"http://site{i}.com/p?a=1") for i in range(8)]
+    )
+    canon1 = day1.select(
+        "doc_id", url_canonicalize(F.col("text")).alias("text")
+    )
+    words = bloom_dense_words(
+        bloom_build(canon1, sep="\n", m_bits=1 << 12, k=3), m_bits=1 << 12
+    )
+    # day-2: even ids are refetches under messier spellings of the SAME
+    # page; odd ids are genuinely new pages
+    rows = [
+        {"doc_id": 100 + i,
+         "text": (f"HTTP://SITE{i}.com:80/p?a=1&utm_source=feed#frag"
+                  if i % 2 == 0 else f"http://site{i}.com/brand-new"),
+         "ts": "2024-01-01T00:00:00"}
+        for i in range(8)
+    ]
+    src = tmp_path / "usrc"
+    _write_batch(src / "b1.json", rows)
+    stream = (
+        spark.readStream.schema(DOC_SCHEMA).json(str(src))
+        .select("doc_id", url_canonicalize(F.col("text")).alias("text"))
+    )
+    out, ck = tmp_path / "uout", tmp_path / "uck"
+    _run_available_now(bloom_apply(stream, words, sep="\n", k=3), out, ck)
+    got = {r["doc_id"]: r["n_seen"]
+           for r in spark.read.parquet(str(out)).collect()}
+    assert got == {100 + i: (1 if i % 2 == 0 else 0) for i in range(8)}
+
+
 def test_streaming_bloom_apply_matches_batch(spark, tmp_path):
     """bloom_apply against a pre-built (static) bitmap is a stateless
     per-row projection — stream-legal in append mode with no watermark
