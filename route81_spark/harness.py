@@ -8863,6 +8863,58 @@ def corpus_domain_gate(spark, sf_dir):
 
 
 @_q(
+    "corpus_robots_filter",
+    # independently-shaped oracle: Spark REALLY parses every robots.txt
+    # body (comment strip, UA runs, group isolation, empty-Disallow);
+    # the oracle never parses — it derives each domain's effective
+    # Disallow set {('/p/' || h%50), '/admin'} straight from the
+    # md5 slices the generator used, and re-applies the prefix rule
+    "WITH syn AS (SELECT doc_id, " + _URL_SYN + " AS url FROM documents),\n"
+    "     d AS (SELECT doc_id, "
+    + _w_dom_sql(_w_host_sql("url"))
+    + " AS domain,\n"
+    "            " + _w_canon_sql("url") + " AS canon FROM syn),\n"
+    "     p AS (SELECT doc_id, domain,\n"
+    "            regexp_extract(canon, '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*([^?#]*)', 1) AS path\n"
+    "           FROM d),\n"
+    "     r AS (SELECT doc_id, domain, path,\n"
+    "            ('0x' || substr(md5('robots0|' || domain), 1, 15))::BIGINT AS rh\n"
+    "           FROM p)\n"
+    "SELECT doc_id, domain, path FROM r\n"
+    "WHERE NOT (rh % 4 <> 0 AND (\n"
+    "      starts_with(path, CASE WHEN rh % 5 = 0 THEN '/p/'\n"
+    "                        ELSE '/p/' || CAST(rh % 50 AS VARCHAR) END)\n"
+    "      OR starts_with(path, '/admin')))",
+)
+def corpus_robots_filter(spark, sf_dir):
+    """robots.txt compliance over the crawl table: parse every body's
+    `User-agent: *` group (comment strip, User-agent runs, decoy-group
+    isolation, empty-Disallow allow-all) into Disallow prefixes, then
+    drop documents whose canonical path matches a prefix of their
+    domain's rules; domains without robots allow everything. Robots
+    tables are domain-bounded -> the parsed prefixes broadcast; the
+    crawl side never shuffles."""
+    from route81_spark.ops.web import (
+        registrable_domain,
+        robots_filter,
+        synthetic_robots,
+        synthetic_urls,
+        url_canonicalize,
+        url_host,
+    )
+    from route81_spark.ops.web import _SCHEME as _SCH
+
+    docs = synthetic_urls(_t(spark, sf_dir, "documents").select("doc_id"))
+    out = robots_filter(docs, synthetic_robots(spark))
+    canon = url_canonicalize(F.col("url"))
+    return out.select(
+        "doc_id",
+        registrable_domain(url_host(F.col("url"))).alias("domain"),
+        F.regexp_extract(canon, _SCH + r"[^/?#]*([^?#]*)", 2).alias("path"),
+    )
+
+
+@_q(
     "corpus_domain_split",
     # leakage-safe split: the side is a hash of the DOMAIN, so every
     # doc of a domain (and with it the near-dup mass that lives inside

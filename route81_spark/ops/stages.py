@@ -1134,7 +1134,23 @@ def _domain_gate(df: DataFrame, arg: dict) -> DataFrame:
     )
 
 
+def _robots_filter(df: DataFrame, arg: dict) -> DataFrame:
+    """$robotsFilter: `robots` names the (key, robots_txt) collection
+    via the $lookup collection hook."""
+    from route81_spark.ops.web import robots_filter
+    from route81_spark.pipeline.compiler import _resolve_collection
+
+    return robots_filter(
+        df,
+        _resolve_collection(arg["robots"]),
+        url_col=arg.get("field", "url"),
+        key_col=arg.get("keyField", "domain"),
+        text_col=arg.get("textField", "robots_txt"),
+    )
+
+
 register_stage("$urlCanon", _url_canon)
 register_stage("$domainFilter", _domain_filter)
 register_stage("$urlDedup", _url_dedup)
 register_stage("$domainGate", _domain_gate)
+register_stage("$robotsFilter", _robots_filter)

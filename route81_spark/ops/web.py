@@ -250,6 +250,130 @@ def domain_stats(
     )
 
 
+def parse_robots(
+    robots_df: DataFrame,
+    key_col: str = "domain",
+    text_col: str = "robots_txt",
+) -> DataFrame:
+    """Parse robots.txt bodies into (key, disallow array<string>) —
+    the documented SUBSET real crawl gates need: the `User-agent: *`
+    group's `Disallow:` prefixes. Spec behaviors honored: directives
+    are case-insensitive, `#` comments strip, consecutive User-agent
+    lines form ONE group (a group containing `*` collects its
+    Disallows), an empty `Disallow:` means allow-all (ignored), other
+    agents' groups are isolated. Allow:/Crawl-delay/Sitemap lines are
+    ignored (not part of the blocking subset).
+
+    Pure Column: one line split + one sequential F.aggregate fold with
+    a (in_ua_run, star, prefixes) struct accumulator — zero shuffle,
+    zero Python, robots bodies parse where they sit."""
+    lines = F.split(F.col(text_col), "\n")
+
+    def clean(line: Column) -> Column:
+        return F.trim(F.regexp_replace(line, "#.*$", ""))
+
+    def step(acc: Column, raw: Column) -> Column:
+        line = clean(raw)
+        low = F.lower(line)
+        is_ua = low.rlike("^user-agent:")
+        is_dis = low.rlike("^disallow:")
+        value = F.trim(F.regexp_replace(line, r"(?i)^[a-z-]+:", ""))
+        star_now = F.when(
+            is_ua & acc.getField("in_ua_run"),
+            acc.getField("star") | (value == "*"),
+        ).when(is_ua, value == "*").otherwise(acc.getField("star"))
+        prefixes = F.when(
+            is_dis & acc.getField("star") & (value != ""),
+            F.array_append(acc.getField("prefixes"), value),
+        ).otherwise(acc.getField("prefixes"))
+        return F.struct(
+            is_ua.alias("in_ua_run"),
+            star_now.alias("star"),
+            prefixes.alias("prefixes"),
+        )
+
+    init = F.struct(
+        F.lit(False).alias("in_ua_run"),
+        F.lit(False).alias("star"),
+        F.array().cast("array<string>").alias("prefixes"),
+    )
+    folded = F.aggregate(lines, init, step)
+    return robots_df.select(
+        F.col(key_col), folded.getField("prefixes").alias("disallow")
+    )
+
+
+def robots_filter(
+    df: DataFrame,
+    robots_df: DataFrame,
+    url_col: str = "url",
+    key_col: str = "domain",
+    text_col: str = "robots_txt",
+) -> DataFrame:
+    """Drop documents whose CANONICAL path starts with any `Disallow:`
+    prefix of their registrable domain's `User-agent: *` group —
+    RefinedWeb-style robots compliance applied retroactively over a
+    crawl table. Domains with no robots row allow everything; matching
+    is path-prefix (query strings are not consulted — documented
+    subset). Keyed on the registrable domain (serve per-host robots by
+    passing a host-keyed robots_df and a host key instead).
+
+    100 TB shape: robots tables are domain-bounded -> the parsed
+    prefix lists broadcast; the crawl side computes (domain, path) in
+    its scan projection and never shuffles."""
+    parsed = parse_robots(robots_df, key_col=key_col, text_col=text_col)
+    dom = registrable_domain(url_host(F.col(url_col)))
+    canon = url_canonicalize(F.col(url_col))
+    path = F.regexp_extract(canon, _SCHEME + r"[^/?#]*([^?#]*)", 2)
+    joined = (
+        df.withColumn("__r_dom", dom)
+        .withColumn("__r_path", path)
+        .join(
+            F.broadcast(parsed.withColumnRenamed(key_col, "__r_dom")),
+            "__r_dom",
+            "left",
+        )
+    )
+    blocked = F.exists(
+        F.coalesce(F.col("disallow"), F.array().cast("array<string>")),
+        lambda p: F.col("__r_path").startswith(p),
+    )
+    return joined.filter(~F.coalesce(blocked, F.lit(False))).drop(
+        "__r_dom", "__r_path", "disallow"
+    )
+
+
+def synthetic_robots(spark, seed: str = "robots0") -> DataFrame:
+    """Deterministic robots.txt corpus for the 40 synthetic domains
+    (md5-slice parameterized like synthetic_urls, so a SQL oracle can
+    derive each domain's effective Disallow set WITHOUT parsing):
+    ~3/4 of domains get a body with a decoy `badbot` allow-nothing
+    group, a two-line User-agent run (`helper`, `*`) exercising group
+    collection, `Disallow: /p/<k>` + `Disallow: /admin`, an inline
+    comment, and (for h%3==0) an empty allow-all Disallow; the rest
+    have NO robots row (crawl allowed)."""
+    tlds = ["com", "org", "net", "io", "co.uk", "ac.uk", "com.au", "de"]
+    base = spark.range(40).select(
+        F.concat(
+            F.lit("site"), F.col("id").cast("string"), F.lit("."),
+            _pick(tlds, F.col("id")),
+        ).alias("domain")
+    )
+    h = _h60(F.col("domain"), seed)
+    k = (h % 50).cast("string")
+    # h%5==0 domains ban the whole /p/ section (broad prefix); the
+    # rest ban one hash-chosen k (narrow prefix)
+    sect = F.when(h % 5 == 0, F.lit("/p/")).otherwise(F.concat(F.lit("/p/"), k))
+    text = F.concat(
+        F.lit("# synthetic robots\nUser-agent: badbot\nDisallow: /\n\n"
+              "User-agent: helper\nUser-agent: *\n"),
+        F.lit("Disallow: "), sect, F.lit("  # section rule\n"),
+        F.lit("Disallow: /admin\n"),
+        F.when(h % 3 == 0, F.lit("Disallow:\n")).otherwise(F.lit("")),
+    )
+    return base.filter(h % 4 != 0).select("domain", text.alias("robots_txt"))
+
+
 def url_dedup(
     df: DataFrame,
     url_col: str = "url",

@@ -236,6 +236,77 @@ def test_url_dedup_and_domain_gate_stage_parity(spark):
     )
 
 
+def test_parse_robots_group_semantics(spark):
+    """The documented robots subset: comment strip, case-insensitive
+    directives, User-agent RUNS collect into one group, other agents'
+    groups are isolated, empty Disallow ignored (allow-all)."""
+    from route81_spark.ops.web import parse_robots
+
+    body = (
+        "# header comment\n"
+        "User-agent: badbot\n"
+        "Disallow: /\n"
+        "\n"
+        "user-agent: helper\n"
+        "USER-AGENT: *\n"
+        "disallow: /private  # inline comment\n"
+        "Disallow: /tmp\n"
+        "Disallow:\n"
+        "Allow: /tmp/ok\n"
+        "\n"
+        "User-agent: other\n"
+        "Disallow: /other-only\n"
+    )
+    df = spark.createDataFrame([("d.com", body)], "domain string, robots_txt string")
+    got = parse_robots(df).collect()[0]
+    assert got["domain"] == "d.com"
+    assert list(got["disallow"]) == ["/private", "/tmp"]
+    # a body with no * group disallows nothing
+    df2 = spark.createDataFrame(
+        [("e.com", "User-agent: badbot\nDisallow: /\n")],
+        "domain string, robots_txt string",
+    )
+    assert list(parse_robots(df2).collect()[0]["disallow"]) == []
+
+
+def test_robots_filter_prefix_and_missing_robots(spark):
+    from route81_spark.ops.web import robots_filter
+
+    docs = spark.createDataFrame(
+        [
+            (1, "http://a.d.com/private/x"),   # blocked (prefix)
+            (2, "http://a.d.com/public"),       # kept
+            (3, "http://a.d.com/privateer"),    # blocked (string prefix!)
+            (4, "http://no-robots.org/private"),  # kept: no robots row
+        ],
+        "doc_id long, url string",
+    )
+    robots = spark.createDataFrame(
+        [("d.com", "User-agent: *\nDisallow: /private\n")],
+        "domain string, robots_txt string",
+    )
+    got = {r["doc_id"] for r in robots_filter(docs, robots).collect()}
+    assert got == {2, 4}
+
+
+def test_robots_filter_stage_parity(spark):
+    from route81_spark.ops.web import (
+        robots_filter, synthetic_robots, synthetic_urls,
+    )
+    from route81_spark.pipeline import compiler
+
+    docs = synthetic_urls(
+        spark.read.parquet(f"{SF}/documents.parquet").select("doc_id").limit(64)
+    )
+    robots = synthetic_robots(spark)
+    compiler.set_collection_resolver(lambda n: {"robots": robots}[n])
+    via_stage = apply_pipeline(docs, [{"$robotsFilter": {"robots": "robots"}}])
+    direct = robots_filter(docs, robots)
+    assert sorted(map(tuple, via_stage.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+
 def test_url_canonicalize_idempotent_over_corpus(spark):
     """canon(canon(u)) == canon(u) for every synthetic URL including
     the noisy pair variants — the property that makes re-canonicalizing
