@@ -8632,8 +8632,9 @@ _W_SUFFIX_IN = (
 
 def _w_host_sql(u: str) -> str:
     return (
-        f"lower(regexp_extract(regexp_extract({u}, "
-        f"'^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)', 1), '^([^:]*)', 1))"
+        f"lower(regexp_extract(regexp_extract(regexp_extract({u}, "
+        f"'^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)', 1), "
+        f"'^(?:[^@]*@)?(.*)$', 1), '^([^:]*)', 1))"
     )
 
 
@@ -8654,7 +8655,11 @@ def _w_canon_sql(u: str) -> str:
     """DuckDB twin of ops.web.url_canonicalize — identical RE2-safe
     regexes, list ops for the query-param sort."""
     sch = f"lower(regexp_extract({u}, {_W_SCHEME_RE}, 1))"
-    auth = f"regexp_extract({u}, '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)', 1)"
+    auth = (
+        f"regexp_extract(regexp_extract({u}, "
+        f"'^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)', 1), "
+        f"'^(?:[^@]*@)?(.*)$', 1)"
+    )
     host = f"lower(regexp_extract({auth}, '^([^:]*)', 1))"
     port = f"regexp_extract({auth}, ':([0-9]+)$', 1)"
     portpart = (

@@ -139,7 +139,12 @@ def url_canonicalize(url: Column, strip_tracking: bool = True) -> Column:
     def canon(u: Column) -> Column:
         scheme = F.lower(F.regexp_extract(u, _SCHEME, 1))
         # _SCHEME already captures the scheme -> authority is group 2
-        auth = F.regexp_extract(u, _SCHEME + r"([^/?#]*)", 2)
+        # userinfo (user:pass@) is stripped — it is never part of the
+        # canonical identity of a fetched page
+        auth = F.regexp_extract(
+            F.regexp_extract(u, _SCHEME + r"([^/?#]*)", 2),
+            r"^(?:[^@]*@)?(.*)$", 1,
+        )
         host = F.lower(F.regexp_extract(auth, r"^([^:]*)", 1))
         port = F.regexp_extract(auth, r":([0-9]+)$", 1)
         port_part = F.when(
@@ -171,7 +176,10 @@ def url_canonicalize(url: Column, strip_tracking: bool = True) -> Column:
 def url_host(url: Column) -> Column:
     """Lowercased host (no port) of a URL-shaped string; NULL when the
     string has no scheme://."""
-    auth = F.regexp_extract(url, _SCHEME + r"([^/?#]*)", 2)
+    auth = F.regexp_extract(
+        F.regexp_extract(url, _SCHEME + r"([^/?#]*)", 2),
+        r"^(?:[^@]*@)?(.*)$", 1,
+    )
     host = F.lower(F.regexp_extract(auth, r"^([^:]*)", 1))
     return F.when(host == "", F.lit(None).cast("string")).otherwise(host)
 
