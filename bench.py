@@ -83,6 +83,8 @@ BENCH_QUERIES = [
     "corpus_domain_stats", # per-domain rollup (hash-only shuffles, r7)
     "corpus_url_dedup",    # keep-first by canon URL (one winner agg, r7)
     "corpus_domain_gate",  # rollup -> broadcast-anti domain gate (r7)
+    "corpus_robots_filter",  # robots parse (broadcast) + prefix filter (r7)
+    "match_text_search",   # $text subset: per-row token/phrase scan (r7)
 ]
 
 # Round-over-round comparability cohorts (r6 verdict: the growing set mixes

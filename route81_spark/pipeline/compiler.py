@@ -450,6 +450,13 @@ def _stage_replace_root(df: DataFrame, arg: Any) -> DataFrame:
 def _stage_sort(df: DataFrame, arg: dict) -> DataFrame:
     orders = []
     for field, direction in arg.items():
+        if isinstance(direction, dict) and "$meta" in direction:
+            # Mongo's relevance-sort idiom: {$sort: {f: {$meta:
+            # "textScore"}}} sorts DESCENDING by the score expression
+            from route81_spark.pipeline.exprs import compile_expr
+
+            orders.append(compile_expr(direction, df).desc_nulls_last())
+            continue
         c = F.col(field)
         # Mongo sorts missing/null lowest: nulls first asc, nulls last desc.
         orders.append(c.asc_nulls_first() if direction >= 0 else c.desc_nulls_last())

@@ -427,6 +427,17 @@ def test_text_search_subset_semantics(spark):
         run("x", **{"$bogus": 1})
     with pytest.raises(PipelineCompileError, match="\\$search"):
         apply_pipeline(df, [{"$match": {"$text": {}}}]).collect()
+    # the Mongo relevance-sort idiom: {$sort: {s: {$meta: "textScore"}}}
+    ranked = apply_pipeline(
+        df,
+        [
+            {"$match": {"$text": {"$search": "spark vector"}}},
+            {"$sort": {"s": {"$meta": "textScore"}}},
+            {"$limit": 1},
+        ],
+    ).collect()
+    assert [r["doc_id"] for r in ranked] == [5]  # spark(2)+vector(1)=3 tops
+
     # $meta textScore with no $text in sight fails loudly
     from route81_spark.pipeline import query as Q
 

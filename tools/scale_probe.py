@@ -106,6 +106,7 @@ def ops() -> dict:
         "url_dedup": lambda d: _url_dedup_p(d),
         "domain_stats": lambda d: _domain_stats_p(d),
         "domain_gate": lambda d: _domain_gate_p(d),
+        "robots": lambda d: _robots_p(d),
     }
 
 
@@ -144,6 +145,13 @@ def _domain_gate_p(d: DataFrame) -> DataFrame:
     from route81_spark.ops.web import domain_gate
 
     return domain_gate(_with_urls(d))
+
+
+def _robots_p(d: DataFrame) -> DataFrame:
+    from route81_spark.ops.web import robots_filter, synthetic_robots
+
+    u = _with_urls(d)
+    return robots_filter(u, synthetic_robots(u.sparkSession))
 
 
 def _bpe_merges_256() -> list:
