@@ -270,6 +270,72 @@ def compact_rollup(
     return out
 
 
+def streaming_domain_partials(
+    stream: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming half of web.domain_stats (the crawl-intake analog of
+    streaming_rollup): hour-windowed per-(domain, text-hash, lang-hash)
+    partials — re-aggregable integers only — under a watermark, so
+    state is bounded by active buckets x active domains and closed
+    buckets emit exactly once in append mode. Document text reduces to
+    its 60-bit hash INSIDE the streaming projection; neither text nor
+    unbounded distinct-sets ever become state. Dup shares and language
+    counts are derived later by compact_domain_stats — cross-batch
+    distincts deliberately do NOT stream (they would hold state open
+    forever), mirroring the hypertable stream-fine/compact-coarse
+    contract."""
+    from route81_spark.ops.web import _h60, registrable_domain, url_host
+
+    dom = registrable_domain(url_host(F.col(url_col)))
+    lang = F.col(lang_col) if lang_col in stream.columns else F.lit("")
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.window(F.col(ts_col), "1 hour").alias("__w"),
+            dom.alias("domain"),
+            _h60(F.col(text_col), "domstats|t").alias("__th"),
+            _h60(lang, "domstats|l").alias("__lh"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.length(F.col(text_col)).cast("long")).alias("chars"),
+        )
+        .select(
+            F.col("__w.start").alias("bucket"),
+            "domain", "__th", "__lh", "n", "chars",
+        )
+    )
+
+
+def compact_domain_stats(partials: DataFrame) -> DataFrame:
+    """Batch compaction over accumulated domain partials: EXACTLY the
+    (domain, n_docs, n_dup_docs, total_chars, n_langs) web.domain_stats
+    computes over the same raw rows — derived purely by re-aggregating
+    the hash-grain partials (the raw stream is never rescanned; input
+    is partial-count-sized)."""
+    per_text = partials.groupBy("domain", "__th").agg(
+        F.sum("n").alias("__cnt"), F.sum("chars").alias("__ch")
+    )
+    rolled = per_text.groupBy("domain").agg(
+        F.sum("__cnt").cast("long").alias("n_docs"),
+        (F.sum("__cnt") - F.count("*")).cast("long").alias("n_dup_docs"),
+        F.sum("__ch").cast("long").alias("total_chars"),
+    )
+    per_lang = (
+        partials.select("domain", "__lh").distinct()
+        .groupBy("domain")
+        .agg(F.count("*").cast("long").alias("n_langs"))
+    )
+    return rolled.join(per_lang, ["domain"], "left").select(
+        "domain", "n_docs", "n_dup_docs", "total_chars", "n_langs"
+    )
+
+
 def bloom_intake(
     out_dir: str,
     state_dir: str,

@@ -630,6 +630,66 @@ def test_streaming_html_extract_and_url_canon_match_batch(spark, tmp_path):
     assert sum(1 for _, u in got.values() if u is not None) == 24
 
 
+def test_streaming_domain_partials_compact_to_batch_stats(spark, tmp_path):
+    """Crawl-intake domain rollup: hour-windowed hash-grain partials
+    maintained on the stream, then compact_domain_stats over the
+    accumulated partials must equal web.domain_stats over the same raw
+    rows — including exact dup counts across micro-batches AND across
+    hour buckets (the same page refetched in a later hour still counts
+    as a dup after compaction)."""
+    from pyspark.sql import Row
+
+    from route81_spark.ops.streaming import (
+        compact_domain_stats, streaming_domain_partials,
+    )
+    from route81_spark.ops.web import domain_stats
+
+    rows = []
+    for i in range(24):
+        # 6 domains; every third doc repeats a text within its domain,
+        # split across two hours and two files
+        rows.append({
+            "doc_id": i,
+            "text": f"page body {i % 4} of d{i % 6}",
+            "url": f"http://www.d{i % 6}.com/p/{i}",
+            "ts": f"2024-01-01T{i % 2:02d}:05:00",
+        })
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("url", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ])
+    src = tmp_path / "dsrc"
+    _write_batch(src / "b1.json", rows[:12])
+    _write_batch(src / "b2.json", rows[12:])
+    # flush row: far-future event closes every window in append mode
+    _write_batch(
+        src / "b3.json",
+        [{"doc_id": 999, "text": "flush", "url": "http://flush.com/",
+          "ts": "2024-01-03T00:00:00"}],
+    )
+    stream = spark.readStream.schema(schema).json(str(src))
+    out, ck = tmp_path / "dout", tmp_path / "dck"
+    _run_available_now(streaming_domain_partials(stream), out, ck)
+    partials = spark.read.parquet(str(out))
+    got = {
+        r["domain"]: (r["n_docs"], r["n_dup_docs"], r["total_chars"], r["n_langs"])
+        for r in compact_domain_stats(partials).collect()
+        if r["domain"] is not None and r["domain"] != "flush.com"
+    }
+    batch = spark.createDataFrame(
+        [Row(doc_id=r["doc_id"], text=r["text"], url=r["url"]) for r in rows]
+    )
+    want = {
+        r["domain"]: (r["n_docs"], r["n_dup_docs"], r["total_chars"], r["n_langs"])
+        for r in domain_stats(batch).collect()
+    }
+    assert got == want and len(want) == 6
+    # the repeats really registered as dups
+    assert any(d[1] > 0 for d in want.values())
+
+
 def test_streaming_url_bloom_dedup_intake(spark, tmp_path):
     """Crawl-refetch suppression at intake: a Bloom index over DAY-1
     CANONICAL URLs scrubs day-2 refetches — including tracking-param /
