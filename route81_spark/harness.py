@@ -8640,8 +8640,9 @@ def _w_host_sql(u: str) -> str:
 
 def _w_dom_sql(host: str) -> str:
     """Registrable domain via DuckDB negative list indexing (a
-    different shape from Spark's size-relative F.get probes)."""
-    ls = f"string_split({host}, '.')"
+    different shape from Spark's size-relative F.get probes); the
+    trailing-dot FQDN fold mirrors the Spark side."""
+    ls = f"string_split(regexp_replace({host}, '\\.$', ''), '.')"
     last2 = f"({ls})[-2] || '.' || ({ls})[-1]"
     last3 = f"({ls})[-3] || '.' || {last2}"
     return (

@@ -192,7 +192,9 @@ def registrable_domain(host: Column) -> Column:
     F.get probes + a literal IN — no UDF, no shuffle. The label array
     binds ONCE (see url_canonicalize) so a computed host expression is
     evaluated a single time however many probes reference it; a NULL
-    host propagates to NULL through the whole chain."""
+    host propagates to NULL through the whole chain. A trailing-dot
+    FQDN ('e.com.') folds to its dotless form first — otherwise the
+    empty final label would make 'com.' the registrable domain."""
 
     def rd(labels: Column) -> Column:
         n = F.size(labels)
@@ -207,7 +209,8 @@ def registrable_domain(host: Column) -> Column:
             .otherwise(F.lit(None).cast("string"))
         )
 
-    return F.get(F.transform(F.array(F.split(host, r"\.")), rd), 0)
+    dotless = F.regexp_replace(host, r"\.$", "")
+    return F.get(F.transform(F.array(F.split(dotless, r"\.")), rd), 0)
 
 
 def domain_stats(

@@ -82,6 +82,9 @@ def test_registrable_domain_psl(spark):
         "co.uk": None,        # the host IS a public suffix
         "localhost": None,    # single label: no registrable domain
         "site3.com.au": "site3.com.au",
+        # trailing-dot FQDN folds before extraction
+        "www.example.com.": "example.com",
+        "example.co.uk.": "example.co.uk",
     }
     for host, want in cases.items():
         got = _eval1(spark, registrable_domain(F.lit(host)))
