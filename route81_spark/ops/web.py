@@ -242,8 +242,6 @@ def domain_stats(
     per_text = pre.groupBy("domain", "__th").agg(
         F.count("*").alias("__cnt"),
         F.sum("__chars").alias("__ch"),
-        F.min("__lh").alias("__lmin"),
-        F.max("__lh").alias("__lmax"),
     )
     # n_langs needs distinct langs per DOMAIN, not per text -> carry the
     # lang hash through and count distinct at the domain level; the
