@@ -103,53 +103,75 @@ def _substr_count(text: Column, s: str) -> Column:
     ).cast("long")
 
 
-def compile_text(spec: dict) -> Column:
-    """$text match predicate (see module comment for the subset)."""
-    field, cs, (pos_t, neg_t, pos_ph, neg_ph) = _text_parts(spec)
+def _text_bound(spec: dict, build):
+    """Shared bind-once scaffolding: normalize + tokenize the searched
+    column EXACTLY ONCE (a struct bound through a 1-element transform —
+    otherwise every term's probe re-inlines the split; see
+    web.url_canonicalize for the trap), then hand (text, toks, parts,
+    norm) to the builder."""
+    field, cs, parts = _text_parts(spec)
     text = _text_norm(F.col(field), cs)
     toks = F.split(text, "[^0-9a-zA-Z]+" if cs else "[^0-9a-z]+")
 
     def norm(s: str) -> str:
         return s if cs else s.lower()
 
-    preds: list[Column] = []
-    if pos_ph:
-        for ph in pos_ph:
-            preds.append(text.contains(F.lit(norm(ph))))
-    elif pos_t:
-        any_t = F.array_contains(toks, norm(pos_t[0]))
-        for t in pos_t[1:]:
-            any_t = any_t | F.array_contains(toks, norm(t))
-        preds.append(any_t)
-    else:
-        # only negations (or empty search): matches nothing, as in Mongo
-        preds.append(F.lit(False))
-    for t in neg_t:
-        preds.append(~F.coalesce(F.array_contains(toks, norm(t)), F.lit(False)))
-    for ph in neg_ph:
-        preds.append(~F.coalesce(text.contains(F.lit(norm(ph))), F.lit(False)))
-    out = preds[0]
-    for p in preds[1:]:
-        out = out & p
-    return F.coalesce(out, F.lit(False))
+    bound = F.transform(
+        F.array(F.struct(text.alias("t"), toks.alias("k"))),
+        lambda b: build(b.getField("t"), b.getField("k"), parts, norm),
+    )
+    return F.get(bound, 0)
+
+
+def compile_text(spec: dict) -> Column:
+    """$text match predicate (see module comment for the subset)."""
+
+    def build(text, toks, parts, norm):
+        pos_t, neg_t, pos_ph, neg_ph = parts
+        preds: list[Column] = []
+        if pos_ph:
+            for ph in pos_ph:
+                preds.append(text.contains(F.lit(norm(ph))))
+        elif pos_t:
+            any_t = F.array_contains(toks, norm(pos_t[0]))
+            for t in pos_t[1:]:
+                any_t = any_t | F.array_contains(toks, norm(t))
+            preds.append(any_t)
+        else:
+            # only negations (or empty search): matches nothing (Mongo)
+            preds.append(F.lit(False))
+        for t in neg_t:
+            preds.append(
+                ~F.coalesce(F.array_contains(toks, norm(t)), F.lit(False))
+            )
+        for ph in neg_ph:
+            preds.append(
+                ~F.coalesce(text.contains(F.lit(norm(ph))), F.lit(False))
+            )
+        out = preds[0]
+        for p in preds[1:]:
+            out = out & p
+        return F.coalesce(out, F.lit(False))
+
+    return _text_bound(spec, build)
 
 
 def text_score(spec: dict) -> Column:
     """Engine-defined textScore: token occurrences of plain terms +
     substring occurrences of phrases (integer-exact, oracle-able)."""
-    field, cs, (pos_t, _neg_t, pos_ph, _neg_ph) = _text_parts(spec)
-    text = _text_norm(F.col(field), cs)
-    toks = F.split(text, "[^0-9a-zA-Z]+" if cs else "[^0-9a-z]+")
 
-    def norm(s: str) -> str:
-        return s if cs else s.lower()
+    def build(text, toks, parts, norm):
+        pos_t, _neg_t, pos_ph, _neg_ph = parts
+        score: Column = F.lit(0).cast("long")
+        for t in pos_t:
+            score = score + F.size(
+                F.filter(toks, lambda x: x == F.lit(norm(t)))
+            )
+        for ph in pos_ph:
+            score = score + _substr_count(text, norm(ph))
+        return score
 
-    score: Column = F.lit(0).cast("long")
-    for t in pos_t:
-        score = score + F.size(F.filter(toks, lambda x: x == F.lit(norm(t))))
-    for ph in pos_ph:
-        score = score + _substr_count(text, norm(ph))
-    return score
+    return _text_bound(spec, build)
 
 
 def last_text_spec() -> dict | None:
