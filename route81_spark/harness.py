@@ -8646,7 +8646,9 @@ def _w_dom_sql(host: str) -> str:
     last2 = f"({ls})[-2] || '.' || ({ls})[-1]"
     last3 = f"({ls})[-3] || '.' || {last2}"
     return (
-        f"CASE WHEN len({ls}) >= 3 AND {last2} IN {_W_SUFFIX_IN} THEN {last3} "
+        f"CASE WHEN regexp_matches(regexp_replace({host}, '\\.$', ''), "
+        f"'^[0-9]+(\\.[0-9]+){{3}}$') THEN NULL "
+        f"WHEN len({ls}) >= 3 AND {last2} IN {_W_SUFFIX_IN} THEN {last3} "
         f"WHEN len({ls}) >= 2 AND NOT ({last2} IN {_W_SUFFIX_IN}) THEN {last2} "
         f"ELSE NULL END"
     )

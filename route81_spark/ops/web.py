@@ -210,7 +210,12 @@ def registrable_domain(host: Column) -> Column:
         )
 
     dotless = F.regexp_replace(host, r"\.$", "")
-    return F.get(F.transform(F.array(F.split(dotless, r"\.")), rd), 0)
+    # IPv4 hosts (and bracketed IPv6, which never splits past one
+    # label) have no registrable domain
+    out = F.get(F.transform(F.array(F.split(dotless, r"\.")), rd), 0)
+    return F.when(
+        dotless.rlike(r"^[0-9]+(\.[0-9]+){3}$"), F.lit(None).cast("string")
+    ).otherwise(out)
 
 
 def domain_stats(

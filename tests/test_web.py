@@ -85,6 +85,10 @@ def test_registrable_domain_psl(spark):
         # trailing-dot FQDN folds before extraction
         "www.example.com.": "example.com",
         "example.co.uk.": "example.co.uk",
+        # IP hosts have no registrable domain
+        "192.168.0.1": None,
+        "10.0.0.1.": None,
+        "[::1]": None,
     }
     for host, want in cases.items():
         got = _eval1(spark, registrable_domain(F.lit(host)))
