@@ -368,6 +368,20 @@ def test_domain_gate_docs_never_shuffle(spark):
         assert not ("hashpartitioning" in block and "text#" in block), plan
 
 
+def test_robots_filter_broadcasts_rules_crawl_never_shuffles(spark):
+    """robots_filter: the parsed, domain-bounded rule table must come
+    back broadcast (no SortMergeJoin dragging the crawl table), and no
+    Exchange may carry the url/text columns."""
+    plan = _plan(harness.QUERIES["corpus_robots_filter"](spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    for block in plan.split("\n\n"):
+        head = block.strip().splitlines()[0] if block.strip() else ""
+        if "Exchange" not in head or "BroadcastExchange" in head:
+            continue
+        assert "url#" not in block and "text#" not in block, plan
+
+
 def test_domain_stats_text_never_shuffles(spark):
     """domain_stats reduces text to a 60-bit hash in the scan
     projection; no Exchange may carry the raw text column."""
