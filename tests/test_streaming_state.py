@@ -690,6 +690,48 @@ def test_streaming_domain_partials_compact_to_batch_stats(spark, tmp_path):
     assert any(d[1] > 0 for d in want.values())
 
 
+def test_streaming_robots_filter_matches_batch(spark, tmp_path):
+    """robots_filter is a stream x static-BROADCAST join + per-row
+    prefix predicate — stream-legal in append mode with no state; the
+    streamed survivors equal the batch survivors for the same rows.
+    With this, the whole crawl-intake chain (canon -> robots -> bloom
+    url dedup -> normalize/quality) is pinned stream-legal."""
+    from pyspark.sql import Row
+
+    from route81_spark.ops.web import robots_filter
+
+    robots = spark.createDataFrame(
+        [("d.com", "User-agent: *\nDisallow: /private\n")],
+        "domain string, robots_txt string",
+    )
+    rows = [
+        {"doc_id": i,
+         "text": "body",
+         "ts": "2024-01-01T00:00:00",
+         "url": (f"http://a.d.com/private/{i}" if i % 2 == 0
+                 else f"http://a.d.com/ok/{i}")}
+        for i in range(12)
+    ]
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("url", T.StringType()),
+    ])
+    src = tmp_path / "rsrc"
+    _write_batch(src / "b1.json", rows[:6])
+    _write_batch(src / "b2.json", rows[6:])
+    stream = spark.readStream.schema(schema).json(str(src))
+    out, ck = tmp_path / "rout", tmp_path / "rck"
+    _run_available_now(robots_filter(stream, robots), out, ck)
+    got = {r["doc_id"] for r in spark.read.parquet(str(out)).collect()}
+    batch = spark.createDataFrame(
+        [Row(doc_id=r["doc_id"], url=r["url"]) for r in rows]
+    )
+    want = {r["doc_id"] for r in robots_filter(batch, robots).collect()}
+    assert got == want == {i for i in range(12) if i % 2 == 1}
+
+
 def test_streaming_url_bloom_dedup_intake(spark, tmp_path):
     """Crawl-refetch suppression at intake: a Bloom index over DAY-1
     CANONICAL URLs scrubs day-2 refetches — including tracking-param /
