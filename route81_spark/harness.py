@@ -8631,10 +8631,12 @@ _W_SUFFIX_IN = (
 
 
 def _w_host_sql(u: str) -> str:
+    # bracket alternation mirrors ops.web._HOST_RE: a bracketed IPv6
+    # authority is the whole '[...]' literal, not text-up-to-first-colon
     return (
         f"lower(regexp_extract(regexp_extract(regexp_extract({u}, "
         f"'^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)', 1), "
-        f"'^(?:[^@]*@)?(.*)$', 1), '^([^:]*)', 1))"
+        f"'^(?:[^@]*@)?(.*)$', 1), '^(\\[[^\\]]*\\]|[^:]*)', 1))"
     )
 
 
@@ -8647,7 +8649,8 @@ def _w_dom_sql(host: str) -> str:
     last3 = f"({ls})[-3] || '.' || {last2}"
     return (
         f"CASE WHEN regexp_matches(regexp_replace({host}, '\\.$', ''), "
-        f"'^[0-9]+(\\.[0-9]+){{3}}$') THEN NULL "
+        f"'^[0-9]+(\\.[0-9]+){{3}}$') "
+        f"OR starts_with(regexp_replace({host}, '\\.$', ''), '[') THEN NULL "
         f"WHEN len({ls}) >= 3 AND {last2} IN {_W_SUFFIX_IN} THEN {last3} "
         f"WHEN len({ls}) >= 2 AND NOT ({last2} IN {_W_SUFFIX_IN}) THEN {last2} "
         f"ELSE NULL END"
@@ -8663,8 +8666,8 @@ def _w_canon_sql(u: str) -> str:
         f"'^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)', 1), "
         f"'^(?:[^@]*@)?(.*)$', 1)"
     )
-    host = f"lower(regexp_extract({auth}, '^([^:]*)', 1))"
-    port = f"regexp_extract({auth}, ':([0-9]+)$', 1)"
+    host = f"lower(regexp_extract({auth}, '^(\\[[^\\]]*\\]|[^:]*)', 1))"
+    port = f"regexp_extract({auth}, '^(?:\\[[^\\]]*\\]|[^:]*):([0-9]+)$', 1)"
     portpart = (
         f"CASE WHEN {port} = '' OR ({sch} = 'http' AND {port} = '80') "
         f"OR ({sch} = 'https' AND {port} = '443') THEN '' "

@@ -331,9 +331,14 @@ def compact_domain_stats(partials: DataFrame) -> DataFrame:
         .groupBy("domain")
         .agg(F.count("*").cast("long").alias("n_langs"))
     )
-    return rolled.join(per_lang, ["domain"], "left").select(
-        "domain", "n_docs", "n_dup_docs", "total_chars", "n_langs"
-    )
+    # null-safe join: the NULL-domain rollup row must still get its
+    # n_langs (plain equi-joins never match NULL keys) — mirrors
+    # web.domain_stats exactly so stream==batch parity holds for
+    # NULL-domain traffic too.
+    pl = per_lang.withColumnRenamed("domain", "__pl_dom")
+    return rolled.join(
+        pl, F.col("domain").eqNullSafe(F.col("__pl_dom")), "left"
+    ).select("domain", "n_docs", "n_dup_docs", "total_chars", "n_langs")
 
 
 def bloom_intake(

@@ -53,6 +53,13 @@ MULTI_LABEL_SUFFIXES = (
 
 _SCHEME = r"^([A-Za-z][A-Za-z0-9+.\-]*)://"
 
+# Host within an authority: a bracketed IPv6 literal ('[::1]') is
+# matched whole (the ':'s inside the brackets are not port separators),
+# otherwise everything up to the first ':'. The port only counts when
+# the WHOLE remainder after the host is ':digits'. RE2-safe alternation.
+_HOST_RE = r"^(\[[^\]]*\]|[^:]*)"
+_PORT_RE = r"^(?:\[[^\]]*\]|[^:]*):([0-9]+)$"
+
 
 def _h60(col: Column, seed: str) -> Column:
     """60-bit md5-slice hash (same contract as corpus._h60; local copy
@@ -145,8 +152,8 @@ def url_canonicalize(url: Column, strip_tracking: bool = True) -> Column:
             F.regexp_extract(u, _SCHEME + r"([^/?#]*)", 2),
             r"^(?:[^@]*@)?(.*)$", 1,
         )
-        host = F.lower(F.regexp_extract(auth, r"^([^:]*)", 1))
-        port = F.regexp_extract(auth, r":([0-9]+)$", 1)
+        host = F.lower(F.regexp_extract(auth, _HOST_RE, 1))
+        port = F.regexp_extract(auth, _PORT_RE, 1)
         port_part = F.when(
             (port == "")
             | ((scheme == "http") & (port == "80"))
@@ -175,12 +182,14 @@ def url_canonicalize(url: Column, strip_tracking: bool = True) -> Column:
 
 def url_host(url: Column) -> Column:
     """Lowercased host (no port) of a URL-shaped string; NULL when the
-    string has no scheme://."""
+    string has no scheme://. A bracketed IPv6 authority ('[::1]:8080')
+    yields the whole bracketed literal ('[::1]') — the colons inside
+    the brackets are not port separators."""
     auth = F.regexp_extract(
         F.regexp_extract(url, _SCHEME + r"([^/?#]*)", 2),
         r"^(?:[^@]*@)?(.*)$", 1,
     )
-    host = F.lower(F.regexp_extract(auth, r"^([^:]*)", 1))
+    host = F.lower(F.regexp_extract(auth, _HOST_RE, 1))
     return F.when(host == "", F.lit(None).cast("string")).otherwise(host)
 
 
@@ -210,11 +219,13 @@ def registrable_domain(host: Column) -> Column:
         )
 
     dotless = F.regexp_replace(host, r"\.$", "")
-    # IPv4 hosts (and bracketed IPv6, which never splits past one
-    # label) have no registrable domain
+    # IP-literal hosts have no registrable domain: dotted IPv4, and
+    # bracketed IPv6 (guarded explicitly — an IPv4-mapped literal like
+    # '[::ffff:192.0.2.1]' DOES contain dots and would otherwise split)
     out = F.get(F.transform(F.array(F.split(dotless, r"\.")), rd), 0)
     return F.when(
-        dotless.rlike(r"^[0-9]+(\.[0-9]+){3}$"), F.lit(None).cast("string")
+        dotless.rlike(r"^[0-9]+(\.[0-9]+){3}$") | dotless.startswith("["),
+        F.lit(None).cast("string"),
     ).otherwise(out)
 
 
@@ -259,9 +270,15 @@ def domain_stats(
         (F.sum("__cnt") - F.count("*")).cast("long").alias("n_dup_docs"),
         F.sum("__ch").cast("long").alias("total_chars"),
     )
-    return rolled.join(per_lang, ["domain"], "left").select(
-        "domain", "n_docs", "n_dup_docs", "total_chars", "n_langs"
-    )
+    # the domain key is nullable (docs with no registrable domain roll
+    # up under NULL) and plain equi-joins never match NULL keys — the
+    # NULL rollup row would get n_langs NULL. eqNullSafe keeps the join
+    # a hash join (EqualNullSafe is a supported hash-join key) while
+    # making the NULL group line up.
+    pl = per_lang.withColumnRenamed("domain", "__pl_dom")
+    return rolled.join(
+        pl, F.col("domain").eqNullSafe(F.col("__pl_dom")), "left"
+    ).select("domain", "n_docs", "n_dup_docs", "total_chars", "n_langs")
 
 
 def parse_robots(
@@ -334,26 +351,39 @@ def robots_filter(
 
     100 TB shape: robots tables are domain-bounded -> the parsed
     prefix lists broadcast; the crawl side computes (domain, path) in
-    its scan projection and never shuffles."""
-    parsed = parse_robots(robots_df, key_col=key_col, text_col=text_col)
+    its scan projection and never shuffles.
+
+    Working columns are reserved '__robots_*' names and asserted absent
+    from the input (a user column named 'disallow' used to be silently
+    dropped; now the filter's internals can never collide with or eat a
+    caller's column)."""
+    reserved = {"__robots_dom", "__robots_path", "__robots_disallow"}
+    clash = reserved & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"robots_filter: input columns collide with reserved working "
+            f"names {sorted(clash)} — rename them before filtering"
+        )
+    parsed = parse_robots(robots_df, key_col=key_col, text_col=text_col).select(
+        F.col(key_col).alias("__robots_dom"),
+        F.col("disallow").alias("__robots_disallow"),
+    )
     dom = registrable_domain(url_host(F.col(url_col)))
     canon = url_canonicalize(F.col(url_col))
     path = F.regexp_extract(canon, _SCHEME + r"[^/?#]*([^?#]*)", 2)
     joined = (
-        df.withColumn("__r_dom", dom)
-        .withColumn("__r_path", path)
-        .join(
-            F.broadcast(parsed.withColumnRenamed(key_col, "__r_dom")),
-            "__r_dom",
-            "left",
-        )
+        df.withColumn("__robots_dom", dom)
+        .withColumn("__robots_path", path)
+        .join(F.broadcast(parsed), "__robots_dom", "left")
     )
     blocked = F.exists(
-        F.coalesce(F.col("disallow"), F.array().cast("array<string>")),
-        lambda p: F.col("__r_path").startswith(p),
+        F.coalesce(
+            F.col("__robots_disallow"), F.array().cast("array<string>")
+        ),
+        lambda p: F.col("__robots_path").startswith(p),
     )
     return joined.filter(~F.coalesce(blocked, F.lit(False))).drop(
-        "__r_dom", "__r_path", "disallow"
+        "__robots_dom", "__robots_path", "__robots_disallow"
     )
 
 

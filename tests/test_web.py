@@ -382,6 +382,95 @@ def test_robots_filter_broadcasts_rules_crawl_never_shuffles(spark):
         assert "url#" not in block and "text#" not in block, plan
 
 
+def test_url_canonicalize_ipv6_authority(spark):
+    """Bracketed IPv6 authorities parse whole: host is the '[...]'
+    literal (lowercased), the port splits AFTER the bracket, default
+    ports still strip (r7 advice: '[' used to leak as the host)."""
+    cases = {
+        "http://[::1]:8080/x": "http://[::1]:8080/x",
+        "http://[::1]:80/x": "http://[::1]/x",
+        "https://[2001:DB8::1]/a": "https://[2001:db8::1]/a",
+        "https://[2001:db8::1]:443?b=2&a=1": "https://[2001:db8::1]/?a=1&b=2",
+        "http://u@[::1]:8080/": "http://[::1]:8080/",
+    }
+    for raw, want in cases.items():
+        got = _eval1(spark, url_canonicalize(F.lit(raw)))
+        assert got == want, f"{raw!r}: {got!r} != {want!r}"
+    # hosts: whole bracketed literal; registrable domain: always NULL
+    # (explicitly guarded — IPv4-mapped literals contain dots)
+    assert _eval1(spark, url_host(F.lit("http://[::1]:8080/x"))) == "[::1]"
+    for h in ("[::1]", "[2001:db8::1]", "[::ffff:192.0.2.1]"):
+        assert _eval1(spark, registrable_domain(F.lit(h))) is None, h
+
+
+def test_domain_stats_null_domain_gets_n_langs(spark):
+    """NULL-domain docs roll up under domain NULL with a REAL n_langs
+    (the r7 advice bug: the plain equi-join dropped the NULL key and
+    left n_langs NULL)."""
+    from route81_spark.ops.web import domain_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "http://localhost/a", "tx one", "en"),
+            (2, "http://localhost/b", "tx two", "de"),
+            (3, "http://a.example.com/", "tx three", "en"),
+        ],
+        "doc_id long, url string, text string, lang string",
+    )
+    rows = {r["domain"]: r for r in domain_stats(df).collect()}
+    assert rows[None]["n_docs"] == 2
+    assert rows[None]["n_langs"] == 2
+    assert rows["example.com"]["n_langs"] == 1
+
+
+def test_compact_domain_stats_null_domain_parity(spark):
+    """Streaming compaction mirrors the batch null-safe join: NULL
+    domains keep their n_langs through compact_domain_stats too."""
+    from route81_spark.ops.streaming import compact_domain_stats
+
+    partials = spark.createDataFrame(
+        [
+            (None, 11, 101, 2, 10),
+            (None, 12, 102, 1, 7),
+            ("d.com", 13, 101, 1, 4),
+        ],
+        "domain string, __th long, __lh long, n long, chars long",
+    )
+    rows = {r["domain"]: r for r in compact_domain_stats(partials).collect()}
+    assert rows[None]["n_docs"] == 3
+    assert rows[None]["n_dup_docs"] == 1
+    assert rows[None]["n_langs"] == 2
+    assert rows["d.com"]["n_langs"] == 1
+
+
+def test_robots_filter_rejects_colliding_columns(spark):
+    """A crawl table that already carries a reserved working column
+    must fail loudly instead of having it silently dropped."""
+    import pytest
+
+    from route81_spark.ops.web import robots_filter
+
+    robots = spark.createDataFrame(
+        [("d.com", "User-agent: *\nDisallow: /p\n")],
+        "domain string, robots_txt string",
+    )
+    df = spark.createDataFrame(
+        [(1, "http://a.d.com/x", "keep-me")],
+        "doc_id long, url string, disallow string",
+    )
+    # a USER column named 'disallow' is fine now (reserved names are
+    # __robots_*) and must survive the filter
+    out = robots_filter(df, robots)
+    assert out.columns == ["doc_id", "url", "disallow"]
+    assert out.collect()[0]["disallow"] == "keep-me"
+    bad = spark.createDataFrame(
+        [(1, "http://a.d.com/x", "boom")],
+        "doc_id long, url string, __robots_dom string",
+    )
+    with pytest.raises(ValueError, match="reserved"):
+        robots_filter(bad, robots)
+
+
 def test_domain_stats_text_never_shuffles(spark):
     """domain_stats reduces text to a 60-bit hash in the scan
     projection; no Exchange may carry the raw text column."""

@@ -30,9 +30,11 @@ def ref_canon(url: str) -> str | None:
     auth = am.group(1)
     tail = rest[am.end():]
     auth = re.sub(r"^[^@]*@", "", auth, count=1)
-    hm = re.match(r"^([^:]*)", auth)
+    # bracketed IPv6 authorities keep the whole '[...]' literal as the
+    # host; the port only counts when the full remainder is ':digits'
+    hm = re.match(r"^(\[[^\]]*\]|[^:]*)", auth)
     host = hm.group(1).lower()
-    pm = re.search(r":([0-9]+)$", auth)
+    pm = re.match(r"^(?:\[[^\]]*\]|[^:]*):([0-9]+)$", auth)
     port = pm.group(1) if pm else ""
     if (
         port == ""
@@ -55,7 +57,8 @@ def ref_canon(url: str) -> str | None:
 
 _scheme = st.sampled_from(["http", "HTTP", "https", "HTTPS", "ftp", "s3+x"])
 _host = st.sampled_from(
-    ["Example.COM", "a.b.co.uk", "LOCALHOST", "x--1.io", "e.com."]
+    ["Example.COM", "a.b.co.uk", "LOCALHOST", "x--1.io", "e.com.",
+     "[::1]", "[2001:DB8::1]", "[::ffff:192.0.2.1]", "[v1.fe80::a]"]
 )
 _userinfo = st.sampled_from(["", "u@", "User:Pa ss@", "a@b@"])
 _port = st.sampled_from(["", ":80", ":443", ":8080", ":0", ":x"])
