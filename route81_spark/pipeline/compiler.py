@@ -1522,9 +1522,19 @@ def compile_pipeline(stages: list[dict]) -> Callable[[DataFrame], DataFrame]:
             sort_spec = None  # grouping discards document order
 
     def run(df: DataFrame) -> DataFrame:
-        for f in fns:
-            df = f(df)
-        return df
+        # one textScore scope per pipeline application: a $text inside
+        # this run binds {$meta: "textScore"} for LATER stages of this
+        # run only; on exit the enclosing scope (outer pipeline, or
+        # none) is restored — no compile state leaks across pipelines.
+        from route81_spark.pipeline import query as Q
+
+        token = Q.open_text_scope()
+        try:
+            for f in fns:
+                df = f(df)
+            return df
+        finally:
+            Q.close_text_scope(token)
 
     return run
 

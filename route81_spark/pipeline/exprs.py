@@ -758,11 +758,12 @@ def _compile_op(op: str, arg: Any, df: DataFrame | None) -> Column:
             return F.col("__vs_score")  # populated by the $vectorSearch stage
         if arg == "textScore":
             # compiles the engine-defined score expression against the
-            # searched column, bound to the last $text seen by the
-            # query compiler (Mongo's implicit-index context)
+            # searched column, bound to the $text of the pipeline
+            # application currently compiling (Mongo's implicit-index
+            # context; scoped via a ContextVar, never a global)
             from route81_spark.pipeline import query as Q
 
-            spec = Q.last_text_spec()
+            spec = Q.active_text_spec()
             if spec is None:
                 raise PipelineCompileError(
                     '{$meta: "textScore"} requires a preceding $match with $text'

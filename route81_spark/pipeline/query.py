@@ -23,6 +23,7 @@ deliberately:
 
 from __future__ import annotations
 
+import contextvars
 import re
 from typing import Any
 
@@ -59,7 +60,18 @@ from route81_spark.pipeline.exprs import PipelineCompileError, compile_expr, ext
 #     definition.
 # --------------------------------------------------------------------
 
-_LAST_TEXT_SPEC: dict | None = None  # read by {$meta: "textScore"}
+# The active $text spec, read by {$meta: "textScore"}. A ContextVar —
+# NOT a module global — scoped to one pipeline application:
+# compile_pipeline's runner opens a fresh scope (set(None)) on entry
+# and restores the outer value on exit, so (a) a pipeline using
+# textScore WITHOUT its own $text fails loudly instead of silently
+# binding a previous pipeline's search, (b) interleaved or concurrent
+# compiles can never cross-wire scores (contextvars are per-thread /
+# per-async-task), and (c) nested sub-pipelines ($lookup pipeline
+# form) get their own scope and hand the outer one back.
+_TEXT_SPEC: contextvars.ContextVar[dict | None] = contextvars.ContextVar(
+    "route81_text_spec", default=None
+)
 
 
 def _parse_search(search: str) -> tuple[list[str], list[str], list[str], list[str]]:
@@ -174,8 +186,20 @@ def text_score(spec: dict) -> Column:
     return _text_bound(spec, build)
 
 
-def last_text_spec() -> dict | None:
-    return _LAST_TEXT_SPEC
+def active_text_spec() -> dict | None:
+    """The $text spec of the pipeline application currently compiling
+    (None outside one, or before its $match compiles)."""
+    return _TEXT_SPEC.get()
+
+
+def open_text_scope() -> contextvars.Token:
+    """Enter a fresh textScore scope; pass the token to
+    close_text_scope to restore the enclosing scope."""
+    return _TEXT_SPEC.set(None)
+
+
+def close_text_scope(token: contextvars.Token) -> None:
+    _TEXT_SPEC.reset(token)
 
 
 def _qlit(v: Any) -> Column:
@@ -439,10 +463,10 @@ def compile_match(query: dict, df: DataFrame | None = None) -> Column:
             # within a plan (no oracle — nondeterministic by contract)
             preds.append(F.rand(42) < float(val))
         elif key == "$text":
-            # documented engine subset (see module header); remember the
-            # spec so a later {$meta: "textScore"} can compile the score
-            global _LAST_TEXT_SPEC
-            _LAST_TEXT_SPEC = val
+            # documented engine subset (see module header); record the
+            # spec in the pipeline-scoped context so a later {$meta:
+            # "textScore"} in THIS pipeline can compile the score
+            _TEXT_SPEC.set(val)
             preds.append(compile_text(val))
         elif key in ("$where", "$jsonSchema"):
             raise PipelineCompileError(

@@ -438,14 +438,42 @@ def test_text_search_subset_semantics(spark):
     ).collect()
     assert [r["doc_id"] for r in ranked] == [5]  # spark(2)+vector(1)=3 tops
 
-    # $meta textScore with no $text in sight fails loudly
-    from route81_spark.pipeline import query as Q
-
-    Q._LAST_TEXT_SPEC = None
+    # $meta textScore with no $text in THIS pipeline fails loudly —
+    # even right after a $text pipeline ran (the spec is scoped to one
+    # pipeline application, not remembered globally; no hand-reset)
     with pytest.raises(PipelineCompileError, match="textScore"):
         apply_pipeline(
             df, [{"$addFields": {"s": {"$meta": "textScore"}}}]
         ).collect()
+
+
+def test_text_score_scope_is_per_pipeline(spark):
+    """Two $text pipelines compiled interleaved must each bind their
+    OWN search spec (the r7 wart: a module-global spec could cross-wire
+    scores between pipelines)."""
+    from route81_spark.pipeline import apply_pipeline
+
+    df = spark.createDataFrame(
+        [(1, "spark spark vector"), (2, "vector merge")],
+        "doc_id long, text string",
+    )
+
+    def text_pipe(search):
+        return [
+            {"$match": {"$text": {"$search": search}}},
+            {"$addFields": {"s": {"$meta": "textScore"}}},
+            {"$project": {"doc_id": 1, "s": 1}},
+        ]
+
+    # build A, build B, THEN collect both — a global would have left B's
+    # spec active when A's plan was still around, and vice versa; the
+    # scoped context makes each plan carry its own score expression
+    a = apply_pipeline(df, text_pipe("spark"))
+    b = apply_pipeline(df, text_pipe("vector"))
+    got_a = {r["doc_id"]: r["s"] for r in a.collect()}
+    got_b = {r["doc_id"]: r["s"] for r in b.collect()}
+    assert got_a == {1: 2}          # 'spark' twice in doc 1
+    assert got_b == {1: 1, 2: 1}    # 'vector' once in each
 
 
 def test_js_accumulators_fail_loudly(spark):
