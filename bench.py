@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "corpus_domain_gate",  # rollup -> broadcast-anti domain gate (r7)
     "corpus_robots_filter",  # robots parse (broadcast) + prefix filter (r7)
     "match_text_search",   # $text subset: per-row token/phrase scan (r7)
+    "corpus_psl_domains",  # full-PSL broadcast rule-table extraction (r8)
 ]
 
 # Round-over-round comparability cohorts (r6 verdict: the growing set mixes

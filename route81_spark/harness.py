@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -8959,6 +8959,90 @@ def corpus_domain_split(spark, sf_dir):
     return train_val_split(
         with_dom, id_col="domain", val_fraction=0.2, seed="domsplit0"
     ).select("doc_id", "domain", "split")
+
+
+@_q(
+    "corpus_psl_domains",
+    # independently-shaped oracle: Spark runs the REAL PSL longest-match
+    # algorithm (broadcast rule-table mode over the vendored snapshot);
+    # the oracle never matches rules — it derives each host family's
+    # registrable domain STRUCTURALLY from the same md5 slices the
+    # generator used (family f knows its own answer shape)
+    "WITH h AS (SELECT doc_id,\n"
+    f"            {_wh60('psl0')} % 12 AS f,\n"
+    f"            CAST({_wh60('psl0')} % 50 AS VARCHAR) AS k\n"
+    "            FROM documents),\n"
+    "     s AS (SELECT doc_id, f,\n"
+    "            CASE f\n"
+    "              WHEN 0 THEN 'www.site' || k || '.com'\n"
+    "              WHEN 1 THEN 'site' || k || '.co.uk'\n"
+    "              WHEN 2 THEN 'a.b.site' || k || '.xyz'\n"
+    "              WHEN 3 THEN 'www.site' || k || '.ck'\n"
+    "              WHEN 4 THEN 'site' || k || '.ck'\n"
+    "              WHEN 5 THEN 'www.ck'\n"
+    "              WHEN 6 THEN 'sub' || k || '.www.ck'\n"
+    "              WHEN 7 THEN 'x' || k || '.city.kobe.jp'\n"
+    "              WHEN 8 THEN 'y' || k || '.site' || k || '.kobe.jp'\n"
+    "              WHEN 9 THEN 'www.school' || k || '.k12.ma.us'\n"
+    "              WHEN 10 THEN '10.' || CAST(("
+    f"{_wh60('psl0')} % 50) % 250 AS VARCHAR) || '.0.1'\n"
+    "              ELSE 'localhost' END AS host,\n"
+    "            CASE f\n"
+    "              WHEN 0 THEN 'site' || k || '.com'\n"
+    "              WHEN 1 THEN 'site' || k || '.co.uk'\n"
+    "              WHEN 2 THEN 'site' || k || '.xyz'\n"
+    "              WHEN 3 THEN 'www.site' || k || '.ck'\n"
+    "              WHEN 4 THEN NULL\n"
+    "              WHEN 5 THEN 'www.ck'\n"
+    "              WHEN 6 THEN 'www.ck'\n"
+    "              WHEN 7 THEN 'city.kobe.jp'\n"
+    "              WHEN 8 THEN 'y' || k || '.site' || k || '.kobe.jp'\n"
+    "              WHEN 9 THEN 'school' || k || '.k12.ma.us'\n"
+    "              ELSE NULL END AS domain\n"
+    "           FROM h)\n"
+    "SELECT doc_id, host, domain FROM s",
+)
+def corpus_psl_domains(spark, sf_dir):
+    """Full public-suffix-list registrable-domain extraction in
+    BROADCAST rule-table mode: synthetic hosts cover every grammar
+    feature — plain + multi-label normal rules, wildcard `*.ck` tails
+    (both the carved-out suffix and the host AT suffix depth -> NULL),
+    the `!www.ck` exception family, the Japanese designated-city
+    wildcard/exception pair, a 3-label normal rule, the default rule
+    on unknown TLDs, IP literals, and single-label hosts. The rule
+    table broadcasts; the crawl side is map-only (plan pinned in
+    tests/test_psl.py)."""
+    from route81_spark.ops.psl import DEFAULT_PSL_RULES, psl_domain_table
+    from route81_spark.ops.web import _h60
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    h = _h60(F.col("doc_id"), "psl0")
+    f = h % 12
+    k = (h % 50).cast("string")
+
+    def c(*parts):
+        return F.concat(*[p if isinstance(p, Column) else F.lit(p) for p in parts])
+
+    host = (
+        F.when(f == 0, c("www.site", k, ".com"))
+        .when(f == 1, c("site", k, ".co.uk"))
+        .when(f == 2, c("a.b.site", k, ".xyz"))
+        .when(f == 3, c("www.site", k, ".ck"))
+        .when(f == 4, c("site", k, ".ck"))
+        .when(f == 5, F.lit("www.ck"))
+        .when(f == 6, c("sub", k, ".www.ck"))
+        .when(f == 7, c("x", k, ".city.kobe.jp"))
+        .when(f == 8, c("y", k, ".site", k, ".kobe.jp"))
+        .when(f == 9, c("www.school", k, ".k12.ma.us"))
+        .when(f == 10, c("10.", ((h % 50) % 250).cast("string"), ".0.1"))
+        .otherwise(F.lit("localhost"))
+    )
+    rules_df = spark.createDataFrame(
+        [(r,) for r in DEFAULT_PSL_RULES], "rule string"
+    )
+    return psl_domain_table(
+        docs.withColumn("host", host), rules_df, host_col="host"
+    ).select("doc_id", "host", "domain")
 
 
 @_q(

@@ -40,10 +40,10 @@ from pyspark.sql import functions as F
 # RE2-safe; mirrored verbatim in the DuckDB oracles.
 TRACKING_PARAM_RE = r"^(utm_[^=]*|fbclid|gclid|msclkid|ref)(=|$)"
 
-# Static public-suffix subset: the two-label suffixes under which
-# registrable domains take THREE labels (site.co.uk), not two. A real
-# deployment swaps in the full publicsuffix.org list — same plan shape
-# (a literal IN over the second-level tail), just a longer literal.
+# r7's static two-label suffix subset, kept for callers that imported
+# it; registrable_domain itself now runs the FULL PSL rule grammar
+# (normal + wildcard + exception rules) from ops.psl.DEFAULT_PSL_RULES,
+# which is a superset of this list.
 MULTI_LABEL_SUFFIXES = (
     "co.uk", "org.uk", "ac.uk", "gov.uk",
     "com.au", "net.au", "org.au",
@@ -193,40 +193,22 @@ def url_host(url: Column) -> Column:
     return F.when(host == "", F.lit(None).cast("string")).otherwise(host)
 
 
-def registrable_domain(host: Column) -> Column:
-    """Registrable (pay-level) domain: public suffix + one label, with
-    the static MULTI_LABEL_SUFFIXES subset standing in for the full
-    public-suffix list. A host that IS a suffix (or a single label)
-    has no registrable domain -> NULL. Pure Column: split + NULL-safe
-    F.get probes + a literal IN — no UDF, no shuffle. The label array
-    binds ONCE (see url_canonicalize) so a computed host expression is
-    evaluated a single time however many probes reference it; a NULL
-    host propagates to NULL through the whole chain. A trailing-dot
-    FQDN ('e.com.') folds to its dotless form first — otherwise the
-    empty final label would make 'com.' the registrable domain."""
+def registrable_domain(host: Column, rules: Sequence[str] | None = None) -> Column:
+    """Registrable (pay-level) domain under the FULL public-suffix-list
+    algorithm (longest-match normal rules, `*.ck` wildcards,
+    `!city.kobe.jp` exceptions, the implicit default rule) — delegated
+    to ops.psl.registrable_domain_psl with the vendored
+    DEFAULT_PSL_RULES snapshot, or any caller-supplied PSL-format rule
+    list. Still ONE pure-Column expression: zero Python, zero shuffle,
+    bind-once label array, NULL propagation, trailing-dot FQDN fold,
+    and IP-literal (IPv4 / bracketed IPv6) hosts -> NULL. For rule
+    sets shipped as a DataFrame (the full ~9k publicsuffix.org list),
+    use ops.psl.psl_domain_table — broadcast joins, same semantics."""
+    from route81_spark.ops.psl import DEFAULT_PSL_RULES, registrable_domain_psl
 
-    def rd(labels: Column) -> Column:
-        n = F.size(labels)
-        last2 = F.concat_ws(".", F.get(labels, n - 2), F.get(labels, n - 1))
-        last3 = F.concat_ws(
-            ".", F.get(labels, n - 3), F.get(labels, n - 2), F.get(labels, n - 1)
-        )
-        is_multi = last2.isin(*MULTI_LABEL_SUFFIXES)
-        return (
-            F.when(is_multi & (n >= 3), last3)
-            .when(~is_multi & (n >= 2), last2)
-            .otherwise(F.lit(None).cast("string"))
-        )
-
-    dotless = F.regexp_replace(host, r"\.$", "")
-    # IP-literal hosts have no registrable domain: dotted IPv4, and
-    # bracketed IPv6 (guarded explicitly — an IPv4-mapped literal like
-    # '[::ffff:192.0.2.1]' DOES contain dots and would otherwise split)
-    out = F.get(F.transform(F.array(F.split(dotless, r"\.")), rd), 0)
-    return F.when(
-        dotless.rlike(r"^[0-9]+(\.[0-9]+){3}$") | dotless.startswith("["),
-        F.lit(None).cast("string"),
-    ).otherwise(out)
+    return registrable_domain_psl(
+        host, DEFAULT_PSL_RULES if rules is None else rules
+    )
 
 
 def domain_stats(
