@@ -86,6 +86,8 @@ BENCH_QUERIES = [
     "corpus_robots_filter",  # robots parse (broadcast) + prefix filter (r7)
     "match_text_search",   # $text subset: per-row token/phrase scan (r7)
     "corpus_psl_domains",  # full-PSL broadcast rule-table extraction (r8)
+    "corpus_unicode_text", # NFC (Arrow) + Unicode tokenization (r8)
+    "match_text_unicode",  # $text unicode mode over NFC'd text (r8)
 ]
 
 # Round-over-round comparability cohorts (r6 verdict: the growing set mixes

@@ -53,8 +53,10 @@ from route81_spark.pipeline.exprs import PipelineCompileError, compile_expr, ext
 #     tf-weight formula is index-internal and unreplicable without it);
 #   * DOCUMENTED DIVERGENCES (fail loudly where dishonoring a request):
 #     no language stemming ($language accepted, ignored), tokens are
-#     ASCII-alnum runs (use phrases for CJK), diacritics are always
-#     significant ($diacriticSensitive: false raises).
+#     ASCII-alnum runs BY DEFAULT (engine extension {unicode: true}
+#     switches to Unicode letter/number runs for any script — r8),
+#     diacritics are always significant ($diacriticSensitive: false
+#     raises; NFC-normalize upstream via ops.unitext.nfc_normalize).
 #   * engine extension key `field` names the searched column
 #     (default "text") — the analog of the server-side text index
 #     definition.
@@ -86,11 +88,12 @@ def _parse_search(search: str) -> tuple[list[str], list[str], list[str], list[st
     return pos_t, neg_t, pos_ph, neg_ph
 
 
-def _text_parts(spec: dict) -> tuple[str, bool, tuple]:
+def _text_parts(spec: dict) -> tuple[str, bool, bool, tuple]:
     if not isinstance(spec, dict) or "$search" not in spec:
         raise PipelineCompileError("$text requires a {$search: <string>} document")
     unknown = set(spec) - {
-        "$search", "$language", "$caseSensitive", "$diacriticSensitive", "field"
+        "$search", "$language", "$caseSensitive", "$diacriticSensitive",
+        "field", "unicode",
     }
     if unknown:
         raise PipelineCompileError(f"unsupported $text options: {sorted(unknown)}")
@@ -101,7 +104,12 @@ def _text_parts(spec: dict) -> tuple[str, bool, tuple]:
         )
     field = spec.get("field", "text")
     cs = bool(spec.get("$caseSensitive", False))
-    return field, cs, _parse_search(str(spec["$search"]))
+    # engine extension: {unicode: true} switches tokenization from
+    # ASCII-alnum runs to Unicode letter/number runs (any script) —
+    # shrinking the documented CJK/diacritics divergence; matching and
+    # scoring semantics are otherwise identical
+    uni = bool(spec.get("unicode", False))
+    return field, cs, uni, _parse_search(str(spec["$search"]))
 
 
 def _text_norm(c: Column, cs: bool) -> Column:
@@ -121,9 +129,13 @@ def _text_bound(spec: dict, build):
     otherwise every term's probe re-inlines the split; see
     web.url_canonicalize for the trap), then hand (text, toks, parts,
     norm) to the builder."""
-    field, cs, parts = _text_parts(spec)
+    field, cs, uni, parts = _text_parts(spec)
     text = _text_norm(F.col(field), cs)
-    toks = F.split(text, "[^0-9a-zA-Z]+" if cs else "[^0-9a-z]+")
+    if uni:
+        sep = r"[^\p{L}\p{N}]+"  # Unicode categories (Java + RE2)
+    else:
+        sep = "[^0-9a-zA-Z]+" if cs else "[^0-9a-z]+"
+    toks = F.split(text, sep)
 
     def norm(s: str) -> str:
         return s if cs else s.lower()

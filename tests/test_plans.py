@@ -287,6 +287,9 @@ def test_no_row_python_udf_in_any_registered_query(spark):
                      "sim_ivfpq",  # r6: PQ encode + ADC in the Arrow pass
                      "media_audio_segments",  # r6: WAV decode + run detection
                      "media_image_tiles",  # r6: BMP/PNG decode + tile sums
+                     "corpus_unicode_text",  # r8: NFC pandas UDF (no
+                     # Spark builtin carries the composition tables)
+                     "match_text_unicode",   # r8: NFC prep before $text
                      "media_audio_dedup"}  # r6: WAV decode + integer
     # energy fingerprint in the Arrow pass (oracle regenerates samples)
     offenders, arrow_unexpected = [], []
