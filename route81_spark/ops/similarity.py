@@ -168,14 +168,17 @@ def brute_force_topk_np(
     )
 
 
-def sign_bucket(vec: Column, n_dims: int = 8) -> Column:
-    """LSH bucket id from the sign bits of the leading `n_dims` dims —
-    a pure per-row expression (deterministic, oracle-reproducible)."""
+def sign_bucket(vec: Column, n_dims: int = 8, offset: int = 0) -> Column:
+    """LSH bucket id from the sign bits of `n_dims` dims starting at
+    `offset` — a pure per-row expression (deterministic,
+    oracle-reproducible). `offset` gives OR-amplification bands their
+    own disjoint dim slices (band j = offset j*n_dims); callers keep
+    offset + n_dims within the vector length."""
     out = F.lit(0).cast("long")
     for i in range(n_dims):
-        out = out + F.when(F.element_at(vec, i + 1) > 0, F.lit(2**i).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
+        out = out + F.when(
+            F.element_at(vec, offset + i + 1) > 0, F.lit(2**i).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
     return out
 
 
@@ -1077,6 +1080,8 @@ def knn_graph(
     target_bucket_pop: int = 16,
     min_dims: int = 2,
     max_dims: int = 24,
+    n_bands: int = 1,
+    vec_dim: int = 64,
 ) -> DataFrame:
     """Corpus-wide approximate k-NN graph: each vector's `k` nearest
     neighbours among its sign-bucket candidates. The graph primitive
@@ -1097,7 +1102,18 @@ def knn_graph(
     count(*)). The only other shuffle is the per-source top-k window
     over (src, score) rows. Unlike bucketed_topk the query side IS the
     corpus, so the join is a plain shuffle join on `bucket` —
-    broadcasting would ship the whole corpus."""
+    broadcasting would ship the whole corpus.
+
+    Recall: ONE sign band has low top-k recall (a true neighbour only
+    surfaces if ALL n_dims sign bits agree — measured ~0.05-0.2 @5 on
+    the harness embeddings). `n_bands` > 1 turns on OR-amplification:
+    band j buckets on the DISJOINT dim slice [j*n_dims, (j+1)*n_dims),
+    candidates union across bands (recall 1-(1-p^r)^L instead of p^r),
+    the pair set dedups on (src, nbr) before the top-k window. Cost is
+    ~n_bands x candidate pairs — still linear in corpus size at the
+    self-scaled width; bands are clamped so slices fit in `vec_dim`
+    dims. The recall/cost trade is probe-measured (scale_probe
+    knn_recall) and floor-pinned (tests/test_ops.py)."""
     import math
 
     if n_dims is None:
@@ -1111,19 +1127,34 @@ def knn_graph(
                 ),
             )
         )
-    e = emb.select(
-        F.col(id_col), F.col(vec_col), sign_bucket(F.col(vec_col), n_dims).alias("bucket")
-    )
-    a, b = e.alias("a"), e.alias("b")
-    scored = a.join(
-        b,
-        (F.col("a.bucket") == F.col("b.bucket"))
-        & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
-    ).select(
-        F.col(f"a.{id_col}").alias("src"),
-        F.col(f"b.{id_col}").alias("nbr"),
-        det_round(cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 6).alias("score"),
-    )
+    bands = max(1, min(n_bands, vec_dim // max(n_dims, 1)))
+
+    def band_pairs(j: int) -> DataFrame:
+        e = emb.select(
+            F.col(id_col),
+            F.col(vec_col),
+            sign_bucket(F.col(vec_col), n_dims, offset=j * n_dims).alias("bucket"),
+        )
+        a, b = e.alias("a"), e.alias("b")
+        return a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+        ).select(
+            F.col(f"a.{id_col}").alias("src"),
+            F.col(f"b.{id_col}").alias("nbr"),
+            det_round(
+                cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 6
+            ).alias("score"),
+        )
+
+    scored = band_pairs(0)
+    if bands > 1:
+        for j in range(1, bands):
+            scored = scored.unionByName(band_pairs(j))
+        # a pair found by several bands scores identically in each —
+        # max() is pure dedup (hash-only rows shuffle, never vectors)
+        scored = scored.groupBy("src", "nbr").agg(F.max("score").alias("score"))
     w = Window.partitionBy("src").orderBy(F.col("score").desc(), F.col("nbr").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))

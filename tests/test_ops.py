@@ -3052,6 +3052,54 @@ def test_knn_graph_auto_bucket_width(spark):
     assert {r["n_dims"] for r in fixed.select("n_dims").distinct().collect()} == {3}
 
 
+def test_knn_graph_band_recall_floor(spark, sf_dir):
+    """OR-amplification recall pin: on the real harness embeddings the
+    8-band graph's recall@5 vs exact brute force clears a floor a
+    single sign band cannot (single band measured ~0.05-0.2 — a true
+    neighbour must agree on ALL n_dims sign bits; 8 disjoint-slice
+    bands lift that to 1-(1-p^r)^8). The 20x side of this pin lives in
+    scale_probe knn_recall (recall stays ~1.0 on dup-structure
+    neighbours at Kx; time ratio ~1.5x at 20x)."""
+    from pyspark.sql import Window
+
+    from route81_spark.io import load_table
+    from route81_spark.ops.similarity import brute_force_topk, knn_graph
+
+    emb = load_table(spark, sf_dir, "embeddings").persist()
+    emb.count()
+    qs = emb.filter(F.col("vec_id") % 3 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = brute_force_topk(emb, qs, k=6).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("vec_id").asc()
+    )
+    truth = (
+        exact.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= 5)
+        .select("query_id", "vec_id")
+        .persist()
+    )
+    nt = truth.count()
+
+    def recall(bands: int) -> float:
+        g = knn_graph(emb, k=5, n_bands=bands)
+        hits = truth.join(
+            g.select(F.col("src").alias("query_id"), F.col("nbr").alias("vec_id")),
+            ["query_id", "vec_id"],
+            "inner",
+        ).count()
+        return hits / nt
+
+    r8, r1 = recall(8), recall(1)
+    emb.unpersist()
+    truth.unpersist()
+    assert r8 >= 0.35, f"8-band recall@5 below floor: {r8:.3f}"
+    assert r8 > r1, f"bands did not improve recall: 8-band {r8:.3f} vs 1-band {r1:.3f}"
+
+
 def test_new_sim_and_sketch_stages(spark):
     """$knnGraph / $randomProject over the embedding table and
     $overlapSketch through the collection hook match their op-level

@@ -629,10 +629,80 @@ def embedding_ops() -> dict:
             "prefix_refine": prefix, "centroid_update": cupdate}
 
 
+def knn_recall_probe(spark, k: int = 20) -> None:
+    """(time-ratio, recall) probe for the self-scaling knn_graph: at 1x
+    and Kx the sf embeddings, build the graph (n_dims self-scaled, 8
+    OR-amplification bands) and score recall@5 against exact brute
+    force on a fixed-size sampled query set. The Kx corpus is K exact
+    copies, so the true nearest neighbours at Kx are duplicates
+    (cos=1.0) — exactly the neighbour class curation cares about; sign
+    buckets agree on identical vectors for ANY width, so recall at Kx
+    measures whether self-scaling the width keeps the dup/near-dup
+    structure reachable (it must stay ~1.0). Recall at 1x is the hard
+    case: uniform-random neighbours (median true-top-k cos ~0.33 on
+    the harness embeddings), floor-pinned in tests/test_ops.py."""
+    from pyspark.sql import Window
+
+    from route81_spark.ops.similarity import brute_force_topk, knn_graph
+
+    kk = 5
+
+    def recall_and_time(emb: DataFrame, qmod: int) -> tuple[float, float]:
+        emb = emb.persist()
+        emb.count()
+        qs = emb.filter(F.col("vec_id") % qmod == 0).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+        exact = brute_force_topk(emb, qs, k=kk + 1).filter(
+            F.col("vec_id") != F.col("query_id")
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("score").desc(), F.col("vec_id").asc()
+        )
+        truth = (
+            exact.withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") <= kk)
+            .select("query_id", "vec_id")
+            .persist()
+        )
+        nt = truth.count()
+        t0 = time.time()
+        g = knn_graph(emb, k=kk, n_bands=8)
+        g.write.format("noop").mode("overwrite").save()
+        dt = time.time() - t0
+        hits = truth.join(
+            g.select(F.col("src").alias("query_id"), F.col("nbr").alias("vec_id")),
+            ["query_id", "vec_id"],
+            "inner",
+        ).count()
+        emb.unpersist()
+        truth.unpersist()
+        return dt, hits / max(nt, 1)
+
+    base = load_table(
+        spark,
+        os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+        "embeddings",
+    )
+    t1, r1 = recall_and_time(base, 7)
+    # query modulus scales with K so the exact-truth side stays a
+    # fixed-size sample instead of growing the brute-force quadratically
+    tk, rk = recall_and_time(scaled_embeddings(base, k), 7 * k)
+    print(
+        f"knn_recall   1x={t1:6.2f}s recall@5={r1:.3f}   "
+        f"{k}x={tk:7.2f}s recall@5={rk:.3f}   ratio={tk / t1:5.1f}x"
+    )
+
+
 def main() -> int:
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 20
     selected = set(sys.argv[2:])
     spark = get_spark("scale_probe")
+    if "knn_recall" in selected:
+        knn_recall_probe(spark, k)
+        selected = selected - {"knn_recall"}
+        if not selected:
+            return 0
     if "headline" in selected:
         headline_probe(spark, k)
         selected = selected - {"headline"}
