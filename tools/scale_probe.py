@@ -694,10 +694,64 @@ def knn_recall_probe(spark, k: int = 20) -> None:
     )
 
 
+def sf1_probe(spark, k: int = 100) -> None:
+    """100x (sf1-equivalent) probe tier for the five most expensive
+    bench queries — the 20x in-memory probes top out at ~100k docs;
+    this tier writes a Kx documents corpus to parquet ONCE (so the
+    probe includes real scan/pushdown behaviour and survives re-runs
+    without re-writing ~500k docs) and runs the HARNESS queries
+    unmodified against the scaled directory. Duplication preserves the
+    near-dup variant structure (each base cluster becomes a K-times
+    larger cluster), which makes dedup/clustering HARDER than organic
+    growth — sublinear ratios here are conservative evidence."""
+    from route81_spark import harness
+
+    sf = os.path.abspath(os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    cache = os.path.join(
+        os.environ.get("TMPDIR", "/tmp"), f"route81_sf1_probe_k{k}"
+    )
+    docs_path = os.path.join(cache, "documents.parquet")
+    if not os.path.exists(docs_path):
+        os.makedirs(cache, exist_ok=True)
+        base = load_table(spark, sf, "documents")
+        # write in stride-sized slices (one union branch per copy keeps
+        # the plan linear; repartition bounds file count)
+        scaled(base, k).repartition(64).write.mode("overwrite").parquet(docs_path)
+        print(f"wrote {k}x documents -> {docs_path}")
+
+    probes = [
+        "corpus_incremental_curation",
+        "corpus_curation",
+        "corpus_bloom_dedup",
+        "dedup_end_to_end",
+        "corpus_bpe_encode",
+    ]
+
+    def run(name: str, d: str) -> float:
+        t0 = time.time()
+        harness.QUERIES[name](spark, d).write.format("noop").mode("overwrite").save()
+        return time.time() - t0
+
+    n1 = load_table(spark, sf, "documents").count()
+    nk = load_table(spark, cache, "documents").count()
+    print(f"documents base={n1} rows, scaled={nk} rows (K={k})")
+    for name in probes:
+        t1 = min(run(name, sf) for _ in range(2))
+        tk = run(name, cache)
+        print(
+            f"{name:28s} 1x={t1:6.2f}s  {k}x={tk:8.2f}s  ratio={tk / t1:6.1f}x"
+        )
+
+
 def main() -> int:
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 20
     selected = set(sys.argv[2:])
     spark = get_spark("scale_probe")
+    if "sf1" in selected:
+        sf1_probe(spark, k if k != 20 else 100)
+        selected = selected - {"sf1"}
+        if not selected:
+            return 0
     if "knn_recall" in selected:
         knn_recall_probe(spark, k)
         selected = selected - {"knn_recall"}
