@@ -1,0 +1,104 @@
+"""Shared harness infrastructure: the (QUERIES, ORACLES) registries,
+the @_q registration decorator, table loading, and helpers used by
+more than one domain module."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from collections.abc import Callable
+from route81_spark.io import load_table
+
+from collections.abc import Callable
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+_DOT = (
+    "list_reduce(list_transform(range(1, 65),"
+    " i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)"
+)
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"{_DOT.format(a=a, b=b)} / "
+        f"(sqrt({_DOT.format(a=a, b=a)}) * sqrt({_DOT.format(a=b, b=b)}))"
+    )
+def _q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+def _t(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return load_table(spark, sf_dir, table)
+
+_SH_SQL = (
+    "list_distinct(list_transform(range(1, greatest(len(string_split_regex(trim(text),"
+    " '\\s+')) - 2, 1) + 1), i -> array_to_string("
+    "string_split_regex(trim(text), '\\s+')[i:i+2], ' ')))"
+)
+
+def _minhash_sql_expr(j: int) -> str:
+    # mirror of ops.dedup.derived_hash: one md5 base, universal-hash seeds
+    from route81_spark.ops.dedup import MINHASH_P, minhash_seed_params
+
+    a, b = minhash_seed_params(j)
+    base = "('0x' || substr(md5('0|' || s), 1, 15))::BIGINT"
+    return (
+        f"list_aggregate(list_transform(sh, s -> (({base} % {MINHASH_P}) * {a} + {b})"
+        f" % {MINHASH_P}), 'min')"
+    )
+
+_TOKS = "string_split_regex(trim(text), '\\s+')"
+
+def _use_tables(spark, sf_dir):
+    from route81_spark.pipeline import compiler
+
+    compiler.set_collection_resolver(lambda name: _t(spark, sf_dir, name))
+
+_HTML_STEPS = [
+    (r"\r\n?", "chr(10)"),
+    (r"(?is)<script\b.*?</script\s*>|<style\b.*?</style\s*>|<head\b.*?</head\s*>",
+     "' '"),
+    (r"(?s)<!--.*?-->", "' '"),
+    (r"(?i)</(p|div|li|tr|h[1-6])\s*>|<br\s*/?>", "chr(10)"),
+    (r"(?s)<[^>]*>", "' '"),
+    ("&nbsp;", "' '"),
+    ("&lt;", "'<'"),
+    ("&gt;", "'>'"),
+    ("&quot;", "'\"'"),
+    ("&#39;", "''''"),
+    ("&amp;", "'&'"),
+    (r"[ \t]+", "' '"),
+    (r" ?\n ?", "chr(10)"),
+    (r"\n{3,}", "chr(10)||chr(10)"),
+    (r"^\s+|\s+$", "''"),
+]
+
+def _wh60(seed: str, x: str = "CAST(doc_id AS VARCHAR)") -> str:
+    """DuckDB twin of ops.web._h60 (60-bit md5-slice hash)."""
+    return f"('0x' || substr(md5('{seed}|' || {x}), 1, 15))::BIGINT"
+
+def _wpick(options: str, h: str, n: int) -> str:
+    """DuckDB twin of ops.web._pick: options[h % n] (1-based list)."""
+    return f"({options})[CAST({h} % {n} AS INT) + 1]"
+
+_W_SCHEME_RE = "'^([A-Za-z][A-Za-z0-9+.\\-]*)://'"
+
+_W_TRACK_RE = "'^(utm_[^=]*|fbclid|gclid|msclkid|ref)(=|$)'"
+
+_W_SUFFIX_IN = (
+    "('co.uk','org.uk','ac.uk','gov.uk','com.au','net.au','org.au',"
+    "'co.jp','ne.jp','or.jp','com.br','co.in','co.nz','com.cn','com.mx')"
+)
+
+U_SNIPS = [
+    "café du monde",                   # NFD -> café
+    "über grüne äpfel",    # NFD -> über grüne äpfel
+    "Ünified Über Text",           # precomposed Ü + case
+    "ελληνικα γραμματα",  # greek
+    "русский текст",  # russian
+    "日本語 の テキスト",  # japanese
+    "가 나 jamo",        # decomposed 가 나
+    "plain ascii text",
+]

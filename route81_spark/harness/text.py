@@ -1,0 +1,920 @@
+"""Text analysis: stats, language-ID, quality scoring and classifiers, winnowing, vocab/token-ids, BM25, n-gram LMs, HTML extraction, entropy/Zipf diagnostics."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from route81_spark.ops import text as X
+from route81_spark.ops.util import det_round_sql
+from ._shared import _HTML_STEPS, _TOKS, _q, _t
+
+@_q(
+    "text_stats",
+    f"""
+    SELECT doc_id,
+           CAST(len({_TOKS}) AS INT) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+'))
+                AS INT) AS n_bpe_tokens,
+           floor((least(length(text) / 400.0, 1.0)
+                 * (CAST(len(list_distinct({_TOKS})) AS DOUBLE) / len({_TOKS}))
+                 * (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                    / length(text))) * 1000000.0 + 0.5) / 1000000.0 AS quality,
+           md5(array_to_string(list_sort(list_distinct({_TOKS})), ' ')) AS fp
+    FROM documents
+    """,
+)
+def text_stats(spark, sf_dir):
+    from route81_spark.io import ensure_parallelism
+
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    c = F.col("text")
+    return docs.select(
+        "doc_id",
+        X.token_count(c).alias("n_tokens"),
+        F.size(X.bpe_ish_tokens(c)).alias("n_bpe_tokens"),
+        X.quality_score(c).alias("quality"),
+        X.fingerprint(c).alias("fp"),
+    )
+
+@_q(
+    "text_langid",
+    """
+    WITH s AS (
+      SELECT doc_id, lang,
+             CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                  t -> t IN ('der','die','und','das','ist'))) AS INT) AS s_de,
+             CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                  t -> t IN ('the','and','of','to','a'))) AS INT) AS s_en,
+             CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                  t -> t IN ('le','la','et','les','des'))) AS INT) AS s_fr
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN greatest(s_de, s_en, s_fr) > 0 THEN
+             CASE WHEN s_de = greatest(s_de, s_en, s_fr) THEN 'de'
+                  WHEN s_en = greatest(s_de, s_en, s_fr) THEN 'en'
+                  ELSE 'fr' END
+           ELSE 'und' END AS pred_lang
+    FROM s
+    """,
+)
+def text_langid(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", X.lang_id(F.col("text")).alias("pred_lang"))
+
+@_q(
+    "text_winnow",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_transform(range(1, greatest(len(tk) - 3, 1) + 1),
+                            i -> coalesce(array_to_string(tk[i:i+3], ' '), '')) AS sgl
+      FROM t
+    ),
+    h AS (
+      SELECT doc_id,
+             list_transform(sgl, s -> ('0x' || substr(md5('7|' || s), 1, 15))::BIGINT) AS hs
+      FROM sh
+    ),
+    w AS (
+      SELECT doc_id,
+             list_sort(list_distinct(
+               list_transform(range(1, greatest(len(hs) - 3, 1) + 1),
+                              i -> list_aggregate(hs[i:i+3], 'min')))) AS fps
+      FROM h
+    )
+    SELECT doc_id, unnest(fps) AS fp FROM w
+    """,
+)
+def text_winnow(spark, sf_dir):
+    # winnowing fingerprints (MOSS), exploded to (doc_id, fp) rows —
+    # the equi-joinable representation candidate retrieval uses
+    from route81_spark.io import ensure_parallelism
+
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    return docs.select(
+        "doc_id",
+        F.explode(X.winnow_fingerprints(F.col("text"), k=4, window=4)).alias("fp"),
+    )
+
+_PII_EMAIL_SQL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+_PII_PHONE_SQL = "\\+?[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}"
+
+_PII_IP_SQL = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+_PII_AUG_SQL = """
+    text || CASE CAST(doc_id % 7 AS INT)
+      WHEN 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com now'
+      WHEN 1 THEN ' call 555-123-4567 soon'
+      WHEN 2 THEN ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1 up'
+      ELSE '' END
+"""
+
+@_q(
+    "text_pii_redact",
+    f"""
+    WITH aug AS (SELECT doc_id, {_PII_AUG_SQL} AS p FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(p, '{_PII_EMAIL_SQL}')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(p, '{_PII_PHONE_SQL}')) AS INT) AS n_phones,
+           CAST(len(regexp_extract_all(p, '{_PII_IP_SQL}')) AS INT) AS n_ips,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(p, '{_PII_EMAIL_SQL}', '<EMAIL>', 'g'),
+               '{_PII_PHONE_SQL}', '<PHONE>', 'g'),
+             '{_PII_IP_SQL}', '<IP>', 'g') AS redacted
+    FROM aug
+    """,
+)
+def text_pii_redact(spark, sf_dir):
+    # PII scrub over the documents table: typed placeholder redaction +
+    # per-class counts, all narrow regexp expressions (ops/text.py
+    # pii_counts/pii_redact)
+    from route81_spark.ops.text import pii_counts, pii_redact
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            did % 7 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                did.cast("string"),
+                F.lit("@mail.example.com now"),
+            ),
+        )
+        .when(did % 7 == 1, F.lit(" call 555-123-4567 soon"))
+        .when(
+            did % 7 == 2,
+            F.concat(F.lit(" host 10.0."), (did % 256).cast("string"), F.lit(".1 up")),
+        )
+        .otherwise(F.lit("")),
+    )
+    with_pii = docs.select("doc_id", aug.alias("p"))
+    counts = pii_counts(F.col("p"))
+    return with_pii.select(
+        "doc_id",
+        counts["n_emails"].alias("n_emails"),
+        counts["n_phones"].alias("n_phones"),
+        counts["n_ips"].alias("n_ips"),
+        pii_redact(F.col("p")).alias("redacted"),
+    )
+
+@_q(
+    "text_gopher_flags",
+    f"""
+    WITH t AS (SELECT doc_id, text, {_TOKS} AS tk FROM documents),
+    g AS (
+      SELECT doc_id, text, tk,
+             list_transform(range(1, greatest(len(tk) - 2, 1) + 1),
+                            i -> coalesce(array_to_string(tk[i:i+2], ' '), '')) AS g3
+      FROM t
+    ),
+    m AS (
+      SELECT doc_id,
+             floor((1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3))
+                   * 1000000.0 + 0.5) / 1000000.0 AS dup_3gram_frac,
+             floor((CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE)
+                    / len(tk)) * 1000000.0 + 0.5) / 1000000.0 AS mean_word_len,
+             floor((CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+                    / length(text)) * 1000000.0 + 0.5) / 1000000.0 AS symbol_ratio,
+             CAST(len(list_filter(tk, x -> x IN
+               ('a','and','das','der','des','die','et','ist','la','le','les',
+                'of','the','to','und'))) AS INT) AS stopword_hits
+      FROM g
+    )
+    SELECT doc_id, dup_3gram_frac, mean_word_len, symbol_ratio, stopword_hits,
+           (dup_3gram_frac <= 0.75 AND mean_word_len BETWEEN 2.0 AND 12.0
+            AND symbol_ratio <= 0.3 AND stopword_hits >= 1) AS keep
+    FROM m
+    """,
+)
+def text_gopher_flags(spark, sf_dir):
+    # Gopher-style cheap quality filters: 3-gram repetition fraction,
+    # mean word length, symbol ratio, stopword presence — pure Column
+    # expressions (ops/text.py gopher_metrics/gopher_keep)
+    from route81_spark.io import ensure_parallelism
+    from route81_spark.ops.text import gopher_struct
+
+    # the repetition metrics are heavy per-row HOFs; a single-file scan
+    # must not serialize them onto one task. Two projections: the struct
+    # evaluates once (multi-referenced non-cheap producers don't
+    # collapse), fields project from it.
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    return docs.select("doc_id", gopher_struct(F.col("text")).alias("g")).select(
+        "doc_id",
+        F.col("g.dup_3gram_frac").alias("dup_3gram_frac"),
+        F.col("g.mean_word_len").alias("mean_word_len"),
+        F.col("g.symbol_ratio").alias("symbol_ratio"),
+        F.col("g.stopword_hits").alias("stopword_hits"),
+        F.col("g.keep").alias("keep"),
+    )
+
+@_q(
+    "text_rare_bigrams",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    p AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(tk) - 1, 1) + 1),
+                    i -> coalesce(array_to_string(tk[i:i+1], ' '), ''))) AS bg
+      FROM t
+    ),
+    pairs AS (SELECT doc_id, bg FROM p WHERE contains(bg, ' ')),
+    model AS (SELECT bg, count(*) AS c2 FROM pairs GROUP BY 1),
+    uni AS (SELECT string_split(bg, ' ')[1] AS w1, count(*) AS c1
+            FROM pairs GROUP BY 1),
+    s AS (
+      SELECT pr.doc_id,
+             count(*) AS n_bigrams,
+             CAST(sum(CASE WHEN m.c2 * 20 < u.c1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_rare
+      FROM pairs pr
+      JOIN model m USING (bg)
+      JOIN uni u ON string_split(pr.bg, ' ')[1] = u.w1
+      GROUP BY 1
+    )
+    SELECT doc_id, n_bigrams, n_rare,
+           floor((CAST(n_rare AS DOUBLE) / n_bigrams) * 1000000.0 + 0.5)
+             / 1000000.0 AS rare_frac
+    FROM s
+    """,
+)
+def text_rare_bigrams(spark, sf_dir):
+    # corpus-LM fluency proxy: fraction of bigrams whose conditional
+    # probability (trained on this corpus) is rare — integer-exact
+    # decision, no float log-prob summation order to disagree on
+    from route81_spark.ops.corpus import rare_bigram_stats
+
+    return rare_bigram_stats(_t(spark, sf_dir, "documents"))
+
+@_q(
+    "text_tfidf_top",
+    f"""
+    WITH t AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+    d AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+    s AS (SELECT tf.doc_id, tf.term,
+                 CAST(tf.tf * ((n.n * 1000000) // d.df) AS BIGINT) AS score
+          FROM tf JOIN d USING (term) CROSS JOIN n)
+    SELECT doc_id, term, score, CAST(rn AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                    ORDER BY score DESC, term ASC) AS rn FROM s)
+    WHERE rn <= 3
+    """,
+)
+def text_tfidf_top(spark, sf_dir):
+    # top-3 characteristic terms per doc by tf-idf with a rational idf
+    # (integer (N*1e6) div df) so ranking is bit-exact across engines
+    from route81_spark.ops.corpus import tfidf_top_terms
+
+    return tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
+
+@_q(
+    "text_chunks",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    c AS (
+      SELECT doc_id, tk, len(tk) AS n,
+             greatest(CAST(floor((len(tk) - 8 + 23) / 24.0) AS INT), 1)
+               AS n_chunks
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(unnest(range(n_chunks)) AS INT) AS chunk_idx,
+           unnest(list_transform(range(1, n_chunks + 1),
+                  i -> coalesce(array_to_string(
+                         tk[(i-1)*24 + 1 : (i-1)*24 + 32], ' '), '')))
+             AS chunk_text,
+           unnest(list_transform(range(1, n_chunks + 1),
+                  i -> CAST(least(n - (i-1)*24, 32) AS INT))) AS n_tokens
+    FROM c
+    """,
+)
+def text_chunks(spark, sf_dir):
+    # overlapping token-window segmentation (chunk 32 / overlap 8 so the
+    # test corpus exercises multi-chunk docs): the standard pre-training
+    # / retrieval chunking, pure narrow expressions + one explode
+    from route81_spark.ops.text import chunk_documents
+
+    return chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_tokens=32, overlap=8
+    )
+
+@_q(
+    "text_winnow_pairs",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_transform(range(1, greatest(len(tk) - 3, 1) + 1),
+                            i -> coalesce(array_to_string(tk[i:i+3], ' '), '')) AS sgl
+      FROM t
+    ),
+    h AS (
+      SELECT doc_id,
+             list_transform(sgl, s -> ('0x' || substr(md5('7|' || s), 1, 15))::BIGINT) AS hs
+      FROM sh
+    ),
+    w AS (
+      SELECT doc_id,
+             list_sort(list_distinct(
+               list_transform(range(1, greatest(len(hs) - 3, 1) + 1),
+                              i -> list_aggregate(hs[i:i+3], 'min')))) AS fps
+      FROM h
+    ),
+    e AS (SELECT doc_id, unnest(fps) AS fp FROM w),
+    ok AS (SELECT fp FROM e GROUP BY fp HAVING count(*) BETWEEN 2 AND 10),
+    p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM e a JOIN e b USING (fp) JOIN ok USING (fp)
+          WHERE a.doc_id < b.doc_id)
+    SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS n_shared
+    FROM p GROUP BY 1, 2 HAVING count(*) >= 2
+    """,
+)
+def text_winnow_pairs(spark, sf_dir):
+    # candidate near-clone retrieval over winnowing fingerprints (the
+    # MOSS scheme's second half): shared uncommon fingerprints ->
+    # candidate pairs; common fingerprints dropped (boilerplate)
+    from route81_spark.ops.text import winnow_pairs
+
+    return winnow_pairs(_t(spark, sf_dir, "documents"))
+
+_VOCAB_SQL = f"""
+    vt AS (SELECT unnest({_TOKS}) AS term FROM documents),
+    vc AS (SELECT term, count(*) AS n FROM vt GROUP BY 1),
+    vr AS (SELECT term, n,
+                  CAST(row_number() OVER (ORDER BY n DESC, term ASC) - 1 AS INT)
+                    AS token_id
+           FROM vc)
+"""
+
+@_q(
+    "text_vocab",
+    f"""
+    WITH {_VOCAB_SQL}
+    SELECT term, n, token_id FROM vr WHERE token_id < 20
+    """,
+)
+def text_vocab(spark, sf_dir):
+    # frequency vocabulary with dense most-frequent-first ids: one
+    # map-side-combined count agg over the corpus, rank over the
+    # (bounded) vocab only
+    from route81_spark.ops.corpus import build_vocab
+
+    return build_vocab(_t(spark, sf_dir, "documents"), max_vocab=20)
+
+@_q(
+    "text_token_ids",
+    f"""
+    WITH {_VOCAB_SQL},
+    v AS (SELECT term, token_id FROM vr WHERE token_id < 20),
+    t AS (SELECT doc_id, {_TOKS} AS tk FROM documents WHERE doc_id % 20 = 0),
+    p AS (SELECT doc_id, unnest(range(1, len(tk) + 1)) AS pos1,
+                 unnest(tk) AS term
+          FROM t)
+    SELECT p.doc_id, CAST(p.pos1 - 1 AS INT) AS pos,
+           CAST(coalesce(v.token_id, -1) AS INT) AS token_id
+    FROM p LEFT JOIN v USING (term)
+    """,
+)
+def text_token_ids(spark, sf_dir):
+    # encode a doc subset against the corpus vocabulary: exploded
+    # (id, pos, token_id) rows, OOV -> -1, broadcast vocab join — the
+    # corpus never shuffles
+    from route81_spark.ops.corpus import build_vocab, encode_token_ids
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = build_vocab(docs, max_vocab=20)
+    return encode_token_ids(docs.filter(F.col("doc_id") % 20 == 0), vocab)
+
+@_q(
+    "text_lm_nll",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    p AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(tk) - 1, 1) + 1),
+                    i -> coalesce(array_to_string(tk[i:i+1], ' '), ''))) AS bg
+      FROM t
+    ),
+    pairs AS (SELECT doc_id, bg FROM p WHERE contains(bg, ' ')),
+    model AS (SELECT bg, count(*) AS c2 FROM pairs GROUP BY 1),
+    uni AS (SELECT string_split(bg, ' ')[1] AS w1, count(*) AS c1
+            FROM pairs GROUP BY 1),
+    v AS (SELECT count(*) AS vs FROM uni),
+    lp AS (
+      SELECT m.bg, ln(CAST(m.c2 + 1 AS DOUBLE) / (u.c1 + v.vs)) AS lp
+      FROM model m JOIN uni u ON string_split(m.bg, ' ')[1] = u.w1 CROSS JOIN v
+    ),
+    s AS (
+      SELECT pr.doc_id, count(*) AS n_bigrams, sum(l.lp) AS slp
+      FROM pairs pr JOIN lp l USING (bg) GROUP BY 1
+    )
+    SELECT doc_id, n_bigrams,
+           floor((-slp / n_bigrams) * 1000000.0 + 0.5) / 1000000.0 AS nll
+    FROM s
+    """,
+)
+def text_lm_nll(spark, sf_dir):
+    # self-trained bigram-LM negative log-likelihood per doc (the
+    # KenLM/CCNet perplexity-filter signal); det-rounded so libm /
+    # summation-order ulps cannot flip values
+    from route81_spark.ops.corpus import lm_logprob_score
+
+    return lm_logprob_score(_t(spark, sf_dir, "documents"))
+
+@_q(
+    "text_vocab_coverage",
+    f"""
+    WITH tc AS (
+      SELECT t AS term, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT unnest({_TOKS}) AS t FROM documents)
+      GROUP BY 1
+    ),
+    ranked AS (
+      SELECT term, c,
+             CAST(row_number() OVER (ORDER BY c DESC, term ASC) AS BIGINT) AS rank,
+             sum(c) OVER (ORDER BY c DESC, term ASC
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(c) OVER () AS total
+      FROM tc
+    )
+    SELECT rank, term, c AS term_count,
+           {det_round_sql('cum / CAST(total AS DOUBLE)', 6)} AS coverage
+    FROM ranked WHERE rank <= 32
+    """,
+)
+def text_vocab_coverage(spark, sf_dir):
+    """Vocabulary coverage curve: cumulative share of all corpus tokens
+    covered by the top-k terms — the tokenizer-design question ('how
+    big a vocab covers 95%?') answered exactly. One map-side-combined
+    term count over the corpus; top-k ships k rows per partition and
+    the 32-point curve assembles driver-side."""
+    from route81_spark.io import ensure_parallelism
+    from route81_spark.ops.text import tokens
+
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    tc = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()  # total + top-k share the term-count aggregation
+    )
+    try:
+        # scalar total + TOP-K, never a global window: orderBy+limit is
+        # TakeOrderedAndProject (k rows per partition) — a full-vocab
+        # rank/cumsum window would drag millions of terms through ONE
+        # task at scale. The 32-row curve assembles driver-side (eager,
+        # so the cached term counts are read exactly once).
+        raw_total = tc.agg(F.sum("c")).first()[0]
+        top = tc.orderBy(F.col("c").desc(), F.col("term").asc()).limit(32).collect()
+    finally:
+        tc.unpersist()
+    schema = "rank long, term string, term_count long, coverage double"
+    if raw_total is None:  # empty corpus: empty curve, like the oracle
+        return spark.createDataFrame([], schema)
+    total = float(raw_total)
+    rows, cum = [], 0
+    for i, r in enumerate(top):
+        cum += int(r["c"])
+        rows.append((i + 1, r["term"], int(r["c"]), cum / total))
+    out = spark.createDataFrame(rows, schema)
+    from route81_spark.ops.util import det_round
+
+    # the SHARED cross-engine rounding, not a hand-rolled copy
+    return out.withColumn("coverage", det_round(F.col("coverage"), 6))
+
+@_q(
+    "text_phrase_search",
+    f"""
+    WITH s AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    idx AS (
+      SELECT doc_id, tk[t.p + 1] AS term, t.p AS pos
+      FROM s, unnest(range(len(tk))) AS t(p)
+    )
+    SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_occurrences
+    FROM idx a
+    JOIN idx b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+    WHERE a.term = 'table' AND b.term = 'part'
+    GROUP BY a.doc_id
+    """,
+)
+def text_phrase_search(spark, sf_dir):
+    """Exact phrase match ('table part') via the positional inverted
+    index: per-term posting filters + consecutive-position equi-joins —
+    term-selective, no LIKE scan (which also false-matches inside
+    longer tokens)."""
+    from route81_spark.ops.text import phrase_search
+
+    return phrase_search(_t(spark, sf_dir, "documents"), ["table", "part"])
+
+_BM25_TERMS = ["join", "vector", "scan"]
+
+_BM25_ORACLE = f"""
+    WITH s AS (
+      SELECT doc_id, {_TOKS} AS tk FROM documents
+    ),
+    c AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             avg(CAST(len(tk) AS DOUBLE)) AS avgdl
+      FROM s
+    ),
+    d AS (
+      SELECT
+        {", ".join(f"(SELECT CAST(count(*) AS DOUBLE) FROM s WHERE list_contains(tk, '{t}')) AS df{i}" for i, t in enumerate(_BM25_TERMS))}
+    )
+    SELECT doc_id,
+           {det_round_sql(" + ".join(
+               f"(ln(1 + (c.n - d.df{i} + 0.5) / (d.df{i} + 0.5))"
+               f" * (CAST(len(list_filter(tk, x -> x = '{t}')) AS DOUBLE) * 2.2)"
+               f" / (CAST(len(list_filter(tk, x -> x = '{t}')) AS DOUBLE)"
+               f"    + 1.2 * (0.25 + 0.75 * CAST(len(tk) AS DOUBLE) / c.avgdl)))"
+               for i, t in enumerate(_BM25_TERMS)), 6)} AS bm25
+    FROM s, c, d
+    ORDER BY bm25 DESC, doc_id ASC LIMIT 25
+"""
+
+@_q("text_bm25", _BM25_ORACLE)
+def text_bm25(spark, sf_dir):
+    """Okapi BM25 top-25 for a fixed bag-of-terms query: corpus model
+    constants (N, avgdl, per-term df) fold into one per-row scoring
+    expression — zero scoring shuffle, TakeOrderedAndProject top-k.
+    The fold is left-associative in both engines so the float sum
+    order matches the oracle exactly."""
+    from route81_spark.ops.corpus import bm25_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = bm25_scores(docs, _BM25_TERMS)
+    return (
+        scored.select("doc_id", "bm25")
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(25)
+    )
+
+@_q(
+    "text_quality_classifier",
+    # mirror of ops.corpus.quality_classifier: hashed-bigram buckets via
+    # the md5-derived 60-bit hash (seed 13), naive-Bayes integer-odds
+    # model with Laplace +1 and class-total normalization, per-doc
+    # integer score sums. Seed set: English-labeled documents.
+    f"""
+    WITH t AS (SELECT doc_id, lang, {_TOKS} AS tk FROM documents),
+    p AS (
+      SELECT doc_id, lang = 'en' AS tgt,
+             unnest(list_transform(range(1, greatest(len(tk) - 1, 1) + 1),
+                    i -> coalesce(array_to_string(tk[i:i+1], ' '), ''))) AS bg
+      FROM t
+    ),
+    pairs AS (
+      SELECT doc_id, tgt,
+             ('0x' || substr(md5('13|' || bg), 1, 15))::BIGINT % 256 AS b
+      FROM p WHERE contains(bg, ' ')
+    ),
+    doc_bucket AS (
+      SELECT doc_id, tgt, b, count(*) AS n_db FROM pairs GROUP BY 1, 2, 3
+    ),
+    by_bucket AS (
+      SELECT b,
+             sum(CASE WHEN tgt THEN n_db ELSE 0 END) AS pos_c,
+             sum(CASE WHEN NOT tgt THEN n_db ELSE 0 END) AS neg_c
+      FROM doc_bucket GROUP BY b
+    ),
+    tot AS (SELECT sum(pos_c) AS npos, sum(neg_c) AS nneg FROM by_bucket),
+    model AS (
+      SELECT b,
+             CAST(((pos_c + 1) * (nneg + 256) * 10000)
+               // ((neg_c + 1) * (npos + 256)) AS BIGINT) AS w
+      FROM by_bucket CROSS JOIN tot
+    ),
+    s AS (
+      SELECT d.doc_id, d.tgt,
+             CAST(sum(d.n_db) AS BIGINT) AS n_bigrams,
+             CAST(sum(d.n_db * m.w) AS BIGINT) AS score
+      FROM doc_bucket d JOIN model m USING (b)
+      GROUP BY 1, 2
+    )
+    SELECT doc_id, CAST(tgt AS INT) AS is_seed, n_bigrams, score,
+           floor((CAST(score AS DOUBLE) / n_bigrams) * 10000.0 + 0.5)
+             / 10000.0 AS avg_odds,
+           CAST(score > n_bigrams * 10000 AS INT) AS pred_keep
+    FROM s
+    """,
+)
+def text_quality_classifier(spark, sf_dir):
+    """Trained hashed-bigram quality filter (CCNet/GPT-3 style): every
+    document scored by a naive-Bayes integer-odds model fit against the
+    English-labeled seed set; pred_keep marks docs whose mean bucket
+    odds exceed 1."""
+    from route81_spark.ops.corpus import quality_classifier
+
+    docs = _t(spark, sf_dir, "documents")
+    return quality_classifier(docs, F.col("lang") == "en")
+
+@_q(
+    "text_ccnet_buckets",
+    # text_lm_nll's oracle + per-source NTILE over (rounded nll, id):
+    # the det-round means engine ulps cannot reorder the tile sort
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    p AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(tk) - 1, 1) + 1),
+                    i -> coalesce(array_to_string(tk[i:i+1], ' '), ''))) AS bg
+      FROM t
+    ),
+    pairs AS (SELECT doc_id, bg FROM p WHERE contains(bg, ' ')),
+    model AS (SELECT bg, count(*) AS c2 FROM pairs GROUP BY 1),
+    uni AS (SELECT string_split(bg, ' ')[1] AS w1, count(*) AS c1
+            FROM pairs GROUP BY 1),
+    v AS (SELECT count(*) AS vs FROM uni),
+    lp AS (
+      SELECT m.bg, ln(CAST(m.c2 + 1 AS DOUBLE) / (u.c1 + v.vs)) AS lp
+      FROM model m JOIN uni u ON string_split(m.bg, ' ')[1] = u.w1 CROSS JOIN v
+    ),
+    s AS (
+      SELECT pr.doc_id, count(*) AS n_bigrams, sum(l.lp) AS slp
+      FROM pairs pr JOIN lp l USING (bg) GROUP BY 1
+    ),
+    nll AS (
+      SELECT doc_id, n_bigrams,
+             floor((-slp / n_bigrams) * 1000000.0 + 0.5) / 1000000.0 AS nll
+      FROM s
+    )
+    SELECT n.doc_id, d.source, n.n_bigrams, n.nll,
+           CAST(ntile(3) OVER (PARTITION BY d.source
+                ORDER BY n.nll ASC, n.doc_id ASC) AS INT) AS bucket
+    FROM nll n JOIN documents d USING (doc_id)
+    """,
+)
+def text_ccnet_buckets(spark, sf_dir):
+    """CCNet-style perplexity terciles per source: head / middle / tail
+    buckets over the self-trained bigram-LM NLL — the artifact
+    perplexity-stratified sampling consumes."""
+    from route81_spark.ops.corpus import ccnet_buckets
+
+    return ccnet_buckets(_t(spark, sf_dir, "documents"))
+
+@_q(
+    "text_quality_apply",
+    # the train->apply split must reproduce text_quality_classifier's
+    # integer scores exactly (the apply path folds a 256-entry literal
+    # map per row instead of joining bucket counts — same arithmetic,
+    # and every bucket a doc hits exists in the self-trained model),
+    # so the oracle is the classifier's SQL without the label column
+    f"""
+    WITH t AS (SELECT doc_id, lang, {_TOKS} AS tk FROM documents),
+    p AS (
+      SELECT doc_id, lang = 'en' AS tgt,
+             unnest(list_transform(range(1, greatest(len(tk) - 1, 1) + 1),
+                    i -> coalesce(array_to_string(tk[i:i+1], ' '), ''))) AS bg
+      FROM t
+    ),
+    pairs AS (
+      SELECT doc_id, tgt,
+             ('0x' || substr(md5('13|' || bg), 1, 15))::BIGINT % 256 AS b
+      FROM p WHERE contains(bg, ' ')
+    ),
+    doc_bucket AS (
+      SELECT doc_id, tgt, b, count(*) AS n_db FROM pairs GROUP BY 1, 2, 3
+    ),
+    by_bucket AS (
+      SELECT b,
+             sum(CASE WHEN tgt THEN n_db ELSE 0 END) AS pos_c,
+             sum(CASE WHEN NOT tgt THEN n_db ELSE 0 END) AS neg_c
+      FROM doc_bucket GROUP BY b
+    ),
+    tot AS (SELECT sum(pos_c) AS npos, sum(neg_c) AS nneg FROM by_bucket),
+    model AS (
+      SELECT b,
+             CAST(((pos_c + 1) * (nneg + 256) * 10000)
+               // ((neg_c + 1) * (npos + 256)) AS BIGINT) AS w
+      FROM by_bucket CROSS JOIN tot
+    ),
+    s AS (
+      SELECT d.doc_id,
+             CAST(sum(d.n_db) AS BIGINT) AS n_bigrams,
+             CAST(sum(d.n_db * m.w) AS BIGINT) AS score
+      FROM doc_bucket d JOIN model m USING (b)
+      GROUP BY 1
+    )
+    SELECT doc_id, n_bigrams, score,
+           floor((CAST(score AS DOUBLE) / n_bigrams) * 10000.0 + 0.5)
+             / 10000.0 AS avg_odds,
+           CAST(score > n_bigrams * 10000 AS INT) AS pred_keep
+    FROM s
+    """,
+)
+def text_quality_apply(spark, sf_dir):
+    """The production split of the quality filter: quality_model trains
+    the bucket weights, apply_quality_model scores every doc with one
+    in-row fold over the broadcast map (the stream-legal path) —
+    bit-identical to the fused classifier."""
+    from route81_spark.ops.corpus import apply_quality_model, quality_model
+
+    docs = _t(spark, sf_dir, "documents")
+    model = quality_model(docs, F.col("lang") == "en")
+    return apply_quality_model(docs, model)
+
+def _html_sql(x: str) -> str:
+    """DuckDB twin of ops.text.html_to_text — the same regexes in the
+    same order (all RE2-safe: no backreferences)."""
+    expr = x
+    for pat, rep in _HTML_STEPS:
+        expr = f"regexp_replace({expr}, '{pat}', {rep}, 'g')"
+    return expr
+
+_HTML_PRE = (
+    '<html><head><title>doc</title><style>p {color: red}</style></head>'
+    '<body><script>if (1<2) { x("</div>"); }</script><!-- nav below -->'
+    '<nav><a href="/">home</a></nav><p id="main">'
+)
+
+_HTML_POST = '</p><br><div>footer &amp; legal &lt;terms&gt;</div></body></html>'
+
+@_q(
+    "text_html_extract",
+    # each doc is wrapped in a deterministic page (head/style/script
+    # blocks, a comment, nav boilerplate, entity-bearing footer) so the
+    # chain exercises every step at any SF; the oracle runs the SAME
+    # RE2-safe regexes in the same order
+    "WITH h AS (SELECT doc_id, "
+    + "'"
+    + _HTML_PRE.replace("'", "''")
+    + "' || text || '"
+    + _HTML_POST.replace("'", "''")
+    + "' AS t FROM documents)\n"
+    + "SELECT doc_id, "
+    + _html_sql("t")
+    + " AS clean FROM h",
+)
+def text_html_extract(spark, sf_dir):
+    """Web-corpus HTML -> text extraction (trafilatura-lite): one JVM
+    regexp chain — script/style/head blocks dropped with content,
+    block tags become newlines, remaining tags strip, core entities
+    decode, whitespace folds. Zero shuffle, zero Python; malformed
+    markup degrades to whitespace, never to an error."""
+    from route81_spark.ops.text import html_to_text
+
+    docs = _t(spark, sf_dir, "documents")
+    page = F.concat(F.lit(_HTML_PRE), F.col("text"), F.lit(_HTML_POST))
+    return docs.select("doc_id", html_to_text(page).alias("clean"))
+
+@_q(
+    "text_stupid_backoff",
+    # count tables from the 90% md5-hash train split; the held-out 10%
+    # exercises every backoff tier. CASE arms and multiplication
+    # association mirror the Spark expression tree exactly
+    # (0.4*(0.4*s1), not (0.4*0.4)*s1) so only libm/summation ulps
+    # remain — absorbed by the repo-standard det_round(6).
+    f"""
+    WITH tk AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    tr AS (SELECT doc_id, tk, len(tk) AS n FROM tk),
+    train_ids AS (
+      SELECT doc_id FROM documents
+      WHERE ('0x' || substr(md5('sb0|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+            / 1152921504606846976.0 < 0.9
+    ),
+    tri_i AS (
+      SELECT doc_id, array_to_string(tk[i:i+2], ' ') AS tg
+      FROM tr, LATERAL (SELECT unnest(range(1, greatest(n - 2, 0) + 1)) AS i) s
+    ),
+    big_i AS (
+      SELECT doc_id, array_to_string(tk[i:i+1], ' ') AS bg
+      FROM tr, LATERAL (SELECT unnest(range(1, greatest(n - 1, 0) + 1)) AS i) s
+    ),
+    uni_i AS (SELECT doc_id, unnest(tk) AS w FROM tr),
+    tri_c AS (SELECT tg, count(*) AS c3 FROM tri_i JOIN train_ids USING (doc_id) GROUP BY 1),
+    big_c AS (SELECT bg, count(*) AS c2 FROM big_i JOIN train_ids USING (doc_id) GROUP BY 1),
+    uni_c AS (SELECT w, count(*) AS c1 FROM uni_i JOIN train_ids USING (doc_id) GROUP BY 1),
+    tot AS (SELECT sum(c1) AS N, count(*) AS V FROM uni_c),
+    tfb AS (SELECT doc_id, tg, count(*) AS n FROM tri_i GROUP BY 1, 2),
+    typed AS (
+      SELECT tg,
+             w[1] || ' ' || w[2] AS ctx,
+             w[2] || ' ' || w[3] AS bg2,
+             w[2] AS w2, w[3] AS w3
+      FROM (SELECT tg, string_split(tg, ' ') AS w FROM (SELECT DISTINCT tg FROM tfb))
+    ),
+    sc AS (
+      SELECT t.tg,
+             ln(CASE WHEN tri_c.c3 IS NOT NULL THEN tri_c.c3 / ctxc.c2
+                     WHEN bgc.c2 IS NOT NULL THEN 0.4 * (bgc.c2 / u2.c1)
+                     ELSE 0.4 * (0.4 * ((coalesce(u3.c1, 0) + 1) / (tot.N + tot.V)))
+                END) AS lp
+      FROM typed t
+      LEFT JOIN tri_c ON tri_c.tg = t.tg
+      LEFT JOIN big_c ctxc ON ctxc.bg = t.ctx
+      LEFT JOIN big_c bgc ON bgc.bg = t.bg2
+      LEFT JOIN uni_c u2 ON u2.w = t.w2
+      LEFT JOIN uni_c u3 ON u3.w = t.w3
+      CROSS JOIN tot
+    )
+    SELECT f.doc_id, CAST(sum(f.n) AS BIGINT) AS n_trigrams,
+           floor(-sum(f.n * sc.lp) / sum(f.n) * 1000000.0 + 0.5) / 1000000.0 AS sb_nll
+    FROM tfb f JOIN sc USING (tg)
+    GROUP BY 1
+""",
+)
+def text_stupid_backoff(spark, sf_dir):
+    """Stupid Backoff trigram scoring with count tables trained on the
+    deterministic 90% hash split and applied to ALL docs — the held-out
+    tail walks the trigram->bigram->unigram backoff chain. Corpus
+    reduces to three per-order count tables; each trigram TYPE is
+    scored once and joined back."""
+    from route81_spark.ops.corpus import split_hash, stupid_backoff_score
+
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.filter(split_hash(F.col("doc_id"), "sb0") < 0.9)
+    return stupid_backoff_score(docs, train_on=train)
+
+@_q(
+    "text_novelty",
+    # mirror of ops.text.novelty_scores: distinct 3-token shingle sets
+    # (md5 60-bit, seed 23), df-count per shingle hash, per-doc df==1
+    # share; integer counts both sides, det-rounded final ratio.
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    sg AS (
+      SELECT DISTINCT doc_id,
+             ('0x' || substr(md5('23|' || s), 1, 15))::BIGINT AS h
+      FROM (SELECT doc_id,
+                   unnest(list_transform(range(1, greatest(len(tk) - 2, 1) + 1),
+                          i -> coalesce(array_to_string(tk[i:i+2], ' '), ''))) AS s
+            FROM t)
+    ),
+    dfreq AS (SELECT h, count(*) AS df FROM sg GROUP BY h)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+           floor(CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*) * 1000000.0 + 0.5) / 1000000.0 AS novelty
+    FROM sg JOIN dfreq USING (h)
+    GROUP BY doc_id
+""",
+)
+def text_novelty(spark, sf_dir):
+    """Corpus-relative novelty share (df==1 shingles / all shingles):
+    the keep-what's-new signal under a token budget — template farms
+    and mirrored pages score near zero."""
+    from route81_spark.io import ensure_parallelism
+    from route81_spark.ops.text import novelty_scores
+
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    return novelty_scores(docs)
+
+@_q(
+    "text_char_entropy",
+    # mirror of ops.text.char_entropy: per-position char array, sorted
+    # distinct chars, SAME sequential fold of p*ln(p) both engines,
+    # bits = -nats/ln(2) with the identical double literal; det-rounded.
+    """
+    WITH d AS (SELECT doc_id, text, CAST(length(text) AS INT) AS L FROM documents),
+    cs AS (SELECT doc_id, L,
+                  list_transform(range(1, L + 1),
+                                 i -> substr(text, CAST(i AS INT), 1)) AS c
+           FROM d),
+    e AS (SELECT doc_id, L,
+                 list_sort(list_distinct(c)) AS dc,
+                 list_reduce(list_prepend(0.0, list_transform(
+                   list_sort(list_distinct(c)),
+                   ch -> (CAST(len(list_filter(c, x -> x = ch)) AS DOUBLE) / L)
+                         * ln(CAST(len(list_filter(c, x -> x = ch)) AS DOUBLE) / L)
+                 )), (a, b) -> a + b) AS nats
+          FROM cs)
+    SELECT doc_id,
+           L AS n_chars,
+           CAST(len(dc) AS INT) AS n_distinct,
+           floor(-nats / 0.6931471805599453 * 1000000.0 + 0.5) / 1000000.0
+             AS entropy_bits
+    FROM e
+""",
+)
+def text_char_entropy(spark, sf_dir):
+    """Character-distribution Shannon entropy per document (bits) —
+    the gibberish/low-diversity-spam tagger; pure per-row Column
+    fold in sorted-char order, bit-reproducible."""
+    from route81_spark.io import ensure_parallelism
+    from route81_spark.ops.text import char_entropy
+    from route81_spark.ops.util import det_round
+
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    text = F.col("text")
+    # same empty-text guard as char_entropy: sequence(1,0) descends
+    cs = F.when(
+        F.length(text) > 0,
+        F.transform(
+            F.sequence(F.lit(1), F.length(text)),
+            lambda i: F.substr(text, i, F.lit(1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return docs.select(
+        "doc_id",
+        F.length(text).cast("int").alias("n_chars"),
+        F.size(F.array_distinct(cs)).alias("n_distinct"),
+        det_round(char_entropy(text), 6).alias("entropy_bits"),
+    )
