@@ -77,6 +77,80 @@ def corpus_unicode_text(spark, sf_dir):
         F.get(toks, 0).alias("first_tok"),
     )
 
+# diacritic-fold fixture pool: precomposed / decomposed / plain café
+# spellings plus accented snippets from the verified strip_accents ==
+# fold_diacritics agreement set (ops/unitext.py spec block)
+D_SNIPS = [
+    "café au lait",
+    "café au lait",
+    "cafe au lait",
+    "naïve jalapeño salsa",
+    "Dvořák žluťoučký",
+    "ёлка и мир",
+    "über Ångström",
+    "nothing plain here",
+]
+
+
+def _d_syn_spark(ids: Column) -> Column:
+    from route81_spark.ops.web import _h60
+
+    def pick(seed):
+        h = _h60(ids, seed)
+        return F.element_at(
+            F.array(*[F.lit(s) for s in D_SNIPS]), (h % 8 + 1).cast("int")
+        )
+
+    return F.concat(pick("dia0|a"), F.lit(" "), pick("dia0|b"))
+
+
+def _d_syn_sql(x: str = "CAST(doc_id AS VARCHAR)") -> str:
+    lits = "[" + ", ".join("'" + s + "'" for s in D_SNIPS) + "]"
+
+    def pick(seed):
+        return f"({lits})[CAST({_wh60(seed, x)} % 8 AS INT) + 1]"
+
+    return f"{pick('dia0|a')} || ' ' || {pick('dia0|b')}"
+
+
+@_q(
+    "match_text_diacritics",
+    # oracle twin: DuckDB strip_accents == ops.unitext.fold_diacritics
+    # on the fixture charset (both = utf8proc STRIPMARK semantics:
+    # Mn/Me marks removed, single-base precomposed chars folded);
+    # membership + integer score recomputed from the folded tokens
+    "WITH s AS (SELECT doc_id, " + _d_syn_sql() + " AS raw FROM documents),\n"
+    "     n AS (SELECT doc_id, strip_accents(lower(raw)) AS norm FROM s),\n"
+    "     t AS (SELECT doc_id,\n"
+    f"            string_split_regex(norm, '{_U_SEP.format()}') AS toks FROM n)\n"
+    "SELECT doc_id,\n"
+    "       CAST(len(list_filter(toks, x -> x = 'cafe'))\n"
+    "          + len(list_filter(toks, x -> x = 'uber')) AS BIGINT) AS score\n"
+    "FROM t\n"
+    "WHERE (list_contains(toks, 'cafe') OR list_contains(toks, 'uber'))\n"
+    "  AND NOT coalesce(list_contains(toks, 'salsa'), false)",
+)
+def match_text_diacritics(spark, sf_dir):
+    """$text with Mongo's DEFAULT diacritic folding: 'café'
+    (precomposed), 'cafe'+U+0301 (decomposed), and plain 'cafe' all
+    match the search term 'café', and the folded negation '-salsa'
+    excludes the jalapeño rows. Folding is ONE pure-Column
+    translate (ops.unitext.fold_diacritics) applied to text and query
+    literals alike — per-row, shuffle-free, inside codegen."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    prepped = docs.select("doc_id", _d_syn_spark(F.col("doc_id")).alias("text"))
+    return apply_pipeline(
+        prepped,
+        [
+            {"$match": {"$text": {
+                "$search": "café über -salsa", "unicode": True,
+            }}},
+            {"$addFields": {"score": {"$meta": "textScore"}}},
+            {"$project": {"doc_id": 1, "score": 1}},
+        ],
+    )
+
+
 @_q(
     "match_text_unicode",
     # engine $text with {unicode: true} over NFC'd multilingual text;

@@ -81,3 +81,81 @@ def unicode_tokens(col: Column) -> Column:
 
 def unicode_token_count(col: Column) -> Column:
     return F.size(unicode_tokens(col))
+
+
+# --------------------------------------------------------------------
+# Diacritic folding — the $text {$diacriticSensitive: false} engine
+# (MongoDB's text-index-v3 DEFAULT folds diacritics; route81 inherits
+# that via the server, route81.go:181-197).
+#
+# Spec: per input character, (1) nonspacing/enclosing marks (Unicode
+# categories Mn/Me) are REMOVED — this folds decomposed sequences like
+# 'e' + U+0301; (2) a precomposed character whose NFD base (marks
+# stripped) is a SINGLE character folds to that base — 'é'->'e',
+# 'й'->'и', 'ώ'->'ω'. Everything else (ß, ø, đ, œ, ligatures, Hangul)
+# is untouched: those are distinct letters, not diacritic carriers.
+# This is exactly utf8proc/DuckDB strip_accents semantics (verified
+# char-by-char over the BMP modulo Unicode-version skew on a few dozen
+# codepoints added after utf8proc's tables; the synthetic fixtures stay
+# on the agreed set, and the hypothesis sweep pins Spark against the
+# Python spec twin, which shares these tables by construction).
+#
+# 100 TB shape: ONE F.translate — a JVM per-char map lookup inside
+# whole-stage codegen, zero Python, zero shuffle. The ~2.6k-entry
+# table is built once per process from unicodedata and inlined as a
+# plan literal.
+# --------------------------------------------------------------------
+
+_FOLD_TABLES: tuple[str, str] | None = None
+
+
+def _diacritic_tables() -> tuple[str, str]:
+    """(from, to) strings for translate: mapped chars first (aligned
+    with `to`), then mark characters (beyond len(to) -> deleted)."""
+    global _FOLD_TABLES
+    if _FOLD_TABLES is None:
+        import unicodedata
+
+        m_from, m_to, dels = [], [], []
+        for cp in range(0xA0, 0x10000):
+            ch = chr(cp)
+            if unicodedata.category(ch) in ("Mn", "Me"):
+                dels.append(ch)
+                continue
+            base = "".join(
+                c
+                for c in unicodedata.normalize("NFD", ch)
+                if unicodedata.category(c) not in ("Mn", "Me")
+            )
+            if base != ch and len(base) == 1:
+                m_from.append(ch)
+                m_to.append(base)
+        _FOLD_TABLES = ("".join(m_from) + "".join(dels), "".join(m_to))
+    return _FOLD_TABLES
+
+
+def fold_diacritics(col: Column) -> Column:
+    """Remove diacritics (see the spec block above): pure Column, one
+    translate, NULL-safe. Fold AFTER case folding — the table carries
+    both cases, but lower() of a folded char can differ from fold of a
+    lowered char only through locale edge cases both engines avoid."""
+    frm, to = _diacritic_tables()
+    return F.translate(col, frm, to)
+
+
+def fold_diacritics_py(s: str | None) -> str | None:
+    """Pure-Python spec twin of fold_diacritics — same tables, same
+    per-input-character semantics (used to fold $text query literals
+    driver-side and as the hypothesis oracle)."""
+    if s is None:
+        return None
+    global _FOLD_DICT
+    if _FOLD_DICT is None:
+        frm, to = _diacritic_tables()
+        _FOLD_DICT = {
+            ord(f): (to[i] if i < len(to) else None) for i, f in enumerate(frm)
+        }
+    return s.translate(_FOLD_DICT)
+
+
+_FOLD_DICT: dict[int, str | None] | None = None

@@ -51,12 +51,20 @@ from route81_spark.pipeline.exprs import PipelineCompileError, compile_expr, ext
 #     relevance: token-occurrence count summed over plain terms plus
 #     substring-occurrence count summed over phrases (Mongo's own
 #     tf-weight formula is index-internal and unreplicable without it);
+#   * $diacriticSensitive defaults to FALSE (Mongo's text-index-v3
+#     default): text and query literals fold through
+#     ops.unitext.fold_diacritics — one pure-Column translate (marks
+#     removed, single-base precomposed chars folded) — so 'café',
+#     decomposed 'cafe'+U+0301, and 'cafe' all match; explicit
+#     {$diacriticSensitive: true} keeps diacritics significant (r8).
 #   * DOCUMENTED DIVERGENCES (fail loudly where dishonoring a request):
-#     no language stemming ($language accepted, ignored), tokens are
+#     no language stemming ($language accepted, ignored); tokens are
 #     ASCII-alnum runs BY DEFAULT (engine extension {unicode: true}
-#     switches to Unicode letter/number runs for any script — r8),
-#     diacritics are always significant ($diacriticSensitive: false
-#     raises; NFC-normalize upstream via ops.unitext.nfc_normalize).
+#     switches to Unicode letter/number runs for any script — r8);
+#     diacritic folding covers Mn/Me marks and single-base precomposed
+#     characters (= utf8proc strip_accents), not full ICU folding
+#     (ß/ø/đ/ligatures stay distinct letters, as in strip_accents);
+#     NFC-normalize upstream via ops.unitext.nfc_normalize.
 #   * engine extension key `field` names the searched column
 #     (default "text") — the analog of the server-side text index
 #     definition.
@@ -88,7 +96,7 @@ def _parse_search(search: str) -> tuple[list[str], list[str], list[str], list[st
     return pos_t, neg_t, pos_ph, neg_ph
 
 
-def _text_parts(spec: dict) -> tuple[str, bool, bool, tuple]:
+def _text_parts(spec: dict) -> tuple[str, bool, bool, bool, tuple]:
     if not isinstance(spec, dict) or "$search" not in spec:
         raise PipelineCompileError("$text requires a {$search: <string>} document")
     unknown = set(spec) - {
@@ -97,19 +105,16 @@ def _text_parts(spec: dict) -> tuple[str, bool, bool, tuple]:
     }
     if unknown:
         raise PipelineCompileError(f"unsupported $text options: {sorted(unknown)}")
-    if spec.get("$diacriticSensitive") is False:
-        raise PipelineCompileError(
-            "$text: diacritic folding is not implemented — diacritics are "
-            "always significant (omit $diacriticSensitive or set it true)"
-        )
     field = spec.get("field", "text")
     cs = bool(spec.get("$caseSensitive", False))
+    # Mongo's text-index-v3 default: diacritic-INsensitive
+    ds = bool(spec.get("$diacriticSensitive", False))
     # engine extension: {unicode: true} switches tokenization from
     # ASCII-alnum runs to Unicode letter/number runs (any script) —
     # shrinking the documented CJK/diacritics divergence; matching and
     # scoring semantics are otherwise identical
     uni = bool(spec.get("unicode", False))
-    return field, cs, uni, _parse_search(str(spec["$search"]))
+    return field, cs, ds, uni, _parse_search(str(spec["$search"]))
 
 
 def _text_norm(c: Column, cs: bool) -> Column:
@@ -129,8 +134,14 @@ def _text_bound(spec: dict, build):
     otherwise every term's probe re-inlines the split; see
     web.url_canonicalize for the trap), then hand (text, toks, parts,
     norm) to the builder."""
-    field, cs, uni, parts = _text_parts(spec)
+    field, cs, ds, uni, parts = _text_parts(spec)
     text = _text_norm(F.col(field), cs)
+    if not ds:
+        from route81_spark.ops.unitext import fold_diacritics, fold_diacritics_py
+
+        # fold AFTER case-folding (the table carries both cases); one
+        # pure-Column translate, still inside whole-stage codegen
+        text = fold_diacritics(text)
     if uni:
         sep = r"[^\p{L}\p{N}]+"  # Unicode categories (Java + RE2)
     else:
@@ -138,7 +149,8 @@ def _text_bound(spec: dict, build):
     toks = F.split(text, sep)
 
     def norm(s: str) -> str:
-        return s if cs else s.lower()
+        s = s if cs else s.lower()
+        return s if ds else fold_diacritics_py(s)
 
     bound = F.transform(
         F.array(F.struct(text.alias("t"), toks.alias("k"))),

@@ -421,8 +421,6 @@ def test_text_search_subset_semantics(spark):
     assert got == {1: 2, 2: 1}  # doc1: spark(1) + phrase(1); doc2: phrase(1)
 
     # unsupported requests fail loudly
-    with pytest.raises(PipelineCompileError, match="diacritic"):
-        run("x", **{"$diacriticSensitive": False})
     with pytest.raises(PipelineCompileError, match="unsupported \\$text"):
         run("x", **{"$bogus": 1})
     with pytest.raises(PipelineCompileError, match="\\$search"):
@@ -474,6 +472,112 @@ def test_text_score_scope_is_per_pipeline(spark):
     got_b = {r["doc_id"]: r["s"] for r in b.collect()}
     assert got_a == {1: 2}          # 'spark' twice in doc 1
     assert got_b == {1: 1, 2: 1}    # 'vector' once in each
+
+
+def test_text_diacritic_folding(spark):
+    """$diacriticSensitive defaults to FALSE (Mongo's text-index-v3
+    default): precomposed, decomposed, and unaccented spellings all
+    match and score together; explicit true keeps diacritics
+    significant. Folding is one pure-Column translate (ops.unitext
+    tables), applied to text AND query literals."""
+    from route81_spark.pipeline import apply_pipeline
+
+    df = spark.createDataFrame(
+        [
+            (1, "café au lait"),            # precomposed é
+            (2, "café au lait"),           # decomposed e + U+0301
+            (3, "cafe au lait"),                 # plain ASCII
+            (4, "jalapeño salsa"),          # ñ folds to n
+            (5, "nothing here"),
+        ],
+        "doc_id long, text string",
+    )
+
+    def run(search, **kw):
+        spec = {"$search": search, **kw}
+        return sorted(
+            r["doc_id"]
+            for r in apply_pipeline(df, [{"$match": {"$text": spec}}]).collect()
+        )
+
+    # default folds: all three café spellings match, accented or not
+    assert run("café") == [1, 2, 3]
+    assert run("cafe") == [1, 2, 3]
+    assert run("jalapeno") == [4]
+    assert run('"café au"') == [1, 2, 3]         # phrases fold too
+    assert run("café -salsa") == [1, 2, 3]
+    # explicit sensitivity: only the byte-identical (NFC) spelling hits
+    # (unicode tokenizer — the ASCII one shreds unfolded text at the
+    # accent, which is exactly why folding is the default)
+    assert run("café", **{"$diacriticSensitive": True, "unicode": True}) == [1]
+    # doc 2 is DECOMPOSED: sensitive mode leaves the combining mark,
+    # and the unicode tokenizer treats it as a separator ('cafe' + mark
+    # -> token 'cafe') — the documented normalize-first divergence
+    assert run("cafe", **{"$diacriticSensitive": True, "unicode": True}) == [2, 3]
+    # scoring counts folded occurrences identically across spellings
+    got = {
+        r["doc_id"]: r["s"]
+        for r in apply_pipeline(
+            df,
+            [
+                {"$match": {"$text": {"$search": "café"}}},
+                {"$addFields": {"s": {"$meta": "textScore"}}},
+                {"$project": {"doc_id": 1, "s": 1}},
+            ],
+        ).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_fold_diacritics_matches_python_twin(spark):
+    """Property sweep: the Spark translate and the Python spec twin
+    share one table by construction; pin them against each other (and
+    the NFD/Mn-Me definition) over a char pool that exercises mapped,
+    deleted, and untouched classes."""
+    from hypothesis import given, settings, strategies as st
+
+    from route81_spark.ops.unitext import fold_diacritics_py
+
+    import unicodedata
+
+    pool = (
+        "abcXYZ09 \téÉñİžёйώ"
+        "̧́̈⃐"      # combining marks incl. Me-ish
+        "ßøđœﬁ"  # NOT folded: distinct letters
+        "ẛỹǐ"
+    )
+
+    def spec(s: str) -> str:
+        out = []
+        for ch in s:
+            if unicodedata.category(ch) in ("Mn", "Me"):
+                continue
+            base = "".join(
+                c
+                for c in unicodedata.normalize("NFD", ch)
+                if unicodedata.category(c) not in ("Mn", "Me")
+            )
+            out.append(base if (base != ch and len(base) == 1) else ch)
+        return "".join(out)
+
+    @given(st.text(alphabet=pool, max_size=40))
+    @settings(max_examples=200, deadline=None)
+    def check(s):
+        assert fold_diacritics_py(s) == spec(s)
+
+    check()
+
+    # one Spark round-trip pins the Column path to the same twin
+    rows = [(i, s) for i, s in enumerate(
+        ["café", "café", "ßøđ", "йώ",
+         "", None, "a⃐b"])]
+    from route81_spark.ops.unitext import fold_diacritics
+
+    df = spark.createDataFrame(rows, "i long, t string")
+    got = {r["i"]: r["f"] for r in df.select(
+        "i", fold_diacritics(F.col("t")).alias("f")).collect()}
+    want = {i: fold_diacritics_py(s) for i, s in rows}
+    assert got == want
 
 
 def test_js_accumulators_fail_loudly(spark):

@@ -104,12 +104,18 @@ def test_text_unicode_mode_matches_any_script(spark):
             ).collect()
         }
 
-    assert run("café", unicode=True) == {1: 1, 2: 2}
+    # Mongo's default folds diacritics: 'café' and 'cafe' docs both hit
+    assert run("café", unicode=True) == {1: 1, 2: 2, 3: 1}
+    # explicit sensitivity restores the accent distinction
+    assert run("café", unicode=True,
+               **{"$diacriticSensitive": True}) == {1: 1, 2: 2}
     assert run("текст", unicode=True) == {4: 1}
     # negation + disjunction still compose in unicode mode
-    assert run("café текст -monde", unicode=True) == {2: 2, 4: 1}
-    # the ASCII default cannot see 'café' as one token
-    assert run("café") == {}
+    assert run("café текст -monde", unicode=True) == {2: 2, 3: 1, 4: 1}
+    # the ASCII default folds café -> cafe, so it matches too (folding
+    # happens BEFORE tokenization); Cyrillic still needs unicode
+    assert run("café") == {1: 1, 2: 2, 3: 1}
+    assert run("текст") == {}
 
 
 # ------------------------------------------------------------------
