@@ -5,9 +5,10 @@ each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
 order-insensitive value-hash -> CORRECTNESS_r{N}.json).
 
-All real logic lives in route81_spark/harness.py, which routes every
-query through the engine's actual surfaces (pipeline compiler,
-envelope builder, classifier/merge, dedup/similarity/text ops).
+All real logic lives in the route81_spark/harness/ package (one
+registry module per domain), which routes every query through the
+engine's actual surfaces (pipeline compiler, envelope builder,
+classifier/merge, dedup/similarity/text ops).
 """
 
 from __future__ import annotations
@@ -33,15 +34,21 @@ from route81_spark import harness  # noqa: E402
 # (never-recorded first, then oldest), tie-broken by registration order.
 # Consecutive rounds therefore alternate halves without hand-kept lists.
 _HEADLINE = [
-    # r7: only queries whose CODE changed this round (the r6 freshness
-    # discipline). The 4 new r7 queries (corpus_url_canon,
-    # corpus_domain_stats, corpus_domain_filter + the never-recorded
-    # corpus_incremental_curation) sort first in the tail
-    # automatically, then the 12 r2-stale rows, then r3 refreshes —
-    # the whole driver-ledger backlog fits this window (3+4+12 < 50).
-    "sim_knn_graph",     # self-scaling bucket width + n_dims column
-    "corpus_bpe_encode", # deep-table word-map regime added
-    "media_features",    # rows-only -> integer-exact full oracle
+    # r8: only queries whose CODE changed this round (the r6 freshness
+    # discipline). The 3 new r8 queries (corpus_psl_domains,
+    # corpus_unicode_text, match_text_unicode) sort first in the tail
+    # automatically; 9 headline + 3 new leaves ~38 window slots for the
+    # stale cohort, which covers every r3-recorded row with margin.
+    "sim_knn_graph",          # 8-band OR-amplification + multi-band oracle
+    "sim_recall_report",      # bucketed_topk 8-band OR-amplification
+    "match_text_search",      # $text folds diacritics by default (Mongo parity)
+    "corpus_url_canon",       # bracketed-IPv6 authority handling
+    "corpus_domain_stats",    # NULL-safe lang rollup join + full-PSL domains
+    "corpus_domain_filter",   # full-PSL registrable_domain
+    "corpus_url_dedup",       # full-PSL registrable_domain
+    "corpus_domain_gate",     # full-PSL registrable_domain
+    "corpus_domain_split",    # full-PSL registrable_domain
+    "corpus_robots_filter",   # working-column collision guard
 ]
 
 

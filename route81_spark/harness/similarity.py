@@ -442,19 +442,25 @@ def sim_ivfpq(spark, sf_dir):
       ) WHERE rn <= 5
     ),
     eb AS (
-      SELECT vec_id, embedding,
-             {" + ".join(f"(CASE WHEN embedding[{i + 1}] > 0 THEN {2**i} ELSE 0 END)" for i in range(8))}
-               AS bucket
-      FROM embeddings
+      SELECT vec_id, embedding, band,
+             list_sum(list_transform(range(8),
+                 d -> CASE WHEN embedding[CAST(band * 8 + d AS INT) + 1] > 0
+                      THEN (CAST(1 AS BIGINT) << d) ELSE 0 END)) AS bucket
+      FROM embeddings, (SELECT unnest(range(8)) AS band) b
     ),
-    qb AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM eb WHERE vec_id % 100 = 0),
+    qb AS (SELECT vec_id AS query_id, embedding AS qv, band, bucket
+           FROM eb WHERE vec_id % 100 = 0),
     approx AS (
       SELECT query_id, vec_id FROM (
-        SELECT qb.query_id, eb.vec_id,
-               row_number() OVER (PARTITION BY qb.query_id
-                 ORDER BY floor(({_cos_sql('eb.embedding', 'qb.qv')}) * 1000000.0 + 0.5) / 1000000.0 DESC,
-                          eb.vec_id ASC) AS rn
-        FROM eb JOIN qb USING (bucket)
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY score DESC, vec_id ASC) AS rn
+        FROM (
+          SELECT qb.query_id, eb.vec_id,
+                 max(floor(({_cos_sql('eb.embedding', 'qb.qv')}) * 1000000.0 + 0.5) / 1000000.0) AS score
+          FROM eb JOIN qb ON qb.band = eb.band AND qb.bucket = eb.bucket
+          GROUP BY qb.query_id, eb.vec_id
+        )
       ) WHERE rn <= 5
     )
     SELECT e.query_id, CAST(count(*) AS INT) AS n_truth,
@@ -465,17 +471,19 @@ def sim_ivfpq(spark, sf_dir):
     """,
 )
 def sim_recall_report(spark, sf_dir):
-    """ANN index health check: per-query recall@5 of the sign-bucket
-    index vs exact brute force on the sampled query set — integer
+    """ANN index health check: per-query recall@5 of the 8-band
+    sign-bucket index (OR-amplification, same disjoint-slice bands as
+    knn_graph) vs exact brute force on the sampled query set — integer
     (n_truth, n_hit) rows, the post-rebuild observability a serving
-    platform runs."""
+    platform runs. The corpus is scanned once (per-band buckets
+    posexploded in flight), queries broadcast — map-only candidates."""
     from route81_spark.ops.similarity import ann_recall_report
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    return ann_recall_report(emb, queries, k=5)
+    return ann_recall_report(emb, queries, k=5, n_bands=8)
 
 @_q(
     "sim_centroid_update",

@@ -191,16 +191,48 @@ def bucketed_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    n_bands: int = 1,
+    vec_dim: int = 64,
 ) -> DataFrame:
     """ANN: score only vectors sharing the query's sign bucket — a hash
-    join on the bucket key instead of a full scan (recall < 1 by design)."""
-    e = emb.withColumn("bucket", sign_bucket(F.col(vec_col), n_dims))
-    q = queries.withColumn("bucket", sign_bucket(F.col(query_vec_col), n_dims))
-    scored = e.join(F.broadcast(q), "bucket").select(
+    join on the bucket key instead of a full scan (recall < 1 by design).
+
+    `n_bands` > 1 turns on OR-amplification exactly like knn_graph:
+    band j buckets on the disjoint dim slice [j*n_dims, (j+1)*n_dims),
+    the join key becomes (band, bucket), and (query, hit) pairs dedup
+    before the top-k window — recall 1-(1-p^r)^L instead of p^r. The
+    corpus is scanned ONCE (posexplode of the L per-band buckets, a
+    narrow in-flight multiply, no shuffle); the query side stays a
+    broadcast, so the whole candidate relation remains map-only."""
+    bands = max(1, min(n_bands, vec_dim // max(n_dims, 1)))
+
+    def with_bucket(df: DataFrame, vcol: str) -> DataFrame:
+        if bands == 1:
+            return df.withColumn("band", F.lit(0)).withColumn(
+                "bucket", sign_bucket(F.col(vcol), n_dims)
+            )
+        return df.select(
+            "*",
+            F.posexplode(
+                F.array(*[
+                    sign_bucket(F.col(vcol), n_dims, offset=j * n_dims)
+                    for j in range(bands)
+                ])
+            ).alias("band", "bucket"),
+        )
+
+    e = with_bucket(emb, vec_col)
+    q = with_bucket(queries, query_vec_col)
+    scored = e.join(F.broadcast(q), ["band", "bucket"]).select(
         F.col(query_id_col),
         F.col(id_col),
         det_round(cosine(F.col(vec_col), F.col(query_vec_col)), 6).alias("score"),
     )
+    if bands > 1:
+        # a pair surfacing in several bands scores identically in each
+        scored = scored.groupBy(query_id_col, id_col).agg(
+            F.max("score").alias("score")
+        )
     w = Window.partitionBy(query_id_col).orderBy(F.col("score").desc(), F.col(id_col).asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -1597,6 +1629,7 @@ def ann_recall_report(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    n_bands: int = 1,
 ) -> DataFrame:
     """Index-quality observability: per-query recall@k of the
     sign-bucket ANN against exact brute force, on a sampled query set —
@@ -1617,6 +1650,7 @@ def ann_recall_report(
     approx = bucketed_topk(
         emb, queries, k=k, n_dims=n_dims, id_col=id_col, vec_col=vec_col,
         query_id_col=query_id_col, query_vec_col=query_vec_col,
+        n_bands=n_bands,
     ).select(query_id_col, F.col(id_col).alias("__hit"))
     j = exact.join(
         approx,
