@@ -6,7 +6,8 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 from route81_spark.ops import text as X
 from route81_spark.ops.util import det_round_sql
-from ._shared import _HTML_STEPS, _TOKS, _q, _t
+from route81_spark.pipeline import apply_pipeline
+from ._shared import _HTML_STEPS, _TOKS, _q, _t, _wh60
 
 @_q(
     "text_stats",
@@ -917,4 +918,101 @@ def text_char_entropy(spark, sf_dir):
         F.length(text).cast("int").alias("n_chars"),
         F.size(F.array_distinct(cs)).alias("n_distinct"),
         det_round(char_entropy(text), 6).alias("entropy_bits"),
+    )
+
+
+# --------------------------------------------------------------------
+# $text {stem: "s"} — Harman S-stemmer conflation (r8)
+# --------------------------------------------------------------------
+
+S_SNIPS = [
+    "fast queries win big",
+    "one query plan holds",
+    "many tables scanned daily",
+    "the focus hypothesis stands",
+    "query of many words",
+    "heroes and zeroes",
+    "status of the bus",
+    "glasses and classes",
+]
+
+# the same CASE chain as ops.text.s_stem, inlined per token (first
+# matching ENDING wins; exceptions leave the word unchanged)
+_STEM_SQL = """
+    CASE WHEN length(t) <= 3 THEN t
+         WHEN ends_with(t, 'ies') THEN
+           CASE WHEN ends_with(t, 'eies') OR ends_with(t, 'aies') THEN t
+                ELSE substr(t, 1, length(t) - 3) || 'y' END
+         WHEN ends_with(t, 'es') THEN
+           CASE WHEN ends_with(t, 'aes') OR ends_with(t, 'ees')
+                     OR ends_with(t, 'oes') THEN t
+                ELSE substr(t, 1, length(t) - 1) END
+         WHEN ends_with(t, 's') THEN
+           CASE WHEN ends_with(t, 'us') OR ends_with(t, 'ss') THEN t
+                ELSE substr(t, 1, length(t) - 1) END
+         ELSE t END
+"""
+
+
+def _s_syn_sql(x: str = "CAST(doc_id AS VARCHAR)") -> str:
+    lits = "[" + ", ".join("'" + s + "'" for s in S_SNIPS) + "]"
+
+    def pick(seed):
+        return f"({lits})[CAST({_wh60(seed, x)} % 8 AS INT) + 1]"
+
+    return f"{pick('stem0|a')} || ' ' || {pick('stem0|b')}"
+
+
+def _s_syn_spark(ids: Column) -> Column:
+    from route81_spark.ops.web import _h60
+
+    def pick(seed):
+        h = _h60(ids, seed)
+        return F.element_at(
+            F.array(*[F.lit(s) for s in S_SNIPS]), (h % 8 + 1).cast("int")
+        )
+
+    return F.concat(pick("stem0|a"), F.lit(" "), pick("stem0|b"))
+
+
+@_q(
+    "match_text_stem",
+    # oracle: stem the token array with the inlined S-stemmer chain,
+    # then recompute membership + integer score — 'queries'/'query'
+    # conflate, '-words' excludes via its stem 'word', while exception
+    # endings (focus/heroes/status/glasses) survive unstemmed
+    f"""
+    WITH s AS (SELECT doc_id, {_s_syn_sql()} AS raw FROM documents),
+    t0 AS (SELECT doc_id,
+                  string_split_regex(lower(raw), '[^0-9a-z]+') AS toks
+           FROM s),
+    t AS (SELECT doc_id,
+                 list_transform(toks, t -> {_STEM_SQL}) AS st
+          FROM t0)
+    SELECT doc_id,
+           CAST(len(list_filter(st, x -> x = 'query'))
+              + len(list_filter(st, x -> x = 'table')) AS BIGINT) AS score
+    FROM t
+    WHERE (list_contains(st, 'query') OR list_contains(st, 'table'))
+      AND NOT coalesce(list_contains(st, 'word'), false)
+    """,
+)
+def match_text_stem(spark, sf_dir):
+    """$text with the {stem: "s"} engine extension: 'queries' in the
+    search conflates with 'query' in the text (and vice versa), the
+    negation '-words' fires on the stemmed token 'word', and exception
+    endings (focus, heroes, status, glasses) stay distinct words — the
+    Harman S-stemmer applied as one pure-Column CASE chain over the
+    token array, zero Python, zero shuffle."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    prepped = docs.select("doc_id", _s_syn_spark(F.col("doc_id")).alias("text"))
+    return apply_pipeline(
+        prepped,
+        [
+            {"$match": {"$text": {
+                "$search": "queries table -words", "stem": "s",
+            }}},
+            {"$addFields": {"score": {"$meta": "textScore"}}},
+            {"$project": {"doc_id": 1, "score": 1}},
+        ],
     )

@@ -1114,6 +1114,7 @@ def knn_graph(
     max_dims: int = 24,
     n_bands: int = 1,
     vec_dim: int = 64,
+    corpus_count: int | None = None,
 ) -> DataFrame:
     """Corpus-wide approximate k-NN graph: each vector's `k` nearest
     neighbours among its sign-bucket candidates. The graph primitive
@@ -1149,7 +1150,11 @@ def knn_graph(
     import math
 
     if n_dims is None:
-        n = emb.count()
+        # the width derivation needs ONE count(*) — parquet-metadata
+        # cheap, but still an extra action at plan-build time; callers
+        # at true 100 TB who already know the corpus size should pass
+        # corpus_count (or n_dims) and skip it
+        n = corpus_count if corpus_count is not None else emb.count()
         n_dims = int(
             min(
                 max_dims,

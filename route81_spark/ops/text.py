@@ -36,6 +36,63 @@ def bpe_ish_tokens(col: Column) -> Column:
     return F.regexp_extract_all(col, F.lit(BPE_ISH_PATTERN), 0)
 
 
+def s_stem(tok: Column) -> Column:
+    """Harman (1991) English S-stemmer over ONE (lowercased) token —
+    the documented conflation subset behind $text's {stem: "s"} engine
+    extension (Mongo's Snowball stemmers are index-internal; the
+    S-stemmer is the standard weak stemmer with near-Porter retrieval
+    quality on English plurals):
+
+      1. -ies -> -y   unless the word ends -eies / -aies
+      2. -es  -> -e   unless the word ends -aes / -ees / -oes
+      3. -s   ->      unless the word ends -us / -ss
+
+    First matching ENDING wins — an exception leaves the word
+    unchanged rather than falling through to a shorter ending (Harman's
+    formulation; 'aies' stays 'aies', it does not become 'aie').
+    Words of <= 3 characters pass through. Pure Column (endswith +
+    substring inside codegen); the DuckDB twin is the same CASE chain,
+    the Python twin is s_stem_py."""
+    n = F.length(tok)
+    e3 = F.substring(tok, -3, 3)
+    e2 = F.substring(tok, -2, 2)
+    return F.when(n <= 3, tok).otherwise(
+        F.when(
+            e3 == "ies",
+            F.when(
+                F.substring(tok, -4, 4).isin("eies", "aies"), tok
+            ).otherwise(F.concat(F.substring(tok, 1, n - 3), F.lit("y"))),
+        )
+        .when(
+            e2 == "es",
+            F.when(e3.isin("aes", "ees", "oes"), tok).otherwise(
+                F.substring(tok, 1, n - 1)
+            ),
+        )
+        .when(
+            F.substring(tok, -1, 1) == "s",
+            F.when(e2.isin("us", "ss"), tok).otherwise(
+                F.substring(tok, 1, n - 1)
+            ),
+        )
+        .otherwise(tok)
+    )
+
+
+def s_stem_py(tok: str) -> str:
+    """Python spec twin of s_stem (stems $text query literals
+    driver-side and serves as the hypothesis oracle)."""
+    if len(tok) <= 3:
+        return tok
+    if tok.endswith("ies"):
+        return tok if tok.endswith(("eies", "aies")) else tok[:-3] + "y"
+    if tok.endswith("es"):
+        return tok if tok.endswith(("aes", "ees", "oes")) else tok[:-1]
+    if tok.endswith("s"):
+        return tok if tok.endswith(("us", "ss")) else tok[:-1]
+    return tok
+
+
 def distinct_ratio(col: Column) -> Column:
     tk = tokens(col)
     # empty token list -> null (not an ANSI DIVIDE_BY_ZERO abort)

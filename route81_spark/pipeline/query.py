@@ -57,8 +57,13 @@ from route81_spark.pipeline.exprs import PipelineCompileError, compile_expr, ext
 #     removed, single-base precomposed chars folded) — so 'café',
 #     decomposed 'cafe'+U+0301, and 'cafe' all match; explicit
 #     {$diacriticSensitive: true} keeps diacritics significant (r8).
+#   * engine extension {stem: "s"}: Harman S-stemmer conflation of
+#     English plurals over tokens and plain query terms (phrases stay
+#     raw) — the documented weak-stemming subset of Mongo's Snowball;
+#     other stem values fail loudly (r8).
 #   * DOCUMENTED DIVERGENCES (fail loudly where dishonoring a request):
-#     no language stemming ($language accepted, ignored); tokens are
+#     no Snowball stemming ($language accepted, ignored — opt into the
+#     S-stemmer subset via {stem: "s"}); tokens are
 #     ASCII-alnum runs BY DEFAULT (engine extension {unicode: true}
 #     switches to Unicode letter/number runs for any script — r8);
 #     diacritic folding covers Mn/Me marks and single-base precomposed
@@ -101,7 +106,7 @@ def _text_parts(spec: dict) -> tuple[str, bool, bool, bool, tuple]:
         raise PipelineCompileError("$text requires a {$search: <string>} document")
     unknown = set(spec) - {
         "$search", "$language", "$caseSensitive", "$diacriticSensitive",
-        "field", "unicode",
+        "field", "unicode", "stem",
     }
     if unknown:
         raise PipelineCompileError(f"unsupported $text options: {sorted(unknown)}")
@@ -114,7 +119,18 @@ def _text_parts(spec: dict) -> tuple[str, bool, bool, bool, tuple]:
     # shrinking the documented CJK/diacritics divergence; matching and
     # scoring semantics are otherwise identical
     uni = bool(spec.get("unicode", False))
-    return field, cs, ds, uni, _parse_search(str(spec["$search"]))
+    # engine extension: {stem: "s"} conflates English plurals with the
+    # Harman S-stemmer (ops.text.s_stem) on tokens AND plain query
+    # terms — the documented weak-stemming subset of Mongo's Snowball
+    # ($language itself stays accepted-and-ignored); phrases match the
+    # raw text unstemmed. Any other value fails loudly.
+    stem = spec.get("stem")
+    if stem not in (None, "s"):
+        raise PipelineCompileError(
+            f"$text: unsupported stem mode {stem!r} — only the 's'"
+            " (Harman S-stemmer) subset is implemented"
+        )
+    return field, cs, ds, uni, stem == "s", _parse_search(str(spec["$search"]))
 
 
 def _text_norm(c: Column, cs: bool) -> Column:
@@ -134,7 +150,7 @@ def _text_bound(spec: dict, build):
     otherwise every term's probe re-inlines the split; see
     web.url_canonicalize for the trap), then hand (text, toks, parts,
     norm) to the builder."""
-    field, cs, ds, uni, parts = _text_parts(spec)
+    field, cs, ds, uni, stem, parts = _text_parts(spec)
     text = _text_norm(F.col(field), cs)
     if not ds:
         from route81_spark.ops.unitext import fold_diacritics, fold_diacritics_py
@@ -148,9 +164,29 @@ def _text_bound(spec: dict, build):
         sep = "[^0-9a-zA-Z]+" if cs else "[^0-9a-z]+"
     toks = F.split(text, sep)
 
-    def norm(s: str) -> str:
+    def base_norm(s: str) -> str:
         s = s if cs else s.lower()
         return s if ds else fold_diacritics_py(s)
+
+    if stem:
+        from route81_spark.ops.text import s_stem, s_stem_py
+
+        toks = F.transform(toks, s_stem)
+        pos_t, neg_t, pos_ph, neg_ph = parts
+        # terms stem (after case/diacritic fold, like the token array);
+        # phrases match the raw normalized text, unstemmed
+        parts = (
+            [s_stem_py(base_norm(t)) for t in pos_t],
+            [s_stem_py(base_norm(t)) for t in neg_t],
+            [base_norm(p) for p in pos_ph],
+            [base_norm(p) for p in neg_ph],
+        )
+
+        def norm(s: str) -> str:  # literals already normalized above
+            return s
+
+    else:
+        norm = base_norm
 
     bound = F.transform(
         F.array(F.struct(text.alias("t"), toks.alias("k"))),

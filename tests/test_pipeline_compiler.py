@@ -580,6 +580,93 @@ def test_fold_diacritics_matches_python_twin(spark):
     assert got == want
 
 
+def test_text_s_stemmer(spark):
+    """{stem: "s"}: Harman S-stemmer conflates English plurals on
+    tokens AND plain terms (queries<->query, tables<->table), phrases
+    stay raw; exceptions (-ss/-us/-Xes/-Xies endings) pass through;
+    other stem values fail loudly."""
+    from route81_spark.ops.text import s_stem_py
+    from route81_spark.pipeline import apply_pipeline
+
+    # spec-twin unit pins (first matching ending wins; exceptions stay)
+    assert s_stem_py("queries") == "query"
+    assert s_stem_py("tables") == "table"
+    assert s_stem_py("glasses") == "glasse"   # -es rule, not -ss (len>3)
+    assert s_stem_py("class") == "class"      # -ss exception
+    assert s_stem_py("focus") == "focus"      # -us exception
+    assert s_stem_py("goes") == "goes"        # -oes exception
+    assert s_stem_py("aies") == "aies"        # rule-1 exception, no fall-through
+    assert s_stem_py("its") == "its"          # <= 3 chars pass
+
+    df = spark.createDataFrame(
+        [
+            (1, "fast queries win"),
+            (2, "one query plan"),
+            (3, "many tables scanned"),
+            (4, "the focus hypothesis"),
+        ],
+        "doc_id long, text string",
+    )
+
+    def run(search, **kw):
+        spec = {"$search": search, **kw}
+        return sorted(
+            r["doc_id"]
+            for r in apply_pipeline(df, [{"$match": {"$text": spec}}]).collect()
+        )
+
+    # plural query matches singular doc and vice versa
+    assert run("queries", stem="s") == [1, 2]
+    assert run("query", stem="s") == [1, 2]
+    assert run("table", stem="s") == [3]
+    # exception endings don't over-stem ('focus' survives)
+    assert run("focus", stem="s") == [4]
+    # phrases match RAW text — no stemming inside phrases
+    assert run('"fast queries"', stem="s") == [1]
+    assert run('"fast query"', stem="s") == []
+    # without stem the plural/singular stay distinct
+    assert run("queries") == [1]
+    # scoring counts stemmed-token matches
+    from route81_spark.pipeline import apply_pipeline as ap
+    got = {
+        r["doc_id"]: r["s"]
+        for r in ap(
+            df,
+            [
+                {"$match": {"$text": {"$search": "query", "stem": "s"}}},
+                {"$addFields": {"s": {"$meta": "textScore"}}},
+                {"$project": {"doc_id": 1, "s": 1}},
+            ],
+        ).collect()
+    }
+    assert got == {1: 1, 2: 1}
+    # unsupported stem mode fails loudly
+    with pytest.raises(PipelineCompileError, match="stem"):
+        run("x", stem="porter")
+
+
+def test_s_stem_column_matches_python_twin(spark):
+    """EXHAUSTIVE sweep: every string of length <= 5 over {a,e,i,o,s,u}
+    (9331 words — covers all rule endings, every exception, and every
+    near-miss) through the Column CASE chain vs the Python twin, in one
+    Spark job."""
+    from itertools import product
+
+    from route81_spark.ops.text import s_stem, s_stem_py
+
+    alpha = "aeiosu"
+    words = [""]
+    for n in range(1, 6):
+        words += ["".join(p) for p in product(alpha, repeat=n)]
+    df = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], "i long, w string"
+    )
+    got = {r["i"]: r["s"] for r in
+           df.select("i", s_stem(F.col("w")).alias("s")).collect()}
+    want = {i: s_stem_py(w) for i, w in enumerate(words)}
+    assert got == want
+
+
 def test_js_accumulators_fail_loudly(spark):
     """$accumulator/$function embed JavaScript — not executable here;
     the compiler must reject them at config time, never run them."""
