@@ -510,3 +510,17 @@ def test_ood_filter_zero_shuffle(spark):
     assert "hashpartitioning" not in plan
     assert "Window" not in plan
     assert "EvalPython" not in plan
+
+
+def test_text_search_family_is_map_only(spark):
+    """$text match + textScore (ASCII, diacritic-folded, stemmed) are
+    per-row filter+projection work: the plan must contain NO Exchange
+    of any kind — folding is one translate, stemming one CASE chain
+    over the token array, both inside the scan-side projection (the
+    round-robin ensure_parallelism input artifact doesn't apply here:
+    these queries project off a synthetic hash column)."""
+    for name in ("match_text_search", "match_text_diacritics",
+                 "match_text_stem"):
+        plan = plan_of(harness.QUERIES[name](spark, SF), "simple")
+        assert "Exchange" not in plan, f"{name} shuffles:\n{plan}"
+        assert "BatchEvalPython" not in plan, name
