@@ -960,6 +960,11 @@ def _knn_graph(df: DataFrame, arg: dict) -> DataFrame:
         n_dims=int(arg["nDims"]) if "nDims" in arg else None,
         id_col=arg.get("idField", "vec_id"),
         vec_col=arg.get("vecField", "embedding"),
+        # OR-amplification bands (disjoint dim slices); clamped to the
+        # vector width inside knn_graph
+        n_bands=int(arg.get("nBands", 1)),
+        vec_dim=int(arg.get("vecDim", 64)),
+        corpus_count=int(arg["corpusCount"]) if "corpusCount" in arg else None,
     )
 
 

@@ -3117,6 +3117,9 @@ def test_new_sim_and_sketch_stages(spark):
     got = apply_pipeline(emb, [{"$knnGraph": {"k": 2}}]).collect()
     want = knn_graph(emb, k=2).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, want)) and len(want) > 0
+    gb = apply_pipeline(emb, [{"$knnGraph": {"k": 2, "nBands": 4}}]).collect()
+    wb = knn_graph(emb, k=2, n_bands=4).collect()
+    assert sorted(map(tuple, gb)) == sorted(map(tuple, wb)) and len(wb) > 0
 
     gp = apply_pipeline(emb, [{"$randomProject": {"outDim": 4}}]).collect()
     wp = random_project(emb, out_dim=4).collect()
