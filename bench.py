@@ -88,6 +88,9 @@ BENCH_QUERIES = [
     "corpus_psl_domains",  # full-PSL broadcast rule-table extraction (r8)
     "corpus_unicode_text", # NFC (Arrow) + Unicode tokenization (r8)
     "match_text_unicode",  # $text unicode mode over NFC'd text (r8)
+    "match_text_diacritics",  # $text diacritic folding (one translate, r8)
+    "match_text_stem",     # $text S-stemmer conflation (CASE chain, r8)
+    "sim_knn_graph",       # 8-band self-join kNN graph, self-scaled width (r8)
 ]
 
 # Round-over-round comparability cohorts (r6 verdict: the growing set mixes

@@ -350,3 +350,52 @@ def cdc_scd2_history(spark, sf_dir):
         "valid_to",
         "is_current",
     )
+
+
+@_q(
+    "cdc_delete_id_expr",
+    # oracle: replicate the gval expression over the same synthetic
+    # message shape — composite delete id = region || '-' || id % 1000
+    # (the % binds tighter than +, as in gval); upserts keep data._id
+    """
+    SELECT CAST(event_id % 25 = 0 AS BOOLEAN) AS is_delete,
+           CASE WHEN event_id % 25 = 0
+                THEN (CASE WHEN user_id % 2 = 0 THEN 'eu' ELSE 'us' END)
+                     || '-' || CAST(event_id % 1000 AS VARCHAR)
+                ELSE CAST(event_id AS VARCHAR) END AS doc_id
+    FROM events
+    """,
+)
+def cdc_delete_id_expr(spark, sf_dir):
+    """Consumer classifier with a gval EXPRESSION delete-id-path
+    (route81 compiles these with gval.Full, route81.go:323-336):
+    `meta.region + "-" + meta.id % 1000` builds a composite delete id —
+    string concat + modulo compiled to one pure Column over the message
+    schema (sinks/gvalexpr.py), zero Python per row. Deletes are the
+    rows whose document root is NULL; upserts keep the root's _id."""
+    from route81_spark.sinks.classify import ClassifierConfig, classify
+
+    ev = _t(spark, sf_dir, "events")
+    msgs = ev.select(
+        F.struct(
+            F.when(F.col("user_id") % 2 == 0, F.lit("eu"))
+            .otherwise(F.lit("us")).alias("region"),
+            F.col("event_id").alias("id"),
+        ).alias("meta"),
+        F.when(
+            F.col("event_id") % 25 == 0, F.lit(None)
+        ).otherwise(
+            F.struct(
+                F.col("event_id").cast("string").alias("_id"),
+                F.col("event_type").alias("etype"),
+            )
+        ).alias("data"),
+    )
+    out = classify(
+        msgs,
+        ClassifierConfig(
+            document_root_path="data",
+            delete_id_path='meta.region + "-" + meta.id % 1000',
+        ),
+    )
+    return out.select("is_delete", "doc_id")

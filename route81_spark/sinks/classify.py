@@ -15,7 +15,12 @@ compiled dotted-path expressions:
 
 The reference evaluates gval path expressions per document; here both
 paths compile to nested-Column access so the classifier is a pure
-`when()` chain over a declared schema.
+`when()` chain over a declared schema. delete-id-path additionally
+compiles the gval OPERATOR subset (arithmetic, comparisons, logical,
+ternary, string concat — sinks/gvalexpr.py) for composite/derived ids,
+matching the gval.Full surface route81 hands a config
+(route81.go:323-336) minus functions, which no route81 config can call
+either (none are registered).
 """
 
 from __future__ import annotations
@@ -44,10 +49,12 @@ def _path_error(path: str, at: int, why: str) -> ValueError:
         f"unsupported path expression {path!r} (at offset {at}: {why}): "
         "document-root-path / delete-id-path accept dot-separated field "
         "names, [n] array indexes, and [\"quoted keys\"] for names with "
-        "dots/spaces, e.g. 'data.items[0][\"weird.key\"]._id'. Other gval "
-        "syntax (arithmetic, comparisons, function calls) is not "
-        "supported; restructure the path or pre-shape the document with "
-        "a pipeline stage."
+        "dots/spaces, e.g. 'data.items[0][\"weird.key\"]._id'. "
+        "delete-id-path additionally accepts the gval operator subset "
+        "(arithmetic, comparisons, logical, ternary, string concat — "
+        "sinks/gvalexpr.py); function calls and dynamic subscripts are "
+        "not supported anywhere — pre-shape the document with a "
+        "pipeline stage."
     )
 
 
@@ -151,6 +158,44 @@ def _root_type(schema: T.StructType, path: str | None) -> T.DataType:
     return dt
 
 
+def _delete_id_col(schema: T.StructType, path: str) -> Column:
+    """delete-id-path compiler: the plain-path fast lane (and its richer
+    path diagnostics) when the config is just a path, else the bounded
+    gval operator subset (sinks/gvalexpr.py) — composite ids like
+    `meta.region + "-" + meta.id` compile to one Column expression, as
+    the reference's gval.Full evaluable does per document
+    (route81.go:323-336)."""
+    from route81_spark.sinks.gvalexpr import compile_gval
+
+    try:
+        # plain contract first: it admits field names the expression
+        # lexer must treat as operators (leading '-', leading digits),
+        # so every previously-valid config compiles unchanged
+        return _path_col(path)
+    except ValueError:
+        pass
+
+    def resolve(segs: list) -> tuple[Column, T.DataType | None]:
+        first = str(segs[0])
+        escaped = first.replace("`", "``")
+        col = F.col(first if _IDENT.fullmatch(first) else f"`{escaped}`")
+        dt: T.DataType | None = schema
+        for s in [first, *segs[1:]]:
+            if s != first:
+                col = col.getItem(s) if isinstance(s, int) else col.getField(s)
+            if dt is None:
+                continue
+            if isinstance(s, int):
+                dt = dt.elementType if isinstance(dt, T.ArrayType) else None
+            else:
+                dt = (dt[s].dataType
+                      if isinstance(dt, T.StructType) and s in dt.fieldNames()
+                      else None)
+        return col, dt
+
+    return compile_gval(path, resolve)
+
+
 def classify(
     df: DataFrame, cfg: ClassifierConfig | None = None, keep: list[str] | None = None
 ) -> DataFrame:
@@ -181,7 +226,7 @@ def classify(
     is_delete = root.isNull() | id_only
 
     delete_id = (
-        _path_col(cfg.delete_id_path)
+        _delete_id_col(df.schema, cfg.delete_id_path)
         if cfg.delete_id_path
         else root.getField("_id") if "_id" in root_type.fieldNames() else F.lit(None)
     )
