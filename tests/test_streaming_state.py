@@ -922,3 +922,45 @@ def test_streaming_random_projection_matches_batch(spark, tmp_path):
     want = {(r["vec_id"], r["dim"]): r["value"]
             for r in random_project(batch, out_dim=8).collect()}
     assert got == want and len(want) == 80
+
+
+def test_streaming_text_search_matches_batch(spark, tmp_path):
+    """The whole $text family (folding default, unicode tokens, stem
+    mode, textScore projection) is per-row filter+projection work — no
+    state, stream-legal in append mode; the streamed matches and
+    scores equal the batch pipeline's for the same rows."""
+    from route81_spark.pipeline import apply_pipeline
+
+    rows = [
+        {"doc_id": 1, "text": "fast queries over café tables"},
+        {"doc_id": 2, "text": "one query plan for the cafe"},
+        {"doc_id": 3, "text": "café press salsa"},      # decomposed
+        {"doc_id": 4, "text": "nothing relevant"},
+        {"doc_id": 5, "text": "query query salsa"},
+    ]
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    src = tmp_path / "tsrc"
+    _write_batch(src / "b1.json", rows[:3])
+    _write_batch(src / "b2.json", rows[3:])
+    pipe = [
+        {"$match": {"$text": {
+            "$search": "café queries -salsa", "unicode": True, "stem": "s",
+        }}},
+        {"$addFields": {"score": {"$meta": "textScore"}}},
+        {"$project": {"doc_id": 1, "score": 1}},
+    ]
+    stream = spark.readStream.schema(schema).json(str(src))
+    out, ck = tmp_path / "tout", tmp_path / "tck"
+    _run_available_now(apply_pipeline(stream, pipe), out, ck)
+    got = {
+        (r["doc_id"], r["score"])
+        for r in spark.read.parquet(str(out)).collect()
+    }
+    batch = spark.createDataFrame([tuple(r.values()) for r in rows],
+                                  "doc_id long, text string")
+    want = {(r["doc_id"], r["score"])
+            for r in apply_pipeline(batch, pipe).collect()}
+    assert got == want and len(want) >= 2
