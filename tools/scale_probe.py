@@ -725,6 +725,12 @@ def sf1_probe(spark, k: int = 100) -> None:
         "corpus_bloom_dedup",
         "dedup_end_to_end",
         "corpus_bpe_encode",
+        # the r8 crawl-curation layer at 100x (synthetic URLs derive
+        # from doc_id, so the scaled corpus gets proportionally more
+        # URLs/domains)
+        "corpus_domain_stats",
+        "corpus_domain_gate",
+        "corpus_psl_domains",
     ]
 
     def run(name: str, d: str) -> float:
