@@ -443,3 +443,87 @@ def corpus_psl_domains(spark, sf_dir):
     return psl_domain_table(
         docs.withColumn("host", host), rules_df, host_col="host"
     ).select("doc_id", "host", "domain")
+
+
+@_q(
+    "corpus_crawl_funnel",
+    # END-TO-END crawl funnel — the composed user workload: canonicalize
+    # -> keep-first URL dedup -> domain dup-share gate. Both planted
+    # structures are active at once: twin docs share a base URL (the odd
+    # twin adds canon-invisible noise, so dedup must collapse pairs) AND
+    # ~1/5 of domains are templated (all-identical text, so the gate
+    # must drop them as a unit AFTER dedup). The oracle chains the same
+    # verified CTE fragments the individual queries use.
+    "WITH syn AS (SELECT doc_id, text, "
+    + _url_syn_sql("CAST(doc_id - doc_id % 2 AS VARCHAR)")
+    + " AS base FROM documents),\n"
+    "     u AS (SELECT doc_id, text,\n"
+    "           CASE WHEN doc_id % 2 = 1 THEN base ||\n"
+    "                CASE WHEN contains(base, '?')\n"
+    "                     THEN '&utm_source=pairnoise#dup'\n"
+    "                     ELSE '?utm_source=pairnoise#dup' END\n"
+    "                ELSE base END AS url FROM syn),\n"
+    "     d AS (SELECT doc_id, url, " + _w_canon_sql("url") + " AS canon_url,\n"
+    "                  " + _w_dom_sql(_w_host_sql("url")) + " AS domain,\n"
+    "                  CASE WHEN ('0x' || substr(md5('tmpl|' || "
+    + _w_dom_sql(_w_host_sql("url"))
+    + "), 1, 15))::BIGINT % 5 = 0\n"
+    "                       THEN 'template boilerplate page' ELSE text END AS t2\n"
+    "           FROM u),\n"
+    "     win AS (SELECT canon_url, min(doc_id) AS doc_id\n"
+    "             FROM d GROUP BY canon_url),\n"
+    "     surv AS (SELECT d.* FROM d JOIN win ON d.doc_id = win.doc_id),\n"
+    "     st AS (SELECT domain, count(*) AS n,\n"
+    "                   count(*) - count(DISTINCT md5(t2)) AS nd\n"
+    "            FROM surv WHERE domain IS NOT NULL GROUP BY domain),\n"
+    "     losers AS (SELECT domain FROM st WHERE nd * 4 > n * 1)\n"
+    "SELECT doc_id, domain, canon_url FROM surv\n"
+    "WHERE domain IS NULL OR domain NOT IN (SELECT domain FROM losers)",
+)
+def corpus_crawl_funnel(spark, sf_dir):
+    """The COMPOSED crawl-curation workload a real user runs: messy
+    URLs -> canonicalize -> keep-first dedup by canonical URL ->
+    domain dup-share gate, with both planted structures active at once
+    (URL twin pairs that only canonicalization can collapse, plus
+    templated domains that only the post-dedup rollup can drop).
+    Composition is the point: it exercises the layers' interaction —
+    the winner semi-join feeding the gate's rollup, the bind-once canon
+    guard under a longer downstream chain.
+
+    Scale shape: one (canon, min-id) agg shuffles only hash-sized rows;
+    the winner-id semi-join on doc_id is the single full-row shuffle
+    (the line_dedup rebuild shape); the gate's rollup shuffles (domain,
+    hash, int) rows and its loser list applies broadcast-anti."""
+    from route81_spark.ops.web import (
+        _h60,
+        domain_gate,
+        registrable_domain,
+        synthetic_urls,
+        url_dedup,
+        url_host,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.withColumn("__k", F.col("doc_id") - F.col("doc_id") % 2)
+    u = synthetic_urls(base, id_col="__k").drop("__k")
+    noisy = F.when(
+        F.col("doc_id") % 2 == 1,
+        F.concat(
+            F.col("url"),
+            F.when(
+                F.col("url").contains("?"),
+                F.lit("&utm_source=pairnoise#dup"),
+            ).otherwise(F.lit("?utm_source=pairnoise#dup")),
+        ),
+    ).otherwise(F.col("url"))
+    dom = registrable_domain(url_host(F.col("url")))
+    planted = u.withColumn("url", noisy).withColumn(
+        "text",
+        F.when(
+            _h60(dom, "tmpl") % 5 == 0, F.lit("template boilerplate page")
+        ).otherwise(F.col("text")),
+    )
+    winners = url_dedup(planted)  # (doc_id, canon_url)
+    survivors = planted.join(winners, "doc_id")
+    gated = domain_gate(survivors, max_dup_ratio=(1, 4))
+    return gated.select("doc_id", dom.alias("domain"), "canon_url")

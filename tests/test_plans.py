@@ -524,3 +524,23 @@ def test_text_search_family_is_map_only(spark):
         plan = plan_of(harness.QUERIES[name](spark, SF), "simple")
         assert "Exchange" not in plan, f"{name} shuffles:\n{plan}"
         assert "BatchEvalPython" not in plan, name
+
+
+def test_crawl_funnel_no_payload_shuffles(spark):
+    """The composed crawl funnel's contract: NO hash-partitioned
+    Exchange carries text or url — the (canon, min-id) winner agg, the
+    domain rollup, and the loser list all shuffle hash/int/domain rows
+    only; the loser gate applies broadcast-anti; no Python anywhere."""
+    df = harness.QUERIES["corpus_crawl_funnel"](spark, SF)
+    plan = plan_of(df, "formatted").split("== Initial Plan ==")[0]
+    for block in plan.split("\n\n"):
+        head = block.strip().splitlines()[0] if block.strip() else ""
+        if "Exchange" not in head or "BroadcastExchange" in head:
+            continue
+        if "hashpartitioning" in block:
+            # \B-guard: canon_url# is a HASH-SIZED canonical string and
+            # allowed; the raw text#/url# payload columns are not
+            import re
+            assert not re.search(r"(?<![\w])(text|url)#", block), block
+    assert "BroadcastHashJoin LeftAnti" in plan
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
