@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     "match_text_diacritics",  # $text diacritic folding (one translate, r8)
     "match_text_stem",     # $text S-stemmer conflation (CASE chain, r8)
     "sim_knn_graph",       # 8-band self-join kNN graph, self-scaled width (r8)
+    "corpus_crawl_funnel", # composed canon -> URL dedup -> domain gate (r8)
 ]
 
 # Round-over-round comparability cohorts (r6 verdict: the growing set mixes

@@ -731,6 +731,7 @@ def sf1_probe(spark, k: int = 100) -> None:
         "corpus_domain_stats",
         "corpus_domain_gate",
         "corpus_psl_domains",
+        "corpus_crawl_funnel",
     ]
 
     def run(name: str, d: str) -> float:
