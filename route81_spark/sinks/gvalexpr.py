@@ -176,7 +176,10 @@ class _Parser:
                 self.expect_op(")")
                 return self.postfix_nonpath(inner)
             if val == "-":
-                return ("un", "-", self.expr(80))
+                node = self.expr(80)
+                if node[0] == "lit" and isinstance(node[1], (int, float)):
+                    return ("lit", -node[1])  # constant-fold -<number>
+                return ("un", "-", node)
             if val == "!":
                 return ("un", "!", self.expr(80))
             if val == "[":

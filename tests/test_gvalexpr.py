@@ -86,3 +86,202 @@ def test_loud_failures(spark):
     ]:
         with pytest.raises(ValueError, match="gval|path"):
             _ids(spark, bad)
+
+
+# ------------------------------------------------------------------
+# property fuzz: (1) a minimal-parentheses renderer round-trips through
+# the parser (precedence + associativity are exactly the table's);
+# (2) compiled Columns agree with an independent Python evaluator on
+# typed random expression trees over real rows
+# ------------------------------------------------------------------
+
+import math
+
+from hypothesis import given, settings, strategies as st
+
+from route81_spark.sinks.gvalexpr import _BIN_BP, _Parser, compile_gval
+from pyspark.sql import types as T
+
+
+def _render(node, parent_bp: int = 0) -> str:
+    tag = node[0]
+    if tag == "lit":
+        v = node[1]
+        if v is None:
+            return "null"
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        if isinstance(v, str):
+            return '"' + v.replace("\\", "\\\\").replace('"', '\\"') + '"'
+        return repr(v)
+    if tag == "path":
+        out = str(node[1][0])
+        for s in node[1][1:]:
+            out += f"[{s}]" if isinstance(s, int) else f".{s}"
+        return out
+    if tag == "un":
+        inner = _render(node[2], 80)
+        s = f"{node[1]}{inner}" if inner.startswith("(") or node[1] == "!" \
+            else f"{node[1]}({inner})"
+        return s if parent_bp <= 80 else f"({s})"
+    if tag == "tern":
+        s = (f"{_render(node[1], 11)} ? {_render(node[2], 0)}"
+             f" : {_render(node[3], 9)}")
+        return f"({s})" if parent_bp > 10 else s
+    _, op, lhs, rhs = node
+    lbp, rbp = _BIN_BP[op]
+    s = f"{_render(lhs, lbp)} {op} {_render(rhs, rbp)}"
+    return f"({s})" if parent_bp > lbp else s
+
+
+_ROWS = [
+    {"a": 3, "b": -2, "x": 1.5, "s": "ab", "t": "b-c", "f": True},
+    {"a": -7, "b": 4, "x": -0.25, "s": "", "t": "zz", "f": False},
+    {"a": 1, "b": 1, "x": 2.0, "s": "q", "t": "q", "f": True},
+]
+_SCHEMA = T.StructType([
+    T.StructField("a", T.LongType()), T.StructField("b", T.LongType()),
+    T.StructField("x", T.DoubleType()), T.StructField("s", T.StringType()),
+    T.StructField("t", T.StringType()), T.StructField("f", T.BooleanType()),
+])
+
+
+def _py_eval(node, row):
+    tag = node[0]
+    if tag == "lit":
+        return node[1]
+    if tag == "path":
+        return row[node[1][0]]
+    if tag == "un":
+        v = _py_eval(node[2], row)
+        return (not v) if node[1] == "!" else -v
+    if tag == "tern":
+        return (_py_eval(node[2], row) if _py_eval(node[1], row)
+                else _py_eval(node[3], row))
+    _, op, lhs, rhs = node
+    lv, rv = _py_eval(lhs, row), _py_eval(rhs, row)
+    if op == "+":
+        if isinstance(lv, str) or isinstance(rv, str):
+            return str(lv) + str(rv)
+        return lv + rv
+    if op == "-":
+        return lv - rv
+    if op == "*":
+        return lv * rv
+    if op == "/":
+        return float(lv) / float(rv)
+    if op == "%":
+        # Spark/Go: remainder takes the DIVIDEND's sign (not Python %)
+        r = math.fmod(lv, rv)
+        return int(r) if isinstance(lv, int) and isinstance(rv, int) else r
+    return {"==": lv == rv, "!=": lv != rv, "<": lv < rv, "<=": lv <= rv,
+            ">": lv > rv, ">=": lv >= rv,
+            "&&": lv and rv, "||": lv or rv}[op]
+
+
+def _num(depth):
+    leaf = st.one_of(
+        st.integers(min_value=-9, max_value=9).map(lambda v: ("lit", v)),
+        st.sampled_from([("path", ["a"]), ("path", ["b"]), ("path", ["x"])]),
+    )
+    if depth == 0:
+        return leaf
+    sub = _num(depth - 1)
+    nz = st.integers(min_value=1, max_value=9).map(lambda v: ("lit", v))
+    return st.one_of(
+        leaf,
+        st.tuples(st.sampled_from(["+", "-", "*"]), sub, sub)
+        .map(lambda t: ("bin", t[0], t[1], t[2])),
+        # nonzero literal divisors: null-vs-exception semantics differ
+        st.tuples(st.sampled_from(["/", "%"]), sub, nz)
+        .map(lambda t: ("bin", t[0], t[1], t[2])),
+        # the parser constant-folds -<number literal>, so the generator
+        # mirrors it: unary minus only wraps non-literal operands
+        sub.map(lambda n: ("lit", -n[1]) if n[0] == "lit"
+                else ("un", "-", n)),
+        st.tuples(_bool(depth - 1), sub, sub)
+        .map(lambda t: ("tern", t[0], t[1], t[2])),
+    )
+
+
+def _strx(depth):
+    leaf = st.one_of(
+        st.sampled_from(['x"y', "ab", ""]).map(lambda v: ("lit", v)),
+        st.sampled_from([("path", ["s"]), ("path", ["t"])]),
+    )
+    if depth == 0:
+        return leaf
+    sub = _strx(depth - 1)
+    return st.one_of(
+        leaf,
+        st.tuples(sub, sub).map(lambda t: ("bin", "+", t[0], t[1])),
+        st.tuples(_bool(depth - 1), sub, sub)
+        .map(lambda t: ("tern", t[0], t[1], t[2])),
+    )
+
+
+def _bool(depth):
+    leaf = st.one_of(
+        st.booleans().map(lambda v: ("lit", v)),
+        st.just(("path", ["f"])),
+    )
+    if depth == 0:
+        return leaf
+    n, s, b = _num(depth - 1), _strx(depth - 1), _bool(depth - 1)
+    cmps = st.sampled_from(["==", "!=", "<", "<=", ">", ">="])
+    return st.one_of(
+        leaf,
+        st.tuples(cmps, n, n).map(lambda t: ("bin", t[0], t[1], t[2])),
+        st.tuples(cmps, s, s).map(lambda t: ("bin", t[0], t[1], t[2])),
+        st.tuples(st.sampled_from(["&&", "||"]), b, b)
+        .map(lambda t: ("bin", t[0], t[1], t[2])),
+        b.map(lambda x: ("un", "!", x)),
+    )
+
+
+_EXPRS = st.one_of(_num(3), _strx(3), _bool(3))
+
+
+@given(st.lists(_EXPRS, min_size=1, max_size=8))
+@settings(max_examples=30, deadline=None)
+def test_render_roundtrip(asts):
+    """Minimal-parens rendering reparses to the identical AST — the
+    printed precedence/associativity IS the parser's."""
+    for ast in asts:
+        assert _Parser(_render(ast)).parse() == ast
+
+
+def test_semantics_match_python_evaluator(spark):
+    """Compiled Columns agree with the independent Python evaluator on
+    a fixed corpus of random typed trees over real rows (one Spark job
+    for the whole corpus)."""
+    collected = []
+
+    @given(_EXPRS)
+    @settings(max_examples=60, deadline=None, database=None)
+    def gather(ast):
+        collected.append(ast)
+
+    gather()
+    corpus = collected[:60]
+
+    def resolve(segs):
+        name = segs[0]
+        return F.col(name), dict(zip(
+            [f.name for f in _SCHEMA.fields], [f.dataType for f in _SCHEMA.fields]
+        ))[name]
+
+    df = spark.createDataFrame(_ROWS, _SCHEMA)
+    cols = [
+        compile_gval(_render(ast), resolve).alias(f"c{i}")
+        for i, ast in enumerate(corpus)
+    ]
+    got = df.select(*cols).collect()
+    for ri, row in enumerate(_ROWS):
+        for i, ast in enumerate(corpus):
+            want = _py_eval(ast, row)
+            g = got[ri][f"c{i}"]
+            if isinstance(want, float) or isinstance(g, float):
+                assert g == pytest.approx(want, abs=1e-12), (ast, row, g, want)
+            else:
+                assert g == want, (ast, row, g, want)
