@@ -1016,3 +1016,132 @@ def match_text_stem(spark, sf_dir):
             {"$project": {"doc_id": 1, "score": 1}},
         ],
     )
+
+
+# --------------------------------------------------------------------
+# Extended PII classes: Luhn-validated payment cards + SSNs (r8)
+# --------------------------------------------------------------------
+
+_CC_CAND_SQL = r"\b[0-9](?:[ -]?[0-9]){12,18}\b"
+_SSN_SQL = r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b"
+# DuckDB Luhn twin over a candidate string (same 0-based reversed-index
+# doubling convention as ops.text.luhn_valid)
+_LUHN_SQL = (
+    "(length(regexp_replace(c, '[^0-9]', '', 'g')) BETWEEN 13 AND 19"
+    " AND list_sum(list_transform(range(length(regexp_replace(c, '[^0-9]', '', 'g'))),"
+    " k -> CASE WHEN k % 2 = 1"
+    " THEN CAST(substr(reverse(regexp_replace(c, '[^0-9]', '', 'g')), CAST(k AS INT) + 1, 1) AS INT) * 2"
+    "      - CASE WHEN CAST(substr(reverse(regexp_replace(c, '[^0-9]', '', 'g')), CAST(k AS INT) + 1, 1) AS INT) > 4"
+    "             THEN 9 ELSE 0 END"
+    " ELSE CAST(substr(reverse(regexp_replace(c, '[^0-9]', '', 'g')), CAST(k AS INT) + 1, 1) AS INT) END)) % 10 = 0)"
+)
+
+
+@_q(
+    "text_pii_extended",
+    # planted structure: %3==0 docs carry a LUHN-VALID 16-digit card
+    # (check digit computed in-SQL with the same fold), %3==1 docs the
+    # SAME digits with the check digit bumped (+1 mod 10, Luhn-invalid
+    # -> must survive redaction untouched), %3==2 docs an SSN
+    f"""
+    WITH b AS (
+      SELECT doc_id, text,
+             lpad(CAST((doc_id * 7919) % 1000000000000000 AS VARCHAR), 15, '0') AS base
+      FROM documents
+    ),
+    k AS (
+      SELECT doc_id, text, base,
+             (10 - list_sum(list_transform(range(15),
+                 j -> CASE WHEN j % 2 = 0
+                      THEN CAST(substr(reverse(base), CAST(j AS INT) + 1, 1) AS INT) * 2
+                           - CASE WHEN CAST(substr(reverse(base), CAST(j AS INT) + 1, 1) AS INT) > 4
+                                  THEN 9 ELSE 0 END
+                      ELSE CAST(substr(reverse(base), CAST(j AS INT) + 1, 1) AS INT) END))
+              % 10) % 10 AS chk
+      FROM b
+    ),
+    aug AS (
+      SELECT doc_id,
+             text || CASE doc_id % 3
+               WHEN 0 THEN ' card ' || base || CAST(chk AS VARCHAR) || ' on file'
+               WHEN 1 THEN ' meter ' || base || CAST((chk + 1) % 10 AS VARCHAR) || ' logged'
+               ELSE ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' leaked'
+             END AS p
+      FROM k
+    ),
+    v AS (
+      SELECT doc_id, p,
+             list_filter(regexp_extract_all(p, '{_CC_CAND_SQL}'),
+                         c -> {_LUHN_SQL}) AS ccs
+      FROM aug
+    )
+    SELECT doc_id,
+           CAST(len(ccs) AS INT) AS n_ccs,
+           CAST(len(regexp_extract_all(p, '{_SSN_SQL}')) AS INT) AS n_ssns,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   list_reduce(list_prepend(p, ccs),
+                               (acc, c) -> replace(acc, c, '<CC>')),
+                   '{_PII_EMAIL_SQL}', '<EMAIL>', 'g'),
+                 '{_PII_PHONE_SQL}', '<PHONE>', 'g'),
+               '{_SSN_SQL}', '<SSN>', 'g'),
+             '{_PII_IP_SQL}', '<IP>', 'g') AS redacted
+    FROM v
+    """,
+)
+def text_pii_extended(spark, sf_dir):
+    """Checksum-validated PII classes: payment cards gate on the Luhn
+    checksum (a number-shaped string that fails Luhn is measurement
+    data and must NOT be eaten), SSNs on the 3-2-4 dashed shape. The
+    planted corpus carries a valid card, the SAME digits with a bumped
+    check digit (must survive), or an SSN per doc — so the oracle
+    catches both over- and under-redaction. Candidate extraction is
+    one regexp pass; validation one per-char transform + fold; card
+    redaction a sequential replace fold over the row's own valid
+    matches — all pure Column, zero shuffle."""
+    from route81_spark.ops.text import cc_matches, pii_counts, pii_redact
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    did = F.col("doc_id")
+    base = F.lpad(((did * 7919) % F.lit(10**15)).cast("string"), 15, "0")
+    rb = F.filter(F.split(F.reverse(base), ""), lambda c: c != "")
+    s = F.aggregate(
+        F.transform(
+            rb,
+            lambda c, j: F.when(
+                j % 2 == 0,
+                c.cast("int") * 2 - F.when(c.cast("int") > 4, 9).otherwise(0),
+            ).otherwise(c.cast("int")),
+        ),
+        F.lit(0),
+        lambda a, b: a + b,
+    )
+    chk = (F.lit(10) - s % 10) % 10
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            did % 3 == 0,
+            F.concat(F.lit(" card "), base, chk.cast("string"),
+                     F.lit(" on file")),
+        )
+        .when(
+            did % 3 == 1,
+            F.concat(F.lit(" meter "), base,
+                     ((chk + 1) % 10).cast("string"), F.lit(" logged")),
+        )
+        .otherwise(
+            F.concat(F.lit(" ssn 123-45-"),
+                     F.lpad((did % 10000).cast("string"), 4, "0"),
+                     F.lit(" leaked")),
+        ),
+    )
+    with_pii = docs.select("doc_id", aug.alias("p"))
+    counts = pii_counts(F.col("p"))
+    return with_pii.select(
+        "doc_id",
+        counts["n_ccs"].alias("n_ccs"),
+        counts["n_ssns"].alias("n_ssns"),
+        pii_redact(F.col("p")).alias("redacted"),
+    )

@@ -306,6 +306,44 @@ def _h64(col: Column, seed: int) -> Column:
 PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PII_PHONE = r"\+?[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}"
 PII_IP = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+# US SSN shape (3-2-4, dashed). Deliberately UNVALIDATED (no area/group
+# exclusions): curation errs toward over-redaction, and the validity
+# exclusions need lookaheads RE2 (the oracle engine) lacks.
+PII_SSN = r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b"
+# payment-card CANDIDATES: 13-19 digits with optional single space/dash
+# separators; the Luhn checksum (luhn_valid) decides — a number-shaped
+# string that fails Luhn is measurement data, not a card, and must NOT
+# be eaten by the scrub
+PII_CC_CANDIDATE = r"\b[0-9](?:[ -]?[0-9]){12,18}\b"
+
+
+def luhn_valid(cand: Column) -> Column:
+    """Luhn checksum over a candidate card string (separators ignored):
+    from the RIGHT, double every second digit, subtract 9 when the
+    double exceeds 9, valid iff the sum is divisible by 10 and the
+    digit count is a real card length (13-19). Pure Column — one
+    per-char transform + one fold, replicable in the DuckDB oracle
+    (same k%2 index convention on the reversed digit string)."""
+    ds = F.regexp_replace(cand, F.lit("[^0-9]"), F.lit(""))
+    chars = F.filter(F.split(F.reverse(ds), ""), lambda c: c != "")
+    contribs = F.transform(
+        chars,
+        lambda c, i: F.when(
+            i % 2 == 1,
+            c.cast("int") * 2 - F.when(c.cast("int") > 4, 9).otherwise(0),
+        ).otherwise(c.cast("int")),
+    )
+    total = F.aggregate(contribs, F.lit(0), lambda a, b: a + b)
+    n = F.length(ds)
+    return (n >= 13) & (n <= 19) & (total % 10 == 0)
+
+
+def cc_matches(text_col: Column) -> Column:
+    """Luhn-VALID payment-card substrings of the text (array; empty
+    when none) — candidates come from one regexp pass, validation is
+    the pure-Column checksum."""
+    cands = F.regexp_extract_all(text_col, F.lit(PII_CC_CANDIDATE), 0)
+    return F.filter(cands, luhn_valid)
 
 
 def pii_counts(text_col: Column) -> dict[str, Column]:
@@ -314,16 +352,28 @@ def pii_counts(text_col: Column) -> dict[str, Column]:
         "n_emails": F.regexp_count(text_col, F.lit(PII_EMAIL)),
         "n_phones": F.regexp_count(text_col, F.lit(PII_PHONE)),
         "n_ips": F.regexp_count(text_col, F.lit(PII_IP)),
+        "n_ssns": F.regexp_count(text_col, F.lit(PII_SSN)),
+        "n_ccs": F.size(cc_matches(text_col)),
     }
 
 
 def pii_redact(text_col: Column) -> Column:
-    """Replace emails/phones/IPv4s with typed placeholder tags — the
-    standard pre-training scrub pass. Pure per-row regexp expressions:
-    narrow, zero-shuffle, codegen'd; order matters (emails first so an
-    address is not half-eaten by the IP rule)."""
-    out = F.regexp_replace(text_col, PII_EMAIL, "<EMAIL>")
+    """Replace emails/phones/IPv4s/SSNs/Luhn-valid cards with typed
+    placeholder tags — the standard pre-training scrub pass. Pure
+    per-row expressions: narrow, zero-shuffle, codegen'd; order matters
+    (cards first — they are the longest digit spans, so the phone rule
+    cannot half-eat one; emails before the IP rule). Card redaction is
+    a sequential replace fold over the row's own Luhn-valid matches
+    (checksum validation is beyond regex), so invalid number-shaped
+    strings survive untouched."""
+    out = F.aggregate(
+        cc_matches(text_col),
+        text_col,
+        lambda acc, c: F.replace(acc, c, F.lit("<CC>")),
+    )
+    out = F.regexp_replace(out, PII_EMAIL, "<EMAIL>")
     out = F.regexp_replace(out, PII_PHONE, "<PHONE>")
+    out = F.regexp_replace(out, PII_SSN, "<SSN>")
     return F.regexp_replace(out, PII_IP, "<IP>")
 
 

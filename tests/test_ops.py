@@ -3483,3 +3483,43 @@ def test_ann_recall_report_self_hit_and_bounds(spark, sf_dir):
              for r in ann_recall_report(emb01, q01, k=5, n_bands=8).collect()}
     assert all(eight[q] >= one[q] for q in one)
     assert sum(eight.values()) > sum(one.values())
+
+
+def test_pii_luhn_cards_and_ssn(spark):
+    """Checksum-gated card scrub: Luhn-valid numbers (any 13-19-digit
+    grouping) redact to <CC>; the SAME digits failing Luhn survive
+    untouched (measurement data is not PII); SSNs tag by shape; the
+    existing email/phone classes are unaffected."""
+    from route81_spark.ops.text import cc_matches, luhn_valid, pii_redact
+
+    rows = [
+        (1, "pay 4111 1111 1111 1111 now"),        # valid (test visa)
+        (2, "pay 4111 1111 1111 1112 now"),        # Luhn-invalid
+        (3, "card 5500-0000-0000-0004 used"),      # valid (test mc)
+        (4, "sn 123-45-6789 leaked"),
+        (5, "measurement 1234567890123 series"),   # 13 digits, invalid
+        (6, "amex 378282246310005 ok"),            # valid (test amex)
+        (7, "call 555-123-4567 or mail a@b.co"),
+    ]
+    df = spark.createDataFrame(rows, "i long, t string")
+    got = {
+        r["i"]: (list(r["cc"]), r["r"])
+        for r in df.select(
+            "i",
+            cc_matches(F.col("t")).alias("cc"),
+            pii_redact(F.col("t")).alias("r"),
+        ).collect()
+    }
+    assert got[1] == (["4111 1111 1111 1111"], "pay <CC> now")
+    assert got[2] == ([], "pay 4111 1111 1111 1112 now")
+    assert got[3] == (["5500-0000-0000-0004"], "card <CC> used")
+    assert got[4] == ([], "sn <SSN> leaked")
+    assert got[5] == ([], "measurement 1234567890123 series")
+    assert got[6] == (["378282246310005"], "amex <CC> ok")
+    assert got[7] == ([], "call <PHONE> or mail <EMAIL>")
+    # validator directly: every check-digit bump of a valid card fails
+    base = "411111111111111"
+    cands = [(d, base + str(d)) for d in range(10)]
+    vdf = spark.createDataFrame(cands, "d long, c string")
+    valid = {r["d"] for r in vdf.filter(luhn_valid(F.col("c"))).collect()}
+    assert valid == {1}  # 4111111111111111 is the only valid completion
