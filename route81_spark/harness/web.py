@@ -278,10 +278,12 @@ def corpus_domain_gate(spark, sf_dir):
 @_q(
     "corpus_robots_filter",
     # independently-shaped oracle: Spark REALLY parses every robots.txt
-    # body (comment strip, UA runs, group isolation, empty-Disallow);
-    # the oracle never parses — it derives each domain's effective
-    # Disallow set {('/p/' || h%50), '/admin'} straight from the
-    # md5 slices the generator used, and re-applies the prefix rule
+    # body (comment strip, UA runs, group isolation, empty-Disallow,
+    # Allow carve-outs); the oracle never parses — it derives each
+    # domain's effective rule set {Disallow ('/p/' or '/p/'||h%50),
+    # Disallow '/admin', and for h%5==0 the Allow '/p/1' carve-out}
+    # straight from the md5 slices the generator used, and re-applies
+    # the LONGEST-MATCH rule (most specific wins; Allow beats on ties)
     "WITH syn AS (SELECT doc_id, " + _URL_SYN + " AS url FROM documents),\n"
     "     d AS (SELECT doc_id, "
     + _w_dom_sql(_w_host_sql("url"))
@@ -292,12 +294,19 @@ def corpus_domain_gate(spark, sf_dir):
     "           FROM d),\n"
     "     r AS (SELECT doc_id, domain, path,\n"
     "            ('0x' || substr(md5('robots0|' || domain), 1, 15))::BIGINT AS rh\n"
-    "           FROM p)\n"
-    "SELECT doc_id, domain, path FROM r\n"
-    "WHERE NOT (rh % 4 <> 0 AND (\n"
-    "      starts_with(path, CASE WHEN rh % 5 = 0 THEN '/p/'\n"
+    "           FROM p),\n"
+    "     m AS (SELECT doc_id, domain, path, rh,\n"
+    "            GREATEST(\n"
+    "              CASE WHEN starts_with(path, CASE WHEN rh % 5 = 0 THEN '/p/'\n"
     "                        ELSE '/p/' || CAST(rh % 50 AS VARCHAR) END)\n"
-    "      OR starts_with(path, '/admin')))",
+    "                   THEN length(CASE WHEN rh % 5 = 0 THEN '/p/'\n"
+    "                        ELSE '/p/' || CAST(rh % 50 AS VARCHAR) END) ELSE 0 END,\n"
+    "              CASE WHEN starts_with(path, '/admin') THEN 6 ELSE 0 END) AS dmax,\n"
+    "            CASE WHEN rh % 5 = 0 AND starts_with(path, '/p/1')\n"
+    "                 THEN 4 ELSE 0 END AS amax\n"
+    "           FROM r)\n"
+    "SELECT doc_id, domain, path FROM m\n"
+    "WHERE NOT (rh % 4 <> 0 AND dmax > amax)",
 )
 def corpus_robots_filter(spark, sf_dir):
     """robots.txt compliance over the crawl table: parse every body's

@@ -268,18 +268,19 @@ def parse_robots(
     key_col: str = "domain",
     text_col: str = "robots_txt",
 ) -> DataFrame:
-    """Parse robots.txt bodies into (key, disallow array<string>) —
-    the documented SUBSET real crawl gates need: the `User-agent: *`
-    group's `Disallow:` prefixes. Spec behaviors honored: directives
-    are case-insensitive, `#` comments strip, consecutive User-agent
-    lines form ONE group (a group containing `*` collects its
-    Disallows), an empty `Disallow:` means allow-all (ignored), other
-    agents' groups are isolated. Allow:/Crawl-delay/Sitemap lines are
-    ignored (not part of the blocking subset).
+    """Parse robots.txt bodies into (key, disallow array, allow array)
+    — the documented SUBSET real crawl gates need: the `User-agent: *`
+    group's `Disallow:` and `Allow:` prefixes. Spec behaviors honored:
+    directives are case-insensitive, `#` comments strip, consecutive
+    User-agent lines form ONE group (a group containing `*` collects
+    its rules), an empty value means no-rule (ignored), other agents'
+    groups are isolated (their Allow/Disallow lines never leak).
+    Crawl-delay/Sitemap lines are ignored. The allow/disallow arrays
+    feed robots_filter's longest-match decision (Google semantics).
 
     Pure Column: one line split + one sequential F.aggregate fold with
-    a (in_ua_run, star, prefixes) struct accumulator — zero shuffle,
-    zero Python, robots bodies parse where they sit."""
+    a (in_ua_run, star, prefixes, allows) struct accumulator — zero
+    shuffle, zero Python, robots bodies parse where they sit."""
     lines = F.split(F.col(text_col), "\n")
 
     def clean(line: Column) -> Column:
@@ -290,6 +291,7 @@ def parse_robots(
         low = F.lower(line)
         is_ua = low.rlike("^user-agent:")
         is_dis = low.rlike("^disallow:")
+        is_alw = low.rlike("^allow:")
         value = F.trim(F.regexp_replace(line, r"(?i)^[a-z-]+:", ""))
         star_now = F.when(
             is_ua & acc.getField("in_ua_run"),
@@ -299,20 +301,28 @@ def parse_robots(
             is_dis & acc.getField("star") & (value != ""),
             F.array_append(acc.getField("prefixes"), value),
         ).otherwise(acc.getField("prefixes"))
+        allows = F.when(
+            is_alw & acc.getField("star") & (value != ""),
+            F.array_append(acc.getField("allows"), value),
+        ).otherwise(acc.getField("allows"))
         return F.struct(
             is_ua.alias("in_ua_run"),
             star_now.alias("star"),
             prefixes.alias("prefixes"),
+            allows.alias("allows"),
         )
 
     init = F.struct(
         F.lit(False).alias("in_ua_run"),
         F.lit(False).alias("star"),
         F.array().cast("array<string>").alias("prefixes"),
+        F.array().cast("array<string>").alias("allows"),
     )
     folded = F.aggregate(lines, init, step)
     return robots_df.select(
-        F.col(key_col), folded.getField("prefixes").alias("disallow")
+        F.col(key_col),
+        folded.getField("prefixes").alias("disallow"),
+        folded.getField("allows").alias("allow"),
     )
 
 
@@ -349,6 +359,7 @@ def robots_filter(
     parsed = parse_robots(robots_df, key_col=key_col, text_col=text_col).select(
         F.col(key_col).alias("__robots_dom"),
         F.col("disallow").alias("__robots_disallow"),
+        F.col("allow").alias("__robots_allow"),
     )
     dom = registrable_domain(url_host(F.col(url_col)))
     canon = url_canonicalize(F.col(url_col))
@@ -358,14 +369,24 @@ def robots_filter(
         .withColumn("__robots_path", path)
         .join(F.broadcast(parsed), "__robots_dom", "left")
     )
-    blocked = F.exists(
-        F.coalesce(
-            F.col("__robots_disallow"), F.array().cast("array<string>")
-        ),
-        lambda p: F.col("__robots_path").startswith(p),
-    )
+
+    # Google longest-match semantics: the most specific matching rule
+    # wins; an Allow of equal length beats the Disallow. max matching
+    # prefix length per rule list (0 = no match; rule values are
+    # non-empty so lengths are >= 1)
+    def _max_match(rules: str) -> Column:
+        lens = F.transform(
+            F.filter(
+                F.coalesce(F.col(rules), F.array().cast("array<string>")),
+                lambda p: F.col("__robots_path").startswith(p),
+            ),
+            F.length,
+        )
+        return F.coalesce(F.array_max(lens), F.lit(0))
+
+    blocked = _max_match("__robots_disallow") > _max_match("__robots_allow")
     return joined.filter(~F.coalesce(blocked, F.lit(False))).drop(
-        "__robots_dom", "__robots_path", "__robots_disallow"
+        "__robots_dom", "__robots_path", "__robots_disallow", "__robots_allow"
     )
 
 
@@ -374,10 +395,13 @@ def synthetic_robots(spark, seed: str = "robots0") -> DataFrame:
     (md5-slice parameterized like synthetic_urls, so a SQL oracle can
     derive each domain's effective Disallow set WITHOUT parsing):
     ~3/4 of domains get a body with a decoy `badbot` allow-nothing
-    group, a two-line User-agent run (`helper`, `*`) exercising group
+    group (whose `Allow: /` must NOT leak into the star group), a
+    two-line User-agent run (`helper`, `*`) exercising group
     collection, `Disallow: /p/<k>` + `Disallow: /admin`, an inline
-    comment, and (for h%3==0) an empty allow-all Disallow; the rest
-    have NO robots row (crawl allowed)."""
+    comment, (for h%3==0) an empty allow-all Disallow, and — for the
+    h%5==0 domains whose section rule widens to `Disallow: /p/` — an
+    `Allow: /p/1` carve-out exercising longest-match override; the
+    rest have NO robots row (crawl allowed)."""
     tlds = ["com", "org", "net", "io", "co.uk", "ac.uk", "com.au", "de"]
     base = spark.range(40).select(
         F.concat(
@@ -391,10 +415,14 @@ def synthetic_robots(spark, seed: str = "robots0") -> DataFrame:
     # rest ban one hash-chosen k (narrow prefix)
     sect = F.when(h % 5 == 0, F.lit("/p/")).otherwise(F.concat(F.lit("/p/"), k))
     text = F.concat(
-        F.lit("# synthetic robots\nUser-agent: badbot\nDisallow: /\n\n"
+        F.lit("# synthetic robots\nUser-agent: badbot\nDisallow: /\n"
+              "Allow: /  # decoy group allow, must not leak\n\n"
               "User-agent: helper\nUser-agent: *\n"),
         F.lit("Disallow: "), sect, F.lit("  # section rule\n"),
         F.lit("Disallow: /admin\n"),
+        F.when(h % 5 == 0, F.lit("Allow: /p/1  # carve-out\n")).otherwise(
+            F.lit("")
+        ),
         F.when(h % 3 == 0, F.lit("Disallow:\n")).otherwise(F.lit("")),
     )
     return base.filter(h % 4 != 0).select("domain", text.alias("robots_txt"))

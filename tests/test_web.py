@@ -271,12 +271,14 @@ def test_parse_robots_group_semantics(spark):
     got = parse_robots(df).collect()[0]
     assert got["domain"] == "d.com"
     assert list(got["disallow"]) == ["/private", "/tmp"]
-    # a body with no * group disallows nothing
+    assert list(got["allow"]) == ["/tmp/ok"]
+    # a body with no * group disallows (and allows) nothing
     df2 = spark.createDataFrame(
-        [("e.com", "User-agent: badbot\nDisallow: /\n")],
+        [("e.com", "User-agent: badbot\nDisallow: /\nAllow: /leak\n")],
         "domain string, robots_txt string",
     )
-    assert list(parse_robots(df2).collect()[0]["disallow"]) == []
+    got2 = parse_robots(df2).collect()[0]
+    assert list(got2["disallow"]) == [] and list(got2["allow"]) == []
 
 
 def test_robots_filter_prefix_and_missing_robots(spark):
@@ -297,6 +299,37 @@ def test_robots_filter_prefix_and_missing_robots(spark):
     )
     got = {r["doc_id"] for r in robots_filter(docs, robots).collect()}
     assert got == {2, 4}
+
+
+def test_robots_filter_allow_longest_match(spark):
+    """Google longest-match semantics: the most specific matching rule
+    wins, an Allow of EQUAL length beats the Disallow, and an Allow
+    shorter than the matching Disallow loses."""
+    from route81_spark.ops.web import robots_filter
+
+    docs = spark.createDataFrame(
+        [
+            (1, "http://a.d.com/private/x"),          # /private wins
+            (2, "http://a.d.com/private/public/x"),   # carve-out wins
+            (3, "http://a.d.com/private/public"),     # carve-out (exact)
+            (4, "http://a.d.com/pr"),                 # no rule matches
+            (5, "http://a.d.com/tie"),                # equal length -> allow
+        ],
+        "doc_id long, url string",
+    )
+    robots = spark.createDataFrame(
+        [(
+            "d.com",
+            "User-agent: *\n"
+            "Disallow: /private\n"
+            "Allow: /private/public\n"
+            "Disallow: /tie\n"
+            "Allow: /tie\n",
+        )],
+        "domain string, robots_txt string",
+    )
+    got = {r["doc_id"] for r in robots_filter(docs, robots).collect()}
+    assert got == {2, 3, 4, 5}
 
 
 def test_robots_filter_stage_parity(spark):
