@@ -48,7 +48,8 @@ _HEADLINE = [
     "corpus_url_dedup",       # full-PSL registrable_domain
     "corpus_domain_gate",     # full-PSL registrable_domain
     "corpus_domain_split",    # full-PSL registrable_domain
-    "corpus_robots_filter",   # working-column collision guard
+    "corpus_robots_filter",   # collision guard + Allow longest-match
+    "text_pii_redact",        # scrub chain extended (Luhn cards, SSN)
 ]
 
 
