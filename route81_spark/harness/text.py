@@ -1037,53 +1037,78 @@ _LUHN_SQL = (
 )
 
 
+# DuckDB mod-97 validity twin over an IBAN candidate c: the same
+# streaming fold as ops.text.iban_valid — rearrange (BBAN+country+
+# check), walk chars, digits r->(r*10+d)%97, letters r->(r*100+v)%97;
+# the accumulator rides as VARCHAR because list_reduce needs one type
+_IBAN_VALID_SQL = (
+    "(length(c) >= 15 AND list_reduce(list_prepend('0',"
+    " list_transform(range(length(c)),"
+    " k -> substr(substr(c, 5) || substr(c, 1, 4), CAST(k AS INT) + 1, 1))),"
+    " (acc, ch) -> CAST(CASE WHEN ch BETWEEN '0' AND '9'"
+    " THEN (CAST(acc AS INT) * 10 + CAST(ch AS INT)) % 97"
+    " ELSE (CAST(acc AS INT) * 100 + ascii(ch) - 55) % 97 END AS VARCHAR))"
+    " = '1')"
+)
+
+
 @_q(
     "text_pii_extended",
-    # planted structure: %3==0 docs carry a LUHN-VALID 16-digit card
-    # (check digit computed in-SQL with the same fold), %3==1 docs the
+    # planted structure: %4==0 docs carry a LUHN-VALID 16-digit card
+    # (check digit computed in-SQL with the same fold), %4==1 docs the
     # SAME digits with the check digit bumped (+1 mod 10, Luhn-invalid
-    # -> must survive redaction untouched), %3==2 docs an SSN
+    # -> must survive redaction untouched), %4==2 docs an SSN, %4==3 a
+    # mod-97-VALID DE IBAN whose check digits the oracle computes
+    # numerically (the 24-digit rearranged number fits HUGEINT)
     f"""
     WITH b AS (
       SELECT doc_id, text,
-             lpad(CAST((doc_id * 7919) % 1000000000000000 AS VARCHAR), 15, '0') AS base
+             lpad(CAST((doc_id * 7919) % 1000000000000000 AS VARCHAR), 15, '0') AS base,
+             lpad(CAST((doc_id * 104729) % 1000000000000000000 AS VARCHAR), 18, '0') AS bban
       FROM documents
     ),
     k AS (
-      SELECT doc_id, text, base,
+      SELECT doc_id, text, base, bban,
              (10 - list_sum(list_transform(range(15),
                  j -> CASE WHEN j % 2 = 0
                       THEN CAST(substr(reverse(base), CAST(j AS INT) + 1, 1) AS INT) * 2
                            - CASE WHEN CAST(substr(reverse(base), CAST(j AS INT) + 1, 1) AS INT) > 4
                                   THEN 9 ELSE 0 END
                       ELSE CAST(substr(reverse(base), CAST(j AS INT) + 1, 1) AS INT) END))
-              % 10) % 10 AS chk
+              % 10) % 10 AS chk,
+             98 - CAST(bban || '131400' AS HUGEINT) % 97 AS ibk
       FROM b
     ),
     aug AS (
       SELECT doc_id,
-             text || CASE doc_id % 3
+             text || CASE doc_id % 4
                WHEN 0 THEN ' card ' || base || CAST(chk AS VARCHAR) || ' on file'
                WHEN 1 THEN ' meter ' || base || CAST((chk + 1) % 10 AS VARCHAR) || ' logged'
-               ELSE ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' leaked'
+               WHEN 2 THEN ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' leaked'
+               ELSE ' wire DE' || lpad(CAST(ibk AS VARCHAR), 2, '0') || bban || ' sent'
              END AS p
       FROM k
     ),
     v AS (
       SELECT doc_id, p,
              list_filter(regexp_extract_all(p, '{_CC_CAND_SQL}'),
-                         c -> {_LUHN_SQL}) AS ccs
+                         c -> {_LUHN_SQL}) AS ccs,
+             list_filter(regexp_extract_all(p, '\\b[A-Z]{{2}}[0-9]{{2}}[A-Z0-9]{{11,30}}\\b'),
+                         c -> {_IBAN_VALID_SQL}) AS ibans
       FROM aug
     )
     SELECT doc_id,
            CAST(len(ccs) AS INT) AS n_ccs,
            CAST(len(regexp_extract_all(p, '{_SSN_SQL}')) AS INT) AS n_ssns,
+           CAST(len(ibans) AS INT) AS n_ibans,
            regexp_replace(
              regexp_replace(
                regexp_replace(
                  regexp_replace(
-                   list_reduce(list_prepend(p, ccs),
-                               (acc, c) -> replace(acc, c, '<CC>')),
+                   list_reduce(list_prepend(
+                     list_reduce(list_prepend(p, ibans),
+                                 (acc, c) -> replace(acc, c, '<IBAN>')),
+                     ccs), (acc, c) -> replace(acc, c, '<CC>')),
                    '{_PII_EMAIL_SQL}', '<EMAIL>', 'g'),
                  '{_PII_PHONE_SQL}', '<PHONE>', 'g'),
                '{_SSN_SQL}', '<SSN>', 'g'),
@@ -1093,15 +1118,16 @@ _LUHN_SQL = (
 )
 def text_pii_extended(spark, sf_dir):
     """Checksum-validated PII classes: payment cards gate on the Luhn
-    checksum (a number-shaped string that fails Luhn is measurement
-    data and must NOT be eaten), SSNs on the 3-2-4 dashed shape. The
-    planted corpus carries a valid card, the SAME digits with a bumped
-    check digit (must survive), or an SSN per doc — so the oracle
-    catches both over- and under-redaction. Candidate extraction is
-    one regexp pass; validation one per-char transform + fold; card
+    checksum, IBANs on ISO 7064 mod-97 (a number-shaped string failing
+    its checksum is measurement data and must NOT be eaten), SSNs on
+    the 3-2-4 dashed shape. The planted corpus carries a valid card,
+    the SAME digits with a bumped check digit (must survive), an SSN,
+    or a valid DE IBAN per doc — so the oracle catches both over- and
+    under-redaction. Candidate extraction is one regexp pass per
+    class; validation one per-char transform/fold; checksum-gated
     redaction a sequential replace fold over the row's own valid
     matches — all pure Column, zero shuffle."""
-    from route81_spark.ops.text import cc_matches, pii_counts, pii_redact
+    from route81_spark.ops.text import pii_counts, pii_redact
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     did = F.col("doc_id")
@@ -1119,23 +1145,35 @@ def text_pii_extended(spark, sf_dir):
         lambda a, b: a + b,
     )
     chk = (F.lit(10) - s % 10) % 10
+    bban = F.lpad(((did * 104729) % F.lit(10**18)).cast("string"), 18, "0")
+    digs = F.filter(
+        F.split(F.concat(bban, F.lit("131400")), ""), lambda c: c != ""
+    )
+    ibr = F.aggregate(
+        digs, F.lit(0), lambda a, c: (a * 10 + c.cast("int")) % 97
+    )
+    iban = F.concat(
+        F.lit("DE"), F.lpad((F.lit(98) - ibr).cast("string"), 2, "0"), bban
+    )
     aug = F.concat(
         F.col("text"),
         F.when(
-            did % 3 == 0,
+            did % 4 == 0,
             F.concat(F.lit(" card "), base, chk.cast("string"),
                      F.lit(" on file")),
         )
         .when(
-            did % 3 == 1,
+            did % 4 == 1,
             F.concat(F.lit(" meter "), base,
                      ((chk + 1) % 10).cast("string"), F.lit(" logged")),
         )
-        .otherwise(
+        .when(
+            did % 4 == 2,
             F.concat(F.lit(" ssn 123-45-"),
                      F.lpad((did % 10000).cast("string"), 4, "0"),
                      F.lit(" leaked")),
-        ),
+        )
+        .otherwise(F.concat(F.lit(" wire "), iban, F.lit(" sent"))),
     )
     with_pii = docs.select("doc_id", aug.alias("p"))
     counts = pii_counts(F.col("p"))
@@ -1143,5 +1181,6 @@ def text_pii_extended(spark, sf_dir):
         "doc_id",
         counts["n_ccs"].alias("n_ccs"),
         counts["n_ssns"].alias("n_ssns"),
+        counts["n_ibans"].alias("n_ibans"),
         pii_redact(F.col("p")).alias("redacted"),
     )

@@ -346,6 +346,39 @@ def cc_matches(text_col: Column) -> Column:
     return F.filter(cands, luhn_valid)
 
 
+# IBAN candidates: 2 country letters + 2 check digits + 11-30 BBAN
+# chars; the ISO 7064 mod-97 checksum (iban_valid) decides
+PII_IBAN_CANDIDATE = r"\b[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}\b"
+
+
+def iban_valid(cand: Column) -> Column:
+    """ISO 7064 mod-97 over the rearranged IBAN (BBAN + country +
+    check digits; letters expand to two digits, A=10..Z=35): valid iff
+    the big number ≡ 1 (mod 97). Sequential digit fold r -> (r*10+d)
+    % 97 (the standard streaming form — the 15-34-char IBAN far
+    exceeds any integer type), letters folding two digits in one step
+    via (r*100 + v) % 97. One per-char aggregate, pure Column; the
+    DuckDB twin expands letters first and folds the digit string with
+    the same recurrence."""
+    rearranged = F.concat(F.substring(cand, 5, 34), F.substring(cand, 1, 4))
+    chars = F.filter(F.split(rearranged, ""), lambda c: c != "")
+    r = F.aggregate(
+        chars,
+        F.lit(0),
+        lambda acc, c: F.when(
+            c.rlike("[0-9]"), (acc * 10 + c.cast("int")) % 97
+        ).otherwise((acc * 100 + (F.ascii(c) - 55)) % 97),
+    )
+    return (F.length(cand) >= 15) & (r == 1)
+
+
+def iban_matches(text_col: Column) -> Column:
+    """mod-97-VALID IBAN substrings of the text (array; empty when
+    none)."""
+    cands = F.regexp_extract_all(text_col, F.lit(PII_IBAN_CANDIDATE), 0)
+    return F.filter(cands, iban_valid)
+
+
 def pii_counts(text_col: Column) -> dict[str, Column]:
     """Occurrence counts of the supported PII classes (pre-redaction)."""
     return {
@@ -354,21 +387,27 @@ def pii_counts(text_col: Column) -> dict[str, Column]:
         "n_ips": F.regexp_count(text_col, F.lit(PII_IP)),
         "n_ssns": F.regexp_count(text_col, F.lit(PII_SSN)),
         "n_ccs": F.size(cc_matches(text_col)),
+        "n_ibans": F.size(iban_matches(text_col)),
     }
 
 
 def pii_redact(text_col: Column) -> Column:
-    """Replace emails/phones/IPv4s/SSNs/Luhn-valid cards with typed
-    placeholder tags — the standard pre-training scrub pass. Pure
-    per-row expressions: narrow, zero-shuffle, codegen'd; order matters
-    (cards first — they are the longest digit spans, so the phone rule
-    cannot half-eat one; emails before the IP rule). Card redaction is
-    a sequential replace fold over the row's own Luhn-valid matches
-    (checksum validation is beyond regex), so invalid number-shaped
-    strings survive untouched."""
+    """Replace emails/phones/IPv4s/SSNs/Luhn-valid cards/mod-97-valid
+    IBANs with typed placeholder tags — the standard pre-training scrub
+    pass. Pure per-row expressions: narrow, zero-shuffle, codegen'd;
+    order matters (IBANs then cards first — the longest alnum/digit
+    spans, so the phone rule cannot half-eat one; emails before the IP
+    rule). Checksum-gated classes redact via a sequential replace fold
+    over the row's own valid matches (checksum validation is beyond
+    regex), so invalid number-shaped strings survive untouched."""
     out = F.aggregate(
-        cc_matches(text_col),
+        iban_matches(text_col),
         text_col,
+        lambda acc, c: F.replace(acc, c, F.lit("<IBAN>")),
+    )
+    out = F.aggregate(
+        cc_matches(out),
+        out,
         lambda acc, c: F.replace(acc, c, F.lit("<CC>")),
     )
     out = F.regexp_replace(out, PII_EMAIL, "<EMAIL>")

@@ -3523,3 +3523,40 @@ def test_pii_luhn_cards_and_ssn(spark):
     vdf = spark.createDataFrame(cands, "d long, c string")
     valid = {r["d"] for r in vdf.filter(luhn_valid(F.col("c"))).collect()}
     assert valid == {1}  # 4111111111111111 is the only valid completion
+
+
+def test_pii_iban_mod97(spark):
+    """ISO 7064 mod-97 IBAN class: valid IBANs redact to <IBAN>, a
+    single-digit bump fails the checksum and survives, short or
+    wrong-check candidates pass through; validator pins on the classic
+    GB/DE test vectors."""
+    from route81_spark.ops.text import iban_matches, iban_valid, pii_redact
+
+    rows = [
+        (1, "wire GB82WEST12345698765432 today"),   # classic valid
+        (2, "wire GB82WEST12345698765433 today"),   # bumped -> invalid
+        (3, "acct DE89370400440532013000 eur"),     # valid
+        (4, "code AB12SHORT1234 x"),                # too short
+        (5, "ID GB00WEST12345698765432 fake"),      # wrong check digits
+    ]
+    df = spark.createDataFrame(rows, "i long, t string")
+    got = {
+        r["i"]: (list(r["m"]), r["r"])
+        for r in df.select(
+            "i",
+            iban_matches(F.col("t")).alias("m"),
+            pii_redact(F.col("t")).alias("r"),
+        ).collect()
+    }
+    assert got[1] == (["GB82WEST12345698765432"], "wire <IBAN> today")
+    assert got[2] == ([], "wire GB82WEST12345698765433 today")
+    assert got[3] == (["DE89370400440532013000"], "acct <IBAN> eur")
+    assert got[4] == ([], "code AB12SHORT1234 x")
+    assert got[5] == ([], "ID GB00WEST12345698765432 fake")
+    # exactly ONE check-digit completion of a BBAN validates
+    vdf = spark.createDataFrame(
+        [(d, f"DE{d:02d}370400440532013000") for d in range(2, 100)],
+        "d long, c string",
+    )
+    valid = {r["d"] for r in vdf.filter(iban_valid(F.col("c"))).collect()}
+    assert valid == {89}
