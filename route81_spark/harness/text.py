@@ -1107,8 +1107,8 @@ _IBAN_VALID_SQL = (
                  regexp_replace(
                    list_reduce(list_prepend(
                      list_reduce(list_prepend(p, ibans),
-                                 (acc, c) -> replace(acc, c, '<IBAN>')),
-                     ccs), (acc, c) -> replace(acc, c, '<CC>')),
+                                 (acc, c) -> regexp_replace(acc, '\\b' || c || '\\b', '<IBAN>', 'g')),
+                     ccs), (acc, c) -> regexp_replace(acc, '\\b' || c || '\\b', '<CC>', 'g')),
                    '{_PII_EMAIL_SQL}', '<EMAIL>', 'g'),
                  '{_PII_PHONE_SQL}', '<PHONE>', 'g'),
                '{_SSN_SQL}', '<SSN>', 'g'),

@@ -399,16 +399,27 @@ def pii_redact(text_col: Column) -> Column:
     spans, so the phone rule cannot half-eat one; emails before the IP
     rule). Checksum-gated classes redact via a sequential replace fold
     over the row's own valid matches (checksum validation is beyond
-    regex), so invalid number-shaped strings survive untouched."""
+    regex), so invalid number-shaped strings survive untouched.
+
+    Replacement is \\b-anchored, NOT raw substring: a valid match that
+    also occurs as a substring of a LONGER digit/alnum run elsewhere in
+    the row (where the anchored candidate regex did not match) must not
+    be half-eaten there. Candidate alphabets ([0-9 -] cards, [A-Z0-9]
+    IBANs) contain no regex metacharacters, so the match embeds in the
+    pattern verbatim."""
+
+    def _anchored(c: Column) -> Column:
+        return F.concat(F.lit(r"\b"), c, F.lit(r"\b"))
+
     out = F.aggregate(
         iban_matches(text_col),
         text_col,
-        lambda acc, c: F.replace(acc, c, F.lit("<IBAN>")),
+        lambda acc, c: F.regexp_replace(acc, _anchored(c), F.lit("<IBAN>")),
     )
     out = F.aggregate(
         cc_matches(out),
         out,
-        lambda acc, c: F.replace(acc, c, F.lit("<CC>")),
+        lambda acc, c: F.regexp_replace(acc, _anchored(c), F.lit("<CC>")),
     )
     out = F.regexp_replace(out, PII_EMAIL, "<EMAIL>")
     out = F.regexp_replace(out, PII_PHONE, "<PHONE>")

@@ -349,7 +349,9 @@ def robots_filter(
     from the input (a user column named 'disallow' used to be silently
     dropped; now the filter's internals can never collide with or eat a
     caller's column)."""
-    reserved = {"__robots_dom", "__robots_path", "__robots_disallow"}
+    reserved = {
+        "__robots_dom", "__robots_path", "__robots_disallow", "__robots_allow",
+    }
     clash = reserved & set(df.columns)
     if clash:
         raise ValueError(

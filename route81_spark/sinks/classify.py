@@ -180,8 +180,10 @@ def _delete_id_col(schema: T.StructType, path: str) -> Column:
         escaped = first.replace("`", "``")
         col = F.col(first if _IDENT.fullmatch(first) else f"`{escaped}`")
         dt: T.DataType | None = schema
-        for s in [first, *segs[1:]]:
-            if s != first:
+        # positional, not by-value: a later segment EQUAL to the root
+        # name (`a.a`, `a[0].a`) must still descend, not alias the root
+        for i, s in enumerate([first, *segs[1:]]):
+            if i > 0:
                 col = col.getItem(s) if isinstance(s, int) else col.getField(s)
             if dt is None:
                 continue

@@ -25,11 +25,13 @@ decimal inputs can't surprise); `+` is string concatenation when
 either operand resolves to a string (gval behavior), numeric addition
 otherwise.
 
-Lexing precedence: '-' and '$' are legal INSIDE identifiers (Mongo
-field names like `my-field` — the plain-path contract predates this
-module and wins), so `a-b` is ONE field name and `-x` a field named
-'-x'; write binary minus with spaces (`a - b`) and unary minus on a
-parenthesized or literal operand (`-(a.b)`, `-3`).
+Lexing precedence: '-' and '$' are legal INSIDE identifiers after the
+first character (Mongo field names like `my-field` — the plain-path
+contract predates this module and wins), so `a-b` is ONE field name;
+a LEADING '-' is always the operator, so `-x` is unary minus over
+path x (a field literally named '-x' stays reachable via the
+plain-path compiler, which classify tries first). Write binary minus
+with spaces (`a - b`).
 """
 
 from __future__ import annotations
@@ -177,7 +179,10 @@ class _Parser:
                 return self.postfix_nonpath(inner)
             if val == "-":
                 node = self.expr(80)
-                if node[0] == "lit" and isinstance(node[1], (int, float)):
+                # bool is an int subclass — `-true` must stay a runtime
+                # negation (type error surface), not fold to -1
+                if (node[0] == "lit" and isinstance(node[1], (int, float))
+                        and not isinstance(node[1], bool)):
                     return ("lit", -node[1])  # constant-fold -<number>
                 return ("un", "-", node)
             if val == "!":

@@ -70,6 +70,33 @@ def test_string_escapes_and_literals(spark):
     assert _ids(spark, 'meta.id == 9 ? null : "x"') == {None}
 
 
+def test_repeated_segment_resolves_positionally(spark):
+    """A later path segment EQUAL to the root name (`a.a`) must descend
+    into the field, not silently alias the root column (r8 ADVICE: the
+    resolver skipped segments by VALUE, so `a.a + "-"` compiled to the
+    whole struct)."""
+    df = spark.createDataFrame(
+        [
+            Row(a=Row(a="inner7", b=1), data=Row(_id="7", v="x")),
+            Row(a=Row(a="inner9", b=2), data=None),
+        ]
+    )
+    out = classify(
+        df, ClassifierConfig(document_root_path="data",
+                             delete_id_path='a.a + "!"'),
+    )
+    got = {r["doc_id"] for r in out.filter(F.col("is_delete")).collect()}
+    assert got == {"inner9!"}
+
+
+def test_minus_true_does_not_fold(spark):
+    """bool is an int subclass: `-true` must NOT constant-fold to the
+    number -1 — it compiles to a runtime boolean negation, which Spark
+    rejects at analysis (gval parity: a type error, not -1)."""
+    with pytest.raises(Exception):
+        _ids(spark, "-(true) + 1")
+
+
 def test_plain_paths_still_use_fast_lane(spark):
     # pure paths (incl. quoted keys) keep the existing compiler
     assert _ids(spark, "meta.old_id") == {"L9"}

@@ -3560,3 +3560,23 @@ def test_pii_iban_mod97(spark):
     )
     valid = {r["d"] for r in vdf.filter(iban_valid(F.col("c"))).collect()}
     assert valid == {89}
+
+
+def test_pii_checksum_replace_is_boundary_anchored(spark):
+    """A valid match that ALSO occurs as a substring of a longer
+    digit/alnum run elsewhere in the row must not be rewritten inside
+    that run (r8 ADVICE: raw substring replace half-ate it). The
+    17-digit run is Luhn-invalid (not a candidate match), so it must
+    survive byte-identical even though the valid 16-digit card is a
+    substring of it."""
+    from route81_spark.ops.text import pii_redact
+
+    rows = [
+        (1, "pay 4111111111111111 ref 94111111111111111 end"),
+        (2, "acct DE89370400440532013000 log XDE89370400440532013000Y x"),
+    ]
+    df = spark.createDataFrame(rows, "i long, t string")
+    got = {r["i"]: r["r"]
+           for r in df.select("i", pii_redact(F.col("t")).alias("r")).collect()}
+    assert got[1] == "pay <CC> ref 94111111111111111 end"
+    assert got[2] == "acct <IBAN> log XDE89370400440532013000Y x"

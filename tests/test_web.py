@@ -502,6 +502,14 @@ def test_robots_filter_rejects_colliding_columns(spark):
     )
     with pytest.raises(ValueError, match="reserved"):
         robots_filter(bad, robots)
+    # __robots_allow is introduced by the join too — it must be in the
+    # reserved set, not ambiguous/silently eaten (r8 ADVICE)
+    bad2 = spark.createDataFrame(
+        [(1, "http://a.d.com/x", "boom")],
+        "doc_id long, url string, __robots_allow string",
+    )
+    with pytest.raises(ValueError, match="reserved"):
+        robots_filter(bad2, robots)
 
 
 def test_domain_stats_text_never_shuffles(spark):
