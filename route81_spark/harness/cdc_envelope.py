@@ -355,12 +355,18 @@ def cdc_scd2_history(spark, sf_dir):
 @_q(
     "cdc_delete_id_expr",
     # oracle: replicate the gval expression over the same synthetic
-    # message shape — composite delete id = region || '-' || id % 1000
-    # (the % binds tighter than +, as in gval); upserts keep data._id
+    # message shape — composite delete id = region || '-' ||
+    # tags[id % 3] || '-' || id % 1000 (the % binds tighter than +, the
+    # subscript tighter still, as in gval; DuckDB lists are 1-based so
+    # the CASE inlines the array lookup); upserts keep data._id
     """
     SELECT CAST(event_id % 25 = 0 AS BOOLEAN) AS is_delete,
            CASE WHEN event_id % 25 = 0
                 THEN (CASE WHEN user_id % 2 = 0 THEN 'eu' ELSE 'us' END)
+                     || '-' ||
+                     (CASE event_id % 3 WHEN 0 THEN 'alpha'
+                                        WHEN 1 THEN event_type
+                                        ELSE 'omega' END)
                      || '-' || CAST(event_id % 1000 AS VARCHAR)
                 ELSE CAST(event_id AS VARCHAR) END AS doc_id
     FROM events
@@ -369,10 +375,12 @@ def cdc_scd2_history(spark, sf_dir):
 def cdc_delete_id_expr(spark, sf_dir):
     """Consumer classifier with a gval EXPRESSION delete-id-path
     (route81 compiles these with gval.Full, route81.go:323-336):
-    `meta.region + "-" + meta.id % 1000` builds a composite delete id —
-    string concat + modulo compiled to one pure Column over the message
-    schema (sinks/gvalexpr.py), zero Python per row. Deletes are the
-    rows whose document root is NULL; upserts keep the root's _id."""
+    `meta.region + "-" + meta.tags[meta.id % 3] + "-" + meta.id % 1000`
+    builds a composite delete id — string concat, modulo, and an
+    integer-valued DYNAMIC array subscript (F.get over the declared
+    element type, sinks/gvalexpr.py) compiled to one pure Column over
+    the message schema, zero Python per row. Deletes are the rows whose
+    document root is NULL; upserts keep the root's _id."""
     from route81_spark.sinks.classify import ClassifierConfig, classify
 
     ev = _t(spark, sf_dir, "events")
@@ -381,6 +389,9 @@ def cdc_delete_id_expr(spark, sf_dir):
             F.when(F.col("user_id") % 2 == 0, F.lit("eu"))
             .otherwise(F.lit("us")).alias("region"),
             F.col("event_id").alias("id"),
+            F.array(
+                F.lit("alpha"), F.col("event_type"), F.lit("omega")
+            ).alias("tags"),
         ).alias("meta"),
         F.when(
             F.col("event_id") % 25 == 0, F.lit(None)
@@ -395,7 +406,8 @@ def cdc_delete_id_expr(spark, sf_dir):
         msgs,
         ClassifierConfig(
             document_root_path="data",
-            delete_id_path='meta.region + "-" + meta.id % 1000',
+            delete_id_path='meta.region + "-" + meta.tags[meta.id % 3]'
+                           ' + "-" + meta.id % 1000',
         ),
     )
     return out.select("is_delete", "doc_id")

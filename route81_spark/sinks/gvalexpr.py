@@ -12,9 +12,14 @@ Python per row, no shuffle).
 
 Loud rejections (config-compile time, not mid-stream): function calls
 (route81 registers NO gval functions, so a config using one fails at
-eval time against the reference too) and non-literal subscripts
-(`a[i]` — dynamic indexing needs per-row path resolution the declared
-schema can't express).
+eval time against the reference too), dynamic STRING subscripts
+(`doc[key]` — per-row key resolution the declared schema can't
+express), and integer subscripts on a non-array base. Integer-VALUED
+dynamic subscripts on arrays (`items[cur]`, `a[i + 1]`) DO compile —
+`F.get` (0-based, null out-of-range; gval errors out-of-range, a
+documented divergence in the safe direction) with element-type
+tracking through the declared schema so downstream `.field` access
+and string-vs-numeric `+` dispatch stay exact.
 
 Documented typing divergences from gval (which evaluates all
 arithmetic in float64): `+ - * %` keep the declared column types, so
@@ -63,9 +68,10 @@ def _expr_error(src: str, pos: int, why: str) -> ValueError:
         "delete-id-path accepts plain paths plus the gval operator "
         "subset — arithmetic (+ - * / %), comparisons (== != < <= > >=),"
         " logical (&& || !), the ternary (a ? b : c), string/number/"
-        "true/false/null literals, and parentheses. Function calls and "
-        "non-literal subscripts are not supported; pre-shape the "
-        "document with a pipeline stage instead."
+        "true/false/null literals, parentheses, and integer-valued "
+        "array subscripts (a[0], items[cur]). Function calls and "
+        "string-keyed dynamic subscripts are not supported; pre-shape "
+        "the document with a pipeline stage instead."
     )
 
 
@@ -209,20 +215,29 @@ class _Parser:
                 k2, v2, p2 = self.next()
                 if k2 != "ident":
                     raise _expr_error(self.src, p2, "expected field name")
-                node[1].append(v2)
-            elif val == "[":
-                self.next()
-                k2, v2, p2 = self.next()
-                if k2 == "num" and isinstance(v2, int):
-                    node[1].append(v2)
-                elif k2 == "str":
+                if node[0] == "path":
                     node[1].append(v2)
                 else:
-                    raise _expr_error(
-                        self.src, p2,
-                        "only literal [n] / [\"key\"] subscripts are supported"
-                    )
+                    node = ("getf", node, v2)
+            elif val == "[":
+                self.next()
+                # literal [n] / ["key"] extend the path (the resolver
+                # owns them — exact dtype tracking, map-key access);
+                # anything else is a dynamic subscript expression
+                k2, v2, p2 = self.peek()
+                lit_seg = (k2 == "num" and isinstance(v2, int)) or k2 == "str"
+                if node[0] == "path" and lit_seg:
+                    save = self.i
+                    self.next()
+                    k3, v3, p3 = self.peek()
+                    if k3 == "op" and v3 == "]":
+                        self.next()
+                        node[1].append(v2)
+                        continue
+                    self.i = save  # `[2 + i]` etc: a full expression
+                idx = self.expr(0)
                 self.expect_op("]")
+                node = ("get", node, idx)
             elif val == "(":
                 raise _expr_error(
                     self.src, pos,
@@ -249,6 +264,42 @@ def _kind_of(dt: T.DataType | None) -> str:
 Resolver = Callable[[list], tuple[Column, T.DataType | None]]
 
 
+def _access(node, resolve: Resolver) -> tuple[Column, T.DataType | None]:
+    """Compile a path/subscript access chain to (Column, declared
+    dtype); dtype goes None (kind 'unknown') only when the schema
+    genuinely can't say (e.g. indexing past a declared-untyped hole)."""
+    tag = node[0]
+    if tag == "path":
+        return resolve(node[1])
+    if tag == "getf":
+        base, dt = _access(node[1], resolve)
+        name = node[2]
+        fdt = (dt[name].dataType
+               if isinstance(dt, T.StructType) and name in dt.fieldNames()
+               else None)
+        return base.getField(name), fdt
+    assert tag == "get"
+    base, dt = _access(node[1], resolve)
+    idx, ik = _compile(node[2], resolve)
+    if ik in ("string", "bool", "null"):
+        raise ValueError(
+            "unsupported gval expression: dynamic subscripts must be "
+            "integer-valued (string/bool keys need per-row path "
+            "resolution the declared schema cannot express) — "
+            "pre-shape the document with a pipeline stage instead"
+        )
+    if dt is not None and not isinstance(dt, T.ArrayType):
+        raise ValueError(
+            "unsupported gval expression: dynamic subscript applied to "
+            f"a non-array field (declared type {dt.simpleString()}) — "
+            "only array elements can be indexed by a runtime integer"
+        )
+    # F.get is 0-based like the literal [n] lane; out-of-range gives
+    # NULL (gval errors there — documented safe-direction divergence)
+    elem = dt.elementType if isinstance(dt, T.ArrayType) else None
+    return F.get(base, idx.cast("int")), elem
+
+
 def _compile(node, resolve: Resolver) -> tuple[Column, str]:
     tag = node[0]
     if tag == "lit":
@@ -256,8 +307,8 @@ def _compile(node, resolve: Resolver) -> tuple[Column, str]:
         kind = ("null" if v is None else "string" if isinstance(v, str)
                 else "bool" if isinstance(v, bool) else "numeric")
         return F.lit(v), kind
-    if tag == "path":
-        col, dt = resolve(node[1])
+    if tag in ("path", "get", "getf"):
+        col, dt = _access(node, resolve)
         return col, _kind_of(dt)
     if tag == "un":
         col, kind = _compile(node[2], resolve)

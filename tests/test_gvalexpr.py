@@ -103,6 +103,51 @@ def test_plain_paths_still_use_fast_lane(spark):
     assert _ids(spark, 'meta["old_id"]') == {"L9"}
 
 
+def _arr_df(spark):
+    return spark.createDataFrame(
+        [
+            Row(items=[Row(tag="a0", w=10), Row(tag="a1", w=11)],
+                cur=1, data=Row(_id="1", v="x")),
+            Row(items=[Row(tag="b0", w=20), Row(tag="b1", w=21)],
+                cur=0, data=None),
+        ]
+    )
+
+
+def _arr_ids(spark, expr):
+    out = classify(
+        _arr_df(spark),
+        ClassifierConfig(document_root_path="data", delete_id_path=expr),
+    )
+    return {r["doc_id"] for r in out.filter(F.col("is_delete")).collect()}
+
+
+def test_integer_field_subscripts(spark):
+    """a[i] with a runtime integer index compiles (F.get, 0-based like
+    the literal lane), element dtype tracks through the schema so a
+    downstream .field and string-concat dispatch stay exact; an
+    out-of-range index yields null (gval errors there — documented
+    safe-direction divergence); expression indexes (a[cur + 1]) and
+    literal-expression indexes (a[0 + 1]) both work."""
+    assert _arr_ids(spark, "items[cur].tag") == {"b0"}
+    assert _arr_ids(spark, 'items[cur].tag + "!"') == {"b0!"}
+    assert _arr_ids(spark, "items[cur + 1].w") == {"21"}
+    assert _arr_ids(spark, "items[cur].w + 1") == {"21"}
+    assert _arr_ids(spark, "items[0 + 1].tag") == {"b1"}
+    assert _arr_ids(spark, "items[cur + 9].tag") == {None}  # OOB -> null
+    # literal lane unchanged: [n] stays a resolver path segment
+    assert _arr_ids(spark, "items[0].tag") == {"b0"}
+
+
+def test_dynamic_subscript_loud_rejections(spark):
+    # string-keyed dynamic subscript: per-row path resolution
+    with pytest.raises(ValueError, match="integer-valued"):
+        _arr_ids(spark, 'items[data.v].tag')
+    # dynamic index on a declared non-array
+    with pytest.raises(ValueError, match="non-array"):
+        _arr_ids(spark, "data[cur]")
+
+
 def test_loud_failures(spark):
     for bad, msg in [
         ("foo(meta.id)", "function calls"),
