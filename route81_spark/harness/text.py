@@ -1037,12 +1037,21 @@ _LUHN_SQL = (
 )
 
 
-# DuckDB mod-97 validity twin over an IBAN candidate c: the same
-# streaming fold as ops.text.iban_valid — rearrange (BBAN+country+
-# check), walk chars, digits r->(r*10+d)%97, letters r->(r*100+v)%97;
-# the accumulator rides as VARCHAR because list_reduce needs one type
+# DuckDB mod-97 + registry-length validity twin over an IBAN candidate
+# c: the same streaming fold as ops.text.iban_valid — rearrange (BBAN+
+# country+check), walk chars, digits r->(r*10+d)%97, letters
+# r->(r*100+v)%97; the accumulator rides as VARCHAR because list_reduce
+# needs one type. The per-country length CASE is generated from the
+# SAME ISO 13616 registry dict the Column validator uses (shared DATA,
+# independently formulated logic); unknown countries hit ELSE -1.
+_IBAN_LEN_SQL = (
+    "CASE substr(c, 1, 2) "
+    + " ".join(f"WHEN '{cc}' THEN {n}"
+               for cc, n in sorted(X.IBAN_LENGTHS.items()))
+    + " ELSE -1 END"
+)
 _IBAN_VALID_SQL = (
-    "(length(c) >= 15 AND list_reduce(list_prepend('0',"
+    f"(length(c) = {_IBAN_LEN_SQL} AND list_reduce(list_prepend('0',"
     " list_transform(range(length(c)),"
     " k -> substr(substr(c, 5) || substr(c, 1, 4), CAST(k AS INT) + 1, 1))),"
     " (acc, ch) -> CAST(CASE WHEN ch BETWEEN '0' AND '9'"
@@ -1054,21 +1063,25 @@ _IBAN_VALID_SQL = (
 
 @_q(
     "text_pii_extended",
-    # planted structure: %4==0 docs carry a LUHN-VALID 16-digit card
-    # (check digit computed in-SQL with the same fold), %4==1 docs the
+    # planted structure: %5==0 docs carry a LUHN-VALID 16-digit card
+    # (check digit computed in-SQL with the same fold), %5==1 docs the
     # SAME digits with the check digit bumped (+1 mod 10, Luhn-invalid
-    # -> must survive redaction untouched), %4==2 docs an SSN, %4==3 a
+    # -> must survive redaction untouched), %5==2 docs an SSN, %5==3 a
     # mod-97-VALID DE IBAN whose check digits the oracle computes
-    # numerically (the 24-digit rearranged number fits HUGEINT)
+    # numerically (the 24-digit rearranged number fits HUGEINT), and
+    # %5==4 a mod-97-VALID but WRONG-LENGTH DE string (16-digit BBAN,
+    # total 20 vs the registry's 22 — must survive: the length table
+    # gates it out)
     f"""
     WITH b AS (
       SELECT doc_id, text,
              lpad(CAST((doc_id * 7919) % 1000000000000000 AS VARCHAR), 15, '0') AS base,
-             lpad(CAST((doc_id * 104729) % 1000000000000000000 AS VARCHAR), 18, '0') AS bban
+             lpad(CAST((doc_id * 104729) % 1000000000000000000 AS VARCHAR), 18, '0') AS bban,
+             lpad(CAST((doc_id * 104729) % 10000000000000000 AS VARCHAR), 16, '0') AS bban16
       FROM documents
     ),
     k AS (
-      SELECT doc_id, text, base, bban,
+      SELECT doc_id, text, base, bban, bban16,
              (10 - list_sum(list_transform(range(15),
                  j -> CASE WHEN j % 2 = 0
                       THEN CAST(substr(reverse(base), CAST(j AS INT) + 1, 1) AS INT) * 2
@@ -1076,16 +1089,18 @@ _IBAN_VALID_SQL = (
                                   THEN 9 ELSE 0 END
                       ELSE CAST(substr(reverse(base), CAST(j AS INT) + 1, 1) AS INT) END))
               % 10) % 10 AS chk,
-             98 - CAST(bban || '131400' AS HUGEINT) % 97 AS ibk
+             98 - CAST(bban || '131400' AS HUGEINT) % 97 AS ibk,
+             98 - CAST(bban16 || '131400' AS HUGEINT) % 97 AS ibk16
       FROM b
     ),
     aug AS (
       SELECT doc_id,
-             text || CASE doc_id % 4
+             text || CASE doc_id % 5
                WHEN 0 THEN ' card ' || base || CAST(chk AS VARCHAR) || ' on file'
                WHEN 1 THEN ' meter ' || base || CAST((chk + 1) % 10 AS VARCHAR) || ' logged'
                WHEN 2 THEN ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' leaked'
-               ELSE ' wire DE' || lpad(CAST(ibk AS VARCHAR), 2, '0') || bban || ' sent'
+               WHEN 3 THEN ' wire DE' || lpad(CAST(ibk AS VARCHAR), 2, '0') || bban || ' sent'
+               ELSE ' ref DE' || lpad(CAST(ibk16 AS VARCHAR), 2, '0') || bban16 || ' noted'
              END AS p
       FROM k
     ),
@@ -1145,35 +1160,44 @@ def text_pii_extended(spark, sf_dir):
         lambda a, b: a + b,
     )
     chk = (F.lit(10) - s % 10) % 10
-    bban = F.lpad(((did * 104729) % F.lit(10**18)).cast("string"), 18, "0")
-    digs = F.filter(
-        F.split(F.concat(bban, F.lit("131400")), ""), lambda c: c != ""
-    )
-    ibr = F.aggregate(
-        digs, F.lit(0), lambda a, c: (a * 10 + c.cast("int")) % 97
-    )
-    iban = F.concat(
-        F.lit("DE"), F.lpad((F.lit(98) - ibr).cast("string"), 2, "0"), bban
-    )
+    def _de_iban(width: int) -> Column:
+        bb = F.lpad(((did * 104729) % F.lit(10**width)).cast("string"),
+                    width, "0")
+        digs = F.filter(
+            F.split(F.concat(bb, F.lit("131400")), ""), lambda c: c != ""
+        )
+        r = F.aggregate(
+            digs, F.lit(0), lambda a, c: (a * 10 + c.cast("int")) % 97
+        )
+        return F.concat(
+            F.lit("DE"), F.lpad((F.lit(98) - r).cast("string"), 2, "0"), bb
+        )
+
+    iban = _de_iban(18)       # total 22 = the DE registry length
+    iban_short = _de_iban(16)  # total 20: mod-97 valid, WRONG length
     aug = F.concat(
         F.col("text"),
         F.when(
-            did % 4 == 0,
+            did % 5 == 0,
             F.concat(F.lit(" card "), base, chk.cast("string"),
                      F.lit(" on file")),
         )
         .when(
-            did % 4 == 1,
+            did % 5 == 1,
             F.concat(F.lit(" meter "), base,
                      ((chk + 1) % 10).cast("string"), F.lit(" logged")),
         )
         .when(
-            did % 4 == 2,
+            did % 5 == 2,
             F.concat(F.lit(" ssn 123-45-"),
                      F.lpad((did % 10000).cast("string"), 4, "0"),
                      F.lit(" leaked")),
         )
-        .otherwise(F.concat(F.lit(" wire "), iban, F.lit(" sent"))),
+        .when(
+            did % 5 == 3,
+            F.concat(F.lit(" wire "), iban, F.lit(" sent")),
+        )
+        .otherwise(F.concat(F.lit(" ref "), iban_short, F.lit(" noted"))),
     )
     with_pii = docs.select("doc_id", aug.alias("p"))
     counts = pii_counts(F.col("p"))

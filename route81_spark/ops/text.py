@@ -347,19 +347,47 @@ def cc_matches(text_col: Column) -> Column:
 
 
 # IBAN candidates: 2 country letters + 2 check digits + 11-30 BBAN
-# chars; the ISO 7064 mod-97 checksum (iban_valid) decides
+# chars; the ISO 7064 mod-97 checksum + the per-country length
+# registry (iban_valid) decide
 PII_IBAN_CANDIDATE = r"\b[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}\b"
+
+# ISO 13616 country -> total IBAN length (the public SWIFT IBAN
+# registry). Shared DATA between the Column validator and the DuckDB
+# oracle twin (harness/text.py generates its CASE from this dict) —
+# one source of truth for the table, independently formulated logic.
+IBAN_LENGTHS = {
+    "AD": 24, "AE": 23, "AL": 28, "AT": 20, "AZ": 28, "BA": 20,
+    "BE": 16, "BG": 22, "BH": 22, "BI": 27, "BR": 29, "BY": 28,
+    "CH": 21, "CR": 22, "CY": 28, "CZ": 24, "DE": 22, "DJ": 27,
+    "DK": 18, "DO": 28, "EE": 20, "EG": 29, "ES": 24, "FI": 18,
+    "FK": 18, "FO": 18, "FR": 27, "GB": 22, "GE": 22, "GI": 23,
+    "GL": 18, "GR": 27, "GT": 28, "HR": 21, "HU": 28, "IE": 22,
+    "IL": 23, "IQ": 23, "IS": 26, "IT": 27, "JO": 30, "KW": 30,
+    "KZ": 20, "LB": 28, "LC": 32, "LI": 21, "LT": 20, "LU": 20,
+    "LV": 21, "LY": 25, "MC": 27, "MD": 24, "ME": 22, "MK": 19,
+    "MN": 20, "MR": 27, "MT": 31, "MU": 30, "NI": 28, "NL": 18,
+    "NO": 15, "OM": 23, "PK": 24, "PL": 28, "PS": 29, "PT": 25,
+    "QA": 29, "RO": 24, "RS": 22, "RU": 33, "SA": 24, "SC": 31,
+    "SD": 18, "SE": 24, "SI": 19, "SK": 24, "SM": 27, "SO": 23,
+    "ST": 25, "SV": 28, "TL": 23, "TN": 24, "TR": 26, "UA": 29,
+    "VA": 22, "VG": 24, "XK": 20,
+}
 
 
 def iban_valid(cand: Column) -> Column:
     """ISO 7064 mod-97 over the rearranged IBAN (BBAN + country +
     check digits; letters expand to two digits, A=10..Z=35): valid iff
-    the big number ≡ 1 (mod 97). Sequential digit fold r -> (r*10+d)
-    % 97 (the standard streaming form — the 15-34-char IBAN far
-    exceeds any integer type), letters folding two digits in one step
-    via (r*100 + v) % 97. One per-char aggregate, pure Column; the
-    DuckDB twin expands letters first and folds the digit string with
-    the same recurrence."""
+    the big number ≡ 1 (mod 97) AND the total length matches the
+    country's ISO 13616 registry entry (a mod-97-valid string of the
+    wrong length for its country — 1-in-97 of random number-shaped
+    strings — is measurement data, not an IBAN; unknown country codes
+    are not IBANs at all). Checksum: sequential digit fold
+    r -> (r*10+d) % 97 (the standard streaming form — the 15-34-char
+    IBAN far exceeds any integer type), letters folding two digits in
+    one step via (r*100 + v) % 97. One per-char aggregate + one
+    foldable map-literal lookup, pure Column; the DuckDB twin expands
+    letters first and folds the digit string with the same recurrence,
+    its length CASE generated from the same registry dict."""
     rearranged = F.concat(F.substring(cand, 5, 34), F.substring(cand, 1, 4))
     chars = F.filter(F.split(rearranged, ""), lambda c: c != "")
     r = F.aggregate(
@@ -369,7 +397,14 @@ def iban_valid(cand: Column) -> Column:
             c.rlike("[0-9]"), (acc * 10 + c.cast("int")) % 97
         ).otherwise((acc * 100 + (F.ascii(c) - 55)) % 97),
     )
-    return (F.length(cand) >= 15) & (r == 1)
+    expected = F.element_at(
+        F.create_map(
+            *[F.lit(x) for kv in sorted(IBAN_LENGTHS.items()) for x in kv]
+        ),
+        F.substring(cand, 1, 2),
+    )
+    len_ok = F.coalesce(F.length(cand) == expected, F.lit(False))
+    return len_ok & (r == 1)
 
 
 def iban_matches(text_col: Column) -> Column:

@@ -3538,6 +3538,11 @@ def test_pii_iban_mod97(spark):
         (3, "acct DE89370400440532013000 eur"),     # valid
         (4, "code AB12SHORT1234 x"),                # too short
         (5, "ID GB00WEST12345698765432 fake"),      # wrong check digits
+        # mod-97 VALID but 20 chars where the DE registry says 22 —
+        # the per-country length table must gate it out
+        (6, "ref DE863704004405320130 noted"),
+        # mod-97 valid shape with an unregistered country code
+        (7, "tag ZZ68370400440532013000 x"),
     ]
     df = spark.createDataFrame(rows, "i long, t string")
     got = {
@@ -3553,6 +3558,8 @@ def test_pii_iban_mod97(spark):
     assert got[3] == (["DE89370400440532013000"], "acct <IBAN> eur")
     assert got[4] == ([], "code AB12SHORT1234 x")
     assert got[5] == ([], "ID GB00WEST12345698765432 fake")
+    assert got[6] == ([], "ref DE863704004405320130 noted")
+    assert got[7] == ([], "tag ZZ68370400440532013000 x")
     # exactly ONE check-digit completion of a BBAN validates
     vdf = spark.createDataFrame(
         [(d, f"DE{d:02d}370400440532013000") for d in range(2, 100)],
