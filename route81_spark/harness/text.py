@@ -1019,6 +1019,105 @@ def match_text_stem(spark, sf_dir):
 
 
 # --------------------------------------------------------------------
+# $text with full Snowball English (Porter2) stemming (r9)
+# --------------------------------------------------------------------
+
+P_SNIPS = [
+    "running jumps daily",
+    "the runner ran fast",
+    "relational databases scale",
+    "controlled experiments proceed",
+    "hoping for agreement",
+    "dying early generously",
+    "conditional rational analysis",
+    "flies tied knots",
+]
+
+
+def _p_stem_case() -> str:
+    """Per-token stem lookup for the oracle: the CASE maps every word
+    of the closed P_SNIPS vocabulary to its stem PRE-COMPUTED by the
+    Python spec twin (ops.porter.porter2_py) — the twin is the
+    independent side (the Spark query runs the Column program live),
+    and the twin itself is pinned to the published algorithm by
+    tests/test_porter.py's spec pins + exhaustive grid sweep."""
+    from route81_spark.ops.porter import porter2_py
+
+    vocab = sorted({w for s in P_SNIPS for w in s.split()})
+    whens = " ".join(f"WHEN '{w}' THEN '{porter2_py(w)}'" for w in vocab)
+    return f"CASE t {whens} ELSE t END"
+
+
+def _p_syn_sql(x: str = "CAST(doc_id AS VARCHAR)") -> str:
+    lits = "[" + ", ".join("'" + s + "'" for s in P_SNIPS) + "]"
+
+    def pick(seed):
+        return f"({lits})[CAST({_wh60(seed, x)} % 8 AS INT) + 1]"
+
+    return f"{pick('porter0|a')} || ' ' || {pick('porter0|b')}"
+
+
+def _p_syn_spark(ids: Column) -> Column:
+    from route81_spark.ops.web import _h60
+
+    def pick(seed):
+        h = _h60(ids, seed)
+        return F.element_at(
+            F.array(*[F.lit(s) for s in P_SNIPS]), (h % 8 + 1).cast("int")
+        )
+
+    return F.concat(pick("porter0|a"), F.lit(" "), pick("porter0|b"))
+
+
+@_q(
+    "match_text_porter",
+    # oracle: stem the token array via the twin-precomputed lookup,
+    # then recompute membership + integer score — 'runs'/'running'
+    # conflate on stem 'run', 'relation'/'relational'/'relations' on
+    # 'relat', '-control' excludes via the stem of 'controlled'
+    f"""
+    WITH s AS (SELECT doc_id, {_p_syn_sql()} AS raw FROM documents),
+    t0 AS (SELECT doc_id,
+                  string_split_regex(lower(raw), '[^0-9a-z]+') AS toks
+           FROM s),
+    t AS (SELECT doc_id,
+                 list_transform(toks, t -> {_p_stem_case()}) AS st
+          FROM t0)
+    SELECT doc_id,
+           CAST(len(list_filter(st, x -> x = 'run'))
+              + len(list_filter(st, x -> x = 'relat')) AS BIGINT) AS score
+    FROM t
+    WHERE (list_contains(st, 'run') OR list_contains(st, 'relat'))
+      AND NOT coalesce(list_contains(st, 'control'), false)
+    """,
+)
+def match_text_porter(spark, sf_dir):
+    """$text with $language: "english" — Mongo's default English
+    analyzer language now selects the full Snowball English (Porter2)
+    stemmer (ops/porter.py), the same algorithm the server's text
+    index runs (route81 delegates $text to it, route81.go:181-197):
+    'runs' in the search conflates with 'running' in the text,
+    'relation' with 'relational'/'relations', and the negation
+    '-control' fires on the stemmed token of 'controlled'. The stemmer
+    is one pure-Column expression program per token (regexp-derived
+    R1/R2 regions, nested-CASE suffix steps with Snowball's
+    longest-match-wins semantics) — zero Python, zero shuffle."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    prepped = docs.select("doc_id", _p_syn_spark(F.col("doc_id")).alias("text"))
+    return apply_pipeline(
+        prepped,
+        [
+            {"$match": {"$text": {
+                "$search": "runs relation -control",
+                "$language": "english",
+            }}},
+            {"$addFields": {"score": {"$meta": "textScore"}}},
+            {"$project": {"doc_id": 1, "score": 1}},
+        ],
+    )
+
+
+# --------------------------------------------------------------------
 # Extended PII classes: Luhn-validated payment cards + SSNs (r8)
 # --------------------------------------------------------------------
 

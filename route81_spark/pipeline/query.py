@@ -57,13 +57,18 @@ from route81_spark.pipeline.exprs import PipelineCompileError, compile_expr, ext
 #     removed, single-base precomposed chars folded) — so 'café',
 #     decomposed 'cafe'+U+0301, and 'cafe' all match; explicit
 #     {$diacriticSensitive: true} keeps diacritics significant (r8).
-#   * engine extension {stem: "s"}: Harman S-stemmer conflation of
-#     English plurals over tokens and plain query terms (phrases stay
-#     raw) — the documented weak-stemming subset of Mongo's Snowball;
-#     other stem values fail loudly (r8).
+#   * stemming (r9): {stem: "porter"} = the full Snowball English
+#     (Porter2) stemmer as a pure-Column program (ops/porter.py) —
+#     the algorithm Mongo's English analyzer runs server-side;
+#     `$language: "english"/"en"` selects it too. {stem: "s"} keeps
+#     the Harman S-stemmer plural subset (r8). Tokens and plain query
+#     terms stem; phrases stay raw. Other stem values fail loudly.
 #   * DOCUMENTED DIVERGENCES (fail loudly where dishonoring a request):
-#     no Snowball stemming ($language accepted, ignored — opt into the
-#     S-stemmer subset via {stem: "s"}); tokens are
+#     non-English $language values stay accepted-and-ignored (no
+#     non-English Snowball programs), and the engine default WITHOUT
+#     $language is unstemmed where Mongo would default to English —
+#     flipping the default would surprise the ASCII-token fast path;
+#     opt in per query. Tokens are
 #     ASCII-alnum runs BY DEFAULT (engine extension {unicode: true}
 #     switches to Unicode letter/number runs for any script — r8);
 #     diacritic folding covers Mn/Me marks and single-base precomposed
@@ -119,18 +124,30 @@ def _text_parts(spec: dict) -> tuple[str, bool, bool, bool, tuple]:
     # shrinking the documented CJK/diacritics divergence; matching and
     # scoring semantics are otherwise identical
     uni = bool(spec.get("unicode", False))
-    # engine extension: {stem: "s"} conflates English plurals with the
-    # Harman S-stemmer (ops.text.s_stem) on tokens AND plain query
-    # terms — the documented weak-stemming subset of Mongo's Snowball
-    # ($language itself stays accepted-and-ignored); phrases match the
-    # raw text unstemmed. Any other value fails loudly.
+    # stemming: {stem: "porter"} runs the full Snowball English
+    # (Porter2) stemmer (ops.porter) on tokens AND plain query terms —
+    # the same algorithm MongoDB's English analyzer applies
+    # server-side; {stem: "s"} keeps the Harman S-stemmer plural
+    # subset (ops.text.s_stem). `$language: "english"` (or "en") now
+    # selects Porter2, matching Mongo's default-English stemming;
+    # other languages stay accepted-and-ignored (documented
+    # divergence: no non-English Snowball programs), and the engine
+    # default WITHOUT $language remains unstemmed (documented: Mongo's
+    # no-language default is English; flip on per-query via $language
+    # or stem). Phrases match the raw text unstemmed. Any other stem
+    # value fails loudly.
     stem = spec.get("stem")
-    if stem not in (None, "s"):
+    if stem is None and str(spec.get("$language", "")).lower() in (
+        "english", "en"
+    ):
+        stem = "porter"
+    if stem not in (None, "s", "porter"):
         raise PipelineCompileError(
-            f"$text: unsupported stem mode {stem!r} — only the 's'"
-            " (Harman S-stemmer) subset is implemented"
+            f"$text: unsupported stem mode {stem!r} — 's' (Harman"
+            " S-stemmer) and 'porter' (Snowball English) are the"
+            " implemented modes"
         )
-    return field, cs, ds, uni, stem == "s", _parse_search(str(spec["$search"]))
+    return field, cs, ds, uni, stem, _parse_search(str(spec["$search"]))
 
 
 def _text_norm(c: Column, cs: bool) -> Column:
@@ -169,15 +186,22 @@ def _text_bound(spec: dict, build):
         return s if ds else fold_diacritics_py(s)
 
     if stem:
-        from route81_spark.ops.text import s_stem, s_stem_py
+        if stem == "porter":
+            from route81_spark.ops.porter import (
+                porter2_py as stem_py, porter2_stem as stem_col,
+            )
+        else:
+            from route81_spark.ops.text import (
+                s_stem as stem_col, s_stem_py as stem_py,
+            )
 
-        toks = F.transform(toks, s_stem)
+        toks = F.transform(toks, stem_col)
         pos_t, neg_t, pos_ph, neg_ph = parts
         # terms stem (after case/diacritic fold, like the token array);
         # phrases match the raw normalized text, unstemmed
         parts = (
-            [s_stem_py(base_norm(t)) for t in pos_t],
-            [s_stem_py(base_norm(t)) for t in neg_t],
+            [stem_py(base_norm(t)) for t in pos_t],
+            [stem_py(base_norm(t)) for t in neg_t],
             [base_norm(p) for p in pos_ph],
             [base_norm(p) for p in neg_ph],
         )

@@ -640,9 +640,10 @@ def test_text_s_stemmer(spark):
         ).collect()
     }
     assert got == {1: 1, 2: 1}
-    # unsupported stem mode fails loudly
+    # unsupported stem mode fails loudly ("porter" became a real mode
+    # in r9 — ops/porter.py)
     with pytest.raises(PipelineCompileError, match="stem"):
-        run("x", stem="porter")
+        run("x", stem="lovins")
 
 
 def test_s_stem_column_matches_python_twin(spark):
