@@ -750,10 +750,80 @@ def sf1_probe(spark, k: int = 100) -> None:
         )
 
 
+def domain_skew_probe(spark, k: int = 100) -> None:
+    """Planted heavy-domain probe for the domain-grain crawl rollups
+    (domain_stats / domain_gate) — real crawls carry blogspot/
+    wikipedia-class domains at percent-level shares, and the domain
+    key is the one aggregation grain the uniform synthetic URLs never
+    stress. Plants ONE domain on 30% of a Kx corpus with DISTINCT
+    texts (doc_id appended — so the (domain, texthash) pre-agg cannot
+    collapse the hot key early) and compares wall time against the
+    same corpus with uniform domains.
+
+    Why flat is the expected shape: both rollup stages are hash
+    aggregations with map-side partial combine — the heavy domain
+    collapses to ONE row per map task before the final shuffle, so the
+    hot reducer receives O(num_map_tasks) rows, not O(corpus share).
+    If this probe ever shows a cliff (ratio >> 1), the fix is a salted
+    two-stage aggregation on the domain key (groupBy(domain, salt)
+    partials, then groupBy(domain) — the ops.util.salted_join pattern
+    applied to an agg)."""
+    from route81_spark.ops.web import domain_gate, domain_stats, synthetic_urls
+
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    base = load_table(spark, sf, "documents")
+    big = synthetic_urls(scaled(base, k)).withColumn(
+        "text",
+        F.concat_ws(" ", F.col("text"), F.col("doc_id").cast("string")),
+    )
+    uni = big.persist()
+    skew = big.withColumn(
+        "url",
+        F.when(
+            F.col("doc_id") % 10 < 3,
+            F.concat(
+                F.lit("https://heavy.example.com/post/"),
+                F.col("doc_id").cast("string"),
+            ),
+        ).otherwise(F.col("url")),
+    ).persist()
+    n = uni.count()
+    skew.count()
+    # sanity: the planted domain really is ~30% of the corpus and its
+    # per-text rows really are distinct (n_dup_docs == 0)
+    hot = (
+        domain_stats(skew)
+        .orderBy(F.col("n_docs").desc())
+        .limit(1)
+        .collect()[0]
+    )
+    assert hot["n_docs"] >= int(0.29 * n), hot
+    assert hot["n_dup_docs"] == 0, hot
+    print(
+        f"domain_skew corpus: {n} rows, hot domain {hot['domain']!r} "
+        f"carries {hot['n_docs']} docs ({100.0 * hot['n_docs'] / n:.0f}%)"
+    )
+    for name, fn in (("domain_stats", domain_stats),
+                     ("domain_gate", domain_gate)):
+        tu = min(_time(fn, uni) for _ in range(2))
+        ts = min(_time(fn, skew) for _ in range(2))
+        print(
+            f"domain_skew {name:12s} uniform={tu:6.2f}s  "
+            f"skew30={ts:6.2f}s  ratio={ts / tu:4.2f}x"
+        )
+    uni.unpersist()
+    skew.unpersist()
+
+
 def main() -> int:
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 20
     selected = set(sys.argv[2:])
     spark = get_spark("scale_probe")
+    if "domain_skew" in selected:
+        domain_skew_probe(spark, k)
+        selected = selected - {"domain_skew"}
+        if not selected:
+            return 0
     if "sf1" in selected:
         sf1_probe(spark, k if k != 20 else 100)
         selected = selected - {"sf1"}
