@@ -964,3 +964,69 @@ def test_streaming_text_search_matches_batch(spark, tmp_path):
     want = {(r["doc_id"], r["score"])
             for r in apply_pipeline(batch, pipe).collect()}
     assert got == want and len(want) >= 2
+
+
+def test_streaming_psl_table_and_pii_redact_match_batch(spark, tmp_path):
+    """The two r8/r9 intake surfaces without stream pins yet:
+    psl_domain_table (full-PSL registrable-domain extraction — the
+    rule table is STATIC, so its per-(kind,depth) broadcast joins are
+    stream-static joins, append-legal with no watermark; the one
+    collect reads the rule table at plan-build, never the stream) and
+    the checksum-gated pii_redact chain (pure per-row expressions).
+    Streamed output must be bit-identical to the batch operators on
+    the same rows."""
+    from route81_spark.ops.psl import DEFAULT_PSL_RULES, psl_domain_table
+    from route81_spark.ops.text import pii_redact
+
+    hosts = [
+        "a.b.example.com", "www.example.co.uk", "x.y.kobe.jp",
+        "city.kobe.jp", "foo.bar.ck", "www.ck", "deep.sub.blogspot.com",
+        "localhost",
+    ]
+    rows = [
+        {"doc_id": i,
+         "text": f"doc {i} mail a{i}@mail.example.com "
+                 f"card 4111 1111 1111 1111 ref 4111 1111 1111 1112 "
+                 f"wire GB82WEST12345698765432 call 555-123-4567 end",
+         "ts": "2024-01-01T00:00:00"}
+        for i in range(24)
+    ]
+    rules_df = spark.createDataFrame(
+        [(r,) for r in DEFAULT_PSL_RULES], "rule string"
+    )
+    host_col = F.element_at(
+        F.array(*[F.lit(h) for h in hosts]),
+        (F.col("doc_id") % len(hosts) + 1).cast("int"),
+    )
+
+    def pipeline(df):
+        with_host = df.select(
+            "doc_id", host_col.alias("host"),
+            pii_redact(F.col("text")).alias("redacted"),
+        )
+        return psl_domain_table(
+            with_host, rules_df, host_col="host", rule_col="rule"
+        ).select("doc_id", "host", "domain", "redacted")
+
+    src = tmp_path / "src"
+    _write_batch(src / "b1.json", rows[:12])
+    _write_batch(src / "b2.json", rows[12:])
+    stream = spark.readStream.schema(DOC_SCHEMA).json(str(src))
+    out, ck = tmp_path / "out", tmp_path / "ck"
+    _run_available_now(pipeline(stream), out, ck)
+    got = {r["doc_id"]: (r["host"], r["domain"], r["redacted"])
+           for r in spark.read.parquet(str(out)).collect()}
+
+    batch = spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for r in rows], "doc_id long, text string"
+    )
+    want = {r["doc_id"]: (r["host"], r["domain"], r["redacted"])
+            for r in pipeline(batch).collect()}
+    assert got == want and len(got) == 24
+    # the scrub really fired (valid card/IBAN/email/phone redacted, the
+    # check-digit-bumped sibling survived) and the PSL really resolved
+    sample = got[0][2]
+    assert "<CC>" in sample and "<IBAN>" in sample
+    assert "<EMAIL>" in sample and "<PHONE>" in sample
+    assert "4111 1111 1111 1112" in sample
+    assert any(d is not None for _, d, _r in got.values())
