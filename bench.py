@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "match_text_stem",     # $text S-stemmer conflation (CASE chain, r8)
     "sim_knn_graph",       # 8-band self-join kNN graph, self-scaled width (r8)
     "corpus_crawl_funnel", # composed canon -> URL dedup -> domain gate (r8)
+    "match_text_porter",   # $text full Snowball English stemming (r9)
 ]
 
 # Round-over-round comparability cohorts (r6 verdict: the growing set mixes
@@ -113,6 +114,29 @@ COHORT_PRE_R6 = COHORT_R1 + [  # the 26 queries of BENCH_r05 (23.52 s)
 
 def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
+
+
+def _prev_round() -> tuple[str, dict] | None:
+    """Latest recorded BENCH_r{N}.json in the repo -> (tag, parsed) —
+    the r-over-r comparison base, so the driver's tail capture alone
+    tells the cohort story (totals stopped being cross-round
+    comparable once the query set started growing)."""
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    best: tuple[int, str] | None = None
+    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if m and (best is None or int(m.group(1)) > best[0]):
+            best = (int(m.group(1)), p)
+    if best is None:
+        return None
+    try:
+        with open(best[1]) as f:
+            parsed = json.load(f).get("parsed") or {}
+        return (f"r{best[0]:02d}", parsed) if parsed.get("queries") else None
+    except Exception:
+        return None
 
 
 def main() -> None:
@@ -155,6 +179,46 @@ def main() -> None:
         "pre_r6": round(sum(timings[q] for q in COHORT_PRE_R6), 3),
         "full": total,
     }
+    # r-over-r cohort deltas vs the latest recorded round: the frozen
+    # cohorts compare like with like; "common" restricts the full set
+    # to queries present in BOTH rounds (new registrations excluded)
+    deltas: dict | None = None
+    prev = _prev_round()
+    if prev is not None:
+        tag, pp = prev
+        pq, psub = pp.get("queries", {}), pp.get("subtotals", {})
+        deltas = {"vs": tag}
+        for c in ("headline13", "pre_r6"):
+            if psub.get(c):
+                deltas[c] = round(
+                    100.0 * (subtotals[c] - psub[c]) / psub[c], 1
+                )
+        common = [q for q in timings if q in pq]
+        ps = sum(pq[q] for q in common)
+        if ps:
+            deltas["common"] = round(
+                100.0 * (sum(timings[q] for q in common) - ps) / ps, 1
+            )
+            deltas["n_common"] = len(common)
+
+    # human-readable cohort summary, frozen-cohort first — printed
+    # immediately before the JSON line so the driver's tail capture
+    # carries it too
+    print(
+        f"headline13={subtotals['headline13']}s "
+        f"pre_r6={subtotals['pre_r6']}s full={total}s "
+        f"({len(timings)} queries)"
+    )
+    if deltas is not None:
+        print(
+            "delta_vs_%s: headline13 %+.1f%% pre_r6 %+.1f%% common %+.1f%%"
+            % (
+                deltas["vs"],
+                deltas.get("headline13", 0.0),
+                deltas.get("pre_r6", 0.0),
+                deltas.get("common", 0.0),
+            )
+        )
     print(
         json.dumps(
             {
@@ -163,6 +227,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "subtotals": subtotals,
+                "deltas_pct": deltas,
                 "sf": sf,
                 "runs": n_runs,
                 "aggregation": "min",
