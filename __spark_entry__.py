@@ -34,22 +34,19 @@ from route81_spark import harness  # noqa: E402
 # (never-recorded first, then oldest), tie-broken by registration order.
 # Consecutive rounds therefore alternate halves without hand-kept lists.
 _HEADLINE = [
-    # r8: only queries whose CODE changed this round (the r6 freshness
-    # discipline). The 3 new r8 queries (corpus_psl_domains,
-    # corpus_unicode_text, match_text_unicode) sort first in the tail
-    # automatically; 9 headline + 3 new leaves ~38 window slots for the
-    # stale cohort, which covers every r3-recorded row with margin.
-    "sim_knn_graph",          # 8-band OR-amplification + multi-band oracle
-    "sim_recall_report",      # bucketed_topk 8-band OR-amplification
-    "match_text_search",      # $text folds diacritics by default (Mongo parity)
-    "corpus_url_canon",       # bracketed-IPv6 authority handling
-    "corpus_domain_stats",    # NULL-safe lang rollup join + full-PSL domains
-    "corpus_domain_filter",   # full-PSL registrable_domain
-    "corpus_url_dedup",       # full-PSL registrable_domain
-    "corpus_domain_gate",     # full-PSL registrable_domain
-    "corpus_domain_split",    # full-PSL registrable_domain
-    "corpus_robots_filter",   # collision guard + Allow longest-match
-    "text_pii_redact",        # scrub chain extended (Luhn cards, SSN)
+    # r9: only queries whose CODE changed this round (the r6 freshness
+    # discipline). The 1 new r9 query (match_text_porter) sorts first
+    # in the tail automatically; 8 headline + 1 new leaves 41 window
+    # slots for the stale cohort — the entire 22-row r4 cohort drains
+    # plus 19 of the 48 r5 rows (nothing stays older than r5).
+    "text_pii_redact",        # \b-anchored checksum-gated replacement
+    "text_pii_extended",      # per-country IBAN length registry + %5 corpus
+    "cdc_delete_id_expr",     # gval dynamic array subscripts (tags[id % 3])
+    "corpus_robots_filter",   # __robots_allow reserved-name guard
+    "match_text_search",      # $text compile path: stem-mode plumbing
+    "match_text_unicode",     # $text compile path: stem-mode plumbing
+    "match_text_diacritics",  # $text compile path: stem-mode plumbing
+    "match_text_stem",        # stem modes now a string lane (s | porter)
 ]
 
 
