@@ -191,6 +191,10 @@ def _render(node, parent_bp: int = 0) -> str:
         for s in node[1][1:]:
             out += f"[{s}]" if isinstance(s, int) else f".{s}"
         return out
+    if tag == "get":
+        # dynamic (non-literal) subscript — literal indexes render via
+        # the path lane above, matching the parser's literal-first rule
+        return f"{_render(node[1], 100)}[{_render(node[2], 0)}]"
     if tag == "un":
         inner = _render(node[2], 80)
         s = f"{node[1]}{inner}" if inner.startswith("(") or node[1] == "!" \
@@ -207,14 +211,19 @@ def _render(node, parent_bp: int = 0) -> str:
 
 
 _ROWS = [
-    {"a": 3, "b": -2, "x": 1.5, "s": "ab", "t": "b-c", "f": True},
-    {"a": -7, "b": 4, "x": -0.25, "s": "", "t": "zz", "f": False},
-    {"a": 1, "b": 1, "x": 2.0, "s": "q", "t": "q", "f": True},
+    {"a": 3, "b": -2, "x": 1.5, "s": "ab", "t": "b-c", "f": True,
+     "arr": [3, 1, 4], "k": 0},
+    {"a": -7, "b": 4, "x": -0.25, "s": "", "t": "zz", "f": False,
+     "arr": [2, 7, 1], "k": 1},
+    {"a": 1, "b": 1, "x": 2.0, "s": "q", "t": "q", "f": True,
+     "arr": [5, 0, 9], "k": 1},
 ]
 _SCHEMA = T.StructType([
     T.StructField("a", T.LongType()), T.StructField("b", T.LongType()),
     T.StructField("x", T.DoubleType()), T.StructField("s", T.StringType()),
     T.StructField("t", T.StringType()), T.StructField("f", T.BooleanType()),
+    T.StructField("arr", T.ArrayType(T.LongType())),
+    T.StructField("k", T.LongType()),
 ])
 
 
@@ -223,7 +232,16 @@ def _py_eval(node, row):
     if tag == "lit":
         return node[1]
     if tag == "path":
-        return row[node[1][0]]
+        v = row[node[1][0]]
+        for s in node[1][1:]:
+            v = v[s] if isinstance(s, int) else v[s]
+        return v
+    if tag == "get":
+        base = _py_eval(node[1], row)
+        i = int(_py_eval(node[2], row))
+        # F.get: 0-based, null out-of-range (generator keeps indexes
+        # in range so null never propagates into the comparisons)
+        return base[i] if 0 <= i < len(base) else None
     if tag == "un":
         v = _py_eval(node[2], row)
         return (not v) if node[1] == "!" else -v
@@ -251,10 +269,27 @@ def _py_eval(node, row):
             "&&": lv and rv, "||": lv or rv}[op]
 
 
+# dynamic integer subscripts over the array field: index expressions
+# stay provably in [0, 2] (k in {0,1}, literal addend in {0,1}) so the
+# Python evaluator never has to model null propagation; literal [n]
+# indexes ride the PATH lane (("path", ["arr", n])), matching the
+# parser's literal-first rule
+_GET_LEAVES = st.one_of(
+    st.just(("get", ("path", ["arr"]), ("path", ["k"]))),
+    st.sampled_from([0, 1]).map(
+        lambda v: ("get", ("path", ["arr"]),
+                   ("bin", "+", ("path", ["k"]), ("lit", v)))
+    ),
+)
+
+
 def _num(depth):
     leaf = st.one_of(
         st.integers(min_value=-9, max_value=9).map(lambda v: ("lit", v)),
-        st.sampled_from([("path", ["a"]), ("path", ["b"]), ("path", ["x"])]),
+        st.sampled_from([("path", ["a"]), ("path", ["b"]), ("path", ["x"]),
+                         ("path", ["arr", 0]), ("path", ["arr", 2]),
+                         ("path", ["k"])]),
+        _GET_LEAVES,
     )
     if depth == 0:
         return leaf
@@ -338,10 +373,17 @@ def test_semantics_match_python_evaluator(spark):
     corpus = collected[:60]
 
     def resolve(segs):
-        name = segs[0]
-        return F.col(name), dict(zip(
-            [f.name for f in _SCHEMA.fields], [f.dataType for f in _SCHEMA.fields]
-        ))[name]
+        col = F.col(str(segs[0]))
+        dt = dict(zip(
+            [f.name for f in _SCHEMA.fields],
+            [f.dataType for f in _SCHEMA.fields],
+        ))[segs[0]]
+        for s in segs[1:]:
+            if isinstance(s, int):
+                col, dt = col.getItem(s), dt.elementType
+            else:
+                col, dt = col.getField(s), dt[s].dataType
+        return col, dt
 
     df = spark.createDataFrame(_ROWS, _SCHEMA)
     cols = [
