@@ -1117,6 +1117,64 @@ def match_text_porter(spark, sf_dir):
     )
 
 
+_BM25P_TERMS = ["runs", "relations", "agreement"]  # stems: run/relat/agreement
+
+
+@_q(
+    "text_bm25_stemmed",
+    # oracle: stem the synthesized token arrays via the twin-precomputed
+    # lookup, then replicate the exact BM25 formula (same left-assoc
+    # fold, same constants) over the STEMMED arrays — 'runs' scores
+    # 'running', 'relations' scores 'relational'
+    f"""
+    WITH s0 AS (SELECT doc_id, {_p_syn_sql()} AS raw FROM documents),
+    t0 AS (SELECT doc_id,
+                  string_split_regex(lower(raw), '[^0-9a-z]+') AS toks
+           FROM s0),
+    s AS (SELECT doc_id,
+                 list_transform(toks, t -> {_p_stem_case()}) AS tk
+          FROM t0),
+    c AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             avg(CAST(len(tk) AS DOUBLE)) AS avgdl
+      FROM s
+    ),
+    d AS (
+      SELECT
+        {", ".join(f"(SELECT CAST(count(*) AS DOUBLE) FROM s WHERE list_contains(tk, '{t}')) AS df{i}" for i, t in enumerate(["run", "relat", "agreement"]))}
+    )
+    SELECT doc_id,
+           {det_round_sql(" + ".join(
+               f"(ln(1 + (c.n - d.df{i} + 0.5) / (d.df{i} + 0.5))"
+               f" * (CAST(len(list_filter(tk, x -> x = '{t}')) AS DOUBLE) * 2.2)"
+               f" / (CAST(len(list_filter(tk, x -> x = '{t}')) AS DOUBLE)"
+               f"    + 1.2 * (0.25 + 0.75 * CAST(len(tk) AS DOUBLE) / c.avgdl)))"
+               for i, t in enumerate(["run", "relat", "agreement"])), 6)} AS bm25
+    FROM s, c, d
+    ORDER BY bm25 DESC, doc_id ASC LIMIT 25
+    """,
+)
+def text_bm25_stemmed(spark, sf_dir):
+    """Stemmed Okapi BM25 (the standard IR analyzer chain): corpus
+    tokens and query terms run the Snowball English stemmer before
+    tf/df, so 'runs' retrieves 'running' docs and 'relations'
+    retrieves 'relational' — ops.corpus.bm25_scores(stem="porter")
+    composing with ops/porter.py. Model constants still come from one
+    single-row aggregation; scoring is one per-row expression over the
+    bound stemmed token array; zero scoring shuffle; top-25 via
+    TakeOrderedAndProject."""
+    from route81_spark.ops.corpus import bm25_scores
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    prepped = docs.select("doc_id", _p_syn_spark(F.col("doc_id")).alias("text"))
+    scored = bm25_scores(prepped, _BM25P_TERMS, stem="porter")
+    return (
+        scored.select("doc_id", "bm25")
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(25)
+    )
+
+
 # --------------------------------------------------------------------
 # Extended PII classes: Luhn-validated payment cards + SSNs (r8)
 # --------------------------------------------------------------------

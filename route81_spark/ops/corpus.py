@@ -1282,6 +1282,7 @@ def bm25_scores(
     b: float = 0.75,
     text_col: str = "text",
     id_col: str = "doc_id",
+    stem: str | None = None,
 ) -> DataFrame:
     """Okapi BM25 relevance of every document to a bag-of-terms query —
     the classic retrieval scorer, exact formula:
@@ -1289,26 +1290,56 @@ def bm25_scores(
         score = sum_t idf(t) * tf_t*(k1+1) / (tf_t + k1*(1-b+b*dl/avgdl))
         idf(t) = ln(1 + (N - df_t + 0.5)/(df_t + 0.5))
 
+    ``stem="porter"`` (Snowball English, ops/porter.py) or ``"s"``
+    (Harman S-stemmer) conflates morphological variants the standard
+    IR way: corpus tokens and query terms stem before tf/df, so
+    'relations' in the query scores 'relational' in the text. Document
+    length (dl/avgdl) is unchanged by stemming (token count is
+    preserved). Terms dedupe AFTER stemming — two query forms sharing
+    a stem contribute once.
+
     100 TB shape: the corpus model constants (N, avgdl, and df per
     query term) come from ONE aggregation collecting a single row, and
     fold into ONE per-row scoring expression over a single bound token
     array. Scoring shuffles NOTHING; only a caller's top-k ships rows.
+    Stemming rides the same two passes as tokenization (model pass +
+    scoring pass) — a per-token scalar expression, no extra jobs.
     """
     import math
 
     from route81_spark.io import ensure_parallelism
     from route81_spark.ops.text import tokens
 
-    # dedupe (order-preserving): a repeated query term must not double-
-    # count its contribution
+    if stem not in (None, "s", "porter"):
+        raise ValueError(
+            f"bm25_scores: unsupported stem mode {stem!r} — None, 's' "
+            "(Harman S-stemmer) and 'porter' (Snowball English) are the"
+            " implemented modes"
+        )
+    if stem == "porter":
+        from route81_spark.ops.porter import (
+            porter2_py as _stem_py, porter2_stem as _stem_col,
+        )
+    elif stem == "s":
+        from route81_spark.ops.text import (
+            s_stem as _stem_col, s_stem_py as _stem_py,
+        )
+
+    # dedupe (order-preserving): a repeated query term — or two forms
+    # conflating to one stem — must not double-count its contribution
     qt = list(dict.fromkeys(str(t) for t in query_terms))
+    if stem:
+        qt = list(dict.fromkeys(_stem_py(t) for t in qt))
     if not qt:
         raise ValueError("bm25_scores needs at least one query term")
+    tok = tokens(F.col(text_col))
+    if stem:
+        tok = F.transform(tok, _stem_col)
     # ONE corpus pass builds the whole model: doc count, avg length, and
     # every query term's document frequency ride the same aggregation
     # (the corpus tokenizes once, not once per statistic)
     stats = (
-        df.select(tokens(F.col(text_col)).alias("__tk"))
+        df.select(tok.alias("__tk"))
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.avg(F.size("__tk")).alias("avgdl"),
@@ -1331,7 +1362,7 @@ def bm25_scores(
         for t in qt
     }
 
-    scored = ensure_parallelism(df).withColumn("__tk", tokens(F.col(text_col)))
+    scored = ensure_parallelism(df).withColumn("__tk", tok)
     dl = F.size(F.col("__tk")).cast("double")
     norm = F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl / F.lit(avgdl))
     score = None

@@ -146,3 +146,34 @@ def test_text_language_english_selects_porter(spark):
         }}}],
     )
     assert {r["doc_id"] for r in fr.collect()} == {2}
+
+
+def test_bm25_stemmed_option(spark):
+    """bm25_scores(stem="porter"): query forms conflate with text
+    variants; two query forms sharing a stem dedupe to ONE term
+    (identical scores); unsupported modes fail loudly."""
+    import pytest
+
+    from route81_spark.ops.corpus import bm25_scores
+
+    rows = [
+        (1, "running daily and jumping"),
+        (2, "the runner ran a lap"),
+        (3, "relational relations hold"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["bm25"]
+           for r in bm25_scores(df, ["runs"], stem="porter").collect()}
+    assert got[1] > 0 and got[2] == 0.0 and got[3] == 0.0
+    # 'runs' and 'running' share the stem -> dedupe -> same scores as
+    # the single-term query
+    got2 = {r["doc_id"]: r["bm25"]
+            for r in bm25_scores(df, ["runs", "running"],
+                                 stem="porter").collect()}
+    assert got2 == got
+    # unstemmed: 'runs' matches nothing here
+    got3 = {r["doc_id"]: r["bm25"]
+            for r in bm25_scores(df, ["runs"]).collect()}
+    assert all(v == 0.0 for v in got3.values())
+    with pytest.raises(ValueError, match="stem"):
+        bm25_scores(df, ["runs"], stem="lovins")
