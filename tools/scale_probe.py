@@ -102,12 +102,27 @@ def ops() -> dict:
         "html_extract": lambda d: _html_p(d),
         "bpe_encode256": lambda d: _bpe_encode256(d),
         "bpe_train12": lambda d: _bpe_train12(d),
+        "porter_stem": lambda d: _porter_p(d),
         "url_canon": lambda d: _url_canon_p(d),
         "url_dedup": lambda d: _url_dedup_p(d),
         "domain_stats": lambda d: _domain_stats_p(d),
         "domain_gate": lambda d: _domain_gate_p(d),
         "robots": lambda d: _robots_p(d),
     }
+
+
+def _porter_p(d: DataFrame) -> DataFrame:
+    # full Snowball English over every corpus token (the $text/BM25
+    # stem path): per-token scalar expression, map-only — but the HOF
+    # steps are CodegenFallback (interpreted), so THIS is the probe
+    # that prices that; the plan-analysis fixed cost (~3s) amortizes
+    from route81_spark.ops.porter import porter2_stem
+    from route81_spark.ops.text import tokens
+
+    return d.select(
+        "doc_id",
+        F.transform(tokens(F.col("text")), porter2_stem).alias("st"),
+    )
 
 
 def _with_urls(d: DataFrame) -> DataFrame:
