@@ -250,11 +250,6 @@ def _drop(w: Column, k: int) -> Column:
     return w.substr(F.lit(1), F.length(w) - F.lit(k))
 
 
-def _repl(w: Column, suf: str, repl: str) -> Column:
-    out = _drop(w, len(suf))
-    return F.concat(out, F.lit(repl)) if repl else out
-
-
 def _in_r(w: Column, r: Column, suf: str) -> Column:
     return F.length(w) - F.lit(len(suf)) >= r
 
@@ -326,43 +321,74 @@ def _step1c(w: Column) -> Column:
     ).otherwise(w)
 
 
+def _longest_suffix(w: Column, sufs: list[str]) -> Column:
+    """The longest suffix of `w` among `sufs` ('' when none) via ONE
+    anchored regexp_extract. Correct by regex mechanics, not
+    alternation order: the scan tries start positions left-to-right
+    and every alternative is $-anchored, so whichever alternative
+    matches at the EARLIEST position is exactly the longest matching
+    suffix (a shorter one cannot match there — it would not reach $).
+    All table suffixes are plain letters, so they embed verbatim."""
+    return F.regexp_extract(w, "(" + "|".join(sufs) + ")$", 1)
+
+
+def _suffix_step(
+    w: Column,
+    table: list[tuple[str, str]],
+    extra_ok,
+    r_for,
+) -> Column:
+    """Shared steps-2/3/4 shape: find the longest table suffix (bound
+    once), replace via a map-literal lookup when it lies in the
+    required region AND its extra condition holds — Snowball among
+    semantics (a matched suffix whose condition fails leaves the word
+    unchanged, never falls through to a shorter one)."""
+    repl_map = F.create_map(
+        *[F.lit(x) for suf, repl in table for x in (suf, repl)]
+    )
+    return _bind1(
+        _longest_suffix(w, [s for s, _ in table]),
+        lambda sufx: F.when(sufx == "", w).otherwise(
+            F.when(
+                (F.length(w) - F.length(sufx) >= r_for(sufx)) & extra_ok(sufx),
+                F.concat(
+                    w.substr(F.lit(1), F.length(w) - F.length(sufx)),
+                    F.element_at(repl_map, sufx),
+                ),
+            ).otherwise(w)
+        ),
+    )
+
+
 def _step2(w: Column, r1: Column) -> Column:
-    out = None
-    for suf, repl, extra in _STEP2:
-        cond = _in_r(w, r1, suf)
-        if extra == "ogi":
-            cond = cond & _drop(w, 3).endswith("l")
-        elif extra == "li":
-            cond = cond & _drop(w, 2).rlike("[" + _LI_END + "]$")
-        # among semantics: the longest MATCHED suffix decides — a
-        # failed condition leaves the word unchanged, never falls
-        # through to a shorter suffix (nested when)
-        branch = F.when(cond, _repl(w, suf, repl)).otherwise(w)
-        out = (F.when(w.endswith(suf), branch) if out is None
-               else out.when(w.endswith(suf), branch))
-    return out.otherwise(w)
+    def extra_ok(sufx: Column) -> Column:
+        return (
+            ((sufx != "ogi") | _drop(w, 3).endswith("l"))
+            & ((sufx != "li") | _drop(w, 2).rlike("[" + _LI_END + "]$"))
+        )
+
+    return _suffix_step(
+        w, [(s, r) for s, r, _x in _STEP2], extra_ok, lambda _s: r1
+    )
 
 
 def _step3(w: Column, r1: Column, r2: Column) -> Column:
-    out = None
-    for suf, repl, needs_r2 in _STEP3:
-        cond = _in_r(w, r2 if needs_r2 else r1, suf)
-        branch = F.when(cond, _repl(w, suf, repl)).otherwise(w)
-        out = (F.when(w.endswith(suf), branch) if out is None
-               else out.when(w.endswith(suf), branch))
-    return out.otherwise(w)
+    return _suffix_step(
+        w,
+        [(s, r) for s, r, _n in _STEP3],
+        lambda _sufx: F.lit(True),
+        # ative is the one R2-gated entry; everything else gates on R1
+        lambda sufx: F.when(sufx == "ative", r2).otherwise(r1),
+    )
 
 
 def _step4(w: Column, r2: Column) -> Column:
-    out = None
-    for suf, extra in _STEP4:
-        cond = _in_r(w, r2, suf)
-        if extra == "st":
-            cond = cond & _drop(w, 3).rlike("[st]$")
-        branch = F.when(cond, _repl(w, suf, "")).otherwise(w)
-        out = (F.when(w.endswith(suf), branch) if out is None
-               else out.when(w.endswith(suf), branch))
-    return out.otherwise(w)
+    def extra_ok(sufx: Column) -> Column:
+        return (sufx != "ion") | _drop(w, 3).rlike("[st]$")
+
+    return _suffix_step(
+        w, [(s, "") for s, _x in _STEP4], extra_ok, lambda _s: r2
+    )
 
 
 def _step5(w: Column, r1: Column, r2: Column) -> Column:
