@@ -1117,6 +1117,73 @@ def match_text_porter(spark, sf_dir):
     )
 
 
+W_TITLES = ["query guide", "table manual", "spark notes", "misc intro"]
+
+
+@_q(
+    "match_text_weighted",
+    # oracle: synthesize the same hash-picked title, tokenize title and
+    # body separately, then recompute the weighted-index semantics —
+    # terms match in EITHER field, '-batch' must be absent from BOTH,
+    # score = 5 x title occurrences + 1 x body occurrences
+    f"""
+    WITH s AS (
+      SELECT doc_id,
+             (['query guide', 'table manual', 'spark notes', 'misc intro'])
+               [CAST({_wh60('wtitle')} % 4 AS INT) + 1] AS title,
+             text
+      FROM documents
+    ),
+    t AS (
+      SELECT doc_id,
+             string_split_regex(lower(title), '[^0-9a-z]+') AS tt,
+             string_split_regex(lower(text), '[^0-9a-z]+') AS bt
+      FROM s
+    )
+    SELECT doc_id,
+           CAST(5 * (len(list_filter(tt, x -> x = 'query'))
+                   + len(list_filter(tt, x -> x = 'table')))
+              + (len(list_filter(bt, x -> x = 'query'))
+                   + len(list_filter(bt, x -> x = 'table'))) AS BIGINT)
+             AS score
+    FROM t
+    WHERE (list_contains(tt, 'query') OR list_contains(bt, 'query')
+           OR list_contains(tt, 'table') OR list_contains(bt, 'table'))
+      AND NOT coalesce(list_contains(tt, 'batch'), false)
+      AND NOT coalesce(list_contains(bt, 'batch'), false)
+    """,
+)
+def match_text_weighted(spark, sf_dir):
+    """$text over a WEIGHTED MULTI-FIELD index — the engine analog of
+    Mongo's createIndex({title: "text", body: "text"}, {weights:
+    {title: 5}}): terms match in ANY indexed field, the negation
+    '-batch' only passes documents where the term is absent from EVERY
+    field, and textScore sums weight x occurrences per field. Both
+    fields normalize/tokenize once inside one bound struct — per-row
+    filter + projection, no shuffle, no Python."""
+    from route81_spark.ops.web import _h60
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    title = F.element_at(
+        F.array(*[F.lit(s) for s in W_TITLES]),
+        (_h60(F.col("doc_id"), "wtitle") % 4 + 1).cast("int"),
+    )
+    prepped = docs.select(
+        "doc_id", title.alias("title"), F.col("text").alias("body")
+    )
+    return apply_pipeline(
+        prepped,
+        [
+            {"$match": {"$text": {
+                "$search": "query table -batch",
+                "fields": {"title": 5, "body": 1},
+            }}},
+            {"$addFields": {"score": {"$meta": "textScore"}}},
+            {"$project": {"doc_id": 1, "score": 1}},
+        ],
+    )
+
+
 _BM25P_TERMS = ["runs", "relations", "agreement"]  # stems: run/relat/agreement
 
 

@@ -77,7 +77,13 @@ from route81_spark.pipeline.exprs import PipelineCompileError, compile_expr, ext
 #     NFC-normalize upstream via ops.unitext.nfc_normalize.
 #   * engine extension key `field` names the searched column
 #     (default "text") — the analog of the server-side text index
-#     definition.
+#     definition; `fields` ({column: weight, ...}, integer weights
+#     1..99999) is the WEIGHTED MULTI-FIELD index analog (r9): terms
+#     match in ANY field, phrases within a single field's value,
+#     negations must be absent from EVERY field, and textScore sums
+#     weight x occurrences per field — Mongo's
+#     createIndex({a: "text", b: "text"}, {weights: ...}) semantics
+#     over the engine-defined integer score.
 # --------------------------------------------------------------------
 
 # The active $text spec, read by {$meta: "textScore"}. A ContextVar —
@@ -106,16 +112,41 @@ def _parse_search(search: str) -> tuple[list[str], list[str], list[str], list[st
     return pos_t, neg_t, pos_ph, neg_ph
 
 
-def _text_parts(spec: dict) -> tuple[str, bool, bool, bool, tuple]:
+def _text_parts(spec: dict):
     if not isinstance(spec, dict) or "$search" not in spec:
         raise PipelineCompileError("$text requires a {$search: <string>} document")
     unknown = set(spec) - {
         "$search", "$language", "$caseSensitive", "$diacriticSensitive",
-        "field", "unicode", "stem",
+        "field", "unicode", "stem", "fields",
     }
     if unknown:
         raise PipelineCompileError(f"unsupported $text options: {sorted(unknown)}")
     field = spec.get("field", "text")
+    # engine extension `fields`: the analog of a WEIGHTED MULTI-FIELD
+    # text index ({title: 5, body: 1} <-> db.createIndex({title:
+    # "text", body: "text"}, {weights: ...})): terms match in ANY
+    # indexed field, negations must be absent from EVERY field,
+    # phrases must appear within a single field's value, and textScore
+    # sums weight x occurrence per field (Mongo's weight semantics
+    # over the engine-defined integer score). Weights are positive
+    # ints, as Mongo requires (1..99999).
+    fields = spec.get("fields")
+    if fields is not None:
+        if "field" in spec:
+            raise PipelineCompileError(
+                "$text: `field` and `fields` are mutually exclusive"
+            )
+        if (not isinstance(fields, dict) or not fields or not all(
+            isinstance(k, str)
+            and isinstance(w, int) and not isinstance(w, bool)
+            and 1 <= w <= 99999
+            for k, w in fields.items()
+        )):
+            raise PipelineCompileError(
+                "$text: `fields` must be a non-empty {column: weight} "
+                "document with integer weights in 1..99999 (Mongo's "
+                "text-index weight range)"
+            )
     cs = bool(spec.get("$caseSensitive", False))
     # Mongo's text-index-v3 default: diacritic-INsensitive
     ds = bool(spec.get("$diacriticSensitive", False))
@@ -147,7 +178,7 @@ def _text_parts(spec: dict) -> tuple[str, bool, bool, bool, tuple]:
             " S-stemmer) and 'porter' (Snowball English) are the"
             " implemented modes"
         )
-    return field, cs, ds, uni, stem, _parse_search(str(spec["$search"]))
+    return field, fields, cs, ds, uni, stem, _parse_search(str(spec["$search"]))
 
 
 def _text_norm(c: Column, cs: bool) -> Column:
@@ -162,24 +193,21 @@ def _substr_count(text: Column, s: str) -> Column:
 
 
 def _text_bound(spec: dict, build):
-    """Shared bind-once scaffolding: normalize + tokenize the searched
-    column EXACTLY ONCE (a struct bound through a 1-element transform —
-    otherwise every term's probe re-inlines the split; see
-    web.url_canonicalize for the trap), then hand (text, toks, parts,
-    norm) to the builder."""
-    field, cs, ds, uni, stem, parts = _text_parts(spec)
-    text = _text_norm(F.col(field), cs)
+    """Shared bind-once scaffolding: normalize + tokenize EVERY
+    searched column EXACTLY ONCE (one struct bound through a 1-element
+    transform — otherwise every term's probe re-inlines the split; see
+    web.url_canonicalize for the trap), then hand the builder
+    `slots` = [(text_i, toks_i, weight_i)] — one slot per indexed
+    field (a single unweighted slot for the plain `field` form) —
+    plus (parts, norm)."""
+    field, fields, cs, ds, uni, stem, parts = _text_parts(spec)
+    cols = list((fields or {field: 1}).items())
     if not ds:
         from route81_spark.ops.unitext import fold_diacritics, fold_diacritics_py
-
-        # fold AFTER case-folding (the table carries both cases); one
-        # pure-Column translate, still inside whole-stage codegen
-        text = fold_diacritics(text)
     if uni:
         sep = r"[^\p{L}\p{N}]+"  # Unicode categories (Java + RE2)
     else:
         sep = "[^0-9a-zA-Z]+" if cs else "[^0-9a-z]+"
-    toks = F.split(text, sep)
 
     def base_norm(s: str) -> str:
         s = s if cs else s.lower()
@@ -195,7 +223,6 @@ def _text_bound(spec: dict, build):
                 s_stem as stem_col, s_stem_py as stem_py,
             )
 
-        toks = F.transform(toks, stem_col)
         pos_t, neg_t, pos_ph, neg_ph = parts
         # terms stem (after case/diacritic fold, like the token array);
         # phrases match the raw normalized text, unstemmed
@@ -212,38 +239,75 @@ def _text_bound(spec: dict, build):
     else:
         norm = base_norm
 
+    struct_cols = []
+    for i, (name, _w) in enumerate(cols):
+        text = _text_norm(F.col(name), cs)
+        if not ds:
+            # fold AFTER case-folding (the table carries both cases);
+            # one pure-Column translate, still inside codegen
+            text = fold_diacritics(text)
+        toks = F.split(text, sep)
+        if stem:
+            toks = F.transform(toks, stem_col)
+        struct_cols += [text.alias(f"t{i}"), toks.alias(f"k{i}")]
+
     bound = F.transform(
-        F.array(F.struct(text.alias("t"), toks.alias("k"))),
-        lambda b: build(b.getField("t"), b.getField("k"), parts, norm),
+        F.array(F.struct(*struct_cols)),
+        lambda b: build(
+            [(b.getField(f"t{i}"), b.getField(f"k{i}"), w)
+             for i, (_n, w) in enumerate(cols)],
+            parts,
+            norm,
+        ),
     )
     return F.get(bound, 0)
 
 
 def compile_text(spec: dict) -> Column:
-    """$text match predicate (see module comment for the subset)."""
+    """$text match predicate (see module comment for the subset).
+    Multi-field semantics (the `fields` weighted-index form): a term
+    matches when it appears in ANY indexed field, a phrase when it
+    appears within a single field's value, and a negation only when
+    the term/phrase is absent from EVERY field — Mongo's text-index
+    behavior over multiple indexed fields."""
 
-    def build(text, toks, parts, norm):
+    def build(slots, parts, norm):
         pos_t, neg_t, pos_ph, neg_ph = parts
+
+        def any_field(per_slot) -> Column:
+            out = None
+            for text, toks, _w in slots:
+                c = per_slot(text, toks)
+                out = c if out is None else out | c
+            return out
+
         preds: list[Column] = []
         if pos_ph:
             for ph in pos_ph:
-                preds.append(text.contains(F.lit(norm(ph))))
+                preds.append(
+                    any_field(lambda t, _k: t.contains(F.lit(norm(ph))))
+                )
         elif pos_t:
-            any_t = F.array_contains(toks, norm(pos_t[0]))
-            for t in pos_t[1:]:
-                any_t = any_t | F.array_contains(toks, norm(t))
+            any_t = None
+            for t in pos_t:
+                c = any_field(
+                    lambda _t, k, t=t: F.array_contains(k, norm(t))
+                )
+                any_t = c if any_t is None else any_t | c
             preds.append(any_t)
         else:
             # only negations (or empty search): matches nothing (Mongo)
             preds.append(F.lit(False))
         for t in neg_t:
-            preds.append(
-                ~F.coalesce(F.array_contains(toks, norm(t)), F.lit(False))
-            )
+            preds.append(~F.coalesce(
+                any_field(lambda _t, k, t=t: F.array_contains(k, norm(t))),
+                F.lit(False),
+            ))
         for ph in neg_ph:
-            preds.append(
-                ~F.coalesce(text.contains(F.lit(norm(ph))), F.lit(False))
-            )
+            preds.append(~F.coalesce(
+                any_field(lambda t, _k, ph=ph: t.contains(F.lit(norm(ph)))),
+                F.lit(False),
+            ))
         out = preds[0]
         for p in preds[1:]:
             out = out & p
@@ -254,17 +318,26 @@ def compile_text(spec: dict) -> Column:
 
 def text_score(spec: dict) -> Column:
     """Engine-defined textScore: token occurrences of plain terms +
-    substring occurrences of phrases (integer-exact, oracle-able)."""
+    substring occurrences of phrases, each field's contribution scaled
+    by its index weight (integer-exact, oracle-able; the plain `field`
+    form is one slot of weight 1)."""
 
-    def build(text, toks, parts, norm):
+    def build(slots, parts, norm):
         pos_t, _neg_t, pos_ph, _neg_ph = parts
         score: Column = F.lit(0).cast("long")
-        for t in pos_t:
-            score = score + F.size(
-                F.filter(toks, lambda x: x == F.lit(norm(t)))
-            )
-        for ph in pos_ph:
-            score = score + _substr_count(text, norm(ph))
+        for text, toks, w in slots:
+            per: Column | None = None
+            for t in pos_t:
+                # bind the literal OUTSIDE the HOF lambda: a 2-param
+                # lambda would become (element, index) in Spark HOFs
+                lit = F.lit(norm(t))
+                c = F.size(F.filter(toks, lambda x: x == lit))  # noqa: B023
+                per = c if per is None else per + c
+            for ph in pos_ph:
+                c = _substr_count(text, norm(ph))
+                per = c if per is None else per + c
+            if per is not None:
+                score = score + F.lit(w) * per
         return score
 
     return _text_bound(spec, build)

@@ -822,3 +822,65 @@ def test_redact_missing_field_path_is_null(spark):
     ).collect()
     # root descends (level=1); subdoc cond sees level=null -> pruned -> null
     assert out[0]["d"] is None
+
+
+def test_text_weighted_fields(spark):
+    """{fields: {col: weight}} — the weighted multi-field text-index
+    analog: terms match in ANY field, negations must be absent from
+    EVERY field, phrases stay within one field's value (no cross-field
+    concatenation), textScore sums weight x occurrences per field;
+    malformed specs fail loudly."""
+    from route81_spark.pipeline import apply_pipeline
+
+    rows = [
+        (1, "spark query engine", "rows and tables"),
+        (2, "intro", "query planning inside"),
+        (3, "alpha beta", "gamma delta"),
+        (4, "query", "batch query query"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, title string, body string")
+
+    def run(spec, project_score=False):
+        pipe = [{"$match": {"$text": spec}}]
+        if project_score:
+            pipe += [
+                {"$addFields": {"s": {"$meta": "textScore"}}},
+                {"$project": {"doc_id": 1, "s": 1}},
+            ]
+        return apply_pipeline(df, pipe)
+
+    w = {"title": 5, "body": 1}
+    got = {
+        r["doc_id"]: r["s"]
+        for r in run({"$search": "query", "fields": w}, True).collect()
+    }
+    # 1: 5*1 title; 2: 1*1 body; 4: 5*1 title + 1*2 body
+    assert got == {1: 5, 2: 1, 4: 7}
+    # negation is absent-from-EVERY-field: batch only in doc4's body
+    got2 = {r["doc_id"]
+            for r in run({"$search": "query -batch", "fields": w}).collect()}
+    assert got2 == {1, 2}
+    # a phrase must live inside ONE field: "beta gamma" spans doc3's
+    # title/body boundary and must NOT match
+    assert run({"$search": '"beta gamma"', "fields": w}).count() == 0
+    assert {r["doc_id"] for r in
+            run({"$search": '"query planning"', "fields": w}).collect()} == {2}
+    # stemming composes per field
+    got3 = {
+        r["doc_id"]: r["s"]
+        for r in run({"$search": "queries tables", "fields": w,
+                      "stem": "s"}, True).collect()
+    }
+    assert got3 == {1: 6, 2: 1, 4: 7}
+    # loud rejections: field+fields, empty, non-int / out-of-range
+    # weights, bool weights
+    for bad in [
+        {"$search": "x", "field": "title", "fields": w},
+        {"$search": "x", "fields": {}},
+        {"$search": "x", "fields": {"title": 0}},
+        {"$search": "x", "fields": {"title": 1.5}},
+        {"$search": "x", "fields": {"title": True}},
+        {"$search": "x", "fields": {"title": 100000}},
+    ]:
+        with pytest.raises(PipelineCompileError, match="fields|exclusive"):
+            run(bad).collect()
