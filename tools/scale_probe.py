@@ -747,6 +747,13 @@ def sf1_probe(spark, k: int = 100) -> None:
         "corpus_domain_gate",
         "corpus_psl_domains",
         "corpus_crawl_funnel",
+        # r9 text layer at 100x: porter/$text cost must stay
+        # plan-analysis-fixed (the synth corpora grow with doc_id, the
+        # stemmer is per-token map-only); weighted runs on the REAL
+        # 100x text column
+        "match_text_porter",
+        "text_bm25_stemmed",
+        "match_text_weighted",
     ]
 
     def run(name: str, d: str) -> float:
