@@ -1184,6 +1184,63 @@ def match_text_weighted(spark, sf_dir):
     )
 
 
+@_q(
+    "match_text_wildcard",
+    # oracle: the wildcard index expands to {title: 1, body: 1} here
+    # (doc_id is long) — terms in EITHER field, weight-1 score sums
+    f"""
+    WITH s AS (
+      SELECT doc_id,
+             (['query guide', 'table manual', 'spark notes', 'misc intro'])
+               [CAST({_wh60('wtitle')} % 4 AS INT) + 1] AS title,
+             text
+      FROM documents
+    ),
+    t AS (
+      SELECT doc_id,
+             string_split_regex(lower(title), '[^0-9a-z]+') AS tt,
+             string_split_regex(lower(text), '[^0-9a-z]+') AS bt
+      FROM s
+    )
+    SELECT doc_id,
+           CAST(len(list_filter(tt, x -> x = 'spark'))
+              + len(list_filter(bt, x -> x = 'spark'))
+              + len(list_filter(tt, x -> x = 'vector'))
+              + len(list_filter(bt, x -> x = 'vector')) AS BIGINT) AS score
+    FROM t
+    WHERE (list_contains(tt, 'spark') OR list_contains(bt, 'spark')
+           OR list_contains(tt, 'vector') OR list_contains(bt, 'vector'))
+    """,
+)
+def match_text_wildcard(spark, sf_dir):
+    """$text over the WILDCARD text-index analog ({fields: "$**"} <->
+    Mongo's createIndex({"$**": "text"})): every top-level string
+    column searches at weight 1 — the spec expands against the schema
+    at $match compile time, so {$meta: "textScore"} sums occurrences
+    across all string fields. Same bound-struct shape as the weighted
+    form: per-row work, no shuffle, no Python."""
+    from route81_spark.ops.web import _h60
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    title = F.element_at(
+        F.array(*[F.lit(s) for s in W_TITLES]),
+        (_h60(F.col("doc_id"), "wtitle") % 4 + 1).cast("int"),
+    )
+    prepped = docs.select(
+        "doc_id", title.alias("title"), F.col("text").alias("body")
+    )
+    return apply_pipeline(
+        prepped,
+        [
+            {"$match": {"$text": {
+                "$search": "spark vector", "fields": "$**",
+            }}},
+            {"$addFields": {"score": {"$meta": "textScore"}}},
+            {"$project": {"doc_id": 1, "score": 1}},
+        ],
+    )
+
+
 _BM25P_TERMS = ["runs", "relations", "agreement"]  # stems: run/relat/agreement
 
 

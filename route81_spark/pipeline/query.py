@@ -136,6 +136,13 @@ def _text_parts(spec: dict):
             raise PipelineCompileError(
                 "$text: `field` and `fields` are mutually exclusive"
             )
+        if fields == "$**":
+            raise PipelineCompileError(
+                "$text: the '$**' wildcard form needs schema context to"
+                " enumerate string columns — use it inside a pipeline's"
+                " $match (compile_match expands it); direct compile_text"
+                " callers must pass an explicit {column: weight} document"
+            )
         if (not isinstance(fields, dict) or not fields or not all(
             isinstance(k, str)
             and isinstance(w, int) and not isinstance(w, bool)
@@ -589,6 +596,35 @@ def _elem_pred(x: Column, spec: Any) -> Column:
     return x.eqNullSafe(F.lit(spec))
 
 
+def _expand_text_wildcard(spec, df: DataFrame | None):
+    """{fields: "$**"} — the wildcard text-index analog of Mongo's
+    createIndex({"$**": "text"}): every TOP-LEVEL string column of the
+    input, weight 1 (nested struct fields are not descended —
+    documented subset). Expanded at $match compile time, where the
+    schema is in hand, into the concrete {column: 1} form so the
+    recorded spec serves textScore too."""
+    if not isinstance(spec, dict) or spec.get("fields") != "$**":
+        return spec
+    if df is None:
+        raise PipelineCompileError(
+            "$text: fields '$**' requires schema context (compile the "
+            "pipeline against a DataFrame)"
+        )
+    from pyspark.sql import types as T
+
+    cols = {
+        f.name: 1 for f in df.schema.fields
+        if isinstance(f.dataType, T.StringType)
+    }
+    if not cols:
+        raise PipelineCompileError(
+            "$text: fields '$**' found no string columns to search"
+        )
+    out = dict(spec)
+    out["fields"] = cols
+    return out
+
+
 def compile_match(query: dict, df: DataFrame | None = None) -> Column:
     """Compile a $match query document into one boolean Column."""
     preds: list[Column] = []
@@ -622,7 +658,10 @@ def compile_match(query: dict, df: DataFrame | None = None) -> Column:
         elif key == "$text":
             # documented engine subset (see module header); record the
             # spec in the pipeline-scoped context so a later {$meta:
-            # "textScore"} in THIS pipeline can compile the score
+            # "textScore"} in THIS pipeline can compile the score. The
+            # '$**' wildcard-index form expands HERE (schema in hand)
+            # so the recorded spec is already concrete for textScore.
+            val = _expand_text_wildcard(val, df)
             _TEXT_SPEC.set(val)
             preds.append(compile_text(val))
         elif key in ("$where", "$jsonSchema"):

@@ -884,3 +884,35 @@ def test_text_weighted_fields(spark):
     ]:
         with pytest.raises(PipelineCompileError, match="fields|exclusive"):
             run(bad).collect()
+
+
+def test_text_wildcard_fields(spark):
+    """{fields: "$**"} — the wildcard text-index analog: every
+    top-level STRING column is searched at weight 1 (non-string
+    columns ignored); textScore works off the expanded spec; a
+    schema with no string columns fails loudly."""
+    from route81_spark.pipeline import apply_pipeline
+
+    rows = [
+        (1, "spark engine", "query rows", 7),
+        (2, "query intro", "plain body", 7),
+        (3, "misc", "nothing", 7),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, title string, body string, n int"
+    )
+    out = apply_pipeline(
+        df,
+        [
+            {"$match": {"$text": {"$search": "query", "fields": "$**"}}},
+            {"$addFields": {"s": {"$meta": "textScore"}}},
+            {"$project": {"doc_id": 1, "s": 1}},
+        ],
+    )
+    got = {r["doc_id"]: r["s"] for r in out.collect()}
+    assert got == {1: 1, 2: 1}
+    nostr = spark.createDataFrame([(1, 2)], "a long, b long")
+    with pytest.raises(PipelineCompileError, match="string columns"):
+        apply_pipeline(
+            nostr, [{"$match": {"$text": {"$search": "x", "fields": "$**"}}}]
+        )
