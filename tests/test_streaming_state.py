@@ -1030,3 +1030,48 @@ def test_streaming_psl_table_and_pii_redact_match_batch(spark, tmp_path):
     assert "<EMAIL>" in sample and "<PHONE>" in sample
     assert "4111 1111 1111 1112" in sample
     assert any(d is not None for _, d, _r in got.values())
+
+
+def test_streaming_text_weighted_and_wildcard_match_batch(spark, tmp_path):
+    """The r9 multi-field $text forms stream unchanged: the weighted
+    {fields: {...}} index analog and the '$**' wildcard expansion
+    (schema-driven, resolved at compile — identical on the stream's
+    declared schema) are per-row work, append-legal; streamed matches
+    and weighted scores equal the batch pipeline's."""
+    from route81_spark.pipeline import apply_pipeline
+
+    rows = [
+        {"doc_id": 1, "title": "spark query engine", "body": "rows here"},
+        {"doc_id": 2, "title": "intro", "body": "query planning inside"},
+        {"doc_id": 3, "title": "misc", "body": "nothing"},
+        {"doc_id": 4, "title": "query", "body": "batch query query"},
+    ]
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("title", T.StringType()),
+        T.StructField("body", T.StringType()),
+    ])
+    src = tmp_path / "wsrc"
+    _write_batch(src / "b1.json", rows[:2])
+    _write_batch(src / "b2.json", rows[2:])
+    for tag, spec in (
+        ("w", {"$search": "query -batch", "fields": {"title": 5, "body": 1}}),
+        ("wc", {"$search": "query", "fields": "$**"}),
+    ):
+        pipe = [
+            {"$match": {"$text": spec}},
+            {"$addFields": {"score": {"$meta": "textScore"}}},
+            {"$project": {"doc_id": 1, "score": 1}},
+        ]
+        stream = spark.readStream.schema(schema).json(str(src))
+        out, ck = tmp_path / f"wout{tag}", tmp_path / f"wck{tag}"
+        _run_available_now(apply_pipeline(stream, pipe), out, ck)
+        got = {(r["doc_id"], r["score"])
+               for r in spark.read.parquet(str(out)).collect()}
+        batch = spark.createDataFrame(
+            [tuple(r.values()) for r in rows],
+            "doc_id long, title string, body string",
+        )
+        want = {(r["doc_id"], r["score"])
+                for r in apply_pipeline(batch, pipe).collect()}
+        assert got == want and len(want) >= 2, (tag, got, want)
