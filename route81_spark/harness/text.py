@@ -1241,6 +1241,91 @@ def match_text_wildcard(spark, sf_dir):
     )
 
 
+LO_SNIPS = [
+    "running relational work",
+    "run the line",
+    "relations hold fast",
+    "nothing notable here",
+]
+
+
+def _lo_stem_case() -> str:
+    from route81_spark.ops.porter import porter2_py
+
+    vocab = sorted({w for s in LO_SNIPS for w in s.split()})
+    whens = " ".join(f"WHEN '{w}' THEN '{porter2_py(w)}'" for w in vocab)
+    return f"CASE t {whens} ELSE t END"
+
+
+def _lo_syn_sql() -> str:
+    lits = "[" + ", ".join("'" + s + "'" for s in LO_SNIPS) + "]"
+
+    def pick(seed):
+        return f"({lits})[CAST({_wh60(seed)} % 4 AS INT) + 1]"
+
+    return f"{pick('langov|a')} || ' ' || {pick('langov|b')}"
+
+
+def _lo_syn_spark(ids: Column) -> Column:
+    from route81_spark.ops.web import _h60
+
+    def pick(seed):
+        h = _h60(ids, seed)
+        return F.element_at(
+            F.array(*[F.lit(s) for s in LO_SNIPS]), (h % 4 + 1).cast("int")
+        )
+
+    return F.concat(pick("langov|a"), F.lit(" "), pick("langov|b"))
+
+
+@_q(
+    "match_text_langoverride",
+    # oracle: stem the token array via the twin lookup ONLY for docs
+    # whose real lang column is 'en'; other languages keep raw tokens,
+    # so they match only the literal stemmed query terms ('run')
+    f"""
+    WITH s AS (SELECT doc_id, lang, {_lo_syn_sql()} AS raw FROM documents),
+    t0 AS (SELECT doc_id, lang,
+                  string_split_regex(lower(raw), '[^0-9a-z]+') AS toks
+           FROM s),
+    t AS (SELECT doc_id,
+                 CASE WHEN lang = 'en'
+                      THEN list_transform(toks, t -> {_lo_stem_case()})
+                      ELSE toks END AS st
+          FROM t0)
+    SELECT doc_id,
+           CAST(len(list_filter(st, x -> x = 'run'))
+              + len(list_filter(st, x -> x = 'relat')) AS BIGINT) AS score
+    FROM t
+    WHERE list_contains(st, 'run') OR list_contains(st, 'relat')
+    """,
+)
+def match_text_langoverride(spark, sf_dir):
+    """$text with {languageOverride: "lang"} — Mongo's
+    language_override text-index option over the REAL per-document
+    lang column: the 'en' cohort stems with Snowball English (so
+    'runs' in the search matches 'running'), while zh/es/de/fr docs
+    keep raw tokens and match only the literal stemmed query terms
+    ('run' in "run the line"). Per-row CASE picks exactly one
+    analysis branch per document; no shuffle, no Python."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    prepped = docs.select(
+        "doc_id", "lang", _lo_syn_spark(F.col("doc_id")).alias("text")
+    )
+    return apply_pipeline(
+        prepped,
+        [
+            {"$match": {"$text": {
+                "$search": "runs relation",
+                "$language": "english",
+                "languageOverride": "lang",
+            }}},
+            {"$addFields": {"score": {"$meta": "textScore"}}},
+            {"$project": {"doc_id": 1, "score": 1}},
+        ],
+    )
+
+
 _BM25P_TERMS = ["runs", "relations", "agreement"]  # stems: run/relat/agreement
 
 

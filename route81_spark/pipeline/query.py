@@ -83,7 +83,12 @@ from route81_spark.pipeline.exprs import PipelineCompileError, compile_expr, ext
 #     negations must be absent from EVERY field, and textScore sums
 #     weight x occurrences per field — Mongo's
 #     createIndex({a: "text", b: "text"}, {weights: ...}) semantics
-#     over the engine-defined integer score.
+#     over the engine-defined integer score; `languageOverride`
+#     (Mongo's language_override index option, r9) names a column with
+#     each document's language — English docs stem with the active
+#     stem mode, every other language keeps raw tokens (documented:
+#     no non-English stemmer programs), query terms stem with the
+#     query language as usual.
 # --------------------------------------------------------------------
 
 # The active $text spec, read by {$meta: "textScore"}. A ContextVar —
@@ -117,7 +122,7 @@ def _text_parts(spec: dict):
         raise PipelineCompileError("$text requires a {$search: <string>} document")
     unknown = set(spec) - {
         "$search", "$language", "$caseSensitive", "$diacriticSensitive",
-        "field", "unicode", "stem", "fields",
+        "field", "unicode", "stem", "fields", "languageOverride",
     }
     if unknown:
         raise PipelineCompileError(f"unsupported $text options: {sorted(unknown)}")
@@ -185,7 +190,32 @@ def _text_parts(spec: dict):
             " S-stemmer) and 'porter' (Snowball English) are the"
             " implemented modes"
         )
-    return field, fields, cs, ds, uni, stem, _parse_search(str(spec["$search"]))
+    # languageOverride: the analog of Mongo's text-index
+    # `language_override` option — a COLUMN naming each document's
+    # language. Documents whose override resolves to English
+    # ("english"/"en", case-folded) stem with the active stem mode;
+    # every other language keeps RAW tokens (this engine carries no
+    # non-English stemmer programs — exactly how a Mongo English-default
+    # index treats docs whose override names a language it has no
+    # analyzer for... except Mongo would apply THAT language's
+    # stemmer; documented divergence: non-English docs index
+    # unstemmed here). Query terms stem with the QUERY language as
+    # usual. Requires an active stem mode — without one the option
+    # would be a silent no-op, so it fails loudly instead.
+    lang_over = spec.get("languageOverride")
+    if lang_over is not None:
+        if not isinstance(lang_over, str) or not lang_over:
+            raise PipelineCompileError(
+                "$text: languageOverride must name a column"
+            )
+        if stem is None:
+            raise PipelineCompileError(
+                "$text: languageOverride without an active stem mode is"
+                " a no-op — set stem: 's'/'porter' or"
+                " $language: 'english'"
+            )
+    return (field, fields, cs, ds, uni, stem, lang_over,
+            _parse_search(str(spec["$search"])))
 
 
 def _text_norm(c: Column, cs: bool) -> Column:
@@ -207,7 +237,7 @@ def _text_bound(spec: dict, build):
     `slots` = [(text_i, toks_i, weight_i)] — one slot per indexed
     field (a single unweighted slot for the plain `field` form) —
     plus (parts, norm)."""
-    field, fields, cs, ds, uni, stem, parts = _text_parts(spec)
+    field, fields, cs, ds, uni, stem, lang_over, parts = _text_parts(spec)
     cols = list((fields or {field: 1}).items())
     if not ds:
         from route81_spark.ops.unitext import fold_diacritics, fold_diacritics_py
@@ -255,7 +285,15 @@ def _text_bound(spec: dict, build):
             text = fold_diacritics(text)
         toks = F.split(text, sep)
         if stem:
-            toks = F.transform(toks, stem_col)
+            stemmed = F.transform(toks, stem_col)
+            if lang_over is not None:
+                # per-document analysis language (language_override):
+                # only English docs stem; the CASE evaluates lazily, so
+                # each row pays exactly one branch
+                eng = F.lower(F.col(lang_over)).isin("english", "en")
+                toks = F.when(eng, stemmed).otherwise(toks)
+            else:
+                toks = stemmed
         struct_cols += [text.alias(f"t{i}"), toks.alias(f"k{i}")]
 
     bound = F.transform(

@@ -916,3 +916,38 @@ def test_text_wildcard_fields(spark):
         apply_pipeline(
             nostr, [{"$match": {"$text": {"$search": "x", "fields": "$**"}}}]
         )
+
+
+def test_text_language_override(spark):
+    """{languageOverride: "lang"} — per-document analysis language:
+    English docs stem with the active mode, other languages keep raw
+    tokens (so a French doc matches only literal stemmed-query-term
+    tokens); requires an active stem mode (loud no-op guard)."""
+    from route81_spark.pipeline import apply_pipeline
+
+    rows = [
+        (1, "en", "running relational work"),
+        (2, "fr", "running relational work"),   # raw: no 'run'/'relat'
+        (3, "fr", "run the line"),              # literal 'run' matches
+        (4, "english", "relations hold"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    spec = {"$search": "runs relation", "$language": "english",
+            "languageOverride": "lang"}
+    out = apply_pipeline(
+        df,
+        [
+            {"$match": {"$text": spec}},
+            {"$addFields": {"s": {"$meta": "textScore"}}},
+            {"$project": {"doc_id": 1, "s": 1}},
+        ],
+    )
+    got = {r["doc_id"]: r["s"] for r in out.collect()}
+    assert got == {1: 2, 3: 1, 4: 1}
+    with pytest.raises(PipelineCompileError, match="languageOverride"):
+        apply_pipeline(
+            df,
+            [{"$match": {"$text": {
+                "$search": "x", "languageOverride": "lang",
+            }}}],
+        )
