@@ -1075,3 +1075,45 @@ def test_streaming_text_weighted_and_wildcard_match_batch(spark, tmp_path):
         want = {(r["doc_id"], r["score"])
                 for r in apply_pipeline(batch, pipe).collect()}
         assert got == want and len(want) >= 2, (tag, got, want)
+
+
+def test_streaming_text_langoverride_matches_batch(spark, tmp_path):
+    """languageOverride is a per-row CASE over the lang column — no
+    state, append-legal; streamed matches/scores equal batch (en docs
+    stem, fr docs match only literal stemmed query terms)."""
+    from route81_spark.pipeline import apply_pipeline
+
+    rows = [
+        {"doc_id": 1, "lang": "en", "text": "running relational work"},
+        {"doc_id": 2, "lang": "fr", "text": "running relational work"},
+        {"doc_id": 3, "lang": "fr", "text": "run the line"},
+        {"doc_id": 4, "lang": "en", "text": "relations hold"},
+    ]
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("text", T.StringType()),
+    ])
+    pipe = [
+        {"$match": {"$text": {
+            "$search": "runs relation", "$language": "english",
+            "languageOverride": "lang",
+        }}},
+        {"$addFields": {"score": {"$meta": "textScore"}}},
+        {"$project": {"doc_id": 1, "score": 1}},
+    ]
+    src = tmp_path / "losrc"
+    _write_batch(src / "b1.json", rows[:2])
+    _write_batch(src / "b2.json", rows[2:])
+    stream = spark.readStream.schema(schema).json(str(src))
+    out, ck = tmp_path / "loout", tmp_path / "lock"
+    _run_available_now(apply_pipeline(stream, pipe), out, ck)
+    got = {(r["doc_id"], r["score"])
+           for r in spark.read.parquet(str(out)).collect()}
+    batch = spark.createDataFrame(
+        [tuple(r.values()) for r in rows],
+        "doc_id long, lang string, text string",
+    )
+    want = {(r["doc_id"], r["score"])
+            for r in apply_pipeline(batch, pipe).collect()}
+    assert got == want == {(1, 2), (3, 1), (4, 1)}
