@@ -1326,6 +1326,41 @@ def match_text_langoverride(spark, sf_dir):
     )
 
 
+@_q(
+    "stage_stem",
+    # oracle: the same tokenize -> per-token twin-lookup -> join chain
+    # (array_to_string of an empty list is NULL in DuckDB -> coalesce)
+    f"""
+    WITH s AS (SELECT doc_id, {_lo_syn_sql()} AS raw FROM documents),
+    t AS (SELECT doc_id,
+                 string_split_regex(lower(raw), '[^0-9a-z]+') AS toks
+          FROM s)
+    SELECT doc_id,
+           coalesce(array_to_string(
+             list_transform(toks, t -> {_lo_stem_case()}), ' '), '')
+             AS stems
+    FROM t
+    """,
+)
+def stage_stem(spark, sf_dir):
+    """The $stem pipeline-stage extension: tokenize + Snowball-stem a
+    text column into an array column inside the Mongo-dialect pipeline
+    (the building block for stemmed vocabularies outside $text);
+    joined to one string here so the oracle hashes scalars. Per-row
+    scalar work, no shuffle, no Python."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    prepped = docs.select(
+        "doc_id", _lo_syn_spark(F.col("doc_id")).alias("text")
+    )
+    out = apply_pipeline(
+        prepped,
+        [{"$stem": {"textField": "text", "as": "st", "mode": "porter"}}],
+    )
+    return out.select(
+        "doc_id", F.concat_ws(" ", F.col("st")).alias("stems")
+    )
+
+
 _BM25P_TERMS = ["runs", "relations", "agreement"]  # stems: run/relat/agreement
 
 

@@ -46,6 +46,27 @@ def _simhash(df: DataFrame, arg: dict) -> DataFrame:
     )
 
 
+def _stem(df: DataFrame, arg: dict) -> DataFrame:
+    """$stem: tokenize a text column and stem every token — 'porter'
+    (Snowball English, ops/porter.py) or 's' (Harman S-stemmer).
+    Adds an array<string> column (default 'stems'); per-row scalar
+    work, no shuffle. The building block for stemmed vocabularies /
+    inverted indexes outside the $text match path."""
+    mode = arg.get("mode", "porter")
+    if mode == "porter":
+        from route81_spark.ops.porter import porter2_stem as stem_col
+    elif mode == "s":
+        stem_col = X.s_stem
+    else:
+        raise ValueError(
+            f"$stem: unsupported mode {mode!r} — 'porter' (Snowball"
+            " English) and 's' (Harman S-stemmer) are the implemented"
+            " modes"
+        )
+    toks = X.tokens(F.col(arg.get("textField", "text")))
+    return df.withColumn(arg.get("as", "stems"), F.transform(toks, stem_col))
+
+
 def _text_analyze(df: DataFrame, arg: dict) -> DataFrame:
     return X.analyze(df, arg.get("textField", "text"))
 
@@ -291,6 +312,7 @@ def _range_join_stage(df: DataFrame, arg: dict) -> DataFrame:
 register_stage("$dedupExact", _dedup_exact)
 register_stage("$minhashLsh", _minhash_lsh)
 register_stage("$simhash", _simhash)
+register_stage("$stem", _stem)
 register_stage("$textAnalyze", _text_analyze)
 register_stage("$similarityTopK", _similarity_topk)
 register_stage("$chunk", _chunk)

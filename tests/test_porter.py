@@ -177,3 +177,25 @@ def test_bm25_stemmed_option(spark):
     assert all(v == 0.0 for v in got3.values())
     with pytest.raises(ValueError, match="stem"):
         bm25_scores(df, ["runs"], stem="lovins")
+
+
+def test_stem_stage_extension(spark):
+    """$stem pipeline stage: porter and s modes produce the stemmed
+    token array; unknown modes fail loudly."""
+    import pytest
+
+    from route81_spark.pipeline import apply_pipeline
+
+    df = spark.createDataFrame(
+        [(1, "running queries daily")], "doc_id long, text string"
+    )
+    out = apply_pipeline(
+        df, [{"$stem": {"textField": "text", "as": "st"}}]
+    ).collect()[0]
+    assert list(out["st"]) == ["run", "queri", "daili"]
+    out_s = apply_pipeline(
+        df, [{"$stem": {"mode": "s"}}]
+    ).collect()[0]
+    assert list(out_s["stems"]) == ["running", "query", "daily"]
+    with pytest.raises(Exception, match="stem"):
+        apply_pipeline(df, [{"$stem": {"mode": "lovins"}}]).collect()
