@@ -221,13 +221,19 @@ def main() -> None:
                 deltas.get("common", 0.0),
             )
         )
+    # per-query timings on their OWN line: the driver's tail capture is a
+    # fixed-size window that keeps the END of stdout — r9's single ~3 KB
+    # JSON line overflowed it and lost its head ("parsed": null). The
+    # FINAL line must stay compact (<~300 bytes at any future query
+    # count) so it always survives and parses.
+    print(json.dumps({"per_query": timings, "sf": sf}))
     print(
         json.dumps(
             {
                 "metric": "headline_total",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": subtotals,
                 "subtotals": subtotals,
                 "deltas_pct": deltas,
                 "sf": sf,

@@ -1241,6 +1241,81 @@ def match_text_wildcard(spark, sf_dir):
     )
 
 
+N_NOTES = ["vector store", "row group", "spark core", "empty note"]
+
+
+@_q(
+    "match_text_wildcard_nested",
+    # oracle: the wildcard index now DESCENDS into the struct — the
+    # expansion is {body: 1, meta.title: 1, meta.note: 1}; terms match
+    # in any of the three, weight-1 score sums across all of them
+    f"""
+    WITH s AS (
+      SELECT doc_id,
+             (['query guide', 'table manual', 'spark notes', 'misc intro'])
+               [CAST({_wh60('wtitle')} % 4 AS INT) + 1] AS title,
+             (['vector store', 'row group', 'spark core', 'empty note'])
+               [CAST({_wh60('wnote')} % 4 AS INT) + 1] AS note,
+             text
+      FROM documents
+    ),
+    t AS (
+      SELECT doc_id,
+             string_split_regex(lower(title), '[^0-9a-z]+') AS tt,
+             string_split_regex(lower(note), '[^0-9a-z]+') AS nt,
+             string_split_regex(lower(text), '[^0-9a-z]+') AS bt
+      FROM s
+    )
+    SELECT doc_id,
+           CAST(len(list_filter(tt, x -> x = 'spark'))
+              + len(list_filter(nt, x -> x = 'spark'))
+              + len(list_filter(bt, x -> x = 'spark'))
+              + len(list_filter(tt, x -> x = 'vector'))
+              + len(list_filter(nt, x -> x = 'vector'))
+              + len(list_filter(bt, x -> x = 'vector')) AS BIGINT) AS score
+    FROM t
+    WHERE (list_contains(tt, 'spark') OR list_contains(nt, 'spark')
+           OR list_contains(bt, 'spark')
+           OR list_contains(tt, 'vector') OR list_contains(nt, 'vector')
+           OR list_contains(bt, 'vector'))
+    """,
+)
+def match_text_wildcard_nested(spark, sf_dir):
+    """$text over the wildcard index with NESTED DOCUMENT descent (r10
+    — Mongo's createIndex({"$**": "text"}) indexes string fields inside
+    embedded documents too): the expansion recurses StructType children
+    into dotted paths at $match compile time, so a struct column
+    meta{title, note} contributes meta.title and meta.note alongside
+    the top-level body. Same bound-struct shape — all three fields
+    normalize/tokenize once, per-row work, no shuffle, no Python."""
+    from route81_spark.ops.web import _h60
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    title = F.element_at(
+        F.array(*[F.lit(s) for s in W_TITLES]),
+        (_h60(F.col("doc_id"), "wtitle") % 4 + 1).cast("int"),
+    )
+    note = F.element_at(
+        F.array(*[F.lit(s) for s in N_NOTES]),
+        (_h60(F.col("doc_id"), "wnote") % 4 + 1).cast("int"),
+    )
+    prepped = docs.select(
+        "doc_id",
+        F.col("text").alias("body"),
+        F.struct(title.alias("title"), note.alias("note")).alias("meta"),
+    )
+    return apply_pipeline(
+        prepped,
+        [
+            {"$match": {"$text": {
+                "$search": "spark vector", "fields": "$**",
+            }}},
+            {"$addFields": {"score": {"$meta": "textScore"}}},
+            {"$project": {"doc_id": 1, "score": 1}},
+        ],
+    )
+
+
 LO_SNIPS = [
     "running relational work",
     "run the line",

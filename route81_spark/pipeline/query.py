@@ -636,11 +636,16 @@ def _elem_pred(x: Column, spec: Any) -> Column:
 
 def _expand_text_wildcard(spec, df: DataFrame | None):
     """{fields: "$**"} — the wildcard text-index analog of Mongo's
-    createIndex({"$**": "text"}): every TOP-LEVEL string column of the
-    input, weight 1 (nested struct fields are not descended —
-    documented subset). Expanded at $match compile time, where the
-    schema is in hand, into the concrete {column: 1} form so the
-    recorded spec serves textScore too."""
+    createIndex({"$**": "text"}): every string field of the input at
+    weight 1, DESCENDING into struct children as dotted paths (r10 —
+    Mongo's wildcard text index indexes nested document string fields
+    the same way; arrays/maps are not descended, documented subset).
+    The languageOverride column is EXCLUDED, matching Mongo, which
+    never text-indexes the language_override field — otherwise a doc
+    whose lang value contains a query term would spuriously match.
+    Expanded at $match compile time, where the schema is in hand, into
+    the concrete {column: 1} form so the recorded spec serves
+    textScore too."""
     if not isinstance(spec, dict) or spec.get("fields") != "$**":
         return spec
     if df is None:
@@ -650,9 +655,18 @@ def _expand_text_wildcard(spec, df: DataFrame | None):
         )
     from pyspark.sql import types as T
 
+    def walk(prefix: str, dtype):
+        if isinstance(dtype, T.StringType):
+            yield prefix
+        elif isinstance(dtype, T.StructType):
+            for f in dtype.fields:
+                yield from walk(f"{prefix}.{f.name}", f.dataType)
+
+    skip = spec.get("languageOverride")
     cols = {
-        f.name: 1 for f in df.schema.fields
-        if isinstance(f.dataType, T.StringType)
+        path: 1
+        for f in df.schema.fields if f.name != skip
+        for path in walk(f.name, f.dataType)
     }
     if not cols:
         raise PipelineCompileError(

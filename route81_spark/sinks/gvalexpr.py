@@ -12,14 +12,20 @@ Python per row, no shuffle).
 
 Loud rejections (config-compile time, not mid-stream): function calls
 (route81 registers NO gval functions, so a config using one fails at
-eval time against the reference too), dynamic STRING subscripts
-(`doc[key]` — per-row key resolution the declared schema can't
-express), and integer subscripts on a non-array base. Integer-VALUED
-dynamic subscripts on arrays (`items[cur]`, `a[i + 1]`) DO compile —
-`F.get` (0-based, null out-of-range; gval errors out-of-range, a
-documented divergence in the safe direction) with element-type
-tracking through the declared schema so downstream `.field` access
-and string-vs-numeric `+` dispatch stay exact.
+eval time against the reference too), dynamic STRING subscripts on a
+STRUCT base (`doc[key]` — a struct's field set is closed, so per-row
+key resolution can't pick a Column), integer subscripts on a
+non-array base, and dynamic array indexes whose DECLARED type is
+fractional (float/double/decimal, e.g. any '/' result — gval errors
+on non-integer indexes; a silent int cast would truncate). What DOES
+compile (r10): integer-valued dynamic subscripts on arrays
+(`items[cur]`, `a[i + 1]`) via `F.get` (0-based, null out-of-range;
+gval errors out-of-range, a documented divergence in the safe
+direction) with element-type tracking through the declared schema so
+downstream `.field` access and string-vs-numeric `+` dispatch stay
+exact; and string-keyed dynamic subscripts on declared MAP columns
+(`attrs[key]`) via `try_element_at` — missing key -> NULL, exactly
+gval's nil on an absent Go map key.
 
 Documented typing divergences from gval (which evaluates all
 arithmetic in float64): `+ - * %` keep the declared column types, so
@@ -68,10 +74,12 @@ def _expr_error(src: str, pos: int, why: str) -> ValueError:
         "delete-id-path accepts plain paths plus the gval operator "
         "subset — arithmetic (+ - * / %), comparisons (== != < <= > >=),"
         " logical (&& || !), the ternary (a ? b : c), string/number/"
-        "true/false/null literals, parentheses, and integer-valued "
-        "array subscripts (a[0], items[cur]). Function calls and "
-        "string-keyed dynamic subscripts are not supported; pre-shape "
-        "the document with a pipeline stage instead."
+        "true/false/null literals, parentheses, integer-valued "
+        "array subscripts (a[0], items[cur]), and string-keyed "
+        "subscripts on declared map columns (attrs[key]). Function "
+        "calls and string-keyed subscripts on struct bases are not "
+        "supported; pre-shape the document with a pipeline stage "
+        "instead."
     )
 
 
@@ -255,9 +263,14 @@ def _kind_of(dt: T.DataType | None) -> str:
         return "string"
     if isinstance(dt, T.BooleanType):
         return "bool"
-    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
-                       T.FloatType, T.DoubleType, T.DecimalType)):
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
         return "numeric"
+    if isinstance(dt, (T.FloatType, T.DoubleType, T.DecimalType)):
+        # distinguished so dynamic subscripts can reject declared-
+        # fractional indexes loudly (gval errors on non-integer
+        # indexes; a silent cast('int') would truncate). Arithmetic
+        # dispatch treats it exactly like "numeric".
+        return "float"
     return "other"
 
 
@@ -281,12 +294,44 @@ def _access(node, resolve: Resolver) -> tuple[Column, T.DataType | None]:
     assert tag == "get"
     base, dt = _access(node[1], resolve)
     idx, ik = _compile(node[2], resolve)
+    if isinstance(dt, T.MapType):
+        # string-keyed dynamic subscripts (`doc[key]`) compile when —
+        # and only when — the declared schema says the base is a MAP:
+        # there the key set is open by construction, so per-row key
+        # resolution IS expressible (r10; struct bases stay the loud
+        # rejection below — a struct's field set is closed and a
+        # runtime key cannot pick a Column). Missing key -> NULL via
+        # try_element_at, matching gval over a Go map, which yields
+        # nil for an absent key (no divergence, unlike the array
+        # out-of-range case).
+        if not isinstance(dt.keyType, T.StringType):
+            raise ValueError(
+                "unsupported gval expression: dynamic map subscripts "
+                f"need string keys (declared {dt.simpleString()})"
+            )
+        if ik != "string":
+            raise ValueError(
+                "unsupported gval expression: subscript on a map-typed "
+                "field must be string-valued (declared key type is "
+                "string; quote literals, or reference a string column)"
+            )
+        return F.try_element_at(base, idx), dt.valueType
     if ik in ("string", "bool", "null"):
         raise ValueError(
-            "unsupported gval expression: dynamic subscripts must be "
-            "integer-valued (string/bool keys need per-row path "
-            "resolution the declared schema cannot express) — "
-            "pre-shape the document with a pipeline stage instead"
+            "unsupported gval expression: string-keyed dynamic "
+            "subscripts compile only against a declared MAP column "
+            "(a struct schema's field set is closed — per-row key "
+            "resolution cannot pick a Column) — pre-shape the document "
+            "with a pipeline stage instead"
+        )
+    if ik == "float":
+        raise ValueError(
+            "unsupported gval expression: dynamic array subscript has "
+            "a declared fractional type (float/double/decimal — e.g. "
+            "the result of '/', which always divides as double) — "
+            "gval errors on non-integer indexes, and a silent int cast "
+            "would truncate; use an integer-typed expression ('%', "
+            "integer columns) instead"
         )
     if dt is not None and not isinstance(dt, T.ArrayType):
         raise ValueError(
@@ -321,20 +366,22 @@ def _compile(node, resolve: Resolver) -> tuple[Column, str]:
     op = node[1]
     lc, lk = _compile(node[2], resolve)
     rc, rk = _compile(node[3], resolve)
+    num = "float" if "float" in (lk, rk) else "numeric"
     if op == "+":
         if "string" in (lk, rk):
             # gval: + concatenates when either operand is a string
             return F.concat(lc.cast("string"), rc.cast("string")), "string"
-        return lc + rc, "numeric"
+        return lc + rc, num
     if op == "-":
-        return lc - rc, "numeric"
+        return lc - rc, num
     if op == "*":
-        return lc * rc, "numeric"
+        return lc * rc, num
     if op == "/":
-        # gval parity: always float division
-        return lc.cast("double") / rc.cast("double"), "numeric"
+        # gval parity: always float division (hence kind "float" — a
+        # '/' result used as a dynamic array index is rejected loudly)
+        return lc.cast("double") / rc.cast("double"), "float"
     if op == "%":
-        return lc % rc, "numeric"
+        return lc % rc, num
     if op == "==":
         return lc == rc, "bool"
     if op == "!=":

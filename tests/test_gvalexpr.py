@@ -140,12 +140,66 @@ def test_integer_field_subscripts(spark):
 
 
 def test_dynamic_subscript_loud_rejections(spark):
-    # string-keyed dynamic subscript: per-row path resolution
-    with pytest.raises(ValueError, match="integer-valued"):
+    # string-keyed dynamic subscript on a STRUCT base: the field set is
+    # closed, per-row key resolution can't pick a Column
+    with pytest.raises(ValueError, match="MAP column"):
         _arr_ids(spark, 'items[data.v].tag')
     # dynamic index on a declared non-array
     with pytest.raises(ValueError, match="non-array"):
         _arr_ids(spark, "data[cur]")
+    # declared-fractional dynamic index (ADVICE r9): '/' always divides
+    # as double, and gval errors on non-integer indexes — reject loudly
+    # instead of silently truncating via cast('int')
+    with pytest.raises(ValueError, match="fractional"):
+        _arr_ids(spark, "items[cur / 2].tag")
+
+
+def _map_df(spark):
+    schema = T.StructType([
+        T.StructField("attrs", T.MapType(T.StringType(), T.StringType())),
+        T.StructField("imap", T.MapType(T.IntegerType(), T.StringType())),
+        T.StructField("key", T.StringType()),
+        T.StructField("cur", T.IntegerType()),
+        T.StructField("data", T.StructType([
+            T.StructField("_id", T.StringType()),
+            T.StructField("v", T.StringType()),
+        ])),
+    ])
+    return spark.createDataFrame(
+        [
+            ({"region": "eu", "tier": "gold"}, {1: "x"}, "tier", 1,
+             ("1", "x")),
+            ({"region": "us"}, {2: "y"}, "region", 0, None),
+        ],
+        schema,
+    )
+
+
+def _map_ids(spark, expr):
+    out = classify(
+        _map_df(spark),
+        ClassifierConfig(document_root_path="data", delete_id_path=expr),
+    )
+    return {r["doc_id"] for r in out.filter(F.col("is_delete")).collect()}
+
+
+def test_map_string_keyed_subscripts(spark):
+    """attrs[key] with a runtime string key compiles against a declared
+    MAP column (r10): try_element_at, so a missing key yields NULL —
+    exactly gval's nil on an absent Go map key (no divergence). Value
+    dtype tracks through the schema so string-concat dispatch on '+'
+    stays exact; composite keys (key + literal) work too."""
+    assert _map_ids(spark, "attrs[key]") == {"us"}
+    assert _map_ids(spark, 'attrs[key + "x"]') == {None}  # missing -> NULL
+    assert _map_ids(spark, 'attrs["region"] + "-" + attrs[key]') == {"us-us"}
+    assert _map_ids(spark, 'attrs[key] + "!"') == {"us!"}
+    # literal lane unchanged: ["k"] stays a resolver path segment
+    assert _map_ids(spark, 'attrs["region"]') == {"us"}
+    # non-string-keyed maps and non-string key expressions stay loud
+    with pytest.raises(ValueError, match="string keys"):
+        _map_ids(spark, "imap[key]")
+    with pytest.raises(ValueError, match="string-valued"):
+        _map_ids(spark, "attrs[cur]")
 
 
 def test_loud_failures(spark):

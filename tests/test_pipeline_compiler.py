@@ -918,6 +918,53 @@ def test_text_wildcard_fields(spark):
         )
 
 
+def test_text_wildcard_nested_structs(spark):
+    """'$**' descends into STRUCT children as dotted paths (r10) —
+    Mongo's wildcard text index indexes nested document string fields;
+    arrays/maps are not descended (documented subset), and the
+    languageOverride column is excluded from the expansion exactly as
+    Mongo never text-indexes the language_override field."""
+    from route81_spark.pipeline import apply_pipeline
+
+    df = spark.createDataFrame(
+        [
+            (1, "spark intro", ("query guide", ("deep query", 4)), ["query"]),
+            (2, "plain", ("misc", ("nothing", 4)), ["query"]),
+            (3, "query fast", ("misc", ("query query", 4)), []),
+        ],
+        "doc_id long, title string, "
+        "meta struct<head: string, sub: struct<note: string, n: int>>, "
+        "tags array<string>",
+    )
+    out = apply_pipeline(
+        df,
+        [
+            {"$match": {"$text": {"$search": "query", "fields": "$**"}}},
+            {"$addFields": {"s": {"$meta": "textScore"}}},
+            {"$project": {"doc_id": 1, "s": 1}},
+        ],
+    )
+    # doc1: meta.head 1 + meta.sub.note 1 = 2; doc3: title 1 + note 2 = 3;
+    # the tags ARRAY is not descended (doc2 would otherwise match)
+    got = {r["doc_id"]: r["s"] for r in out.collect()}
+    assert got == {1: 2, 3: 3}
+
+    # languageOverride column excluded: a doc whose lang VALUE contains
+    # the query term must not match through the lang column itself
+    df2 = spark.createDataFrame(
+        [(1, "english", "running hard"), (2, "english", "plain body")],
+        "doc_id long, lang string, body string",
+    )
+    out2 = apply_pipeline(
+        df2,
+        [{"$match": {"$text": {
+            "$search": "english runs", "fields": "$**",
+            "$language": "english", "languageOverride": "lang",
+        }}}],
+    )
+    assert {r["doc_id"] for r in out2.collect()} == {1}
+
+
 def test_text_language_override(spark):
     """{languageOverride: "lang"} — per-document analysis language:
     English docs stem with the active mode, other languages keep raw

@@ -1077,6 +1077,50 @@ def test_streaming_text_weighted_and_wildcard_match_batch(spark, tmp_path):
         assert got == want and len(want) >= 2, (tag, got, want)
 
 
+def test_streaming_text_wildcard_nested_matches_batch(spark, tmp_path):
+    """The r10 nested '$**' descent streams unchanged: the expansion
+    recurses the stream's DECLARED schema into struct children at
+    compile time (dotted paths), so streamed matches/scores over a
+    struct column equal the batch pipeline's."""
+    from route81_spark.pipeline import apply_pipeline
+
+    rows = [
+        {"doc_id": 1, "body": "rows here",
+         "meta": {"head": "spark query", "sub": {"note": "query deep"}}},
+        {"doc_id": 2, "body": "query planning",
+         "meta": {"head": "intro", "sub": {"note": "none"}}},
+        {"doc_id": 3, "body": "nothing",
+         "meta": {"head": "misc", "sub": {"note": "plain"}}},
+    ]
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("body", T.StringType()),
+        T.StructField("meta", T.StructType([
+            T.StructField("head", T.StringType()),
+            T.StructField("sub", T.StructType([
+                T.StructField("note", T.StringType()),
+            ])),
+        ])),
+    ])
+    pipe = [
+        {"$match": {"$text": {"$search": "query", "fields": "$**"}}},
+        {"$addFields": {"score": {"$meta": "textScore"}}},
+        {"$project": {"doc_id": 1, "score": 1}},
+    ]
+    src = tmp_path / "wnsrc"
+    _write_batch(src / "b1.json", rows[:2])
+    _write_batch(src / "b2.json", rows[2:])
+    stream = spark.readStream.schema(schema).json(str(src))
+    out, ck = tmp_path / "wnout", tmp_path / "wnck"
+    _run_available_now(apply_pipeline(stream, pipe), out, ck)
+    got = {(r["doc_id"], r["score"])
+           for r in spark.read.parquet(str(out)).collect()}
+    batch = spark.createDataFrame(rows, schema)
+    want = {(r["doc_id"], r["score"])
+            for r in apply_pipeline(batch, pipe).collect()}
+    assert got == want == {(1, 2), (2, 1)}
+
+
 def test_streaming_text_langoverride_matches_batch(spark, tmp_path):
     """languageOverride is a per-row CASE over the lang column — no
     state, append-legal; streamed matches/scores equal batch (en docs
