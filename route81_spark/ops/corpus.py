@@ -1317,13 +1317,17 @@ def bm25_scores(
             " implemented modes"
         )
     if stem == "porter":
+        # one call_function against the once-per-session SQL temp
+        # function (ops/porter.py) — not a fresh ~13 KB tree per pass
         from route81_spark.ops.porter import (
-            porter2_py as _stem_py, porter2_stem as _stem_col,
+            porter2_py as _stem_py, porter2_stem_tokens as _stem_toks,
         )
     elif stem == "s":
-        from route81_spark.ops.text import (
-            s_stem as _stem_col, s_stem_py as _stem_py,
-        )
+        from route81_spark.ops.text import s_stem_py as _stem_py
+        from route81_spark.ops.text import s_stem as _s_col
+
+        def _stem_toks(tk):
+            return F.transform(tk, _s_col)
 
     # dedupe (order-preserving): a repeated query term — or two forms
     # conflating to one stem — must not double-count its contribution
@@ -1334,7 +1338,7 @@ def bm25_scores(
         raise ValueError("bm25_scores needs at least one query term")
     tok = tokens(F.col(text_col))
     if stem:
-        tok = F.transform(tok, _stem_col)
+        tok = _stem_toks(tok)
     # ONE corpus pass builds the whole model: doc count, avg length, and
     # every query term's document frequency ride the same aggregation
     # (the corpus tokenizes once, not once per statistic)

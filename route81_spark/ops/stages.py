@@ -54,9 +54,12 @@ def _stem(df: DataFrame, arg: dict) -> DataFrame:
     inverted indexes outside the $text match path."""
     mode = arg.get("mode", "porter")
     if mode == "porter":
-        from route81_spark.ops.porter import porter2_stem as stem_col
+        # one call_function against the once-per-session SQL temp
+        # function (ops/porter.py) — not a fresh ~13 KB tree per stage
+        from route81_spark.ops.porter import porter2_stem_tokens as stem_toks
     elif mode == "s":
-        stem_col = X.s_stem
+        def stem_toks(tk):
+            return F.transform(tk, X.s_stem)
     else:
         raise ValueError(
             f"$stem: unsupported mode {mode!r} — 'porter' (Snowball"
@@ -64,7 +67,7 @@ def _stem(df: DataFrame, arg: dict) -> DataFrame:
             " modes"
         )
     toks = X.tokens(F.col(arg.get("textField", "text")))
-    return df.withColumn(arg.get("as", "stems"), F.transform(toks, stem_col))
+    return df.withColumn(arg.get("as", "stems"), stem_toks(toks))
 
 
 def _text_analyze(df: DataFrame, arg: dict) -> DataFrame:

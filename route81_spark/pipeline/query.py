@@ -253,12 +253,15 @@ def _text_bound(spec: dict, build):
     if stem:
         if stem == "porter":
             from route81_spark.ops.porter import (
-                porter2_py as stem_py, porter2_stem as stem_col,
+                porter2_py as stem_py, porter2_stem_tokens as stem_toks,
             )
         else:
             from route81_spark.ops.text import (
-                s_stem as stem_col, s_stem_py as stem_py,
+                s_stem as _s_col, s_stem_py as stem_py,
             )
+
+            def stem_toks(tk: Column) -> Column:
+                return F.transform(tk, _s_col)
 
         pos_t, neg_t, pos_ph, neg_ph = parts
         # terms stem (after case/diacritic fold, like the token array);
@@ -285,7 +288,10 @@ def _text_bound(spec: dict, build):
             text = fold_diacritics(text)
         toks = F.split(text, sep)
         if stem:
-            stemmed = F.transform(toks, stem_col)
+            # porter: one call_function against the once-per-session
+            # SQL temp function — rebuilding the ~13 KB stemmer tree
+            # per field cost ~1.5 s of driver time each (r10)
+            stemmed = stem_toks(toks)
             if lang_over is not None:
                 # per-document analysis language (language_override):
                 # only English docs stem; the CASE evaluates lazily, so

@@ -97,6 +97,26 @@ def test_column_matches_twin_on_generated_grid(spark):
     for w, want in SPEC_PINS.items():
         assert got[w] == want
 
+    # the registered-SQL-function application path (porter2_stem_tokens
+    # — what $text/$stem/bm25 actually call, r10) must agree with the
+    # twin on the SAME grid: the body is EXTRACTED from the Column
+    # program, and this sweep proves the .sql() round trip (incl. the
+    # lambdafunction -> arrow rewrite) changed nothing
+    from route81_spark.ops.porter import porter2_stem_tokens
+
+    chunks = [words[i:i + 500] for i in range(0, len(words), 500)]
+    adf = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(chunks)], "i int, ws array<string>"
+    )
+    rows = adf.select("i", porter2_stem_tokens(F.col("ws")).alias("ss")).collect()
+    got2 = {
+        w: s for r in rows for w, s in zip(chunks[r["i"]], r["ss"])
+    }
+    bad2 = [
+        (w, porter2_py(w), got2[w]) for w in words if got2[w] != porter2_py(w)
+    ]
+    assert not bad2, f"{len(bad2)} sql-fn/twin mismatches, first: {bad2[:5]}"
+
 
 def test_text_search_porter_mode(spark):
     """{stem: "porter"}: 'runs' conflates with running/run/runner? NO —
