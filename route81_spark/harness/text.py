@@ -1117,6 +1117,116 @@ def match_text_porter(spark, sf_dir):
     )
 
 
+# --------------------------------------------------------------------
+# $text with full Snowball French stemming (r10)
+# --------------------------------------------------------------------
+
+FR_SNIPS = [
+    "les continuations majestueuses",
+    "elle continuait librement",
+    "générales activités nationales",
+    "premier jouet national",
+    "rien de notable ici",
+    "des nationaux résolus",
+]
+
+
+def _fr_stem_case() -> str:
+    """Per-token stem lookup for the oracle: the CASE maps every word
+    of the closed FR_SNIPS vocabulary to fold(french_stem(word))
+    PRE-COMPUTED by the Python spec twin (ops.french.french_py) — the
+    Spark query runs the Column program live; the twin is pinned to
+    the published algorithm by tests/test_french.py's spec pins +
+    grid sweep. The diacritic fold comes AFTER stemming (the French
+    analyzer order: the algorithm needs its accents)."""
+    from route81_spark.ops.french import french_py
+    from route81_spark.ops.unitext import fold_diacritics_py
+
+    vocab = sorted({w for s in FR_SNIPS for w in s.split()})
+    whens = " ".join(
+        f"WHEN '{w}' THEN '{fold_diacritics_py(french_py(w))}'"
+        for w in vocab
+    )
+    return f"CASE t {whens} ELSE t END"
+
+
+def _fr_syn_sql(x: str = "CAST(doc_id AS VARCHAR)") -> str:
+    lits = "[" + ", ".join("'" + s + "'" for s in FR_SNIPS) + "]"
+
+    def pick(seed):
+        return f"({lits})[CAST({_wh60(seed, x)} % 6 AS INT) + 1]"
+
+    return f"{pick('french0|a')} || ' ' || {pick('french0|b')}"
+
+
+def _fr_syn_spark(ids: Column) -> Column:
+    from route81_spark.ops.web import _h60
+
+    def pick(seed):
+        h = _h60(ids, seed)
+        return F.element_at(
+            F.array(*[F.lit(s) for s in FR_SNIPS]), (h % 6 + 1).cast("int")
+        )
+
+    return F.concat(pick("french0|a"), F.lit(" "), pick("french0|b"))
+
+
+@_q(
+    "match_text_french",
+    # oracle: tokenize on any non-alphanumeric (the accented letters
+    # must not split — the vocabulary is space-separated words, so a
+    # space split is the same thing), stem via the twin-precomputed
+    # lookup, recompute membership + integer score — 'continuer' /
+    # 'continuait' / 'continuations' conflate on stem 'continu',
+    # 'majestueux'/'majestueuses' on 'majestu', 'générale'/'générales'
+    # on folded 'general', and '-nationaux' excludes via the shared
+    # stem 'national' of national/nationales/nationaux
+    f"""
+    WITH s AS (SELECT doc_id, {_fr_syn_sql()} AS raw FROM documents),
+    t0 AS (SELECT doc_id, string_split(lower(raw), ' ') AS toks FROM s),
+    t AS (SELECT doc_id,
+                 list_transform(toks, t -> {_fr_stem_case()}) AS st
+          FROM t0)
+    SELECT doc_id,
+           CAST(len(list_filter(st, x -> x = 'continu'))
+              + len(list_filter(st, x -> x = 'majestu'))
+              + len(list_filter(st, x -> x = 'general')) AS BIGINT) AS score
+    FROM t
+    WHERE (list_contains(st, 'continu') OR list_contains(st, 'majestu')
+           OR list_contains(st, 'general'))
+      AND NOT coalesce(list_contains(st, 'national'), false)
+    """,
+)
+def match_text_french(spark, sf_dir):
+    """$text with $language: "french" — the full Snowball French
+    stemmer (ops/french.py, r10), the program Mongo's French analyzer
+    runs server-side (route81 delegates $text to that index,
+    route81.go:181-197): 'continuer' in the search conflates with
+    'continuait'/'continuations' in the text, 'majestueux' with
+    'majestueuses', 'générale' with 'générales' (stemmed BEFORE the
+    diacritic fold — the French analyzer order), and the negation
+    '-nationaux' fires on the shared stem of national/nationales/
+    nationaux. One pure-Column program per token (prelude mark scan as
+    a single consuming regex pass, regexp-derived RV/R1/R2, the suffix
+    steps as longest-match-in-region when-chains) — zero Python, zero
+    shuffle, applied through the once-per-session SQL temp function."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    prepped = docs.select(
+        "doc_id", _fr_syn_spark(F.col("doc_id")).alias("text")
+    )
+    return apply_pipeline(
+        prepped,
+        [
+            {"$match": {"$text": {
+                "$search": "continuer majestueux générale -nationaux",
+                "$language": "french",
+            }}},
+            {"$addFields": {"score": {"$meta": "textScore"}}},
+            {"$project": {"doc_id": 1, "score": 1}},
+        ],
+    )
+
+
 W_TITLES = ["query guide", "table manual", "spark notes", "misc intro"]
 
 
@@ -1324,11 +1434,13 @@ LO_SNIPS = [
 ]
 
 
-def _lo_stem_case() -> str:
+def _lo_stem_case(lang: str = "en") -> str:
+    from route81_spark.ops.french import french_py
     from route81_spark.ops.porter import porter2_py
 
+    stem = porter2_py if lang == "en" else french_py
     vocab = sorted({w for s in LO_SNIPS for w in s.split()})
-    whens = " ".join(f"WHEN '{w}' THEN '{porter2_py(w)}'" for w in vocab)
+    whens = " ".join(f"WHEN '{w}' THEN '{stem(w)}'" for w in vocab)
     return f"CASE t {whens} ELSE t END"
 
 
@@ -1355,9 +1467,10 @@ def _lo_syn_spark(ids: Column) -> Column:
 
 @_q(
     "match_text_langoverride",
-    # oracle: stem the token array via the twin lookup ONLY for docs
-    # whose real lang column is 'en'; other languages keep raw tokens,
-    # so they match only the literal stemmed query terms ('run')
+    # oracle: stem the token array via the ENGLISH twin lookup for
+    # docs whose real lang column is 'en', via the FRENCH twin lookup
+    # (r10) for 'fr' docs, and keep raw tokens for every other
+    # language (those match only the literal stemmed query terms)
     f"""
     WITH s AS (SELECT doc_id, lang, {_lo_syn_sql()} AS raw FROM documents),
     t0 AS (SELECT doc_id, lang,
@@ -1366,6 +1479,8 @@ def _lo_syn_spark(ids: Column) -> Column:
     t AS (SELECT doc_id,
                  CASE WHEN lang = 'en'
                       THEN list_transform(toks, t -> {_lo_stem_case()})
+                      WHEN lang = 'fr'
+                      THEN list_transform(toks, t -> {_lo_stem_case("fr")})
                       ELSE toks END AS st
           FROM t0)
     SELECT doc_id,
@@ -1379,10 +1494,13 @@ def match_text_langoverride(spark, sf_dir):
     """$text with {languageOverride: "lang"} — Mongo's
     language_override text-index option over the REAL per-document
     lang column: the 'en' cohort stems with Snowball English (so
-    'runs' in the search matches 'running'), while zh/es/de/fr docs
-    keep raw tokens and match only the literal stemmed query terms
-    ('run' in "run the line"). Per-row CASE picks exactly one
-    analysis branch per document; no shuffle, no Python."""
+    'runs' in the search matches 'running'), the 'fr' cohort (r10)
+    stems with Snowball French (ops/french.py — on this English
+    corpus that, correctly, conflates nothing the query terms hit),
+    while zh/es/de docs keep raw tokens and match only the literal
+    stemmed query terms ('run' in "run the line"). Per-row CASE picks
+    exactly one analysis branch per document; no shuffle, no
+    Python."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
     prepped = docs.select(
         "doc_id", "lang", _lo_syn_spark(F.col("doc_id")).alias("text")

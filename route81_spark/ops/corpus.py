@@ -1310,17 +1310,24 @@ def bm25_scores(
     from route81_spark.io import ensure_parallelism
     from route81_spark.ops.text import tokens
 
-    if stem not in (None, "s", "porter"):
+    if stem not in (None, "s", "porter", "french"):
         raise ValueError(
             f"bm25_scores: unsupported stem mode {stem!r} — None, 's' "
-            "(Harman S-stemmer) and 'porter' (Snowball English) are the"
-            " implemented modes"
+            "(Harman S-stemmer), 'porter' (Snowball English) and "
+            "'french' (Snowball French) are the implemented modes"
         )
     if stem == "porter":
         # one call_function against the once-per-session SQL temp
         # function (ops/porter.py) — not a fresh ~13 KB tree per pass
         from route81_spark.ops.porter import (
             porter2_py as _stem_py, porter2_stem_tokens as _stem_toks,
+        )
+    elif stem == "french":
+        # caveat: tokens() emits ASCII-alnum runs — accented French
+        # input should be tokenized upstream; the stemmer itself is
+        # exact either way
+        from route81_spark.ops.french import (
+            french_py as _stem_py, french_stem_tokens as _stem_toks,
         )
     elif stem == "s":
         from route81_spark.ops.text import s_stem_py as _stem_py

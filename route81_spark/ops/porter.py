@@ -404,112 +404,15 @@ def _step5(w: Column, r1: Column, r2: Column) -> Column:
     return F.when(e_del | l_del, _drop(w, 1)).otherwise(w)
 
 
-# --------------------------------------------------------------------
-# once-per-session SQL registration (the fast application path)
-# --------------------------------------------------------------------
-#
-# Building the stemmer Column costs ~1.5 s of DRIVER time per
-# application — thousands of Py4J round trips constructing the ~13 KB
-# expression tree (measured: Catalyst analysis is <30 ms; the cost is
-# tree CONSTRUCTION, not planning). Queries that stem (match_text
-# porter mode, $stem, bm25 stem=...) paid that fixed cost on every
-# build. The fix: build the tree ONCE per session, extract its SQL
-# text from the logical plan, and register it as a SQL temporary
-# function over a whole token ARRAY —
-#
-#   CREATE TEMPORARY FUNCTION __r81_porter2s(toks ARRAY<STRING>)
-#   RETURNS ARRAY<STRING> RETURN transform(toks, tok -> <body>)
-#
-# after which every application is one `call_function` (a single Py4J
-# call; the body is inlined JVM-side at analysis). The function takes
-# the ARRAY deliberately: SQL-UDF inlining does not compose with an
-# argument that is an outer lambda variable (MISSING_ATTRIBUTES), so
-# the per-token lambda must live INSIDE the registered body, and call
-# sites must never wrap the function in their own transform().
-#
-# Single source of truth: the registered body IS porter2_stem's tree
-# (extracted, never re-written by hand); `lambdafunction(body, v)` is
-# the one .sql() form that does not re-parse, rewritten to arrow form
-# by _lambda_arrows below. Falls back to the inline Column program
-# when there is no active session or registration fails.
-
-_FN_NAME = "__r81_porter2s"
-_SQL_BODY: str | None = None  # deterministic — cached per process
-_REGISTERED: set[int] = set()  # id(session)s already carrying the fn
-
-
-def _lambda_arrows(sql: str) -> str:
-    """Rewrite every `lambdafunction(BODY, v1[, v2...])` in generated
-    SQL into the parseable `(v1[, v2...]) -> BODY` arrow form, quote-
-    and paren-aware (suffix literals contain apostrophes, escaped as
-    '' by the generator)."""
-    key = "lambdafunction("
-    while True:
-        i = sql.find(key)
-        if i < 0:
-            return sql
-        j = i + len(key)
-        depth, commas, k, in_q = 1, [], j, False
-        while depth:
-            c = sql[k]
-            if in_q:
-                if c == "'":
-                    if k + 1 < len(sql) and sql[k + 1] == "'":
-                        k += 1
-                    else:
-                        in_q = False
-            elif c == "'":
-                in_q = True
-            elif c == "(":
-                depth += 1
-            elif c == ")":
-                depth -= 1
-                if depth == 0:
-                    break
-            elif c == "," and depth == 1:
-                commas.append(k)
-            k += 1
-        body = sql[j:commas[0]]
-        vars_ = [sql[a + 1:b].strip() for a, b in zip(commas, commas[1:] + [k])]
-        vs = vars_[0] if len(vars_) == 1 else "(" + ", ".join(vars_) + ")"
-        sql = sql[:i] + f"({vs} -> {body})" + sql[k + 1:]
-
-
-def _sql_body(spark) -> str:
-    global _SQL_BODY
-    if _SQL_BODY is None:
-        col = porter2_stem(F.col("tok"))
-        plan = (
-            spark.createDataFrame([("x",)], ["tok"])
-            .select(col.alias("o"))
-            ._jdf.queryExecution().logical()
-        )
-        _SQL_BODY = _lambda_arrows(plan.expressions().apply(0).child().sql())
-    return _SQL_BODY
-
-
 def porter2_stem_tokens(toks: Column) -> Column:
     """Stem EVERY element of a token array — the application path all
-    stemming call sites should use. One `call_function` against the
-    once-per-session SQL temp function; inline fallback when no
-    session is active (plan-only tests) or registration fails."""
-    from pyspark.sql import SparkSession
+    stemming call sites should use. One `call_function` against a
+    once-per-session SQL temp function (ops/sqlfn.py — building the
+    ~13 KB stemmer tree cost ~1.5 s of driver time per application);
+    inline transform() fallback when no session is active."""
+    from route81_spark.ops.sqlfn import tokens_fn
 
-    spark = SparkSession.getActiveSession()
-    if spark is not None:
-        sid = id(spark)
-        if sid not in _REGISTERED:
-            try:
-                spark.sql(
-                    f"CREATE OR REPLACE TEMPORARY FUNCTION {_FN_NAME}"
-                    "(toks ARRAY<STRING>) RETURNS ARRAY<STRING> RETURN "
-                    f"transform(toks, tok -> ({_sql_body(spark)}))"
-                )
-                _REGISTERED.add(sid)
-            except Exception:  # pragma: no cover - registration seam
-                return F.transform(toks, porter2_stem)
-        return F.call_function(_FN_NAME, toks)
-    return F.transform(toks, porter2_stem)
+    return tokens_fn("__r81_porter2s", porter2_stem, toks)
 
 
 def porter2_stem(tok: Column) -> Column:

@@ -1,0 +1,114 @@
+"""Once-per-session SQL temp-function registration for big pure-Column
+scalar programs.
+
+Building a large Column program (the Snowball stemmers: ~13-30 KB
+expression trees) costs seconds of DRIVER time per application —
+thousands of Py4J round trips constructing the tree (measured on the
+English stemmer: Catalyst analysis is <30 ms; the cost is tree
+CONSTRUCTION, not planning). The fix: build the tree ONCE per process,
+extract its SQL text from an (unanalyzed) logical plan, and register a
+SQL temporary function over a whole token ARRAY —
+
+    CREATE TEMPORARY FUNCTION <name>(toks ARRAY<STRING>)
+    RETURNS ARRAY<STRING> RETURN transform(toks, tok -> <body>)
+
+after which every application is one `call_function` (a single Py4J
+call; the body is inlined JVM-side at analysis). The function takes
+the ARRAY deliberately: SQL-UDF inlining does not compose with an
+argument that is an outer lambda variable (MISSING_ATTRIBUTES), so the
+per-token lambda must live INSIDE the registered body, and call sites
+must never wrap the function in their own transform().
+
+Single source of truth: the registered body IS the Column program's
+tree (extracted, never re-written by hand); `lambdafunction(body, v)`
+is the one .sql() form that does not re-parse, rewritten to arrow form
+by lambda_arrows below. Callers fall back to the inline Column program
+when there is no active session or registration fails.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_SQL_BODIES: dict[str, str] = {}  # fn name -> body text (deterministic)
+_REGISTERED: dict[str, set[int]] = {}  # fn name -> id(session)s carrying it
+
+
+def lambda_arrows(sql: str) -> str:
+    """Rewrite every `lambdafunction(BODY, v1[, v2...])` in generated
+    SQL into the parseable `(v1[, v2...]) -> BODY` arrow form, quote-
+    and paren-aware (stemmer suffix literals contain apostrophes,
+    escaped as '' by the generator)."""
+    key = "lambdafunction("
+    while True:
+        i = sql.find(key)
+        if i < 0:
+            return sql
+        j = i + len(key)
+        depth, commas, k, in_q = 1, [], j, False
+        while depth:
+            c = sql[k]
+            if in_q:
+                if c == "'":
+                    if k + 1 < len(sql) and sql[k + 1] == "'":
+                        k += 1
+                    else:
+                        in_q = False
+            elif c == "'":
+                in_q = True
+            elif c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            elif c == "," and depth == 1:
+                commas.append(k)
+            k += 1
+        body = sql[j:commas[0]]
+        vars_ = [sql[a + 1:b].strip() for a, b in zip(commas, commas[1:] + [k])]
+        vs = vars_[0] if len(vars_) == 1 else "(" + ", ".join(vars_) + ")"
+        sql = sql[:i] + f"({vs} -> {body})" + sql[k + 1:]
+
+
+def _sql_body(spark, name: str, scalar: Callable[[Column], Column]) -> str:
+    body = _SQL_BODIES.get(name)
+    if body is None:
+        plan = (
+            spark.createDataFrame([("x",)], ["tok"])
+            .select(scalar(F.col("tok")).alias("o"))
+            ._jdf.queryExecution().logical()
+        )
+        body = lambda_arrows(plan.expressions().apply(0).child().sql())
+        _SQL_BODIES[name] = body
+    return body
+
+
+def tokens_fn(name: str, scalar: Callable[[Column], Column],
+              toks: Column) -> Column:
+    """Apply `scalar` (a one-token -> one-token Column program) to
+    EVERY element of a token array through a once-per-session SQL temp
+    function named `name`; inline transform() fallback when no session
+    is active (plan-only tests) or registration fails. The scalar must
+    be a deterministic pure function of its input column."""
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is not None:
+        sid = id(spark)
+        seen = _REGISTERED.setdefault(name, set())
+        if sid not in seen:
+            try:
+                spark.sql(
+                    f"CREATE OR REPLACE TEMPORARY FUNCTION {name}"
+                    "(toks ARRAY<STRING>) RETURNS ARRAY<STRING> RETURN "
+                    f"transform(toks, tok -> ({_sql_body(spark, name, scalar)}))"
+                )
+                seen.add(sid)
+            except Exception:  # pragma: no cover - registration seam
+                return F.transform(toks, scalar)
+        return F.call_function(name, toks)
+    return F.transform(toks, scalar)

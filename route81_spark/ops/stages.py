@@ -57,14 +57,16 @@ def _stem(df: DataFrame, arg: dict) -> DataFrame:
         # one call_function against the once-per-session SQL temp
         # function (ops/porter.py) — not a fresh ~13 KB tree per stage
         from route81_spark.ops.porter import porter2_stem_tokens as stem_toks
+    elif mode == "french":
+        from route81_spark.ops.french import french_stem_tokens as stem_toks
     elif mode == "s":
         def stem_toks(tk):
             return F.transform(tk, X.s_stem)
     else:
         raise ValueError(
             f"$stem: unsupported mode {mode!r} — 'porter' (Snowball"
-            " English) and 's' (Harman S-stemmer) are the implemented"
-            " modes"
+            " English), 'french' (Snowball French) and 's' (Harman"
+            " S-stemmer) are the implemented modes"
         )
     toks = X.tokens(F.col(arg.get("textField", "text")))
     return df.withColumn(arg.get("as", "stems"), stem_toks(toks))

@@ -61,14 +61,20 @@ from route81_spark.pipeline.exprs import PipelineCompileError, compile_expr, ext
 #     (Porter2) stemmer as a pure-Column program (ops/porter.py) —
 #     the algorithm Mongo's English analyzer runs server-side;
 #     `$language: "english"/"en"` selects it too. {stem: "s"} keeps
-#     the Harman S-stemmer plural subset (r8). Tokens and plain query
-#     terms stem; phrases stay raw. Other stem values fail loudly.
+#     the Harman S-stemmer plural subset (r8). {stem: "french"} /
+#     `$language: "french"/"fr"` (r10) = the full Snowball French
+#     stemmer (ops/french.py); French analysis matches Mongo's
+#     analyzer ORDER — tokenize (always Unicode runs: accented letters
+#     must not split tokens), stem WITH diacritics intact, THEN fold —
+#     so 'continuait' stems to 'continu' before the accent fold that
+#     the English path applies up front. Tokens and plain query terms
+#     stem; phrases stay raw. Other stem values fail loudly.
 #   * DOCUMENTED DIVERGENCES (fail loudly where dishonoring a request):
-#     non-English $language values stay accepted-and-ignored (no
-#     non-English Snowball programs), and the engine default WITHOUT
-#     $language is unstemmed where Mongo would default to English —
-#     flipping the default would surprise the ASCII-token fast path;
-#     opt in per query. Tokens are
+#     $language values beyond english/french stay accepted-and-ignored
+#     (the other ~13 Snowball programs are not carried), and the
+#     engine default WITHOUT $language is unstemmed where Mongo would
+#     default to English — flipping the default would surprise the
+#     ASCII-token fast path; opt in per query. Tokens are
 #     ASCII-alnum runs BY DEFAULT (engine extension {unicode: true}
 #     switches to Unicode letter/number runs for any script — r8);
 #     diacritic folding covers Mn/Me marks and single-base precomposed
@@ -86,9 +92,10 @@ from route81_spark.pipeline.exprs import PipelineCompileError, compile_expr, ext
 #     over the engine-defined integer score; `languageOverride`
 #     (Mongo's language_override index option, r9) names a column with
 #     each document's language — English docs stem with the active
-#     stem mode, every other language keeps raw tokens (documented:
-#     no non-English stemmer programs), query terms stem with the
-#     query language as usual.
+#     English-capable mode, French docs (r10) stem with the Snowball
+#     French program, every other language keeps raw tokens
+#     (documented: the remaining Snowball programs are not carried),
+#     query terms stem with the query language as usual.
 # --------------------------------------------------------------------
 
 # The active $text spec, read by {$meta: "textScore"}. A ContextVar —
@@ -180,15 +187,17 @@ def _text_parts(spec: dict):
     # or stem). Phrases match the raw text unstemmed. Any other stem
     # value fails loudly.
     stem = spec.get("stem")
-    if stem is None and str(spec.get("$language", "")).lower() in (
-        "english", "en"
-    ):
-        stem = "porter"
-    if stem not in (None, "s", "porter"):
+    if stem is None:
+        lang = str(spec.get("$language", "")).lower()
+        if lang in ("english", "en"):
+            stem = "porter"
+        elif lang in ("french", "fr"):
+            stem = "french"
+    if stem not in (None, "s", "porter", "french"):
         raise PipelineCompileError(
             f"$text: unsupported stem mode {stem!r} — 's' (Harman"
-            " S-stemmer) and 'porter' (Snowball English) are the"
-            " implemented modes"
+            " S-stemmer), 'porter' (Snowball English) and 'french'"
+            " (Snowball French) are the implemented modes"
         )
     # languageOverride: the analog of Mongo's text-index
     # `language_override` option — a COLUMN naming each document's
@@ -250,25 +259,53 @@ def _text_bound(spec: dict, build):
         s = s if cs else s.lower()
         return s if ds else fold_diacritics_py(s)
 
+    def french_chain(text_cf: Column) -> Column:
+        """The French analyzer in Mongo's ORDER: tokenize the case-
+        folded (NOT diacritic-folded) text on Unicode runs — accented
+        letters must not split tokens — stem with accents intact
+        (the algorithm depends on them), THEN fold each token."""
+        from route81_spark.ops.french import french_stem_tokens
+
+        tks = french_stem_tokens(F.split(text_cf, r"[^\p{L}\p{N}]+"))
+        if not ds:
+            tks = F.transform(tks, fold_diacritics)
+        return tks
+
     if stem:
-        if stem == "porter":
+        if stem == "french":
+            from route81_spark.ops.french import french_py
+
+            def stem_py(t: str) -> str:
+                # French literal order mirrors french_chain: lower,
+                # stem WITH accents, then fold
+                s = french_py(t if cs else t.lower())
+                return s if ds else fold_diacritics_py(s)
+        elif stem == "porter":
+            from route81_spark.ops.porter import porter2_py as _en_py
             from route81_spark.ops.porter import (
-                porter2_py as stem_py, porter2_stem_tokens as stem_toks,
+                porter2_stem_tokens as stem_toks,
             )
+
+            def stem_py(t: str) -> str:
+                return _en_py(base_norm(t))
         else:
             from route81_spark.ops.text import (
-                s_stem as _s_col, s_stem_py as stem_py,
+                s_stem as _s_col, s_stem_py as _s_py,
             )
 
             def stem_toks(tk: Column) -> Column:
                 return F.transform(tk, _s_col)
 
+            def stem_py(t: str) -> str:
+                return _s_py(base_norm(t))
+
         pos_t, neg_t, pos_ph, neg_ph = parts
-        # terms stem (after case/diacritic fold, like the token array);
-        # phrases match the raw normalized text, unstemmed
+        # terms stem (English modes: after case/diacritic fold, like
+        # the token array; French: before the fold); phrases match the
+        # raw normalized text, unstemmed
         parts = (
-            [stem_py(base_norm(t)) for t in pos_t],
-            [stem_py(base_norm(t)) for t in neg_t],
+            [stem_py(t) for t in pos_t],
+            [stem_py(t) for t in neg_t],
             [base_norm(p) for p in pos_ph],
             [base_norm(p) for p in neg_ph],
         )
@@ -281,25 +318,50 @@ def _text_bound(spec: dict, build):
 
     struct_cols = []
     for i, (name, _w) in enumerate(cols):
-        text = _text_norm(F.col(name), cs)
+        text_cf = _text_norm(F.col(name), cs)
         if not ds:
             # fold AFTER case-folding (the table carries both cases);
             # one pure-Column translate, still inside codegen
-            text = fold_diacritics(text)
-        toks = F.split(text, sep)
-        if stem:
-            # porter: one call_function against the once-per-session
-            # SQL temp function — rebuilding the ~13 KB stemmer tree
-            # per field cost ~1.5 s of driver time each (r10)
-            stemmed = stem_toks(toks)
+            text = fold_diacritics(text_cf)
+        else:
+            text = text_cf
+        raw_toks = F.split(text, sep)
+        if stem == "french":
+            toks = french_chain(text_cf)
             if lang_over is not None:
                 # per-document analysis language (language_override):
-                # only English docs stem; the CASE evaluates lazily, so
-                # each row pays exactly one branch
-                eng = F.lower(F.col(lang_over)).isin("english", "en")
-                toks = F.when(eng, stemmed).otherwise(toks)
+                # fr docs use the French program, en docs Snowball
+                # English, everything else raw tokens; the CASE
+                # evaluates lazily, one branch per row
+                from route81_spark.ops.porter import porter2_stem_tokens
+
+                lov = F.lower(F.col(lang_over))
+                toks = (
+                    F.when(lov.isin("french", "fr"), toks)
+                    .when(
+                        lov.isin("english", "en"),
+                        porter2_stem_tokens(raw_toks),
+                    )
+                    .otherwise(raw_toks)
+                )
+        elif stem:
+            # stemmers apply through one call_function against a
+            # once-per-session SQL temp function — rebuilding the big
+            # stemmer tree per field cost ~1.5 s of driver time each
+            stemmed = stem_toks(raw_toks)
+            if lang_over is not None:
+                lov = F.lower(F.col(lang_over))
+                toks = (
+                    F.when(lov.isin("english", "en"), stemmed)
+                    .when(
+                        lov.isin("french", "fr"), french_chain(text_cf)
+                    )
+                    .otherwise(raw_toks)
+                )
             else:
                 toks = stemmed
+        else:
+            toks = raw_toks
         struct_cols += [text.alias(f"t{i}"), toks.alias(f"k{i}")]
 
     bound = F.transform(

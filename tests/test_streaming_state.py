@@ -1161,3 +1161,47 @@ def test_streaming_text_langoverride_matches_batch(spark, tmp_path):
     want = {(r["doc_id"], r["score"])
             for r in apply_pipeline(batch, pipe).collect()}
     assert got == want == {(1, 2), (3, 1), (4, 1)}
+
+
+def test_streaming_text_french_matches_batch(spark, tmp_path):
+    """$language: "french" (the Snowball French program, r10) streams
+    unchanged: per-row scalar analysis (tokenize -> stem -> fold, the
+    French analyzer order), no state, append-legal; streamed matches
+    and scores equal the batch pipeline's, including the accented
+    conflation ('générale' matching 'générales' requires stemming
+    BEFORE the diacritic fold on both paths)."""
+    from route81_spark.pipeline import apply_pipeline
+
+    rows = [
+        {"doc_id": 1, "text": "elle continuait librement"},
+        {"doc_id": 2, "text": "générales activités"},
+        {"doc_id": 3, "text": "continuait des nationaux"},
+        {"doc_id": 4, "text": "rien de notable ici"},
+    ]
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    pipe = [
+        {"$match": {"$text": {
+            "$search": "continuer générale -nationaux",
+            "$language": "french",
+        }}},
+        {"$addFields": {"score": {"$meta": "textScore"}}},
+        {"$project": {"doc_id": 1, "score": 1}},
+    ]
+    src = tmp_path / "frsrc"
+    _write_batch(src / "b1.json", rows[:2])
+    _write_batch(src / "b2.json", rows[2:])
+    stream = spark.readStream.schema(schema).json(str(src))
+    out, ck = tmp_path / "frout", tmp_path / "frck"
+    _run_available_now(apply_pipeline(stream, pipe), out, ck)
+    got = {(r["doc_id"], r["score"])
+           for r in spark.read.parquet(str(out)).collect()}
+    batch = spark.createDataFrame(
+        [tuple(r.values()) for r in rows],
+        "doc_id long, text string",
+    )
+    want = {(r["doc_id"], r["score"])
+            for r in apply_pipeline(batch, pipe).collect()}
+    assert got == want == {(1, 1), (2, 1)}
