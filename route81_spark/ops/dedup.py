@@ -201,9 +201,22 @@ def lsh_candidates(
     big = buckets.filter(F.size(ids) > max_bucket_size).select(
         "band_idx", "band_hash", F.explode(ids).alias(id_col)
     )
-    a, b = big.alias("a"), big.alias("b")
+    # Spread shape of this lane (probed r10, tools/scale_probe.py
+    # lsh_megacluster): the joined side carries bucket MEMBERS only
+    # (linear in cluster size), so Catalyst broadcasts it and the m^2
+    # pair GENERATION streams over the other side with no join-key
+    # shuffle — salting is therefore a no-op here (verified: identical
+    # wall time at spread 1 vs 32; the build side is broadcast either
+    # way). What DOES serialize is the stream side's layout: explode
+    # leaves a mega-bucket's members in the few partitions its
+    # per-band bucket rows occupied, so one hash repartition of the
+    # member rows (linear cost) spreads the quadratic generation
+    # across the cluster. If the member side ever outgrows the
+    # broadcast threshold, the fallback sort-merge join's hot key is
+    # AQE skew-join territory (enabled by default), not hand salting.
+    a = big.repartition(F.col(id_col)).alias("a")
     big_pairs = a.join(
-        b,
+        big.alias("b"),
         (F.col("a.band_idx") == F.col("b.band_idx"))
         & (F.col("a.band_hash") == F.col("b.band_hash"))
         & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),

@@ -837,10 +837,80 @@ def domain_skew_probe(spark, k: int = 100) -> None:
     skew.unpersist()
 
 
+def lsh_megacluster_probe(spark, k: int = 20) -> None:
+    """Planted boilerplate-cluster probe for LSH near-dedup — the last
+    un-probed quadratic surface. Real crawls carry template clusters
+    (ToS pages, mirrored boilerplate) whose members share EVERY minhash
+    band, landing the whole cluster in one LSH bucket: pair OUTPUT is
+    inherently m(m-1)/2 in the cluster size m — no partitioning trick
+    removes it; what the engine must guarantee is that the quadratic
+    work SPREADS instead of sitting in one task/row.
+
+    lsh_candidates has two lanes (ops/dedup.py): buckets <=
+    max_bucket_size materialize their pairs as array expressions in a
+    SINGLE row (cheap — no join), bigger buckets fall back to a
+    per-row equi-join that spreads the pair generation across tasks.
+    This probe plants ONE exact-template cluster at ~1% / just-under-
+    cap / over-cap sizes in a 100k-doc corpus (all other texts made
+    distinct by appending doc_id) and reports wall time + pair count
+    per plant, so the cap semantics are measured, not assumed:
+    expected shape is wall time tracking PAIR COUNT (the inherent
+    output), with no single-lane cliff at the cap boundary. If the
+    under-cap lane ever showed a cliff vs the join lane at equal m,
+    the fix is lowering max_bucket_size (in-row materialization is
+    m^2 structs in ONE row buffer)."""
+    from route81_spark.ops.dedup import lsh_candidates
+
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    base = load_table(spark, sf, "documents").select("doc_id", "text")
+    big = scaled(base, k).withColumn(
+        "text",
+        F.concat_ws(" ", F.col("text"), F.col("doc_id").cast("string")),
+    ).persist()
+    n = big.count()
+    boiler = (
+        "terms of service boilerplate template reproduced verbatim "
+        "across mirror sites of the same provider network"
+    )
+    # baseline first: distinct texts, candidate pairs ~ hash collisions
+    t0 = time.time()
+    base_pairs = lsh_candidates(big).count()
+    tb = time.time() - t0
+    print(f"lsh_megacluster corpus: {n} rows, baseline "
+          f"pairs={base_pairs} in {tb:.2f}s")
+    for tag, m in (("1pct", n // 100), ("under_cap", 4000),
+                   ("over_cap", 8000)):
+        planted = big.withColumn(
+            "text",
+            F.when(F.col("doc_id") < m, F.lit(boiler))
+            .otherwise(F.col("text")),
+        ).persist()
+        planted.count()
+        t0 = time.time()
+        pairs = lsh_candidates(planted).count()
+        dt = time.time() - t0
+        want = m * (m - 1) // 2
+        lane = "join-spread" if m > 4096 else "in-row"
+        print(
+            f"lsh_megacluster {tag:10s} m={m:5d} ({lane:11s}) "
+            f"pairs={pairs} (cluster alone={want}) "
+            f"time={dt:6.2f}s  vs baseline {tb:.2f}s "
+            f"({dt / tb:4.2f}x for {pairs / max(base_pairs, 1):,.0f}x pairs)"
+        )
+        assert pairs >= want, (tag, pairs, want)
+        planted.unpersist()
+    big.unpersist()
+
+
 def main() -> int:
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 20
     selected = set(sys.argv[2:])
     spark = get_spark("scale_probe")
+    if "lsh_megacluster" in selected:
+        lsh_megacluster_probe(spark, k)
+        selected = selected - {"lsh_megacluster"}
+        if not selected:
+            return 0
     if "domain_skew" in selected:
         domain_skew_probe(spark, k)
         selected = selected - {"domain_skew"}
