@@ -411,3 +411,68 @@ def cdc_delete_id_expr(spark, sf_dir):
         ),
     )
     return out.select("is_delete", "doc_id")
+
+
+@_q(
+    "cdc_delete_id_map",
+    # oracle: replicate the map lookup — attrs = {region: ..., tier:
+    # event_type}, key cycles region/missing/tier; a missing key makes
+    # the whole composite NULL (NULL || x is NULL in both engines,
+    # matching try_element_at -> concat on the Spark side)
+    """
+    SELECT CAST(event_id % 25 = 0 AS BOOLEAN) AS is_delete,
+           CASE WHEN event_id % 25 = 0
+                THEN (CASE
+                       WHEN event_id % 2 = 0
+                       THEN (CASE WHEN user_id % 2 = 0
+                                  THEN 'eu' ELSE 'us' END)
+                       WHEN event_id % 5 = 0 THEN NULL
+                       ELSE event_type END)
+                     || '-' || CAST(event_id % 100 AS VARCHAR)
+                ELSE CAST(event_id AS VARCHAR) END AS doc_id
+    FROM events
+    """,
+)
+def cdc_delete_id_map(spark, sf_dir):
+    """Consumer classifier with a gval delete-id-path over a declared
+    MAP column (r10): `meta.attrs[meta.key] + "-" + meta.id % 100` —
+    a string-keyed DYNAMIC subscript compiles to try_element_at when —
+    and only when — the schema says the base is a map (an open key
+    set; struct bases stay the loud rejection, sinks/gvalexpr.py), so
+    a missing key yields NULL exactly like gval's nil on an absent Go
+    map key, and the NULL propagates through the composite concat.
+    One pure Column over the message schema, zero Python per row."""
+    from route81_spark.sinks.classify import ClassifierConfig, classify
+
+    ev = _t(spark, sf_dir, "events")
+    msgs = ev.select(
+        F.struct(
+            F.create_map(
+                F.lit("region"),
+                F.when(F.col("user_id") % 2 == 0, F.lit("eu"))
+                .otherwise(F.lit("us")),
+                F.lit("tier"),
+                F.col("event_type"),
+            ).alias("attrs"),
+            F.when(F.col("event_id") % 2 == 0, F.lit("region"))
+            .when(F.col("event_id") % 5 == 0, F.lit("missing"))
+            .otherwise(F.lit("tier")).alias("key"),
+            F.col("event_id").alias("id"),
+        ).alias("meta"),
+        F.when(
+            F.col("event_id") % 25 == 0, F.lit(None)
+        ).otherwise(
+            F.struct(
+                F.col("event_id").cast("string").alias("_id"),
+                F.col("event_type").alias("etype"),
+            )
+        ).alias("data"),
+    )
+    out = classify(
+        msgs,
+        ClassifierConfig(
+            document_root_path="data",
+            delete_id_path='meta.attrs[meta.key] + "-" + meta.id % 100',
+        ),
+    )
+    return out.select("is_delete", "doc_id")
