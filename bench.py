@@ -119,26 +119,34 @@ def materialize(df) -> None:
 
 
 def _prev_round() -> tuple[str, dict] | None:
-    """Latest recorded BENCH_r{N}.json in the repo -> (tag, parsed) —
+    """Newest USABLE BENCH_r{N}.json in the repo -> (tag, parsed) —
     the r-over-r comparison base, so the driver's tail capture alone
     tells the cohort story (totals stopped being cross-round
-    comparable once the query set started growing)."""
+    comparable once the query set started growing). Rounds whose
+    machine-readable line the driver could not parse (r9: the old
+    single fat line overflowed the fixed 2000-char tail window) are
+    skipped, falling back to the next older round. From r10 on the
+    final line is compact — `queries` carries the cohort SUBTOTALS,
+    not per-query timings, so the per-query "common" delta is only
+    computed against rounds that still recorded full timings (the
+    subtotal deltas always work)."""
     import glob
 
     here = os.path.dirname(os.path.abspath(__file__))
-    best: tuple[int, str] | None = None
+    rounds: list[tuple[int, str]] = []
     for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
         m = re.search(r"BENCH_r(\d+)\.json$", p)
-        if m and (best is None or int(m.group(1)) > best[0]):
-            best = (int(m.group(1)), p)
-    if best is None:
-        return None
-    try:
-        with open(best[1]) as f:
-            parsed = json.load(f).get("parsed") or {}
-        return (f"r{best[0]:02d}", parsed) if parsed.get("queries") else None
-    except Exception:
-        return None
+        if m:
+            rounds.append((int(m.group(1)), p))
+    for n, p in sorted(rounds, reverse=True):
+        try:
+            with open(p) as f:
+                parsed = json.load(f).get("parsed") or {}
+        except Exception:
+            continue
+        if parsed.get("subtotals") or parsed.get("queries"):
+            return f"r{n:02d}", parsed
+    return None
 
 
 def main() -> None:
@@ -188,7 +196,10 @@ def main() -> None:
     prev = _prev_round()
     if prev is not None:
         tag, pp = prev
-        pq, psub = pp.get("queries", {}), pp.get("subtotals", {})
+        pq = pp.get("queries", {})
+        psub = pp.get("subtotals") or pq  # legacy rounds: subtotals-only
+        if "headline13" in pq:
+            pq = {}  # compact format: `queries` IS the subtotal dict
         deltas = {"vs": tag}
         for c in ("headline13", "pre_r6"):
             if psub.get(c):
@@ -212,15 +223,14 @@ def main() -> None:
         f"({len(timings)} queries)"
     )
     if deltas is not None:
-        print(
-            "delta_vs_%s: headline13 %+.1f%% pre_r6 %+.1f%% common %+.1f%%"
-            % (
-                deltas["vs"],
-                deltas.get("headline13", 0.0),
-                deltas.get("pre_r6", 0.0),
-                deltas.get("common", 0.0),
-            )
+        line = "delta_vs_%s: headline13 %+.1f%% pre_r6 %+.1f%%" % (
+            deltas["vs"],
+            deltas.get("headline13", 0.0),
+            deltas.get("pre_r6", 0.0),
         )
+        if "common" in deltas:
+            line += " common %+.1f%%" % deltas["common"]
+        print(line)
     # per-query timings on their OWN line: the driver's tail capture is a
     # fixed-size window that keeps the END of stdout — r9's single ~3 KB
     # JSON line overflowed it and lost its head ("parsed": null). The
