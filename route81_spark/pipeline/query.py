@@ -178,14 +178,15 @@ def _text_parts(spec: dict):
     # (Porter2) stemmer (ops.porter) on tokens AND plain query terms —
     # the same algorithm MongoDB's English analyzer applies
     # server-side; {stem: "s"} keeps the Harman S-stemmer plural
-    # subset (ops.text.s_stem). `$language: "english"` (or "en") now
+    # subset (ops.text.s_stem). `$language: "english"` (or "en")
     # selects Porter2, matching Mongo's default-English stemming;
-    # other languages stay accepted-and-ignored (documented
-    # divergence: no non-English Snowball programs), and the engine
-    # default WITHOUT $language remains unstemmed (documented: Mongo's
-    # no-language default is English; flip on per-query via $language
-    # or stem). Phrases match the raw text unstemmed. Any other stem
-    # value fails loudly.
+    # `$language: "french"` (or "fr", r10) selects the Snowball French
+    # program (ops.french); other languages stay accepted-and-ignored
+    # (documented divergence: the remaining ~13 Snowball programs are
+    # not carried), and the engine default WITHOUT $language remains
+    # unstemmed (documented: Mongo's no-language default is English;
+    # flip on per-query via $language or stem). Phrases match the raw
+    # text unstemmed. Any other stem value fails loudly.
     stem = spec.get("stem")
     if stem is None:
         lang = str(spec.get("$language", "")).lower()
@@ -202,15 +203,16 @@ def _text_parts(spec: dict):
     # languageOverride: the analog of Mongo's text-index
     # `language_override` option — a COLUMN naming each document's
     # language. Documents whose override resolves to English
-    # ("english"/"en", case-folded) stem with the active stem mode;
-    # every other language keeps RAW tokens (this engine carries no
-    # non-English stemmer programs — exactly how a Mongo English-default
-    # index treats docs whose override names a language it has no
-    # analyzer for... except Mongo would apply THAT language's
-    # stemmer; documented divergence: non-English docs index
-    # unstemmed here). Query terms stem with the QUERY language as
-    # usual. Requires an active stem mode — without one the option
-    # would be a silent no-op, so it fails loudly instead.
+    # ("english"/"en", case-folded) stem with the active English-
+    # capable mode, French documents ("french"/"fr", r10) stem with
+    # the Snowball French program; every other language keeps RAW
+    # tokens (documented divergence: Mongo would apply THAT language's
+    # Snowball program — the remaining ~13 are not carried; unknown
+    # languages index unstemmed here, exactly like a Mongo index whose
+    # override names a language it has no analyzer for). Query terms
+    # stem with the QUERY language as usual. Requires an active stem
+    # mode — without one the option would be a silent no-op, so it
+    # fails loudly instead.
     lang_over = spec.get("languageOverride")
     if lang_over is not None:
         if not isinstance(lang_over, str) or not lang_over:

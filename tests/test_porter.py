@@ -147,8 +147,9 @@ def test_text_search_porter_mode(spark):
 
 def test_text_language_english_selects_porter(spark):
     """$language: "english" (Mongo's default analyzer language) now
-    runs Porter2 instead of being silently ignored; non-English
-    languages stay accepted-and-ignored (documented divergence)."""
+    runs Porter2 instead of being silently ignored; languages beyond
+    english/french stay accepted-and-ignored (documented
+    divergence)."""
     rows = [(1, "generously agreed"), (2, "generous agreement")]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     eng = apply_pipeline(
