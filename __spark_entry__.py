@@ -34,19 +34,25 @@ from route81_spark import harness  # noqa: E402
 # (never-recorded first, then oldest), tie-broken by registration order.
 # Consecutive rounds therefore alternate halves without hand-kept lists.
 _HEADLINE = [
-    # r9: only queries whose CODE changed this round (the r6 freshness
-    # discipline). The 1 new r9 query (match_text_porter) sorts first
-    # in the tail automatically; 8 headline + 1 new leaves 41 window
-    # slots for the stale cohort — the entire 22-row r4 cohort drains
-    # plus 19 of the 48 r5 rows (nothing stays older than r5).
-    "text_pii_redact",        # \b-anchored checksum-gated replacement
-    "text_pii_extended",      # per-country IBAN length registry + %5 corpus
-    "cdc_delete_id_expr",     # gval dynamic array subscripts (tags[id % 3])
-    "corpus_robots_filter",   # __robots_allow reserved-name guard
-    "match_text_search",      # $text compile path: stem-mode plumbing
-    "match_text_unicode",     # $text compile path: stem-mode plumbing
-    "match_text_diacritics",  # $text compile path: stem-mode plumbing
-    "match_text_stem",        # stem modes now a string lane (s | porter)
+    # r10: only queries whose CODE changed this round (the r6
+    # freshness discipline). The 3 new r10 queries
+    # (match_text_wildcard_nested, match_text_french,
+    # cdc_delete_id_map) sort first in the tail automatically;
+    # 13 headline + 3 new + the ENTIRE 34-row r5 cohort = exactly the
+    # 50-slot window (nothing stays older than r6 after this round).
+    "match_text_langoverride",  # SEMANTICS: fr docs now stem w/ French
+    "match_text_porter",      # stemmer applies via session SQL temp fn
+    "text_bm25_stemmed",      # same application-path change
+    "stage_stem",             # same + whitespace-tokenize contract doc
+    "match_text_weighted",    # _text_bound per-field loop restructured
+    "match_text_wildcard",    # '$**' expansion: nested descent + excl.
+    "match_text_stem",        # s-mode lane wrapped as stem_toks
+    "match_text_search",      # _text_bound restructure (raw_toks path)
+    "match_text_unicode",     # _text_bound restructure
+    "match_text_diacritics",  # _text_bound restructure
+    "dedup_lsh_jaccard",      # big-bucket lane: member-row repartition
+    "dedup_end_to_end",       # composes the same LSH lane
+    "cdc_delete_id_expr",     # gvalexpr float-kind + map-lane refactor
 ]
 
 

@@ -1323,9 +1323,9 @@ def bm25_scores(
             porter2_py as _stem_py, porter2_stem_tokens as _stem_toks,
         )
     elif stem == "french":
-        # caveat: tokens() emits ASCII-alnum runs — accented French
-        # input should be tokenized upstream; the stemmer itself is
-        # exact either way
+        # tokens() splits on whitespace, so accented letters survive
+        # into the stemmer; lowercasing/punctuation prep remains the
+        # caller's job (same contract as the porter mode)
         from route81_spark.ops.french import (
             french_py as _stem_py, french_stem_tokens as _stem_toks,
         )

@@ -47,11 +47,14 @@ def _simhash(df: DataFrame, arg: dict) -> DataFrame:
 
 
 def _stem(df: DataFrame, arg: dict) -> DataFrame:
-    """$stem: tokenize a text column and stem every token — 'porter'
-    (Snowball English, ops/porter.py) or 's' (Harman S-stemmer).
-    Adds an array<string> column (default 'stems'); per-row scalar
-    work, no shuffle. The building block for stemmed vocabularies /
-    inverted indexes outside the $text match path."""
+    """$stem: tokenize a text column (whitespace split — accented
+    letters survive into the stemmer; lowercasing is the caller's
+    prep) and stem every token — 'porter' (Snowball English,
+    ops/porter.py), 'french' (Snowball French, ops/french.py) or 's'
+    (Harman S-stemmer). Adds an array<string> column (default
+    'stems'); per-row scalar work, no shuffle. The building block for
+    stemmed vocabularies / inverted indexes outside the $text match
+    path."""
     mode = arg.get("mode", "porter")
     if mode == "porter":
         # one call_function against the once-per-session SQL temp
