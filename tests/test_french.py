@@ -192,6 +192,28 @@ def test_text_langoverride_dispatches_french(spark):
     assert {r["doc_id"] for r in out.collect()} == {1, 2}
 
 
+def test_text_french_composes_with_weighted_fields(spark):
+    """French mode rides the shared bound-struct scaffolding, so the
+    weighted multi-field index form composes: terms stem with French
+    in EVERY field, weights multiply per-field occurrences."""
+    df = spark.createDataFrame(
+        [(1, "continuations", "rien ici"),
+         (2, "divers", "elle continuait"),
+         (3, "divers", "rien")],
+        "doc_id long, title string, body string",
+    )
+    out = apply_pipeline(df, [
+        {"$match": {"$text": {
+            "$search": "continuer", "$language": "french",
+            "fields": {"title": 5, "body": 1},
+        }}},
+        {"$addFields": {"score": {"$meta": "textScore"}}},
+        {"$project": {"doc_id": 1, "score": 1}},
+    ])
+    got = {(r["doc_id"], r["score"]) for r in out.collect()}
+    assert got == {(1, 5), (2, 1)}, got
+
+
 def test_stem_stage_french_mode(spark):
     df = spark.createDataFrame(
         [(1, "les continuations majestueuses abondamment")],
