@@ -35,11 +35,14 @@ from route81_spark import harness  # noqa: E402
 # Consecutive rounds therefore alternate halves without hand-kept lists.
 _HEADLINE = [
     # r10: only queries whose CODE changed this round (the r6
-    # freshness discipline). The 3 new r10 queries
+    # freshness discipline). The 4 new r10 queries
     # (match_text_wildcard_nested, match_text_french,
-    # cdc_delete_id_map) sort first in the tail automatically;
-    # 13 headline + 3 new + the ENTIRE 34-row r5 cohort = exactly the
-    # 50-slot window (nothing stays older than r6 after this round).
+    # cdc_delete_id_map, match_text_stopwords) sort first in the tail
+    # automatically; 12 headline + 4 new + the ENTIRE 34-row r5 cohort
+    # = exactly the 50-slot window (nothing stays older than r6 after
+    # this round). match_text_unicode/diacritics share the bound-path
+    # restructure evidence with the queries below — diacritics stands
+    # in for both to keep the r5 drain whole.
     "match_text_langoverride",  # SEMANTICS: fr docs now stem w/ French
     "match_text_porter",      # stemmer applies via session SQL temp fn
     "text_bm25_stemmed",      # same application-path change
@@ -48,7 +51,6 @@ _HEADLINE = [
     "match_text_wildcard",    # '$**' expansion: nested descent + excl.
     "match_text_stem",        # s-mode lane wrapped as stem_toks
     "match_text_search",      # _text_bound restructure (raw_toks path)
-    "match_text_unicode",     # _text_bound restructure
     "match_text_diacritics",  # _text_bound restructure
     "dedup_lsh_jaccard",      # big-bucket lane: member-row repartition
     "dedup_end_to_end",       # composes the same LSH lane

@@ -1227,6 +1227,102 @@ def match_text_french(spark, sf_dir):
     )
 
 
+# --------------------------------------------------------------------
+# $text with stop-word removal (r10)
+# --------------------------------------------------------------------
+
+SW_SNIPS = [
+    "the data is in the lake",
+    "data processing runs daily",
+    "the the same very should now",
+    "is it about data today",
+    "processing the stream again",
+    "nothing relevant here",
+]
+
+
+def _sw_not_in() -> str:
+    """NOT IN list generated from the SAME Python constant the engine
+    filters with (ops/stopwords.py) — the IBAN-registry single-source
+    pattern: the list is data shared with the oracle, never
+    re-derived."""
+    from route81_spark.ops.stopwords import STOP_EN
+
+    return "(" + ", ".join("'" + w + "'" for w in STOP_EN) + ")"
+
+
+def _sw_syn_sql(x: str = "CAST(doc_id AS VARCHAR)") -> str:
+    lits = "[" + ", ".join("'" + s + "'" for s in SW_SNIPS) + "]"
+
+    def pick(seed):
+        return f"({lits})[CAST({_wh60(seed, x)} % 6 AS INT) + 1]"
+
+    return f"{pick('stopw0|a')} || ' ' || {pick('stopw0|b')}"
+
+
+def _sw_syn_spark(ids: Column) -> Column:
+    from route81_spark.ops.web import _h60
+
+    def pick(seed):
+        h = _h60(ids, seed)
+        return F.element_at(
+            F.array(*[F.lit(s) for s in SW_SNIPS]), (h % 6 + 1).cast("int")
+        )
+
+    return F.concat(pick("stopw0|a"), F.lit(" "), pick("stopw0|b"))
+
+
+@_q(
+    "match_text_stopwords",
+    # oracle: tokenize, drop stop words via the shared NOT IN list,
+    # then recompute membership + integer score — 'the'/'is' in the
+    # search contribute nothing (dropped as query terms), stop tokens
+    # in documents score nothing, and the all-stop-words snippet can
+    # only match through its non-stop neighbors
+    f"""
+    WITH s AS (SELECT doc_id, {_sw_syn_sql()} AS raw FROM documents),
+    t0 AS (SELECT doc_id,
+                  string_split_regex(lower(raw), '[^0-9a-z]+') AS toks
+           FROM s),
+    t AS (SELECT doc_id,
+                 list_filter(toks, t -> t NOT IN {_sw_not_in()}) AS st
+          FROM t0)
+    SELECT doc_id,
+           CAST(len(list_filter(st, x -> x = 'data'))
+              + len(list_filter(st, x -> x = 'processing'))
+                AS BIGINT) AS score
+    FROM t
+    WHERE list_contains(st, 'data') OR list_contains(st, 'processing')
+    """,
+)
+def match_text_stopwords(spark, sf_dir):
+    """$text with {stopWords: true} — Mongo's text index drops the
+    language's stop words from BOTH the indexed token stream and the
+    query terms (an all-stop-words $search matches nothing); this
+    engine opts in per query (documented divergence: the default
+    keeps stop words so existing queries stay stable). The search
+    'the data is processing' loses 'the'/'is' as query terms, stop
+    tokens inside documents contribute nothing to textScore, and the
+    list itself (Snowball English, ops/stopwords.py) is shared as
+    data with the oracle. Per-row token filtering — one
+    array_contains per token, map-only, no Python."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    prepped = docs.select(
+        "doc_id", _sw_syn_spark(F.col("doc_id")).alias("text")
+    )
+    return apply_pipeline(
+        prepped,
+        [
+            {"$match": {"$text": {
+                "$search": "the data is processing",
+                "stopWords": True,
+            }}},
+            {"$addFields": {"score": {"$meta": "textScore"}}},
+            {"$project": {"doc_id": 1, "score": 1}},
+        ],
+    )
+
+
 W_TITLES = ["query guide", "table manual", "spark notes", "misc intro"]
 
 

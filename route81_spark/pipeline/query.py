@@ -95,7 +95,14 @@ from route81_spark.pipeline.exprs import PipelineCompileError, compile_expr, ext
 #     English-capable mode, French docs (r10) stem with the Snowball
 #     French program, every other language keeps raw tokens
 #     (documented: the remaining Snowball programs are not carried),
-#     query terms stem with the query language as usual.
+#     query terms stem with the query language as usual;
+#     `stopWords: true` (r10) drops the Snowball English stop words
+#     from indexed tokens AND query terms before stemming — Mongo's
+#     index does this BY DEFAULT (documented divergence: this engine
+#     keeps stop words unless asked, so existing queries stay stable);
+#     an all-stop-words search matches nothing, phrases keep their
+#     stop words (raw substring semantics), and the option is
+#     English-only (loud with french/languageOverride).
 # --------------------------------------------------------------------
 
 # The active $text spec, read by {$meta: "textScore"}. A ContextVar —
@@ -130,6 +137,7 @@ def _text_parts(spec: dict):
     unknown = set(spec) - {
         "$search", "$language", "$caseSensitive", "$diacriticSensitive",
         "field", "unicode", "stem", "fields", "languageOverride",
+        "stopWords",
     }
     if unknown:
         raise PipelineCompileError(f"unsupported $text options: {sorted(unknown)}")
@@ -225,7 +233,30 @@ def _text_parts(spec: dict):
                 " a no-op — set stem: 's'/'porter' or"
                 " $language: 'english'"
             )
-    return (field, fields, cs, ds, uni, stem, lang_over,
+    # stopWords (r10): Mongo's text index drops language stop words
+    # from BOTH the indexed token stream and the query terms (a search
+    # of only stop words matches nothing). Opt-in here — the engine
+    # default keeps every token; flipping it would change every
+    # existing query's results (documented divergence: Mongo stops by
+    # default). Only the ENGLISH list is carried (ops/stopwords.py),
+    # so the option composes with the unstemmed / s / porter
+    # analyzers; with the French program or a per-document
+    # languageOverride it would silently apply the wrong language's
+    # list — loud error instead of a half-honored request.
+    stop = bool(spec.get("stopWords", False))
+    if stop and stem == "french":
+        raise PipelineCompileError(
+            "$text: stopWords carries only the English stop list —"
+            " the French analyzer would need the French list (not"
+            " implemented); drop stopWords or use an English mode"
+        )
+    if stop and lang_over is not None:
+        raise PipelineCompileError(
+            "$text: stopWords with languageOverride would apply the"
+            " English stop list to every language's documents — not"
+            " implemented; drop one of the two options"
+        )
+    return (field, fields, cs, ds, uni, stem, lang_over, stop,
             _parse_search(str(spec["$search"])))
 
 
@@ -248,7 +279,8 @@ def _text_bound(spec: dict, build):
     `slots` = [(text_i, toks_i, weight_i)] — one slot per indexed
     field (a single unweighted slot for the plain `field` form) —
     plus (parts, norm)."""
-    field, fields, cs, ds, uni, stem, lang_over, parts = _text_parts(spec)
+    field, fields, cs, ds, uni, stem, lang_over, stop, parts = \
+        _text_parts(spec)
     cols = list((fields or {field: 1}).items())
     if not ds:
         from route81_spark.ops.unitext import fold_diacritics, fold_diacritics_py
@@ -260,6 +292,24 @@ def _text_bound(spec: dict, build):
     def base_norm(s: str) -> str:
         s = s if cs else s.lower()
         return s if ds else fold_diacritics_py(s)
+
+    if stop:
+        from route81_spark.ops.stopwords import STOP_EN
+
+        # stop removal happens on the case-folded SURFACE form, before
+        # any stemming (Mongo's analyzer order: tokenize -> stop ->
+        # stem); phrases are raw substring matches and keep their stop
+        # words. Dropping every positive term leaves the existing
+        # only-negations branch: matches nothing, exactly Mongo's
+        # behavior for an all-stop-words search.
+        _ss = set(STOP_EN)
+        pos_t0, neg_t0, pos_ph0, neg_ph0 = parts
+        parts = (
+            [t for t in pos_t0 if t.lower() not in _ss],
+            [t for t in neg_t0 if t.lower() not in _ss],
+            pos_ph0, neg_ph0,
+        )
+        stop_arr = F.array(*[F.lit(s) for s in STOP_EN])
 
     def french_chain(text_cf: Column) -> Column:
         """The French analyzer in Mongo's ORDER: tokenize the case-
@@ -328,6 +378,13 @@ def _text_bound(spec: dict, build):
         else:
             text = text_cf
         raw_toks = F.split(text, sep)
+        if stop:
+            # one array_contains against the literal list per token —
+            # map-only, stays ahead of the (optional) stemmer
+            raw_toks = F.filter(
+                raw_toks,
+                lambda x: ~F.array_contains(stop_arr, F.lower(x)),
+            )
         if stem == "french":
             toks = french_chain(text_cf)
             if lang_over is not None:

@@ -1205,3 +1205,43 @@ def test_streaming_text_french_matches_batch(spark, tmp_path):
     want = {(r["doc_id"], r["score"])
             for r in apply_pipeline(batch, pipe).collect()}
     assert got == want == {(1, 1), (2, 1)}
+
+
+def test_streaming_text_stopwords_matches_batch(spark, tmp_path):
+    """stopWords (r10) is per-row token filtering ahead of the
+    (optional) stemmer — no state, append-legal; streamed matches and
+    scores equal the batch pipeline's, including the all-stop-words
+    document never matching."""
+    from route81_spark.pipeline import apply_pipeline
+
+    rows = [
+        {"doc_id": 1, "text": "the data is in the lake"},
+        {"doc_id": 2, "text": "data processing runs daily"},
+        {"doc_id": 3, "text": "the the same very should now"},
+        {"doc_id": 4, "text": "is it about data"},
+    ]
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    pipe = [
+        {"$match": {"$text": {
+            "$search": "the data is processing", "stopWords": True,
+        }}},
+        {"$addFields": {"score": {"$meta": "textScore"}}},
+        {"$project": {"doc_id": 1, "score": 1}},
+    ]
+    src = tmp_path / "swsrc"
+    _write_batch(src / "b1.json", rows[:2])
+    _write_batch(src / "b2.json", rows[2:])
+    stream = spark.readStream.schema(schema).json(str(src))
+    out, ck = tmp_path / "swout", tmp_path / "swck"
+    _run_available_now(apply_pipeline(stream, pipe), out, ck)
+    got = {(r["doc_id"], r["score"])
+           for r in spark.read.parquet(str(out)).collect()}
+    batch = spark.createDataFrame(
+        [tuple(r.values()) for r in rows], "doc_id long, text string"
+    )
+    want = {(r["doc_id"], r["score"])
+            for r in apply_pipeline(batch, pipe).collect()}
+    assert got == want == {(1, 1), (2, 2), (4, 1)}
