@@ -754,6 +754,10 @@ def sf1_probe(spark, k: int = 100) -> None:
         "match_text_porter",
         "text_bm25_stemmed",
         "match_text_weighted",
+        # r10 text layer at 100x: the French program and stop-word
+        # filtering are per-token map-only like the English chain
+        "match_text_french",
+        "match_text_stopwords",
     ]
 
     def run(name: str, d: str) -> float:
