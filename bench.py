@@ -198,9 +198,19 @@ def main() -> None:
     if prev is not None:
         tag, pp = prev
         pq = pp.get("queries", {})
-        psub = pp.get("subtotals") or pq  # legacy rounds: subtotals-only
+        # r9+ rounds carry explicit subtotals; in the oldest rounds
+        # `queries` was the per-query dict and subtotals don't exist —
+        # derive the frozen-cohort sums from it when every member is
+        # present, else leave the delta ABSENT (never a false +0.0%)
+        psub = dict(pp.get("subtotals") or {})
         if "headline13" in pq:
             pq = {}  # compact format: `queries` IS the subtotal dict
+        if not psub and pq:
+            for c, members in (
+                ("headline13", COHORT_R1), ("pre_r6", COHORT_PRE_R6),
+            ):
+                if all(q in pq for q in members):
+                    psub[c] = round(sum(pq[q] for q in members), 3)
         deltas = {"vs": tag}
         for c in ("headline13", "pre_r6"):
             if psub.get(c):
@@ -224,13 +234,12 @@ def main() -> None:
         f"({len(timings)} queries)"
     )
     if deltas is not None:
-        line = "delta_vs_%s: headline13 %+.1f%% pre_r6 %+.1f%%" % (
-            deltas["vs"],
-            deltas.get("headline13", 0.0),
-            deltas.get("pre_r6", 0.0),
-        )
-        if "common" in deltas:
-            line += " common %+.1f%%" % deltas["common"]
+        # print only cohorts that were actually compared — a default
+        # 0.0 would read as "no change" where nothing was computed
+        line = "delta_vs_%s:" % deltas["vs"]
+        for c in ("headline13", "pre_r6", "common"):
+            if c in deltas:
+                line += " %s %+.1f%%" % (c, deltas[c])
         print(line)
     # per-query timings on their OWN line: the driver's tail capture is a
     # fixed-size window that keeps the END of stdout — r9's single ~3 KB

@@ -1330,11 +1330,9 @@ def bm25_scores(
             french_py as _stem_py, french_stem_tokens as _stem_toks,
         )
     elif stem == "s":
-        from route81_spark.ops.text import s_stem_py as _stem_py
-        from route81_spark.ops.text import s_stem as _s_col
-
-        def _stem_toks(tk):
-            return F.transform(tk, _s_col)
+        from route81_spark.ops.text import (
+            s_stem_py as _stem_py, s_stem_tokens as _stem_toks,
+        )
 
     # dedupe (order-preserving): a repeated query term — or two forms
     # conflating to one stem — must not double-count its contribution

@@ -28,20 +28,31 @@ when there is no active session or registration fails.
 
 from __future__ import annotations
 
+import warnings
+import weakref
 from typing import Callable
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 _SQL_BODIES: dict[str, str] = {}  # fn name -> body text (deterministic)
-_REGISTERED: dict[str, set[int]] = {}  # fn name -> id(session)s carrying it
+# session -> {fn name: registration succeeded}. Keyed by the LIVE
+# session object (weak — entries die with the session), never by
+# id(): CPython reuses addresses after GC, and a reused id would make
+# a fresh session look registered, producing UNRESOLVED_ROUTINE at
+# analysis. Failures memoize too — one warning, then the inline
+# fallback, instead of silently re-extracting and re-failing on every
+# application.
+_SESSIONS: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
 def lambda_arrows(sql: str) -> str:
     """Rewrite every `lambdafunction(BODY, v1[, v2...])` in generated
     SQL into the parseable `(v1[, v2...]) -> BODY` arrow form, quote-
-    and paren-aware (stemmer suffix literals contain apostrophes,
-    escaped as '' by the generator)."""
+    and paren-aware. Spark's .sql() escapes an apostrophe inside a
+    string literal as backslash-quote ('\\''), so the scanner consumes
+    backslash escapes first; the doubled-quote style is handled too,
+    defensively."""
     key = "lambdafunction("
     while True:
         i = sql.find(key)
@@ -52,7 +63,9 @@ def lambda_arrows(sql: str) -> str:
         while depth:
             c = sql[k]
             if in_q:
-                if c == "'":
+                if c == "\\":
+                    k += 1  # escaped char (incl. \' and \\)
+                elif c == "'":
                     if k + 1 < len(sql) and sql[k + 1] == "'":
                         k += 1
                     else:
@@ -98,17 +111,29 @@ def tokens_fn(name: str, scalar: Callable[[Column], Column],
 
     spark = SparkSession.getActiveSession()
     if spark is not None:
-        sid = id(spark)
-        seen = _REGISTERED.setdefault(name, set())
-        if sid not in seen:
+        try:
+            states = _SESSIONS.setdefault(spark, {})
+        except TypeError:  # pragma: no cover - non-weakrefable session
+            states = {}
+        ok = states.get(name)
+        if ok is None:
             try:
                 spark.sql(
                     f"CREATE OR REPLACE TEMPORARY FUNCTION {name}"
                     "(toks ARRAY<STRING>) RETURNS ARRAY<STRING> RETURN "
                     f"transform(toks, tok -> ({_sql_body(spark, name, scalar)}))"
                 )
-                seen.add(sid)
-            except Exception:  # pragma: no cover - registration seam
-                return F.transform(toks, scalar)
-        return F.call_function(name, toks)
+                ok = states[name] = True
+            except Exception as e:  # pragma: no cover - registration seam
+                ok = states[name] = False
+                warnings.warn(
+                    f"SQL temp-function registration for {name} failed"
+                    f" ({e!r:.200}); falling back to the inline Column"
+                    " program for this session (correct, but pays the"
+                    " per-application tree-construction cost)",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
+        if ok:
+            return F.call_function(name, toks)
     return F.transform(toks, scalar)

@@ -63,8 +63,7 @@ def _stem(df: DataFrame, arg: dict) -> DataFrame:
     elif mode == "french":
         from route81_spark.ops.french import french_stem_tokens as stem_toks
     elif mode == "s":
-        def stem_toks(tk):
-            return F.transform(tk, X.s_stem)
+        stem_toks = X.s_stem_tokens
     else:
         raise ValueError(
             f"$stem: unsupported mode {mode!r} — 'porter' (Snowball"

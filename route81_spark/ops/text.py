@@ -79,6 +79,15 @@ def s_stem(tok: Column) -> Column:
     )
 
 
+def s_stem_tokens(toks: Column) -> Column:
+    """Stem every element of a token array — the same call shape as
+    porter2_stem_tokens / french_stem_tokens, so $text/$stem/bm25
+    dispatch all three modes uniformly. The S-stemmer's tree is tiny,
+    so a plain transform() is the right application path (no SQL
+    temp-function registration needed)."""
+    return F.transform(toks, s_stem)
+
+
 def s_stem_py(tok: str) -> str:
     """Python spec twin of s_stem (stems $text query literals
     driver-side and serves as the hypothesis oracle)."""

@@ -342,11 +342,8 @@ def _text_bound(spec: dict, build):
                 return _en_py(base_norm(t))
         else:
             from route81_spark.ops.text import (
-                s_stem as _s_col, s_stem_py as _s_py,
+                s_stem_py as _s_py, s_stem_tokens as stem_toks,
             )
-
-            def stem_toks(tk: Column) -> Column:
-                return F.transform(tk, _s_col)
 
             def stem_py(t: str) -> str:
                 return _s_py(base_norm(t))

@@ -863,8 +863,15 @@ def lsh_megacluster_probe(spark, k: int = 20) -> None:
     under-cap lane ever showed a cliff vs the join lane at equal m,
     the fix is lowering max_bucket_size (in-row materialization is
     m^2 structs in ONE row buffer)."""
+    import inspect
+
     from route81_spark.ops.dedup import lsh_candidates
 
+    # the lane boundary comes from the REAL default — a future change
+    # to max_bucket_size must not silently mislabel which lane ran
+    cap = inspect.signature(lsh_candidates).parameters[
+        "max_bucket_size"
+    ].default
     sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     base = load_table(spark, sf, "documents").select("doc_id", "text")
     big = scaled(base, k).withColumn(
@@ -881,9 +888,16 @@ def lsh_megacluster_probe(spark, k: int = 20) -> None:
     base_pairs = lsh_candidates(big).count()
     tb = time.time() - t0
     print(f"lsh_megacluster corpus: {n} rows, baseline "
-          f"pairs={base_pairs} in {tb:.2f}s")
-    for tag, m in (("1pct", n // 100), ("under_cap", 4000),
-                   ("over_cap", 8000)):
+          f"pairs={base_pairs} in {tb:.2f}s (bucket cap {cap})")
+    # plant sizes derive from the corpus and the cap so a small-K run
+    # still probes all three regimes instead of planting the whole
+    # corpus and tripping the pair-count assertion
+    plants = [
+        ("1pct", max(2, n // 100)),
+        ("under_cap", min(cap - 96, n // 2)),
+        ("over_cap", min(cap * 2 - 192, 9 * n // 10)),
+    ]
+    for tag, m in plants:
         planted = big.withColumn(
             "text",
             F.when(F.col("doc_id") < m, F.lit(boiler))
@@ -894,7 +908,7 @@ def lsh_megacluster_probe(spark, k: int = 20) -> None:
         pairs = lsh_candidates(planted).count()
         dt = time.time() - t0
         want = m * (m - 1) // 2
-        lane = "join-spread" if m > 4096 else "in-row"
+        lane = "join-spread" if m > cap else "in-row"
         print(
             f"lsh_megacluster {tag:10s} m={m:5d} ({lane:11s}) "
             f"pairs={pairs} (cluster alone={want}) "
