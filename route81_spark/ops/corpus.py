@@ -1283,6 +1283,7 @@ def bm25_scores(
     text_col: str = "text",
     id_col: str = "doc_id",
     stem: str | None = None,
+    stop_words: bool = False,
 ) -> DataFrame:
     """Okapi BM25 relevance of every document to a bag-of-terms query —
     the classic retrieval scorer, exact formula:
@@ -1297,6 +1298,15 @@ def bm25_scores(
     length (dl/avgdl) is unchanged by stemming (token count is
     preserved). Terms dedupe AFTER stemming — two query forms sharing
     a stem contribute once.
+
+    ``stop_words=True`` (r10) drops the Snowball English stop words
+    (ops/stopwords.py, lowercase comparison) from corpus tokens AND
+    query terms BEFORE stemming — the textbook analyzer order. With
+    stop removal active, dl/avgdl count the remaining tokens (the
+    standard index-resident definition); a query consisting only of
+    stop words fails loudly like an empty query. English list only —
+    composing with stem="french" fails loudly rather than stopping
+    the wrong language.
 
     100 TB shape: the corpus model constants (N, avgdl, and df per
     query term) come from ONE aggregation collecting a single row, and
@@ -1337,11 +1347,30 @@ def bm25_scores(
     # dedupe (order-preserving): a repeated query term — or two forms
     # conflating to one stem — must not double-count its contribution
     qt = list(dict.fromkeys(str(t) for t in query_terms))
+    if stop_words:
+        if stem == "french":
+            raise ValueError(
+                "bm25_scores: stop_words carries only the English stop"
+                " list — not composable with stem='french'"
+            )
+        from route81_spark.ops.stopwords import STOP_EN
+
+        _ss = set(STOP_EN)
+        qt = [t for t in qt if t.lower() not in _ss]
+        if not qt:
+            raise ValueError(
+                "bm25_scores: every query term is a stop word"
+            )
     if stem:
         qt = list(dict.fromkeys(_stem_py(t) for t in qt))
     if not qt:
         raise ValueError("bm25_scores needs at least one query term")
     tok = tokens(F.col(text_col))
+    if stop_words:
+        stop_arr = F.array(*[F.lit(s) for s in STOP_EN])
+        tok = F.filter(
+            tok, lambda x: ~F.array_contains(stop_arr, F.lower(x))
+        )
     if stem:
         tok = _stem_toks(tok)
     # ONE corpus pass builds the whole model: doc count, avg length, and

@@ -102,6 +102,40 @@ def test_loud_errors_for_uncovered_languages(spark):
         ]).collect()
 
 
+def test_bm25_stop_words_option(spark):
+    """bm25_scores(stop_words=True): stop tokens leave the model (dl
+    counts the remainder) and stop query terms drop; an all-stop query
+    fails loudly; French composition fails loudly."""
+    from route81_spark.ops.corpus import bm25_scores
+
+    df = spark.createDataFrame(
+        [(1, "the lake data"), (2, "data data is the")],
+        "doc_id long, text string",
+    )
+    scored = {
+        r["doc_id"]: r["bm25"]
+        for r in bm25_scores(df, ["the", "data"], stop_words=True).collect()
+    }
+    # with stops removed, dl(doc1)=2 ('lake data'), dl(doc2)=2
+    # ('data data'): equal lengths, so doc2's tf=2 must outscore
+    no_stop = {
+        r["doc_id"]: r["bm25"]
+        for r in bm25_scores(df, ["data"]).collect()
+    }
+    assert scored[2] > scored[1] > 0
+    # 'the' contributed nothing: same result as querying 'data' alone
+    only_data = {
+        r["doc_id"]: r["bm25"]
+        for r in bm25_scores(df, ["data"], stop_words=True).collect()
+    }
+    assert scored == only_data
+    assert set(no_stop) == {1, 2}  # baseline path still works
+    with pytest.raises(ValueError, match="stop word"):
+        bm25_scores(df, ["the", "is"], stop_words=True)
+    with pytest.raises(ValueError, match="English stop"):
+        bm25_scores(df, ["données"], stem="french", stop_words=True)
+
+
 def test_list_is_the_contraction_free_snowball_list():
     # spot pins on the shared data: classic members in, non-members
     # out, the tokenizer-fragment entries present
