@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     "text_bm25_stemmed",   # stemmed Okapi BM25 (porter analyzer chain, r9)
     "match_text_weighted", # weighted multi-field text index analog (r9)
     "match_text_french",   # $text full Snowball French stemming (r10)
+    "match_text_stopwords",  # $text Snowball stop-word removal (r10)
 ]
 
 # Round-over-round comparability cohorts (r6 verdict: the growing set mixes
