@@ -71,6 +71,20 @@ def _stem(df: DataFrame, arg: dict) -> DataFrame:
             " S-stemmer) are the implemented modes"
         )
     toks = X.tokens(F.col(arg.get("textField", "text")))
+    if arg.get("stopWords"):
+        # same option as $text (r10): drop Snowball English stop
+        # words BEFORE stemming; English-only, loud otherwise
+        if mode == "french":
+            raise ValueError(
+                "$stem: stopWords carries only the English stop list"
+                " — not composable with mode 'french'"
+            )
+        from route81_spark.ops.stopwords import STOP_EN
+
+        stop_arr = F.array(*[F.lit(s) for s in STOP_EN])
+        toks = F.filter(
+            toks, lambda x: ~F.array_contains(stop_arr, F.lower(x))
+        )
     return df.withColumn(arg.get("as", "stems"), stem_toks(toks))
 
 

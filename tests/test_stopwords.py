@@ -136,6 +136,20 @@ def test_bm25_stop_words_option(spark):
         bm25_scores(df, ["données"], stem="french", stop_words=True)
 
 
+def test_stem_stage_stop_words_option(spark):
+    out = apply_pipeline(_df(spark), [
+        {"$stem": {"textField": "text", "as": "st", "mode": "porter",
+                   "stopWords": True}},
+        {"$match": {"doc_id": 1}},
+    ])
+    # "the data is in the lake" -> stops removed -> ['data', 'lake']
+    assert list(out.collect()[0]["st"]) == ["data", "lake"]
+    with pytest.raises(ValueError, match="English stop list"):
+        apply_pipeline(_df(spark), [
+            {"$stem": {"mode": "french", "stopWords": True}},
+        ])
+
+
 def test_list_is_the_contraction_free_snowball_list():
     # spot pins on the shared data: classic members in, non-members
     # out, the tokenizer-fragment entries present
