@@ -120,7 +120,7 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def _prev_round() -> tuple[str, dict] | None:
+def _prev_round(here: str | None = None) -> tuple[str, dict] | None:
     """Newest USABLE BENCH_r{N}.json in the repo -> (tag, parsed) —
     the r-over-r comparison base, so the driver's tail capture alone
     tells the cohort story (totals stopped being cross-round
@@ -134,7 +134,8 @@ def _prev_round() -> tuple[str, dict] | None:
     subtotal deltas always work)."""
     import glob
 
-    here = os.path.dirname(os.path.abspath(__file__))
+    if here is None:
+        here = os.path.dirname(os.path.abspath(__file__))
     rounds: list[tuple[int, str]] = []
     for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
         m = re.search(r"BENCH_r(\d+)\.json$", p)
