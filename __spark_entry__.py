@@ -34,27 +34,19 @@ from route81_spark import harness  # noqa: E402
 # (never-recorded first, then oldest), tie-broken by registration order.
 # Consecutive rounds therefore alternate halves without hand-kept lists.
 _HEADLINE = [
-    # r10: only queries whose CODE changed this round (the r6
-    # freshness discipline). The 4 new r10 queries
-    # (match_text_wildcard_nested, match_text_french,
-    # cdc_delete_id_map, match_text_stopwords) sort first in the tail
-    # automatically; 12 headline + 4 new + the ENTIRE 34-row r5 cohort
-    # = exactly the 50-slot window (nothing stays older than r6 after
-    # this round). match_text_unicode/diacritics share the bound-path
-    # restructure evidence with the queries below — diacritics stands
-    # in for both to keep the r5 drain whole.
-    "match_text_langoverride",  # SEMANTICS: fr docs now stem w/ French
-    "match_text_porter",      # stemmer applies via session SQL temp fn
-    "text_bm25_stemmed",      # same application-path change
-    "stage_stem",             # same + whitespace-tokenize contract doc
-    "match_text_weighted",    # _text_bound per-field loop restructured
-    "match_text_wildcard",    # '$**' expansion: nested descent + excl.
-    "match_text_stem",        # s-mode lane wrapped as stem_toks
-    "match_text_search",      # _text_bound restructure (raw_toks path)
-    "match_text_diacritics",  # _text_bound restructure
-    "dedup_lsh_jaccard",      # big-bucket lane: member-row repartition
-    "dedup_end_to_end",       # composes the same LSH lane
-    "cdc_delete_id_expr",     # gvalexpr float-kind + map-lane refactor
+    # r11: only queries whose CODE changed this round (the freshness
+    # discipline). The 3 new r11 queries (match_text_french_stopwords,
+    # text_bm25_stopwords, stage_stem_stopwords) sort first in the
+    # tail automatically; 2 headline + 3 new + the ENTIRE 45-row r6
+    # cohort = exactly the 50-slot window (nothing stays older than
+    # r7 after this round). The r11 change is the French stop list
+    # composing into the $text/stem/bm25 stop paths: the two queries
+    # below cover the restructured stop block and the per-language
+    # override branches; every other $text query's generated plan is
+    # byte-identical (the stop filter only exists when stopWords is
+    # set, and the English path kept its exact expression).
+    "match_text_stopwords",    # stop block: per-language list select
+    "match_text_langoverride", # override branches: en_toks refactor
 ]
 
 

@@ -1323,6 +1323,247 @@ def match_text_stopwords(spark, sf_dir):
     )
 
 
+# --------------------------------------------------------------------
+# French stop-word removal composed with French stemming (r11)
+# --------------------------------------------------------------------
+
+FRSW_SNIPS = [
+    "les continuations ont été majestueuses",
+    "elle continuait de grandes activités",
+    "de la même générale nationale",
+    "des nationaux et du premier jouet",
+    "rien notable ici vraiment",
+    "été les de la même",  # every token is a French stop word
+]
+
+
+def _frsw_not_in() -> str:
+    """NOT IN list generated from the SAME Python constant the engine
+    filters with (ops/stopwords.py STOP_FR — the verbatim Snowball
+    french.stop, jar-pinned by tests/test_stopwords.py): shared data,
+    never re-derived."""
+    from route81_spark.ops.stopwords import STOP_FR
+
+    return "(" + ", ".join("'" + w + "'" for w in STOP_FR) + ")"
+
+
+def _frsw_stem_case() -> str:
+    """Per-token stem lookup for the oracle: the closed FRSW_SNIPS
+    vocabulary maps to fold(french_stem(word)) PRE-COMPUTED by the
+    Python spec twin (the Spark query runs the Column program live;
+    the twin is pinned by tests/test_french.py's spec pins + grid)."""
+    from route81_spark.ops.french import french_py
+    from route81_spark.ops.unitext import fold_diacritics_py
+
+    vocab = sorted({w for s in FRSW_SNIPS for w in s.split()})
+    whens = " ".join(
+        f"WHEN '{w}' THEN '{fold_diacritics_py(french_py(w))}'"
+        for w in vocab
+    )
+    return f"CASE t {whens} ELSE t END"
+
+
+def _frsw_syn_sql(x: str = "CAST(doc_id AS VARCHAR)") -> str:
+    lits = "[" + ", ".join("'" + s + "'" for s in FRSW_SNIPS) + "]"
+
+    def pick(seed):
+        return f"({lits})[CAST({_wh60(seed, x)} % 6 AS INT) + 1]"
+
+    return f"{pick('frstop0|a')} || ' ' || {pick('frstop0|b')}"
+
+
+def _frsw_syn_spark(ids: Column) -> Column:
+    from route81_spark.ops.web import _h60
+
+    def pick(seed):
+        h = _h60(ids, seed)
+        return F.element_at(
+            F.array(*[F.lit(s) for s in FRSW_SNIPS]), (h % 6 + 1).cast("int")
+        )
+
+    return F.concat(pick("frstop0|a"), F.lit(" "), pick("frstop0|b"))
+
+
+@_q(
+    "match_text_french_stopwords",
+    # oracle: tokenize (space split — the closed vocabulary is
+    # space-separated), drop French stop words via the shared NOT IN
+    # list BEFORE stemming (the engine's analyzer order: the accented
+    # stop form 'été' must filter on the unfolded token), stem via the
+    # twin-precomputed lookup (fold AFTER stem), then recompute
+    # membership + integer score — 'les'/'été' in the search
+    # contribute nothing (dropped as query terms), 'continuer'
+    # conflates with continuations/continuait on stem 'continu',
+    # 'générale' matches on folded stem 'general', and the
+    # all-stop-words snippet can only match through its non-stop
+    # neighbor
+    f"""
+    WITH s AS (SELECT doc_id, {_frsw_syn_sql()} AS raw FROM documents),
+    t0 AS (SELECT doc_id, string_split(lower(raw), ' ') AS toks FROM s),
+    t1 AS (SELECT doc_id,
+                  list_filter(toks, t -> t NOT IN {_frsw_not_in()}) AS ft
+           FROM t0),
+    t AS (SELECT doc_id,
+                 list_transform(ft, t -> {_frsw_stem_case()}) AS st
+          FROM t1)
+    SELECT doc_id,
+           CAST(len(list_filter(st, x -> x = 'continu'))
+              + len(list_filter(st, x -> x = 'general')) AS BIGINT)
+             AS score
+    FROM t
+    WHERE list_contains(st, 'continu') OR list_contains(st, 'general')
+    """,
+)
+def match_text_french_stopwords(spark, sf_dir):
+    """$text with $language: "french" AND {stopWords: true} (r11) —
+    the Snowball FRENCH stop list (ops/stopwords.py STOP_FR, the
+    verbatim french.stop data, pinned byte-for-byte against the copy
+    Apache Spark ships in its MLlib stopwords resource) composes with
+    the Snowball French stemmer in Mongo's analyzer ORDER: tokenize
+    the case-folded text on Unicode runs, drop stop words on the
+    UNfolded surface form ('été' carries its accents in the list),
+    stem with accents intact, THEN fold. Query terms stop with the
+    same French list before stemming; an all-stop-words snippet can
+    never match on its own tokens. One array_contains filter per
+    token ahead of the stemmer — map-only, zero shuffle, zero
+    Python."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    prepped = docs.select(
+        "doc_id", _frsw_syn_spark(F.col("doc_id")).alias("text")
+    )
+    return apply_pipeline(
+        prepped,
+        [
+            {"$match": {"$text": {
+                "$search": "les continuer été générale",
+                "$language": "french",
+                "stopWords": True,
+            }}},
+            {"$addFields": {"score": {"$meta": "textScore"}}},
+            {"$project": {"doc_id": 1, "score": 1}},
+        ],
+    )
+
+
+def _sw_stem_case() -> str:
+    """Porter2 stem lookup for the closed SW_SNIPS vocabulary,
+    pre-computed by the Python spec twin (ops.porter.porter2_py)."""
+    from route81_spark.ops.porter import porter2_py
+
+    vocab = sorted({w for s in SW_SNIPS for w in s.split()})
+    whens = " ".join(
+        f"WHEN '{w}' THEN '{porter2_py(w)}'" for w in vocab
+    )
+    return f"CASE t {whens} ELSE t END"
+
+
+@_q(
+    "text_bm25_stopwords",
+    # oracle: drop stop words via the shared NOT IN list, stem the
+    # remainder via the twin-precomputed lookup, then replicate the
+    # exact BM25 formula (same left-assoc fold, same constants) over
+    # the stop-filtered STEMMED arrays — dl/avgdl count the REMAINING
+    # tokens (the index-resident definition), 'the' in the query
+    # contributes nothing, 'runs' scores 'runs' docs via stem 'run'
+    f"""
+    WITH s0 AS (SELECT doc_id, {_sw_syn_sql()} AS raw FROM documents),
+    t0 AS (SELECT doc_id,
+                  string_split_regex(lower(raw), '[^0-9a-z]+') AS toks
+           FROM s0),
+    t1 AS (SELECT doc_id,
+                  list_filter(toks, t -> t NOT IN {_sw_not_in()}) AS ft
+           FROM t0),
+    s AS (SELECT doc_id,
+                 list_transform(ft, t -> {_sw_stem_case()}) AS tk
+          FROM t1),
+    c AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             avg(CAST(len(tk) AS DOUBLE)) AS avgdl
+      FROM s
+    ),
+    d AS (
+      SELECT
+        {", ".join(f"(SELECT CAST(count(*) AS DOUBLE) FROM s WHERE list_contains(tk, '{t}')) AS df{i}" for i, t in enumerate(["data", "process", "run"]))}
+    )
+    SELECT doc_id,
+           {det_round_sql(" + ".join(
+               f"(ln(1 + (c.n - d.df{i} + 0.5) / (d.df{i} + 0.5))"
+               f" * (CAST(len(list_filter(tk, x -> x = '{t}')) AS DOUBLE) * 2.2)"
+               f" / (CAST(len(list_filter(tk, x -> x = '{t}')) AS DOUBLE)"
+               f"    + 1.2 * (0.25 + 0.75 * CAST(len(tk) AS DOUBLE) / c.avgdl)))"
+               for i, t in enumerate(["data", "process", "run"])), 6)} AS bm25
+    FROM s, c, d
+    ORDER BY bm25 DESC, doc_id ASC LIMIT 25
+    """,
+)
+def text_bm25_stopwords(spark, sf_dir):
+    """Okapi BM25 with the full textbook analyzer chain (r11 driver
+    registration of the r10-implemented option): stop-word removal
+    (Snowball English list, shared as data with the oracle) BEFORE
+    Porter2 stemming, for corpus tokens AND query terms — 'the' in
+    the query contributes nothing, dl/avgdl count the post-stop
+    tokens (the index-resident definition). Model constants still
+    come from ONE single-row aggregation; scoring is one per-row
+    expression over the bound filtered+stemmed token array; zero
+    scoring shuffle; top-25 via TakeOrderedAndProject."""
+    from route81_spark.ops.corpus import bm25_scores
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    prepped = docs.select(
+        "doc_id", _sw_syn_spark(F.col("doc_id")).alias("text")
+    )
+    scored = bm25_scores(
+        prepped, ["the", "data", "processing", "runs"],
+        stem="porter", stop_words=True,
+    )
+    return (
+        scored.select("doc_id", "bm25")
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(25)
+    )
+
+
+@_q(
+    "stage_stem_stopwords",
+    # oracle: tokenize -> shared NOT IN stop filter -> per-token twin
+    # lookup -> join (array_to_string of an empty list is NULL in
+    # DuckDB -> coalesce; the all-stop-words snippet exercises it)
+    f"""
+    WITH s AS (SELECT doc_id, {_sw_syn_sql()} AS raw FROM documents),
+    t0 AS (SELECT doc_id,
+                  string_split_regex(lower(raw), '[^0-9a-z]+') AS toks
+           FROM s),
+    t AS (SELECT doc_id,
+                 list_filter(toks, t -> t NOT IN {_sw_not_in()}) AS ft
+          FROM t0)
+    SELECT doc_id,
+           coalesce(array_to_string(
+             list_transform(ft, t -> {_sw_stem_case()}), ' '), '')
+             AS stems
+    FROM t
+    """,
+)
+def stage_stem_stopwords(spark, sf_dir):
+    """The $stem pipeline-stage extension with {stopWords: true} (r11
+    driver registration of the r10-implemented option): Snowball
+    English stop words drop BEFORE stemming — the analyzer order a
+    stemmed-vocabulary builder wants — and a document of only stop
+    words stems to the empty array. Per-row scalar work, no shuffle,
+    no Python."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    prepped = docs.select(
+        "doc_id", _sw_syn_spark(F.col("doc_id")).alias("text")
+    )
+    out = apply_pipeline(
+        prepped,
+        [{"$stem": {"textField": "text", "as": "st", "mode": "porter",
+                    "stopWords": True}}],
+    )
+    return out.select(
+        "doc_id", F.concat_ws(" ", F.col("st")).alias("stems")
+    )
+
+
 W_TITLES = ["query guide", "table manual", "spark notes", "misc intro"]
 
 

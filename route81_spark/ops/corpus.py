@@ -1299,14 +1299,14 @@ def bm25_scores(
     preserved). Terms dedupe AFTER stemming — two query forms sharing
     a stem contribute once.
 
-    ``stop_words=True`` (r10) drops the Snowball English stop words
-    (ops/stopwords.py, lowercase comparison) from corpus tokens AND
-    query terms BEFORE stemming — the textbook analyzer order. With
-    stop removal active, dl/avgdl count the remaining tokens (the
-    standard index-resident definition); a query consisting only of
-    stop words fails loudly like an empty query. English list only —
-    composing with stem="french" fails loudly rather than stopping
-    the wrong language.
+    ``stop_words=True`` (r10) drops the stem mode's language's
+    Snowball stop words (ops/stopwords.py, lowercase comparison —
+    the French list for stem="french" since r11, English otherwise)
+    from corpus tokens AND query terms BEFORE stemming — the textbook
+    analyzer order. With stop removal active, dl/avgdl count the
+    remaining tokens (the standard index-resident definition); a
+    query consisting only of stop words fails loudly like an empty
+    query.
 
     100 TB shape: the corpus model constants (N, avgdl, and df per
     query term) come from ONE aggregation collecting a single row, and
@@ -1347,15 +1347,19 @@ def bm25_scores(
     # dedupe (order-preserving): a repeated query term — or two forms
     # conflating to one stem — must not double-count its contribution
     qt = list(dict.fromkeys(str(t) for t in query_terms))
+    if not qt:
+        # before the stop filter, so an EMPTY query raises the generic
+        # message, not a misleading 'every term is a stop word'
+        raise ValueError("bm25_scores needs at least one query term")
     if stop_words:
-        if stem == "french":
-            raise ValueError(
-                "bm25_scores: stop_words carries only the English stop"
-                " list — not composable with stem='french'"
-            )
-        from route81_spark.ops.stopwords import STOP_EN
+        from route81_spark.ops.stopwords import STOP_EN, STOP_FR
 
-        _ss = set(STOP_EN)
+        # the stem MODE's language picks the list (r11: the verbatim
+        # Snowball French list composes with stem='french'; its
+        # accented surface forms mean the comparison runs on the raw
+        # lowercase term, never a folded one)
+        stops = STOP_FR if stem == "french" else STOP_EN
+        _ss = set(stops)
         qt = [t for t in qt if t.lower() not in _ss]
         if not qt:
             raise ValueError(
@@ -1367,7 +1371,7 @@ def bm25_scores(
         raise ValueError("bm25_scores needs at least one query term")
     tok = tokens(F.col(text_col))
     if stop_words:
-        stop_arr = F.array(*[F.lit(s) for s in STOP_EN])
+        stop_arr = F.array(*[F.lit(s) for s in stops])
         tok = F.filter(
             tok, lambda x: ~F.array_contains(stop_arr, F.lower(x))
         )

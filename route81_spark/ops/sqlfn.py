@@ -106,7 +106,21 @@ def tokens_fn(name: str, scalar: Callable[[Column], Column],
     EVERY element of a token array through a once-per-session SQL temp
     function named `name`; inline transform() fallback when no session
     is active (plan-only tests) or registration fails. The scalar must
-    be a deterministic pure function of its input column."""
+    be a deterministic pure function of its input column.
+
+    SAME-SESSION CONTRACT: the temp function registers against
+    ``SparkSession.getActiveSession()`` at COLUMN-CONSTRUCTION time
+    (a Column does not know its DataFrame's session), so the returned
+    Column must be evaluated under that same session. A Column built
+    under one session and evaluated under another — multi-session
+    drivers, or a Column object cached across a session restart —
+    hits UNRESOLVED_ROUTINE at analysis instead of falling back
+    inline (the fallback can only trigger where this function runs).
+    Every caller in this repo builds and consumes its Columns inside
+    one session; cross-session callers should re-invoke the builder
+    (e.g. porter2_stem_tokens) under the consuming session rather
+    than caching Column objects, or pass plans as unresolved
+    pipeline JSON."""
     from pyspark.sql import SparkSession
 
     spark = SparkSession.getActiveSession()

@@ -72,16 +72,15 @@ def _stem(df: DataFrame, arg: dict) -> DataFrame:
         )
     toks = X.tokens(F.col(arg.get("textField", "text")))
     if arg.get("stopWords"):
-        # same option as $text (r10): drop Snowball English stop
-        # words BEFORE stemming; English-only, loud otherwise
-        if mode == "french":
-            raise ValueError(
-                "$stem: stopWords carries only the English stop list"
-                " — not composable with mode 'french'"
-            )
-        from route81_spark.ops.stopwords import STOP_EN
+        # same option as $text (r10): drop the MODE's language's
+        # Snowball stop words BEFORE stemming (r11: the French list
+        # composes with mode 'french'; its accented surface forms —
+        # 'été', 'même' — are why the whitespace tokenizer must not
+        # have folded diacritics first)
+        from route81_spark.ops.stopwords import STOP_EN, STOP_FR
 
-        stop_arr = F.array(*[F.lit(s) for s in STOP_EN])
+        stops = STOP_FR if mode == "french" else STOP_EN
+        stop_arr = F.array(*[F.lit(s) for s in stops])
         toks = F.filter(
             toks, lambda x: ~F.array_contains(stop_arr, F.lower(x))
         )

@@ -81,6 +81,20 @@ from route81_spark.pipeline.exprs import PipelineCompileError, compile_expr, ext
 #     characters (= utf8proc strip_accents), not full ICU folding
 #     (ß/ø/đ/ligatures stay distinct letters, as in strip_accents);
 #     NFC-normalize upstream via ops.unitext.nfc_normalize.
+#     The French program is the CLASSIC (pre-2019) Snowball French
+#     revision — no He/Hi diaeresis preludes — so derivatives of
+#     words like 'aiguë' can stem differently from a current
+#     Mongo/Snowball deployment (the revision pin and rationale live
+#     in ops/french.py's docstring). $caseSensitive: true composes
+#     with a stem mode SELF-CONSISTENTLY but degrades conflation:
+#     both Snowball programs assume lowercase input, so capitalized
+#     tokens AND capitalized query terms pass through largely
+#     unstemmed — the two sides stay symmetric (a capitalized query
+#     term still matches the same capitalized document token), but
+#     'Running' will not conflate with 'runs'. Mongo's server
+#     analyzer lowercases for stemming even under $caseSensitive;
+#     carrying that would need a second stemmed-lowercase token
+#     array per field — not done, documented instead.
 #   * engine extension key `field` names the searched column
 #     (default "text") — the analog of the server-side text index
 #     definition; `fields` ({column: weight, ...}, integer weights
@@ -96,13 +110,17 @@ from route81_spark.pipeline.exprs import PipelineCompileError, compile_expr, ext
 #     French program, every other language keeps raw tokens
 #     (documented: the remaining Snowball programs are not carried),
 #     query terms stem with the query language as usual;
-#     `stopWords: true` (r10) drops the Snowball English stop words
-#     from indexed tokens AND query terms before stemming — Mongo's
-#     index does this BY DEFAULT (documented divergence: this engine
-#     keeps stop words unless asked, so existing queries stay stable);
-#     an all-stop-words search matches nothing, phrases keep their
-#     stop words (raw substring semantics), and the option is
-#     English-only (loud with french/languageOverride).
+#     `stopWords: true` (r10) drops the analysis language's Snowball
+#     stop words from indexed tokens AND query terms before stemming —
+#     Mongo's index does this BY DEFAULT (documented divergence: this
+#     engine keeps stop words unless asked, so existing queries stay
+#     stable); an all-stop-words search matches nothing, phrases keep
+#     their stop words (raw substring semantics). English and French
+#     lists are carried (r11, ops/stopwords.py — the verbatim
+#     Snowball english/french.stop data); under languageOverride each
+#     document stops with ITS language's list (en/fr; any other
+#     language is unstopped AND unstemmed — no analyzer), and query
+#     terms stop with the query language's list.
 # --------------------------------------------------------------------
 
 # The active $text spec, read by {$meta: "textScore"}. A ContextVar —
@@ -238,24 +256,15 @@ def _text_parts(spec: dict):
     # of only stop words matches nothing). Opt-in here — the engine
     # default keeps every token; flipping it would change every
     # existing query's results (documented divergence: Mongo stops by
-    # default). Only the ENGLISH list is carried (ops/stopwords.py),
-    # so the option composes with the unstemmed / s / porter
-    # analyzers; with the French program or a per-document
-    # languageOverride it would silently apply the wrong language's
-    # list — loud error instead of a half-honored request.
+    # default). The ENGLISH list composes with the unstemmed / s /
+    # porter analyzers; the FRENCH list (r11, ops/stopwords.py
+    # STOP_FR — the verbatim Snowball french.stop) composes with the
+    # French program; languageOverride (r11) stops each document with
+    # ITS language's list (en -> English, fr -> French, anything else
+    # unstopped — the same "no analyzer for that language" rule the
+    # stemming dispatch applies). Query terms stop with the QUERY
+    # language's list, exactly as they stem with the query language.
     stop = bool(spec.get("stopWords", False))
-    if stop and stem == "french":
-        raise PipelineCompileError(
-            "$text: stopWords carries only the English stop list —"
-            " the French analyzer would need the French list (not"
-            " implemented); drop stopWords or use an English mode"
-        )
-    if stop and lang_over is not None:
-        raise PipelineCompileError(
-            "$text: stopWords with languageOverride would apply the"
-            " English stop list to every language's documents — not"
-            " implemented; drop one of the two options"
-        )
     return (field, fields, cs, ds, uni, stem, lang_over, stop,
             _parse_search(str(spec["$search"])))
 
@@ -294,31 +303,51 @@ def _text_bound(spec: dict, build):
         return s if ds else fold_diacritics_py(s)
 
     if stop:
-        from route81_spark.ops.stopwords import STOP_EN
+        from route81_spark.ops.stopwords import STOP_EN, STOP_FR
 
         # stop removal happens on the case-folded SURFACE form, before
         # any stemming (Mongo's analyzer order: tokenize -> stop ->
         # stem); phrases are raw substring matches and keep their stop
-        # words. Dropping every positive term leaves the existing
-        # only-negations branch: matches nothing, exactly Mongo's
-        # behavior for an all-stop-words search.
-        _ss = set(STOP_EN)
+        # words. Query terms stop with the QUERY language's list —
+        # French when the query analyzes French (r11), English
+        # otherwise — exactly as they stem with the query language;
+        # document tokens stop per-ANALYSIS-language below
+        # (languageOverride picks each document's list). Dropping
+        # every positive term leaves the existing only-negations
+        # branch: matches nothing, exactly Mongo's behavior for an
+        # all-stop-words search. The French list carries accented
+        # surface forms ('été', 'même'), so the check runs on the
+        # UNfolded lowercase term.
+        _ss = set(STOP_FR if stem == "french" else STOP_EN)
         pos_t0, neg_t0, pos_ph0, neg_ph0 = parts
         parts = (
             [t for t in pos_t0 if t.lower() not in _ss],
             [t for t in neg_t0 if t.lower() not in _ss],
             pos_ph0, neg_ph0,
         )
-        stop_arr = F.array(*[F.lit(s) for s in STOP_EN])
+        stop_en_arr = F.array(*[F.lit(s) for s in STOP_EN])
+        stop_fr_arr = F.array(*[F.lit(s) for s in STOP_FR])
+
+        def drop_stops(tks: Column, stop_arr: Column) -> Column:
+            # one array_contains against the literal list per token —
+            # map-only, stays ahead of the (optional) stemmer
+            return F.filter(
+                tks, lambda x: ~F.array_contains(stop_arr, F.lower(x))
+            )
 
     def french_chain(text_cf: Column) -> Column:
         """The French analyzer in Mongo's ORDER: tokenize the case-
         folded (NOT diacritic-folded) text on Unicode runs — accented
-        letters must not split tokens — stem with accents intact
-        (the algorithm depends on them), THEN fold each token."""
+        letters must not split tokens — drop French stop words (r11;
+        the list's accented surface forms must see unfolded tokens),
+        stem with accents intact (the algorithm depends on them),
+        THEN fold each token."""
         from route81_spark.ops.french import french_stem_tokens
 
-        tks = french_stem_tokens(F.split(text_cf, r"[^\p{L}\p{N}]+"))
+        tks = F.split(text_cf, r"[^\p{L}\p{N}]+")
+        if stop:
+            tks = drop_stops(tks, stop_fr_arr)
+        tks = french_stem_tokens(tks)
         if not ds:
             tks = F.transform(tks, fold_diacritics)
         return tks
@@ -375,19 +404,27 @@ def _text_bound(spec: dict, build):
         else:
             text = text_cf
         raw_toks = F.split(text, sep)
-        if stop:
-            # one array_contains against the literal list per token —
-            # map-only, stays ahead of the (optional) stemmer
-            raw_toks = F.filter(
-                raw_toks,
-                lambda x: ~F.array_contains(stop_arr, F.lower(x)),
-            )
+        if stop and lang_over is None and stem != "french":
+            # English-analyzer token source (the French chain and the
+            # per-document override branches stop per-language below)
+            raw_toks = drop_stops(raw_toks, stop_en_arr)
+
+        def en_toks() -> Column:
+            # the English-stopped token source for an override's
+            # English branch (raw_toks stays UNstopped under an
+            # override: unknown languages have no analyzer, so Mongo
+            # neither stems nor stops them)
+            if stop and lang_over is not None:
+                return drop_stops(raw_toks, stop_en_arr)
+            return raw_toks
+
         if stem == "french":
             toks = french_chain(text_cf)
             if lang_over is not None:
                 # per-document analysis language (language_override):
-                # fr docs use the French program, en docs Snowball
-                # English, everything else raw tokens; the CASE
+                # fr docs use the French program (+ French stops when
+                # asked), en docs Snowball English (+ English stops),
+                # everything else raw unstopped tokens; the CASE
                 # evaluates lazily, one branch per row
                 from route81_spark.ops.porter import porter2_stem_tokens
 
@@ -396,7 +433,7 @@ def _text_bound(spec: dict, build):
                     F.when(lov.isin("french", "fr"), toks)
                     .when(
                         lov.isin("english", "en"),
-                        porter2_stem_tokens(raw_toks),
+                        porter2_stem_tokens(en_toks()),
                     )
                     .otherwise(raw_toks)
                 )
@@ -404,7 +441,7 @@ def _text_bound(spec: dict, build):
             # stemmers apply through one call_function against a
             # once-per-session SQL temp function — rebuilding the big
             # stemmer tree per field cost ~1.5 s of driver time each
-            stemmed = stem_toks(raw_toks)
+            stemmed = stem_toks(en_toks())
             if lang_over is not None:
                 lov = F.lower(F.col(lang_over))
                 toks = (

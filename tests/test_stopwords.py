@@ -13,7 +13,6 @@ import pytest
 
 from route81_spark.ops.stopwords import STOP_EN
 from route81_spark.pipeline import apply_pipeline
-from route81_spark.pipeline.exprs import PipelineCompileError
 
 
 def _df(spark):
@@ -86,20 +85,112 @@ def test_phrases_keep_their_stop_words(spark):
     assert [r["doc_id"] for r in out.collect()] == [1]
 
 
-def test_loud_errors_for_uncovered_languages(spark):
-    with pytest.raises(PipelineCompileError, match="English stop list"):
-        apply_pipeline(_df(spark), [
-            {"$match": {"$text": {
-                "$search": "x", "$language": "french", "stopWords": True,
-            }}},
-        ]).collect()
-    with pytest.raises(PipelineCompileError, match="languageOverride"):
-        apply_pipeline(_df(spark), [
-            {"$match": {"$text": {
-                "$search": "x", "stem": "porter",
-                "languageOverride": "lang", "stopWords": True,
-            }}},
-        ]).collect()
+def _fr_df(spark):
+    return spark.createDataFrame(
+        [(1, "les continuations ont été majestueuses"),
+         (2, "elle continuait librement"),
+         (3, "été les de la même"),          # all stop words
+         (4, "rien de notable ici")],
+        "doc_id long, text string",
+    )
+
+
+def test_french_stop_words_compose_with_french_stemming(spark):
+    # r11: {stopWords: true} + $language french applies the FRENCH
+    # list. 'les'/'été' drop as query terms; 'continuer' stems to
+    # 'continu' and conflates with continuations/continuait; doc 3
+    # (all French stop words) can never match.
+    out = apply_pipeline(_fr_df(spark), [
+        {"$match": {"$text": {
+            "$search": "les continuer été", "$language": "french",
+            "stopWords": True,
+        }}},
+        {"$addFields": {"score": {"$meta": "textScore"}}},
+        {"$project": {"doc_id": 1, "score": 1}},
+    ])
+    assert sorted((r["doc_id"], r["score"]) for r in out.collect()) == [
+        (1, 1), (2, 1)
+    ]
+
+
+def test_french_accented_stop_word_filters_before_fold(spark):
+    # 'été' is IN the French list with its accents: the stop filter
+    # must see the UNfolded token (the fold happens after stemming in
+    # the French analyzer order). An all-stop search matches nothing.
+    out = apply_pipeline(_fr_df(spark), [
+        {"$match": {"$text": {
+            "$search": "été les même", "$language": "french",
+            "stopWords": True,
+        }}},
+        {"$project": {"doc_id": 1}},
+    ])
+    assert out.count() == 0
+    # without stopWords, 'été' is a real query term: doc 1 and 3
+    # carry the token (stem 'été' -> folded 'ete')
+    out2 = apply_pipeline(_fr_df(spark), [
+        {"$match": {"$text": {
+            "$search": "été", "$language": "french",
+        }}},
+        {"$project": {"doc_id": 1}},
+    ])
+    assert sorted(r["doc_id"] for r in out2.collect()) == [1, 3]
+
+
+def test_language_override_stops_per_document_language(spark):
+    # r11: under languageOverride each document stops with ITS
+    # language's list; unknown languages are unstopped AND unstemmed.
+    df = spark.createDataFrame(
+        [(1, "en", "the data runs daily"),      # 'the' stops (EN)
+         (2, "fr", "les continuations de data"), # 'les'/'de' stop (FR)
+         (3, "xx", "the data les runs"),         # nothing stops/stems
+         (4, "en", "the the is was")],           # all EN stops
+        "doc_id long, lang string, text string",
+    )
+    out = apply_pipeline(df, [
+        {"$match": {"$text": {
+            "$search": "data", "stem": "porter",
+            "languageOverride": "lang", "stopWords": True,
+        }}},
+        {"$project": {"doc_id": 1}},
+    ])
+    # doc 2 does NOT match: its French analyzer stems 'data' -> 'dat'
+    # (step 2b verb suffix) while the ENGLISH query term stays 'data'
+    # — the same cross-language index/query mismatch a Mongo text
+    # index has; doc 3's raw unstemmed 'data' matches directly
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 3]
+    # a French query against the same override matches doc 2 on the
+    # shared French stem ('continuer' -> 'continu')
+    out_fr = apply_pipeline(df, [
+        {"$match": {"$text": {
+            "$search": "continuer", "$language": "french",
+            "languageOverride": "lang", "stopWords": True,
+        }}},
+        {"$project": {"doc_id": 1}},
+    ])
+    assert sorted(r["doc_id"] for r in out_fr.collect()) == [2]
+    # 'the' is an English query term (query language = english):
+    # dropped, so nothing matches on it alone
+    out2 = apply_pipeline(df, [
+        {"$match": {"$text": {
+            "$search": "the", "stem": "porter",
+            "languageOverride": "lang", "stopWords": True,
+        }}},
+        {"$project": {"doc_id": 1}},
+    ])
+    assert out2.count() == 0
+    # unknown-language docs keep their stop-word tokens: a non-stop
+    # query term present only as 'les' in doc 3 still matches there
+    # ('les' is not in the ENGLISH list, so it survives as a query
+    # term, and doc 3's tokens are unstopped) — doc 2's 'les' was
+    # removed by the French list
+    out3 = apply_pipeline(df, [
+        {"$match": {"$text": {
+            "$search": "les", "stem": "porter",
+            "languageOverride": "lang", "stopWords": True,
+        }}},
+        {"$project": {"doc_id": 1}},
+    ])
+    assert sorted(r["doc_id"] for r in out3.collect()) == [3]
 
 
 def test_bm25_stop_words_option(spark):
@@ -132,8 +223,42 @@ def test_bm25_stop_words_option(spark):
     assert set(no_stop) == {1, 2}  # baseline path still works
     with pytest.raises(ValueError, match="stop word"):
         bm25_scores(df, ["the", "is"], stop_words=True)
-    with pytest.raises(ValueError, match="English stop"):
-        bm25_scores(df, ["données"], stem="french", stop_words=True)
+    # an EMPTY query raises the generic message, not the stop-word one
+    with pytest.raises(ValueError, match="at least one query term"):
+        bm25_scores(df, [], stop_words=True)
+
+
+def test_bm25_french_stop_words(spark):
+    """r11: stop_words composes with stem='french' — the FRENCH list
+    filters corpus tokens and query terms; 'les'/'été' drop, the
+    surviving term stems and scores."""
+    from route81_spark.ops.corpus import bm25_scores
+
+    df = spark.createDataFrame(
+        [(1, "les continuations été majestueuses"),
+         (2, "elle continuait continuait librement")],
+        "doc_id long, text string",
+    )
+    scored = {
+        r["doc_id"]: r["bm25"]
+        for r in bm25_scores(
+            df, ["les", "continuer", "été"], stem="french",
+            stop_words=True,
+        ).collect()
+    }
+    # 'les'/'été' contribute nothing: same scores as 'continuer' alone
+    only = {
+        r["doc_id"]: r["bm25"]
+        for r in bm25_scores(
+            df, ["continuer"], stem="french", stop_words=True
+        ).collect()
+    }
+    assert scored == only
+    # doc 2 has tf=2 on the stem 'continu' with dl 3 vs doc 1's tf=1
+    # dl 2 — with k1=1.2/b=0.75 the double occurrence wins
+    assert scored[2] > scored[1] > 0
+    with pytest.raises(ValueError, match="every query term is a stop"):
+        bm25_scores(df, ["les", "été"], stem="french", stop_words=True)
 
 
 def test_stem_stage_stop_words_option(spark):
@@ -144,10 +269,24 @@ def test_stem_stage_stop_words_option(spark):
     ])
     # "the data is in the lake" -> stops removed -> ['data', 'lake']
     assert list(out.collect()[0]["st"]) == ["data", "lake"]
-    with pytest.raises(ValueError, match="English stop list"):
-        apply_pipeline(_df(spark), [
-            {"$stem": {"mode": "french", "stopWords": True}},
-        ])
+
+
+def test_stem_stage_french_stop_words(spark):
+    # r11: mode 'french' + stopWords applies the FRENCH list before
+    # stemming; the accented stop word 'été' must drop (the stage's
+    # whitespace tokenizer keeps diacritics intact)
+    out = apply_pipeline(_fr_df(spark), [
+        {"$stem": {"textField": "text", "as": "st", "mode": "french",
+                   "stopWords": True}},
+        {"$match": {"doc_id": 1}},
+    ])
+    # "les continuations ont été majestueuses" -> FR stops removed ->
+    # [continuations, majestueuses] -> stems (accents intact)
+    from route81_spark.ops.french import french_py
+
+    assert list(out.collect()[0]["st"]) == [
+        french_py("continuations"), french_py("majestueuses")
+    ]
 
 
 def test_list_is_the_contraction_free_snowball_list():
@@ -156,3 +295,37 @@ def test_list_is_the_contraction_free_snowball_list():
     assert {"the", "is", "and", "very", "s", "t", "now"} <= set(STOP_EN)
     assert "data" not in STOP_EN and "aren" not in STOP_EN
     assert len(STOP_EN) == 127 == len(set(STOP_EN))
+
+
+def test_french_list_matches_sparks_snowball_resource():
+    """STOP_FR is the verbatim Snowball french.stop list. Pin it
+    byte-for-byte against the copy Apache Spark ships as the MLlib
+    StopWordsRemover resource (same provenance: the PostgreSQL
+    snowball stopword corpus — see the jar's stopwords/README), so
+    the vendored data can never drift from the published list."""
+    import glob
+    import os
+    import zipfile
+
+    import pyspark
+
+    from route81_spark.ops.stopwords import STOP_FR
+
+    jars = glob.glob(os.path.join(
+        os.path.dirname(pyspark.__file__), "jars", "spark-mllib_*.jar"
+    ))
+    assert jars, "spark-mllib jar not found next to the pyspark package"
+    with zipfile.ZipFile(jars[0]) as z:
+        ref = [
+            w.strip()
+            for w in z.read(
+                "org/apache/spark/ml/feature/stopwords/french.txt"
+            ).decode("utf-8").splitlines()
+            if w.strip()
+        ]
+    assert list(STOP_FR) == ref
+    assert len(STOP_FR) == 156 == len(set(STOP_FR))
+    # accented members present with their accents (the filter must
+    # run before any diacritic fold) and elision fragments carried
+    assert {"été", "même", "être"} & set(STOP_FR) == {"été", "même"}
+    assert {"l", "d", "j", "c"} <= set(STOP_FR)
