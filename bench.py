@@ -97,6 +97,8 @@ BENCH_QUERIES = [
     "match_text_weighted", # weighted multi-field text index analog (r9)
     "match_text_french",   # $text full Snowball French stemming (r10)
     "match_text_stopwords",  # $text Snowball stop-word removal (r10)
+    "match_text_french_stopwords",  # French stop list + French stemmer (r11)
+    "text_bm25_stopwords",  # BM25 stop->stem analyzer chain (r11)
 ]
 
 # Round-over-round comparability cohorts (r6 verdict: the growing set mixes

@@ -1245,3 +1245,44 @@ def test_streaming_text_stopwords_matches_batch(spark, tmp_path):
     want = {(r["doc_id"], r["score"])
             for r in apply_pipeline(batch, pipe).collect()}
     assert got == want == {(1, 1), (2, 2), (4, 1)}
+
+
+def test_streaming_text_french_stopwords_matches_batch(spark, tmp_path):
+    """French stop removal (r11) composed with the French stemmer is
+    still per-row token filtering — no state, append-legal; streamed
+    matches and scores equal the batch pipeline's, including the
+    all-French-stop-words document never matching."""
+    from route81_spark.pipeline import apply_pipeline
+
+    rows = [
+        {"doc_id": 1, "text": "les continuations ont été majestueuses"},
+        {"doc_id": 2, "text": "elle continuait librement"},
+        {"doc_id": 3, "text": "été les de la même"},
+        {"doc_id": 4, "text": "rien de notable ici"},
+    ]
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    pipe = [
+        {"$match": {"$text": {
+            "$search": "les continuer été", "$language": "french",
+            "stopWords": True,
+        }}},
+        {"$addFields": {"score": {"$meta": "textScore"}}},
+        {"$project": {"doc_id": 1, "score": 1}},
+    ]
+    src = tmp_path / "fswsrc"
+    _write_batch(src / "b1.json", rows[:2])
+    _write_batch(src / "b2.json", rows[2:])
+    stream = spark.readStream.schema(schema).json(str(src))
+    out, ck = tmp_path / "fswout", tmp_path / "fswck"
+    _run_available_now(apply_pipeline(stream, pipe), out, ck)
+    got = {(r["doc_id"], r["score"])
+           for r in spark.read.parquet(str(out)).collect()}
+    batch = spark.createDataFrame(
+        [tuple(r.values()) for r in rows], "doc_id long, text string"
+    )
+    want = {(r["doc_id"], r["score"])
+            for r in apply_pipeline(batch, pipe).collect()}
+    assert got == want == {(1, 1), (2, 1)}

@@ -758,6 +758,13 @@ def sf1_probe(spark, k: int = 100) -> None:
         # filtering are per-token map-only like the English chain
         "match_text_french",
         "match_text_stopwords",
+        # r11: the FRENCH stop list composed with the French program
+        # (one extra array_contains per token against a 156-entry
+        # literal list, ahead of the stemmer), and the bm25/$stem
+        # stop-word registrations — all per-token map-only
+        "match_text_french_stopwords",
+        "text_bm25_stopwords",
+        "stage_stem_stopwords",
     ]
 
     def run(name: str, d: str) -> float:
