@@ -13,7 +13,11 @@ ships as the MLlib StopWordsRemover resource
 that in-environment jar resource by tests/test_stopwords.py). Both
 lists are shared as data with the DuckDB oracle (the harness generates
 its NOT IN lists from these constants, the same single-source pattern
-as the IBAN length registry).
+as the IBAN length registry). The remaining twelve Mongo text-search
+languages resolve through ``stop_list()`` below, which loads their
+verbatim Snowball lists from the PySpark distribution's own MLlib
+stopwords resource (romanian is the one Mongo language whose list the
+corpus does not carry — loud error).
 
 Documented divergence: Mongo's index applies the full Snowball list
 (contraction forms included) over its own tokenizer; this engine's
@@ -23,6 +27,8 @@ tokenizer splits contractions at the apostrophe, so the fragments
 """
 
 from __future__ import annotations
+
+import functools
 
 STOP_EN: tuple[str, ...] = (
     "i", "me", "my", "myself", "we", "our", "ours", "ourselves",
@@ -71,3 +77,74 @@ STOP_FR: tuple[str, ...] = (
     "eurent", "aie", "aies", "ait", "ayons", "ayez", "aient", "eusse",
     "eusses", "eût", "eussions", "eussiez", "eussent",
 )
+
+# Mongo text-search language names + ISO 639-1 codes -> the Snowball
+# stop-list resource name. Mongo's text index supports 15 languages;
+# romanian is the ONE whose Snowball list the in-environment corpus
+# does not carry (it maps to None -> loud error naming the gap).
+_LANGS: dict[str, str | None] = {
+    "danish": "danish", "da": "danish",
+    "dutch": "dutch", "nl": "dutch",
+    "english": "english", "en": "english",
+    "finnish": "finnish", "fi": "finnish",
+    "french": "french", "fr": "french",
+    "german": "german", "de": "german",
+    "hungarian": "hungarian", "hu": "hungarian",
+    "italian": "italian", "it": "italian",
+    "norwegian": "norwegian", "nb": "norwegian",
+    "portuguese": "portuguese", "pt": "portuguese",
+    "romanian": None, "ro": None,
+    "russian": "russian", "ru": "russian",
+    "spanish": "spanish", "es": "spanish",
+    "swedish": "swedish", "sv": "swedish",
+    "turkish": "turkish", "tr": "turkish",
+}
+
+
+@functools.lru_cache(maxsize=None)
+def stop_list(language: str) -> tuple[str, ...]:
+    """The Snowball stop list for a Mongo text-search language name or
+    ISO code (r11). english/french return the vendored constants above
+    (single source with every recorded oracle — the jar's ENGLISH copy
+    is the NLTK-augmented 181-entry variant, per its own README, so it
+    is deliberately NOT used); the other twelve load from the PySpark
+    distribution's own MLlib StopWordsRemover resource
+    (org/apache/spark/ml/feature/stopwords/<language>.txt — the
+    PostgreSQL snowball stopword corpus, i.e. the Snowball lists
+    verbatim). Unknown languages and romanian (the one Mongo text
+    language whose list the corpus does not carry) raise ValueError
+    naming the carried set."""
+    key = _LANGS.get(language.lower())
+    if key is None:
+        carried = sorted({v for v in _LANGS.values() if v})
+        raise ValueError(
+            f"no Snowball stop list carried for language "
+            f"{language!r} — carried: {', '.join(carried)}"
+        )
+    if key == "english":
+        return STOP_EN
+    if key == "french":
+        return STOP_FR
+    import glob
+    import os
+    import zipfile
+
+    import pyspark
+
+    jars = glob.glob(os.path.join(
+        os.path.dirname(pyspark.__file__), "jars", "spark-mllib_*.jar"
+    ))
+    if not jars:  # pragma: no cover - packaging seam
+        raise RuntimeError(
+            "spark-mllib jar (the Snowball stop-list resource) not"
+            " found next to the pyspark package"
+        )
+    with zipfile.ZipFile(jars[0]) as z:
+        raw = z.read(
+            f"org/apache/spark/ml/feature/stopwords/{key}.txt"
+        ).decode("utf-8")
+    # order-preserving dedupe: three of the raw resource files carry a
+    # handful of repeated lines (finnish/hungarian/norwegian)
+    return tuple(dict.fromkeys(
+        w.strip() for w in raw.splitlines() if w.strip()
+    ))

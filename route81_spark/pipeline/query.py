@@ -115,12 +115,21 @@ from route81_spark.pipeline.exprs import PipelineCompileError, compile_expr, ext
 #     Mongo's index does this BY DEFAULT (documented divergence: this
 #     engine keeps stop words unless asked, so existing queries stay
 #     stable); an all-stop-words search matches nothing, phrases keep
-#     their stop words (raw substring semantics). English and French
-#     lists are carried (r11, ops/stopwords.py — the verbatim
-#     Snowball english/french.stop data); under languageOverride each
-#     document stops with ITS language's list (en/fr; any other
-#     language is unstopped AND unstemmed — no analyzer), and query
-#     terms stop with the query language's list.
+#     their stop words (raw substring semantics). ALL of Mongo's text
+#     languages except romanian carry their verbatim Snowball list
+#     (r11, ops/stopwords.py — vendored english/french constants
+#     shared as data with the oracles; the other twelve load from the
+#     PySpark distribution's own MLlib stopwords resource). For
+#     languages without a carried stemmer the analyzer is
+#     stop-without-stem (documented partial); $language: "none" stops
+#     nothing (Mongo: no analysis); romanian/unknown fail loudly
+#     rather than stop with a wrong-language list. Under
+#     languageOverride each document stops with ITS language's list
+#     (en/fr; any other language is unstopped AND unstemmed — no
+#     analyzer), and query terms stop with the query language's list.
+#     Under the default diacritic-INsensitive mode the stop check is
+#     fold-canonical on both sides ('uber' ≡ 'über' for stopping
+#     exactly as for matching).
 # --------------------------------------------------------------------
 
 # The active $text spec, read by {$meta: "textScore"}. A ContextVar —
@@ -256,15 +265,40 @@ def _text_parts(spec: dict):
     # of only stop words matches nothing). Opt-in here — the engine
     # default keeps every token; flipping it would change every
     # existing query's results (documented divergence: Mongo stops by
-    # default). The ENGLISH list composes with the unstemmed / s /
-    # porter analyzers; the FRENCH list (r11, ops/stopwords.py
-    # STOP_FR — the verbatim Snowball french.stop) composes with the
-    # French program; languageOverride (r11) stops each document with
-    # ITS language's list (en -> English, fr -> French, anything else
-    # unstopped — the same "no analyzer for that language" rule the
-    # stemming dispatch applies). Query terms stop with the QUERY
-    # language's list, exactly as they stem with the query language.
-    stop = bool(spec.get("stopWords", False))
+    # default). `stop` resolves to the ANALYZER language's list (r11,
+    # ops/stopwords.py): an explicit English-capable stem mode or an
+    # English/unset $language -> the Snowball English list; the French
+    # program -> the verbatim Snowball French list; any OTHER Mongo
+    # text language ($language: "german"/"ru"/...) -> that language's
+    # Snowball list, loaded from the PySpark distribution's own MLlib
+    # stopwords resource (stemming for those languages stays honestly
+    # not-carried — stop-without-stem is the documented partial
+    # analyzer); $language: "none" means NO analysis in Mongo, so
+    # nothing stops; romanian (no carried list) and unknown languages
+    # fail loudly rather than stop with the wrong language's list.
+    # languageOverride stops each document with ITS language's list
+    # (en -> English, fr -> French, anything else unstopped — the
+    # same "no analyzer" rule the stemming dispatch applies); query
+    # terms stop with the QUERY language's list, exactly as they stem
+    # with the query language.
+    stop: tuple[str, ...] | None = None
+    if spec.get("stopWords", False):
+        from route81_spark.ops.stopwords import (
+            STOP_EN, STOP_FR, stop_list,
+        )
+
+        lang = str(spec.get("$language", "english")).lower()
+        if stem == "french":
+            stop = STOP_FR
+        elif stem in ("porter", "s") or lang in ("english", "en", ""):
+            stop = STOP_EN
+        elif lang == "none":
+            stop = None  # Mongo: language 'none' = no analysis at all
+        else:
+            try:
+                stop = stop_list(lang)
+            except ValueError as e:
+                raise PipelineCompileError(f"$text: stopWords — {e}")
     return (field, fields, cs, ds, uni, stem, lang_over, stop,
             _parse_search(str(spec["$search"])))
 
@@ -308,25 +342,44 @@ def _text_bound(spec: dict, build):
         # stop removal happens on the case-folded SURFACE form, before
         # any stemming (Mongo's analyzer order: tokenize -> stop ->
         # stem); phrases are raw substring matches and keep their stop
-        # words. Query terms stop with the QUERY language's list —
-        # French when the query analyzes French (r11), English
-        # otherwise — exactly as they stem with the query language;
-        # document tokens stop per-ANALYSIS-language below
-        # (languageOverride picks each document's list). Dropping
-        # every positive term leaves the existing only-negations
-        # branch: matches nothing, exactly Mongo's behavior for an
-        # all-stop-words search. The French list carries accented
-        # surface forms ('été', 'même'), so the check runs on the
-        # UNfolded lowercase term.
-        _ss = set(STOP_FR if stem == "french" else STOP_EN)
+        # words. `stop` IS the query/analysis language's resolved list
+        # (_text_parts) — query terms filter against it exactly as
+        # they stem with the query language; document tokens stop
+        # per-ANALYSIS-language below (languageOverride picks each
+        # document's canonical en/fr list). Dropping every positive
+        # term leaves the existing only-negations branch: matches
+        # nothing, exactly Mongo's behavior for an all-stop-words
+        # search. Several lists carry accented surface forms ('été',
+        # 'über'), and the comparison form must MATCH the token form
+        # at the filter site: the French chain filters pre-fold tokens
+        # (unfolded list), while the generic per-field path filters
+        # the already-diacritic-folded token array — so under
+        # diacritic-INsensitive matching the list folds too (both
+        # sides canonical, 'uber' ≡ 'über' for stopping exactly as it
+        # does for matching; ASCII lists — English — are unchanged by
+        # the fold, keeping every recorded plan identical).
+        if ds or stem == "french":
+            def _stop_key(t: str) -> str:
+                return t.lower()
+        else:
+            def _stop_key(t: str) -> str:
+                return fold_diacritics_py(t.lower())
+        _stop_q = list(dict.fromkeys(_stop_key(w) for w in stop))
+        _ss = set(_stop_q)
         pos_t0, neg_t0, pos_ph0, neg_ph0 = parts
         parts = (
-            [t for t in pos_t0 if t.lower() not in _ss],
-            [t for t in neg_t0 if t.lower() not in _ss],
+            [t for t in pos_t0 if _stop_key(t) not in _ss],
+            [t for t in neg_t0 if _stop_key(t) not in _ss],
             pos_ph0, neg_ph0,
         )
-        stop_en_arr = F.array(*[F.lit(s) for s in STOP_EN])
-        stop_fr_arr = F.array(*[F.lit(s) for s in STOP_FR])
+        stop_q_arr = F.array(*[F.lit(s) for s in _stop_q])
+        # the per-document override branches always stop with the
+        # CANONICAL en/fr lists (override requires an en/fr-capable
+        # stem mode, but the query list may differ from a branch's)
+        if lang_over is not None:
+            stop_en_arr = F.array(*[F.lit(s) for s in STOP_EN])
+        if stem == "french" or lang_over is not None:
+            stop_fr_arr = F.array(*[F.lit(s) for s in STOP_FR])
 
         def drop_stops(tks: Column, stop_arr: Column) -> Column:
             # one array_contains against the literal list per token —
@@ -405,9 +458,10 @@ def _text_bound(spec: dict, build):
             text = text_cf
         raw_toks = F.split(text, sep)
         if stop and lang_over is None and stem != "french":
-            # English-analyzer token source (the French chain and the
-            # per-document override branches stop per-language below)
-            raw_toks = drop_stops(raw_toks, stop_en_arr)
+            # the query/analysis language's token source (the French
+            # chain and the per-document override branches stop
+            # per-language below)
+            raw_toks = drop_stops(raw_toks, stop_q_arr)
 
         def en_toks() -> Column:
             # the English-stopped token source for an override's

@@ -297,6 +297,105 @@ def test_list_is_the_contraction_free_snowball_list():
     assert len(STOP_EN) == 127 == len(set(STOP_EN))
 
 
+def test_generic_language_stop_lists(spark):
+    """r11: {stopWords: true} with any carried Mongo text language
+    applies THAT language's Snowball list (loaded from the PySpark
+    distribution's own MLlib stopwords resource) — stemming for those
+    languages stays honestly not-carried (stop-without-stem). The
+    umlaut stop word 'über' must filter from documents even though
+    the default diacritic fold runs before tokenization (the list
+    folds with the tokens)."""
+    df = spark.createDataFrame(
+        [(1, "die Daten über alles"),   # die/über/alles stop (DE)
+         (2, "Daten verarbeitung täglich"),
+         (3, "die der und über")],      # all German stop words
+        "doc_id long, text string",
+    )
+    out = apply_pipeline(df, [
+        {"$match": {"$text": {
+            "$search": "die daten über", "$language": "german",
+            "unicode": True, "stopWords": True,
+        }}},
+        {"$addFields": {"score": {"$meta": "textScore"}}},
+        {"$project": {"doc_id": 1, "score": 1}},
+    ])
+    # 'die'/'über' drop as query terms; doc 3 (all stops) never
+    # matches; scores count only the surviving 'daten' occurrences
+    assert sorted((r["doc_id"], r["score"]) for r in out.collect()) == [
+        (1, 1), (2, 1)
+    ]
+    # the folded equivalent 'uber' also stops under the default
+    # diacritic-INsensitive mode ('uber' ≡ 'über', for stopping
+    # exactly as for matching)
+    out2 = apply_pipeline(df, [
+        {"$match": {"$text": {
+            "$search": "uber", "$language": "german",
+            "unicode": True, "stopWords": True,
+        }}},
+        {"$project": {"doc_id": 1}},
+    ])
+    assert out2.count() == 0
+
+
+def test_stop_language_none_and_uncarried_are_honest(spark):
+    from route81_spark.pipeline.exprs import PipelineCompileError
+
+    df = spark.createDataFrame(
+        [(1, "the data lake")], "doc_id long, text string"
+    )
+    # $language: "none" = no analysis in Mongo: nothing stops
+    out = apply_pipeline(df, [
+        {"$match": {"$text": {
+            "$search": "the", "$language": "none", "stopWords": True,
+        }}},
+        {"$project": {"doc_id": 1}},
+    ])
+    assert out.count() == 1
+    # romanian's list is not carried: loud error, never a wrong list
+    with pytest.raises(PipelineCompileError, match="romanian"):
+        apply_pipeline(df, [
+            {"$match": {"$text": {
+                "$search": "x", "$language": "romanian",
+                "stopWords": True,
+            }}},
+        ])
+    with pytest.raises(PipelineCompileError, match="carried"):
+        apply_pipeline(df, [
+            {"$match": {"$text": {
+                "$search": "x", "$language": "klingon",
+                "stopWords": True,
+            }}},
+        ])
+
+
+def test_stop_list_loader():
+    """stop_list(): en/fr return the vendored constants (single source
+    with the oracles); the other twelve load the Snowball lists from
+    the Spark jar; Mongo names and ISO codes both resolve."""
+    from route81_spark.ops.stopwords import STOP_FR, stop_list
+
+    assert stop_list("english") is STOP_EN
+    assert stop_list("fr") is STOP_FR
+    de = stop_list("german")
+    assert {"der", "die", "das", "und", "über"} <= set(de)
+    assert stop_list("de") == de
+    ru = stop_list("russian")
+    assert "что" in ru and len(ru) == 151
+    # counts are post-dedupe (the raw finnish/hungarian/norwegian
+    # resource files repeat a few lines)
+    for name, n in [("danish", 94), ("dutch", 101), ("finnish", 229),
+                    ("german", 231), ("hungarian", 198),
+                    ("italian", 279), ("norwegian", 172),
+                    ("portuguese", 203), ("spanish", 313),
+                    ("swedish", 114), ("turkish", 53)]:
+        ws = stop_list(name)
+        assert len(ws) == n == len(set(ws)), name
+    with pytest.raises(ValueError, match="'ro'"):
+        stop_list("ro")
+    with pytest.raises(ValueError, match="carried"):
+        stop_list("tlh")
+
+
 def test_french_list_matches_sparks_snowball_resource():
     """STOP_FR is the verbatim Snowball french.stop list. Pin it
     byte-for-byte against the copy Apache Spark ships as the MLlib
