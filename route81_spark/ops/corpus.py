@@ -1284,6 +1284,7 @@ def bm25_scores(
     id_col: str = "doc_id",
     stem: str | None = None,
     stop_words: bool = False,
+    stop_language: str | None = None,
 ) -> DataFrame:
     """Okapi BM25 relevance of every document to a bag-of-terms query —
     the classic retrieval scorer, exact formula:
@@ -1306,7 +1307,13 @@ def bm25_scores(
     analyzer order. With stop removal active, dl/avgdl count the
     remaining tokens (the standard index-resident definition); a
     query consisting only of stop words fails loudly like an empty
-    query.
+    query. ``stop_language`` (r11) overrides the list for corpora in
+    any other carried Snowball language ("german", "ru", ...,
+    resolved by ops.stopwords.stop_list — unknown/romanian fail
+    loudly); it requires ``stop_words=True`` and composes with
+    ``stem=None`` only (scoring a German corpus with the English
+    stemmer while stopping German would be an incoherent analyzer —
+    loud error).
 
     100 TB shape: the corpus model constants (N, avgdl, and df per
     query term) come from ONE aggregation collecting a single row, and
@@ -1351,14 +1358,31 @@ def bm25_scores(
         # before the stop filter, so an EMPTY query raises the generic
         # message, not a misleading 'every term is a stop word'
         raise ValueError("bm25_scores needs at least one query term")
+    if stop_language is not None and not stop_words:
+        raise ValueError(
+            "bm25_scores: stop_language requires stop_words=True"
+        )
+    if stop_language is not None and stem is not None:
+        raise ValueError(
+            "bm25_scores: stop_language composes with stem=None only —"
+            " the stem mode's language already picks the en/fr list,"
+            " and stemming one language while stopping another would"
+            " be an incoherent analyzer"
+        )
     if stop_words:
-        from route81_spark.ops.stopwords import STOP_EN, STOP_FR
+        from route81_spark.ops.stopwords import (
+            STOP_EN, STOP_FR, stop_list,
+        )
 
         # the stem MODE's language picks the list (r11: the verbatim
         # Snowball French list composes with stem='french'; its
         # accented surface forms mean the comparison runs on the raw
-        # lowercase term, never a folded one)
-        stops = STOP_FR if stem == "french" else STOP_EN
+        # lowercase term, never a folded one); stop_language overrides
+        # for unstemmed corpora in any other carried language
+        if stop_language is not None:
+            stops = stop_list(stop_language)
+        else:
+            stops = STOP_FR if stem == "french" else STOP_EN
         _ss = set(stops)
         qt = [t for t in qt if t.lower() not in _ss]
         if not qt:

@@ -71,6 +71,19 @@ def _stem(df: DataFrame, arg: dict) -> DataFrame:
             " S-stemmer) are the implemented modes"
         )
     toks = X.tokens(F.col(arg.get("textField", "text")))
+    if arg.get("stopLanguage") is not None:
+        # $stem ALWAYS stems and its carried programs are en/fr, whose
+        # language already picks the stop list — stopping a third
+        # language while stemming en/fr would be an incoherent
+        # analyzer, and silently ignoring the key would be worse;
+        # generic stop-only passes belong to bm25_scores(
+        # stop_language=...) or a stop_list()+F.filter preprocessor
+        raise ValueError(
+            "$stem: stopLanguage is not composable with a stem mode —"
+            " the mode's language (en/fr) already picks the list; for"
+            " stop-only passes over other languages use"
+            " ops.stopwords.stop_list with an array filter"
+        )
     if arg.get("stopWords"):
         # same option as $text (r10): drop the MODE's language's
         # Snowball stop words BEFORE stemming (r11: the French list

@@ -261,6 +261,57 @@ def test_bm25_french_stop_words(spark):
         bm25_scores(df, ["les", "été"], stem="french", stop_words=True)
 
 
+def test_bm25_stop_language_generic(spark):
+    """r11: stop_language picks any carried Snowball list for an
+    UNSTEMMED corpus — German stop words leave the model and the
+    query; incoherent combinations fail loudly."""
+    from route81_spark.ops.corpus import bm25_scores
+
+    df = spark.createDataFrame(
+        [(1, "die daten über alles"),
+         (2, "daten daten verarbeitung")],
+        "doc_id long, text string",
+    )
+    scored = {
+        r["doc_id"]: r["bm25"]
+        for r in bm25_scores(
+            df, ["die", "daten"], stop_words=True,
+            stop_language="german",
+        ).collect()
+    }
+    only = {
+        r["doc_id"]: r["bm25"]
+        for r in bm25_scores(
+            df, ["daten"], stop_words=True, stop_language="de"
+        ).collect()
+    }
+    # 'die' contributed nothing, and the ISO code resolves the same
+    # list; post-stop dl(doc1)=1 ('daten' alone — die/über/alles all
+    # stop), dl(doc2)=3: k1=1.2/b=0.75 length normalization makes the
+    # all-signal doc 1 (tf=1/dl=1) outscore doc 2 (tf=2/dl=3) —
+    # 0.229 vs 0.220 — which is exactly why dl must count POST-stop
+    # tokens
+    assert scored == only
+    assert scored[1] > scored[2] > 0
+    with pytest.raises(ValueError, match="requires stop_words"):
+        bm25_scores(df, ["daten"], stop_language="german")
+    with pytest.raises(ValueError, match="stem=None only"):
+        bm25_scores(df, ["daten"], stem="porter", stop_words=True,
+                    stop_language="german")
+    with pytest.raises(ValueError, match="carried"):
+        bm25_scores(df, ["daten"], stop_words=True,
+                    stop_language="klingon")
+
+
+def test_stem_stage_rejects_stop_language(spark):
+    # silently ignoring the key would stop the WRONG language; loud
+    with pytest.raises(ValueError, match="stopLanguage"):
+        apply_pipeline(_df(spark), [
+            {"$stem": {"textField": "text", "stopWords": True,
+                       "stopLanguage": "german"}},
+        ])
+
+
 def test_stem_stage_stop_words_option(spark):
     out = apply_pipeline(_df(spark), [
         {"$stem": {"textField": "text", "as": "st", "mode": "porter",
