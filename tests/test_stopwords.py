@@ -422,10 +422,16 @@ def test_stop_language_none_and_uncarried_are_honest(spark):
 def test_stop_list_loader():
     """stop_list(): en/fr return the vendored constants (single source
     with the oracles); the other twelve load the Snowball lists from
-    the Spark jar; Mongo names and ISO codes both resolve."""
-    from route81_spark.ops.stopwords import STOP_FR, stop_list
+    the Spark jar; Mongo names and ISO codes both resolve. The
+    constants import INSIDE the test: identity must hold against the
+    CURRENT module instance (test_review_regressions deletes
+    route81_spark.ops* from sys.modules mid-suite, so a module-level
+    binding would be a stale tuple object)."""
+    from route81_spark.ops.stopwords import (
+        STOP_EN as EN, STOP_FR, stop_list,
+    )
 
-    assert stop_list("english") is STOP_EN
+    assert stop_list("english") is EN
     assert stop_list("fr") is STOP_FR
     de = stop_list("german")
     assert {"der", "die", "das", "und", "über"} <= set(de)
