@@ -303,6 +303,31 @@ def test_bm25_stop_language_generic(spark):
                     stop_language="klingon")
 
 
+def test_wildcard_fields_compose_with_stop_words(spark):
+    """{fields: "$**"} x {stopWords: true}: the stop filter applies
+    per expanded field (title AND body), query stop terms drop, and a
+    field of only stop words contributes nothing."""
+    df = spark.createDataFrame(
+        [(1, "the data guide", "about processing"),
+         (2, "the the is", "data daily"),
+         (3, "misc intro", "nothing here")],
+        "doc_id long, title string, body string",
+    )
+    out = apply_pipeline(df, [
+        {"$match": {"$text": {
+            "$search": "the data is processing",
+            "fields": "$**", "stopWords": True,
+        }}},
+        {"$addFields": {"score": {"$meta": "textScore"}}},
+        {"$project": {"doc_id": 1, "score": 1}},
+    ])
+    # doc 1: 'data' in title + 'processing' in body = 2 (the/about
+    # stop); doc 2: all-stop title contributes 0, 'data' in body = 1
+    assert sorted((r["doc_id"], r["score"]) for r in out.collect()) == [
+        (1, 2), (2, 1)
+    ]
+
+
 def test_stem_stage_rejects_stop_language(spark):
     # silently ignoring the key would stop the WRONG language; loud
     with pytest.raises(ValueError, match="stopLanguage"):
