@@ -1390,9 +1390,10 @@ def bm25_scores(
                 "bm25_scores: every query term is a stop word"
             )
     if stem:
+        # stemming maps each surviving term to a (possibly empty)
+        # string — it can never EMPTY a non-empty list, so the two
+        # guards above are exhaustive
         qt = list(dict.fromkeys(_stem_py(t) for t in qt))
-    if not qt:
-        raise ValueError("bm25_scores needs at least one query term")
     tok = tokens(F.col(text_col))
     if stop_words:
         stop_arr = F.array(*[F.lit(s) for s in stops])

@@ -288,12 +288,16 @@ def _text_parts(spec: dict):
         )
 
         lang = str(spec.get("$language", "english")).lower()
-        if stem == "french":
+        if lang == "none":
+            # Mongo: language 'none' = no analysis at all — nothing
+            # stops, even when an explicit engine stem extension is
+            # set (the stem override is honored for stemming; stopping
+            # defers to the DECLARED document language)
+            stop = None
+        elif stem == "french":
             stop = STOP_FR
         elif stem in ("porter", "s") or lang in ("english", "en", ""):
             stop = STOP_EN
-        elif lang == "none":
-            stop = None  # Mongo: language 'none' = no analysis at all
         else:
             try:
                 stop = stop_list(lang)
@@ -372,10 +376,14 @@ def _text_bound(spec: dict, build):
             [t for t in neg_t0 if _stop_key(t) not in _ss],
             pos_ph0, neg_ph0,
         )
-        stop_q_arr = F.array(*[F.lit(s) for s in _stop_q])
-        # the per-document override branches always stop with the
-        # CANONICAL en/fr lists (override requires an en/fr-capable
-        # stem mode, but the query list may differ from a branch's)
+        # each literal stop array is built ONLY for the path that
+        # consumes it: stop_q_arr feeds the plain per-field token
+        # source; the per-document override branches always stop with
+        # the CANONICAL en/fr lists (override requires an en/fr-
+        # capable stem mode, but the query list may differ from a
+        # branch's); french_chain owns the unfolded French array
+        if lang_over is None and stem != "french":
+            stop_q_arr = F.array(*[F.lit(s) for s in _stop_q])
         if lang_over is not None:
             stop_en_arr = F.array(*[F.lit(s) for s in STOP_EN])
         if stem == "french" or lang_over is not None:

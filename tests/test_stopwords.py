@@ -427,6 +427,17 @@ def test_stop_language_none_and_uncarried_are_honest(spark):
         {"$project": {"doc_id": 1}},
     ])
     assert out.count() == 1
+    # ... even when an explicit engine stem extension is set: the
+    # declared document language wins for STOPPING (stemming is still
+    # honored — 'the' stems to itself and matches)
+    out_stem = apply_pipeline(df, [
+        {"$match": {"$text": {
+            "$search": "the", "$language": "none", "stem": "porter",
+            "stopWords": True,
+        }}},
+        {"$project": {"doc_id": 1}},
+    ])
+    assert out_stem.count() == 1
     # romanian's list is not carried: loud error, never a wrong list
     with pytest.raises(PipelineCompileError, match="romanian"):
         apply_pipeline(df, [
@@ -476,6 +487,49 @@ def test_stop_list_loader():
         stop_list("ro")
     with pytest.raises(ValueError, match="carried"):
         stop_list("tlh")
+
+
+def test_stop_symmetry_across_languages(spark):
+    """The analyzer INVARIANT behind every stop path: a single-word
+    document matches the same single-word search iff the word is NOT
+    a stop word — i.e. document tokens and query terms always agree
+    on what stops (no one-sided filtering, whatever the language or
+    fold mode). One pipeline per language: every sampled word is its
+    own doc, the search carries all of them, and the matched set must
+    be exactly the non-stop sample."""
+    from route81_spark.ops.stopwords import stop_list
+
+    cases = {
+        # language -> (stop samples, non-stop samples, extra spec)
+        "english": (["the", "is", "very"], ["data", "lake"], {}),
+        "french": (["été", "même", "les"], ["jouet", "rien"],
+                   {"$language": "french"}),
+        "german": (["über", "der", "und"], ["daten", "haus"],
+                   {"$language": "german", "unicode": True}),
+        "russian": (["что", "не", "она"], ["спарк", "поток"],
+                    {"$language": "russian", "unicode": True}),
+    }
+    for lang, (stops, keeps, extra) in cases.items():
+        for w in stops:
+            assert w in stop_list(lang), (lang, w)
+        for w in keeps:
+            assert w not in stop_list(lang), (lang, w)
+        words = stops + keeps
+        df = spark.createDataFrame(
+            [(i, w) for i, w in enumerate(words)],
+            "doc_id long, text string",
+        )
+        out = apply_pipeline(df, [
+            {"$match": {"$text": {
+                "$search": " ".join(words), "stopWords": True, **extra,
+            }}},
+            {"$project": {"doc_id": 1}},
+        ])
+        got = {words[r["doc_id"]] for r in out.collect()}
+        # French non-stop terms stem before matching, so the stemmed
+        # single-word docs still match their own search terms (same
+        # analyzer both sides) — the assert holds for every language
+        assert got == set(keeps), (lang, got)
 
 
 def test_french_list_matches_sparks_snowball_resource():
