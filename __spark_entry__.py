@@ -34,19 +34,21 @@ from route81_spark import harness  # noqa: E402
 # (never-recorded first, then oldest), tie-broken by registration order.
 # Consecutive rounds therefore alternate halves without hand-kept lists.
 _HEADLINE = [
-    # r11: only queries whose CODE changed this round (the freshness
-    # discipline). The 3 new r11 queries (match_text_french_stopwords,
-    # text_bm25_stopwords, stage_stem_stopwords) sort first in the
-    # tail automatically; 2 headline + 3 new + the ENTIRE 45-row r6
-    # cohort = exactly the 50-slot window (nothing stays older than
-    # r7 after this round). The r11 change is the French stop list
-    # composing into the $text/stem/bm25 stop paths: the two queries
-    # below cover the restructured stop block and the per-language
-    # override branches; every other $text query's generated plan is
-    # byte-identical (the stop filter only exists when stopWords is
-    # set, and the English path kept its exact expression).
+    # r11: only queries whose GENERATED PLAN could change this round
+    # (the freshness discipline). The 4 new r11 queries
+    # (match_text_french_stopwords, text_bm25_stopwords,
+    # stage_stem_stopwords, match_text_german_stopwords) sort first
+    # in the tail automatically; 1 headline + 4 new + the ENTIRE
+    # 45-row r6 cohort = exactly the 50-slot window (nothing stays
+    # older than r7 after this round). The r11 change is per-language
+    # stop lists composing into the $text/$stem/bm25 stop paths: the
+    # query below covers the restructured stop block; every other
+    # recorded query's plan is byte-identical — the stop filter only
+    # exists when stopWords is set, the English path kept its exact
+    # expressions (ASCII fold is identity, array literal order
+    # preserved), and the langoverride/en_toks refactor emits the
+    # same tree when stop is off (review-verified; plan pins green).
     "match_text_stopwords",    # stop block: per-language list select
-    "match_text_langoverride", # override branches: en_toks refactor
 ]
 
 

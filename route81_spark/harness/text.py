@@ -1445,6 +1445,129 @@ def match_text_french_stopwords(spark, sf_dir):
     )
 
 
+# --------------------------------------------------------------------
+# Generic-language stop lists: German stop-without-stem (r11)
+# --------------------------------------------------------------------
+
+GSW_SNIPS = [
+    "die daten über alles",
+    "daten verarbeitung läuft täglich",
+    "über die der und",  # every token is a German stop word
+    "das modell lernt schnell",
+    "verarbeitung der daten strom",
+    "nichts relevantes hier",
+]
+
+
+def _gsw_not_in() -> str:
+    """NOT IN list generated from the SAME resolved list the engine
+    filters with (ops.stopwords.stop_list('german') — the verbatim
+    Snowball german.stop from the Spark MLlib resource), FOLDED the
+    same way the engine folds it (the generic per-field path filters
+    the diacritic-folded token array, so the list folds too —
+    'über' -> 'uber'). Shared data, never re-derived."""
+    from route81_spark.ops.stopwords import stop_list
+    from route81_spark.ops.unitext import fold_diacritics_py
+
+    folded = dict.fromkeys(
+        fold_diacritics_py(w) for w in stop_list("german")
+    )
+    return "(" + ", ".join("'" + w + "'" for w in folded) + ")"
+
+
+def _gsw_fold_case() -> str:
+    """Per-token diacritic-fold lookup for the oracle over the closed
+    GSW_SNIPS vocabulary (läuft -> lauft, über -> uber), pre-computed
+    by the same fold table the engine's translate uses."""
+    from route81_spark.ops.unitext import fold_diacritics_py
+
+    vocab = sorted({w for s in GSW_SNIPS for w in s.split()})
+    whens = " ".join(
+        f"WHEN '{w}' THEN '{fold_diacritics_py(w)}'" for w in vocab
+    )
+    return f"CASE t {whens} ELSE t END"
+
+
+def _gsw_syn_sql(x: str = "CAST(doc_id AS VARCHAR)") -> str:
+    lits = "[" + ", ".join("'" + s + "'" for s in GSW_SNIPS) + "]"
+
+    def pick(seed):
+        return f"({lits})[CAST({_wh60(seed, x)} % 6 AS INT) + 1]"
+
+    return f"{pick('destop0|a')} || ' ' || {pick('destop0|b')}"
+
+
+def _gsw_syn_spark(ids: Column) -> Column:
+    from route81_spark.ops.web import _h60
+
+    def pick(seed):
+        h = _h60(ids, seed)
+        return F.element_at(
+            F.array(*[F.lit(s) for s in GSW_SNIPS]), (h % 6 + 1).cast("int")
+        )
+
+    return F.concat(pick("destop0|a"), F.lit(" "), pick("destop0|b"))
+
+
+@_q(
+    "match_text_german_stopwords",
+    # oracle: tokenize (space split — closed vocabulary), FOLD each
+    # token (the engine folds the text before tokenizing), drop German
+    # stop words via the shared folded NOT IN list, then recompute
+    # membership + integer score — 'die'/'über' in the search
+    # contribute nothing (dropped as query terms; 'über' matches the
+    # list through the fold), the all-stop-words snippet can only
+    # match through its non-stop neighbor, and NO stemming runs
+    # (German's Snowball program is not carried: stop-without-stem)
+    f"""
+    WITH s AS (SELECT doc_id, {_gsw_syn_sql()} AS raw FROM documents),
+    t0 AS (SELECT doc_id, string_split(lower(raw), ' ') AS toks FROM s),
+    t1 AS (SELECT doc_id,
+                  list_transform(toks, t -> {_gsw_fold_case()}) AS ft
+           FROM t0),
+    t AS (SELECT doc_id,
+                 list_filter(ft, t -> t NOT IN {_gsw_not_in()}) AS st
+          FROM t1)
+    SELECT doc_id,
+           CAST(len(list_filter(st, x -> x = 'daten'))
+              + len(list_filter(st, x -> x = 'verarbeitung'))
+                AS BIGINT) AS score
+    FROM t
+    WHERE list_contains(st, 'daten')
+       OR list_contains(st, 'verarbeitung')
+    """,
+)
+def match_text_german_stopwords(spark, sf_dir):
+    """$text with $language: "german" AND {stopWords: true} (r11) —
+    the generic-language stop path: German's verbatim Snowball stop
+    list resolves through ops.stopwords.stop_list (loaded from the
+    PySpark distribution's own MLlib stopwords resource), applied to
+    indexed tokens AND query terms, while stemming stays honestly
+    not-carried (stop-without-stem, the documented partial analyzer —
+    Mongo would also stem; this engine stops and indexes unstemmed).
+    Under the default diacritic-INsensitive mode the list folds with
+    the tokens ('uber' ≡ 'über' for stopping exactly as for
+    matching). One array_contains per token — map-only, zero shuffle,
+    zero Python."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    prepped = docs.select(
+        "doc_id", _gsw_syn_spark(F.col("doc_id")).alias("text")
+    )
+    return apply_pipeline(
+        prepped,
+        [
+            {"$match": {"$text": {
+                "$search": "die daten über verarbeitung",
+                "$language": "german",
+                "unicode": True,
+                "stopWords": True,
+            }}},
+            {"$addFields": {"score": {"$meta": "textScore"}}},
+            {"$project": {"doc_id": 1, "score": 1}},
+        ],
+    )
+
+
 def _sw_stem_case() -> str:
     """Porter2 stem lookup for the closed SW_SNIPS vocabulary,
     pre-computed by the Python spec twin (ops.porter.porter2_py)."""

@@ -765,6 +765,7 @@ def sf1_probe(spark, k: int = 100) -> None:
         "match_text_french_stopwords",
         "text_bm25_stopwords",
         "stage_stem_stopwords",
+        "match_text_german_stopwords",
     ]
 
     def run(name: str, d: str) -> float:
