@@ -489,6 +489,35 @@ def test_stop_list_loader():
         stop_list("tlh")
 
 
+def test_case_sensitive_stopping_is_case_insensitive(spark):
+    """$caseSensitive: true changes MATCHING, not stopping: Mongo
+    stops on the lowercased token, so 'The' still drops from both
+    sides (the engine's drop_stops lowercases for the comparison)."""
+    df = spark.createDataFrame(
+        [(1, "The Data Lake"), (2, "THE THE IS")],
+        "doc_id long, text string",
+    )
+    # 'The' drops as a query term (case-insensitive stop check), so
+    # only 'Data' remains and matches doc 1 case-sensitively
+    out = apply_pipeline(df, [
+        {"$match": {"$text": {
+            "$search": "The Data", "$caseSensitive": True,
+            "stopWords": True,
+        }}},
+        {"$project": {"doc_id": 1}},
+    ])
+    assert [r["doc_id"] for r in out.collect()] == [1]
+    # the all-stop doc (whatever its case) can never match
+    out2 = apply_pipeline(df, [
+        {"$match": {"$text": {
+            "$search": "THE IS", "$caseSensitive": True,
+            "stopWords": True,
+        }}},
+        {"$project": {"doc_id": 1}},
+    ])
+    assert out2.count() == 0
+
+
 def test_stop_symmetry_across_languages(spark):
     """The analyzer INVARIANT behind every stop path: a single-word
     document matches the same single-word search iff the word is NOT
