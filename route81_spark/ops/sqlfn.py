@@ -100,6 +100,64 @@ def _sql_body(spark, name: str, scalar: Callable[[Column], Column]) -> str:
     return body
 
 
+def _array_sql_body(spark, name: str,
+                    builder: Callable[[Column], Column]) -> str:
+    body = _SQL_BODIES.get(name)
+    if body is None:
+        plan = (
+            spark.createDataFrame([(["x"],)], ["toks"])
+            .select(builder(F.col("toks")).alias("o"))
+            ._jdf.queryExecution().logical()
+        )
+        body = lambda_arrows(plan.expressions().apply(0).child().sql())
+        _SQL_BODIES[name] = body
+    return body
+
+
+def array_fn(name: str, builder: Callable[[Column], Column],
+             toks: Column, returns: str = "STRING") -> Column:
+    """tokens_fn's ARRAY -> SCALAR sibling (r11): apply `builder` (a
+    whole-token-array -> scalar Column program, e.g. the 14-list
+    Snowball language-ID argmax) through a once-per-session SQL temp
+    function; inline fallback when no session is active or
+    registration fails. Same extraction mechanism (the body IS the
+    Column program's own unanalyzed-plan SQL, lambdafunctions
+    rewritten to arrows) and the same SAME-SESSION CONTRACT as
+    tokens_fn. The builder must be a deterministic pure function of
+    its input column, and its body's only free reference must be the
+    `toks` parameter."""
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is not None:
+        try:
+            states = _SESSIONS.setdefault(spark, {})
+        except TypeError:  # pragma: no cover - non-weakrefable session
+            states = {}
+        ok = states.get(name)
+        if ok is None:
+            try:
+                spark.sql(
+                    f"CREATE OR REPLACE TEMPORARY FUNCTION {name}"
+                    f"(toks ARRAY<STRING>) RETURNS {returns} RETURN "
+                    f"({_array_sql_body(spark, name, builder)})"
+                )
+                ok = states[name] = True
+            except Exception as e:  # pragma: no cover - registration seam
+                ok = states[name] = False
+                warnings.warn(
+                    f"SQL temp-function registration for {name} failed"
+                    f" ({e!r:.200}); falling back to the inline Column"
+                    " program for this session (correct, but pays the"
+                    " per-application tree-construction cost)",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
+        if ok:
+            return F.call_function(name, toks)
+    return builder(toks)
+
+
 def tokens_fn(name: str, scalar: Callable[[Column], Column],
               toks: Column) -> Column:
     """Apply `scalar` (a one-token -> one-token Column program) to

@@ -104,6 +104,27 @@ def _text_analyze(df: DataFrame, arg: dict) -> DataFrame:
     return X.analyze(df, arg.get("textField", "text"))
 
 
+def _lang_id(df: DataFrame, arg: dict) -> DataFrame:
+    """$langId: per-document language ID column. mode 'markers' (the
+    default — the original 3-language 5-word heuristic, stable for
+    existing configs) or 'snowball' (r11 — stop-list overlap over all
+    14 carried Snowball languages through the once-per-session SQL
+    function; 'und' when nothing hits). Per-row map-only work, no
+    shuffle, no Python."""
+    mode = arg.get("mode", "markers")
+    text = F.col(arg.get("textField", "text"))
+    if mode == "markers":
+        col = X.lang_id(text)
+    elif mode == "snowball":
+        col = X.snowball_lang_id(text)
+    else:
+        raise ValueError(
+            f"$langId: unsupported mode {mode!r} — 'markers' and"
+            " 'snowball' are the implemented modes"
+        )
+    return df.withColumn(arg.get("as", "lang_pred"), col)
+
+
 def _similarity_topk(df: DataFrame, arg: dict) -> DataFrame:
     id_col = arg.get("idField", "vec_id")
     vec_col = arg.get("vecField", "embedding")
@@ -347,6 +368,7 @@ register_stage("$minhashLsh", _minhash_lsh)
 register_stage("$simhash", _simhash)
 register_stage("$stem", _stem)
 register_stage("$textAnalyze", _text_analyze)
+register_stage("$langId", _lang_id)
 register_stage("$similarityTopK", _similarity_topk)
 register_stage("$chunk", _chunk)
 register_stage("$piiRedact", _pii_redact)

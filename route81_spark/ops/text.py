@@ -151,6 +151,69 @@ def lang_id(text_col: Column) -> Column:
     return lang_id_tk(tokens(text_col))
 
 
+# The 14 languages whose verbatim Snowball stop lists the engine
+# carries (ops/stopwords.py stop_list) — declaration order IS the
+# deterministic tie-break for snowball_lang_id (alphabetical).
+SNOWBALL_LANGS: tuple[str, ...] = (
+    "danish", "dutch", "english", "finnish", "french", "german",
+    "hungarian", "italian", "norwegian", "portuguese", "russian",
+    "spanish", "swedish", "turkish",
+)
+
+
+def _snowball_argmax(tk: Column) -> Column:
+    """The whole-array lang-id program: one stop-hit count per
+    language (array_contains against the literal list, lowercased
+    token, NO diacritic fold — the lists carry their accents and so
+    does real text), then a deterministic argmax."""
+    from route81_spark.ops.stopwords import stop_list
+
+    def _hits(arr: Column) -> Column:
+        # closure, NOT a default-arg lambda: a 2-parameter lambda
+        # passed to F.filter would receive (element, index)
+        return F.size(F.filter(
+            tk, lambda t: F.array_contains(arr, F.lower(t))
+        ))
+
+    scores = [
+        _hits(F.array(*[F.lit(w) for w in stop_list(lang)]))
+        for lang in SNOWBALL_LANGS
+    ]
+    best = F.greatest(*scores)
+    chain = None
+    for lang, s in zip(SNOWBALL_LANGS, scores):
+        cond = s == best
+        chain = (F.when(cond, F.lit(lang)) if chain is None
+                 else chain.when(cond, F.lit(lang)))
+    return F.when(best > 0, chain).otherwise(F.lit("und"))
+
+
+def snowball_lang_id_tk(tk: Column) -> Column:
+    """Stop-list-overlap language ID over an already-computed token
+    array (r11): the classic stopword heuristic, upgraded from the
+    5-word LANG_MARKERS to the full verbatim Snowball lists of ALL 14
+    carried languages — the document's language is the list with the
+    most token hits (raw count: grammatical words dominate real text,
+    so the hit RATE separates languages far better than marker sets;
+    closely-related pairs — danish/norwegian share half their lists —
+    tie-break alphabetically, documented). All-zero -> 'und'.
+
+    The ~2,400-literal program applies through a once-per-session SQL
+    temp function (ops/sqlfn.array_fn — tokens_fn's ARRAY -> SCALAR
+    sibling), so the driver-side tree builds once per process and
+    every application is one call_function: per-row map-only work,
+    zero shuffle, zero Python, fixed driver cost at any corpus
+    scale."""
+    from route81_spark.ops.sqlfn import array_fn
+
+    return array_fn("__r81_snowball_langid", _snowball_argmax, tk)
+
+
+def snowball_lang_id(text_col: Column) -> Column:
+    """snowball_lang_id_tk over whitespace tokens of a text column."""
+    return snowball_lang_id_tk(tokens(text_col))
+
+
 def quality_score_tk(text_col: Column, tk: Column) -> Column:
     """quality_score with the token array supplied (same math as
     quality_score; tokenize once when tk is a lambda variable)."""
