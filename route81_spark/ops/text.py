@@ -161,12 +161,30 @@ SNOWBALL_LANGS: tuple[str, ...] = (
 )
 
 
-def _snowball_argmax(tk: Column) -> Column:
-    """The whole-array lang-id program: one stop-hit count per
-    language (array_contains against the literal list, lowercased
-    token, NO diacritic fold — the lists carry their accents and so
-    does real text), then a deterministic argmax."""
+def _lang_argmax_chain(scores: list[Column]) -> Column:
+    """Deterministic argmax over per-language scores: first max in
+    SNOWBALL_LANGS order wins; all-zero -> 'und'."""
+    best = F.greatest(*scores)
+    chain = None
+    for lang, s in zip(SNOWBALL_LANGS, scores):
+        cond = s == best
+        chain = (F.when(cond, F.lit(lang)) if chain is None
+                 else chain.when(cond, F.lit(lang)))
+    return F.when(best > 0, chain).otherwise(F.lit("und"))
+
+
+def _snowball_argmax(tk: Column, max_tokens: int | None = 64) -> Column:
+    """The whole-array lang-id program, EXACT string form: one
+    stop-hit count per language (array_contains against the literal
+    word list, lowercased token, NO diacritic fold — the lists carry
+    their accents and so does real text), then a deterministic
+    argmax. `max_tokens` bounds the scored prefix (see
+    snowball_lang_id_tk). This form is the no-session fallback and
+    the semantics reference the hashed fast path is tested against."""
     from route81_spark.ops.stopwords import stop_list
+
+    if max_tokens is not None:
+        tk = F.slice(tk, 1, max_tokens)
 
     def _hits(arr: Column) -> Column:
         # closure, NOT a default-arg lambda: a 2-parameter lambda
@@ -179,16 +197,88 @@ def _snowball_argmax(tk: Column) -> Column:
         _hits(F.array(*[F.lit(w) for w in stop_list(lang)]))
         for lang in SNOWBALL_LANGS
     ]
-    best = F.greatest(*scores)
-    chain = None
-    for lang, s in zip(SNOWBALL_LANGS, scores):
-        cond = s == best
-        chain = (F.when(cond, F.lit(lang)) if chain is None
-                 else chain.when(cond, F.lit(lang)))
-    return F.when(best > 0, chain).otherwise(F.lit("und"))
+    return _lang_argmax_chain(scores)
 
 
-def snowball_lang_id_tk(tk: Column) -> Column:
+_SNOWBALL_HASHES: dict[str, tuple[int, ...]] | None = None
+
+
+def _snowball_hashes(spark) -> dict[str, tuple[int, ...]]:
+    """xxhash64(lower(word)) for every stop-list word, computed BY
+    SPARK ITSELF once per process (one 2,100-row local job — a
+    bounded model artifact, like the Bloom bitmaps), so the driver
+    constants can never drift from the executor-side hash function.
+    Collision-free across the union of all 14 lists is ASSERTED: the
+    closed vocabulary makes the hashed program exactly equal to the
+    string program on every list word; an arbitrary non-stop token
+    colliding with a list hash has probability ~2.1e3/2^64 per token
+    — negligible, and the exact string form remains available."""
+    global _SNOWBALL_HASHES
+    if _SNOWBALL_HASHES is None:
+        from route81_spark.ops.stopwords import stop_list
+
+        words = sorted({w for l in SNOWBALL_LANGS for w in stop_list(l)})
+        rows = (
+            spark.createDataFrame([(w,) for w in words], ["w"])
+            .select("w", F.xxhash64(F.lower(F.col("w"))).alias("h"))
+            .collect()
+        )
+        h = {r["w"]: r["h"] for r in rows}
+        if len(set(h.values())) != len(h):  # pragma: no cover
+            raise AssertionError(
+                "xxhash64 collision inside the Snowball stop lists"
+            )
+        _SNOWBALL_HASHES = {
+            lang: tuple(h[w] for w in stop_list(lang))
+            for lang in SNOWBALL_LANGS
+        }
+    return _SNOWBALL_HASHES
+
+
+def _snowball_argmax_hashed(
+    tk: Column, max_tokens: int | None,
+    hashes: dict[str, tuple[int, ...]],
+) -> Column:
+    """The hashed fast path: each token lowercases + xxhash64's ONCE,
+    and ONE aggregate pass walks the hash array accumulating a
+    14-int score vector (per token: 14 long-membership tests into a
+    zip_with add) — the naive 14-filter form re-derives the whole
+    tokenize+hash chain per language (higher-order lambdas evaluate
+    interpreted, outside codegen's subexpression elimination), which
+    measured ~9x slower at the 100x probe tier. The scores vector
+    then binds through a 1-element transform (the _text_bound trick)
+    so the argmax when-chain reads it 28 times without re-running the
+    aggregate."""
+    if max_tokens is not None:
+        tk = F.slice(tk, 1, max_tokens)
+    token_hashes = F.transform(tk, lambda t: F.xxhash64(F.lower(t)))
+    lang_arrs = [
+        F.array(*[F.lit(v) for v in hashes[lang]])
+        for lang in SNOWBALL_LANGS
+    ]
+    zero = F.array_repeat(F.lit(0), len(SNOWBALL_LANGS))
+
+    def step(acc: Column, h: Column) -> Column:
+        member = F.array(*[
+            F.array_contains(arr, h).cast("int") for arr in lang_arrs
+        ])
+        return F.zip_with(acc, member, lambda a, m: a + m)
+
+    scores_arr = F.aggregate(token_hashes, zero, step)
+
+    def argmax(sa: Column) -> Column:
+        return _lang_argmax_chain([
+            F.element_at(sa, i + 1) for i in range(len(SNOWBALL_LANGS))
+        ])
+
+    bound = F.transform(
+        F.array(F.struct(scores_arr.alias("s"))),
+        lambda b: argmax(b.getField("s")),
+    )
+    return F.get(bound, 0)
+
+
+def snowball_lang_id_tk(tk: Column, max_tokens: int | None = 64) -> Column:
     """Stop-list-overlap language ID over an already-computed token
     array (r11): the classic stopword heuristic, upgraded from the
     5-word LANG_MARKERS to the full verbatim Snowball lists of ALL 14
@@ -198,20 +288,45 @@ def snowball_lang_id_tk(tk: Column) -> Column:
     closely-related pairs — danish/norwegian share half their lists —
     tie-break alphabetically, documented). All-zero -> 'und'.
 
-    The ~2,400-literal program applies through a once-per-session SQL
-    temp function (ops/sqlfn.array_fn — tokens_fn's ARRAY -> SCALAR
-    sibling), so the driver-side tree builds once per process and
-    every application is one call_function: per-row map-only work,
-    zero shuffle, zero Python, fixed driver cost at any corpus
-    scale."""
+    `max_tokens` (default 64) scores only the token PREFIX — the
+    standard lang-id move: grammatical words saturate within a few
+    dozen tokens, so per-document cost is CONSTANT regardless of
+    document length (each scored token scans the ~2,100 combined list
+    entries; unbounded scoring of book-length docs would pay that per
+    token). Pass None for the full scan (e.g. short mixed-language
+    fragments).
+
+    With a live session the program runs the HASHED fast path
+    (_snowball_argmax_hashed: one xxhash64 per token, long-compare
+    membership — the hash constants are computed by Spark itself once
+    per process and asserted collision-free over the closed
+    vocabulary) through a once-per-session SQL temp function
+    (ops/sqlfn.array_fn — tokens_fn's ARRAY -> SCALAR sibling; one
+    registration per distinct max_tokens), so the driver-side tree
+    builds once per process and every application is one
+    call_function: per-row map-only work, zero shuffle, zero Python,
+    fixed driver cost at any corpus scale. Without a session
+    (plan-only tests) the exact string program applies inline."""
+    from pyspark.sql import SparkSession
+
     from route81_spark.ops.sqlfn import array_fn
 
-    return array_fn("__r81_snowball_langid", _snowball_argmax, tk)
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        return _snowball_argmax(tk, max_tokens)
+    hashes = _snowball_hashes(spark)
+    suffix = "all" if max_tokens is None else str(int(max_tokens))
+
+    def builder(c: Column) -> Column:
+        return _snowball_argmax_hashed(c, max_tokens, hashes)
+
+    return array_fn(f"__r81_snowball_langid_h{suffix}", builder, tk)
 
 
-def snowball_lang_id(text_col: Column) -> Column:
+def snowball_lang_id(text_col: Column,
+                     max_tokens: int | None = 64) -> Column:
     """snowball_lang_id_tk over whitespace tokens of a text column."""
-    return snowball_lang_id_tk(tokens(text_col))
+    return snowball_lang_id_tk(tokens(text_col), max_tokens)
 
 
 def quality_score_tk(text_col: Column, tk: Column) -> Column:

@@ -123,8 +123,8 @@ def test_snowball_lang_id(spark):
         ).collect()
     }
     assert got == {i: want for i, _, want in rows}
-    # registered-path == inline-path (the body is EXTRACTED from the
-    # builder's own plan, but assert equality end-to-end anyway)
+    # registered HASHED path == exact STRING program (different
+    # machinery end to end: xxhash64 long-compare vs string lists)
     inline = {
         r["doc_id"]: r["lang"]
         for r in df.select(
@@ -133,7 +133,7 @@ def test_snowball_lang_id(spark):
         ).collect()
     }
     assert inline == got
-    assert "__r81_snowball_langid" in _SQL_BODIES  # extraction ran
+    assert "__r81_snowball_langid_h64" in _SQL_BODIES  # extraction ran
 
 
 def test_lang_id_stage(spark):
