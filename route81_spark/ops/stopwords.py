@@ -16,8 +16,17 @@ its NOT IN lists from these constants, the same single-source pattern
 as the IBAN length registry). The remaining twelve Mongo text-search
 languages resolve through ``stop_list()`` below, which loads their
 verbatim Snowball lists from the PySpark distribution's own MLlib
-stopwords resource (romanian is the one Mongo language whose list the
-corpus does not carry — loud error).
+stopwords resource.
+
+PERMANENT divergence (r12 close-out): romanian is the one Mongo text
+language whose Snowball stop list no in-environment corpus carries
+(the MLlib resource directory has no romanian.txt, and no other
+verbatim-confident source ships in this container). Rather than stop
+romanian text with a wrong-language or from-memory list — a silent
+wrong-answer hazard — ``stop_list("romanian")`` raises ValueError
+naming the carried set, permanently, until a verbatim list can be
+vendored with provenance. `$language: "romanian"` without stopWords
+still works (fold-only matching).
 
 Documented divergence: Mongo's index applies the full Snowball list
 (contraction forms included) over its own tokenizer; this engine's
@@ -131,13 +140,21 @@ def stop_list(language: str) -> tuple[str, ...]:
 
     import pyspark
 
-    jars = glob.glob(os.path.join(
+    # sorted + uniqueness-checked (r12): glob order is filesystem-
+    # dependent, and two coexisting mllib jar versions would otherwise
+    # make the list source nondeterministic — fail loudly instead.
+    jars = sorted(glob.glob(os.path.join(
         os.path.dirname(pyspark.__file__), "jars", "spark-mllib_*.jar"
-    ))
+    )))
     if not jars:  # pragma: no cover - packaging seam
         raise RuntimeError(
             "spark-mllib jar (the Snowball stop-list resource) not"
             " found next to the pyspark package"
+        )
+    if len(jars) > 1:  # pragma: no cover - packaging seam
+        raise RuntimeError(
+            "multiple spark-mllib jars next to the pyspark package — "
+            f"ambiguous stop-list source: {jars}"
         )
     with zipfile.ZipFile(jars[0]) as z:
         raw = z.read(

@@ -325,8 +325,17 @@ def snowball_lang_id_tk(tk: Column, max_tokens: int | None = 64) -> Column:
 
 def snowball_lang_id(text_col: Column,
                      max_tokens: int | None = 64) -> Column:
-    """snowball_lang_id_tk over whitespace tokens of a text column."""
-    return snowball_lang_id_tk(tokens(text_col), max_tokens)
+    """snowball_lang_id_tk over UNICODE tokens (maximal letter/number
+    runs) of a text column. r12 fix: whitespace tokens left edge
+    punctuation attached ('the,' / 'les.'), so punctuated prose never
+    hit any stop list and short punctuated texts drifted toward 'und'
+    or a wrong argmax — the tokenizer is now the same
+    `[^\\p{L}\\p{N}]+` split the $text unicode path uses, which also
+    makes hyphen/quote-bound grammatical words ("l'homme" -> l+homme)
+    scoreable."""
+    from route81_spark.ops.unitext import unicode_tokens
+
+    return snowball_lang_id_tk(unicode_tokens(text_col), max_tokens)
 
 
 def quality_score_tk(text_col: Column, tk: Column) -> Column:

@@ -288,6 +288,28 @@ def _text_parts(spec: dict):
         )
 
         lang = str(spec.get("$language", "english")).lower()
+        # r12 (review finding): an EXPLICIT stem mode combined with a
+        # DECLARED different-language $language and stopWords is a
+        # contradiction — honoring the stem arm silently stopped
+        # German-declared text with the ENGLISH list. Everywhere else
+        # contradictions fail loudly (romanian/unknown, $stem
+        # stopLanguage), so this does too. $language: "none" stays the
+        # pinned exception (no analysis = nothing stops; the stem
+        # override is still honored for stemming), and an UNSET
+        # $language never conflicts (the stem mode then IS the
+        # analysis language).
+        _stem_langs = {"porter": ("english", "en"),
+                       "s": ("english", "en"),
+                       "french": ("french", "fr")}
+        declared = str(spec.get("$language", "")).lower()
+        if (spec.get("stem") is not None and declared
+                and declared != "none" and stem in _stem_langs
+                and declared not in _stem_langs[stem]):
+            raise PipelineCompileError(
+                f"$text: stopWords with explicit stem mode {stem!r} "
+                f"contradicts $language: {declared!r} — drop one, or "
+                "use languageOverride for per-document analysis"
+            )
         if lang == "none":
             # Mongo: language 'none' = no analysis at all — nothing
             # stops, even when an explicit engine stem extension is

@@ -96,9 +96,8 @@ def test_snowball_lang_id(spark):
     once-per-session SQL temp function (ops/sqlfn.array_fn); the
     inline fallback (builder called directly) must agree."""
     from route81_spark.ops.sqlfn import _SQL_BODIES
-    from route81_spark.ops.text import (
-        _snowball_argmax, snowball_lang_id, tokens,
-    )
+    from route81_spark.ops.text import _snowball_argmax, snowball_lang_id
+    from route81_spark.ops.unitext import unicode_tokens
 
     rows = [
         (1, "the data is in the lake and it runs", "english"),
@@ -112,6 +111,14 @@ def test_snowball_lang_id(spark):
         # danish and norwegian share 'og i det at en til' verbatim:
         # the tie breaks alphabetically (danish first) — documented
         (8, "og i det at en til", "danish"),
+        # r12: punctuated prose — the unicode tokenizer strips edge
+        # punctuation, so 'the,'/'it.' still hit the English list
+        # (the old whitespace split scored this 'und')
+        (9, "the, data is in the lake; and it runs.", "english"),
+        # elision: l'/d' fragments split at the apostrophe and are IN
+        # the French list
+        (10, "l'homme, d'une même direction... qui était là!",
+         "french"),
     ]
     df = spark.createDataFrame(
         [(i, t) for i, t, _ in rows], "doc_id long, text string"
@@ -129,7 +136,7 @@ def test_snowball_lang_id(spark):
         r["doc_id"]: r["lang"]
         for r in df.select(
             "doc_id",
-            _snowball_argmax(tokens(F.col("text"))).alias("lang"),
+            _snowball_argmax(unicode_tokens(F.col("text"))).alias("lang"),
         ).collect()
     }
     assert inline == got

@@ -455,6 +455,42 @@ def test_stop_language_none_and_uncarried_are_honest(spark):
         ])
 
 
+def test_explicit_stem_contradicting_language_fails_loudly(spark):
+    """r12 (review finding): {stem: 'porter', $language: 'german',
+    stopWords: true} used to silently honor the stem arm and stop
+    German-declared text with the ENGLISH list — a contradiction the
+    other dispatch arms fail loudly on. Now PipelineCompileError; the
+    non-contradictory combos stay accepted."""
+    from route81_spark.pipeline.exprs import PipelineCompileError
+
+    df = spark.createDataFrame(
+        [(1, "the data lake")], "doc_id long, text string"
+    )
+    for stem_mode, lang in [("porter", "german"), ("s", "french"),
+                            ("french", "german"), ("porter", "fr")]:
+        with pytest.raises(PipelineCompileError, match="contradicts"):
+            apply_pipeline(df, [
+                {"$match": {"$text": {
+                    "$search": "x", "stem": stem_mode,
+                    "$language": lang, "stopWords": True,
+                }}},
+            ])
+    # agreeing / unset / 'none' language combos are NOT contradictions
+    for spec in [
+        {"$search": "the", "stem": "porter", "stopWords": True},
+        {"$search": "the", "stem": "porter", "$language": "en",
+         "stopWords": True},
+        {"$search": "the", "stem": "s", "$language": "english",
+         "stopWords": True},
+        {"$search": "the", "stem": "porter", "$language": "none",
+         "stopWords": True},
+        # without stopWords the stem override remains the documented
+        # engine extension (no list is chosen, nothing to contradict)
+        {"$search": "the", "stem": "porter", "$language": "german"},
+    ]:
+        apply_pipeline(df, [{"$match": {"$text": spec}}]).count()
+
+
 def test_stop_list_loader():
     """stop_list(): en/fr return the vendored constants (single source
     with the oracles); the other twelve load the Snowball lists from
