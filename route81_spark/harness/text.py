@@ -1687,6 +1687,209 @@ def stage_stem_stopwords(spark, sf_dir):
     )
 
 
+def _gsw_not_in_raw() -> str:
+    """RAW (unfolded) German NOT IN list — bm25_scores' stop filter
+    compares lower(token) against the verbatim list with its accents
+    intact (no diacritic fold on the bm25 path), so the oracle's list
+    keeps 'über' as-is. Shared data, never re-derived."""
+    from route81_spark.ops.stopwords import stop_list
+
+    return "(" + ", ".join(
+        "'" + w + "'" for w in stop_list("german")
+    ) + ")"
+
+
+@_q(
+    "text_bm25_stop_language",
+    # oracle: whitespace-split the synthesized German corpus, drop
+    # German stop words via the shared RAW (unfolded) NOT IN list,
+    # then replicate the exact BM25 formula (same left-assoc fold,
+    # same constants) over the stop-filtered arrays — 'die'/'über' in
+    # the query contribute nothing (stop words), no stemming runs
+    # (stop_language composes with stem=None only), and dl/avgdl
+    # count the post-stop tokens
+    f"""
+    WITH s0 AS (SELECT doc_id, {_gsw_syn_sql()} AS raw FROM documents),
+    t0 AS (SELECT doc_id,
+                  string_split_regex(trim(raw), '\\s+') AS toks
+           FROM s0),
+    s AS (SELECT doc_id,
+                 list_filter(toks, t -> t NOT IN {_gsw_not_in_raw()})
+                   AS tk
+          FROM t0),
+    c AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             avg(CAST(len(tk) AS DOUBLE)) AS avgdl
+      FROM s
+    ),
+    d AS (
+      SELECT
+        {", ".join(f"(SELECT CAST(count(*) AS DOUBLE) FROM s WHERE list_contains(tk, '{t}')) AS df{i}" for i, t in enumerate(["daten", "verarbeitung"]))}
+    )
+    SELECT doc_id,
+           {det_round_sql(" + ".join(
+               f"(ln(1 + (c.n - d.df{i} + 0.5) / (d.df{i} + 0.5))"
+               f" * (CAST(len(list_filter(tk, x -> x = '{t}')) AS DOUBLE) * 2.2)"
+               f" / (CAST(len(list_filter(tk, x -> x = '{t}')) AS DOUBLE)"
+               f"    + 1.2 * (0.25 + 0.75 * CAST(len(tk) AS DOUBLE) / c.avgdl)))"
+               for i, t in enumerate(["daten", "verarbeitung"])), 6)} AS bm25
+    FROM s, c, d
+    ORDER BY bm25 DESC, doc_id ASC LIMIT 25
+    """,
+)
+def text_bm25_stop_language(spark, sf_dir):
+    """Okapi BM25 with ``stop_language="german"`` (r12 driver
+    registration of the r11-implemented option): an UNSTEMMED corpus
+    in a carried non-en/fr Snowball language stops with ITS verbatim
+    list (ops.stopwords.stop_list, raw surface forms — 'über' stays
+    accented on the bm25 path), applied to corpus tokens AND query
+    terms; 'die'/'über' in the query contribute nothing, dl/avgdl
+    count the post-stop tokens. Stop removal SHRINKS the token stream
+    ahead of the model pass (the r11 probe: stop->stem BM25 scales
+    BETTER than stem-only); model constants come from ONE single-row
+    aggregation, scoring is one per-row expression, top-25 via
+    TakeOrderedAndProject."""
+    from route81_spark.ops.corpus import bm25_scores
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    prepped = docs.select(
+        "doc_id", _gsw_syn_spark(F.col("doc_id")).alias("text")
+    )
+    scored = bm25_scores(
+        prepped, ["die", "daten", "über", "verarbeitung"],
+        stop_words=True, stop_language="german",
+    )
+    return (
+        scored.select("doc_id", "bm25")
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(25)
+    )
+
+
+# Stop-word-dense PUNCTUATED snippets (r12): one per non-English
+# language in the mix — elisions/commas/dashes exercise the unicode
+# tokenizer fix (edge punctuation must not hide stop words from the
+# scorer). Each snippet's own language wins its stop-hit argmax by a
+# wide margin (verified against the shared lists); index order is the
+# hash-pick order and must match the oracle's list literal.
+LSB_SNIPS = [
+    "c'est que nous étions dans la même maison, et qu'il y avait été"
+    " là.",                                                  # french
+    "über die daten, und das war nicht nur für uns — auch mit dem"
+    " modell.",                                              # german
+    "los datos de la casa, que el modelo no era como los otros para"
+    " nosotros.",                                            # spanish
+    "и в не на что он как это было, но мы так и не узнали его.",
+    "ma non era come gli altri, perché noi avevamo una casa al"
+    " mare.",                                                # italian
+    "o modelo não era como os outros, mas nós tínhamos uma casa só.",
+    "dit is een huis en het was niet zo groot als de andere hier.",
+]
+
+
+def _lsb_mix_sql() -> str:
+    """The 8-way deterministic mix, SQL side: bucket 0 keeps the real
+    (English) document text; buckets 1..7 substitute one snippet."""
+    lits = "[" + ", ".join(
+        "'" + s.replace("'", "''") + "'" for s in LSB_SNIPS
+    ) + "]"
+    m = f"CAST({_wh60('lsb0')} % 8 AS INT)"
+    return f"CASE WHEN {m} = 0 THEN text ELSE ({lits})[{m}] END"
+
+
+def _lsb_mix_spark(ids: Column, text: Column) -> Column:
+    from route81_spark.ops.web import _h60
+
+    m = (_h60(ids, "lsb0") % 8).cast("int")
+    return F.when(m == 0, text).otherwise(
+        F.element_at(F.array(*[F.lit(s) for s in LSB_SNIPS]), m)
+    )
+
+
+def _snowball_langid_scores_sql() -> str:
+    """Per-language stop-hit score columns for the $langId snowball
+    oracle: the SAME 14 verbatim lists the engine scores with
+    (ops.stopwords.stop_list), shared as data — one
+    len(list_filter(... lower(t) IN (...))) per language over the
+    64-token unicode-token prefix."""
+    from route81_spark.ops.stopwords import stop_list
+    from route81_spark.ops.text import SNOWBALL_LANGS
+
+    cols = []
+    for i, lang in enumerate(SNOWBALL_LANGS):
+        in_list = ", ".join("'" + w + "'" for w in stop_list(lang))
+        cols.append(
+            f"CAST(len(list_filter(tk, t -> lower(t) IN ({in_list})))"
+            f" AS BIGINT) AS s{i}"
+        )
+    return ", ".join(cols)
+
+
+def _snowball_langid_argmax_sql() -> str:
+    """First-max-in-declaration-order argmax (SNOWBALL_LANGS is
+    alphabetical — the documented danish-before-norwegian tie-break),
+    all-zero -> 'und'; mirrors ops.text._lang_argmax_chain."""
+    from route81_spark.ops.text import SNOWBALL_LANGS
+
+    n = len(SNOWBALL_LANGS)
+    best = "greatest(" + ", ".join(f"s{i}" for i in range(n)) + ")"
+    whens = " ".join(
+        f"WHEN s{i} = {best} THEN '{lang}'"
+        for i, lang in enumerate(SNOWBALL_LANGS)
+    )
+    return f"CASE WHEN {best} > 0 THEN (CASE {whens} END) ELSE 'und' END"
+
+
+@_q(
+    "text_lang_id_snowball",
+    # oracle: unicode tokenization (the same [^\p{L}\p{N}]+ split —
+    # RE2 and Java agree on the Unicode categories), 64-token prefix,
+    # one stop-hit count per carried language against the shared
+    # verbatim lists, then the deterministic first-max argmax
+    f"""
+    WITH s0 AS (SELECT doc_id, {_lsb_mix_sql()} AS mixed
+                FROM documents),
+    t0 AS (
+      SELECT doc_id,
+             list_slice(list_filter(
+               string_split_regex(mixed, '[^\\p{{L}}\\p{{N}}]+'),
+               t -> t <> ''), 1, 64) AS tk
+      FROM s0
+    ),
+    sc AS (SELECT doc_id, {_snowball_langid_scores_sql()} FROM t0)
+    SELECT doc_id, {_snowball_langid_argmax_sql()} AS lang_sb FROM sc
+    """,
+)
+def text_lang_id_snowball(spark, sf_dir):
+    """$langId mode "snowball" (r12 driver registration of the
+    r11-implemented stage): stop-list-overlap language ID over all 14
+    carried verbatim Snowball lists, through the $langId pipeline
+    stage -> ops.text.snowball_lang_id -> the hashed single-pass
+    program (one xxhash64 per token + ONE 14-int score-vector
+    aggregate, 64-token prefix cap -> constant per-doc cost; the
+    execution shape measured into place at the 100x probe tier, r11).
+    r12: tokens are unicode letter/number runs, so punctuated prose
+    scores correctly. The input is a deterministic 8-way mix — real
+    (English, punctuated) document text for bucket 0, one
+    stop-word-dense snippet per other language for buckets 1..7 — so
+    every list in the mix is exercised differentially, elisions and
+    dashes included. Map-only, zero shuffle, zero Python."""
+    from route81_spark.io import ensure_parallelism
+
+    docs = ensure_parallelism(
+        _t(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    prepped = docs.select(
+        "doc_id",
+        _lsb_mix_spark(F.col("doc_id"), F.col("text")).alias("text"),
+    )
+    out = apply_pipeline(prepped, [
+        {"$langId": {"textField": "text", "mode": "snowball",
+                     "as": "lang_sb"}},
+    ])
+    return out.select("doc_id", "lang_sb")
+
+
 W_TITLES = ["query guide", "table manual", "spark notes", "misc intro"]
 
 
