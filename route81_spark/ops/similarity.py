@@ -1150,10 +1150,20 @@ def knn_graph(
     import math
 
     if n_dims is None:
-        # the width derivation needs ONE count(*) — parquet-metadata
-        # cheap, but still an extra action at plan-build time; callers
-        # at true 100 TB who already know the corpus size should pass
-        # corpus_count (or n_dims) and skip it
+        # DELIBERATE (r12 close-out, carried from r7): the width
+        # derivation runs ONE count(*) at plan-build time. Closing as
+        # the intended design, not debt: (a) the count over a parquet
+        # source is metadata-only (no row reads — one short job over
+        # file footers), amortized over a kNN-graph build that dwarfs
+        # it; (b) the alternative — a runtime scalar width via a
+        # 1-row-aggregate crossJoin — would make n_dims non-literal
+        # (the bucket expression, the band slicing, and the bands
+        # clamp all need a Python int to SHAPE the plan; a runtime
+        # width can only truncate bits, cannot re-shape bands) and
+        # would still read the same footer metadata, just later;
+        # (c) callers at true 100 TB who already know the corpus size
+        # pass corpus_count (or n_dims) and skip the job entirely —
+        # the documented fast path, exercised by the harness query.
         n = corpus_count if corpus_count is not None else emb.count()
         n_dims = int(
             min(
