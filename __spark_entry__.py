@@ -34,21 +34,25 @@ from route81_spark import harness  # noqa: E402
 # (never-recorded first, then oldest), tie-broken by registration order.
 # Consecutive rounds therefore alternate halves without hand-kept lists.
 _HEADLINE = [
-    # r11: only queries whose GENERATED PLAN could change this round
-    # (the freshness discipline). The 4 new r11 queries
-    # (match_text_french_stopwords, text_bm25_stopwords,
-    # stage_stem_stopwords, match_text_german_stopwords) sort first
-    # in the tail automatically; 1 headline + 4 new + the ENTIRE
-    # 45-row r6 cohort = exactly the 50-slot window (nothing stays
-    # older than r7 after this round). The r11 change is per-language
-    # stop lists composing into the $text/$stem/bm25 stop paths: the
-    # query below covers the restructured stop block; every other
-    # recorded query's plan is byte-identical — the stop filter only
-    # exists when stopWords is set, the English path kept its exact
-    # expressions (ASCII fold is identity, array literal order
-    # preserved), and the langoverride/en_toks refactor emits the
-    # same tree when stop is off (review-verified; plan pins green).
-    "match_text_stopwords",    # stop block: per-language list select
+    # r12: only queries whose GENERATED PLAN changed this round (the
+    # freshness discipline). The Snowball German stemmer landed
+    # (ops/german.py): `$language: "german"` now derives a carried
+    # stem mode, so the two recorded queries that compile a German or
+    # per-document analyzer are the ones whose plans changed — the
+    # German stop query gained the stem (stop -> stem -> fold, its
+    # oracle rewritten to match) and the languageOverride CASE gained
+    # a de arm. Every other recorded query's plan is byte-identical:
+    # the English/French dispatch arms kept their exact expressions
+    # (the touched conditions only re-route german specs), and the
+    # r12 ADVICE fixes touch error paths / an op with no prior
+    # driver row. The 3 new r12 queries (text_bm25_stop_language,
+    # text_lang_id_snowball, match_text_german) sort first in the
+    # tail automatically; 2 headline + 3 new + the ENTIRE 41-row r7
+    # cohort = 46 of the 50-slot window, so the 4 oldest r8 rows
+    # start draining too (nothing stays older than r8 after this
+    # round).
+    "match_text_german_stopwords",  # stop-without-stem -> full analyzer
+    "match_text_langoverride",      # override CASE gained the de arm
 ]
 
 

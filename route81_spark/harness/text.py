@@ -1446,7 +1446,8 @@ def match_text_french_stopwords(spark, sf_dir):
 
 
 # --------------------------------------------------------------------
-# Generic-language stop lists: German stop-without-stem (r11)
+# German analyzer ($language: "german"): stop + Snowball German stem
+# (r11 stop-without-stem, upgraded r12 when the stemmer landed)
 # --------------------------------------------------------------------
 
 GSW_SNIPS = [
@@ -1459,33 +1460,35 @@ GSW_SNIPS = [
 ]
 
 
-def _gsw_not_in() -> str:
-    """NOT IN list generated from the SAME resolved list the engine
-    filters with (ops.stopwords.stop_list('german') — the verbatim
-    Snowball german.stop from the Spark MLlib resource), FOLDED the
-    same way the engine folds it (the generic per-field path filters
-    the diacritic-folded token array, so the list folds too —
-    'über' -> 'uber'). Shared data, never re-derived."""
-    from route81_spark.ops.stopwords import stop_list
+def _gsw_stem_case(snips: list[str]) -> str:
+    """Per-token German-analyzer lookup for the oracle over a closed
+    vocabulary: Snowball German stem (ops.german.german_py — the
+    Python spec twin) THEN diacritic fold, pre-computed — the engine
+    order (stem with umlauts intact, the program's own postlude
+    removes them; the fold then covers any remaining marks)."""
+    from route81_spark.ops.german import german_py
     from route81_spark.ops.unitext import fold_diacritics_py
 
-    folded = dict.fromkeys(
-        fold_diacritics_py(w) for w in stop_list("german")
-    )
-    return "(" + ", ".join("'" + w + "'" for w in folded) + ")"
-
-
-def _gsw_fold_case() -> str:
-    """Per-token diacritic-fold lookup for the oracle over the closed
-    GSW_SNIPS vocabulary (läuft -> lauft, über -> uber), pre-computed
-    by the same fold table the engine's translate uses."""
-    from route81_spark.ops.unitext import fold_diacritics_py
-
-    vocab = sorted({w for s in GSW_SNIPS for w in s.split()})
+    vocab = sorted({w for s in snips for w in s.split()})
     whens = " ".join(
-        f"WHEN '{w}' THEN '{fold_diacritics_py(w)}'" for w in vocab
+        f"WHEN '{w}' THEN '{fold_diacritics_py(german_py(w))}'"
+        for w in vocab
     )
     return f"CASE t {whens} ELSE t END"
+
+
+def _gsw_not_in_raw() -> str:
+    """RAW (unfolded) German NOT IN list — the engine's German
+    analyzer (german_chain) and bm25_scores' stop filter both compare
+    lower(token) against the verbatim list with its accents intact
+    (stopping happens BEFORE any stemming or folding), so the
+    oracle's list keeps 'über' as-is. Shared data, never
+    re-derived."""
+    from route81_spark.ops.stopwords import stop_list
+
+    return "(" + ", ".join(
+        "'" + w + "'" for w in stop_list("german")
+    ) + ")"
 
 
 def _gsw_syn_sql(x: str = "CAST(doc_id AS VARCHAR)") -> str:
@@ -1511,44 +1514,49 @@ def _gsw_syn_spark(ids: Column) -> Column:
 
 @_q(
     "match_text_german_stopwords",
-    # oracle: tokenize (space split — closed vocabulary), FOLD each
-    # token (the engine folds the text before tokenizing), drop German
-    # stop words via the shared folded NOT IN list, then recompute
-    # membership + integer score — 'die'/'über' in the search
-    # contribute nothing (dropped as query terms; 'über' matches the
-    # list through the fold), the all-stop-words snippet can only
-    # match through its non-stop neighbor, and NO stemming runs
-    # (German's Snowball program is not carried: stop-without-stem)
+    # oracle (r12 rewrite — the German stemmer landed, completing the
+    # analyzer this query half-covered): tokenize (space split —
+    # closed vocabulary), drop German stop words on the UNFOLDED
+    # lowercase surface via the shared RAW NOT IN list (stopping
+    # precedes stemming AND folding in the analyzer order), then stem
+    # each survivor via the twin-precomputed German lookup (stem with
+    # umlauts intact, fold after — the CASE bakes both), then
+    # membership + integer score: 'die'/'über' in the search
+    # contribute nothing, 'daten' scores via stem 'dat',
+    # 'verarbeitung' via 'verarbeit', the all-stop-words snippet can
+    # only match through its non-stop neighbor
     f"""
     WITH s AS (SELECT doc_id, {_gsw_syn_sql()} AS raw FROM documents),
     t0 AS (SELECT doc_id, string_split(lower(raw), ' ') AS toks FROM s),
     t1 AS (SELECT doc_id,
-                  list_transform(toks, t -> {_gsw_fold_case()}) AS ft
+                  list_filter(toks, t -> t NOT IN {_gsw_not_in_raw()})
+                    AS ft
            FROM t0),
     t AS (SELECT doc_id,
-                 list_filter(ft, t -> t NOT IN {_gsw_not_in()}) AS st
+                 list_transform(ft, t -> {_gsw_stem_case(GSW_SNIPS)})
+                   AS st
           FROM t1)
     SELECT doc_id,
-           CAST(len(list_filter(st, x -> x = 'daten'))
-              + len(list_filter(st, x -> x = 'verarbeitung'))
+           CAST(len(list_filter(st, x -> x = 'dat'))
+              + len(list_filter(st, x -> x = 'verarbeit'))
                 AS BIGINT) AS score
     FROM t
-    WHERE list_contains(st, 'daten')
-       OR list_contains(st, 'verarbeitung')
+    WHERE list_contains(st, 'dat')
+       OR list_contains(st, 'verarbeit')
     """,
 )
 def match_text_german_stopwords(spark, sf_dir):
-    """$text with $language: "german" AND {stopWords: true} (r11) —
-    the generic-language stop path: German's verbatim Snowball stop
-    list resolves through ops.stopwords.stop_list (loaded from the
-    PySpark distribution's own MLlib stopwords resource), applied to
-    indexed tokens AND query terms, while stemming stays honestly
-    not-carried (stop-without-stem, the documented partial analyzer —
-    Mongo would also stem; this engine stops and indexes unstemmed).
-    Under the default diacritic-INsensitive mode the list folds with
-    the tokens ('uber' ≡ 'über' for stopping exactly as for
-    matching). One array_contains per token — map-only, zero shuffle,
-    zero Python."""
+    """$text with $language: "german" AND {stopWords: true} — r11
+    registered the stop half (stop-without-stem); r12 carried the
+    Snowball German stemmer (ops/german.py), so this is now the FULL
+    German analyzer in Mongo's ORDER: tokenize (Unicode runs) ->
+    drop German stop words on the unfolded surface (the verbatim
+    Snowball list, raw accented forms, applied to indexed tokens AND
+    query terms) -> stem with umlauts intact (the program's postlude
+    removes them) -> fold. 'daten' in the search conflates with any
+    'dat'-stemming form; 'über'/'die' stop out. One array_contains +
+    one registered-SQL-function call per token — map-only, zero
+    shuffle, zero Python."""
     docs = _t(spark, sf_dir, "documents").select("doc_id")
     prepped = docs.select(
         "doc_id", _gsw_syn_spark(F.col("doc_id")).alias("text")
@@ -1561,6 +1569,92 @@ def match_text_german_stopwords(spark, sf_dir):
                 "$language": "german",
                 "unicode": True,
                 "stopWords": True,
+            }}},
+            {"$addFields": {"score": {"$meta": "textScore"}}},
+            {"$project": {"doc_id": 1, "score": 1}},
+        ],
+    )
+
+
+GST_SNIPS = [
+    "die kindern spielen gern",
+    "kindes buch gefällt immer",
+    "bücher über verarbeitung reden",
+    "verarbeitungen laufen täglich weiter",
+    "das modell lernt schnell",
+    "nichts relevantes hier",
+]
+
+
+def _gst_syn_sql(x: str = "CAST(doc_id AS VARCHAR)") -> str:
+    lits = "[" + ", ".join("'" + s + "'" for s in GST_SNIPS) + "]"
+
+    def pick(seed):
+        return f"({lits})[CAST({_wh60(seed, x)} % 6 AS INT) + 1]"
+
+    return f"{pick('destem0|a')} || ' ' || {pick('destem0|b')}"
+
+
+def _gst_syn_spark(ids: Column) -> Column:
+    from route81_spark.ops.web import _h60
+
+    def pick(seed):
+        h = _h60(ids, seed)
+        return F.element_at(
+            F.array(*[F.lit(s) for s in GST_SNIPS]), (h % 6 + 1).cast("int")
+        )
+
+    return F.concat(pick("destem0|a"), F.lit(" "), pick("destem0|b"))
+
+
+@_q(
+    "match_text_german",
+    # oracle: tokenize the closed vocabulary, stem every token via
+    # the twin-precomputed German lookup (stem-then-fold baked into
+    # the CASE), then recompute membership + integer score with the
+    # twin-stemmed query terms: 'kinder'->'kind' conflates kindern/
+    # kindes, 'bücher'->'buch' conflates buch (stem BEFORE fold — the
+    # folded 'bucher' would stem to 'buch' only by luck of this
+    # vocabulary; the analyzer order is pinned by the umlaut stop
+    # test), and '-verarbeitung' excludes verarbeitung AND
+    # verarbeitungen through their shared stem 'verarbeit'
+    f"""
+    WITH s AS (SELECT doc_id, {_gst_syn_sql()} AS raw FROM documents),
+    t0 AS (SELECT doc_id, string_split(lower(raw), ' ') AS toks FROM s),
+    t AS (SELECT doc_id,
+                 list_transform(toks, t -> {_gsw_stem_case(GST_SNIPS)})
+                   AS st
+          FROM t0)
+    SELECT doc_id,
+           CAST(len(list_filter(st, x -> x = 'kind'))
+              + len(list_filter(st, x -> x = 'buch'))
+                AS BIGINT) AS score
+    FROM t
+    WHERE (list_contains(st, 'kind') OR list_contains(st, 'buch'))
+      AND NOT list_contains(st, 'verarbeit')
+    """,
+)
+def match_text_german(spark, sf_dir):
+    """$text with $language: "german" (r12 — the Snowball German
+    stemmer, ops/german.py): stemmed conflation in match + score —
+    'kinder' matches kindern/kindes via stem 'kind', 'bücher' matches
+    'buch' via stem 'buch' (stemming runs BEFORE the diacritic fold,
+    the German analyzer order), and the '-verarbeitung' negation
+    excludes verarbeitungen too through the shared stem. The stemmer
+    applies through the once-per-session registered SQL function —
+    map-only plan, zero shuffle, zero Python; the column-vs-twin grid
+    sweep + spec pins live in tests/test_german.py."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    prepped = docs.select(
+        "doc_id", _gst_syn_spark(F.col("doc_id")).alias("text")
+    )
+    return apply_pipeline(
+        prepped,
+        [
+            {"$match": {"$text": {
+                "$search": "kinder bücher -verarbeitung",
+                "$language": "german",
+                "unicode": True,
             }}},
             {"$addFields": {"score": {"$meta": "textScore"}}},
             {"$project": {"doc_id": 1, "score": 1}},
@@ -1685,18 +1779,6 @@ def stage_stem_stopwords(spark, sf_dir):
     return out.select(
         "doc_id", F.concat_ws(" ", F.col("st")).alias("stems")
     )
-
-
-def _gsw_not_in_raw() -> str:
-    """RAW (unfolded) German NOT IN list — bm25_scores' stop filter
-    compares lower(token) against the verbatim list with its accents
-    intact (no diacritic fold on the bm25 path), so the oracle's list
-    keeps 'über' as-is. Shared data, never re-derived."""
-    from route81_spark.ops.stopwords import stop_list
-
-    return "(" + ", ".join(
-        "'" + w + "'" for w in stop_list("german")
-    ) + ")"
 
 
 @_q(
@@ -2099,9 +2181,10 @@ LO_SNIPS = [
 
 def _lo_stem_case(lang: str = "en") -> str:
     from route81_spark.ops.french import french_py
+    from route81_spark.ops.german import german_py
     from route81_spark.ops.porter import porter2_py
 
-    stem = porter2_py if lang == "en" else french_py
+    stem = {"en": porter2_py, "fr": french_py, "de": german_py}[lang]
     vocab = sorted({w for s in LO_SNIPS for w in s.split()})
     whens = " ".join(f"WHEN '{w}' THEN '{stem(w)}'" for w in vocab)
     return f"CASE t {whens} ELSE t END"
@@ -2132,8 +2215,9 @@ def _lo_syn_spark(ids: Column) -> Column:
     "match_text_langoverride",
     # oracle: stem the token array via the ENGLISH twin lookup for
     # docs whose real lang column is 'en', via the FRENCH twin lookup
-    # (r10) for 'fr' docs, and keep raw tokens for every other
-    # language (those match only the literal stemmed query terms)
+    # (r10) for 'fr' docs, via the GERMAN twin lookup (r12) for 'de'
+    # docs, and keep raw tokens for every other language (those match
+    # only the literal stemmed query terms)
     f"""
     WITH s AS (SELECT doc_id, lang, {_lo_syn_sql()} AS raw FROM documents),
     t0 AS (SELECT doc_id, lang,
@@ -2144,6 +2228,8 @@ def _lo_syn_spark(ids: Column) -> Column:
                       THEN list_transform(toks, t -> {_lo_stem_case()})
                       WHEN lang = 'fr'
                       THEN list_transform(toks, t -> {_lo_stem_case("fr")})
+                      WHEN lang = 'de'
+                      THEN list_transform(toks, t -> {_lo_stem_case("de")})
                       ELSE toks END AS st
           FROM t0)
     SELECT doc_id,
@@ -2158,12 +2244,14 @@ def match_text_langoverride(spark, sf_dir):
     language_override text-index option over the REAL per-document
     lang column: the 'en' cohort stems with Snowball English (so
     'runs' in the search matches 'running'), the 'fr' cohort (r10)
-    stems with Snowball French (ops/french.py — on this English
-    corpus that, correctly, conflates nothing the query terms hit),
-    while zh/es/de docs keep raw tokens and match only the literal
-    stemmed query terms ('run' in "run the line"). Per-row CASE picks
-    exactly one analysis branch per document; no shuffle, no
-    Python."""
+    stems with Snowball French, the 'de' cohort (r12) stems with
+    Snowball German (ops/german.py — on this English corpus both,
+    correctly, conflate nothing the query terms hit: German stems
+    'relations' to 'relation', never to the English 'relat'), while
+    zh/es docs keep raw tokens; every non-en branch matches only the
+    literal stemmed query terms ('run' in "run the line"). Per-row
+    CASE picks exactly one analysis branch per document; no shuffle,
+    no Python."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
     prepped = docs.select(
         "doc_id", "lang", _lo_syn_spark(F.col("doc_id")).alias("text")

@@ -63,15 +63,20 @@ from route81_spark.pipeline.exprs import PipelineCompileError, compile_expr, ext
 #     `$language: "english"/"en"` selects it too. {stem: "s"} keeps
 #     the Harman S-stemmer plural subset (r8). {stem: "french"} /
 #     `$language: "french"/"fr"` (r10) = the full Snowball French
-#     stemmer (ops/french.py); French analysis matches Mongo's
-#     analyzer ORDER — tokenize (always Unicode runs: accented letters
-#     must not split tokens), stem WITH diacritics intact, THEN fold —
-#     so 'continuait' stems to 'continu' before the accent fold that
-#     the English path applies up front. Tokens and plain query terms
-#     stem; phrases stay raw. Other stem values fail loudly.
+#     stemmer (ops/french.py); {stem: "german"} /
+#     `$language: "german"/"de"` (r12) = the full Snowball German
+#     stemmer (ops/german.py). French and German analysis match
+#     Mongo's analyzer ORDER — tokenize (always Unicode runs: accented
+#     letters must not split tokens), stem WITH diacritics intact
+#     (German's own postlude removes umlauts), THEN fold — so
+#     'continuait' stems to 'continu' and 'bücher' to 'buch' before
+#     the accent fold that the English path applies up front. Tokens
+#     and plain query terms stem; phrases stay raw. Other stem values
+#     fail loudly.
 #   * DOCUMENTED DIVERGENCES (fail loudly where dishonoring a request):
-#     $language values beyond english/french stay accepted-and-ignored
-#     (the other ~13 Snowball programs are not carried), and the
+#     $language values beyond english/french/german stay
+#     accepted-and-ignored
+#     (the other ~12 Snowball programs are not carried), and the
 #     engine default WITHOUT $language is unstemmed where Mongo would
 #     default to English — flipping the default would surprise the
 #     ASCII-token fast path; opt in per query. Tokens are
@@ -85,7 +90,10 @@ from route81_spark.pipeline.exprs import PipelineCompileError, compile_expr, ext
 #     revision — no He/Hi diaeresis preludes — so derivatives of
 #     words like 'aiguë' can stem differently from a current
 #     Mongo/Snowball deployment (the revision pin and rationale live
-#     in ops/french.py's docstring). $caseSensitive: true composes
+#     in ops/french.py's docstring); the German program (r12) is
+#     likewise the CLASSIC revision — no german2 ae/oe/ue folding,
+#     no 3.x -erin/-erinnen handling (pin + rationale in
+#     ops/german.py's docstring). $caseSensitive: true composes
 #     with a stem mode SELF-CONSISTENTLY but degrades conflation:
 #     both Snowball programs assume lowercase input, so capitalized
 #     tokens AND capitalized query terms pass through largely
@@ -107,7 +115,8 @@ from route81_spark.pipeline.exprs import PipelineCompileError, compile_expr, ext
 #     (Mongo's language_override index option, r9) names a column with
 #     each document's language — English docs stem with the active
 #     English-capable mode, French docs (r10) stem with the Snowball
-#     French program, every other language keeps raw tokens
+#     French program, German docs (r12) with the Snowball German
+#     program, every other language keeps raw tokens
 #     (documented: the remaining Snowball programs are not carried),
 #     query terms stem with the query language as usual;
 #     `stopWords: true` (r10) drops the analysis language's Snowball
@@ -125,7 +134,7 @@ from route81_spark.pipeline.exprs import PipelineCompileError, compile_expr, ext
 #     nothing (Mongo: no analysis); romanian/unknown fail loudly
 #     rather than stop with a wrong-language list. Under
 #     languageOverride each document stops with ITS language's list
-#     (en/fr; any other language is unstopped AND unstemmed — no
+#     (en/fr/de; any other language is unstopped AND unstemmed — no
 #     analyzer), and query terms stop with the query language's list.
 #     Under the default diacritic-INsensitive mode the stop check is
 #     fold-canonical on both sides ('uber' ≡ 'über' for stopping
@@ -229,11 +238,14 @@ def _text_parts(spec: dict):
             stem = "porter"
         elif lang in ("french", "fr"):
             stem = "french"
-    if stem not in (None, "s", "porter", "french"):
+        elif lang in ("german", "de"):
+            stem = "german"  # r12: Snowball German (ops/german.py)
+    if stem not in (None, "s", "porter", "french", "german"):
         raise PipelineCompileError(
             f"$text: unsupported stem mode {stem!r} — 's' (Harman"
-            " S-stemmer), 'porter' (Snowball English) and 'french'"
-            " (Snowball French) are the implemented modes"
+            " S-stemmer), 'porter' (Snowball English), 'french'"
+            " (Snowball French) and 'german' (Snowball German, r12)"
+            " are the implemented modes"
         )
     # languageOverride: the analog of Mongo's text-index
     # `language_override` option — a COLUMN naming each document's
@@ -277,7 +289,8 @@ def _text_parts(spec: dict):
     # nothing stops; romanian (no carried list) and unknown languages
     # fail loudly rather than stop with the wrong language's list.
     # languageOverride stops each document with ITS language's list
-    # (en -> English, fr -> French, anything else unstopped — the
+    # (en -> English, fr -> French, de -> German (r12), anything
+    # else unstopped — the
     # same "no analyzer" rule the stemming dispatch applies); query
     # terms stop with the QUERY language's list, exactly as they stem
     # with the query language.
@@ -300,7 +313,8 @@ def _text_parts(spec: dict):
         # analysis language).
         _stem_langs = {"porter": ("english", "en"),
                        "s": ("english", "en"),
-                       "french": ("french", "fr")}
+                       "french": ("french", "fr"),
+                       "german": ("german", "de")}
         declared = str(spec.get("$language", "")).lower()
         if (spec.get("stem") is not None and declared
                 and declared != "none" and stem in _stem_langs
@@ -318,6 +332,11 @@ def _text_parts(spec: dict):
             stop = None
         elif stem == "french":
             stop = STOP_FR
+        elif stem == "german":
+            # r12: German is a CARRIED analyzer now — its verbatim
+            # Snowball list applies like French's (raw surface forms,
+            # stopped pre-stem on unfolded tokens in german_chain)
+            stop = stop_list("german")
         elif stem in ("porter", "s") or lang in ("english", "en", ""):
             stop = STOP_EN
         else:
@@ -372,7 +391,7 @@ def _text_bound(spec: dict, build):
         # (_text_parts) — query terms filter against it exactly as
         # they stem with the query language; document tokens stop
         # per-ANALYSIS-language below (languageOverride picks each
-        # document's canonical en/fr list). Dropping every positive
+        # document's canonical en/fr/de list). Dropping every positive
         # term leaves the existing only-negations branch: matches
         # nothing, exactly Mongo's behavior for an all-stop-words
         # search. Several lists carry accented surface forms ('été',
@@ -384,7 +403,10 @@ def _text_bound(spec: dict, build):
         # sides canonical, 'uber' ≡ 'über' for stopping exactly as it
         # does for matching; ASCII lists — English — are unchanged by
         # the fold, keeping every recorded plan identical).
-        if ds or stem == "french":
+        if ds or stem in ("french", "german"):
+            # carried non-English analyzers stop on the UNFOLDED
+            # lowercase surface (their chains filter pre-fold tokens
+            # against the raw accented lists)
             def _stop_key(t: str) -> str:
                 return t.lower()
         else:
@@ -401,15 +423,19 @@ def _text_bound(spec: dict, build):
         # each literal stop array is built ONLY for the path that
         # consumes it: stop_q_arr feeds the plain per-field token
         # source; the per-document override branches always stop with
-        # the CANONICAL en/fr lists (override requires an en/fr-
+        # the CANONICAL en/fr/de lists (override requires an en/fr-
         # capable stem mode, but the query list may differ from a
         # branch's); french_chain owns the unfolded French array
-        if lang_over is None and stem != "french":
+        if lang_over is None and stem not in ("french", "german"):
             stop_q_arr = F.array(*[F.lit(s) for s in _stop_q])
         if lang_over is not None:
             stop_en_arr = F.array(*[F.lit(s) for s in STOP_EN])
         if stem == "french" or lang_over is not None:
             stop_fr_arr = F.array(*[F.lit(s) for s in STOP_FR])
+        if stem == "german" or lang_over is not None:
+            from route81_spark.ops.stopwords import stop_list as _sl
+
+            stop_de_arr = F.array(*[F.lit(s) for s in _sl("german")])
 
         def drop_stops(tks: Column, stop_arr: Column) -> Column:
             # one array_contains against the literal list per token —
@@ -435,6 +461,24 @@ def _text_bound(spec: dict, build):
             tks = F.transform(tks, fold_diacritics)
         return tks
 
+    def german_chain(text_cf: Column) -> Column:
+        """The German analyzer in Mongo's ORDER (r12, same shape as
+        french_chain): tokenize the case-folded (NOT diacritic-
+        folded) text on Unicode runs — umlauts must not split
+        tokens — drop German stop words (the raw accented list must
+        see unfolded tokens), stem with umlauts intact (the
+        algorithm's regions depend on them; its own postlude removes
+        them), THEN fold each token."""
+        from route81_spark.ops.german import german_stem_tokens
+
+        tks = F.split(text_cf, r"[^\p{L}\p{N}]+")
+        if stop:
+            tks = drop_stops(tks, stop_de_arr)
+        tks = german_stem_tokens(tks)
+        if not ds:
+            tks = F.transform(tks, fold_diacritics)
+        return tks
+
     if stem:
         if stem == "french":
             from route81_spark.ops.french import french_py
@@ -443,6 +487,14 @@ def _text_bound(spec: dict, build):
                 # French literal order mirrors french_chain: lower,
                 # stem WITH accents, then fold
                 s = french_py(t if cs else t.lower())
+                return s if ds else fold_diacritics_py(s)
+        elif stem == "german":
+            from route81_spark.ops.german import german_py
+
+            def stem_py(t: str) -> str:
+                # German literal order mirrors german_chain: lower,
+                # stem WITH umlauts, then fold
+                s = german_py(t if cs else t.lower())
                 return s if ds else fold_diacritics_py(s)
         elif stem == "porter":
             from route81_spark.ops.porter import porter2_py as _en_py
@@ -487,7 +539,7 @@ def _text_bound(spec: dict, build):
         else:
             text = text_cf
         raw_toks = F.split(text, sep)
-        if stop and lang_over is None and stem != "french":
+        if stop and lang_over is None and stem not in ("french", "german"):
             # the query/analysis language's token source (the French
             # chain and the per-document override branches stop
             # per-language below)
@@ -508,6 +560,7 @@ def _text_bound(spec: dict, build):
                 # per-document analysis language (language_override):
                 # fr docs use the French program (+ French stops when
                 # asked), en docs Snowball English (+ English stops),
+                # de docs (r12) the German program (+ German stops),
                 # everything else raw unstopped tokens; the CASE
                 # evaluates lazily, one branch per row
                 from route81_spark.ops.porter import porter2_stem_tokens
@@ -518,6 +571,26 @@ def _text_bound(spec: dict, build):
                     .when(
                         lov.isin("english", "en"),
                         porter2_stem_tokens(en_toks()),
+                    )
+                    .when(
+                        lov.isin("german", "de"), german_chain(text_cf)
+                    )
+                    .otherwise(raw_toks)
+                )
+        elif stem == "german":
+            toks = german_chain(text_cf)
+            if lang_over is not None:
+                from route81_spark.ops.porter import porter2_stem_tokens
+
+                lov = F.lower(F.col(lang_over))
+                toks = (
+                    F.when(lov.isin("german", "de"), toks)
+                    .when(
+                        lov.isin("english", "en"),
+                        porter2_stem_tokens(en_toks()),
+                    )
+                    .when(
+                        lov.isin("french", "fr"), french_chain(text_cf)
                     )
                     .otherwise(raw_toks)
                 )
@@ -532,6 +605,9 @@ def _text_bound(spec: dict, build):
                     F.when(lov.isin("english", "en"), stemmed)
                     .when(
                         lov.isin("french", "fr"), french_chain(text_cf)
+                    )
+                    .when(
+                        lov.isin("german", "de"), german_chain(text_cf)
                     )
                     .otherwise(raw_toks)
                 )

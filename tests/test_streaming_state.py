@@ -1207,6 +1207,52 @@ def test_streaming_text_french_matches_batch(spark, tmp_path):
     assert got == want == {(1, 1), (2, 1)}
 
 
+def test_streaming_text_german_matches_batch(spark, tmp_path):
+    """$language: "german" (the Snowball German program, r12) streams
+    unchanged: per-row scalar analysis (tokenize -> stop unfolded ->
+    stem -> fold, the German analyzer order), no state, append-legal;
+    streamed matches and scores equal the batch pipeline's, including
+    the umlaut conflation ('bücher' matching 'buch' requires stemming
+    BEFORE the diacritic fold on both paths) and the stop-then-stem
+    composition."""
+    from route81_spark.pipeline import apply_pipeline
+
+    rows = [
+        {"doc_id": 1, "text": "die kindern spielen"},
+        {"doc_id": 2, "text": "das buch gefällt"},
+        {"doc_id": 3, "text": "über die der und"},
+        {"doc_id": 4, "text": "nichts relevantes hier"},
+    ]
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    pipe = [
+        {"$match": {"$text": {
+            "$search": "kinder bücher",
+            "$language": "german",
+            "unicode": True, "stopWords": True,
+        }}},
+        {"$addFields": {"score": {"$meta": "textScore"}}},
+        {"$project": {"doc_id": 1, "score": 1}},
+    ]
+    src = tmp_path / "desrc"
+    _write_batch(src / "b1.json", rows[:2])
+    _write_batch(src / "b2.json", rows[2:])
+    stream = spark.readStream.schema(schema).json(str(src))
+    out, ck = tmp_path / "deout", tmp_path / "deck"
+    _run_available_now(apply_pipeline(stream, pipe), out, ck)
+    got = {(r["doc_id"], r["score"])
+           for r in spark.read.parquet(str(out)).collect()}
+    batch = spark.createDataFrame(
+        [tuple(r.values()) for r in rows],
+        "doc_id long, text string",
+    )
+    want = {(r["doc_id"], r["score"])
+            for r in apply_pipeline(batch, pipe).collect()}
+    assert got == want == {(1, 1), (2, 1)}
+
+
 def test_streaming_text_stopwords_matches_batch(spark, tmp_path):
     """stopWords (r10) is per-row token filtering ahead of the
     (optional) stemmer — no state, append-legal; streamed matches and
