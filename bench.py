@@ -99,6 +99,8 @@ BENCH_QUERIES = [
     "match_text_stopwords",  # $text Snowball stop-word removal (r10)
     "match_text_french_stopwords",  # French stop list + French stemmer (r11)
     "text_bm25_stopwords",  # BM25 stop->stem analyzer chain (r11)
+    "match_text_german",   # $text full Snowball German stemming (r12)
+    "text_lang_id_snowball",  # 14-list hashed lang-id, 8-way mix (r12)
 ]
 
 # Round-over-round comparability cohorts (r6 verdict: the growing set mixes
@@ -208,7 +210,12 @@ def main() -> None:
         # present, else leave the delta ABSENT (never a false +0.0%)
         psub = dict(pp.get("subtotals") or {})
         if "headline13" in pq:
-            pq = {}  # compact format: `queries` IS the subtotal dict
+            # compact format: `queries` IS the subtotal dict (r12 on,
+            # the final line no longer duplicates it under
+            # `subtotals` — the 300-byte tail-survival margin)
+            if not psub:
+                psub = dict(pq)
+            pq = {}
         if not psub and pq:
             for c, members in (
                 ("headline13", COHORT_R1), ("pre_r6", COHORT_PRE_R6),
@@ -258,7 +265,6 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": subtotals,
-                "subtotals": subtotals,
                 "deltas_pct": deltas,
                 "sf": sf,
                 "runs": n_runs,

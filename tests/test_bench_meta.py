@@ -48,3 +48,23 @@ def test_no_usable_round_returns_none(tmp_path):
     _write(tmp_path, 7, None)
     assert bench._prev_round(str(tmp_path)) is None
     assert bench._prev_round(str(tmp_path / "empty")) is None
+
+
+def test_r12_compact_format_without_subtotals_key(tmp_path):
+    # r12 on: the final line drops the duplicated `subtotals` key to
+    # restore the <300-byte tail-survival margin — `queries` IS the
+    # subtotal dict and the delta base derives psub from it
+    _write(tmp_path, 12, {
+        "queries": {"headline13": 9.3, "pre_r6": 24.0, "full": 88.0},
+    })
+    tag, pp = bench._prev_round(str(tmp_path))
+    assert tag == "r12"
+    assert pp["queries"]["headline13"] == 9.3
+    # simulate main()'s delta-base extraction on this shape
+    pq = dict(pp.get("queries", {}))
+    psub = dict(pp.get("subtotals") or {})
+    if "headline13" in pq:
+        if not psub:
+            psub = dict(pq)
+        pq = {}
+    assert psub["headline13"] == 9.3 and pq == {}

@@ -261,6 +261,50 @@ def test_bm25_french_stop_words(spark):
         bm25_scores(df, ["les", "été"], stem="french", stop_words=True)
 
 
+def test_bm25_german_stem_and_stop_words(spark):
+    """r12: stem='german' (Snowball German, ops/german.py) conflates
+    corpus tokens and query terms — 'kinder' scores 'kindern'/'kindes'
+    docs via the shared stem 'kind' — and stop_words composes with it
+    the analyzer way: the GERMAN list filters both sides BEFORE
+    stemming ('über'/'die' contribute nothing; 'alles' stops before
+    the stemmer could conflate it to 'all')."""
+    from route81_spark.ops.corpus import bm25_scores
+
+    df = spark.createDataFrame(
+        [(1, "die kindern über alles"),
+         (2, "kindes kindern verarbeitung")],
+        "doc_id long, text string",
+    )
+    scored = {
+        r["doc_id"]: r["bm25"]
+        for r in bm25_scores(
+            df, ["die", "kinder", "über"], stem="german",
+            stop_words=True,
+        ).collect()
+    }
+    only = {
+        r["doc_id"]: r["bm25"]
+        for r in bm25_scores(
+            df, ["kinder"], stem="german", stop_words=True
+        ).collect()
+    }
+    assert scored == only
+    # post-stop dl(doc1)=1 ('kindern' alone — die/über/alles stop),
+    # dl(doc2)=3: with k1=1.2/b=0.75 the all-signal doc 1 (tf=1/dl=1,
+    # 2.2/1.75) outscores doc 2 (tf=2/dl=3, 4.4/3.65) — 0.229 vs
+    # 0.220, the same post-stop length-normalization effect the
+    # stop_language test pins; both positive proves the stem
+    # conflation hit BOTH docs ('kinder' itself appears in neither)
+    assert scored[1] > scored[2] > 0
+    with pytest.raises(ValueError, match="every query term is a stop"):
+        bm25_scores(df, ["über", "die"], stem="german", stop_words=True)
+    # stop_language still composes with stem=None only — the german
+    # MODE's language already picks the list
+    with pytest.raises(ValueError, match="stem=None only"):
+        bm25_scores(df, ["kinder"], stem="german", stop_words=True,
+                    stop_language="german")
+
+
 def test_bm25_stop_language_generic(spark):
     """r11: stop_language picks any carried Snowball list for an
     UNSTEMMED corpus — German stop words leave the model and the

@@ -709,7 +709,7 @@ def knn_recall_probe(spark, k: int = 20) -> None:
     )
 
 
-def sf1_probe(spark, k: int = 100) -> None:
+def sf1_probe(spark, k: int = 100, only: set | None = None) -> None:
     """100x (sf1-equivalent) probe tier for the five most expensive
     bench queries — the 20x in-memory probes top out at ~100k docs;
     this tier writes a Kx documents corpus to parquet ONCE (so the
@@ -766,7 +766,18 @@ def sf1_probe(spark, k: int = 100) -> None:
         "text_bm25_stopwords",
         "stage_stem_stopwords",
         "match_text_german_stopwords",
+        # r12: the GERMAN program (stop unfolded -> stem -> fold —
+        # match_text_german_stopwords above now runs the full
+        # analyzer), the stemmed-conflation query, bm25 under a
+        # German stop_language, and the 14-list snowball lang-id over
+        # unicode tokens of the 8-way mixed corpus — all per-token
+        # map-only
+        "match_text_german",
+        "text_bm25_stop_language",
+        "text_lang_id_snowball",
     ]
+    if only:
+        probes = [p for p in probes if p in only]
 
     def run(name: str, d: str) -> float:
         t0 = time.time()
@@ -943,10 +954,11 @@ def main() -> int:
         if not selected:
             return 0
     if "sf1" in selected:
-        sf1_probe(spark, k if k != 20 else 100)
-        selected = selected - {"sf1"}
-        if not selected:
-            return 0
+        # names after 'sf1' restrict the probe list (e.g.
+        # `scale_probe.py 100 sf1 match_text_german`)
+        sf1_probe(spark, k if k != 20 else 100,
+                  only=(selected - {"sf1"}) or None)
+        return 0
     if "knn_recall" in selected:
         knn_recall_probe(spark, k)
         selected = selected - {"knn_recall"}
