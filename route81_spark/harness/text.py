@@ -1460,19 +1460,26 @@ GSW_SNIPS = [
 ]
 
 
-def _gsw_stem_case(snips: list[str]) -> str:
+def _gsw_stem_case(snips: list[str], fold: bool = True) -> str:
     """Per-token German-analyzer lookup for the oracle over a closed
     vocabulary: Snowball German stem (ops.german.german_py — the
     Python spec twin) THEN diacritic fold, pre-computed — the engine
     order (stem with umlauts intact, the program's own postlude
-    removes them; the fold then covers any remaining marks)."""
+    removes them; the fold then covers any remaining marks). The
+    bm25 path stems WITHOUT a fold (fold=False) — identical output
+    on pure-German vocab (the postlude already removed the umlauts),
+    but the oracle states the path it twins."""
     from route81_spark.ops.german import german_py
     from route81_spark.ops.unitext import fold_diacritics_py
 
     vocab = sorted({w for s in snips for w in s.split()})
+
+    def out(w: str) -> str:
+        s = german_py(w)
+        return fold_diacritics_py(s) if fold else s
+
     whens = " ".join(
-        f"WHEN '{w}' THEN '{fold_diacritics_py(german_py(w))}'"
-        for w in vocab
+        f"WHEN '{w}' THEN '{out(w)}'" for w in vocab
     )
     return f"CASE t {whens} ELSE t END"
 
@@ -1840,6 +1847,91 @@ def text_bm25_stop_language(spark, sf_dir):
     scored = bm25_scores(
         prepped, ["die", "daten", "über", "verarbeitung"],
         stop_words=True, stop_language="german",
+    )
+    return (
+        scored.select("doc_id", "bm25")
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(25)
+    )
+
+
+def _bm25_de_terms() -> list[str]:
+    """The engine-side analyzer applied to the query terms, shared as
+    data: stop with the raw German list, stem with the twin, dedupe —
+    so the oracle's per-term df/tf expressions use exactly the terms
+    bm25_scores scores."""
+    from route81_spark.ops.german import german_py
+    from route81_spark.ops.stopwords import stop_list
+
+    stops = set(stop_list("german"))
+    out = [german_py(t) for t in
+           ["die", "daten", "über", "verarbeitungen"]
+           if t not in stops]
+    return list(dict.fromkeys(out))
+
+
+@_q(
+    "text_bm25_german",
+    # oracle: whitespace-split the synthesized German corpus, drop
+    # German stop words via the shared RAW NOT IN list, stem the
+    # remainder via the twin-precomputed lookup (no fold on the bm25
+    # path), then replicate the exact BM25 formula (same left-assoc
+    # fold, same constants) over the stop-filtered STEMMED arrays —
+    # 'die'/'über' in the query contribute nothing, 'verarbeitungen'
+    # scores 'verarbeitung' docs via the shared stem 'verarbeit',
+    # dl/avgdl count the post-stop tokens
+    f"""
+    WITH s0 AS (SELECT doc_id, {_gsw_syn_sql()} AS raw FROM documents),
+    t0 AS (SELECT doc_id,
+                  string_split_regex(trim(raw), '\\s+') AS toks
+           FROM s0),
+    t1 AS (SELECT doc_id,
+                  list_filter(toks, t -> t NOT IN {_gsw_not_in_raw()})
+                    AS ft
+           FROM t0),
+    s AS (SELECT doc_id,
+                 list_transform(ft,
+                   t -> {_gsw_stem_case(GSW_SNIPS, fold=False)}) AS tk
+          FROM t1),
+    c AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             avg(CAST(len(tk) AS DOUBLE)) AS avgdl
+      FROM s
+    ),
+    d AS (
+      SELECT
+        {", ".join(f"(SELECT CAST(count(*) AS DOUBLE) FROM s WHERE list_contains(tk, '{t}')) AS df{i}" for i, t in enumerate(_bm25_de_terms()))}
+    )
+    SELECT doc_id,
+           {det_round_sql(" + ".join(
+               f"(ln(1 + (c.n - d.df{i} + 0.5) / (d.df{i} + 0.5))"
+               f" * (CAST(len(list_filter(tk, x -> x = '{t}')) AS DOUBLE) * 2.2)"
+               f" / (CAST(len(list_filter(tk, x -> x = '{t}')) AS DOUBLE)"
+               f"    + 1.2 * (0.25 + 0.75 * CAST(len(tk) AS DOUBLE) / c.avgdl)))"
+               for i, t in enumerate(_bm25_de_terms())), 6)} AS bm25
+    FROM s, c, d
+    ORDER BY bm25 DESC, doc_id ASC LIMIT 25
+    """,
+)
+def text_bm25_german(spark, sf_dir):
+    """Okapi BM25 with the full GERMAN analyzer chain (r12 —
+    stem='german' + stop_words): German stop words (raw accented
+    surface forms) drop from corpus tokens AND query terms BEFORE the
+    Snowball German stemmer conflates the survivors — 'die'/'über'
+    contribute nothing, 'verarbeitungen' scores 'verarbeitung' docs
+    via the shared stem, dl/avgdl count the post-stop tokens. Model
+    constants from ONE single-row aggregation; scoring one per-row
+    expression over the bound filtered+stemmed array; zero scoring
+    shuffle; top-25 via TakeOrderedAndProject."""
+    from route81_spark.ops.corpus import bm25_scores
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    prepped = docs.select(
+        "doc_id", _gsw_syn_spark(F.col("doc_id")).alias("text")
+    )
+    scored = bm25_scores(
+        prepped, ["die", "daten", "über", "verarbeitungen"],
+        stem="german", stop_words=True,
     )
     return (
         scored.select("doc_id", "bm25")
