@@ -511,7 +511,8 @@ def test_explicit_stem_contradicting_language_fails_loudly(spark):
         [(1, "the data lake")], "doc_id long, text string"
     )
     for stem_mode, lang in [("porter", "german"), ("s", "french"),
-                            ("french", "german"), ("porter", "fr")]:
+                            ("french", "german"), ("porter", "fr"),
+                            ("german", "english"), ("german", "fr")]:
         with pytest.raises(PipelineCompileError, match="contradicts"):
             apply_pipeline(df, [
                 {"$match": {"$text": {

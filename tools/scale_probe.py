@@ -774,6 +774,7 @@ def sf1_probe(spark, k: int = 100, only: set | None = None) -> None:
         # map-only
         "match_text_german",
         "text_bm25_stop_language",
+        "text_bm25_german",
         "text_lang_id_snowball",
     ]
     if only:
