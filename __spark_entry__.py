@@ -45,12 +45,15 @@ _HEADLINE = [
     # the English/French dispatch arms kept their exact expressions
     # (the touched conditions only re-route german specs), and the
     # r12 ADVICE fixes touch error paths / an op with no prior
-    # driver row. The 4 new r12 queries (text_bm25_stop_language,
-    # text_lang_id_snowball, match_text_german, text_bm25_german)
-    # sort first in the tail automatically; 2 headline + 4 new + the
-    # ENTIRE 41-row r7 cohort = 47 of the 50-slot window, so the 3
-    # oldest r8 rows start draining too (nothing stays older than r8
-    # after this round).
+    # driver row. The 6 new r12 queries (text_bm25_stop_language,
+    # text_lang_id_snowball, match_text_german, text_bm25_german,
+    # text_bm25_french, stage_stem_french — the last two close the
+    # unit-pinned-but-not-driver-graded French bm25/$stem forms) sort
+    # first in the tail automatically; 2 headline + 6 new + the
+    # ENTIRE 41-row r7 cohort = 49 of the 50-slot window, so the
+    # oldest r8 row drains too (nothing stays older than r8 after
+    # this round). headline+new = 8 <= the 9-slot budget the r11
+    # verdict's window math allows.
     "match_text_german_stopwords",  # stop-without-stem -> full analyzer
     "match_text_langoverride",      # override CASE gained the de arm
 ]

@@ -1347,20 +1347,41 @@ def _frsw_not_in() -> str:
     return "(" + ", ".join("'" + w + "'" for w in STOP_FR) + ")"
 
 
-def _frsw_stem_case() -> str:
+def _frsw_stem_case(fold: bool = True) -> str:
     """Per-token stem lookup for the oracle: the closed FRSW_SNIPS
     vocabulary maps to fold(french_stem(word)) PRE-COMPUTED by the
     Python spec twin (the Spark query runs the Column program live;
-    the twin is pinned by tests/test_french.py's spec pins + grid)."""
+    the twin is pinned by tests/test_french.py's spec pins + grid).
+    The bm25/$stem paths stem WITHOUT the $text fold (fold=False) —
+    and unlike German, French stems KEEP their accents ('générale'
+    -> 'général'), so the two forms genuinely differ."""
     from route81_spark.ops.french import french_py
     from route81_spark.ops.unitext import fold_diacritics_py
 
     vocab = sorted({w for s in FRSW_SNIPS for w in s.split()})
+
+    def out(w: str) -> str:
+        s = french_py(w)
+        return fold_diacritics_py(s) if fold else s
+
     whens = " ".join(
-        f"WHEN '{w}' THEN '{fold_diacritics_py(french_py(w))}'"
-        for w in vocab
+        f"WHEN '{w}' THEN '{out(w)}'" for w in vocab
     )
     return f"CASE t {whens} ELSE t END"
+
+
+def _bm25_fr_terms() -> list[str]:
+    """The engine-side analyzer applied to the bm25 French query
+    terms, shared as data: stop with the raw French list, stem with
+    the twin (NO fold on the bm25 path), dedupe."""
+    from route81_spark.ops.french import french_py
+    from route81_spark.ops.stopwords import STOP_FR
+
+    stops = set(STOP_FR)
+    out = [french_py(t) for t in
+           ["les", "continuer", "été", "générale"]
+           if t not in stops]
+    return list(dict.fromkeys(out))
 
 
 def _frsw_syn_sql(x: str = "CAST(doc_id AS VARCHAR)") -> str:
@@ -1442,6 +1463,122 @@ def match_text_french_stopwords(spark, sf_dir):
             {"$addFields": {"score": {"$meta": "textScore"}}},
             {"$project": {"doc_id": 1, "score": 1}},
         ],
+    )
+
+
+@_q(
+    "text_bm25_french",
+    # oracle: whitespace-split the synthesized French corpus, drop
+    # French stop words via the shared RAW NOT IN list ('été' filters
+    # on the unfolded accented token), stem the remainder via the
+    # twin-precomputed lookup WITHOUT the $text fold (the bm25 path —
+    # French stems keep their accents: 'générale' -> 'général'), then
+    # replicate the exact BM25 formula over the stop-filtered stemmed
+    # arrays — 'les'/'été' contribute nothing, 'continuer' scores
+    # continuations/continuait docs via stem 'continu'
+    f"""
+    WITH s0 AS (SELECT doc_id, {_frsw_syn_sql()} AS raw FROM documents),
+    t0 AS (SELECT doc_id,
+                  string_split_regex(trim(raw), '\\s+') AS toks
+           FROM s0),
+    t1 AS (SELECT doc_id,
+                  list_filter(toks, t -> t NOT IN {_frsw_not_in()})
+                    AS ft
+           FROM t0),
+    s AS (SELECT doc_id,
+                 list_transform(ft,
+                   t -> {_frsw_stem_case(fold=False)}) AS tk
+          FROM t1),
+    c AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             avg(CAST(len(tk) AS DOUBLE)) AS avgdl
+      FROM s
+    ),
+    d AS (
+      SELECT
+        {", ".join(f"(SELECT CAST(count(*) AS DOUBLE) FROM s WHERE list_contains(tk, '{t}')) AS df{i}" for i, t in enumerate(_bm25_fr_terms()))}
+    )
+    SELECT doc_id,
+           {det_round_sql(" + ".join(
+               f"(ln(1 + (c.n - d.df{i} + 0.5) / (d.df{i} + 0.5))"
+               f" * (CAST(len(list_filter(tk, x -> x = '{t}')) AS DOUBLE) * 2.2)"
+               f" / (CAST(len(list_filter(tk, x -> x = '{t}')) AS DOUBLE)"
+               f"    + 1.2 * (0.25 + 0.75 * CAST(len(tk) AS DOUBLE) / c.avgdl)))"
+               for i, t in enumerate(_bm25_fr_terms())), 6)} AS bm25
+    FROM s, c, d
+    ORDER BY bm25 DESC, doc_id ASC LIMIT 25
+    """,
+)
+def text_bm25_french(spark, sf_dir):
+    """Okapi BM25 with the full FRENCH analyzer chain (r12 driver
+    registration of the r11-unit-pinned composition — stem='french'
+    + stop_words): French stop words (raw accented surface forms —
+    'été' filters unfolded) drop from corpus tokens AND query terms
+    BEFORE the Snowball French stemmer conflates the survivors;
+    'continuer' scores continuations/continuait docs via the shared
+    stem 'continu', dl/avgdl count the post-stop tokens, and stems
+    KEEP their accents on this path (no $text fold — 'générale'
+    scores as 'général'). Model constants from ONE single-row
+    aggregation; scoring one per-row expression; zero scoring
+    shuffle; top-25 via TakeOrderedAndProject."""
+    from route81_spark.ops.corpus import bm25_scores
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    prepped = docs.select(
+        "doc_id", _frsw_syn_spark(F.col("doc_id")).alias("text")
+    )
+    scored = bm25_scores(
+        prepped, ["les", "continuer", "été", "générale"],
+        stem="french", stop_words=True,
+    )
+    return (
+        scored.select("doc_id", "bm25")
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(25)
+    )
+
+
+@_q(
+    "stage_stem_french",
+    # oracle: tokenize -> shared raw NOT IN stop filter (unfolded
+    # 'été') -> per-token twin lookup WITHOUT fold (the $stem stage
+    # emits raw French stems, accents kept) -> join (empty-list
+    # coalesce: the all-stop-words snippet stems to '')
+    f"""
+    WITH s AS (SELECT doc_id, {_frsw_syn_sql()} AS raw FROM documents),
+    t0 AS (SELECT doc_id,
+                  string_split_regex(trim(raw), '\\s+') AS toks
+           FROM s),
+    t AS (SELECT doc_id,
+                 list_filter(toks, t -> t NOT IN {_frsw_not_in()}) AS ft
+          FROM t0)
+    SELECT doc_id,
+           coalesce(array_to_string(
+             list_transform(ft, t -> {_frsw_stem_case(fold=False)}),
+             ' '), '') AS stems
+    FROM t
+    """,
+)
+def stage_stem_french(spark, sf_dir):
+    """The $stem pipeline stage in mode 'french' with
+    {stopWords: true} (r12 driver registration of the r10/r11
+    unit-pinned composition): French stop words drop on the unfolded
+    surface BEFORE the Snowball French stemmer, the stage emits raw
+    French stems (accents kept — no $text fold on this surface), and
+    the all-stop-words snippet stems to the empty array. Per-row
+    scalar work through the once-per-session registered SQL
+    function; no shuffle, no Python."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    prepped = docs.select(
+        "doc_id", _frsw_syn_spark(F.col("doc_id")).alias("text")
+    )
+    out = apply_pipeline(
+        prepped,
+        [{"$stem": {"textField": "text", "as": "st", "mode": "french",
+                    "stopWords": True}}],
+    )
+    return out.select(
+        "doc_id", F.concat_ws(" ", F.col("st")).alias("stems")
     )
 
 
