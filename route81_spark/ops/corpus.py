@@ -1302,8 +1302,8 @@ def bm25_scores(
 
     ``stop_words=True`` (r10) drops the stem mode's language's
     Snowball stop words (ops/stopwords.py, lowercase comparison —
-    the French list for stem="french" since r11, the German list for
-    stem="german" since r12, English otherwise)
+    the French list for stem="french" since r11, the German/Swedish
+    lists for stem="german"/"swedish" since r12, English otherwise)
     from corpus tokens AND query terms BEFORE stemming — the textbook
     analyzer order. With stop removal active, dl/avgdl count the
     remaining tokens (the standard index-resident definition); a
@@ -1328,12 +1328,13 @@ def bm25_scores(
     from route81_spark.io import ensure_parallelism
     from route81_spark.ops.text import tokens
 
-    if stem not in (None, "s", "porter", "french", "german"):
+    if stem not in (None, "s", "porter", "french", "german", "swedish"):
         raise ValueError(
             f"bm25_scores: unsupported stem mode {stem!r} — None, 's' "
             "(Harman S-stemmer), 'porter' (Snowball English), "
-            "'french' (Snowball French) and 'german' (Snowball "
-            "German, r12) are the implemented modes"
+            "'french' (Snowball French), 'german' (Snowball German, "
+            "r12) and 'swedish' (Snowball Swedish, r12) are the "
+            "implemented modes"
         )
     if stem == "porter":
         # one call_function against the once-per-session SQL temp
@@ -1353,6 +1354,12 @@ def bm25_scores(
         # program's own postlude removes umlauts (bücher -> buch)
         from route81_spark.ops.german import (
             german_py as _stem_py, german_stem_tokens as _stem_toks,
+        )
+    elif stem == "swedish":
+        # same whitespace-token contract; the Swedish program KEEPS
+        # ä/å/ö (no postlude) — fold downstream if wanted
+        from route81_spark.ops.swedish import (
+            swedish_py as _stem_py, swedish_stem_tokens as _stem_toks,
         )
     elif stem == "s":
         from route81_spark.ops.text import (
@@ -1389,10 +1396,10 @@ def bm25_scores(
         # for unstemmed corpora in any other carried language
         if stop_language is not None:
             stops = stop_list(stop_language)
-        elif stem == "german":
-            # r12: the German program's language picks its list, like
-            # the French mode's does
-            stops = stop_list("german")
+        elif stem in ("german", "swedish"):
+            # r12: the German/Swedish programs' languages pick their
+            # lists, like the French mode's does
+            stops = stop_list(stem)
         else:
             stops = STOP_FR if stem == "french" else STOP_EN
         _ss = set(stops)

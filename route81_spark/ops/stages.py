@@ -51,7 +51,8 @@ def _stem(df: DataFrame, arg: dict) -> DataFrame:
     letters survive into the stemmer; lowercasing is the caller's
     prep) and stem every token — 'porter' (Snowball English,
     ops/porter.py), 'french' (Snowball French, ops/french.py),
-    'german' (Snowball German, ops/german.py, r12) or 's'
+    'german' (Snowball German, ops/german.py, r12), 'swedish'
+    (Snowball Swedish, ops/swedish.py, r12) or 's'
     (Harman S-stemmer). Adds an array<string> column (default
     'stems'); per-row scalar work, no shuffle. The building block for
     stemmed vocabularies / inverted indexes outside the $text match
@@ -65,27 +66,32 @@ def _stem(df: DataFrame, arg: dict) -> DataFrame:
         from route81_spark.ops.french import french_stem_tokens as stem_toks
     elif mode == "german":
         from route81_spark.ops.german import german_stem_tokens as stem_toks
+    elif mode == "swedish":
+        from route81_spark.ops.swedish import (
+            swedish_stem_tokens as stem_toks,
+        )
     elif mode == "s":
         stem_toks = X.s_stem_tokens
     else:
         raise ValueError(
             f"$stem: unsupported mode {mode!r} — 'porter' (Snowball"
             " English), 'french' (Snowball French), 'german'"
-            " (Snowball German, r12) and 's' (Harman S-stemmer) are"
-            " the implemented modes"
+            " (Snowball German, r12), 'swedish' (Snowball Swedish,"
+            " r12) and 's' (Harman S-stemmer) are the implemented"
+            " modes"
         )
     toks = X.tokens(F.col(arg.get("textField", "text")))
     if arg.get("stopLanguage") is not None:
-        # $stem ALWAYS stems and its carried programs are en/fr/de,
+        # $stem ALWAYS stems and its carried programs are en/fr/de/sv,
         # whose language already picks the stop list — stopping a
-        # fourth language while stemming en/fr/de would be an
+        # different language while stemming another would be an
         # incoherent analyzer, and silently ignoring the key would be
         # worse; generic stop-only passes belong to bm25_scores(
         # stop_language=...) or a stop_list()+F.filter preprocessor
         raise ValueError(
             "$stem: stopLanguage is not composable with a stem mode —"
-            " the mode's language (en/fr/de) already picks the list;"
-            " for stop-only passes over other languages use"
+            " the mode's language (en/fr/de/sv) already picks the"
+            " list; for stop-only passes over other languages use"
             " ops.stopwords.stop_list with an array filter"
         )
     if arg.get("stopWords"):
@@ -95,11 +101,14 @@ def _stem(df: DataFrame, arg: dict) -> DataFrame:
         # 'été', 'même' — are why the whitespace tokenizer must not
         # have folded diacritics first; r12: German likewise, its
         # raw list sees unfolded tokens and the stemmer's own
-        # postlude removes the umlauts afterwards)
+        # postlude removes the umlauts afterwards; r12: Swedish too —
+        # its raw list sees unfolded tokens, and the stemmer KEEPS
+        # ä/å/ö, so downstream folding is the caller's choice)
         from route81_spark.ops.stopwords import STOP_EN, STOP_FR, stop_list
 
         stops = (STOP_FR if mode == "french"
                  else stop_list("german") if mode == "german"
+                 else stop_list("swedish") if mode == "swedish"
                  else STOP_EN)
         stop_arr = F.array(*[F.lit(s) for s in stops])
         toks = F.filter(

@@ -65,18 +65,20 @@ from route81_spark.pipeline.exprs import PipelineCompileError, compile_expr, ext
 #     `$language: "french"/"fr"` (r10) = the full Snowball French
 #     stemmer (ops/french.py); {stem: "german"} /
 #     `$language: "german"/"de"` (r12) = the full Snowball German
-#     stemmer (ops/german.py). French and German analysis match
+#     stemmer (ops/german.py); {stem: "swedish"} /
+#     `$language: "swedish"/"sv"` (r12) = the full Snowball Swedish
+#     stemmer (ops/swedish.py). French/German/Swedish analysis match
 #     Mongo's analyzer ORDER — tokenize (always Unicode runs: accented
 #     letters must not split tokens), stem WITH diacritics intact
-#     (German's own postlude removes umlauts), THEN fold — so
-#     'continuait' stems to 'continu' and 'bücher' to 'buch' before
-#     the accent fold that the English path applies up front. Tokens
-#     and plain query terms stem; phrases stay raw. Other stem values
-#     fail loudly.
+#     (German's own postlude removes umlauts; Swedish keeps ä/å/ö),
+#     THEN fold — so 'continuait' stems to 'continu' and 'bücher' to
+#     'buch' before the accent fold that the English path applies up
+#     front. Tokens and plain query terms stem; phrases stay raw.
+#     Other stem values fail loudly.
 #   * DOCUMENTED DIVERGENCES (fail loudly where dishonoring a request):
-#     $language values beyond english/french/german stay
+#     $language values beyond english/french/german/swedish stay
 #     accepted-and-ignored
-#     (the other ~12 Snowball programs are not carried), and the
+#     (the other ~11 Snowball programs are not carried), and the
 #     engine default WITHOUT $language is unstemmed where Mongo would
 #     default to English — flipping the default would surprise the
 #     ASCII-token fast path; opt in per query. Tokens are
@@ -93,9 +95,11 @@ from route81_spark.pipeline.exprs import PipelineCompileError, compile_expr, ext
 #     in ops/french.py's docstring); the German program (r12) is
 #     likewise the CLASSIC revision — no german2 ae/oe/ue folding,
 #     no 3.x -erin/-erinnen handling (pin + rationale in
-#     ops/german.py's docstring). $caseSensitive: true composes
+#     ops/german.py's docstring); the Swedish program (r12) is the
+#     CLASSIC revision too — no 2.x/3.x -et/-t additions (pin in
+#     ops/swedish.py's docstring). $caseSensitive: true composes
 #     with a stem mode SELF-CONSISTENTLY but degrades conflation:
-#     both Snowball programs assume lowercase input, so capitalized
+#     every Snowball program assumes lowercase input, so capitalized
 #     tokens AND capitalized query terms pass through largely
 #     unstemmed — the two sides stay symmetric (a capitalized query
 #     term still matches the same capitalized document token), but
@@ -240,21 +244,26 @@ def _text_parts(spec: dict):
             stem = "french"
         elif lang in ("german", "de"):
             stem = "german"  # r12: Snowball German (ops/german.py)
-    if stem not in (None, "s", "porter", "french", "german"):
+        elif lang in ("swedish", "sv"):
+            stem = "swedish"  # r12: Snowball Swedish (ops/swedish.py)
+    if stem not in (None, "s", "porter", "french", "german", "swedish"):
         raise PipelineCompileError(
             f"$text: unsupported stem mode {stem!r} — 's' (Harman"
             " S-stemmer), 'porter' (Snowball English), 'french'"
-            " (Snowball French) and 'german' (Snowball German, r12)"
-            " are the implemented modes"
+            " (Snowball French), 'german' (Snowball German, r12) and"
+            " 'swedish' (Snowball Swedish, r12) are the implemented"
+            " modes"
         )
     # languageOverride: the analog of Mongo's text-index
     # `language_override` option — a COLUMN naming each document's
     # language. Documents whose override resolves to English
     # ("english"/"en", case-folded) stem with the active English-
     # capable mode, French documents ("french"/"fr", r10) stem with
-    # the Snowball French program; every other language keeps RAW
+    # the Snowball French program, German ("german"/"de") and Swedish
+    # ("swedish"/"sv") documents (r12) with theirs; every other
+    # language keeps RAW
     # tokens (documented divergence: Mongo would apply THAT language's
-    # Snowball program — the remaining ~13 are not carried; unknown
+    # Snowball program — the remaining ~11 are not carried; unknown
     # languages index unstemmed here, exactly like a Mongo index whose
     # override names a language it has no analyzer for). Query terms
     # stem with the QUERY language as usual. Requires an active stem
@@ -289,7 +298,8 @@ def _text_parts(spec: dict):
     # nothing stops; romanian (no carried list) and unknown languages
     # fail loudly rather than stop with the wrong language's list.
     # languageOverride stops each document with ITS language's list
-    # (en -> English, fr -> French, de -> German (r12), anything
+    # (en -> English, fr -> French, de -> German, sv -> Swedish
+    # (r12), anything
     # else unstopped — the
     # same "no analyzer" rule the stemming dispatch applies); query
     # terms stop with the QUERY language's list, exactly as they stem
@@ -314,7 +324,8 @@ def _text_parts(spec: dict):
         _stem_langs = {"porter": ("english", "en"),
                        "s": ("english", "en"),
                        "french": ("french", "fr"),
-                       "german": ("german", "de")}
+                       "german": ("german", "de"),
+                       "swedish": ("swedish", "sv")}
         declared = str(spec.get("$language", "")).lower()
         if (spec.get("stem") is not None and declared
                 and declared != "none" and stem in _stem_langs
@@ -332,11 +343,12 @@ def _text_parts(spec: dict):
             stop = None
         elif stem == "french":
             stop = STOP_FR
-        elif stem == "german":
-            # r12: German is a CARRIED analyzer now — its verbatim
-            # Snowball list applies like French's (raw surface forms,
-            # stopped pre-stem on unfolded tokens in german_chain)
-            stop = stop_list("german")
+        elif stem in ("german", "swedish"):
+            # r12: German and Swedish are CARRIED analyzers now —
+            # their verbatim Snowball lists apply like French's (raw
+            # surface forms, stopped pre-stem on unfolded tokens in
+            # german_chain/swedish_chain)
+            stop = stop_list(stem)
         elif stem in ("porter", "s") or lang in ("english", "en", ""):
             stop = STOP_EN
         else:
@@ -403,7 +415,7 @@ def _text_bound(spec: dict, build):
         # sides canonical, 'uber' ≡ 'über' for stopping exactly as it
         # does for matching; ASCII lists — English — are unchanged by
         # the fold, keeping every recorded plan identical).
-        if ds or stem in ("french", "german"):
+        if ds or stem in ("french", "german", "swedish"):
             # carried non-English analyzers stop on the UNFOLDED
             # lowercase surface (their chains filter pre-fold tokens
             # against the raw accented lists)
@@ -423,10 +435,11 @@ def _text_bound(spec: dict, build):
         # each literal stop array is built ONLY for the path that
         # consumes it: stop_q_arr feeds the plain per-field token
         # source; the per-document override branches always stop with
-        # the CANONICAL en/fr/de lists (override requires an en/fr-
-        # capable stem mode, but the query list may differ from a
+        # the CANONICAL en/fr/de/sv lists (override requires a
+        # stem-capable mode, but the query list may differ from a
         # branch's); french_chain owns the unfolded French array
-        if lang_over is None and stem not in ("french", "german"):
+        if lang_over is None and stem not in ("french", "german",
+                                              "swedish"):
             stop_q_arr = F.array(*[F.lit(s) for s in _stop_q])
         if lang_over is not None:
             stop_en_arr = F.array(*[F.lit(s) for s in STOP_EN])
@@ -436,6 +449,10 @@ def _text_bound(spec: dict, build):
             from route81_spark.ops.stopwords import stop_list as _sl
 
             stop_de_arr = F.array(*[F.lit(s) for s in _sl("german")])
+        if stem == "swedish" or lang_over is not None:
+            from route81_spark.ops.stopwords import stop_list as _sl
+
+            stop_sv_arr = F.array(*[F.lit(s) for s in _sl("swedish")])
 
         def drop_stops(tks: Column, stop_arr: Column) -> Column:
             # one array_contains against the literal list per token —
@@ -479,6 +496,24 @@ def _text_bound(spec: dict, build):
             tks = F.transform(tks, fold_diacritics)
         return tks
 
+    def swedish_chain(text_cf: Column) -> Column:
+        """The Swedish analyzer in Mongo's ORDER (r12, same shape as
+        french_chain/german_chain): tokenize the case-folded (NOT
+        diacritic-folded) text on Unicode runs — ä/å/ö must not split
+        tokens — drop Swedish stop words (the raw accented list must
+        see unfolded tokens), stem with diacritics intact (the
+        vowels include ä/å/ö and the löst rule needs its ö; the
+        program KEEPS them), THEN fold each token."""
+        from route81_spark.ops.swedish import swedish_stem_tokens
+
+        tks = F.split(text_cf, r"[^\p{L}\p{N}]+")
+        if stop:
+            tks = drop_stops(tks, stop_sv_arr)
+        tks = swedish_stem_tokens(tks)
+        if not ds:
+            tks = F.transform(tks, fold_diacritics)
+        return tks
+
     if stem:
         if stem == "french":
             from route81_spark.ops.french import french_py
@@ -495,6 +530,14 @@ def _text_bound(spec: dict, build):
                 # German literal order mirrors german_chain: lower,
                 # stem WITH umlauts, then fold
                 s = german_py(t if cs else t.lower())
+                return s if ds else fold_diacritics_py(s)
+        elif stem == "swedish":
+            from route81_spark.ops.swedish import swedish_py
+
+            def stem_py(t: str) -> str:
+                # Swedish literal order mirrors swedish_chain: lower,
+                # stem WITH diacritics, then fold
+                s = swedish_py(t if cs else t.lower())
                 return s if ds else fold_diacritics_py(s)
         elif stem == "porter":
             from route81_spark.ops.porter import porter2_py as _en_py
@@ -539,7 +582,8 @@ def _text_bound(spec: dict, build):
         else:
             text = text_cf
         raw_toks = F.split(text, sep)
-        if stop and lang_over is None and stem not in ("french", "german"):
+        if stop and lang_over is None and stem not in ("french", "german",
+                                                       "swedish"):
             # the query/analysis language's token source (the French
             # chain and the per-document override branches stop
             # per-language below)
@@ -560,9 +604,9 @@ def _text_bound(spec: dict, build):
                 # per-document analysis language (language_override):
                 # fr docs use the French program (+ French stops when
                 # asked), en docs Snowball English (+ English stops),
-                # de docs (r12) the German program (+ German stops),
-                # everything else raw unstopped tokens; the CASE
-                # evaluates lazily, one branch per row
+                # de/sv docs (r12) the German/Swedish programs (+
+                # their stops), everything else raw unstopped tokens;
+                # the CASE evaluates lazily, one branch per row
                 from route81_spark.ops.porter import porter2_stem_tokens
 
                 lov = F.lower(F.col(lang_over))
@@ -574,6 +618,10 @@ def _text_bound(spec: dict, build):
                     )
                     .when(
                         lov.isin("german", "de"), german_chain(text_cf)
+                    )
+                    .when(
+                        lov.isin("swedish", "sv"),
+                        swedish_chain(text_cf),
                     )
                     .otherwise(raw_toks)
                 )
@@ -592,6 +640,30 @@ def _text_bound(spec: dict, build):
                     .when(
                         lov.isin("french", "fr"), french_chain(text_cf)
                     )
+                    .when(
+                        lov.isin("swedish", "sv"),
+                        swedish_chain(text_cf),
+                    )
+                    .otherwise(raw_toks)
+                )
+        elif stem == "swedish":
+            toks = swedish_chain(text_cf)
+            if lang_over is not None:
+                from route81_spark.ops.porter import porter2_stem_tokens
+
+                lov = F.lower(F.col(lang_over))
+                toks = (
+                    F.when(lov.isin("swedish", "sv"), toks)
+                    .when(
+                        lov.isin("english", "en"),
+                        porter2_stem_tokens(en_toks()),
+                    )
+                    .when(
+                        lov.isin("french", "fr"), french_chain(text_cf)
+                    )
+                    .when(
+                        lov.isin("german", "de"), german_chain(text_cf)
+                    )
                     .otherwise(raw_toks)
                 )
         elif stem:
@@ -608,6 +680,10 @@ def _text_bound(spec: dict, build):
                     )
                     .when(
                         lov.isin("german", "de"), german_chain(text_cf)
+                    )
+                    .when(
+                        lov.isin("swedish", "sv"),
+                        swedish_chain(text_cf),
                     )
                     .otherwise(raw_toks)
                 )
