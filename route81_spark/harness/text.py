@@ -1806,6 +1806,117 @@ def match_text_german(spark, sf_dir):
     )
 
 
+# --------------------------------------------------------------------
+# Swedish analyzer ($language: "swedish", r12): Snowball Swedish stem
+# --------------------------------------------------------------------
+
+SVT_SNIPS = [
+    "nyheterna kommer snabbt",
+    "flickorna läser nyheter",
+    "möjligheterna blir stora",
+    "nyheter när hunden springer",
+    "hunden springer fort",
+    "inget relevant alls",
+]
+
+
+def _svt_stem_case() -> str:
+    """Per-token Swedish-analyzer lookup for the oracle over the
+    closed SVT_SNIPS vocabulary: Snowball Swedish stem
+    (ops.swedish.swedish_py — the Python spec twin) THEN diacritic
+    fold, pre-computed — the engine order (the Swedish program KEEPS
+    ä/å/ö, so the fold is what removes them: 'möjligheterna' stems
+    to 'möj' and folds to 'moj')."""
+    from route81_spark.ops.swedish import swedish_py
+    from route81_spark.ops.unitext import fold_diacritics_py
+
+    vocab = sorted({w for s in SVT_SNIPS for w in s.split()})
+    whens = " ".join(
+        f"WHEN '{w}' THEN '{fold_diacritics_py(swedish_py(w))}'"
+        for w in vocab
+    )
+    return f"CASE t {whens} ELSE t END"
+
+
+def _svt_syn_sql(x: str = "CAST(doc_id AS VARCHAR)") -> str:
+    lits = "[" + ", ".join("'" + s + "'" for s in SVT_SNIPS) + "]"
+
+    def pick(seed):
+        return f"({lits})[CAST({_wh60(seed, x)} % 6 AS INT) + 1]"
+
+    return f"{pick('svstem0|a')} || ' ' || {pick('svstem0|b')}"
+
+
+def _svt_syn_spark(ids: Column) -> Column:
+    from route81_spark.ops.web import _h60
+
+    def pick(seed):
+        h = _h60(ids, seed)
+        return F.element_at(
+            F.array(*[F.lit(s) for s in SVT_SNIPS]), (h % 6 + 1).cast("int")
+        )
+
+    return F.concat(pick("svstem0|a"), F.lit(" "), pick("svstem0|b"))
+
+
+@_q(
+    "match_text_swedish",
+    # oracle: tokenize the closed vocabulary, stem every token via
+    # the twin-precomputed Swedish lookup (stem-then-fold baked into
+    # the CASE), then recompute membership + integer score with the
+    # twin-stemmed query terms: 'nyheter'->'nyhet' conflates
+    # nyheterna/nyheter (the setlimit pin: 'heterna' straddles R1 and
+    # is invisible, 'erna' deletes), 'möjlig'->'möj'->fold 'moj'
+    # conflates möjligheterna, and '-hund' excludes hunden through
+    # the shared stem 'hund'
+    f"""
+    WITH s AS (SELECT doc_id, {_svt_syn_sql()} AS raw FROM documents),
+    t0 AS (SELECT doc_id, string_split(lower(raw), ' ') AS toks FROM s),
+    t AS (SELECT doc_id,
+                 list_transform(toks, t -> {_svt_stem_case()}) AS st
+          FROM t0)
+    SELECT doc_id,
+           CAST(len(list_filter(st, x -> x = 'nyhet'))
+              + len(list_filter(st, x -> x = 'moj'))
+                AS BIGINT) AS score
+    FROM t
+    WHERE (list_contains(st, 'nyhet') OR list_contains(st, 'moj'))
+      AND NOT list_contains(st, 'hund')
+    """,
+)
+def match_text_swedish(spark, sf_dir):
+    """$text with $language: "swedish" (r12 — the Snowball Swedish
+    stemmer, ops/swedish.py, the fourth carried language program):
+    stemmed conflation in match + score — 'nyheter' matches
+    'nyheterna' via stem 'nyhet' (exercising the setlimit
+    containment semantics unique to the Scandinavian programs: the
+    longer table suffix 'heterna' starts before R1 and is INVISIBLE,
+    so 'erna' deletes — a longest-anywhere gate would keep the word
+    whole), 'möjlig' matches 'möjligheterna' via the shared stem
+    'möj' (stemming runs BEFORE the diacritic fold: the program
+    keeps its ä/å/ö and the fold then yields 'moj' on both sides),
+    and the '-hund' negation excludes 'hunden'. The stemmer applies
+    through the once-per-session registered SQL function — map-only
+    plan, zero shuffle, zero Python; the column-vs-twin grid sweep +
+    spec pins live in tests/test_swedish.py."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    prepped = docs.select(
+        "doc_id", _svt_syn_spark(F.col("doc_id")).alias("text")
+    )
+    return apply_pipeline(
+        prepped,
+        [
+            {"$match": {"$text": {
+                "$search": "nyheter möjlig -hund",
+                "$language": "swedish",
+                "unicode": True,
+            }}},
+            {"$addFields": {"score": {"$meta": "textScore"}}},
+            {"$project": {"doc_id": 1, "score": 1}},
+        ],
+    )
+
+
 def _sw_stem_case() -> str:
     """Porter2 stem lookup for the closed SW_SNIPS vocabulary,
     pre-computed by the Python spec twin (ops.porter.porter2_py)."""

@@ -776,6 +776,11 @@ def sf1_probe(spark, k: int = 100, only: set | None = None) -> None:
         "text_bm25_stop_language",
         "text_bm25_german",
         "text_lang_id_snowball",
+        # r12 (late): the SWEDISH program — the same per-token
+        # map-only chain shape as French/German (stop unfolded ->
+        # stem -> fold), with the setlimit among compiled as one
+        # descending-length CASE per token
+        "match_text_swedish",
     ]
     if only:
         probes = [p for p in probes if p in only]
