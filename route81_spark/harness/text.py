@@ -2523,8 +2523,10 @@ def _lo_stem_case(lang: str = "en") -> str:
     from route81_spark.ops.french import french_py
     from route81_spark.ops.german import german_py
     from route81_spark.ops.porter import porter2_py
+    from route81_spark.ops.swedish import swedish_py
 
-    stem = {"en": porter2_py, "fr": french_py, "de": german_py}[lang]
+    stem = {"en": porter2_py, "fr": french_py, "de": german_py,
+            "sv": swedish_py}[lang]
     vocab = sorted({w for s in LO_SNIPS for w in s.split()})
     whens = " ".join(f"WHEN '{w}' THEN '{stem(w)}'" for w in vocab)
     return f"CASE t {whens} ELSE t END"
@@ -2555,9 +2557,12 @@ def _lo_syn_spark(ids: Column) -> Column:
     "match_text_langoverride",
     # oracle: stem the token array via the ENGLISH twin lookup for
     # docs whose real lang column is 'en', via the FRENCH twin lookup
-    # (r10) for 'fr' docs, via the GERMAN twin lookup (r12) for 'de'
-    # docs, and keep raw tokens for every other language (those match
-    # only the literal stemmed query terms)
+    # (r10) for 'fr' docs, via the GERMAN/SWEDISH twin lookups (r12)
+    # for 'de'/'sv' docs (the corpus has no sv rows today — the
+    # branch keeps the oracle a true twin of the engine's dispatch
+    # rather than relying on that), and keep raw tokens for every
+    # other language (those match only the literal stemmed query
+    # terms)
     f"""
     WITH s AS (SELECT doc_id, lang, {_lo_syn_sql()} AS raw FROM documents),
     t0 AS (SELECT doc_id, lang,
@@ -2570,6 +2575,8 @@ def _lo_syn_spark(ids: Column) -> Column:
                       THEN list_transform(toks, t -> {_lo_stem_case("fr")})
                       WHEN lang = 'de'
                       THEN list_transform(toks, t -> {_lo_stem_case("de")})
+                      WHEN lang = 'sv'
+                      THEN list_transform(toks, t -> {_lo_stem_case("sv")})
                       ELSE toks END AS st
           FROM t0)
     SELECT doc_id,

@@ -242,8 +242,8 @@ def test_text_langoverride_dispatches_swedish(spark):
     ])
     assert {r["doc_id"] for r in out.collect()} == {1, 3, 4}
     # query language english: 'runs' -> 'run' matches the en doc via
-    # Porter2 and zh doc 4's raw 'running'? no — raw keeps 'running',
-    # which is not the stemmed literal 'run'; only doc 3 matches
+    # Porter2; zh doc 4 keeps its raw 'running', which is not the
+    # stemmed literal 'run' — only doc 3 matches
     out2 = apply_pipeline(df, [
         {"$match": {"$text": {
             "$search": "runs",
