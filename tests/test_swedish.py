@@ -327,6 +327,77 @@ def test_case_sensitive_composes_self_consistently(spark):
     assert {r["doc_id"] for r in out.collect()} == {1}
 
 
+def test_text_swedish_composes_with_weighted_fields(spark):
+    """Swedish mode rides the shared bound-struct scaffolding, so the
+    weighted multi-field index form composes: terms stem with Swedish
+    in EVERY field, weights multiply per-field occurrences."""
+    df = spark.createDataFrame(
+        [(1, "nyheterna", "inget här"),
+         (2, "annat", "flickorna läser nyheter"),
+         (3, "annat", "inget")],
+        "doc_id long, title string, body string",
+    )
+    out = apply_pipeline(df, [
+        {"$match": {"$text": {
+            "$search": "nyheter", "$language": "swedish",
+            "fields": {"title": 5, "body": 1},
+        }}},
+        {"$addFields": {"score": {"$meta": "textScore"}}},
+        {"$project": {"doc_id": 1, "score": 1}},
+    ])
+    got = {(r["doc_id"], r["score"]) for r in out.collect()}
+    assert got == {(1, 5), (2, 1)}, got
+
+
+def test_text_swedish_diacritic_sensitive(spark):
+    """$diacriticSensitive: true + swedish: no fold anywhere — the
+    program's output keeps its ä/å/ö and matching is exact on them:
+    'möjligheterna' (stem 'möj') matches the 'möjlig' doc but NOT the
+    user-folded 'mojlig' doc (stem 'moj'), which the default
+    INsensitive mode would conflate."""
+    df = spark.createDataFrame(
+        [(1, "en möjlig sak"), (2, "en mojlig sak")],
+        "doc_id long, text string",
+    )
+    spec = {
+        "$search": "möjligheterna", "$language": "swedish",
+        "unicode": True, "$diacriticSensitive": True,
+    }
+    out = apply_pipeline(df, [
+        {"$match": {"$text": spec}}, {"$project": {"doc_id": 1}},
+    ])
+    assert {r["doc_id"] for r in out.collect()} == {1}
+    # the default insensitive mode folds post-stem on both sides:
+    # 'möj' and 'moj' both land on 'moj' and the two docs conflate
+    out2 = apply_pipeline(df, [
+        {"$match": {"$text": {
+            "$search": "möjligheterna", "$language": "swedish",
+            "unicode": True,
+        }}},
+        {"$project": {"doc_id": 1}},
+    ])
+    assert {r["doc_id"] for r in out2.collect()} == {1, 2}
+
+
+def test_swedish_stem_with_language_none_stops_nothing(spark):
+    """{stem: "swedish", $language: "none", stopWords: true}: the
+    declared 'none' wins for STOPPING (nothing stops — 'över' stays
+    a live query term) while the explicit stem extension is still
+    honored for stemming — the same pinned exception as the English
+    modes (the r11 review finding, generalized)."""
+    df = spark.createDataFrame(
+        [(1, "över allt")], "doc_id long, text string",
+    )
+    out = apply_pipeline(df, [
+        {"$match": {"$text": {
+            "$search": "över", "$language": "none",
+            "stem": "swedish", "unicode": True, "stopWords": True,
+        }}},
+        {"$project": {"doc_id": 1}},
+    ])
+    assert out.count() == 1
+
+
 def test_stem_language_contradiction_stays_loud(spark):
     """The r12 contradiction guard covers the new mode: an explicit
     stem mode + a DECLARED different $language + stopWords raises."""
