@@ -954,25 +954,44 @@ _STEM_SQL = """
 """
 
 
+def _syn_sql(snips: list[str], seed: str,
+             x: str = "CAST(doc_id AS VARCHAR)") -> str:
+    """DuckDB half of the snippet-pick synthesis twin: two
+    hash-picked snippets from a closed list, joined by a space —
+    byte-for-byte the template every per-family wrapper used to
+    carry. ONE place (with _syn_spark below) where the SQL/Spark
+    synthesis twins can drift, instead of one per family."""
+    lits = "[" + ", ".join("'" + s + "'" for s in snips) + "]"
+    n = len(snips)
+
+    def pick(part: str) -> str:
+        return f"({lits})[CAST({_wh60(seed + part, x)} % {n} AS INT) + 1]"
+
+    return f"{pick('|a')} || ' ' || {pick('|b')}"
+
+
+def _syn_spark(snips: list[str], seed: str, ids: Column) -> Column:
+    """Spark half of the snippet-pick synthesis twin (same hash,
+    same modulus = len(snips), same seed parts)."""
+    from route81_spark.ops.web import _h60
+
+    n = len(snips)
+
+    def pick(part: str) -> Column:
+        h = _h60(ids, seed + part)
+        return F.element_at(
+            F.array(*[F.lit(s) for s in snips]), (h % n + 1).cast("int")
+        )
+
+    return F.concat(pick("|a"), F.lit(" "), pick("|b"))
+
+
 def _s_syn_sql(x: str = "CAST(doc_id AS VARCHAR)") -> str:
-    lits = "[" + ", ".join("'" + s + "'" for s in S_SNIPS) + "]"
-
-    def pick(seed):
-        return f"({lits})[CAST({_wh60(seed, x)} % 8 AS INT) + 1]"
-
-    return f"{pick('stem0|a')} || ' ' || {pick('stem0|b')}"
+    return _syn_sql(S_SNIPS, "stem0", x)
 
 
 def _s_syn_spark(ids: Column) -> Column:
-    from route81_spark.ops.web import _h60
-
-    def pick(seed):
-        h = _h60(ids, seed)
-        return F.element_at(
-            F.array(*[F.lit(s) for s in S_SNIPS]), (h % 8 + 1).cast("int")
-        )
-
-    return F.concat(pick("stem0|a"), F.lit(" "), pick("stem0|b"))
+    return _syn_spark(S_SNIPS, "stem0", ids)
 
 
 @_q(
@@ -1049,24 +1068,11 @@ def _p_stem_case() -> str:
 
 
 def _p_syn_sql(x: str = "CAST(doc_id AS VARCHAR)") -> str:
-    lits = "[" + ", ".join("'" + s + "'" for s in P_SNIPS) + "]"
-
-    def pick(seed):
-        return f"({lits})[CAST({_wh60(seed, x)} % 8 AS INT) + 1]"
-
-    return f"{pick('porter0|a')} || ' ' || {pick('porter0|b')}"
+    return _syn_sql(P_SNIPS, "porter0", x)
 
 
 def _p_syn_spark(ids: Column) -> Column:
-    from route81_spark.ops.web import _h60
-
-    def pick(seed):
-        h = _h60(ids, seed)
-        return F.element_at(
-            F.array(*[F.lit(s) for s in P_SNIPS]), (h % 8 + 1).cast("int")
-        )
-
-    return F.concat(pick("porter0|a"), F.lit(" "), pick("porter0|b"))
+    return _syn_spark(P_SNIPS, "porter0", ids)
 
 
 @_q(
@@ -1151,24 +1157,11 @@ def _fr_stem_case() -> str:
 
 
 def _fr_syn_sql(x: str = "CAST(doc_id AS VARCHAR)") -> str:
-    lits = "[" + ", ".join("'" + s + "'" for s in FR_SNIPS) + "]"
-
-    def pick(seed):
-        return f"({lits})[CAST({_wh60(seed, x)} % 6 AS INT) + 1]"
-
-    return f"{pick('french0|a')} || ' ' || {pick('french0|b')}"
+    return _syn_sql(FR_SNIPS, "french0", x)
 
 
 def _fr_syn_spark(ids: Column) -> Column:
-    from route81_spark.ops.web import _h60
-
-    def pick(seed):
-        h = _h60(ids, seed)
-        return F.element_at(
-            F.array(*[F.lit(s) for s in FR_SNIPS]), (h % 6 + 1).cast("int")
-        )
-
-    return F.concat(pick("french0|a"), F.lit(" "), pick("french0|b"))
+    return _syn_spark(FR_SNIPS, "french0", ids)
 
 
 @_q(
@@ -1252,24 +1245,11 @@ def _sw_not_in() -> str:
 
 
 def _sw_syn_sql(x: str = "CAST(doc_id AS VARCHAR)") -> str:
-    lits = "[" + ", ".join("'" + s + "'" for s in SW_SNIPS) + "]"
-
-    def pick(seed):
-        return f"({lits})[CAST({_wh60(seed, x)} % 6 AS INT) + 1]"
-
-    return f"{pick('stopw0|a')} || ' ' || {pick('stopw0|b')}"
+    return _syn_sql(SW_SNIPS, "stopw0", x)
 
 
 def _sw_syn_spark(ids: Column) -> Column:
-    from route81_spark.ops.web import _h60
-
-    def pick(seed):
-        h = _h60(ids, seed)
-        return F.element_at(
-            F.array(*[F.lit(s) for s in SW_SNIPS]), (h % 6 + 1).cast("int")
-        )
-
-    return F.concat(pick("stopw0|a"), F.lit(" "), pick("stopw0|b"))
+    return _syn_spark(SW_SNIPS, "stopw0", ids)
 
 
 @_q(
@@ -1385,24 +1365,11 @@ def _bm25_fr_terms() -> list[str]:
 
 
 def _frsw_syn_sql(x: str = "CAST(doc_id AS VARCHAR)") -> str:
-    lits = "[" + ", ".join("'" + s + "'" for s in FRSW_SNIPS) + "]"
-
-    def pick(seed):
-        return f"({lits})[CAST({_wh60(seed, x)} % 6 AS INT) + 1]"
-
-    return f"{pick('frstop0|a')} || ' ' || {pick('frstop0|b')}"
+    return _syn_sql(FRSW_SNIPS, "frstop0", x)
 
 
 def _frsw_syn_spark(ids: Column) -> Column:
-    from route81_spark.ops.web import _h60
-
-    def pick(seed):
-        h = _h60(ids, seed)
-        return F.element_at(
-            F.array(*[F.lit(s) for s in FRSW_SNIPS]), (h % 6 + 1).cast("int")
-        )
-
-    return F.concat(pick("frstop0|a"), F.lit(" "), pick("frstop0|b"))
+    return _syn_spark(FRSW_SNIPS, "frstop0", ids)
 
 
 @_q(
@@ -1636,24 +1603,11 @@ def _gsw_not_in_raw() -> str:
 
 
 def _gsw_syn_sql(x: str = "CAST(doc_id AS VARCHAR)") -> str:
-    lits = "[" + ", ".join("'" + s + "'" for s in GSW_SNIPS) + "]"
-
-    def pick(seed):
-        return f"({lits})[CAST({_wh60(seed, x)} % 6 AS INT) + 1]"
-
-    return f"{pick('destop0|a')} || ' ' || {pick('destop0|b')}"
+    return _syn_sql(GSW_SNIPS, "destop0", x)
 
 
 def _gsw_syn_spark(ids: Column) -> Column:
-    from route81_spark.ops.web import _h60
-
-    def pick(seed):
-        h = _h60(ids, seed)
-        return F.element_at(
-            F.array(*[F.lit(s) for s in GSW_SNIPS]), (h % 6 + 1).cast("int")
-        )
-
-    return F.concat(pick("destop0|a"), F.lit(" "), pick("destop0|b"))
+    return _syn_spark(GSW_SNIPS, "destop0", ids)
 
 
 @_q(
@@ -1731,24 +1685,11 @@ GST_SNIPS = [
 
 
 def _gst_syn_sql(x: str = "CAST(doc_id AS VARCHAR)") -> str:
-    lits = "[" + ", ".join("'" + s + "'" for s in GST_SNIPS) + "]"
-
-    def pick(seed):
-        return f"({lits})[CAST({_wh60(seed, x)} % 6 AS INT) + 1]"
-
-    return f"{pick('destem0|a')} || ' ' || {pick('destem0|b')}"
+    return _syn_sql(GST_SNIPS, "destem0", x)
 
 
 def _gst_syn_spark(ids: Column) -> Column:
-    from route81_spark.ops.web import _h60
-
-    def pick(seed):
-        h = _h60(ids, seed)
-        return F.element_at(
-            F.array(*[F.lit(s) for s in GST_SNIPS]), (h % 6 + 1).cast("int")
-        )
-
-    return F.concat(pick("destem0|a"), F.lit(" "), pick("destem0|b"))
+    return _syn_spark(GST_SNIPS, "destem0", ids)
 
 
 @_q(
@@ -1839,24 +1780,11 @@ def _svt_stem_case() -> str:
 
 
 def _svt_syn_sql(x: str = "CAST(doc_id AS VARCHAR)") -> str:
-    lits = "[" + ", ".join("'" + s + "'" for s in SVT_SNIPS) + "]"
-
-    def pick(seed):
-        return f"({lits})[CAST({_wh60(seed, x)} % 6 AS INT) + 1]"
-
-    return f"{pick('svstem0|a')} || ' ' || {pick('svstem0|b')}"
+    return _syn_sql(SVT_SNIPS, "svstem0", x)
 
 
 def _svt_syn_spark(ids: Column) -> Column:
-    from route81_spark.ops.web import _h60
-
-    def pick(seed):
-        h = _h60(ids, seed)
-        return F.element_at(
-            F.array(*[F.lit(s) for s in SVT_SNIPS]), (h % 6 + 1).cast("int")
-        )
-
-    return F.concat(pick("svstem0|a"), F.lit(" "), pick("svstem0|b"))
+    return _syn_spark(SVT_SNIPS, "svstem0", ids)
 
 
 @_q(
@@ -2533,24 +2461,11 @@ def _lo_stem_case(lang: str = "en") -> str:
 
 
 def _lo_syn_sql() -> str:
-    lits = "[" + ", ".join("'" + s + "'" for s in LO_SNIPS) + "]"
-
-    def pick(seed):
-        return f"({lits})[CAST({_wh60(seed)} % 4 AS INT) + 1]"
-
-    return f"{pick('langov|a')} || ' ' || {pick('langov|b')}"
+    return _syn_sql(LO_SNIPS, "langov")
 
 
 def _lo_syn_spark(ids: Column) -> Column:
-    from route81_spark.ops.web import _h60
-
-    def pick(seed):
-        h = _h60(ids, seed)
-        return F.element_at(
-            F.array(*[F.lit(s) for s in LO_SNIPS]), (h % 4 + 1).cast("int")
-        )
-
-    return F.concat(pick("langov|a"), F.lit(" "), pick("langov|b"))
+    return _syn_spark(LO_SNIPS, "langov", ids)
 
 
 @_q(

@@ -159,6 +159,32 @@ _TEXT_SPEC: contextvars.ContextVar[dict | None] = contextvars.ContextVar(
 )
 
 
+# Carried non-English Snowball analyzer registry — the ONE place a
+# new language lands (aliases here + an ops/<key>.py module exporting
+# <key>_stem_tokens / <key>_py by convention). _text_parts' language
+# dispatch, the stop resolution, the per-field analyzer chains, and
+# every languageOverride CASE arm derive from it; "english" stays the
+# built-in special case (the porter/s modes stem an already-folded
+# token source instead of a pre-fold chain). Insertion order IS the
+# canonical override arm order (own language first, then english,
+# then the rest in this order) — reordering would change recorded
+# plans.
+_CHAIN_LANGS = {
+    "french": ("french", "fr"),    # r10, ops/french.py
+    "german": ("german", "de"),    # r12, ops/german.py
+    "swedish": ("swedish", "sv"),  # r12, ops/swedish.py
+}
+
+
+def _chain_fns(key: str):
+    """(stem_tokens, stem_py) for a registry language, resolved by
+    the ops-module naming convention."""
+    import importlib
+
+    mod = importlib.import_module(f"route81_spark.ops.{key}")
+    return getattr(mod, f"{key}_stem_tokens"), getattr(mod, f"{key}_py")
+
+
 def _parse_search(search: str) -> tuple[list[str], list[str], list[str], list[str]]:
     """-> (pos_terms, neg_terms, pos_phrases, neg_phrases)."""
     pos_ph, neg_ph = [], []
@@ -240,19 +266,17 @@ def _text_parts(spec: dict):
         lang = str(spec.get("$language", "")).lower()
         if lang in ("english", "en"):
             stem = "porter"
-        elif lang in ("french", "fr"):
-            stem = "french"
-        elif lang in ("german", "de"):
-            stem = "german"  # r12: Snowball German (ops/german.py)
-        elif lang in ("swedish", "sv"):
-            stem = "swedish"  # r12: Snowball Swedish (ops/swedish.py)
-    if stem not in (None, "s", "porter", "french", "german", "swedish"):
+        else:
+            for key, aliases in _CHAIN_LANGS.items():
+                if lang in aliases:
+                    stem = key
+                    break
+    if stem not in (None, "s", "porter", *_CHAIN_LANGS):
         raise PipelineCompileError(
             f"$text: unsupported stem mode {stem!r} — 's' (Harman"
-            " S-stemmer), 'porter' (Snowball English), 'french'"
-            " (Snowball French), 'german' (Snowball German, r12) and"
-            " 'swedish' (Snowball Swedish, r12) are the implemented"
-            " modes"
+            " S-stemmer), 'porter' (Snowball English) and the carried"
+            f" Snowball languages {sorted(_CHAIN_LANGS)} are the"
+            " implemented modes"
         )
     # languageOverride: the analog of Mongo's text-index
     # `language_override` option — a COLUMN naming each document's
@@ -307,7 +331,7 @@ def _text_parts(spec: dict):
     stop: tuple[str, ...] | None = None
     if spec.get("stopWords", False):
         from route81_spark.ops.stopwords import (
-            STOP_EN, STOP_FR, stop_list,
+            STOP_EN, stop_list,
         )
 
         lang = str(spec.get("$language", "english")).lower()
@@ -323,9 +347,7 @@ def _text_parts(spec: dict):
         # analysis language).
         _stem_langs = {"porter": ("english", "en"),
                        "s": ("english", "en"),
-                       "french": ("french", "fr"),
-                       "german": ("german", "de"),
-                       "swedish": ("swedish", "sv")}
+                       **_CHAIN_LANGS}
         declared = str(spec.get("$language", "")).lower()
         if (spec.get("stem") is not None and declared
                 and declared != "none" and stem in _stem_langs
@@ -341,13 +363,11 @@ def _text_parts(spec: dict):
             # set (the stem override is honored for stemming; stopping
             # defers to the DECLARED document language)
             stop = None
-        elif stem == "french":
-            stop = STOP_FR
-        elif stem in ("german", "swedish"):
-            # r12: German and Swedish are CARRIED analyzers now —
-            # their verbatim Snowball lists apply like French's (raw
-            # surface forms, stopped pre-stem on unfolded tokens in
-            # german_chain/swedish_chain)
+        elif stem in _CHAIN_LANGS:
+            # carried non-English analyzers: the language's verbatim
+            # Snowball list (raw surface forms, stopped pre-stem on
+            # unfolded tokens in the language's chain; for French
+            # stop_list returns the vendored STOP_FR)
             stop = stop_list(stem)
         elif stem in ("porter", "s") or lang in ("english", "en", ""):
             stop = STOP_EN
@@ -394,7 +414,7 @@ def _text_bound(spec: dict, build):
         return s if ds else fold_diacritics_py(s)
 
     if stop:
-        from route81_spark.ops.stopwords import STOP_EN, STOP_FR
+        from route81_spark.ops.stopwords import STOP_EN
 
         # stop removal happens on the case-folded SURFACE form, before
         # any stemming (Mongo's analyzer order: tokenize -> stop ->
@@ -415,7 +435,7 @@ def _text_bound(spec: dict, build):
         # sides canonical, 'uber' ≡ 'über' for stopping exactly as it
         # does for matching; ASCII lists — English — are unchanged by
         # the fold, keeping every recorded plan identical).
-        if ds or stem in ("french", "german", "swedish"):
+        if ds or stem in _CHAIN_LANGS:
             # carried non-English analyzers stop on the UNFOLDED
             # lowercase surface (their chains filter pre-fold tokens
             # against the raw accented lists)
@@ -435,24 +455,21 @@ def _text_bound(spec: dict, build):
         # each literal stop array is built ONLY for the path that
         # consumes it: stop_q_arr feeds the plain per-field token
         # source; the per-document override branches always stop with
-        # the CANONICAL en/fr/de/sv lists (override requires a
+        # the CANONICAL per-language lists (override requires a
         # stem-capable mode, but the query list may differ from a
-        # branch's); french_chain owns the unfolded French array
-        if lang_over is None and stem not in ("french", "german",
-                                              "swedish"):
+        # branch's); each language's chain owns its unfolded array
+        if lang_over is None and stem not in _CHAIN_LANGS:
             stop_q_arr = F.array(*[F.lit(s) for s in _stop_q])
+        stop_arrs: dict[str, Column] = {}
         if lang_over is not None:
-            stop_en_arr = F.array(*[F.lit(s) for s in STOP_EN])
-        if stem == "french" or lang_over is not None:
-            stop_fr_arr = F.array(*[F.lit(s) for s in STOP_FR])
-        if stem == "german" or lang_over is not None:
-            from route81_spark.ops.stopwords import stop_list as _sl
+            stop_arrs["english"] = F.array(*[F.lit(s) for s in STOP_EN])
+        from route81_spark.ops.stopwords import stop_list as _sl
 
-            stop_de_arr = F.array(*[F.lit(s) for s in _sl("german")])
-        if stem == "swedish" or lang_over is not None:
-            from route81_spark.ops.stopwords import stop_list as _sl
-
-            stop_sv_arr = F.array(*[F.lit(s) for s in _sl("swedish")])
+        for _key in _CHAIN_LANGS:
+            if stem == _key or lang_over is not None:
+                stop_arrs[_key] = F.array(
+                    *[F.lit(s) for s in _sl(_key)]
+                )
 
         def drop_stops(tks: Column, stop_arr: Column) -> Column:
             # one array_contains against the literal list per token —
@@ -461,83 +478,38 @@ def _text_bound(spec: dict, build):
                 tks, lambda x: ~F.array_contains(stop_arr, F.lower(x))
             )
 
-    def french_chain(text_cf: Column) -> Column:
-        """The French analyzer in Mongo's ORDER: tokenize the case-
-        folded (NOT diacritic-folded) text on Unicode runs — accented
-        letters must not split tokens — drop French stop words (r11;
-        the list's accented surface forms must see unfolded tokens),
-        stem with accents intact (the algorithm depends on them),
-        THEN fold each token."""
-        from route81_spark.ops.french import french_stem_tokens
+    def _lang_chain(key: str):
+        """The carried non-English analyzers in Mongo's ORDER (fr
+        r10; de/sv r12): tokenize the case-folded (NOT diacritic-
+        folded) text on Unicode runs — accented letters must not
+        split tokens — drop the language's stop words on the
+        UNFOLDED surface (the raw accented lists), stem with
+        diacritics intact (the algorithms' regions depend on them;
+        German's own postlude removes its umlauts, French/Swedish
+        keep theirs), THEN fold each token."""
+        stem_tokens = _chain_fns(key)[0]
 
-        tks = F.split(text_cf, r"[^\p{L}\p{N}]+")
-        if stop:
-            tks = drop_stops(tks, stop_fr_arr)
-        tks = french_stem_tokens(tks)
-        if not ds:
-            tks = F.transform(tks, fold_diacritics)
-        return tks
+        def chain(text_cf: Column) -> Column:
+            tks = F.split(text_cf, r"[^\p{L}\p{N}]+")
+            if stop:
+                tks = drop_stops(tks, stop_arrs[key])
+            tks = stem_tokens(tks)
+            if not ds:
+                tks = F.transform(tks, fold_diacritics)
+            return tks
 
-    def german_chain(text_cf: Column) -> Column:
-        """The German analyzer in Mongo's ORDER (r12, same shape as
-        french_chain): tokenize the case-folded (NOT diacritic-
-        folded) text on Unicode runs — umlauts must not split
-        tokens — drop German stop words (the raw accented list must
-        see unfolded tokens), stem with umlauts intact (the
-        algorithm's regions depend on them; its own postlude removes
-        them), THEN fold each token."""
-        from route81_spark.ops.german import german_stem_tokens
+        return chain
 
-        tks = F.split(text_cf, r"[^\p{L}\p{N}]+")
-        if stop:
-            tks = drop_stops(tks, stop_de_arr)
-        tks = german_stem_tokens(tks)
-        if not ds:
-            tks = F.transform(tks, fold_diacritics)
-        return tks
-
-    def swedish_chain(text_cf: Column) -> Column:
-        """The Swedish analyzer in Mongo's ORDER (r12, same shape as
-        french_chain/german_chain): tokenize the case-folded (NOT
-        diacritic-folded) text on Unicode runs — ä/å/ö must not split
-        tokens — drop Swedish stop words (the raw accented list must
-        see unfolded tokens), stem with diacritics intact (the
-        vowels include ä/å/ö and the löst rule needs its ö; the
-        program KEEPS them), THEN fold each token."""
-        from route81_spark.ops.swedish import swedish_stem_tokens
-
-        tks = F.split(text_cf, r"[^\p{L}\p{N}]+")
-        if stop:
-            tks = drop_stops(tks, stop_sv_arr)
-        tks = swedish_stem_tokens(tks)
-        if not ds:
-            tks = F.transform(tks, fold_diacritics)
-        return tks
+    chains = {key: _lang_chain(key) for key in _CHAIN_LANGS}
 
     if stem:
-        if stem == "french":
-            from route81_spark.ops.french import french_py
+        if stem in _CHAIN_LANGS:
+            _chain_py = _chain_fns(stem)[1]
 
             def stem_py(t: str) -> str:
-                # French literal order mirrors french_chain: lower,
-                # stem WITH accents, then fold
-                s = french_py(t if cs else t.lower())
-                return s if ds else fold_diacritics_py(s)
-        elif stem == "german":
-            from route81_spark.ops.german import german_py
-
-            def stem_py(t: str) -> str:
-                # German literal order mirrors german_chain: lower,
-                # stem WITH umlauts, then fold
-                s = german_py(t if cs else t.lower())
-                return s if ds else fold_diacritics_py(s)
-        elif stem == "swedish":
-            from route81_spark.ops.swedish import swedish_py
-
-            def stem_py(t: str) -> str:
-                # Swedish literal order mirrors swedish_chain: lower,
+                # literal order mirrors the language's chain: lower,
                 # stem WITH diacritics, then fold
-                s = swedish_py(t if cs else t.lower())
+                s = _chain_py(t if cs else t.lower())
                 return s if ds else fold_diacritics_py(s)
         elif stem == "porter":
             from route81_spark.ops.porter import porter2_py as _en_py
@@ -582,10 +554,9 @@ def _text_bound(spec: dict, build):
         else:
             text = text_cf
         raw_toks = F.split(text, sep)
-        if stop and lang_over is None and stem not in ("french", "german",
-                                                       "swedish"):
-            # the query/analysis language's token source (the French
-            # chain and the per-document override branches stop
+        if stop and lang_over is None and stem not in _CHAIN_LANGS:
+            # the query/analysis language's token source (the carried
+            # chains and the per-document override branches stop
             # per-language below)
             raw_toks = drop_stops(raw_toks, stop_q_arr)
 
@@ -595,98 +566,43 @@ def _text_bound(spec: dict, build):
             # override: unknown languages have no analyzer, so Mongo
             # neither stems nor stops them)
             if stop and lang_over is not None:
-                return drop_stops(raw_toks, stop_en_arr)
+                return drop_stops(raw_toks, stop_arrs["english"])
             return raw_toks
 
-        if stem == "french":
-            toks = french_chain(text_cf)
-            if lang_over is not None:
-                # per-document analysis language (language_override):
-                # fr docs use the French program (+ French stops when
-                # asked), en docs Snowball English (+ English stops),
-                # de/sv docs (r12) the German/Swedish programs (+
-                # their stops), everything else raw unstopped tokens;
-                # the CASE evaluates lazily, one branch per row
-                from route81_spark.ops.porter import porter2_stem_tokens
+        def override_case(own_key: str, own_toks: Column) -> Column:
+            # per-document analysis language (language_override): the
+            # QUERY's analyzer first (its chain is already built), en
+            # docs Snowball English (+ English stops when asked),
+            # each other carried language its program (+ its stops),
+            # in registry order; everything else raw unstopped
+            # tokens. The CASE evaluates lazily, one branch per row.
+            from route81_spark.ops.porter import porter2_stem_tokens
 
-                lov = F.lower(F.col(lang_over))
-                toks = (
-                    F.when(lov.isin("french", "fr"), toks)
-                    .when(
-                        lov.isin("english", "en"),
-                        porter2_stem_tokens(en_toks()),
-                    )
-                    .when(
-                        lov.isin("german", "de"), german_chain(text_cf)
-                    )
-                    .when(
-                        lov.isin("swedish", "sv"),
-                        swedish_chain(text_cf),
-                    )
-                    .otherwise(raw_toks)
+            lov = F.lower(F.col(lang_over))
+            aliases = {"english": ("english", "en"), **_CHAIN_LANGS}
+            case = F.when(lov.isin(*aliases[own_key]), own_toks)
+            for key in aliases:
+                if key == own_key:
+                    continue
+                expr = (
+                    porter2_stem_tokens(en_toks())
+                    if key == "english"
+                    else chains[key](text_cf)
                 )
-        elif stem == "german":
-            toks = german_chain(text_cf)
-            if lang_over is not None:
-                from route81_spark.ops.porter import porter2_stem_tokens
+                case = case.when(lov.isin(*aliases[key]), expr)
+            return case.otherwise(raw_toks)
 
-                lov = F.lower(F.col(lang_over))
-                toks = (
-                    F.when(lov.isin("german", "de"), toks)
-                    .when(
-                        lov.isin("english", "en"),
-                        porter2_stem_tokens(en_toks()),
-                    )
-                    .when(
-                        lov.isin("french", "fr"), french_chain(text_cf)
-                    )
-                    .when(
-                        lov.isin("swedish", "sv"),
-                        swedish_chain(text_cf),
-                    )
-                    .otherwise(raw_toks)
-                )
-        elif stem == "swedish":
-            toks = swedish_chain(text_cf)
+        if stem in _CHAIN_LANGS:
+            toks = chains[stem](text_cf)
             if lang_over is not None:
-                from route81_spark.ops.porter import porter2_stem_tokens
-
-                lov = F.lower(F.col(lang_over))
-                toks = (
-                    F.when(lov.isin("swedish", "sv"), toks)
-                    .when(
-                        lov.isin("english", "en"),
-                        porter2_stem_tokens(en_toks()),
-                    )
-                    .when(
-                        lov.isin("french", "fr"), french_chain(text_cf)
-                    )
-                    .when(
-                        lov.isin("german", "de"), german_chain(text_cf)
-                    )
-                    .otherwise(raw_toks)
-                )
+                toks = override_case(stem, toks)
         elif stem:
             # stemmers apply through one call_function against a
             # once-per-session SQL temp function — rebuilding the big
             # stemmer tree per field cost ~1.5 s of driver time each
             stemmed = stem_toks(en_toks())
             if lang_over is not None:
-                lov = F.lower(F.col(lang_over))
-                toks = (
-                    F.when(lov.isin("english", "en"), stemmed)
-                    .when(
-                        lov.isin("french", "fr"), french_chain(text_cf)
-                    )
-                    .when(
-                        lov.isin("german", "de"), german_chain(text_cf)
-                    )
-                    .when(
-                        lov.isin("swedish", "sv"),
-                        swedish_chain(text_cf),
-                    )
-                    .otherwise(raw_toks)
-                )
+                toks = override_case("english", stemmed)
             else:
                 toks = stemmed
         else:
