@@ -1328,13 +1328,14 @@ def bm25_scores(
     from route81_spark.io import ensure_parallelism
     from route81_spark.ops.text import tokens
 
-    if stem not in (None, "s", "porter", "french", "german", "swedish"):
+    from route81_spark.pipeline.query import _CHAIN_LANGS, _chain_fns
+
+    if stem not in (None, "s", "porter", *_CHAIN_LANGS):
         raise ValueError(
             f"bm25_scores: unsupported stem mode {stem!r} — None, 's' "
-            "(Harman S-stemmer), 'porter' (Snowball English), "
-            "'french' (Snowball French), 'german' (Snowball German, "
-            "r12) and 'swedish' (Snowball Swedish, r12) are the "
-            "implemented modes"
+            "(Harman S-stemmer), 'porter' (Snowball English) and the "
+            f"carried Snowball languages {sorted(_CHAIN_LANGS)} are "
+            "the implemented modes"
         )
     if stem == "porter":
         # one call_function against the once-per-session SQL temp
@@ -1342,25 +1343,14 @@ def bm25_scores(
         from route81_spark.ops.porter import (
             porter2_py as _stem_py, porter2_stem_tokens as _stem_toks,
         )
-    elif stem == "french":
-        # tokens() splits on whitespace, so accented letters survive
-        # into the stemmer; lowercasing/punctuation prep remains the
-        # caller's job (same contract as the porter mode)
-        from route81_spark.ops.french import (
-            french_py as _stem_py, french_stem_tokens as _stem_toks,
-        )
-    elif stem == "german":
-        # same whitespace-token contract as the french mode; the
-        # program's own postlude removes umlauts (bücher -> buch)
-        from route81_spark.ops.german import (
-            german_py as _stem_py, german_stem_tokens as _stem_toks,
-        )
-    elif stem == "swedish":
-        # same whitespace-token contract; the Swedish program KEEPS
-        # ä/å/ö (no postlude) — fold downstream if wanted
-        from route81_spark.ops.swedish import (
-            swedish_py as _stem_py, swedish_stem_tokens as _stem_toks,
-        )
+    elif stem in _CHAIN_LANGS:
+        # the carried non-English programs, from the same registry as
+        # $text's dispatch. tokens() splits on whitespace, so accented
+        # letters survive into the stemmer; lowercasing/punctuation
+        # prep remains the caller's job (same contract as the porter
+        # mode). German's own postlude removes umlauts; French/
+        # Swedish keep their diacritics — fold downstream if wanted.
+        _stem_toks, _stem_py = _chain_fns(stem)
     elif stem == "s":
         from route81_spark.ops.text import (
             s_stem_py as _stem_py, s_stem_tokens as _stem_toks,
@@ -1386,7 +1376,7 @@ def bm25_scores(
         )
     if stop_words:
         from route81_spark.ops.stopwords import (
-            STOP_EN, STOP_FR, stop_list,
+            STOP_EN, stop_list,
         )
 
         # the stem MODE's language picks the list (r11: the verbatim
@@ -1396,12 +1386,12 @@ def bm25_scores(
         # for unstemmed corpora in any other carried language
         if stop_language is not None:
             stops = stop_list(stop_language)
-        elif stem in ("german", "swedish"):
-            # r12: the German/Swedish programs' languages pick their
-            # lists, like the French mode's does
+        elif stem in _CHAIN_LANGS:
+            # the carried programs' languages pick their lists (for
+            # French stop_list returns the vendored STOP_FR)
             stops = stop_list(stem)
         else:
-            stops = STOP_FR if stem == "french" else STOP_EN
+            stops = STOP_EN
         _ss = set(stops)
         qt = [t for t in qt if t.lower() not in _ss]
         if not qt:

@@ -57,28 +57,26 @@ def _stem(df: DataFrame, arg: dict) -> DataFrame:
     'stems'); per-row scalar work, no shuffle. The building block for
     stemmed vocabularies / inverted indexes outside the $text match
     path."""
+    from route81_spark.pipeline.query import _CHAIN_LANGS, _chain_fns
+
     mode = arg.get("mode", "porter")
     if mode == "porter":
         # one call_function against the once-per-session SQL temp
         # function (ops/porter.py) — not a fresh ~13 KB tree per stage
         from route81_spark.ops.porter import porter2_stem_tokens as stem_toks
-    elif mode == "french":
-        from route81_spark.ops.french import french_stem_tokens as stem_toks
-    elif mode == "german":
-        from route81_spark.ops.german import german_stem_tokens as stem_toks
-    elif mode == "swedish":
-        from route81_spark.ops.swedish import (
-            swedish_stem_tokens as stem_toks,
-        )
+    elif mode in _CHAIN_LANGS:
+        # the carried non-English Snowball programs, resolved from
+        # the same registry as $text's dispatch — a new language
+        # lands here with zero edits
+        stem_toks = _chain_fns(mode)[0]
     elif mode == "s":
         stem_toks = X.s_stem_tokens
     else:
         raise ValueError(
             f"$stem: unsupported mode {mode!r} — 'porter' (Snowball"
-            " English), 'french' (Snowball French), 'german'"
-            " (Snowball German, r12), 'swedish' (Snowball Swedish,"
-            " r12) and 's' (Harman S-stemmer) are the implemented"
-            " modes"
+            " English), the carried Snowball languages"
+            f" {sorted(_CHAIN_LANGS)} and 's' (Harman S-stemmer) are"
+            " the implemented modes"
         )
     toks = X.tokens(F.col(arg.get("textField", "text")))
     if arg.get("stopLanguage") is not None:
@@ -90,8 +88,8 @@ def _stem(df: DataFrame, arg: dict) -> DataFrame:
         # stop_language=...) or a stop_list()+F.filter preprocessor
         raise ValueError(
             "$stem: stopLanguage is not composable with a stem mode —"
-            " the mode's language (en/fr/de/sv) already picks the"
-            " list; for stop-only passes over other languages use"
+            " the mode's language already picks the list; for"
+            " stop-only passes over other languages use"
             " ops.stopwords.stop_list with an array filter"
         )
     if arg.get("stopWords"):
@@ -104,12 +102,9 @@ def _stem(df: DataFrame, arg: dict) -> DataFrame:
         # postlude removes the umlauts afterwards; r12: Swedish too —
         # its raw list sees unfolded tokens, and the stemmer KEEPS
         # ä/å/ö, so downstream folding is the caller's choice)
-        from route81_spark.ops.stopwords import STOP_EN, STOP_FR, stop_list
+        from route81_spark.ops.stopwords import STOP_EN, stop_list
 
-        stops = (STOP_FR if mode == "french"
-                 else stop_list("german") if mode == "german"
-                 else stop_list("swedish") if mode == "swedish"
-                 else STOP_EN)
+        stops = (stop_list(mode) if mode in _CHAIN_LANGS else STOP_EN)
         stop_arr = F.array(*[F.lit(s) for s in stops])
         toks = F.filter(
             toks, lambda x: ~F.array_contains(stop_arr, F.lower(x))
