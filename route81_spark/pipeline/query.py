@@ -119,8 +119,9 @@ from route81_spark.pipeline.exprs import PipelineCompileError, compile_expr, ext
 #     (Mongo's language_override index option, r9) names a column with
 #     each document's language — English docs stem with the active
 #     English-capable mode, French docs (r10) stem with the Snowball
-#     French program, German docs (r12) with the Snowball German
-#     program, every other language keeps raw tokens
+#     French program, German/Swedish docs (r12) with theirs (every
+#     _CHAIN_LANGS entry gets an arm), every other language keeps
+#     raw tokens
 #     (documented: the remaining Snowball programs are not carried),
 #     query terms stem with the query language as usual;
 #     `stopWords: true` (r10) drops the analysis language's Snowball
