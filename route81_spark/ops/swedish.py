@@ -60,7 +60,7 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from route81_spark.ops.porter import _bind1, _drop
+from route81_spark.ops.porter import _bind1, _drop, _longest_suffix
 
 _V = "aeiouyäåö"  # Swedish vowels
 _S_END = "bcdfghjklmnoprtvy"  # valid s-ending
@@ -157,19 +157,16 @@ def _region_len_sv(s: Column) -> Column:
 
 def _longest_in_r1(w: Column, sufs: list[str], p1: Column) -> Column:
     """The setlimit among: longest table suffix lying entirely in R1
-    ('' when none). A when-chain in descending length order — each
-    candidate needs BOTH the endswith and the containment test, so
-    the single-regexp trick of ops/porter._longest_suffix (longest
-    match anywhere) cannot express it."""
-    chain = None
-    for sx in sorted(sufs, key=lambda s: (-len(s), s)):
-        cond = w.endswith(sx) & (F.length(w) - F.lit(len(sx)) >= p1)
-        chain = (
-            F.when(cond, F.lit(sx))
-            if chain is None
-            else chain.when(cond, F.lit(sx))
-        )
-    return chain.otherwise(F.lit(""))
+    ('' when none). Expressed as ONE anchored regexp over the R1
+    SUBSTRING — a suffix of the region text IS a suffix of the word
+    constrained to lie within R1, which is exactly `setlimit tomark
+    p1 for ([substring])`. Measured into place at the 100x sf1 probe
+    (500k docs, same session, min of 2): this form 2.47 s vs 3.10 s
+    for the alternative 37-branch descending-length endswith-AND-
+    containment when-chain (and ~0.85 s vs ~1.10 s at 1x — the
+    regexp tree is smaller); it also reuses ops/porter's documented
+    longest-suffix mechanics instead of new machinery."""
+    return _longest_suffix(w.substr(p1 + 1, F.length(w)), sufs)
 
 
 def _sv_step1_col(w: Column, p1: Column) -> Column:
