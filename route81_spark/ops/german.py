@@ -79,11 +79,15 @@ _STEP3_SUFS = ["isch", "lich", "heit", "keit", "end", "ung", "ig", "ik"]
 # --------------------------------------------------------------------
 
 def _de_mark(w: str) -> str:
-    """Prelude: ß -> ss, then one left-to-right consuming scan
-    (Snowball `repeat goto`) marking u/y between vowels; a match
-    consumes through its trailing context vowel, so that vowel never
-    hosts a second mark — same cursor semantics as the Column
-    program's single regexp pass."""
+    """Prelude: ß -> ss, then one left-to-right scan (Snowball
+    `repeat goto`) marking u/y between vowels. The trailing context
+    vowel is a LOOKAHEAD, not consumed (r13 ADVICE fix): Snowball's
+    goto leaves the cursor after the replaced u/y, so that vowel can
+    lead the NEXT mark — 'auaua' -> 'aUaUa' (real word 'donauauen'),
+    while an already-marked U/Y is a consonant and never hosts or
+    contexts a second mark ('bauuer' -> 'baUuer' is unchanged: the
+    second u's left context is the marked U). Same cursor semantics
+    as the Column program's lookahead regexp pass."""
     w = w.replace("ß", "ss")
     out: list[str] = []
     i, n = 0, len(w)
@@ -93,8 +97,8 @@ def _de_mark(w: str) -> str:
             c in _V and i + 2 < n
             and w[i + 1] in "uy" and w[i + 2] in _V
         ):
-            out += [c, w[i + 1].upper(), w[i + 2]]
-            i += 3
+            out += [c, w[i + 1].upper()]
+            i += 2
             continue
         out.append(c)
         i += 1
@@ -213,18 +217,22 @@ def german_py(word: str) -> str:
 # pure-Column program
 # --------------------------------------------------------------------
 
-# u/y between vowels, ONE consuming scan: the marker \x01 is inserted
-# before the letter (the replacement template cannot change case),
-# then two literal replaces turn marker+letter into the mark. The
-# match consumes its trailing context vowel — Java's scan continues
-# after the whole match, exactly Snowball's `repeat goto` cursor.
+# u/y between vowels, ONE scan: the marker \x01 is inserted before
+# the letter (the replacement template cannot change case), then two
+# literal replaces turn marker+letter into the mark. The trailing
+# context vowel is a non-consuming LOOKAHEAD (r13 ADVICE fix): Java's
+# scan continues after the matched (vowel, u/y) pair, so the context
+# vowel can lead the next match — exactly Snowball's `repeat goto`
+# cursor, which resets to just after the replaced letter ('auaua' ->
+# 'aUaUa'). A marked U/Y is not in the vowel class, so overlapping
+# u/y runs never double-mark ('bauuer' -> 'baUuer').
 # \x01 cannot occur in a token (tokenizers emit letter/number runs).
-_MARK_PAT = f"([{_V}])([uy])([{_V}])"
+_MARK_PAT = f"([{_V}])([uy])(?=[{_V}])"
 
 
 def _mark(tok: Column) -> Column:
     w = F.replace(tok, F.lit("ß"), F.lit("ss"))
-    m = F.regexp_replace(w, _MARK_PAT, "$1\x01$2$3")
+    m = F.regexp_replace(w, _MARK_PAT, "$1\x01$2")
     for lo, up in (("u", "U"), ("y", "Y")):
         m = F.replace(m, F.lit("\x01" + lo), F.lit(up))
     return m

@@ -301,10 +301,15 @@ def _text_parts(spec: dict):
                 "$text: languageOverride must name a column"
             )
         if stem is None:
+            # the hint derives from the registry so a new carried
+            # language appears here without a dispatch edit (r13
+            # ADVICE: the old text named only 'english' although any
+            # _CHAIN_LANGS language activates a stem mode)
             raise PipelineCompileError(
                 "$text: languageOverride without an active stem mode is"
-                " a no-op — set stem: 's'/'porter' or"
-                " $language: 'english'"
+                " a no-op — set stem: 's'/'porter' or $language to a"
+                " stemmed language ('english' or one of"
+                f" {sorted(_CHAIN_LANGS)})"
             )
     # stopWords (r10): Mongo's text index drops language stop words
     # from BOTH the indexed token stream and the query terms (a search

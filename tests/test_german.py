@@ -28,10 +28,14 @@ from route81_spark.pipeline import apply_pipeline
 MARK_PINS = {
     "hauen": "haUen", "treue": "treUe", "bauer": "baUer",
     "größe": "grösse", "straße": "strasse",
-    # consuming scan: the y's trailing-context u is consumed, so the
-    # u is never itself marked
+    # r13 ADVICE fix — the trailing context vowel is a LOOKAHEAD
+    # (Snowball's goto resets the cursor after the replaced letter),
+    # so it can lead the next mark: overlapping vowel-u/y-vowel runs
+    # mark every u/y (real word 'donauauen')
+    "auaua": "aUaUa", "ayuya": "aYuYa",
+    # ...but a MARKED u/y is a consonant, so it neither hosts nor
+    # contexts a second mark: after aYu, the u's left context is Y
     "ayua": "aYua", "auya": "aUya",
-    # marks are consonants: a second mark never lands on a marked one
     "bauuer": "baUuer",
     # no French-style q-u or lone-y marking in German
     "quelle": "quelle", "yoga": "yoga",
