@@ -1845,6 +1845,293 @@ def match_text_swedish(spark, sf_dir):
     )
 
 
+# --------------------------------------------------------------------
+# Swedish bm25 / $stem (r13 driver registrations of the r12
+# unit-pinned forms — tests/test_swedish.py pins both): a DEDICATED
+# snippet family with an all-stop-words snippet (SVT_SNIPS is shared
+# with match_text_swedish, whose recorded plan embeds its literals
+# and must stay byte-identical)
+# --------------------------------------------------------------------
+
+SVST_SNIPS = [
+    "nyheterna kommer snabbt",
+    "flickorna läser nyheter",
+    "springer och hoppar ofta",
+    "och det att över är",  # every token is a Swedish stop word
+    "möjligheterna blir stora",
+    "inget relevant alls",
+]
+
+
+def _svst_not_in() -> str:
+    """RAW (unfolded) Swedish NOT IN list — stopping happens BEFORE
+    stemming and folding, so the oracle's list keeps 'över'/'är'
+    as-is. Shared data, never re-derived."""
+    from route81_spark.ops.stopwords import stop_list
+
+    return "(" + ", ".join(
+        "'" + w + "'" for w in stop_list("swedish")
+    ) + ")"
+
+
+def _svst_stem_case() -> str:
+    """Per-token Swedish stem lookup for the oracle over the closed
+    SVST_SNIPS vocabulary, WITHOUT the $text fold (the bm25 and $stem
+    paths emit raw Swedish stems — ä/å/ö kept: 'möjligheterna' ->
+    'möj'), pre-computed by the Python spec twin."""
+    from route81_spark.ops.swedish import swedish_py
+
+    vocab = sorted({w for s in SVST_SNIPS for w in s.split()})
+    whens = " ".join(
+        f"WHEN '{w}' THEN '{swedish_py(w)}'" for w in vocab
+    )
+    return f"CASE t {whens} ELSE t END"
+
+
+def _bm25_sv_terms() -> list[str]:
+    """The engine-side analyzer applied to the bm25 Swedish query
+    terms, shared as data: stop with the raw Swedish list, stem with
+    the twin (NO fold on the bm25 path), dedupe."""
+    from route81_spark.ops.stopwords import stop_list
+    from route81_spark.ops.swedish import swedish_py
+
+    stops = set(stop_list("swedish"))
+    out = [swedish_py(t) for t in
+           ["är", "nyheter", "möjlig", "springer"]
+           if t not in stops]
+    return list(dict.fromkeys(out))
+
+
+def _svst_syn_sql(x: str = "CAST(doc_id AS VARCHAR)") -> str:
+    return _syn_sql(SVST_SNIPS, "svstem1", x)
+
+
+def _svst_syn_spark(ids: Column) -> Column:
+    return _syn_spark(SVST_SNIPS, "svstem1", ids)
+
+
+@_q(
+    "text_bm25_swedish",
+    # oracle: whitespace-split the synthesized Swedish corpus, drop
+    # Swedish stop words via the shared RAW NOT IN list ('över'/'är'
+    # filter on the unfolded accented tokens), stem the remainder via
+    # the twin-precomputed lookup WITHOUT the $text fold (the bm25
+    # path — Swedish stems keep ä/å/ö: 'möjligheterna' -> 'möj'),
+    # then replicate the exact BM25 formula over the stop-filtered
+    # stemmed arrays — 'är' contributes nothing, 'nyheter' scores
+    # nyheterna docs via the setlimit stem 'nyhet'
+    f"""
+    WITH s0 AS (SELECT doc_id, {_svst_syn_sql()} AS raw FROM documents),
+    t0 AS (SELECT doc_id,
+                  string_split_regex(trim(raw), '\\s+') AS toks
+           FROM s0),
+    t1 AS (SELECT doc_id,
+                  list_filter(toks, t -> t NOT IN {_svst_not_in()})
+                    AS ft
+           FROM t0),
+    s AS (SELECT doc_id,
+                 list_transform(ft, t -> {_svst_stem_case()}) AS tk
+          FROM t1),
+    c AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             avg(CAST(len(tk) AS DOUBLE)) AS avgdl
+      FROM s
+    ),
+    d AS (
+      SELECT
+        {", ".join(f"(SELECT CAST(count(*) AS DOUBLE) FROM s WHERE list_contains(tk, '{t}')) AS df{i}" for i, t in enumerate(_bm25_sv_terms()))}
+    )
+    SELECT doc_id,
+           {det_round_sql(" + ".join(
+               f"(ln(1 + (c.n - d.df{i} + 0.5) / (d.df{i} + 0.5))"
+               f" * (CAST(len(list_filter(tk, x -> x = '{t}')) AS DOUBLE) * 2.2)"
+               f" / (CAST(len(list_filter(tk, x -> x = '{t}')) AS DOUBLE)"
+               f"    + 1.2 * (0.25 + 0.75 * CAST(len(tk) AS DOUBLE) / c.avgdl)))"
+               for i, t in enumerate(_bm25_sv_terms())), 6)} AS bm25
+    FROM s, c, d
+    ORDER BY bm25 DESC, doc_id ASC LIMIT 25
+    """,
+)
+def text_bm25_swedish(spark, sf_dir):
+    """Okapi BM25 with the full SWEDISH analyzer chain (r13 driver
+    registration of the r12-unit-pinned composition — stem='swedish'
+    + stop_words, tests/test_swedish.py): Swedish stop words (raw
+    accented surface forms — 'över'/'är' filter unfolded) drop from
+    corpus tokens AND query terms BEFORE the Snowball Swedish stemmer
+    conflates the survivors; 'nyheter' scores nyheterna docs via the
+    setlimit stem 'nyhet', the all-stop-words snippet contributes an
+    empty dl, and stems KEEP their ä/å/ö on this path (no $text
+    fold). Model constants from ONE single-row aggregation; scoring
+    one per-row expression; zero scoring shuffle; top-25 via
+    TakeOrderedAndProject."""
+    from route81_spark.ops.corpus import bm25_scores
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    prepped = docs.select(
+        "doc_id", _svst_syn_spark(F.col("doc_id")).alias("text")
+    )
+    scored = bm25_scores(
+        prepped, ["är", "nyheter", "möjlig", "springer"],
+        stem="swedish", stop_words=True,
+    )
+    return (
+        scored.select("doc_id", "bm25")
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(25)
+    )
+
+
+@_q(
+    "stage_stem_swedish",
+    # oracle: tokenize -> shared raw NOT IN stop filter (unfolded
+    # 'över'/'är') -> per-token twin lookup WITHOUT fold (the $stem
+    # stage emits raw Swedish stems, ä/å/ö kept) -> join (empty-list
+    # coalesce: the all-stop-words snippet stems to '')
+    f"""
+    WITH s AS (SELECT doc_id, {_svst_syn_sql()} AS raw FROM documents),
+    t0 AS (SELECT doc_id,
+                  string_split_regex(trim(raw), '\\s+') AS toks
+           FROM s),
+    t AS (SELECT doc_id,
+                 list_filter(toks, t -> t NOT IN {_svst_not_in()}) AS ft
+          FROM t0)
+    SELECT doc_id,
+           coalesce(array_to_string(
+             list_transform(ft, t -> {_svst_stem_case()}),
+             ' '), '') AS stems
+    FROM t
+    """,
+)
+def stage_stem_swedish(spark, sf_dir):
+    """The $stem pipeline stage in mode 'swedish' with
+    {stopWords: true} (r13 driver registration of the r12
+    unit-pinned composition, tests/test_swedish.py): Swedish stop
+    words drop on the unfolded surface BEFORE the Snowball Swedish
+    stemmer, the stage emits raw Swedish stems (ä/å/ö kept — no
+    $text fold on this surface), and the all-stop-words snippet
+    stems to the empty array. Per-row scalar work through the
+    once-per-session registered SQL function; no shuffle, no
+    Python."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    prepped = docs.select(
+        "doc_id", _svst_syn_spark(F.col("doc_id")).alias("text")
+    )
+    out = apply_pipeline(
+        prepped,
+        [{"$stem": {"textField": "text", "as": "st", "mode": "swedish",
+                    "stopWords": True}}],
+    )
+    return out.select(
+        "doc_id", F.concat_ws(" ", F.col("st")).alias("stems")
+    )
+
+
+# --------------------------------------------------------------------
+# Norwegian analyzer ($language: "norwegian", r13): Snowball
+# Norwegian stem — the fifth carried language program
+# --------------------------------------------------------------------
+
+NVT_SNIPS = [
+    "nyhetene kommer raskt",
+    "jentene leser nyheter",
+    "mulighetene blir store",
+    "nyheter når hunden løper",
+    "hunden løper fort",
+    "påstanden står fast",
+    "ingenting relevant her",
+]
+
+
+def _nvt_stem_case() -> str:
+    """Per-token Norwegian-analyzer lookup for the oracle over the
+    closed NVT_SNIPS vocabulary: Snowball Norwegian stem
+    (ops.norwegian.norwegian_py — the Python spec twin) THEN
+    diacritic fold, pre-computed — the engine order (the Norwegian
+    program KEEPS æ/å/ø; the fold removes the å: 'påstanden' stems
+    to 'påstand' and folds to 'pastand'; æ/ø have no NFD
+    decomposition and survive on both sides)."""
+    from route81_spark.ops.norwegian import norwegian_py
+    from route81_spark.ops.unitext import fold_diacritics_py
+
+    vocab = sorted({w for s in NVT_SNIPS for w in s.split()})
+    whens = " ".join(
+        f"WHEN '{w}' THEN '{fold_diacritics_py(norwegian_py(w))}'"
+        for w in vocab
+    )
+    return f"CASE t {whens} ELSE t END"
+
+
+def _nvt_syn_sql(x: str = "CAST(doc_id AS VARCHAR)") -> str:
+    return _syn_sql(NVT_SNIPS, "nostem0", x)
+
+
+def _nvt_syn_spark(ids: Column) -> Column:
+    return _syn_spark(NVT_SNIPS, "nostem0", ids)
+
+
+@_q(
+    "match_text_norwegian",
+    # oracle: tokenize the closed vocabulary, stem every token via
+    # the twin-precomputed Norwegian lookup (stem-then-fold baked
+    # into the CASE), then recompute membership + integer score with
+    # the twin-stemmed query terms: 'nyheter'->'nyhet' conflates
+    # nyhetene/nyheter (the setlimit pin: 'hetene' straddles R1 and
+    # is invisible, 'ene' deletes), 'mulig'->'mul' conflates
+    # mulighetene (step-1 'hetene' then step-3 'ig' — 'lig' itself
+    # straddles), 'påstander'->'påstand'->fold 'pastand' conflates
+    # påstanden, and '-hund' excludes hunden through the shared stem
+    # 'hund'
+    f"""
+    WITH s AS (SELECT doc_id, {_nvt_syn_sql()} AS raw FROM documents),
+    t0 AS (SELECT doc_id, string_split(lower(raw), ' ') AS toks FROM s),
+    t AS (SELECT doc_id,
+                 list_transform(toks, t -> {_nvt_stem_case()}) AS st
+          FROM t0)
+    SELECT doc_id,
+           CAST(len(list_filter(st, x -> x = 'nyhet'))
+              + len(list_filter(st, x -> x = 'mul'))
+              + len(list_filter(st, x -> x = 'pastand'))
+                AS BIGINT) AS score
+    FROM t
+    WHERE (list_contains(st, 'nyhet') OR list_contains(st, 'mul')
+           OR list_contains(st, 'pastand'))
+      AND NOT list_contains(st, 'hund')
+    """,
+)
+def match_text_norwegian(spark, sf_dir):
+    """$text with $language: "norwegian" (r13 — the Snowball
+    Norwegian stemmer, ops/norwegian.py, the fifth carried language
+    program, reusing the setlimit machinery Swedish landed in r12):
+    stemmed conflation in match + score — 'nyheter' matches
+    'nyhetene' via stem 'nyhet' (the containment semantics: 'hetene'
+    starts before R1 and is INVISIBLE, so 'ene' deletes), 'mulig'
+    matches 'mulighetene' via the shared stem 'mul' (step-1 deletes
+    'hetene' whole, step-3 deletes the in-R1 'ig' while 'lig'
+    straddles), 'påstander' matches 'påstanden' via stem 'påstand'
+    (stemming runs BEFORE the diacritic fold: the program keeps its
+    å and the fold then yields 'pastand' on both sides), and the
+    '-hund' negation excludes 'hunden'. The stemmer applies through
+    the once-per-session registered SQL function — map-only plan,
+    zero shuffle, zero Python; the column-vs-twin grid sweep + spec
+    pins live in tests/test_norwegian.py."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    prepped = docs.select(
+        "doc_id", _nvt_syn_spark(F.col("doc_id")).alias("text")
+    )
+    return apply_pipeline(
+        prepped,
+        [
+            {"$match": {"$text": {
+                "$search": "nyheter mulig påstander -hund",
+                "$language": "norwegian",
+                "unicode": True,
+            }}},
+            {"$addFields": {"score": {"$meta": "textScore"}}},
+            {"$project": {"doc_id": 1, "score": 1}},
+        ],
+    )
+
+
 def _sw_stem_case() -> str:
     """Porter2 stem lookup for the closed SW_SNIPS vocabulary,
     pre-computed by the Python spec twin (ops.porter.porter2_py)."""

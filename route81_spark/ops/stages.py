@@ -52,7 +52,8 @@ def _stem(df: DataFrame, arg: dict) -> DataFrame:
     prep) and stem every token — 'porter' (Snowball English,
     ops/porter.py), 'french' (Snowball French, ops/french.py),
     'german' (Snowball German, ops/german.py, r12), 'swedish'
-    (Snowball Swedish, ops/swedish.py, r12) or 's'
+    (Snowball Swedish, ops/swedish.py, r12), 'norwegian' (Snowball
+    Norwegian, ops/norwegian.py, r13) or 's'
     (Harman S-stemmer). Adds an array<string> column (default
     'stems'); per-row scalar work, no shuffle. The building block for
     stemmed vocabularies / inverted indexes outside the $text match

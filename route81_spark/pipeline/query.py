@@ -67,17 +67,21 @@ from route81_spark.pipeline.exprs import PipelineCompileError, compile_expr, ext
 #     `$language: "german"/"de"` (r12) = the full Snowball German
 #     stemmer (ops/german.py); {stem: "swedish"} /
 #     `$language: "swedish"/"sv"` (r12) = the full Snowball Swedish
-#     stemmer (ops/swedish.py). French/German/Swedish analysis match
+#     stemmer (ops/swedish.py); {stem: "norwegian"} /
+#     `$language: "norwegian"/"nb"` (r13) = the full Snowball
+#     Norwegian stemmer (ops/norwegian.py). The carried non-English
+#     analyses match
 #     Mongo's analyzer ORDER — tokenize (always Unicode runs: accented
 #     letters must not split tokens), stem WITH diacritics intact
-#     (German's own postlude removes umlauts; Swedish keeps ä/å/ö),
+#     (German's own postlude removes umlauts; Swedish keeps ä/å/ö,
+#     Norwegian keeps æ/å/ø),
 #     THEN fold — so 'continuait' stems to 'continu' and 'bücher' to
 #     'buch' before the accent fold that the English path applies up
 #     front. Tokens and plain query terms stem; phrases stay raw.
 #     Other stem values fail loudly.
 #   * DOCUMENTED DIVERGENCES (fail loudly where dishonoring a request):
-#     $language values beyond english/french/german/swedish stay
-#     accepted-and-ignored
+#     $language values beyond english and the _CHAIN_LANGS registry
+#     (french/german/swedish/norwegian) stay accepted-and-ignored
 #     (the other ~11 Snowball programs are not carried), and the
 #     engine default WITHOUT $language is unstemmed where Mongo would
 #     default to English — flipping the default would surprise the
@@ -97,7 +101,9 @@ from route81_spark.pipeline.exprs import PipelineCompileError, compile_expr, ext
 #     no 3.x -erin/-erinnen handling (pin + rationale in
 #     ops/german.py's docstring); the Swedish program (r12) is the
 #     CLASSIC revision too — no 2.x/3.x -et/-t additions (pin in
-#     ops/swedish.py's docstring). $caseSensitive: true composes
+#     ops/swedish.py's docstring); so is the Norwegian program (r13)
+#     — no 2.x/3.x s-ending/-ers/-ets revisions (pin in
+#     ops/norwegian.py's docstring). $caseSensitive: true composes
 #     with a stem mode SELF-CONSISTENTLY but degrades conflation:
 #     every Snowball program assumes lowercase input, so capitalized
 #     tokens AND capitalized query terms pass through largely
@@ -119,7 +125,8 @@ from route81_spark.pipeline.exprs import PipelineCompileError, compile_expr, ext
 #     (Mongo's language_override index option, r9) names a column with
 #     each document's language — English docs stem with the active
 #     English-capable mode, French docs (r10) stem with the Snowball
-#     French program, German/Swedish docs (r12) with theirs (every
+#     French program, German/Swedish (r12) and Norwegian (r13) docs
+#     with theirs (every
 #     _CHAIN_LANGS entry gets an arm), every other language keeps
 #     raw tokens
 #     (documented: the remaining Snowball programs are not carried),
@@ -171,9 +178,12 @@ _TEXT_SPEC: contextvars.ContextVar[dict | None] = contextvars.ContextVar(
 # then the rest in this order) — reordering would change recorded
 # plans.
 _CHAIN_LANGS = {
-    "french": ("french", "fr"),    # r10, ops/french.py
-    "german": ("german", "de"),    # r12, ops/german.py
-    "swedish": ("swedish", "sv"),  # r12, ops/swedish.py
+    "french": ("french", "fr"),        # r10, ops/french.py
+    "german": ("german", "de"),        # r12, ops/german.py
+    "swedish": ("swedish", "sv"),      # r12, ops/swedish.py
+    # Mongo's code for Norwegian is "nb" (Bokmål) — ops/stopwords.py
+    # carries the same alias
+    "norwegian": ("norwegian", "nb"),  # r13, ops/norwegian.py
 }
 
 
@@ -284,8 +294,9 @@ def _text_parts(spec: dict):
     # language. Documents whose override resolves to English
     # ("english"/"en", case-folded) stem with the active English-
     # capable mode, French documents ("french"/"fr", r10) stem with
-    # the Snowball French program, German ("german"/"de") and Swedish
-    # ("swedish"/"sv") documents (r12) with theirs; every other
+    # the Snowball French program, German ("german"/"de"), Swedish
+    # ("swedish"/"sv", both r12) and Norwegian ("norwegian"/"nb",
+    # r13) documents with theirs; every other
     # language keeps RAW
     # tokens (documented divergence: Mongo would apply THAT language's
     # Snowball program — the remaining ~11 are not carried; unknown
@@ -328,8 +339,8 @@ def _text_parts(spec: dict):
     # nothing stops; romanian (no carried list) and unknown languages
     # fail loudly rather than stop with the wrong language's list.
     # languageOverride stops each document with ITS language's list
-    # (en -> English, fr -> French, de -> German, sv -> Swedish
-    # (r12), anything
+    # (en -> English, fr -> French, de -> German, sv -> Swedish,
+    # nb -> Norwegian (r13), anything
     # else unstopped — the
     # same "no analyzer" rule the stemming dispatch applies); query
     # terms stop with the QUERY language's list, exactly as they stem

@@ -18,12 +18,14 @@ from route81_spark.pipeline.query import _CHAIN_LANGS, _chain_fns
 def test_registry_entries_satisfy_the_module_convention(spark):
     from route81_spark.ops.stopwords import stop_list
 
-    assert list(_CHAIN_LANGS) == ["french", "german", "swedish"], (
+    assert list(_CHAIN_LANGS) == [
+        "french", "german", "swedish", "norwegian",
+    ], (
         "registry insertion order IS the recorded languageOverride "
         "arm order — extend at the END, never reorder"
     )
     probe = {"french": "continuations", "german": "kindern",
-             "swedish": "nyheterna"}
+             "swedish": "nyheterna", "norwegian": "mulighetene"}
     for key, aliases in _CHAIN_LANGS.items():
         assert isinstance(aliases, tuple) and len(aliases) >= 2
         assert aliases[0] == key, "first alias is the canonical name"

@@ -526,7 +526,7 @@ def test_text_search_family_is_map_only(spark):
                  "match_text_wildcard_nested", "match_text_stopwords",
                  "match_text_french_stopwords",
                  "match_text_german_stopwords", "match_text_german",
-                 "match_text_swedish"):
+                 "match_text_swedish", "match_text_norwegian"):
         plan = plan_of(harness.QUERIES[name](spark, SF), "simple")
         assert "Exchange" not in plan, f"{name} shuffles:\n{plan}"
         assert "BatchEvalPython" not in plan, name

@@ -1299,6 +1299,52 @@ def test_streaming_text_swedish_matches_batch(spark, tmp_path):
     assert got == want == {(1, 1), (2, 1)}
 
 
+def test_streaming_text_norwegian_matches_batch(spark, tmp_path):
+    """$language: "norwegian" (the Snowball Norwegian program, r13)
+    streams unchanged: per-row scalar analysis (tokenize -> stop
+    unfolded -> stem -> fold, the shared carried-language chain
+    shape), no state, append-legal; streamed matches and scores equal
+    the batch pipeline's, including the setlimit conflation
+    ('nyheter' matching 'nyhetene') and the stop-then-stem
+    composition ('når' stopping on its accented surface)."""
+    from route81_spark.pipeline import apply_pipeline
+
+    rows = [
+        {"doc_id": 1, "text": "nyhetene er over alt"},
+        {"doc_id": 2, "text": "jentene leser nyheter"},
+        {"doc_id": 3, "text": "og det at når"},
+        {"doc_id": 4, "text": "ingenting relevant her"},
+    ]
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    pipe = [
+        {"$match": {"$text": {
+            "$search": "nyheter når",
+            "$language": "norwegian",
+            "unicode": True, "stopWords": True,
+        }}},
+        {"$addFields": {"score": {"$meta": "textScore"}}},
+        {"$project": {"doc_id": 1, "score": 1}},
+    ]
+    src = tmp_path / "nosrc"
+    _write_batch(src / "b1.json", rows[:2])
+    _write_batch(src / "b2.json", rows[2:])
+    stream = spark.readStream.schema(schema).json(str(src))
+    out, ck = tmp_path / "noout", tmp_path / "nock"
+    _run_available_now(apply_pipeline(stream, pipe), out, ck)
+    got = {(r["doc_id"], r["score"])
+           for r in spark.read.parquet(str(out)).collect()}
+    batch = spark.createDataFrame(
+        [tuple(r.values()) for r in rows],
+        "doc_id long, text string",
+    )
+    want = {(r["doc_id"], r["score"])
+            for r in apply_pipeline(batch, pipe).collect()}
+    assert got == want == {(1, 1), (2, 1)}
+
+
 def test_streaming_text_stopwords_matches_batch(spark, tmp_path):
     """stopWords (r10) is per-row token filtering ahead of the
     (optional) stemmer — no state, append-legal; streamed matches and
