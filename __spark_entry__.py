@@ -34,28 +34,34 @@ from route81_spark import harness  # noqa: E402
 # (never-recorded first, then oldest), tie-broken by registration order.
 # Consecutive rounds therefore alternate halves without hand-kept lists.
 _HEADLINE = [
-    # r12: only queries whose GENERATED PLAN changed this round (the
-    # freshness discipline). The Snowball German stemmer landed
-    # (ops/german.py): `$language: "german"` now derives a carried
-    # stem mode, so the two recorded queries that compile a German or
-    # per-document analyzer are the ones whose plans changed — the
-    # German stop query gained the stem (stop -> stem -> fold, its
-    # oracle rewritten to match) and the languageOverride CASE gained
-    # a de arm. Every other recorded query's plan is byte-identical:
-    # the English/French dispatch arms kept their exact expressions
-    # (the touched conditions only re-route german specs), and the
-    # r12 ADVICE fixes touch error paths / an op with no prior
-    # driver row. The 6 new r12 queries (text_bm25_stop_language,
-    # text_lang_id_snowball, match_text_german, text_bm25_german,
-    # text_bm25_french, stage_stem_french — the last two close the
-    # unit-pinned-but-not-driver-graded French bm25/$stem forms) sort
-    # first in the tail automatically; 2 headline + 6 new + the
-    # ENTIRE 41-row r7 cohort = 49 of the 50-slot window, so the
-    # oldest r8 row drains too (nothing stays older than r8 after
-    # this round). headline+new = 8 <= the 9-slot budget the r11
-    # verdict's window math allows.
-    "match_text_german_stopwords",  # stop-without-stem -> full analyzer
-    "match_text_langoverride",      # override CASE gained the de arm
+    # r13: only queries whose GENERATED PLAN changed this round (the
+    # freshness discipline), computed by tools/plan_snapshot.py
+    # before/after the round's code changes (r12 pristine-HEAD
+    # baseline vs final code, lambda-ordinal normalization added --
+    # the session-global `lambda x_406` counters renumber untouched
+    # plans and are not shape). Two sources of change: (1) the r13
+    # ADVICE German prelude fix (the u/y mark's trailing context
+    # vowel became a lookahead) rewrites the _MARK_PAT literal inside
+    # every plan that embeds the German stemmer -- the three German
+    # text queries; (2) the Snowball NORWEGIAN stemmer landed
+    # (ops/norwegian.py) and the languageOverride CASE derives every
+    # arm from the registry, so the one recorded query compiling a
+    # per-document analyzer gained an nb arm (it also embeds the
+    # German fix). Every other recorded query's plan is
+    # byte-identical under the normalizer (verified: the 4 below +
+    # the 4 new registrations are the EXACT diff). The 4 new r13
+    # queries (match_text_norwegian, text_bm25_norwegian,
+    # text_bm25_swedish, stage_stem_swedish -- the last two close the
+    # unit-pinned-but-not-driver-graded Swedish bm25/$stem forms,
+    # and the Norwegian bm25 registration lands in the stemmer's own
+    # round) sort first in the tail automatically; 4 headline + 4
+    # new + the ENTIRE 42-row r8 cohort = exactly the 50-slot window
+    # (nothing stays older than r9 after this round). headline+new =
+    # 8 = the budget the r12 verdict's window math allows.
+    "match_text_german",            # embeds the fixed German prelude
+    "match_text_german_stopwords",  # same, behind the stop filter
+    "text_bm25_german",             # same, on the no-fold bm25 path
+    "match_text_langoverride",      # override CASE gained the nb arm
 ]
 
 

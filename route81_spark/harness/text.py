@@ -2069,6 +2069,117 @@ def _nvt_syn_spark(ids: Column) -> Column:
     return _syn_spark(NVT_SNIPS, "nostem0", ids)
 
 
+def _nvt_not_in() -> str:
+    """RAW (unfolded) Norwegian NOT IN list — stopping happens BEFORE
+    stemming and folding, so the oracle's list keeps 'når' as-is.
+    Shared data, never re-derived."""
+    from route81_spark.ops.stopwords import stop_list
+
+    return "(" + ", ".join(
+        "'" + w + "'" for w in stop_list("norwegian")
+    ) + ")"
+
+
+def _nvt_stem_case_raw() -> str:
+    """Per-token Norwegian stem lookup for the oracle over the closed
+    NVT_SNIPS vocabulary, WITHOUT the $text fold (the bm25 path emits
+    raw Norwegian stems — å/æ/ø kept: 'løper' -> 'løp'), pre-computed
+    by the Python spec twin."""
+    from route81_spark.ops.norwegian import norwegian_py
+
+    vocab = sorted({w for s in NVT_SNIPS for w in s.split()})
+    whens = " ".join(
+        f"WHEN '{w}' THEN '{norwegian_py(w)}'" for w in vocab
+    )
+    return f"CASE t {whens} ELSE t END"
+
+
+def _bm25_no_terms() -> list[str]:
+    """The engine-side analyzer applied to the bm25 Norwegian query
+    terms, shared as data: stop with the raw Norwegian list, stem
+    with the twin (NO fold on the bm25 path), dedupe."""
+    from route81_spark.ops.norwegian import norwegian_py
+    from route81_spark.ops.stopwords import stop_list
+
+    stops = set(stop_list("norwegian"))
+    out = [norwegian_py(t) for t in
+           ["når", "nyheter", "mulig", "løper"]
+           if t not in stops]
+    return list(dict.fromkeys(out))
+
+
+@_q(
+    "text_bm25_norwegian",
+    # oracle: whitespace-split the synthesized Norwegian corpus, drop
+    # Norwegian stop words via the shared RAW NOT IN list ('når'/
+    # 'blir'/'her' filter on the unfolded tokens), stem the remainder
+    # via the twin-precomputed lookup WITHOUT the $text fold (the
+    # bm25 path — Norwegian stems keep å/æ/ø: 'løper' scores as
+    # 'løp'), then replicate the exact BM25 formula over the
+    # stop-filtered stemmed arrays — 'når' contributes nothing,
+    # 'nyheter' scores nyhetene docs via the setlimit stem 'nyhet',
+    # 'mulig' scores mulighetene docs via the shared stem 'mul'
+    f"""
+    WITH s0 AS (SELECT doc_id, {_nvt_syn_sql()} AS raw FROM documents),
+    t0 AS (SELECT doc_id,
+                  string_split_regex(trim(raw), '\\s+') AS toks
+           FROM s0),
+    t1 AS (SELECT doc_id,
+                  list_filter(toks, t -> t NOT IN {_nvt_not_in()})
+                    AS ft
+           FROM t0),
+    s AS (SELECT doc_id,
+                 list_transform(ft, t -> {_nvt_stem_case_raw()}) AS tk
+          FROM t1),
+    c AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             avg(CAST(len(tk) AS DOUBLE)) AS avgdl
+      FROM s
+    ),
+    d AS (
+      SELECT
+        {", ".join(f"(SELECT CAST(count(*) AS DOUBLE) FROM s WHERE list_contains(tk, '{t}')) AS df{i}" for i, t in enumerate(_bm25_no_terms()))}
+    )
+    SELECT doc_id,
+           {det_round_sql(" + ".join(
+               f"(ln(1 + (c.n - d.df{i} + 0.5) / (d.df{i} + 0.5))"
+               f" * (CAST(len(list_filter(tk, x -> x = '{t}')) AS DOUBLE) * 2.2)"
+               f" / (CAST(len(list_filter(tk, x -> x = '{t}')) AS DOUBLE)"
+               f"    + 1.2 * (0.25 + 0.75 * CAST(len(tk) AS DOUBLE) / c.avgdl)))"
+               for i, t in enumerate(_bm25_no_terms())), 6)} AS bm25
+    FROM s, c, d
+    ORDER BY bm25 DESC, doc_id ASC LIMIT 25
+    """,
+)
+def text_bm25_norwegian(spark, sf_dir):
+    """Okapi BM25 with the full NORWEGIAN analyzer chain (r13 — the
+    bm25 driver registration lands in the SAME round as the stemmer,
+    closing the tested-vs-graded gap up front): Norwegian stop words
+    (raw surface forms — 'når' filters unfolded) drop from corpus
+    tokens AND query terms BEFORE the Snowball Norwegian stemmer
+    conflates the survivors; 'nyheter' scores nyhetene docs via the
+    setlimit stem 'nyhet', 'mulig' scores mulighetene docs via the
+    shared stem 'mul', and stems KEEP their å/æ/ø on this path (no
+    $text fold — 'løper' scores as 'løp'). Model constants from ONE
+    single-row aggregation; scoring one per-row expression; zero
+    scoring shuffle; top-25 via TakeOrderedAndProject."""
+    from route81_spark.ops.corpus import bm25_scores
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    prepped = docs.select(
+        "doc_id", _nvt_syn_spark(F.col("doc_id")).alias("text")
+    )
+    scored = bm25_scores(
+        prepped, ["når", "nyheter", "mulig", "løper"],
+        stem="norwegian", stop_words=True,
+    )
+    return (
+        scored.select("doc_id", "bm25")
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(25)
+    )
+
+
 @_q(
     "match_text_norwegian",
     # oracle: tokenize the closed vocabulary, stem every token via

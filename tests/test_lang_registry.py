@@ -57,12 +57,16 @@ def test_plan_snapshot_normalizer_pins():
         "Project [a#123 AS b#4567]\n"
         "Exchange hashpartitioning(a#12, 32), plan_id=88\n"
         "Statistics(sizeInBytes=1.0 KiB)\n"
-        "array([ts,[B@287cf1ee])"
+        "array([ts,[B@287cf1ee])\n"
+        "aggregate(e#9, 0.0, lambdafunction(lambda x_406#77, "
+        "lambda y_407#78, false))"
     )
     want = (
         "Project [a#x AS b#x]\n"
         "Exchange hashpartitioning(a#x, 32), plan_id=x\n"
         "Statistics(x)\n"
-        "array([ts,[B@x])"
+        "array([ts,[B@x])\n"
+        "aggregate(e#x, 0.0, lambdafunction(lambda x_x#x, "
+        "lambda y_x#x, false))"
     )
     assert mod.normalize(raw) == want

@@ -27,6 +27,11 @@ def normalize(plan: str) -> str:
     # Java array object-identity prints (binary literals render as
     # [B@hexhash) vary per JVM session — not plan shape
     plan = re.sub(r"\[B@[0-9a-f]+", "[B@x", plan)
+    # higher-order-function variables print as `lambda x_406#x`: the
+    # ordinal is a SESSION-GLOBAL counter (any lambda built earlier in
+    # the process shifts every later one), not plan shape — r13: the
+    # three new text registrations renumbered 90+ untouched plans
+    plan = re.sub(r"lambda ([A-Za-z]+)_\d+#", r"lambda \1_x#", plan)
     return plan
 
 

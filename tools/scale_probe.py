@@ -783,6 +783,14 @@ def sf1_probe(spark, k: int = 100, only: set | None = None) -> None:
         # _longest_in_r1 — the descending-length CASE form was the
         # measured-out alternative, 3.10 s vs 2.47 s at this probe)
         "match_text_swedish",
+        # r13: the NORWEGIAN program (the fifth carried chain, same
+        # setlimit regexp-over-R1 form as Swedish) and its full
+        # stop->stem bm25 composition; plus the Swedish bm25 driver
+        # registration (shape-identical to the French/German bm25
+        # chains, priced once here for the record)
+        "match_text_norwegian",
+        "text_bm25_norwegian",
+        "text_bm25_swedish",
     ]
     if only:
         probes = [p for p in probes if p in only]
