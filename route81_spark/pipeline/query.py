@@ -497,13 +497,13 @@ def _text_bound(spec: dict, build):
 
     def _lang_chain(key: str):
         """The carried non-English analyzers in Mongo's ORDER (fr
-        r10; de/sv r12): tokenize the case-folded (NOT diacritic-
-        folded) text on Unicode runs — accented letters must not
-        split tokens — drop the language's stop words on the
-        UNFOLDED surface (the raw accented lists), stem with
+        r10; de/sv r12; nb r13): tokenize the case-folded (NOT
+        diacritic-folded) text on Unicode runs — accented letters
+        must not split tokens — drop the language's stop words on
+        the UNFOLDED surface (the raw accented lists), stem with
         diacritics intact (the algorithms' regions depend on them;
-        German's own postlude removes its umlauts, French/Swedish
-        keep theirs), THEN fold each token."""
+        German's own postlude removes its umlauts, French/Swedish/
+        Norwegian keep theirs), THEN fold each token."""
         stem_tokens = _chain_fns(key)[0]
 
         def chain(text_cf: Column) -> Column:
