@@ -101,6 +101,7 @@ BENCH_QUERIES = [
     "text_bm25_stopwords",  # BM25 stop->stem analyzer chain (r11)
     "match_text_german",   # $text full Snowball German stemming (r12)
     "text_lang_id_snowball",  # 14-list hashed lang-id, 8-way mix (r12)
+    "match_text_norwegian",  # $text full Snowball Norwegian stemming (r13)
 ]
 
 # Round-over-round comparability cohorts (r6 verdict: the growing set mixes
