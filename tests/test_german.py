@@ -24,7 +24,8 @@ from route81_spark.ops.german import _de_mark, _de_regions, german_py, german_st
 from route81_spark.pipeline import apply_pipeline
 
 # prelude behaviors forced by the published description (ß -> ss;
-# u/y between vowels marked, a match consuming its trailing vowel)
+# u/y between vowels marked, the trailing context vowel a lookahead
+# that may lead the next mark — r13 ADVICE fix)
 MARK_PINS = {
     "hauen": "haUen", "treue": "treUe", "bauer": "baUer",
     "größe": "grösse", "straße": "strasse",
@@ -333,3 +334,71 @@ def test_german_stop_query_terms_unfolded(spark):
         {"$project": {"doc_id": 1}},
     ])
     assert out.count() == 0
+
+
+def test_mark_regions_agree_with_from_scratch_simulation():
+    """Second-derivation guard for the German prelude/region
+    machinery (where the r13 ADVICE bug lived — a divergence BOTH
+    twins shared, invisible to column-vs-twin grids): a from-scratch
+    simulation of german.sbl's mark_regions cursor mechanics
+    (gopast v / gopast non-v; p1 lifted to x=3 only when `hop 3`
+    succeeds; p2's gopast continuing from the UNADJUSTED cursor)
+    must agree with _de_regions exhaustively on small marked strings
+    and on the marked forms of 20k seeded random words. Adjudicate
+    disagreements against the PUBLISHED description only — never by
+    reading ops/german.py."""
+    import itertools
+    import random
+
+    V = set("aeiouyäöü")
+
+    def sim_regions(w):
+        n = len(w)
+        i = 0
+        while i < n and w[i] not in V:
+            i += 1
+        if i >= n:
+            return (n, n)
+        i += 1
+        j = i
+        while j < n and w[j] in V:
+            j += 1
+        if j >= n:
+            return (n, n)
+        p1_raw = j + 1
+        p1 = 3 if (n >= 3 and p1_raw < 3) else p1_raw
+        k = p1_raw
+        while k < n and w[k] not in V:
+            k += 1
+        if k >= n:
+            return (p1, n)
+        k += 1
+        m = k
+        while m < n and w[m] in V:
+            m += 1
+        if m >= n:
+            return (p1, n)
+        return (p1, m + 1)
+
+    bad = []
+    for ln in range(0, 7):
+        for t in itertools.product("auUbä", repeat=ln):
+            w = "".join(t)
+            if _de_regions(w) != sim_regions(w):
+                bad.append(w)
+                if len(bad) > 5:
+                    break
+    assert not bad, bad
+    rng = random.Random(7)
+    alpha = "aeiouyäöübcdfghklmnrstß"
+    bad2 = []
+    for _ in range(20000):
+        w = "".join(
+            rng.choice(alpha) for _ in range(rng.randint(0, 10))
+        )
+        m = _de_mark(w)
+        if _de_regions(m) != sim_regions(m):
+            bad2.append((w, m))
+            if len(bad2) > 5:
+                break
+    assert not bad2, bad2
