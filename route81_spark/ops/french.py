@@ -10,9 +10,11 @@ from the very latest Snowball release, same algorithm otherwise)
 twice, independently:
 
   * ``french_stem`` — one Column expression program over a single
-    lowercased token: the prelude's left-to-right consuming scan as
-    ONE regexp_replace (five alternatives sharing a marker-insertion
-    template) + three literal replaces, regexp-derived RV/R1/R2,
+    lowercased token: the prelude's left-to-right scan as ONE
+    regexp_replace (five alternatives sharing a marker-insertion
+    template; trailing context vowels are lookaheads — the Snowball
+    cursor resumes after the mark) + three literal replaces,
+    regexp-derived RV/R1/R2,
     the suffix steps as longest-match when-chains with Snowball's
     among semantics (a matched suffix whose condition fails BLOCKS
     shorter suffixes; the RV `setlimit` of steps 2a/2b/4 participates
@@ -111,11 +113,18 @@ _KEEP_S_AFTER = "aiouès"  # final s kept when preceded by one of these
 # --------------------------------------------------------------------
 
 def _fr_mark(w: str) -> str:
-    """Prelude: one left-to-right consuming scan (Snowball
-    `repeat goto`): at a vowel, mark a following u/i (when vowel-
-    flanked) or y; else mark y before a vowel; else mark u after q.
-    A successful match consumes through its trailing context vowel,
-    exactly like the Column program's single regexp pass."""
+    """Prelude: one left-to-right scan (Snowball `repeat goto`): at a
+    vowel, mark a following u/i (when vowel-flanked) or y; else mark
+    y before a vowel; else mark u after q. The trailing context vowel
+    is a LOOKAHEAD, not consumed (r14 fix — the same divergence class
+    the r13 ADVICE found in the German prelude): Snowball's `<- S`
+    leaves the cursor just after the substituted mark, so the context
+    vowel is re-scanned and can host or lead the NEXT mark
+    ('énîetfyéy': the y marked before é does not consume the é, which
+    then marks the final y -> '..fYéY', so un_accent sees a non-vowel
+    and fires; verified against the compiled Snowball authority in
+    tests/test_snowball_authority.py). A marked U/I/Y is a consonant
+    and never hosts or contexts a second mark."""
     out: list[str] = []
     i, n = 0, len(w)
     while i < n:
@@ -123,20 +132,20 @@ def _fr_mark(w: str) -> str:
         if c in _V and i + 1 < n:
             d = w[i + 1]
             if d == "u" and i + 2 < n and w[i + 2] in _V:
-                out += [c, "U", w[i + 2]]
-                i += 3
+                out += [c, "U"]
+                i += 2
                 continue
             if d == "i" and i + 2 < n and w[i + 2] in _V:
-                out += [c, "I", w[i + 2]]
-                i += 3
+                out += [c, "I"]
+                i += 2
                 continue
             if d == "y":
                 out += [c, "Y"]
                 i += 2
                 continue
         if c == "y" and i + 1 < n and w[i + 1] in _V:
-            out += ["Y", w[i + 1]]
-            i += 2
+            out.append("Y")
+            i += 1
             continue
         if c == "q" and i + 1 < n and w[i + 1] == "u":
             out += ["q", "U"]
@@ -343,19 +352,24 @@ def french_py(word: str) -> str:
 
 # the prelude as ONE regex: Java's scan is exactly Snowball's
 # `repeat goto` (at each position try alternatives in order, advance
-# on failure, continue after a match — consuming its trailing context
-# vowel). A marker \x01 is inserted before the letter to mark (the
-# replacement template cannot change case), then three literal
-# replaces turn marker+letter into the mark. \x01 cannot occur in a
-# token (tokenizers emit letter/number runs).
+# on failure, continue after a match). The trailing context vowels
+# are non-consuming LOOKAHEADS (r14 fix — the German r13 ADVICE
+# cursor semantics applied here too): Snowball's `<- S` leaves the
+# cursor just after the substituted mark, so a mark's context vowel
+# is re-scanned and can host or lead the next mark; an
+# already-marked U/I/Y (preceded by \x01 during the pass) is a
+# consonant and never double-marks. A marker \x01 is inserted before
+# the letter to mark (the replacement template cannot change case),
+# then three literal replaces turn marker+letter into the mark.
+# \x01 cannot occur in a token (tokenizers emit letter/number runs).
 _MARK_PAT = (
-    f"([{_V}])(u)([{_V}])"
-    f"|([{_V}])(i)([{_V}])"
+    f"([{_V}])(u)(?=[{_V}])"
+    f"|([{_V}])(i)(?=[{_V}])"
     f"|([{_V}])(y)"
-    f"|(y)([{_V}])"
+    f"|(y)(?=[{_V}])"
     f"|(q)(u)"
 )
-_MARK_REPL = "$1$4$7$11\x01$2$5$8$9$12$3$6$10"
+_MARK_REPL = "$1$3$5$8\x01$2$4$6$7$9"
 
 
 def _mark(tok: Column) -> Column:

@@ -24,6 +24,18 @@ from route81_spark.pipeline import apply_pipeline
 MARK_PINS = {
     "jouer": "joUer", "ennuie": "ennuIe", "yeux": "Yeux",
     "quand": "qUand", "croyiez": "croYiez",
+    # r14 cursor-semantics pins (the German r13 ADVICE class): after
+    # `<- S` the Snowball cursor sits just after the substituted
+    # mark, so a mark's trailing context vowel is RE-SCANNED and can
+    # host or lead the next mark — it is a lookahead, never consumed.
+    # Each hand-traced through `repeat goto`, and the whole prelude
+    # is verified against the compiled Snowball authority in
+    # tests/test_snowball_authority.py.
+    "auaua": "aUaUa",          # context a of the first U leads the next
+    "ouiyé": "oUiYé",          # the U's context i hosts the Y mark
+    "énîetfyéy": "énîetfYéY",  # the Y's context é contexts the final y
+    "jtrtémîiyif": "jtrtémîIYif",  # I's context y is itself marked
+    "ayiay": "aYiaY", "quiyou": "qUiYou", "ayua": "aYua",
 }
 
 # behaviors forced by single rules or short rule compositions of the
@@ -110,6 +122,13 @@ def test_column_matches_twin_on_generated_grid(spark):
         words.add(p + st + su)
     for n in range(1, 4):
         for t in itertools.product("aeiséèy", repeat=n):
+            words.add("".join(t))
+    # exhaustive mark-chain stress (r14): every string of length <= 5
+    # over the prelude's own letters — the u/i/y/q mark alternatives,
+    # their vowel contexts, and the re-scan interactions between
+    # consecutive marks all live inside this block
+    for n in range(1, 6):
+        for t in itertools.product("auiyqé", repeat=n):
             words.add("".join(t))
     words = sorted(words)
 
