@@ -34,34 +34,35 @@ from route81_spark import harness  # noqa: E402
 # (never-recorded first, then oldest), tie-broken by registration order.
 # Consecutive rounds therefore alternate halves without hand-kept lists.
 _HEADLINE = [
-    # r13: only queries whose GENERATED PLAN changed this round (the
+    # r14: only queries whose GENERATED PLAN changed this round (the
     # freshness discipline), computed by tools/plan_snapshot.py
-    # before/after the round's code changes (r12 pristine-HEAD
-    # baseline vs final code, lambda-ordinal normalization added --
-    # the session-global `lambda x_406` counters renumber untouched
-    # plans and are not shape). Two sources of change: (1) the r13
-    # ADVICE German prelude fix (the u/y mark's trailing context
-    # vowel became a lookahead) rewrites the _MARK_PAT literal inside
-    # every plan that embeds the German stemmer -- the three German
-    # text queries; (2) the Snowball NORWEGIAN stemmer landed
-    # (ops/norwegian.py) and the languageOverride CASE derives every
-    # arm from the registry, so the one recorded query compiling a
-    # per-document analyzer gained an nb arm (it also embeds the
-    # German fix). Every other recorded query's plan is
-    # byte-identical under the normalizer (verified: the 4 below +
-    # the 4 new registrations are the EXACT diff). The 4 new r13
-    # queries (match_text_norwegian, text_bm25_norwegian,
-    # text_bm25_swedish, stage_stem_swedish -- the last two close the
-    # unit-pinned-but-not-driver-graded Swedish bm25/$stem forms,
-    # and the Norwegian bm25 registration lands in the stemmer's own
-    # round) sort first in the tail automatically; 4 headline + 4
-    # new + the ENTIRE 42-row r8 cohort = exactly the 50-slot window
-    # (nothing stays older than r9 after this round). headline+new =
-    # 8 = the budget the r12 verdict's window math allows.
-    "match_text_german",            # embeds the fixed German prelude
-    "match_text_german_stopwords",  # same, behind the stop filter
-    "text_bm25_german",             # same, on the no-fold bm25 path
-    "match_text_langoverride",      # override CASE gained the nb arm
+    # before/after the round's code changes (r13 pristine-HEAD
+    # baseline vs final code). Two sources of change: (1) the FRENCH
+    # prelude fix (the compiled-Snowball-authority guard,
+    # tests/test_snowball_authority.py, found the u/i/y marks
+    # consuming their trailing context vowel -- the exact sibling of
+    # the r13 German ADVICE fix; the _MARK_PAT literal now uses
+    # lookaheads) rewrites every plan that embeds the French stemmer
+    # -- the four French text queries; (2) the Snowball DANISH
+    # stemmer landed (ops/danish.py) and the languageOverride CASE
+    # derives every arm from the registry, so the one recorded query
+    # compiling a per-document analyzer gained a da arm (it also
+    # embeds the French fix). Every other recorded query's plan is
+    # byte-identical under the normalizer (verified: the 5 below +
+    # the 4 new registrations are the EXACT diff). The 4 new r14
+    # queries (match_text_danish, text_bm25_danish, stage_stem_danish
+    # -- engine and driver land together, the Norwegian-round pattern
+    # -- and stage_stem_norwegian, closing the one r13
+    # tested-vs-graded gap) sort first in the tail automatically;
+    # 5 headline + 4 new + the ENTIRE 40-row r9 cohort = 49 of the
+    # 50-slot window, so one r10 row also refreshes (nothing stays
+    # older than r10 after this round). headline+new = 9 <= 10 = the
+    # budget the r13 verdict's window math allows.
+    "match_text_french",            # embeds the fixed French prelude
+    "match_text_french_stopwords",  # same, behind the stop filter
+    "text_bm25_french",             # same, on the no-fold bm25 path
+    "stage_stem_french",            # same, on the $stem surface
+    "match_text_langoverride",      # override CASE gained the da arm
 ]
 
 

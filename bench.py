@@ -102,6 +102,7 @@ BENCH_QUERIES = [
     "match_text_german",   # $text full Snowball German stemming (r12)
     "text_lang_id_snowball",  # 14-list hashed lang-id, 8-way mix (r12)
     "match_text_norwegian",  # $text full Snowball Norwegian stemming (r13)
+    "match_text_danish",   # $text full Snowball Danish stemming (r14)
 ]
 
 # Round-over-round comparability cohorts (r6 verdict: the growing set mixes

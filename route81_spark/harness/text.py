@@ -2243,6 +2243,343 @@ def match_text_norwegian(spark, sf_dir):
     )
 
 
+@_q(
+    "stage_stem_norwegian",
+    # oracle: tokenize -> shared raw NOT IN stop filter (unfolded
+    # 'når'/'blir'/'her') -> per-token twin lookup WITHOUT fold (the
+    # $stem stage emits raw Norwegian stems, å/æ/ø kept) -> join
+    # (empty-list coalesce for safety, the SVST pattern)
+    f"""
+    WITH s AS (SELECT doc_id, {_nvt_syn_sql()} AS raw FROM documents),
+    t0 AS (SELECT doc_id,
+                  string_split_regex(trim(raw), '\\s+') AS toks
+           FROM s),
+    t AS (SELECT doc_id,
+                 list_filter(toks, t -> t NOT IN {_nvt_not_in()}) AS ft
+          FROM t0)
+    SELECT doc_id,
+           coalesce(array_to_string(
+             list_transform(ft, t -> {_nvt_stem_case_raw()}),
+             ' '), '') AS stems
+    FROM t
+    """,
+)
+def stage_stem_norwegian(spark, sf_dir):
+    """The $stem pipeline stage in mode 'norwegian' with
+    {stopWords: true} (r14 driver registration of the r13
+    unit-pinned composition, tests/test_norwegian.py — the one
+    tested-vs-graded gap the r13 round left open): Norwegian stop
+    words drop on the unfolded surface ('når' filters raw) BEFORE
+    the Snowball Norwegian stemmer, and the stage emits raw
+    Norwegian stems (å/æ/ø kept — no $text fold on this surface:
+    'løper' -> 'løp'). Per-row scalar work through the
+    once-per-session registered SQL function; no shuffle, no
+    Python."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    prepped = docs.select(
+        "doc_id", _nvt_syn_spark(F.col("doc_id")).alias("text")
+    )
+    out = apply_pipeline(
+        prepped,
+        [{"$stem": {"textField": "text", "as": "st",
+                    "mode": "norwegian", "stopWords": True}}],
+    )
+    return out.select(
+        "doc_id", F.concat_ws(" ", F.col("st")).alias("stems")
+    )
+
+
+# --------------------------------------------------------------------
+# Danish analyzer ($language: "danish", r14): Snowball Danish stem —
+# the sixth carried language program (ops/danish.py)
+# --------------------------------------------------------------------
+
+DKT_SNIPS = [
+    "nyhederne kommer hurtigt",
+    "pigerne læser nyheder",
+    "bestemmelserne gælder nu",
+    "nyheder når hunden løber",
+    "hunden løber hurtigt",
+    "påstanden står fast",
+    "ingenting relevant her",
+]
+
+
+def _dkt_stem_case() -> str:
+    """Per-token Danish-analyzer lookup for the oracle over the
+    closed DKT_SNIPS vocabulary: Snowball Danish stem
+    (ops.danish.danish_py — the Python spec twin) THEN diacritic
+    fold, pre-computed — the engine order (the Danish program KEEPS
+    æ/å/ø; the fold removes the å: 'påstanden' stems to 'påstand'
+    and folds to 'pastand'; æ/ø have no NFD decomposition and
+    survive on both sides)."""
+    from route81_spark.ops.danish import danish_py
+    from route81_spark.ops.unitext import fold_diacritics_py
+
+    vocab = sorted({w for s in DKT_SNIPS for w in s.split()})
+    whens = " ".join(
+        f"WHEN '{w}' THEN '{fold_diacritics_py(danish_py(w))}'"
+        for w in vocab
+    )
+    return f"CASE t {whens} ELSE t END"
+
+
+def _dkt_syn_sql(x: str = "CAST(doc_id AS VARCHAR)") -> str:
+    return _syn_sql(DKT_SNIPS, "dkstem0", x)
+
+
+def _dkt_syn_spark(ids: Column) -> Column:
+    return _syn_spark(DKT_SNIPS, "dkstem0", ids)
+
+
+@_q(
+    "match_text_danish",
+    # oracle: tokenize the closed vocabulary, stem every token via
+    # the twin-precomputed Danish lookup (stem-then-fold baked into
+    # the CASE), then recompute membership + integer score with the
+    # twin-stemmed query terms: 'nyheder'->'nyhed' conflates
+    # nyhederne/nyheder (the setlimit pin: 'heder' straddles R1 and
+    # is invisible, 'er' deletes), 'bestemme'->'bestem' conflates
+    # bestemmelserne (step-1 'erne', step-3 'els', step-4 undouble),
+    # 'påstande'->'påstand'->fold 'pastand' conflates påstanden, and
+    # '-hund' excludes hunden through the shared stem 'hund'
+    f"""
+    WITH s AS (SELECT doc_id, {_dkt_syn_sql()} AS raw FROM documents),
+    t0 AS (SELECT doc_id, string_split(lower(raw), ' ') AS toks FROM s),
+    t AS (SELECT doc_id,
+                 list_transform(toks, t -> {_dkt_stem_case()}) AS st
+          FROM t0)
+    SELECT doc_id,
+           CAST(len(list_filter(st, x -> x = 'nyhed'))
+              + len(list_filter(st, x -> x = 'bestem'))
+              + len(list_filter(st, x -> x = 'pastand'))
+                AS BIGINT) AS score
+    FROM t
+    WHERE (list_contains(st, 'nyhed') OR list_contains(st, 'bestem')
+           OR list_contains(st, 'pastand'))
+      AND NOT list_contains(st, 'hund')
+    """,
+)
+def match_text_danish(spark, sf_dir):
+    """$text with $language: "danish" (r14 — the Snowball Danish
+    stemmer, ops/danish.py, the sixth carried language program,
+    reusing the setlimit machinery Swedish landed in r12 and the R1
+    region machinery Norwegian landed in r13 — Danish and Norwegian
+    share the exact vowel set): stemmed conflation in match + score —
+    'nyheder' matches 'nyhederne' via stem 'nyhed' (the containment
+    semantics: 'heder' starts before R1 and is INVISIBLE, so 'er'
+    deletes; note 'nyhed' itself SURVIVES — Danish has no bare 'ed'
+    entry, the Norwegian contrast), 'bestemme' matches
+    'bestemmelserne' via the shared stem 'bestem' (steps 1+3a+4: the
+    published algorithm's own undouble example), 'påstande' matches
+    'påstanden' via stem 'påstand' (stemming runs BEFORE the
+    diacritic fold: the program keeps its å and the fold then yields
+    'pastand' on both sides), and the '-hund' negation excludes
+    'hunden'. The stemmer applies through the once-per-session
+    registered SQL function — map-only plan, zero shuffle, zero
+    Python; the column-vs-twin grid sweep + spec pins live in
+    tests/test_danish.py, and the twin is additionally pinned
+    word-for-word to the compiled Snowball authority in
+    tests/test_snowball_authority.py."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    prepped = docs.select(
+        "doc_id", _dkt_syn_spark(F.col("doc_id")).alias("text")
+    )
+    return apply_pipeline(
+        prepped,
+        [
+            {"$match": {"$text": {
+                "$search": "nyheder bestemme påstande -hund",
+                "$language": "danish",
+                "unicode": True,
+            }}},
+            {"$addFields": {"score": {"$meta": "textScore"}}},
+            {"$project": {"doc_id": 1, "score": 1}},
+        ],
+    )
+
+
+# --------------------------------------------------------------------
+# Danish bm25 / $stem: a DEDICATED snippet family with an
+# all-stop-words snippet (DKT_SNIPS is shared with match_text_danish;
+# the SVST/NVT precedent — one family per plan-recorded literal set)
+# --------------------------------------------------------------------
+
+DKST_SNIPS = [
+    "nyhederne kommer hurtigt",
+    "pigerne læser nyheder",
+    "løber og hopper ofte",
+    "og det at over er",  # every token is a Danish stop word
+    "bestemmelserne gælder nu",
+    "ingenting relevant her",
+]
+
+
+def _dkst_not_in() -> str:
+    """RAW (unfolded) Danish NOT IN list — stopping happens BEFORE
+    stemming and folding, so the oracle's list keeps 'når'/'på'
+    as-is. Shared data, never re-derived."""
+    from route81_spark.ops.stopwords import stop_list
+
+    return "(" + ", ".join(
+        "'" + w + "'" for w in stop_list("danish")
+    ) + ")"
+
+
+def _dkst_stem_case() -> str:
+    """Per-token Danish stem lookup for the oracle over the closed
+    DKST_SNIPS vocabulary, WITHOUT the $text fold (the bm25 and
+    $stem paths emit raw Danish stems — æ/å/ø kept: 'løber' ->
+    'løb'), pre-computed by the Python spec twin."""
+    from route81_spark.ops.danish import danish_py
+
+    vocab = sorted({w for s in DKST_SNIPS for w in s.split()})
+    whens = " ".join(
+        f"WHEN '{w}' THEN '{danish_py(w)}'" for w in vocab
+    )
+    return f"CASE t {whens} ELSE t END"
+
+
+def _bm25_dk_terms() -> list[str]:
+    """The engine-side analyzer applied to the bm25 Danish query
+    terms, shared as data: stop with the raw Danish list, stem with
+    the twin (NO fold on the bm25 path), dedupe."""
+    from route81_spark.ops.danish import danish_py
+    from route81_spark.ops.stopwords import stop_list
+
+    stops = set(stop_list("danish"))
+    out = [danish_py(t) for t in
+           ["er", "nyheder", "bestemme", "løber"]
+           if t not in stops]
+    return list(dict.fromkeys(out))
+
+
+def _dkst_syn_sql(x: str = "CAST(doc_id AS VARCHAR)") -> str:
+    return _syn_sql(DKST_SNIPS, "dkstem1", x)
+
+
+def _dkst_syn_spark(ids: Column) -> Column:
+    return _syn_spark(DKST_SNIPS, "dkstem1", ids)
+
+
+@_q(
+    "text_bm25_danish",
+    # oracle: whitespace-split the synthesized Danish corpus, drop
+    # Danish stop words via the shared RAW NOT IN list ('og'/'det'/
+    # 'over'/'er' filter on the unfolded tokens), stem the remainder
+    # via the twin-precomputed lookup WITHOUT the $text fold (the
+    # bm25 path — Danish stems keep æ/å/ø: 'løber' scores as 'løb'),
+    # then replicate the exact BM25 formula over the stop-filtered
+    # stemmed arrays — 'er' contributes nothing, 'nyheder' scores
+    # nyhederne docs via the setlimit stem 'nyhed', 'bestemme'
+    # scores bestemmelserne docs via the shared stem 'bestem'
+    f"""
+    WITH s0 AS (SELECT doc_id, {_dkst_syn_sql()} AS raw FROM documents),
+    t0 AS (SELECT doc_id,
+                  string_split_regex(trim(raw), '\\s+') AS toks
+           FROM s0),
+    t1 AS (SELECT doc_id,
+                  list_filter(toks, t -> t NOT IN {_dkst_not_in()})
+                    AS ft
+           FROM t0),
+    s AS (SELECT doc_id,
+                 list_transform(ft, t -> {_dkst_stem_case()}) AS tk
+          FROM t1),
+    c AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             avg(CAST(len(tk) AS DOUBLE)) AS avgdl
+      FROM s
+    ),
+    d AS (
+      SELECT
+        {", ".join(f"(SELECT CAST(count(*) AS DOUBLE) FROM s WHERE list_contains(tk, '{t}')) AS df{i}" for i, t in enumerate(_bm25_dk_terms()))}
+    )
+    SELECT doc_id,
+           {det_round_sql(" + ".join(
+               f"(ln(1 + (c.n - d.df{i} + 0.5) / (d.df{i} + 0.5))"
+               f" * (CAST(len(list_filter(tk, x -> x = '{t}')) AS DOUBLE) * 2.2)"
+               f" / (CAST(len(list_filter(tk, x -> x = '{t}')) AS DOUBLE)"
+               f"    + 1.2 * (0.25 + 0.75 * CAST(len(tk) AS DOUBLE) / c.avgdl)))"
+               for i, t in enumerate(_bm25_dk_terms())), 6)} AS bm25
+    FROM s, c, d
+    ORDER BY bm25 DESC, doc_id ASC LIMIT 25
+    """,
+)
+def text_bm25_danish(spark, sf_dir):
+    """Okapi BM25 with the full DANISH analyzer chain (r14 — the
+    bm25 driver registration lands in the SAME round as the stemmer,
+    the Norwegian-round pattern): Danish stop words (raw surface
+    forms — 'og'/'det'/'over'/'er' filter unfolded) drop from corpus
+    tokens AND query terms BEFORE the Snowball Danish stemmer
+    conflates the survivors; 'nyheder' scores nyhederne docs via the
+    setlimit stem 'nyhed', 'bestemme' scores bestemmelserne docs via
+    the shared stem 'bestem', the all-stop-words snippet contributes
+    an empty dl, and stems KEEP their æ/å/ø on this path (no $text
+    fold — 'løber' scores as 'løb'). Model constants from ONE
+    single-row aggregation; scoring one per-row expression; zero
+    scoring shuffle; top-25 via TakeOrderedAndProject."""
+    from route81_spark.ops.corpus import bm25_scores
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    prepped = docs.select(
+        "doc_id", _dkst_syn_spark(F.col("doc_id")).alias("text")
+    )
+    scored = bm25_scores(
+        prepped, ["er", "nyheder", "bestemme", "løber"],
+        stem="danish", stop_words=True,
+    )
+    return (
+        scored.select("doc_id", "bm25")
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(25)
+    )
+
+
+@_q(
+    "stage_stem_danish",
+    # oracle: tokenize -> shared raw NOT IN stop filter (unfolded
+    # 'og'/'det'/'over'/'er') -> per-token twin lookup WITHOUT fold
+    # (the $stem stage emits raw Danish stems, æ/å/ø kept) -> join
+    # (empty-list coalesce: the all-stop-words snippet stems to '')
+    f"""
+    WITH s AS (SELECT doc_id, {_dkst_syn_sql()} AS raw FROM documents),
+    t0 AS (SELECT doc_id,
+                  string_split_regex(trim(raw), '\\s+') AS toks
+           FROM s),
+    t AS (SELECT doc_id,
+                 list_filter(toks, t -> t NOT IN {_dkst_not_in()}) AS ft
+          FROM t0)
+    SELECT doc_id,
+           coalesce(array_to_string(
+             list_transform(ft, t -> {_dkst_stem_case()}),
+             ' '), '') AS stems
+    FROM t
+    """,
+)
+def stage_stem_danish(spark, sf_dir):
+    """The $stem pipeline stage in mode 'danish' with
+    {stopWords: true} (r14 — registered in the stemmer's own round
+    so no tested-vs-graded gap opens, alongside the unit pins in
+    tests/test_danish.py): Danish stop words drop on the unfolded
+    surface BEFORE the Snowball Danish stemmer, the stage emits raw
+    Danish stems (æ/å/ø kept — no $text fold on this surface), and
+    the all-stop-words snippet stems to the empty array. Per-row
+    scalar work through the once-per-session registered SQL
+    function; no shuffle, no Python."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    prepped = docs.select(
+        "doc_id", _dkst_syn_spark(F.col("doc_id")).alias("text")
+    )
+    out = apply_pipeline(
+        prepped,
+        [{"$stem": {"textField": "text", "as": "st", "mode": "danish",
+                    "stopWords": True}}],
+    )
+    return out.select(
+        "doc_id", F.concat_ws(" ", F.col("st")).alias("stems")
+    )
+
+
 def _sw_stem_case() -> str:
     """Porter2 stem lookup for the closed SW_SNIPS vocabulary,
     pre-computed by the Python spec twin (ops.porter.porter2_py)."""

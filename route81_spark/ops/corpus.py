@@ -1303,8 +1303,8 @@ def bm25_scores(
     ``stop_words=True`` (r10) drops the stem mode's language's
     Snowball stop words (ops/stopwords.py, lowercase comparison —
     every carried _CHAIN_LANGS stem mode picks ITS language's list:
-    French since r11, German/Swedish since r12, Norwegian since r13;
-    English otherwise)
+    French since r11, German/Swedish since r12, Norwegian since r13,
+    Danish since r14; English otherwise)
     from corpus tokens AND query terms BEFORE stemming — the textbook
     analyzer order. With stop removal active, dl/avgdl count the
     remaining tokens (the standard index-resident definition); a

@@ -64,7 +64,6 @@ from route81_spark.ops.porter import _bind1, _drop
 from route81_spark.ops.swedish import (
     _bind_suffix_r1,
     _in_r1,
-    _longest_in_r1,
     _py_longest_in_r1,
 )
 

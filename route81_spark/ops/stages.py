@@ -53,7 +53,8 @@ def _stem(df: DataFrame, arg: dict) -> DataFrame:
     ops/porter.py), 'french' (Snowball French, ops/french.py),
     'german' (Snowball German, ops/german.py, r12), 'swedish'
     (Snowball Swedish, ops/swedish.py, r12), 'norwegian' (Snowball
-    Norwegian, ops/norwegian.py, r13) or 's'
+    Norwegian, ops/norwegian.py, r13), 'danish' (Snowball Danish,
+    ops/danish.py, r14) or 's'
     (Harman S-stemmer). Adds an array<string> column (default
     'stems'); per-row scalar work, no shuffle. The building block for
     stemmed vocabularies / inverted indexes outside the $text match
@@ -81,7 +82,7 @@ def _stem(df: DataFrame, arg: dict) -> DataFrame:
         )
     toks = X.tokens(F.col(arg.get("textField", "text")))
     if arg.get("stopLanguage") is not None:
-        # $stem ALWAYS stems and its carried programs are en/fr/de/sv,
+        # $stem ALWAYS stems and its carried programs' languages
         # whose language already picks the stop list — stopping a
         # different language while stemming another would be an
         # incoherent analyzer, and silently ignoring the key would be

@@ -69,7 +69,9 @@ from route81_spark.pipeline.exprs import PipelineCompileError, compile_expr, ext
 #     `$language: "swedish"/"sv"` (r12) = the full Snowball Swedish
 #     stemmer (ops/swedish.py); {stem: "norwegian"} /
 #     `$language: "norwegian"/"nb"` (r13) = the full Snowball
-#     Norwegian stemmer (ops/norwegian.py). The carried non-English
+#     Norwegian stemmer (ops/norwegian.py); {stem: "danish"} /
+#     `$language: "danish"/"da"` (r14) = the full Snowball Danish
+#     stemmer (ops/danish.py). The carried non-English
 #     analyses match
 #     Mongo's analyzer ORDER — tokenize (always Unicode runs: accented
 #     letters must not split tokens), stem WITH diacritics intact
@@ -81,8 +83,9 @@ from route81_spark.pipeline.exprs import PipelineCompileError, compile_expr, ext
 #     Other stem values fail loudly.
 #   * DOCUMENTED DIVERGENCES (fail loudly where dishonoring a request):
 #     $language values beyond english and the _CHAIN_LANGS registry
-#     (french/german/swedish/norwegian) stay accepted-and-ignored
-#     (the other ~11 Snowball programs are not carried), and the
+#     (french/german/swedish/norwegian/danish) stay
+#     accepted-and-ignored
+#     (the other ~8 Snowball programs are not carried), and the
 #     engine default WITHOUT $language is unstemmed where Mongo would
 #     default to English — flipping the default would surprise the
 #     ASCII-token fast path; opt in per query. Tokens are
@@ -103,7 +106,10 @@ from route81_spark.pipeline.exprs import PipelineCompileError, compile_expr, ext
 #     CLASSIC revision too — no 2.x/3.x -et/-t additions (pin in
 #     ops/swedish.py's docstring); so is the Norwegian program (r13)
 #     — no 2.x/3.x s-ending/-ers/-ets revisions (pin in
-#     ops/norwegian.py's docstring). $caseSensitive: true composes
+#     ops/norwegian.py's docstring); the Danish program (r14) has no
+#     published classic-vs-2.x delta (verified against the compiled
+#     2.x authority in tests/test_snowball_authority.py).
+#     $caseSensitive: true composes
 #     with a stem mode SELF-CONSISTENTLY but degrades conflation:
 #     every Snowball program assumes lowercase input, so capitalized
 #     tokens AND capitalized query terms pass through largely
@@ -184,6 +190,7 @@ _CHAIN_LANGS = {
     # Mongo's code for Norwegian is "nb" (Bokmål) — ops/stopwords.py
     # carries the same alias
     "norwegian": ("norwegian", "nb"),  # r13, ops/norwegian.py
+    "danish": ("danish", "da"),        # r14, ops/danish.py
 }
 
 
@@ -295,11 +302,11 @@ def _text_parts(spec: dict):
     # ("english"/"en", case-folded) stem with the active English-
     # capable mode, French documents ("french"/"fr", r10) stem with
     # the Snowball French program, German ("german"/"de"), Swedish
-    # ("swedish"/"sv", both r12) and Norwegian ("norwegian"/"nb",
-    # r13) documents with theirs; every other
-    # language keeps RAW
+    # ("swedish"/"sv", both r12), Norwegian ("norwegian"/"nb", r13)
+    # and Danish ("danish"/"da", r14) documents with theirs; every
+    # other language keeps RAW
     # tokens (documented divergence: Mongo would apply THAT language's
-    # Snowball program — the remaining ~11 are not carried; unknown
+    # Snowball program — the remaining ~8 are not carried; unknown
     # languages index unstemmed here, exactly like a Mongo index whose
     # override names a language it has no analyzer for). Query terms
     # stem with the QUERY language as usual. Requires an active stem
@@ -340,7 +347,7 @@ def _text_parts(spec: dict):
     # fail loudly rather than stop with the wrong language's list.
     # languageOverride stops each document with ITS language's list
     # (en -> English, fr -> French, de -> German, sv -> Swedish,
-    # nb -> Norwegian (r13), anything
+    # nb -> Norwegian (r13), da -> Danish (r14), anything
     # else unstopped — the
     # same "no analyzer" rule the stemming dispatch applies); query
     # terms stop with the QUERY language's list, exactly as they stem

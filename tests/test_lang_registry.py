@@ -19,13 +19,14 @@ def test_registry_entries_satisfy_the_module_convention(spark):
     from route81_spark.ops.stopwords import stop_list
 
     assert list(_CHAIN_LANGS) == [
-        "french", "german", "swedish", "norwegian",
+        "french", "german", "swedish", "norwegian", "danish",
     ], (
         "registry insertion order IS the recorded languageOverride "
         "arm order — extend at the END, never reorder"
     )
     probe = {"french": "continuations", "german": "kindern",
-             "swedish": "nyheterna", "norwegian": "mulighetene"}
+             "swedish": "nyheterna", "norwegian": "mulighetene",
+             "danish": "bestemmelserne"}
     for key, aliases in _CHAIN_LANGS.items():
         assert isinstance(aliases, tuple) and len(aliases) >= 2
         assert aliases[0] == key, "first alias is the canonical name"

@@ -791,6 +791,15 @@ def sf1_probe(spark, k: int = 100, only: set | None = None) -> None:
         "match_text_norwegian",
         "text_bm25_norwegian",
         "text_bm25_swedish",
+        # r14: the DANISH program (the sixth carried chain, same
+        # setlimit regexp-over-R1 form, plus the igst pre-step and
+        # the undouble tail) and its full stop->stem bm25
+        # composition; plus the $stem driver registrations for the
+        # norwegian/danish modes (per-token map-only, no fold)
+        "match_text_danish",
+        "text_bm25_danish",
+        "stage_stem_danish",
+        "stage_stem_norwegian",
     ]
     if only:
         probes = [p for p in probes if p in only]
