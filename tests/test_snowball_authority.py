@@ -155,6 +155,35 @@ def pg():
     shutil.rmtree(root, ignore_errors=True)
 
 
+_PG_STOP_DIR = "/usr/share/postgresql/15/tsearch_data"
+
+
+@pytest.mark.parametrize(
+    "lang", [x[0] for x in _LANGS], ids=[x[0] for x in _LANGS]
+)
+def test_stop_lists_match_snowball_corpus_files(lang):
+    """The carried stop lists equal PostgreSQL's shipped Snowball
+    stop files word-for-word (no server needed — plain files). ONE
+    pinned exception: the vendored French list carries 'les' (as the
+    MLlib copy of the snowball corpus does) while PG's french.stop
+    does not — a one-word provenance delta between two snapshots of
+    the same public corpus; engine and oracles share OUR list as
+    data, so it cannot cause a wrong answer."""
+    path = os.path.join(_PG_STOP_DIR, f"{lang}.stop")
+    if not os.path.exists(path):
+        pytest.skip("postgres tsearch stop files not installed")
+    from route81_spark.ops.stopwords import stop_list
+
+    with open(path) as fh:
+        pg_words = {w.strip() for w in fh if w.strip()}
+    ours = set(stop_list(lang))
+    extra, missing = ours - pg_words, pg_words - ours
+    if lang == "french":
+        assert extra == {"les"} and not missing, (extra, missing)
+    else:
+        assert not extra and not missing, (extra, missing)
+
+
 @pytest.mark.parametrize(
     "lang,mod,fn,alpha", _LANGS, ids=[x[0] for x in _LANGS]
 )
