@@ -12,12 +12,27 @@ from __future__ import annotations
 
 import os
 import re
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 NANO_TS_COLS = {"events": ["ts"]}
+
+# session -> {(files, split conf, target): bool} — memoized
+# scan-partition verdicts (see ensure_parallelism). Weak-keyed so
+# entries die with their session; the verdict depends only on the
+# file set and the split configuration, both constant per session.
+_SCAN_VERDICTS: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+# A ShuffleExchange prints as "Exchange <partitioning>" (hash / range /
+# round-robin / single); BroadcastExchange prints "BroadcastExchange"
+# and does NOT spread rows, so it must not match.
+_SHUFFLE_RE = re.compile(
+    r"\bExchange (hashpartitioning|rangepartitioning|"
+    r"RoundRobinPartitioning|SinglePartition)"
+)
 
 
 def _size_bytes(v) -> int:
@@ -48,6 +63,7 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
         return df  # micro-batch partitioning is the source's concern
     spark = df.sparkSession
     target = min_partitions or spark.sparkContext.defaultParallelism
+    files: list[str] | None = None
     try:
         files = df.inputFiles()
         if len(files) >= target:
@@ -62,9 +78,42 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
             # count, ask the planner below
     except Exception:
         pass
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    # A plan that already contains a shuffle is spread over
+    # spark.sql.shuffle.partitions (session-scaled to the core budget):
+    # repartitioning it again would buy nothing at scale, and — worse —
+    # even ASKING `df.rdd` for its partition count EXECUTES every
+    # upstream query stage eagerly under AQE (r14 measured: the
+    # near-dedup funnel's exact-dedup window ran a full extra
+    # materialization per call, 1.3-3.8 s at sf0.1, pure double-compute
+    # at any scale). The pre-AQE physical plan answers the question
+    # without running anything.
+    try:
+        plan = df._jdf.queryExecution().sparkPlan().toString()
+        if _SHUFFLE_RE.search(plan):
+            return df
+    except Exception:
+        pass
+    # Narrow scan plans: the split count is a pure function of the file
+    # set + split configuration, so the df.rdd verdict (cheap here — no
+    # query stages to execute — but still a full Py4J plan->RDD
+    # conversion, ~80 ms) memoizes per session.
+    key = None
+    if files:
+        try:
+            key = (
+                tuple(sorted(files)),
+                str(spark.conf.get("spark.sql.files.maxPartitionBytes", "128m")),
+                target,
+            )
+            cache = _SCAN_VERDICTS.setdefault(spark, {})
+        except Exception:
+            key = None
+        if key is not None and key in cache:
+            return df.repartition(target) if cache[key] else df
+    small = df.rdd.getNumPartitions() < target
+    if key is not None:
+        cache[key] = small
+    return df.repartition(target) if small else df
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -636,10 +636,22 @@ def near_dup_clusters(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).persist()
     if small_graph_max_edges > 0:
-        probe = edges.distinct().limit(small_graph_max_edges + 1).collect()
-        if len(probe) <= small_graph_max_edges:
+        # Size the graph with ONE aggregation job, then collect from the
+        # cache only when it is provably small. The former
+        # `.limit(N+1).collect()` probe looked cheaper but ran Spark's
+        # incremental CollectLimit — up to ~20 scale-up attempt JOBS per
+        # call on a graph that needed one (r14 job trace: 21 jobs,
+        # ~2.5 s of pure scheduling at sf0.1); a count over the
+        # persisted edges is a single map-side-combined pass at any
+        # scale.
+        dedges = edges.distinct().persist()
+        n_distinct = dedges.count()
+        if n_distinct <= small_graph_max_edges:
+            probe = dedges.collect()
+            dedges.unpersist()
             edges.unpersist()
             return _collected_components(pairs, probe)
+        dedges.unpersist()
     ck = _checkpointer(pairs, checkpoint_dir)
     # Right-size the loop's parallelism to the PAIR GRAPH, not the
     # corpus: the verified near-dup pairs are orders of magnitude
