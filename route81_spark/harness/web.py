@@ -266,14 +266,26 @@ def corpus_domain_gate(spark, sf_dir):
         _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
     )
     dom = registrable_domain(url_host(F.col("url")))
-    planted = docs.withColumn(
-        "text",
-        F.when(
-            _wh(dom, "tmpl") % 5 == 0, F.lit("template boilerplate page")
-        ).otherwise(F.col("text")),
+    # PSL domain extraction is a very large per-row CASE: compute it
+    # ONCE behind a 1-element explode (a Generate barrier
+    # CollapseProject cannot cross) and let the template plant, the
+    # gate rollup, the gate anti-join and the final projection all
+    # read the bound column — the former form re-derived it 4x per row
+    bound = docs.select(
+        "doc_id", "lang", "text",
+        F.explode(F.array(dom)).alias("__dom"),
     )
-    out = domain_gate(planted, max_dup_ratio=(1, 4))
-    return out.select("doc_id", "lang", dom.alias("domain"))
+    planted = bound.select(
+        "doc_id",
+        "lang",
+        F.when(
+            _wh(F.col("__dom"), "tmpl") % 5 == 0,
+            F.lit("template boilerplate page"),
+        ).otherwise(F.col("text")).alias("text"),
+        "__dom",
+    )
+    out = domain_gate(planted, max_dup_ratio=(1, 4), domain_col="__dom")
+    return out.select("doc_id", "lang", F.col("__dom").alias("domain"))
 
 @_q(
     "corpus_robots_filter",
@@ -502,13 +514,20 @@ def corpus_crawl_funnel(spark, sf_dir):
     Scale shape: one (canon, min-id) agg shuffles only hash-sized rows;
     the winner-id semi-join on doc_id is the single full-row shuffle
     (the line_dedup rebuild shape); the gate's rollup shuffles (domain,
-    hash, int) rows and its loser list applies broadcast-anti."""
+    hash, int) rows and its loser list applies broadcast-anti. The two
+    very large per-row expressions (URL canonicalization, PSL domain
+    extraction) are computed ONCE each behind a 1-element explode —
+    the Generate barrier CollapseProject cannot cross — and every
+    downstream consumer (winner agg, gate rollup, gate anti-join,
+    final projection) reads the materialized columns; the former form
+    re-derived the PSL CASE four times per row and the plan tree
+    carried each copy (r14: plan/analysis time alone was 1.5 s)."""
     from route81_spark.ops.web import (
         _h60,
         domain_gate,
         registrable_domain,
         synthetic_urls,
-        url_dedup,
+        url_canonicalize,
         url_host,
     )
 
@@ -526,13 +545,34 @@ def corpus_crawl_funnel(spark, sf_dir):
         ),
     ).otherwise(F.col("url"))
     dom = registrable_domain(url_host(F.col("url")))
-    planted = u.withColumn("url", noisy).withColumn(
+    bound = u.withColumn("url", noisy).select(
+        "doc_id",
+        "url",
         "text",
-        F.when(
-            _h60(dom, "tmpl") % 5 == 0, F.lit("template boilerplate page")
-        ).otherwise(F.col("text")),
+        F.explode(
+            F.array(
+                F.struct(
+                    url_canonicalize(F.col("url")).alias("c"),
+                    dom.alias("d"),
+                )
+            )
+        ).alias("__cd"),
     )
-    winners = url_dedup(planted)  # (doc_id, canon_url)
-    survivors = planted.join(winners, "doc_id")
-    gated = domain_gate(survivors, max_dup_ratio=(1, 4))
-    return gated.select("doc_id", dom.alias("domain"), "canon_url")
+    planted = bound.select(
+        "doc_id",
+        "url",
+        F.col("__cd.c").alias("canon_url"),
+        F.col("__cd.d").alias("domain"),
+        F.when(
+            _h60(F.col("__cd.d"), "tmpl") % 5 == 0,
+            F.lit("template boilerplate page"),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    # url_dedup's (canon, min-id) winner agg, inlined over the bound
+    # canon column (url_dedup would re-derive it from the url)
+    winners = planted.groupBy("canon_url").agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    survivors = planted.join(winners.select("doc_id"), "doc_id")
+    gated = domain_gate(survivors, max_dup_ratio=(1, 4), domain_col="domain")
+    return gated.select("doc_id", "domain", "canon_url")

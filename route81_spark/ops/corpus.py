@@ -502,6 +502,11 @@ def bpe_train_merges(
     spark = df.sparkSession
     merges: list[tuple[int, str, str, int]] = []
     prev = words
+    # one generation older than `prev` — released only AFTER the next
+    # round's argmax has materialized prev's cache (unpersisting the
+    # parent before the child is materialized would force the child's
+    # first action to re-run the whole lineage from the corpus)
+    release = None
     try:
         for step in range(1, n_merges + 1):
             syms = F.split(
@@ -529,10 +534,20 @@ def bpe_train_merges(
                 .limit(1)
                 .collect()
             )
+            # the argmax collect above materialized prev's cache (its
+            # parent was still cached), so the grandparent can go now
+            if release is not None:
+                release.unpersist()
+                release = None
             if not best:
                 break
             l, r, cnt = best[0]["l"], best[0]["r"], best[0]["cnt"]
             merges.append((step, l, r, cnt))
+            if step == n_merges:
+                # the fused table after the LAST merge is never
+                # consumed — building (and eagerly checkpointing) it
+                # was one dead full replace pass per call
+                break
             nxt = prev.select(
                 F.replace(
                     F.col("w"),
@@ -541,18 +556,26 @@ def bpe_train_merges(
                 ).alias("w"),
                 "f",
             )
-            if step % checkpoint_every == 0 or step == n_merges:
+            if step % checkpoint_every == 0:
+                # eager: truncates lineage NOW (from prev's cache), so
+                # prev releases immediately
                 nxt = nxt.localCheckpoint(eager=True)
+                if prev is not words:
+                    prev.unpersist()
             else:
+                # lazy persist: the NEXT round's argmax materializes it
+                # in the same job it already runs — the former eager
+                # count() here was one extra job per round
                 nxt = nxt.persist()
-                nxt.count()  # materialize so prev can release
-            if prev is not words:
-                prev.unpersist()
+                if prev is not words:
+                    release = prev
             prev = nxt
     finally:
         words.unpersist()
         if prev is not words:
             prev.unpersist()
+        if release is not None and release is not prev:
+            release.unpersist()
     return spark.createDataFrame(
         merges, "step int, sym_l string, sym_r string, pair_count long"
     )
@@ -2569,6 +2592,7 @@ def bloom_apply(
     window: int | None = None,
     k: int = 3,
     seed: str = "bloom0",
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Filter every unit of every document against a pre-built Bloom
     bitmap (`words` from bloom_dense_words): a unit is `seen` iff ALL
@@ -2596,16 +2620,24 @@ def bloom_apply(
         return bloom_probe_expr(lit_words, u, m_bits, k, seed)
 
     joiner = sep if sep is not None else " "
+    # `carry_cols` ride along the per-row projection so a composing
+    # caller (incremental_curation's status) never needs to join the
+    # result back onto its input — the join re-executed the entire
+    # upstream lineage a second time AND paid a shuffle for columns
+    # that were sitting in the same row all along.
+    carry = [F.col(c) for c in carry_cols]
     # two 1-element explodes materialize `units` then `kept` exactly
     # once per row: CollapseProject does not cross a Generate, so the
     # downstream multi-column projection can't re-inline the md5 probe
     # chain (naive form evaluated it twice -> 2x the probe md5 work)
     bound_units = df.select(
         F.col(id_col),
+        *carry,
         F.explode(F.array(_line_array(text_col, sep, window))).alias("__us"),
     )
     bound_kept = bound_units.select(
         F.col(id_col),
+        *carry,
         F.size("__us").alias("n_units"),
         F.explode(
             F.array(F.filter(F.col("__us"), lambda u: ~seen(u)))
@@ -2613,6 +2645,7 @@ def bloom_apply(
     )
     return bound_kept.select(
         F.col(id_col),
+        *carry,
         F.col("n_units"),
         (F.col("n_units") - F.size("__kp")).alias("n_seen"),
         F.array_join(F.col("__kp"), joiner).alias("clean_text"),
@@ -2954,9 +2987,12 @@ def incremental_curation(
         ),
         m_bits,
     )
+    # status rides through the scrub projection (carry_cols) — the
+    # former re-join of `gated` onto the scrub output re-executed the
+    # diff+gate lineage twice and shuffled both sides for a column
+    # already present in the row
     scrubbed = bloom_apply(
-        gated, words, text_col, id_col, window=window, k=k, seed=seed
+        gated, words, text_col, id_col, window=window, k=k, seed=seed,
+        carry_cols=("status",),
     )
-    return scrubbed.join(
-        gated.select(id_col, "status"), id_col
-    ).select(id_col, "status", "n_units", "n_seen", "clean_text")
+    return scrubbed.select(id_col, "status", "n_units", "n_seen", "clean_text")

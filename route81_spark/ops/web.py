@@ -216,6 +216,7 @@ def domain_stats(
     url_col: str = "url",
     text_col: str = "text",
     lang_col: str = "lang",
+    domain_col: str | None = None,
 ) -> DataFrame:
     """Per-registrable-domain crawl rollup: doc count, exact-dup doc
     count (docs beyond the first per distinct text), total chars, and
@@ -227,8 +228,18 @@ def domain_stats(
     100 TB shape: text is reduced to a 60-bit md5 slice in the scan
     projection, so only (domain, hash, lang-hash, int) rows shuffle —
     never document text; then a (domain, hash) partial-agg feeds one
-    domain-key agg. Both aggs map-side combine; no distinct-expand."""
-    dom = registrable_domain(url_host(F.col(url_col)))
+    domain-key agg. Both aggs map-side combine; no distinct-expand.
+
+    `domain_col` names an ALREADY-COMPUTED registrable-domain column to
+    roll up on instead of re-deriving it from `url_col` — the PSL
+    extraction is a very large per-row expression, so a caller that has
+    it in hand (the crawl funnel) should pay it once, not once per
+    consumer."""
+    dom = (
+        F.col(domain_col)
+        if domain_col is not None
+        else registrable_domain(url_host(F.col(url_col)))
+    )
     # tables without a language column still roll up (n_langs = 1)
     lang = F.col(lang_col) if lang_col in df.columns else F.lit("")
     pre = df.select(
@@ -461,6 +472,7 @@ def domain_gate(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_dup_ratio: tuple[int, int] = (1, 4),
+    domain_col: str | None = None,
 ) -> DataFrame:
     """Domain-level quality gate (RefinedWeb-style): compute per-domain
     rollups, then drop EVERY document from domains whose exact-dup
@@ -472,13 +484,27 @@ def domain_gate(
 
     100 TB shape: the rollup shuffles only (domain, hash, int) rows;
     the loser-domain list is domain-bounded and joins back BROADCAST
-    anti — the document table never shuffles."""
+    anti — the document table never shuffles.
+
+    `domain_col` (see domain_stats): an already-computed domain column
+    used for BOTH the rollup and the anti-join key, so the per-row PSL
+    expression is never re-derived here. NULL-domain semantics are
+    unchanged either way — a NULL anti-join key never matches, so
+    domainless docs pass."""
     num, den = max_dup_ratio
-    stats = domain_stats(df, url_col=url_col, text_col=text_col)
+    stats = domain_stats(
+        df, url_col=url_col, text_col=text_col, domain_col=domain_col
+    )
     losers = stats.filter(
         F.col("domain").isNotNull()
         & (F.col("n_dup_docs") * den > F.col("n_docs") * num)
     ).select("domain")
+    if domain_col is not None:
+        return df.join(
+            F.broadcast(losers.withColumnRenamed("domain", domain_col)),
+            domain_col,
+            "left_anti",
+        )
     dom = registrable_domain(url_host(F.col(url_col)))
     return (
         df.withColumn("__dom", dom)

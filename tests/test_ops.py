@@ -2559,6 +2559,31 @@ def test_bloom_bitmap_matches_python_reference_and_fp_determinism(spark):
     assert 0 < len(want_seen) < len(probe_units)
 
 
+def test_bloom_apply_carry_cols(spark):
+    """carry_cols rides extra columns through the scrub projection
+    row-for-row (the r14 optimization that let incremental_curation
+    drop its re-join): same n_units/n_seen/clean_text as the bare
+    call, plus the carried column untouched."""
+    from route81_spark.ops.corpus import (
+        bloom_apply, bloom_build, bloom_dense_words)
+
+    ref = spark.createDataFrame(
+        [Row(doc_id=1, text="aa\nbb\ncc")])
+    probe = spark.createDataFrame(
+        [Row(doc_id=2, text="bb\ndd", status="added"),
+         Row(doc_id=3, text="ee\ncc\nff", status="changed")])
+    words = bloom_dense_words(bloom_build(ref, sep="\n"))
+    bare = {r["doc_id"]: r for r in bloom_apply(
+        probe, words, sep="\n").collect()}
+    carried = {r["doc_id"]: r for r in bloom_apply(
+        probe, words, sep="\n", carry_cols=("status",)).collect()}
+    assert set(carried) == set(bare) == {2, 3}
+    for i, st in ((2, "added"), (3, "changed")):
+        assert carried[i]["status"] == st
+        for c in ("n_units", "n_seen", "clean_text"):
+            assert carried[i][c] == bare[i][c]
+
+
 def test_bloom_dedup_stage(spark):
     from route81_spark.pipeline import apply_pipeline
 

@@ -14,10 +14,11 @@ Usage: python tools/plan_snapshot.py [sf_dir] [out_file] [name ...]
 
 from __future__ import annotations
 
+import os
 import re
 import sys
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def normalize(plan: str) -> str:
