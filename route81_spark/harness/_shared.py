@@ -32,6 +32,24 @@ def _q(name: str, oracle: str | None = None):
 def _t(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return load_table(spark, sf_dir, table)
 
+def _docs_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared narrow corpus source for the synthetic-text families:
+    just doc_id, spread to the session's core budget. These queries
+    hang ALL their per-row analyzer work (stemmer programs, diacritic
+    folds, PSL chains, scoring) off this one scan, and the harness
+    table is a single small parquet file — without the spread the
+    entire heavy map stage serializes onto ONE scan task (guide §2.5
+    input-skew: "one huge unsplittable file ... repartition
+    immediately after the read"). ensure_parallelism's screen makes
+    this a no-op wherever the scan already splits (any real corpus),
+    so no constant is baked in: the target follows
+    defaultParallelism."""
+    from route81_spark.io import ensure_parallelism
+
+    return ensure_parallelism(
+        load_table(spark, sf_dir, "documents").select("doc_id")
+    )
+
 _SH_SQL = (
     "list_distinct(list_transform(range(1, greatest(len(string_split_regex(trim(text),"
     " '\\s+')) - 2, 1) + 1), i -> array_to_string("

@@ -7,7 +7,7 @@ from pyspark.sql import functions as F
 from route81_spark.ops import text as X
 from route81_spark.ops.util import det_round_sql
 from route81_spark.pipeline import apply_pipeline
-from ._shared import _HTML_STEPS, _TOKS, _q, _t, _wh60
+from ._shared import _HTML_STEPS, _TOKS, _docs_ids, _q, _t, _wh60
 
 @_q(
     "text_stats",
@@ -1023,7 +1023,7 @@ def match_text_stem(spark, sf_dir):
     endings (focus, heroes, status, glasses) stay distinct words — the
     Harman S-stemmer applied as one pure-Column CASE chain over the
     token array, zero Python, zero shuffle."""
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _docs_ids(spark, sf_dir)
     prepped = docs.select("doc_id", _s_syn_spark(F.col("doc_id")).alias("text"))
     return apply_pipeline(
         prepped,
@@ -1108,7 +1108,7 @@ def match_text_porter(spark, sf_dir):
     is one pure-Column expression program per token (regexp-derived
     R1/R2 regions, nested-CASE suffix steps with Snowball's
     longest-match-wins semantics) — zero Python, zero shuffle."""
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _docs_ids(spark, sf_dir)
     prepped = docs.select("doc_id", _p_syn_spark(F.col("doc_id")).alias("text"))
     return apply_pipeline(
         prepped,
@@ -1203,7 +1203,7 @@ def match_text_french(spark, sf_dir):
     a single consuming regex pass, regexp-derived RV/R1/R2, the suffix
     steps as longest-match-in-region when-chains) — zero Python, zero
     shuffle, applied through the once-per-session SQL temp function."""
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _docs_ids(spark, sf_dir)
     prepped = docs.select(
         "doc_id", _fr_syn_spark(F.col("doc_id")).alias("text")
     )
@@ -1286,7 +1286,7 @@ def match_text_stopwords(spark, sf_dir):
     list itself (Snowball English, ops/stopwords.py) is shared as
     data with the oracle. Per-row token filtering — one
     array_contains per token, map-only, no Python."""
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _docs_ids(spark, sf_dir)
     prepped = docs.select(
         "doc_id", _sw_syn_spark(F.col("doc_id")).alias("text")
     )
@@ -1415,7 +1415,7 @@ def match_text_french_stopwords(spark, sf_dir):
     never match on its own tokens. One array_contains filter per
     token ahead of the stemmer — map-only, zero shuffle, zero
     Python."""
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _docs_ids(spark, sf_dir)
     prepped = docs.select(
         "doc_id", _frsw_syn_spark(F.col("doc_id")).alias("text")
     )
@@ -1490,7 +1490,7 @@ def text_bm25_french(spark, sf_dir):
     shuffle; top-25 via TakeOrderedAndProject."""
     from route81_spark.ops.corpus import bm25_scores
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _docs_ids(spark, sf_dir)
     prepped = docs.select(
         "doc_id", _frsw_syn_spark(F.col("doc_id")).alias("text")
     )
@@ -1535,7 +1535,7 @@ def stage_stem_french(spark, sf_dir):
     the all-stop-words snippet stems to the empty array. Per-row
     scalar work through the once-per-session registered SQL
     function; no shuffle, no Python."""
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _docs_ids(spark, sf_dir)
     prepped = docs.select(
         "doc_id", _frsw_syn_spark(F.col("doc_id")).alias("text")
     )
@@ -1655,7 +1655,7 @@ def match_text_german_stopwords(spark, sf_dir):
     'dat'-stemming form; 'über'/'die' stop out. One array_contains +
     one registered-SQL-function call per token — map-only, zero
     shuffle, zero Python."""
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _docs_ids(spark, sf_dir)
     prepped = docs.select(
         "doc_id", _gsw_syn_spark(F.col("doc_id")).alias("text")
     )
@@ -1729,7 +1729,7 @@ def match_text_german(spark, sf_dir):
     applies through the once-per-session registered SQL function —
     map-only plan, zero shuffle, zero Python; the column-vs-twin grid
     sweep + spec pins live in tests/test_german.py."""
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _docs_ids(spark, sf_dir)
     prepped = docs.select(
         "doc_id", _gst_syn_spark(F.col("doc_id")).alias("text")
     )
@@ -1827,7 +1827,7 @@ def match_text_swedish(spark, sf_dir):
     through the once-per-session registered SQL function — map-only
     plan, zero shuffle, zero Python; the column-vs-twin grid sweep +
     spec pins live in tests/test_swedish.py."""
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _docs_ids(spark, sf_dir)
     prepped = docs.select(
         "doc_id", _svt_syn_spark(F.col("doc_id")).alias("text")
     )
@@ -1966,7 +1966,7 @@ def text_bm25_swedish(spark, sf_dir):
     TakeOrderedAndProject."""
     from route81_spark.ops.corpus import bm25_scores
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _docs_ids(spark, sf_dir)
     prepped = docs.select(
         "doc_id", _svst_syn_spark(F.col("doc_id")).alias("text")
     )
@@ -2012,7 +2012,7 @@ def stage_stem_swedish(spark, sf_dir):
     stems to the empty array. Per-row scalar work through the
     once-per-session registered SQL function; no shuffle, no
     Python."""
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _docs_ids(spark, sf_dir)
     prepped = docs.select(
         "doc_id", _svst_syn_spark(F.col("doc_id")).alias("text")
     )
@@ -2165,7 +2165,7 @@ def text_bm25_norwegian(spark, sf_dir):
     scoring shuffle; top-25 via TakeOrderedAndProject."""
     from route81_spark.ops.corpus import bm25_scores
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _docs_ids(spark, sf_dir)
     prepped = docs.select(
         "doc_id", _nvt_syn_spark(F.col("doc_id")).alias("text")
     )
@@ -2225,7 +2225,7 @@ def match_text_norwegian(spark, sf_dir):
     the once-per-session registered SQL function — map-only plan,
     zero shuffle, zero Python; the column-vs-twin grid sweep + spec
     pins live in tests/test_norwegian.py."""
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _docs_ids(spark, sf_dir)
     prepped = docs.select(
         "doc_id", _nvt_syn_spark(F.col("doc_id")).alias("text")
     )
@@ -2275,7 +2275,7 @@ def stage_stem_norwegian(spark, sf_dir):
     'løper' -> 'løp'). Per-row scalar work through the
     once-per-session registered SQL function; no shuffle, no
     Python."""
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _docs_ids(spark, sf_dir)
     prepped = docs.select(
         "doc_id", _nvt_syn_spark(F.col("doc_id")).alias("text")
     )
@@ -2381,7 +2381,7 @@ def match_text_danish(spark, sf_dir):
     tests/test_danish.py, and the twin is additionally pinned
     word-for-word to the compiled Snowball authority in
     tests/test_snowball_authority.py."""
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _docs_ids(spark, sf_dir)
     prepped = docs.select(
         "doc_id", _dkt_syn_spark(F.col("doc_id")).alias("text")
     )
@@ -2520,7 +2520,7 @@ def text_bm25_danish(spark, sf_dir):
     scoring shuffle; top-25 via TakeOrderedAndProject."""
     from route81_spark.ops.corpus import bm25_scores
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _docs_ids(spark, sf_dir)
     prepped = docs.select(
         "doc_id", _dkst_syn_spark(F.col("doc_id")).alias("text")
     )
@@ -2566,7 +2566,7 @@ def stage_stem_danish(spark, sf_dir):
     the all-stop-words snippet stems to the empty array. Per-row
     scalar work through the once-per-session registered SQL
     function; no shuffle, no Python."""
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _docs_ids(spark, sf_dir)
     prepped = docs.select(
         "doc_id", _dkst_syn_spark(F.col("doc_id")).alias("text")
     )
@@ -2643,7 +2643,7 @@ def text_bm25_stopwords(spark, sf_dir):
     scoring shuffle; top-25 via TakeOrderedAndProject."""
     from route81_spark.ops.corpus import bm25_scores
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _docs_ids(spark, sf_dir)
     prepped = docs.select(
         "doc_id", _sw_syn_spark(F.col("doc_id")).alias("text")
     )
@@ -2685,7 +2685,7 @@ def stage_stem_stopwords(spark, sf_dir):
     stemmed-vocabulary builder wants — and a document of only stop
     words stems to the empty array. Per-row scalar work, no shuffle,
     no Python."""
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _docs_ids(spark, sf_dir)
     prepped = docs.select(
         "doc_id", _sw_syn_spark(F.col("doc_id")).alias("text")
     )
@@ -2751,7 +2751,7 @@ def text_bm25_stop_language(spark, sf_dir):
     TakeOrderedAndProject."""
     from route81_spark.ops.corpus import bm25_scores
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _docs_ids(spark, sf_dir)
     prepped = docs.select(
         "doc_id", _gsw_syn_spark(F.col("doc_id")).alias("text")
     )
@@ -2836,7 +2836,7 @@ def text_bm25_german(spark, sf_dir):
     shuffle; top-25 via TakeOrderedAndProject."""
     from route81_spark.ops.corpus import bm25_scores
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _docs_ids(spark, sf_dir)
     prepped = docs.select(
         "doc_id", _gsw_syn_spark(F.col("doc_id")).alias("text")
     )
@@ -3021,7 +3021,11 @@ def match_text_weighted(spark, sf_dir):
     filter + projection, no shuffle, no Python."""
     from route81_spark.ops.web import _h60
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    from route81_spark.io import ensure_parallelism
+
+    docs = ensure_parallelism(
+        _t(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     title = F.element_at(
         F.array(*[F.lit(s) for s in W_TITLES]),
         (_h60(F.col("doc_id"), "wtitle") % 4 + 1).cast("int"),
@@ -3079,7 +3083,11 @@ def match_text_wildcard(spark, sf_dir):
     form: per-row work, no shuffle, no Python."""
     from route81_spark.ops.web import _h60
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    from route81_spark.io import ensure_parallelism
+
+    docs = ensure_parallelism(
+        _t(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     title = F.element_at(
         F.array(*[F.lit(s) for s in W_TITLES]),
         (_h60(F.col("doc_id"), "wtitle") % 4 + 1).cast("int"),
@@ -3148,7 +3156,11 @@ def match_text_wildcard_nested(spark, sf_dir):
     normalize/tokenize once, per-row work, no shuffle, no Python."""
     from route81_spark.ops.web import _h60
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    from route81_spark.io import ensure_parallelism
+
+    docs = ensure_parallelism(
+        _t(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     title = F.element_at(
         F.array(*[F.lit(s) for s in W_TITLES]),
         (_h60(F.col("doc_id"), "wtitle") % 4 + 1).cast("int"),
@@ -3249,7 +3261,11 @@ def match_text_langoverride(spark, sf_dir):
     literal stemmed query terms ('run' in "run the line"). Per-row
     CASE picks exactly one analysis branch per document; no shuffle,
     no Python."""
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    from route81_spark.io import ensure_parallelism
+
+    docs = ensure_parallelism(
+        _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    )
     prepped = docs.select(
         "doc_id", "lang", _lo_syn_spark(F.col("doc_id")).alias("text")
     )
@@ -3289,7 +3305,7 @@ def stage_stem(spark, sf_dir):
     (the building block for stemmed vocabularies outside $text);
     joined to one string here so the oracle hashes scalars. Per-row
     scalar work, no shuffle, no Python."""
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _docs_ids(spark, sf_dir)
     prepped = docs.select(
         "doc_id", _lo_syn_spark(F.col("doc_id")).alias("text")
     )
@@ -3350,7 +3366,7 @@ def text_bm25_stemmed(spark, sf_dir):
     TakeOrderedAndProject."""
     from route81_spark.ops.corpus import bm25_scores
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _docs_ids(spark, sf_dir)
     prepped = docs.select("doc_id", _p_syn_spark(F.col("doc_id")).alias("text"))
     scored = bm25_scores(prepped, _BM25P_TERMS, stem="porter")
     return (
@@ -3486,7 +3502,11 @@ def text_pii_extended(spark, sf_dir):
     matches — all pure Column, zero shuffle."""
     from route81_spark.ops.text import pii_counts, pii_redact
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    from route81_spark.io import ensure_parallelism
+
+    docs = ensure_parallelism(
+        _t(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     did = F.col("doc_id")
     base = F.lpad(((did * 7919) % F.lit(10**15)).cast("string"), 15, "0")
     rb = F.filter(F.split(F.reverse(base), ""), lambda c: c != "")

@@ -5,7 +5,7 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 from route81_spark.pipeline import apply_pipeline
-from ._shared import U_SNIPS, _q, _t, _wh60
+from ._shared import U_SNIPS, _docs_ids, _q, _t, _wh60
 
 def _uni_syn_spark(ids: Column) -> Column:
     """Synthetic multilingual text per id: two hash-picked snippets +
@@ -61,7 +61,7 @@ def corpus_unicode_text(spark, sf_dir):
     shuffle."""
     from route81_spark.ops.unitext import nfc_normalize, unicode_tokens
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _docs_ids(spark, sf_dir)
     raw = _uni_syn_spark(F.col("doc_id"))
     out = docs.select(
         "doc_id",
@@ -137,7 +137,7 @@ def match_text_diacritics(spark, sf_dir):
     excludes the jalapeño rows. Folding is ONE pure-Column
     translate (ops.unitext.fold_diacritics) applied to text and query
     literals alike — per-row, shuffle-free, inside codegen."""
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _docs_ids(spark, sf_dir)
     prepped = docs.select("doc_id", _d_syn_spark(F.col("doc_id")).alias("text"))
     return apply_pipeline(
         prepped,
@@ -174,7 +174,7 @@ def match_text_unicode(spark, sf_dir):
     + negation + integer textScore, per-row and shuffle-free."""
     from route81_spark.ops.unitext import nfc_normalize
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _docs_ids(spark, sf_dir)
     raw = _uni_syn_spark(F.col("doc_id"))
     prepped = docs.select("doc_id", nfc_normalize(F.lower(raw)).alias("text"))
     return apply_pipeline(

@@ -5,7 +5,7 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 from route81_spark.pipeline import apply_pipeline
-from ._shared import _W_SCHEME_RE, _W_SUFFIX_IN, _W_TRACK_RE, _q, _t, _wh60, _wpick
+from ._shared import _W_SCHEME_RE, _W_SUFFIX_IN, _W_TRACK_RE, _docs_ids, _q, _t, _wh60, _wpick
 
 def _url_syn_sql(x: str = "CAST(doc_id AS VARCHAR)") -> str:
     return (
@@ -210,7 +210,7 @@ def corpus_url_dedup(spark, sf_dir):
     One (canon, min-id) agg; documents never shuffle."""
     from route81_spark.ops.web import synthetic_urls, url_dedup
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _docs_ids(spark, sf_dir)
     base = docs.withColumn("__k", F.col("doc_id") - F.col("doc_id") % 2)
     u = synthetic_urls(base, id_col="__k")
     noisy = F.when(
@@ -338,7 +338,7 @@ def corpus_robots_filter(spark, sf_dir):
     )
     from route81_spark.ops.web import _SCHEME as _SCH
 
-    docs = synthetic_urls(_t(spark, sf_dir, "documents").select("doc_id"))
+    docs = synthetic_urls(_docs_ids(spark, sf_dir))
     out = robots_filter(docs, synthetic_robots(spark))
     canon = url_canonicalize(F.col("url"))
     return out.select(
@@ -375,7 +375,7 @@ def corpus_domain_split(spark, sf_dir):
         url_host,
     )
 
-    docs = synthetic_urls(_t(spark, sf_dir, "documents").select("doc_id"))
+    docs = synthetic_urls(_docs_ids(spark, sf_dir))
     dom = registrable_domain(url_host(F.col("url")))
     with_dom = docs.select("doc_id", dom.alias("domain"))
     return train_val_split(
@@ -436,7 +436,7 @@ def corpus_psl_domains(spark, sf_dir):
     from route81_spark.ops.psl import DEFAULT_PSL_RULES, psl_domain_table
     from route81_spark.ops.web import _h60
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _docs_ids(spark, sf_dir)
     h = _h60(F.col("doc_id"), "psl0")
     f = h % 12
     k = (h % 50).cast("string")

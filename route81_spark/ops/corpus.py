@@ -2607,14 +2607,16 @@ def bloom_apply(
     already-ingested index for incremental crawl dedup). Contrast
     line_dedup_global, which needs the winner agg + text join because
     it dedups a corpus against ITSELF."""
-    import numpy as np
+    from route81_spark.ops.util import lit_long_array
 
     m_bits = len(words) << 6
-    # np.int64 array -> ONE Literal node. F.lit(list) builds a 16k-child
-    # CreateArray, which codegen re-materializes per element_at call
-    # inside the lambda (measured: the probe ran 8s instead of 1s at
-    # sf0.1 — 3 probes/unit each rebuilding the 16k array).
-    lit_words = F.lit(np.asarray(words, dtype=np.int64))
+    # ONE Literal node, O(1) gateway round trips. The np.int64-array
+    # F.lit it replaces also folded to one Literal (unlike F.lit(list),
+    # whose 16k-child CreateArray codegen re-materialized per
+    # element_at probe — measured 8s instead of 1s at sf0.1), but its
+    # CONSTRUCTION made 2 Py4J calls per element: ~33,000 round trips
+    # ≈ 2.8 s of driver latency per build (tools/py4j_count.py).
+    lit_words = lit_long_array(words)
 
     def seen(u: Column) -> Column:
         return bloom_probe_expr(lit_words, u, m_bits, k, seed)

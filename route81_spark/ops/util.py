@@ -23,6 +23,48 @@ def det_round(col: Column, digits: int = 6) -> Column:
     return F.floor(col * scale + F.lit(0.5)) / scale
 
 
+# ---------------------------------------------------------------------
+# One-round-trip literal arrays.
+#
+# F.lit(seq) / F.array(*[F.lit(x) ...]) cost TWO Py4J gateway round
+# trips PER ELEMENT; on this driver a round trip is ~0.5-5 ms, so a
+# 16k-element bitmap literal burned ~33,000 calls ≈ seconds of pure
+# driver latency per query CONSTRUCTION (measured, tools/py4j_count.py).
+# Encoding the values into ONE string literal and splitting it is 3
+# round trips total; split/cast of a foldable literal is itself
+# foldable, so the optimizer's ConstantFolding collapses it to exactly
+# the array Literal the per-element form produced — the executed plan
+# is unchanged (verified: `element_at(split(lit(..)), 5)` optimizes to
+# a plain literal).
+# ---------------------------------------------------------------------
+
+# Unit Separator: a control char that never occurs in stop lists,
+# vocabulary fixtures, or rule tables (asserted per call — fall back to
+# the per-element form on the first counterexample, never corrupt).
+_LIT_SEP = "\x1f"
+
+
+def lit_long_array(values) -> Column:
+    """array<bigint> literal in O(1) gateway round trips."""
+    vals = list(values)
+    if not vals:
+        return F.array().cast("array<bigint>")
+    return F.split(
+        F.lit(",".join(str(int(v)) for v in vals)), ","
+    ).cast("array<bigint>")
+
+
+def lit_string_array(values) -> Column:
+    """array<string> literal in O(1) gateway round trips (empty
+    strings round-trip fine; the separator itself must not occur)."""
+    vals = [str(v) for v in values]
+    if not vals:
+        return F.array().cast("array<string>")
+    if any(_LIT_SEP in v for v in vals):
+        return F.array(*[F.lit(v) for v in vals])
+    return F.split(F.lit(_LIT_SEP.join(vals)), _LIT_SEP)
+
+
 def det_round_sql(expr: str, digits: int = 6) -> str:
     # the divisor must be a DOUBLE: `bigint / 1000000.0` parses the rhs
     # as DECIMAL(8,1) and produces DECIMAL(27,9) (floor() of a double
