@@ -1184,9 +1184,25 @@ def knn_graph(
     # self-joins; this shape pays one join, one codegen span, and the
     # scoring expression once. Shuffle bytes are unchanged (each band
     # copy of a vector crossed the wire in the per-band form too).
-    e = emb.select(
+    #
+    # Two per-task costs matter in the pair-scoring stage (guide §1.2
+    # step 2):
+    #  * the probe side must not serialize onto one scan task when the
+    #    corpus is a single small file (the per-band union form got 8-way
+    #    parallelism for free from its 8 branches; the single join needs
+    #    the input spread explicitly — no-op on any multi-split scan);
+    #  * each vector's L2 norm is hoisted out of the join and computed
+    #    ONCE per vector instead of per candidate pair (cosine(a, b)
+    #    inlines norm(a)*norm(b), i.e. 2 array aggregates per pair in
+    #    the guard + 2 more in the division at ~pop pairs per vector).
+    #    Same doubles, same division, same zero guard — bit-identical
+    #    scores, ~5x less per-pair arithmetic.
+    from route81_spark.io import ensure_parallelism
+
+    e = ensure_parallelism(emb.select(id_col, vec_col)).select(
         F.col(id_col),
         F.col(vec_col),
+        norm(F.col(vec_col)).alias("__nrm"),
         F.explode(
             F.array(
                 *[
@@ -1201,11 +1217,12 @@ def knn_graph(
             )
         ).alias("__bb"),
     ).select(
-        id_col, vec_col,
+        id_col, vec_col, "__nrm",
         F.col("__bb.band").alias("band"),
         F.col("__bb.bucket").alias("bucket"),
     )
     a, b = e.alias("a"), e.alias("b")
+    denom = F.col("a.__nrm") * F.col("b.__nrm")
     scored = a.join(
         b,
         (F.col("a.band") == F.col("b.band"))
@@ -1215,7 +1232,11 @@ def knn_graph(
         F.col(f"a.{id_col}").alias("src"),
         F.col(f"b.{id_col}").alias("nbr"),
         det_round(
-            cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 6
+            F.when(
+                denom != 0,
+                dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")) / denom,
+            ),
+            6,
         ).alias("score"),
     )
     if bands > 1:
