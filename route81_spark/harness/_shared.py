@@ -50,6 +50,23 @@ def _docs_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents").select("doc_id")
     )
 
+def _syn_text(docs: DataFrame, syn, *keep: str) -> DataFrame:
+    """Bind a synthesized text column ONCE behind a 1-element explode.
+    The Generate is an optimizer barrier that (a) keeps the heavy
+    $match predicate ABOVE _docs_ids' round-robin spread — filters push
+    through Repartition, and r14 measured the ENTIRE stemmer chain
+    running as a DataFilter on the single-file scan task, serializing
+    the whole map stage back onto one core — and (b) stops
+    CollapseProject from inlining the synthesis expression separately
+    into the filter and every scoring projection. Results are
+    untouched: explode of a 1-element array is exactly one output row
+    per input row (null included)."""
+    from pyspark.sql import functions as _F
+
+    return docs.select(
+        *keep, _F.explode(_F.array(syn)).alias("text")
+    )
+
 _SH_SQL = (
     "list_distinct(list_transform(range(1, greatest(len(string_split_regex(trim(text),"
     " '\\s+')) - 2, 1) + 1), i -> array_to_string("

@@ -7,7 +7,7 @@ from pyspark.sql import functions as F
 from route81_spark.ops import text as X
 from route81_spark.ops.util import det_round_sql
 from route81_spark.pipeline import apply_pipeline
-from ._shared import _HTML_STEPS, _TOKS, _docs_ids, _q, _t, _wh60
+from ._shared import _HTML_STEPS, _TOKS, _docs_ids, _q, _syn_text, _t, _wh60
 
 @_q(
     "text_stats",
@@ -1024,7 +1024,7 @@ def match_text_stem(spark, sf_dir):
     Harman S-stemmer applied as one pure-Column CASE chain over the
     token array, zero Python, zero shuffle."""
     docs = _docs_ids(spark, sf_dir)
-    prepped = docs.select("doc_id", _s_syn_spark(F.col("doc_id")).alias("text"))
+    prepped = _syn_text(docs, _s_syn_spark(F.col("doc_id")), "doc_id")
     return apply_pipeline(
         prepped,
         [
@@ -1109,7 +1109,7 @@ def match_text_porter(spark, sf_dir):
     R1/R2 regions, nested-CASE suffix steps with Snowball's
     longest-match-wins semantics) — zero Python, zero shuffle."""
     docs = _docs_ids(spark, sf_dir)
-    prepped = docs.select("doc_id", _p_syn_spark(F.col("doc_id")).alias("text"))
+    prepped = _syn_text(docs, _p_syn_spark(F.col("doc_id")), "doc_id")
     return apply_pipeline(
         prepped,
         [
@@ -1204,9 +1204,7 @@ def match_text_french(spark, sf_dir):
     steps as longest-match-in-region when-chains) — zero Python, zero
     shuffle, applied through the once-per-session SQL temp function."""
     docs = _docs_ids(spark, sf_dir)
-    prepped = docs.select(
-        "doc_id", _fr_syn_spark(F.col("doc_id")).alias("text")
-    )
+    prepped = _syn_text(docs, _fr_syn_spark(F.col("doc_id")), "doc_id")
     return apply_pipeline(
         prepped,
         [
@@ -1287,9 +1285,7 @@ def match_text_stopwords(spark, sf_dir):
     data with the oracle. Per-row token filtering — one
     array_contains per token, map-only, no Python."""
     docs = _docs_ids(spark, sf_dir)
-    prepped = docs.select(
-        "doc_id", _sw_syn_spark(F.col("doc_id")).alias("text")
-    )
+    prepped = _syn_text(docs, _sw_syn_spark(F.col("doc_id")), "doc_id")
     return apply_pipeline(
         prepped,
         [
@@ -1416,9 +1412,7 @@ def match_text_french_stopwords(spark, sf_dir):
     token ahead of the stemmer — map-only, zero shuffle, zero
     Python."""
     docs = _docs_ids(spark, sf_dir)
-    prepped = docs.select(
-        "doc_id", _frsw_syn_spark(F.col("doc_id")).alias("text")
-    )
+    prepped = _syn_text(docs, _frsw_syn_spark(F.col("doc_id")), "doc_id")
     return apply_pipeline(
         prepped,
         [
@@ -1491,9 +1485,7 @@ def text_bm25_french(spark, sf_dir):
     from route81_spark.ops.corpus import bm25_scores
 
     docs = _docs_ids(spark, sf_dir)
-    prepped = docs.select(
-        "doc_id", _frsw_syn_spark(F.col("doc_id")).alias("text")
-    )
+    prepped = _syn_text(docs, _frsw_syn_spark(F.col("doc_id")), "doc_id")
     scored = bm25_scores(
         prepped, ["les", "continuer", "été", "générale"],
         stem="french", stop_words=True,
@@ -1536,9 +1528,7 @@ def stage_stem_french(spark, sf_dir):
     scalar work through the once-per-session registered SQL
     function; no shuffle, no Python."""
     docs = _docs_ids(spark, sf_dir)
-    prepped = docs.select(
-        "doc_id", _frsw_syn_spark(F.col("doc_id")).alias("text")
-    )
+    prepped = _syn_text(docs, _frsw_syn_spark(F.col("doc_id")), "doc_id")
     out = apply_pipeline(
         prepped,
         [{"$stem": {"textField": "text", "as": "st", "mode": "french",
@@ -1656,9 +1646,7 @@ def match_text_german_stopwords(spark, sf_dir):
     one registered-SQL-function call per token — map-only, zero
     shuffle, zero Python."""
     docs = _docs_ids(spark, sf_dir)
-    prepped = docs.select(
-        "doc_id", _gsw_syn_spark(F.col("doc_id")).alias("text")
-    )
+    prepped = _syn_text(docs, _gsw_syn_spark(F.col("doc_id")), "doc_id")
     return apply_pipeline(
         prepped,
         [
@@ -1730,9 +1718,7 @@ def match_text_german(spark, sf_dir):
     map-only plan, zero shuffle, zero Python; the column-vs-twin grid
     sweep + spec pins live in tests/test_german.py."""
     docs = _docs_ids(spark, sf_dir)
-    prepped = docs.select(
-        "doc_id", _gst_syn_spark(F.col("doc_id")).alias("text")
-    )
+    prepped = _syn_text(docs, _gst_syn_spark(F.col("doc_id")), "doc_id")
     return apply_pipeline(
         prepped,
         [
@@ -1828,9 +1814,7 @@ def match_text_swedish(spark, sf_dir):
     plan, zero shuffle, zero Python; the column-vs-twin grid sweep +
     spec pins live in tests/test_swedish.py."""
     docs = _docs_ids(spark, sf_dir)
-    prepped = docs.select(
-        "doc_id", _svt_syn_spark(F.col("doc_id")).alias("text")
-    )
+    prepped = _syn_text(docs, _svt_syn_spark(F.col("doc_id")), "doc_id")
     return apply_pipeline(
         prepped,
         [
@@ -1967,9 +1951,7 @@ def text_bm25_swedish(spark, sf_dir):
     from route81_spark.ops.corpus import bm25_scores
 
     docs = _docs_ids(spark, sf_dir)
-    prepped = docs.select(
-        "doc_id", _svst_syn_spark(F.col("doc_id")).alias("text")
-    )
+    prepped = _syn_text(docs, _svst_syn_spark(F.col("doc_id")), "doc_id")
     scored = bm25_scores(
         prepped, ["är", "nyheter", "möjlig", "springer"],
         stem="swedish", stop_words=True,
@@ -2013,9 +1995,7 @@ def stage_stem_swedish(spark, sf_dir):
     once-per-session registered SQL function; no shuffle, no
     Python."""
     docs = _docs_ids(spark, sf_dir)
-    prepped = docs.select(
-        "doc_id", _svst_syn_spark(F.col("doc_id")).alias("text")
-    )
+    prepped = _syn_text(docs, _svst_syn_spark(F.col("doc_id")), "doc_id")
     out = apply_pipeline(
         prepped,
         [{"$stem": {"textField": "text", "as": "st", "mode": "swedish",
@@ -2166,9 +2146,7 @@ def text_bm25_norwegian(spark, sf_dir):
     from route81_spark.ops.corpus import bm25_scores
 
     docs = _docs_ids(spark, sf_dir)
-    prepped = docs.select(
-        "doc_id", _nvt_syn_spark(F.col("doc_id")).alias("text")
-    )
+    prepped = _syn_text(docs, _nvt_syn_spark(F.col("doc_id")), "doc_id")
     scored = bm25_scores(
         prepped, ["når", "nyheter", "mulig", "løper"],
         stem="norwegian", stop_words=True,
@@ -2226,9 +2204,7 @@ def match_text_norwegian(spark, sf_dir):
     zero shuffle, zero Python; the column-vs-twin grid sweep + spec
     pins live in tests/test_norwegian.py."""
     docs = _docs_ids(spark, sf_dir)
-    prepped = docs.select(
-        "doc_id", _nvt_syn_spark(F.col("doc_id")).alias("text")
-    )
+    prepped = _syn_text(docs, _nvt_syn_spark(F.col("doc_id")), "doc_id")
     return apply_pipeline(
         prepped,
         [
@@ -2276,9 +2252,7 @@ def stage_stem_norwegian(spark, sf_dir):
     once-per-session registered SQL function; no shuffle, no
     Python."""
     docs = _docs_ids(spark, sf_dir)
-    prepped = docs.select(
-        "doc_id", _nvt_syn_spark(F.col("doc_id")).alias("text")
-    )
+    prepped = _syn_text(docs, _nvt_syn_spark(F.col("doc_id")), "doc_id")
     out = apply_pipeline(
         prepped,
         [{"$stem": {"textField": "text", "as": "st",
@@ -2382,9 +2356,7 @@ def match_text_danish(spark, sf_dir):
     word-for-word to the compiled Snowball authority in
     tests/test_snowball_authority.py."""
     docs = _docs_ids(spark, sf_dir)
-    prepped = docs.select(
-        "doc_id", _dkt_syn_spark(F.col("doc_id")).alias("text")
-    )
+    prepped = _syn_text(docs, _dkt_syn_spark(F.col("doc_id")), "doc_id")
     return apply_pipeline(
         prepped,
         [
@@ -2521,9 +2493,7 @@ def text_bm25_danish(spark, sf_dir):
     from route81_spark.ops.corpus import bm25_scores
 
     docs = _docs_ids(spark, sf_dir)
-    prepped = docs.select(
-        "doc_id", _dkst_syn_spark(F.col("doc_id")).alias("text")
-    )
+    prepped = _syn_text(docs, _dkst_syn_spark(F.col("doc_id")), "doc_id")
     scored = bm25_scores(
         prepped, ["er", "nyheder", "bestemme", "løber"],
         stem="danish", stop_words=True,
@@ -2567,9 +2537,7 @@ def stage_stem_danish(spark, sf_dir):
     scalar work through the once-per-session registered SQL
     function; no shuffle, no Python."""
     docs = _docs_ids(spark, sf_dir)
-    prepped = docs.select(
-        "doc_id", _dkst_syn_spark(F.col("doc_id")).alias("text")
-    )
+    prepped = _syn_text(docs, _dkst_syn_spark(F.col("doc_id")), "doc_id")
     out = apply_pipeline(
         prepped,
         [{"$stem": {"textField": "text", "as": "st", "mode": "danish",
@@ -2644,9 +2612,7 @@ def text_bm25_stopwords(spark, sf_dir):
     from route81_spark.ops.corpus import bm25_scores
 
     docs = _docs_ids(spark, sf_dir)
-    prepped = docs.select(
-        "doc_id", _sw_syn_spark(F.col("doc_id")).alias("text")
-    )
+    prepped = _syn_text(docs, _sw_syn_spark(F.col("doc_id")), "doc_id")
     scored = bm25_scores(
         prepped, ["the", "data", "processing", "runs"],
         stem="porter", stop_words=True,
@@ -2686,9 +2652,7 @@ def stage_stem_stopwords(spark, sf_dir):
     words stems to the empty array. Per-row scalar work, no shuffle,
     no Python."""
     docs = _docs_ids(spark, sf_dir)
-    prepped = docs.select(
-        "doc_id", _sw_syn_spark(F.col("doc_id")).alias("text")
-    )
+    prepped = _syn_text(docs, _sw_syn_spark(F.col("doc_id")), "doc_id")
     out = apply_pipeline(
         prepped,
         [{"$stem": {"textField": "text", "as": "st", "mode": "porter",
@@ -2752,9 +2716,7 @@ def text_bm25_stop_language(spark, sf_dir):
     from route81_spark.ops.corpus import bm25_scores
 
     docs = _docs_ids(spark, sf_dir)
-    prepped = docs.select(
-        "doc_id", _gsw_syn_spark(F.col("doc_id")).alias("text")
-    )
+    prepped = _syn_text(docs, _gsw_syn_spark(F.col("doc_id")), "doc_id")
     scored = bm25_scores(
         prepped, ["die", "daten", "über", "verarbeitung"],
         stop_words=True, stop_language="german",
@@ -2837,9 +2799,7 @@ def text_bm25_german(spark, sf_dir):
     from route81_spark.ops.corpus import bm25_scores
 
     docs = _docs_ids(spark, sf_dir)
-    prepped = docs.select(
-        "doc_id", _gsw_syn_spark(F.col("doc_id")).alias("text")
-    )
+    prepped = _syn_text(docs, _gsw_syn_spark(F.col("doc_id")), "doc_id")
     scored = bm25_scores(
         prepped, ["die", "daten", "über", "verarbeitungen"],
         stem="german", stop_words=True,
@@ -3266,9 +3226,7 @@ def match_text_langoverride(spark, sf_dir):
     docs = ensure_parallelism(
         _t(spark, sf_dir, "documents").select("doc_id", "lang")
     )
-    prepped = docs.select(
-        "doc_id", "lang", _lo_syn_spark(F.col("doc_id")).alias("text")
-    )
+    prepped = _syn_text(docs, _lo_syn_spark(F.col("doc_id")), "doc_id", "lang")
     return apply_pipeline(
         prepped,
         [
@@ -3306,9 +3264,7 @@ def stage_stem(spark, sf_dir):
     joined to one string here so the oracle hashes scalars. Per-row
     scalar work, no shuffle, no Python."""
     docs = _docs_ids(spark, sf_dir)
-    prepped = docs.select(
-        "doc_id", _lo_syn_spark(F.col("doc_id")).alias("text")
-    )
+    prepped = _syn_text(docs, _lo_syn_spark(F.col("doc_id")), "doc_id")
     out = apply_pipeline(
         prepped,
         [{"$stem": {"textField": "text", "as": "st", "mode": "porter"}}],
@@ -3367,7 +3323,7 @@ def text_bm25_stemmed(spark, sf_dir):
     from route81_spark.ops.corpus import bm25_scores
 
     docs = _docs_ids(spark, sf_dir)
-    prepped = docs.select("doc_id", _p_syn_spark(F.col("doc_id")).alias("text"))
+    prepped = _syn_text(docs, _p_syn_spark(F.col("doc_id")), "doc_id")
     scored = bm25_scores(prepped, _BM25P_TERMS, stem="porter")
     return (
         scored.select("doc_id", "bm25")

@@ -5,7 +5,7 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 from route81_spark.pipeline import apply_pipeline
-from ._shared import U_SNIPS, _docs_ids, _q, _t, _wh60
+from ._shared import U_SNIPS, _docs_ids, _q, _syn_text, _t, _wh60
 
 def _uni_syn_spark(ids: Column) -> Column:
     """Synthetic multilingual text per id: two hash-picked snippets +
@@ -138,7 +138,7 @@ def match_text_diacritics(spark, sf_dir):
     translate (ops.unitext.fold_diacritics) applied to text and query
     literals alike — per-row, shuffle-free, inside codegen."""
     docs = _docs_ids(spark, sf_dir)
-    prepped = docs.select("doc_id", _d_syn_spark(F.col("doc_id")).alias("text"))
+    prepped = _syn_text(docs, _d_syn_spark(F.col("doc_id")), "doc_id")
     return apply_pipeline(
         prepped,
         [
@@ -176,7 +176,7 @@ def match_text_unicode(spark, sf_dir):
 
     docs = _docs_ids(spark, sf_dir)
     raw = _uni_syn_spark(F.col("doc_id"))
-    prepped = docs.select("doc_id", nfc_normalize(F.lower(raw)).alias("text"))
+    prepped = _syn_text(docs, nfc_normalize(F.lower(raw)), "doc_id")
     return apply_pipeline(
         prepped,
         [
