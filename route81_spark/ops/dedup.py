@@ -19,7 +19,7 @@ Hashes are md5-derived 60-bit ints so DuckDB oracles match exactly.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from route81_spark.ops.text import shingles, tokens
@@ -917,7 +917,23 @@ def containment_pairs(
     only UNDER-count containment — a containment-0.5 pair built from
     stop-shingles alone is noise, not signal. The threshold compares
     integer cross-products (2*inter >= min-size); the reported double
-    is display-only."""
+    is display-only.
+
+    Execution shape: one distinct (doc, shingle) relation carries BOTH
+    per-doc set size and per-shingle document frequency as full-
+    partition window counts, so the stop-shingle prune is a filter
+    (not a groupBy + broadcast anti-join) and set sizes ride along
+    instead of being re-attached by two id joins. After the prune
+    every shingle's posting list is bounded by max_df, so the
+    inverted-index SELF-JOIN becomes a bounded collect_list + pair
+    explode over the SAME partitioning the df window already
+    established — the whole query is one linear pipeline (scan +
+    explode + distinct executes once; the previous form evaluated it
+    six times) with four Exchanges and no join. The window count (not
+    collect_list) does the hot-shingle detection, so per-task state
+    stays bounded even for a boilerplate shingle present in millions
+    of documents (window partitions spill through the sorter; the
+    collected lists exist only post-prune, capped at max_df)."""
     num, den = threshold
     sh = (
         df.select(
@@ -925,26 +941,41 @@ def containment_pairs(
             F.explode(shingles(F.col(text_col), n)).alias("s"),
         )
         .select("i", h64(F.col("s"), seed).alias("h"))
+        # hash by doc id only: HashPartitioning(i) satisfies the
+        # (i, h)-distinct's clustering requirement AND the sz window's,
+        # so dedup + per-doc size share ONE exchange
+        .repartition("i")
         .distinct()
+        # full set size per doc (counted BEFORE the stop-shingle prune,
+        # as the contract requires), then document frequency per shingle
+        .withColumn("sz", F.count("*").over(Window.partitionBy("i")))
+        .withColumn("df", F.count("*").over(Window.partitionBy("h")))
+        .filter(F.col("df") <= max_df)
     )
-    sizes = sh.groupBy("i").agg(F.count("*").cast("long").alias("sz"))
-    hot = sh.groupBy("h").count().filter(F.col("count") > max_df).select("h")
-    pruned = sh.join(F.broadcast(hot), "h", "left_anti")
-    a = pruned.select(F.col("i").alias("id_a"), "h")
-    b = pruned.select(F.col("i").alias("id_b"), "h")
+    posting = sh.groupBy("h").agg(
+        F.collect_list(F.struct("i", "sz")).alias("ds")
+    )
+    pairs = posting.select(
+        F.explode("ds").alias("a"), "ds"
+    ).select(
+        "a",
+        F.explode(
+            F.filter("ds", lambda d: d["i"] > F.col("a")["i"])
+        ).alias("b"),
+    )
     inter = (
-        a.join(b, "h")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").cast("long").alias("inter"))
+        pairs.groupBy(
+            F.col("a")["i"].alias("id_a"), F.col("b")["i"].alias("id_b")
+        )
+        .agg(
+            F.count("*").cast("long").alias("inter"),
+            F.max(F.col("a")["sz"]).alias("size_a"),
+            F.max(F.col("b")["sz"]).alias("size_b"),
+        )
     )
-    sa = sizes.select(F.col("i").alias("id_a"), F.col("sz").alias("size_a"))
-    sb = sizes.select(F.col("i").alias("id_b"), F.col("sz").alias("size_b"))
     least = F.least(F.col("size_a"), F.col("size_b"))
     return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .filter(F.col("inter") * den >= least * num)
+        inter.filter(F.col("inter") * den >= least * num)
         .select(
             "id_a",
             "id_b",

@@ -434,14 +434,19 @@ def test_cluster_sample_embeddings_never_shuffle(spark):
         assert not ("hashpartitioning" in block and "embedding#" in block), plan
 
 
-def test_containment_prune_broadcasts_and_text_never_shuffles(spark):
-    """containment_pairs: the stop-shingle prune is a broadcast
-    anti-join (hot list is tiny by construction) and no
-    hash-partitioned Exchange carries raw text — only (doc, hash)
-    integer rows move."""
+def test_containment_single_pipeline_and_text_never_shuffles(spark):
+    """containment_pairs (r14 shape): ONE linear pipeline — a single
+    documents scan (the explode + distinct is never re-evaluated), the
+    stop-shingle prune is a window-count filter rather than a groupBy +
+    broadcast anti-join, pair generation is a bounded posting-list
+    explode with NO join of any kind, and no hash-partitioned Exchange
+    carries raw text — only (doc, hash) integer rows move."""
     df = harness.QUERIES["dedup_containment"](spark, SF)
     plan = plan_of(df, "formatted")
-    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    # formatted mode lists each node twice (tree + details)
+    assert plan.count("Scan parquet") == 2, plan
+    assert "Join" not in plan, plan
+    assert plan.count("Window") >= 1, plan
     for block in plan.split("\n\n"):
         head = block.strip().splitlines()[0] if block.strip() else ""
         if "Exchange" not in head or "BroadcastExchange" in head:
