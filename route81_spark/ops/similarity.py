@@ -57,11 +57,31 @@ def brute_force_topk(
     query_vec_col: str = "query_vec",
 ) -> DataFrame:
     """Top-k cosine neighbors per query. Broadcast the query side; score
-    map-side; rank with a per-query window (ties broken by id)."""
-    scored = emb.crossJoin(F.broadcast(queries)).select(
+    map-side; rank with a per-query window (ties broken by id).
+
+    Per-task work (guide §1.2 step 2): each side's L2 norm is computed
+    ONCE per vector before the crossJoin instead of per (vector, query)
+    pair inside cosine's guard and division — same doubles, same zero
+    guard, bit-identical scores; and the corpus side is spread so a
+    single-file scan does not serialize the whole scoring stage onto
+    one task (no-op on any multi-split input)."""
+    from route81_spark.io import ensure_parallelism
+
+    e = ensure_parallelism(emb.select(id_col, vec_col)).withColumn(
+        "__nrm", norm(F.col(vec_col))
+    )
+    q = queries.withColumn("__qnrm", norm(F.col(query_vec_col)))
+    denom = F.col("__nrm") * F.col("__qnrm")
+    scored = e.crossJoin(F.broadcast(q)).select(
         F.col(query_id_col),
         F.col(id_col),
-        det_round(cosine(F.col(vec_col), F.col(query_vec_col)), 6).alias("score"),
+        det_round(
+            F.when(
+                denom != 0,
+                dot(F.col(vec_col), F.col(query_vec_col)) / denom,
+            ),
+            6,
+        ).alias("score"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("score").desc(), F.col(id_col).asc())
     return (
@@ -967,19 +987,31 @@ def hard_negatives(
     map-side, per-query top-k via WindowGroupLimit. The label gate is
     a map-side filter BEFORE ranking, so only cross-label rows reach
     the shuffle; swap the scorer for the bucketed/IVF variants when
-    the corpus outgrows brute force."""
+    the corpus outgrows brute force. Norms are hoisted out of the
+    crossJoin (once per vector, not per pair — bit-identical scores)
+    and the corpus side is spread off a single-file scan."""
+    from route81_spark.io import ensure_parallelism
     from route81_spark.ops.util import det_round
 
+    e = ensure_parallelism(
+        emb.select(id_col, vec_col, label_col)
+    ).withColumn("__nrm", norm(F.col(vec_col)))
+    q = queries.withColumn("__qnrm", norm(F.col(query_vec_col)))
+    denom = F.col("__nrm") * F.col("__qnrm")
     scored = (
-        emb.crossJoin(F.broadcast(queries))
+        e.crossJoin(F.broadcast(q))
         .filter(F.col(label_col) != F.col(query_label_col))
         .select(
             F.col(query_id_col),
             F.col(id_col),
             F.col(label_col),
-            det_round(cosine(F.col(vec_col), F.col(query_vec_col)), 6).alias(
-                "score"
-            ),
+            det_round(
+                F.when(
+                    denom != 0,
+                    dot(F.col(vec_col), F.col(query_vec_col)) / denom,
+                ),
+                6,
+            ).alias("score"),
         )
     )
     w = Window.partitionBy(query_id_col).orderBy(
@@ -1062,18 +1094,31 @@ def contrastive_triplets(
     WindowGroupLimit-compiled rank over (anchor, side) — map-side
     partial top-1 — then pivot to one row per anchor. Swap the scorer
     for bucketed/IVF when the corpus outgrows brute force (same
-    contract as hard_negatives)."""
+    contract as hard_negatives). Norms are hoisted out of the
+    crossJoin (once per vector, not per pair — bit-identical scores)
+    and the corpus side is spread off a single-file scan."""
+    from route81_spark.io import ensure_parallelism
+
+    e = ensure_parallelism(
+        emb.select(id_col, vec_col, label_col)
+    ).withColumn("__nrm", norm(F.col(vec_col)))
+    a = anchors.withColumn("__anrm", norm(F.col(anchor_vec_col)))
+    denom = F.col("__nrm") * F.col("__anrm")
     scored = (
-        emb.crossJoin(F.broadcast(anchors))
+        e.crossJoin(F.broadcast(a))
         .filter(F.col(id_col) != F.col(anchor_id_col))
         .select(
             F.col(anchor_id_col),
             F.col(anchor_label_col),
             F.col(id_col),
             (F.col(label_col) == F.col(anchor_label_col)).alias("__pos"),
-            det_round(cosine(F.col(vec_col), F.col(anchor_vec_col)), 6).alias(
-                "__s"
-            ),
+            det_round(
+                F.when(
+                    denom != 0,
+                    dot(F.col(vec_col), F.col(anchor_vec_col)) / denom,
+                ),
+                6,
+            ).alias("__s"),
         )
     )
     w = Window.partitionBy(anchor_id_col, "__pos").orderBy(
