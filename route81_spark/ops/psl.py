@@ -57,6 +57,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from route81_spark.ops.util import lit_string_array
+
 # Deterministic vendored snapshot of publicsuffix.org rules (ICANN
 # section grammar: `name`, `*.name` wildcard, `!name` exception).
 # Contains every suffix the r7 static subset knew plus the rule kinds
@@ -237,17 +239,33 @@ def psl_domain_table(
     never moves, only the bounded rule table does. Semantics identical
     to `registrable_domain_psl` (property-pinned in tests).
 
-    The only driver-side action is ONE distinct-collect of (kind,
-    depth) pairs from the RULE table — a bounded model artifact (<= a
-    dozen rows for the real list), never the corpus."""
+    The only driver-side action is ONE collect of the normalized rule
+    table — a bounded model artifact (~10k rows for the real
+    publicsuffix.org list, the same class as codebooks/Bloom bitmaps),
+    never the corpus. Collecting the whole table (not just its (kind,
+    depth) pairs) lets every per-(kind, depth) join side be a literal
+    local relation: the previous form re-ran the normalize + distinct
+    pipeline once per broadcast build (an Exchange + two HashAggregates
+    and a scheduler job EACH — six jobs of fixed overhead per query)."""
     rules = normalize_psl_table(rules_df, rule_col)
-    kd = {
-        (r["kind"], r["depth"])
-        for r in rules.select("kind", "depth").distinct().collect()
-    }
+    rows = rules.select("kind", "depth", "name").collect()
+    kd = {(r["kind"], r["depth"]) for r in rows}
     norm_depths = sorted(d for k, d in kd if k == "normal" and d >= 2)
     wild_bases = sorted(d for k, d in kd if k == "wild")
     exc_depths = sorted(d for k, d in kd if k == "exc")
+
+    spark = df.sparkSession
+
+    def rule_side(colname: str, kind: str, depth: int) -> DataFrame:
+        # names are distinct within (kind, depth) by normalize's
+        # distinct, so the left joins keep their 1:1 multiplicity
+        names = sorted(
+            r["name"] for r in rows
+            if r["kind"] == kind and r["depth"] == depth
+        )
+        return spark.range(1).select(
+            F.explode(lit_string_array(names)).alias(colname)
+        )
 
     host = F.col(host_col) if isinstance(host_col, str) else host_col
     dotless = _fold_host(host)
@@ -274,30 +292,21 @@ def psl_domain_table(
         return F.when(n >= need, _tail(labels, n, d))
 
     for d in norm_depths:
-        side = rules.filter(
-            (F.col("kind") == "normal") & (F.col("depth") == d)
-        ).select(F.col("name").alias(f"__psl_nk{d}"))
         work = work.join(
-            F.broadcast(side),
+            F.broadcast(rule_side(f"__psl_nk{d}", "normal", d)),
             guarded_tail(d, d) == F.col(f"__psl_nk{d}"),
             "left",
         )
     for b in wild_bases:
-        side = rules.filter(
-            (F.col("kind") == "wild") & (F.col("depth") == b)
-        ).select(F.col("name").alias(f"__psl_wk{b}"))
         # a wildcard of base depth b matches hosts with >= b+1 labels
         work = work.join(
-            F.broadcast(side),
+            F.broadcast(rule_side(f"__psl_wk{b}", "wild", b)),
             guarded_tail(b, b + 1) == F.col(f"__psl_wk{b}"),
             "left",
         )
     for d in exc_depths:
-        side = rules.filter(
-            (F.col("kind") == "exc") & (F.col("depth") == d)
-        ).select(F.col("name").alias(f"__psl_xk{d}"))
         work = work.join(
-            F.broadcast(side),
+            F.broadcast(rule_side(f"__psl_xk{d}", "exc", d)),
             guarded_tail(d, d) == F.col(f"__psl_xk{d}"),
             "left",
         )
