@@ -773,6 +773,17 @@ def lm_logprob_score(
     if train_on is None:
         pairs = _bigram_pairs(df, text_col, id_col)
         tfb = pairs.groupBy(id_col, "bg").agg(F.count(F.lit(1)).alias("n"))
+        if not tfb.isStreaming:
+            # the (id, bigram, n) relation is the fan-out point: the
+            # scoring join AND the whole model chain (c2 counts ->
+            # continuation counts -> V -> lp) hang off it, and Spark
+            # does not reuse the exchange across those branches (the
+            # tokenize lambda's variable ids defeat canonicalization) —
+            # unpinned, the corpus was scanned and tokenized FOUR
+            # times per score. localCheckpoint is per-invocation (no
+            # cross-run reuse) and truncates every consumer's replay
+            # to the already-aggregated bigram table.
+            tfb = tfb.localCheckpoint()
         lp, _, _ = _lm_tables(tfb.groupBy("bg").agg(F.sum("n").alias("c2")))
         # self-trained: every scored bigram is in the model, so a plain
         # inner join scores everything — no smoothing fallback needed
