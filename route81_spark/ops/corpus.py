@@ -1540,13 +1540,23 @@ def _hashed_bigram_buckets(
     pairs = base.select(
         F.col(id_col), F.col("__tgt"), F.explode(bound_grams).alias("bg")
     ).filter(F.col("bg").contains(" "))
-    return (
+    out = (
         pairs.select(
             id_col, "__tgt", F.pmod(h64(F.col("bg"), seed), F.lit(n_buckets)).alias("b")
         )
         .groupBy(id_col, "__tgt", "b")
         .agg(F.count(F.lit(1)).alias("n_db"))
     )
+    if not out.isStreaming:
+        # fan-out point: both consumers (the bucket-model aggregation
+        # and the scoring join) replay this subtree, and the tokenize
+        # lambda's variable ids defeat exchange-reuse canonicalization
+        # — unpinned, the corpus is scanned and tokenized twice per
+        # DSIR/classifier query. localCheckpoint is per-invocation (no
+        # cross-run reuse) and bounds the replay at n_buckets rows per
+        # doc.
+        out = out.localCheckpoint()
+    return out
 
 
 def quality_classifier(
