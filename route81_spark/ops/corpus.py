@@ -20,6 +20,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from route81_spark.ops.dedup import near_dedup
+from route81_spark.ops.util import lit_string_array
 from route81_spark.ops.text import curation_gate
 
 
@@ -1440,7 +1441,7 @@ def bm25_scores(
         qt = list(dict.fromkeys(_stem_py(t) for t in qt))
     tok = tokens(F.col(text_col))
     if stop_words:
-        stop_arr = F.array(*[F.lit(s) for s in stops])
+        stop_arr = lit_string_array(stops)
         tok = F.filter(
             tok, lambda x: ~F.array_contains(stop_arr, F.lower(x))
         )

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from route81_spark.ops import dedup as D
+from route81_spark.ops.util import lit_string_array
 from route81_spark.ops import similarity as S
 from route81_spark.ops import text as X
 from route81_spark.pipeline.compiler import register_stage
@@ -107,7 +108,7 @@ def _stem(df: DataFrame, arg: dict) -> DataFrame:
         from route81_spark.ops.stopwords import STOP_EN, stop_list
 
         stops = (stop_list(mode) if mode in _CHAIN_LANGS else STOP_EN)
-        stop_arr = F.array(*[F.lit(s) for s in stops])
+        stop_arr = lit_string_array(stops)
         toks = F.filter(
             toks, lambda x: ~F.array_contains(stop_arr, F.lower(x))
         )

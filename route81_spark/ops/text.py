@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from route81_spark.ops.util import lit_string_array
+
 # A BPE-ish pre-tokenizer: word pieces, digit runs, punctuation runs.
 BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
 
@@ -194,7 +196,7 @@ def _snowball_argmax(tk: Column, max_tokens: int | None = 64) -> Column:
         ))
 
     scores = [
-        _hits(F.array(*[F.lit(w) for w in stop_list(lang)]))
+        _hits(lit_string_array(stop_list(lang)))
         for lang in SNOWBALL_LANGS
     ]
     return _lang_argmax_chain(scores)

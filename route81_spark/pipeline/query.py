@@ -30,6 +30,7 @@ from typing import Any
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from route81_spark.ops.util import lit_string_array
 from route81_spark.pipeline.exprs import PipelineCompileError, compile_expr, extjson_literal
 
 
@@ -483,17 +484,15 @@ def _text_bound(spec: dict, build):
         # stem-capable mode, but the query list may differ from a
         # branch's); each language's chain owns its unfolded array
         if lang_over is None and stem not in _CHAIN_LANGS:
-            stop_q_arr = F.array(*[F.lit(s) for s in _stop_q])
+            stop_q_arr = lit_string_array(_stop_q)
         stop_arrs: dict[str, Column] = {}
         if lang_over is not None:
-            stop_arrs["english"] = F.array(*[F.lit(s) for s in STOP_EN])
+            stop_arrs["english"] = lit_string_array(STOP_EN)
         from route81_spark.ops.stopwords import stop_list as _sl
 
         for _key in _CHAIN_LANGS:
             if stem == _key or lang_over is not None:
-                stop_arrs[_key] = F.array(
-                    *[F.lit(s) for s in _sl(_key)]
-                )
+                stop_arrs[_key] = lit_string_array(_sl(_key))
 
         def drop_stops(tks: Column, stop_arr: Column) -> Column:
             # one array_contains against the literal list per token —
