@@ -8,7 +8,7 @@ with a value-exact oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from route81_spark.ops.util import lit_string_array
@@ -977,10 +977,16 @@ def novelty_scores(
     worth keeping when token budgets bind. Returns
     (id, n_shingles, n_unique, novelty).
 
-    100 TB shape: distinct (doc, shingle-hash) integer rows -> one
-    map-side-combinable df count per hash -> join back on the hash
-    (both sides already integer-only) -> per-doc ratio agg. Text never
-    shuffles; no all-pairs anything."""
+    100 TB shape: distinct (doc, shingle-hash) integer rows -> the df
+    count per hash as a full-partition window count over the SAME
+    relation -> per-doc ratio agg. One linear pipeline: the previous
+    groupBy + join-back form evaluated the scan + shingle + distinct
+    lineage twice (exchange reuse never fires across the branches);
+    the window form evaluates it once, and hash-partitioning by the
+    shingle hash alone satisfies both the distinct's clustering
+    requirement and the window, sharing one exchange. Text never
+    shuffles; no all-pairs anything; per-task state stays bounded
+    (the window is a count — partitions spill through the sorter)."""
     from route81_spark.ops.dedup import h64
     from route81_spark.ops.util import det_round
 
@@ -990,12 +996,12 @@ def novelty_scores(
             F.explode(shingles(F.col(text_col), n)).alias("__s"),
         )
         .select(F.col(id_col), h64(F.col("__s"), seed).alias("__h"))
+        .repartition("__h")
         .distinct()
+        .withColumn("__df", F.count("*").over(Window.partitionBy("__h")))
     )
-    dfreq = sh.groupBy("__h").agg(F.count("*").alias("__df"))
     per_doc = (
-        sh.join(dfreq, "__h")
-        .groupBy(id_col)
+        sh.groupBy(id_col)
         .agg(
             F.count("*").cast("long").alias("n_shingles"),
             F.sum((F.col("__df") == 1).cast("int")).cast("long").alias("n_unique"),
