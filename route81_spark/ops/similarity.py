@@ -546,14 +546,30 @@ def ivf_topk(
     assigned once map-side (ivf_assign, zero shuffle), each query probes
     its cells via a broadcast equi-join on the centroid id; nprobe
     trades recall against scanned fraction (~nprobe/C of the corpus)."""
-    assigned = ivf_assign(emb, centroids, id_col, vec_col)
+    from route81_spark.io import ensure_parallelism
+
+    # norms hoisted out of the cell join — once per vector/query, not
+    # per probed pair (bit-identical scores, same zero guard); the
+    # corpus side is spread so a single-file scan does not serialize
+    # the assignment + scoring map stage onto one task
+    assigned = ivf_assign(
+        ensure_parallelism(emb.select(id_col, vec_col)),
+        centroids, id_col, vec_col,
+    ).withColumn("__nrm", norm(F.col(vec_col)))
     q_assigned = ivf_probe_cells(
         queries, centroids, nprobe, query_id_col, query_vec_col
-    )
+    ).withColumn("__qnrm", norm(F.col(query_vec_col)))
+    denom = F.col("__nrm") * F.col("__qnrm")
     scored = assigned.join(F.broadcast(q_assigned), "centroid_id").select(
         F.col(query_id_col),
         F.col(id_col),
-        det_round(cosine(F.col(vec_col), F.col(query_vec_col)), 6).alias("score"),
+        det_round(
+            F.when(
+                denom != 0,
+                dot(F.col(vec_col), F.col(query_vec_col)) / denom,
+            ),
+            6,
+        ).alias("score"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("score").desc(), F.col(id_col).asc())
     return (
