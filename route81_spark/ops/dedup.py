@@ -618,7 +618,7 @@ def near_dup_clusters(
     reliable file checkpoints — required on a real cluster, where an
     executor lost mid-loop must not lose the only copy of a block.
 
-    Graphs with <= `small_graph_max_edges` pairs short-circuit to a
+    Graphs with <= `small_graph_max_edges` pair rows short-circuit to a
     driver-side union-find over the collected edge list. The verified
     near-dup pair graph is usually orders of magnitude smaller than the
     corpus — a few hundred edges at test scale, where 2-5 distributed
@@ -635,6 +635,7 @@ def near_dup_clusters(
     edges = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).persist()
+    n_raw: int | None = None
     if small_graph_max_edges > 0:
         # Size the graph with ONE aggregation job, then collect from the
         # cache only when it is provably small. The former
@@ -643,15 +644,17 @@ def near_dup_clusters(
         # call on a graph that needed one (r14 job trace: 21 jobs,
         # ~2.5 s of pure scheduling at sf0.1); a count over the
         # persisted edges is a single map-side-combined pass at any
-        # scale.
-        dedges = edges.distinct().persist()
-        n_distinct = dedges.count()
-        if n_distinct <= small_graph_max_edges:
-            probe = dedges.collect()
-            dedges.unpersist()
+        # scale. The count (and the collected probe) is the RAW pair
+        # row count, not a distinct one: union-find is idempotent under
+        # duplicate edges, so the former distinct() here bought nothing
+        # but an extra exchange + persist per call — a raw count >=
+        # the distinct count only means a borderline graph falls to the
+        # distributed loop, which computes the same labels.
+        n_raw = edges.count()
+        if n_raw <= small_graph_max_edges:
+            probe = edges.collect()
             edges.unpersist()
             return _collected_components(pairs, probe)
-        dedges.unpersist()
     ck = _checkpointer(pairs, checkpoint_dir)
     # Right-size the loop's parallelism to the PAIR GRAPH, not the
     # corpus: the verified near-dup pairs are orders of magnitude
@@ -660,8 +663,9 @@ def near_dup_clusters(
     # overhead the dominant cost (measured 5.4s -> the count below
     # picks ~1 partition per 500k edges). The count and the checkpoint
     # below both read the persisted directed edges — the upstream DAG
-    # (LSH join, shingling, the lot) never re-executes.
-    n_edges = 2 * edges.count()
+    # (LSH join, shingling, the lot) never re-executes; when the probe
+    # already counted, its result is reused (one fewer job).
+    n_edges = 2 * (n_raw if n_raw is not None else edges.count())
     parts = max(2, min(32, n_edges // 500_000 + 1))
     edges_ck = ck(_symmetric(edges).coalesce(parts))
     edges.unpersist()
