@@ -270,10 +270,18 @@ def corpus_domain_gate(spark, sf_dir):
     # ONCE behind a 1-element explode (a Generate barrier
     # CollapseProject cannot cross) and let the template plant, the
     # gate rollup, the gate anti-join and the final projection all
-    # read the bound column — the former form re-derived it 4x per row
+    # read the bound column — the former form re-derived it 4x per row.
+    # The extraction is computed in its OWN projection and the Generate
+    # consumes the attribute: registrable_domain now applies through a
+    # SQL temp function, and Spark rejects SQL-function calls inside a
+    # Generate (UNSUPPORTED_SQL_UDF_USAGE); the barrier semantics are
+    # unchanged (the optimizer cannot collapse a Project into a
+    # Generate's generator, so the chain still evaluates once).
     bound = docs.select(
+        "doc_id", "lang", "text", dom.alias("__dom0")
+    ).select(
         "doc_id", "lang", "text",
-        F.explode(F.array(dom)).alias("__dom"),
+        F.explode(F.array(F.col("__dom0"))).alias("__dom"),
     )
     planted = bound.select(
         "doc_id",
@@ -545,15 +553,25 @@ def corpus_crawl_funnel(spark, sf_dir):
         ),
     ).otherwise(F.col("url"))
     dom = registrable_domain(url_host(F.col("url")))
+    # canon + PSL computed in their OWN projection, the Generate
+    # consuming only attributes — SQL-function calls (their r14
+    # registration) are rejected inside a Generate; barrier semantics
+    # unchanged (see corpus_domain_gate)
     bound = u.withColumn("url", noisy).select(
+        "doc_id",
+        "url",
+        "text",
+        url_canonicalize(F.col("url")).alias("__c0"),
+        dom.alias("__d0"),
+    ).select(
         "doc_id",
         "url",
         "text",
         F.explode(
             F.array(
                 F.struct(
-                    url_canonicalize(F.col("url")).alias("c"),
-                    dom.alias("d"),
+                    F.col("__c0").alias("c"),
+                    F.col("__d0").alias("d"),
                 )
             )
         ).alias("__cd"),

@@ -158,6 +158,53 @@ def array_fn(name: str, builder: Callable[[Column], Column],
     return builder(toks)
 
 
+def scalar_fn(name: str, scalar: Callable[[Column], Column],
+              tok: Column, returns: str = "STRING") -> Column:
+    """STRING -> scalar sibling (r14): apply `scalar` (a one-string ->
+    scalar Column program, e.g. the PSL registrable-domain CASE chain
+    or the URL canonicalizer — each a 0.15-0.6 s expression-tree
+    CONSTRUCTION per application, measured steady-state) through a
+    once-per-session SQL temp function, so every application after the
+    first is one `call_function` Py4J call and the body inlines
+    JVM-side at analysis. Inline fallback when no session is active or
+    registration fails. Same extraction mechanism and SAME-SESSION
+    CONTRACT as tokens_fn. The scalar must be a deterministic pure
+    function of its input column, and the argument at every call site
+    must NOT be an outer lambda variable (SQL-UDF inlining does not
+    compose with one — the tokens_fn MISSING_ATTRIBUTES trap); all
+    in-repo call sites pass plain column references."""
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is not None:
+        try:
+            states = _SESSIONS.setdefault(spark, {})
+        except TypeError:  # pragma: no cover - non-weakrefable session
+            states = {}
+        ok = states.get(name)
+        if ok is None:
+            try:
+                spark.sql(
+                    f"CREATE OR REPLACE TEMPORARY FUNCTION {name}"
+                    f"(tok STRING) RETURNS {returns} RETURN "
+                    f"({_sql_body(spark, name, scalar)})"
+                )
+                ok = states[name] = True
+            except Exception as e:  # pragma: no cover - registration seam
+                ok = states[name] = False
+                warnings.warn(
+                    f"SQL temp-function registration for {name} failed"
+                    f" ({e!r:.200}); falling back to the inline Column"
+                    " program for this session (correct, but pays the"
+                    " per-application tree-construction cost)",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
+        if ok:
+            return F.call_function(name, tok)
+    return scalar(tok)
+
+
 def tokens_fn(name: str, scalar: Callable[[Column], Column],
               toks: Column) -> Column:
     """Apply `scalar` (a one-token -> one-token Column program) to

@@ -141,7 +141,12 @@ def url_canonicalize(url: Column, strip_tracking: bool = True) -> Column:
     the DuckDB twin. The input expression binds ONCE (transform over a
     1-element array): when `url` is itself a computed expression,
     Catalyst's project-collapse would otherwise inline it into every
-    one of the ~8 references and blow the Janino method limit."""
+    one of the ~8 references and blow the Janino method limit.
+
+    The default (strip_tracking) form applies through a
+    once-per-session SQL temp function — ~0.15 s of expression-tree
+    construction per application otherwise (see registrable_domain);
+    the strip_tracking=False variant keeps the inline path."""
 
     def canon(u: Column) -> Column:
         scheme = F.lower(F.regexp_extract(u, _SCHEME, 1))
@@ -177,20 +182,35 @@ def url_canonicalize(url: Column, strip_tracking: bool = True) -> Column:
             F.concat(scheme, F.lit("://"), host, port_part, path, q_part)
         )
 
-    return F.get(F.transform(F.array(url), canon), 0)
+    def bound(u: Column) -> Column:
+        return F.get(F.transform(F.array(u), canon), 0)
+
+    if strip_tracking:
+        from route81_spark.ops.sqlfn import scalar_fn
+
+        return scalar_fn("__r81_urlcanon", bound, url)
+    return bound(url)
 
 
 def url_host(url: Column) -> Column:
     """Lowercased host (no port) of a URL-shaped string; NULL when the
     string has no scheme://. A bracketed IPv6 authority ('[::1]:8080')
     yields the whole bracketed literal ('[::1]') — the colons inside
-    the brackets are not port separators."""
-    auth = F.regexp_extract(
-        F.regexp_extract(url, _SCHEME + r"([^/?#]*)", 2),
-        r"^(?:[^@]*@)?(.*)$", 1,
-    )
-    host = F.lower(F.regexp_extract(auth, _HOST_RE, 1))
-    return F.when(host == "", F.lit(None).cast("string")).otherwise(host)
+    the brackets are not port separators. Applies through a
+    once-per-session SQL temp function (~0.14 s of construction per
+    application otherwise; see registrable_domain)."""
+
+    def prog(u: Column) -> Column:
+        auth = F.regexp_extract(
+            F.regexp_extract(u, _SCHEME + r"([^/?#]*)", 2),
+            r"^(?:[^@]*@)?(.*)$", 1,
+        )
+        host = F.lower(F.regexp_extract(auth, _HOST_RE, 1))
+        return F.when(host == "", F.lit(None).cast("string")).otherwise(host)
+
+    from route81_spark.ops.sqlfn import scalar_fn
+
+    return scalar_fn("__r81_urlhost", prog, url)
 
 
 def registrable_domain(host: Column, rules: Sequence[str] | None = None) -> Column:
@@ -203,12 +223,28 @@ def registrable_domain(host: Column, rules: Sequence[str] | None = None) -> Colu
     bind-once label array, NULL propagation, trailing-dot FQDN fold,
     and IP-literal (IPv4 / bracketed IPv6) hosts -> NULL. For rule
     sets shipped as a DataFrame (the full ~9k publicsuffix.org list),
-    use ops.psl.psl_domain_table — broadcast joins, same semantics."""
+    use ops.psl.psl_domain_table — broadcast joins, same semantics.
+
+    The default-rules path applies through a once-per-session SQL
+    temp function (ops/sqlfn.py, the stemmer mechanism): the rule CASE
+    chain costs ~0.3 s of driver-side expression-tree CONSTRUCTION per
+    application (measured steady-state, tools/py4j_count.py class of
+    cost), and ~10 query builds per bench run construct it — after
+    registration each application is one call_function round trip and
+    the body inlines JVM-side at analysis (identical plan). Custom
+    rule lists keep the inline path (the registration is keyed to the
+    vendored snapshot)."""
     from route81_spark.ops.psl import DEFAULT_PSL_RULES, registrable_domain_psl
 
-    return registrable_domain_psl(
-        host, DEFAULT_PSL_RULES if rules is None else rules
-    )
+    if rules is None:
+        from route81_spark.ops.sqlfn import scalar_fn
+
+        return scalar_fn(
+            "__r81_psldom",
+            lambda h: registrable_domain_psl(h, DEFAULT_PSL_RULES),
+            host,
+        )
+    return registrable_domain_psl(host, rules)
 
 
 def domain_stats(
