@@ -923,36 +923,46 @@ def containment_pairs(
     integer cross-products (2*inter >= min-size); the reported double
     is display-only.
 
-    Execution shape: one distinct (doc, shingle) relation carries BOTH
-    per-doc set size and per-shingle document frequency as full-
-    partition window counts, so the stop-shingle prune is a filter
-    (not a groupBy + broadcast anti-join) and set sizes ride along
-    instead of being re-attached by two id joins. After the prune
-    every shingle's posting list is bounded by max_df, so the
+    Execution shape: per-doc shingle-hash DEDUP and set size are pure
+    per-row expressions (array_distinct + size over the bound hash
+    array — a document is row-local, so its distinct set never needs a
+    shuffle), making the first stage map-only; the exploded
+    already-distinct (doc, hash, size) rows then take ONE exchange for
+    the per-shingle document-frequency window, whose hash partitioning
+    the posting-list groupBy reuses. The stop-shingle prune is a
+    filter (not a groupBy + broadcast anti-join) and set sizes ride
+    along instead of being re-attached by two id joins. After the
+    prune every shingle's posting list is bounded by max_df, so the
     inverted-index SELF-JOIN becomes a bounded collect_list + pair
     explode over the SAME partitioning the df window already
-    established — the whole query is one linear pipeline (scan +
-    explode + distinct executes once; the previous form evaluated it
-    six times) with four Exchanges and no join. The window count (not
-    collect_list) does the hot-shingle detection, so per-task state
-    stays bounded even for a boilerplate shingle present in millions
-    of documents (window partitions spill through the sorter; the
-    collected lists exist only post-prune, capped at max_df)."""
+    established — the whole query is one linear pipeline (the scan +
+    explode executes once; the r13 form evaluated it six times) with
+    two real Exchanges (df window, pair aggregation) and no join. The
+    r14 first cut kept a corpus-wide (i, h) distinct + a per-doc size
+    window behind a repartition("i") — one whole exchange + two
+    aggregation passes for facts the row already knew. The window
+    count (not collect_list) does the hot-shingle detection, so
+    per-task state stays bounded even for a boilerplate shingle
+    present in millions of documents (window partitions spill through
+    the sorter; the collected lists exist only post-prune, capped at
+    max_df)."""
     num, den = threshold
+    hset = F.array_distinct(
+        F.transform(shingles(F.col(text_col), n), lambda s: h64(s, seed))
+    )
     sh = (
-        df.select(
-            F.col(id_col).alias("i"),
-            F.explode(shingles(F.col(text_col), n)).alias("s"),
-        )
-        .select("i", h64(F.col("s"), seed).alias("h"))
-        # hash by doc id only: HashPartitioning(i) satisfies the
-        # (i, h)-distinct's clustering requirement AND the sz window's,
-        # so dedup + per-doc size share ONE exchange
-        .repartition("i")
-        .distinct()
+        df.select(F.col(id_col).alias("i"), hset.alias("__hs"))
         # full set size per doc (counted BEFORE the stop-shingle prune,
-        # as the contract requires), then document frequency per shingle
-        .withColumn("sz", F.count("*").over(Window.partitionBy("i")))
+        # as the contract requires) is row-local; the explode emits
+        # per-doc-distinct rows by construction
+        .select(
+            "i",
+            # long: the former window count was int64 and the oracle
+            # pins BIGINT sizes
+            F.size("__hs").cast("long").alias("sz"),
+            F.explode("__hs").alias("h"),
+        )
+        # document frequency per shingle hash — the one corpus shuffle
         .withColumn("df", F.count("*").over(Window.partitionBy("h")))
         .filter(F.col("df") <= max_df)
     )
