@@ -977,27 +977,28 @@ def novelty_scores(
     worth keeping when token budgets bind. Returns
     (id, n_shingles, n_unique, novelty).
 
-    100 TB shape: distinct (doc, shingle-hash) integer rows -> the df
-    count per hash as a full-partition window count over the SAME
-    relation -> per-doc ratio agg. One linear pipeline: the previous
-    groupBy + join-back form evaluated the scan + shingle + distinct
-    lineage twice (exchange reuse never fires across the branches);
-    the window form evaluates it once, and hash-partitioning by the
-    shingle hash alone satisfies both the distinct's clustering
-    requirement and the window, sharing one exchange. Text never
-    shuffles; no all-pairs anything; per-task state stays bounded
-    (the window is a count — partitions spill through the sorter)."""
+    100 TB shape: per-doc-distinct (doc, shingle-hash) integer rows ->
+    the df count per hash as a full-partition window count over the
+    SAME relation -> per-doc ratio agg. One linear pipeline: the
+    r13 groupBy + join-back form evaluated the scan + shingle +
+    distinct lineage twice (exchange reuse never fires across the
+    branches); the window form evaluates it once. The (doc, hash)
+    dedup is ROW-LOCAL (a document's distinct hash set is
+    array_distinct over its own bound array — the containment_pairs
+    r14 lesson), so the first stage is a map-only explode of
+    already-distinct rows: the former corpus-wide distinct behind a
+    repartition("__h") paid two aggregation passes for a fact each
+    row already knew. Text never shuffles; no all-pairs anything;
+    per-task state stays bounded (the window is a count — partitions
+    spill through the sorter)."""
     from route81_spark.ops.dedup import h64
     from route81_spark.ops.util import det_round
 
+    hset = F.array_distinct(
+        F.transform(shingles(F.col(text_col), n), lambda s: h64(s, seed))
+    )
     sh = (
-        df.select(
-            F.col(id_col),
-            F.explode(shingles(F.col(text_col), n)).alias("__s"),
-        )
-        .select(F.col(id_col), h64(F.col("__s"), seed).alias("__h"))
-        .repartition("__h")
-        .distinct()
+        df.select(F.col(id_col), F.explode(hset).alias("__h"))
         .withColumn("__df", F.count("*").over(Window.partitionBy("__h")))
     )
     per_doc = (
