@@ -953,15 +953,15 @@ def containment_pairs(
     sh = (
         df.select(F.col(id_col).alias("i"), hset.alias("__hs"))
         # full set size per doc (counted BEFORE the stop-shingle prune,
-        # as the contract requires) is row-local; the explode emits
-        # per-doc-distinct rows by construction
-        .select(
-            "i",
-            # long: the former window count was int64 and the oracle
-            # pins BIGINT sizes
-            F.size("__hs").cast("long").alias("sz"),
-            F.explode("__hs").alias("h"),
-        )
+        # as the contract requires) is row-local; computed BELOW the
+        # explode so the Generate's required child output is (i, sz)
+        # and the hash array never rides along the exploded rows
+        # (size above the Generate kept __hs in every output row —
+        # an O(set size) copy per exploded row). long: the former
+        # window count was int64 and the oracle pins BIGINT sizes.
+        .select("i", F.size("__hs").cast("long").alias("sz"), "__hs")
+        # the explode emits per-doc-distinct rows by construction
+        .select("i", "sz", F.explode("__hs").alias("h"))
         # document frequency per shingle hash — the one corpus shuffle
         .withColumn("df", F.count("*").over(Window.partitionBy("h")))
         .filter(F.col("df") <= max_df)
