@@ -1232,10 +1232,14 @@ def corpus_bloom_dedup(spark, sf_dir):
     the probe docs are rebuilt. The probe pass is a pure per-row
     projection against the 128 KiB bitmap literal — zero shuffles,
     stream-legal."""
-    from route81_spark.io import ensure_parallelism
     from route81_spark.ops.corpus import _h60, bloom_paragraph_dedup
 
-    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    # NOT spread: interleaved A/B at sf0.1 (min of 5, one session) —
+    # unspread 0.98 s vs spread 1.46 s: the round-robin exchange ships
+    # the raw text (both the bitmap-build side and the probe side) and
+    # costs more than the single-task map stages it parallelizes; at
+    # scale multi-split inputs parallelize those stages for free
+    docs = _t(spark, sf_dir, "documents")
     ref = _h60(F.col("doc_id"), "bloomsplit0") < F.lit(1 << 59)
     return bloom_paragraph_dedup(docs, ref, window=4)
 
@@ -1333,10 +1337,14 @@ def corpus_zipf(spark, sf_dir):
     """Zipf-law corpus diagnostic: ln-ln least-squares slope over the
     top-256 token frequencies — natural text sits near -1; the
     whole-corpus health check beside the dataset card."""
-    from route81_spark.io import ensure_parallelism
     from route81_spark.ops.corpus import zipf_fit
 
-    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    # NOT spread: interleaved A/B at sf0.1 (min of 5, one session) —
+    # with zipf_fit's fan-out checkpoint, unspread 0.345 s vs spread
+    # 0.781 s: the round-robin exchange ships the raw text and costs
+    # more than the single-task tokenize it parallelizes; at scale
+    # multi-split inputs parallelize the map stage for free
+    docs = _t(spark, sf_dir, "documents")
     return zipf_fit(docs)
 
 @_q(
@@ -1543,6 +1551,11 @@ def corpus_drift(spark, sf_dir):
     — the source-health monitor ahead of recuration."""
     from route81_spark.ops.corpus import distribution_drift
 
+    # NOT spread: measured A/B at sf0.1 — the round-robin exchange
+    # ships the raw text and costs more than the single-task tokenize
+    # it parallelizes (noop of the joined count table: 0.43 s raw scan
+    # vs 1.25 s spread); at scale multi-split inputs parallelize the
+    # map stage for free
     docs = _t(spark, sf_dir, "documents")
     mid = F.col("doc_id")
     new = (
@@ -1654,5 +1667,9 @@ def corpus_incremental_curation(spark, sf_dir):
     expensive paths."""
     from route81_spark.ops.corpus import incremental_curation
 
+    # NOT spread: measured A/B at sf0.1 — the round-robin exchange
+    # ships the raw text twice (old + new side) and cost more than the
+    # single-task map stages it parallelized (exec 0.69 -> 1.6 s);
+    # at scale multi-split inputs parallelize the map stages for free
     docs = _t(spark, sf_dir, "documents")
     return incremental_curation(docs, _snapshot_b(docs))

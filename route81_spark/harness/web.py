@@ -585,7 +585,10 @@ def corpus_crawl_funnel(spark, sf_dir):
             _h60(F.col("__cd.d"), "tmpl") % 5 == 0,
             F.lit("template boilerplate page"),
         ).otherwise(F.col("text")).alias("text"),
-    ).localCheckpoint()
+        # LAZY: the winner agg's job materializes the blocks — eager
+        # added one driver job round trip per query (interleaved A/B
+        # at sf0.1: 1.40 -> 1.08 s)
+    ).localCheckpoint(eager=False)
     # url_dedup's (canon, min-id) winner agg, inlined over the bound
     # canon column (url_dedup would re-derive it from the url)
     winners = planted.groupBy("canon_url").agg(

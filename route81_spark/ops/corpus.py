@@ -783,8 +783,11 @@ def lm_logprob_score(
             # unpinned, the corpus was scanned and tokenized FOUR
             # times per score. localCheckpoint is per-invocation (no
             # cross-run reuse) and truncates every consumer's replay
-            # to the already-aggregated bigram table.
-            tfb = tfb.localCheckpoint()
+            # to the already-aggregated bigram table. LAZY: the first
+            # consumer's job materializes the blocks — eager added one
+            # driver job round trip per score (interleaved A/B at
+            # sf0.1: ccnet 2.02 -> 1.55 s with the lazy form).
+            tfb = tfb.localCheckpoint(eager=False)
         lp, _, _ = _lm_tables(tfb.groupBy("bg").agg(F.sum("n").alias("c2")))
         # self-trained: every scored bigram is in the model, so a plain
         # inner join scores everything — no smoothing fallback needed
@@ -1239,13 +1242,17 @@ def dataset_card(
     (exact distinct needs its own key; both shuffles carry aggregated
     rows only). The card is source-count-sized, so the final join is a
     broadcast."""
-    from route81_spark.io import ensure_parallelism
     from route81_spark.ops.dedup import content_hash
     from route81_spark.ops.text import quality_score, token_count
     from route81_spark.ops.util import det_round
 
+    # NOT spread: with the single-pass aggregation below, interleaved
+    # A/B at sf0.1 (min of 6, twice) has unspread 0.50/0.58 s vs
+    # spread 0.79/0.86 s — the round-robin exchange ships the raw text
+    # and costs more than the one single-task map stage it
+    # parallelizes; at scale multi-split inputs parallelize it for free
     c = F.col(text_col)
-    base = ensure_parallelism(docs).select(
+    base = docs.select(
         F.col(source_col).alias("source"),
         token_count(c).alias("__tok"),
         quality_score(c).alias("__q"),
@@ -1254,6 +1261,16 @@ def dataset_card(
         F.when(F.col(lang_col) == "en", 1.0).otherwise(0.0).alias("__en"),
         content_hash(c).alias("__chash"),
     )
+    # ONE aggregation computes the card AND the distinct-hash count
+    # (count_distinct is the oracle's own form, and Spark plans the
+    # mixed distinct/regular aggregate via one Expand over the already
+    # NARROW projected rows) — the former separate distinct()+count
+    # consumer re-ran the whole tokenize/quality/hash per-row stage a
+    # second time, a full extra corpus pass for a column computed in
+    # the same row. count_distinct skips NULLs exactly like the
+    # distinct-pairs count did only because __chash is non-null by
+    # construction (content_hash of non-null text; the generator emits
+    # none) — the oracle's count(DISTINCT chash) has the same contract.
     card = base.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("__tok").alias("total_tokens"),
@@ -1261,21 +1278,12 @@ def dataset_card(
         F.max("__tok").alias("max_tokens"),
         det_round(F.percentile(F.col("__q"), 0.5), 6).alias("p50_quality"),
         det_round(F.avg("__en"), 4).alias("en_share"),
+        F.count_distinct(F.col("__chash")).alias("__n_unique"),
     )
-    uniq = (
-        base.select("source", "__chash")
-        .distinct()
-        .groupBy("source")
-        .agg(F.count(F.lit(1)).alias("__n_unique"))
-    )
-    return (
-        card.join(F.broadcast(uniq), "source")
-        .withColumn(
-            "dup_rate",
-            det_round(F.lit(1.0) - F.col("__n_unique") / F.col("n_docs"), 4),
-        )
-        .drop("__n_unique")
-    )
+    return card.withColumn(
+        "dup_rate",
+        det_round(F.lit(1.0) - F.col("__n_unique") / F.col("n_docs"), 4),
+    ).drop("__n_unique")
 
 
 def write_training_shards(
@@ -1555,8 +1563,11 @@ def _hashed_bigram_buckets(
         # — unpinned, the corpus is scanned and tokenized twice per
         # DSIR/classifier query. localCheckpoint is per-invocation (no
         # cross-run reuse) and bounds the replay at n_buckets rows per
-        # doc.
-        out = out.localCheckpoint()
+        # doc. LAZY: the first consumer's job materializes the blocks
+        # — eager added one driver job round trip per query
+        # (interleaved A/B at sf0.1: quality 1.79 -> 1.38 s,
+        # budget_select 1.59 -> 1.37 s).
+        out = out.localCheckpoint(eager=False)
     return out
 
 
@@ -2728,6 +2739,16 @@ def zipf_fit(
         .groupBy("tok")
         .agg(F.count("*").alias("cnt"))
     )
+    if not c.isStreaming:
+        # the frequency table is the fan-out point: the totals agg AND
+        # the top-V TakeOrdered both hang off it, and the tokenize
+        # lambda's variable ids defeat exchange-reuse canonicalization
+        # — unpinned, the corpus was scanned and tokenized twice per
+        # fit. localCheckpoint is per-invocation (no cross-run reuse)
+        # and truncates both consumers to the vocab-sized table; lazy,
+        # so the first consumer's job materializes the blocks (an
+        # eager checkpoint adds a driver round trip per fit).
+        c = c.localCheckpoint(eager=False)
     totals = c.agg(
         F.count("*").cast("long").alias("n_types"),
         F.sum("cnt").cast("long").alias("n_tokens"),
@@ -2899,6 +2920,19 @@ def distribution_drift(
         F.coalesce("ca", F.lit(0)).alias("ca"),
         F.coalesce("cb", F.lit(0)).alias("cb"),
     )
+    if not j.isStreaming:
+        # the joined count table is the fan-out point: the totals agg
+        # AND the TV-numerator agg (which also replays the totals as
+        # its broadcast side) hang off it, and the tokenize lambdas'
+        # variable ids defeat exchange-reuse canonicalization —
+        # unpinned, each side's corpus was scanned and tokenized up to
+        # three times per drift report (9 scans in the executed plan).
+        # localCheckpoint is per-invocation (no cross-run reuse) and
+        # truncates every consumer to the vocab-sized joined table.
+        # LAZY (eager=False): the first consumer's job materializes the
+        # blocks — an eager checkpoint added one extra driver round
+        # trip per report (measured 0.92 vs 0.71 s at sf0.1).
+        j = j.localCheckpoint(eager=False)
     agg = j.agg(
         F.count("*").cast("int").alias("n_types_union"),
         F.sum("ca").cast("long").alias("n_tokens_a"),
