@@ -342,15 +342,14 @@ def dedup_minhash_merge(spark, sf_dir):
     """Incremental near-dup index maintenance: merge two snapshot
     signature tables by elementwise min (sig(S1 ∪ S2) identity — old
     text never rehashes). Full-outer id join carrying k longs per row."""
-    from route81_spark.io import ensure_parallelism
     from route81_spark.ops.dedup import merge_minhash_signatures, minhash_signatures
 
-    # spread the single-file scan: both sides' shingle+8-minhash map
-    # stages otherwise run in one task (no-op on multi-split inputs);
-    # interleaved A/B at sf0.1 (min of 5): 1.72 spread vs 1.87 raw —
-    # the 8-hash-per-shingle work is heavy enough to beat the
-    # round-robin text exchange, unlike the plain-tokenize queries
-    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
+    # NOT spread: interleaved A/B at sf0.1 (min of 8, every run lower)
+    # — unspread 1.06 s vs spread 1.51 s: the round-robin exchange
+    # ships the raw text TWICE (once per snapshot side) and costs more
+    # than the single-task signature maps it parallelizes; at scale
+    # multi-split inputs parallelize those stages for free
+    docs = _t(spark, sf_dir, "documents")
     a = minhash_signatures(docs.filter(F.col("doc_id") % 2 == 0), k=8)
     b = minhash_signatures(
         docs.filter(F.col("doc_id") % 3 == 0).select(

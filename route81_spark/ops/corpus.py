@@ -558,11 +558,16 @@ def bpe_train_merges(
                 "f",
             )
             if step % checkpoint_every == 0:
-                # eager: truncates lineage NOW (from prev's cache), so
-                # prev releases immediately
-                nxt = nxt.localCheckpoint(eager=True)
+                # LAZY checkpoint: the NEXT round's argmax materializes
+                # the blocks in the job it already runs — the eager
+                # form paid one extra driver job round trip per
+                # checkpoint round (interleaved A/B at sf0.1: merges
+                # 2.69 -> 2.50 s, encode 3.01 -> 2.87 s). prev stays
+                # cached until that materialization (the `release`
+                # hand-off below), so nothing recomputes.
+                nxt = nxt.localCheckpoint(eager=False)
                 if prev is not words:
-                    prev.unpersist()
+                    release = prev
             else:
                 # lazy persist: the NEXT round's argmax materializes it
                 # in the same job it already runs — the former eager
