@@ -565,3 +565,68 @@ def test_crawl_funnel_no_payload_shuffles(spark):
             assert not re.search(r"(?<![\w])(text|url)#", block), block
     assert "BroadcastHashJoin LeftAnti" in plan
     assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_dataset_card_single_corpus_pass(spark):
+    """r15: the card aggregation and the distinct-hash count share ONE
+    per-row tokenize/quality/hash pass — count_distinct in the same
+    groupBy (planned via Expand) replaced the second distinct()+count
+    consumer, which re-scanned and re-derived the whole projection."""
+    import re
+
+    df = harness.QUERIES["corpus_dataset_card"](spark, SF)
+    plan = plan_of(df)
+    scans = re.findall(r"^\(\d+\) Scan parquet", plan, re.M)
+    assert len(scans) == 1, f"expected one corpus scan, got {len(scans)}:\n{plan}"
+    assert "Join" not in plan  # the broadcast join-back is gone
+
+
+def test_drift_and_zipf_checkpoint_fanout(spark):
+    """r15: distribution_drift and zipf_fit materialize their
+    vocab-sized fan-out table once (lazy localCheckpoint) — every
+    consumer reads the checkpoint blocks, so the final plan carries NO
+    parquet scans (the one-pass tokenize lineage lives inside the
+    checkpointed subtree; drift's unpinned plan ran 9 corpus scans)."""
+    import re
+
+    for name in ("corpus_drift", "corpus_zipf"):
+        df = harness.QUERIES[name](spark, SF)
+        plan = plan_of(df)
+        assert "ExistingRDD" in plan, f"{name} lost its fan-out checkpoint"
+        scans = re.findall(r"^\(\d+\) Scan parquet", plan, re.M)
+        assert not scans, (
+            f"{name} re-expanded the corpus lineage per consumer:\n{plan}"
+        )
+
+
+def test_robots_rules_registered_fn(spark):
+    """r15: the parse_robots fold registers as the once-per-session SQL
+    temp function r81_robots_rules (STRUCT return) with NO silent
+    inline fallback — the registration used to fail on a Cast the
+    unanalyzed-plan .sql() drops (array() re-parsed as ARRAY<VOID>) —
+    and the registered body is value-identical to the inline program."""
+    import warnings
+
+    from pyspark.sql import functions as F
+
+    from route81_spark.ops import web as W
+
+    robots = W.synthetic_robots(spark)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        registered = W.parse_robots(robots).orderBy("domain").collect()
+    fallbacks = [w for w in caught if "registration" in str(w.message)]
+    assert not fallbacks, f"scalar_fn fell back inline: {fallbacks[0].message}"
+    # the function is callable directly (would raise if unregistered)
+    row = spark.sql(
+        "SELECT r81_robots_rules('User-agent: *\\nDisallow: /x') AS r"
+    ).collect()[0]["r"]
+    assert row["disallow"] == ["/x"] and row["allow"] == []
+    # registered output == the inline Column program, value for value
+    rules = W._robots_rules_scalar(F.col("robots_txt"))
+    inline = robots.select(
+        "domain",
+        rules.getField("disallow").alias("disallow"),
+        rules.getField("allow").alias("allow"),
+    ).orderBy("domain").collect()
+    assert registered == inline
