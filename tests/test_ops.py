@@ -3091,15 +3091,33 @@ def test_kmv_overlap_sketch_bounds(spark):
     small_b = spark.createDataFrame([Row(doc_id=3, text="beta"), Row(doc_id=4, text="gamma")])
     ex = kmv_overlap_sketch(small_a, small_b, k=16).collect()[0]
     assert ex["union_est"] == 3.0 and ex["k_used"] == 3 and ex["shared"] == 1
-    # scale pin: the sketch is a TakeOrdered per side, never a global Sort
+    # scale pin: the sketch is a TakeOrdered per side, never a global
+    # Sort. r15 hides the sketch lineage behind per-invocation lazy
+    # localCheckpoints (each sketch is a <= k-row bounded artifact fed
+    # to three branches; unpinned, every branch replayed the corpus
+    # pass), so (a) the consumer plan must read the checkpoints, and
+    # (b) the TakeOrdered pin is asserted on the un-checkpointed
+    # lineage via an identity patch.
     import io
     from contextlib import redirect_stdout
 
     buf = io.StringIO()
     with redirect_stdout(buf):
         kmv_overlap_sketch(docs, other, k=16).explain(mode="simple")
-    plan = buf.getvalue()
-    assert "TakeOrderedAndProject" in plan
+    assert "Scan ExistingRDD" in buf.getvalue()  # sketches checkpointed
+    from pyspark.sql.classic.dataframe import DataFrame as _CDF
+
+    orig_lc = _CDF.localCheckpoint
+    _CDF.localCheckpoint = lambda self, eager=True: self
+    try:
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            kmv_overlap_sketch(docs, other, k=16).explain(mode="simple")
+        plan = buf.getvalue()
+        assert "TakeOrderedAndProject" in plan
+        assert "GlobalSort" not in plan and "Sort [h" not in plan
+    finally:
+        _CDF.localCheckpoint = orig_lc
 
 
 def test_ivfpq_recall_vs_brute_force(spark, sf_dir):
