@@ -120,17 +120,21 @@ def rare_bigram_stats(
     pairs = base.select(
         F.col(id_col), F.explode(bound_grams).alias("bg")
     ).filter(F.col("bg").contains(" "))  # docs with <2 tokens emit no bigram
-    # Aggregate to per-(doc, bigram) counts FIRST: the explode above is
-    # a narrow plan, so every downstream consumer would otherwise
-    # re-tokenize and re-explode the corpus (narrow subplans duplicate;
-    # only Exchanges are reused). tfb puts an Exchange right at the
-    # fan-out point — the model aggregation and the scoring join both
-    # read it as a ReusedExchange, so the corpus is tokenized exactly
-    # once. Unigram counts then derive from the (vocab-sized) bigram
-    # model — sum of c2 over bigrams sharing w1 — and the rarity
-    # decision precomputes per bigram, so the scoring join is a single
-    # equi-join against (bg, is_rare).
+    # Aggregate to per-(doc, bigram) counts FIRST — tfb is the fan-out
+    # point: the model aggregation and the scoring join both hang off
+    # it. Exchange reuse does NOT fire across those branches (the
+    # tokenize lambda's variable ids defeat canonicalization — r15
+    # verified the executed plan had 3 parquet scans and 0
+    # ReusedExchange, the same failure lm_logprob_score hit), so the
+    # same lazy per-invocation localCheckpoint truncates every
+    # consumer to the already-aggregated bigram table and the corpus
+    # is tokenized exactly once. Unigram counts then derive from the
+    # (vocab-sized) bigram model — sum of c2 over bigrams sharing w1 —
+    # and the rarity decision precomputes per bigram, so the scoring
+    # join is a single equi-join against (bg, is_rare).
     tfb = pairs.groupBy(id_col, "bg").agg(F.count(F.lit(1)).alias("n"))
+    if not tfb.isStreaming:
+        tfb = tfb.localCheckpoint(eager=False)
     w1 = F.split(F.col("bg"), " ")[0]
     model = tfb.groupBy("bg").agg(F.sum("n").alias("c2"))
     uni = (
